@@ -1,0 +1,270 @@
+package graft
+
+import graft.model.Seeds
+import graft.operators.TextAnalysis
+
+/** DuckDB oracle SQL for every SparkEntry query.
+  *
+  * Fragments that must mirror a Spark expression exactly (regex-rule
+  * fold order, md5-derived hashes, float fold order) are generated from
+  * the same Scala data the Spark plans are built from, so the two sides
+  * cannot drift. Float summations use list_reduce with an explicit 0.0
+  * init = the same left-to-right fold as Spark's `aggregate`.
+  */
+object OracleSql {
+
+  /** 60-bit md5-derived hash — mirror of graft.functions.md5Long. */
+  private def md5long(e: String): String =
+    s"cast(('0x' || substr(md5($e),1,15)) as bigint)"
+
+  /** Whitespace tokens, empties dropped — mirror of functions.tokens. */
+  private def toks(e: String): String =
+    s"list_filter(regexp_split_to_array(coalesce($e,''), '\\s+'), t -> t <> '')"
+
+  /** Sorted distinct word 3-gram shingles — mirror of functions.shingles(_, 3). */
+  private def shingles3(e: String): String = {
+    val t = toks(s"lower($e)")
+    s"""list_sort(list_distinct(CASE WHEN len($t) >= 3
+       THEN list_transform(range(len($t) - 2), i -> $t[i+1] || ' ' || $t[i+2] || ' ' || $t[i+3])
+       ELSE []::VARCHAR[] END))"""
+  }
+
+  /** Left-to-right double fold — mirror of functions.dot. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE)),
+        (acc, v) -> acc + v)"""
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private def scoreFixedSql(a: String, b: String): String =
+    s"cast(floor(${cosineSql(a, b)} * 1000000.0) as bigint)"
+
+  /** Sign-bit bucket — mirror of Similarity.signBucket. */
+  private def signBucketSql(e: String, bits: Int): String =
+    (0 until bits).map(j => s"(CASE WHEN $e[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Sequential 7-rule regex fold — mirror of Scrubber.applyRules over
+    * Seeds.phiRulesV1 (rule_id order, case-insensitive, global).
+    */
+  private def scrubFold(e: String): String =
+    Seeds.phiRulesV1.foldLeft(e) { (acc, r) =>
+      val p = ("(?i)" + r.pattern).replace("'", "''")
+      s"regexp_replace($acc, '$p', '${r.replacement}', 'g')"
+    }
+
+  private def stopwordList(lang: String): String =
+    TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hitsSql(e: String, lang: String): String =
+    s"cast(len(list_filter(${toks(s"lower($e)")}, t -> list_contains(${stopwordList(lang)}, t))) as bigint)"
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         cast(sum(cast(floor(l_quantity * 100) as bigint)) as bigint) AS sum_qty_c,
+         cast(sum(cast(floor(l_extendedprice * 100) as bigint)) as bigint) AS sum_base_c,
+         cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)) as bigint) AS sum_disc_c,
+         cast(count(*) as bigint) AS n_rows
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_status_topk" ->
+      """SELECT o_orderkey, o_custkey, cast(floor(o_totalprice * 100) as bigint) AS price_c
+         FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY price_c DESC, o_orderkey LIMIT 25""",
+
+    "q03_canonical_projection" ->
+      """SELECT c_custkey AS patient_id, c_name AS patient_name,
+         c_mktsegment AS segment, 'customer_src' AS source
+         FROM customer ORDER BY patient_id""",
+
+    "q04_scrub_documents" ->
+      s"""SELECT doc_id, ${scrubFold("text")} AS scrubbed
+         FROM documents ORDER BY doc_id""",
+
+    "q05_sha_chain" ->
+      """SELECT doc_id, sha256(text) AS text_sha256 FROM documents ORDER BY doc_id""",
+
+    "q06_rollup_counts" ->
+      """SELECT source, lang, cast(count(*) as bigint) AS n_docs,
+         cast(sum(n_chars) as bigint) AS sum_chars
+         FROM documents GROUP BY source, lang ORDER BY source, lang""",
+
+    "q07_window_latest" ->
+      """SELECT o_custkey, latest_orderkey, latest_ts FROM (
+           SELECT o_custkey, o_orderkey AS latest_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS latest_ts,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
+
+    "q08_join_revenue" ->
+      """SELECT c_mktsegment,
+         cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint) AS revenue_c,
+         cast(count(*) as bigint) AS n_orders,
+         cast(count(DISTINCT c_custkey) as bigint) AS n_customers
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q09_coalesce_fallback" ->
+      """SELECT event_id, coalesce(nullif(event_type, ''), 'unknown') AS event_type_filled
+         FROM events ORDER BY event_id""",
+
+    "q10_union_sources" ->
+      """SELECT * FROM (
+           SELECT c_custkey AS id, c_name AS name, 'customer' AS source FROM customer
+           UNION ALL
+           SELECT s_suppkey AS id, s_name AS name, 'supplier' AS source FROM supplier)
+         ORDER BY source, id""",
+
+    "q11_distinct_types" ->
+      """SELECT DISTINCT event_type FROM events ORDER BY event_type""",
+
+    "q12_validation_probe" ->
+      """SELECT cast(count(*) as bigint) AS n_rows,
+         cast(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) as bigint) AS n_empty_text,
+         cast(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) as bigint) AS n_len_mismatch,
+         cast(sum(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 0 ELSE 1 END) as bigint) AS n_bad_lang
+         FROM documents""",
+
+    "q13_error_samples" ->
+      """SELECT doc_id,
+         concat('len_mismatch:', cast(n_chars as varchar), ':', cast(length(text) as varchar)) AS error
+         FROM documents WHERE n_chars <> length(text)
+         ORDER BY doc_id LIMIT 20""",
+
+    "q14_date_format" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d%H%M%S') AS version_ts,
+         concat_ws('_', o_orderpriority, cast(o_orderkey as varchar)) AS batch_id
+         FROM orders ORDER BY o_orderkey""",
+
+    "q15_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_value
+         FROM events ORDER BY event_id""",
+
+    "q16_positional_fields" ->
+      """SELECT doc_id, parts[4] AS field_3,
+         array_to_string(list_transform(range(len(parts)),
+           i -> CASE WHEN i = 2 THEN '[MASKED]' ELSE parts[i+1] END), ' ') AS masked_text
+         FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)
+         ORDER BY doc_id""",
+
+    "q17_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+         cast(count(*) as bigint) AS n_dups
+         FROM documents GROUP BY md5(text) ORDER BY content_hash""",
+
+    "q18_minhash_lsh_pairs" -> {
+      val sh = shingles3("text")
+      val sig = s"""list_transform(range(16), s ->
+          list_min(list_transform(sh, g -> ${md5long("s::varchar || ':' || g")})))"""
+      s"""WITH SH AS (SELECT doc_id, $sh AS sh FROM documents),
+          SIG AS (SELECT doc_id, $sig AS sig FROM SH WHERE len(sh) > 0),
+          B AS (SELECT doc_id, t.band AS band,
+                 md5(array_to_string(list_transform(
+                   list_slice(sig, t.band * 4 + 1, t.band * 4 + 4), x -> x::varchar), ',')) AS bucket
+                FROM SIG CROSS JOIN (SELECT unnest(range(4)) AS band) t)
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM B a JOIN B b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+          ORDER BY id_a, id_b"""
+    },
+
+    "q19_simhash" -> {
+      val hashes = s"list_transform(${toks("lower(text)")}, t -> ${md5long("t")})"
+      s"""SELECT doc_id, cast(list_sum(list_transform(range(16), j ->
+           CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                  list_transform(H, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+                  (a, b) -> a + b) > 0
+                THEN (1::BIGINT << j) ELSE 0::BIGINT END)) as bigint) AS simhash16
+         FROM (SELECT doc_id, $hashes AS H FROM documents) ORDER BY doc_id"""
+    },
+
+    "q20_ngram_jaccard" -> {
+      val sh = shingles3("text")
+      s"""WITH D AS (SELECT doc_id, $sh AS sh FROM documents WHERE doc_id % 29 = 0)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            cast(floor((CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+              ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END) * 1000000.0) as bigint) AS jaccard_1e6
+          FROM D a JOIN D b ON a.doc_id < b.doc_id ORDER BY id_a, id_b"""
+    },
+
+    "q21_ann_brute_force" ->
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          Q AS (SELECT * FROM C WHERE id % 200 = 0),
+          S AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+                 ${scoreFixedSql("q.emb", "c.emb")} AS score_1e6
+                FROM C c CROSS JOIN Q q WHERE q.id <> c.id),
+          R AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_1e6 DESC, neighbor_id) AS rank
+                FROM S)
+          SELECT query_id, rank, neighbor_id, score_1e6 FROM R WHERE rank <= 5
+          ORDER BY query_id, rank""",
+
+    "q22_ann_bucketed" ->
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb,
+                 ${signBucketSql("embedding", 6)} AS bucket FROM embeddings),
+          Q AS (SELECT * FROM C WHERE id % 200 = 0),
+          S AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+                 ${scoreFixedSql("q.emb", "c.emb")} AS score_1e6
+                FROM C c JOIN Q q ON q.bucket = c.bucket AND q.id <> c.id),
+          R AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_1e6 DESC, neighbor_id) AS rank
+                FROM S)
+          SELECT query_id, rank, neighbor_id, score_1e6 FROM R WHERE rank <= 3
+          ORDER BY query_id, rank""",
+
+    "q23_embedding_near_dups" ->
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb,
+                 ${signBucketSql("embedding", 8)} AS bucket FROM embeddings)
+          SELECT l.id AS id_a, r.id AS id_b, ${scoreFixedSql("l.emb", "r.emb")} AS score_1e6
+          FROM C l JOIN C r ON l.bucket = r.bucket AND l.id < r.id
+          WHERE ${scoreFixedSql("l.emb", "r.emb")} >= 950000
+          ORDER BY id_a, id_b""",
+
+    "q24_token_count" ->
+      s"""SELECT doc_id, cast(len(${toks("text")}) as bigint) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q25_quality_signals" ->
+      s"""SELECT doc_id, cast(length(text) as bigint) AS n_chars_obs,
+         cast(len(${toks("text")}) as bigint) AS n_tokens,
+         cast(len(regexp_extract_all(text, '[.!?,;:]')) as bigint) AS n_punct,
+         cast(len(regexp_extract_all(text, '[0-9]')) as bigint) AS n_digits,
+         ${hitsSql("text", "en")} AS n_stopwords
+         FROM documents ORDER BY doc_id""",
+
+    "q26_lang_id" -> {
+      val langs = TextAnalysis.stopwords.keys.toSeq.sorted // de, en, es, fr
+      val hits = langs.map(l => s"${hitsSql("text", l)} AS h_$l").mkString(", ")
+      s"""SELECT doc_id, lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+         FROM (SELECT doc_id, lang, $hits FROM documents) ORDER BY doc_id"""
+    },
+
+    "q27_fingerprint" -> {
+      val norm = "regexp_replace(trim(lower(coalesce(text,''))), '\\s+', ' ', 'g')"
+      val rolling = s"""list_reduce(list_prepend(0::BIGINT,
+          list_transform(${toks("lower(text)")}, t -> ${md5long("t")} % 1000000007)),
+          (acc, t) -> (acc * 131 + t) % 1000000007)"""
+      s"""SELECT doc_id, ${md5long(norm)} AS fp60, $rolling AS rolling_fp
+         FROM documents ORDER BY doc_id"""
+    },
+
+    "q28_multimodal_meta" ->
+      """SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS payload_bytes,
+         cast(('0x' || substr(md5(text),1,4)) as bigint) % 3840 + 1 AS width,
+         cast(('0x' || substr(md5(text),5,4)) as bigint) % 2160 + 1 AS height,
+         cast(floor((cast(('0x' || substr(md5(text),9,4)) as bigint)::DOUBLE / 65536.0) * 1000000.0) as bigint) AS feat0_1e6
+         FROM documents ORDER BY doc_id""",
+
+    "q29_windowed_events" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, cast(count(*) as bigint) AS n_events,
+         cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS sum_value_c
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")
+}

@@ -1,13 +1,341 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.model.Seeds
+import graft.operators.{Dedup, Scrubber, Similarity, TextAnalysis}
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 plus the LLM-data-pipeline operators, each with an
+  * equivalent DuckDB oracle in `oracleSql`.
+  *
+  * Cross-engine determinism rules used throughout (Spark vs DuckDB):
+  *  - money/value sums in fixed-point: sum(floor(x·100)) as bigint —
+  *    floor on a double is an exact binary op in both engines, unlike
+  *    decimal-string rounding;
+  *  - hashes are md5-derived (identical bytes in any engine), never
+  *    Spark-internal murmur3;
+  *  - every query ends with a total ORDER BY (unique key last);
+  *  - timestamps are emitted as formatted strings, never raw;
+  *  - counts/sizes cast to bigint on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS): read as long (legacy conf)
+    // and convert to a timestamp at µs precision. DIV keeps the
+    // division integral (a double roundtrip would lose ns bits).
+    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+
+  /** sum(floor(expr*100)) → bigint "cents" — deterministic across engines. */
+  private def cents(c: Column): Column = sum(floor(c * 100).cast("long"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qPricingSummary(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  // Reference-parity operators (SURVEY.md §2) over the testdata tables
+  // =====================================================================
+
+  /** A: groupBy aggregation with map-side partial agg (TPC-H Q1 shape). */
+  private def qPricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        cents(col("l_quantity")).as("sum_qty_c"),
+        cents(col("l_extendedprice")).as("sum_base_c"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_c"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** P4/O3: status filter + top-k (TakeOrderedAndProject). */
+  private def qStatusTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .orderBy(col("price_c").desc, col("o_orderkey"))
+      .limit(25)
+
+  /** P1/P2: canonical projection — rename/select + literal source col. */
+  private def qCanonicalProjection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey").as("patient_id"),
+        col("c_name").as("patient_name"),
+        col("c_mktsegment").as("segment"),
+        lit("customer_src").as("source"))
+      .orderBy(col("patient_id"))
+
+  /** F1/F2: the 7-rule PHI regex fold (sequential, rule_id order). */
+  private def qScrubDocuments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Scrubber.applyRules(col("text"), Seeds.phiRulesV1).as("scrubbed"))
+      .orderBy(col("doc_id"))
+
+  /** F6: sha-256 content hash (provenance chain). */
+  private def qShaChain(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("text_sha256"))
+      .orderBy(col("doc_id"))
+
+  /** A/rollup: per-source/status-style rollup (provenance analog). */
+  private def qRollupCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"), col("lang"))
+
+  /** §2.6 window: latest-event-per-key (row_number over desc order). */
+  private def qWindowLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"),
+        col("o_orderkey").as("latest_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("latest_ts"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** §2.4 join: broadcast dim join + agg (lineage-style correlation). */
+  private def qJoinRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(cents(col("o_totalprice")).as("revenue_c"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** P3/F-coalesce: first-non-empty fallback chain (HL7 SSN pattern). */
+  private def qCoalesceFallback(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        coalesce(nullif(col("event_type"), lit("")), lit("unknown")).as("event_type_filled"))
+      .orderBy(col("event_id"))
+
+  /** §2.8 set op: unionByName across canonical-shaped sources. */
+  private def qUnionSources(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer").select(col("c_custkey").as("id"),
+      col("c_name").as("name"), lit("customer").as("source"))
+    val b = t(s, dir, "supplier").select(col("s_suppkey").as("id"),
+      col("s_name").as("name"), lit("supplier").as("source"))
+    a.unionByName(b).orderBy(col("source"), col("id"))
+  }
+
+  /** A4/O6: distinct + order (commit-times query shape). */
+  private def qDistinctTypes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("event_type")).distinct()
+      .orderBy(col("event_type"))
+
+  /** P6/P7: validation predicates — violation counts per rule. */
+  private def qValidationProbe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("text").isNull || col("text") === "", 1L).otherwise(0L)).as("n_empty_text"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)).as("n_len_mismatch"),
+      sum(when(col("lang").isin("en", "de", "fr", "es", "zh"), 0L).otherwise(1L)).as("n_bad_lang"))
+
+  /** A5: sampled error retention (first-N in key order). */
+  private def qErrorSamples(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("n_chars") =!= length(col("text")))
+      .select(col("doc_id"),
+        concat(lit("len_mismatch:"), col("n_chars"), lit(":"), length(col("text"))).as("error"))
+      .orderBy(col("doc_id"))
+      .limit(20)
+
+  /** F9: UTC timestamp formatting (batch-id / version-dir pattern). */
+  private def qDateFormat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMMddHHmmss").as("version_ts"),
+        concat_ws("_", col("o_orderpriority"), col("o_orderkey")).as("batch_id"))
+      .orderBy(col("o_orderkey"))
+
+  /** F10: JSON field extraction from a string column. */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_value"))
+      .orderBy(col("event_id"))
+
+  /** S7/F5: positional field extraction + positional replacement on a
+    * delimited string (the HL7 PID pattern, demonstrated on tokens).
+    */
+  private def qPositionalFields(s: SparkSession, dir: String): DataFrame = {
+    val parts = split(col("text"), " ")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        get(parts, lit(3)).as("field_3"),
+        array_join(
+          transform(parts, (x, i) => when(i === 2, lit("[MASKED]")).otherwise(x)),
+          " ").as("masked_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  // =====================================================================
+  // LLM-data-pipeline operators (dedup / similarity / text / multimodal)
+  // =====================================================================
+
+  /** Exact dedup by content hash. */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy(col("content_hash"))
+
+  /** MinHash+LSH candidate pairs (16 hashes, 4 bands × 4 rows). */
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(
+        t(s, dir, "documents").filter(size(shingles(col("text"), 3)) > 0),
+        "doc_id", "text", bands = 4, rowsPerBand = 4, n = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** 16-bit SimHash fingerprints. */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash16"))
+      .orderBy(col("doc_id"))
+
+  /** Exact 3-gram Jaccard on a deterministic candidate subset. */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 29 === 0)
+    val ids = docs.select(col("doc_id").as("id"))
+    val pairs = ids.as("a").join(ids.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    Dedup.ngramJaccard(docs, "doc_id", "text", pairs, 3)
+      .select(col("id_a"), col("id_b"),
+        floor(col("jaccard") * 1000000.0).cast("long").as("jaccard_1e6"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def embCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("emb"))
+
+  /** Brute-force exact cosine top-5 for a broadcast query set. */
+  private def qAnnBruteForce(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(
+        embCorpus(s, dir),
+        embCorpus(s, dir).filter(col("id") % 200 === 0), k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score_1e6"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Sign-bit-bucketed ANN (IVF-style coarse quantization). */
+  private def qAnnBucketed(s: SparkSession, dir: String): DataFrame =
+    Similarity.bucketedTopK(
+        embCorpus(s, dir),
+        embCorpus(s, dir).filter(col("id") % 200 === 0), k = 3, signBits = 6)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score_1e6"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Embedding near-dup pairs above cosine 0.95 within sign buckets. */
+  private def qEmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.95, signBits = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Token counting (whitespace tokenizer). */
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality signals: ratios from exact integer counts. */
+  private def qQualitySignals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_obs"),
+        tokenCount(col("text")).as("n_tokens"),
+        regexp_count(col("text"), lit("[.!?,;:]")).cast("long").as("n_punct"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digits"),
+        TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopwords("en")).as("n_stopwords"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic (stopword argmax). */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprints: normalized-content hash + rolling hash. */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp60"),
+        TextAnalysis.rollingHash(col("text")).as("rolling_fp"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal plumbing: opaque binary payload + stub-decoded typed
+    * metadata + pseudo-features (deterministic from payload bytes).
+    */
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    val h = md5(payload)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(payload).cast("long").as("payload_bytes"),
+        (conv(substring(h, 1, 4), 16, 10).cast("long") % 3840 + 1).as("width"),
+        (conv(substring(h, 5, 4), 16, 10).cast("long") % 2160 + 1).as("height"),
+        floor((conv(substring(h, 9, 4), 16, 10).cast("double") / 65536.0) * 1000000.0)
+          .cast("long").as("feat0_1e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Streaming-shaped windowed aggregation (1h tumbling windows) —
+    * identical logic runs under Structured Streaming (see
+    * graft.streaming); batch mode here for the oracle.
+    */
+  private def qWindowedEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), cents(col("value")).as("sum_value_c"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value_c"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (qPricingSummary _),
+    "q02_status_topk" -> (qStatusTopK _),
+    "q03_canonical_projection" -> (qCanonicalProjection _),
+    "q04_scrub_documents" -> (qScrubDocuments _),
+    "q05_sha_chain" -> (qShaChain _),
+    "q06_rollup_counts" -> (qRollupCounts _),
+    "q07_window_latest" -> (qWindowLatest _),
+    "q08_join_revenue" -> (qJoinRevenue _),
+    "q09_coalesce_fallback" -> (qCoalesceFallback _),
+    "q10_union_sources" -> (qUnionSources _),
+    "q11_distinct_types" -> (qDistinctTypes _),
+    "q12_validation_probe" -> (qValidationProbe _),
+    "q13_error_samples" -> (qErrorSamples _),
+    "q14_date_format" -> (qDateFormat _),
+    "q15_json_extract" -> (qJsonExtract _),
+    "q16_positional_fields" -> (qPositionalFields _),
+    "q17_dedup_exact" -> (qDedupExact _),
+    "q18_minhash_lsh_pairs" -> (qMinhashLsh _),
+    "q19_simhash" -> (qSimhash _),
+    "q20_ngram_jaccard" -> (qNgramJaccard _),
+    "q21_ann_brute_force" -> (qAnnBruteForce _),
+    "q22_ann_bucketed" -> (qAnnBucketed _),
+    "q23_embedding_near_dups" -> (qEmbeddingNearDups _),
+    "q24_token_count" -> (qTokenCount _),
+    "q25_quality_signals" -> (qQualitySignals _),
+    "q26_lang_id" -> (qLangId _),
+    "q27_fingerprint" -> (qFingerprint _),
+    "q28_multimodal_meta" -> (qMultimodalMeta _),
+    "q29_windowed_events" -> (qWindowedEvents _))
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared column-expression builders. Everything here is pure
+  * `org.apache.spark.sql.functions` composition — codegen'd, no UDFs —
+  * so each helper stays inside whole-stage codegen and distributes
+  * trivially.
+  *
+  * Cross-engine determinism note: the dedup/similarity hashes are built
+  * from md5 hex (identical bytes in any engine) rather than Spark's
+  * murmur3 `hash()`, so the DuckDB oracle can reproduce them exactly.
+  */
+package object functions {
+
+  // ---------- text ----------
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(coalesce(text, lit("")), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** [0, n) index array; empty when n <= 0 (Spark `sequence` would
+    * otherwise count *down* for a negative stop).
+    */
+  private def indices(n: Column): Column =
+    when(n <= 0, array().cast("array<int>")).otherwise(sequence(lit(0), n - 1))
+
+  /** Word n-gram shingles (distinct, sorted for set semantics). */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(lower(text))
+    val grams = transform(indices(size(ts) - (n - 1)),
+      i => array_join(slice(ts, i + 1, lit(n)), " "))
+    array_sort(array_distinct(grams))
+  }
+
+  /** Character n-grams of the lowercased text (distinct, sorted). */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(coalesce(text, lit("")))
+    val grams = transform(indices(length(t) - (n - 1)),
+      i => t.substr(i + 1, lit(n)))
+    array_sort(array_distinct(grams))
+  }
+
+  /** 60-bit deterministic hash of a string via md5 hex — reproducible
+    * in DuckDB as cast('0x'||substr(md5(s),1,15) as bigint).
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant for minhash families. */
+  def md5LongSeeded(seed: Int, c: Column): Column =
+    md5Long(concat(lit(seed.toString), lit(":"), c))
+
+  // ---------- embeddings ----------
+
+  /** Dot product of two array<float|double> columns. Left-to-right
+    * sequential fold keeps float summation order deterministic.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  // ---------- quality ----------
+
+  /** Ratio helper with empty-denominator guard (ANSI-safe). */
+  def ratio(num: Column, den: Column): Column =
+    when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+}

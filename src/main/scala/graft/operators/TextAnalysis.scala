@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Text-analysis operators for training-data curation: language-ID,
+  * quality scoring, token counting, fingerprinting. All pure column
+  * expressions (codegen'd, shuffle-free, embarrassingly parallel).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword
+    * language-ID heuristic.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "est", "pour", "que", "dans", "pas"),
+    "es" -> Seq("el", "la", "y", "de", "un", "es", "en", "que", "por", "los"))
+
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val wordArr = array(words.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(wordArr, t))).cast("long")
+  }
+
+  /** Predicted language = argmax of stopword hits, ties broken by
+    * language code order, "und" (undetermined) when nothing matched.
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on struct orders by (hits, lang); lang desc would win ties,
+    // so compare with explicit fold: keep strictly-greater hits.
+    val best = scored.reduce { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Heuristic quality signals: length, token count, mean word length,
+    * punctuation ratio, digit ratio, english-stopword ratio, and a
+    * [0,1] composite score.
+    */
+  def qualitySignals(df: DataFrame, text: Column): DataFrame = {
+    val len = length(coalesce(text, lit(""))).cast("long")
+    val nTok = tokenCount(text)
+    val punct = regexp_count(coalesce(text, lit("")), lit("[.!?,;:]")).cast("long")
+    val digits = regexp_count(coalesce(text, lit("")), lit("[0-9]")).cast("long")
+    val stops = stopwordHits(text, stopwords("en"))
+    df.withColumn("n_chars_obs", len)
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_word_len", ratio(len - greatest(nTok - 1, lit(0L)), nTok))
+      .withColumn("punct_ratio", ratio(punct, len))
+      .withColumn("digit_ratio", ratio(digits, len))
+      .withColumn("stopword_ratio", ratio(stops, nTok))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with low
+    * digit noise and some stopword mass. Deterministic arithmetic only.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(coalesce(text, lit(""))).cast("double")
+    val nTok = tokenCount(text).cast("double")
+    val digits = regexp_count(coalesce(text, lit("")), lit("[0-9]")).cast("double")
+    val stops = stopwordHits(text, stopwords("en")).cast("double")
+    val lenScore = when(len >= 100 && len <= 10000, lit(1.0))
+      .when(len < 100, len / 100.0)
+      .otherwise(lit(10000.0) / len)
+    val digitPenalty = lit(1.0) - ratio(digits, len)
+    val stopScore = least(ratio(stops, nTok) * 5.0, lit(1.0))
+    round((lenScore + digitPenalty + stopScore) / 3.0, 6)
+  }
+
+  /** Document fingerprint: 60-bit hash of the whitespace-normalized,
+    * lowercased text — stable under formatting noise. md5-derived for
+    * engine reproducibility.
+    */
+  def fingerprint(text: Column): Column =
+    md5Long(regexp_replace(trim(lower(coalesce(text, lit("")))), "\\s+", " "))
+
+  /** Rolling polynomial hash (Rabin-Karp style) over tokens:
+    * h = Σ h*B + md5Long(token) (mod P). Demonstrates an order-aware
+    * fingerprint; the fold stays in [0, P·B + 2^60) so ANSI-safe.
+    */
+  def rollingHash(text: Column, b: Long = 131L, p: Long = 1000000007L): Column =
+    aggregate(tokens(lower(text)), lit(0L),
+      (acc, t) => pmod(acc * b + pmod(md5Long(t), lit(p)), lit(p)))
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{FieldSpec, SourceSpec}
+
+/** Result of validating one batch frame (reference: etl/validate.py). */
+final case class ValidationResult(
+    valid: Boolean,
+    rowCount: Long,
+    missingColumns: Seq[String],
+    errors: Seq[String]) // sampled, ≤ maxErrorSamples
+
+/** Schema validation compiled from metadata into column predicates
+  * (P6/P7, reference: etl/validate.py).
+  *
+  * Reference behaviors preserved:
+  *  - column-presence diff is driver-side over df.columns (validate.py:100-105);
+  *  - type probes run on the first `sampleRows` rows only, while the
+  *    row count stays exact (validate.py:111-120);
+  *  - at most `maxErrorSamples` error strings are retained (validate.py:123);
+  *  - empty string counts as null for nullability checks (validate.py:115-116);
+  *  - unknown declared types pass (validate.py:23-34).
+  *
+  * Scale: the probe frame is a limit(sampleRows) — Catalyst plans it as
+  * a LocalLimit that short-circuits the scan; the exact count is a
+  * separate count(*) over the (columnar, pushed-down) source, so a
+  * 100 TB file never materializes per-row error objects.
+  */
+object Validator {
+
+  val SampleRows = 200
+  val MaxErrorSamples = 20
+
+  /** Lenient type-conformance predicate (F8): true when the value does
+    * NOT conform. Empty/null passes (counted by nullability instead).
+    * try_* keeps this ANSI-safe and mirrors dateutil's "parses or not"
+    * probe with a multi-format coalesce.
+    */
+  def typeViolation(c: Column, f: FieldSpec): Column = {
+    val nonEmpty = c.isNotNull && c =!= ""
+    val parsed: Column = f.sparkType match {
+      case LongType    => c.try_cast("long")
+      case DoubleType  => c.try_cast("double")
+      case BooleanType => c.try_cast("boolean")
+      case DateType | TimestampType => lenientTimestamp(c)
+      case _           => c // unknown/string → always conforms
+    }
+    nonEmpty && parsed.isNull
+  }
+
+  /** dateutil-ish permissive date parse: first format that sticks. */
+  def lenientTimestamp(c: Column): Column = coalesce(
+    try_to_timestamp(c),
+    try_to_timestamp(c, lit("yyyy-MM-dd")),
+    try_to_timestamp(c, lit("yyyyMMdd")),
+    try_to_timestamp(c, lit("MM/dd/yyyy")),
+    try_to_timestamp(c, lit("dd-MM-yyyy")),
+    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+    try_to_timestamp(c, lit("yyyyMMddHHmmss")))
+
+  def nullabilityViolation(c: Column, f: FieldSpec): Column =
+    if (f.nullable) lit(false) else c.isNull || c === ""
+
+  /** Per-row array<string> of error descriptions for the sampled probe
+    * frame; exploded/limited by the caller.
+    */
+  def errorArray(df: DataFrame, spec: SourceSpec): Column = {
+    val checks: Seq[Column] = spec.fields.filter(f => df.columns.contains(f.name)).flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        when(nullabilityViolation(c, f), lit(s"null_violation:${f.name}")),
+        when(typeViolation(c, f), concat(lit(s"type_error:${f.name}:"), c)))
+    }
+    if (checks.isEmpty) array().cast(ArrayType(StringType))
+    else filter(array(checks: _*), x => x.isNotNull)
+  }
+
+  /** Validate a tabular batch frame against its metadata. */
+  def validate(df: DataFrame, spec: SourceSpec): ValidationResult = {
+    val expected = spec.fields.map(_.name)
+    val missing = expected.diff(df.columns.toSeq)
+    val rowCount = df.count() // exact, full scan — columnar + pushdown
+    val probe = df.limit(SampleRows)
+      .select(explode(errorArray(df.limit(SampleRows), spec)).as("error"))
+      .limit(MaxErrorSamples)
+    val errors = probe.collect().map(_.getString(0)).toSeq
+    ValidationResult(missing.isEmpty && errors.isEmpty, rowCount, missing, errors)
+  }
+
+  /** HL7 validation (etl/validate.py:160-213): every message must have
+    * a PID segment and non-empty values at each required PID-n position.
+    */
+  def validateHl7(messages: DataFrame, spec: SourceSpec): ValidationResult = {
+    import org.apache.spark.sql.functions.{get => arrGet}
+    val lines = split(col("message"), "\n")
+    val pidLine = element_at(filter(lines, l => l.startsWith("PID|")), 1)
+    val parts = split(pidLine, "\\|")
+    val required = spec.fields.filter(f => !f.nullable && f.name.startsWith("PID-"))
+      .map(f => f.name.stripPrefix("PID-").toInt -> f.name)
+    val checks: Seq[Column] =
+      when(pidLine.isNull, lit("missing_PID_segment")) +:
+        required.map { case (n, name) =>
+          val v = trim(arrGet(parts, lit(n)))
+          when(pidLine.isNotNull && (v.isNull || v === ""), lit(s"missing_required:$name"))
+        }
+    val errCol = filter(array(checks: _*), x => x.isNotNull)
+    val rowCount = messages.count()
+    val errors = messages.limit(SampleRows)
+      .select(explode(errCol).as("error")).limit(MaxErrorSamples)
+      .collect().map(_.getString(0)).toSeq
+    ValidationResult(errors.isEmpty, rowCount, Nil, errors)
+  }
+}
