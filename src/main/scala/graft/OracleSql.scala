@@ -158,10 +158,14 @@ object OracleSql {
 
     "q18_minhash_lsh_pairs" -> {
       val sh = shingles3("text")
-      val sig = s"""list_transform(range(16), s ->
-          list_min(list_transform(sh, g -> ${md5long("s::varchar || ':' || g")})))"""
+      val p = graft.operators.Dedup.MinhashP
+      val sigExprs = graft.operators.Dedup.minhashCoeffs(16).map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
+      }.mkString("[", ", ", "]")
       s"""WITH SH AS (SELECT doc_id, $sh AS sh FROM documents),
-          SIG AS (SELECT doc_id, $sig AS sig FROM SH WHERE len(sh) > 0),
+          HS AS (SELECT doc_id, list_transform(sh, g -> ${md5long("g")} % $p) AS hs
+                 FROM SH WHERE len(sh) > 0),
+          SIG AS (SELECT doc_id, $sigExprs AS sig FROM HS),
           B AS (SELECT doc_id, t.band AS band,
                  md5(array_to_string(list_transform(
                    list_slice(sig, t.band * 4 + 1, t.band * 4 + 4), x -> x::varchar), ',')) AS bucket

@@ -196,15 +196,14 @@ object SparkEntry {
 
   /** MinHash+LSH candidate pairs (16 hashes, 4 bands × 4 rows). */
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(
-        t(s, dir, "documents").filter(size(shingles(col("text"), 3)) > 0),
+    Dedup.minhashLshPairs(t(s, dir, "documents"),
         "doc_id", "text", bands = 4, rowsPerBand = 4, n = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   /** 16-bit SimHash fingerprints. */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash16"))
+    Dedup.simhash(t(s, dir, "documents"), col("doc_id"), col("text"), 16)
+      .select(col("id").as("doc_id"), col("simhash").as("simhash16"))
       .orderBy(col("doc_id"))
 
   /** Exact 3-gram Jaccard on a deterministic candidate subset. */

@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
+  /** Bind an expression to a lambda variable so `body` can reference it
+    * many times with a single evaluation per row. Higher-order
+    * functions are interpreted, so repeating a subtree inside a lambda
+    * re-evaluates it per reference (per element for indexed builds —
+    * quadratic); `transform` over a singleton array evaluates `value`
+    * exactly once and hands the body a bound reference.
+    */
+  def let(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), v => body(v)), 1)
+
   // ---------- text ----------
 
   /** Whitespace tokens, empties dropped. */
@@ -29,20 +39,20 @@ package object functions {
     when(n <= 0, array().cast("array<int>")).otherwise(sequence(lit(0), n - 1))
 
   /** Word n-gram shingles (distinct, sorted for set semantics). */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(lower(text))
-    val grams = transform(indices(size(ts) - (n - 1)),
-      i => array_join(slice(ts, i + 1, lit(n)), " "))
-    array_sort(array_distinct(grams))
-  }
+  def shingles(text: Column, n: Int): Column =
+    let(tokens(lower(text)), ts => {
+      val grams = transform(indices(size(ts) - (n - 1)),
+        i => array_join(slice(ts, i + 1, lit(n)), " "))
+      array_sort(array_distinct(grams))
+    })
 
   /** Character n-grams of the lowercased text (distinct, sorted). */
-  def charShingles(text: Column, n: Int): Column = {
-    val t = lower(coalesce(text, lit("")))
-    val grams = transform(indices(length(t) - (n - 1)),
-      i => t.substr(i + 1, lit(n)))
-    array_sort(array_distinct(grams))
-  }
+  def charShingles(text: Column, n: Int): Column =
+    let(lower(coalesce(text, lit(""))), t => {
+      val grams = transform(indices(length(t) - (n - 1)),
+        i => t.substr(i + 1, lit(n)))
+      array_sort(array_distinct(grams))
+    })
 
   /** 60-bit deterministic hash of a string via md5 hex — reproducible
     * in DuckDB as cast('0x'||substr(md5(s),1,15) as bigint).

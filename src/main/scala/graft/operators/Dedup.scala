@@ -27,17 +27,40 @@ object Dedup {
     df.groupBy(md5(text).as("content_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature: `k` minimum md5-hashes over word `n`-gram
-    * shingles, one array column. Pure expressions — the per-row cost is
-    * k×|shingles| hashes with no shuffle at all.
+  /** Mersenne prime 2^31−1: the minhash modulus. Base hashes are
+    * reduced mod p before the affine step so a·h+b stays < 2^62
+    * (ANSI-safe, no overflow).
     */
-  def minhashSignature(text: Column, k: Int, n: Int = 3): Column = {
-    val sh = shingles(text, n)
-    val sigs = (0 until k).map { seed =>
-      array_min(transform(sh, s => md5LongSeeded(seed, s)))
-    }
-    array(sigs: _*)
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic affine coefficients (a_i, b_i) for the k-member
+    * minhash family h_i(x) = (a_i·h(x) + b_i) mod p. Knuth
+    * multiplicative constants — fixed, so the DuckDB oracle embeds the
+    * same values (OracleSql generates its SQL from this list).
+    */
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] = (0 until k).map { i =>
+    val a = (2654435761L * (i + 1)) % MinhashP
+    val b = ((40503L * 2654435761L) % MinhashP * (i + 7)) % MinhashP
+    (if (a == 0) 1L else a, b)
   }
+
+  /** MinHash signature: k minima of the affine family over word-shingle
+    * base hashes. One md5 per shingle (let-bound) + k cheap integer
+    * passes — not k md5 passes (measured 10× win at sf0.1).
+    *
+    * NOTE: pass an *attribute* (already-projected shingle column), not
+    * the shingle expression itself — higher-order functions are
+    * interpreted, and repeating the shingle subtree under each of the
+    * k seeds would recompute tokenize+sort k times per row.
+    * [[minhashLshPairs]] stages the projection.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    let(transform(shingleCol, s => pmod(md5Long(s), lit(MinhashP))), hs => {
+      val sigs = minhashCoeffs(k).map { case (a, b) =>
+        array_min(transform(hs, h => pmod(h * a + b, lit(MinhashP))))
+      }
+      array(sigs: _*)
+    })
 
   /** MinHash-LSH candidate pairs: signatures are split into `bands`
     * bands of `rowsPerBand` hashes; docs sharing any band bucket become
@@ -51,8 +74,11 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
     val k = bands * rowsPerBand
-    val withSig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, n).as("sig"))
+    // stage 1: materialize shingles once per row; docs with no shingle
+    // (under n tokens) can't hash and are dropped.
+    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val withSig = withSh.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
     val bandBuckets = transform(sequence(lit(0), lit(bands - 1)), b => {
       val bandSlice = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
       md5(array_join(transform(bandSlice, x => x.cast("string")), ","))
@@ -68,20 +94,28 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash: `bits`-bit fingerprint over whitespace tokens. Bit j of
-    * the result is the sign of Σ_tokens (bit_j(md5Long(token)) ? +1 : -1).
-    * Near-dup docs land within small Hamming distance. Pure per-row
-    * expressions (no shuffle).
+  /** SimHash bit-vote fold over a *materialized* token-hash array
+    * column (see the minhash note — don't inline the hash expression,
+    * it would be re-evaluated once per bit).
     */
-  def simhash(text: Column, bits: Int = 16): Column = {
-    val hashes = transform(tokens(lower(text)), t => md5Long(t))
+  def simhashFromHashes(hashCol: Column, bits: Int): Column = {
     val bitCols = (0 until bits).map { j =>
-      val vote = aggregate(hashes, lit(0L),
+      val vote = aggregate(hashCol, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(vote > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
+
+  /** SimHash: `bits`-bit fingerprint over whitespace tokens. Bit j of
+    * the result is the sign of Σ_tokens (bit_j(md5Long(token)) ? +1 : -1).
+    * Near-dup docs land within small Hamming distance. Pure per-row
+    * expressions (no shuffle); md5 per token computed once via a
+    * staged projection.
+    */
+  def simhash(df: DataFrame, id: Column, text: Column, bits: Int = 16): DataFrame =
+    df.select(id.as("id"), transform(tokens(lower(text)), t => md5Long(t)).as("_h"))
+      .select(col("id"), simhashFromHashes(col("_h"), bits).as("simhash"))
 
   /** Exact n-gram Jaccard similarity for candidate pairs. `candidates`
     * must have (id_a, id_b); df provides (id, text). Intended as the

@@ -20,25 +20,31 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "de", "un", "est", "pour", "que", "dans", "pas"),
     "es" -> Seq("el", "la", "y", "de", "un", "es", "en", "que", "por", "los"))
 
-  def stopwordHits(text: Column, words: Seq[String]): Column = {
+  def hitsFromTokens(toks: Column, words: Seq[String]): Column = {
     val wordArr = array(words.map(lit): _*)
-    size(filter(tokens(lower(text)), t => array_contains(wordArr, t))).cast("long")
+    size(filter(toks, t => array_contains(wordArr, t))).cast("long")
   }
+
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    hitsFromTokens(tokens(lower(text)), words)
 
   /** Predicted language = argmax of stopword hits, ties broken by
     * language code order, "und" (undetermined) when nothing matched.
+    * Tokenization is let-bound so the token array is built once per
+    * row, not once per candidate language.
     */
-  def langId(text: Column): Column = {
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
-    }
-    // array_max on struct orders by (hits, lang); lang desc would win ties,
-    // so compare with explicit fold: keep strictly-greater hits.
-    val best = scored.reduce { (a, b) =>
-      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
-    }
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def langId(text: Column): Column =
+    let(tokens(lower(text)), toks => {
+      val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        struct(hitsFromTokens(toks, words).as("hits"), lit(lang).as("lang"))
+      }
+      // explicit fold keeps first-language-wins tie semantics (struct
+      // max would favor the later language code on ties).
+      val best = scored.reduce { (a, b) =>
+        when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+      }
+      when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    })
 
   /** Heuristic quality signals: length, token count, mean word length,
     * punctuation ratio, digit ratio, english-stopword ratio, and a
