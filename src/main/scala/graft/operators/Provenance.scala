@@ -40,27 +40,27 @@ final class Provenance(spark: SparkSession, root: String) {
     */
   def createBatch(batchId: String, source: String, filePath: String, rawSha: String): Unit =
     append("provenance_batch_events",
-      Seq((batchId, source, filePath, rawSha, "INGESTED", nowTs, null: String, 0L, null: String, null: String, null: String))
+      Seq((batchId, source, filePath, rawSha, "INGESTED", nowTs, null: String, 0L, null: String, null: String, null: String, null: String))
         .toDF(batchCols: _*))
 
   def updateStatus(batchId: String, status: String, errorDetails: String = null): Unit =
     append("provenance_batch_events",
-      Seq((batchId, null: String, null: String, null: String, status, nowTs, errorDetails, 0L, null: String, null: String, null: String))
+      Seq((batchId, null: String, null: String, null: String, status, nowTs, errorDetails, 0L, null: String, null: String, null: String, null: String))
         .toDF(batchCols: _*))
 
   def updateCuratedHash(batchId: String, sha: String, curatedPath: String): Unit =
     append("provenance_batch_events",
-      Seq((batchId, null: String, null: String, null: String, "SCRUBBED", nowTs, null: String, 0L, sha, null: String, curatedPath))
+      Seq((batchId, null: String, null: String, null: String, "SCRUBBED", nowTs, null: String, 0L, sha, curatedPath, null: String, null: String))
         .toDF(batchCols: _*))
 
   def updateFinalHash(batchId: String, sha: String, versionPath: String): Unit =
     append("provenance_batch_events",
-      Seq((batchId, null: String, null: String, null: String, "COMPLETED", nowTs, null: String, 0L, null: String, sha, versionPath))
+      Seq((batchId, null: String, null: String, null: String, "COMPLETED", nowTs, null: String, 0L, null: String, null: String, sha, versionPath))
         .toDF(batchCols: _*))
 
   def setRowCount(batchId: String, status: String, n: Long): Unit =
     append("provenance_batch_events",
-      Seq((batchId, null: String, null: String, null: String, status, nowTs, null: String, n, null: String, null: String, null: String))
+      Seq((batchId, null: String, null: String, null: String, status, nowTs, null: String, n, null: String, null: String, null: String, null: String))
         .toDF(batchCols: _*))
 
   def recordStep(batchId: String, stepName: String, details: Map[String, String]): Unit = {
@@ -89,6 +89,7 @@ final class Provenance(spark: SparkSession, root: String) {
       max_by($"error_details", when($"error_details".isNotNull, $"event_time")).as("error_details"),
       max($"total_rows").as("total_rows"),
       max_by($"curated_sha256", when($"curated_sha256".isNotNull, $"event_time")).as("curated_sha256"),
+      max_by($"curated_path", when($"curated_path".isNotNull, $"event_time")).as("curated_path"),
       max_by($"final_sha256", when($"final_sha256".isNotNull, $"event_time")).as("final_sha256"),
       max_by($"version_path", when($"version_path".isNotNull, $"event_time")).as("version_path"))
   }
@@ -136,12 +137,12 @@ object Provenance {
       batch_id: String, source_name: String, raw_file_path: String,
       raw_sha256: String, status: String, event_time: String,
       error_details: String, total_rows: Long, curated_sha256: String,
-      final_sha256: String, version_path: String)
+      curated_path: String, final_sha256: String, version_path: String)
 
   val batchCols: Seq[String] = Seq(
     "batch_id", "source_name", "raw_file_path", "raw_sha256", "status",
     "event_time", "error_details", "total_rows", "curated_sha256",
-    "final_sha256", "version_path")
+    "curated_path", "final_sha256", "version_path")
 
   /** F6: streaming SHA-256 of a local file (8 KiB chunks like
     * etl/ingest.py:18-25); used for the artifact hash chain.

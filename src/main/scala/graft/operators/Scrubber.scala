@@ -115,24 +115,37 @@ object Scrubber {
     df.select(outCols :+ redactions.as("_redactions") :+ fired.as("_fired_rules"): _*)
   }
 
-  /** HL7 scrub (etl/scrub_phi.py:216-270): within each message, PID
-    * fields listed in metadata are redacted positionally; every line
-    * (PID or not) then gets the regex fold. Pure higher-order-function
-    * expressions (F5) — transform over split lines, transform over
-    * split fields, array_join back with the original separators.
+  /** HL7 scrub (etl/scrub_phi.py:199-270): within each message, every
+    * PID-n position listed in metadata (PHI or not — preserved
+    * reference behavior) is processed when non-empty: NAME-ish / PID-5
+    * → [REDACTED_NAME]; DOB-ish / PID-7 → [REDACTED_DATE]; any other
+    * metadata position gets the regex fold, falling back to hard
+    * [REDACTED] when no rule fires. Non-PID lines get the plain regex
+    * fold. Positions NOT in metadata are left untouched (so e.g. an
+    * SSN at PID-16 when metadata says PID-17 survives — exactly the
+    * reference's behavior on its own generator quirk, FIXTURES.md §3).
+    *
+    * Pure higher-order-function expressions (F5): transform over split
+    * lines, transform over split fields, array_join back.
     */
   def scrubHl7(messages: DataFrame, spec: SourceSpec, rules: Seq[PhiRule]): DataFrame = {
-    // metadata rows named "PID-n" → positional redaction list
     val pidFields: Seq[(Int, String)] = spec.fields
-      .filter(f => f.isPhi && f.name.startsWith("PID-"))
-      .map(f => f.name.stripPrefix("PID-").toInt -> phiTokenByName(f.name))
+      .filter(_.name.toUpperCase.startsWith("PID-"))
+      .flatMap(f => f.name.stripPrefix("PID-").toIntOption.map(_ -> f.name.toUpperCase))
 
     val scrubLine: Column => Column = { line =>
       val isPid = line.startsWith("PID|")
       val parts = split(line, "\\|")
       val redacted = transform(parts, (x, i) => {
-        pidFields.foldLeft(applyRules(x, rules)) { case (acc, (n, token)) =>
-          when(i === lit(n), lit(token)).otherwise(acc)
+        pidFields.foldLeft(x) { case (acc, (n, cname)) =>
+          val repl: Column =
+            if (cname.contains("NAME") || cname == "PID-5") lit("[REDACTED_NAME]")
+            else if (cname.contains("DOB") || cname == "PID-7") lit("[REDACTED_DATE]")
+            else {
+              val scrubbed = applyRules(x, rules)
+              when(scrubbed =!= x, scrubbed).otherwise(lit("[REDACTED]"))
+            }
+          when(i === lit(n) && trim(x) =!= "", repl).otherwise(acc)
         }
       })
       when(isPid, array_join(redacted, "|")).otherwise(applyRules(line, rules))

@@ -96,7 +96,8 @@ object Validator {
   def validateHl7(messages: DataFrame, spec: SourceSpec): ValidationResult = {
     import org.apache.spark.sql.functions.{get => arrGet}
     val lines = split(col("message"), "\n")
-    val pidLine = element_at(filter(lines, l => l.startsWith("PID|")), 1)
+    // try_element_at: ANSI-safe null when a message has no PID segment
+    val pidLine = try_element_at(filter(lines, l => l.startsWith("PID|")), lit(1))
     val parts = split(pidLine, "\\|")
     val required = spec.fields.filter(f => !f.nullable && f.name.startsWith("PID-"))
       .map(f => f.name.stripPrefix("PID-").toInt -> f.name)

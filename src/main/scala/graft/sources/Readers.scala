@@ -81,8 +81,9 @@ object Readers {
     */
   def hl7Parse(messages: DataFrame): DataFrame = {
     val lines = split(col("message"), "\n")
-    // first PID line (reference takes the first match and breaks)
-    val pidLine = element_at(filter(lines, l => l.startsWith("PID|")), 1)
+    // first PID line (reference takes the first match and breaks);
+    // try_element_at: ANSI-safe null when a message has no PID segment
+    val pidLine = try_element_at(filter(lines, l => l.startsWith("PID|")), lit(1))
     val parts = split(pidLine, "\\|")
     // `get` is 0-based and ANSI-safe (null when out of range) — field n
     // lives at split index n because parts(0) == "PID".

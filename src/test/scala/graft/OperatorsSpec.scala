@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, col("doc_id"), col("text")).orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("keep_id") == 1L && out(0).getAs[Long]("n_dups") == 2L)
+  }
+
+  test("minhash LSH pairs identical and near-identical docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      (1L, base), (2L, base),                       // identical → all bands match
+      (3L, base + " extra"),                        // near dup → likely some band
+      (4L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical texts equal, disjoint texts differ") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val m = Dedup.simhash(df, col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("ngram jaccard: identical=1e6, disjoint=0") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(df, "doc_id", "text", pairs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) == 0.0)
+  }
+
+  test("brute-force topk finds the nearest vector and excludes self") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("id", "emb")
+    val q = vecs.filter($"id" === 1L)
+    val out = Similarity.bruteForceTopK(vecs, q, k = 2).orderBy("rank").collect()
+    assert(out(0).getAs[Long]("neighbor_id") == 2L)
+    assert(!out.map(_.getAs[Long]("neighbor_id")).contains(1L))
+  }
+
+  test("bucketed topk only searches the query's sign bucket") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 1.0f, 1.0f)),
+      (2L, Array(0.9f, 0.9f, 0.9f)),
+      (3L, Array(-1.0f, -1.0f, -1.0f))).toDF("id", "emb")
+    val out = Similarity.bucketedTopK(vecs, vecs.filter($"id" === 1L), k = 5, signBits = 3)
+    val ids = out.collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(ids == Set(2L)) // 3 is in the opposite bucket
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "der hund ist ein tier und das ist gut"),
+      (3L, "qqq www eee")).toDF("doc_id", "text")
+    val m = df.select($"doc_id", TextAnalysis.langId($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "en")
+    assert(m(2L) == "de")
+    assert(m(3L) == "und")
+  }
+
+  test("token count and quality ratios") {
+    val df = Seq((1L, "one two  three")).toDF("doc_id", "text")
+    assert(df.select(tokenCount($"text")).as[Long].collect()(0) == 3L)
+    val q = TextAnalysis.qualitySignals(df, $"text").collect()(0)
+    assert(q.getAs[Long]("n_tokens") == 3L)
+  }
+
+  test("fingerprint is whitespace/case-insensitive; rolling hash is order-aware") {
+    val df = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "world hello")).toDF("id", "t")
+    val fps = df.select($"id", TextAnalysis.fingerprint($"t"), TextAnalysis.rollingHash($"t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fps(1L)._1 == fps(2L)._1) // normalized equal
+    assert(fps(2L)._1 != fps(3L)._1) // different content order
+    assert(fps(2L)._2 != fps(3L)._2) // rolling hash sees order
+  }
+
+  test("shingles: under-n-token text yields empty set, no negative sequence") {
+    val df = Seq((1L, "one two"), (2L, "")).toDF("id", "t")
+    val out = df.select(size(shingles($"t", 3))).as[Int].collect()
+    assert(out.toSeq == Seq(0, 0))
+  }
+
+  test("charShingles produces distinct sorted n-grams") {
+    val out = Seq("abab").toDF("t").select(charShingles($"t", 2)).as[Seq[String]].collect()(0)
+    assert(out == Seq("ab", "ba"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline smoke over generated clinical fixtures: statuses,
+  * quarantine, hash chain, canonical artifacts (SURVEY.md §5.4).
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("full ingest→validate→scrub→transform run") {
+    val base = Fixtures.sourceTree(Fixtures.tmpDir("src"))
+    val lake = Fixtures.tmpDir("lake").toString
+    val p = new Pipeline(spark, lake)
+
+    val batches = p.ingest(base.toString)
+    assert(batches.size == 6)
+
+    val validated = p.validatePending().toMap
+    assert(validated.size == 6)
+    assert(validated.count(_._2) == 3, s"expected 3 valid batches: $validated")
+
+    // quarantine: bad CSV, invalid-JSON file, PID-less HL7 moved out of raw
+    val quarantined = Files.walk(Paths.get(lake, "quarantine")).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(_.getFileName.toString).toSet
+    assert(quarantined == Set("2025-02-02_clinical.csv", "clinical_2025-02-02.jsonl", "msgs_002.hl7"))
+
+    val scrubbed = p.scrubPending()
+    assert(scrubbed.size == 3)
+
+    // curated CSV must contain no raw SSN and have redaction tokens
+    val curatedCsv = Files.readString(
+      Paths.get(lake, "curated", "hospital_a", "2025-02-01_clinical.csv"))
+    assert(!curatedCsv.contains("123-45-6789"))
+    assert(curatedCsv.contains("[REDACTED_NAME]"))
+    assert(curatedCsv.contains("[REDACTED_PHONE]"))
+
+    // curated HL7 keeps blank-line framing
+    val curatedHl7 = Files.readString(
+      Paths.get(lake, "curated", "hospital_c_hl7", "msgs_001.hl7"))
+    assert(curatedHl7.contains("\n\n"))
+    assert(curatedHl7.contains("[REDACTED_NAME]"))
+
+    // curated JSONL: PHI-flagged fields redacted, regex leak defense on rest
+    val curatedJsonl = Files.readString(
+      Paths.get(lake, "curated", "clinic_b", "clinical_2025-02-01.jsonl"))
+    assert(!curatedJsonl.contains("maria.williams@example.com"))
+    assert(curatedJsonl.contains("[REDACTED_NAME]"))
+
+    val transformed = p.transformPending()
+    assert(transformed.size == 3)
+
+    // status machine: 3 COMPLETED, 2 FAILED_VALIDATION
+    val rollup = p.provenance.statusRollup.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rollup == Set(
+      ("hospital_a", "COMPLETED", 1L), ("hospital_a", "FAILED_VALIDATION", 1L),
+      ("clinic_b", "COMPLETED", 1L), ("clinic_b", "FAILED_VALIDATION", 1L),
+      ("hospital_c_hl7", "COMPLETED", 1L), ("hospital_c_hl7", "FAILED_VALIDATION", 1L)))
+
+    // hash chain: completed batches have all three hashes
+    val done = p.provenance.batches.filter(col("status") === "COMPLETED").collect()
+    done.foreach { r =>
+      assert(r.getAs[String]("raw_sha256") != null)
+      assert(r.getAs[String]("curated_sha256") != null)
+      assert(r.getAs[String]("final_sha256") != null)
+      assert(r.getAs[String]("version_path") != null)
+    }
+
+    // canonical artifact readable with canonical schema; scrubbed values
+    val canon = spark.read.parquet(
+      done.find(_.getAs[String]("source_name") == "hospital_a").get.getAs[String]("version_path"))
+    assert(canon.columns.toSeq == graft.model.Canonical.columns)
+    val names = canon.select("patient_name").collect().map(_.getString(0)).toSet
+    assert(names == Set("[REDACTED_NAME]"))
+
+    // lineage queries answer over the run
+    assert(p.provenance.batchTimeline(transformed.head._1).count() >= 3)
+    assert(p.provenance.latestBatches(Some("hospital_a"), 10).count() == 2)
+    assert(p.provenance.search(Some("FAILED_VALIDATION"), None).count() == 3)
+    assert(p.provenance.batchRules(scrubbed.head).count() >= 1)
+  }
+
+  test("scrub passes invalid JSONL lines through verbatim") {
+    // stage a VALIDATED batch directly (validation would quarantine it;
+    // the reference scrub path still supports verbatim passthrough,
+    // etl/scrub_phi.py:155-160)
+    val lake = Fixtures.tmpDir("lake2").toString
+    val raw = Fixtures.write(
+      java.nio.file.Paths.get(lake, "raw", "clinic_b", "mixed.jsonl"), Fixtures.jsonlWithInvalid)
+    val p = new Pipeline(spark, lake)
+    p.provenance.createBatch("bx", "clinic_b", raw.toString, "sha")
+    p.provenance.setRowCount("bx", "VALIDATED", 3L)
+    p.scrubPending()
+    val curated = Files.readString(Paths.get(lake, "curated", "clinic_b", "mixed.jsonl"))
+    assert(curated.contains("this is { not json"))
+    assert(!curated.contains("maria.williams@example.com"))
+    assert(curated.contains("[REDACTED_NAME]"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Provenance
+
+class ProvenanceSpec extends SparkSpec {
+
+  test("state machine: last event wins, earlier fields survive") {
+    val lake = Fixtures.tmpDir("prov").toString
+    val p = new Provenance(spark, lake)
+    p.createBatch("b1", "hospital_a", "/raw/f.csv", "sha-raw")
+    p.setRowCount("b1", "VALIDATED", 42L)
+    p.updateCuratedHash("b1", "sha-cur", "/curated/f.csv")
+    p.updateFinalHash("b1", "sha-fin", "/qlm/v1")
+    val r = p.batches.collect()(0)
+    assert(r.getAs[String]("status") == "COMPLETED")
+    assert(r.getAs[String]("source_name") == "hospital_a") // from first event
+    assert(r.getAs[String]("raw_sha256") == "sha-raw")
+    assert(r.getAs[Long]("total_rows") == 42L)
+    assert(r.getAs[String]("curated_sha256") == "sha-cur")
+    assert(r.getAs[String]("curated_path") == "/curated/f.csv")
+    assert(r.getAs[String]("final_sha256") == "sha-fin")
+    assert(r.getAs[String]("version_path") == "/qlm/v1")
+  }
+
+  test("duplicate createBatch collapses (ON CONFLICT DO NOTHING analog)") {
+    val lake = Fixtures.tmpDir("prov").toString
+    val p = new Provenance(spark, lake)
+    p.createBatch("b1", "s", "/f", "h1")
+    p.createBatch("b1", "s", "/f", "h1")
+    assert(p.batches.count() == 1)
+  }
+
+  test("pending queue filters by status in FIFO order") {
+    val lake = Fixtures.tmpDir("prov").toString
+    val p = new Provenance(spark, lake)
+    p.createBatch("b1", "s", "/f1", "h")
+    p.createBatch("b2", "s", "/f2", "h")
+    p.updateStatus("b1", "VALIDATED")
+    val pending = p.pending("INGESTED").select("batch_id").collect().map(_.getString(0))
+    assert(pending.toSeq == Seq("b2"))
+  }
+
+  test("steps / rules / audit append and order") {
+    val lake = Fixtures.tmpDir("prov").toString
+    val p = new Provenance(spark, lake)
+    p.recordStep("b1", "INGEST", Map("k" -> "v"))
+    p.recordStep("b1", "VALIDATION_PASSED", Map("rows" -> "7"))
+    p.recordRule("b1", "PHI_SSN", "applied")
+    p.writeAudit("tester", "RUN", "ok")
+    val steps = p.batchTimeline("b1").select("step_name").collect().map(_.getString(0))
+    assert(steps.toSeq == Seq("INGEST", "VALIDATION_PASSED"))
+    assert(p.batchRules("b1").count() == 1)
+    assert(p.auditLog.count() == 1)
+    val details = p.batchTimeline("b1").filter(col("step_name") === "VALIDATION_PASSED")
+      .select(get_json_object(col("details_json"), "$.rows")).collect()(0).getString(0)
+    assert(details == "7")
+  }
+
+  test("sha256File matches a known digest") {
+    val f = Fixtures.write(Fixtures.tmpDir("sha").resolve("x.txt"), "abc")
+    assert(Provenance.sha256File(f.toString) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
+}

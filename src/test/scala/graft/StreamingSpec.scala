@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2025-01-01 10:$min%02d:00")
+
+  test("windowed counts run under a real streaming query (memory sink)") {
+    val dir = Fixtures.tmpDir("stream")
+    val events = Seq(
+      (1L, ts(0), 10L, "click", 1.0),
+      (2L, ts(5), 10L, "click", 2.0),
+      (3L, ts(10), 11L, "view", 3.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    events.write.mode("overwrite").parquet(dir.toString)
+
+    val stream = EventStream.readEventStream(spark, dir.toString)
+    val agg = EventStream.windowedCounts(stream, "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("select * from win_out").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet
+    assert(rows == Set(("click", 2L), ("view", 1L)))
+  }
+
+  test("sessionize closes a session after the gap (batch mode)") {
+    val events = Seq(
+      Event(1L, ts(0), 10L, "click", 1.0),
+      Event(2L, ts(5), 10L, "click", 2.0),
+      Event(3L, ts(50), 10L, "click", 4.0), // > 30min gap → new session
+      Event(4L, ts(1), 11L, "view", 8.0)).toDS()
+    val sessions = EventStream.sessionize(events).collect().sortBy(s => (s.user_id, s.start_ms))
+    assert(sessions.length == 3)
+    val u10 = sessions.filter(_.user_id == 10L)
+    assert(u10(0).n_events == 2 && u10(0).sum_value == 3.0)
+    assert(u10(1).n_events == 1 && u10(1).sum_value == 4.0)
+  }
+
+  test("batch windowed query q29 equals streaming result shape") {
+    val batch = SparkEntry.queries("q29_windowed_events")(spark, "/root/testdata/sf0.001")
+    assert(batch.columns.toSeq == Seq("window_start", "event_type", "n_events", "sum_value_c"))
+    assert(batch.count() > 0)
+  }
+}
