@@ -270,5 +270,32 @@ object OracleSql {
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, cast(count(*) as bigint) AS n_events,
          cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS sum_value_c
-         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q30_rollup" ->
+      """SELECT l_returnflag, l_linestatus, cast(count(*) as bigint) AS n_rows,
+         cast(sum(cast(floor(l_quantity * 100) as bigint)) as bigint) AS sum_qty_c
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q31_semi_anti" ->
+      """SELECT * FROM (
+           SELECT c_custkey AS id, 'has_orders' AS bucket FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           UNION ALL
+           SELECT c_custkey AS id, 'no_orders' AS bucket FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+         ORDER BY id""",
+
+    "q32_asof_prev_click" ->
+      """SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us,
+           (SELECT max(epoch_us(b.ts)) FROM events b
+            WHERE b.user_id = a.user_id AND b.event_type = 'click'
+              AND epoch_us(b.ts) <= epoch_us(a.ts)) AS prev_click_us
+         FROM events a ORDER BY a.event_id""",
+
+    "q33_dedup_keep" ->
+      """SELECT doc_id, source FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+         ORDER BY doc_id""")
 }

@@ -303,6 +303,51 @@ object SparkEntry {
         col("event_type"), col("n_events"), col("sum_value_c"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** §2.5-beyond: rollup (grouping sets) with explicit null ordering. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), cents(col("l_quantity")).as("sum_qty_c"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** §2.4: semi/anti joins (EXISTS / NOT EXISTS shapes). */
+  private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("id"), lit("has_orders").as("bucket"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("id"), lit("no_orders").as("bucket"))
+    semi.unionByName(anti).orderBy(col("id"))
+  }
+
+  /** As-of join: latest 'click' at or before each event, per user —
+    * single-shuffle union+window formulation (operators.AsOf). Runs on
+    * raw int64 nanos so both engines compare exact integers.
+    */
+  private def qAsOfPrevClick(s: SparkSession, dir: String): DataFrame = {
+    // µs precision: DuckDB truncates parquet TIMESTAMP(NANOS) to µs on
+    // read, so both engines compare the same int64 microseconds.
+    val raw = s.read.parquet(s"$dir/events.parquet") // ts read as long ns
+      .withColumn("ts", expr("ts DIV 1000"))
+    val clicks = raw.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("ts").as("click_us"))
+    graft.operators.AsOf.joinPrior(
+        raw.select(col("event_id"), col("user_id"), col("ts")),
+        clicks, key = "user_id", ts = "ts", valueCol = "click_us", outCol = "prev_click_us")
+      .select(col("event_id"), col("user_id"), col("ts").as("ts_us"), col("prev_click_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Dedup keep-list: the corpus after exact dedup (min doc_id wins). */
+  private def qDedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keep = Dedup.exact(docs, col("doc_id"), col("text")).select(col("keep_id"))
+    docs.join(keep, docs("doc_id") === keep("keep_id"), "left_semi")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -334,7 +379,11 @@ object SparkEntry {
     "q26_lang_id" -> (qLangId _),
     "q27_fingerprint" -> (qFingerprint _),
     "q28_multimodal_meta" -> (qMultimodalMeta _),
-    "q29_windowed_events" -> (qWindowedEvents _))
+    "q29_windowed_events" -> (qWindowedEvents _),
+    "q30_rollup" -> (qRollup _),
+    "q31_semi_anti" -> (qSemiAnti _),
+    "q32_asof_prev_click" -> (qAsOfPrevClick _),
+    "q33_dedup_keep" -> (qDedupKeep _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{AsOf, VersionedTable}
+
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert merges by recordkey with precombine max; time travel works") {
+    val root = Fixtures.tmpDir("vt").toString
+    val vt = new VersionedTable(spark, root, "patient_id", "visit_date")
+
+    val c1 = vt.upsert(Seq(
+      ("P1", "2025-01-01", "flu"), ("P2", "2025-01-02", "cold"))
+      .toDF("patient_id", "visit_date", "diagnosis"))
+    val c2 = vt.upsert(Seq(
+      ("P1", "2025-02-01", "checkup"), // newer visit wins
+      ("P2", "2024-12-01", "old"),     // older visit loses to existing
+      ("P3", "2025-02-03", "new"))
+      .toDF("patient_id", "visit_date", "diagnosis"))
+
+    val snap = vt.snapshot.collect()
+      .map(r => r.getAs[String]("patient_id") -> r.getAs[String]("diagnosis")).toMap
+    assert(snap == Map("P1" -> "checkup", "P2" -> "cold", "P3" -> "new"))
+
+    // time travel to the first commit
+    val old = vt.asOf(c1).collect()
+      .map(r => r.getAs[String]("patient_id") -> r.getAs[String]("diagnosis")).toMap
+    assert(old == Map("P1" -> "flu", "P2" -> "cold"))
+
+    // commit history: two commits desc
+    assert(vt.commits == Seq(c2, c1))
+    assert(vt.commitHistory.collect().map(_.getString(0)).toSeq == Seq(c2, c1))
+  }
+
+  test("precombine tie: incoming update wins (Hudi latest-write-wins)") {
+    val root = Fixtures.tmpDir("vt").toString
+    val vt = new VersionedTable(spark, root, "k", "v")
+    vt.upsert(Seq(("a", "1", "old")).toDF("k", "v", "payload"))
+    vt.upsert(Seq(("a", "1", "new")).toDF("k", "v", "payload"))
+    assert(vt.snapshot.collect()(0).getAs[String]("payload") == "new")
+  }
+
+  test("as-of join picks the latest prior right row per key") {
+    val left = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (2L, 5L, "e3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 6L, 300L))
+      .toDF("k", "ts", "v")
+    val out = AsOf.joinPrior(left, right, "k", "ts", "v", "prior_v")
+      .orderBy("name").collect()
+      .map(r => r.getAs[String]("name") -> Option(r.getAs[java.lang.Long]("prior_v")).map(_.toLong)).toMap
+    assert(out("e1").contains(100L)) // same-instant right included
+    assert(out("e2").contains(200L))
+    assert(out("e3").isEmpty)        // right ts=6 is after left ts=5
+  }
+}
