@@ -297,5 +297,18 @@ object OracleSql {
     "q33_dedup_keep" ->
       """SELECT doc_id, source FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+
+    "q34_scrub_rule_hits" -> {
+      // nested SELECTs stage the fold: t0 = text, t_{i+1} = rule_i(t_i)
+      val stageExprs = "text AS t0" +: Seeds.phiRulesV1.zipWithIndex.map { case (r, i) =>
+        val p = ("(?i)" + r.pattern).replace("'", "''")
+        s"regexp_replace(t$i, '$p', '${r.replacement}', 'g') AS t${i + 1}"
+      }
+      val inner = stageExprs.foldLeft("documents")((src, e) => s"(SELECT *, $e FROM $src)")
+      val aggs = Seeds.phiRulesV1.zipWithIndex.map { case (r, i) =>
+        s"cast(sum(CASE WHEN s.t$i <> s.t${i + 1} THEN 1 ELSE 0 END) as bigint) AS n_${r.ruleId.toLowerCase}"
+      }.mkString(", ")
+      s"SELECT $aggs FROM $inner s"
+    })
 }

@@ -348,6 +348,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** A2/A3 as a relational aggregate: per-rule fired-row counts over
+    * the whole corpus, computed from staged fold intermediates (the
+    * same sequential-fold semantics as the scrubber, exposed as
+    * analytics: "which PHI rules fire how often").
+    */
+  private def qScrubRuleHits(s: SparkSession, dir: String): DataFrame = {
+    val rules = Seeds.phiRulesV1
+    // stage t0..t7: t_{i+1} = rule_i applied to t_i
+    val staged = rules.zipWithIndex.foldLeft(
+      t(s, dir, "documents").withColumn("t0", col("text"))) {
+      case (df, (r, i)) =>
+        df.withColumn(s"t${i + 1}",
+          Scrubber.applyRules(col(s"t$i"), Seq(r)))
+    }
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      sum(when(col(s"t$i") =!= col(s"t${i + 1}"), 1L).otherwise(0L))
+        .as(s"n_${r.ruleId.toLowerCase}")
+    }
+    staged.agg(aggs.head, aggs.tail: _*)
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -383,7 +404,8 @@ object SparkEntry {
     "q30_rollup" -> (qRollup _),
     "q31_semi_anti" -> (qSemiAnti _),
     "q32_asof_prev_click" -> (qAsOfPrevClick _),
-    "q33_dedup_keep" -> (qDedupKeep _))
+    "q33_dedup_keep" -> (qDedupKeep _),
+    "q34_scrub_rule_hits" -> (qScrubRuleHits _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.sources.BinaryFiles
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def binDir(): String = {
+    val dir = Fixtures.tmpDir("bin")
+    Files.write(dir.resolve("a.img"), Array[Byte](1, 2, 3, 4, 5))
+    Files.write(dir.resolve("b.wav"), "audio-ish bytes".getBytes)
+    dir.toString
+  }
+
+  test("binaryFile read produces media rows with type from extension") {
+    val df = Multimodal.readBinaryDir(spark, binDir())
+    val rows = df.orderBy("media_type").collect()
+    assert(rows.map(_.getAs[String]("media_type")).toSeq == Seq("img", "wav"))
+    assert(rows.forall(_.getAs[Array[Byte]]("payload").nonEmpty))
+  }
+
+  test("stub decode is deterministic and shape-correct") {
+    val df = Multimodal.readBinaryDir(spark, binDir())
+      .withColumn("meta", Multimodal.decodeImageMeta(col("payload")))
+      .withColumn("features", Multimodal.extractFeatures(col("payload")))
+    val r = df.filter(col("media_type") === "img").collect()(0)
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[Int]("width") >= 1 && meta.getAs[Int]("width") <= 3840)
+    assert(meta.getAs[Int]("height") >= 1 && meta.getAs[Int]("height") <= 2160)
+    assert(meta.getAs[String]("codec") == "stub")
+    val feats = r.getSeq[Double](r.fieldIndex("features"))
+    assert(feats.size == 8 && feats.forall(f => f >= 0.0 && f < 1.0))
+    // deterministic: same payload → same features
+    val again = Multimodal.readBinaryDir(spark, binDir())
+      .withColumn("features", Multimodal.extractFeatures(col("payload")))
+      .filter(col("media_type") === "img").collect()(0)
+    assert(again.getSeq[Double](again.fieldIndex("features")) == feats)
+  }
+
+  test("sampleChunks explodes n offset-chunks per payload") {
+    val df = Seq((1L, "0123456789abcdef".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.sampleChunks(df, col("payload"), n = 4, chunkBytes = 4)
+      .select("chunk_no", "chunk").orderBy("chunk_no").collect()
+    assert(out.length == 4)
+    assert(new String(out(0).getAs[Array[Byte]]("chunk")) == "0123")
+    assert(new String(out(2).getAs[Array[Byte]]("chunk")) == "89ab")
+  }
+
+  test("distributed file hashing matches driver-side sha256") {
+    val dir = binDir()
+    val hashed = BinaryFiles.hashFiles(spark, dir + "/*")
+      .orderBy("path").collect()
+    assert(hashed.length == 2)
+    hashed.foreach { r =>
+      val local = graft.operators.Provenance.sha256File(
+        r.getAs[String]("path").stripPrefix("file:"))
+      assert(r.getAs[String]("sha256") == local)
+    }
+  }
+}
