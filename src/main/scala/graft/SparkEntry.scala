@@ -369,6 +369,18 @@ object SparkEntry {
     staged.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Sketch surface (§2.5-beyond): HLL distinct-count and approximate
+    * quantiles. No `oracleSql` entry — sketch implementations differ
+    * across engines, so the driver records the weaker rows-only check;
+    * exactness is covered by q08's exact countDistinct.
+    */
+  private def qSketches(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+      percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -405,7 +417,8 @@ object SparkEntry {
     "q31_semi_anti" -> (qSemiAnti _),
     "q32_asof_prev_click" -> (qAsOfPrevClick _),
     "q33_dedup_keep" -> (qDedupKeep _),
-    "q34_scrub_rule_hits" -> (qScrubRuleHits _))
+    "q34_scrub_rule_hits" -> (qScrubRuleHits _),
+    "q35_sketches" -> (qSketches _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -130,6 +130,30 @@ final class Provenance(spark: SparkSession, root: String) {
 
   def statusRollup: DataFrame =
     batches.groupBy($"source_name", $"status").count().orderBy($"source_name", $"status")
+
+  /** Compact the event log: every append writes a tiny parquet file, so
+    * long-running control planes accumulate small files. Rewrites each
+    * control table as a single consolidated file set. Call from a
+    * maintenance job; readers see either the old or new layout (write
+    * to temp + swap).
+    */
+  def compact(): Unit = {
+    Seq("provenance_batch_events", "provenance_steps", "provenance_rules_applied", "audit_log")
+      .foreach { name =>
+        val p = Paths.get(tbl(name))
+        if (Files.exists(p)) {
+          val df = spark.read.parquet(tbl(name)).coalesce(1)
+          val tmp = tbl(name) + "_compact_tmp"
+          df.write.mode(SaveMode.Overwrite).parquet(tmp)
+          val old = tbl(name) + "_old"
+          Files.move(p, Paths.get(old), StandardCopyOption.REPLACE_EXISTING)
+          Files.move(Paths.get(tmp), p, StandardCopyOption.REPLACE_EXISTING)
+          // best-effort cleanup of the old generation
+          Files.walk(Paths.get(old)).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+        }
+      }
+  }
 }
 
 object Provenance {
