@@ -21,13 +21,17 @@ object OracleSql {
   private def toks(e: String): String =
     s"list_filter(regexp_split_to_array(coalesce($e,''), '\\s+'), t -> t <> '')"
 
-  /** Sorted distinct word 3-gram shingles — mirror of functions.shingles(_, 3). */
-  private def shingles3(e: String): String = {
+  /** Word 3-grams in document order — mirror of functions.rawShingles(_, 3). */
+  private def rawShingles3(e: String): String = {
     val t = toks(s"lower($e)")
-    s"""list_sort(list_distinct(CASE WHEN len($t) >= 3
+    s"""CASE WHEN len($t) >= 3
        THEN list_transform(range(len($t) - 2), i -> $t[i+1] || ' ' || $t[i+2] || ' ' || $t[i+3])
-       ELSE []::VARCHAR[] END))"""
+       ELSE []::VARCHAR[] END"""
   }
+
+  /** Sorted distinct word 3-gram shingles — mirror of functions.shingles(_, 3). */
+  private def shingles3(e: String): String =
+    s"list_sort(list_distinct(${rawShingles3(e)}))"
 
   /** Left-to-right double fold — mirror of functions.dot. */
   private def dotSql(a: String, b: String): String =
@@ -157,7 +161,7 @@ object OracleSql {
          FROM documents GROUP BY md5(text) ORDER BY content_hash""",
 
     "q18_minhash_lsh_pairs" -> {
-      val sh = shingles3("text")
+      val sh = rawShingles3("text")
       val p = graft.operators.Dedup.MinhashP
       val sigExprs = graft.operators.Dedup.minhashCoeffs(16).map { case (a, b) =>
         s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"

@@ -38,13 +38,18 @@ package object functions {
   private def indices(n: Column): Column =
     when(n <= 0, array().cast("array<int>")).otherwise(sequence(lit(0), n - 1))
 
+  /** Word n-gram shingles in document order, duplicates kept. Cheapest
+    * form — enough for minhash (min over a multiset equals min over
+    * the set). Use [[shingles]] when set semantics matter.
+    */
+  def rawShingles(text: Column, n: Int): Column =
+    let(tokens(lower(text)), ts =>
+      transform(indices(size(ts) - (n - 1)),
+        i => array_join(slice(ts, i + 1, lit(n)), " ")))
+
   /** Word n-gram shingles (distinct, sorted for set semantics). */
   def shingles(text: Column, n: Int): Column =
-    let(tokens(lower(text)), ts => {
-      val grams = transform(indices(size(ts) - (n - 1)),
-        i => array_join(slice(ts, i + 1, lit(n)), " "))
-      array_sort(array_distinct(grams))
-    })
+    array_sort(array_distinct(rawShingles(text, n)))
 
   /** Character n-grams of the lowercased text (distinct, sorted). */
   def charShingles(text: Column, n: Int): Column =

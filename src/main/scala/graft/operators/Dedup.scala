@@ -75,8 +75,9 @@ object Dedup {
       bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
     val k = bands * rowsPerBand
     // stage 1: materialize shingles once per row; docs with no shingle
-    // (under n tokens) can't hash and are dropped.
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // (under n tokens) can't hash and are dropped. rawShingles: min is
+    // duplicate-insensitive, so skip the (interpreted) sort+distinct.
+    val withSh = df.select(col(idCol).as("id"), rawShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val withSig = withSh.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
     val bandBuckets = transform(sequence(lit(0), lit(bands - 1)), b => {

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Locks in the physical-plan properties the engine is designed
+  * around — if a refactor breaks pushdown or broadcast selection,
+  * these fail before any benchmark notices.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("filters are pushed to the parquet scan") {
+    assert(plan("q01_pricing_summary").contains("LessThanOrEqual(l_shipdate"))
+    assert(plan("q02_status_topk").contains("EqualTo(o_orderstatus,O)"))
+    assert(plan("q32_asof_prev_click").contains("EqualTo(event_type,click)"))
+  }
+
+  test("scans prune to referenced columns only") {
+    val p = plan("q24_token_count")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"token count must not read unused columns: $readSchema")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    assert(plan("q02_status_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("dim join broadcasts the small side") {
+    assert(plan("q08_join_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("ANN brute force broadcasts the query set (no shuffled cartesian)") {
+    val p = plan("q21_ann_brute_force")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"), "must not plan a shuffled cartesian")
+  }
+}
