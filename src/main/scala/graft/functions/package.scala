@@ -59,11 +59,14 @@ package object functions {
       array_sort(array_distinct(grams))
     })
 
-  /** 60-bit deterministic hash of a string via md5 hex — reproducible
-    * in DuckDB as cast('0x'||substr(md5(s),1,15) as bigint).
+  /** 60-bit deterministic hash of a string via md5 — reproducible in
+    * DuckDB as cast('0x'||substr(md5(s),1,15) as bigint). Backed by the
+    * native codegen'd expression (graft.expressions.Md5Long60), which
+    * is semantically identical to
+    * `conv(substring(md5(c),1,15),16,10).cast("long")` but skips the
+    * hex-string round-trip.
     */
-  def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def md5Long(c: Column): Column = graft.expressions.Md5Long60(c)
 
   /** Seeded variant for minhash families. */
   def md5LongSeeded(seed: Int, c: Column): Column =

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.expressions.Md5Long60
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Md5Long60 equals the conv(substr(md5)) formula on varied inputs") {
+    val inputs = Seq("", "a", "abc", "the quick brown fox", "ünïcödé ✓",
+      "0" * 1000, "line\nbreak\ttab")
+    val df = inputs.toDF("s")
+    val out = df.select(
+      Md5Long60($"s").as("fast"),
+      conv(substring(md5($"s"), 1, 15), 16, 10).cast("long").as("slow")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("Md5Long60 is null-intolerant and non-negative") {
+    val out = Seq[Option[String]](None, Some("x")).toDF("s")
+      .select(Md5Long60($"s")).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getLong(0) >= 0L && out(1).getLong(0) < (1L << 60))
+  }
+
+  test("md5_long60 is SQL-callable via GraftExtensions") {
+    // a second session in the same JVM picks up the extension
+    val s2 = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val v = s2.sql("SELECT md5_long60('abc')").collect()(0).getLong(0)
+      val expected = s2.sql(
+        "SELECT cast(conv(substring(md5('abc'), 1, 15), 16, 10) as long)").collect()(0).getLong(0)
+      assert(v == expected)
+    } finally () // shared JVM: don't stop the default session's context
+  }
+
+  test("Md5Long60 codegen path works inside whole-stage codegen") {
+    // outside HOF lambdas the expression must compile via doGenCode
+    val n = spark.range(1000)
+      .select(Md5Long60(concat(lit("k"), $"id".cast("string"))).as("h"))
+      .filter($"h" % 2 === 0).count()
+    assert(n > 400 && n < 600) // roughly half, sanity of distribution
+  }
+}
