@@ -314,5 +314,47 @@ object OracleSql {
         s"cast(sum(CASE WHEN s.t$i <> s.t${i + 1} THEN 1 ELSE 0 END) as bigint) AS n_${r.ruleId.toLowerCase}"
       }.mkString(", ")
       s"SELECT $aggs FROM $inner s"
-    })
+    },
+
+    "q36_dup_clusters" -> {
+      // independent formulation: recursive reachability, cluster id =
+      // min reachable node (Spark side iterates label propagation)
+      val sh = rawShingles3("text")
+      val p = graft.operators.Dedup.MinhashP
+      val sigExprs = graft.operators.Dedup.minhashCoeffs(16).map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
+      }.mkString("[", ", ", "]")
+      s"""WITH RECURSIVE
+          SH AS (SELECT doc_id, $sh AS sh FROM documents),
+          HS AS (SELECT doc_id, list_transform(sh, g -> ${md5long("g")} % $p) AS hs
+                 FROM SH WHERE len(sh) > 0),
+          SIG AS (SELECT doc_id, $sigExprs AS sig FROM HS),
+          B AS (SELECT doc_id, t.band AS band,
+                 md5(array_to_string(list_transform(
+                   list_slice(sig, t.band * 4 + 1, t.band * 4 + 4), x -> x::varchar), ',')) AS bucket
+                FROM SIG CROSS JOIN (SELECT unnest(range(4)) AS band) t),
+          PAIRS AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+                    FROM B a JOIN B b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                      AND a.doc_id < b2.doc_id),
+          EDGES AS (SELECT id_a AS src, id_b AS dst FROM PAIRS
+                    UNION SELECT id_b, id_a FROM PAIRS),
+          REACH(node, r) AS (
+            SELECT src, src FROM EDGES
+            UNION
+            SELECT e.dst, r.r FROM REACH r JOIN EDGES e ON e.src = r.node)
+          SELECT node AS doc_id, min(r) AS cluster_id FROM REACH
+          GROUP BY node ORDER BY doc_id"""
+    },
+
+    "q37_sessionize" ->
+      """WITH E AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+          L AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM E),
+          N AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM L),
+          S AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM N)
+          SELECT user_id, cast(session_idx as bigint) AS session_idx,
+            cast(count(*) as bigint) AS n_events,
+            cast(min(ts_us) as bigint) AS start_us, cast(max(ts_us) as bigint) AS end_us,
+            cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS sum_value_c
+          FROM S GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")
 }

@@ -381,6 +381,39 @@ object SparkEntry {
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
       percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
 
+  /** Gap-based sessionization as pure window functions (the SQL twin
+    * of streaming.EventStream.sessionize): new session when the gap to
+    * the previous event of the same user exceeds 30 min; session id =
+    * running count of session starts. All-integer µs arithmetic.
+    */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"), col("value"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        cents(col("value")).as("sum_value_c"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** Near-dup clusters: connected components over the MinHash-LSH pair
+    * graph — each involved doc labeled with its cluster's min doc_id.
+    */
+  private def qDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -418,7 +451,9 @@ object SparkEntry {
     "q32_asof_prev_click" -> (qAsOfPrevClick _),
     "q33_dedup_keep" -> (qDedupKeep _),
     "q34_scrub_rule_hits" -> (qScrubRuleHits _),
-    "q35_sketches" -> (qSketches _))
+    "q35_sketches" -> (qSketches _),
+    "q36_dup_clusters" -> (qDupClusters _),
+    "q37_sessionize" -> (qSessionize _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -134,6 +134,45 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** Connected components over an undirected dup-pair graph: each node
+    * gets the minimum id reachable from it (its cluster id). Classic
+    * label-propagation-to-min, iterated until fixpoint.
+    *
+    * Scale: each iteration is one join + groupBy on the node id (two
+    * shuffles), state is one label per node, and convergence takes
+    * O(graph diameter) rounds — dup clusters are short chains in
+    * practice, so a handful of iterations. This is the standard
+    * large-scale CC shape (hash-to-min); no driver-side graph.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — its lineage (e.g. a whole
+    // minhash pipeline) must not re-execute per iteration
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("nid")).agg(min(col("label")).as("nlabel"))
+      // localCheckpoint keeps each round's plan flat (no lineage growth)
+      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, bucketed
     * by sign-bit LSH to avoid the all-pairs join (see
     * [[Similarity.signBucket]]).
