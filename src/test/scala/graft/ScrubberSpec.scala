@@ -72,6 +72,19 @@ class ScrubberSpec extends SparkSpec {
     }
   }
 
+  test("scrub is idempotent on fuzzed corpora (second pass is a no-op)") {
+    val words = Vector("visit", "note", "stable", "111-22-3333", "555-867-5309",
+      "a.b@c.org", "19990101", "2024-12-31", "12 Main Street", "123-45-6789 end")
+    val rnd = new scala.util.Random(7)
+    val texts = (1 to 80).map(_ => (1 to 5).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    val out = texts.toDF("t")
+      .select(Scrubber.applyRules($"t", Seeds.phiRulesV1).as("once"))
+      .select($"once", Scrubber.applyRules($"once", Seeds.phiRulesV1).as("twice"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not idempotent: '${r.getString(0)}' -> '${r.getString(1)}'"))
+  }
+
   test("column-level redaction: PHI columns get contextual tokens, others regex") {
     val df = Seq(("P1", "John Doe", "123-45-6789", "1971-04-12", "see 555-123-4567"))
       .toDF("patient_id", "patient_name", "ssn", "dob", "notes")

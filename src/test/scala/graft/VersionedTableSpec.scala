@@ -40,6 +40,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.snapshot.collect()(0).getAs[String]("payload") == "new")
   }
 
+  test("joinWithin equals the naive range-join result") {
+    import org.apache.spark.sql.functions.{abs, col}
+    val rnd = new scala.util.Random(3)
+    val left = (1 to 200).map(i => (i.toLong % 5, rnd.nextInt(10000).toLong, s"L$i")).toDF("k", "lt", "ln")
+    val right = (1 to 200).map(i => (i.toLong % 5, rnd.nextInt(10000).toLong, s"R$i")).toDF("k", "rt", "rn")
+    val tol = 500L
+    val fast = AsOf.joinWithin(left, right, "k", col("lt"), col("rt"), tol)
+      .select("ln", "rn").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val naive = left.join(right, "k")
+      .filter(abs(col("lt") - col("rt")) <= tol)
+      .select("ln", "rn").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast == naive, s"missing=${naive.diff(fast).take(3)} extra=${fast.diff(naive).take(3)}")
+  }
+
+  test("hl7Component splits composite fields on caret") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq("DOE^JOHN^A").toDF("f")
+    val r = df.select(
+      graft.sources.Readers.hl7Component(col("f"), 1).as("family"),
+      graft.sources.Readers.hl7Component(col("f"), 2).as("given"),
+      graft.sources.Readers.hl7Component(col("f"), 5).as("missing")).collect()(0)
+    assert(r.getString(0) == "DOE" && r.getString(1) == "JOHN" && r.isNullAt(2))
+  }
+
   test("as-of join picks the latest prior right row per key") {
     val left = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (2L, 5L, "e3"))
       .toDF("k", "ts", "name")
