@@ -33,6 +33,27 @@ object OracleSql {
   private def shingles3(e: String): String =
     s"list_sort(list_distinct(${rawShingles3(e)}))"
 
+  /** Token-hash + gram-hash CTE fragments — mirror of
+    * Dedup.gramHashes(_, 3): md5 per token mod p, then polynomial
+    * combine of 3 consecutive token hashes. Staged so DuckDB computes
+    * the md5 list once per row.
+    */
+  private def tokenHashExpr(e: String): String = {
+    val p = graft.operators.Dedup.MinhashP
+    s"list_transform(${toks(s"lower($e)")}, t -> ${md5long("t")} % $p)"
+  }
+
+  /** Combine over a column named `th`. */
+  private val gramFromTh: String = {
+    val p = graft.operators.Dedup.MinhashP
+    val b = graft.operators.Dedup.GramB
+    val b2 = b * b % p
+    s"""CASE WHEN len(th) >= 3 THEN
+        list_transform(range(len(th) - 2), i ->
+          (((th[i+1] * $b2) % $p) + ((th[i+2] * $b) % $p) + (th[i+3] % $p)) % $p)
+       ELSE []::BIGINT[] END"""
+  }
+
   /** Left-to-right double fold — mirror of functions.dot. */
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
@@ -161,15 +182,13 @@ object OracleSql {
          FROM documents GROUP BY md5(text) ORDER BY content_hash""",
 
     "q18_minhash_lsh_pairs" -> {
-      val sh = rawShingles3("text")
       val p = graft.operators.Dedup.MinhashP
       val sigExprs = graft.operators.Dedup.minhashCoeffs(16).map { case (a, b) =>
         s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
       }.mkString("[", ", ", "]")
-      s"""WITH SH AS (SELECT doc_id, $sh AS sh FROM documents),
-          HS AS (SELECT doc_id, list_transform(sh, g -> ${md5long("g")} % $p) AS hs
-                 FROM SH WHERE len(sh) > 0),
-          SIG AS (SELECT doc_id, $sigExprs AS sig FROM HS),
+      s"""WITH TH AS (SELECT doc_id, ${tokenHashExpr("text")} AS th FROM documents),
+          HS AS (SELECT doc_id, $gramFromTh AS hs FROM TH),
+          SIG AS (SELECT doc_id, $sigExprs AS sig FROM HS WHERE len(hs) > 0),
           B AS (SELECT doc_id, t.band AS band,
                  md5(array_to_string(list_transform(
                    list_slice(sig, t.band * 4 + 1, t.band * 4 + 4), x -> x::varchar), ',')) AS bucket
@@ -319,16 +338,14 @@ object OracleSql {
     "q36_dup_clusters" -> {
       // independent formulation: recursive reachability, cluster id =
       // min reachable node (Spark side iterates label propagation)
-      val sh = rawShingles3("text")
       val p = graft.operators.Dedup.MinhashP
       val sigExprs = graft.operators.Dedup.minhashCoeffs(16).map { case (a, b) =>
         s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
       }.mkString("[", ", ", "]")
       s"""WITH RECURSIVE
-          SH AS (SELECT doc_id, $sh AS sh FROM documents),
-          HS AS (SELECT doc_id, list_transform(sh, g -> ${md5long("g")} % $p) AS hs
-                 FROM SH WHERE len(sh) > 0),
-          SIG AS (SELECT doc_id, $sigExprs AS sig FROM HS),
+          TH AS (SELECT doc_id, ${tokenHashExpr("text")} AS th FROM documents),
+          HS AS (SELECT doc_id, $gramFromTh AS hs FROM TH),
+          SIG AS (SELECT doc_id, $sigExprs AS sig FROM HS WHERE len(hs) > 0),
           B AS (SELECT doc_id, t.band AS band,
                  md5(array_to_string(list_transform(
                    list_slice(sig, t.band * 4 + 1, t.band * 4 + 4), x -> x::varchar), ',')) AS bucket

@@ -44,23 +44,22 @@ object Dedup {
     (if (a == 0) 1L else a, b)
   }
 
-  /** MinHash signature: k minima of the affine family over word-shingle
-    * base hashes. One md5 per shingle (let-bound) + k cheap integer
-    * passes — not k md5 passes (measured 10× win at sf0.1).
+  /** MinHash signature: k minima of the affine family over gram base
+    * hashes (array<long> in [0, p), e.g. from [[gramHashes]]). k cheap
+    * integer passes, zero hashing here.
     *
-    * NOTE: pass an *attribute* (already-projected shingle column), not
-    * the shingle expression itself — higher-order functions are
-    * interpreted, and repeating the shingle subtree under each of the
-    * k seeds would recompute tokenize+sort k times per row.
-    * [[minhashLshPairs]] stages the projection.
+    * NOTE: pass an *attribute* (already-projected hash column), not
+    * the hash expression itself — higher-order functions are
+    * interpreted, and repeating the subtree under each of the k seeds
+    * would recompute it k times per row. [[minhashLshPairs]] stages
+    * the projection.
     */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    let(transform(shingleCol, s => pmod(md5Long(s), lit(MinhashP))), hs => {
-      val sigs = minhashCoeffs(k).map { case (a, b) =>
-        array_min(transform(hs, h => pmod(h * a + b, lit(MinhashP))))
-      }
-      array(sigs: _*)
-    })
+  def minhashSignature(hashCol: Column, k: Int): Column = {
+    val sigs = minhashCoeffs(k).map { case (a, b) =>
+      array_min(transform(hashCol, h => pmod(h * a + b, lit(MinhashP))))
+    }
+    array(sigs: _*)
+  }
 
   /** MinHash-LSH candidate pairs: signatures are split into `bands`
     * bands of `rowsPerBand` hashes; docs sharing any band bucket become
@@ -71,13 +70,35 @@ object Dedup {
     * an equi-join on the bucket key, so Spark plans a shuffled hash
     * join keyed on tiny bucket ids — no cartesian anywhere.
     */
+  /** Polynomial combiner base for gram hashes (mod [[MinhashP]]). */
+  val GramB: Long = 1000003L
+
+  /** Per-row gram base hashes: md5 each token ONCE (mod p), then
+    * combine n consecutive token hashes polynomially —
+    * h(g) = (Σ h(t_i)·B^(n-1-i)) mod p. ~n× fewer md5 calls than
+    * hashing each gram string, and no gram-string allocation at all.
+    */
+  def gramHashes(text: Column, n: Int): Column =
+    let(transform(tokens(lower(text)), t => pmod(md5Long(t), lit(MinhashP))), th => {
+      val idx = when(size(th) - (n - 1) <= 0, array().cast("array<int>"))
+        .otherwise(sequence(lit(0), size(th) - n))
+      transform(idx, i => {
+        // each term is reduced mod p before summing: n·p < 2^35, no
+        // ANSI overflow anywhere in the fold
+        val terms = (0 until n).map { j =>
+          val pow = Seq.fill(n - 1 - j)(GramB).foldLeft(1L)((a, b) => a * b % MinhashP)
+          pmod(get(th, i + j) * pow, lit(MinhashP))
+        }
+        pmod(terms.reduce(_ + _), lit(MinhashP))
+      })
+    })
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
     val k = bands * rowsPerBand
-    // stage 1: materialize shingles once per row; docs with no shingle
-    // (under n tokens) can't hash and are dropped. rawShingles: min is
-    // duplicate-insensitive, so skip the (interpreted) sort+distinct.
-    val withSh = df.select(col(idCol).as("id"), rawShingles(col(textCol), n).as("sh"))
+    // stage 1: materialize gram hashes once per row; docs with no gram
+    // (under n tokens) can't hash and are dropped.
+    val withSh = df.select(col(idCol).as("id"), gramHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val withSig = withSh.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
     val bandBuckets = transform(sequence(lit(0), lit(bands - 1)), b => {
