@@ -373,5 +373,19 @@ object OracleSql {
             cast(count(*) as bigint) AS n_events,
             cast(min(ts_us) as bigint) AS start_us, cast(max(ts_us) as bigint) AS end_us,
             cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS sum_value_c
-          FROM S GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")
+          FROM S GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    "q38_string_funcs" ->
+      """SELECT doc_id,
+         cast(levenshtein(substr(text, 1, 12), lang) as bigint) AS lev_to_lang,
+         regexp_replace(substr(text, 1, 30), 'the', 'THE', 'g') AS replaced,
+         lpad(lang, 5, '_') AS padded,
+         reverse(substr(text, 1, 10)) AS rev10
+         FROM documents ORDER BY doc_id""",
+
+    "q39_exact_median" ->
+      """SELECT l_returnflag,
+         cast(floor(quantile_cont(l_extendedprice, 0.5) * 100) as bigint) AS median_price_c,
+         cast(count(*) as bigint) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }

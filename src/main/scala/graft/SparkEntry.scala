@@ -414,6 +414,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** String-function surface: edit distance, replace, padding,
+    * reversal — all integer/deterministic semantics in both engines.
+    */
+  private def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        levenshtein(substring(col("text"), 1, 12), col("lang")).cast("long").as("lev_to_lang"),
+        regexp_replace(substring(col("text"), 1, 30), "the", "THE").as("replaced"),
+        lpad(col("lang"), 5, "_").as("padded"),
+        reverse(substring(col("text"), 1, 10)).as("rev10"))
+      .orderBy(col("doc_id"))
+
+  /** Exact interpolated median (percentile) in fixed-point. */
+  private def qExactMedian(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(floor(percentile(col("l_extendedprice"), lit(0.5)) * 100).cast("long").as("median_price_c"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -453,7 +473,9 @@ object SparkEntry {
     "q34_scrub_rule_hits" -> (qScrubRuleHits _),
     "q35_sketches" -> (qSketches _),
     "q36_dup_clusters" -> (qDupClusters _),
-    "q37_sessionize" -> (qSessionize _))
+    "q37_sessionize" -> (qSessionize _),
+    "q38_string_funcs" -> (qStringFuncs _),
+    "q39_exact_median" -> (qExactMedian _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
