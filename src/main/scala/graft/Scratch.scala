@@ -1,30 +1,27 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.operators.AsOf
+import graft.operators.Control
 
-/** Scratch: drive the tolerance join at scale vs the naive range join. */
+/** Scratch: drive the control-plan scheduler end-to-end. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    val rnd = new scala.util.Random(11)
-    val left = (1 to 50000).map(i => (i.toLong % 100, rnd.nextInt(1000000).toLong, i.toLong)).toDF("k", "lt", "lid")
-    val right = (1 to 50000).map(i => (i.toLong % 100, rnd.nextInt(1000000).toLong, i.toLong)).toDF("k", "rt", "rid")
-    val fast = AsOf.joinWithin(left, right, "k", col("lt"), col("rt"), 1000L)
-    val t0 = System.nanoTime()
-    val nFast = fast.count()
-    val tFast = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    val nNaive = left.join(right, "k").filter(abs(col("lt") - col("rt")) <= 1000L).count()
-    val tNaive = (System.nanoTime() - t1) / 1e9
-    println(f"[within] bucketed=$nFast rows in $tFast%.2f s; naive=$nNaive rows in $tNaive%.2f s; equal=${nFast == nNaive}")
-    val plan = fast.queryExecution.executedPlan.toString
-    println(s"[within] cartesian/BNLJ in bucketed plan: ${plan.contains("Cartesian") || plan.contains("BroadcastNestedLoop")}")
+    val lake = java.nio.file.Files.createTempDirectory("ctl-lake").toString
+    val p = new Pipeline(spark, lake)
+    val ctl = new Control(spark, lake)
+    ctl.schedule("nightly", Seq("INGEST", "VALIDATE", "SCRUB_PHI", "TRANSFORM"))
+    println(s"[ctl] pending before: ${ctl.pendingSteps("nightly")}")
+    val done = ctl.run("nightly", p, "/tmp/demo_src")
+    println(s"[ctl] executed: $done")
+    println(s"[ctl] pending after: ${ctl.pendingSteps("nightly")}")
+    println("[ctl] rollup:")
+    p.provenance.statusRollup.collect().foreach(r => println(s"[ctl]   $r"))
+    println("[ctl] audit tail:")
+    p.provenance.auditTail(3).collect().foreach(r => println(s"[ctl]   $r"))
     spark.stop()
   }
 }

@@ -128,6 +128,10 @@ final class Provenance(spark: SparkSession, root: String) {
     df.orderBy($"ingest_time".desc)
   }
 
+  /** Audit tail (O4, README.md:223-226): latest n audit entries. */
+  def auditTail(n: Int = 50): DataFrame =
+    auditLog.orderBy($"created_at".desc).limit(n)
+
   def statusRollup: DataFrame =
     batches.groupBy($"source_name", $"status").count().orderBy($"source_name", $"status")
 

@@ -83,6 +83,21 @@ class PipelineSpec extends SparkSpec {
     assert(p.provenance.batchRules(scrubbed.head).count() >= 1)
   }
 
+  test("control plan schedules and runs the four stages in order") {
+    val base = Fixtures.sourceTree(Fixtures.tmpDir("src"))
+    val lake = Fixtures.tmpDir("lake3").toString
+    val p = new Pipeline(spark, lake)
+    val control = new graft.operators.Control(spark, lake)
+    control.schedule("job1", Seq("INGEST", "VALIDATE", "SCRUB_PHI", "TRANSFORM"))
+    assert(control.pendingSteps("job1") == Seq("INGEST", "VALIDATE", "SCRUB_PHI", "TRANSFORM"))
+    val executed = control.run("job1", p, base.toString)
+    assert(executed == Seq("INGEST", "VALIDATE", "SCRUB_PHI", "TRANSFORM"))
+    assert(control.pendingSteps("job1").isEmpty)
+    assert(p.provenance.batches.filter(col("status") === "COMPLETED").count() == 3)
+    // audit tail returns latest-first
+    assert(p.provenance.auditTail(3).count() == 3)
+  }
+
   test("scrub passes invalid JSONL lines through verbatim") {
     // stage a VALIDATED batch directly (validation would quarantine it;
     // the reference scrub path still supports verbatim passthrough,
