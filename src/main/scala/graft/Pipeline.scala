@@ -163,7 +163,7 @@ final class Pipeline(
     // invalid JSON lines pass through verbatim (etl/scrub_phi.py:155-160)
     val corrupt = df.select(col("_corrupt_record").as("line")).filter(col("line").isNotNull)
     val valid = scrubbed.drop("_redactions", "_fired_rules")
-    val lines = valid.select(to_json(struct(valid.columns.map(col): _*)).as("line"))
+    val lines = valid.select(to_json(struct(valid.columns.toIndexedSeq.map(col): _*)).as("line"))
       .unionByName(corrupt)
     writeSingleFile(lines, out, "text")
     stats

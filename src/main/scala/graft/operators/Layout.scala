@@ -37,7 +37,7 @@ object Layout {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
     val bigSalted = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salt)))
     val smallSalted = small
       .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
       .withColumn("_salt", col("_salt").cast("bigint"))

@@ -44,7 +44,7 @@ object Readers {
   def csvInferHeader(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.option("header", "true").csv(path)
     // force all-string view regardless of what inference guessed
-    df.select(df.columns.map(c => col(c).cast(StringType).as(c)): _*)
+    df.select(df.columns.toIndexedSeq.map(c => col(c).cast(StringType).as(c)): _*)
   }
 
   /** JSONL: one JSON object per line, blank lines skipped by the JSON
