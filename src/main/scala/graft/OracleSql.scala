@@ -387,5 +387,13 @@ object OracleSql {
       """SELECT l_returnflag,
          cast(floor(quantile_cont(l_extendedprice, 0.5) * 100) as bigint) AS median_price_c,
          cast(count(*) as bigint) AS n_rows
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q40_pivot_events" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cases = types.map(t =>
+        s"""cast(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) as bigint) AS "$t"""").mkString(", ")
+      s"""SELECT user_id % 10 AS user_bucket, $cases
+         FROM events GROUP BY user_bucket ORDER BY user_bucket"""
+    })
 }

@@ -434,6 +434,19 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Pivot (wide aggregation): per-user-bucket event-type counts with
+    * an explicit value list, so the output schema is static and the
+    * oracle can mirror it with CASE sums.
+    */
+  private def qPivotEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("user_bucket", col("user_id") % 10)
+      .groupBy(col("user_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_bucket"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -475,7 +488,8 @@ object SparkEntry {
     "q36_dup_clusters" -> (qDupClusters _),
     "q37_sessionize" -> (qSessionize _),
     "q38_string_funcs" -> (qStringFuncs _),
-    "q39_exact_median" -> (qExactMedian _))
+    "q39_exact_median" -> (qExactMedian _),
+    "q40_pivot_events" -> (qPivotEvents _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

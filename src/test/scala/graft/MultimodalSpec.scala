@@ -51,6 +51,18 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(out(2).getAs[Array[Byte]]("chunk")) == "89ab")
   }
 
+  test("mapDecode runs a partition-batched row transform (decoder shape)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, "abc".getBytes), (2L, "defg".getBytes)).toDF("media_id", "payload")
+    val out = StructType(Seq(
+      StructField("media_id", LongType), StructField("n_bytes", IntegerType)))
+    val decoded = Multimodal.mapDecode(df, out)(rows =>
+      rows.map(r => Row(r.getLong(0), r.getAs[Array[Byte]](1).length)))
+    val m = decoded.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m == Map(1L -> 3, 2L -> 4))
+  }
+
   test("distributed file hashing matches driver-side sha256") {
     val dir = binDir()
     val hashed = BinaryFiles.hashFiles(spark, dir + "/*")
