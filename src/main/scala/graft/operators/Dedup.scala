@@ -93,8 +93,18 @@ object Dedup {
       })
     })
 
+  /** @param maxBucketSize skew guard for corpus-scale runs: a bucket
+    *   holding B docs emits B²/2 candidate pairs, so one boilerplate
+    *   cluster of 10^6 identical pages would emit ~5·10^11 pairs. With
+    *   a cap, oversized buckets are dropped — run [[exact]] dedup FIRST
+    *   (identical texts collapse there for free), then LSH on the
+    *   survivors; anything still exceeding the cap is a pathological
+    *   template family better handled explicitly. None (default)
+    *   disables the cap; the DuckDB oracle mirrors the uncapped form.
+    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val k = bands * rowsPerBand
     // stage 1: materialize gram hashes once per row; docs with no gram
     // (under n tokens) can't hash and are dropped.
@@ -105,8 +115,17 @@ object Dedup {
       val bandSlice = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
       md5(array_join(transform(bandSlice, x => x.cast("string")), ","))
     })
-    val banded = withSig.select(col("id"),
+    val bandedAll = withSig.select(col("id"),
       posexplode(bandBuckets).as(Seq("band", "bucket")))
+    val banded = maxBucketSize match {
+      case None => bandedAll
+      case Some(cap) =>
+        // one extra count-shuffle on the bucket key buys the B² bound
+        val sizes = bandedAll.groupBy(col("band").as("sb"), col("bucket").as("sk"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") <= cap)
+        bandedAll.join(sizes,
+          bandedAll("band") === col("sb") && bandedAll("bucket") === col("sk"), "left_semi")
+    }
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -197,6 +216,12 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs above a threshold, bucketed
     * by sign-bit LSH to avoid the all-pairs join (see
     * [[Similarity.signBucket]]).
+    *
+    * Scale: size `signBits` so expected bucket population stays in the
+    * thousands (buckets ≈ 2^signBits; pairs per bucket are quadratic).
+    * 8 bits suits ~10^5-10^6 vectors; at 10^9 use ~16-20 bits or swap
+    * the bucket fn for trained coarse centroids — the plan shape
+    * (bucket equi-join, per-bucket scoring) is unchanged.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
       threshold: Double, signBits: Int = 8): DataFrame = {

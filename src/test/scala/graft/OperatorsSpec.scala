@@ -28,6 +28,15 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash LSH bucket cap drops pathological all-identical buckets") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = (1L to 20L).map(i => (i, base)).toDF("doc_id", "text") // one hot bucket of 20
+    val uncapped = Dedup.minhashLshPairs(df, "doc_id", "text").count()
+    assert(uncapped == 20L * 19 / 2)
+    val capped = Dedup.minhashLshPairs(df, "doc_id", "text", maxBucketSize = Some(5)).count()
+    assert(capped == 0L)
+  }
+
   test("simhash: identical texts equal, disjoint texts differ") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zeta eta theta iota")).toDF("doc_id", "text")
