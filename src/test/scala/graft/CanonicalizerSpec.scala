@@ -54,6 +54,13 @@ class CanonicalizerSpec extends SparkSpec {
     assert(canon(0).getAs[String]("visit_date") == null) // absent for HL7
   }
 
+  test("unknown source passes through unchanged (P8 best-effort)") {
+    val df = Seq(("x", "y")).toDF("a", "b")
+    val out = Canonicalizer.canonicalize("mystery_source", df)
+    assert(out.columns.toSeq == Seq("a", "b"))
+    assert(out.collect()(0).toSeq == Seq("x", "y"))
+  }
+
   test("unionAll conforms all sources to one schema") {
     val a = Seq(("P1", "n", "d", "v", "dg", "t")).toDF(
       "patient_id", "patient_name", "dob", "visit_date", "diagnosis", "notes")
