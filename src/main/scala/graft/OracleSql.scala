@@ -335,6 +335,18 @@ object OracleSql {
       s"SELECT $aggs FROM $inner s"
     },
 
+    // Sketch values are engine-specific; the comparable surface is the
+    // exact companions plus Spark-side error-bound flags (DuckDB emits
+    // literal 1 — Spark emits 0 iff its sketch left tolerance).
+    "q35_sketches" ->
+      """SELECT cast(count(DISTINCT l_orderkey) as bigint) AS exact_orders,
+         cast(count(DISTINCT l_partkey) as bigint) AS exact_parts,
+         cast(floor(quantile_cont(l_extendedprice, 0.5) * 100) as bigint) AS p50_exact_c,
+         cast(floor(quantile_cont(l_extendedprice, 0.99) * 100) as bigint) AS p99_exact_c,
+         cast(1 as bigint) AS hll_orders_ok, cast(1 as bigint) AS hll_parts_ok,
+         cast(1 as bigint) AS p50_ok, cast(1 as bigint) AS p99_ok
+         FROM lineitem""",
+
     "q36_dup_clusters" -> {
       // independent formulation: recursive reachability, cluster id =
       // min reachable node (Spark side iterates label propagation)
@@ -395,5 +407,30 @@ object OracleSql {
         s"""cast(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) as bigint) AS "$t"""").mkString(", ")
       s"""SELECT user_id % 10 AS user_bucket, $cases
          FROM events GROUP BY user_bucket ORDER BY user_bucket"""
-    })
+    },
+
+    // Mirror of TextAnalysis.qualityScoreRaw: same double ops in the
+    // same order (IEEE-754 → bit-identical), compared in 1e-6 fixed pt.
+    "q41_quality_score" ->
+      s"""SELECT doc_id, cast(floor(((ls + dp + ss) / 3.0::DOUBLE) * 1000000.0::DOUBLE) as bigint) AS quality_1e6
+         FROM (SELECT doc_id,
+             CASE WHEN len >= 100 AND len <= 10000 THEN 1.0::DOUBLE
+                  WHEN len < 100 THEN len / 100.0::DOUBLE
+                  ELSE 10000.0::DOUBLE / len END AS ls,
+             1.0::DOUBLE - (CASE WHEN len = 0 THEN 0.0::DOUBLE ELSE digits / len END) AS dp,
+             least((CASE WHEN ntok = 0 THEN 0.0::DOUBLE ELSE stops / ntok END) * 5.0::DOUBLE, 1.0::DOUBLE) AS ss
+           FROM (SELECT doc_id,
+               length(coalesce(text,''))::DOUBLE AS len,
+               len(${toks("text")})::DOUBLE AS ntok,
+               len(regexp_extract_all(coalesce(text,''), '[0-9]'))::DOUBLE AS digits,
+               ${hitsSql("text", "en")}::DOUBLE AS stops
+             FROM documents))
+         ORDER BY doc_id""",
+
+    "q42_hl7_component" ->
+      """SELECT doc_id, parts[1] AS comp1, parts[2] AS comp2, parts[5] AS comp5
+         FROM (SELECT doc_id,
+             string_split(regexp_replace(substr(text, 1, 40), ' ', '^', 'g'), '^') AS parts
+           FROM documents)
+         ORDER BY doc_id""")
 }

@@ -370,16 +370,58 @@ object SparkEntry {
   }
 
   /** Sketch surface (§2.5-beyond): HLL distinct-count and approximate
-    * quantiles. No `oracleSql` entry — sketch implementations differ
-    * across engines, so the driver records the weaker rows-only check;
-    * exactness is covered by q08's exact countDistinct.
+    * quantiles. Sketch values differ across engines by construction, so
+    * the oracle-checkable output is (a) the exact companion aggregates
+    * (identical in both engines) and (b) engine-computed error-bound
+    * flags — Spark asserts |approx−exact| within the sketch's
+    * configured tolerance and emits 1/0; DuckDB emits literal 1. Any
+    * sketch regression breaks the hash match.
     */
   private def qSketches(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").agg(
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
-      percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      percentile(col("l_extendedprice"), lit(0.5)).as("p50x"),
+      percentile(col("l_extendedprice"), lit(0.99)).as("p99x"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("a_orders"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("a_parts"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a_p50"),
+      percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("a_p99"))
+    .select(
+      col("exact_orders"), col("exact_parts"),
+      floor(col("p50x") * 100).cast("long").as("p50_exact_c"),
+      floor(col("p99x") * 100).cast("long").as("p99_exact_c"),
+      (abs(col("a_orders") - col("exact_orders")).cast("double")
+        <= col("exact_orders").cast("double") * 0.1).cast("long").as("hll_orders_ok"),
+      (abs(col("a_parts") - col("exact_parts")).cast("double")
+        <= col("exact_parts").cast("double") * 0.1).cast("long").as("hll_parts_ok"),
+      (abs(col("a_p50") - col("p50x")) <= col("p50x") * 0.05).cast("long").as("p50_ok"),
+      (abs(col("a_p99") - col("p99x")) <= col("p99x") * 0.05).cast("long").as("p99_ok"))
+
+  /** Composite quality score (TextAnalysis.qualityScoreRaw) in 1e-6
+    * fixed point — deterministic double arithmetic in both engines.
+    */
+  private def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        floor(TextAnalysis.qualityScoreRaw(col("text")) * 1000000.0)
+          .cast("long").as("quality_1e6"))
+      .orderBy(col("doc_id"))
+
+  /** HL7 composite-component access (Readers.hl7Component, S7 family):
+    * component c of a ^-delimited field, ANSI-safe null when absent —
+    * demonstrated on a composite synthesized from document text so the
+    * battery exercises the exact split/index semantics.
+    */
+  private def qHl7Component(s: SparkSession, dir: String): DataFrame = {
+    val composite = regexp_replace(substring(col("text"), 1, 40), " ", "^")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.sources.Readers.hl7Component(composite, 1).as("comp1"),
+        graft.sources.Readers.hl7Component(composite, 2).as("comp2"),
+        graft.sources.Readers.hl7Component(composite, 5).as("comp5"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Gap-based sessionization as pure window functions (the SQL twin
     * of streaming.EventStream.sessionize): new session when the gap to
@@ -489,7 +531,9 @@ object SparkEntry {
     "q37_sessionize" -> (qSessionize _),
     "q38_string_funcs" -> (qStringFuncs _),
     "q39_exact_median" -> (qExactMedian _),
-    "q40_pivot_events" -> (qPivotEvents _))
+    "q40_pivot_events" -> (qPivotEvents _),
+    "q41_quality_score" -> (qQualityScore _),
+    "q42_hl7_component" -> (qHl7Component _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

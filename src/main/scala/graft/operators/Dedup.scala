@@ -175,14 +175,24 @@ object Dedup {
   }
 
   /** Connected components over an undirected dup-pair graph: each node
-    * gets the minimum id reachable from it (its cluster id). Classic
-    * label-propagation-to-min, iterated until fixpoint.
+    * gets the minimum id reachable from it (its cluster id).
     *
-    * Scale: each iteration is one join + groupBy on the node id (two
-    * shuffles), state is one label per node, and convergence takes
-    * O(graph diameter) rounds — dup clusters are short chains in
-    * practice, so a handful of iterations. This is the standard
-    * large-scale CC shape (hash-to-min); no driver-side graph.
+    * Algorithm: hash-to-min with pointer doubling. Each round first
+    * takes the min over neighbor labels (one edge hop), then jumps
+    * through the label itself (label(label(v))) — path lengths halve,
+    * so convergence is O(log diameter) rounds instead of the O(diameter)
+    * of plain one-hop propagation.
+    *
+    * Convergence is checked with a single cheap aggregate per round
+    * instead of a join-and-count job: labels are node ids and every
+    * sub-pass is monotone non-increasing (label(v) ≤ v always), so the
+    * label sum strictly decreases until fixpoint — sum unchanged ⟺ no
+    * label changed ⟺ the one-hop pass is at fixpoint, which means the
+    * label is constant on every component and equals its min id.
+    *
+    * Scale: per round, two equi-joins + one groupBy keyed on node id;
+    * state is one (id,label) row per node, localCheckpoint'd so lineage
+    * stays flat. No driver-side graph, no cartesian.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the edge list once — its lineage (e.g. a whole
@@ -191,23 +201,33 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // init already folds the first hop: label(v) = min(v, min(N(v)))
+    var labels = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("label"))
       .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).first.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("nid")).agg(min(col("label")).as("nlabel"))
-      // localCheckpoint keeps each round's plan flat (no lineage growth)
-      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
+      val oneHop = labels.join(nbrMin, labels("id") === col("nid"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("l1"))
+      // pointer doubling: follow the label's own label (l1 is always an
+      // existing node id, so the self-join hits; left join for safety)
+      val doubled = oneHop.as("x")
+        .join(oneHop.select(col("id").as("pid"), col("l1").as("pl")).as("y"),
+          col("x.l1") === col("y.pid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.l1"), coalesce(col("y.pl"), col("x.l1"))).as("label"))
         .localCheckpoint(true)
-      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
-      converged = changed == 0
+      val s = labelSum(doubled)
+      converged = s == prevSum
+      prevSum = s
+      labels = doubled
       iter += 1
     }
     labels.select(col("id"), col("label").as("cluster_id"))

@@ -64,10 +64,12 @@ object TextAnalysis {
       .withColumn("stopword_ratio", ratio(stops, nTok))
   }
 
-  /** Composite quality score in [0,1]: favors mid-length docs with low
-    * digit noise and some stopword mass. Deterministic arithmetic only.
+  /** Unrounded composite quality score in [0,1]: favors mid-length docs
+    * with low digit noise and some stopword mass. Pure IEEE-754 double
+    * arithmetic in a fixed order, so any engine reproduces it
+    * bit-identically (the battery compares floor(raw·1e6)).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScoreRaw(text: Column): Column = {
     val len = length(coalesce(text, lit(""))).cast("double")
     val nTok = tokenCount(text).cast("double")
     val digits = regexp_count(coalesce(text, lit("")), lit("[0-9]")).cast("double")
@@ -77,8 +79,11 @@ object TextAnalysis {
       .otherwise(lit(10000.0) / len)
     val digitPenalty = lit(1.0) - ratio(digits, len)
     val stopScore = least(ratio(stops, nTok) * 5.0, lit(1.0))
-    round((lenScore + digitPenalty + stopScore) / 3.0, 6)
+    (lenScore + digitPenalty + stopScore) / 3.0
   }
+
+  /** Human-facing rounded form of [[qualityScoreRaw]]. */
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
 
   /** Document fingerprint: 60-bit hash of the whitespace-normalized,
     * lowercased text — stable under formatting noise. md5-derived for
