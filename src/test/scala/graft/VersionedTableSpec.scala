@@ -40,6 +40,50 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.snapshot.collect()(0).getAs[String]("payload") == "new")
   }
 
+  test("upsert rewrites only touched buckets; untouched files are reused as-is") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Fixtures.tmpDir("vtp").toString
+    val vt = new VersionedTable(spark, root, "k", "v", numBuckets = 8)
+    val c1 = vt.upsert((1 to 100).map(i => (s"K$i", "1", s"p$i"))
+      .toDF("k", "v", "payload"))
+    def filesUnder(dir: String): Map[String, Long] =
+      Files.walk(Paths.get(dir)).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.size(p)).toMap
+    val c1Files = filesUnder(s"$root/$c1/data")
+    val c1Mtimes = c1Files.keys.map(f =>
+      f -> Files.getLastModifiedTime(Paths.get(f)).toMillis).toMap
+
+    // second commit touches exactly one key → exactly one bucket dir
+    val c2 = vt.upsert(Seq(("K1", "2", "p1b")).toDF("k", "v", "payload"))
+    val c2Buckets = Files.list(Paths.get(s"$root/$c2/data")).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+      .filter(_.startsWith("_bucket=")).toSeq
+    assert(c2Buckets.size == 1, s"expected 1 touched bucket dir, got $c2Buckets")
+
+    // untouched buckets' files under c1 are untouched on disk (same
+    // paths, sizes, mtimes) and still referenced by the c2 manifest
+    val c1FilesAfter = filesUnder(s"$root/$c1/data")
+    assert(c1FilesAfter == c1Files)
+    c1Mtimes.foreach { case (f, t) =>
+      assert(Files.getLastModifiedTime(Paths.get(f)).toMillis == t, s"$f was rewritten")
+    }
+    val manifest = Files.readAllLines(Paths.get(s"$root/$c2/manifest.tsv")).asScala
+      .filter(_.nonEmpty).map(_.split("\t")).map(a => a(0).toInt -> a(1)).toMap
+    assert(manifest.values.toSet.contains(c1), "c2 manifest must reference c1 buckets")
+    assert(manifest.count(_._2 == c2) == 1)
+
+    // snapshot is still the merged view
+    val snap = vt.snapshot.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("payload")).toMap
+    assert(snap.size == 100 && snap("K1") == "p1b" && snap("K2") == "p2")
+    // time travel still sees the pre-update row
+    val old = vt.asOf(c1).collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("payload")).toMap
+    assert(old("K1") == "p1")
+  }
+
   test("joinWithin equals the naive range-join result") {
     import org.apache.spark.sql.functions.{abs, col}
     val rnd = new scala.util.Random(3)
