@@ -7,12 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video payloads travel as
   * opaque `binary` columns with a typed metadata struct alongside.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB (features derived from the bytes'
-  * md5) — but the Spark-side plumbing is real: schema, batch-friendly
-  * mapPartitions signature, partitioning notes, and the binaryFile
-  * reader path all match what a real decoder (JNI/codec per executor)
-  * would plug into.
+  * Image decode is REAL for JDK-native formats (see
+  * [[decodeImageMetaJvm]]: PNG/JPEG/BMP/GIF via javax.imageio). The
+  * container ships no audio/video codecs, so those decode steps remain
+  * a clearly-marked DETERMINISTIC STUB (features derived from the
+  * bytes' md5) — while the Spark-side plumbing is real either way:
+  * schema, batch-friendly mapPartitions signature, partitioning notes,
+  * and the binaryFile reader path all match what a production decoder
+  * (JNI/codec per executor) would plug into.
   *
   * Scale notes: payloads stay columnar (parquet binary) end to end;
   * `spark.sql.files.maxPartitionBytes` bounds scan partitions, and the
@@ -92,5 +94,52 @@ object Multimodal {
   def mapDecode(df: DataFrame, out: StructType)(fn: Iterator[Row] => Iterator[Row]): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(out)
     df.mapPartitions(fn)(enc)
+  }
+
+  /** REAL image decode for the formats the JDK ships codecs for
+    * (PNG/JPEG/BMP/GIF/WBMP via javax.imageio — no external libs).
+    * Header-only: width/height come from the format reader without
+    * decoding pixel data, so cost per image is microseconds regardless
+    * of payload size. Runs through [[mapDecode]] (narrow, partition-
+    * batched); payloads ImageIO can't identify get a null meta —
+    * audio/video stay with the labeled stub path.
+    */
+  def decodeImageMetaJvm(df: DataFrame,
+      payloadCol: String = "payload", metaCol: String = "meta"): DataFrame = {
+    val schema = StructType(df.schema.map {
+      case f if f.name == metaCol => f.copy(dataType = mediaSchema("meta").dataType)
+      case f => f
+    })
+    val payloadIdx = schema.fieldIndex(payloadCol)
+    val metaIdx = schema.fieldIndex(metaCol)
+    mapDecode(df, schema)(rows => rows.map { r =>
+      val meta = decodeImageHeader(r.getAs[Array[Byte]](payloadIdx))
+      Row.fromSeq(r.toSeq.updated(metaIdx, meta.orNull))
+    })
+  }
+
+  /** Header probe for one payload: (width, height, null duration,
+    * format name) via the matching ImageIO reader; None when no
+    * installed reader recognizes the bytes.
+    */
+  def decodeImageHeader(bytes: Array[Byte]): Option[Row] = {
+    if (bytes == null) None
+    else {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val rd = readers.next()
+          try {
+            rd.setInput(in)
+            Some(Row(rd.getWidth(0), rd.getHeight(0), null,
+              rd.getFormatName.toLowerCase))
+          } catch { case _: java.io.IOException => None
+          } finally rd.dispose()
+        }
+      } finally in.close()
+    }
   }
 }

@@ -5,31 +5,31 @@ import java.security.MessageDigest
 import java.time.format.DateTimeFormatter
 import java.time.{Instant, ZoneOffset}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Provenance + batch state machine (reference: etl/provenance_recorder.py,
   * etl/audit.py, db/init.sql:3-36,90-98).
   *
   * The reference keeps all control-flow state in Postgres; here the
-  * control plane is an append-only parquet event log per table under a
-  * lake root, with "current batch state" derived by a last-event-wins
-  * window — the idempotent Spark analogue of the reference's
-  * single-threaded UPDATEs (and trivially portable to JDBC). Appends
-  * are tiny driver-side writes; reads are normal parquet scans, so
-  * lineage queries distribute like any other DataFrame.
+  * control plane is an append-only event log per table behind a
+  * [[ControlBackend]] (parquet by default, JDBC-shaped contract), with
+  * "current batch state" derived by a last-event-wins aggregation — the
+  * idempotent Spark analogue of the reference's single-threaded
+  * UPDATEs. Appends are tiny driver-side writes; reads are normal
+  * DataFrame scans, so lineage queries distribute like any other.
   */
-final class Provenance(spark: SparkSession, root: String) {
+final class Provenance(spark: SparkSession, backend: ControlBackend) {
   import Provenance._
   import spark.implicits._
 
-  private def tbl(name: String) = s"$root/_control/$name"
+  def this(spark: SparkSession, root: String) =
+    this(spark, new ParquetControlBackend(spark, root))
 
-  private def append(name: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).parquet(tbl(name))
+  private def append(name: String, df: DataFrame): Unit = backend.append(name, df)
 
   private def readOrEmpty(name: String, empty: => DataFrame): DataFrame =
-    if (Files.exists(Paths.get(tbl(name)))) spark.read.parquet(tbl(name)) else empty
+    backend.read(name)(empty)
 
   def nowTs: String =
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(ZoneOffset.UTC).format(Instant.now())
@@ -135,29 +135,11 @@ final class Provenance(spark: SparkSession, root: String) {
   def statusRollup: DataFrame =
     batches.groupBy($"source_name", $"status").count().orderBy($"source_name", $"status")
 
-  /** Compact the event log: every append writes a tiny parquet file, so
-    * long-running control planes accumulate small files. Rewrites each
-    * control table as a single consolidated file set. Call from a
-    * maintenance job; readers see either the old or new layout (write
-    * to temp + swap).
+  /** Compact every control table (delegates to the backend's storage
+    * maintenance; the parquet backend also self-compacts on append past
+    * its file threshold, see [[ParquetControlBackend]]).
     */
-  def compact(): Unit = {
-    Seq("provenance_batch_events", "provenance_steps", "provenance_rules_applied", "audit_log")
-      .foreach { name =>
-        val p = Paths.get(tbl(name))
-        if (Files.exists(p)) {
-          val df = spark.read.parquet(tbl(name)).coalesce(1)
-          val tmp = tbl(name) + "_compact_tmp"
-          df.write.mode(SaveMode.Overwrite).parquet(tmp)
-          val old = tbl(name) + "_old"
-          Files.move(p, Paths.get(old), StandardCopyOption.REPLACE_EXISTING)
-          Files.move(Paths.get(tmp), p, StandardCopyOption.REPLACE_EXISTING)
-          // best-effort cleanup of the old generation
-          Files.walk(Paths.get(old)).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
-        }
-      }
-  }
+  def compact(): Unit = Provenance.controlTables.foreach(backend.compact)
 }
 
 object Provenance {
@@ -171,6 +153,11 @@ object Provenance {
     "batch_id", "source_name", "raw_file_path", "raw_sha256", "status",
     "event_time", "error_details", "total_rows", "curated_sha256",
     "curated_path", "final_sha256", "version_path")
+
+  /** The control tables (db/init.sql:3-98 table-per-concern layout). */
+  val controlTables: Seq[String] = Seq(
+    "provenance_batch_events", "provenance_steps",
+    "provenance_rules_applied", "audit_log")
 
   /** F6: streaming SHA-256 of a local file (8 KiB chunks like
     * etl/ingest.py:18-25); used for the artifact hash chain.

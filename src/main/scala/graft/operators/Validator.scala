@@ -51,15 +51,46 @@ object Validator {
     nonEmpty && parsed.isNull
   }
 
-  /** dateutil-ish permissive date parse: first format that sticks. */
-  def lenientTimestamp(c: Column): Column = coalesce(
-    try_to_timestamp(c),
-    try_to_timestamp(c, lit("yyyy-MM-dd")),
-    try_to_timestamp(c, lit("yyyyMMdd")),
-    try_to_timestamp(c, lit("MM/dd/yyyy")),
-    try_to_timestamp(c, lit("dd-MM-yyyy")),
-    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
-    try_to_timestamp(c, lit("yyyyMMddHHmmss")))
+  /** dateutil-parity permissive date probe: first format that sticks
+    * (reference validate.py:19-37 calls dateutil.parser.parse). Month
+    * names are case-normalized via initcap (dateutil is
+    * case-insensitive), US month-first slash dates are tried before
+    * day-first (dateutil's default ordering), bare 4-digit years and
+    * time-only values parse (dateutil fills today's defaults), and
+    * offset/'T'/fraction ISO forms ride on Spark's default parser.
+    * ValidatorSpec pins this against a generated table of
+    * dateutil-accepted/rejected strings.
+    */
+  def lenientTimestamp(c: Column): Column = {
+    val n = initcap(regexp_replace(trim(c), "\\s+", " "))
+    val bareYear = when(trim(c).rlike("^\\d{4}$"), trim(c))
+    coalesce(
+      try_to_timestamp(c), // ISO date/datetime incl. 'T', offsets, fractions
+      try_to_timestamp(c, lit("yyyy-MM-dd")),
+      try_to_timestamp(c, lit("yyyyMMdd")),
+      try_to_timestamp(c, lit("MM/dd/yyyy")),
+      try_to_timestamp(c, lit("dd/MM/yyyy")),
+      try_to_timestamp(c, lit("dd-MM-yyyy")),
+      try_to_timestamp(c, lit("yyyy/MM/dd")),
+      try_to_timestamp(c, lit("dd.MM.yyyy")),
+      try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+      try_to_timestamp(c, lit("yyyyMMddHHmmss")),
+      try_to_timestamp(c, lit("MM/dd/yyyy HH:mm")),
+      try_to_timestamp(c, lit("HH:mm:ss")),
+      try_to_timestamp(c, lit("HH:mm")),
+      try_to_timestamp(n, lit("MMM d yyyy")),
+      try_to_timestamp(n, lit("MMM d, yyyy")),
+      try_to_timestamp(n, lit("d MMM yyyy")),
+      try_to_timestamp(n, lit("MMMM d yyyy")),
+      try_to_timestamp(n, lit("MMMM d, yyyy")),
+      try_to_timestamp(n, lit("d MMMM yyyy")),
+      // ctime(): Spark forbids day-of-week in parse patterns, so the
+      // leading weekday token is stripped instead (dateutil ignores it)
+      try_to_timestamp(
+        regexp_replace(n, "^(Mon|Tue|Wed|Thu|Fri|Sat|Sun) ", ""),
+        lit("MMM d HH:mm:ss yyyy")),
+      try_to_timestamp(bareYear, lit("yyyy")))
+  }
 
   def nullabilityViolation(c: Column, f: FieldSpec): Column =
     if (f.nullable) lit(false) else c.isNull || c === ""

@@ -42,6 +42,34 @@ class MultimodalSpec extends SparkSpec {
     assert(again.getSeq[Double](again.fieldIndex("features")) == feats)
   }
 
+  test("real JDK decode reads true dimensions from generated PNG and BMP") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff00ff) // non-trivial pixel so encoders emit data
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, out), s"JDK has no $fmt writer")
+      out.toByteArray
+    }
+    val dir = Fixtures.tmpDir("imgs")
+    Files.write(dir.resolve("a.png"), imageBytes("png", 123, 45))
+    Files.write(dir.resolve("b.bmp"), imageBytes("bmp", 7, 9))
+    Files.write(dir.resolve("c.wav"), "not an image".getBytes)
+    val decoded = Multimodal.decodeImageMetaJvm(
+      Multimodal.readBinaryDir(spark, dir.toString))
+    val byType = decoded.collect()
+      .map(r => r.getAs[String]("media_type") -> r.getAs[org.apache.spark.sql.Row]("meta"))
+      .toMap
+    assert(byType("png").getAs[Int]("width") == 123)
+    assert(byType("png").getAs[Int]("height") == 45)
+    assert(byType("png").getAs[String]("codec") == "png")
+    assert(byType("bmp").getAs[Int]("width") == 7)
+    assert(byType("bmp").getAs[Int]("height") == 9)
+    assert(byType("wav") == null) // unrecognized bytes → null meta
+  }
+
   test("sampleChunks explodes n offset-chunks per payload") {
     val df = Seq((1L, "0123456789abcdef".getBytes)).toDF("media_id", "payload")
     val out = Multimodal.sampleChunks(df, col("payload"), n = 4, chunkBytes = 4)

@@ -2,60 +2,83 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Provenance
+import graft.operators.{ControlBackend, InMemoryControlBackend, ParquetControlBackend, Provenance}
 
 class ProvenanceSpec extends SparkSpec {
 
-  test("state machine: last event wins, earlier fields survive") {
-    val lake = Fixtures.tmpDir("prov").toString
-    val p = new Provenance(spark, lake)
-    p.createBatch("b1", "hospital_a", "/raw/f.csv", "sha-raw")
-    p.setRowCount("b1", "VALIDATED", 42L)
-    p.updateCuratedHash("b1", "sha-cur", "/curated/f.csv")
-    p.updateFinalHash("b1", "sha-fin", "/qlm/v1")
-    val r = p.batches.collect()(0)
-    assert(r.getAs[String]("status") == "COMPLETED")
-    assert(r.getAs[String]("source_name") == "hospital_a") // from first event
-    assert(r.getAs[String]("raw_sha256") == "sha-raw")
-    assert(r.getAs[Long]("total_rows") == 42L)
-    assert(r.getAs[String]("curated_sha256") == "sha-cur")
-    assert(r.getAs[String]("curated_path") == "/curated/f.csv")
-    assert(r.getAs[String]("final_sha256") == "sha-fin")
-    assert(r.getAs[String]("version_path") == "/qlm/v1")
+  /** Contract tests run against every backend: the parquet event log
+    * and the RDBMS-shaped in-memory stand-in must be indistinguishable
+    * through the Provenance API.
+    */
+  private def backends: Seq[(String, () => ControlBackend)] = Seq(
+    "parquet" -> (() => new ParquetControlBackend(spark, Fixtures.tmpDir("prov").toString)),
+    "in-memory (jdbc-shaped)" -> (() => new InMemoryControlBackend(spark)))
+
+  for ((label, mkBackend) <- backends) {
+
+    test(s"[$label] state machine: last event wins, earlier fields survive") {
+      val p = new Provenance(spark, mkBackend())
+      p.createBatch("b1", "hospital_a", "/raw/f.csv", "sha-raw")
+      p.setRowCount("b1", "VALIDATED", 42L)
+      p.updateCuratedHash("b1", "sha-cur", "/curated/f.csv")
+      p.updateFinalHash("b1", "sha-fin", "/qlm/v1")
+      val r = p.batches.collect()(0)
+      assert(r.getAs[String]("status") == "COMPLETED")
+      assert(r.getAs[String]("source_name") == "hospital_a") // from first event
+      assert(r.getAs[String]("raw_sha256") == "sha-raw")
+      assert(r.getAs[Long]("total_rows") == 42L)
+      assert(r.getAs[String]("curated_sha256") == "sha-cur")
+      assert(r.getAs[String]("curated_path") == "/curated/f.csv")
+      assert(r.getAs[String]("final_sha256") == "sha-fin")
+      assert(r.getAs[String]("version_path") == "/qlm/v1")
+    }
+
+    test(s"[$label] duplicate createBatch collapses (ON CONFLICT DO NOTHING analog)") {
+      val p = new Provenance(spark, mkBackend())
+      p.createBatch("b1", "s", "/f", "h1")
+      p.createBatch("b1", "s", "/f", "h1")
+      assert(p.batches.count() == 1)
+    }
+
+    test(s"[$label] pending queue filters by status in FIFO order") {
+      val p = new Provenance(spark, mkBackend())
+      p.createBatch("b1", "s", "/f1", "h")
+      p.createBatch("b2", "s", "/f2", "h")
+      p.updateStatus("b1", "VALIDATED")
+      val pending = p.pending("INGESTED").select("batch_id").collect().map(_.getString(0))
+      assert(pending.toSeq == Seq("b2"))
+    }
+
+    test(s"[$label] steps / rules / audit append and order") {
+      val p = new Provenance(spark, mkBackend())
+      p.recordStep("b1", "INGEST", Map("k" -> "v"))
+      p.recordStep("b1", "VALIDATION_PASSED", Map("rows" -> "7"))
+      p.recordRule("b1", "PHI_SSN", "applied")
+      p.writeAudit("tester", "RUN", "ok")
+      val steps = p.batchTimeline("b1").select("step_name").collect().map(_.getString(0))
+      assert(steps.toSeq == Seq("INGEST", "VALIDATION_PASSED"))
+      assert(p.batchRules("b1").count() == 1)
+      assert(p.auditLog.count() == 1)
+      val details = p.batchTimeline("b1").filter(col("step_name") === "VALIDATION_PASSED")
+        .select(get_json_object(col("details_json"), "$.rows")).collect()(0).getString(0)
+      assert(details == "7")
+    }
   }
 
-  test("duplicate createBatch collapses (ON CONFLICT DO NOTHING analog)") {
+  test("parquet backend auto-compacts past the file threshold, data intact") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
     val lake = Fixtures.tmpDir("prov").toString
-    val p = new Provenance(spark, lake)
-    p.createBatch("b1", "s", "/f", "h1")
-    p.createBatch("b1", "s", "/f", "h1")
-    assert(p.batches.count() == 1)
-  }
-
-  test("pending queue filters by status in FIFO order") {
-    val lake = Fixtures.tmpDir("prov").toString
-    val p = new Provenance(spark, lake)
-    p.createBatch("b1", "s", "/f1", "h")
-    p.createBatch("b2", "s", "/f2", "h")
-    p.updateStatus("b1", "VALIDATED")
-    val pending = p.pending("INGESTED").select("batch_id").collect().map(_.getString(0))
-    assert(pending.toSeq == Seq("b2"))
-  }
-
-  test("steps / rules / audit append and order") {
-    val lake = Fixtures.tmpDir("prov").toString
-    val p = new Provenance(spark, lake)
-    p.recordStep("b1", "INGEST", Map("k" -> "v"))
-    p.recordStep("b1", "VALIDATION_PASSED", Map("rows" -> "7"))
-    p.recordRule("b1", "PHI_SSN", "applied")
-    p.writeAudit("tester", "RUN", "ok")
-    val steps = p.batchTimeline("b1").select("step_name").collect().map(_.getString(0))
-    assert(steps.toSeq == Seq("INGEST", "VALIDATION_PASSED"))
-    assert(p.batchRules("b1").count() == 1)
-    assert(p.auditLog.count() == 1)
-    val details = p.batchTimeline("b1").filter(col("step_name") === "VALIDATION_PASSED")
-      .select(get_json_object(col("details_json"), "$.rows")).collect()(0).getString(0)
-    assert(details == "7")
+    val p = new Provenance(spark, new ParquetControlBackend(spark, lake, autoCompactAt = 5))
+    (1 to 12).foreach(i => p.createBatch(s"b$i", "s", s"/f$i", "h"))
+    val dir = Paths.get(s"$lake/_control/provenance_batch_events")
+    val nFiles = Files.list(dir).iterator().asScala.count(_.toString.endsWith(".parquet"))
+    // 12 appends would leave 12 part files without compaction; the
+    // threshold keeps the live count bounded by autoCompactAt + 1
+    assert(nFiles <= 6, s"expected <= 6 part files after auto-compaction, got $nFiles")
+    assert(p.batches.count() == 12)
+    assert(Files.list(Paths.get(s"$lake/_control")).iterator().asScala
+      .count(_.getFileName.toString.contains("_compact_tmp")) == 0)
   }
 
   test("sha256File matches a known digest") {

@@ -52,6 +52,29 @@ class ValidatorSpec extends SparkSpec {
     assert(r.valid, r.errors.mkString(";"))
   }
 
+  test("lenientTimestamp matches a dateutil-generated accept/reject table") {
+    import org.apache.spark.sql.functions.col
+    // ground truth generated with python dateutil.parser.parse on
+    // 2026-08-12 (the reference's validator, validate.py:19-37)
+    val accepted = Seq(
+      "2025-02-15", "20250215", "02/15/2025", "15-02-2025", "2025/02/15",
+      "2025-02-15 10:30:00", "2025-02-15T10:30:00", "2025-02-15T10:30:00Z",
+      "2025-02-15T10:30:00+05:30", "2025-02-15T10:30:00.123456",
+      "20250215103000", "Feb 15 2025", "feb 15 2025", "15 Feb 2025",
+      "February 15, 2025", "february 15 2025", "15 February 2025",
+      "FEB 15 2025", "Feb 15, 2025", "10:30:00", "10:30",
+      "02/15/2025 10:30", "2025", "15.02.2025", "Sat Feb 15 10:30:00 2025")
+    val rejected = Seq(
+      "not a date", "2025-13-45", "99/99/9999", "hello 123",
+      "13/13/2025", "0", "2025-02-30")
+    val df = (accepted.map((_, true)) ++ rejected.map((_, false))).toDF("s", "expect")
+    val got = df.select(col("s"), col("expect"),
+        Validator.lenientTimestamp(col("s")).isNotNull.as("parsed")).collect()
+    val wrong = got.filter(r => r.getBoolean(1) != r.getBoolean(2))
+      .map(r => s"${r.getString(0)} expected=${r.getBoolean(1)}")
+    assert(wrong.isEmpty, s"dateutil-parity mismatches: ${wrong.mkString(", ")}")
+  }
+
   test("HL7: message missing PID fails, good messages pass") {
     val dir = Fixtures.tmpDir("val")
     Fixtures.write(dir.resolve("good.hl7"), Fixtures.hl7Good)
