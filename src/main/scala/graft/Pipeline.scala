@@ -53,19 +53,37 @@ final class Pipeline(
     registry.filter(_.active).flatMap { spec =>
       val srcDir = Paths.get(s"$sourceBase/${spec.name}")
       if (!Files.isDirectory(srcDir)) Nil
-      else Files.list(srcDir).iterator().asScala.filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString).map { f =>
-        val sha = Provenance.sha256File(f.toString)
+      else Files.list(srcDir).iterator().asScala.filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+        .flatMap(f => ingestFile(spec.name, f))
+    }
+  }
+
+  /** Ingest one file for `sourceName` — the per-file unit shared by
+    * [[ingest]] and the streaming twin
+    * ([[graft.streaming.StreamingIngest]]). With `skipIfSeen`, a file
+    * whose raw path + content sha is already registered is skipped, so
+    * replays (e.g. a streaming restart after checkpoint loss) never
+    * double-register a batch; re-delivery of the same path with NEW
+    * content still registers, like the reference's re-ingest.
+    */
+  def ingestFile(sourceName: String, f: Path, skipIfSeen: Boolean = false): Option[String] =
+    registry.find(s => s.name == sourceName && s.active).flatMap { spec =>
+      val sha = Provenance.sha256File(f.toString)
+      val rawPath = zone("raw", spec.name, f.getFileName.toString)
+      val seen = skipIfSeen && provenance.batches
+        .filter(col("raw_file_path") === rawPath.toString && col("raw_sha256") === sha)
+        .limit(1).count() > 0
+      if (seen) None
+      else {
         val batchId = Provenance.batchId(spec.name, f.getFileName.toString)
-        val rawPath = zone("raw", spec.name, f.getFileName.toString)
         Provenance.copyFile(f.toString, rawPath.toString)
         provenance.createBatch(batchId, spec.name, rawPath.toString, sha)
         provenance.recordStep(batchId, "INGEST",
           Map("raw_path" -> rawPath.toString, "sha256" -> sha))
         provenance.writeAudit("pipeline", "INGEST", batchId)
-        batchId
+        Some(batchId)
       }
     }
-  }
 
   // ------------------------------------------------------------------
   // Stage 2: VALIDATE (etl/validate.py:225-306)

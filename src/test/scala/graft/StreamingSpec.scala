@@ -45,6 +45,35 @@ class StreamingSpec extends SparkSpec {
     assert(u10(1).n_events == 1 && u10(1).sum_value == 4.0)
   }
 
+  test("streaming ingest registers arriving files exactly once, e2e into validate") {
+    import graft.streaming.StreamingIngest
+    val lake = Fixtures.tmpDir("slake").toString
+    val srcBase = Fixtures.tmpDir("ssrc")
+    val ckpt = Fixtures.tmpDir("sckpt").toString
+    Fixtures.write(srcBase.resolve("hospital_a/a.csv"), Fixtures.csvGood)
+    val pipeline = new Pipeline(spark, lake)
+
+    StreamingIngest.start(spark, pipeline, srcBase.toString, ckpt).awaitTermination(120000)
+    assert(pipeline.provenance.batches.count() == 1)
+
+    // a new file arrives; the checkpointed stream picks up ONLY it
+    Fixtures.write(srcBase.resolve("hospital_a/b.csv"), Fixtures.csvGood)
+    StreamingIngest.start(spark, pipeline, srcBase.toString, ckpt).awaitTermination(120000)
+    assert(pipeline.provenance.batches.count() == 2)
+
+    // checkpoint loss replays everything — provenance guard keeps it at 2
+    val freshCkpt = Fixtures.tmpDir("sckpt2").toString
+    StreamingIngest.start(spark, pipeline, srcBase.toString, freshCkpt).awaitTermination(120000)
+    assert(pipeline.provenance.batches.count() == 2)
+
+    // the streamed batches flow into the normal batch stages
+    val validated = pipeline.validatePending()
+    assert(validated.size == 2 && validated.forall(_._2))
+    val statuses = pipeline.provenance.batches.select("status")
+      .collect().map(_.getString(0)).toSet
+    assert(statuses == Set("VALIDATED"))
+  }
+
   test("batch windowed query q29 equals streaming result shape") {
     val batch = SparkEntry.queries("q29_windowed_events")(spark, "/root/testdata/sf0.001")
     assert(batch.columns.toSeq == Seq("window_start", "event_type", "n_events", "sum_value_c"))
