@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.Md5Long60
+import graft.expressions.{Md5Long60, MinhashSig}
 
 /** Session extensions: registers graft's native expressions for SQL
   * use. Attach with
@@ -14,8 +14,13 @@ import graft.expressions.Md5Long60
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
-      new FunctionIdentifier("md5_long60"),
-      new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60"),
+      new FunctionIdentifier(Md5Long60.FnName),
+      new ExpressionInfo(classOf[Md5Long60].getName, Md5Long60.FnName),
       (exprs: Seq[Expression]) => Md5Long60(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier(MinhashSig.FnName),
+      new ExpressionInfo(classOf[MinhashSig].getName, MinhashSig.FnName),
+      (exprs: Seq[Expression]) => MinhashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
   }
 }

@@ -24,14 +24,28 @@ import graft.operators.{Dedup, Scrubber, Similarity, TextAnalysis}
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): read as long (legacy conf)
-    // and convert to a timestamp at µs precision. DIV keeps the
-    // division integral (a double roundtrip would lose ns bits).
-    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
-  }
+  /** Table-plan cache: file listing + schema read happen once per
+    * (session, dir, table) instead of once per query — the 40-query
+    * battery otherwise pays the FileIndex/ParquetFooter round trip 40
+    * times. Caches only the logical plan (no data is pinned).
+    */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    tableCache.computeIfAbsent((System.identityHashCode(spark).toString, dir, name), _ => {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // events.ts is parquet TIMESTAMP(NANOS): read as long (legacy conf)
+      // and convert to a timestamp at µs precision. DIV keeps the
+      // division integral (a double roundtrip would lose ns bits).
+      if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else df
+    })
+
+  /** Raw variant (no ts conversion) for the µs-integer queries. */
+  private def tRaw(spark: SparkSession, dir: String, name: String): DataFrame =
+    tableCache.computeIfAbsent((System.identityHashCode(spark).toString, dir, s"raw:$name"),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   /** sum(floor(expr*100)) → bigint "cents" — deterministic across engines. */
   private def cents(c: Column): Column = sum(floor(c * 100).cast("long"))
@@ -328,7 +342,7 @@ object SparkEntry {
   private def qAsOfPrevClick(s: SparkSession, dir: String): DataFrame = {
     // µs precision: DuckDB truncates parquet TIMESTAMP(NANOS) to µs on
     // read, so both engines compare the same int64 microseconds.
-    val raw = s.read.parquet(s"$dir/events.parquet") // ts read as long ns
+    val raw = tRaw(s, dir, "events") // ts read as long ns
       .withColumn("ts", expr("ts DIV 1000"))
     val clicks = raw.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("ts").as("click_us"))
@@ -432,7 +446,7 @@ object SparkEntry {
     val gapUs = 30L * 60 * 1000000
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    s.read.parquet(s"$dir/events.parquet")
+    tRaw(s, dir, "events")
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"), col("value"))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_session",

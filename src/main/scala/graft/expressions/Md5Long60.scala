@@ -61,10 +61,15 @@ object Md5Long60 {
     (v << 4) | ((d(7) & 0xf0L) >> 4)
   }
 
-  /** Idempotent per-session registration (temp function). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => Md5Long60(exprs.head), "built-in")
+  /** Idempotent per-session registration (temp function); the
+    * exists-check keeps re-registration (and its "replaced a previously
+    * registered function" log line) out of per-query paths.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(FnName)))
+      reg.createOrReplaceTempFunction(FnName, exprs => Md5Long60(exprs.head), "built-in")
+  }
 
   /** Column form: registers in the active session, then resolves via
     * the public call_function API (Column↔Expression bridges are

@@ -29,20 +29,18 @@ object Dedup {
 
   /** Mersenne prime 2^31−1: the minhash modulus. Base hashes are
     * reduced mod p before the affine step so a·h+b stays < 2^62
-    * (ANSI-safe, no overflow).
+    * (ANSI-safe, no overflow). Single source of truth lives next to the
+    * native expression ([[graft.expressions.MinhashSig]]).
     */
-  val MinhashP: Long = 2147483647L
+  val MinhashP: Long = graft.expressions.MinhashSig.P
 
   /** Deterministic affine coefficients (a_i, b_i) for the k-member
     * minhash family h_i(x) = (a_i·h(x) + b_i) mod p. Knuth
     * multiplicative constants — fixed, so the DuckDB oracle embeds the
     * same values (OracleSql generates its SQL from this list).
     */
-  def minhashCoeffs(k: Int): Seq[(Long, Long)] = (0 until k).map { i =>
-    val a = (2654435761L * (i + 1)) % MinhashP
-    val b = ((40503L * 2654435761L) % MinhashP * (i + 7)) % MinhashP
-    (if (a == 0) 1L else a, b)
-  }
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] =
+    graft.expressions.MinhashSig.coeffs(k)
 
   /** MinHash signature: k minima of the affine family over gram base
     * hashes (array<long> in [0, p), e.g. from [[gramHashes]]). k cheap
@@ -71,7 +69,7 @@ object Dedup {
     * join keyed on tiny bucket ids — no cartesian anywhere.
     */
   /** Polynomial combiner base for gram hashes (mod [[MinhashP]]). */
-  val GramB: Long = 1000003L
+  val GramB: Long = graft.expressions.MinhashSig.B
 
   /** Per-row gram base hashes: md5 each token ONCE (mod p), then
     * combine n consecutive token hashes polynomially —
@@ -106,11 +104,12 @@ object Dedup {
       bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
       maxBucketSize: Option[Int] = None): DataFrame = {
     val k = bands * rowsPerBand
-    // stage 1: materialize gram hashes once per row; docs with no gram
-    // (under n tokens) can't hash and are dropped.
-    val withSh = df.select(col(idCol).as("id"), gramHashes(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val withSig = withSh.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+    // stage 1: the whole signature in one native codegen'd pass per row
+    // (MinhashSig ≡ gramHashes∘minhashSignature, pinned by spec); docs
+    // with no gram (under n tokens) yield null and are dropped.
+    val withSig = df.select(col(idCol).as("id"),
+        graft.expressions.MinhashSig(col(textCol), n, k).as("sig"))
+      .filter(col("sig").isNotNull)
     val bandBuckets = transform(sequence(lit(0), lit(bands - 1)), b => {
       val bandSlice = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
       md5(array_join(transform(bandSlice, x => x.cast("string")), ","))
@@ -183,16 +182,19 @@ object Dedup {
     * so convergence is O(log diameter) rounds instead of the O(diameter)
     * of plain one-hop propagation.
     *
-    * Convergence is checked with a single cheap aggregate per round
-    * instead of a join-and-count job: labels are node ids and every
-    * sub-pass is monotone non-increasing (label(v) ≤ v always), so the
-    * label sum strictly decreases until fixpoint — sum unchanged ⟺ no
-    * label changed ⟺ the one-hop pass is at fixpoint, which means the
-    * label is constant on every component and equals its min id.
+    * Convergence is the fixpoint condition itself, probed directly
+    * before each round: "no edge connects two different labels" ⟺ the
+    * label is constant on every component — and since labels start as
+    * node ids and only ever decrease toward in-component ids, that
+    * constant is the component min. The probe is one limit-1 job over
+    * edges⋈labels⋈labels (cheap; AQE broadcasts the label table), so a
+    * graph whose init pass already converged — the common case for
+    * near-dup clusters, which are dense — pays exactly one probe, not a
+    * full extra propagation round.
     *
-    * Scale: per round, two equi-joins + one groupBy keyed on node id;
-    * state is one (id,label) row per node, localCheckpoint'd so lineage
-    * stays flat. No driver-side graph, no cartesian.
+    * Scale: per round, equi-joins + one groupBy keyed on node id; state
+    * is one (id,label) row per node, localCheckpoint'd so lineage stays
+    * flat. No driver-side graph, no cartesian.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the edge list once — its lineage (e.g. a whole
@@ -205,30 +207,36 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("m"))
       .select(col("id"), least(col("id"), col("m")).as("label"))
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).first.getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = false
+    def atFixpoint: Boolean = {
+      val la = labels.select(col("id").as("ia"), col("label").as("la"))
+      val lb = labels.select(col("id").as("ib"), col("label").as("lb"))
+      edges.join(la, edges("src") === col("ia"))
+        .join(lb, edges("dst") === col("ib"))
+        .filter(col("la") =!= col("lb")).isEmpty
+    }
     var iter = 0
+    var converged = atFixpoint
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
       val oneHop = labels.join(nbrMin, labels("id") === col("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("l1"))
-      // pointer doubling: follow the label's own label (l1 is always an
-      // existing node id, so the self-join hits; left join for safety)
-      val doubled = oneHop.as("x")
-        .join(oneHop.select(col("id").as("pid"), col("l1").as("pl")).as("y"),
-          col("x.l1") === col("y.pid"), "left")
-        .select(col("x.id").as("id"),
-          least(col("x.l1"), coalesce(col("y.pl"), col("x.l1"))).as("label"))
+      // pointer doubling ×2: follow the label's own label, twice —
+      // path lengths shrink 4× per round for the cost of two cheap
+      // label-table self-joins (l1 is always an existing node id, so
+      // the joins hit; left join for safety)
+      def jump(ls: DataFrame): DataFrame =
+        ls.as("x")
+          .join(ls.select(col("id").as("pid"), col("l1").as("pl")).as("y"),
+            col("x.l1") === col("y.pid"), "left")
+          .select(col("x.id").as("id"),
+            least(col("x.l1"), coalesce(col("y.pl"), col("x.l1"))).as("l1"))
+      labels = jump(jump(oneHop))
+        .withColumnRenamed("l1", "label")
         .localCheckpoint(true)
-      val s = labelSum(doubled)
-      converged = s == prevSum
-      prevSum = s
-      labels = doubled
       iter += 1
+      converged = atFixpoint
     }
     labels.select(col("id"), col("label").as("cluster_id"))
   }

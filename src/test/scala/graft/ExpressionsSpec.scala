@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.expressions.Md5Long60
+import graft.expressions.{Md5Long60, MinhashSig}
+import graft.operators.Dedup
 
 class ExpressionsSpec extends SparkSpec {
   import spark.implicits._
@@ -37,6 +38,29 @@ class ExpressionsSpec extends SparkSpec {
         "SELECT cast(conv(substring(md5('abc'), 1, 15), 16, 10) as long)").collect()(0).getLong(0)
       assert(v == expected)
     } finally () // shared JVM: don't stop the default session's context
+  }
+
+  test("MinhashSig equals the composed gramHashes∘minhashSignature form") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "  Mixed   CASE   And\tTabs newline\ncontent here ",
+      "ünïcödé tökens ✓ mixed with ascii words too",
+      "one two three", // exactly n tokens → single gram
+      "too short",     // under n tokens → null signature
+      "",              // no tokens → null
+      "x " * 500)      // long repetitive doc
+    val df = docs.toDF("text")
+    val out = df.select(
+      MinhashSig($"text", 3, 16).as("fast"),
+      when(size(Dedup.gramHashes($"text", 3)) > 0,
+        Dedup.minhashSignature(Dedup.gramHashes($"text", 3), 16)).as("slow")).collect()
+    out.zip(docs).foreach { case (r, d) =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch for '$d'")
+      if (!r.isNullAt(0))
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"signature mismatch for '$d'")
+    }
+    assert(out(5).isNullAt(0) && out(6).isNullAt(0))
   }
 
   test("Md5Long60 codegen path works inside whole-stage codegen") {
