@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{Md5Long60, MinhashSig}
+import graft.expressions.{DotFold, Md5Long60, MinhashSig}
 
 /** Session extensions: registers graft's native expressions for SQL
   * use. Attach with
@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinhashSig].getName, MinhashSig.FnName),
       (exprs: Seq[Expression]) => MinhashSig(exprs.head,
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      new FunctionIdentifier(DotFold.FnName),
+      new ExpressionInfo(classOf[DotFold].getName, DotFold.FnName),
+      (exprs: Seq[Expression]) => DotFold(exprs.head, exprs(1))))
   }
 }

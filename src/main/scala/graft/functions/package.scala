@@ -71,9 +71,16 @@ package object functions {
   // ---------- embeddings ----------
 
   /** Dot product of two array<float|double> columns. Left-to-right
-    * sequential fold keeps float summation order deterministic.
+    * sequential fold keeps float summation order deterministic. Backed
+    * by the native codegen'd expression (graft.expressions.DotFold);
+    * [[dotComposed]] is the executable spec it is pinned against.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = graft.expressions.DotFold(a, b)
+
+  /** The composed higher-order-function form of [[dot]] (interpreted;
+    * kept as the readable spec for the native expression).
+    */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{Md5Long60, MinhashSig}
+import graft.expressions.{DotFold, Md5Long60, MinhashSig}
 import graft.operators.Dedup
 
 class ExpressionsSpec extends SparkSpec {
@@ -61,6 +61,27 @@ class ExpressionsSpec extends SparkSpec {
         assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"signature mismatch for '$d'")
     }
     assert(out(5).isNullAt(0) && out(6).isNullAt(0))
+  }
+
+  test("DotFold equals the composed zip_with/aggregate fold bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val pairs: Seq[(Array[Float], Array[Float])] =
+      (1 to 50).map { _ =>
+        val n = 1 + rnd.nextInt(64)
+        (Array.fill(n)(rnd.nextFloat() * 2 - 1), Array.fill(n)(rnd.nextFloat() * 2 - 1))
+      } :+ ((Array.empty[Float], Array.empty[Float])) :+
+        ((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f))) // length mismatch → null
+    val df = pairs.toDF("a", "b")
+    val out = df.select(
+      DotFold($"a", $"b").as("fast"),
+      graft.functions.dotComposed($"a", $"b").as("slow")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+    }
+    assert(out.last.isNullAt(0), "mismatched lengths must fold to null")
   }
 
   test("Md5Long60 codegen path works inside whole-stage codegen") {
