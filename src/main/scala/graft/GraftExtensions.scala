@@ -26,5 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(DotFold.FnName),
       new ExpressionInfo(classOf[DotFold].getName, DotFold.FnName),
       (exprs: Seq[Expression]) => DotFold(exprs.head, exprs(1))))
+    // composed aggregate(zip_with(...)) dot products → native DotFold
+    e.injectOptimizerRule(_ => graft.plans.RewriteDotFold)
   }
 }

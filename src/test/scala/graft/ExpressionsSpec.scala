@@ -84,6 +84,31 @@ class ExpressionsSpec extends SparkSpec {
     assert(out.last.isNullAt(0), "mismatched lengths must fold to null")
   }
 
+  test("RewriteDotFold optimizer rule turns composed dots into DotFold") {
+    import graft.expressions.{DotFold => DotFoldExpr}
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.RewriteDotFold
+    try {
+      val rnd = new scala.util.Random(11)
+      // parquet-backed (a LocalRelation would be constant-folded before
+      // user-provided optimizer rules run)
+      val dir = Fixtures.tmpDir("dotfold").toString
+      (1 to 20).map { _ =>
+        (Array.fill(16)(rnd.nextFloat()), Array.fill(16)(rnd.nextFloat()))
+      }.toDF("a", "b").write.mode("overwrite").parquet(dir)
+      val df = spark.read.parquet(dir)
+      val composed = df.select(graft.functions.dotComposed($"a", $"b").as("d"))
+      val rewritten = composed.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.expressions.DotFold]))
+      assert(rewritten, "optimized plan must contain DotFold:\n" +
+        composed.queryExecution.optimizedPlan.treeString)
+      val a = composed.collect().map(_.getDouble(0))
+      val b = df.select(DotFoldExpr($"a", $"b")).collect().map(_.getDouble(0))
+      assert(a.zip(b).forall { case (x, y) =>
+        java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y) })
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("Md5Long60 codegen path works inside whole-stage codegen") {
     // outside HOF lambdas the expression must compile via doGenCode
     val n = spark.range(1000)
