@@ -41,4 +41,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"), "must not plan a shuffled cartesian")
   }
+
+  test("quality-score scan prunes to doc_id + text") {
+    val p = plan("q41_quality_score")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"quality score must not read unused columns: $readSchema")
+  }
+
+  test("native expressions are planned in the hot paths (no HOF fallback)") {
+    // (formatted mode under AQE doesn't print WholeStageCodegen markers;
+    // the codegen path itself is exercised by ExpressionsSpec)
+    assert(plan("q18_minhash_lsh_pairs").contains("minhash_sig"),
+      "q18 must use the native signature expression")
+    assert(plan("q21_ann_brute_force").contains("dot_fold"),
+      "q21 must use the native dot product")
+  }
+
+  test("sketch aggregation keeps map-side partial aggregation") {
+    val p = plan("q35_sketches")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate") ||
+      p.contains("ObjectHashAggregate"))
+  }
 }
