@@ -432,5 +432,18 @@ object OracleSql {
          FROM (SELECT doc_id,
              string_split(regexp_replace(substr(text, 1, 40), ' ', '^', 'g'), '^') AS parts
            FROM documents)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+
+    // independent formulation: plain range-predicate join (the Spark
+    // side buckets by floor(ts/tol) and replicates right rows to the 3
+    // neighbor buckets — same pair set, one equi-join)
+    "q43_range_join" ->
+      """WITH E AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+          P AS (SELECT user_id, epoch_us(ts) AS pts_us, event_id AS p_event_id
+                FROM events WHERE event_type = 'purchase')
+          SELECT e.event_id, cast(count(*) as bigint) AS n_nearby,
+            cast(min(p.p_event_id) as bigint) AS first_p
+          FROM E e JOIN P p ON e.user_id = p.user_id
+            AND abs(e.ts_us - p.pts_us) <= 120000000
+          GROUP BY e.event_id ORDER BY e.event_id""")
 }

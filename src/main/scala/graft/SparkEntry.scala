@@ -503,6 +503,26 @@ object SparkEntry {
       .na.fill(0L)
       .orderBy(col("user_bucket"))
 
+  /** Range (tolerance) join via bucket replication (operators.AsOf
+    * .joinWithin): events paired with same-user purchases within ±2
+    * minutes, aggregated per event — one equi-join on (key, bucket),
+    * never a per-key quadratic range explosion. All-integer µs.
+    */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val tolUs = 120L * 1000000
+    val ev = tRaw(s, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+    val purchases = tRaw(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts DIV 1000").as("pts_us"),
+        col("event_id").as("p_event_id"))
+    graft.operators.AsOf.joinWithin(ev, purchases, "user_id",
+        col("ts_us"), col("pts_us"), tolUs)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_nearby"), min(col("p_event_id")).as("first_p"))
+      .orderBy(col("event_id"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -547,7 +567,8 @@ object SparkEntry {
     "q39_exact_median" -> (qExactMedian _),
     "q40_pivot_events" -> (qPivotEvents _),
     "q41_quality_score" -> (qQualityScore _),
-    "q42_hl7_component" -> (qHl7Component _))
+    "q42_hl7_component" -> (qHl7Component _),
+    "q43_range_join" -> (qRangeJoin _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
