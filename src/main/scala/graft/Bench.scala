@@ -10,6 +10,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // respect the advisory partition size when AQE coalesces instead
+      // of maximizing parallelism — fewer tiny post-shuffle tasks
+      // (the setting Spark's AQE docs recommend)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup on the smallest SF so the timed runs below

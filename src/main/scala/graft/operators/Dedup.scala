@@ -105,17 +105,20 @@ object Dedup {
       maxBucketSize: Option[Int] = None): DataFrame = {
     val k = bands * rowsPerBand
     // stage 1: the whole signature in one native codegen'd pass per row
-    // (MinhashSig ≡ gramHashes∘minhashSignature, pinned by spec); docs
-    // with no gram (under n tokens) yield null and are dropped.
+    // (MinhashSig ≡ gramHashes∘minhashSignature, pinned by spec). Docs
+    // with no gram (under n tokens) yield a null signature; the null
+    // guard lives INSIDE the generator input (null array → posexplode
+    // emits nothing) rather than as a separate filter — a pushed-down
+    // `sig IS NOT NULL` predicate would make Catalyst evaluate the
+    // signature a second time per row in the Filter condition.
     val withSig = df.select(col(idCol).as("id"),
-        graft.expressions.MinhashSig(col(textCol), n, k).as("sig"))
-      .filter(col("sig").isNotNull)
+      graft.expressions.MinhashSig(col(textCol), n, k).as("sig"))
     val bandBuckets = transform(sequence(lit(0), lit(bands - 1)), b => {
       val bandSlice = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
       md5(array_join(transform(bandSlice, x => x.cast("string")), ","))
     })
     val bandedAll = withSig.select(col("id"),
-      posexplode(bandBuckets).as(Seq("band", "bucket")))
+      posexplode(when(col("sig").isNotNull, bandBuckets)).as(Seq("band", "bucket")))
     val banded = maxBucketSize match {
       case None => bandedAll
       case Some(cap) =>
