@@ -101,22 +101,42 @@ final class VersionedTable(spark: SparkSession, root: String,
     val prevManifest = commitDirs.lastOption.map(readManifest).getOrElse(Map.empty[Int, String])
     val touched: Set[Int] = updates.select(bucketExpr.as("b")).distinct()
       .collect().map(_.getLong(0).toInt).toSet
-    val tagged = updates.withColumn("_is_update", lit(1))
+    // incoming rows are stamped with this commit; carried rows keep the
+    // commit that last wrote them (Hudi per-record _hoodie_commit_time
+    // semantics — rewritten-but-unchanged rows don't advance), which is
+    // what makes [[incremental]] reads record-accurate.
+    val tagged = updates.withColumn("_is_update", lit(1)).withColumn(CommitCol, lit(ts))
     val prevPaths = touched.toSeq.sorted.flatMap(b => prevManifest.get(b).map(c => bucketPath(b, c)))
     val merged =
       if (prevPaths.isEmpty) tagged
       else spark.read.option("mergeSchema", "true").parquet(prevPaths: _*)
-        .drop(CommitCol).withColumn("_is_update", lit(0))
+        .withColumn("_is_update", lit(0))
         .unionByName(tagged, allowMissingColumns = true)
     val w = Window.partitionBy(col(recordKey))
       .orderBy(col(precombine).desc, col("_is_update").desc)
     val deduped = merged.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn", "_is_update")
-      .withColumn(CommitCol, lit(ts))
       .withColumn(BucketCol, bucketExpr)
     deduped.write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$ts/data")
     writeManifest(ts, prevManifest ++ touched.map(_ -> ts))
     ts
+  }
+
+  /** Incremental pull (Hudi incremental-query semantics): records whose
+    * last write is AFTER `sinceTs` (exclusive), as of the latest
+    * commit. File-pruned via the manifest — only buckets written by a
+    * commit newer than `sinceTs` are read at all — then record-filtered
+    * on the per-row commit time, so carried-forward rows inside a
+    * rewritten bucket are correctly excluded. At 100 TB an incremental
+    * consumer reads only the changed file groups, never the table.
+    */
+  def incremental(sinceTs: String): DataFrame = {
+    val m = commitDirs.lastOption.map(readManifest).getOrElse(Map.empty[Int, String])
+    val touched = m.filter { case (_, c) => c > sinceTs }.toSeq.sortBy(_._1)
+    if (touched.isEmpty) snapshot.filter(lit(false))
+    else spark.read.option("mergeSchema", "true")
+      .parquet(touched.map { case (b, c) => bucketPath(b, c) }: _*)
+      .filter(col(CommitCol) > sinceTs)
   }
 
   def snapshotOpt: Option[DataFrame] = commitDirs.lastOption.map(readCommit)

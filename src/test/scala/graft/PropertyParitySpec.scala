@@ -1,0 +1,68 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{DotFold, MinhashSig}
+import graft.operators.Dedup
+
+/** Property-based parity: the native codegen'd expressions must equal
+  * their composed higher-order forms on scalacheck-generated inputs
+  * (deterministic seed → reproducible). One Spark job per property:
+  * generate the corpus driver-side, compare both columns row-wise.
+  */
+class PropertyParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[List[A]], seed: Long): List[A] =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("property: MinhashSig ≡ composed fold on generated text") {
+    val tokenGen = Gen.frequency(
+      5 -> Gen.alphaNumStr.map(_.take(8)),
+      2 -> Gen.oneOf("the", "QUICK", "fox", "über", "naïve", "東京", "✓", "a-b.c"),
+      1 -> Gen.const(""))
+    val sepGen = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val docGen = for {
+      n <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(n, tokenGen)
+      seps <- Gen.listOfN(n, sepGen)
+      lead <- Gen.oneOf("", " ", "\n")
+    } yield lead + toks.zip(seps).map { case (t, s) => t + s }.mkString
+    val docs = sample(Gen.listOfN(400, docGen), seed = 20260812L)
+    val out = docs.toDF("text").select(
+      MinhashSig($"text", 3, 16).as("fast"),
+      when(size(Dedup.gramHashes($"text", 3)) > 0,
+        Dedup.minhashSignature(Dedup.gramHashes($"text", 3), 16)).as("slow"),
+      $"text").collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch: '${r.getString(2)}'")
+      if (!r.isNullAt(0))
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"sig mismatch: '${r.getString(2)}'")
+    }
+  }
+
+  test("property: DotFold ≡ composed fold on generated vectors incl. extremes") {
+    val valGen = Gen.frequency(
+      8 -> Gen.chooseNum(-1e6f, 1e6f),
+      2 -> Gen.chooseNum(-1e30f, 1e30f),
+      1 -> Gen.oneOf(0.0f, -0.0f, Float.MinPositiveValue, Float.MaxValue))
+    val pairGen = for {
+      n <- Gen.choose(0, 64)
+      a <- Gen.listOfN(n, valGen)
+      b <- Gen.listOfN(n, valGen)
+    } yield (a.toArray, b.toArray)
+    val pairs = sample(Gen.listOfN(300, pairGen), seed = 4202608L)
+    val out = pairs.toDF("a", "b").select(
+      DotFold($"a", $"b").as("fast"),
+      graft.functions.dotComposed($"a", $"b").as("slow")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+    }
+  }
+}

@@ -84,6 +84,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(old("K1") == "p1")
   }
 
+  test("incremental pull returns only records last written after the given commit") {
+    val root = Fixtures.tmpDir("vti").toString
+    // one bucket: the second commit rewrites the bucket containing ALL
+    // keys, so carried rows prove per-record commit preservation
+    val vt = new VersionedTable(spark, root, "k", "v", numBuckets = 1)
+    val c1 = vt.upsert(Seq(("A", "1", "a1"), ("B", "1", "b1"), ("C", "1", "c1"))
+      .toDF("k", "v", "payload"))
+    val c2 = vt.upsert(Seq(("B", "2", "b2")).toDF("k", "v", "payload"))
+
+    // carried rows keep their original commit even through the rewrite
+    val commits = vt.snapshot.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String](vt.CommitCol)).toMap
+    assert(commits("A") == c1 && commits("C") == c1 && commits("B") == c2)
+
+    // incremental since c1 → exactly the c2-written record
+    val inc = vt.incremental(c1).collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("payload")).toMap
+    assert(inc == Map("B" -> "b2"))
+    // since the epoch → everything; since c2 → nothing
+    assert(vt.incremental("00000000000000").count() == 3)
+    assert(vt.incremental(c2).count() == 0)
+  }
+
   test("joinWithin equals the naive range-join result") {
     import org.apache.spark.sql.functions.{abs, col}
     val rnd = new scala.util.Random(3)
