@@ -83,6 +83,27 @@ object OracleSql {
   private def stopwordList(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** CTE chain `TH, HS, SIG, B, PAIRS` producing the MinHash-LSH
+    * candidate pairs of `src` — mirror of Dedup.minhashLshPairs
+    * (16 hashes, 4 bands × 4 rows, word 3-grams).
+    */
+  private def lshPairCtes(src: String): String = {
+    val p = graft.operators.Dedup.MinhashP
+    val sigExprs = graft.operators.Dedup.minhashCoeffs(16).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
+    }.mkString("[", ", ", "]")
+    s"""TH AS (SELECT doc_id, ${tokenHashExpr("text")} AS th FROM $src),
+        HS AS (SELECT doc_id, $gramFromTh AS hs FROM TH),
+        SIG AS (SELECT doc_id, $sigExprs AS sig FROM HS WHERE len(hs) > 0),
+        B AS (SELECT doc_id, t.band AS band,
+               md5(array_to_string(list_transform(
+                 list_slice(sig, t.band * 4 + 1, t.band * 4 + 4), x -> x::varchar), ',')) AS bucket
+              FROM SIG CROSS JOIN (SELECT unnest(range(4)) AS band) t),
+        PAIRS AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+                  FROM B a JOIN B b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                    AND a.doc_id < b2.doc_id)"""
+  }
+
   private def hitsSql(e: String, lang: String): String =
     s"cast(len(list_filter(${toks(s"lower($e)")}, t -> list_contains(${stopwordList(lang)}, t))) as bigint)"
 
@@ -347,24 +368,11 @@ object OracleSql {
          cast(1 as bigint) AS p50_ok, cast(1 as bigint) AS p99_ok
          FROM lineitem""",
 
-    "q36_dup_clusters" -> {
+    "q36_dup_clusters" ->
       // independent formulation: recursive reachability, cluster id =
       // min reachable node (Spark side iterates label propagation)
-      val p = graft.operators.Dedup.MinhashP
-      val sigExprs = graft.operators.Dedup.minhashCoeffs(16).map { case (a, b) =>
-        s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
-      }.mkString("[", ", ", "]")
       s"""WITH RECURSIVE
-          TH AS (SELECT doc_id, ${tokenHashExpr("text")} AS th FROM documents),
-          HS AS (SELECT doc_id, $gramFromTh AS hs FROM TH),
-          SIG AS (SELECT doc_id, $sigExprs AS sig FROM HS WHERE len(hs) > 0),
-          B AS (SELECT doc_id, t.band AS band,
-                 md5(array_to_string(list_transform(
-                   list_slice(sig, t.band * 4 + 1, t.band * 4 + 4), x -> x::varchar), ',')) AS bucket
-                FROM SIG CROSS JOIN (SELECT unnest(range(4)) AS band) t),
-          PAIRS AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-                    FROM B a JOIN B b2 ON a.band = b2.band AND a.bucket = b2.bucket
-                      AND a.doc_id < b2.doc_id),
+          ${lshPairCtes("documents")},
           EDGES AS (SELECT id_a AS src, id_b AS dst FROM PAIRS
                     UNION SELECT id_b, id_a FROM PAIRS),
           REACH(node, r) AS (
@@ -372,8 +380,7 @@ object OracleSql {
             UNION
             SELECT e.dst, r.r FROM REACH r JOIN EDGES e ON e.src = r.node)
           SELECT node AS doc_id, min(r) AS cluster_id FROM REACH
-          GROUP BY node ORDER BY doc_id"""
-    },
+          GROUP BY node ORDER BY doc_id""",
 
     "q37_sessionize" ->
       """WITH E AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
@@ -445,5 +452,52 @@ object OracleSql {
             cast(min(p.p_event_id) as bigint) AS first_p
           FROM E e JOIN P p ON e.user_id = p.user_id
             AND abs(e.ts_us - p.pts_us) <= 120000000
-          GROUP BY e.event_id ORDER BY e.event_id""")
+          GROUP BY e.event_id ORDER BY e.event_id""",
+
+    // end-to-end curation: exact-dedup keepers → near-dup cluster
+    // pruning (recursive reachability over the kept docs' LSH pairs) →
+    // quality (q41 formula) + language (q26 formula) gates
+    "q44_curation" -> {
+      val langs = TextAnalysis.stopwords.keys.toSeq.sorted // de, en, es, fr
+      val hits = langs.map(l => s"${hitsSql("text", l)} AS h_$l").mkString(", ")
+      s"""WITH RECURSIVE
+          KEEP AS (SELECT * FROM documents
+                   WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+          ${lshPairCtes("KEEP")},
+          EDGES AS (SELECT id_a AS src, id_b AS dst FROM PAIRS
+                    UNION SELECT id_b, id_a FROM PAIRS),
+          REACH(node, r) AS (
+            SELECT src, src FROM EDGES
+            UNION
+            SELECT e.dst, r.r FROM REACH r JOIN EDGES e ON e.src = r.node),
+          CL AS (SELECT node, min(r) AS cluster_id FROM REACH GROUP BY node),
+          SURV AS (SELECT * FROM KEEP
+                   WHERE doc_id NOT IN (SELECT node FROM CL WHERE node <> cluster_id)),
+          BASE AS (SELECT doc_id,
+              length(coalesce(text,''))::DOUBLE AS len,
+              len(${toks("text")})::DOUBLE AS ntok,
+              len(regexp_extract_all(coalesce(text,''), '[0-9]'))::DOUBLE AS digits,
+              ${hitsSql("text", "en")}::DOUBLE AS stops,
+              $hits
+            FROM SURV),
+          SC AS (SELECT doc_id,
+              CASE WHEN len >= 100 AND len <= 10000 THEN 1.0::DOUBLE
+                   WHEN len < 100 THEN len / 100.0::DOUBLE
+                   ELSE 10000.0::DOUBLE / len END AS ls,
+              1.0::DOUBLE - (CASE WHEN len = 0 THEN 0.0::DOUBLE ELSE digits / len END) AS dp,
+              least((CASE WHEN ntok = 0 THEN 0.0::DOUBLE ELSE stops / ntok END) * 5.0::DOUBLE, 1.0::DOUBLE) AS ss,
+              h_de, h_en, h_es, h_fr
+            FROM BASE),
+          G AS (SELECT doc_id,
+              cast(floor(((ls + dp + ss) / 3.0::DOUBLE) * 1000000.0::DOUBLE) as bigint) AS quality_1e6,
+              CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                   WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                   WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                   WHEN h_es >= h_fr THEN 'es'
+                   ELSE 'fr' END AS predicted_lang
+            FROM SC)
+          SELECT doc_id, quality_1e6, predicted_lang FROM G
+          WHERE quality_1e6 >= 600000 AND predicted_lang = 'en'
+          ORDER BY doc_id"""
+    })
 }

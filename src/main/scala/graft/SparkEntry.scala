@@ -523,6 +523,15 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** End-to-end corpus curation (operators.Curation): exact dedup →
+    * near-dup cluster pruning → quality + language gates, composed from
+    * the individually-oracle-verified operators.
+    */
+  private def qCuration(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.curate(t(s, dir, "documents"))
+      .select(col("doc_id"), col("quality_1e6"), col("predicted_lang"))
+      .orderBy(col("doc_id"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -568,7 +577,8 @@ object SparkEntry {
     "q40_pivot_events" -> (qPivotEvents _),
     "q41_quality_score" -> (qQualityScore _),
     "q42_hl7_component" -> (qHl7Component _),
-    "q43_range_join" -> (qRangeJoin _))
+    "q43_range_join" -> (qRangeJoin _),
+    "q44_curation" -> (qCuration _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

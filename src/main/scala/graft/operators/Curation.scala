@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the composition a real LLM data
+  * pipeline runs over raw documents, as one operator —
+  *
+  *   1. exact dedup (content-hash groupBy, min-id keeper),
+  *   2. near-dup pruning (MinHash-LSH candidate pairs → connected
+  *      components → keep only each cluster's min id),
+  *   3. quality gate (composite score in 1e-6 fixed point),
+  *   4. language gate (stopword-argmax language id).
+  *
+  * Every stage is an existing oracle-verified operator ([[Dedup]],
+  * [[TextAnalysis]]); this just wires them, so the whole pipeline stays
+  * shuffle-disciplined: one shuffle for the exact-dedup hash groupBy,
+  * the banded-LSH equi-join for candidates, O(log d) rounds for
+  * clustering, and pure codegen'd expressions for the gates.
+  */
+object Curation {
+
+  /** Returns the curated corpus: survivors of both dedup stages that
+    * pass the quality and language gates, with the gate signals
+    * attached (`quality_1e6`, `predicted_lang`).
+    */
+  def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minQuality1e6: Long = 600000L, lang: String = "en",
+      bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+    val keepExact = Dedup.exact(docs, col(idCol), col(textCol)).select(col("keep_id"))
+    // the deduped corpus feeds BOTH the LSH pair pipeline and the final
+    // survivor join — materialize it once instead of re-running the
+    // scan + hash-groupBy + semi-join per consumer (at cluster scale
+    // this is the natural checkpoint/persist boundary of a curation
+    // run; a 2-use lineage over 100 TB is exactly what you checkpoint)
+    val kept = docs.join(keepExact, docs(idCol) === keepExact("keep_id"), "left_semi")
+      .localCheckpoint(true)
+    val pairs = Dedup.minhashLshPairs(kept, idCol, textCol, bands, rowsPerBand, n)
+    val dropNearDups = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id")).select(col("id"))
+    // both gates from ONE tokenization (curationGates), staged behind a
+    // one-row explode: the Generate is a predicate-pushdown barrier, so
+    // the filter references the materialized struct instead of Catalyst
+    // inlining (= re-evaluating) the gate expression into its condition
+    kept.join(dropNearDups, kept(idCol) === dropNearDups("id"), "left_anti")
+      .select(col("*"),
+        explode(array(TextAnalysis.curationGates(col(textCol)))).as("_g"))
+      .filter(col("_g.quality_1e6") >= minQuality1e6 &&
+        col("_g.predicted_lang") === lang)
+      .withColumn("quality_1e6", col("_g.quality_1e6"))
+      .withColumn("predicted_lang", col("_g.predicted_lang"))
+      .drop("_g")
+  }
+}

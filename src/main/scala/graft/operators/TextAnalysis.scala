@@ -85,6 +85,37 @@ object TextAnalysis {
   /** Human-facing rounded form of [[qualityScoreRaw]]. */
   def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
 
+  /** Fused curation gates: quality score (1e-6 fixed point, the exact
+    * [[qualityScoreRaw]] arithmetic) and predicted language (the exact
+    * [[langId]] argmax) from ONE tokenization — the separate
+    * expressions each let-bind their own token array, so a pipeline
+    * that needs both would tokenize twice and score stopword hits for
+    * 5 lists across 2 passes. Returns
+    * struct(quality_1e6 long, predicted_lang string).
+    */
+  def curationGates(text: Column): Column =
+    let(tokens(lower(text)), toks => {
+      val len = length(coalesce(text, lit(""))).cast("double")
+      val nTok = size(toks).cast("long").cast("double")
+      val digits = regexp_count(coalesce(text, lit("")), lit("[0-9]")).cast("double")
+      val stops = hitsFromTokens(toks, stopwords("en")).cast("double")
+      val lenScore = when(len >= 100 && len <= 10000, lit(1.0))
+        .when(len < 100, len / 100.0)
+        .otherwise(lit(10000.0) / len)
+      val digitPenalty = lit(1.0) - ratio(digits, len)
+      val stopScore = least(ratio(stops, nTok) * 5.0, lit(1.0))
+      val quality = floor(((lenScore + digitPenalty + stopScore) / 3.0) * 1000000.0)
+        .cast("long")
+      val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        struct(hitsFromTokens(toks, words).as("hits"), lit(lang).as("lang"))
+      }
+      val best = scored.reduce { (a, b) =>
+        when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+      }
+      val plang = when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+      struct(quality.as("quality_1e6"), plang.as("predicted_lang"))
+    })
+
   /** Document fingerprint: 60-bit hash of the whitespace-normalized,
     * lowercased text — stable under formatting noise. md5-derived for
     * engine reproducibility.

@@ -114,8 +114,9 @@ object Validator {
     val expected = spec.fields.map(_.name)
     val missing = expected.diff(df.columns.toSeq)
     val rowCount = df.count() // exact, full scan — columnar + pushdown
-    val probe = df.limit(SampleRows)
-      .select(explode(errorArray(df.limit(SampleRows), spec)).as("error"))
+    val sampled = df.limit(SampleRows)
+    val probe = sampled
+      .select(explode(errorArray(sampled, spec)).as("error"))
       .limit(MaxErrorSamples)
     val errors = probe.collect().map(_.getString(0)).toSeq
     ValidationResult(missing.isEmpty && errors.isEmpty, rowCount, missing, errors)

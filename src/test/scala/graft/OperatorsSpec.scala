@@ -115,4 +115,22 @@ class OperatorsSpec extends SparkSpec {
     val out = Seq("abab").toDF("t").select(charShingles($"t", 2)).as[Seq[String]].collect()(0)
     assert(out == Seq("ab", "ba"))
   }
+
+  test("curation pipeline drops exact dups, near-dup cluster losers, low quality, wrong lang") {
+    val en = "the quick brown fox and the lazy dog went to the market for a fine day of trading " * 4
+    val docs = Seq(
+      (1L, en + "alpha"),               // keeper
+      (2L, en + "alpha"),               // exact dup of 1 -> dropped
+      (3L, en + "alphb"),               // near-dup of 1 (same 3-gram shingles mostly) -> cluster loser
+      (4L, "der die das und ist ein zu mit von nicht " * 10), // German -> lang gate
+      (5L, "1234 5678 " * 60),          // digit soup -> quality gate
+      (6L, en + "completely different tail with many extra distinct tokens appended here")
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Curation.curate(docs, minQuality1e6 = 600000L, lang = "en")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L))
+    assert(!kept.contains(4L), "German doc must fail the language gate")
+    assert(!kept.contains(5L), "digit soup must fail the quality gate")
+    assert(!kept.contains(3L), "near-dup cluster loser must be dropped")
+  }
 }
