@@ -70,11 +70,91 @@ final class ParquetControlBackend(spark: SparkSession, root: String,
   }
 }
 
+/** Real JDBC control plane — the reference's architecture
+  * (etl/db.py:12-63 over Postgres), runnable here against embedded
+  * Derby (which ships with Spark). Appends are driver-side batched
+  * INSERTs exactly like the reference's single-threaded psycopg2 flow;
+  * reads come back through Spark's JDBC source so every lineage query
+  * is still a distributed DataFrame plan. Tables are created on demand
+  * from the DataFrame schema with quoted (case-preserving) identifiers
+  * so read-back column names match the engine's expectations.
+  */
+final class JdbcControlBackend(spark: SparkSession, url: String) extends ControlBackend {
+  import java.sql.{Connection, DriverManager, SQLException, Types}
+  import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+  JdbcControlBackend.init()
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def sqlType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+    case _ => "VARCHAR(32000)"
+  }
+
+  private def jdbcType(dt: DataType): Int = dt match {
+    case LongType => Types.BIGINT
+    case IntegerType => Types.INTEGER
+    case org.apache.spark.sql.types.DoubleType => Types.DOUBLE
+    case _ => Types.VARCHAR
+  }
+
+  private def ensureTable(c: Connection, table: String, schema: StructType): Unit = {
+    val cols = schema.map(f => s""""${f.name}" ${sqlType(f.dataType)}""").mkString(", ")
+    val st = c.createStatement()
+    try st.executeUpdate(s"""CREATE TABLE "$table" ($cols)""")
+    catch { case e: SQLException if e.getSQLState == "X0Y32" => () } // exists
+    finally st.close()
+  }
+
+  private def tableExists(c: Connection, table: String): Boolean = {
+    val rs = c.getMetaData.getTables(null, null, table, null)
+    try rs.next() finally rs.close()
+  }
+
+  override def append(table: String, df: DataFrame): Unit = withConn { c =>
+    ensureTable(c, table, df.schema)
+    val cols = df.schema.map(f => s""""${f.name}"""").mkString(", ")
+    val marks = df.schema.map(_ => "?").mkString(", ")
+    val ps = c.prepareStatement(s"""INSERT INTO "$table" ($cols) VALUES ($marks)""")
+    try {
+      df.collect().foreach { row =>
+        df.schema.indices.foreach { i =>
+          val v = row.get(i)
+          if (v == null) ps.setNull(i + 1, jdbcType(df.schema(i).dataType))
+          else ps.setObject(i + 1, v)
+        }
+        ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally ps.close()
+  }
+
+  override def read(table: String)(empty: => DataFrame): DataFrame =
+    if (!withConn(tableExists(_, table))) empty
+    else spark.read.format("jdbc")
+      .option("url", url).option("dbtable", s""""$table"""").load()
+}
+
+object JdbcControlBackend {
+  /** Keep embedded Derby's derby.log out of the working directory. */
+  private lazy val initOnce: Unit = {
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home",
+        Files.createTempDirectory("derby-home").toString)
+  }
+  private def init(): Unit = initOnce
+}
+
 /** RDBMS-contract stand-in: rows live in driver memory, appends are
   * transactional row inserts, reads rebuild a DataFrame from the stored
-  * rows — behaviorally what a JDBC backend returns from SELECT *. Used
-  * by the contract tests to prove `Provenance` is backend-agnostic
-  * (the image ships no Postgres, so the real JDBC impl can't run here).
+  * rows — behaviorally what a JDBC backend returns from SELECT *. Kept
+  * alongside [[JdbcControlBackend]] as the dependency-free contract
+  * reference.
   */
 final class InMemoryControlBackend(spark: SparkSession) extends ControlBackend {
 

@@ -2,17 +2,20 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ControlBackend, InMemoryControlBackend, ParquetControlBackend, Provenance}
+import graft.operators.{ControlBackend, InMemoryControlBackend, JdbcControlBackend, ParquetControlBackend, Provenance}
 
 class ProvenanceSpec extends SparkSpec {
 
-  /** Contract tests run against every backend: the parquet event log
-    * and the RDBMS-shaped in-memory stand-in must be indistinguishable
+  /** Contract tests run against every backend: the parquet event log,
+    * the in-memory stand-in, and a REAL JDBC database (embedded Derby,
+    * the reference's Postgres architecture) must be indistinguishable
     * through the Provenance API.
     */
   private def backends: Seq[(String, () => ControlBackend)] = Seq(
     "parquet" -> (() => new ParquetControlBackend(spark, Fixtures.tmpDir("prov").toString)),
-    "in-memory (jdbc-shaped)" -> (() => new InMemoryControlBackend(spark)))
+    "in-memory" -> (() => new InMemoryControlBackend(spark)),
+    "jdbc (embedded derby)" -> (() => new JdbcControlBackend(spark,
+      s"jdbc:derby:${Fixtures.tmpDir("derby")}/db;create=true")))
 
   for ((label, mkBackend) <- backends) {
 
