@@ -47,14 +47,17 @@ final class Pipeline(
   // ------------------------------------------------------------------
 
   /** Copy every file of every active source into the raw zone, hash it,
-    * and register the batch as INGESTED.
+    * and register the batch as INGESTED. With `skipIfSeen` this is an
+    * idempotent sweep (only unseen path+content registers) — the
+    * compensating pass a streaming watch pairs with, since Spark file
+    * sources never surface zero-byte files.
     */
-  def ingest(sourceBase: String): Seq[String] = {
+  def ingest(sourceBase: String, skipIfSeen: Boolean = false): Seq[String] = {
     registry.filter(_.active).flatMap { spec =>
       val srcDir = Paths.get(s"$sourceBase/${spec.name}")
       if (!Files.isDirectory(srcDir)) Nil
       else Files.list(srcDir).iterator().asScala.filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
-        .flatMap(f => ingestFile(spec.name, f))
+        .flatMap(f => ingestFile(spec.name, f, skipIfSeen))
     }
   }
 
@@ -70,10 +73,7 @@ final class Pipeline(
     registry.find(s => s.name == sourceName && s.active).flatMap { spec =>
       val sha = Provenance.sha256File(f.toString)
       val rawPath = zone("raw", spec.name, f.getFileName.toString)
-      val seen = skipIfSeen && provenance.batches
-        .filter(col("raw_file_path") === rawPath.toString && col("raw_sha256") === sha)
-        .limit(1).count() > 0
-      if (seen) None
+      if (skipIfSeen && provenance.hasIngested(rawPath.toString, sha)) None
       else {
         val batchId = Provenance.batchId(spec.name, f.getFileName.toString)
         Provenance.copyFile(f.toString, rawPath.toString)

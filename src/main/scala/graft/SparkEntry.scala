@@ -27,25 +27,36 @@ object SparkEntry {
   /** Table-plan cache: file listing + schema read happen once per
     * (session, dir, table) instead of once per query — the 40-query
     * battery otherwise pays the FileIndex/ParquetFooter round trip 40
-    * times. Caches only the logical plan (no data is pinned).
+    * times. Caches only the logical plan (no data is pinned). Weak
+    * session keys: a stopped/collected SparkSession releases its plans
+    * instead of leaking them, and a key is the session REFERENCE, so a
+    * recycled identity hash can never serve another session's plan.
     */
-  private val tableCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+  private val tableCache: java.util.Map[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+
+  private def cached(spark: SparkSession, dir: String, name: String)
+      (mk: => DataFrame): DataFrame =
+    tableCache.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+      .computeIfAbsent((dir, name), _ => mk)
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    tableCache.computeIfAbsent((System.identityHashCode(spark).toString, dir, name), _ => {
+    cached(spark, dir, name) {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       // events.ts is parquet TIMESTAMP(NANOS): read as long (legacy conf)
       // and convert to a timestamp at µs precision. DIV keeps the
       // division integral (a double roundtrip would lose ns bits).
       if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       else df
-    })
+    }
 
   /** Raw variant (no ts conversion) for the µs-integer queries. */
   private def tRaw(spark: SparkSession, dir: String, name: String): DataFrame =
-    tableCache.computeIfAbsent((System.identityHashCode(spark).toString, dir, s"raw:$name"),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+    cached(spark, dir, s"raw:$name")(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** sum(floor(expr*100)) → bigint "cents" — deterministic across engines. */
   private def cents(c: Column): Column = sum(floor(c * 100).cast("long"))

@@ -52,22 +52,32 @@ final class ParquetControlBackend(spark: SparkSession, root: String,
   }
 
   override def read(table: String)(empty: => DataFrame): DataFrame =
-    if (Files.exists(Paths.get(dir(table)))) spark.read.parquet(dir(table)) else empty
+    if (Files.exists(Paths.get(dir(table)))) spark.read.parquet(dir(table))
+    // crash/race window of a compact swap: the previous generation is
+    // still complete under _old — serve it rather than "empty lineage"
+    else if (Files.exists(Paths.get(dir(table) + "_old")))
+      spark.read.parquet(dir(table) + "_old")
+    else empty
 
   override def compact(table: String): Unit = {
     val p = Paths.get(dir(table))
     if (Files.exists(p)) {
+      val old = Paths.get(dir(table) + "_old")
+      deleteRecursively(old) // a stale generation would break the move below
       val df = spark.read.parquet(dir(table)).coalesce(1)
       val tmp = dir(table) + "_compact_tmp"
+      deleteRecursively(Paths.get(tmp))
       df.write.mode(SaveMode.Overwrite).parquet(tmp)
-      val old = dir(table) + "_old"
-      Files.move(p, Paths.get(old), StandardCopyOption.REPLACE_EXISTING)
-      Files.move(Paths.get(tmp), p, StandardCopyOption.REPLACE_EXISTING)
-      // best-effort cleanup of the old generation
-      Files.walk(Paths.get(old)).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
+      Files.move(p, old)
+      Files.move(Paths.get(tmp), p)
+      deleteRecursively(old) // best-effort cleanup of the old generation
     }
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
 }
 
 /** Real JDBC control plane — the reference's architecture

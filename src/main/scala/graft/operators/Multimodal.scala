@@ -136,7 +136,11 @@ object Multimodal {
             rd.setInput(in)
             Some(Row(rd.getWidth(0), rd.getHeight(0), null,
               rd.getFormatName.toLowerCase))
-          } catch { case _: java.io.IOException => None
+          } catch {
+            // readers throw RuntimeExceptions (not just IOException) on
+            // truncated/corrupt headers whose magic bytes still matched;
+            // one bad crawled payload must not abort the whole job
+            case scala.util.control.NonFatal(_) => None
           } finally rd.dispose()
         }
       } finally in.close()

@@ -107,6 +107,17 @@ final class Provenance(spark: SparkSession, backend: ControlBackend) {
   def pending(status: String): DataFrame =
     batches.filter($"status" === status).orderBy($"ingest_time")
 
+  /** Cheap ingest-idempotence probe: has any event registered this raw
+    * path with this content hash? Scans the raw event log with a
+    * pushed-down filter — deliberately NOT the [[batches]] view, whose
+    * last-event-wins aggregation costs a groupBy over the whole log per
+    * call (too heavy for a per-file check in a streaming watch).
+    */
+  def hasIngested(rawFilePath: String, rawSha256: String): Boolean = {
+    val ev = readOrEmpty("provenance_batch_events", spark.emptyDataset[BatchEvent].toDF())
+    !ev.filter($"raw_file_path" === rawFilePath && $"raw_sha256" === rawSha256).isEmpty
+  }
+
   // ---- lineage queries (api/app.py:63-152) ----
 
   def batchById(batchId: String): DataFrame = batches.filter($"batch_id" === batchId)

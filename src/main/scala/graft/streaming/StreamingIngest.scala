@@ -5,7 +5,6 @@ import java.nio.file.{Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.Pipeline
 
@@ -14,9 +13,10 @@ import graft.Pipeline
   * newly arrived file as an INGESTED batch through the same
   * copy + hash + provenance flow as the batch stage.
   *
-  * The stream reads files as text only to DISCOVER them (the payload is
-  * ignored; `_metadata.file_path` identifies the file), so any source
-  * format rides the same watch. Exactly-once registration holds two
+  * The stream DISCOVERS files via the binaryFile source with only the
+  * `path` column projected — no payload bytes are read and empty files
+  * still surface — so any source format rides the same watch.
+  * Exactly-once registration holds two
   * ways: the file-source checkpoint dedups across restarts, and
   * `Pipeline.ingestFile(skipIfSeen = true)` consults the control plane
   * before registering — so even a replay after checkpoint loss appends
@@ -35,9 +35,22 @@ object StreamingIngest {
     */
   def start(spark: SparkSession, pipeline: Pipeline, sourceBase: String,
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val schema = StructType(Seq(StructField("value", StringType)))
-    val files = spark.readStream.schema(schema).text(s"$sourceBase/*/*")
-      .select(col("_metadata.file_path").as("file_path"))
+    // binaryFile: one row per file, and projecting only `path` prunes
+    // the content column so discovery reads no payload bytes. CAVEAT:
+    // Spark file sources drop zero-byte files when forming read
+    // partitions, so empty files never surface from ANY streaming
+    // format — pair the watch with a periodic idempotent batch sweep
+    // (Pipeline.ingest(sourceBase, skipIfSeen = true)) to catch them.
+    // The format's schema is fixed but streaming sources require it
+    // stated explicitly.
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val files = spark.readStream.format("binaryFile").schema(binSchema)
+      .load(s"$sourceBase/*/*")
+      .select(col("path").as("file_path"))
     val registerBatch: (DataFrame, Long) => Unit = (batch, _) => {
       batch.select("file_path").distinct().collect().map(_.getString(0)).sorted
         .foreach { uri =>

@@ -56,19 +56,28 @@ class StreamingSpec extends SparkSpec {
     StreamingIngest.start(spark, pipeline, srcBase.toString, ckpt).awaitTermination(120000)
     assert(pipeline.provenance.batches.count() == 1)
 
-    // a new file arrives; the checkpointed stream picks up ONLY it
+    // new files arrive (one EMPTY — Spark file sources cannot surface
+    // zero-byte files, so the stream sees only b.csv); the checkpointed
+    // stream picks up only the new arrival
     Fixtures.write(srcBase.resolve("hospital_a/b.csv"), Fixtures.csvGood)
+    Fixtures.write(srcBase.resolve("hospital_a/empty.csv"), "")
     StreamingIngest.start(spark, pipeline, srcBase.toString, ckpt).awaitTermination(120000)
     assert(pipeline.provenance.batches.count() == 2)
 
-    // checkpoint loss replays everything — provenance guard keeps it at 2
+    // the documented compensating sweep registers ONLY the empty file
+    // (idempotent: a.csv/b.csv are already in the control plane)
+    assert(pipeline.ingest(srcBase.toString, skipIfSeen = true).size == 1)
+    assert(pipeline.provenance.batches.count() == 3)
+
+    // checkpoint loss replays everything — provenance guard keeps it at 3
     val freshCkpt = Fixtures.tmpDir("sckpt2").toString
     StreamingIngest.start(spark, pipeline, srcBase.toString, freshCkpt).awaitTermination(120000)
-    assert(pipeline.provenance.batches.count() == 2)
+    assert(pipeline.provenance.batches.count() == 3)
 
-    // the streamed batches flow into the normal batch stages
+    // the streamed batches flow into the normal batch stages (the empty
+    // file is schema-on-read valid with zero rows, like the batch path)
     val validated = pipeline.validatePending()
-    assert(validated.size == 2 && validated.forall(_._2))
+    assert(validated.size == 3 && validated.forall(_._2))
     val statuses = pipeline.provenance.batches.select("status")
       .collect().map(_.getString(0)).toSet
     assert(statuses == Set("VALIDATED"))

@@ -84,6 +84,35 @@ class VersionedTableSpec extends SparkSpec {
     assert(old("K1") == "p1")
   }
 
+  test("upsert folds a legacy manifest-less snapshot instead of dropping it") {
+    import org.apache.spark.sql.functions.lit
+    val root = Fixtures.tmpDir("vtl").toString
+    // legacy (pre-bucketing) layout: parquet directly under <root>/<ts>/
+    val legacyTs = "20200101000000"
+    Seq(("A", "1", "a1"), ("B", "1", "b1")).toDF("k", "v", "payload")
+      .withColumn("_commit_time", lit(legacyTs))
+      .write.parquet(s"$root/$legacyTs")
+    val vt = new VersionedTable(spark, root, "k", "v", numBuckets = 4)
+    assert(vt.snapshot.count() == 2) // legacy fallback read works
+    vt.upsert(Seq(("B", "2", "b2")).toDF("k", "v", "payload"))
+    val snap = vt.snapshot.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("payload")).toMap
+    assert(snap == Map("A" -> "a1", "B" -> "b2"),
+      "legacy rows must be carried into the bucketed commit")
+  }
+
+  test("upsert merges rows with null record keys") {
+    val root = Fixtures.tmpDir("vtn").toString
+    val vt = new VersionedTable(spark, root, "k", "v", numBuckets = 4)
+    vt.upsert(Seq((null.asInstanceOf[String], "1", "n1"), ("A", "1", "a1"))
+      .toDF("k", "v", "payload"))
+    assert(vt.snapshot.count() == 2)
+    vt.upsert(Seq((null.asInstanceOf[String], "2", "n2")).toDF("k", "v", "payload"))
+    val snap = vt.snapshot.collect()
+      .map(r => Option(r.getAs[String]("k")) -> r.getAs[String]("payload")).toMap
+    assert(snap == Map(None -> "n2", Some("A") -> "a1"))
+  }
+
   test("incremental pull returns only records last written after the given commit") {
     val root = Fixtures.tmpDir("vti").toString
     // one bucket: the second commit rewrites the bucket containing ALL
