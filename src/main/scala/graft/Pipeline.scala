@@ -56,7 +56,7 @@ final class Pipeline(
     registry.filter(_.active).flatMap { spec =>
       val srcDir = Paths.get(s"$sourceBase/${spec.name}")
       if (!Files.isDirectory(srcDir)) Nil
-      else Files.list(srcDir).iterator().asScala.filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+      else graft.util.Fs.list(srcDir).filter(Files.isRegularFile(_)).sortBy(_.toString)
         .flatMap(f => ingestFile(spec.name, f, skipIfSeen))
     }
   }
@@ -209,12 +209,10 @@ final class Pipeline(
       case "csv"  => w.option("header", "true").option("emptyValue", "").csv(tmp.toString)
       case "text" => w.text(tmp.toString)
     }
-    val part = Files.list(tmp).iterator().asScala
+    val part = graft.util.Fs.list(tmp)
       .find(p => p.getFileName.toString.startsWith("part-")).get
     Files.move(part, out, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // clean tmp dir
-    Files.list(tmp).iterator().asScala.foreach(Files.delete)
-    Files.delete(tmp)
+    graft.util.Fs.deleteRecursively(tmp)
   }
 
   // ------------------------------------------------------------------
@@ -234,7 +232,7 @@ final class Pipeline(
       val canonical = Canonicalizer.canonicalize(source, df)
       val outDir = zone("qlm_ready", source, ts(), batchId)
       canonical.write.mode("overwrite").parquet(outDir.toString)
-      val partFile = Files.list(outDir).iterator().asScala
+      val partFile = graft.util.Fs.list(outDir)
         .find(_.getFileName.toString.endsWith(".parquet")).map(_.toString).getOrElse(outDir.toString)
       val sha = Provenance.sha256File(partFile)
       provenance.updateFinalHash(batchId, sha, outDir.toString)

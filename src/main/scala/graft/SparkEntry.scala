@@ -27,11 +27,14 @@ object SparkEntry {
   /** Table-plan cache: file listing + schema read happen once per
     * (session, dir, table) instead of once per query — the 40-query
     * battery otherwise pays the FileIndex/ParquetFooter round trip 40
-    * times. Caches only the logical plan (no data is pinned). Weak
-    * session keys: a stopped/collected SparkSession releases its plans
-    * instead of leaking them, and a key is the session REFERENCE, so a
-    * recycled identity hash can never serve another session's plan.
+    * times. Caches only the logical plan (no data is pinned). Keys are
+    * session REFERENCES (a recycled identity hash can never serve
+    * another session's plan), and the cache is size-bounded: cached
+    * Datasets strongly reference their session, so weak-key eviction
+    * alone would never fire — past the bound the cache clears, which
+    * also releases any stopped sessions' plans.
     */
+  private val MaxCachedSessions = 8
   private val tableCache: java.util.Map[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]] =
     java.util.Collections.synchronizedMap(
@@ -39,10 +42,12 @@ object SparkEntry {
         java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
   private def cached(spark: SparkSession, dir: String, name: String)
-      (mk: => DataFrame): DataFrame =
+      (mk: => DataFrame): DataFrame = {
+    if (tableCache.size > MaxCachedSessions) tableCache.clear()
     tableCache.computeIfAbsent(spark,
       _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
       .computeIfAbsent((dir, name), _ => mk)
+  }
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     cached(spark, dir, name) {

@@ -40,44 +40,50 @@ final class ParquetControlBackend(spark: SparkSession, root: String,
 
   private def dir(table: String) = s"$root/_control/$table"
 
-  private def partFileCount(table: String): Int = {
+  private def partFileCount(table: String): Int =
+    graft.util.Fs.list(Paths.get(dir(table))).count(_.toString.endsWith(".parquet"))
+
+  /** Repair a compact that crashed mid-swap: the table dir is missing
+    * but the complete previous generation sits in `_old` — move it
+    * back BEFORE any read or append. (Reading through a fallback
+    * instead would break at the first append, which recreates the main
+    * dir with only new rows and thereby hides — and on the next
+    * compact, deletes — the whole history.)
+    */
+  private def recover(table: String): Unit = {
     val p = Paths.get(dir(table))
-    if (!Files.isDirectory(p)) 0
-    else Files.list(p).iterator().asScala.count(_.toString.endsWith(".parquet"))
+    val old = Paths.get(dir(table) + "_old")
+    if (!Files.exists(p) && Files.exists(old)) Files.move(old, p)
   }
 
   override def append(table: String, df: DataFrame): Unit = {
+    recover(table)
     df.write.mode(SaveMode.Append).parquet(dir(table))
     if (autoCompactAt > 0 && partFileCount(table) > autoCompactAt) compact(table)
   }
 
-  override def read(table: String)(empty: => DataFrame): DataFrame =
-    if (Files.exists(Paths.get(dir(table)))) spark.read.parquet(dir(table))
-    // crash/race window of a compact swap: the previous generation is
-    // still complete under _old — serve it rather than "empty lineage"
-    else if (Files.exists(Paths.get(dir(table) + "_old")))
-      spark.read.parquet(dir(table) + "_old")
-    else empty
+  override def read(table: String)(empty: => DataFrame): DataFrame = {
+    recover(table)
+    if (Files.exists(Paths.get(dir(table)))) spark.read.parquet(dir(table)) else empty
+  }
 
   override def compact(table: String): Unit = {
+    recover(table)
     val p = Paths.get(dir(table))
     if (Files.exists(p)) {
       val old = Paths.get(dir(table) + "_old")
-      deleteRecursively(old) // a stale generation would break the move below
+      // stale generations (only possible AFTER a successful swap, so
+      // the main dir is the newest data) would break the moves below
+      graft.util.Fs.deleteRecursively(old)
       val df = spark.read.parquet(dir(table)).coalesce(1)
       val tmp = dir(table) + "_compact_tmp"
-      deleteRecursively(Paths.get(tmp))
+      graft.util.Fs.deleteRecursively(Paths.get(tmp))
       df.write.mode(SaveMode.Overwrite).parquet(tmp)
       Files.move(p, old)
       Files.move(Paths.get(tmp), p)
-      deleteRecursively(old) // best-effort cleanup of the old generation
+      graft.util.Fs.deleteRecursively(old) // best-effort cleanup
     }
   }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
 }
 
 /** Real JDBC control plane — the reference's architecture
@@ -99,22 +105,32 @@ final class JdbcControlBackend(spark: SparkSession, url: String) extends Control
     try f(c) finally c.close()
   }
 
-  private def sqlType(dt: DataType): String = dt match {
+  /** Unbounded-text fields (error samples, details blobs) go to CLOB so
+    * a long value can't make this backend reject an append the parquet
+    * and in-memory backends accept (Derby SQLState 22001 truncation).
+    * Key/short fields stay VARCHAR — Derby forbids comparisons on CLOB,
+    * and Spark pushes equality filters (batch_id etc.) into the query.
+    */
+  private val clobFields = Set("details_json", "error_details", "details")
+
+  private def sqlType(f: org.apache.spark.sql.types.StructField): String = f.dataType match {
     case LongType => "BIGINT"
     case IntegerType => "INTEGER"
     case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+    case _ if clobFields.contains(f.name) => "CLOB"
     case _ => "VARCHAR(32000)"
   }
 
-  private def jdbcType(dt: DataType): Int = dt match {
+  private def jdbcType(f: org.apache.spark.sql.types.StructField): Int = f.dataType match {
     case LongType => Types.BIGINT
     case IntegerType => Types.INTEGER
     case org.apache.spark.sql.types.DoubleType => Types.DOUBLE
+    case _ if clobFields.contains(f.name) => Types.CLOB
     case _ => Types.VARCHAR
   }
 
   private def ensureTable(c: Connection, table: String, schema: StructType): Unit = {
-    val cols = schema.map(f => s""""${f.name}" ${sqlType(f.dataType)}""").mkString(", ")
+    val cols = schema.map(f => s""""${f.name}" ${sqlType(f)}""").mkString(", ")
     val st = c.createStatement()
     try st.executeUpdate(s"""CREATE TABLE "$table" ($cols)""")
     catch { case e: SQLException if e.getSQLState == "X0Y32" => () } // exists
@@ -135,7 +151,7 @@ final class JdbcControlBackend(spark: SparkSession, url: String) extends Control
       df.collect().foreach { row =>
         df.schema.indices.foreach { i =>
           val v = row.get(i)
-          if (v == null) ps.setNull(i + 1, jdbcType(df.schema(i).dataType))
+          if (v == null) ps.setNull(i + 1, jdbcType(df.schema(i)))
           else ps.setObject(i + 1, v)
         }
         ps.addBatch()

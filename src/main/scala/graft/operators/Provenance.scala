@@ -192,9 +192,23 @@ object Provenance {
     s"${source}_${fileName.replace(".", "_")}_$ts"
   }
 
+  /** RFC 8259-safe string escape (control chars included — an error
+    * sample carrying a tab/newline must not yield unparseable JSON).
+    */
+  def jsonEscape(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def detailsJson(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + k + "\":\"" + Option(v).getOrElse("").replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      jsonEscape(k) + ":" + jsonEscape(Option(v).getOrElse(""))
     }.mkString("{", ",", "}")
 
   def copyFile(src: String, dst: String): Unit = {

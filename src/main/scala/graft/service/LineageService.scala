@@ -81,14 +81,5 @@ final class LineageService(provenance: Provenance, bindPort: Int = 0) {
       URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
     }.toMap
 
-  private def escape(s: String): String =
-    "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def escape(s: String): String = Provenance.jsonEscape(s)
 }

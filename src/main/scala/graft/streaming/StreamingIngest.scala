@@ -14,9 +14,11 @@ import graft.Pipeline
   * copy + hash + provenance flow as the batch stage.
   *
   * The stream DISCOVERS files via the binaryFile source with only the
-  * `path` column projected — no payload bytes are read and empty files
-  * still surface — so any source format rides the same watch.
-  * Exactly-once registration holds two
+  * `path` column projected — no payload bytes are read — so any source
+  * format rides the same watch. CAVEAT: Spark file sources skip
+  * zero-byte files entirely, so pair the watch with a periodic
+  * idempotent sweep (`Pipeline.ingest(sourceBase, skipIfSeen = true)`)
+  * to catch empty drops. Exactly-once registration holds two
   * ways: the file-source checkpoint dedups across restarts, and
   * `Pipeline.ingestFile(skipIfSeen = true)` consults the control plane
   * before registering — so even a replay after checkpoint loss appends

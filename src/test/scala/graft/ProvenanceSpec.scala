@@ -84,6 +84,35 @@ class ProvenanceSpec extends SparkSpec {
       .count(_.getFileName.toString.contains("_compact_tmp")) == 0)
   }
 
+  test("a compact that crashed mid-swap is repaired before the next access") {
+    import java.nio.file.{Files, Paths}
+    val lake = Fixtures.tmpDir("prov").toString
+    val be = new ParquetControlBackend(spark, lake)
+    val p = new Provenance(spark, be)
+    (1 to 3).foreach(i => p.createBatch(s"b$i", "s", s"/f$i", "h"))
+    // simulate the crash window: table dir moved to _old, new dir never
+    // written (the state between compact's two Files.move calls)
+    val dir = Paths.get(s"$lake/_control/provenance_batch_events")
+    Files.move(dir, Paths.get(s"$lake/_control/provenance_batch_events_old"))
+    // the next append must NOT create a fresh dir that hides history
+    p.createBatch("b4", "s", "/f4", "h")
+    assert(p.batches.count() == 4, "history must survive the crash window")
+    assert(!Files.exists(Paths.get(s"$lake/_control/provenance_batch_events_old")))
+  }
+
+  test("long detail values round-trip on every backend (no truncation)") {
+    val big = "x" * 40000 + "\ttab\nnewline"
+    for ((label, mk) <- backends) {
+      val p = new Provenance(spark, mk())
+      p.recordStep("b1", "VALIDATION_FAILED", Map("errors" -> big))
+      val json = p.batchTimeline("b1")
+        .select("details_json").collect()(0).getString(0)
+      assert(json.contains("x" * 100), s"[$label] long value must persist")
+      // RFC 8259: control characters must be escaped in the JSON blob
+      assert(!json.exists(c => c == '\n' || c == '\t'), s"[$label] raw control char in JSON")
+    }
+  }
+
   test("sha256File matches a known digest") {
     val f = Fixtures.write(Fixtures.tmpDir("sha").resolve("x.txt"), "abc")
     assert(Provenance.sha256File(f.toString) ==

@@ -101,6 +101,26 @@ class VersionedTableSpec extends SparkSpec {
       "legacy rows must be carried into the bucketed commit")
   }
 
+  test("a crashed commit (data/ but no manifest) is skipped, not read as legacy") {
+    import java.nio.file.{Files, Paths}
+    val root = Fixtures.tmpDir("vtc").toString
+    val vt = new VersionedTable(spark, root, "k", "v", numBuckets = 4)
+    val c1 = vt.upsert((1 to 20).map(i => (s"K$i", "1", s"p$i")).toDF("k", "v", "payload"))
+    // simulate an upsert that wrote one bucket's data but died before
+    // its manifest: the partial data/ dir must not shadow c1
+    val crashed = (c1.toLong + 7).toString
+    Seq(("K1", "9", "SHOULD_NOT_WIN")).toDF("k", "v", "payload")
+      .write.parquet(s"$root/$crashed/data/_bucket=0")
+    assert(vt.commits == Seq(c1), "crashed commit must not be listed")
+    assert(vt.snapshot.count() == 20)
+    // the next upsert merges against c1, not the partial write
+    vt.upsert(Seq(("K2", "2", "p2b")).toDF("k", "v", "payload"))
+    val snap = vt.snapshot.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("payload")).toMap
+    assert(snap.size == 20 && snap("K1") == "p1" && snap("K2") == "p2b")
+    assert(Files.exists(Paths.get(s"$root/$crashed")), "crashed dir left for inspection")
+  }
+
   test("upsert merges rows with null record keys") {
     val root = Fixtures.tmpDir("vtn").toString
     val vt = new VersionedTable(spark, root, "k", "v", numBuckets = 4)
