@@ -156,6 +156,25 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.incremental(c2).count() == 0)
   }
 
+  test("clean retains commits whose buckets the live manifest references") {
+    import java.nio.file.{Files, Paths}
+    val root = Fixtures.tmpDir("vtr").toString
+    val vt = new VersionedTable(spark, root, "k", "v", numBuckets = 8)
+    val c1 = vt.upsert((1 to 50).map(i => (s"K$i", "1", s"p$i")).toDF("k", "v", "payload"))
+    val c2 = vt.upsert(Seq(("K1", "2", "p1b")).toDF("k", "v", "payload"))
+    val c3 = vt.upsert(Seq(("K1", "3", "p1c")).toDF("k", "v", "payload"))
+    // keep only the latest commit: c1 must SURVIVE (c3's manifest still
+    // references c1's untouched buckets); c2's bucket was superseded
+    val deleted = vt.clean(keepLast = 1)
+    assert(deleted == Seq(c2), s"expected only $c2 deletable, got $deleted")
+    assert(Files.exists(Paths.get(s"$root/$c1")) && !Files.exists(Paths.get(s"$root/$c2")))
+    // snapshot is fully intact after cleaning
+    val snap = vt.snapshot.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("payload")).toMap
+    assert(snap.size == 50 && snap("K1") == "p1c" && snap("K2") == "p2")
+    assert(vt.commits == Seq(c3, c1))
+  }
+
   test("joinWithin equals the naive range-join result") {
     import org.apache.spark.sql.functions.{abs, col}
     val rnd = new scala.util.Random(3)
