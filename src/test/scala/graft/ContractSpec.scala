@@ -10,6 +10,12 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
+  test("every query has an oracle (no rows-only holes in the battery)") {
+    val unchecked = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(unchecked.isEmpty,
+      s"queries without a DuckDB oracle (driver would record a weaker rows-only check): $unchecked")
+  }
+
   test("entry() returns rows on sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -26,18 +26,24 @@ class ExpressionsSpec extends SparkSpec {
     assert(out(1).getLong(0) >= 0L && out(1).getLong(0) < (1L << 60))
   }
 
-  test("md5_long60 is SQL-callable via GraftExtensions") {
-    // a second session in the same JVM picks up the extension
-    val s2 = SparkSession.builder().master("local[2]")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    try {
-      val v = s2.sql("SELECT md5_long60('abc')").collect()(0).getLong(0)
-      val expected = s2.sql(
-        "SELECT cast(conv(substring(md5('abc'), 1, 15), 16, 10) as long)").collect()(0).getLong(0)
-      assert(v == expected)
-    } finally () // shared JVM: don't stop the default session's context
+  test("native expressions are SQL-callable once registered") {
+    // register explicitly (order-independent; getOrCreate in a shared
+    // JVM returns the suite session, so withExtensions can't be
+    // exercised here — the registration lambdas themselves are the
+    // same ones GraftExtensions injects)
+    Md5Long60.register(spark)
+    MinhashSig.register(spark)
+    graft.expressions.DotFold.register(spark)
+    val v = spark.sql("SELECT md5_long60('abc')").collect()(0).getLong(0)
+    val expected = spark.sql(
+      "SELECT cast(conv(substring(md5('abc'), 1, 15), 16, 10) as long)").collect()(0).getLong(0)
+    assert(v == expected)
+    val sig = spark.sql("SELECT minhash_sig('one two three four', 3, 16)")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 16)
+    val d = spark.sql("SELECT dot_fold(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .collect()(0).getDouble(0)
+    assert(d == 11.0)
   }
 
   test("MinhashSig equals the composed gramHashes∘minhashSignature form") {
