@@ -36,9 +36,11 @@ object PipelineDemo {
       spark.read.parquet(path).show(5, truncate = false)
     }
     println("[demo] lake tree:")
-    Files.walk(Paths.get(lakeRoot)).iterator().asScala
+    val tree = Files.walk(Paths.get(lakeRoot))
+    try tree.iterator().asScala
       .filter(Files.isRegularFile(_)).map(_.toString.stripPrefix(lakeRoot))
       .toSeq.sorted.take(40).foreach(f => println(s"[demo]   $f"))
+    finally tree.close()
     spark.stop()
   }
 }
