@@ -13,19 +13,20 @@ import graft.expressions.{DotFold, Md5Long60, MinhashSig}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // the builders are the exact lambdas the companions' register()
+    // methods use — one definition, two registration paths
     e.injectFunction((
       new FunctionIdentifier(Md5Long60.FnName),
       new ExpressionInfo(classOf[Md5Long60].getName, Md5Long60.FnName),
-      (exprs: Seq[Expression]) => Md5Long60(exprs.head)))
+      Md5Long60.builder))
     e.injectFunction((
       new FunctionIdentifier(MinhashSig.FnName),
       new ExpressionInfo(classOf[MinhashSig].getName, MinhashSig.FnName),
-      (exprs: Seq[Expression]) => MinhashSig(exprs.head,
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+      MinhashSig.builder))
     e.injectFunction((
       new FunctionIdentifier(DotFold.FnName),
       new ExpressionInfo(classOf[DotFold].getName, DotFold.FnName),
-      (exprs: Seq[Expression]) => DotFold(exprs.head, exprs(1))))
+      DotFold.builder))
     // composed aggregate(zip_with(...)) dot products → native DotFold
     e.injectOptimizerRule(_ => graft.plans.RewriteDotFold)
   }

@@ -90,12 +90,16 @@ object DotFold {
     acc
   }
 
+  /** The one expression builder — shared by [[register]] and
+    * GraftExtensions so the two registration paths can't drift.
+    */
+  val builder: Seq[Expression] => Expression = exprs => DotFold(exprs.head, exprs(1))
+
   /** Idempotent per-session registration (temp function). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier(FnName)))
-      reg.createOrReplaceTempFunction(FnName,
-        exprs => DotFold(exprs.head, exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(FnName, builder, "built-in")
   }
 
   /** Column form (Column↔Expression bridges are private[sql] in

@@ -61,6 +61,11 @@ object Md5Long60 {
     (v << 4) | ((d(7) & 0xf0L) >> 4)
   }
 
+  /** The one expression builder — shared by [[register]] and
+    * GraftExtensions so the two registration paths can't drift.
+    */
+  val builder: Seq[Expression] => Expression = exprs => Md5Long60(exprs.head)
+
   /** Idempotent per-session registration (temp function); the
     * exists-check keeps re-registration (and its "replaced a previously
     * registered function" log line) out of per-query paths.
@@ -68,7 +73,7 @@ object Md5Long60 {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(FnName)))
-      reg.createOrReplaceTempFunction(FnName, exprs => Md5Long60(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(FnName, builder, "built-in")
   }
 
   /** Column form: registers in the active session, then resolves via

@@ -161,14 +161,19 @@ object MinhashSig {
     new GenericArrayData(mins)
   }
 
+  /** The one expression builder — shared by [[register]] and
+    * GraftExtensions so the two registration paths can't drift.
+    */
+  val builder: Seq[Expression] => Expression = exprs =>
+    MinhashSig(exprs.head,
+      exprs(1).eval().asInstanceOf[Int],
+      exprs(2).eval().asInstanceOf[Int])
+
   /** Idempotent per-session registration (temp function). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier(FnName)))
-      reg.createOrReplaceTempFunction(FnName, exprs =>
-        MinhashSig(exprs.head,
-          exprs(1).eval().asInstanceOf[Int],
-          exprs(2).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction(FnName, builder, "built-in")
   }
 
   /** Column form (Column↔Expression bridges are private[sql] in

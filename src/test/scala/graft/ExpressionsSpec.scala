@@ -29,8 +29,8 @@ class ExpressionsSpec extends SparkSpec {
   test("native expressions are SQL-callable once registered") {
     // register explicitly (order-independent; getOrCreate in a shared
     // JVM returns the suite session, so withExtensions can't be
-    // exercised here — the registration lambdas themselves are the
-    // same ones GraftExtensions injects)
+    // exercised here). register() and GraftExtensions share the SAME
+    // companion `builder` lambdas, so this covers both paths.
     Md5Long60.register(spark)
     MinhashSig.register(spark)
     graft.expressions.DotFold.register(spark)

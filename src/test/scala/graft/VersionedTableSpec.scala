@@ -163,16 +163,40 @@ class VersionedTableSpec extends SparkSpec {
     val c1 = vt.upsert((1 to 50).map(i => (s"K$i", "1", s"p$i")).toDF("k", "v", "payload"))
     val c2 = vt.upsert(Seq(("K1", "2", "p1b")).toDF("k", "v", "payload"))
     val c3 = vt.upsert(Seq(("K1", "3", "p1c")).toDF("k", "v", "payload"))
+    // a crashed dir older than the horizon must be swept too
+    Seq(("X", "9", "junk")).toDF("k", "v", "payload")
+      .write.parquet(s"$root/${(c1.toLong - 5).toString}/data/_bucket=0")
+    val crashedOld = (c1.toLong - 5).toString
     // keep only the latest commit: c1 must SURVIVE (c3's manifest still
     // references c1's untouched buckets); c2's bucket was superseded
     val deleted = vt.clean(keepLast = 1)
-    assert(deleted == Seq(c2), s"expected only $c2 deletable, got $deleted")
+    assert(deleted.toSet == Set(c2, crashedOld), s"got $deleted")
     assert(Files.exists(Paths.get(s"$root/$c1")) && !Files.exists(Paths.get(s"$root/$c2")))
     // snapshot is fully intact after cleaning
     val snap = vt.snapshot.collect()
       .map(r => r.getAs[String]("k") -> r.getAs[String]("payload")).toMap
     assert(snap.size == 50 && snap("K1") == "p1c" && snap("K2") == "p2")
     assert(vt.commits == Seq(c3, c1))
+  }
+
+  test("clean retention is transitive: a kept-by-reference commit stays readable") {
+    // c0 writes buckets of K-A and K-B; c1 rewrites A's bucket; c2
+    // rewrites B's bucket. clean(1) keeps c2; c1 survives by reference,
+    // and c1's own manifest references c0 — so c0 must survive too,
+    // else asOf(c1) would point at deleted dirs.
+    val root = Fixtures.tmpDir("vtt").toString
+    val vt = new VersionedTable(spark, root, "k", "v", numBuckets = 16)
+    // find two keys in different buckets (probe with distinct strings)
+    val keys = (1 to 40).map(i => s"K$i")
+    val c0 = vt.upsert(keys.map(k => (k, "1", s"v-$k")).toDF("k", "v", "payload"))
+    val c1 = vt.upsert(Seq((keys.head, "2", "a2")).toDF("k", "v", "payload"))
+    val c2 = vt.upsert(Seq((keys.last, "2", "b2")).toDF("k", "v", "payload"))
+    val deleted = vt.clean(keepLast = 1)
+    assert(!deleted.contains(c0), s"c0 is transitively referenced via c1: $deleted")
+    // every surviving commit is fully readable
+    Seq(c0, c1, c2).foreach { c =>
+      assert(vt.asOf(c).count() == 40, s"asOf($c) must read after clean")
+    }
   }
 
   test("joinWithin equals the naive range-join result") {
