@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standalone check that [[GraftExtensions]] wires everything into a
+  * session built with `withExtensions` — the path a fresh JVM's
+  * `spark.sql.extensions=graft.GraftExtensions` takes. Runs in its own
+  * forked JVM (`sbt "runMain graft.ExtensionsCheck"`) because a shared
+  * test JVM already has a default session, which getOrCreate would
+  * return without applying extensions. Exits non-zero on any failure.
+  */
+object ExtensionsCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      // all three native functions resolve through SQL
+      val v = spark.sql("SELECT md5_long60('abc')").collect()(0).getLong(0)
+      val expect = spark.sql(
+        "SELECT cast(conv(substring(md5('abc'), 1, 15), 16, 10) as long)").collect()(0).getLong(0)
+      assert(v == expect, "md5_long60 mismatch")
+      assert(spark.sql("SELECT minhash_sig('one two three four five', 3, 16)")
+        .collect()(0).getSeq[Long](0).length == 16, "minhash_sig arity")
+      assert(spark.sql("SELECT dot_fold(array(1.0D,2.0D), array(3.0D,4.0D))")
+        .collect()(0).getDouble(0) == 11.0, "dot_fold value")
+      // the injected optimizer rule rewrites composed dots (parquet
+      // input — LocalRelations constant-fold before user rules run)
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("extcheck").toString
+      Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+        .write.mode("overwrite").parquet(dir)
+      val composed = spark.read.parquet(dir)
+        .select(graft.functions.dotComposed($"a", $"b").as("d"))
+      assert(composed.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.expressions.DotFold])),
+        "RewriteDotFold did not fire via extensions")
+      assert(composed.collect()(0).getDouble(0) == 11.0, "rewritten result")
+      println("[extensions-check] OK: 3 functions + optimizer rule active")
+    } finally spark.stop()
+  }
+}
