@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotFold, Md5Long60, MinhashSig}
+import graft.expressions.{DotFold, Md5Long60, MinhashSig, SimhashText}
 
 /** Session extensions: registers graft's native expressions for SQL
   * use. Attach with
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(DotFold.FnName),
       new ExpressionInfo(classOf[DotFold].getName, DotFold.FnName),
       DotFold.builder))
+    e.injectFunction((
+      new FunctionIdentifier(SimhashText.FnName),
+      new ExpressionInfo(classOf[SimhashText].getName, SimhashText.FnName),
+      SimhashText.builder))
     // composed aggregate(zip_with(...)) dot products → native DotFold
     e.injectOptimizerRule(_ => graft.plans.RewriteDotFold)
   }

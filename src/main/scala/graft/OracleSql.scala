@@ -454,6 +454,28 @@ object OracleSql {
             AND abs(e.ts_us - p.pts_us) <= 120000000
           GROUP BY e.event_id ORDER BY e.event_id""",
 
+    // simhash banded pairs: 32-bit fingerprints (same bit-vote formula
+    // as q19), 4 × 8-bit bands, Hamming-distance verify
+    "q45_simhash_pairs" -> {
+      val hashes = s"list_transform(${toks("lower(text)")}, t -> ${md5long("t")})"
+      val simExpr =
+        s"""cast(list_sum(list_transform(range(32), j ->
+           CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                  list_transform(H, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+                  (a, b) -> a + b) > 0
+                THEN (1::BIGINT << j) ELSE 0::BIGINT END)) as bigint)"""
+      s"""WITH HS AS (SELECT doc_id, $hashes AS H FROM documents),
+          S AS (SELECT doc_id, $simExpr AS sim FROM HS),
+          B AS (SELECT doc_id, sim, t.band AS band, (sim >> (t.band * 8)) & 255 AS bval
+                FROM S CROSS JOIN (SELECT unnest(range(4)) AS band) t),
+          P AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                  cast(bit_count(xor(a.sim, b2.sim)) as bigint) AS hamming
+                FROM B a JOIN B b2 ON a.band = b2.band AND a.bval = b2.bval
+                  AND a.doc_id < b2.doc_id)
+          SELECT id_a, id_b, hamming FROM P WHERE hamming <= 3
+          ORDER BY id_a, id_b"""
+    },
+
     // end-to-end curation: exact-dedup keepers → near-dup cluster
     // pruning (recursive reachability over the kept docs' LSH pairs) →
     // quality (q41 formula) + language (q26 formula) gates

@@ -548,6 +548,14 @@ object SparkEntry {
       .select(col("doc_id"), col("quality_1e6"), col("predicted_lang"))
       .orderBy(col("doc_id"))
 
+  /** SimHash banded near-dup pairs (Dedup.simhashPairs): 32-bit
+    * fingerprints, 4 × 8-bit bands, Hamming ≤ 3 verify.
+    */
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        bits = 32, bands = 4, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -594,7 +602,8 @@ object SparkEntry {
     "q41_quality_score" -> (qQualityScore _),
     "q42_hl7_component" -> (qHl7Component _),
     "q43_range_join" -> (qRangeJoin _),
-    "q44_curation" -> (qCuration _))
+    "q44_curation" -> (qCuration _),
+    "q45_simhash_pairs" -> (qSimhashPairs _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -152,13 +152,52 @@ object Dedup {
 
   /** SimHash: `bits`-bit fingerprint over whitespace tokens. Bit j of
     * the result is the sign of Σ_tokens (bit_j(md5Long(token)) ? +1 : -1).
-    * Near-dup docs land within small Hamming distance. Pure per-row
-    * expressions (no shuffle); md5 per token computed once via a
-    * staged projection.
+    * Near-dup docs land within small Hamming distance. One native
+    * codegen'd pass per row (graft.expressions.SimhashText ≡ the
+    * composed [[simhashFromHashes]] fold, which re-walks the token
+    * array once per bit interpreted; parity pinned by spec). No
+    * shuffle.
     */
   def simhash(df: DataFrame, id: Column, text: Column, bits: Int = 16): DataFrame =
-    df.select(id.as("id"), transform(tokens(lower(text)), t => md5Long(t)).as("_h"))
-      .select(col("id"), simhashFromHashes(col("_h"), bits).as("simhash"))
+    df.select(id.as("id"), graft.expressions.SimhashText(text, bits).as("simhash"))
+
+  /** The composed HOF form of [[simhash]]'s fingerprint (executable
+    * spec for the native expression).
+    */
+  def simhashComposed(text: Column, bits: Int): Column =
+    let(transform(tokens(lower(text)), t => md5Long(t)),
+      h => simhashFromHashes(h, bits))
+
+  /** SimHash near-dup candidate pairs — the simhash analogue of
+    * [[minhashLshPairs]]: band the fingerprint bits, bucket-join on
+    * (band, band-value), then verify with exact Hamming distance.
+    * Within Hamming radius r, any pair agrees on at least one of
+    * `bands` bands when r < bands (pigeonhole), so recall is exact for
+    * maxHamming < bands.
+    *
+    * Scale: band values have 2^(bits/bands) distinct buckets — size
+    * `bits`/`bands` so expected bucket population stays small (32-bit
+    * fingerprints with 4 × 8-bit bands give 256 buckets per band).
+    * The only shuffle is the equi-join on tiny (band, value) keys.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    val bandBits = bits / bands
+    val withSim = simhash(df, col(idCol), col(textCol), bits)
+    val bandVals = array((0 until bands).map(b =>
+      shiftright(col("simhash"), b * bandBits)
+        .bitwiseAND(lit((1L << bandBits) - 1))): _*)
+    val banded = withSim.select(col("id"), col("simhash"),
+      posexplode(bandVals).as(Seq("band", "bval")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 
   /** Exact n-gram Jaccard similarity for candidate pairs. `candidates`
     * must have (id_a, id_b); df provides (id, text). Intended as the

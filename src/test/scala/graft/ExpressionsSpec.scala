@@ -69,6 +69,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(out(5).isNullAt(0) && out(6).isNullAt(0))
   }
 
+  test("SimhashText equals the composed bit-vote fold") {
+    import graft.expressions.SimhashText
+    val docs = Seq("the quick brown fox", "the quick brown cat",
+      "  spaced\tout\ncontent ", "ünïcödé ✓", "", "single")
+    val df = docs.toDF("text") // includes empty → fingerprint 0
+    Seq(16, 32, 60).foreach { bits =>
+      val out = df.select(
+        SimhashText($"text", bits).as("fast"),
+        Dedup.simhashComposed($"text", bits).as("slow"), $"text").collect()
+      out.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"bits=$bits text='${r.getString(2)}'"))
+    }
+    val nullRow = Seq[Option[String]](None).toDF("text")
+      .select(SimhashText($"text", 16)).collect()(0)
+    assert(nullRow.getLong(0) == 0L, "null text fingerprints to 0 like the composed form")
+  }
+
   test("DotFold equals the composed zip_with/aggregate fold bit-for-bit") {
     val rnd = new scala.util.Random(7)
     val pairs: Seq[(Array[Float], Array[Float])] =
