@@ -28,6 +28,8 @@ object ExtensionsCheck {
         .collect()(0).getSeq[Long](0).length == 16, "minhash_sig arity")
       assert(spark.sql("SELECT dot_fold(array(1.0D,2.0D), array(3.0D,4.0D))")
         .collect()(0).getDouble(0) == 11.0, "dot_fold value")
+      assert(spark.sql("SELECT simhash_text('one two three', 16)")
+        .collect()(0).getLong(0) >= 0L, "simhash_text callable")
       // the injected optimizer rule rewrites composed dots (parquet
       // input — LocalRelations constant-fold before user rules run)
       import spark.implicits._
@@ -40,7 +42,7 @@ object ExtensionsCheck {
         .exists(_.exists(_.isInstanceOf[graft.expressions.DotFold])),
         "RewriteDotFold did not fire via extensions")
       assert(composed.collect()(0).getDouble(0) == 11.0, "rewritten result")
-      println("[extensions-check] OK: 3 functions + optimizer rule active")
+      println("[extensions-check] OK: 4 functions + optimizer rule active")
     } finally spark.stop()
   }
 }
