@@ -33,15 +33,17 @@ object ExtensionsCheck {
       // the injected optimizer rule rewrites composed dots (parquet
       // input — LocalRelations constant-fold before user rules run)
       import spark.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("extcheck").toString
-      Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
-        .write.mode("overwrite").parquet(dir)
-      val composed = spark.read.parquet(dir)
-        .select(graft.functions.dotComposed($"a", $"b").as("d"))
-      assert(composed.queryExecution.optimizedPlan.expressions
-        .exists(_.exists(_.isInstanceOf[graft.expressions.DotFold])),
-        "RewriteDotFold did not fire via extensions")
-      assert(composed.collect()(0).getDouble(0) == 11.0, "rewritten result")
+      val dir = java.nio.file.Files.createTempDirectory("extcheck")
+      try {
+        Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+          .write.mode("overwrite").parquet(dir.toString)
+        val composed = spark.read.parquet(dir.toString)
+          .select(graft.functions.dotComposed($"a", $"b").as("d"))
+        assert(composed.queryExecution.optimizedPlan.expressions
+          .exists(_.exists(_.isInstanceOf[graft.expressions.DotFold])),
+          "RewriteDotFold did not fire via extensions")
+        assert(composed.collect()(0).getDouble(0) == 11.0, "rewritten result")
+      } finally graft.util.Fs.deleteRecursively(dir)
       println("[extensions-check] OK: 4 functions + optimizer rule active")
     } finally spark.stop()
   }

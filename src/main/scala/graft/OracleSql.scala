@@ -80,6 +80,17 @@ object OracleSql {
       s"regexp_replace($acc, '$p', '${r.replacement}', 'g')"
     }
 
+  /** SimHash bit-vote formula over a token-hash list column `H` —
+    * mirror of Dedup.simhash / expressions.SimhashText (shared by q19
+    * and q45 so the two can't drift).
+    */
+  private def simhashSql(bits: Int): String =
+    s"""cast(list_sum(list_transform(range($bits), j ->
+       CASE WHEN list_reduce(list_prepend(0::BIGINT,
+              list_transform(H, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+              (a, b) -> a + b) > 0
+            THEN (1::BIGINT << j) ELSE 0::BIGINT END)) as bigint)"""
+
   private def stopwordList(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -221,11 +232,7 @@ object OracleSql {
 
     "q19_simhash" -> {
       val hashes = s"list_transform(${toks("lower(text)")}, t -> ${md5long("t")})"
-      s"""SELECT doc_id, cast(list_sum(list_transform(range(16), j ->
-           CASE WHEN list_reduce(list_prepend(0::BIGINT,
-                  list_transform(H, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)),
-                  (a, b) -> a + b) > 0
-                THEN (1::BIGINT << j) ELSE 0::BIGINT END)) as bigint) AS simhash16
+      s"""SELECT doc_id, ${simhashSql(16)} AS simhash16
          FROM (SELECT doc_id, $hashes AS H FROM documents) ORDER BY doc_id"""
     },
 
@@ -458,14 +465,9 @@ object OracleSql {
     // as q19), 4 × 8-bit bands, Hamming-distance verify
     "q45_simhash_pairs" -> {
       val hashes = s"list_transform(${toks("lower(text)")}, t -> ${md5long("t")})"
-      val simExpr =
-        s"""cast(list_sum(list_transform(range(32), j ->
-           CASE WHEN list_reduce(list_prepend(0::BIGINT,
-                  list_transform(H, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)),
-                  (a, b) -> a + b) > 0
-                THEN (1::BIGINT << j) ELSE 0::BIGINT END)) as bigint)"""
       s"""WITH HS AS (SELECT doc_id, $hashes AS H FROM documents),
-          S AS (SELECT doc_id, $simExpr AS sim FROM HS),
+          S AS (SELECT doc_id, ${simhashSql(32)} AS sim FROM HS
+                WHERE len(H) > 0),
           B AS (SELECT doc_id, sim, t.band AS band, (sim >> (t.band * 8)) & 255 AS bval
                 FROM S CROSS JOIN (SELECT unnest(range(4)) AS band) t),
           P AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,

@@ -177,19 +177,36 @@ object Dedup {
     *
     * Scale: band values have 2^(bits/bands) distinct buckets — size
     * `bits`/`bands` so expected bucket population stays small (32-bit
-    * fingerprints with 4 × 8-bit bands give 256 buckets per band).
-    * The only shuffle is the equi-join on tiny (band, value) keys.
+    * fingerprints with 4 × 8-bit bands suit ~10^5 docs; at corpus
+    * scale use 60-bit fingerprints with 15-bit bands, and set
+    * `maxBucketSize`: near-identical boilerplate families share a
+    * fingerprint, so one 10^6-doc template cluster would otherwise
+    * emit ~10^12 candidate pairs — run [[exact]] dedup first, cap the
+    * rest). Token-less docs have no signal (fingerprint 0) and are
+    * excluded rather than paired with each other. The only shuffle is
+    * the equi-join on tiny (band, value) keys.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     require(bits % bands == 0, "bits must divide evenly into bands")
     val bandBits = bits / bands
-    val withSim = simhash(df, col(idCol), col(textCol), bits)
+    val withSim = df.filter(tokenCount(col(textCol)) > 0)
+      .select(col(idCol).as("id"),
+        graft.expressions.SimhashText(col(textCol), bits).as("simhash"))
     val bandVals = array((0 until bands).map(b =>
       shiftright(col("simhash"), b * bandBits)
         .bitwiseAND(lit((1L << bandBits) - 1))): _*)
-    val banded = withSim.select(col("id"), col("simhash"),
+    val bandedAll = withSim.select(col("id"), col("simhash"),
       posexplode(bandVals).as(Seq("band", "bval")))
+    val banded = maxBucketSize match {
+      case None => bandedAll
+      case Some(cap) => // same B² bound as minhashLshPairs' skew guard
+        val sizes = bandedAll.groupBy(col("band").as("sb"), col("bval").as("sk"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") <= cap)
+        bandedAll.join(sizes,
+          bandedAll("band") === col("sb") && bandedAll("bval") === col("sk"), "left_semi")
+    }
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.id") < col("b.id"))

@@ -42,7 +42,9 @@ final class VersionedTable(spark: SparkSession, root: String,
     * form so the assignment is stable across physical column types;
     * null keys coalesce to a sentinel so they land in a real bucket
     * (xxhash64 of a null column would be null → rows lost to an
-    * unreferenced default partition).
+    * unreferenced default partition). COMPAT: the sentinel is part of
+    * the persisted layout — changing it re-buckets null keys, so
+    * existing tables with null-key rows would stop merging them.
     */
   private def bucketExpr =
     pmod(xxhash64(coalesce(col(recordKey).cast("string"), lit("__graft_null_key__"))),

@@ -180,23 +180,35 @@ class VersionedTableSpec extends SparkSpec {
   }
 
   test("clean retention is transitive: a kept-by-reference commit stays readable") {
-    // c0 writes buckets of K-A and K-B; c1 rewrites A's bucket; c2
-    // rewrites B's bucket. clean(1) keeps c2; c1 survives by reference,
-    // and c1's own manifest references c0 — so c0 must survive too,
-    // else asOf(c1) would point at deleted dirs.
+    import org.apache.spark.sql.functions.{coalesce, col, lit, pmod, xxhash64}
+    // With numBuckets=2, pick one key per bucket (probed with the SAME
+    // hash the table uses). c0 writes both buckets; c1 rewrites bucket
+    // of kA; c2 rewrites bucket of kB. Then c2's manifest = {A→c1,
+    // B→c2} — it does NOT reference c0 directly; only c1's manifest
+    // does ({A→c1, B→c0}). clean(1) keeps c2; c1 survives by direct
+    // reference; c0 must survive via the TRANSITIVE closure through
+    // c1 — a one-level implementation would delete it.
     val root = Fixtures.tmpDir("vtt").toString
-    val vt = new VersionedTable(spark, root, "k", "v", numBuckets = 16)
-    // find two keys in different buckets (probe with distinct strings)
-    val keys = (1 to 40).map(i => s"K$i")
-    val c0 = vt.upsert(keys.map(k => (k, "1", s"v-$k")).toDF("k", "v", "payload"))
-    val c1 = vt.upsert(Seq((keys.head, "2", "a2")).toDF("k", "v", "payload"))
-    val c2 = vt.upsert(Seq((keys.last, "2", "b2")).toDF("k", "v", "payload"))
+    val vt = new VersionedTable(spark, root, "k", "v", numBuckets = 2)
+    val candidates = (1 to 20).map(i => s"K$i")
+    val byBucket = candidates.toDF("k")
+      .select(col("k"), pmod(xxhash64(coalesce(col("k").cast("string"),
+        lit("__graft_null_key__"))), lit(2L)).as("b"))
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    assert(byBucket.size == 2, "need keys in both buckets")
+    val (kA, kB) = (byBucket(0L), byBucket(1L))
+    val c0 = vt.upsert(Seq((kA, "1", "a1"), (kB, "1", "b1")).toDF("k", "v", "payload"))
+    val c1 = vt.upsert(Seq((kA, "2", "a2")).toDF("k", "v", "payload"))
+    val c2 = vt.upsert(Seq((kB, "2", "b2")).toDF("k", "v", "payload"))
     val deleted = vt.clean(keepLast = 1)
-    assert(!deleted.contains(c0), s"c0 is transitively referenced via c1: $deleted")
-    // every surviving commit is fully readable
-    Seq(c0, c1, c2).foreach { c =>
-      assert(vt.asOf(c).count() == 40, s"asOf($c) must read after clean")
-    }
+    assert(deleted.isEmpty, s"nothing is deletable in this chain, got $deleted")
+    // c1 is still listed (so asOf really reads IT, not a fallback) and
+    // every commit in the chain resolves all its bucket paths
+    assert(vt.commits.contains(c1))
+    val atC1 = vt.asOf(c1).collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("payload")).toMap
+    assert(atC1 == Map(kA -> "a2", kB -> "b1"))
+    assert(vt.asOf(c0).count() == 2 && vt.asOf(c2).count() == 2)
   }
 
   test("joinWithin equals the naive range-join result") {
