@@ -166,8 +166,19 @@ object MinhashSig {
     */
   val builder: Seq[Expression] => Expression = exprs =>
     MinhashSig(exprs.head,
-      exprs(1).eval().asInstanceOf[Int],
-      exprs(2).eval().asInstanceOf[Int])
+      intLiteral(FnName, "n", exprs(1)),
+      intLiteral(FnName, "k", exprs(2)))
+
+  /** Clean error for non-literal arity args (a blind eval would
+    * surface as an opaque ClassCastException at planning time).
+    */
+  private[expressions] def intLiteral(fn: String, name: String, e: Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+          org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$name' must be an integer literal, got ${other.sql}")
+    }
 
   /** Idempotent per-session registration (temp function). */
   def register(spark: SparkSession): Unit = {

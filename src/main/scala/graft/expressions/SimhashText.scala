@@ -104,7 +104,7 @@ object SimhashText {
     * GraftExtensions so the two registration paths can't drift.
     */
   val builder: Seq[Expression] => Expression = exprs =>
-    SimhashText(exprs.head, exprs(1).eval().asInstanceOf[Int])
+    SimhashText(exprs.head, MinhashSig.intLiteral(FnName, "bits", exprs(1)))
 
   /** Idempotent per-session registration (temp function). */
   def register(spark: SparkSession): Unit = {

@@ -81,7 +81,11 @@ final class ParquetControlBackend(spark: SparkSession, root: String,
       df.write.mode(SaveMode.Overwrite).parquet(tmp)
       Files.move(p, old)
       Files.move(Paths.get(tmp), p)
-      graft.util.Fs.deleteRecursively(old) // best-effort cleanup
+      // the previous generation is RETAINED until the next compact:
+      // a DataFrame planned against the old file listing (e.g. an
+      // in-flight lineage request) can still read its files instead of
+      // hitting FileNotFoundException; the stale dir is swept at the
+      // top of the following compact
     }
   }
 }

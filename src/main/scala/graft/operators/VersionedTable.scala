@@ -84,15 +84,25 @@ final class VersionedTable(spark: SparkSession, root: String,
 
   private def readManifest(ts: String): Map[Int, String] =
     if (!Files.exists(manifestPath(ts))) Map.empty
-    else Files.readAllLines(manifestPath(ts)).asScala.filter(_.nonEmpty).map { line =>
-      val Array(b, c) = line.split("\t")
-      b.toInt -> c
-    }.toMap
+    else Files.readAllLines(manifestPath(ts)).asScala
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+        val Array(b, c) = line.split("\t")
+        b.toInt -> c
+      }.toMap
+
+  /** Bucket count recorded in a commit's manifest header (None for
+    * pre-header manifests).
+    */
+  private def readBucketCount(ts: String): Option[Int] =
+    if (!Files.exists(manifestPath(ts))) None
+    else Files.readAllLines(manifestPath(ts)).asScala
+      .find(_.startsWith("#buckets=")).map(_.stripPrefix("#buckets=").toInt)
 
   private def writeManifest(ts: String, m: Map[Int, String]): Unit = {
     Files.createDirectories(manifestPath(ts).getParent)
     Files.writeString(manifestPath(ts),
-      m.toSeq.sortBy(_._1).map { case (b, c) => s"$b\t$c" }.mkString("", "\n", "\n"))
+      (s"#buckets=$numBuckets" +:
+        m.toSeq.sortBy(_._1).map { case (b, c) => s"$b\t$c" }).mkString("", "\n", "\n"))
   }
 
   private def bucketPath(b: Int, commit: String) = s"$root/$commit/data/$BucketCol=$b"
@@ -115,14 +125,26 @@ final class VersionedTable(spark: SparkSession, root: String,
     * precombine values. Buckets the update doesn't touch are carried
     * forward by manifest reference — zero data movement.
     */
-  def upsert(updates: DataFrame): String = {
+  def upsert(updates0: DataFrame): String = {
     val ts = newCommitTs()
     val prev = commitDirs.lastOption
+    // bucket assignment is part of the persisted layout: opening an
+    // existing table with a different bucket count would hash keys into
+    // buckets the old manifest doesn't cover and silently unmerge them
+    prev.flatMap(readBucketCount).foreach { stored =>
+      require(stored == numBuckets,
+        s"table at $root was written with numBuckets=$stored, opened with $numBuckets")
+    }
     val prevManifest = prev.map(readManifest).getOrElse(Map.empty[Int, String])
     // a manifest-less previous commit is a legacy (pre-bucketing)
     // snapshot: fold the WHOLE snapshot into this commit — treating it
     // as empty would silently drop every pre-existing row
     val legacyPrev = prev.filterNot(_ => prevManifest.nonEmpty)
+    // materialize the updates once: the plan is evaluated for the
+    // touched-bucket probe AND the merged write — a non-deterministic
+    // updates plan evaluated twice could write a bucket the probe never
+    // saw, shadowing its previous rows in the manifest
+    val updates = updates0.localCheckpoint(true)
     // incoming rows are stamped with this commit; carried rows keep the
     // commit that last wrote them (Hudi per-record _hoodie_commit_time
     // semantics — rewritten-but-unchanged rows don't advance), which is
@@ -167,13 +189,19 @@ final class VersionedTable(spark: SparkSession, root: String,
     * rewritten bucket are correctly excluded. At 100 TB an incremental
     * consumer reads only the changed file groups, never the table.
     */
-  def incremental(sinceTs: String): DataFrame = {
-    val m = commitDirs.lastOption.map(readManifest).getOrElse(Map.empty[Int, String])
-    val touched = m.filter { case (_, c) => c > sinceTs }.toSeq.sortBy(_._1)
-    if (touched.isEmpty) snapshot.filter(lit(false))
-    else spark.read.option("mergeSchema", "true")
-      .parquet(touched.map { case (b, c) => bucketPath(b, c) }: _*)
-      .filter(col(CommitCol) > sinceTs)
+  def incremental(sinceTs: String): DataFrame = commitDirs.lastOption match {
+    case None => sys.error(s"no commits under $root")
+    case Some(latest) =>
+      val m = readManifest(latest)
+      if (m.isEmpty) // legacy pre-bucketing snapshot: record-filter it
+        readCommit(latest).filter(col(CommitCol) > sinceTs)
+      else {
+        val touched = m.filter { case (_, c) => c > sinceTs }.toSeq.sortBy(_._1)
+        if (touched.isEmpty) snapshot.filter(lit(false))
+        else spark.read.option("mergeSchema", "true")
+          .parquet(touched.map { case (b, c) => bucketPath(b, c) }: _*)
+          .filter(col(CommitCol) > sinceTs)
+      }
   }
 
   def snapshotOpt: Option[DataFrame] = commitDirs.lastOption.map(readCommit)

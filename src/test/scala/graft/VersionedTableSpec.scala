@@ -70,7 +70,8 @@ class VersionedTableSpec extends SparkSpec {
       assert(Files.getLastModifiedTime(Paths.get(f)).toMillis == t, s"$f was rewritten")
     }
     val manifest = Files.readAllLines(Paths.get(s"$root/$c2/manifest.tsv")).asScala
-      .filter(_.nonEmpty).map(_.split("\t")).map(a => a(0).toInt -> a(1)).toMap
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split("\t")).map(a => a(0).toInt -> a(1)).toMap
     assert(manifest.values.toSet.contains(c1), "c2 manifest must reference c1 buckets")
     assert(manifest.count(_._2 == c2) == 1)
 
@@ -119,6 +120,31 @@ class VersionedTableSpec extends SparkSpec {
       .map(r => r.getAs[String]("k") -> r.getAs[String]("payload")).toMap
     assert(snap.size == 20 && snap("K1") == "p1" && snap("K2") == "p2b")
     assert(Files.exists(Paths.get(s"$root/$crashed")), "crashed dir left for inspection")
+  }
+
+  test("opening a table with a different bucket count fails fast") {
+    val root = Fixtures.tmpDir("vtb").toString
+    new VersionedTable(spark, root, "k", "v", numBuckets = 8)
+      .upsert(Seq(("A", "1", "p")).toDF("k", "v", "payload"))
+    val wrong = new VersionedTable(spark, root, "k", "v", numBuckets = 16)
+    val e = intercept[IllegalArgumentException] {
+      wrong.upsert(Seq(("B", "1", "q")).toDF("k", "v", "payload"))
+    }
+    assert(e.getMessage.contains("numBuckets=8"))
+    // reads are unaffected (bucket paths come from the manifest)
+    assert(wrong.snapshot.count() == 1)
+  }
+
+  test("incremental works on a legacy manifest-less snapshot") {
+    import org.apache.spark.sql.functions.lit
+    val root = Fixtures.tmpDir("vtli").toString
+    val legacyTs = "20200101000000"
+    Seq(("A", "1", "a1")).toDF("k", "v", "payload")
+      .withColumn("_commit_time", lit(legacyTs))
+      .write.parquet(s"$root/$legacyTs")
+    val vt = new VersionedTable(spark, root, "k", "v")
+    assert(vt.incremental("00000000000000").count() == 1)
+    assert(vt.incremental(legacyTs).count() == 0)
   }
 
   test("upsert merges rows with null record keys") {
