@@ -169,16 +169,20 @@ object MinhashSig {
       intLiteral(FnName, "n", exprs(1)),
       intLiteral(FnName, "k", exprs(2)))
 
-  /** Clean error for non-literal arity args (a blind eval would
-    * surface as an opaque ClassCastException at planning time).
+  /** Clean error for non-constant arity args (a blind eval would
+    * surface as an opaque ClassCastException at planning time). Any
+    * foldable int expression is accepted — builders run before
+    * constant folding, so `2+1` arrives unfolded but evaluable.
     */
   private[expressions] def intLiteral(fn: String, name: String, e: Expression): Int =
-    e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
-          org.apache.spark.sql.types.IntegerType) => v
-      case other => throw new IllegalArgumentException(
-        s"$fn: argument '$name' must be an integer literal, got ${other.sql}")
-    }
+    if (e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType)
+      e.eval() match {
+        case v: Int => v
+        case _ => throw new IllegalArgumentException(
+          s"$fn: argument '$name' must be a non-null integer constant, got ${e.sql}")
+      }
+    else throw new IllegalArgumentException(
+      s"$fn: argument '$name' must be an integer constant, got ${e.sql}")
 
   /** Idempotent per-session registration (temp function). */
   def register(spark: SparkSession): Unit = {

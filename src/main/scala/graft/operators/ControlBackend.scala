@@ -81,11 +81,13 @@ final class ParquetControlBackend(spark: SparkSession, root: String,
       df.write.mode(SaveMode.Overwrite).parquet(tmp)
       Files.move(p, old)
       Files.move(Paths.get(tmp), p)
-      // the previous generation is RETAINED until the next compact:
-      // a DataFrame planned against the old file listing (e.g. an
-      // in-flight lineage request) can still read its files instead of
-      // hitting FileNotFoundException; the stale dir is swept at the
-      // top of the following compact
+      graft.util.Fs.deleteRecursively(old) // best-effort cleanup
+      // Known small race: a DataFrame PLANNED before this swap holds
+      // the old part-file paths and will fail fast (FileNotFound) if
+      // collected afterwards — retention couldn't help, since the
+      // rename invalidates the planned paths either way. Control-plane
+      // reads are tiny and re-plan on retry; data is never lost (the
+      // swap is repair-safe via recover()).
     }
   }
 }

@@ -91,12 +91,14 @@ final class VersionedTable(spark: SparkSession, root: String,
       }.toMap
 
   /** Bucket count recorded in a commit's manifest header (None for
-    * pre-header manifests).
+    * pre-header or unparsable manifests — the guard then simply
+    * doesn't fire rather than crashing on a mangled header).
     */
   private def readBucketCount(ts: String): Option[Int] =
     if (!Files.exists(manifestPath(ts))) None
     else Files.readAllLines(manifestPath(ts)).asScala
-      .find(_.startsWith("#buckets=")).map(_.stripPrefix("#buckets=").toInt)
+      .find(_.startsWith("#buckets="))
+      .flatMap(l => scala.util.Try(l.stripPrefix("#buckets=").trim.toInt).toOption)
 
   private def writeManifest(ts: String, m: Map[Int, String]): Unit = {
     Files.createDirectories(manifestPath(ts).getParent)
@@ -140,21 +142,25 @@ final class VersionedTable(spark: SparkSession, root: String,
     // snapshot: fold the WHOLE snapshot into this commit — treating it
     // as empty would silently drop every pre-existing row
     val legacyPrev = prev.filterNot(_ => prevManifest.nonEmpty)
-    // materialize the updates once: the plan is evaluated for the
-    // touched-bucket probe AND the merged write — a non-deterministic
-    // updates plan evaluated twice could write a bucket the probe never
-    // saw, shadowing its previous rows in the manifest
-    val updates = updates0.localCheckpoint(true)
     // incoming rows are stamped with this commit; carried rows keep the
     // commit that last wrote them (Hudi per-record _hoodie_commit_time
     // semantics — rewritten-but-unchanged rows don't advance), which is
     // what makes [[incremental]] reads record-accurate.
-    val tagged = updates.withColumn("_is_update", lit(1)).withColumn(CommitCol, lit(ts))
+    val tagged = updates0.withColumn("_is_update", lit(1)).withColumn(CommitCol, lit(ts))
+    // The updates plan is evaluated twice: a cheap column-pruned probe
+    // for the touched buckets, then the merged write. For a
+    // NON-deterministic plan the two could diverge — writing a bucket
+    // the probe never read would silently shadow its history — so the
+    // written set is verified against the probe below and the commit
+    // aborted on divergence (explicit error instead of data loss;
+    // callers with non-deterministic sources should checkpoint first).
+    var touchedProbe: Option[Set[Int]] = None
     val prevData: Option[DataFrame] = legacyPrev match {
       case Some(legacy) => Some(spark.read.parquet(s"$root/$legacy"))
       case None =>
-        val touched = updates.select(bucketExpr.as("b")).distinct()
+        val touched = updates0.select(bucketExpr.as("b")).distinct()
           .collect().map(_.getLong(0).toInt).toSet
+        touchedProbe = Some(touched)
         val prevPaths = touched.toSeq.sorted
           .flatMap(b => prevManifest.get(b).map(c => bucketPath(b, c)))
         if (prevPaths.isEmpty) None
@@ -177,6 +183,14 @@ final class VersionedTable(spark: SparkSession, root: String,
     val written = graft.util.Fs.list(Paths.get(s"$root/$ts/data"))
       .map(_.getFileName.toString).filter(_.startsWith(s"$BucketCol="))
       .map(_.stripPrefix(s"$BucketCol=").toInt)
+    touchedProbe.foreach { touched =>
+      val unexpected = written.toSet -- touched
+      if (unexpected.nonEmpty) {
+        graft.util.Fs.deleteRecursively(Paths.get(s"$root/$ts"))
+        sys.error(s"upsert aborted: updates wrote buckets $unexpected the probe " +
+          "never read — the updates plan is non-deterministic; checkpoint it first")
+      }
+    }
     writeManifest(ts, prevManifest ++ written.map(_ -> ts))
     ts
   }
@@ -193,9 +207,14 @@ final class VersionedTable(spark: SparkSession, root: String,
     case None => sys.error(s"no commits under $root")
     case Some(latest) =>
       val m = readManifest(latest)
-      if (m.isEmpty) // legacy pre-bucketing snapshot: record-filter it
-        readCommit(latest).filter(col(CommitCol) > sinceTs)
-      else {
+      if (m.isEmpty) {
+        // legacy pre-bucketing snapshot: record-filter when it carries
+        // per-row commits; else the whole commit is newer-or-not
+        val df = readCommit(latest)
+        if (df.columns.contains(CommitCol)) df.filter(col(CommitCol) > sinceTs)
+        else if (latest > sinceTs) df
+        else df.filter(lit(false))
+      } else {
         val touched = m.filter { case (_, c) => c > sinceTs }.toSeq.sortBy(_._1)
         if (touched.isEmpty) snapshot.filter(lit(false))
         else spark.read.option("mergeSchema", "true")
