@@ -523,5 +523,26 @@ object OracleSql {
           SELECT doc_id, quality_1e6, predicted_lang FROM G
           WHERE quality_1e6 >= 600000 AND predicted_lang = 'en'
           ORDER BY doc_id"""
-    })
+    },
+
+    // independent formulation of the COW upsert merge: the engine folds
+    // three commits sequentially (pairwise max-precombine, tie → later
+    // write); the oracle takes the global lexicographic max over
+    // (pre DESC, commit seq DESC) — equal because each commit carries
+    // at most one row per key
+    "q46_cow_merge" ->
+      """SELECT doc_id, txt, pre FROM (
+           SELECT doc_id, txt, pre,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY pre DESC, seq DESC) AS rn
+           FROM (
+             SELECT doc_id, substr(text, 1, 30) AS txt,
+               CAST(1 AS BIGINT) AS pre, 0 AS seq FROM documents
+             UNION ALL
+             SELECT doc_id, 'tie:' || substr(text, 1, 20),
+               CAST(1 AS BIGINT), 1 FROM documents WHERE doc_id % 5 = 0
+             UNION ALL
+             SELECT doc_id, 'new:' || substr(text, 1, 20),
+               CAST(2 AS BIGINT), 2 FROM documents WHERE doc_id % 7 = 0))
+         WHERE rn = 1 ORDER BY doc_id""")
 }

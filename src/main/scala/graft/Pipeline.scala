@@ -31,9 +31,17 @@ final class Pipeline(
     spark: SparkSession,
     lakeRoot: String,
     registry: Seq[SourceSpec] = Seeds.registry,
-    rules: Seq[PhiRule] = Seeds.phiRulesV1) {
+    rules: Seq[PhiRule] = Seeds.phiRulesV1,
+    controlBackend: Option[ControlBackend] = None) {
 
-  val provenance = new Provenance(spark, lakeRoot)
+  /** Control plane: lake-native parquet by default, or any injected
+    * [[operators.ControlBackend]] — e.g. [[operators.JdbcControlBackend]]
+    * for the reference's RDBMS-as-system-of-record architecture.
+    */
+  val provenance = controlBackend match {
+    case Some(be) => new Provenance(spark, be)
+    case None => new Provenance(spark, lakeRoot)
+  }
 
   private def zone(z: String, parts: String*): Path =
     Paths.get((s"$lakeRoot/$z" +: parts).mkString("/"))

@@ -556,6 +556,30 @@ object SparkEntry {
         bits = 32, bands = 4, maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** K8/S9 in the battery: the bucketed COW upsert merge itself
+    * (operators.VersionedTable — Hudi recordkey/precombine semantics,
+    * reference hudi/register_hudi.py:44-96). Builds a three-commit
+    * table in a scratch dir from `documents` — base (pre=1), a
+    * precombine-TIE update on doc_id%5 (latest-write-wins), a
+    * newer-precombine update on doc_id%7 (pre=2) — then queries the
+    * merged snapshot. The oracle folds the same three commits with one
+    * lexicographic row_number over (pre DESC, commit seq DESC): a
+    * sequential pairwise max-precombine merge equals the global
+    * lexicographic max when each commit has one row per key.
+    */
+  private def qCowMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_q46_cow").toString
+    val vt = new graft.operators.VersionedTable(s, root, "doc_id", "pre", numBuckets = 8)
+    vt.upsert(docs.select(col("doc_id"),
+      substring(col("text"), 1, 30).as("txt"), lit(1L).as("pre")))
+    vt.upsert(docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"),
+      concat(lit("tie:"), substring(col("text"), 1, 20)).as("txt"), lit(1L).as("pre")))
+    vt.upsert(docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"),
+      concat(lit("new:"), substring(col("text"), 1, 20)).as("txt"), lit(2L).as("pre")))
+    vt.snapshot.select(col("doc_id"), col("txt"), col("pre")).orderBy(col("doc_id"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -603,7 +627,8 @@ object SparkEntry {
     "q42_hl7_component" -> (qHl7Component _),
     "q43_range_join" -> (qRangeJoin _),
     "q44_curation" -> (qCuration _),
-    "q45_simhash_pairs" -> (qSimhashPairs _))
+    "q45_simhash_pairs" -> (qSimhashPairs _),
+    "q46_cow_merge" -> (qCowMerge _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

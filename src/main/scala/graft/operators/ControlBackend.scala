@@ -148,13 +148,28 @@ final class JdbcControlBackend(spark: SparkSession, url: String) extends Control
     try rs.next() finally rs.close()
   }
 
+  /** CONTRACT: control-plane rows ONLY — batch/step/rule/audit records,
+    * O(1..100) rows per call, never a data-plane frame. The append
+    * necessarily funnels through the driver (same as the reference's
+    * psycopg2 INSERT flow), so a data-plane misuse would both OOM the
+    * driver and hammer the RDBMS; nothing in the type signature stops
+    * that, so a hard row cap does: the frame is fetched with
+    * limit(cap+1) — the guard itself can't OOM — and over-cap appends
+    * abort with a clear error instead of degrading.
+    */
   override def append(table: String, df: DataFrame): Unit = withConn { c =>
+    val rows = df.limit(JdbcControlBackend.MaxControlRows + 1).collect()
+    require(rows.length <= JdbcControlBackend.MaxControlRows,
+      s"JdbcControlBackend.append('$table') got more than " +
+        s"${JdbcControlBackend.MaxControlRows} rows — this backend is for " +
+        "control-plane records only; write data-plane frames to the lake " +
+        "(parquet/VersionedTable), not the RDBMS")
     ensureTable(c, table, df.schema)
     val cols = df.schema.map(f => s""""${f.name}"""").mkString(", ")
     val marks = df.schema.map(_ => "?").mkString(", ")
     val ps = c.prepareStatement(s"""INSERT INTO "$table" ($cols) VALUES ($marks)""")
     try {
-      df.collect().foreach { row =>
+      rows.foreach { row =>
         df.schema.indices.foreach { i =>
           val v = row.get(i)
           if (v == null) ps.setNull(i + 1, jdbcType(df.schema(i)))
@@ -173,6 +188,13 @@ final class JdbcControlBackend(spark: SparkSession, url: String) extends Control
 }
 
 object JdbcControlBackend {
+  /** Hard cap on rows per [[JdbcControlBackend.append]] call. Real
+    * control tables write a handful of rows per batch/step; 10k leaves
+    * three orders of magnitude of headroom while still failing fast on
+    * a data-plane frame.
+    */
+  val MaxControlRows = 10000
+
   /** Keep embedded Derby's derby.log out of the working directory. */
   private lazy val initOnce: Unit = {
     if (System.getProperty("derby.system.home") == null)

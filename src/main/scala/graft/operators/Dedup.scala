@@ -262,6 +262,12 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // empty edge set (a clean corpus): no components to label — return
+    // the empty (id, cluster_id) frame directly instead of paying the
+    // label-init groupBy and fixpoint-probe jobs (isEmpty on the
+    // checkpointed edges is a limit-1 scan of local blocks, ~free)
+    if (edges.isEmpty)
+      return edges.select(col("src").as("id"), col("dst").as("cluster_id"))
     // init already folds the first hop: label(v) = min(v, min(N(v)))
     var labels = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("m"))
       .select(col("id"), least(col("id"), col("m")).as("label"))

@@ -57,13 +57,22 @@ object Validator {
     * case-insensitive), US month-first slash dates are tried before
     * day-first (dateutil's default ordering), bare 4-digit years and
     * time-only values parse (dateutil fills today's defaults), and
-    * offset/'T'/fraction ISO forms ride on Spark's default parser.
+    * offset/'T'/fraction ISO forms ride on Spark's default parser, and
+    * year-less month-day forms ("Feb 15", "15 Feb") parse against a
+    * fixed non-leap default year.
     * ValidatorSpec pins this against a generated table of
     * dateutil-accepted/rejected strings.
     */
   def lenientTimestamp(c: Column): Column = {
     val n = initcap(regexp_replace(trim(c), "\\s+", " "))
     val bareYear = when(trim(c).rlike("^\\d{4}$"), trim(c))
+    // Year-less month-day forms ("Feb 15", "15 Feb"): dateutil fills
+    // today's year. A fixed NON-leap default year keeps the probe
+    // deterministic while matching dateutil's calendar validation in a
+    // non-leap year ("Feb 29" rejected, "Feb 28" accepted) — the one
+    // divergence is Feb 29 probed during a real leap year, which
+    // dateutil would then accept.
+    val y = concat(n, lit(" 2001"))
     coalesce(
       try_to_timestamp(c), // ISO date/datetime incl. 'T', offsets, fractions
       try_to_timestamp(c, lit("yyyy-MM-dd")),
@@ -89,6 +98,13 @@ object Validator {
       try_to_timestamp(
         regexp_replace(n, "^(Mon|Tue|Wed|Thu|Fri|Sat|Sun) ", ""),
         lit("MMM d HH:mm:ss yyyy")),
+      // year-less forms (dateutil today-defaults; see `y` above) —
+      // an input that already ends in a year fails these patterns on
+      // the appended token and is caught by the with-year forms above
+      try_to_timestamp(y, lit("MMM d yyyy")),
+      try_to_timestamp(y, lit("d MMM yyyy")),
+      try_to_timestamp(y, lit("MMMM d yyyy")),
+      try_to_timestamp(y, lit("d MMMM yyyy")),
       try_to_timestamp(bareYear, lit("yyyy")))
   }
 

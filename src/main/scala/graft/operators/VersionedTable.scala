@@ -195,6 +195,62 @@ final class VersionedTable(spark: SparkSession, root: String,
     ts
   }
 
+  /** Bucket-count migration — the growth path for a table whose data
+    * outlives its creation-time layout (Hudi solves the same problem
+    * with sized file groups, register_hudi.py:56-69 at real scale).
+    * Rewrites the FULL current snapshot into `newBuckets` key-hash
+    * buckets as one migration commit and stamps the new `#buckets=`
+    * manifest header; returns the handle for the migrated table (same
+    * root, new bucket count) — subsequent upserts must open with
+    * `numBuckets = newBuckets`, which the [[upsert]] guard enforces.
+    *
+    * Older commits stay time-travel readable: every read is driven by
+    * its own commit's manifest, so per-commit bucket counts never leak
+    * across commits. Per-row `_commit_time`s are preserved — a rebucket
+    * moves bytes, not records, so [[incremental]] consumers see no
+    * phantom changes — though incremental FILE pruning degrades to a
+    * full read until newer commits shrink the changed-bucket set again
+    * (every bucket's last writer is now the migration commit).
+    *
+    * Sizing guidance: target ≤ ~1 GB per bucket (numBuckets ≈
+    * ceil(tableBytes / 1 GB), rounded up to a power of two) and migrate
+    * as the table grows — a table created with 16 buckets that reaches
+    * 100 TB would otherwise rewrite ~6 TB per touched bucket on every
+    * upsert. The migration itself is one full-table shuffle-free
+    * rewrite (read manifest paths → re-hash → partitioned write), the
+    * same cost as Hudi clustering.
+    *
+    * Crash-safe like [[upsert]]: data is written before the manifest,
+    * so a dir with `data/` but no manifest is ignored as a crashed
+    * commit.
+    */
+  def rebucket(newBuckets: Int): VersionedTable = {
+    require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
+    val prev = commitDirs.lastOption.getOrElse(sys.error(s"no commits under $root"))
+    // same open-guard as upsert: refuse to migrate a table opened with
+    // the wrong current bucket count (the caller's mental model of the
+    // layout is stale — make them re-open correctly first)
+    readBucketCount(prev).foreach { stored =>
+      require(stored == numBuckets,
+        s"table at $root was written with numBuckets=$stored, opened with $numBuckets")
+    }
+    val migrated = new VersionedTable(spark, root, recordKey, precombine, newBuckets)
+    val ts = newCommitTs()
+    val snap = readCommit(prev)
+    // legacy (pre-bucketing) snapshots carry no per-row commit time;
+    // stamp them with the migration commit so incremental stays defined
+    val stamped =
+      if (snap.columns.contains(CommitCol)) snap
+      else snap.withColumn(CommitCol, lit(ts))
+    stamped.withColumn(BucketCol, migrated.bucketExpr)
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$ts/data")
+    val written = graft.util.Fs.list(Paths.get(s"$root/$ts/data"))
+      .map(_.getFileName.toString).filter(_.startsWith(s"$BucketCol="))
+      .map(_.stripPrefix(s"$BucketCol=").toInt)
+    migrated.writeManifest(ts, written.map(_ -> ts).toMap)
+    migrated
+  }
+
   /** Incremental pull (Hudi incremental-query semantics): records whose
     * last write is AFTER `sinceTs` (exclusive), as of the latest
     * commit. File-pruned via the manifest — only buckets written by a

@@ -3,7 +3,7 @@ package graft
 import java.net.{HttpURLConnection, URL}
 import scala.io.Source
 
-import graft.operators.{InMemoryControlBackend, Provenance}
+import graft.operators.{InMemoryControlBackend, JdbcControlBackend, Provenance}
 import graft.service.LineageService
 
 class LineageServiceSpec extends SparkSpec {
@@ -56,6 +56,47 @@ class LineageServiceSpec extends SparkSpec {
       assert(c5 == 200 && found.contains("b3") && !found.contains("b1"))
       val (c5b, all) = get(port, "/provenance/search")
       assert(c5b == 200 && Seq("b1", "b2", "b3").forall(all.contains))
+    } finally svc.stop()
+  }
+
+  test("full pipeline on a Derby JDBC control plane, served over HTTP " +
+      "(the complete reference architecture end-to-end)") {
+    // reference shape: ETL writes provenance to an RDBMS (Postgres,
+    // etl/db.py) and FastAPI serves lineage from it (api/app.py) — here:
+    // Pipeline → JdbcControlBackend(Derby) → LineageService
+    val base = Fixtures.sourceTree(Fixtures.tmpDir("srcjdbc"))
+    val lake = Fixtures.tmpDir("lakejdbc").toString
+    val be = new JdbcControlBackend(spark,
+      s"jdbc:derby:${Fixtures.tmpDir("derbye2e")}/db;create=true")
+    val p = new Pipeline(spark, lake, controlBackend = Some(be))
+    p.ingest(base.toString)
+    p.validatePending()
+    p.scrubPending()
+    val transformed = p.transformPending()
+    assert(transformed.size == 3)
+
+    val svc = new LineageService(p.provenance)
+    val port = svc.start()
+    try {
+      // search by status hits the Derby-backed state machine
+      val (cs, completed) = get(port, "/provenance/search?status=COMPLETED")
+      assert(cs == 200)
+      transformed.foreach { case (batchId, _) =>
+        assert(completed.contains(batchId), s"$batchId missing from $completed")
+      }
+      // a single batch round-trips with its full hash chain
+      val b1 = transformed.head._1
+      val (cb, batch) = get(port, s"/provenance/batch/$b1")
+      assert(cb == 200 && batch.contains("\"status\":\"COMPLETED\"")
+        && batch.contains("raw_sha256") && batch.contains("final_sha256"))
+      // the step timeline of that batch covers all four stages
+      val (ct, steps) = get(port, s"/provenance/steps/$b1")
+      assert(ct == 200)
+      Seq("INGEST", "VALIDATION_PASSED", "SCRUB_PHI", "TRANSFORM").foreach(st =>
+        assert(steps.contains(st), s"missing step $st in $steps"))
+      // rules applied during the scrub are queryable
+      val (cr, rules) = get(port, s"/provenance/rules/$b1")
+      assert(cr == 200 && rules.contains("PHI_"))
     } finally svc.stop()
   }
 }

@@ -70,6 +70,58 @@ class MultimodalSpec extends SparkSpec {
     assert(byType("wav") == null) // unrecognized bytes → null meta
   }
 
+  test("real WAV/MP4 header decode reads true durations; corrupt bytes degrade to null") {
+    import java.io.ByteArrayOutputStream
+    import java.nio.{ByteBuffer, ByteOrder}
+    // a REAL wav via the JDK's own audio writer: 1s of 8kHz 16-bit mono
+    def wavBytes(seconds: Int, rate: Float = 8000f): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val n = (rate * seconds).toInt
+      val pcm = new java.io.ByteArrayInputStream(new Array[Byte](n * 2))
+      val ais = new AudioInputStream(pcm, fmt, n.toLong)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // a minimal MP4: ftyp box + moov{mvhd v0 timescale=600 duration=1500} → 2500ms
+    def mp4Bytes(timescale: Int, duration: Int): Array[Byte] = {
+      def box(tp: String, body: Array[Byte]): Array[Byte] = {
+        val bb = ByteBuffer.allocate(8 + body.length).order(ByteOrder.BIG_ENDIAN)
+        bb.putInt(8 + body.length).put(tp.getBytes("US-ASCII")).put(body)
+        bb.array()
+      }
+      val mvhd = ByteBuffer.allocate(100).order(ByteOrder.BIG_ENDIAN)
+      mvhd.putInt(0)          // version 0 + flags
+      mvhd.putInt(0).putInt(0) // creation, modification
+      mvhd.putInt(timescale).putInt(duration)
+      box("ftyp", "isom".getBytes ++ new Array[Byte](4)) ++
+        box("moov", box("mvhd", mvhd.array()))
+    }
+    val dir = Fixtures.tmpDir("av")
+    Files.write(dir.resolve("a.wav"), wavBytes(2))
+    Files.write(dir.resolve("b.mp4"), mp4Bytes(600, 1500))
+    Files.write(dir.resolve("c.bin"), "RIFFxxxxWAVEtruncated".getBytes) // corrupt wav
+    Files.write(dir.resolve("d.bin"), "neither image nor av".getBytes)
+    val decoded = Multimodal.decodeMediaMetaJvm(
+      Multimodal.readBinaryDir(spark, dir.toString))
+    val byType = decoded.collect()
+      .map(r => r.getAs[String]("media_type") -> r.getAs[org.apache.spark.sql.Row]("meta"))
+      .toMap
+    val wav = byType("wav")
+    assert(wav.getAs[Long]("duration_ms") == 2000L, s"wav meta: $wav")
+    assert(wav.getAs[String]("codec") == "wav")
+    assert(wav.isNullAt(wav.fieldIndex("width")))
+    val mp4 = byType("mp4")
+    assert(mp4.getAs[Long]("duration_ms") == 2500L, s"mp4 meta: $mp4")
+    assert(mp4.getAs[String]("codec") == "mp4")
+    assert(byType("bin") == null, "corrupt/unknown payloads must get null meta")
+    // direct probe: image bytes still win the image path under the
+    // combined decoder, and plain garbage is rejected by both
+    assert(Multimodal.decodeAvHeader("garbage".getBytes).isEmpty)
+    assert(Multimodal.decodeAvHeader(null).isEmpty)
+  }
+
   test("sampleChunks explodes n offset-chunks per payload") {
     val df = Seq((1L, "0123456789abcdef".getBytes)).toDF("media_id", "payload")
     val out = Multimodal.sampleChunks(df, col("payload"), n = 4, chunkBytes = 4)

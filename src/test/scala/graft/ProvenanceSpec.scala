@@ -113,6 +113,25 @@ class ProvenanceSpec extends SparkSpec {
     }
   }
 
+  test("jdbc backend rejects a data-plane-sized append with a clear error") {
+    import spark.implicits._
+    val be = new JdbcControlBackend(spark,
+      s"jdbc:derby:${Fixtures.tmpDir("derbycap")}/db;create=true")
+    // at the cap: accepted
+    be.append("cap_ok", (1 to JdbcControlBackend.MaxControlRows)
+      .map(i => (i.toLong, s"r$i")).toDF("id", "v"))
+    assert(be.read("cap_ok")(spark.emptyDataFrame).count() ==
+      JdbcControlBackend.MaxControlRows)
+    // one over: refused before any insert, with the contract in the message
+    val e = intercept[IllegalArgumentException] {
+      be.append("cap_no", (0 to JdbcControlBackend.MaxControlRows)
+        .map(i => (i.toLong, s"r$i")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("control-plane"))
+    assert(be.read("cap_no")(spark.emptyDataFrame).isEmpty,
+      "refused append must not create/populate the table")
+  }
+
   test("sha256File matches a known digest") {
     val f = Fixtures.write(Fixtures.tmpDir("sha").resolve("x.txt"), "abc")
     assert(Provenance.sha256File(f.toString) ==

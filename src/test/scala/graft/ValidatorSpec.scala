@@ -63,10 +63,15 @@ class ValidatorSpec extends SparkSpec {
       "20250215103000", "Feb 15 2025", "feb 15 2025", "15 Feb 2025",
       "February 15, 2025", "february 15 2025", "15 February 2025",
       "FEB 15 2025", "Feb 15, 2025", "10:30:00", "10:30",
-      "02/15/2025 10:30", "2025", "15.02.2025", "Sat Feb 15 10:30:00 2025")
+      "02/15/2025 10:30", "2025", "15.02.2025", "Sat Feb 15 10:30:00 2025",
+      // year-less month-day forms: dateutil fills today's defaults
+      "Feb 15", "feb 15", "15 Feb", "February 15", "15 February",
+      "15 feb")
     val rejected = Seq(
       "not a date", "2025-13-45", "99/99/9999", "hello 123",
-      "13/13/2025", "0", "2025-02-30")
+      "13/13/2025", "0", "2025-02-30",
+      // calendar-invalid year-less forms (2026 is not a leap year)
+      "Feb 30", "Feb 29", "31 Apr")
     val df = (accepted.map((_, true)) ++ rejected.map((_, false))).toDF("s", "expect")
     val got = df.select(col("s"), col("expect"),
         Validator.lenientTimestamp(col("s")).isNotNull.as("parsed")).collect()

@@ -237,6 +237,82 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.asOf(c0).count() == 2 && vt.asOf(c2).count() == 2)
   }
 
+  test("rebucket migrates 4→16 buckets with content unchanged and history intact") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Fixtures.tmpDir("vtm").toString
+    val vt4 = new VersionedTable(spark, root, "k", "v", numBuckets = 4)
+    val c1 = vt4.upsert((1 to 80).map(i => (s"K$i", "1", s"p$i")).toDF("k", "v", "payload"))
+    val c2 = vt4.upsert(Seq(("K1", "2", "p1b")).toDF("k", "v", "payload"))
+    val before = vt4.snapshot.collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("payload"))).toSet
+
+    val vt16 = vt4.rebucket(16)
+    val mig = vt16.commits.head
+
+    // snapshot content is byte-for-byte the same set of records
+    val after = vt16.snapshot.collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("payload"))).toSet
+    assert(after == before)
+    // the migration commit's manifest carries the new bucket count and
+    // references ONLY itself (full rewrite)
+    val lines = Files.readAllLines(Paths.get(s"$root/$mig/manifest.tsv")).asScala
+    assert(lines.head == "#buckets=16")
+    val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split("\t")).map(a => a(0).toInt -> a(1))
+    assert(entries.forall(_._2 == mig))
+    assert(entries.map(_._1).toSet.subsetOf((0 until 16).toSet))
+    assert(entries.map(_._1).exists(_ >= 4), "keys must spread beyond the old 4 buckets")
+
+    // old commits stay time-travel readable after the migration
+    assert(vt16.asOf(c1).collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("payload")).toMap.apply("K1") == "p1")
+    assert(vt16.asOf(c2).count() == 80)
+
+    // the upsert guard accepts the post-migration table at 16...
+    vt16.upsert(Seq(("K2", "3", "p2c")).toDF("k", "v", "payload"))
+    assert(vt16.snapshot.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("payload")).toMap.apply("K2") == "p2c")
+    // ...and rejects the stale 4-bucket handle
+    val e = intercept[IllegalArgumentException] {
+      vt4.upsert(Seq(("K3", "3", "x")).toDF("k", "v", "payload"))
+    }
+    assert(e.getMessage.contains("numBuckets=16"))
+  }
+
+  test("rebucket preserves per-record commit times (incremental sees no phantoms)") {
+    val root = Fixtures.tmpDir("vtmi").toString
+    val vt = new VersionedTable(spark, root, "k", "v", numBuckets = 2)
+    val c1 = vt.upsert(Seq(("A", "1", "a1"), ("B", "1", "b1")).toDF("k", "v", "payload"))
+    val c2 = vt.upsert(Seq(("B", "2", "b2")).toDF("k", "v", "payload"))
+    val vt8 = vt.rebucket(8)
+    // a rebucket moves bytes, not records: incremental since c1 is
+    // still exactly the c2-written record, not the whole table
+    val inc = vt8.incremental(c1).collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("payload")).toMap
+    assert(inc == Map("B" -> "b2"))
+    assert(vt8.incremental(c2).count() == 0)
+    val commits = vt8.snapshot.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String](vt8.CommitCol)).toMap
+    assert(commits("A") == c1 && commits("B") == c2)
+  }
+
+  test("rebucket folds a legacy manifest-less snapshot into the bucketed layout") {
+    val root = Fixtures.tmpDir("vtml").toString
+    val legacyTs = "20200101000000"
+    Seq(("A", "1", "a1"), ("B", "1", "b1")).toDF("k", "v", "payload")
+      .write.parquet(s"$root/$legacyTs") // no per-row _commit_time at all
+    val vt = new VersionedTable(spark, root, "k", "v", numBuckets = 4)
+    val vt2 = vt.rebucket(4)
+    val snap = vt2.snapshot.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("payload")).toMap
+    assert(snap == Map("A" -> "a1", "B" -> "b1"))
+    // legacy rows got stamped with the migration commit
+    assert(vt2.incremental(legacyTs).count() == 2)
+    vt2.upsert(Seq(("B", "2", "b2")).toDF("k", "v", "payload"))
+    assert(vt2.snapshot.count() == 2)
+  }
+
   test("joinWithin equals the naive range-join result") {
     import org.apache.spark.sql.functions.{abs, col}
     val rnd = new scala.util.Random(3)
