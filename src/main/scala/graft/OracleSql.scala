@@ -115,6 +115,30 @@ object OracleSql {
                     AND a.doc_id < b2.doc_id)"""
   }
 
+  /** One Lloyd's-k-means round for the q49 IVF oracle: assign every
+    * corpus vector to its best cell in `prev` (score desc, cid asc —
+    * the exact tie-break of Similarity.assignCell's first-max), then
+    * per-dimension means from FIXED-POINT integer sums (associative,
+    * so both engines compute bit-identical centroids), empty cells
+    * carrying the previous centroid.
+    */
+  private def ivfRound(prev: String, a: String, p: String, m: String,
+      next: String): String =
+    s"""$a AS (SELECT id, emb, cid FROM (
+          SELECT c.id, c.emb, s.cid,
+            row_number() OVER (PARTITION BY c.id
+              ORDER BY ${scoreFixedSql("c.emb", "s.cemb")} DESC, s.cid) AS rn
+          FROM C c CROSS JOIN $prev s) WHERE rn = 1),
+        $p AS (SELECT cid, unnest(range(len(emb))) AS pos, emb FROM $a),
+        $m AS (SELECT cid, pos,
+                (sum(cast(floor(emb[pos+1]::DOUBLE * 1048576.0) as bigint))::DOUBLE
+                  / count(*)::DOUBLE) / 1048576.0 AS mv
+               FROM $p GROUP BY cid, pos),
+        $next AS (SELECT s.cid, coalesce(n.cemb, s.cemb) AS cemb
+                  FROM $prev s LEFT JOIN
+                    (SELECT cid, list(mv ORDER BY pos) AS cemb FROM $m GROUP BY cid) n
+                  ON n.cid = s.cid)"""
+
   private def hitsSql(e: String, lang: String): String =
     s"cast(len(list_filter(${toks(s"lower($e)")}, t -> list_contains(${stopwordList(lang)}, t))) as bigint)"
 
@@ -544,5 +568,62 @@ object OracleSql {
              UNION ALL
              SELECT doc_id, 'new:' || substr(text, 1, 20),
                CAST(2 AS BIGINT), 2 FROM documents WHERE doc_id % 7 = 0))
-         WHERE rn = 1 ORDER BY doc_id""")
+         WHERE rn = 1 ORDER BY doc_id""",
+
+    // token-window chunking: 64-token windows, stride 48 (16 overlap);
+    // final window is the remainder — mirror of Chunker.chunkByTokens
+    "q47_chunking" ->
+      s"""WITH T AS (SELECT doc_id, ${toks("text")} AS tk FROM documents
+                     WHERE length(trim(coalesce(text, ''))) > 0),
+          N AS (SELECT doc_id, tk, len(tk) AS ntok FROM T),
+          C AS (SELECT doc_id, tk, ntok,
+                  CASE WHEN ntok <= 64 THEN 1
+                       ELSE CAST(floor((ntok - 64 + 47)::DOUBLE / 48) AS INT) + 1
+                  END AS nchunks FROM N),
+          X AS (SELECT doc_id, tk, ntok, unnest(range(nchunks)) AS i FROM C)
+          SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+            array_to_string(list_slice(tk, i * 48 + 1, i * 48 + 64), ' ') AS chunk,
+            CAST(least(ntok - i * 48, 64) AS BIGINT) AS chunk_tokens
+          FROM X ORDER BY doc_id, chunk_no""",
+
+    // deterministic stratified hash sample: membership is a pure
+    // function of doc_id (md5-derived bucket vs per-lang ppm rate);
+    // the CASE is generated from the SAME map the Spark plan uses
+    "q48_stratified_sample" -> {
+      val cases = graft.operators.Sampling.DemoRates.toSeq.sortBy(_._1)
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+          WHERE (${md5long("cast(doc_id as varchar)")} % 1000000) <
+                (CASE lang $cases ELSE 0 END)
+          ORDER BY doc_id"""
+    },
+
+    // IVF ANN with trained centroids: the oracle re-runs the SAME
+    // deterministic k-means (seeds = 8 lowest ids, 2 unrolled Lloyd
+    // rounds, fixed-point means) and the same 2-cell probe search —
+    // independent engine, identical arithmetic
+    "q49_ann_ivf" ->
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          S0 AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, emb AS cemb
+                 FROM (SELECT * FROM C ORDER BY id LIMIT 8)),
+          ${ivfRound("S0", "A1", "P1", "M1", "S1")},
+          ${ivfRound("S1", "A2", "P2", "M2", "S2")},
+          CC AS (SELECT id, emb, cid FROM (
+                  SELECT c.id, c.emb, s.cid,
+                    row_number() OVER (PARTITION BY c.id
+                      ORDER BY ${scoreFixedSql("c.emb", "s.cemb")} DESC, s.cid) AS rn
+                  FROM C c CROSS JOIN S2 s) WHERE rn = 1),
+          Q AS (SELECT id, emb FROM C WHERE id % 200 = 0),
+          QP AS (SELECT id, emb, cid FROM (
+                  SELECT q.id, q.emb, s.cid,
+                    row_number() OVER (PARTITION BY q.id
+                      ORDER BY ${scoreFixedSql("q.emb", "s.cemb")} DESC, s.cid) AS rn
+                  FROM Q q CROSS JOIN S2 s) WHERE rn <= 2),
+          SC AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+                  ${scoreFixedSql("q.emb", "c.emb")} AS score_1e6
+                 FROM CC c JOIN QP q ON q.cid = c.cid AND q.id <> c.id),
+          R AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_1e6 DESC, neighbor_id) AS rank FROM SC)
+          SELECT query_id, rank, neighbor_id, score_1e6 FROM R WHERE rank <= 3
+          ORDER BY query_id, rank""")
 }

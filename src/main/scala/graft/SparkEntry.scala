@@ -580,6 +580,41 @@ object SparkEntry {
     vt.snapshot.select(col("doc_id"), col("txt"), col("pre")).orderBy(col("doc_id"))
   }
 
+  /** Token-window chunking (operators.Chunker): 64-token windows with
+    * 16-token overlap — the map-only splitting stage of an embedding
+    * pipeline, no shuffle, no UDF.
+    */
+  private def qChunking(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunker.chunkByTokens(t(s, dir, "documents"), "text", 64, 16)
+      .select(col("doc_id"), col("chunk_no"), col("chunk"), col("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+
+  /** Deterministic stratified hash sample (operators.Sampling): per-lang
+    * parts-per-million mixture rates, membership a pure function of
+    * doc_id — reproducible across engines and partitionings.
+    */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(t(s, dir, "documents"),
+        col("lang"), col("doc_id"), graft.operators.Sampling.DemoRates)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** ANN with a TRAINED coarse quantizer (Similarity.trainCentroids +
+    * ivfTopK): deterministic fixed-point Lloyd's k-means (k=8, 2
+    * rounds, seeds = the 8 lowest-id vectors), queries probe their 2
+    * nearest cells, exact cosine ranks within cells. The oracle
+    * re-derives the identical centroids through unrolled CTEs, so
+    * training AND search are cross-engine-checked.
+    */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val cents = Similarity.trainCentroids(corpus, k = 8, iters = 2)
+    Similarity.ivfTopK(corpus, corpus.filter(col("id") % 200 === 0),
+        cents, k = 3, nprobe = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score_1e6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -628,7 +663,10 @@ object SparkEntry {
     "q43_range_join" -> (qRangeJoin _),
     "q44_curation" -> (qCuration _),
     "q45_simhash_pairs" -> (qSimhashPairs _),
-    "q46_cow_merge" -> (qCowMerge _))
+    "q46_cow_merge" -> (qCowMerge _),
+    "q47_chunking" -> (qChunking _),
+    "q48_stratified_sample" -> (qStratifiedSample _),
+    "q49_ann_ivf" -> (qAnnIvf _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

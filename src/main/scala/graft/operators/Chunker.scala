@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{let, tokens}
+
+/** Token-window document chunking — the splitting step every
+  * embedding / RAG / context-window-bounded training pipeline runs
+  * over its corpus before vectorizing.
+  *
+  * Chunks are windows of `chunkTokens` whitespace tokens advancing by
+  * `chunkTokens - overlapTokens` (consecutive chunks share
+  * `overlapTokens` tokens of context); the final window is the
+  * remainder — shorter, never empty. Chunk text re-joins tokens with a
+  * single space, the whitespace normalization an embedding tokenizer
+  * applies anyway. Whitespace-only documents produce no chunks.
+  *
+  * Scale: pure narrow expressions (split → sequence → explode) — a
+  * map-only stage with no shuffle and no UDF that pipelines straight
+  * out of the parquet scan. Output rows ≈ ntok/stride per document,
+  * and per-task memory is bounded by the input partition size
+  * regardless of corpus size; the token array is bound once per row
+  * (graft.functions.let) so the interpreted lambda never re-tokenizes.
+  */
+object Chunker {
+
+  /** Adds `chunk_no` (0-based), `chunk` (text), `chunk_tokens` (window
+    * token count) — one output row per window, all input columns kept.
+    */
+  def chunkByTokens(df: DataFrame, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    df.filter(length(trim(coalesce(col(textCol), lit("")))) > 0)
+      .select(col("*"),
+        explode(let(tokens(col(textCol)), ts => {
+          val ntok = size(ts)
+          // ceil((ntok - chunkTokens) / stride) + 1 via double floor —
+          // exact (all values << 2^53), avoids expr() for integral div
+          val nchunks = when(ntok <= chunkTokens, lit(1)).otherwise(
+            floor((ntok - lit(chunkTokens) + lit(stride - 1)).cast("double") / stride)
+              .cast("int") + 1)
+          transform(sequence(lit(0), nchunks - 1), i =>
+            struct(
+              i.cast("long").as("chunk_no"),
+              array_join(slice(ts, i * stride + 1, lit(chunkTokens)), " ").as("chunk"),
+              // window length by arithmetic, not a second slice
+              least(ntok - i * stride, lit(chunkTokens)).cast("long").as("chunk_tokens")))
+        })).as("_c"))
+      .withColumn("chunk_no", col("_c.chunk_no"))
+      .withColumn("chunk", col("_c.chunk"))
+      .withColumn("chunk_tokens", col("_c.chunk_tokens"))
+      .drop("_c")
+  }
+}

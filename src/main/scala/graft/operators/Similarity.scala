@@ -65,4 +65,105 @@ object Similarity {
         scoreFixed(col("q.emb"), col("c.emb")).as("score_1e6"))
     rank(scored, k)
   }
+
+  // ------------------------------------------------------------------
+  // IVF with TRAINED centroids — the real coarse quantizer the sign-bit
+  // bucket stands in for. Deterministic Lloyd's k-means expressed as
+  // DataFrame ops, every float reduction in fixed point so training is
+  // bit-reproducible across runs, partitionings, AND engines (the q49
+  // DuckDB oracle re-derives the same centroids independently).
+  // ------------------------------------------------------------------
+
+  /** Per-dimension fixed-point scale for centroid means: integer sums
+    * are associative, so the mean is partitioning-independent — a
+    * plain avg() would float-drift with the reduction order.
+    */
+  val MeanScale = 1048576.0 // 2^20
+
+  private def toD(x: Any): Double = x match {
+    case f: Float => f.toDouble
+    case d: Double => d
+    case other => other.toString.toDouble
+  }
+
+  /** Nearest-centroid id as a NARROW expression (no join, no shuffle):
+    * scores against the broadcast-as-literals centroid table, first
+    * max wins (= score desc, cid asc — centroids are cid-ordered).
+    * This is the map-side assign of a real IVF index: at 100 TB the
+    * quantizer ships to executors and assignment pipelines out of the
+    * scan; only the per-cell search joins.
+    */
+  def assignCell(emb: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val ordered = centroids.sortBy(_._1)
+    require(ordered.map(_._1) == ordered.indices.toSeq,
+      "centroid ids must be 0..k-1")
+    val centArr = array(ordered.map { case (_, v) => array(v.map(lit): _*) }: _*)
+    val scores = transform(centArr, c => scoreFixed(emb, c))
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** Deterministic Lloyd's k-means: seeds are the `k` lowest-id
+    * vectors (cid 0..k-1 in id order); each round assigns via
+    * [[assignCell]] and recomputes means per dimension from fixed-point
+    * integer sums; cells that lose all members keep their previous
+    * centroid. Train on a hash sample ([[Sampling.hashSample]]) at
+    * real scale — the quantizer needs a representative sample, not the
+    * corpus.
+    */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    require(k >= 1 && iters >= 0, s"need k>=1, iters>=0; got k=$k iters=$iters")
+    var cents: Seq[(Int, Seq[Double])] = corpus.orderBy(col("id")).limit(k)
+      .select(col("emb")).collect()
+      .map(_.getSeq[Any](0).map(toD).toSeq)
+      .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(
+        assignCell(col("emb"), cents).as("cid"),
+        posexplode(col("emb")).as(Seq("pos", "v")))
+      val stats = assigned.groupBy(col("cid"), col("pos"))
+        .agg(sum(floor(col("v").cast("double") * MeanScale).cast("long")).as("sf"),
+          count(lit(1)).as("n"))
+        .collect()
+      val means: Map[Int, Seq[Double]] = stats
+        .groupBy(_.getAs[Int]("cid"))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getAs[Int]("pos"))
+            .map(r => (r.getAs[Long]("sf").toDouble / r.getAs[Long]("n").toDouble) / MeanScale)
+            .toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** IVF search: corpus vectors live in their nearest cell (narrow
+    * assign), each query probes its `nprobe` nearest cells, candidates
+    * meet on a cell-id equi-join, exact cosine ranks the survivors.
+    * Scan cost drops to ~nprobe/k of brute force; recall is governed by
+    * nprobe exactly like FAISS-style IVF.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cc = corpus.withColumn("cid", assignCell(col("emb"), centroids))
+    val centDf = centroids.sortBy(_._1).toDF("ccid", "cemb")
+      .select(col("ccid"), col("cemb").cast("array<double>"))
+    // queries are small/broadcastable: rank their probe cells by the
+    // same (score desc, cid asc) order the assign uses
+    val pw = Window.partitionBy(col("id")).orderBy(col("cscore").desc, col("ccid"))
+    val qProbe = queries.as("q").join(broadcast(centDf), lit(true))
+      .select(col("q.id"), col("q.emb"), col("ccid"),
+        scoreFixed(col("q.emb"), col("cemb")).as("cscore"))
+      .withColumn("_pr", row_number().over(pw))
+      .filter(col("_pr") <= nprobe)
+      .select(col("id"), col("emb"), col("ccid").as("cid"))
+    val scored = cc.as("c")
+      .join(broadcast(qProbe.as("q")),
+        col("q.cid") === col("c.cid") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        scoreFixed(col("q.emb"), col("c.emb")).as("score_1e6"))
+    rank(scored, k)
+  }
 }

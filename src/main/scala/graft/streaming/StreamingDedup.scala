@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming exact deduplication — the streaming twin of
+  * [[graft.operators.Dedup.exact]] for continuous ingest: drop
+  * re-arrivals of the same content key as documents flow in, instead
+  * of re-scanning the corpus per batch.
+  *
+  * Two state regimes, chosen by how the key space grows:
+  *
+  *  - [[exact]]: `dropDuplicates` on the key — exact forever, but the
+  *    state store keeps every key ever seen. Right for bounded key
+  *    spaces (batch ids, source files), wrong for an unbounded corpus.
+  *  - [[exactWithinWatermark]]: `dropDuplicatesWithinWatermark` — the
+  *    state store holds only keys newer than the event-time watermark
+  *    minus the delay, so state is bounded by ingest-rate × delay no
+  *    matter how long the stream runs (the only formulation that
+  *    survives 100 TB/day). Duplicates arriving later than the delay
+  *    are late data by definition and pass through — the lake-side
+  *    batch `Dedup.exact` stays the final guarantee; the stream keeps
+  *    the hot path clean.
+  *
+  * Both shuffle once on the key (hash-partitioned state store), same
+  * as the batch groupBy — the plan shape scales with executors.
+  */
+object StreamingDedup {
+
+  /** Content identity for text payloads: md5 of the raw bytes —
+    * deterministic, engine-portable (same key the batch dedup and the
+    * DuckDB oracle derive), and 16 bytes of state per key instead of
+    * the document.
+    */
+  def contentKey(text: Column): Column = md5(coalesce(text, lit("")).cast("binary"))
+
+  /** Exact streaming dedup on arbitrary key columns; unbounded state. */
+  def exact(stream: DataFrame, keyCols: Seq[String]): DataFrame =
+    stream.dropDuplicates(keyCols)
+
+  /** Watermark-bounded streaming dedup: duplicates of a key are
+    * dropped while the key is within `delay` of the watermark; state
+    * self-expires after that.
+    */
+  def exactWithinWatermark(stream: DataFrame, tsCol: String, delay: String,
+      keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Document-stream convenience: dedup on the md5 content key of
+    * `textCol`, watermark-bounded. The key column `content_md5` is
+    * kept in the output — it is the id the downstream near-dup
+    * (MinHash/SimHash) stages bucket on.
+    */
+  def dedupDocuments(stream: DataFrame, textCol: String, tsCol: String,
+      delay: String): DataFrame =
+    exactWithinWatermark(
+      stream.withColumn("content_md5", contentKey(col(textCol))),
+      tsCol, delay, Seq("content_md5"))
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Chunker, Sampling}
+
+class ChunkerSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, n: Int) =
+    (id, (1 to n).map(i => s"w$i").mkString(" "))
+
+  test("chunkByTokens windows with overlap; remainder chunk is shorter, never empty") {
+    val df = Seq(doc(1, 10), doc(2, 11), doc(3, 3)).toDF("doc_id", "text")
+    val out = Chunker.chunkByTokens(df, "text", chunkTokens = 4, overlapTokens = 1)
+      .select("doc_id", "chunk_no", "chunk", "chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // stride 3: doc 1 (10 toks) → starts 0,3,6 → exactly covered
+    assert(out.filter(_._1 == 1).map(_._3).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    // doc 2 (11 toks) → 4 windows, final is the 2-token remainder
+    val d2 = out.filter(_._1 == 2)
+    assert(d2.map(_._3).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10 w11"))
+    assert(d2.map(_._4).toSeq == Seq(4L, 4L, 4L, 2L))
+    // doc 3 shorter than one window → single chunk
+    assert(out.filter(_._1 == 3).map(t => (t._3, t._4)).toSeq == Seq(("w1 w2 w3", 3L)))
+    // every token of every doc appears in some chunk (coverage)
+    assert(out.filter(_._1 == 2).flatMap(_._3.split(" ")).toSet ==
+      (1 to 11).map(i => s"w$i").toSet)
+  }
+
+  test("chunkByTokens drops whitespace-only docs and keeps input columns") {
+    val df = Seq((1L, "a b c", "en"), (2L, "   ", "fr"), (3L, null: String, "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Chunker.chunkByTokens(df, "text", 2, 0)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "chunk_no", "chunk", "chunk_tokens"))
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L))
+    assert(rows.map(_.getAs[String]("chunk")).toSeq.sorted == Seq("a b", "c"))
+  }
+
+  test("chunkByTokens rejects invalid window parameters") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Chunker.chunkByTokens(df, "text", 0, 0))
+    intercept[IllegalArgumentException](Chunker.chunkByTokens(df, "text", 4, 4))
+  }
+
+  test("hashSample is deterministic, rate-monotone (samples nest), and unbiased-ish") {
+    val df = (1L to 2000L).toDF("id")
+    def ids(ppm: Long): Set[Long] =
+      Sampling.hashSample(df, col("id"), ppm).collect().map(_.getLong(0)).toSet
+    val s20 = ids(200000)
+    assert(s20 == ids(200000), "same rate must select the same rows")
+    val s50 = ids(500000)
+    assert(s20.subsetOf(s50), "lower-rate sample must nest inside higher-rate")
+    assert(ids(0).isEmpty && ids(Sampling.Ppm).size == 2000)
+    // 2000 uniform hashes at 50%: expect ~1000, allow generous slack
+    assert(math.abs(s50.size - 1000) < 150, s"got ${s50.size}")
+  }
+
+  test("stratifiedSample applies per-stratum rates; unmapped strata drop") {
+    val df = (1L to 300L).map(i =>
+      (i, Seq("keep_all", "half", "other")((i % 3).toInt))).toDF("id", "grp")
+    val out = Sampling.stratifiedSample(df, col("grp"), col("id"),
+        Map("keep_all" -> 1000000L, "half" -> 500000L))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byGrp = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byGrp("keep_all") == 100, "rate 1e6 must keep the whole stratum")
+    assert(!byGrp.contains("other"), "unmapped stratum must drop entirely")
+    val half = byGrp("half")
+    assert(half > 25 && half < 75, s"~50% of 100 expected, got $half")
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(df, col("grp"), col("id"), Map("x" -> 2000000L)))
+  }
+}

@@ -77,6 +77,50 @@ class OperatorsSpec extends SparkSpec {
     assert(ids == Set(2L)) // 3 is in the opposite bucket
   }
 
+  test("trained-centroid IVF: k-means recovers separated clusters, search has full recall") {
+    // three well-separated axis clusters, 4 vectors each; ids ordered so
+    // the 3 seeds (lowest ids) start one per cluster
+    def v(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, j) => x + (if (j == i % 3) 0.01f * i else 0f) }
+    val a = Array(1f, 0f, 0f); val b = Array(0f, 1f, 0f); val c = Array(0f, 0f, 1f)
+    val vecs = Seq(
+      (0L, v(a, 0)), (1L, v(b, 1)), (2L, v(c, 2)),
+      (3L, v(a, 3)), (4L, v(b, 4)), (5L, v(c, 5)),
+      (6L, v(a, 6)), (7L, v(b, 7)), (8L, v(c, 8)),
+      (9L, v(a, 9)), (10L, v(b, 10)), (11L, v(c, 11))).toDF("id", "emb")
+
+    val cents = Similarity.trainCentroids(vecs, k = 3, iters = 2)
+    // training is deterministic: a second run is bit-identical
+    assert(cents == Similarity.trainCentroids(vecs, k = 3, iters = 2))
+    // the three cells partition the corpus 4/4/4 along the clusters
+    val assigned = vecs.select($"id",
+        Similarity.assignCell($"emb", cents).as("cid")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned.values.toSet.size == 3)
+    assert(Seq(0L, 3L, 6L, 9L).map(assigned).toSet.size == 1, "cluster A in one cell")
+    assert(Seq(1L, 4L, 7L, 10L).map(assigned).toSet.size == 1, "cluster B in one cell")
+    assert(Seq(2L, 5L, 8L, 11L).map(assigned).toSet.size == 1, "cluster C in one cell")
+
+    // IVF with nprobe=1 on separated clusters = exact within-cluster knn
+    val ivf = Similarity.ivfTopK(vecs, vecs.filter($"id" === 0L), cents, k = 3, nprobe = 1)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter($"id" === 0L), k = 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(ivf == brute, s"full recall expected on separated clusters: ivf=$ivf brute=$brute")
+    assert(ivf == Set(3L, 6L, 9L))
+  }
+
+  test("trainCentroids carries an emptied cell's previous centroid") {
+    // two seeds land in the same dense cluster; one seed keeps all
+    // points, the other may end up empty — its centroid must persist
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.99f, 0.01f)),
+      (2L, Array(0.98f, 0.02f)), (3L, Array(0.97f, 0.03f))).toDF("id", "emb")
+    val cents = Similarity.trainCentroids(vecs, k = 2, iters = 3)
+    assert(cents.size == 2 && cents.forall(_._2.length == 2))
+    assert(cents.map(_._1) == Seq(0, 1))
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       (1L, "the cat is on the mat and it is happy"),

@@ -45,6 +45,63 @@ class StreamingSpec extends SparkSpec {
     assert(u10(1).n_events == 1 && u10(1).sum_value == 4.0)
   }
 
+  test("streaming dedup drops re-arrivals across micro-batches; state is watermark-bounded") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val srcDir = Fixtures.tmpDir("sdd_src")
+    val outDir = Fixtures.tmpDir("sdd_out").toString
+    val ckpt = Fixtures.tmpDir("sdd_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+
+    // the file stream source watches srcDir itself, so each arriving
+    // batch must be a part FILE in that dir, not a nested write dir
+    def addFile(n: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      import scala.jdk.CollectionConverters._
+      val tmp = Fixtures.tmpDir(s"sdd_tmp$n")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, srcDir.resolve(s"b$n.parquet"))
+    }
+
+    // parquet sink (fault-tolerant, unlike memory) accumulates the
+    // deduped stream across runs that share the checkpoint — reading
+    // it back gives the all-time emitted set
+    def runBatch(): Map[String, Long] = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val deduped = graft.streaming.StreamingDedup
+        .dedupDocuments(stream, "text", "ts", "1 hour")
+      val q = deduped.writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir).collect()
+        .groupBy(_.getAs[String]("text")).view.mapValues(_.length.toLong).toMap
+    }
+
+    // batch 1: A twice (in-batch dup) + B → A once, B once
+    addFile(1, Seq((1L, ts(0), "doc A"), (2L, ts(1), "doc A"), (3L, ts(5), "doc B"))
+      .toDF("doc_id", "ts", "text"))
+    val out1 = runBatch()
+    assert(out1 == Map("doc A" -> 1L, "doc B" -> 1L),
+      s"in-batch duplicate must be dropped: $out1")
+
+    // batch 2 (same checkpoint → dedup state carries over): A
+    // re-arrives within the watermark delay → dropped; C is new → kept
+    addFile(2, Seq((4L, ts(10), "doc A"), (5L, ts(20), "doc C"))
+      .toDF("doc_id", "ts", "text"))
+    val out2 = runBatch()
+    assert(out2 == Map("doc A" -> 1L, "doc B" -> 1L, "doc C" -> 1L),
+      s"cross-batch duplicate within watermark must be dropped: $out2")
+    // the kept rows carry the content key downstream stages bucket on
+    val keyed = spark.read.parquet(outDir)
+    assert(keyed.columns.contains("content_md5"))
+    assert(keyed.select("content_md5").distinct().count() == 3)
+  }
+
   test("streaming ingest registers arriving files exactly once, e2e into validate") {
     import graft.streaming.StreamingIngest
     val lake = Fixtures.tmpDir("slake").toString
