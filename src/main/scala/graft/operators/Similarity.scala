@@ -97,10 +97,48 @@ object Similarity {
     val ordered = centroids.sortBy(_._1)
     require(ordered.map(_._1) == ordered.indices.toSeq,
       "centroid ids must be 0..k-1")
-    val centArr = array(ordered.map { case (_, v) => array(v.map(lit): _*) }: _*)
-    val scores = transform(centArr, c => scoreFixed(emb, c))
-    (array_position(scores, array_max(scores)) - 1).cast("int")
+    // centroid norms are constants: fold them on the driver with the
+    // SAME left-to-right double fold DotFold uses, so the quotient is
+    // bit-identical to the composed cosine; the row's own norm is
+    // let-bound and evaluated once instead of once per centroid —
+    // k+1 dot products per row instead of 2k
+    let(l2norm(emb), nrm => cellFromNorm(emb, nrm, ordered, ordered.map {
+      case (_, v) => normOf(v)
+    }))
   }
+
+  /** [[assignCell]] with the row norm staged as a PROJECTED column
+    * (`withColumn` before this runs): outside any lambda, every dot is
+    * a plain codegen'd DotFold instead of an interpreted HOF eval —
+    * the form [[trainCentroids]]/[[ivfTopK]] use on the hot path.
+    * CollapseProject keeps the (non-cheap, multi-referenced) norm
+    * projection separate, so it is evaluated once per row.
+    */
+  def assignCellWithNorm(emb: Column, nrm: Column,
+      centroids: Seq[(Int, Seq[Double])]): Column = {
+    val ordered = centroids.sortBy(_._1)
+    require(ordered.map(_._1) == ordered.indices.toSeq,
+      "centroid ids must be 0..k-1")
+    cellFromNorm(emb, nrm, ordered, ordered.map { case (_, v) => normOf(v) })
+  }
+
+  private def normOf(v: Seq[Double]): Double =
+    math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+
+  private def cellFromNorm(emb: Column, nrm: Column,
+      ordered: Seq[(Int, Seq[Double])], norms: Seq[Double]): Column = {
+    val scores = ordered.zip(norms).map { case ((_, v), cn) =>
+      floor(dot(emb, array(v.map(lit): _*)) / (nrm * lit(cn)) * lit(1000000.0))
+        .cast("long")
+    }
+    val arr = array(scores: _*)
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
+
+  private def withCell(df: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    df.withColumn("_nrm", l2norm(col("emb")))
+      .withColumn("cid", assignCellWithNorm(col("emb"), col("_nrm"), centroids))
+      .drop("_nrm")
 
   /** Deterministic Lloyd's k-means: seeds are the `k` lowest-id
     * vectors (cid 0..k-1 in id order); each round assigns via
@@ -117,9 +155,8 @@ object Similarity {
       .map(_.getSeq[Any](0).map(toD).toSeq)
       .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
     for (_ <- 0 until iters) {
-      val assigned = corpus.select(
-        assignCell(col("emb"), cents).as("cid"),
-        posexplode(col("emb")).as(Seq("pos", "v")))
+      val assigned = withCell(corpus, cents)
+        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
       val stats = assigned.groupBy(col("cid"), col("pos"))
         .agg(sum(floor(col("v").cast("double") * MeanScale).cast("long")).as("sf"),
           count(lit(1)).as("n"))
@@ -147,7 +184,7 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= centroids.size)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cc = corpus.withColumn("cid", assignCell(col("emb"), centroids))
+    val cc = withCell(corpus, centroids)
     val centDf = centroids.sortBy(_._1).toDF("ccid", "cemb")
       .select(col("ccid"), col("cemb").cast("array<double>"))
     // queries are small/broadcastable: rank their probe cells by the
