@@ -122,13 +122,22 @@ object OracleSql {
     * so both engines compute bit-identical centroids), empty cells
     * carrying the previous centroid.
     */
-  private def ivfRound(prev: String, a: String, p: String, m: String,
-      next: String): String =
-    s"""$a AS (SELECT id, emb, cid FROM (
+  /** The nearest-cells CTE — the ONE place the assignment tie-break
+    * (score DESC, cid ASC = Similarity.assignCell's first-max) lives;
+    * training rounds, the final corpus assign, and the query probe all
+    * reuse it (`probes` = 1 for assignment, nprobe for the probe).
+    */
+  private def ivfAssignCte(src: String, cents: String, out: String,
+      probes: Int): String =
+    s"""$out AS (SELECT id, emb, cid FROM (
           SELECT c.id, c.emb, s.cid,
             row_number() OVER (PARTITION BY c.id
               ORDER BY ${scoreFixedSql("c.emb", "s.cemb")} DESC, s.cid) AS rn
-          FROM C c CROSS JOIN $prev s) WHERE rn = 1),
+          FROM $src c CROSS JOIN $cents s) WHERE rn <= $probes)"""
+
+  private def ivfRound(prev: String, a: String, p: String, m: String,
+      next: String): String =
+    s"""${ivfAssignCte("C", prev, a, 1)},
         $p AS (SELECT cid, unnest(range(len(emb))) AS pos, emb FROM $a),
         $m AS (SELECT cid, pos,
                 (sum(cast(floor(emb[pos+1]::DOUBLE * 1048576.0) as bigint))::DOUBLE
@@ -573,9 +582,8 @@ object OracleSql {
     // token-window chunking: 64-token windows, stride 48 (16 overlap);
     // final window is the remainder — mirror of Chunker.chunkByTokens
     "q47_chunking" ->
-      s"""WITH T AS (SELECT doc_id, ${toks("text")} AS tk FROM documents
-                     WHERE length(trim(coalesce(text, ''))) > 0),
-          N AS (SELECT doc_id, tk, len(tk) AS ntok FROM T),
+      s"""WITH T AS (SELECT doc_id, ${toks("text")} AS tk FROM documents),
+          N AS (SELECT doc_id, tk, len(tk) AS ntok FROM T WHERE len(tk) > 0),
           C AS (SELECT doc_id, tk, ntok,
                   CASE WHEN ntok <= 64 THEN 1
                        ELSE CAST(floor((ntok - 64 + 47)::DOUBLE / 48) AS INT) + 1
@@ -608,17 +616,9 @@ object OracleSql {
                  FROM (SELECT * FROM C ORDER BY id LIMIT 8)),
           ${ivfRound("S0", "A1", "P1", "M1", "S1")},
           ${ivfRound("S1", "A2", "P2", "M2", "S2")},
-          CC AS (SELECT id, emb, cid FROM (
-                  SELECT c.id, c.emb, s.cid,
-                    row_number() OVER (PARTITION BY c.id
-                      ORDER BY ${scoreFixedSql("c.emb", "s.cemb")} DESC, s.cid) AS rn
-                  FROM C c CROSS JOIN S2 s) WHERE rn = 1),
+          ${ivfAssignCte("C", "S2", "CC", 1)},
           Q AS (SELECT id, emb FROM C WHERE id % 200 = 0),
-          QP AS (SELECT id, emb, cid FROM (
-                  SELECT q.id, q.emb, s.cid,
-                    row_number() OVER (PARTITION BY q.id
-                      ORDER BY ${scoreFixedSql("q.emb", "s.cemb")} DESC, s.cid) AS rn
-                  FROM Q q CROSS JOIN S2 s) WHERE rn <= 2),
+          ${ivfAssignCte("Q", "S2", "QP", 2)},
           SC AS (SELECT q.id AS query_id, c.id AS neighbor_id,
                   ${scoreFixedSql("q.emb", "c.emb")} AS score_1e6
                  FROM CC c JOIN QP q ON q.cid = c.cid AND q.id <> c.id),

@@ -569,7 +569,12 @@ object SparkEntry {
     */
   private def qCowMerge(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val root = java.nio.file.Files.createTempDirectory("graft_q46_cow").toString
+    // deterministic per-sfDir scratch root, wiped and rebuilt each
+    // call: repeated Verify/Bench runs leave at most one dir per SF
+    // (a fresh createTempDirectory per call would leak them)
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q46_cow_" + Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     val vt = new graft.operators.VersionedTable(s, root, "doc_id", "pre", numBuckets = 8)
     vt.upsert(docs.select(col("doc_id"),
       substring(col("text"), 1, 30).as("txt"), lit(1L).as("pre")))

@@ -34,7 +34,10 @@ object Chunker {
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
     val stride = chunkTokens - overlapTokens
-    df.filter(length(trim(coalesce(col(textCol), lit("")))) > 0)
+    // filter on the token count, not trim(): trim strips only ASCII
+    // spaces, so a tab/newline-only document would otherwise slip
+    // through and emit one empty chunk
+    df.filter(size(tokens(col(textCol))) > 0)
       .select(col("*"),
         explode(let(tokens(col(textCol)), ts => {
           val ntok = size(ts)

@@ -109,6 +109,15 @@ final class VersionedTable(spark: SparkSession, root: String,
 
   private def bucketPath(b: Int, commit: String) = s"$root/$commit/data/$BucketCol=$b"
 
+  /** Bucket ids a commit actually wrote, listed from its data/ dir —
+    * the single parser of the `_bucket=N` partition-dir layout (used
+    * by both [[upsert]] and [[rebucket]] to build manifests).
+    */
+  private def writtenBuckets(ts: String): Seq[Int] =
+    graft.util.Fs.list(Paths.get(s"$root/$ts/data"))
+      .map(_.getFileName.toString).filter(_.startsWith(s"$BucketCol="))
+      .map(_.stripPrefix(s"$BucketCol=").toInt)
+
   /** Read the table as of a commit via its manifest (legacy fallback:
     * a manifest-less commit dir is read as a plain parquet snapshot).
     */
@@ -180,9 +189,7 @@ final class VersionedTable(spark: SparkSession, root: String,
     // manifest = buckets this commit actually wrote (listed from disk,
     // so legacy fold-ins and normal touched-bucket commits take the
     // same path) over the carried-forward previous entries
-    val written = graft.util.Fs.list(Paths.get(s"$root/$ts/data"))
-      .map(_.getFileName.toString).filter(_.startsWith(s"$BucketCol="))
-      .map(_.stripPrefix(s"$BucketCol=").toInt)
+    val written = writtenBuckets(ts)
     touchedProbe.foreach { touched =>
       val unexpected = written.toSet -- touched
       if (unexpected.nonEmpty) {
@@ -244,10 +251,7 @@ final class VersionedTable(spark: SparkSession, root: String,
       else snap.withColumn(CommitCol, lit(ts))
     stamped.withColumn(BucketCol, migrated.bucketExpr)
       .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$ts/data")
-    val written = graft.util.Fs.list(Paths.get(s"$root/$ts/data"))
-      .map(_.getFileName.toString).filter(_.startsWith(s"$BucketCol="))
-      .map(_.stripPrefix(s"$BucketCol=").toInt)
-    migrated.writeManifest(ts, written.map(_ -> ts).toMap)
+    migrated.writeManifest(ts, writtenBuckets(ts).map(_ -> ts).toMap)
     migrated
   }
 

@@ -28,11 +28,14 @@ import org.apache.spark.sql.functions._
 object StreamingDedup {
 
   /** Content identity for text payloads: md5 of the raw bytes —
-    * deterministic, engine-portable (same key the batch dedup and the
-    * DuckDB oracle derive), and 16 bytes of state per key instead of
-    * the document.
+    * deterministic, engine-portable, and 16 bytes of state per key
+    * instead of the document. Null text hashes to a null key (grouped
+    * together by dropDuplicates' null-safe equality) — the SAME
+    * grouping batch `Dedup.exact`'s md5 groupBy produces, so stream
+    * and lake never disagree on whether null and empty-string
+    * documents are duplicates (they are not).
     */
-  def contentKey(text: Column): Column = md5(coalesce(text, lit("")).cast("binary"))
+  def contentKey(text: Column): Column = md5(text.cast("binary"))
 
   /** Exact streaming dedup on arbitrary key columns; unbounded state. */
   def exact(stream: DataFrame, keyCols: Seq[String]): DataFrame =

@@ -32,8 +32,10 @@ class ChunkerSamplingSpec extends SparkSpec {
   }
 
   test("chunkByTokens drops whitespace-only docs and keeps input columns") {
-    val df = Seq((1L, "a b c", "en"), (2L, "   ", "fr"), (3L, null: String, "de"))
-      .toDF("doc_id", "text", "lang")
+    // "   " (spaces), "\t\n" (non-space whitespace), and null must all
+    // drop — trim() alone would let the tab/newline doc emit an empty chunk
+    val df = Seq((1L, "a b c", "en"), (2L, "   ", "fr"), (3L, null: String, "de"),
+      (4L, "\t\n", "es")).toDF("doc_id", "text", "lang")
     val out = Chunker.chunkByTokens(df, "text", 2, 0)
     assert(out.columns.toSeq ==
       Seq("doc_id", "text", "lang", "chunk_no", "chunk", "chunk_tokens"))
