@@ -625,5 +625,20 @@ object OracleSql {
           R AS (SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY score_1e6 DESC, neighbor_id) AS rank FROM SC)
           SELECT query_id, rank, neighbor_id, score_1e6 FROM R WHERE rank <= 3
-          ORDER BY query_id, rank""")
+          ORDER BY query_id, rank""",
+
+    // deterministic train/val/test split: cumulative hash-bucket
+    // ranges, CASE generated from the same Seq the Spark plan uses
+    "q50_split" -> {
+      val splits = graft.operators.Sampling.DemoSplits
+      val uppers = splits.scanLeft(0L)(_ + _._2).tail
+      val whens = splits.zip(uppers).init
+        .map { case ((l, _), u) => s"WHEN b < $u THEN '$l'" }.mkString(" ")
+      s"""SELECT doc_id,
+            CASE $whens ELSE '${splits.last._1}' END AS split
+          FROM (SELECT doc_id,
+                 (${md5long("cast(doc_id as varchar)")} % 1000000) AS b
+                FROM documents)
+          ORDER BY doc_id"""
+    })
 }

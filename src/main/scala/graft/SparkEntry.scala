@@ -620,6 +620,17 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Deterministic train/val/test split (operators.Sampling.splitLabel):
+    * cumulative hash-bucket ranges partition the corpus 80/10/10 —
+    * reproducible on any engine, no coordination, prefix-stable.
+    */
+  private def qSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.Sampling.splitLabel(col("doc_id"),
+          graft.operators.Sampling.DemoSplits).as("split"))
+      .orderBy(col("doc_id"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -671,7 +682,8 @@ object SparkEntry {
     "q46_cow_merge" -> (qCowMerge _),
     "q47_chunking" -> (qChunking _),
     "q48_stratified_sample" -> (qStratifiedSample _),
-    "q49_ann_ivf" -> (qAnnIvf _))
+    "q49_ann_ivf" -> (qAnnIvf _),
+    "q50_split" -> (qSplit _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -44,6 +44,31 @@ object Sampling {
     df.filter(hashBucket(key) < ppm)
   }
 
+  /** Multi-way deterministic split (train/val/test): each key's hash
+    * bucket falls into exactly one cumulative ppm range, so the splits
+    * PARTITION the corpus — reproducibly, with no coordination, on any
+    * engine. Prefix-stability: extending a split's ppm only moves keys
+    * IN from the split after it, never shuffles existing members.
+    * Ppm-sums must total exactly [[Ppm]].
+    */
+  def splitLabel(key: Column, splits: Seq[(String, Long)]): Column = {
+    require(splits.nonEmpty && splits.map(_._2).sum == Ppm,
+      s"split ppm weights must sum to $Ppm: $splits")
+    require(splits.forall(_._2 > 0), s"every split needs ppm > 0: $splits")
+    val uppers = splits.scanLeft(0L)(_ + _._2).tail
+    val b = hashBucket(key)
+    // last split needs no guard: buckets are always < Ppm
+    splits.zip(uppers).init.foldRight(lit(splits.last._1): Column) {
+      case (((label, _), upper), rest) => when(b < upper, lit(label)).otherwise(rest)
+    }
+  }
+
+  /** Demo split used by the q50 battery entry (oracle CASE generated
+    * from this same Seq).
+    */
+  val DemoSplits: Seq[(String, Long)] =
+    Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)
+
   /** Stratified deterministic sample: per-stratum ppm rates; strata
     * absent from `rates` (including null) are dropped (rate 0).
     */

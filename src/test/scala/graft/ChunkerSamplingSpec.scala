@@ -63,6 +63,25 @@ class ChunkerSamplingSpec extends SparkSpec {
     assert(math.abs(s50.size - 1000) < 150, s"got ${s50.size}")
   }
 
+  test("splitLabel partitions the corpus; splits align with hashSample prefixes") {
+    val df = (1L to 1000L).toDF("id")
+    val labeled = df.select(col("id"),
+        Sampling.splitLabel(col("id"), Sampling.DemoSplits).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // exactly one label per row, all three present, rough proportions
+    assert(labeled.length == 1000)
+    val byLabel = labeled.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > 700 && byLabel("train") < 900, s"got $byLabel")
+    // prefix-consistency: the 80% train split IS hashSample at 800k ppm
+    val sampled = Sampling.hashSample(df, col("id"), 800000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(labeled.filter(_._2 == "train").map(_._1).toSet == sampled)
+    // weights must sum to exactly 1e6
+    intercept[IllegalArgumentException](
+      Sampling.splitLabel(col("id"), Seq("a" -> 500000L, "b" -> 400000L)))
+  }
+
   test("stratifiedSample applies per-stratum rates; unmapped strata drop") {
     val df = (1L to 300L).map(i =>
       (i, Seq("keep_all", "half", "other")((i % 3).toInt))).toDF("id", "grp")

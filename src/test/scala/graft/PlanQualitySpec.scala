@@ -64,4 +64,48 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate") ||
       p.contains("ObjectHashAggregate"))
   }
+
+  test("chunking is map-only: no exchange before the generator") {
+    val p = plan("q47_chunking")
+    // one Generate (explode) fed straight from the scan; the only
+    // exchange allowed is the final presentation orderBy, which sits
+    // ABOVE the generator (plans print top-down, so the generator's
+    // input is the tree printed below it, up to the details section)
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    assert(tree.exists(_.contains("Generate")), s"chunking must explode: $p")
+    val generatorInput = tree.dropWhile(!_.contains("Generate")).drop(1)
+    assert(!generatorInput.exists(_.contains("Exchange")),
+      s"no shuffle may feed the chunk generator:\n${generatorInput.mkString("\n")}")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("n_chars"), s"must not read unused columns: $readSchema")
+  }
+
+  test("stratified sample is a pure scan-level filter (no shuffle, no join)") {
+    val p = plan("q48_stratified_sample")
+    assert(p.contains("Filter"))
+    assert(!p.contains("Join"), "sampling must not join")
+    // exactly ONE exchange in the tree — the presentation orderBy; the
+    // filter itself is narrow (scan → filter → sort)
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    assert(tree.count(_.contains("Exchange")) == 1,
+      s"sampling must shuffle only for the final sort:\n${tree.mkString("\n")}")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang"))
+    assert(!readSchema.contains("text"), s"must not read text: $readSchema")
+  }
+
+  test("IVF corpus assignment is narrow and uses the native dot expression") {
+    import org.apache.spark.sql.functions.col
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val cents = graft.operators.Similarity.trainCentroids(corpus, k = 4, iters = 1)
+    val assigned = corpus
+      .withColumn("_nrm", graft.functions.l2norm(col("emb")))
+      .withColumn("cid",
+        graft.operators.Similarity.assignCellWithNorm(col("emb"), col("_nrm"), cents))
+    val p = assigned.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"cell assign must be map-side:\n$p")
+    assert(p.contains("dot_fold"), "assignment must use the native dot expression")
+  }
 }

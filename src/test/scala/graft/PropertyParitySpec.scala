@@ -44,6 +44,51 @@ class PropertyParitySpec extends SparkSpec {
     }
   }
 
+  test("property: chunker windows reconstruct the token stream exactly") {
+    val tokenGen = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(6)).suchThat(_.nonEmpty),
+      1 -> Gen.oneOf("über", "東京", "a-b.c", "x"))
+    val sepGen = Gen.oneOf(" ", "  ", "\t", "\n")
+    val docGen = for {
+      n <- Gen.choose(0, 200)
+      toks <- Gen.listOfN(n, tokenGen)
+      seps <- Gen.listOfN(n, sepGen)
+    } yield toks.zip(seps).map { case (t, s) => t + s }.mkString
+    val paramGen = for {
+      size <- Gen.choose(1, 12)
+      overlap <- Gen.choose(0, size - 1)
+    } yield (size, overlap)
+    val docs = sample(Gen.listOfN(120, docGen), seed = 4920260812L)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val (cSize, cOver) = sample(paramGen.map(List(_)), seed = 77L).head
+    val stride = cSize - cOver
+    val out = graft.operators.Chunker
+      .chunkByTokens(docs.toDF("doc_id", "text"), "text", cSize, cOver)
+      .select($"doc_id", $"chunk_no", $"chunk", $"chunk_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val chunks = out.getOrElse(id, Array.empty).sortBy(_._2)
+      if (toks.isEmpty) assert(chunks.isEmpty, s"doc $id: empty doc must chunk to nothing")
+      else {
+        // chunk i covers tokens [i*stride, i*stride + size)
+        chunks.foreach { case (_, no, chunk, ntok) =>
+          val expect = toks.slice((no * stride).toInt, (no * stride).toInt + cSize)
+          assert(chunk == expect.mkString(" "), s"doc $id chunk $no")
+          assert(ntok == expect.length && ntok > 0, s"doc $id chunk $no token count")
+        }
+        // chunk count matches the ceil formula and the windows cover
+        // every token (last window reaches the end)
+        val expectN = if (toks.size <= cSize) 1
+          else ((toks.size - cSize + stride - 1) / stride) + 1
+        assert(chunks.length == expectN, s"doc $id: ${chunks.length} != $expectN")
+        assert((expectN - 1) * stride + cSize >= toks.size, s"doc $id: coverage gap")
+      }
+    }
+  }
+
   test("property: DotFold ≡ composed fold on generated vectors incl. extremes") {
     val valGen = Gen.frequency(
       8 -> Gen.chooseNum(-1e6f, 1e6f),
