@@ -185,7 +185,14 @@ final class VersionedTable(spark: SparkSession, root: String,
     val deduped = merged.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn", "_is_update")
       .withColumn(BucketCol, bucketExpr)
-    deduped.write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$ts/data")
+    // cluster rows by bucket before the partitioned write: the merge
+    // window shuffles on recordKey, which spreads every bucket across
+    // every task — writing from that layout fans out to (tasks ×
+    // touched buckets) small files per commit. One extra shuffle of
+    // just the touched rows gives ~one file per bucket, the Hudi
+    // file-group layout the ≤1 GB/bucket sizing guidance assumes.
+    deduped.repartition(numBuckets, col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$ts/data")
     // manifest = buckets this commit actually wrote (listed from disk,
     // so legacy fold-ins and normal touched-bucket commits take the
     // same path) over the carried-forward previous entries
@@ -250,6 +257,7 @@ final class VersionedTable(spark: SparkSession, root: String,
       if (snap.columns.contains(CommitCol)) snap
       else snap.withColumn(CommitCol, lit(ts))
     stamped.withColumn(BucketCol, migrated.bucketExpr)
+      .repartition(newBuckets, col(BucketCol)) // ~one file per bucket (see upsert)
       .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$ts/data")
     migrated.writeManifest(ts, writtenBuckets(ts).map(_ -> ts).toMap)
     migrated

@@ -54,6 +54,12 @@ class VersionedTableSpec extends SparkSpec {
     val c1Files = filesUnder(s"$root/$c1/data")
     val c1Mtimes = c1Files.keys.map(f =>
       f -> Files.getLastModifiedTime(Paths.get(f)).toMillis).toMap
+    // file-group layout: the pre-write bucket repartition keeps each
+    // bucket to one file, not (shuffle tasks × buckets) fragments
+    val perBucket = c1Files.keys.groupBy(f => f.split("/").takeRight(2).head)
+    perBucket.foreach { case (b, fs) =>
+      assert(fs.size == 1, s"bucket $b has ${fs.size} files, expected 1")
+    }
 
     // second commit touches exactly one key → exactly one bucket dir
     val c2 = vt.upsert(Seq(("K1", "2", "p1b")).toDF("k", "v", "payload"))
