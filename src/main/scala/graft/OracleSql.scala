@@ -640,5 +640,39 @@ object OracleSql {
                  (${md5long("cast(doc_id as varchar)")} % 1000000) AS b
                 FROM documents)
           ORDER BY doc_id"""
+    },
+
+    // BM25 (graft's rational-idf variant — no ln, so bit-stable across
+    // engines): every constant (k1, b, 1-b, k1+1) is interpolated from
+    // the SAME Scala doubles the Spark plan uses; N, Σdl, df, tf are
+    // re-derived in DuckDB; contributions floor to integers pre-sum
+    "q51_bm25" -> {
+      val (k1, b) = (1.2, 0.75)
+      val terms = graft.operators.TextSearch.DemoQuery.toLowerCase
+        .split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH L AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          D AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM L),
+          ST AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl
+                 FROM D),
+          E AS (SELECT doc_id, dl, unnest(tk) AS term FROM D),
+          EQ AS (SELECT * FROM E WHERE term IN $terms),
+          F AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfd
+                FROM EQ GROUP BY term),
+          I AS (SELECT term,
+                 CAST(floor((1000000.0::DOUBLE * (st.n::DOUBLE - dfd + 0.5))
+                      / (dfd + 0.5)) AS BIGINT) AS idf_1e6
+                FROM F CROSS JOIN ST st),
+          T AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT)::DOUBLE AS tf
+                FROM EQ GROUP BY doc_id, dl, term),
+          SC AS (SELECT t.doc_id,
+                  CAST(floor((i.idf_1e6::DOUBLE * (t.tf * ${k1 + 1.0}::DOUBLE))
+                    / (t.tf + $k1::DOUBLE * (${1.0 - b}::DOUBLE
+                        + ($b::DOUBLE * t.dl::DOUBLE)
+                          / (st.sdl::DOUBLE / st.n::DOUBLE)))) AS BIGINT) AS c
+                 FROM T t JOIN I i USING (term) CROSS JOIN ST st)
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS bm25_1e6
+          FROM SC GROUP BY doc_id
+          ORDER BY bm25_1e6 DESC, doc_id"""
     })
 }

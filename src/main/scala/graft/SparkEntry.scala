@@ -631,6 +631,16 @@ object SparkEntry {
           graft.operators.Sampling.DemoSplits).as("split"))
       .orderBy(col("doc_id"))
 
+  /** BM25 relevance scoring (operators.TextSearch): rational
+    * fixed-point idf (no transcendentals — ln is not bit-stable across
+    * engines), integer contribution sums. The data-selection ranking
+    * primitive of corpus curation.
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.bm25(t(s, dir, "documents"), "doc_id", "text",
+        graft.operators.TextSearch.DemoQuery)
+      .orderBy(col("bm25_1e6").desc, col("doc_id"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -683,7 +693,8 @@ object SparkEntry {
     "q47_chunking" -> (qChunking _),
     "q48_stratified_sample" -> (qStratifiedSample _),
     "q49_ann_ivf" -> (qAnnIvf _),
-    "q50_split" -> (qSplit _))
+    "q50_split" -> (qSplit _),
+    "q51_bm25" -> (qBm25 _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -121,6 +121,25 @@ class OperatorsSpec extends SparkSpec {
     assert(cents.map(_._1) == Seq(0, 1))
   }
 
+  test("bm25 ranks term-dense docs higher, drops docs without query terms") {
+    import graft.operators.TextSearch
+    val docs = Seq(
+      (1L, "fast fast fast scan"),       // dense in query terms
+      (2L, "fast scan over a long document with many filler words here"),
+      (3L, "completely unrelated words only"),
+      (4L, "rare rare rare rare")).toDF("doc_id", "text")
+    val out = TextSearch.bm25(docs, "doc_id", "text", "fast scan")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!out.contains(3L) && !out.contains(4L), s"no-term docs must drop: $out")
+    assert(out(1L) > out(2L),
+      s"shorter, denser doc must outrank the diluted one: $out")
+    // deterministic: identical scores on a second run
+    val again = TextSearch.bm25(docs, "doc_id", "text", "fast scan")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == again)
+    intercept[IllegalArgumentException](TextSearch.bm25(docs, "doc_id", "text", "  "))
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       (1L, "the cat is on the mat and it is happy"),
