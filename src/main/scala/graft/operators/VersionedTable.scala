@@ -32,6 +32,22 @@ import org.apache.spark.sql.functions._
   * The merge itself is one shuffle on recordKey (row_number window)
   * over just the touched buckets' rows.
   */
+object VersionedTable {
+  /** Executable form of the bucket-sizing guidance: enough buckets to
+    * keep each at or under `targetBucketBytes` (default 1 GB — the
+    * size where a touched-bucket rewrite stays a single comfortable
+    * task), rounded UP to a power of two so successive [[VersionedTable.rebucket]]
+    * migrations double cleanly as the table grows.
+    */
+  def suggestBucketCount(tableBytes: Long, targetBucketBytes: Long = 1L << 30): Int = {
+    require(tableBytes >= 0 && targetBucketBytes > 0)
+    val needed = math.max(1L, (tableBytes + targetBucketBytes - 1) / targetBucketBytes)
+    var p = 1L
+    while (p < needed) p <<= 1
+    math.min(p, 1L << 20).toInt // 2^20 buckets ≈ 1 PB at 1 GB each
+  }
+}
+
 final class VersionedTable(spark: SparkSession, root: String,
     recordKey: String, precombine: String, numBuckets: Int = 16) {
 

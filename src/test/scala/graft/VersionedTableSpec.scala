@@ -286,6 +286,17 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("numBuckets=16"))
   }
 
+  test("suggestBucketCount sizes by ~1 GB per bucket in powers of two") {
+    val G = 1L << 30
+    assert(VersionedTable.suggestBucketCount(0L) == 1)
+    assert(VersionedTable.suggestBucketCount(G) == 1)
+    assert(VersionedTable.suggestBucketCount(G + 1) == 2)
+    assert(VersionedTable.suggestBucketCount(100L * G) == 128)
+    assert(VersionedTable.suggestBucketCount(100L * 1024 * G) == 131072, "100 TB")
+    assert(VersionedTable.suggestBucketCount(Long.MaxValue / 2) == (1 << 20), "capped")
+    intercept[IllegalArgumentException](VersionedTable.suggestBucketCount(-1))
+  }
+
   test("rebucket preserves per-record commit times (incremental sees no phantoms)") {
     val root = Fixtures.tmpDir("vtmi").toString
     val vt = new VersionedTable(spark, root, "k", "v", numBuckets = 2)
