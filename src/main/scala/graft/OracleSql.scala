@@ -634,8 +634,10 @@ object OracleSql {
       val uppers = splits.scanLeft(0L)(_ + _._2).tail
       val whens = splits.zip(uppers).init
         .map { case ((l, _), u) => s"WHEN b < $u THEN '$l'" }.mkString(" ")
+      // null keys → null label, mirroring Sampling.splitLabel
       s"""SELECT doc_id,
-            CASE $whens ELSE '${splits.last._1}' END AS split
+            CASE WHEN b IS NULL THEN NULL $whens
+                 ELSE '${splits.last._1}' END AS split
           FROM (SELECT doc_id,
                  (${md5long("cast(doc_id as varchar)")} % 1000000) AS b
                 FROM documents)

@@ -569,11 +569,14 @@ object SparkEntry {
     */
   private def qCowMerge(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    // deterministic per-sfDir scratch root, wiped and rebuilt each
-    // call: repeated Verify/Bench runs leave at most one dir per SF
-    // (a fresh createTempDirectory per call would leak them)
+    // deterministic per-(process, sfDir) scratch root, wiped and
+    // rebuilt each call: repeated Verify/Bench runs leave at most one
+    // dir per SF per process (a fresh createTempDirectory per call
+    // would leak them), and the pid keeps concurrent JVMs on the same
+    // SF dir from wiping each other's table mid-query
     val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_q46_cow_" + Integer.toHexString(dir.hashCode)).toString
+      "graft_q46_cow_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     val vt = new graft.operators.VersionedTable(s, root, "doc_id", "pre", numBuckets = 8)
     vt.upsert(docs.select(col("doc_id"),

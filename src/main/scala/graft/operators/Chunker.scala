@@ -34,11 +34,12 @@ object Chunker {
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
     val stride = chunkTokens - overlapTokens
-    // filter on the token count, not trim(): trim strips only ASCII
-    // spaces, so a tab/newline-only document would otherwise slip
-    // through and emit one empty chunk
-    df.filter(size(tokens(col(textCol))) > 0)
-      .select(col("*"),
+    // tokenless documents (empty, null, or ONLY whitespace — incl.
+    // tabs/newlines an ASCII-space trim() prefilter would miss) yield
+    // an empty window array, which explode drops: zero output rows
+    // with a SINGLE tokenization per row (a separate token-count
+    // filter would re-tokenize the whole corpus)
+    df.select(col("*"),
         explode(let(tokens(col(textCol)), ts => {
           val ntok = size(ts)
           // ceil((ntok - chunkTokens) / stride) + 1 via double floor —
@@ -46,7 +47,9 @@ object Chunker {
           val nchunks = when(ntok <= chunkTokens, lit(1)).otherwise(
             floor((ntok - lit(chunkTokens) + lit(stride - 1)).cast("double") / stride)
               .cast("int") + 1)
-          transform(sequence(lit(0), nchunks - 1), i =>
+          val idx = when(ntok === 0, array().cast("array<int>"))
+            .otherwise(sequence(lit(0), nchunks - 1))
+          transform(idx, i =>
             struct(
               i.cast("long").as("chunk_no"),
               array_join(slice(ts, i * stride + 1, lit(chunkTokens)), " ").as("chunk"),

@@ -57,10 +57,14 @@ object Sampling {
     require(splits.forall(_._2 > 0), s"every split needs ppm > 0: $splits")
     val uppers = splits.scanLeft(0L)(_ + _._2).tail
     val b = hashBucket(key)
-    // last split needs no guard: buckets are always < Ppm
-    splits.zip(uppers).init.foldRight(lit(splits.last._1): Column) {
+    // last split needs no guard: buckets are always < Ppm. NULL keys
+    // get a NULL label (explicitly — a bare when-chain would silently
+    // funnel them all into the last split), mirroring hashSample's
+    // null-drop: unkeyed rows are not assignable to any split.
+    val chain = splits.zip(uppers).init.foldRight(lit(splits.last._1): Column) {
       case (((label, _), upper), rest) => when(b < upper, lit(label)).otherwise(rest)
     }
+    when(key.isNull, lit(null).cast("string")).otherwise(chain)
   }
 
   /** Demo split used by the q50 battery entry (oracle CASE generated

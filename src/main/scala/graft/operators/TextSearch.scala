@@ -44,17 +44,22 @@ object TextSearch {
       .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("dl"))
     val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")).collect()(0)
     val nDocs = stats.getLong(0)
+    require(nDocs > 0, "bm25 needs a non-empty corpus (N and avgdl are undefined)")
     val avgdl = stats.getLong(1).toDouble / nDocs.toDouble
     val exploded = base
       .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
       .filter(col("term").isin(terms: _*))
-    val termStats = exploded.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    val tf = exploded.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // df(term) = #rows of tf per term (tf is one row per (doc, term)),
+    // so the stats derive FROM tf instead of hanging a second
+    // scan→tokenize→explode branch off the corpus — ReuseExchange
+    // shares tf's shuffle between the join side and this aggregate
+    val termStats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
       .withColumn("idf_1e6",
         floor(lit(1000000.0) * (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))).cast("long"))
-    val tf = exploded.groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
     tf.join(broadcast(termStats), "term")
       .withColumn("contrib",
         floor(col("idf_1e6").cast("double") * (col("tf") * lit(k1 + 1.0)) /

@@ -41,10 +41,14 @@ object VersionedTable {
     */
   def suggestBucketCount(tableBytes: Long, targetBucketBytes: Long = 1L << 30): Int = {
     require(tableBytes >= 0 && targetBucketBytes > 0)
-    val needed = math.max(1L, (tableBytes + targetBucketBytes - 1) / targetBucketBytes)
+    // div-then-round-up: the add-before-divide ceiling would overflow
+    // Long for near-Long.MaxValue sizes and answer 1
+    val needed = math.max(1L, tableBytes / targetBucketBytes +
+      (if (tableBytes % targetBucketBytes == 0) 0L else 1L))
+    val capped = math.min(needed, 1L << 20) // 2^20 buckets ≈ 1 PB at 1 GB each
     var p = 1L
-    while (p < needed) p <<= 1
-    math.min(p, 1L << 20).toInt // 2^20 buckets ≈ 1 PB at 1 GB each
+    while (p < capped) p <<= 1
+    p.toInt
   }
 }
 

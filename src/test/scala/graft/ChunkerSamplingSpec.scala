@@ -80,6 +80,11 @@ class ChunkerSamplingSpec extends SparkSpec {
     // weights must sum to exactly 1e6
     intercept[IllegalArgumentException](
       Sampling.splitLabel(col("id"), Seq("a" -> 500000L, "b" -> 400000L)))
+    // null keys get a NULL label, never silently land in the last split
+    val withNull = Seq(Some(1L), None).toDF("id")
+      .select(Sampling.splitLabel(col("id"), Sampling.DemoSplits).as("split"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(withNull.count(_.isEmpty) == 1, s"null key must get null split: ${withNull.toSeq}")
   }
 
   test("stratifiedSample applies per-stratum rates; unmapped strata drop") {

@@ -294,6 +294,8 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.suggestBucketCount(100L * G) == 128)
     assert(VersionedTable.suggestBucketCount(100L * 1024 * G) == 131072, "100 TB")
     assert(VersionedTable.suggestBucketCount(Long.MaxValue / 2) == (1 << 20), "capped")
+    assert(VersionedTable.suggestBucketCount(Long.MaxValue) == (1 << 20),
+      "near-max sizes must hit the cap, not overflow to 1")
     intercept[IllegalArgumentException](VersionedTable.suggestBucketCount(-1))
   }
 
