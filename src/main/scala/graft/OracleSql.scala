@@ -676,5 +676,20 @@ object OracleSql {
           SELECT doc_id, CAST(sum(c) AS BIGINT) AS bm25_1e6
           FROM SC GROUP BY doc_id
           ORDER BY bm25_1e6 DESC, doc_id"""
-    })
+    },
+
+    // sequence packing: per-md5-shard prefix token sums cut every 512
+    // tokens — all-integer placement (mirror of Chunker.packSequences)
+    "q52_packing" ->
+      s"""WITH T AS (SELECT doc_id,
+                 CAST(len(${toks("text")}) AS BIGINT) AS n_tokens,
+                 ${md5long("cast(doc_id as varchar)")} % 4 AS shard
+               FROM documents),
+          P AS (SELECT doc_id, shard,
+                 coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+                FROM T)
+          SELECT doc_id, shard, prefix // 512 AS seq_id,
+            prefix % 512 AS seq_offset
+          FROM P ORDER BY doc_id""")
 }

@@ -644,6 +644,18 @@ object SparkEntry {
         graft.operators.TextSearch.DemoQuery)
       .orderBy(col("bm25_1e6").desc, col("doc_id"))
 
+  /** Sequence packing (operators.Chunker.packSequences): documents
+    * laid out per md5 shard in key order and cut every 512 tokens —
+    * GPT-style concatenate-and-pack, all-integer placement.
+    */
+  private def qPacking(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunker.packSequences(
+        t(s, dir, "documents").select(col("doc_id"),
+          graft.functions.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budgetTokens = 512L, shards = 4)
+      .select(col("doc_id"), col("shard"), col("seq_id"), col("seq_offset"))
+      .orderBy(col("doc_id"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -697,7 +709,8 @@ object SparkEntry {
     "q48_stratified_sample" -> (qStratifiedSample _),
     "q49_ann_ivf" -> (qAnnIvf _),
     "q50_split" -> (qSplit _),
-    "q51_bm25" -> (qBm25 _))
+    "q51_bm25" -> (qBm25 _),
+    "q52_packing" -> (qPacking _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

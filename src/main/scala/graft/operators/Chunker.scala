@@ -61,4 +61,38 @@ object Chunker {
       .withColumn("chunk_tokens", col("_c.chunk_tokens"))
       .drop("_c")
   }
+
+  /** Sequence packing — the concatenate-and-cut step that turns a
+    * chunked/tokenized corpus into fixed-budget training sequences
+    * (GPT-style packing): within each shard, documents are laid out in
+    * key order and the stream is cut every `budgetTokens`; a document
+    * starts in sequence `floor(prefix_tokens / budget)` at offset
+    * `prefix_tokens % budget` (documents may span a cut — exactly
+    * concatenation semantics).
+    *
+    * Shards make it distributed: the running prefix sum is per-shard
+    * (ONE window shuffle keyed on the md5 shard of the doc key), never
+    * a global single-task ordered scan — at 100 TB each shard packs
+    * independently and `shards` scales with executors. All-integer
+    * arithmetic, so placement is deterministic across engines and
+    * partitionings.
+    *
+    * Adds `shard`, `seq_id` (per-shard), `seq_offset` (token offset of
+    * the document's first token inside its starting sequence).
+    */
+  def packSequences(df: DataFrame, keyCol: String, tokenCountCol: String,
+      budgetTokens: Long, shards: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(shards >= 1, s"need at least one shard, got $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("shard",
+        pmod(graft.functions.md5Long(col(keyCol).cast("string")), lit(shards.toLong)))
+      .withColumn("_prefix",
+        coalesce(sum(col(tokenCountCol)).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"_prefix div $budgetTokens")) // integral div: no double roundtrip
+      .withColumn("seq_offset", pmod(col("_prefix"), lit(budgetTokens)))
+      .drop("_prefix")
+  }
 }

@@ -50,6 +50,34 @@ class ChunkerSamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Chunker.chunkByTokens(df, "text", 4, 4))
   }
 
+  test("packSequences lays docs out contiguously per shard and cuts at the budget") {
+    import graft.operators.Chunker
+    val df = (1L to 40L).map(i => (i, 10L + (i % 7))).toDF("doc_id", "n_tokens")
+    val out = Chunker.packSequences(df, "doc_id", "n_tokens",
+        budgetTokens = 50L, shards = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("shard"), r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))
+    assert(out.length == 40)
+    assert(out.map(_._3).toSet.size == 2, "both shards populated")
+    out.groupBy(_._3).foreach { case (shard, docs) =>
+      val ordered = docs.sortBy(_._1)
+      // concatenation semantics: each doc starts exactly where the
+      // previous one ended (prefix sums), seq/offset = div/mod 50
+      var prefix = 0L
+      ordered.foreach { case (id, ntok, _, seq, off) =>
+        assert(seq == prefix / 50, s"shard $shard doc $id seq")
+        assert(off == prefix % 50, s"shard $shard doc $id offset")
+        prefix += ntok
+      }
+      assert(ordered.head._5 == 0L, s"shard $shard must start at offset 0")
+      // seq ids never decrease along the layout order
+      assert(ordered.map(_._4).sliding(2).forall(p => p.head <= p.last))
+    }
+    intercept[IllegalArgumentException](
+      Chunker.packSequences(df, "doc_id", "n_tokens", 0L, 2))
+  }
+
   test("hashSample is deterministic, rate-monotone (samples nest), and unbiased-ish") {
     val df = (1L to 2000L).toDF("id")
     def ids(ppm: Long): Set[Long] =
