@@ -39,9 +39,20 @@ def main(sf_dir, out_dir):
             duck_rel = con.sql(sql)
             dcols = sorted(duck_rel.columns)
             # re-project duckdb result to sorted column order
-            ddata = con.sql(f"SELECT {', '.join(dcols)} FROM ({sql})").fetchall()
+            dproj = con.sql(f"SELECT {', '.join(dcols)} FROM ({sql})")
+            ddata = dproj.fetchall()
             if scols != dcols:
                 results[name] = f"SCHEMA_MISMATCH spark={scols} duck={dcols}"; continue
+            # The driver's hasher is TYPE-sensitive (q52 round-5 postmortem:
+            # rows+values matched but DuckDB's windowed sum() widened to
+            # HUGEINT → hash red). repr()-compare below is blind to that, so
+            # check column types explicitly before the value compare.
+            sproj = con.sql(f"SELECT {', '.join(scols)} FROM read_parquet({files!r})")
+            stypes = dict(zip(sproj.columns, (str(t) for t in sproj.types)))
+            dtypes = dict(zip(dproj.columns, (str(t) for t in dproj.types)))
+            tdiff = {c: (stypes[c], dtypes[c]) for c in scols if stypes[c] != dtypes[c]}
+            if tdiff:
+                results[name] = f"TYPE_MISMATCH (spark, duck) per col: {tdiff}"; continue
             if len(sdata) != len(ddata):
                 results[name] = f"ROWCOUNT_MISMATCH spark={len(sdata)} duck={len(ddata)}"; continue
             srows = [tuple(norm(v) for v in r) for r in sdata]

@@ -689,7 +689,7 @@ object OracleSql {
                  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
                 FROM T)
-          SELECT doc_id, shard, prefix // 512 AS seq_id,
-            prefix % 512 AS seq_offset
+          SELECT doc_id, shard, CAST(prefix // 512 AS BIGINT) AS seq_id,
+            CAST(prefix % 512 AS BIGINT) AS seq_offset
           FROM P ORDER BY doc_id""")
 }

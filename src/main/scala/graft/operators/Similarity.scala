@@ -39,7 +39,9 @@ object Similarity {
   private def rank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_1e6").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    // long, not Spark's int32 row_number: DuckDB's row_number() is
+    // BIGINT and the driver's compare is type-sensitive
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
