@@ -678,6 +678,45 @@ object OracleSql {
           ORDER BY bm25_1e6 DESC, doc_id"""
     },
 
+    // multi-query BM25: identical stat derivations to q51, but SC keeps
+    // the term and a VALUES-built (query_id, term) map fans the shared
+    // per-(doc, term) contributions out per query — both the union term
+    // set and the VALUES pairs are interpolated from the SAME Scala
+    // DemoQueries the Spark plan uses
+    "q53_bm25_multi" -> {
+      val (k1, b) = (1.2, 0.75)
+      val pairs = graft.operators.TextSearch.DemoQueries.flatMap { case (qid, q) =>
+        q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t)) }
+      val union = pairs.map(_._2).distinct
+        .map(t => s"'$t'").mkString("(", ", ", ")")
+      val values = pairs.map { case (qid, t) => s"('$qid', '$t')" }.mkString(", ")
+      s"""WITH L AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          D AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM L),
+          ST AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl
+                 FROM D),
+          E AS (SELECT doc_id, dl, unnest(tk) AS term FROM D),
+          EQ AS (SELECT * FROM E WHERE term IN $union),
+          F AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfd
+                FROM EQ GROUP BY term),
+          I AS (SELECT term,
+                 CAST(floor((1000000.0::DOUBLE * (st.n::DOUBLE - dfd + 0.5))
+                      / (dfd + 0.5)) AS BIGINT) AS idf_1e6
+                FROM F CROSS JOIN ST st),
+          T AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT)::DOUBLE AS tf
+                FROM EQ GROUP BY doc_id, dl, term),
+          SC AS (SELECT t.doc_id, t.term,
+                  CAST(floor((i.idf_1e6::DOUBLE * (t.tf * ${k1 + 1.0}::DOUBLE))
+                    / (t.tf + $k1::DOUBLE * (${1.0 - b}::DOUBLE
+                        + ($b::DOUBLE * t.dl::DOUBLE)
+                          / (st.sdl::DOUBLE / st.n::DOUBLE)))) AS BIGINT) AS c
+                 FROM T t JOIN I i USING (term) CROSS JOIN ST st),
+          Q(query_id, term) AS (VALUES $values)
+          SELECT q.query_id, s.doc_id, CAST(sum(s.c) AS BIGINT) AS bm25_1e6
+          FROM SC s JOIN Q q USING (term)
+          GROUP BY q.query_id, s.doc_id
+          ORDER BY q.query_id, bm25_1e6 DESC, s.doc_id"""
+    },
+
     // sequence packing: per-md5-shard prefix token sums cut every 512
     // tokens — all-integer placement (mirror of Chunker.packSequences)
     "q52_packing" ->

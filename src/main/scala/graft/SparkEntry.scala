@@ -644,6 +644,16 @@ object SparkEntry {
         graft.operators.TextSearch.DemoQuery)
       .orderBy(col("bm25_1e6").desc, col("doc_id"))
 
+  /** Multi-query BM25 (operators.TextSearch.bm25Many): k seed queries
+    * scored in ONE corpus pass — per-(doc, term) contributions are
+    * query-independent, so they are computed once over the union term
+    * set and fanned out per query by a broadcast (query_id, term) join.
+    */
+  private def qBm25Multi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.bm25Many(t(s, dir, "documents"), "doc_id", "text",
+        graft.operators.TextSearch.DemoQueries)
+      .orderBy(col("query_id"), col("bm25_1e6").desc, col("doc_id"))
+
   /** Sequence packing (operators.Chunker.packSequences): documents
     * laid out per md5 shard in key order and cut every 512 tokens —
     * GPT-style concatenate-and-pack, all-integer placement.
@@ -710,7 +720,8 @@ object SparkEntry {
     "q49_ann_ivf" -> (qAnnIvf _),
     "q50_split" -> (qSplit _),
     "q51_bm25" -> (qBm25 _),
-    "q52_packing" -> (qPacking _))
+    "q52_packing" -> (qPacking _),
+    "q53_bm25_multi" -> (qBm25Multi _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

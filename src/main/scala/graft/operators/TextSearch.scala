@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.tokens
@@ -19,29 +19,55 @@ import graft.functions.tokens
   * (same monotonicity in df, no transcendentals), and floors each
   * per-term contribution to an integer BEFORE summing — the final
   * score is an associative integer sum, independent of partitioning
-  * and engine. The q51 oracle re-derives every stat in DuckDB.
+  * and engine. The q51/q53 oracles re-derive every stat in DuckDB.
   *
-  * Scale shape: tokenize → explode → filter to the query's terms
-  * BEFORE any shuffle (the exploded stream shrinks to a handful of
-  * terms) → df counts (groupBy over |query| terms) broadcast back →
-  * per-doc tf groupBy. Corpus-level N and Σdl come from one tiny agg;
-  * at 100 TB those are the same two scans a search index build does.
+  * Scale shape: tokenize ONCE (the tokenized corpus is checkpointed,
+  * so the N/avgdl stats pass and the term stream read the same
+  * materialization — one scan+tokenize of the corpus total) →
+  * explode → filter to the query term set BEFORE any shuffle (the
+  * exploded stream shrinks to a handful of terms) → df counts
+  * (groupBy over |terms| rows) broadcast back → per-doc tf groupBy.
+  * Curation against MANY seed queries reuses the per-(doc, term)
+  * contributions: they are query-independent, so k queries cost one
+  * corpus pass plus a broadcast join against the (query, term) map.
   */
 object TextSearch {
 
   /** Query used by the q51 battery entry (oracle generated from it). */
   val DemoQuery = "fast table scan"
 
-  /** Per-document BM25 score for `query`. Only documents containing at
-    * least one query term appear. Output: (doc_id, bm25_1e6).
+  /** Seed queries used by the q53 multi-query battery entry (oracle
+    * generated from the same pairs). Terms overlap across queries on
+    * purpose — the per-(doc, term) contributions must be shared, not
+    * recomputed per query.
     */
-  def bm25(docs: DataFrame, idCol: String, textCol: String, query: String,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-    require(terms.nonEmpty, "query has no terms")
-    val base = docs
-      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("tk"))
+  val DemoQueries: Seq[(String, String)] = Seq(
+    "q_scan" -> DemoQuery,
+    "q_join" -> "hash join merge scan",
+    "q_stream" -> "vector stream window")
+
+  /** Whitespace query tokenization — the driver-side mirror of
+    * `tokens(lower(text))` on the corpus side.
+    */
+  private def queryTerms(q: String): Seq[String] =
+    q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+
+  /** Tokenized corpus (doc_id, tk, dl), materialized once via
+    * localCheckpoint so corpus stats and the term stream share one
+    * scan+tokenize. At extreme scale, persist this frame as a table
+    * (or precompute `dl`) instead of checkpointing per call.
+    */
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("tk"))
       .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("dl"))
+      .localCheckpoint()
+
+  /** Per-(doc_id, term) integer BM25 contributions over `terms`.
+    * Query-independent: scoring any query is a sum of these over the
+    * query's terms.
+    */
+  private def termContribs(base: DataFrame, terms: Seq[String],
+      k1: Double, b: Double): DataFrame = {
     val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")).collect()(0)
     val nDocs = stats.getLong(0)
     require(nDocs > 0, "bm25 needs a non-empty corpus (N and avgdl are undefined)")
@@ -65,7 +91,61 @@ object TextSearch {
         floor(col("idf_1e6").cast("double") * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) +
             lit(b) * col("dl").cast("double") / lit(avgdl)))).cast("long"))
+      .select(col("doc_id"), col("term"), col("contrib"))
+  }
+
+  /** Per-document BM25 score for `query`. Only documents containing at
+    * least one query term appear. Output: (doc_id, bm25_1e6).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, query: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "query has no terms")
+    termContribs(tokenized(docs, idCol, textCol), terms, k1, b)
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).as("bm25_1e6"))
+  }
+
+  /** BM25 against MANY queries in one corpus pass: contributions are
+    * computed once over the union term set, then a broadcast join on
+    * the (query_id, term) map fans them out per query. `queries` pairs
+    * are (query_id, query_text) — seed queries, inherently few (they
+    * are collected to build the literal term filter).
+    *
+    * Output: (query_id, doc_id, bm25_1e6); a document appears under a
+    * query only if it contains at least one of that query's terms.
+    */
+  def bm25Many(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, String)],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "query ids must be unique")
+    val pairs = queries.flatMap { case (qid, q) => queryTerms(q).map((qid, _)) }
+    require(pairs.nonEmpty, "no query has any terms")
+    val unionTerms = pairs.map(_._2).distinct
+    val spark = docs.sparkSession
+    val qdf = spark.createDataFrame(pairs).toDF("query_id", "term")
+    termContribs(tokenized(docs, idCol, textCol), unionTerms, k1, b)
+      .join(broadcast(qdf), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("bm25_1e6"))
+  }
+
+  /** DataFrame-shaped overload of [[bm25Many]] for callers whose seed
+    * queries live in a table. Queries are by nature a bounded seed set;
+    * the guard keeps an accidentally-huge frame from being collected.
+    */
+  def bm25Many(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k1: Double, b: Double): DataFrame = {
+    val maxQueries = 100000
+    val rows = queries
+      .select(col(queryIdCol).cast("string"), col(queryTextCol).cast("string"))
+      .limit(maxQueries + 1).collect()
+    require(rows.length <= maxQueries,
+      s"more than $maxQueries queries — bm25Many broadcasts the query set")
+    bm25Many(docs, idCol, textCol,
+      rows.toSeq.map(r => (r.getString(0), r.getString(1))), k1, b)
   }
 }

@@ -140,6 +140,34 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextSearch.bm25(docs, "doc_id", "text", "  "))
   }
 
+  test("bm25Many equals per-query bm25 and shares contributions across queries") {
+    import graft.operators.TextSearch
+    val docs = Seq(
+      (1L, "fast fast fast scan"),
+      (2L, "fast scan over a long document with many filler words here"),
+      (3L, "completely unrelated words only"),
+      (4L, "scan merge scan merge")).toDF("doc_id", "text")
+    val queries = Seq("a" -> "fast scan", "b" -> "merge scan")
+    val many = TextSearch.bm25Many(docs, "doc_id", "text", queries)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // invariant: the multi-query result IS the per-query result, query
+    // by query — shared union-term contributions must not change scores
+    for ((qid, q) <- queries) {
+      val single = TextSearch.bm25(docs, "doc_id", "text", q)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slice = many.collect { case ((id, d), s) if id == qid => d -> s }.toMap
+      assert(slice == single, s"query $qid: many=$slice single=$single")
+    }
+    // the DataFrame overload routes to the same result
+    val qdf = queries.toDF("qid", "qtext")
+    val viaDf = TextSearch.bm25Many(docs, "doc_id", "text", qdf, "qid", "qtext",
+        k1 = 1.2, b = 0.75)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaDf == many)
+    intercept[IllegalArgumentException](
+      TextSearch.bm25Many(docs, "doc_id", "text", Seq("a" -> "x", "a" -> "y")))
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       (1L, "the cat is on the mat and it is happy"),

@@ -94,6 +94,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!readSchema.contains("text"), s"must not read text: $readSchema")
   }
 
+  test("bm25 tokenizes the corpus once (term stream reads the checkpoint)") {
+    // the stats pass materializes the tokenized corpus via
+    // localCheckpoint; the returned plan must read that RDD, never
+    // re-scan parquet / re-tokenize
+    val p = plan("q51_bm25")
+    assert(p.contains("ExistingRDD"), s"bm25 must read the checkpointed tokens:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"bm25 must not re-scan the corpus after the stats pass:\n$p")
+  }
+
   test("IVF corpus assignment is narrow and uses the native dot expression") {
     import org.apache.spark.sql.functions.col
     val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
