@@ -730,5 +730,32 @@ object OracleSql {
                 FROM T)
           SELECT doc_id, shard, CAST(prefix // 512 AS BIGINT) AS seq_id,
             CAST(prefix % 512 AS BIGINT) AS seq_offset
-          FROM P ORDER BY doc_id""")
+          FROM P ORDER BY doc_id""",
+
+    // no-split packing: the greedy reset recurrence replayed as a
+    // recursive CTE — each step advances every shard one document in
+    // key order (rn + 1), carrying (seq_id, fill) state
+    "q54_packing_nosplit" ->
+      s"""WITH RECURSIVE T AS (SELECT doc_id,
+                 CAST(len(${toks("text")}) AS BIGINT) AS n_tokens,
+                 ${md5long("cast(doc_id as varchar)")} % 4 AS shard
+               FROM documents),
+          N AS (SELECT doc_id, n_tokens, shard,
+                 row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+                FROM T),
+          R AS (
+            SELECT doc_id, shard, rn, n_tokens,
+                   CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+                   n_tokens AS fill
+            FROM N WHERE rn = 1
+            UNION ALL
+            SELECT n.doc_id, n.shard, n.rn, n.n_tokens,
+              CASE WHEN r.fill > 0 AND r.fill + n.n_tokens > 512
+                   THEN r.seq_id + 1 ELSE r.seq_id END,
+              CASE WHEN r.fill > 0 AND r.fill + n.n_tokens > 512
+                   THEN CAST(0 AS BIGINT) ELSE r.fill END,
+              CASE WHEN r.fill > 0 AND r.fill + n.n_tokens > 512
+                   THEN n.n_tokens ELSE r.fill + n.n_tokens END
+            FROM R r JOIN N n ON n.shard = r.shard AND n.rn = r.rn + 1)
+          SELECT doc_id, shard, seq_id, seq_offset FROM R ORDER BY doc_id""")
 }

@@ -666,6 +666,19 @@ object SparkEntry {
       .select(col("doc_id"), col("shard"), col("seq_id"), col("seq_offset"))
       .orderBy(col("doc_id"))
 
+  /** No-split sequence packing (operators.Chunker.packSequencesNoSplit):
+    * greedy first-fit in key order per shard — a document that would
+    * cross the 512-token budget starts a new sequence. The oracle
+    * replays the same recurrence as a DuckDB recursive CTE.
+    */
+  private def qPackingNoSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunker.packSequencesNoSplit(
+        t(s, dir, "documents").select(col("doc_id"),
+          graft.functions.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budgetTokens = 512L, shards = 4)
+      .select(col("doc_id"), col("shard"), col("seq_id"), col("seq_offset"))
+      .orderBy(col("doc_id"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -721,7 +734,8 @@ object SparkEntry {
     "q50_split" -> (qSplit _),
     "q51_bm25" -> (qBm25 _),
     "q52_packing" -> (qPacking _),
-    "q53_bm25_multi" -> (qBm25Multi _))
+    "q53_bm25_multi" -> (qBm25Multi _),
+    "q54_packing_nosplit" -> (qPackingNoSplit _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -79,6 +79,10 @@ object Chunker {
     *
     * Adds `shard`, `seq_id` (per-shard), `seq_offset` (token offset of
     * the document's first token inside its starting sequence).
+    *
+    * `keyCol` must be unique (it is the only ORDER BY of the per-shard
+    * layout): duplicate keys make which duplicate gets which placement
+    * nondeterministic across runs and partitionings.
     */
   def packSequences(df: DataFrame, keyCol: String, tokenCountCol: String,
       budgetTokens: Long, shards: Int): DataFrame = {
@@ -95,4 +99,65 @@ object Chunker {
       .withColumn("seq_offset", pmod(col("_prefix"), lit(budgetTokens)))
       .drop("_prefix")
   }
+
+  /** Document-boundary ("no-split") sequence packing — greedy first-fit
+    * in key order within each shard: a document that would cross the
+    * budget starts a new sequence instead of spanning the cut (the
+    * variant trainers use when examples must not straddle sequences); a
+    * document longer than the budget occupies a sequence of its own.
+    *
+    * Unlike [[packSequences]], the placement is an inherently
+    * sequential recurrence — each document's sequence depends on the
+    * padding wasted by every earlier reset, so no closed-form window /
+    * prefix sum expresses it. Within a shard it IS a linear scan, and
+    * the shard is the unit of distribution exactly as in
+    * [[packSequences]]: repartition on the md5 shard, sort within
+    * partitions by (shard, key), one stateful pass per partition
+    * (the one place `mapPartitions` genuinely beats declarative ops).
+    * At 100 TB `shards` scales with executors and every task streams
+    * its shards once — no global order, no driver state.
+    *
+    * Adds `shard`, `seq_id`, `seq_offset`. `keyCol` must be unique
+    * (same determinism contract as [[packSequences]]).
+    */
+  def packSequencesNoSplit(df: DataFrame, keyCol: String, tokenCountCol: String,
+      budgetTokens: Long, shards: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(shards >= 1, s"need at least one shard, got $shards")
+    val staged = df
+      .withColumn("shard",
+        pmod(graft.functions.md5Long(col(keyCol).cast("string")), lit(shards.toLong)))
+      .withColumn("_n", coalesce(col(tokenCountCol).cast("long"), lit(0L)))
+    val shardIdx = staged.schema.fieldIndex("shard")
+    val nIdx = staged.schema.fieldIndex("_n")
+    val outSchema = org.apache.spark.sql.types.StructType(staged.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("seq_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("seq_offset",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    staged
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(keyCol))
+      .mapPartitions { rows =>
+        // a hash partition holds whole shards (possibly several);
+        // state resets at each shard boundary of the sorted stream.
+        // null shards (null keys) sort together and form a group too.
+        var cur: Any = PackStateUnset
+        var seq = 0L
+        var fill = 0L
+        rows.map { r =>
+          val sh = r.get(shardIdx)
+          if (sh != cur) { cur = sh; seq = 0L; fill = 0L }
+          val n = r.getLong(nIdx)
+          if (fill > 0 && fill + n > budgetTokens) { seq += 1; fill = 0L }
+          val off = fill
+          fill += n
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ seq :+ off)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .drop("_n")
+  }
+
+  /** Sentinel distinct from any shard value (including null). */
+  private object PackStateUnset
 }

@@ -78,6 +78,52 @@ class ChunkerSamplingSpec extends SparkSpec {
       Chunker.packSequences(df, "doc_id", "n_tokens", 0L, 2))
   }
 
+  test("packSequencesNoSplit: greedy first-fit, docs never straddle a cut") {
+    val df = (1L to 40L).map(i => (i, 10L + (i % 7))).toDF("doc_id", "n_tokens")
+    val out = Chunker.packSequencesNoSplit(df, "doc_id", "n_tokens",
+        budgetTokens = 50L, shards = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("shard"), r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))
+    assert(out.length == 40)
+    assert(out.map(_._3).toSet.size == 2, "both shards populated")
+    out.groupBy(_._3).foreach { case (shard, docs) =>
+      val ordered = docs.sortBy(_._1)
+      // replay the greedy recurrence doc by doc
+      var seq = 0L; var fill = 0L
+      ordered.foreach { case (id, n, _, s, off) =>
+        if (fill > 0 && fill + n > 50) { seq += 1; fill = 0 }
+        assert(s == seq && off == fill, s"shard $shard doc $id placement")
+        fill += n
+      }
+      // the defining invariant vs packSequences: a doc that fits the
+      // budget is never cut across sequences
+      ordered.foreach { case (id, n, _, _, off) =>
+        if (n <= 50) assert(off + n <= 50, s"doc $id straddles a cut") }
+      assert(ordered.head._5 == 0L, s"shard $shard must start at offset 0")
+      assert(ordered.map(_._4).sliding(2).forall(p => p.head <= p.last))
+    }
+    // an oversized doc owns a sequence; the next doc starts a fresh one
+    val big = Seq((1L, 10L), (2L, 100L), (3L, 10L)).toDF("doc_id", "n_tokens")
+    val bigOut = Chunker.packSequencesNoSplit(big, "doc_id", "n_tokens", 50L, 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))).toMap
+    assert(bigOut == Map(1L -> ((0L, 0L)), 2L -> ((1L, 0L)), 3L -> ((2L, 0L))))
+    intercept[IllegalArgumentException](
+      Chunker.packSequencesNoSplit(df, "doc_id", "n_tokens", 0L, 2))
+  }
+
+  test("packing variants agree when the layout never crosses a cut") {
+    // uniform 10-token docs against a 50-token budget: prefix sums land
+    // exactly on boundaries, so split and no-split packing coincide
+    val df = (1L to 20L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.select("doc_id", "shard", "seq_id", "seq_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    assert(canon(Chunker.packSequences(df, "doc_id", "n_tokens", 50L, 2)) ==
+      canon(Chunker.packSequencesNoSplit(df, "doc_id", "n_tokens", 50L, 2)))
+  }
+
   test("hashSample is deterministic, rate-monotone (samples nest), and unbiased-ish") {
     val df = (1L to 2000L).toDF("id")
     def ids(ppm: Long): Set[Long] =
