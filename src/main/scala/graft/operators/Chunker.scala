@@ -22,6 +22,14 @@ import graft.functions.{let, tokens}
   * and per-task memory is bounded by the input partition size
   * regardless of corpus size; the token array is bound once per row
   * (graft.functions.let) so the interpreted lambda never re-tokenizes.
+  *
+  * Token-count seam: whitespace tokens (graft.functions.tokens) are a
+  * deterministic PROXY for a real subword tokenizer, not an
+  * assumption. Both packers budget on whatever integer `tokenCountCol`
+  * the caller supplies — precompute a BPE count column (e.g. from an
+  * offline tokenizer run) and pass it instead, and every placement
+  * follows it (pinned by spec). Only [[chunkByTokens]] is tied to
+  * whitespace tokens, because it must split the text itself.
   */
 object Chunker {
 

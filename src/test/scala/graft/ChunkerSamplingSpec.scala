@@ -124,6 +124,36 @@ class ChunkerSamplingSpec extends SparkSpec {
       canon(Chunker.packSequencesNoSplit(df, "doc_id", "n_tokens", 50L, 2)))
   }
 
+  test("packing budgets follow any caller-supplied token-count column (BPE seam)") {
+    // the whitespace token count is a deterministic PROXY, not an
+    // assumption: both packers budget on whatever integer column the
+    // caller supplies. Simulate a precomputed BPE count (~1.3 tokens
+    // per word, as real BPE inflates) and check placement follows IT.
+    val df = (1L to 12L).map(i => (i, 10L)).toDF("doc_id", "ws_tokens")
+      .withColumn("bpe_tokens", (col("ws_tokens") * 13).cast("long") / 10)
+      .withColumn("bpe_tokens", col("bpe_tokens").cast("long"))
+    def placements(countCol: String) =
+      Chunker.packSequences(df, "doc_id", countCol, budgetTokens = 50L, shards = 1)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))).toMap
+    val ws = placements("ws_tokens")
+    val bpe = placements("bpe_tokens")
+    // whitespace counts: doc i starts at 10*(i-1) → seq (i-1)/5
+    assert(ws(6L) == ((1L, 0L)) && ws(12L) == ((2L, 10L)))
+    // BPE counts (13/doc): doc i starts at 13*(i-1)
+    assert((1L to 12L).forall { i =>
+      bpe(i) == (((13 * (i - 1)) / 50).toLong, ((13 * (i - 1)) % 50).toLong) },
+      s"BPE placement must follow the supplied counts: $bpe")
+    assert(ws != bpe, "different count columns must yield different layouts")
+    // the no-split packer honors the same seam
+    val noSplit = Chunker.packSequencesNoSplit(df, "doc_id", "bpe_tokens", 50L, 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))).toMap
+    // greedy: 3 docs of 13 fit per 50-token sequence (39 ≤ 50 < 52)
+    assert((1L to 12L).forall { i =>
+      noSplit(i) == (((i - 1) / 3, ((i - 1) % 3) * 13)) }, s"got $noSplit")
+  }
+
   test("hashSample is deterministic, rate-monotone (samples nest), and unbiased-ish") {
     val df = (1L to 2000L).toDF("id")
     def ids(ppm: Long): Set[Long] =

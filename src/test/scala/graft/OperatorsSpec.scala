@@ -110,6 +110,36 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf == Set(3L, 6L, 9L))
   }
 
+  test("ivfTopK recall@3 vs brute force on real embeddings (nprobe sweep)") {
+    // pins the quality claim the coarse-quantizer analogy makes: IVF
+    // search is approximate ONLY through cell pruning, and probing more
+    // cells recovers the exact ranking
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val queries = corpus.filter(col("id") % 200 === 0)
+    val cents = Similarity.trainCentroids(corpus, k = 8, iters = 2)
+    val truth = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallAt3(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(corpus, queries, cents, k = 3, nprobe = nprobe)
+        .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+        .sum / truth.size
+    }
+    val (r1, r2, r4) = (recallAt3(1), recallAt3(2), recallAt3(4))
+    // measured on the current synthetic embeddings: 0.444 / 0.667 /
+    // 0.889 — floors leave margin for regenerated testdata while still
+    // catching a broken quantizer (which collapses recall toward 0)
+    info(f"recall@3: nprobe=1 $r1%.3f, nprobe=2 $r2%.3f, nprobe=4 $r4%.3f")
+    assert(r2 >= 0.55, f"recall@3 at nprobe=2 (of 8 cells) must clear 0.55, got $r2%.3f")
+    assert(r4 >= 0.8, f"recall@3 at nprobe=4 (of 8 cells) must clear 0.8, got $r4%.3f")
+    assert(r2 >= r1 - 1e-9 && r4 >= r2 - 1e-9,
+      f"recall must not fall as nprobe grows: $r1%.3f / $r2%.3f / $r4%.3f")
+  }
+
   test("trainCentroids carries an emptied cell's previous centroid") {
     // two seeds land in the same dense cluster; one seed keeps all
     // points, the other may end up empty — its centroid must persist
