@@ -186,6 +186,25 @@ object Dedup {
     * excluded rather than paired with each other. The only shuffle is
     * the equi-join on tiny (band, value) keys.
     */
+  /** Executable form of the sizing guidance above — candidate pairs
+    * grow ~n²/2^bandBits at fixed parameters, so band width must grow
+    * with log2(corpus): pick the narrowest bands that keep the
+    * EXPECTED bucket population ≤ `targetBucket` (15-bit bands / 60-bit
+    * fingerprints is the md5Long ceiling; past ~targetBucket·2^15 docs
+    * the remaining lever is `maxBucketSize` + exact-dedup-first).
+    * `targetBucket` defaults LOW (2) because simhash buckets are
+    * skewed by construction — similar docs concentrate on popular
+    * fingerprints, so the mean bucket badly understates the busy ones.
+    */
+  def suggestSimhashParams(estimatedDocs: Long, bands: Int = 4,
+      targetBucket: Int = 2): (Int, Int) = {
+    require(estimatedDocs > 0 && bands >= 1 && targetBucket >= 1)
+    val needed = math.ceil(
+      math.log(estimatedDocs.toDouble / targetBucket) / math.log(2.0)).toInt
+    val bandBits = math.min(15, math.max(4, needed))
+    (bands * bandBits, bands)
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 32, bands: Int = 4, maxHamming: Int = 3,
       maxBucketSize: Option[Int] = None): DataFrame = {

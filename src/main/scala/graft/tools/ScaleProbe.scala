@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** One-off scale probe: times individual operators at a given SF dir
+  * with alternative scale parameters, so BASELINE.md slope claims are
+  * measured, not asserted. Usage:
+  *   sbt "runMain graft.tools.ScaleProbe <sfDir> <probe> [probe...]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val probes = args.tail.toSet
+    val spark = graft.Bench.buildSession()
+    def docs = spark.read.parquet(s"$dir/documents.parquet")
+    def embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      println(f"PROBE $name rows=$rows%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    // janino/JIT warmup so the first timed probe isn't charged for
+    // codegen compilation (same reason Bench warms on sf0.001)
+    graft.operators.Dedup.simhashPairs(docs.limit(500), "doc_id", "text",
+      bits = 60, bands = 4, maxHamming = 3).count()
+    graft.operators.Similarity.bruteForceTopK(embs.limit(500),
+      embs.limit(500).filter(col("id") % 200 === 0), k = 3).count()
+    if (probes("simhash8")) timed("simhash_32bit_8bitbands")(
+      graft.operators.Dedup.simhashPairs(docs, "doc_id", "text",
+        bits = 32, bands = 4, maxHamming = 3).count())
+    if (probes("simhash15")) timed("simhash_60bit_15bitbands")(
+      graft.operators.Dedup.simhashPairs(docs, "doc_id", "text",
+        bits = 60, bands = 4, maxHamming = 3).count())
+    if (probes("simhashAuto")) {
+      val n = docs.count()
+      val (bits, bands) = graft.operators.Dedup.suggestSimhashParams(n)
+      timed(s"simhash_auto_${bits}bit_${bands}bands")(
+        graft.operators.Dedup.simhashPairs(docs, "doc_id", "text",
+          bits = bits, bands = bands, maxHamming = 3).count())
+    }
+    if (probes("neardup8")) timed("neardup_8signbits")(
+      graft.operators.Dedup.embeddingNearDups(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.95, signBits = 8).count())
+    if (probes("neardup12")) timed("neardup_12signbits")(
+      graft.operators.Dedup.embeddingNearDups(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.95, signBits = 12).count())
+    if (probes("brute")) timed("ann_brute")(
+      graft.operators.Similarity.bruteForceTopK(embs,
+        embs.filter(col("id") % 200 === 0), k = 3).count())
+    spark.stop()
+  }
+}
