@@ -111,8 +111,11 @@ object Dedup {
     // emits nothing) rather than as a separate filter — a pushed-down
     // `sig IS NOT NULL` predicate would make Catalyst evaluate the
     // signature a second time per row in the Filter condition.
+    // materialized once: the self-join (and the cap's size agg) would
+    // otherwise re-tokenize + re-hash the corpus once per reference
     val withSig = df.select(col(idCol).as("id"),
       graft.expressions.MinhashSig(col(textCol), n, k).as("sig"))
+      .localCheckpoint()
     val bandBuckets = transform(sequence(lit(0), lit(bands - 1)), b => {
       val bandSlice = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
       md5(array_join(transform(bandSlice, x => x.cast("string")), ","))
@@ -210,9 +213,11 @@ object Dedup {
       maxBucketSize: Option[Int] = None): DataFrame = {
     require(bits % bands == 0, "bits must divide evenly into bands")
     val bandBits = bits / bands
+    // materialized once — same reason as minhashLshPairs' signature
     val withSim = df.filter(tokenCount(col(textCol)) > 0)
       .select(col(idCol).as("id"),
         graft.expressions.SimhashText(col(textCol), bits).as("simhash"))
+      .localCheckpoint()
     val bandVals = array((0 until bands).map(b =>
       shiftright(col("simhash"), b * bandBits)
         .bitwiseAND(lit((1L << bandBits) - 1))): _*)

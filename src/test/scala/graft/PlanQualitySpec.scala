@@ -53,8 +53,18 @@ class PlanQualitySpec extends SparkSpec {
   test("native expressions are planned in the hot paths (no HOF fallback)") {
     // (formatted mode under AQE doesn't print WholeStageCodegen markers;
     // the codegen path itself is exercised by ExpressionsSpec)
-    assert(plan("q18_minhash_lsh_pairs").contains("minhash_sig"),
-      "q18 must use the native signature expression")
+    // minhash/simhash signature stages run inside the operators'
+    // localCheckpoint job (so the self-join reads a materialization
+    // instead of re-hashing the corpus per side) — assert the native
+    // expression on the stage itself, not the post-checkpoint plan
+    import org.apache.spark.sql.functions.col
+    val sigStage = spark.read.parquet(s"$dir/documents.parquet")
+      .select(graft.expressions.MinhashSig(col("text"), 3, 16).as("sig"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(sigStage.contains("minhash_sig"),
+      "the signature stage must use the native expression")
+    assert(plan("q18_minhash_lsh_pairs").contains("ExistingRDD"),
+      "q18's join must read the checkpointed signatures")
     assert(plan("q21_ann_brute_force").contains("dot_fold"),
       "q21 must use the native dot product")
   }
