@@ -732,6 +732,18 @@ object OracleSql {
             CAST(prefix % 512 AS BIGINT) AS seq_offset
           FROM P ORDER BY doc_id""",
 
+    // benchmark decontamination: distinct shared word 3-grams between
+    // each corpus doc and the eval slice (doc_id % 97 = 0)
+    "q55_decontaminate" ->
+      s"""WITH B AS (SELECT DISTINCT unnest(${shingles3("text")}) AS gram
+               FROM documents WHERE doc_id % 97 = 0),
+          C AS (SELECT doc_id, unnest(${shingles3("text")}) AS gram
+               FROM documents WHERE doc_id % 97 <> 0)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+          FROM C JOIN B USING (gram)
+          GROUP BY doc_id
+          ORDER BY doc_id""",
+
     // no-split packing: the greedy reset recurrence replayed as a
     // recursive CTE — each step advances every shard one document in
     // key order (rn + 1), carrying (seq_id, fill) state

@@ -679,6 +679,18 @@ object SparkEntry {
       .select(col("doc_id"), col("shard"), col("seq_id"), col("seq_offset"))
       .orderBy(col("doc_id"))
 
+  /** Benchmark decontamination (operators.Decontaminate.sharedNgrams):
+    * every 97th document plays the eval set; the rest of the corpus is
+    * checked for shared word 3-grams (distinct per doc) against it.
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Decontaminate.sharedNgrams(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -735,7 +747,8 @@ object SparkEntry {
     "q51_bm25" -> (qBm25 _),
     "q52_packing" -> (qPacking _),
     "q53_bm25_multi" -> (qBm25Multi _),
-    "q54_packing_nosplit" -> (qPackingNoSplit _))
+    "q54_packing_nosplit" -> (qPackingNoSplit _),
+    "q55_decontaminate" -> (qDecontaminate _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -66,6 +66,30 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated must not: $pairs")
   }
 
+  test("decontamination flags docs sharing n-grams with the benchmark set") {
+    import graft.operators.Decontaminate
+    val bench = Seq((100L, "the capital of france is paris obviously")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "quiz answer the capital of france is paris so there"), // 4 shared 3-grams
+      (2L, "unrelated content about something else entirely here"),
+      (3L, "of france is")).toDF("doc_id", "text")                 // 1 shared 3-gram
+    val out = Decontaminate.sharedNgrams(corpus, "doc_id", "text", bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "the capital of", "capital of france", "of france is",
+    // "france is paris" — 4 distinct grams; doc 3 shares exactly one
+    assert(out == Map(1L -> 4L, 3L -> 1L), s"got $out")
+    // minShared thresholds out the single-gram doc
+    val strict = Decontaminate.sharedNgrams(corpus, "doc_id", "text", bench, "text",
+        n = 3, minShared = 2L)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L))
+    // wider grams are stricter: no shared 7-gram exists
+    assert(Decontaminate.sharedNgrams(corpus, "doc_id", "text", bench, "text", n = 7)
+      .count() == 0L)
+    intercept[IllegalArgumentException](
+      Decontaminate.sharedNgrams(corpus, "doc_id", "text", bench, "text", n = 0))
+  }
+
   test("ngram jaccard: identical=1e6, disjoint=0") {
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
