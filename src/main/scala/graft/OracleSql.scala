@@ -732,6 +732,16 @@ object OracleSql {
             CAST(prefix % 512 AS BIGINT) AS seq_offset
           FROM P ORDER BY doc_id""",
 
+    // repetition gate: duplicate word 3-gram fraction, same IEEE op
+    // order as TextAnalysis.repetitionRatio (one div, one sub, floor)
+    "q56_repetition" ->
+      s"""SELECT doc_id,
+            CAST(floor(CASE WHEN len(g) = 0 THEN 0.0::DOUBLE
+              ELSE (1.0::DOUBLE - len(list_distinct(g))::DOUBLE / len(g)::DOUBLE)
+              END * 1000000.0::DOUBLE) AS BIGINT) AS rep_1e6
+          FROM (SELECT doc_id, ${rawShingles3("text")} AS g FROM documents)
+          ORDER BY doc_id""",
+
     // benchmark decontamination: distinct shared word 3-grams between
     // each corpus doc and the eval slice (doc_id % 97 = 0)
     "q55_decontaminate" ->

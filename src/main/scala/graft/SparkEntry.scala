@@ -691,6 +691,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition gate (TextAnalysis.repetitionRatio): duplicate word
+    * 3-gram fraction per document in 1e6 fixed point.
+    */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        floor(graft.operators.TextAnalysis.repetitionRatio(col("text"), 3) *
+          lit(1000000.0)).cast("long").as("rep_1e6"))
+      .orderBy(col("doc_id"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -748,7 +758,8 @@ object SparkEntry {
     "q52_packing" -> (qPacking _),
     "q53_bm25_multi" -> (qBm25Multi _),
     "q54_packing_nosplit" -> (qPackingNoSplit _),
-    "q55_decontaminate" -> (qDecontaminate _))
+    "q55_decontaminate" -> (qDecontaminate _),
+    "q56_repetition" -> (qRepetition _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

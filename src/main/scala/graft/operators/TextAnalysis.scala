@@ -64,6 +64,20 @@ object TextAnalysis {
       .withColumn("stopword_ratio", ratio(stops, nTok))
   }
 
+  /** Intra-document repetition: the fraction of word n-grams that are
+    * duplicates (1 − distinct/total) — the boilerplate/loop gate
+    * ("repetition removal") corpus-quality pipelines apply alongside
+    * the signals above. 0.0 for docs with fewer than n tokens (no
+    * grams, nothing repeats). Fixed IEEE-754 op order (one division,
+    * one subtraction), so engines reproduce it bit-identically; the
+    * battery compares floor(·1e6). Narrow and shuffle-free; the gram
+    * array is bound once per row (let), never re-built per reference.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column =
+    let(graft.functions.rawShingles(text, n), g =>
+      when(size(g) === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double")))
+
   /** Unrounded composite quality score in [0,1]: favors mid-length docs
     * with low digit noise and some stopword mass. Pure IEEE-754 double
     * arithmetic in a fixed order, so any engine reproduces it

@@ -66,6 +66,19 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated must not: $pairs")
   }
 
+  test("repetitionRatio measures duplicate n-gram mass; short docs are 0") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),   // all 3-grams identical
+      (2L, "all words here are fully distinct tokens"),
+      (3L, "one two"),                          // < n tokens → no grams
+      (4L, null: String)).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.75, s"4 grams, 1 distinct -> 0.75: ${out(1L)}")
+    assert(out(2L) == 0.0 && out(3L) == 0.0 && out(4L) == 0.0)
+  }
+
   test("decontamination flags docs sharing n-grams with the benchmark set") {
     import graft.operators.Decontaminate
     val bench = Seq((100L, "the capital of france is paris obviously")).toDF("id", "text")
