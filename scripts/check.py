@@ -34,8 +34,8 @@ def main(sf_dir, out_dir):
                 results[name] = "MISSING_SPARK_OUTPUT"; continue
             spark_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
             scols = sorted(spark_rel.columns)
-            sdata = con.sql(
-                f"SELECT {', '.join(scols)} FROM read_parquet({files!r})").fetchall()
+            sproj = con.sql(f"SELECT {', '.join(scols)} FROM read_parquet({files!r})")
+            sdata = sproj.fetchall()
             duck_rel = con.sql(sql)
             dcols = sorted(duck_rel.columns)
             # re-project duckdb result to sorted column order
@@ -47,7 +47,6 @@ def main(sf_dir, out_dir):
             # rows+values matched but DuckDB's windowed sum() widened to
             # HUGEINT → hash red). repr()-compare below is blind to that, so
             # check column types explicitly before the value compare.
-            sproj = con.sql(f"SELECT {', '.join(scols)} FROM read_parquet({files!r})")
             stypes = dict(zip(sproj.columns, (str(t) for t in sproj.types)))
             dtypes = dict(zip(dproj.columns, (str(t) for t in dproj.types)))
             tdiff = {c: (stypes[c], dtypes[c]) for c in scols if stypes[c] != dtypes[c]}

@@ -100,6 +100,15 @@ object Dedup {
     *   template family better handled explicitly. None (default)
     *   disables the cap; the DuckDB oracle mirrors the uncapped form.
     */
+  /** The signature stage of [[minhashLshPairs]], pre-materialization —
+    * exposed so plan tests pin the native expression on the exact frame
+    * the operator checkpoints.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.expressions.MinhashSig(col(textCol), n, k).as("sig"))
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
       maxBucketSize: Option[Int] = None): DataFrame = {
@@ -112,10 +121,12 @@ object Dedup {
     // `sig IS NOT NULL` predicate would make Catalyst evaluate the
     // signature a second time per row in the Filter condition.
     // materialized once: the self-join (and the cap's size agg) would
-    // otherwise re-tokenize + re-hash the corpus once per reference
-    val withSig = df.select(col(idCol).as("id"),
-      graft.expressions.MinhashSig(col(textCol), n, k).as("sig"))
-      .localCheckpoint()
+    // otherwise re-tokenize + re-hash the corpus once per reference.
+    // Checkpoint-block lifetime is GC-managed (ContextCleaner reclaims
+    // after the frame is unreachable); long-running callers should
+    // scope references per batch — graft.Bench nudges GC between
+    // queries for exactly this reason.
+    val withSig = minhashSignatures(df, idCol, textCol, n, k).localCheckpoint()
     val bandBuckets = transform(sequence(lit(0), lit(bands - 1)), b => {
       val bandSlice = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
       md5(array_join(transform(bandSlice, x => x.cast("string")), ","))
@@ -202,22 +213,33 @@ object Dedup {
   def suggestSimhashParams(estimatedDocs: Long, bands: Int = 4,
       targetBucket: Int = 2): (Int, Int) = {
     require(estimatedDocs > 0 && bands >= 1 && targetBucket >= 1)
+    // total bits may never exceed SimhashText's 60-bit ceiling, so the
+    // per-band cap shrinks as bands grow (more bands = exact recall at
+    // larger Hamming radii, traded against band width)
+    val maxBandBits = math.min(15, 60 / bands)
+    require(maxBandBits >= 1, s"$bands bands cannot fit in 60 fingerprint bits")
     val needed = math.ceil(
       math.log(estimatedDocs.toDouble / targetBucket) / math.log(2.0)).toInt
-    val bandBits = math.min(15, math.max(4, needed))
+    val bandBits = math.min(maxBandBits, math.max(math.min(4, maxBandBits), needed))
     (bands * bandBits, bands)
   }
+
+  /** The fingerprint stage of [[simhashPairs]], pre-materialization
+    * (token-less docs carry no signal and are excluded).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      bits: Int): DataFrame =
+    df.filter(tokenCount(col(textCol)) > 0)
+      .select(col(idCol).as("id"),
+        graft.expressions.SimhashText(col(textCol), bits).as("simhash"))
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 32, bands: Int = 4, maxHamming: Int = 3,
       maxBucketSize: Option[Int] = None): DataFrame = {
     require(bits % bands == 0, "bits must divide evenly into bands")
     val bandBits = bits / bands
-    // materialized once — same reason as minhashLshPairs' signature
-    val withSim = df.filter(tokenCount(col(textCol)) > 0)
-      .select(col(idCol).as("id"),
-        graft.expressions.SimhashText(col(textCol), bits).as("simhash"))
-      .localCheckpoint()
+    // materialized once — same reason (and caveat) as minhashLshPairs
+    val withSim = simhashSignatures(df, idCol, textCol, bits).localCheckpoint()
     val bandVals = array((0 until bands).map(b =>
       shiftright(col("simhash"), b * bandBits)
         .bitwiseAND(lit((1L << bandBits) - 1))): _*)

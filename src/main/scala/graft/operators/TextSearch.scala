@@ -121,8 +121,11 @@ object TextSearch {
     require(queries.nonEmpty, "need at least one query")
     require(queries.map(_._1).distinct.size == queries.size,
       "query ids must be unique")
+    // fail fast like single-query bm25 does — a silently-dropped empty
+    // query would be indistinguishable from "matched no documents"
+    val empty = queries.collect { case (qid, q) if queryTerms(q).isEmpty => qid }
+    require(empty.isEmpty, s"queries with no terms: ${empty.mkString(", ")}")
     val pairs = queries.flatMap { case (qid, q) => queryTerms(q).map((qid, _)) }
-    require(pairs.nonEmpty, "no query has any terms")
     val unionTerms = pairs.map(_._2).distinct
     val spark = docs.sparkSession
     val qdf = spark.createDataFrame(pairs).toDF("query_id", "term")
@@ -145,6 +148,8 @@ object TextSearch {
       .limit(maxQueries + 1).collect()
     require(rows.length <= maxQueries,
       s"more than $maxQueries queries — bm25Many broadcasts the query set")
+    val bad = rows.count(r => r.isNullAt(0) || r.isNullAt(1))
+    require(bad == 0, s"$bad query rows have a null id or text")
     bm25Many(docs, idCol, textCol,
       rows.toSeq.map(r => (r.getString(0), r.getString(1))), k1, b)
   }

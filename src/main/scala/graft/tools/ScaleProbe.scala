@@ -8,9 +8,16 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.tools.ScaleProbe <sfDir> <probe> [probe...]"
   */
 object ScaleProbe {
+  private val Known = Set("simhash8", "simhash15", "simhashAuto",
+    "neardup8", "neardup12", "brute")
+
   def main(args: Array[String]): Unit = {
     val dir = args.head
     val probes = args.tail.toSet
+    val unknown = probes.diff(Known)
+    require(unknown.isEmpty,
+      s"unknown probes: ${unknown.mkString(", ")} (valid: ${Known.toSeq.sorted.mkString(", ")})")
+    require(probes.nonEmpty, s"no probes given (valid: ${Known.toSeq.sorted.mkString(", ")})")
     val spark = graft.Bench.buildSession()
     def docs = spark.read.parquet(s"$dir/documents.parquet")
     def embs = spark.read.parquet(s"$dir/embeddings.parquet")

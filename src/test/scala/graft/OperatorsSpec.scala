@@ -54,6 +54,13 @@ class OperatorsSpec extends SparkSpec {
     assert(Seq(100L, 1000L, 100000L, 10000000L).map(bandBits).sliding(2)
       .forall(p => p.head <= p.last), "band bits must widen monotonically")
     assert(bandBits(Long.MaxValue) == 15, "capped at md5Long's 60-bit ceiling")
+    // non-default band counts must still respect the 60-bit total
+    for (bands <- Seq(5, 6, 7, 10)) {
+      val (bits, bs) = Dedup.suggestSimhashParams(Long.MaxValue, bands)
+      assert(bs == bands && bits <= 60 && bits % bands == 0,
+        s"bands=$bands gave bits=$bits")
+    }
+    intercept[IllegalArgumentException](Dedup.suggestSimhashParams(1000, bands = 61))
     // planted near-dups survive the suggested (wider-band) parameters
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val df = Seq((1L, base), (2L, base), (3L, base + " extra"),

@@ -56,13 +56,18 @@ class PlanQualitySpec extends SparkSpec {
     // minhash/simhash signature stages run inside the operators'
     // localCheckpoint job (so the self-join reads a materialization
     // instead of re-hashing the corpus per side) — assert the native
-    // expression on the stage itself, not the post-checkpoint plan
-    import org.apache.spark.sql.functions.col
-    val sigStage = spark.read.parquet(s"$dir/documents.parquet")
-      .select(graft.expressions.MinhashSig(col("text"), 3, 16).as("sig"))
+    // expression on the operators' OWN signature-stage builders (the
+    // exact frames the pair operators checkpoint), not the
+    // post-checkpoint plan
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val mhStage = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(sigStage.contains("minhash_sig"),
-      "the signature stage must use the native expression")
+    assert(mhStage.contains("minhash_sig"),
+      "minhashLshPairs' signature stage must use the native expression")
+    val shStage = graft.operators.Dedup.simhashSignatures(docs, "doc_id", "text", 32)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(shStage.contains("simhash_text"),
+      "simhashPairs' fingerprint stage must use the native expression")
     assert(plan("q18_minhash_lsh_pairs").contains("ExistingRDD"),
       "q18's join must read the checkpointed signatures")
     assert(plan("q21_ann_brute_force").contains("dot_fold"),
