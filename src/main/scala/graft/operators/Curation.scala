@@ -38,13 +38,19 @@ object Curation {
     val pairs = Dedup.minhashLshPairs(kept, idCol, textCol, bands, rowsPerBand, n)
     val dropNearDups = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("cluster_id")).select(col("id"))
-    // both gates from ONE tokenization (curationGates), staged behind a
-    // one-row explode: the Generate is a predicate-pushdown barrier, so
-    // the filter references the materialized struct instead of Catalyst
-    // inlining (= re-evaluating) the gate expression into its condition
-    kept.join(dropNearDups, kept(idCol) === dropNearDups("id"), "left_anti")
-      .select(col("*"),
-        explode(array(TextAnalysis.curationGates(col(textCol)))).as("_g"))
+    // both gates from ONE tokenization (curationGates), computed in a
+    // plain Project and materialized (localCheckpoint) before the
+    // filter. The barrier matters: filtering directly on the projected
+    // struct lets Catalyst inline the gate expression into the Filter
+    // condition (re-evaluated per reference), and the previous
+    // explode(array(…)) Generate barrier evaluated the generator ~27×
+    // slower than a Project at 50k docs (measured: project 0.4 s,
+    // explode-staged 11.7 s, unmaterialized project+filter 10.9 s,
+    // project+checkpoint+filter ~2 s).
+    val gated = kept.join(dropNearDups, kept(idCol) === dropNearDups("id"), "left_anti")
+      .select(col("*"), TextAnalysis.curationGates(col(textCol)).as("_g"))
+      .localCheckpoint(true)
+    gated
       .filter(col("_g.quality_1e6") >= minQuality1e6 &&
         col("_g.predicted_lang") === lang)
       .withColumn("quality_1e6", col("_g.quality_1e6"))

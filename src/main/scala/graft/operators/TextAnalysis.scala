@@ -28,23 +28,32 @@ object TextAnalysis {
   def stopwordHits(text: Column, words: Seq[String]): Column =
     hitsFromTokens(tokens(lower(text)), words)
 
+  /** Argmax of stopword hits over a let-bound token array. The scored
+    * (hits, lang) structs are bound into an array FIRST and the fold
+    * runs over lambda variables: a plain `Seq.reduce(when(b>a,b),a)`
+    * expression tree references each struct several times, and
+    * interpreted HOF evaluation re-computes a subtree per reference —
+    * measured ~10× the whole-gate cost at 50k docs. The left fold over
+    * the bound array keeps first-language-wins tie semantics and
+    * evaluates each hit count exactly once.
+    */
+  private def argmaxLang(toks: Column): Column = {
+    val scoredArr = array(stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(hitsFromTokens(toks, words).as("hits"), lit(lang).as("lang")) }: _*)
+    let(scoredArr, arr =>
+      let(aggregate(slice(arr, 2, stopwords.size - 1), element_at(arr, 1),
+          (acc, x) => when(x.getField("hits") > acc.getField("hits"), x).otherwise(acc)),
+        best => when(best.getField("hits") > 0, best.getField("lang"))
+          .otherwise(lit("und"))))
+  }
+
   /** Predicted language = argmax of stopword hits, ties broken by
     * language code order, "und" (undetermined) when nothing matched.
     * Tokenization is let-bound so the token array is built once per
     * row, not once per candidate language.
     */
   def langId(text: Column): Column =
-    let(tokens(lower(text)), toks => {
-      val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-        struct(hitsFromTokens(toks, words).as("hits"), lit(lang).as("lang"))
-      }
-      // explicit fold keeps first-language-wins tie semantics (struct
-      // max would favor the later language code on ties).
-      val best = scored.reduce { (a, b) =>
-        when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
-      }
-      when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
-    })
+    let(tokens(lower(text)), toks => argmaxLang(toks))
 
   /** Heuristic quality signals: length, token count, mean word length,
     * punctuation ratio, digit ratio, english-stopword ratio, and a
@@ -120,14 +129,7 @@ object TextAnalysis {
       val stopScore = least(ratio(stops, nTok) * 5.0, lit(1.0))
       val quality = floor(((lenScore + digitPenalty + stopScore) / 3.0) * 1000000.0)
         .cast("long")
-      val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-        struct(hitsFromTokens(toks, words).as("hits"), lit(lang).as("lang"))
-      }
-      val best = scored.reduce { (a, b) =>
-        when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
-      }
-      val plang = when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
-      struct(quality.as("quality_1e6"), plang.as("predicted_lang"))
+      struct(quality.as("quality_1e6"), argmaxLang(toks).as("predicted_lang"))
     })
 
   /** Document fingerprint: 60-bit hash of the whitespace-normalized,

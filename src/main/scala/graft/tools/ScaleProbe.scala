@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   private val Known = Set("simhash8", "simhash15", "simhashAuto",
-    "neardup8", "neardup12", "brute")
+    "neardup8", "neardup12", "brute", "curation")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -57,6 +57,33 @@ object ScaleProbe {
     if (probes("brute")) timed("ann_brute")(
       graft.operators.Similarity.bruteForceTopK(embs,
         embs.filter(col("id") % 200 === 0), k = 3).count())
+    if (probes("curation")) {
+      // stage-by-stage decomposition of Curation.curate's cost
+      import graft.operators.{Dedup, TextAnalysis}
+      val d = docs
+      timed("cur_exact_dedup")(
+        Dedup.exact(d, col("doc_id"), col("text")).count())
+      val keep = Dedup.exact(d, col("doc_id"), col("text")).select(col("keep_id"))
+      var kept: org.apache.spark.sql.DataFrame = null
+      timed("cur_checkpoint_kept") {
+        kept = d.join(keep, d("doc_id") === keep("keep_id"), "left_semi")
+          .localCheckpoint(true)
+        kept.count()
+      }
+      var pairs: org.apache.spark.sql.DataFrame = null
+      timed("cur_lsh_pairs") {
+        pairs = Dedup.minhashLshPairs(kept, "doc_id", "text").localCheckpoint(true)
+        pairs.count()
+      }
+      timed("cur_connected_components")(
+        Dedup.connectedComponents(pairs).count())
+      timed("cur_gates")(
+        kept.select(col("*"), TextAnalysis.curationGates(col("text")).as("_g"))
+          .localCheckpoint(true)
+          .filter(col("_g.quality_1e6") >= 600000L &&
+            col("_g.predicted_lang") === "en").count())
+      timed("cur_full")(graft.operators.Curation.curate(d).count())
+    }
     spark.stop()
   }
 }
