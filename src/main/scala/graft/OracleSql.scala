@@ -54,6 +54,50 @@ object OracleSql {
        ELSE []::BIGINT[] END"""
   }
 
+  /** Shared CTE chain of q44/q57 — exact-dedup keepers → LSH-pair
+    * recursive-reachability pruning → gate signals (G ends with
+    * quality_1e6 + predicted_lang per survivor).
+    */
+  private def curationCtes: String = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted // de, en, es, fr
+    val hits = langs.map(l => s"${hitsSql("text", l)} AS h_$l").mkString(", ")
+    s"""KEEP AS (SELECT * FROM documents
+                 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+        ${lshPairCtes("KEEP")},
+        EDGES AS (SELECT id_a AS src, id_b AS dst FROM PAIRS
+                  UNION SELECT id_b, id_a FROM PAIRS),
+        REACH(node, r) AS (
+          SELECT src, src FROM EDGES
+          UNION
+          SELECT e.dst, r.r FROM REACH r JOIN EDGES e ON e.src = r.node),
+        CL AS (SELECT node, min(r) AS cluster_id FROM REACH GROUP BY node),
+        SURV AS (SELECT * FROM KEEP
+                 WHERE doc_id NOT IN (SELECT node FROM CL WHERE node <> cluster_id)),
+        BASE AS (SELECT doc_id,
+            length(coalesce(text,''))::DOUBLE AS len,
+            len(${toks("text")})::DOUBLE AS ntok,
+            len(regexp_extract_all(coalesce(text,''), '[0-9]'))::DOUBLE AS digits,
+            ${hitsSql("text", "en")}::DOUBLE AS stops,
+            $hits
+          FROM SURV),
+        SC AS (SELECT doc_id,
+            CASE WHEN len >= 100 AND len <= 10000 THEN 1.0::DOUBLE
+                 WHEN len < 100 THEN len / 100.0::DOUBLE
+                 ELSE 10000.0::DOUBLE / len END AS ls,
+            1.0::DOUBLE - (CASE WHEN len = 0 THEN 0.0::DOUBLE ELSE digits / len END) AS dp,
+            least((CASE WHEN ntok = 0 THEN 0.0::DOUBLE ELSE stops / ntok END) * 5.0::DOUBLE, 1.0::DOUBLE) AS ss,
+            h_de, h_en, h_es, h_fr
+          FROM BASE),
+        G AS (SELECT doc_id,
+            cast(floor(((ls + dp + ss) / 3.0::DOUBLE) * 1000000.0::DOUBLE) as bigint) AS quality_1e6,
+            CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                 WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                 WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                 WHEN h_es >= h_fr THEN 'es'
+                 ELSE 'fr' END AS predicted_lang
+          FROM SC)"""
+  }
+
   /** Left-to-right double fold — mirror of functions.dot. */
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
@@ -514,49 +558,33 @@ object OracleSql {
     // end-to-end curation: exact-dedup keepers → near-dup cluster
     // pruning (recursive reachability over the kept docs' LSH pairs) →
     // quality (q41 formula) + language (q26 formula) gates
-    "q44_curation" -> {
-      val langs = TextAnalysis.stopwords.keys.toSeq.sorted // de, en, es, fr
-      val hits = langs.map(l => s"${hitsSql("text", l)} AS h_$l").mkString(", ")
-      s"""WITH RECURSIVE
-          KEEP AS (SELECT * FROM documents
-                   WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
-          ${lshPairCtes("KEEP")},
-          EDGES AS (SELECT id_a AS src, id_b AS dst FROM PAIRS
-                    UNION SELECT id_b, id_a FROM PAIRS),
-          REACH(node, r) AS (
-            SELECT src, src FROM EDGES
-            UNION
-            SELECT e.dst, r.r FROM REACH r JOIN EDGES e ON e.src = r.node),
-          CL AS (SELECT node, min(r) AS cluster_id FROM REACH GROUP BY node),
-          SURV AS (SELECT * FROM KEEP
-                   WHERE doc_id NOT IN (SELECT node FROM CL WHERE node <> cluster_id)),
-          BASE AS (SELECT doc_id,
-              length(coalesce(text,''))::DOUBLE AS len,
-              len(${toks("text")})::DOUBLE AS ntok,
-              len(regexp_extract_all(coalesce(text,''), '[0-9]'))::DOUBLE AS digits,
-              ${hitsSql("text", "en")}::DOUBLE AS stops,
-              $hits
-            FROM SURV),
-          SC AS (SELECT doc_id,
-              CASE WHEN len >= 100 AND len <= 10000 THEN 1.0::DOUBLE
-                   WHEN len < 100 THEN len / 100.0::DOUBLE
-                   ELSE 10000.0::DOUBLE / len END AS ls,
-              1.0::DOUBLE - (CASE WHEN len = 0 THEN 0.0::DOUBLE ELSE digits / len END) AS dp,
-              least((CASE WHEN ntok = 0 THEN 0.0::DOUBLE ELSE stops / ntok END) * 5.0::DOUBLE, 1.0::DOUBLE) AS ss,
-              h_de, h_en, h_es, h_fr
-            FROM BASE),
-          G AS (SELECT doc_id,
-              cast(floor(((ls + dp + ss) / 3.0::DOUBLE) * 1000000.0::DOUBLE) as bigint) AS quality_1e6,
-              CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-                   WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
-                   WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
-                   WHEN h_es >= h_fr THEN 'es'
-                   ELSE 'fr' END AS predicted_lang
-            FROM SC)
+    "q44_curation" ->
+      s"""WITH RECURSIVE $curationCtes
           SELECT doc_id, quality_1e6, predicted_lang FROM G
           WHERE quality_1e6 >= 600000 AND predicted_lang = 'en'
-          ORDER BY doc_id"""
-    },
+          ORDER BY doc_id""",
+
+    // curation v2: q44's chain plus the repetition cap (q56 formula)
+    // and benchmark decontamination (q55 formula, eval = doc_id%97=0)
+    "q57_curation_v2" ->
+      s"""WITH RECURSIVE $curationCtes,
+          BG AS (SELECT DISTINCT unnest(${shingles3("text")}) AS gram
+                 FROM documents WHERE doc_id % 97 = 0),
+          CONTAM AS (SELECT DISTINCT d.doc_id
+                 FROM (SELECT doc_id, unnest(${shingles3("text")}) AS gram
+                       FROM documents) d
+                 JOIN BG USING (gram)),
+          REP AS (SELECT doc_id,
+                CAST(floor(CASE WHEN len(g) = 0 THEN 0.0::DOUBLE
+                  ELSE (1.0::DOUBLE - len(list_distinct(g))::DOUBLE / len(g)::DOUBLE)
+                  END * 1000000.0::DOUBLE) AS BIGINT) AS rep_1e6
+              FROM (SELECT doc_id, ${rawShingles3("text")} AS g FROM documents))
+          SELECT g.doc_id, g.quality_1e6, g.predicted_lang
+          FROM G g JOIN REP r ON r.doc_id = g.doc_id
+          WHERE g.quality_1e6 >= 600000 AND g.predicted_lang = 'en'
+            AND r.rep_1e6 < 500000
+            AND g.doc_id NOT IN (SELECT doc_id FROM CONTAM)
+          ORDER BY g.doc_id""",
 
     // independent formulation of the COW upsert merge: the engine folds
     // three commits sequentially (pairwise max-precombine, tie → later

@@ -701,6 +701,17 @@ object SparkEntry {
           lit(1000000.0)).cast("long").as("rep_1e6"))
       .orderBy(col("doc_id"))
 
+  /** Curation v2 (operators.Curation.curateV2): the q44 composite plus
+    * the repetition cap and benchmark decontamination (eval slice =
+    * doc_id % 97 = 0) — the full production gate stack in one plan.
+    */
+  private def qCurationV2(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Curation.curateV2(docs, docs.filter(col("doc_id") % 97 === 0))
+      .select(col("doc_id"), col("quality_1e6"), col("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -759,7 +770,8 @@ object SparkEntry {
     "q53_bm25_multi" -> (qBm25Multi _),
     "q54_packing_nosplit" -> (qPackingNoSplit _),
     "q55_decontaminate" -> (qDecontaminate _),
-    "q56_repetition" -> (qRepetition _))
+    "q56_repetition" -> (qRepetition _),
+    "q57_curation_v2" -> (qCurationV2 _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

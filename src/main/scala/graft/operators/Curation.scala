@@ -57,4 +57,30 @@ object Curation {
       .withColumn("predicted_lang", col("_g.predicted_lang"))
       .drop("_g")
   }
+
+  /** [[curate]] plus the round-6 gates a production corpus pipeline
+    * adds on top: an intra-document repetition cap
+    * ([[TextAnalysis.repetitionRatio]] in 1e6 fixed point) and
+    * benchmark decontamination ([[Decontaminate.sharedNgrams]] against
+    * `bench` — survivors sharing ≥ `minShared` word `decontamN`-grams
+    * with any eval doc are dropped). Gate order: curate survivors →
+    * repetition filter (narrow) → decontamination anti-join. Both new
+    * stages keep the composite's shuffle discipline: repetition is a
+    * pure scan-level filter; decontamination broadcasts the eval
+    * shingle set.
+    */
+  def curateV2(docs: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minQuality1e6: Long = 600000L, lang: String = "en",
+      maxRep1e6: Long = 500000L, decontamN: Int = 3,
+      minShared: Long = 1L): DataFrame = {
+    val base = curate(docs, idCol, textCol, minQuality1e6, lang)
+    val flagged = Decontaminate
+      .sharedNgrams(base, idCol, textCol, bench, textCol, decontamN, minShared)
+      .select(col("doc_id").as("_contaminated_id"))
+    base
+      .filter(floor(TextAnalysis.repetitionRatio(col(textCol), 3) *
+        lit(1000000.0)).cast("long") < maxRep1e6)
+      .join(flagged, col(idCol) === col("_contaminated_id"), "left_anti")
+  }
 }

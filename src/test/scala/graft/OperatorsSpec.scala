@@ -73,6 +73,27 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated must not: $pairs")
   }
 
+  test("curateV2 layers repetition and decontamination gates over curate") {
+    import graft.operators.Curation
+    // quality gate needs len>=100 and some stopwords; build docs that
+    // pass curate's gates, then differ only on the NEW v2 gates
+    // clean survivor: >=100 chars, stopword-dense, all 3-grams distinct
+    val good = "the quick data table is in it for a full scan and the merge " +
+      "of sorted rows with many unique extra words spread out to reach enough length"
+    val repeaty = ("the data the data " * 10).trim + " it is for a scan" // high 3-gram repetition
+    // distinct wording (NOT a near-dup of `good` — LSH would cluster it
+    // away before the v2 gates run), non-repetitive, embeds bench grams
+    val leaked = "a scan runs on the big table for it is of the data row and " +
+      "columns in a stream that keeps going until the unique leaked benchmark phrase here"
+    val docs = Seq((1L, good), (2L, repeaty), (3L, leaked)).toDF("doc_id", "text")
+    val bench = Seq((100L, "unique leaked benchmark phrase here")).toDF("doc_id", "text")
+    val v1 = Curation.curate(docs).collect().map(_.getAs[Long]("doc_id")).toSet
+    assume(v1 == Set(1L, 2L, 3L), s"all three must survive curate: $v1")
+    val v2 = Curation.curateV2(docs, bench)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(v2 == Set(1L), s"repetition and contamination must drop 2 and 3: $v2")
+  }
+
   test("repetitionRatio measures duplicate n-gram mass; short docs are 0") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),   // all 3-grams identical
