@@ -32,6 +32,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("click", 2L), ("view", 1L)))
   }
 
+  test("decontamination runs unchanged on a streaming corpus (stream-batch unification)") {
+    // the operator is explode → broadcast-join → groupBy: Structured
+    // Streaming supports exactly this shape (static broadcast side,
+    // streaming aggregate in complete mode), so the SAME operator code
+    // serves batch curation and an ingest-time contamination screen
+    val dir = Fixtures.tmpDir("contam_stream")
+    val docs = Seq(
+      (1L, "quiz answer the capital of france is paris so there"),
+      (2L, "unrelated content about something else entirely here")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir.toString)
+    val bench = Seq((100L, "the capital of france is paris obviously")).toDF("id", "text")
+    val stream = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    val flagged = graft.operators.Decontaminate.sharedNgrams(
+      stream, "doc_id", "text", bench, "text", n = 3)
+    assert(flagged.isStreaming, "the plan must stay a streaming plan")
+    val q = flagged.writeStream.outputMode("complete")
+      .format("memory").queryName("contam_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("select * from contam_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(rows == Map(1L -> 4L), s"streaming result must match batch: $rows")
+  }
+
   test("sessionize closes a session after the gap (batch mode)") {
     val events = Seq(
       Event(1L, ts(0), 10L, "click", 1.0),
