@@ -180,8 +180,8 @@ object OracleSql {
           FROM $src c CROSS JOIN $cents s) WHERE rn <= $probes)"""
 
   private def ivfRound(prev: String, a: String, p: String, m: String,
-      next: String): String =
-    s"""${ivfAssignCte("C", prev, a, 1)},
+      next: String, src: String = "C"): String =
+    s"""${ivfAssignCte(src, prev, a, 1)},
         $p AS (SELECT cid, unnest(range(len(emb))) AS pos, emb FROM $a),
         $m AS (SELECT cid, pos,
                 (sum(cast(floor(emb[pos+1]::DOUBLE * 1048576.0) as bigint))::DOUBLE
@@ -654,6 +654,41 @@ object OracleSql {
                   ORDER BY score_1e6 DESC, neighbor_id) AS rank FROM SC)
           SELECT query_id, rank, neighbor_id, score_1e6 FROM R WHERE rank <= 3
           ORDER BY query_id, rank""",
+
+    // PQ + ADC: per-subspace codebooks re-derived through the SAME
+    // unrolled k-means CTEs as q49 (on sliced embeddings), codes =
+    // per-subspace assign, scores = integer sums of per-(subspace,
+    // cell) fixed-point cosine contributions
+    "q58_pq_adc" -> {
+      val (m, kc, sub) = (2, 4, 32)
+      val per = (0 until m).map { s =>
+        val c = s"C$s"
+        val lo = s * sub + 1; val hi = (s + 1) * sub
+        s"""$c AS (SELECT id, emb[$lo:$hi] AS emb FROM C),
+            PS0_$s AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, emb AS cemb
+                   FROM (SELECT * FROM $c ORDER BY id LIMIT $kc)),
+            ${ivfRound(s"PS0_$s", s"PA1_$s", s"PP1_$s", s"PM1_$s", s"PS1_$s", c)},
+            ${ivfRound(s"PS1_$s", s"PA2_$s", s"PP2_$s", s"PM2_$s", s"PS2_$s", c)},
+            ${ivfAssignCte(c, s"PS2_$s", s"CODE$s", 1)},
+            Q$s AS (SELECT id, emb FROM $c WHERE id % 200 = 0),
+            LUT$s AS (SELECT q.id AS query_id, s2.cid,
+                   ${scoreFixedSql("q.emb", "s2.cemb")} AS contrib
+                  FROM Q$s q CROSS JOIN PS2_$s s2)"""
+      }.mkString(",\n")
+      val unions = (0 until m).map(s =>
+        s"SELECT l.query_id, c.id, l.contrib FROM CODE$s c JOIN LUT$s l ON l.cid = c.cid")
+        .mkString(" UNION ALL ")
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          $per,
+          CONTRIB AS ($unions),
+          ADC AS (SELECT query_id, id AS neighbor_id,
+                  CAST(sum(contrib) AS BIGINT) AS adc_1e6
+                  FROM CONTRIB WHERE query_id <> id GROUP BY query_id, id),
+          R AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_1e6 DESC, neighbor_id) AS rank FROM ADC)
+          SELECT query_id, rank, neighbor_id, adc_1e6 FROM R WHERE rank <= 3
+          ORDER BY query_id, rank"""
+    },
 
     // deterministic train/val/test split: cumulative hash-bucket
     // ranges, CASE generated from the same Seq the Spark plan uses

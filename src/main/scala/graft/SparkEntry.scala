@@ -712,6 +712,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** PQ + ADC search (Similarity.trainPqCodebooks/pqEncode/pqAdcTopK):
+    * 64-dim embeddings compress to 2 per-subspace cell codes; queries
+    * score candidates from a broadcast m×k cosine LUT — the
+    * memory-bound ANN path. Training AND codes are cross-engine-checked
+    * (the oracle re-derives both per-subspace codebooks).
+    */
+  private def qPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val books = Similarity.trainPqCodebooks(corpus, m = 2, k = 4, iters = 2)
+    val codes = Similarity.pqEncode(corpus, books)
+    Similarity.pqAdcTopK(codes, corpus.filter(col("id") % 200 === 0), books, k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_1e6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -771,7 +786,8 @@ object SparkEntry {
     "q54_packing_nosplit" -> (qPackingNoSplit _),
     "q55_decontaminate" -> (qDecontaminate _),
     "q56_repetition" -> (qRepetition _),
-    "q57_curation_v2" -> (qCurationV2 _))
+    "q57_curation_v2" -> (qCurationV2 _),
+    "q58_pq_adc" -> (qPqAdc _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

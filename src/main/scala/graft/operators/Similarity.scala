@@ -175,6 +175,95 @@ object Similarity {
     cents
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the memory-bound ANN storage path: a
+  // d-float vector compresses to m small cell codes (one per contiguous
+  // subspace), and search scores candidates from a per-query m×k
+  // lookup table without ever touching the original vectors. Same
+  // deterministic k-means machinery as IVF, once per subspace.
+  // ------------------------------------------------------------------
+
+  /** Per-subspace PQ codebooks: the embedding splits into `m`
+    * contiguous subvectors; each subspace trains its own deterministic
+    * codebook ([[trainCentroids]] on the slice). Train on a hash
+    * sample at real scale, exactly like the coarse quantizer.
+    */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, k: Int,
+      iters: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    require(m >= 1, s"need at least one subspace, got $m")
+    val dim = corpus.select(size(col("emb")).as("d")).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException("empty corpus")
+    }
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      trainCentroids(
+        corpus.select(col("id"), slice(col("emb"), s * sub + 1, sub).as("emb")),
+        k, iters)
+    }
+  }
+
+  /** Stage per-subspace slice + norm columns (codegen'd dots, one norm
+    * eval per subspace per row — the assignCellWithNorm discipline).
+    */
+  private def stageSubspaces(df: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Double])]]): (DataFrame, Seq[Int]) = {
+    val subs = codebooks.map(_.head._2.length)
+    val offsets = subs.scanLeft(0)(_ + _).init
+    val staged = codebooks.indices.foldLeft(df) { (d, s) =>
+      d.withColumn(s"_s$s", slice(col("emb"), offsets(s) + 1, subs(s)))
+        .withColumn(s"_n$s", l2norm(col(s"_s$s")))
+    }
+    (staged, subs)
+  }
+
+  /** PQ-encode: (id, codes array<int>) — per-subspace nearest-cell
+    * codes via the same narrow map-side assign as IVF. No shuffle; at
+    * scale this is the write path of a compressed vector index (m
+    * bytes per vector instead of d floats).
+    */
+  def pqEncode(corpus: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val (staged, _) = stageSubspaces(corpus, codebooks)
+    staged.select(col("id"), array(codebooks.indices.map(s =>
+      assignCellWithNorm(col(s"_s$s"), col(s"_n$s"), codebooks(s))): _*).as("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: each
+    * query's per-(subspace, cell) cosine contributions — floored to
+    * 1e6 fixed point, so the candidate score is an associative integer
+    * sum — form an m×k LUT, broadcast against the exploded code
+    * stream; candidates never load their original vectors. Scores are
+    * sums of per-subspace cosines (monotone proxy for similarity, the
+    * standard PQ trade: exactness for m-bytes-per-vector scans).
+    * Output: (query_id, rank, neighbor_id, adc_1e6).
+    */
+  def pqAdcTopK(codes: DataFrame, queries: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Double])]], k: Int): DataFrame = {
+    val (stagedQ, _) = stageSubspaces(queries, codebooks)
+    val lutEntries = codebooks.indices.flatMap { s =>
+      codebooks(s).sortBy(_._1).map { case (cid, cent) =>
+        struct(lit(s).as("s"), lit(cid).as("cid"),
+          scoreFixed(col(s"_s$s"), array(cent.map(lit): _*)).as("contrib"))
+      }
+    }
+    val lut = stagedQ.select(col("id").as("query_id"),
+        explode(array(lutEntries: _*)).as("e"))
+      .select(col("query_id"), col("e.s").as("s"), col("e.cid").as("cid"),
+        col("e.contrib").as("contrib"))
+    val exploded = codes.select(col("id"), posexplode(col("codes")).as(Seq("s", "cid")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_1e6").desc, col("neighbor_id"))
+    exploded.join(broadcast(lut), Seq("s", "cid"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("contrib"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("contrib")).as("adc_1e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF search: corpus vectors live in their nearest cell (narrow
     * assign), each query probes its `nprobe` nearest cells, candidates
     * meet on a cell-id equi-join, exact cosine ranks the survivors.

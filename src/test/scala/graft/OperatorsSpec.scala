@@ -225,6 +225,34 @@ class OperatorsSpec extends SparkSpec {
       f"recall must not fall as nprobe grows: $r1%.3f / $r2%.3f / $r4%.3f")
   }
 
+  test("PQ codes separate clusters; ADC recovers nearest neighbors without vectors") {
+    // three tight clusters, visible in BOTH subspaces (dims 0-1 and
+    // 2-3), so per-subspace codebooks must separate them and ADC
+    // scoring over codes alone must find within-cluster neighbors
+    def v(a: Float, b: Float) = Array(a, b, a, b)
+    val vecs = (0 until 12).map { i =>
+      val base = Seq(v(1f, 0f), v(0f, 1f), v(-1f, 0f))(i % 3)
+      (i.toLong, base.map(x => x + (i / 3) * 0.01f))
+    }.toDF("id", "emb")
+    val books = Similarity.trainPqCodebooks(vecs, m = 2, k = 3, iters = 3)
+    assert(books.length == 2 && books.forall(_.size == 3))
+    assert(books.forall(_.forall(_._2.length == 2)), "2-dim sub-centroids")
+    val enc = Similarity.pqEncode(vecs, books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc.size == 12 && enc.values.forall(c => c.length == 2 &&
+      c.forall(x => x >= 0 && x < 3)), s"2 codes in [0,3): $enc")
+    // same cluster ⇒ same code pair
+    assert(Seq(0L, 3L, 6L, 9L).map(enc).toSet.size == 1)
+    assert(Seq(1L, 4L, 7L, 10L).map(enc).toSet.size == 1)
+    // ADC top-3 for query 0 = its own cluster's other members
+    val top = Similarity.pqAdcTopK(Similarity.pqEncode(vecs, books),
+        vecs.filter(col("id") === 0L), books, k = 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(top == Set(3L, 6L, 9L), s"ADC must recover the cluster: $top")
+    intercept[IllegalArgumentException](
+      Similarity.trainPqCodebooks(vecs, m = 3, k = 2, iters = 1)) // 4 % 3 != 0
+  }
+
   test("trainCentroids carries an emptied cell's previous centroid") {
     // two seeds land in the same dense cluster; one seed keeps all
     // points, the other may end up empty — its centroid must persist
