@@ -192,6 +192,22 @@ object OracleSql {
                     (SELECT cid, list(mv ORDER BY pos) AS cemb FROM $m GROUP BY cid) n
                   ON n.cid = s.cid)"""
 
+  /** rep_1e6 over a gram-array column — mirror of
+    * TextAnalysis.repetitionRatio × 1e6 (shared by q56/q57 so the two
+    * can't drift).
+    */
+  private def repFixedSql(g: String): String =
+    s"""CAST(floor(CASE WHEN len($g) = 0 THEN 0.0::DOUBLE
+          ELSE (1.0::DOUBLE - len(list_distinct($g))::DOUBLE / len($g)::DOUBLE)
+          END * 1000000.0::DOUBLE) AS BIGINT)"""
+
+  /** The battery's eval-slice shingle set (doc_id % 97 = 0) — shared
+    * by the q55/q57 decontamination formulations.
+    */
+  private def benchGramsCte: String =
+    s"""BG AS (SELECT DISTINCT unnest(${shingles3("text")}) AS gram
+           FROM documents WHERE doc_id % 97 = 0)"""
+
   private def hitsSql(e: String, lang: String): String =
     s"cast(len(list_filter(${toks(s"lower($e)")}, t -> list_contains(${stopwordList(lang)}, t))) as bigint)"
 
@@ -568,16 +584,12 @@ object OracleSql {
     // and benchmark decontamination (q55 formula, eval = doc_id%97=0)
     "q57_curation_v2" ->
       s"""WITH RECURSIVE $curationCtes,
-          BG AS (SELECT DISTINCT unnest(${shingles3("text")}) AS gram
-                 FROM documents WHERE doc_id % 97 = 0),
+          $benchGramsCte,
           CONTAM AS (SELECT DISTINCT d.doc_id
                  FROM (SELECT doc_id, unnest(${shingles3("text")}) AS gram
                        FROM documents) d
                  JOIN BG USING (gram)),
-          REP AS (SELECT doc_id,
-                CAST(floor(CASE WHEN len(g) = 0 THEN 0.0::DOUBLE
-                  ELSE (1.0::DOUBLE - len(list_distinct(g))::DOUBLE / len(g)::DOUBLE)
-                  END * 1000000.0::DOUBLE) AS BIGINT) AS rep_1e6
+          REP AS (SELECT doc_id, ${repFixedSql("g")} AS rep_1e6
               FROM (SELECT doc_id, ${rawShingles3("text")} AS g FROM documents))
           SELECT g.doc_id, g.quality_1e6, g.predicted_lang
           FROM G g JOIN REP r ON r.doc_id = g.doc_id
@@ -798,22 +810,18 @@ object OracleSql {
     // repetition gate: duplicate word 3-gram fraction, same IEEE op
     // order as TextAnalysis.repetitionRatio (one div, one sub, floor)
     "q56_repetition" ->
-      s"""SELECT doc_id,
-            CAST(floor(CASE WHEN len(g) = 0 THEN 0.0::DOUBLE
-              ELSE (1.0::DOUBLE - len(list_distinct(g))::DOUBLE / len(g)::DOUBLE)
-              END * 1000000.0::DOUBLE) AS BIGINT) AS rep_1e6
+      s"""SELECT doc_id, ${repFixedSql("g")} AS rep_1e6
           FROM (SELECT doc_id, ${rawShingles3("text")} AS g FROM documents)
           ORDER BY doc_id""",
 
     // benchmark decontamination: distinct shared word 3-grams between
     // each corpus doc and the eval slice (doc_id % 97 = 0)
     "q55_decontaminate" ->
-      s"""WITH B AS (SELECT DISTINCT unnest(${shingles3("text")}) AS gram
-               FROM documents WHERE doc_id % 97 = 0),
+      s"""WITH $benchGramsCte,
           C AS (SELECT doc_id, unnest(${shingles3("text")}) AS gram
                FROM documents WHERE doc_id % 97 <> 0)
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
-          FROM C JOIN B USING (gram)
+          FROM C JOIN BG USING (gram)
           GROUP BY doc_id
           ORDER BY doc_id""",
 

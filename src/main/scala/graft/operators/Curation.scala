@@ -72,14 +72,16 @@ object Curation {
   def curateV2(docs: DataFrame, bench: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       minQuality1e6: Long = 600000L, lang: String = "en",
-      maxRep1e6: Long = 500000L, decontamN: Int = 3,
-      minShared: Long = 1L): DataFrame = {
-    val base = curate(docs, idCol, textCol, minQuality1e6, lang)
+      maxRep1e6: Long = 500000L, repetitionN: Int = 3,
+      decontamN: Int = 3, minShared: Long = 1L,
+      bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+    val base = curate(docs, idCol, textCol, minQuality1e6, lang,
+      bands, rowsPerBand, n)
     val flagged = Decontaminate
       .sharedNgrams(base, idCol, textCol, bench, textCol, decontamN, minShared)
       .select(col("doc_id").as("_contaminated_id"))
     base
-      .filter(floor(TextAnalysis.repetitionRatio(col(textCol), 3) *
+      .filter(floor(TextAnalysis.repetitionRatio(col(textCol), repetitionN) *
         lit(1000000.0)).cast("long") < maxRep1e6)
       .join(flagged, col(idCol) === col("_contaminated_id"), "left_anti")
   }

@@ -242,10 +242,15 @@ object Similarity {
   def pqAdcTopK(codes: DataFrame, queries: DataFrame,
       codebooks: Seq[Seq[(Int, Seq[Double])]], k: Int): DataFrame = {
     val (stagedQ, _) = stageSubspaces(queries, codebooks)
+    // same floor(dot/(norm·norm)·1e6) arithmetic as scoreFixed, but the
+    // query-slice norm is the staged column and the centroid norm a
+    // driver constant — k+1 dots per subspace per query instead of 3k
     val lutEntries = codebooks.indices.flatMap { s =>
       codebooks(s).sortBy(_._1).map { case (cid, cent) =>
         struct(lit(s).as("s"), lit(cid).as("cid"),
-          scoreFixed(col(s"_s$s"), array(cent.map(lit): _*)).as("contrib"))
+          floor(dot(col(s"_s$s"), array(cent.map(lit): _*)) /
+              (col(s"_n$s") * lit(normOf(cent))) * lit(1000000.0))
+            .cast("long").as("contrib"))
       }
     }
     val lut = stagedQ.select(col("id").as("query_id"),

@@ -61,9 +61,14 @@ object ScaleProbe {
       // stage-by-stage decomposition of Curation.curate's cost
       import graft.operators.{Dedup, TextAnalysis}
       val d = docs
-      timed("cur_exact_dedup")(
-        Dedup.exact(d, col("doc_id"), col("text")).count())
-      val keep = Dedup.exact(d, col("doc_id"), col("text")).select(col("keep_id"))
+      // materialize the dedup result inside its own timing so the
+      // checkpoint stage doesn't silently re-run the dedup groupBy
+      var keep: org.apache.spark.sql.DataFrame = null
+      timed("cur_exact_dedup") {
+        keep = Dedup.exact(d, col("doc_id"), col("text"))
+          .select(col("keep_id")).localCheckpoint(true)
+        keep.count()
+      }
       var kept: org.apache.spark.sql.DataFrame = null
       timed("cur_checkpoint_kept") {
         kept = d.join(keep, d("doc_id") === keep("keep_id"), "left_semi")
