@@ -208,6 +208,39 @@ object OracleSql {
     s"""BG AS (SELECT DISTINCT unnest(${shingles3("text")}) AS gram
            FROM documents WHERE doc_id % 97 = 0)"""
 
+  /** Coarse-quantizer CTE block shared by q49/q59: seeds (k lowest-id
+    * vectors), two fixed-point Lloyd rounds, corpus assign (CC), query
+    * slice (Q) and its nprobe-cell probe (QP).
+    */
+  private def ivfCoarseCtes(k: Int, nprobe: Int): String =
+    s"""S0 AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, emb AS cemb
+           FROM (SELECT * FROM C ORDER BY id LIMIT $k)),
+        ${ivfRound("S0", "A1", "P1", "M1", "S1")},
+        ${ivfRound("S1", "A2", "P2", "M2", "S2")},
+        ${ivfAssignCte("C", "S2", "CC", 1)},
+        Q AS (SELECT id, emb FROM C WHERE id % 200 = 0),
+        ${ivfAssignCte("Q", "S2", "QP", nprobe)}"""
+
+  /** Per-subspace PQ CTE block shared by q58/q59: sliced corpus, its
+    * own seeded k-means (two rounds), per-vector codes, sliced
+    * queries, and the per-(query, cell) fixed-point contribution LUT.
+    */
+  private def pqSubspaceCtes(m: Int, kc: Int, sub: Int): String =
+    (0 until m).map { s =>
+      val c = s"C$s"
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      s"""$c AS (SELECT id, emb[$lo:$hi] AS emb FROM C),
+          PS0_$s AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, emb AS cemb
+                 FROM (SELECT * FROM $c ORDER BY id LIMIT $kc)),
+          ${ivfRound(s"PS0_$s", s"PA1_$s", s"PP1_$s", s"PM1_$s", s"PS1_$s", c)},
+          ${ivfRound(s"PS1_$s", s"PA2_$s", s"PP2_$s", s"PM2_$s", s"PS2_$s", c)},
+          ${ivfAssignCte(c, s"PS2_$s", s"CODE$s", 1)},
+          Q$s AS (SELECT id, emb FROM $c WHERE id % 200 = 0),
+          LUT$s AS (SELECT q.id AS query_id, s2.cid,
+                 ${scoreFixedSql("q.emb", "s2.cemb")} AS contrib
+                FROM Q$s q CROSS JOIN PS2_$s s2)"""
+    }.mkString(",\n")
+
   private def hitsSql(e: String, lang: String): String =
     s"cast(len(list_filter(${toks(s"lower($e)")}, t -> list_contains(${stopwordList(lang)}, t))) as bigint)"
 
@@ -652,13 +685,7 @@ object OracleSql {
     // independent engine, identical arithmetic
     "q49_ann_ivf" ->
       s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
-          S0 AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, emb AS cemb
-                 FROM (SELECT * FROM C ORDER BY id LIMIT 8)),
-          ${ivfRound("S0", "A1", "P1", "M1", "S1")},
-          ${ivfRound("S1", "A2", "P2", "M2", "S2")},
-          ${ivfAssignCte("C", "S2", "CC", 1)},
-          Q AS (SELECT id, emb FROM C WHERE id % 200 = 0),
-          ${ivfAssignCte("Q", "S2", "QP", 2)},
+          ${ivfCoarseCtes(8, 2)},
           SC AS (SELECT q.id AS query_id, c.id AS neighbor_id,
                   ${scoreFixedSql("q.emb", "c.emb")} AS score_1e6
                  FROM CC c JOIN QP q ON q.cid = c.cid AND q.id <> c.id),
@@ -672,30 +699,39 @@ object OracleSql {
     // per-subspace assign, scores = integer sums of per-(subspace,
     // cell) fixed-point cosine contributions
     "q58_pq_adc" -> {
-      val (m, kc, sub) = (2, 4, 32)
-      val per = (0 until m).map { s =>
-        val c = s"C$s"
-        val lo = s * sub + 1; val hi = (s + 1) * sub
-        s"""$c AS (SELECT id, emb[$lo:$hi] AS emb FROM C),
-            PS0_$s AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, emb AS cemb
-                   FROM (SELECT * FROM $c ORDER BY id LIMIT $kc)),
-            ${ivfRound(s"PS0_$s", s"PA1_$s", s"PP1_$s", s"PM1_$s", s"PS1_$s", c)},
-            ${ivfRound(s"PS1_$s", s"PA2_$s", s"PP2_$s", s"PM2_$s", s"PS2_$s", c)},
-            ${ivfAssignCte(c, s"PS2_$s", s"CODE$s", 1)},
-            Q$s AS (SELECT id, emb FROM $c WHERE id % 200 = 0),
-            LUT$s AS (SELECT q.id AS query_id, s2.cid,
-                   ${scoreFixedSql("q.emb", "s2.cemb")} AS contrib
-                  FROM Q$s q CROSS JOIN PS2_$s s2)"""
-      }.mkString(",\n")
-      val unions = (0 until m).map(s =>
+      val unions = (0 until 2).map(s =>
         s"SELECT l.query_id, c.id, l.contrib FROM CODE$s c JOIN LUT$s l ON l.cid = c.cid")
         .mkString(" UNION ALL ")
       s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
-          $per,
+          ${pqSubspaceCtes(2, 4, 32)},
           CONTRIB AS ($unions),
           ADC AS (SELECT query_id, id AS neighbor_id,
                   CAST(sum(contrib) AS BIGINT) AS adc_1e6
                   FROM CONTRIB WHERE query_id <> id GROUP BY query_id, id),
+          R AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_1e6 DESC, neighbor_id) AS rank FROM ADC)
+          SELECT query_id, rank, neighbor_id, adc_1e6 FROM R WHERE rank <= 3
+          ORDER BY query_id, rank"""
+    },
+
+    // IVF-PQ: the q49 coarse probe prunes candidates, the q58 LUT
+    // scores them from codes — both CTE blocks shared verbatim with
+    // those oracles
+    "q59_ivf_pq" -> {
+      val unions = (0 until 2).map(s =>
+        s"""SELECT ca.query_id, ca.id, l.contrib
+            FROM CAND ca JOIN CODE$s c$s ON c$s.id = ca.id
+            JOIN LUT$s l ON l.cid = c$s.cid AND l.query_id = ca.query_id""")
+        .mkString(" UNION ALL ")
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          ${ivfCoarseCtes(8, 2)},
+          ${pqSubspaceCtes(2, 4, 32)},
+          CAND AS (SELECT DISTINCT q.id AS query_id, c.id
+                   FROM CC c JOIN QP q ON q.cid = c.cid AND q.id <> c.id),
+          CONTRIB AS ($unions),
+          ADC AS (SELECT query_id, id AS neighbor_id,
+                  CAST(sum(contrib) AS BIGINT) AS adc_1e6
+                  FROM CONTRIB GROUP BY query_id, id),
           R AS (SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY adc_1e6 DESC, neighbor_id) AS rank FROM ADC)
           SELECT query_id, rank, neighbor_id, adc_1e6 FROM R WHERE rank <= 3

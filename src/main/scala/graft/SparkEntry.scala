@@ -727,6 +727,21 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ (Similarity.ivfPqTopK): coarse cells prune candidates,
+    * ADC scores them from PQ codes — the production ANN composition,
+    * with coarse quantizer, codebooks, codes, and scoring all
+    * re-derived by the oracle.
+    */
+  private def qIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val coarse = Similarity.trainCentroids(corpus, k = 8, iters = 2)
+    val books = Similarity.trainPqCodebooks(corpus, m = 2, k = 4, iters = 2)
+    Similarity.ivfPqTopK(corpus, corpus.filter(col("id") % 200 === 0),
+        coarse, books, k = 3, nprobe = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_1e6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -787,7 +802,8 @@ object SparkEntry {
     "q55_decontaminate" -> (qDecontaminate _),
     "q56_repetition" -> (qRepetition _),
     "q57_curation_v2" -> (qCurationV2 _),
-    "q58_pq_adc" -> (qPqAdc _))
+    "q58_pq_adc" -> (qPqAdc _),
+    "q59_ivf_pq" -> (qIvfPq _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

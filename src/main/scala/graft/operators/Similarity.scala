@@ -230,6 +230,29 @@ object Similarity {
       assignCellWithNorm(col(s"_s$s"), col(s"_n$s"), codebooks(s))): _*).as("codes"))
   }
 
+  /** Per-query ADC lookup table: (query_id, s, cid, contrib) — one
+    * fixed-point cosine contribution per (subspace, cell). Same
+    * floor(dot/(norm·norm)·1e6) arithmetic as scoreFixed, but the
+    * query-slice norm is the staged column and the centroid norm a
+    * driver constant — k+1 dots per subspace per query instead of 3k.
+    */
+  private def adcLut(queries: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val (stagedQ, _) = stageSubspaces(queries, codebooks)
+    val lutEntries = codebooks.indices.flatMap { s =>
+      codebooks(s).sortBy(_._1).map { case (cid, cent) =>
+        struct(lit(s).as("s"), lit(cid).as("cid"),
+          floor(dot(col(s"_s$s"), array(cent.map(lit): _*)) /
+              (col(s"_n$s") * lit(normOf(cent))) * lit(1000000.0))
+            .cast("long").as("contrib"))
+      }
+    }
+    stagedQ.select(col("id").as("query_id"),
+        explode(array(lutEntries: _*)).as("e"))
+      .select(col("query_id"), col("e.s").as("s"), col("e.cid").as("cid"),
+        col("e.contrib").as("contrib"))
+  }
+
   /** ADC (asymmetric distance computation) top-k over PQ codes: each
     * query's per-(subspace, cell) cosine contributions — floored to
     * 1e6 fixed point, so the candidate score is an associative integer
@@ -241,22 +264,7 @@ object Similarity {
     */
   def pqAdcTopK(codes: DataFrame, queries: DataFrame,
       codebooks: Seq[Seq[(Int, Seq[Double])]], k: Int): DataFrame = {
-    val (stagedQ, _) = stageSubspaces(queries, codebooks)
-    // same floor(dot/(norm·norm)·1e6) arithmetic as scoreFixed, but the
-    // query-slice norm is the staged column and the centroid norm a
-    // driver constant — k+1 dots per subspace per query instead of 3k
-    val lutEntries = codebooks.indices.flatMap { s =>
-      codebooks(s).sortBy(_._1).map { case (cid, cent) =>
-        struct(lit(s).as("s"), lit(cid).as("cid"),
-          floor(dot(col(s"_s$s"), array(cent.map(lit): _*)) /
-              (col(s"_n$s") * lit(normOf(cent))) * lit(1000000.0))
-            .cast("long").as("contrib"))
-      }
-    }
-    val lut = stagedQ.select(col("id").as("query_id"),
-        explode(array(lutEntries: _*)).as("e"))
-      .select(col("query_id"), col("e.s").as("s"), col("e.cid").as("cid"),
-        col("e.contrib").as("contrib"))
+    val lut = adcLut(queries, codebooks)
     val exploded = codes.select(col("id"), posexplode(col("codes")).as(Seq("s", "cid")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_1e6").desc, col("neighbor_id"))
@@ -275,28 +283,72 @@ object Similarity {
     * Scan cost drops to ~nprobe/k of brute force; recall is governed by
     * nprobe exactly like FAISS-style IVF.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-      centroids: Seq[(Int, Seq[Double])], k: Int, nprobe: Int): DataFrame = {
-    require(nprobe >= 1 && nprobe <= centroids.size)
-    val spark = corpus.sparkSession
+  /** Each query's `nprobe` nearest cells — (id, emb, cid), one row per
+    * probed cell, ranked by the same (score desc, cid asc) order the
+    * corpus assign uses.
+    */
+  private def probeCells(queries: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    val cc = withCell(corpus, centroids)
     val centDf = centroids.sortBy(_._1).toDF("ccid", "cemb")
       .select(col("ccid"), col("cemb").cast("array<double>"))
-    // queries are small/broadcastable: rank their probe cells by the
-    // same (score desc, cid asc) order the assign uses
     val pw = Window.partitionBy(col("id")).orderBy(col("cscore").desc, col("ccid"))
-    val qProbe = queries.as("q").join(broadcast(centDf), lit(true))
+    queries.as("q").join(broadcast(centDf), lit(true))
       .select(col("q.id"), col("q.emb"), col("ccid"),
         scoreFixed(col("q.emb"), col("cemb")).as("cscore"))
       .withColumn("_pr", row_number().over(pw))
       .filter(col("_pr") <= nprobe)
       .select(col("id"), col("emb"), col("ccid").as("cid"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size)
+    val cc = withCell(corpus, centroids)
+    // queries are small/broadcastable
+    val qProbe = probeCells(queries, centroids, nprobe)
     val scored = cc.as("c")
       .join(broadcast(qProbe.as("q")),
         col("q.cid") === col("c.cid") && col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
         scoreFixed(col("q.emb"), col("c.emb")).as("score_1e6"))
     rank(scored, k)
+  }
+
+  /** IVF-PQ — the production ANN composition: the coarse quantizer
+    * prunes each query's candidates to `nprobe` cells, and ADC scores
+    * the survivors from their PQ codes via the broadcast m×k LUT. At
+    * scale the search index stores one coarse cell id plus m code
+    * bytes per vector; original vectors are never read at query time.
+    * Output: (query_id, rank, neighbor_id, adc_1e6).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      coarse: Seq[(Int, Seq[Double])], codebooks: Seq[Seq[(Int, Seq[Double])]],
+      k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarse.size)
+    // index build (write path): coarse cell + PQ codes, all narrow
+    val (stagedC, _) = stageSubspaces(withCell(corpus, coarse), codebooks)
+    val indexed = stagedC.select(col("id"), col("cid"),
+      array(codebooks.indices.map(s =>
+        assignCellWithNorm(col(s"_s$s"), col(s"_n$s"), codebooks(s))): _*).as("codes"))
+    // search: candidate set from the cell equi-join (a doc probed via
+    // several of a query's cells is deduped before scoring), then the
+    // same LUT-join integer-sum scoring as pqAdcTopK
+    val probed = probeCells(queries, coarse, nprobe)
+      .select(col("id").as("query_id"), col("cid"))
+    val cand = indexed.join(broadcast(probed), "cid")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"), col("codes")).distinct()
+    val lut = adcLut(queries, codebooks)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_1e6").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("id"), posexplode(col("codes")).as(Seq("s", "cid")))
+      .join(broadcast(lut), Seq("query_id", "s", "cid"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("contrib"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("contrib")).as("adc_1e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 }

@@ -253,6 +253,29 @@ class OperatorsSpec extends SparkSpec {
       Similarity.trainPqCodebooks(vecs, m = 3, k = 2, iters = 1)) // 4 % 3 != 0
   }
 
+  test("ivfPqTopK equals pure ADC when all cells probed; prunes to the cluster at nprobe=1") {
+    def v(a: Float, b: Float) = Array(a, b, a, b)
+    val vecs = (0 until 12).map { i =>
+      val base = Seq(v(1f, 0f), v(0f, 1f), v(-1f, 0f))(i % 3)
+      (i.toLong, base.map(x => x + (i / 3) * 0.01f))
+    }.toDF("id", "emb")
+    val coarse = Similarity.trainCentroids(vecs, k = 3, iters = 3)
+    val books = Similarity.trainPqCodebooks(vecs, m = 2, k = 3, iters = 3)
+    val q = vecs.filter($"id" === 0L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_1e6"))).toSet
+    // probing every cell removes the pruning: IVF-PQ must equal the
+    // all-pairs ADC ranking exactly (scores included)
+    val full = rows(Similarity.pqAdcTopK(Similarity.pqEncode(vecs, books), q, books, 3))
+    val all = rows(Similarity.ivfPqTopK(vecs, q, coarse, books, 3, nprobe = 3))
+    assert(all == full, s"nprobe=k must equal pure ADC: $all vs $full")
+    // on separated clusters nprobe=1 confines candidates to the
+    // query's own cluster
+    val one = Similarity.ivfPqTopK(vecs, q, coarse, books, 3, nprobe = 1)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(one == Set(3L, 6L, 9L), s"own cluster expected: $one")
+  }
+
   test("trainCentroids carries an emptied cell's previous centroid") {
     // two seeds land in the same dense cluster; one seed keeps all
     // points, the other may end up empty — its centroid must persist
