@@ -109,6 +109,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!readSchema.contains("text"), s"must not read text: $readSchema")
   }
 
+  test("decontamination broadcasts the eval shingle set (no shuffled join)") {
+    val p = plan("q55_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench grams must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus stream must not shuffle for the gram join:\n$p")
+  }
+
   test("bm25 tokenizes the corpus once (term stream reads the checkpoint)") {
     // the stats pass materializes the tokenized corpus via
     // localCheckpoint; the returned plan must read that RDD, never
