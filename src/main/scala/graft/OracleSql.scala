@@ -699,11 +699,12 @@ object OracleSql {
     // per-subspace assign, scores = integer sums of per-(subspace,
     // cell) fixed-point cosine contributions
     "q58_pq_adc" -> {
-      val unions = (0 until 2).map(s =>
+      val (m, kc, sub) = (2, 4, 32)
+      val unions = (0 until m).map(s =>
         s"SELECT l.query_id, c.id, l.contrib FROM CODE$s c JOIN LUT$s l ON l.cid = c.cid")
         .mkString(" UNION ALL ")
       s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
-          ${pqSubspaceCtes(2, 4, 32)},
+          ${pqSubspaceCtes(m, kc, sub)},
           CONTRIB AS ($unions),
           ADC AS (SELECT query_id, id AS neighbor_id,
                   CAST(sum(contrib) AS BIGINT) AS adc_1e6
@@ -718,15 +719,19 @@ object OracleSql {
     // scores them from codes — both CTE blocks shared verbatim with
     // those oracles
     "q59_ivf_pq" -> {
-      val unions = (0 until 2).map(s =>
+      val (m, kc, sub) = (2, 4, 32)
+      val unions = (0 until m).map(s =>
         s"""SELECT ca.query_id, ca.id, l.contrib
             FROM CAND ca JOIN CODE$s c$s ON c$s.id = ca.id
             JOIN LUT$s l ON l.cid = c$s.cid AND l.query_id = ca.query_id""")
         .mkString(" UNION ALL ")
+      // no DISTINCT needed: each corpus vector has exactly one coarse
+      // cid and a query's probed cids are distinct, so the cell
+      // equi-join yields at most one row per (query, doc)
       s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
           ${ivfCoarseCtes(8, 2)},
-          ${pqSubspaceCtes(2, 4, 32)},
-          CAND AS (SELECT DISTINCT q.id AS query_id, c.id
+          ${pqSubspaceCtes(m, kc, sub)},
+          CAND AS (SELECT q.id AS query_id, c.id
                    FROM CC c JOIN QP q ON q.cid = c.cid AND q.id <> c.id),
           CONTRIB AS ($unions),
           ADC AS (SELECT query_id, id AS neighbor_id,

@@ -264,12 +264,21 @@ object Similarity {
     */
   def pqAdcTopK(codes: DataFrame, queries: DataFrame,
       codebooks: Seq[Seq[(Int, Seq[Double])]], k: Int): DataFrame = {
-    val lut = adcLut(queries, codebooks)
     val exploded = codes.select(col("id"), posexplode(col("codes")).as(Seq("s", "cid")))
+    val lutKeyed = exploded.join(broadcast(adcLut(queries, codebooks)), Seq("s", "cid"))
+      .filter(col("query_id") =!= col("id"))
+    adcRank(lutKeyed, k)
+  }
+
+  /** Shared ADC tail: integer-sum the per-(subspace, cell) contributions
+    * per (query, neighbor), rank (score desc, id asc), cast rank to long
+    * — the single place the ADC arithmetic/tie-break lives so
+    * [[pqAdcTopK]] and [[ivfPqTopK]] cannot drift.
+    */
+  private def adcRank(contribs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_1e6").desc, col("neighbor_id"))
-    exploded.join(broadcast(lut), Seq("s", "cid"))
-      .filter(col("query_id") =!= col("id"))
+    contribs
       .select(col("query_id"), col("id").as("neighbor_id"), col("contrib"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("contrib")).as("adc_1e6"))
@@ -277,12 +286,6 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF search: corpus vectors live in their nearest cell (narrow
-    * assign), each query probes its `nprobe` nearest cells, candidates
-    * meet on a cell-id equi-join, exact cosine ranks the survivors.
-    * Scan cost drops to ~nprobe/k of brute force; recall is governed by
-    * nprobe exactly like FAISS-style IVF.
-    */
   /** Each query's `nprobe` nearest cells — (id, emb, cid), one row per
     * probed cell, ranked by the same (score desc, cid asc) order the
     * corpus assign uses.
@@ -302,6 +305,12 @@ object Similarity {
       .select(col("id"), col("emb"), col("ccid").as("cid"))
   }
 
+  /** IVF search: corpus vectors live in their nearest cell (narrow
+    * assign), each query probes its `nprobe` nearest cells, candidates
+    * meet on a cell-id equi-join, exact cosine ranks the survivors.
+    * Scan cost drops to ~nprobe/k of brute force; recall is governed by
+    * nprobe exactly like FAISS-style IVF.
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       centroids: Seq[(Int, Seq[Double])], k: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= centroids.size)
@@ -332,23 +341,18 @@ object Similarity {
     val indexed = stagedC.select(col("id"), col("cid"),
       array(codebooks.indices.map(s =>
         assignCellWithNorm(col(s"_s$s"), col(s"_n$s"), codebooks(s))): _*).as("codes"))
-    // search: candidate set from the cell equi-join (a doc probed via
-    // several of a query's cells is deduped before scoring), then the
-    // same LUT-join integer-sum scoring as pqAdcTopK
+    // search: candidate set from the cell equi-join (no dedup needed —
+    // each vector has exactly one coarse cid and a query's probed cids
+    // are distinct, so at most one row per (query, doc)), then the same
+    // LUT-join integer-sum scoring as pqAdcTopK
     val probed = probeCells(queries, coarse, nprobe)
       .select(col("id").as("query_id"), col("cid"))
     val cand = indexed.join(broadcast(probed), "cid")
       .filter(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("id"), col("codes")).distinct()
-    val lut = adcLut(queries, codebooks)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_1e6").desc, col("neighbor_id"))
-    cand.select(col("query_id"), col("id"), posexplode(col("codes")).as(Seq("s", "cid")))
-      .join(broadcast(lut), Seq("query_id", "s", "cid"))
-      .select(col("query_id"), col("id").as("neighbor_id"), col("contrib"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("contrib")).as("adc_1e6"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("codes"))
+    val lutKeyed = cand
+      .select(col("query_id"), col("id"), posexplode(col("codes")).as(Seq("s", "cid")))
+      .join(broadcast(adcLut(queries, codebooks)), Seq("query_id", "s", "cid"))
+    adcRank(lutKeyed, k)
   }
 }
