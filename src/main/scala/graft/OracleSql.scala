@@ -208,6 +208,38 @@ object OracleSql {
     s"""BG AS (SELECT DISTINCT unnest(${shingles3("text")}) AS gram
            FROM documents WHERE doc_id % 97 = 0)"""
 
+  /** BM25 stat chain shared by q51/q53/q60 — tokenized corpus (L, D),
+    * corpus stats (ST), exploded term stream filtered by `eqFilter`
+    * (EQ), df/idf (F, I), tf (T), and per-(doc, term) integer
+    * contributions (SC). `mid` injects extra CTEs after D for
+    * formulations whose term filter is itself derived from the data
+    * (q60's seed-doc term set). Constants interpolate from the same
+    * k1/b doubles the Spark plans use.
+    */
+  private def bm25ScCtes(eqFilter: String, mid: String = "",
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""L AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+        D AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM L),
+        ${if (mid.isEmpty) "" else mid + ","}
+        ST AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl
+               FROM D),
+        E AS (SELECT doc_id, dl, unnest(tk) AS term FROM D),
+        EQ AS (SELECT * FROM E WHERE $eqFilter),
+        F AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfd
+              FROM EQ GROUP BY term),
+        I AS (SELECT term,
+               CAST(floor((1000000.0::DOUBLE * (st.n::DOUBLE - dfd + 0.5))
+                    / (dfd + 0.5)) AS BIGINT) AS idf_1e6
+              FROM F CROSS JOIN ST st),
+        T AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT)::DOUBLE AS tf
+              FROM EQ GROUP BY doc_id, dl, term),
+        SC AS (SELECT t.doc_id, t.term,
+                CAST(floor((i.idf_1e6::DOUBLE * (t.tf * ${k1 + 1.0}::DOUBLE))
+                  / (t.tf + $k1::DOUBLE * (${1.0 - b}::DOUBLE
+                      + ($b::DOUBLE * t.dl::DOUBLE)
+                        / (st.sdl::DOUBLE / st.n::DOUBLE)))) AS BIGINT) AS c
+               FROM T t JOIN I i USING (term) CROSS JOIN ST st)"""
+
   /** Coarse-quantizer CTE block shared by q49/q59: seeds (k lowest-id
     * vectors), two fixed-point Lloyd rounds, corpus assign (CC), query
     * slice (Q) and its nprobe-cell probe (QP).
@@ -743,6 +775,46 @@ object OracleSql {
           ORDER BY query_id, rank"""
     },
 
+    // hybrid retrieval: BM25 "more like this" (seed docs' own tokens
+    // as query terms — QT is derived from the data, so EQ filters via
+    // a semi-join instead of interpolated literals) fused with
+    // brute-force cosine (q21's exact formulation) by reciprocal-rank
+    // fusion — integer quotients 1e9 // (60 + rank), summed per
+    // (query, doc). The BM25 chain is bm25ScCtes, shared with q51/q53.
+    "q60_hybrid_rrf" -> {
+      val qt = """QT AS (SELECT doc_id AS query_id, unnest(list_distinct(tk)) AS term
+                  FROM D WHERE doc_id % 200 = 0)"""
+      s"""WITH ${bm25ScCtes("term IN (SELECT term FROM QT)", mid = qt)},
+          B AS (SELECT q.query_id, s.doc_id, CAST(sum(s.c) AS BIGINT) AS bm25
+                FROM SC s JOIN QT q USING (term)
+                GROUP BY q.query_id, s.doc_id),
+          BR AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY bm25 DESC, doc_id) AS r
+                 FROM B WHERE doc_id <> query_id),
+          VC AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          VQ AS (SELECT * FROM VC WHERE id % 200 = 0),
+          VS AS (SELECT q.id AS query_id, c.id AS doc_id,
+                  ${scoreFixedSql("q.emb", "c.emb")} AS sc
+                 FROM VC c CROSS JOIN VQ q WHERE q.id <> c.id),
+          VR AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sc DESC, doc_id) AS r
+                 FROM VS),
+          CONTRIB AS (
+            SELECT query_id, doc_id, 1000000000 // (r + 60) AS rc
+            FROM BR WHERE r <= 20
+            UNION ALL
+            SELECT query_id, doc_id, 1000000000 // (r + 60) AS rc
+            FROM VR WHERE r <= 20),
+          RR AS (SELECT query_id, doc_id, CAST(sum(rc) AS BIGINT) AS rrf_1e9
+                 FROM CONTRIB GROUP BY query_id, doc_id),
+          RK AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf_1e9 DESC, doc_id) AS rank FROM RR)
+          SELECT query_id, rank, doc_id, rrf_1e9 FROM RK WHERE rank <= 10
+          ORDER BY query_id, rank"""
+    },
+
     // deterministic train/val/test split: cumulative hash-bucket
     // ranges, CASE generated from the same Seq the Spark plan uses
     "q50_split" -> {
@@ -765,30 +837,10 @@ object OracleSql {
     // the SAME Scala doubles the Spark plan uses; N, Σdl, df, tf are
     // re-derived in DuckDB; contributions floor to integers pre-sum
     "q51_bm25" -> {
-      val (k1, b) = (1.2, 0.75)
       val terms = graft.operators.TextSearch.DemoQuery.toLowerCase
         .split("\\s+").filter(_.nonEmpty).distinct
         .map(t => s"'$t'").mkString("(", ", ", ")")
-      s"""WITH L AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
-          D AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM L),
-          ST AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl
-                 FROM D),
-          E AS (SELECT doc_id, dl, unnest(tk) AS term FROM D),
-          EQ AS (SELECT * FROM E WHERE term IN $terms),
-          F AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfd
-                FROM EQ GROUP BY term),
-          I AS (SELECT term,
-                 CAST(floor((1000000.0::DOUBLE * (st.n::DOUBLE - dfd + 0.5))
-                      / (dfd + 0.5)) AS BIGINT) AS idf_1e6
-                FROM F CROSS JOIN ST st),
-          T AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT)::DOUBLE AS tf
-                FROM EQ GROUP BY doc_id, dl, term),
-          SC AS (SELECT t.doc_id,
-                  CAST(floor((i.idf_1e6::DOUBLE * (t.tf * ${k1 + 1.0}::DOUBLE))
-                    / (t.tf + $k1::DOUBLE * (${1.0 - b}::DOUBLE
-                        + ($b::DOUBLE * t.dl::DOUBLE)
-                          / (st.sdl::DOUBLE / st.n::DOUBLE)))) AS BIGINT) AS c
-                 FROM T t JOIN I i USING (term) CROSS JOIN ST st)
+      s"""WITH ${bm25ScCtes(s"term IN $terms")}
           SELECT doc_id, CAST(sum(c) AS BIGINT) AS bm25_1e6
           FROM SC GROUP BY doc_id
           ORDER BY bm25_1e6 DESC, doc_id"""
@@ -800,32 +852,12 @@ object OracleSql {
     // set and the VALUES pairs are interpolated from the SAME Scala
     // DemoQueries the Spark plan uses
     "q53_bm25_multi" -> {
-      val (k1, b) = (1.2, 0.75)
       val pairs = graft.operators.TextSearch.DemoQueries.flatMap { case (qid, q) =>
         q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t)) }
       val union = pairs.map(_._2).distinct
         .map(t => s"'$t'").mkString("(", ", ", ")")
       val values = pairs.map { case (qid, t) => s"('$qid', '$t')" }.mkString(", ")
-      s"""WITH L AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
-          D AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM L),
-          ST AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl
-                 FROM D),
-          E AS (SELECT doc_id, dl, unnest(tk) AS term FROM D),
-          EQ AS (SELECT * FROM E WHERE term IN $union),
-          F AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfd
-                FROM EQ GROUP BY term),
-          I AS (SELECT term,
-                 CAST(floor((1000000.0::DOUBLE * (st.n::DOUBLE - dfd + 0.5))
-                      / (dfd + 0.5)) AS BIGINT) AS idf_1e6
-                FROM F CROSS JOIN ST st),
-          T AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT)::DOUBLE AS tf
-                FROM EQ GROUP BY doc_id, dl, term),
-          SC AS (SELECT t.doc_id, t.term,
-                  CAST(floor((i.idf_1e6::DOUBLE * (t.tf * ${k1 + 1.0}::DOUBLE))
-                    / (t.tf + $k1::DOUBLE * (${1.0 - b}::DOUBLE
-                        + ($b::DOUBLE * t.dl::DOUBLE)
-                          / (st.sdl::DOUBLE / st.n::DOUBLE)))) AS BIGINT) AS c
-                 FROM T t JOIN I i USING (term) CROSS JOIN ST st),
+      s"""WITH ${bm25ScCtes(s"term IN $union")},
           Q(query_id, term) AS (VALUES $values)
           SELECT q.query_id, s.doc_id, CAST(sum(s.c) AS BIGINT) AS bm25_1e6
           FROM SC s JOIN Q q USING (term)

@@ -742,6 +742,23 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hybrid retrieval (operators.Retrieval.hybridMoreLikeThis): seed
+    * documents query the corpus lexically (BM25 over their own tokens)
+    * and densely (cosine over their embeddings); reciprocal-rank
+    * fusion sums integer quotients 1e9 div (60 + rank) over the two
+    * top-20 lists.
+    */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val embs = embCorpus(s, dir)
+    graft.operators.Retrieval.hybridMoreLikeThis(
+        docs, "doc_id", "text", embs,
+        docs.filter(col("doc_id") % 200 === 0),
+        embs.filter(col("id") % 200 === 0),
+        depth = 20, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -803,7 +820,8 @@ object SparkEntry {
     "q56_repetition" -> (qRepetition _),
     "q57_curation_v2" -> (qCurationV2 _),
     "q58_pq_adc" -> (qPqAdc _),
-    "q59_ivf_pq" -> (qIvfPq _))
+    "q59_ivf_pq" -> (qIvfPq _),
+    "q60_hybrid_rrf" -> (qHybridRrf _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

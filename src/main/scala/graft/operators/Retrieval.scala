@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval — fuse lexical (BM25) and dense (embedding-cosine)
+  * rankings with reciprocal-rank fusion, the standard first-stage
+  * retriever of a RAG / data-selection stack: each ranked list
+  * contributes floor(10^9 / (c + rank)) per (query, doc), and the
+  * fused score is the sum. RRF needs only RANKS, never the raw scores
+  * — which is exactly what makes it robust to the two scorers living
+  * on different scales, and what makes it bit-reproducible here: every
+  * contribution is an integer quotient, so the fused score is an
+  * associative integer sum, independent of partitioning and engine.
+  *
+  * Scale shape: each input list is already top-`depth`-per-query
+  * (≤ |Q|·depth rows — tiny next to the corpus), so the fusion is a
+  * union of small frames, one narrow integer projection, and a
+  * groupBy over |Q|·depth keys. The heavy lifting stays in the list
+  * producers (one corpus pass each — [[TextSearch.bm25Many]] /
+  * [[Similarity.bruteForceTopK]]), and adding a third signal (e.g. a
+  * recency or quality ranking) is another small frame in the union.
+  */
+object Retrieval {
+
+  /** RRF constant from the original TREC formulation; dampens the gap
+    * between the very top ranks so one list can't dominate.
+    */
+  val DefaultRrfC = 60
+
+  /** Fuse ranked lists — each (query_id, doc_id, rank), rank 1-based —
+    * into (query_id, rank, doc_id, rrf_1e9), the top `k` per query by
+    * fused score (ties broken on doc_id). A doc absent from one list
+    * simply collects no contribution from it.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = DefaultRrfC): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(k >= 1 && c >= 0, s"need k>=1, c>=0; got k=$k c=$c")
+    val contribs = lists
+      .map(_.select(col("query_id"), col("doc_id"),
+        expr(s"1000000000L div (rank + ${c}L)").as("contrib")))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_1e9").desc, col("doc_id"))
+    contribs.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf_1e9"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_1e9"))
+  }
+
+  /** "More like this" over a corpus with both text and embeddings:
+    * seed documents act as queries on both sides — their full text is
+    * the BM25 query (terms = the seed's distinct tokens), their vector
+    * the cosine query — and the two top-`depth` lists fuse via
+    * [[rrfFuse]]. Seeds exclude themselves from both lists.
+    *
+    * `docs` needs (idCol, textCol); `embs` (id, emb) with ids matching
+    * `docs`; `seedDocs`/`seedEmbs` are the (small, broadcastable) seed
+    * slices of each. One corpus-text pass + one embedding pass total.
+    */
+  def hybridMoreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+      embs: DataFrame, seedDocs: DataFrame, seedEmbs: DataFrame,
+      depth: Int, k: Int, c: Int = DefaultRrfC,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(depth >= 1, s"need depth>=1, got $depth")
+    val bw = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25_1e6").desc, col("doc_id"))
+    val lexical = TextSearch.bm25Many(docs, idCol, textCol,
+        seedDocs.select(col(idCol).cast("string").as("qid"), col(textCol).as("qtext")),
+        "qid", "qtext", k1, b)
+      .withColumn("query_id", col("query_id").cast("long"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(bw).cast("long"))
+      .filter(col("rank") <= depth)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dense = Similarity.bruteForceTopK(embs, seedEmbs, depth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lexical, dense), k, c)
+  }
+}

@@ -334,6 +334,45 @@ class OperatorsSpec extends SparkSpec {
       TextSearch.bm25Many(docs, "doc_id", "text", Seq("a" -> "x", "a" -> "y")))
   }
 
+  test("rrfFuse sums integer reciprocal-rank quotients; one-list docs still score") {
+    import graft.operators.Retrieval
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val den = Seq((1L, 10L, 2L), (1L, 12L, 1L)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(lex, den), k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rank"), r.getAs[Long]("rrf_1e9"))).toMap
+    def q(r: Long) = 1000000000L / (60L + r)
+    // doc 10 is in both lists (ranks 1 and 2); docs 11/12 in one each
+    assert(out(10L)._2 == q(1) + q(2))
+    assert(out(11L)._2 == q(2) && out(12L)._2 == q(1))
+    assert(out(10L)._1 == 1L, s"two-list doc must fuse to the top: $out")
+    // ties (11 vs 12 both q(?)...) — 12 at q(1) outranks 11 at q(2)
+    assert(out(12L)._1 == 2L && out(11L)._1 == 3L)
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq.empty, k = 1))
+  }
+
+  test("hybridMoreLikeThis surfaces lexical-only and dense-only neighbors") {
+    import graft.operators.Retrieval
+    // doc 1 is the seed. doc 2 shares its text (lexical hit, orthogonal
+    // vector); doc 3 shares its direction (dense hit, alien text).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "unrelated words entirely different tokens"),
+      (4L, "noise filler content nothing shared")).toDF("doc_id", "text")
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(-1.0f, -0.2f)))
+      .toDF("id", "emb")
+    val out = Retrieval.hybridMoreLikeThis(docs, "doc_id", "text", embs,
+        docs.filter(col("doc_id") === 1), embs.filter(col("id") === 1),
+        depth = 3, k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    assert(!out.contains(1L), s"seed must exclude itself: $out")
+    assert(out.contains(2L) && out.contains(3L),
+      s"both the lexical and the dense neighbor must surface: $out")
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       (1L, "the cat is on the mat and it is happy"),
