@@ -815,6 +815,27 @@ object OracleSql {
           ORDER BY query_id, rank"""
     },
 
+    // mixture rebalance: per-stratum counts vs target ppm shares
+    // (VALUES from the same Scala Seq the plan uses), achievable total
+    // T = min(n·1e6 // s), per-stratum keep rate s·T // n, membership
+    // by the same md5-ppm filter as q48 — all integer arithmetic
+    "q61_mixture_rebalance" -> {
+      val values = graft.operators.Sampling.DemoMixturePpm
+        .map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+      s"""WITH TGT(stratum, s_ppm) AS (VALUES $values),
+          CNT AS (SELECT t.stratum, t.s_ppm, CAST(count(d.doc_id) AS BIGINT) AS n
+                  FROM TGT t LEFT JOIN documents d ON d.lang = t.stratum
+                  GROUP BY t.stratum, t.s_ppm),
+          TT AS (SELECT min(n * 1000000 // s_ppm) AS t FROM CNT),
+          RT AS (SELECT stratum,
+                  CASE WHEN n = 0 THEN 0 ELSE s_ppm * tt.t // n END AS rate_ppm
+                 FROM CNT CROSS JOIN TT tt)
+          SELECT d.doc_id, d.lang, CAST(r.rate_ppm AS BIGINT) AS rate_ppm
+          FROM documents d JOIN RT r ON r.stratum = d.lang
+          WHERE (${md5long("cast(doc_id as varchar)")} % 1000000) < r.rate_ppm
+          ORDER BY d.doc_id"""
+    },
+
     // deterministic train/val/test split: cumulative hash-bucket
     // ranges, CASE generated from the same Seq the Spark plan uses
     "q50_split" -> {

@@ -742,6 +742,19 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Mixture rebalance (operators.Sampling.rebalanceToMixture): the
+    * corpus downsampled per-language toward the demo target mixture —
+    * the binding stratum keeps everything, the rest keep
+    * s·T div n ppm of their rows by the same md5-ppm filter as q48.
+    */
+  private def qMixture(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.rebalanceToMixture(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"),
+        graft.operators.Sampling.DemoMixturePpm)
+      .select(col("doc_id"), col("lang"), col("rate_ppm"))
+      .orderBy(col("doc_id"))
+
   /** Hybrid retrieval (operators.Retrieval.hybridMoreLikeThis): seed
     * documents query the corpus lexically (BM25 over their own tokens)
     * and densely (cosine over their embeddings); reciprocal-rank
@@ -821,7 +834,8 @@ object SparkEntry {
     "q57_curation_v2" -> (qCurationV2 _),
     "q58_pq_adc" -> (qPqAdc _),
     "q59_ivf_pq" -> (qIvfPq _),
-    "q60_hybrid_rrf" -> (qHybridRrf _))
+    "q60_hybrid_rrf" -> (qHybridRrf _),
+    "q61_mixture_rebalance" -> (qMixture _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

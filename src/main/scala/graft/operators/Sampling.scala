@@ -85,4 +85,59 @@ object Sampling {
     }
     df.filter(hashBucket(key) < rate)
   }
+
+  /** Demo target mixture for the q61 battery entry (ppm shares over
+    * the documents table's `lang` strata; oracle VALUES generated from
+    * this same Seq).
+    */
+  val DemoMixturePpm: Seq[(String, Long)] = Seq(
+    "en" -> 400000L, "zh" -> 250000L, "de" -> 150000L,
+    "fr" -> 100000L, "es" -> 100000L)
+
+  /** Rebalance the corpus toward a target mixture by DOWNSAMPLING
+    * over-represented strata — the domain-mix step of corpus assembly
+    * (web/books/code shares, language shares). `targetsPpm` is a full
+    * distribution (ppm shares summing to 1e6); the output is the
+    * largest hash-deterministic subcorpus whose strata hit those
+    * shares: the binding stratum (smallest n_c/s_c) keeps everything,
+    * every other stratum keeps rate_ppm = s_c·T / n_c of its rows
+    * (T = min_c n_c·1e6/s_c, the achievable total). Strata outside the
+    * target set are dropped; a target stratum with NO rows makes the
+    * mixture unachievable → empty output, not a silently-wrong mix.
+    *
+    * Everything is integer arithmetic on counts and ppm shares, and
+    * membership is the same md5-ppm filter as [[hashSample]], so the
+    * kept set is reproducible on any engine/partitioning and NESTS as
+    * targets move. Scale shape: one cheap count-per-stratum aggregate
+    * (a handful of rows, broadcast back) + one scan-speed filter pass;
+    * no shuffle of the data itself.
+    *
+    * Output: the kept rows plus their stratum's `rate_ppm`.
+    */
+  def rebalanceToMixture(df: DataFrame, key: Column, stratum: Column,
+      targetsPpm: Seq[(String, Long)]): DataFrame = {
+    require(targetsPpm.nonEmpty, "need at least one target stratum")
+    require(targetsPpm.map(_._1).distinct.size == targetsPpm.size,
+      s"target strata must be unique: $targetsPpm")
+    require(targetsPpm.forall(_._2 > 0), s"every share needs ppm > 0: $targetsPpm")
+    require(targetsPpm.map(_._2).sum == Ppm,
+      s"target shares must sum to $Ppm (a full mixture): $targetsPpm")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targetsPpm.toDF("_stratum", "_s_ppm")
+    val counts = df.select(stratum.as("_stratum"))
+      .groupBy(col("_stratum")).agg(count(lit(1)).as("_n"))
+    // left join from targets: an absent stratum surfaces as n=0 and
+    // pins T (hence every rate) to 0
+    val present = broadcast(tgt).join(counts, Seq("_stratum"), "left")
+      .select(col("_stratum"), col("_s_ppm"), coalesce(col("_n"), lit(0L)).as("_n"))
+    val tMax = present.agg(min(expr("_n * 1000000 div _s_ppm")).as("_t"))
+    val rates = present.crossJoin(broadcast(tMax))
+      .select(col("_stratum"),
+        when(col("_n") === 0, lit(0L))
+          .otherwise(expr("_s_ppm * _t div _n")).as("rate_ppm"))
+    df.join(broadcast(rates), stratum === col("_stratum"))
+      .filter(hashBucket(key) < col("rate_ppm"))
+      .drop("_stratum")
+  }
 }

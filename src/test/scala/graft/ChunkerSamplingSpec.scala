@@ -205,4 +205,32 @@ class ChunkerSamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.stratifiedSample(df, col("grp"), col("id"), Map("x" -> 2000000L)))
   }
+
+  test("rebalanceToMixture downsamples toward the target shares; binding stratum keeps all") {
+    // 600 a / 200 b / 200 extra; target a 50% b 50% → b binds (T=400):
+    // b keeps everything, a keeps ~200 of 600, extra drops
+    val df = ((1L to 600L).map(i => (i, "a")) ++ (601L to 800L).map(i => (i, "b")) ++
+      (801L to 1000L).map(i => (i, "extra"))).toDF("id", "grp")
+    val out = Sampling.rebalanceToMixture(df, col("id"), col("grp"),
+        Seq("a" -> 500000L, "b" -> 500000L))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("grp"),
+        r.getAs[Long]("rate_ppm")))
+    val byGrp = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byGrp("b") == 200, s"binding stratum must keep every row: $byGrp")
+    assert(!byGrp.contains("extra"), "non-target stratum must drop entirely")
+    val a = byGrp("a")
+    assert(a > 130 && a < 270, s"~200 of 600 'a' rows expected, got $a")
+    // the kept 'a' set is exactly the hashSample at the computed rate
+    val rateA = out.collect { case (_, "a", r) => r }.head
+    assert(rateA == 500000L * 400L / 600L)
+    val nested = Sampling.hashSample(df.filter(col("grp") === "a"), col("id"), rateA)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.collect { case (id, "a", _) => id }.toSet == nested)
+    // a target stratum with no rows → mixture unachievable → empty
+    assert(Sampling.rebalanceToMixture(df, col("id"), col("grp"),
+      Seq("a" -> 500000L, "missing" -> 500000L)).count() == 0L)
+    // shares must form a full distribution
+    intercept[IllegalArgumentException](Sampling.rebalanceToMixture(
+      df, col("id"), col("grp"), Seq("a" -> 300000L)))
+  }
 }
