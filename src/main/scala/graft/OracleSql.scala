@@ -815,6 +815,56 @@ object OracleSql {
           ORDER BY query_id, rank"""
     },
 
+    // ordered funnel: stage i's first time must be strictly after the
+    // user's first completion of stage i-1 — sequential min-after-join
+    // chain (the Spark side chains window mins on one user partition)
+    "q63_funnel" ->
+      """WITH E AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         U AS (SELECT DISTINCT user_id FROM E),
+         V AS (SELECT user_id, min(ts_us) AS v FROM E
+               WHERE event_type = 'view' GROUP BY user_id),
+         C AS (SELECT e.user_id, min(e.ts_us) AS c FROM E e
+               JOIN V ON V.user_id = e.user_id
+               WHERE e.event_type = 'click' AND e.ts_us > V.v GROUP BY e.user_id),
+         P AS (SELECT e.user_id, min(e.ts_us) AS p FROM E e
+               JOIN C ON C.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts_us > C.c GROUP BY e.user_id)
+         SELECT u.user_id,
+           CAST((v.v IS NOT NULL)::INT + (c.c IS NOT NULL)::INT
+                + (p.p IS NOT NULL)::INT AS BIGINT) AS stage_reached,
+           v.v AS view_us, c.c AS click_us, p.p AS purchase_us
+         FROM U u
+         LEFT JOIN V v ON v.user_id = u.user_id
+         LEFT JOIN C c ON c.user_id = u.user_id
+         LEFT JOIN P p ON p.user_id = u.user_id
+         ORDER BY u.user_id""",
+
+    // cohort retention: first-event-day cohorts, distinct active users
+    // per (cohort, day-offset) cell — all integer day buckets
+    "q64_retention" ->
+      """WITH E AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         F AS (SELECT user_id, min(day) AS cohort_day FROM E GROUP BY user_id),
+         A AS (SELECT DISTINCT user_id, day FROM E)
+         SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+                CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+         FROM A a JOIN F f ON f.user_id = a.user_id
+         GROUP BY f.cohort_day, day_offset
+         ORDER BY f.cohort_day, day_offset""",
+
+    // heavy hitters: exact top-20 token counts; the count-min error
+    // flags are engine-computed on the Spark side and literal 1 here
+    // (the q35 sketch-vs-exact pattern — estimates stay out of the
+    // compared output)
+    "q62_heavy_hitters" ->
+      s"""WITH E AS (SELECT unnest(${toks("lower(text)")}) AS token FROM documents),
+          G AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM E GROUP BY token),
+          R AS (SELECT token, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM G)
+          SELECT token, rank, cnt,
+                 CAST(1 AS BIGINT) AS cms_lower_ok, CAST(1 AS BIGINT) AS cms_upper_ok
+          FROM R WHERE rank <= 20
+          ORDER BY rank""",
+
     // mixture rebalance: per-stratum counts vs target ppm shares
     // (VALUES from the same Scala Seq the plan uses), achievable total
     // T = min(n·1e6 // s), per-stratum keep rate s·T // n, membership

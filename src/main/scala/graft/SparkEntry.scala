@@ -742,6 +742,44 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Ordered conversion funnel (operators.EventAnalytics.funnel):
+    * view → click → purchase, each stage strictly after the user's
+    * first completion of the previous one; one shuffle (the user),
+    * chained window mins, epoch-µs outputs.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.funnel(
+        tRaw(s, dir, "events").select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("ts_us")),
+        "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("stage_reached"),
+        col("t_view").as("view_us"), col("t_click").as("click_us"),
+        col("t_purchase").as("purchase_us"))
+      .orderBy(col("user_id"))
+
+  /** Cohort retention (operators.EventAnalytics.retentionCohorts):
+    * first-event-day cohorts × active-day offsets, distinct users per
+    * cell.
+    */
+  private def qRetention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.retentionCohorts(
+        tRaw(s, dir, "events").select(col("user_id"),
+          expr("ts DIV 1000").as("ts_us")),
+        "user_id", "ts_us")
+      .orderBy(col("cohort_day"), col("day_offset"))
+
+  /** Heavy hitters (operators.Sketches.heavyHitters): top-20 corpus
+    * tokens, exact counts checked against a count-min sketch's error
+    * contract (estimate ≥ exact always; ≤ exact + eps·total whp) —
+    * flags follow the q35 sketch-vs-exact pattern.
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.heavyHitters(
+        t(s, dir, "documents").select(
+          explode(tokens(lower(col("text")))).as("token")),
+        col("token"), topN = 20)
+      .orderBy(col("rank"))
+
   /** Mixture rebalance (operators.Sampling.rebalanceToMixture): the
     * corpus downsampled per-language toward the demo target mixture —
     * the binding stratum keeps everything, the rest keep
@@ -835,7 +873,10 @@ object SparkEntry {
     "q58_pq_adc" -> (qPqAdc _),
     "q59_ivf_pq" -> (qIvfPq _),
     "q60_hybrid_rrf" -> (qHybridRrf _),
-    "q61_mixture_rebalance" -> (qMixture _))
+    "q61_mixture_rebalance" -> (qMixture _),
+    "q62_heavy_hitters" -> (qHeavyHitters _),
+    "q63_funnel" -> (qFunnel _),
+    "q64_retention" -> (qRetention _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Funnel and cohort-retention analytics over an event stream — the
+  * two standard "billions of events, one pass" reports. Both are
+  * expressed so the heavy data moves through at most one shuffle key
+  * (the user), and everything downstream of that shuffle is
+  * partition-local: at 100 TB the plans are a repartition-by-user
+  * plus narrow work, never an events-sized self-join.
+  *
+  * Timestamps are integer epoch-µs columns throughout (the repo's
+  * cross-engine parity rule: compare int64 µs, never raw timestamps).
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: per user, the first time each stage
+    * was reached, where stage i must occur STRICTLY AFTER the user's
+    * first completion of stage i-1 (the re-ordering-proof definition —
+    * a purchase logged before the first view does not convert).
+    *
+    * Implementation: one window partition by user; stage i's column is
+    * min(ts where type = stage_i and ts > stage_{i-1} time) over the
+    * partition — each stage a window expression chained on the
+    * previous one, all sharing ONE exchange. The per-user collapse
+    * reuses the same partitioning (no second shuffle).
+    *
+    * Output: (user, t_<stage> epoch-µs per stage — null once the user
+    * falls out — and `stage_reached` = how many stages completed).
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    require(stages.distinct.size == stages.size, s"stages must be unique: $stages")
+    val w = Window.partitionBy(col(userCol))
+    val staged = stages.zipWithIndex.foldLeft(
+      events.select(col(userCol), col(typeCol), col(tsUsCol))) {
+      case (df, (st, i)) =>
+        val cond =
+          if (i == 0) col(typeCol) === st
+          else col(typeCol) === st && col(tsUsCol) > col(s"_t${i - 1}")
+        df.withColumn(s"_t$i", min(when(cond, col(tsUsCol))).over(w))
+    }
+    val aggs = stages.zipWithIndex.map { case (st, i) =>
+      min(col(s"_t$i")).as(s"t_$st")
+    }
+    val reached = stages.map(st => when(col(s"t_$st").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    staged.groupBy(col(userCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("stage_reached", reached)
+  }
+
+  /** Cohort retention: users are cohorted by the day (µs div 86.4e9)
+    * of their first event; each cell counts the cohort's distinct
+    * users active `day_offset` days later. Two aggregations over the
+    * user key plus one over the (cohort, offset) grid — the grid is
+    * days², tiny no matter the event volume.
+    *
+    * Output: (cohort_day, day_offset, n_users); offset 0 is the cohort
+    * size row.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsUsCol: String): DataFrame = {
+    val DayUs = 86400000000L
+    val day = expr(s"$tsUsCol div $DayUs").as("_day")
+    val byDay = events.select(col(userCol).as("_user"), day)
+    val cohorts = byDay.groupBy(col("_user")).agg(min(col("_day")).as("cohort_day"))
+    val activity = byDay.distinct()
+    activity.join(cohorts, "_user")
+      .groupBy(col("cohort_day"), (col("_day") - col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("_user")).as("n_users"))
+  }
+}

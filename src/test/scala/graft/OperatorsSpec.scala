@@ -334,6 +334,62 @@ class OperatorsSpec extends SparkSpec {
       TextSearch.bm25Many(docs, "doc_id", "text", Seq("a" -> "x", "a" -> "y")))
   }
 
+  test("funnel requires strict stage order; out-of-order completions don't convert") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // user 2: purchase BEFORE first view → stops at view
+      (2L, "purchase", 50L), (2L, "view", 100L),
+      // user 3: click at the same µs as the view (not strictly after) →
+      // only a later click converts
+      (3L, "view", 100L), (3L, "click", 100L), (3L, "click", 400L),
+      // user 4: never views
+      (4L, "click", 10L)).toDF("user_id", "event_type", "ts_us")
+    val out = EventAnalytics.funnel(ev, "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("stage_reached"), Option(r.getAs[java.lang.Long]("t_click")))).toMap
+    assert(out(1L)._1 == 3L)
+    assert(out(2L)._1 == 1L, s"pre-view purchase must not convert: $out")
+    assert(out(3L) == ((2L, Some(java.lang.Long.valueOf(400L)))),
+      s"same-µs click must not count; the later one must: $out")
+    assert(out(4L)._1 == 0L)
+    intercept[IllegalArgumentException](
+      EventAnalytics.funnel(ev, "user_id", "event_type", "ts_us", Seq("a", "a")))
+  }
+
+  test("retentionCohorts counts distinct users per cohort/offset cell") {
+    import graft.operators.EventAnalytics
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 0L), (1L, 1L * day), (1L, 1L * day + 5L), // day 0 cohort, active d0+d1
+      (2L, 0L), (2L, 2L * day),                      // day 0 cohort, active d0+d2
+      (3L, 1L * day)).toDF("user_id", "ts_us")       // day 1 cohort
+    val out = EventAnalytics.retentionCohorts(ev, "user_id", "ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
+  }
+
+  test("heavyHitters ranks by exact count and the count-min contract holds") {
+    import graft.operators.Sketches
+    // skewed stream: "hot" 50×, "warm" 10×, singletons
+    val df = ((1 to 50).map(_ => "hot") ++ (1 to 10).map(_ => "warm") ++
+      (1 to 5).map(i => s"cold$i")).toDF("token")
+    val out = Sketches.heavyHitters(df, col("token"), topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("hot", 1L, 50L), ("warm", 2L, 10L), ("cold1", 3L, 1L)))
+    assert(out.forall(t => t._4 == 1L), "CMS must never undercount")
+    assert(out.forall(t => t._5 == 1L), "eps bound must hold on a tiny stream")
+    // deterministic across runs (fixed seed)
+    val again = Sketches.heavyHitters(df, col("token"), topN = 3).collect()
+    assert(out.toSeq == again.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq)
+    intercept[IllegalArgumentException](Sketches.heavyHitters(df, col("token"), 0))
+  }
+
   test("rrfFuse sums integer reciprocal-rank quotients; one-list docs still score") {
     import graft.operators.Retrieval
     val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
