@@ -201,12 +201,12 @@ object OracleSql {
           ELSE (1.0::DOUBLE - len(list_distinct($g))::DOUBLE / len($g)::DOUBLE)
           END * 1000000.0::DOUBLE) AS BIGINT)"""
 
-  /** The battery's eval-slice shingle set (doc_id % 97 = 0) — shared
-    * by the q55/q57 decontamination formulations.
+  /** The battery's eval-slice shingle set (doc_id % mod = 0) — shared
+    * by the q55/q57/q65 decontamination formulations.
     */
-  private def benchGramsCte: String =
+  private def benchGramsCte(mod: Int = 97): String =
     s"""BG AS (SELECT DISTINCT unnest(${shingles3("text")}) AS gram
-           FROM documents WHERE doc_id % 97 = 0)"""
+           FROM documents WHERE doc_id % $mod = 0)"""
 
   /** BM25 stat chain shared by q51/q53/q60 — tokenized corpus (L, D),
     * corpus stats (ST), exploded term stream filtered by `eqFilter`
@@ -649,7 +649,7 @@ object OracleSql {
     // and benchmark decontamination (q55 formula, eval = doc_id%97=0)
     "q57_curation_v2" ->
       s"""WITH RECURSIVE $curationCtes,
-          $benchGramsCte,
+          ${benchGramsCte()},
           CONTAM AS (SELECT DISTINCT d.doc_id
                  FROM (SELECT doc_id, unnest(${shingles3("text")}) AS gram
                        FROM documents) d
@@ -958,10 +958,22 @@ object OracleSql {
           FROM (SELECT doc_id, ${rawShingles3("text")} AS g FROM documents)
           ORDER BY doc_id""",
 
+    // bloom-prefiltered decontamination: the bloom stage is
+    // semantics-free (exact join confirms survivors), so the oracle is
+    // the exact q55 formula on the q65 eval slice (doc_id % 89 = 0)
+    "q65_decontaminate_bloom" ->
+      s"""WITH ${benchGramsCte(89)},
+          C AS (SELECT doc_id, unnest(${shingles3("text")}) AS gram
+               FROM documents WHERE doc_id % 89 <> 0)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+          FROM C JOIN BG USING (gram)
+          GROUP BY doc_id
+          ORDER BY doc_id""",
+
     // benchmark decontamination: distinct shared word 3-grams between
     // each corpus doc and the eval slice (doc_id % 97 = 0)
     "q55_decontaminate" ->
-      s"""WITH $benchGramsCte,
+      s"""WITH ${benchGramsCte()},
           C AS (SELECT doc_id, unnest(${shingles3("text")}) AS gram
                FROM documents WHERE doc_id % 97 <> 0)
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared

@@ -691,6 +691,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-prefiltered decontamination
+    * (operators.Decontaminate.sharedNgramsBloom): same contract as q55
+    * on a different eval slice (doc_id % 89 = 0), but the corpus gram
+    * stream is pruned by a distributed-built bloom filter below its
+    * first shuffle and confirmed by a plain (non-broadcast) join — the
+    * plan shape for eval suites too large to broadcast as strings. The
+    * oracle is the exact q55 formula: the bloom stage is
+    * semantics-free by construction.
+    */
+  private def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Decontaminate.sharedNgramsBloom(
+        docs.filter(col("doc_id") % 89 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 89 === 0), "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** Repetition gate (TextAnalysis.repetitionRatio): duplicate word
     * 3-gram fraction per document in 1e6 fixed point.
     */
@@ -876,7 +893,8 @@ object SparkEntry {
     "q61_mixture_rebalance" -> (qMixture _),
     "q62_heavy_hitters" -> (qHeavyHitters _),
     "q63_funnel" -> (qFunnel _),
-    "q64_retention" -> (qRetention _))
+    "q64_retention" -> (qRetention _),
+    "q65_decontaminate_bloom" -> (qDecontaminateBloom _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

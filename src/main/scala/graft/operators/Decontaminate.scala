@@ -40,4 +40,45 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** [[sharedNgrams]] for benchmark sets too large to broadcast as
+    * strings: a bloom filter over the benchmark's gram hashes (built in
+    * one distributed aggregate — the driver receives only the final
+    * bitset) prunes the exploded corpus stream as a plan-literal,
+    * codegen'd predicate BEFORE the stream's first shuffle, and a plain
+    * shuffle join against the gram set confirms survivors exactly — so
+    * the result is identical to [[sharedNgrams]], bloom false positives
+    * and all sizing choices only move cost, never answers.
+    *
+    * Why it scales where broadcast doesn't: at ~1% fpp the filter costs
+    * ~1.2 bytes per distinct gram vs ~50+ bytes for the gram string —
+    * a 100M-gram eval suite is a ~120 MB task literal instead of a
+    * multi-GB broadcast, and the corpus-side shuffle shrinks to roughly
+    * the true-overlap stream. `expectedGrams < 0` (default) sizes the
+    * filter from an exact count of the (re-used, checkpointed) gram
+    * set; pass an estimate to skip that job.
+    */
+  def sharedNgramsBloom(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8,
+      minShared: Long = 1L, fpp: Double = 0.01,
+      expectedGrams: Long = -1L): DataFrame = {
+    require(n >= 1, s"n-gram width must be positive, got $n")
+    require(minShared >= 1, s"minShared must be positive, got $minShared")
+    // three consumers (count, bloom agg, confirm join) — tokenize once
+    val bsh = bench
+      .select(explode(shingles(col(benchTextCol), n)).as("gram")).distinct()
+      .localCheckpoint()
+    val items = if (expectedGrams >= 0) expectedGrams else bsh.count()
+    val bits = graft.expressions.Bloom.optimalNumBits(items, fpp)
+    val bytes = bsh
+      .agg(graft.expressions.Bloom.agg(col("gram"), math.max(items, 1L), bits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    corpus
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("gram"))
+      .filter(graft.expressions.Bloom.mightContain(bytes, col("gram")))
+      .join(bsh, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

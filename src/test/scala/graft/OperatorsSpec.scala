@@ -131,6 +131,66 @@ class OperatorsSpec extends SparkSpec {
       Decontaminate.sharedNgrams(corpus, "doc_id", "text", bench, "text", n = 0))
   }
 
+  test("bloom-prefiltered decontamination equals the exact path; bloom prunes below the shuffle") {
+    import graft.operators.Decontaminate
+    val bench = spark.range(0, 20)
+      .selectExpr("id", "concat('bench phrase number ', id, ' with shared words') AS text")
+    val corpus = spark.range(0, 200).selectExpr("id AS doc_id",
+      // every 10th doc embeds a benchmark phrase; the rest are unique noise
+      """CASE WHEN id % 10 = 0
+           THEN concat('leaked copy bench phrase number ', id / 10, ' with shared words inside')
+           ELSE concat('clean document ', id, ' noise ', id * 7, ' tokens ', id * 13)
+         END AS text""")
+    val exact = Decontaminate.sharedNgrams(corpus, "doc_id", "text", bench, "text", n = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bloom = Decontaminate.sharedNgramsBloom(corpus, "doc_id", "text", bench, "text", n = 3)
+    val got = bloom.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exact, s"bloom path diverged: $got vs $exact")
+    assert(exact.nonEmpty, "planted leaks must be flagged")
+    // plan shape, with auto-broadcast off to model a bench gram set too
+    // big to broadcast: the confirm join is a shuffle join, and every
+    // might_contain filter sits BELOW any exchange (shuffles only see
+    // the pruned stream). AQE may still re-plan tiny sides at runtime —
+    // the static plan is what's pinned.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val scalePlan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Decontaminate.sharedNgramsBloom(corpus, "doc_id", "text", bench, "text", n = 3)
+        .queryExecution.sparkPlan
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val bloomFilters = scalePlan.collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f }
+    assert(bloomFilters.nonEmpty, s"no bloom filter in plan:\n$scalePlan")
+    assert(bloomFilters.forall(_.collect { case e: ShuffleExchangeExec => e }.isEmpty),
+      s"bloom filters must run below every shuffle:\n$scalePlan")
+    assert(scalePlan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+      s"confirm join should be the shuffle-join scale path:\n$scalePlan")
+    // pruning power: far fewer grams survive the bloom than exist — the
+    // stream entering the shuffle is ~the true-overlap stream
+    val allGrams = corpus.select(explode(shingles(col("text"), 3))).count()
+    val survivors = corpus
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("gram"))
+      .filter(graft.expressions.Bloom.mightContain(
+        benchBloomBytes(bench, 3), col("gram")))
+      .count()
+    assert(survivors < allGrams / 2,
+      s"bloom should prune most grams: $survivors of $allGrams survived")
+  }
+
+  /** Build the bench bloom exactly as sharedNgramsBloom does (kept in
+    * the spec so the pruning measurement can't drift from the operator).
+    */
+  private def benchBloomBytes(bench: org.apache.spark.sql.DataFrame, n: Int): Array[Byte] = {
+    val bsh = bench.select(explode(shingles(col("text"), n)).as("gram")).distinct()
+    val items = math.max(bsh.count(), 1L)
+    bsh.agg(graft.expressions.Bloom.agg(col("gram"), items,
+        graft.expressions.Bloom.optimalNumBits(items, 0.01)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
   test("ngram jaccard: identical=1e6, disjoint=0") {
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
