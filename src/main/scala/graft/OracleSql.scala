@@ -684,6 +684,35 @@ object OracleSql {
                CAST(2 AS BIGINT), 2 FROM documents WHERE doc_id % 7 = 0))
          WHERE rn = 1 ORDER BY doc_id""",
 
+    // COW delete: commits 1+2 merge lexicographically (q46 argument),
+    // the deleted slice drops, and the final commit merges on top —
+    // its seq is strictly larger, so (pre DESC, seq DESC) reproduces
+    // the engine's pairwise precombine/update-wins fold
+    "q66_cow_delete" ->
+      """WITH M12 AS (
+           SELECT doc_id, txt, pre, seq FROM (
+             SELECT doc_id, txt, pre, seq,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY pre DESC, seq DESC) AS rn
+             FROM (
+               SELECT doc_id, substr(text, 1, 30) AS txt,
+                 CAST(1 AS BIGINT) AS pre, 0 AS seq FROM documents
+               UNION ALL
+               SELECT doc_id, 'tie:' || substr(text, 1, 20),
+                 CAST(1 AS BIGINT), 1 FROM documents WHERE doc_id % 5 = 0))
+           WHERE rn = 1),
+         AD AS (SELECT * FROM M12 WHERE doc_id % 3 <> 0),
+         F AS (
+           SELECT doc_id, txt, pre,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY pre DESC, seq DESC) AS rn
+           FROM (
+             SELECT doc_id, txt, pre, seq FROM AD
+             UNION ALL
+             SELECT doc_id, 'b3:' || substr(text, 1, 20),
+               CAST(2 AS BIGINT), 3 FROM documents WHERE doc_id % 4 = 0))
+         SELECT doc_id, txt, pre FROM F WHERE rn = 1 ORDER BY doc_id""",
+
     // token-window chunking: 64-token windows, stride 48 (16 overlap);
     // final window is the remainder — mirror of Chunker.chunkByTokens
     "q47_chunking" ->

@@ -588,6 +588,30 @@ object SparkEntry {
     vt.snapshot.select(col("doc_id"), col("txt"), col("pre")).orderBy(col("doc_id"))
   }
 
+  /** COW delete (VersionedTable.delete): base + tie-update commits,
+    * then a key-set delete (doc_id % 3) and a mixed re-insert/update
+    * upsert (doc_id % 4, higher precombine) — exercises delete →
+    * re-insert interplay end-to-end. The oracle merges commits 1+2
+    * lexicographically, removes the deleted slice, then merges the
+    * final commit on top.
+    */
+  private def qCowDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q66_cow_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "doc_id", "pre", numBuckets = 8)
+    vt.upsert(docs.select(col("doc_id"),
+      substring(col("text"), 1, 30).as("txt"), lit(1L).as("pre")))
+    vt.upsert(docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"),
+      concat(lit("tie:"), substring(col("text"), 1, 20)).as("txt"), lit(1L).as("pre")))
+    vt.delete(docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+    vt.upsert(docs.filter(col("doc_id") % 4 === 0).select(col("doc_id"),
+      concat(lit("b3:"), substring(col("text"), 1, 20)).as("txt"), lit(2L).as("pre")))
+    vt.snapshot.select(col("doc_id"), col("txt"), col("pre")).orderBy(col("doc_id"))
+  }
+
   /** Token-window chunking (operators.Chunker): 64-token windows with
     * 16-token overlap — the map-only splitting stage of an embedding
     * pipeline, no shuffle, no UDF.
@@ -894,7 +918,8 @@ object SparkEntry {
     "q62_heavy_hitters" -> (qHeavyHitters _),
     "q63_funnel" -> (qFunnel _),
     "q64_retention" -> (qRetention _),
-    "q65_decontaminate_bloom" -> (qDecontaminateBloom _))
+    "q65_decontaminate_bloom" -> (qDecontaminateBloom _),
+    "q66_cow_delete" -> (qCowDelete _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

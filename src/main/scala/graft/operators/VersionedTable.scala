@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
   *    max(`precombine`) (Hudi precombine semantics, register_hudi.py:65);
   *    writes only the key-hash buckets the update touches (COW at
   *    bucket granularity).
+  *  - `delete`: key-set removal as a COW commit (Hudi delete
+  *    operation) — touched buckets rewritten without the keys, older
+  *    commits untouched for time travel.
   *  - `snapshot`: latest commit read (S8's latest-version autodiscovery
   *    — lexicographic max dir, register_hudi.py:22-41).
   *  - `asOf`: time travel — newest commit ≤ the given ts
@@ -226,6 +229,68 @@ final class VersionedTable(spark: SparkSession, root: String,
       }
     }
     writeManifest(ts, prevManifest ++ written.map(_ -> ts))
+    ts
+  }
+
+  /** COW delete (Hudi `delete` operation): remove every row whose
+    * `recordKey` appears in `keys0` (any frame with that column; extra
+    * columns ignored; null keys match null-key rows via null-safe
+    * equality). Touched buckets are rewritten without the deleted keys;
+    * untouched buckets carry forward by manifest reference, and a
+    * bucket left with no rows is dropped from the manifest entirely.
+    * Carried rows keep their per-record `_commit_time` — so, matching
+    * Hudi's non-CDC incremental reads, a pure delete is invisible to
+    * [[incremental]] consumers (the snapshot is authoritative); older
+    * commits still hold the rows, so [[asOf]] before the delete
+    * resurrects them, exactly like Hudi COW time travel.
+    *
+    * Like [[upsert]], the keys plan is evaluated twice (bucket probe,
+    * then the anti-join); non-deterministic key sets should be
+    * checkpointed first — a key the probe missed would survive in an
+    * unrewritten bucket. Crash-safe: data before manifest.
+    */
+  def delete(keys0: DataFrame): String = {
+    val ts = newCommitTs()
+    val prev = commitDirs.lastOption.getOrElse(
+      sys.error(s"delete on $root: table has no commits"))
+    readBucketCount(prev).foreach { stored =>
+      require(stored == numBuckets,
+        s"table at $root was written with numBuckets=$stored, opened with $numBuckets")
+    }
+    val prevManifest = readManifest(prev)
+    val keys = keys0.select(col(recordKey)).distinct()
+    // legacy (pre-bucketing) snapshot: fold the whole table, like upsert
+    val (prevData, probed): (Option[DataFrame], Set[Int]) =
+      if (prevManifest.isEmpty) (Some(spark.read.parquet(s"$root/$prev")), Set.empty)
+      else {
+        val touched = keys.select(bucketExpr.as("b")).distinct()
+          .collect().map(_.getLong(0).toInt).toSet
+        val live = touched.filter(prevManifest.contains)
+        val paths = live.toSeq.sorted.map(b => bucketPath(b, prevManifest(b)))
+        (if (paths.isEmpty) None
+         else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*)), live)
+      }
+    var survOpt: Option[DataFrame] = None
+    val written: Seq[Int] = prevData match {
+      case None => Seq.empty
+      case Some(pd) =>
+        val surv = pd.join(keys.toDF("_del_key"),
+            pd(recordKey) <=> col("_del_key"), "left_anti")
+          .withColumn(BucketCol, bucketExpr)
+        survOpt = Some(surv)
+        surv.repartition(numBuckets, col(BucketCol))
+          .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$ts/data")
+        writtenBuckets(ts)
+    }
+    val emptied = probed -- written.toSet
+    val newManifest = (prevManifest -- emptied) ++ written.map(_ -> ts)
+    if (newManifest.isEmpty) {
+      // every row deleted: a manifest that references nothing would make
+      // the snapshot schema unrecoverable — keep one empty bucket file
+      survOpt.get.limit(0).drop(BucketCol)
+        .write.mode("overwrite").parquet(bucketPath(0, ts))
+      writeManifest(ts, Map(0 -> ts))
+    } else writeManifest(ts, newManifest)
     ts
   }
 

@@ -91,6 +91,71 @@ class VersionedTableSpec extends SparkSpec {
     assert(old("K1") == "p1")
   }
 
+  test("delete removes keys as a COW commit; time travel resurrects; re-insert works") {
+    val root = Fixtures.tmpDir("vt").toString
+    val vt = new VersionedTable(spark, root, "k", "pre", numBuckets = 4)
+    vt.upsert((1 to 20).map(i => (s"K$i", 1L, s"v$i")).toDF("k", "pre", "payload"))
+    val c2 = vt.upsert(Seq(("K1", 2L, "v1b")).toDF("k", "pre", "payload"))
+    val manifestBefore = vt.commits.size
+
+    val cDel = vt.delete(Seq("K1", "K3", "KNOPE").toDF("k"))
+    val snap = vt.snapshot.collect().map(_.getAs[String]("k")).toSet
+    assert(!snap.contains("K1") && !snap.contains("K3"), s"deleted keys present: $snap")
+    assert(snap.size == 18, s"only the two live deleted keys drop: $snap")
+    // time travel to before the delete resurrects the rows
+    val asOf = vt.asOf(c2).collect().map(_.getAs[String]("k")).toSet
+    assert(asOf.contains("K1") && asOf.contains("K3"))
+    assert(vt.commits.size == manifestBefore + 1 && vt.commits.head == cDel)
+    // carried rows keep their commit time: a delete is invisible to
+    // incremental consumers (non-CDC Hudi semantics)
+    assert(vt.incremental(cDel).count() == 0)
+
+    // re-insert after delete: no resurrection of the old payload
+    vt.upsert(Seq(("K1", 1L, "reborn")).toDF("k", "pre", "payload"))
+    val m = vt.snapshot.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("payload")).toMap
+    assert(m("K1") == "reborn" && !m.contains("K3") && m("K2") == "v2")
+  }
+
+  test("delete drops fully-emptied buckets from the manifest; untouched buckets carry by reference") {
+    val root = Fixtures.tmpDir("vt").toString
+    val vt = new VersionedTable(spark, root, "k", "pre", numBuckets = 4)
+    val keys = (1 to 40).map(i => s"K$i")
+    val c1 = vt.upsert(keys.map(k => (k, 1L, s"p$k")).toDF("k", "pre", "payload"))
+    // empty one whole bucket: delete every key the bucket holds
+    val byBucket = keys.groupBy(k =>
+      Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(k),
+          org.apache.spark.sql.types.StringType, 42L), 4L).toInt)
+    val (victimBucket, victims) = byBucket.maxBy(_._2.size)
+    vt.delete(victims.toDF("k"))
+    val snap = vt.snapshot.collect().map(_.getAs[String]("k")).toSet
+    assert(snap == keys.toSet -- victims, "exactly the victim bucket's keys drop")
+    // untouched buckets still reference the ORIGINAL commit's files
+    val manifest = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$root/${vt.commits.head}/manifest.tsv"))
+    val entries = manifest.toArray.map(_.toString).filter(l => !l.startsWith("#"))
+      .map { l => val Array(b, c) = l.split("\t"); b.toInt -> c }.toMap
+    assert(!entries.contains(victimBucket), s"emptied bucket must leave the manifest: $entries")
+    assert(entries.values.forall(_ == c1), s"survivor buckets carry by reference: $entries")
+  }
+
+  test("delete of every row keeps the schema readable; delete matches null keys") {
+    val root = Fixtures.tmpDir("vt").toString
+    val vt = new VersionedTable(spark, root, "k", "pre", numBuckets = 2)
+    vt.upsert(Seq(("a", 1L, "x"), (null: String, 1L, "nullrow")).toDF("k", "pre", "payload"))
+    // null-safe equality: a null key in the delete set removes null-key rows
+    vt.delete(Seq[String](null).toDF("k"))
+    assert(vt.snapshot.collect().map(_.getAs[String]("payload")).toSeq == Seq("x"))
+    vt.delete(Seq("a").toDF("k"))
+    val empty = vt.snapshot
+    assert(empty.count() == 0 && empty.columns.toSet == Set("k", "pre", "payload", "_commit_time"))
+    // the table remains usable after a full wipe
+    vt.upsert(Seq(("b", 1L, "back")).toDF("k", "pre", "payload"))
+    assert(vt.snapshot.collect().map(_.getAs[String]("k")).toSeq == Seq("b"))
+  }
+
   test("upsert folds a legacy manifest-less snapshot instead of dropping it") {
     import org.apache.spark.sql.functions.lit
     val root = Fixtures.tmpDir("vtl").toString
