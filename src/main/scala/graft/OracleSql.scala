@@ -980,6 +980,21 @@ object OracleSql {
             CAST(prefix % 512 AS BIGINT) AS seq_offset
           FROM P ORDER BY doc_id""",
 
+    // quantile gate: per-language exact interpolated percentile bands
+    // (quantile_cont ≡ Spark percentile, the q39 parity result); the
+    // band filter compares the same doubles on both engines
+    "q67_quantile_gate" ->
+      s"""WITH V AS (SELECT doc_id, lang,
+                 CAST(len(${toks("text")}) AS BIGINT) AS n_tokens
+               FROM documents),
+          T AS (SELECT lang, quantile_cont(n_tokens, 0.05) AS qlo,
+                 quantile_cont(n_tokens, 0.95) AS qhi
+                FROM V GROUP BY lang)
+          SELECT v.doc_id, v.lang, v.n_tokens
+          FROM V v JOIN T t ON v.lang IS NOT DISTINCT FROM t.lang
+          WHERE v.n_tokens >= t.qlo AND v.n_tokens <= t.qhi
+          ORDER BY v.doc_id""",
+
     // repetition gate: duplicate word 3-gram fraction, same IEEE op
     // order as TextAnalysis.repetitionRatio (one div, one sub, floor)
     "q56_repetition" ->

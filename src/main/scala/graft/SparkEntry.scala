@@ -732,6 +732,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Quantile gate (operators.Sampling.quantileGate): keep documents
+    * whose token count lies inside the per-language [p05, p95] band —
+    * winsorization against truncated fragments and concatenation
+    * artifacts. Exact interpolated percentile on both engines (the q39
+    * parity result).
+    */
+  private def qQuantileGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.quantileGate(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          graft.functions.tokenCount(col("text")).as("n_tokens")),
+        col("n_tokens"), col("lang"), 0.05, 0.95)
+      .orderBy(col("doc_id"))
+
   /** Repetition gate (TextAnalysis.repetitionRatio): duplicate word
     * 3-gram fraction per document in 1e6 fixed point.
     */
@@ -919,7 +932,8 @@ object SparkEntry {
     "q63_funnel" -> (qFunnel _),
     "q64_retention" -> (qRetention _),
     "q65_decontaminate_bloom" -> (qDecontaminateBloom _),
-    "q66_cow_delete" -> (qCowDelete _))
+    "q66_cow_delete" -> (qCowDelete _),
+    "q67_quantile_gate" -> (qQuantileGate _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

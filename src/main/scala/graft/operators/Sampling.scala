@@ -140,4 +140,36 @@ object Sampling {
       .filter(hashBucket(key) < col("rate_ppm"))
       .drop("_stratum")
   }
+
+  /** Keep rows whose `value` lies inside the group's [lo, hi] quantile
+    * band — the outlier-trim (winsorization) gate of corpus curation:
+    * drop truncated fragments below the low percentile and
+    * concatenation/boilerplate artifacts above the high one, per
+    * language or domain.
+    *
+    * Thresholds come from ONE aggregation over a (group, value)
+    * column-pruned scan, broadcast back onto the stream (groups are
+    * bounded — languages, domains), then the gate itself is a
+    * scan-speed filter. `exact = true` uses Spark's interpolated
+    * `percentile` (≡ DuckDB `quantile_cont` — the q39 parity result;
+    * memory O(distinct values) per group, fine for bounded domains
+    * like token counts at any corpus size); `exact = false` switches
+    * to `approx_percentile` (bounded sketch state) for unbounded value
+    * domains. NULL group keys form their own band (null-safe join);
+    * NULL values never pass the gate.
+    */
+  def quantileGate(df: DataFrame, value: Column, group: Column,
+      lo: Double, hi: Double, exact: Boolean = true): DataFrame = {
+    require(0.0 <= lo && lo <= hi && hi <= 1.0,
+      s"quantiles must satisfy 0 <= lo <= hi <= 1: $lo, $hi")
+    val base = df.withColumn("_qg_value", value).withColumn("_qg_group", group)
+    def pct(p: Double) =
+      if (exact) percentile(col("_qg_value"), lit(p))
+      else percentile_approx(col("_qg_value"), lit(p), lit(10000))
+    val bounds = base.groupBy(col("_qg_group").as("_qg_group2"))
+      .agg(pct(lo).as("_qg_lo"), pct(hi).as("_qg_hi"))
+    base.join(broadcast(bounds), col("_qg_group") <=> col("_qg_group2"))
+      .filter(col("_qg_value") >= col("_qg_lo") && col("_qg_value") <= col("_qg_hi"))
+      .drop("_qg_value", "_qg_group", "_qg_group2", "_qg_lo", "_qg_hi")
+  }
 }

@@ -233,4 +233,31 @@ class ChunkerSamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.rebalanceToMixture(
       df, col("id"), col("grp"), Seq("a" -> 300000L)))
   }
+
+  test("quantileGate trims per-group tails; null groups band together; null values drop") {
+    // group g: values 1..100 → p10=10.9, p90=90.1: keep 11..90;
+    // null group: values 1..10 plus one null-value row
+    val rows: Seq[(Long, String, java.lang.Long)] =
+      (1 to 100).map(i => (i.toLong, "g", java.lang.Long.valueOf(i.toLong))) ++
+        (101 to 110).map(i => (i.toLong, null: String,
+          java.lang.Long.valueOf((i - 100).toLong))) :+
+        ((111L, null: String, null: java.lang.Long))
+    val df = rows.toDF("id", "grp", "v")
+    val kept = Sampling.quantileGate(df, col("v"), col("grp"), 0.10, 0.90)
+      .collect().map(r => r.getLong(0)).toSet
+    val keptG = kept.filter(_ <= 100)
+    assert(keptG == (11L to 90L).toSet, s"p10..p90 of 1..100 keeps 11..90: $keptG")
+    // null group's own band: values 1..10, p10=1.9, p90=9.1 → keep 2..9
+    val keptN = kept.filter(_ > 100)
+    assert(keptN == (102L to 109L).toSet, s"null group trims its own tails: $keptN")
+    assert(!kept.contains(111L), "null values never pass the gate")
+    // degenerate band keeps everything non-null
+    assert(Sampling.quantileGate(df, col("v"), col("grp"), 0.0, 1.0).count() == 110)
+    // approx path agrees on this tiny domain
+    val approx = Sampling.quantileGate(df, col("v"), col("grp"), 0.10, 0.90, exact = false)
+      .collect().map(_.getLong(0)).toSet
+    assert((approx & keptG).size >= keptG.size - 2, s"approx near exact: ${approx.size}")
+    intercept[IllegalArgumentException](
+      Sampling.quantileGate(df, col("v"), col("grp"), 0.9, 0.1))
+  }
 }
