@@ -844,6 +844,20 @@ object OracleSql {
           ORDER BY query_id, rank"""
     },
 
+    // trailing 1h window: RANGE frame on integer µs — peers group
+    // identically on both engines, so tie order can't matter; count
+    // and cents-sum cast to BIGINT (the HUGEINT discipline)
+    "q68_trailing_window" ->
+      """WITH E AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+         SELECT event_id, user_id, ts_us,
+           CAST(count(*) OVER w AS BIGINT) AS n_win,
+           CAST(sum(cents) OVER w AS BIGINT) AS cents_win
+         FROM E
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
     // ordered funnel: stage i's first time must be strictly after the
     // user's first completion of stage i-1 — sequential min-after-join
     // chain (the Spark side chains window mins on one user partition)

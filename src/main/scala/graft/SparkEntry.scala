@@ -811,6 +811,20 @@ object SparkEntry {
         col("t_purchase").as("purchase_us"))
       .orderBy(col("user_id"))
 
+  /** Trailing 1-hour window stats (EventAnalytics.trailingStats):
+    * per event, the user's event count and cents-sum over the last
+    * hour — per-row RANGE frames on integer µs, tie-order-proof.
+    */
+  private def qTrailingWindow(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.trailingStats(
+        tRaw(s, dir, "events").select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+        col("user_id"), col("ts_us"), col("cents"), backUs = 3600000000L)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("n_win"), col("sum_win").as("cents_win"))
+      .orderBy(col("event_id"))
+
   /** Cohort retention (operators.EventAnalytics.retentionCohorts):
     * first-event-day cohorts × active-day offsets, distinct users per
     * cell.
@@ -933,7 +947,8 @@ object SparkEntry {
     "q64_retention" -> (qRetention _),
     "q65_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q66_cow_delete" -> (qCowDelete _),
-    "q67_quantile_gate" -> (qQuantileGate _))
+    "q67_quantile_gate" -> (qQuantileGate _),
+    "q68_trailing_window" -> (qTrailingWindow _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

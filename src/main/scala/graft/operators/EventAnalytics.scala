@@ -73,4 +73,26 @@ object EventAnalytics {
       .groupBy(col("cohort_day"), (col("_day") - col("cohort_day")).as("day_offset"))
       .agg(count_distinct(col("_user")).as("n_users"))
   }
+
+  /** Trailing time-window stats: for every event, the count and sum of
+    * `value` over the key's events in `[ts - backUs, ts]` — the
+    * moving-aggregate feature (rolling activity, rate limits, spend
+    * velocity) the tumbling q29 windows can't express, because each
+    * row gets its OWN window.
+    *
+    * One shuffle (the key); the frame is a value-based RANGE frame on
+    * the integer µs timestamp, so ties are peer-grouped identically on
+    * every engine and the result is independent of intra-tie order —
+    * which also means `value` should be integral (the repo's integer
+    * cross-engine summation rule; pre-scale doubles with
+    * `round(x * 100)` cents first).
+    */
+  def trailingStats(events: DataFrame, key: Column, tsUs: Column,
+      value: Column, backUs: Long): DataFrame = {
+    require(backUs >= 0, s"window lookback must be >= 0, got $backUs")
+    val w = Window.partitionBy(key).orderBy(tsUs)
+      .rangeBetween(-backUs, Window.currentRow)
+    events.withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_win", sum(value).over(w))
+  }
 }

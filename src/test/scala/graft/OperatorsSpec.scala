@@ -419,6 +419,29 @@ class OperatorsSpec extends SparkSpec {
       EventAnalytics.funnel(ev, "user_id", "event_type", "ts_us", Seq("a", "a")))
   }
 
+  test("trailingStats: per-row RANGE frame includes exactly the lookback; ties are peers") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(
+      (1L, 1L, 0L, 10L),        // frame: itself
+      (2L, 1L, 500L, 20L),      // frame: [0..500] → rows 1,2
+      (3L, 1L, 1001L, 30L),     // frame: [1..1001] → rows 2,3 (0 ages out)
+      (4L, 1L, 1001L, 40L),     // tie with row 3: same frame, BOTH peers in it
+      (5L, 2L, 100L, 99L)       // other key: own frame
+    ).toDF("event_id", "user_id", "ts_us", "cents")
+    val out = EventAnalytics.trailingStats(ev, col("user_id"), col("ts_us"),
+        col("cents"), backUs = 1000L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_win"), r.getAs[Long]("sum_win"))).toMap
+    assert(out(1L) == ((1L, 10L)))
+    assert(out(2L) == ((2L, 30L)))
+    // ties are RANGE peers: both 1001-µs rows see rows 2,3,4
+    assert(out(3L) == ((3L, 90L)) && out(4L) == ((3L, 90L)),
+      s"tied rows must share the peer frame: $out")
+    assert(out(5L) == ((1L, 99L)))
+    intercept[IllegalArgumentException](EventAnalytics.trailingStats(
+      ev, col("user_id"), col("ts_us"), col("cents"), backUs = -1L))
+  }
+
   test("retentionCohorts counts distinct users per cohort/offset cell") {
     import graft.operators.EventAnalytics
     val day = 86400000000L
