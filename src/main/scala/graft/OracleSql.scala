@@ -201,6 +201,14 @@ object OracleSql {
           ELSE (1.0::DOUBLE - len(list_distinct($g))::DOUBLE / len($g)::DOUBLE)
           END * 1000000.0::DOUBLE) AS BIGINT)"""
 
+  /** Unrolled Morton interleave — generated by the same loop shape as
+    * Layout.zValue so the two cannot drift (x bit i → 2i+1, y → 2i).
+    */
+  private def zOrderSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i + 1})",
+      s"((($y >> $i) & 1) << ${2 * i})")).mkString(" + ")
+
   /** The battery's eval-slice shingle set (doc_id % mod = 0) — shared
     * by the q55/q57/q65 decontamination formulations.
     */
@@ -843,6 +851,14 @@ object OracleSql {
           SELECT query_id, rank, doc_id, rrf_1e9 FROM RK WHERE rank <= 10
           ORDER BY query_id, rank"""
     },
+
+    // z-order: unrolled shift/mask interleave, generated from the same
+    // loop as Layout.zValue
+    "q69_zorder" ->
+      s"""SELECT doc_id, x, y, CAST(${zOrderSql("x", "y", 16)} AS BIGINT) AS zv
+          FROM (SELECT doc_id, doc_id % 65536 AS x,
+                 length(coalesce(text, '')) % 65536 AS y FROM documents)
+          ORDER BY doc_id""",
 
     // trailing 1h window: RANGE frame on integer µs — peers group
     // identically on both engines, so tie order can't matter; count

@@ -732,6 +732,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Z-order (Morton) values (operators.Layout.zValue): the
+    * bit-interleave that drives the zorderWrite clustering layout,
+    * checked term-for-term against the oracle's unrolled shift/mask
+    * sum. The layout itself (range-partition on zv → per-file
+    * bounding boxes tight in both dims) is pinned in LayoutSpec.
+    */
+  private def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"),
+      pmod(col("doc_id"), lit(65536L)).as("x"),
+      pmod(length(coalesce(col("text"), lit(""))).cast("long"), lit(65536L)).as("y"))
+    base.select(col("doc_id"), col("x"), col("y"),
+        graft.operators.Layout.zValue(col("x"), col("y"), 16).cast("long").as("zv"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quantile gate (operators.Sampling.quantileGate): keep documents
     * whose token count lies inside the per-language [p05, p95] band —
     * winsorization against truncated fragments and concatenation
@@ -948,7 +963,8 @@ object SparkEntry {
     "q65_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q66_cow_delete" -> (qCowDelete _),
     "q67_quantile_gate" -> (qQuantileGate _),
-    "q68_trailing_window" -> (qTrailingWindow _))
+    "q68_trailing_window" -> (qTrailingWindow _),
+    "q69_zorder" -> (qZorder _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout operators for shuffle avoidance at scale: bucketed
-  * co-located joins and salted skew joins.
+  * co-located joins, salted skew joins, and Z-order clustering for
+  * multi-dimensional data skipping.
   */
 object Layout {
 
@@ -26,6 +27,40 @@ object Layout {
     */
   def colocatedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Morton (Z-order) value: interleave the low `bits` bits of two
+    * non-negative integer columns — x's bit i lands at position 2i+1,
+    * y's at 2i. Rows close in BOTH dimensions get close z-values, so a
+    * range-partition on z gives every file a tight bounding box in x
+    * AND y and parquet min/max stats prune multi-dimensional
+    * predicates — the data-skipping layout single-column sorts can't
+    * provide (a sort by x leaves every file spanning all of y). Pure
+    * shift/and/add composition: codegen'd, and mirrored term-for-term
+    * by the DuckDB oracle.
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1),
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` as `numFiles` parquet files range-partitioned and
+    * sorted by [[zValue]] over `(x, y)` — the clustering pass (Hudi/
+    * Delta "Z-ORDER BY") a lake runs so that later selective scans
+    * skip files on both columns. One shuffle at write time, bought
+    * back on every subsequent multi-dimensional scan.
+    */
+  def zorderWrite(df: DataFrame, path: String, x: Column, y: Column,
+      numFiles: Int, bits: Int = 16): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    df.withColumn("_zv", zValue(x, y, bits))
+      .repartitionByRange(numFiles, col("_zv"))
+      .sortWithinPartitions(col("_zv"))
+      .drop("_zv")
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Salted join for skewed keys: explode the small side `salt` ways,
     * scatter the big side's hot keys uniformly with a random-ish salt

@@ -35,6 +35,42 @@ class LayoutSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("z-order layout gives tight per-file boxes; both dims prune, unlike a linear sort") {
+    // 64x64 grid, one row per cell — every (x, y) equally likely
+    val grid = spark.range(0, 64 * 64).selectExpr(
+      "id", "id % 64 AS x", "id DIV 64 AS y")
+    val nFiles = 16
+    val zDir = Fixtures.tmpDir("zord").toString
+    val linDir = Fixtures.tmpDir("linr").toString
+    Layout.zorderWrite(grid, zDir, col("x"), col("y"), nFiles, bits = 6)
+    // the single-column baseline: same file count, sorted by x only
+    grid.withColumn("_s", col("x"))
+      .repartitionByRange(nFiles, col("_s")).sortWithinPartitions("_s").drop("_s")
+      .write.mode("overwrite").parquet(linDir)
+
+    // per-file (min, max) boxes, as parquet row-group stats would see them
+    def boxes(dir: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg(min("x"), max("x"), min("y"), max("y"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def touched(bs: Array[(Long, Long, Long, Long)],
+        x0: Long, x1: Long, y0: Long, y1: Long): Int =
+      bs.count { case (xl, xh, yl, yh) => xh >= x0 && xl <= x1 && yh >= y0 && yl <= y1 }
+
+    val zb = boxes(zDir); val lb = boxes(linDir)
+    assert(zb.length == nFiles && lb.length == nFiles)
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(zDir).select("id").exceptAll(grid.select("id")).isEmpty)
+    // a y-only slice: the x-sorted layout cannot prune AT ALL (every
+    // file spans all of y); z-order must skip at least half the files
+    val yQueryZ = touched(zb, 0, 63, 0, 7)
+    assert(touched(lb, 0, 63, 0, 7) == nFiles, "x-sort spans all of y by construction")
+    assert(yQueryZ <= nFiles / 2, s"z-order must prune a y-slice: touched $yQueryZ/$nFiles")
+    // a small box in both dims: z-order touches few files
+    val boxZ = touched(zb, 8, 15, 8, 15)
+    assert(boxZ <= 4, s"8x8 box should touch a corner of the z-curve: $boxZ")
+  }
+
   test("provenance compaction preserves state and shrinks file count") {
     val lake = Fixtures.tmpDir("prov").toString
     val p = new Provenance(spark, lake)
