@@ -852,6 +852,19 @@ object OracleSql {
           ORDER BY query_id, rank"""
     },
 
+    // inverted index: postings recomputed straight from the corpus —
+    // term list generated from the SAME DemoQuery the index lookup uses
+    "q70_inverted_index" ->
+      s"""WITH L AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          D AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+                 unnest(tk) AS term FROM L)
+          SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf, dl
+          FROM D
+          WHERE term IN (${graft.operators.TextSearch.DemoQuery.toLowerCase
+            .split("\\s+").map(t => s"'$t'").mkString(", ")})
+          GROUP BY term, doc_id, dl
+          ORDER BY term, doc_id""",
+
     // z-order: unrolled shift/mask interleave, generated from the same
     // loop as Layout.zValue
     "q69_zorder" ->

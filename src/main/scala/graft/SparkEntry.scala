@@ -732,6 +732,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Inverted index (TextSearch.buildInvertedIndex/postings): the
+    * offline term-bucketed index build plus a query-time posting
+    * lookup for the demo query's terms — the oracle recomputes the
+    * postings straight from the corpus, so the persisted index content
+    * is what's checked.
+    */
+  private def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_q70_idx_" + Integer.toHexString(dir.hashCode)
+    graft.operators.TextSearch.buildInvertedIndex(
+      t(s, dir, "documents"), "doc_id", "text", table, buckets = 8)
+    graft.operators.TextSearch.postings(s, table,
+        graft.operators.TextSearch.DemoQuery.toLowerCase.split("\\s+").toSeq)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .orderBy(col("term"), col("doc_id"))
+  }
+
   /** Z-order (Morton) values (operators.Layout.zValue): the
     * bit-interleave that drives the zorderWrite clustering layout,
     * checked term-for-term against the oracle's unrolled shift/mask
@@ -964,7 +980,8 @@ object SparkEntry {
     "q66_cow_delete" -> (qCowDelete _),
     "q67_quantile_gate" -> (qQuantileGate _),
     "q68_trailing_window" -> (qTrailingWindow _),
-    "q69_zorder" -> (qZorder _))
+    "q69_zorder" -> (qZorder _),
+    "q70_inverted_index" -> (qInvertedIndex _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -153,4 +153,38 @@ object TextSearch {
     bm25Many(docs, idCol, textCol,
       rows.toSeq.map(r => (r.getString(0), r.getString(1))), k1, b)
   }
+
+  /** Offline inverted-index build: one row per (term, doc_id) with the
+    * term frequency and the document length, persisted as a
+    * term-bucketed, term-sorted table. The corpus-sized shuffle is
+    * paid ONCE here; every query-time lookup after it is a
+    * bucket-pruned scan (an IN filter on the bucket column touches
+    * only the query terms' buckets — assert "SelectedBucketsCount" in
+    * the plan) with no exchange on the index side. `dl` rides along so
+    * BM25-style scoring can run from the index alone, without the
+    * corpus.
+    */
+  def buildInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int): Unit =
+    docs.select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(table)
+
+  /** Posting lists for `terms` — a bucket-pruned index read (the IN
+    * filter on the bucket column selects only the terms' buckets).
+    * NOTE: Spark's autoBucketedScan heuristic values only join
+    * partitioning and will fall back to a full scan for a pruning-only
+    * read — set `spark.sql.sources.bucketing.autoBucketedScan.enabled
+    * = false` for lookup-heavy sessions (the index stays correct
+    * either way; only the skipping is at stake).
+    */
+  def postings(spark: SparkSession, table: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one lookup term")
+    spark.table(table).filter(col("term").isin(terms: _*))
+  }
 }

@@ -394,6 +394,37 @@ class OperatorsSpec extends SparkSpec {
       TextSearch.bm25Many(docs, "doc_id", "text", Seq("a" -> "x", "a" -> "y")))
   }
 
+  test("inverted index: postings match direct computation; lookups prune buckets") {
+    import graft.operators.TextSearch
+    val docs = Seq(
+      (1L, "fast fast scan of the table"),
+      (2L, "slow walk in the park"),
+      (3L, "table scan table scan table")).toDF("doc_id", "text")
+    TextSearch.buildInvertedIndex(docs, "doc_id", "text", "inv_idx_spec", buckets = 8)
+    val got = TextSearch.postings(spark, "inv_idx_spec", Seq("fast", "table"))
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("dl"))).toMap
+    assert(got == Map(
+      ("fast", 1L) -> ((2L, 6L)), ("table", 1L) -> ((1L, 6L)),
+      ("table", 3L) -> ((3L, 5L))), s"postings wrong: $got")
+    // the lookup reads only the query terms' buckets: bucket pruning
+    // shows up in the scan as SelectedBucketsCount < total. The
+    // autoBucketedScan heuristic only values join partitioning, not
+    // pruning — disable it for pruning-critical lookups (doc'd on
+    // postings()).
+    val auto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    val scan = try {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      TextSearch.postings(spark, "inv_idx_spec", Seq("fast", "table"))
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", auto)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(scan)
+    assert(sel.isDefined, s"expected a bucket-pruned scan:\n$scan")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"2 terms must not touch all 8 buckets:\n${sel.get}")
+    intercept[IllegalArgumentException](TextSearch.postings(spark, "inv_idx_spec", Nil))
+  }
+
   test("funnel requires strict stage order; out-of-order completions don't convert") {
     import graft.operators.EventAnalytics
     val ev = Seq(
