@@ -62,6 +62,35 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Compact a parquet directory's files into ~`targetBytes` outputs —
+    * the small-file maintenance pass every lake needs: streaming
+    * ingest and per-commit COW writes accumulate kilobyte files whose
+    * open/footer overhead eventually dominates scans. Sizes come from
+    * a filesystem listing (works on any Hadoop FS), the rewrite is one
+    * `repartition` (round-robin — compaction balances bytes, it does
+    * not promise an ordering), and the result lands in `outDir`: the
+    * caller swaps it in atomically (rename) or repoints readers —
+    * in-place rewrites of a live directory are how lakes lose data.
+    * Returns the output file count.
+    */
+  def compactTo(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(conf)
+    val it = fs.listFiles(path, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
+
   /** Salted join for skewed keys: explode the small side `salt` ways,
     * scatter the big side's hot keys uniformly with a random-ish salt
     * derived from a stable row hash (deterministic — no rand(), so

@@ -165,7 +165,16 @@ object TextSearch {
     * corpus.
     */
   def buildInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
-      table: String, buckets: Int): Unit =
+      table: String, buckets: Int): Unit = {
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a fresh metastore over a persistent warehouse leaves ORPHAN table
+    // locations (dir exists, no catalog entry) that fail saveAsTable
+    // with LOCATION_ALREADY_EXISTS — overwrite semantics include them
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     docs.select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("term"))
@@ -174,6 +183,7 @@ object TextSearch {
       .write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(table)
+  }
 
   /** Posting lists for `terms` — a bucket-pruned index read (the IN
     * filter on the bucket column selects only the terms' buckets).

@@ -71,6 +71,27 @@ class LayoutSpec extends SparkSpec {
     assert(boxZ <= 4, s"8x8 box should touch a corner of the z-curve: $boxZ")
   }
 
+  test("compactTo merges small files to the byte target with content unchanged") {
+    val in = Fixtures.tmpDir("cmpin").toString
+    val out = Fixtures.tmpDir("cmpout").toString
+    val df = spark.range(0, 10000).selectExpr("id", "id * 3 AS v")
+    df.repartition(64).write.mode("overwrite").parquet(in) // 64 tiny files
+    val inFiles = spark.read.parquet(in).inputFiles.length
+    assert(inFiles == 64)
+    val target = 1L << 20 // every tiny file fits: expect ONE output file
+    val n = Layout.compactTo(spark, in, out, target)
+    assert(n == 1, s"10k tiny rows fit one 1 MB target file, got $n")
+    assert(spark.read.parquet(out).inputFiles.length == 1)
+    // nothing lost, nothing duplicated
+    assert(spark.read.parquet(out).exceptAll(df).isEmpty)
+    assert(df.exceptAll(spark.read.parquet(out)).isEmpty)
+    // a tiny target splits output across more files
+    val out2 = Fixtures.tmpDir("cmpout2").toString
+    val n2 = Layout.compactTo(spark, in, out2, targetBytes = 8L << 10)
+    assert(n2 > 4, s"an 8 KB target must fan out: $n2")
+    intercept[IllegalArgumentException](Layout.compactTo(spark, in, out, 0))
+  }
+
   test("provenance compaction preserves state and shrinks file count") {
     val lake = Fixtures.tmpDir("prov").toString
     val p = new Provenance(spark, lake)

@@ -56,6 +56,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(1L -> 4L), s"streaming result must match batch: $rows")
   }
 
+  test("stream-static broadcast enrichment joins every micro-batch against the dim") {
+    // the standard ingest-time enrichment shape: per micro-batch, the
+    // stream side broadcast-joins a static dimension — no state, no
+    // watermark, append mode; the dim is re-readable between batches
+    val dir = Fixtures.tmpDir("enrich_stream")
+    val events = Seq(
+      (1L, ts(0), 10L, "click", 1.0),
+      (2L, ts(5), 11L, "view", 2.0),
+      (3L, ts(9), 99L, "click", 3.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    events.write.mode("overwrite").parquet(dir.toString)
+    val users = Seq((10L, "free"), (11L, "pro")).toDF("user_id", "tier")
+    val stream = spark.readStream.schema(events.schema).parquet(dir.toString)
+    val enriched = stream.join(broadcast(users), Seq("user_id"), "left")
+      .select("event_id", "tier")
+    assert(enriched.isStreaming, "enrichment must stay a streaming plan")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("select * from enrich_out").collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier"))).toMap
+    assert(rows == Map(1L -> Some("free"), 2L -> Some("pro"), 3L -> None),
+      s"left enrichment keeps unmatched events: $rows")
+  }
+
   test("sessionize closes a session after the gap (batch mode)") {
     val events = Seq(
       Event(1L, ts(0), 10L, "click", 1.0),
