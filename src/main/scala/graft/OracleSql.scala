@@ -258,7 +258,7 @@ object OracleSql {
         ${ivfRound("S0", "A1", "P1", "M1", "S1")},
         ${ivfRound("S1", "A2", "P2", "M2", "S2")},
         ${ivfAssignCte("C", "S2", "CC", 1)},
-        Q AS (SELECT id, emb FROM C WHERE id % 200 = 0),
+        Q AS (SELECT id, emb FROM C WHERE id % 200 = 0 AND id < 2000),
         ${ivfAssignCte("Q", "S2", "QP", nprobe)}"""
 
   /** Per-subspace PQ CTE block shared by q58/q59: sliced corpus, its
@@ -275,7 +275,7 @@ object OracleSql {
           ${ivfRound(s"PS0_$s", s"PA1_$s", s"PP1_$s", s"PM1_$s", s"PS1_$s", c)},
           ${ivfRound(s"PS1_$s", s"PA2_$s", s"PP2_$s", s"PM2_$s", s"PS2_$s", c)},
           ${ivfAssignCte(c, s"PS2_$s", s"CODE$s", 1)},
-          Q$s AS (SELECT id, emb FROM $c WHERE id % 200 = 0),
+          Q$s AS (SELECT id, emb FROM $c WHERE id % 200 = 0 AND id < 2000),
           LUT$s AS (SELECT q.id AS query_id, s2.cid,
                  ${scoreFixedSql("q.emb", "s2.cemb")} AS contrib
                 FROM Q$s q CROSS JOIN PS2_$s s2)"""
@@ -414,7 +414,7 @@ object OracleSql {
 
     "q21_ann_brute_force" ->
       s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
-          Q AS (SELECT * FROM C WHERE id % 200 = 0),
+          Q AS (SELECT * FROM C WHERE id % 200 = 0 AND id < 2000),
           S AS (SELECT q.id AS query_id, c.id AS neighbor_id,
                  ${scoreFixedSql("q.emb", "c.emb")} AS score_1e6
                 FROM C c CROSS JOIN Q q WHERE q.id <> c.id),
@@ -426,7 +426,7 @@ object OracleSql {
     "q22_ann_bucketed" ->
       s"""WITH C AS (SELECT vec_id AS id, embedding AS emb,
                  ${signBucketSql("embedding", 6)} AS bucket FROM embeddings),
-          Q AS (SELECT * FROM C WHERE id % 200 = 0),
+          Q AS (SELECT * FROM C WHERE id % 200 = 0 AND id < 2000),
           S AS (SELECT q.id AS query_id, c.id AS neighbor_id,
                  ${scoreFixedSql("q.emb", "c.emb")} AS score_1e6
                 FROM C c JOIN Q q ON q.bucket = c.bucket AND q.id <> c.id),
@@ -819,8 +819,20 @@ object OracleSql {
     // fusion — integer quotients 1e9 // (60 + rank), summed per
     // (query, doc). The BM25 chain is bm25ScCtes, shared with q51/q53.
     "q60_hybrid_rrf" -> {
-      val qt = """QT AS (SELECT doc_id AS query_id, unnest(list_distinct(tk)) AS term
-                  FROM D WHERE doc_id % 200 = 0)"""
+      // each seed keeps only its 16 rarest corpus terms (df asc, term
+      // asc) — the MoreLikeThis cap TextSearch.pruneQueryTermsByDf
+      // applies; terms absent from the corpus drop via the inner join
+      val qt = """QT0 AS (SELECT doc_id AS query_id, unnest(list_distinct(tk)) AS term
+                  FROM D WHERE doc_id % 200 = 0 AND doc_id < 5000),
+          DFX AS (SELECT term, CAST(count(*) AS BIGINT) AS dfx
+                  FROM (SELECT doc_id, unnest(list_distinct(tk)) AS term FROM D)
+                  GROUP BY term),
+          QT AS (SELECT query_id, term FROM (
+                  SELECT q.query_id, q.term,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY x.dfx, q.term) AS tr
+                  FROM QT0 q JOIN DFX x USING (term))
+                 WHERE tr <= 16)"""
       s"""WITH ${bm25ScCtes("term IN (SELECT term FROM QT)", mid = qt)},
           B AS (SELECT q.query_id, s.doc_id, CAST(sum(s.c) AS BIGINT) AS bm25
                 FROM SC s JOIN QT q USING (term)
@@ -830,7 +842,7 @@ object OracleSql {
                     ORDER BY bm25 DESC, doc_id) AS r
                  FROM B WHERE doc_id <> query_id),
           VC AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
-          VQ AS (SELECT * FROM VC WHERE id % 200 = 0),
+          VQ AS (SELECT * FROM VC WHERE id % 200 = 0 AND id < 2000),
           VS AS (SELECT q.id AS query_id, c.id AS doc_id,
                   ${scoreFixedSql("q.emb", "c.emb")} AS sc
                  FROM VC c CROSS JOIN VQ q WHERE q.id <> c.id),

@@ -255,7 +255,7 @@ object SparkEntry {
   private def qAnnBruteForce(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(
         embCorpus(s, dir),
-        embCorpus(s, dir).filter(col("id") % 200 === 0), k = 5)
+        embCorpus(s, dir).filter(col("id") % 200 === 0 && col("id") < 2000), k = 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score_1e6"))
       .orderBy(col("query_id"), col("rank"))
 
@@ -263,7 +263,7 @@ object SparkEntry {
   private def qAnnBucketed(s: SparkSession, dir: String): DataFrame =
     Similarity.bucketedTopK(
         embCorpus(s, dir),
-        embCorpus(s, dir).filter(col("id") % 200 === 0), k = 3, signBits = 6)
+        embCorpus(s, dir).filter(col("id") % 200 === 0 && col("id") < 2000), k = 3, signBits = 6)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score_1e6"))
       .orderBy(col("query_id"), col("rank"))
 
@@ -641,7 +641,7 @@ object SparkEntry {
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val corpus = embCorpus(s, dir)
     val cents = Similarity.trainCentroids(corpus, k = 8, iters = 2)
-    Similarity.ivfTopK(corpus, corpus.filter(col("id") % 200 === 0),
+    Similarity.ivfTopK(corpus, corpus.filter(col("id") % 200 === 0 && col("id") < 2000),
         cents, k = 3, nprobe = 2)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score_1e6"))
       .orderBy(col("query_id"), col("rank"))
@@ -807,7 +807,7 @@ object SparkEntry {
     val corpus = embCorpus(s, dir)
     val books = Similarity.trainPqCodebooks(corpus, m = 2, k = 4, iters = 2)
     val codes = Similarity.pqEncode(corpus, books)
-    Similarity.pqAdcTopK(codes, corpus.filter(col("id") % 200 === 0), books, k = 3)
+    Similarity.pqAdcTopK(codes, corpus.filter(col("id") % 200 === 0 && col("id") < 2000), books, k = 3)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_1e6"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -821,7 +821,7 @@ object SparkEntry {
     val corpus = embCorpus(s, dir)
     val coarse = Similarity.trainCentroids(corpus, k = 8, iters = 2)
     val books = Similarity.trainPqCodebooks(corpus, m = 2, k = 4, iters = 2)
-    Similarity.ivfPqTopK(corpus, corpus.filter(col("id") % 200 === 0),
+    Similarity.ivfPqTopK(corpus, corpus.filter(col("id") % 200 === 0 && col("id") < 2000),
         coarse, books, k = 3, nprobe = 2)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_1e6"))
       .orderBy(col("query_id"), col("rank"))
@@ -901,10 +901,13 @@ object SparkEntry {
   private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val embs = embCorpus(s, dir)
+    // FIXED seed set (identical ids at every sf ≥ 0.01): a retrieval
+    // workload's query count doesn't grow with the corpus — seeds ∝
+    // corpus made q60's work quadratic in sf (measured 30×+ at 10×)
     graft.operators.Retrieval.hybridMoreLikeThis(
         docs, "doc_id", "text", embs,
-        docs.filter(col("doc_id") % 200 === 0),
-        embs.filter(col("id") % 200 === 0),
+        docs.filter(col("doc_id") % 200 === 0 && col("doc_id") < 5000),
+        embs.filter(col("id") % 200 === 0 && col("id") < 2000),
         depth = 20, k = 10)
       .orderBy(col("query_id"), col("rank"))
   }

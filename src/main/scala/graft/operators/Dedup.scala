@@ -362,6 +362,23 @@ object Dedup {
     * the bucket fn for trained coarse centroids — the plan shape
     * (bucket equi-join, per-bucket scoring) is unchanged.
     */
+  /** Sign-bucket width for [[embeddingNearDups]] at corpus size `n` —
+    * the [[suggestSimhashParams]] analog: fixed buckets make candidate
+    * pairs grow ~n²/2^bits (measured 9.4× runtime at 10× corpus with
+    * the default 8 bits), so the bit count must track log2(n) to hold
+    * pairs ~linear. Capped by the embedding dimension (each bit is one
+    * component's sign) and 30 (the bucket fits an int-range mask).
+    * Widening buckets trades recall for cost exactly like wider simhash
+    * bands; pair the wider buckets with a lower `threshold` + exact
+    * verify when recall matters.
+    */
+  def suggestSignBits(n: Long, dim: Int): Int = {
+    require(n >= 1, s"corpus size must be >= 1, got $n")
+    require(dim >= 1, s"embedding dimension must be >= 1, got $dim")
+    val want = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt
+    math.max(4, math.min(math.min(dim, 30), want))
+  }
+
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
       threshold: Double, signBits: Int = 8): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(embCol).as("emb"),

@@ -49,7 +49,7 @@ object TextSearch {
   /** Whitespace query tokenization — the driver-side mirror of
     * `tokens(lower(text))` on the corpus side.
     */
-  private def queryTerms(q: String): Seq[String] =
+  private[operators] def queryTerms(q: String): Seq[String] =
     q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
 
   /** Tokenized corpus (doc_id, tk, dl), materialized once via
@@ -125,14 +125,54 @@ object TextSearch {
     // query would be indistinguishable from "matched no documents"
     val empty = queries.collect { case (qid, q) if queryTerms(q).isEmpty => qid }
     require(empty.isEmpty, s"queries with no terms: ${empty.mkString(", ")}")
-    val pairs = queries.flatMap { case (qid, q) => queryTerms(q).map((qid, _)) }
-    val unionTerms = pairs.map(_._2).distinct
+    bm25ManyPairs(docs, idCol, textCol,
+      queries.flatMap { case (qid, q) => queryTerms(q).map((qid, _)) }, k1, b)
+  }
+
+  /** [[bm25Many]] over EXPLICIT (query_id, term) pairs — the core the
+    * text overloads feed, exposed for callers that pre-prune query
+    * terms (e.g. [[pruneQueryTermsByDf]] capping full-document seeds).
+    */
+  def bm25ManyPairs(docs: DataFrame, idCol: String, textCol: String,
+      pairs: Seq[(String, String)],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (query_id, term) pair")
+    val distinctPairs = pairs.distinct
+    val unionTerms = distinctPairs.map(_._2).distinct
     val spark = docs.sparkSession
-    val qdf = spark.createDataFrame(pairs).toDF("query_id", "term")
+    val qdf = spark.createDataFrame(distinctPairs).toDF("query_id", "term")
     termContribs(tokenized(docs, idCol, textCol), unionTerms, k1, b)
       .join(broadcast(qdf), "term")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("bm25_1e6"))
+  }
+
+  /** Cap each query at its `maxTerms` RAREST corpus terms (df asc,
+    * term asc — deterministic and oracle-reproducible), dropping terms
+    * absent from the corpus outright (df 0 — they can't contribute).
+    * This is the Lucene MoreLikeThis discipline that makes
+    * full-document seed queries scale: common terms match nearly every
+    * document and carry ~zero idf, so keeping them inflates the
+    * (query, doc) candidate stream quadratically at 10× corpus + 10×
+    * seeds (measured 42× on q60 before this cap) while the rare terms
+    * carry essentially all of the ranking signal. One column-pruned
+    * df aggregation over the corpus; the collected map is bounded by
+    * the union term set.
+    */
+  def pruneQueryTermsByDf(docs: DataFrame, idCol: String, textCol: String,
+      pairs: Seq[(String, String)], maxTerms: Int): Seq[(String, String)] = {
+    require(maxTerms >= 1, s"maxTerms must be >= 1, got $maxTerms")
+    val unionTerms = pairs.map(_._2).distinct
+    val dfs: Map[String, Long] = docs
+      .select(explode(array_distinct(tokens(lower(col(textCol))))).as("term"))
+      .filter(col("term").isin(unionTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    pairs.filter(p => dfs.contains(p._2)).groupBy(_._1).toSeq
+      .sortBy(_._1).flatMap { case (qid, ps) =>
+        ps.map(_._2).distinct.sortBy(t => (dfs(t), t)).take(maxTerms)
+          .map((qid, _))
+      }
   }
 
   /** DataFrame-shaped overload of [[bm25Many]] for callers whose seed
@@ -141,17 +181,27 @@ object TextSearch {
     */
   def bm25Many(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
-      k1: Double, b: Double): DataFrame = {
+      k1: Double, b: Double): DataFrame =
+    bm25Many(docs, idCol, textCol,
+      collectQueries(queries, queryIdCol, queryTextCol), k1, b)
+
+  /** Collect a bounded seed-query frame to (id, text) pairs — shared
+    * by the [[bm25Many]] DataFrame overload and Retrieval's
+    * more-like-this seed handling. Queries are by nature a bounded
+    * seed set; the guard keeps an accidentally-huge frame from being
+    * collected.
+    */
+  private[operators] def collectQueries(queries: DataFrame,
+      queryIdCol: String, queryTextCol: String): Seq[(String, String)] = {
     val maxQueries = 100000
     val rows = queries
       .select(col(queryIdCol).cast("string"), col(queryTextCol).cast("string"))
       .limit(maxQueries + 1).collect()
     require(rows.length <= maxQueries,
-      s"more than $maxQueries queries — bm25Many broadcasts the query set")
+      s"more than $maxQueries queries — the query set is broadcast")
     val bad = rows.count(r => r.isNullAt(0) || r.isNullAt(1))
     require(bad == 0, s"$bad query rows have a null id or text")
-    bm25Many(docs, idCol, textCol,
-      rows.toSeq.map(r => (r.getString(0), r.getString(1))), k1, b)
+    rows.toSeq.map(r => (r.getString(0), r.getString(1)))
   }
 
   /** Offline inverted-index build: one row per (term, doc_id) with the

@@ -73,6 +73,24 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated must not: $pairs")
   }
 
+  test("suggestSignBits tracks log2(n), capped by dim and the mask width") {
+    assert(Dedup.suggestSignBits(100, dim = 64) == 7)
+    assert(Dedup.suggestSignBits(1000000, dim = 64) == 20)
+    assert(Seq(100L, 10000L, 1000000L, 100000000L)
+      .map(Dedup.suggestSignBits(_, 64)).sliding(2).forall(p => p.head <= p.last))
+    assert(Dedup.suggestSignBits(1000000, dim = 8) == 8, "capped by the dimension")
+    assert(Dedup.suggestSignBits(Long.MaxValue, dim = 64) == 30, "capped by the mask")
+    assert(Dedup.suggestSignBits(1, dim = 64) == 4, "floor keeps buckets meaningful")
+    // planted near-dup pair survives the suggested width at small n
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.9f, 0.8f, 1.0f)), (2L, Seq(0.9f, 1.0f, 0.9f, 0.9f)),
+      (3L, Seq(-1.0f, -0.8f, -0.9f, -1.0f))).toDF("id", "emb")
+    val bits = Dedup.suggestSignBits(3, dim = 4)
+    val pairs = Dedup.embeddingNearDups(emb, "id", "emb", 0.9, signBits = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"aligned pair must survive: $pairs")
+  }
+
   test("curateV2 layers repetition and decontamination gates over curate") {
     import graft.operators.Curation
     // quality gate needs len>=100 and some stopwords; build docs that
@@ -519,6 +537,26 @@ class OperatorsSpec extends SparkSpec {
     // ties (11 vs 12 both q(?)...) — 12 at q(1) outranks 11 at q(2)
     assert(out(12L)._1 == 2L && out(11L)._1 == 3L)
     intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq.empty, k = 1))
+  }
+
+  test("pruneQueryTermsByDf keeps the rarest terms, drops corpus-absent ones") {
+    import graft.operators.TextSearch
+    val docs = Seq(
+      (1L, "common rare1 common2"),
+      (2L, "common common2"),
+      (3L, "common common2 rare2"),
+      (4L, "common common2")).toDF("doc_id", "text")
+    // dfs: common 4, common2 4, rare1 1, rare2 1, ghost absent
+    val pairs = Seq(("q", "common"), ("q", "common2"), ("q", "rare1"),
+      ("q", "rare2"), ("q", "ghost"))
+    val pruned = TextSearch.pruneQueryTermsByDf(docs, "doc_id", "text", pairs, maxTerms = 2)
+    assert(pruned.toSet == Set(("q", "rare1"), ("q", "rare2")),
+      s"the two df-1 terms must win the cap: $pruned")
+    val all = TextSearch.pruneQueryTermsByDf(docs, "doc_id", "text", pairs, maxTerms = 10)
+    assert(all.map(_._2).toSet == Set("common", "common2", "rare1", "rare2"),
+      s"corpus-absent terms must drop even uncapped: $all")
+    intercept[IllegalArgumentException](
+      TextSearch.pruneQueryTermsByDf(docs, "doc_id", "text", pairs, maxTerms = 0))
   }
 
   test("hybridMoreLikeThis surfaces lexical-only and dense-only neighbors") {
