@@ -692,6 +692,23 @@ object OracleSql {
                CAST(2 AS BIGINT), 2 FROM documents WHERE doc_id % 7 = 0))
          WHERE rn = 1 ORDER BY doc_id""",
 
+    // incremental rollup maintenance: the oracle is the FULL recompute
+    // of the merged final state — the maintained summary must equal it
+    "q71_rollup_maintain" ->
+      s"""WITH B AS (SELECT doc_id, lang,
+                 CAST(len(${toks("text")}) AS BIGINT) AS n_tokens,
+                 1 AS pre, 0 AS seq FROM documents),
+          U AS (SELECT doc_id, 'xx' AS lang, n_tokens + 5 AS n_tokens,
+                 2 AS pre, 1 AS seq FROM B WHERE doc_id % 7 = 0),
+          M AS (SELECT doc_id, lang, n_tokens FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY pre DESC, seq DESC) AS rn
+                 FROM (SELECT * FROM B UNION ALL SELECT * FROM U))
+                WHERE rn = 1)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+          FROM M GROUP BY lang ORDER BY lang""",
+
     // COW delete: commits 1+2 merge lexicographically (q46 argument),
     // the deleted slice drops, and the final commit merges on top —
     // its seq is strictly larger, so (pre DESC, seq DESC) reproduces

@@ -612,6 +612,34 @@ object SparkEntry {
     vt.snapshot.select(col("doc_id"), col("txt"), col("pre")).orderBy(col("doc_id"))
   }
 
+  /** Incremental rollup maintenance (operators.RollupMaintenance):
+    * a per-language summary bootstrapped at commit 1, then REFRESHED
+    * from commit 2's incremental delta (touched groups recomputed —
+    * including the OLD groups of moved keys — untouched groups carried
+    * verbatim). The oracle is the full recompute of the merged final
+    * state: incremental maintenance must equal it exactly.
+    */
+  private def qRollupMaintain(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q71_roll_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "doc_id", "pre", numBuckets = 8)
+    val base = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      graft.functions.tokenCount(col("text")).as("n_tokens"), lit(1L).as("pre"))
+    val aggs = Seq("n_docs" -> count(lit(1)), "sum_tokens" -> sum(col("n_tokens")))
+    val c1 = vt.upsert(base)
+    val summary1 = graft.operators.RollupMaintenance.fullRollup(vt, "lang", aggs)
+      .localCheckpoint()
+    // commit 2 MOVES every 7th doc to lang 'xx' and grows its tokens
+    vt.upsert(base.filter(col("doc_id") % 7 === 0)
+      .withColumn("lang", lit("xx"))
+      .withColumn("n_tokens", col("n_tokens") + 5)
+      .withColumn("pre", lit(2L)))
+    graft.operators.RollupMaintenance.maintainRollup(vt, c1, summary1, "lang", aggs)
+      .orderBy(col("lang"))
+  }
+
   /** Token-window chunking (operators.Chunker): 64-token windows with
     * 16-token overlap — the map-only splitting stage of an embedding
     * pipeline, no shuffle, no UDF.
@@ -984,7 +1012,8 @@ object SparkEntry {
     "q67_quantile_gate" -> (qQuantileGate _),
     "q68_trailing_window" -> (qTrailingWindow _),
     "q69_zorder" -> (qZorder _),
-    "q70_inverted_index" -> (qInvertedIndex _))
+    "q70_inverted_index" -> (qInvertedIndex _),
+    "q71_rollup_maintain" -> (qRollupMaintain _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -56,7 +56,7 @@ object VersionedTable {
 }
 
 final class VersionedTable(spark: SparkSession, root: String,
-    recordKey: String, precombine: String, numBuckets: Int = 16) {
+    val recordKey: String, precombine: String, numBuckets: Int = 16) {
 
   val CommitCol = "_commit_time"
   private val BucketCol = "_bucket"

@@ -156,6 +156,39 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.snapshot.collect().map(_.getAs[String]("k")).toSeq == Seq("b"))
   }
 
+  test("maintainRollup recomputes touched groups (incl. moved-from), carries the rest") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import graft.operators.RollupMaintenance
+    val root = Fixtures.tmpDir("vt").toString
+    val vt = new VersionedTable(spark, root, "k", "pre", numBuckets = 4)
+    val aggs = Seq("n" -> count(lit(1)), "s" -> sum(col("v")))
+    val c1 = vt.upsert(Seq(
+      ("K1", "a", 10L, 1L), ("K2", "a", 20L, 1L),
+      ("K3", "b", 30L, 1L), ("K4", "c", 40L, 1L),
+      ("K6", "e", 60L, 1L)).toDF("k", "grp", "v", "pre"))
+    val s1 = RollupMaintenance.fullRollup(vt, "grp", aggs).localCheckpoint()
+    // K3 MOVES b → a (b empties!), K4 updates in place, K5 is new in d
+    vt.upsert(Seq(("K3", "a", 31L, 2L), ("K4", "c", 41L, 2L),
+      ("K5", "d", 50L, 1L)).toDF("k", "grp", "v", "pre"))
+    val got = RollupMaintenance.maintainRollup(vt, c1, s1, "grp", aggs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val full = RollupMaintenance.fullRollup(vt, "grp", aggs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == full, s"maintained must equal full recompute: $got vs $full")
+    assert(got == Map("a" -> ((3L, 61L)), "c" -> ((1L, 41L)),
+      "d" -> ((1L, 50L)), "e" -> ((1L, 60L))),
+      s"moved-from group b must disappear: $got")
+    // documented caveat, pinned: deleting a pre-sinceTs key in an
+    // otherwise-untouched group is invisible to incremental — the
+    // carried summary row goes STALE; full-refresh after deletes
+    vt.delete(Seq("K6").toDF("k"))
+    val afterDel = RollupMaintenance.maintainRollup(vt, c1, s1, "grp", aggs)
+      .collect().map(r => r.getString(0)).toSet
+    assert(afterDel.contains("e"), "delete staleness is the documented contract")
+    assert(!RollupMaintenance.fullRollup(vt, "grp", aggs)
+      .collect().map(_.getString(0)).toSet.contains("e"))
+  }
+
   test("upsert folds a legacy manifest-less snapshot instead of dropping it") {
     import org.apache.spark.sql.functions.lit
     val root = Fixtures.tmpDir("vtl").toString
