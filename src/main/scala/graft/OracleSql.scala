@@ -692,6 +692,37 @@ object OracleSql {
                CAST(2 AS BIGINT), 2 FROM documents WHERE doc_id % 7 = 0))
          WHERE rn = 1 ORDER BY doc_id""",
 
+    // commit diff: replay base (A) and head (B = merge + inserts −
+    // deletes), then the same key-level FULL OUTER classification
+    "q72_commit_diff" ->
+      """WITH A AS (SELECT doc_id, substr(text, 1, 20) AS txt,
+                CAST(1 AS BIGINT) AS pre FROM documents),
+          U AS (SELECT doc_id, 'upd:' || substr(text, 1, 15) AS txt,
+                CAST(2 AS BIGINT) AS pre FROM documents WHERE doc_id % 5 = 0),
+          I AS (SELECT doc_id + 1000000 AS doc_id, 'fresh' AS txt,
+                CAST(1 AS BIGINT) AS pre FROM documents WHERE doc_id % 11 = 0),
+          MB AS (SELECT doc_id, txt, pre FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY pre DESC, seq DESC) AS rn
+                 FROM (SELECT doc_id, txt, pre, 0 AS seq FROM A
+                       UNION ALL SELECT doc_id, txt, pre, 1 FROM U
+                       UNION ALL SELECT doc_id, txt, pre, 2 FROM I))
+                WHERE rn = 1),
+          B AS (SELECT * FROM MB WHERE doc_id NOT IN
+                (SELECT doc_id FROM documents WHERE doc_id % 9 = 0)),
+          D AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 CASE WHEN a.doc_id IS NULL THEN 'insert'
+                      WHEN b.doc_id IS NULL THEN 'delete'
+                      WHEN NOT (a.txt IS NOT DISTINCT FROM b.txt
+                                AND a.pre IS NOT DISTINCT FROM b.pre)
+                        THEN 'update' END AS change_type,
+                 a.txt AS before_txt, b.txt AS after_txt,
+                 a.pre AS before_pre, b.pre AS after_pre
+                FROM A a FULL JOIN B b ON a.doc_id = b.doc_id)
+          SELECT doc_id, change_type, before_txt, after_txt,
+            before_pre, after_pre
+          FROM D WHERE change_type IS NOT NULL ORDER BY doc_id""",
+
     // incremental rollup maintenance: the oracle is the FULL recompute
     // of the merged final state — the maintained summary must equal it
     "q71_rollup_maintain" ->

@@ -612,6 +612,29 @@ object SparkEntry {
     vt.snapshot.select(col("doc_id"), col("txt"), col("pre")).orderBy(col("doc_id"))
   }
 
+  /** Commit-to-commit change feed (VersionedTable.diff): updates,
+    * inserts, and deletes between the base commit and the head,
+    * classified by a key-level snapshot comparison — the CDC view the
+    * lake can serve without per-commit change logs. The oracle replays
+    * the merge/delete pipeline and takes the same FULL OUTER diff.
+    */
+  private def qCommitDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q72_diff_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "doc_id", "pre", numBuckets = 8)
+    val c1 = vt.upsert(docs.select(col("doc_id"),
+      substring(col("text"), 1, 20).as("txt"), lit(1L).as("pre")))
+    vt.upsert(docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"),
+      concat(lit("upd:"), substring(col("text"), 1, 15)).as("txt"), lit(2L).as("pre")))
+    vt.upsert(docs.filter(col("doc_id") % 11 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"), lit("fresh").as("txt"), lit(1L).as("pre")))
+    val head = vt.delete(docs.filter(col("doc_id") % 9 === 0).select(col("doc_id")))
+    vt.diff(c1, head).orderBy(col("doc_id"))
+  }
+
   /** Incremental rollup maintenance (operators.RollupMaintenance):
     * a per-language summary bootstrapped at commit 1, then REFRESHED
     * from commit 2's incremental delta (touched groups recomputed —
@@ -1013,7 +1036,8 @@ object SparkEntry {
     "q68_trailing_window" -> (qTrailingWindow _),
     "q69_zorder" -> (qZorder _),
     "q70_inverted_index" -> (qInvertedIndex _),
-    "q71_rollup_maintain" -> (qRollupMaintain _))
+    "q71_rollup_maintain" -> (qRollupMaintain _),
+    "q72_commit_diff" -> (qCommitDiff _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

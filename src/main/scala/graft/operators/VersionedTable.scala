@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   *  - `delete`: key-set removal as a COW commit (Hudi delete
   *    operation) — touched buckets rewritten without the keys, older
   *    commits untouched for time travel.
+  *  - `diff`: key-level change feed (insert/delete/update) between
+  *    any two commits via snapshot comparison — sees deletes, unlike
+  *    `incremental`.
   *  - `snapshot`: latest commit read (S8's latest-version autodiscovery
   *    — lexicographic max dir, register_hudi.py:22-41).
   *  - `asOf`: time travel — newest commit ≤ the given ts
@@ -292,6 +295,43 @@ final class VersionedTable(spark: SparkSession, root: String,
       writeManifest(ts, Map(0 -> ts))
     } else writeManifest(ts, newManifest)
     ts
+  }
+
+  /** Change feed between two commits — the snapshot-diff CDC a
+    * non-CDC lake can still offer: a key-level FULL OUTER join of the
+    * two as-of states, classifying every key as insert / delete /
+    * update (payload columns compared null-safely, `_commit_time`
+    * excluded — a rewrite that changes no payload is not a change) and
+    * dropping unchanged keys. Unlike [[incremental]] this SEES deletes
+    * (they surface as missing keys on the newer side) at the cost of
+    * reading both snapshots rather than only changed buckets — the
+    * classic completeness/cost trade; at scale, run it per bucket or
+    * over manifest-diff-pruned buckets.
+    *
+    * Output: recordKey, change_type, then `before_<c>` / `after_<c>`
+    * for every shared payload column (null on the absent side).
+    */
+  def diff(tsA: String, tsB: String): DataFrame = {
+    val a = asOf(tsA); val b = asOf(tsB)
+    val payload = a.columns.toSeq.filter(c => c != recordKey && c != CommitCol)
+      .filter(b.columns.contains)
+    val ap = a.select(col(recordKey).as("_ka") +: lit(true).as("_pa") +:
+      payload.map(c => col(c).as(s"before_$c")): _*)
+    val bp = b.select(col(recordKey).as("_kb") +: lit(true).as("_pb") +:
+      payload.map(c => col(c).as(s"after_$c")): _*)
+    val joined = ap.join(bp, col("_ka") <=> col("_kb"), "full_outer")
+    val sameLoad = struct(payload.map(c => col(s"before_$c")): _*) <=>
+      struct(payload.map(c => col(s"after_$c")): _*)
+    joined
+      .withColumn(recordKey, coalesce(col("_ka"), col("_kb")))
+      .withColumn("change_type",
+        when(col("_pa").isNull, lit("insert"))
+          .when(col("_pb").isNull, lit("delete"))
+          .when(!sameLoad, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .drop("_ka", "_kb", "_pa", "_pb")
+      .select(col(recordKey) +: col("change_type") +:
+        payload.flatMap(c => Seq(col(s"before_$c"), col(s"after_$c"))): _*)
   }
 
   /** Bucket-count migration — the growth path for a table whose data

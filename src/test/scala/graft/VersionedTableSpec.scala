@@ -156,6 +156,35 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.snapshot.collect().map(_.getAs[String]("k")).toSeq == Seq("b"))
   }
 
+  test("diff classifies insert/delete/update; identical rewrites and null keys handled") {
+    val root = Fixtures.tmpDir("vt").toString
+    val vt = new VersionedTable(spark, root, "k", "pre", numBuckets = 4)
+    val c1 = vt.upsert(Seq(
+      ("A", 1L, "a1"), ("B", 1L, "b1"), ("C", 1L, "c1"),
+      (null: String, 1L, "n1")).toDF("k", "pre", "payload"))
+    vt.upsert(Seq(
+      ("A", 2L, "a2"),                  // payload update
+      ("B", 1L, "b1"),                  // tie-rewrite, payload IDENTICAL → not a change
+      ("D", 1L, "d1"),                  // insert
+      (null: String, 2L, "n2")          // null-key update
+    ).toDF("k", "pre", "payload"))
+    val head = vt.delete(Seq("C").toDF("k"))
+    val out = vt.diff(c1, head).collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        r.getAs[String]("change_type")).toMap
+    assert(out == Map("A" -> "update", "C" -> "delete", "D" -> "insert",
+      "<null>" -> "update"), s"B's identical rewrite must not surface: $out")
+    // before/after payloads ride along, null on the absent side
+    val rows = vt.diff(c1, head).collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        (Option(r.getAs[String]("before_payload")),
+          Option(r.getAs[String]("after_payload")))).toMap
+    assert(rows("A") == ((Some("a1"), Some("a2"))))
+    assert(rows("C") == ((Some("c1"), None)) && rows("D") == ((None, Some("d1"))))
+    // a diff of a commit against itself is empty
+    assert(vt.diff(head, head).count() == 0)
+  }
+
   test("maintainRollup recomputes touched groups (incl. moved-from), carries the rest") {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     import graft.operators.RollupMaintenance
