@@ -692,6 +692,23 @@ object OracleSql {
                CAST(2 AS BIGINT), 2 FROM documents WHERE doc_id % 7 = 0))
          WHERE rn = 1 ORDER BY doc_id""",
 
+    // key-skew report: per-key counts, top-20 by (n desc, key), and a
+    // 1-row distribution summary; quantile_cont ≡ Spark percentile
+    "q73_key_skew" ->
+      """WITH K AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY user_id),
+          S AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 quantile_cont(n, 0.5) AS p50_n,
+                 quantile_cont(n, 0.99) AS p99_n,
+                 CAST(max(n) AS BIGINT) AS max_n FROM K),
+          T AS (SELECT key, n,
+                 row_number() OVER (ORDER BY n DESC, key) AS rank FROM K)
+          SELECT CAST(t.rank AS BIGINT) AS rank, t.key, t.n,
+            CAST(t.n * 1000000 // s.total AS BIGINT) AS share_1e6,
+            s.n_keys, s.p50_n, s.p99_n, s.max_n
+          FROM T t CROSS JOIN S s WHERE t.rank <= 20 ORDER BY rank""",
+
     // commit diff: replay base (A) and head (B = merge + inserts −
     // deletes), then the same key-level FULL OUTER classification
     "q72_commit_diff" ->

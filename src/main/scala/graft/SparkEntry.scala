@@ -612,6 +612,16 @@ object SparkEntry {
     vt.snapshot.select(col("doc_id"), col("txt"), col("pre")).orderBy(col("doc_id"))
   }
 
+  /** Key-skew report (operators.Diagnostics.keySkewReport): the top-20
+    * hottest user_ids with row shares plus the per-key count
+    * distribution — the pre-join measurement that picks between plain
+    * shuffle, AQE skew handling, and an explicit salted join.
+    */
+  private def qKeySkew(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.keySkewReport(
+        tRaw(s, dir, "events"), col("user_id"), topK = 20)
+      .orderBy(col("rank"))
+
   /** Commit-to-commit change feed (VersionedTable.diff): updates,
     * inserts, and deletes between the base commit and the head,
     * classified by a key-level snapshot comparison — the CDC view the
@@ -1037,7 +1047,8 @@ object SparkEntry {
     "q69_zorder" -> (qZorder _),
     "q70_inverted_index" -> (qInvertedIndex _),
     "q71_rollup_maintain" -> (qRollupMaintain _),
-    "q72_commit_diff" -> (qCommitDiff _))
+    "q72_commit_diff" -> (qCommitDiff _),
+    "q73_key_skew" -> (qKeySkew _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

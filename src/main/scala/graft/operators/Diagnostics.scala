@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-distribution diagnostics — the measurements that decide layout
+  * and join strategy before anyone burns a cluster-day discovering
+  * them the hard way.
+  */
+object Diagnostics {
+
+  /** Key-skew report for a prospective join/partition key: the top-K
+    * hottest keys with their row share, alongside the per-key count
+    * distribution (p50 / p99 / max) and the distinct-key count — the
+    * numbers that decide between a plain shuffle join, AQE skew
+    * handling, and an explicit [[Layout.saltedJoin]].
+    *
+    * Scale shape: one shuffle (the key groupBy with map-side partial
+    * aggregation), then a TakeOrdered for the top-K (never a global
+    * sort) and a single-row stats aggregate broadcast onto the K rows.
+    * The rank window runs over only the K survivors. Exact percentile
+    * here is over per-key COUNTS (cardinality = distinct keys); for
+    * billion-key domains switch the percentile to approx_percentile —
+    * the report stays the same shape.
+    *
+    * Output: (rank, key, n, share_1e6, n_keys, p50_n, p99_n, max_n).
+    */
+  def keySkewReport(df: DataFrame, key: Column, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(
+      sum(col("n")).as("_total"),
+      count(lit(1)).as("n_keys"),
+      percentile(col("n"), lit(0.5)).as("p50_n"),
+      percentile(col("n"), lit(0.99)).as("p99_n"),
+      max(col("n")).as("max_n"))
+    val top = counts.orderBy(col("n").desc, col("key")).limit(topK)
+    top.crossJoin(broadcast(stats))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("key"))).cast("long"))
+      .withColumn("share_1e6", expr("n * 1000000 div _total"))
+      .select(col("rank"), col("key"), col("n"), col("share_1e6"),
+        col("n_keys"), col("p50_n"), col("p99_n"), col("max_n"))
+  }
+}

@@ -503,6 +503,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("keySkewReport surfaces hot keys with shares and count quantiles; top-k plan") {
+    import graft.operators.Diagnostics
+    val df = ((1 to 60).map(_ => "hot") ++ (1 to 20).map(_ => "warm") ++
+      (1 to 20).map(i => s"k$i")).toDF("key0")
+    val rep = Diagnostics.keySkewReport(df, col("key0"), topK = 2)
+    val out = rep.collect()
+    assert(out.length == 2)
+    val r1 = out.find(_.getAs[Long]("rank") == 1L).get
+    assert(r1.getAs[String]("key") == "hot" && r1.getAs[Long]("n") == 60L)
+    assert(r1.getAs[Long]("share_1e6") == 60L * 1000000L / 100L)
+    assert(r1.getAs[Long]("n_keys") == 22L && r1.getAs[Long]("max_n") == 60L)
+    // per-key counts: twenty 1s, a 20, a 60 → p50 is 1
+    assert(r1.getAs[Double]("p50_n") == 1.0)
+    // the top-k is a TakeOrdered, never a global sort
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+    intercept[IllegalArgumentException](Diagnostics.keySkewReport(df, col("key0"), 0))
+  }
+
   test("heavyHitters ranks by exact count and the count-min contract holds") {
     import graft.operators.Sketches
     // skewed stream: "hot" 50×, "warm" 10×, singletons
