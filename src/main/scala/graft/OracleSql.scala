@@ -412,6 +412,31 @@ object OracleSql {
           FROM D a JOIN D b ON a.doc_id < b.doc_id ORDER BY id_a, id_b"""
     },
 
+    // formatting-invariant dedup: mirror of TextAnalysis.normalizeForDedup
+    // (lowercase → strip [^a-z0-9\s] → collapse \s+ → trim); DuckDB
+    // regexp_replace needs the explicit 'g' flag Spark applies implicitly
+    "q74_dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(
+           lower(coalesce(text, '')), '[^a-z0-9\s]', '', 'g'),
+           '\s+', ' ', 'g'))) AS content_hash,
+         min(doc_id) AS keep_id, cast(count(*) as bigint) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY content_hash""",
+
+    // asymmetric containment over the q20 pair set: |A∩B|/|A| and /|B|,
+    // empty-denominator → 0 (the ratio() guard)
+    "q75_ngram_containment" -> {
+      val sh = shingles3("text")
+      s"""WITH D AS (SELECT doc_id, $sh AS sh FROM documents WHERE doc_id % 29 = 0)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            cast(floor((CASE WHEN len(a.sh) = 0 THEN 0.0
+              ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)::DOUBLE
+              END) * 1000000.0) as bigint) AS cont_a_1e6,
+            cast(floor((CASE WHEN len(b.sh) = 0 THEN 0.0
+              ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh)::DOUBLE
+              END) * 1000000.0) as bigint) AS cont_b_1e6
+          FROM D a JOIN D b ON a.doc_id < b.doc_id ORDER BY id_a, id_b"""
+    },
+
     "q21_ann_brute_force" ->
       s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
           Q AS (SELECT * FROM C WHERE id % 200 = 0 AND id < 2000),

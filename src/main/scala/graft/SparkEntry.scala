@@ -248,6 +248,28 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Formatting-invariant exact dedup (TextAnalysis.normalizeForDedup
+    * + Dedup.exact): re-punctuated / re-wrapped copies collapse into
+    * one group — the normalization pass raw-byte hashing misses.
+    */
+  private def qDedupNormalized(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), col("doc_id"),
+        graft.operators.TextAnalysis.normalizeForDedup(col("text")))
+      .orderBy(col("content_hash"))
+
+  /** Asymmetric n-gram containment (Dedup.ngramContainment) over the
+    * q20 candidate pairs: |A∩B|/|A| and /|B| — the partial-duplication
+    * signal Jaccard under-scores when lengths differ.
+    */
+  private def qNgramContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 29 === 0)
+    val ids = docs.select(col("doc_id").as("id"))
+    val pairs = ids.as("a").join(ids.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    Dedup.ngramContainment(docs, "doc_id", "text", pairs, 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private def embCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("emb"))
 
@@ -1048,7 +1070,9 @@ object SparkEntry {
     "q70_inverted_index" -> (qInvertedIndex _),
     "q71_rollup_maintain" -> (qRollupMaintain _),
     "q72_commit_diff" -> (qCommitDiff _),
-    "q73_key_skew" -> (qKeySkew _))
+    "q73_key_skew" -> (qKeySkew _),
+    "q74_dedup_normalized" -> (qDedupNormalized _),
+    "q75_ngram_containment" -> (qNgramContainment _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

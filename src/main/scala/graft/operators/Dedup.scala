@@ -278,6 +278,28 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT for candidate pairs: |A∩B| / |A|
+    * and |A∩B| / |B| in 1e6 fixed point. Jaccard under-scores a short
+    * document fully embedded in a long one (quotation, excerpting,
+    * boilerplate wrapping — the partial-duplication cases a training
+    * corpus cares about); containment of the shorter side stays ~1
+    * regardless of the length gap. Same join shape as [[ngramJaccard]]
+    * — shingle sets attach to the (bounded) candidate pair stream.
+    */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    def fixed(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
+    candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        fixed(ratio(size(array_intersect(col("sh_a"), col("sh_b"))),
+          size(col("sh_a")))).as("cont_a_1e6"),
+        fixed(ratio(size(array_intersect(col("sh_a"), col("sh_b"))),
+          size(col("sh_b")))).as("cont_b_1e6"))
+  }
+
   /** Connected components over an undirected dup-pair graph: each node
     * gets the minimum id reachable from it (its cluster id).
     *

@@ -146,4 +146,18 @@ object TextAnalysis {
   def rollingHash(text: Column, b: Long = 131L, p: Long = 1000000007L): Column =
     aggregate(tokens(lower(text)), lit(0L),
       (acc, t) => pmod(acc * b + pmod(md5Long(t), lit(p)), lit(p)))
+
+  /** Formatting-invariant canonical form for dedup keys: lowercase,
+    * punctuation stripped, whitespace collapsed, trimmed — so exact
+    * dedup also collapses the re-serialized / re-wrapped / re-punctuated
+    * copies that raw-byte hashing misses (the first normalization pass
+    * every published dedup pipeline applies before hashing). ASCII
+    * character class on purpose: `[^a-z0-9\s]` means the same thing to
+    * every regex engine, where Unicode classes are engine-dependent —
+    * swap in `\p{L}\p{N}` for Unicode corpora and re-derive the oracle.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(coalesce(text, lit(""))), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
 }

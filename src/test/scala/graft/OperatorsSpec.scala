@@ -209,6 +209,33 @@ class OperatorsSpec extends SparkSpec {
       .head().getAs[Array[Byte]](0)
   }
 
+  test("normalized dedup collapses re-punctuated copies; containment beats jaccard on subsets") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "Hello, World! This is   fine."),
+      (2L, "hello world this is fine"),        // same after normalization
+      (3L, "Entirely different content here.")).toDF("doc_id", "text")
+    val groups = Dedup.exact(docs, col("doc_id"),
+        TextAnalysis.normalizeForDedup(col("text")))
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_dups")).toMap
+    assert(groups == Map(1L -> 2L, 3L -> 1L),
+      s"punctuation/case/whitespace variants must collapse: $groups")
+    // containment: doc 5 (a strict subset) scores ~1 against its host
+    // even though jaccard is diluted by the host's extra grams
+    val sub = Seq(
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val pairs = Seq((4L, 5L)).toDF("id_a", "id_b")
+    val c = Dedup.ngramContainment(sub, "doc_id", "text", pairs, 3).collect()(0)
+    assert(c.getAs[Long]("cont_b_1e6") == 1000000L,
+      "the subset's grams are fully contained in the host")
+    assert(c.getAs[Long]("cont_a_1e6") < 500000L,
+      "the host is not contained in the subset")
+    val j = Dedup.ngramJaccard(sub, "doc_id", "text", pairs, 3)
+      .collect()(0).getAs[Double]("jaccard")
+    assert(j < 0.5, s"jaccard under-scores the subset relationship: $j")
+  }
+
   test("ngram jaccard: identical=1e6, disjoint=0") {
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
