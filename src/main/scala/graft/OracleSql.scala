@@ -214,7 +214,7 @@ object OracleSql {
     */
   private def benchGramsCte(mod: Int = 97): String =
     s"""BG AS (SELECT DISTINCT unnest(${shingles3("text")}) AS gram
-           FROM documents WHERE doc_id % $mod = 0)"""
+           FROM documents WHERE doc_id % $mod = 0 AND doc_id < 5000)"""
 
   /** BM25 stat chain shared by q51/q53/q60 — tokenized corpus (L, D),
     * corpus stats (ST), exploded term stream filtered by `eqFilter`
@@ -1153,7 +1153,7 @@ object OracleSql {
     "q65_decontaminate_bloom" ->
       s"""WITH ${benchGramsCte(89)},
           C AS (SELECT doc_id, unnest(${shingles3("text")}) AS gram
-               FROM documents WHERE doc_id % 89 <> 0)
+               FROM documents WHERE NOT (doc_id % 89 = 0 AND doc_id < 5000))
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
           FROM C JOIN BG USING (gram)
           GROUP BY doc_id
@@ -1164,7 +1164,7 @@ object OracleSql {
     "q55_decontaminate" ->
       s"""WITH ${benchGramsCte()},
           C AS (SELECT doc_id, unnest(${shingles3("text")}) AS gram
-               FROM documents WHERE doc_id % 97 <> 0)
+               FROM documents WHERE NOT (doc_id % 97 = 0 AND doc_id < 5000))
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
           FROM C JOIN BG USING (gram)
           GROUP BY doc_id

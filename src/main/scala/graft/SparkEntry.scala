@@ -792,9 +792,11 @@ object SparkEntry {
     */
   private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // FIXED eval slice (no-op at driver SFs, where max doc_id = 4999):
+    // a benchmark suite's size doesn't grow with the training corpus
     graft.operators.Decontaminate.sharedNgrams(
-        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
-        docs.filter(col("doc_id") % 97 === 0), "text", n = 3)
+        docs.filter(!(col("doc_id") % 97 === 0 && col("doc_id") < 5000)), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000), "text", n = 3)
       .orderBy(col("doc_id"))
   }
 
@@ -810,8 +812,8 @@ object SparkEntry {
   private def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     graft.operators.Decontaminate.sharedNgramsBloom(
-        docs.filter(col("doc_id") % 89 =!= 0), "doc_id", "text",
-        docs.filter(col("doc_id") % 89 === 0), "text", n = 3)
+        docs.filter(!(col("doc_id") % 89 === 0 && col("doc_id") < 5000)), "doc_id", "text",
+        docs.filter(col("doc_id") % 89 === 0 && col("doc_id") < 5000), "text", n = 3)
       .orderBy(col("doc_id"))
   }
 
@@ -875,7 +877,8 @@ object SparkEntry {
     */
   private def qCurationV2(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    graft.operators.Curation.curateV2(docs, docs.filter(col("doc_id") % 97 === 0))
+    graft.operators.Curation.curateV2(docs,
+      docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000))
       .select(col("doc_id"), col("quality_1e6"), col("predicted_lang"))
       .orderBy(col("doc_id"))
   }
