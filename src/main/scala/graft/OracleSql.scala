@@ -412,6 +412,28 @@ object OracleSql {
           FROM D a JOIN D b ON a.doc_id < b.doc_id ORDER BY id_a, id_b"""
     },
 
+    // fuzzy names: the oracle is the DIRECT all-pairs formulation —
+    // names are 18 chars, so the engine's trigram blocking is exact by
+    // the pigeonhole recall contract and must reproduce it
+    "q76_fuzzy_names" ->
+      """WITH N AS (SELECT c_custkey AS id, lower(trim(c_name)) AS nm
+                FROM customer WHERE c_custkey % 31 = 0 AND c_custkey < 15000)
+         SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+         FROM N a JOIN N b ON a.id < b.id
+         WHERE levenshtein(a.nm, b.nm) <= 2
+         ORDER BY id_a, id_b""",
+
+    // CUBE over (source, lang): all four grouping levels; GROUPING()
+    // bitmask disambiguates roll-up nulls; NULLS FIRST pinned on both
+    // engines (their defaults differ)
+    "q77_cube_counts" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(GROUPING(source, lang) AS BIGINT) AS gid
+         FROM documents GROUP BY CUBE (source, lang)
+         ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""",
+
     // formatting-invariant dedup: mirror of TextAnalysis.normalizeForDedup
     // (lowercase → strip [^a-z0-9\s] → collapse \s+ → trim); DuckDB
     // regexp_replace needs the explicit 'g' flag Spark applies implicitly

@@ -270,6 +270,31 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Fuzzy entity resolution (operators.FuzzyJoin.editDistancePairs):
+    * customer-name pairs within 2 edits, blocked on shared character
+    * trigrams. Names are 18 chars (> q·(maxDist+1)), so the pigeonhole
+    * recall contract makes the blocked result EQUAL the oracle's
+    * direct all-pairs formulation. Fixed slice (id-capped) — an entity
+    * registry being linked doesn't grow with the fact data.
+    */
+  private def qFuzzyNames(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.editDistancePairs(
+        t(s, dir, "customer")
+          .filter(col("c_custkey") % 31 === 0 && col("c_custkey") < 15000),
+        "c_custkey", "c_name", maxDist = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** CUBE aggregation over (source, lang) — all four grouping levels
+    * in one pass, grouping_id disambiguating roll-up nulls from data
+    * nulls.
+    */
+  private def qCubeCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .cube(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("source").asc_nulls_first, col("lang").asc_nulls_first)
+
   private def embCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("emb"))
 
@@ -1075,7 +1100,9 @@ object SparkEntry {
     "q72_commit_diff" -> (qCommitDiff _),
     "q73_key_skew" -> (qKeySkew _),
     "q74_dedup_normalized" -> (qDedupNormalized _),
-    "q75_ngram_containment" -> (qNgramContainment _))
+    "q75_ngram_containment" -> (qNgramContainment _),
+    "q76_fuzzy_names" -> (qFuzzyNames _),
+    "q77_cube_counts" -> (qCubeCounts _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.charShingles
+
+/** Fuzzy entity resolution — the approximate string matching a
+  * registry-linkage pipeline needs (patient/provider name variants,
+  * typo'd identifiers) expressed as blocking + verify, never an n²
+  * cross join.
+  *
+  * Blocking contract (pigeonhole): one edit destroys at most `q`
+  * character q-grams, so two strings within edit distance `maxDist`
+  * share at least one q-gram whenever their gram count exceeds
+  * q·maxDist — for strings longer than ~q·(maxDist+1) characters the
+  * blocked result EQUALS the unblocked one, which is what lets the
+  * oracle check it against a direct all-pairs formulation. Shorter
+  * strings may be missed (documented recall edge, same trade as every
+  * q-gram blocker).
+  */
+object FuzzyJoin {
+
+  /** Self-join: pairs (id_a < id_b) whose normalized (lower/trim)
+    * names are within `maxDist` edits, blocked on shared character
+    * q-grams. `maxGramDf` drops grams shared by more than that many
+    * rows before pairing — the skew valve for corpora where a
+    * boilerplate prefix would otherwise degenerate blocking toward n²
+    * (pairs whose ONLY shared grams are dropped are lost; size it
+    * above the true-match gram frequencies).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, nameCol: String,
+      maxDist: Int, q: Int = 3, maxGramDf: Option[Long] = None): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val base = df.select(col(idCol).as("id"), lower(trim(col(nameCol))).as("nm"))
+      .withColumn("gram", explode(charShingles(col("nm"), q)))
+    val grams = maxGramDf match {
+      case None => base
+      case Some(cap) =>
+        val hot = base.groupBy(col("gram")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > cap).select(col("gram"))
+        base.join(broadcast(hot), Seq("gram"), "left_anti")
+    }
+    grams.as("a")
+      .join(grams.as("b"), col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.nm").as("nm_a"),
+        col("b.id").as("id_b"), col("b.nm").as("nm_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("nm_a"), col("nm_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

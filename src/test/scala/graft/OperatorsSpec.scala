@@ -209,6 +209,33 @@ class OperatorsSpec extends SparkSpec {
       .head().getAs[Array[Byte]](0)
   }
 
+  test("editDistancePairs finds typo'd name pairs via trigram blocking; skew valve works") {
+    import graft.operators.FuzzyJoin
+    val df = Seq(
+      (1L, "Johnathan Smithers"),
+      (2L, "Jonathan Smithers"),     // 1 edit from id 1
+      (3L, "JOHNATHAN  SMITHERS"),   // 0 edits after lower (inner spaces differ → 1 edit)
+      (4L, "Margaret Thistlewood"),  // unrelated
+      (5L, "Margeret Thistlewood")   // 1 edit from id 4
+    ).toDF("id", "name")
+    val out = FuzzyJoin.editDistancePairs(df, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) == 1L, s"typo pair must match: $out")
+    assert(out.contains((4L, 5L)) && out((4L, 5L)) == 1L)
+    assert(out.contains((1L, 3L)), "case/space variant within 2 edits")
+    assert(!out.exists { case ((a, b), _) => Set(a, b) == Set(1L, 4L) },
+      s"unrelated names must not pair: $out")
+    // skew valve: dropping ubiquitous grams loses pairs whose only
+    // shared grams are ubiquitous — here every gram of the matching
+    // pairs is rare, so a generous cap changes nothing
+    val capped = FuzzyJoin.editDistancePairs(df, "id", "name", maxDist = 2,
+        maxGramDf = Some(4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == out.keySet, s"generous cap must not lose pairs: $capped")
+    intercept[IllegalArgumentException](
+      FuzzyJoin.editDistancePairs(df, "id", "name", maxDist = -1))
+  }
+
   test("normalized dedup collapses re-punctuated copies; containment beats jaccard on subsets") {
     import graft.operators.TextAnalysis
     val docs = Seq(
