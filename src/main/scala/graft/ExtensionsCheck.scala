@@ -30,6 +30,13 @@ object ExtensionsCheck {
         .collect()(0).getDouble(0) == 11.0, "dot_fold value")
       assert(spark.sql("SELECT simhash_text('one two three', 16)")
         .collect()(0).getLong(0) >= 0L, "simhash_text callable")
+      assert(spark.sql(
+        """SELECT graft_topk(v, id, 2) FROM VALUES
+           (CAST(3 AS BIGINT), CAST(30 AS BIGINT)),
+           (CAST(9 AS BIGINT), CAST(90 AS BIGINT)),
+           (CAST(5 AS BIGINT), CAST(50 AS BIGINT)) AS t(v, id)""")
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getLong(1)) == Seq(90L, 50L), "graft_topk ranking")
       // the injected optimizer rule rewrites composed dots (parquet
       // input — LocalRelations constant-fold before user rules run)
       import spark.implicits._
@@ -44,7 +51,7 @@ object ExtensionsCheck {
           "RewriteDotFold did not fire via extensions")
         assert(composed.collect()(0).getDouble(0) == 11.0, "rewritten result")
       } finally graft.util.Fs.deleteRecursively(dir)
-      println("[extensions-check] OK: 4 functions + optimizer rule active")
+      println("[extensions-check] OK: 5 functions + optimizer rule active")
     } finally spark.stop()
   }
 }

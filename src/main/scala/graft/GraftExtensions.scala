@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotFold, Md5Long60, MinhashSig, SimhashText}
+import graft.expressions.{DotFold, Md5Long60, MinhashSig, SimhashText, TopKPairs}
 
 /** Session extensions: registers graft's native expressions for SQL
   * use. Attach with
@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(SimhashText.FnName),
       new ExpressionInfo(classOf[SimhashText].getName, SimhashText.FnName),
       SimhashText.builder))
+    e.injectFunction((
+      new FunctionIdentifier(TopKPairs.FnName),
+      new ExpressionInfo(classOf[TopKPairs].getName, TopKPairs.FnName),
+      TopKPairs.builder))
     // composed aggregate(zip_with(...)) dot products → native DotFold
     e.injectOptimizerRule(_ => graft.plans.RewriteDotFold)
   }

@@ -412,6 +412,17 @@ object OracleSql {
           FROM D a JOIN D b ON a.doc_id < b.doc_id ORDER BY id_a, id_b"""
     },
 
+    // bounded-state top-k agg: the oracle is the WINDOW formulation —
+    // the aggregate must rank identically (cents DESC, event_id ASC)
+    "q78_topk_agg" ->
+      """WITH E AS (SELECT event_type, event_id,
+                CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+          R AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY cents DESC, event_id) AS rank FROM E)
+          SELECT event_type, CAST(rank AS BIGINT) AS rank, cents, event_id
+          FROM R WHERE rank <= 3 ORDER BY event_type, rank""",
+
     // fuzzy names: the oracle is the DIRECT all-pairs formulation —
     // names are 18 chars, so the engine's trigram blocking is exact by
     // the pigeonhole recall contract and must reproduce it

@@ -284,6 +284,24 @@ object SparkEntry {
         "c_custkey", "c_name", maxDist = 2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Bounded-state top-k per group (expressions.TopKPairs, a native
+    * TypedImperativeAggregate): top-3 events by cents per event_type.
+    * The window formulation sorts every row; this keeps ≤3 pairs per
+    * group in partial state and combines map-side — only |groups|·k
+    * pairs cross the shuffle. The oracle IS the window formulation:
+    * both must rank identically.
+    */
+  private def qTopKAgg(s: SparkSession, dir: String): DataFrame =
+    tRaw(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(graft.expressions.TopKPairs(col("cents"), col("event_id"), 3).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.v").as("cents"), col("col.id").as("event_id"))
+      .orderBy(col("event_type"), col("rank"))
+
   /** CUBE aggregation over (source, lang) — all four grouping levels
     * in one pass, grouping_id disambiguating roll-up nulls from data
     * nulls.
@@ -1102,7 +1120,8 @@ object SparkEntry {
     "q74_dedup_normalized" -> (qDedupNormalized _),
     "q75_ngram_containment" -> (qNgramContainment _),
     "q76_fuzzy_names" -> (qFuzzyNames _),
-    "q77_cube_counts" -> (qCubeCounts _))
+    "q77_cube_counts" -> (qCubeCounts _),
+    "q78_topk_agg" -> (qTopKAgg _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

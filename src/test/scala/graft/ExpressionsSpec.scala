@@ -139,4 +139,37 @@ class ExpressionsSpec extends SparkSpec {
       .filter($"h" % 2 === 0).count()
     assert(n > 400 && n < 600) // roughly half, sanity of distribution
   }
+
+  test("TopKPairs equals the window top-k across many partitions; bounded partial state") {
+    import graft.expressions.TopKPairs
+    import org.apache.spark.sql.expressions.Window
+    // 64 partitions force partial buffers + serialize/merge; planted
+    // ties (same v, different id) pin the (v desc, id asc) order
+    val df = spark.range(0, 20000).repartition(64)
+      .selectExpr("id % 37 AS grp", "(id * 7919) % 1000 AS v", "id")
+    val agg = df.groupBy($"grp")
+      .agg(TopKPairs($"v", $"id", 5).as("top"))
+      .select($"grp", posexplode($"top"))
+      .select($"grp", ($"pos" + 1).as("rank"), $"col.v".as("v"), $"col.id".as("id"))
+    val w = Window.partitionBy($"grp").orderBy($"v".desc, $"id")
+    val win = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5).select($"grp", $"rank", $"v", $"id")
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty,
+      "aggregate top-k must equal the window formulation")
+    // groups smaller than k return all their rows, still sorted
+    val tiny = Seq((1L, 10L, 100L), (1L, 10L, 99L)).toDF("grp", "v", "id")
+      .groupBy($"grp").agg(TopKPairs($"v", $"id", 5).as("top"))
+      .select(posexplode($"top")).select($"col.id").as[Long].collect().toSeq
+    assert(tiny == Seq(99L, 100L), s"tie breaks id-asc: $tiny")
+    // partial (map-side) aggregation is in the plan — the whole point
+    val plan = df.groupBy($"grp").agg(TopKPairs($"v", $"id", 5)).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_graft_topk"),
+      s"expected map-side partial topk:\n$plan")
+    // SQL registration path
+    TopKPairs.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_topk(CAST(10 AS BIGINT), CAST(1 AS BIGINT), 3)").collect()
+    assert(viaSql.length == 1)
+  }
 }
