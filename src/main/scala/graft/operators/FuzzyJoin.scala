@@ -33,15 +33,7 @@ object FuzzyJoin {
       maxDist: Int, q: Int = 3, maxGramDf: Option[Long] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
-    val base = df.select(col(idCol).as("id"), lower(trim(col(nameCol))).as("nm"))
-      .withColumn("gram", explode(charShingles(col("nm"), q)))
-    val grams = maxGramDf match {
-      case None => base
-      case Some(cap) =>
-        val hot = base.groupBy(col("gram")).agg(count(lit(1)).as("_df"))
-          .filter(col("_df") > cap).select(col("gram"))
-        base.join(broadcast(hot), Seq("gram"), "left_anti")
-    }
+    val grams = grammed(df, idCol, nameCol, q, maxGramDf)
     grams.as("a")
       .join(grams.as("b"), col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("a.nm").as("nm_a"),
@@ -50,5 +42,50 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("nm_a"), col("nm_b")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Two-table record linkage: every (left, right) pair within
+    * `maxDist` edits — same blocking contract and skew valve as
+    * [[editDistancePairs]] (the hot-gram cap counts across BOTH
+    * sides). Output: (id_l, id_r, dist).
+    */
+  def editDistanceJoin(left: DataFrame, leftId: String, leftName: String,
+      right: DataFrame, rightId: String, rightName: String,
+      maxDist: Int, q: Int = 3, maxGramDf: Option[Long] = None): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    // cap on combined gram frequency, so one side's boilerplate can't
+    // flood the other side's blocking buckets
+    val hot = maxGramDf.map { cap =>
+      grammed(left, leftId, leftName, q, None)
+        .unionByName(grammed(right, rightId, rightName, q, None))
+        .groupBy(col("gram")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > cap).select(col("gram"))
+    }
+    def side(df: DataFrame, id: String, nm: String): DataFrame = {
+      val g = grammed(df, id, nm, q, None)
+      hot.fold(g)(h => g.join(broadcast(h), Seq("gram"), "left_anti"))
+    }
+    side(left, leftId, leftName).as("l")
+      .join(side(right, rightId, rightName).as("r"), col("l.gram") === col("r.gram"))
+      .select(col("l.id").as("id_l"), col("l.nm").as("nm_l"),
+        col("r.id").as("id_r"), col("r.nm").as("nm_r"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("nm_l"), col("nm_r")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_l"), col("id_r"), col("dist"))
+  }
+
+  private def grammed(df: DataFrame, idCol: String, nameCol: String,
+      q: Int, maxGramDf: Option[Long]): DataFrame = {
+    val base = df.select(col(idCol).as("id"), lower(trim(col(nameCol))).as("nm"))
+      .withColumn("gram", explode(charShingles(col("nm"), q)))
+    maxGramDf match {
+      case None => base
+      case Some(cap) =>
+        val hot = base.groupBy(col("gram")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > cap).select(col("gram"))
+        base.join(broadcast(hot), Seq("gram"), "left_anti")
+    }
   }
 }

@@ -234,6 +234,17 @@ class OperatorsSpec extends SparkSpec {
     assert(capped == out.keySet, s"generous cap must not lose pairs: $capped")
     intercept[IllegalArgumentException](
       FuzzyJoin.editDistancePairs(df, "id", "name", maxDist = -1))
+
+    // two-table linkage: a typo'd registry links to its master record
+    val master = Seq((10L, "Johnathan Smithers"), (11L, "Margaret Thistlewood"))
+      .toDF("mid", "mname")
+    val dirty = Seq((20L, "Jonathan Smithers"), (21L, "Margret Thistlewood"),
+      (22L, "Completely Unrelated")).toDF("did", "dname")
+    val linked = FuzzyJoin.editDistanceJoin(master, "mid", "mname",
+        dirty, "did", "dname", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(linked == Set((10L, 20L), (11L, 21L)),
+      s"each dirty record links to exactly its master: $linked")
   }
 
   test("normalized dedup collapses re-punctuated copies; containment beats jaccard on subsets") {
