@@ -428,7 +428,7 @@ object OracleSql {
     // the pigeonhole recall contract and must reproduce it
     "q76_fuzzy_names" ->
       """WITH N AS (SELECT c_custkey AS id, lower(trim(c_name)) AS nm
-                FROM customer WHERE c_custkey % 31 = 0 AND c_custkey < 15000)
+                FROM customer WHERE c_custkey % 31 = 0 AND c_custkey < 7500)
          SELECT a.id AS id_a, b.id AS id_b,
            CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
          FROM N a JOIN N b ON a.id < b.id

@@ -280,7 +280,7 @@ object SparkEntry {
   private def qFuzzyNames(s: SparkSession, dir: String): DataFrame =
     graft.operators.FuzzyJoin.editDistancePairs(
         t(s, dir, "customer")
-          .filter(col("c_custkey") % 31 === 0 && col("c_custkey") < 15000),
+          .filter(col("c_custkey") % 31 === 0 && col("c_custkey") < 7500),
         "c_custkey", "c_name", maxDist = 2)
       .orderBy(col("id_a"), col("id_b"))
 
