@@ -36,14 +36,20 @@ object Similarity {
   def scoreFixed(a: Column, b: Column): Column =
     floor(cosine(a, b) * lit(1000000.0)).cast("long")
 
-  private def rank(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_1e6").desc, col("neighbor_id"))
-    // long, not Spark's int32 row_number: DuckDB's row_number() is
-    // BIGINT and the driver's compare is type-sensitive
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-  }
+  private def rank(scored: DataFrame, k: Int): DataFrame =
+    // bounded-state top-k aggregate instead of a rank window: the
+    // window form shuffles and sorts EVERY candidate; TopKPairs keeps
+    // ≤k pairs per query in partial state (map-side combine), so only
+    // |queries|·k pairs cross the shuffle — the difference between
+    // "candidates" and "answers" moving through the cluster. Tie order
+    // (score desc, neighbor asc) matches the former window exactly;
+    // ranks emit as BIGINT (DuckDB row_number parity).
+    scored.groupBy(col("query_id"))
+      .agg(graft.expressions.TopKPairs(col("score_1e6"), col("neighbor_id"), k)
+        .as("_top"))
+      .select(col("query_id"), posexplode(col("_top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.v").as("score_1e6"))
 
   /** Exact cosine top-k for each query vector. `queries` and `corpus`
     * need (id, emb) shaped columns. Queries are broadcast.
