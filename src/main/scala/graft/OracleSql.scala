@@ -412,6 +412,35 @@ object OracleSql {
           FROM D a JOIN D b ON a.doc_id < b.doc_id ORDER BY id_a, id_b"""
     },
 
+    // recency decay: integer halving per day of age (non-negative
+    // values, so Spark div ≡ DuckDB //), saturating at 30 shifts
+    "q79_decayed_sum" ->
+      """WITH E AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+          R AS (SELECT max(ts_us) AS ref FROM E)
+          SELECT user_id,
+            CAST(sum(cents // (1::BIGINT <<
+              CAST(least((r.ref - ts_us) // 86400000000, 30) AS INT)))
+              AS BIGINT) AS decayed_c
+          FROM E CROSS JOIN R r GROUP BY user_id ORDER BY user_id""",
+
+    // equi-depth histogram: quantile_cont bounds (percentile parity),
+    // CASE bucket assignment identical to the engine's when-chain
+    "q80_equidepth_hist" -> {
+      val ps = (1 until 10).map(_.toDouble / 10)
+      val caseChain = ps.zipWithIndex
+        .map { case (p, i) => s"WHEN cents <= b.bs[${i + 1}] THEN ${i}" }
+        .mkString("CASE ", " ", " ELSE 9 END")
+      s"""WITH E AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events WHERE value IS NOT NULL),
+          B AS (SELECT quantile_cont(cents, [${ps.mkString(", ")}]) AS bs FROM E),
+          A AS (SELECT cents, CAST($caseChain AS BIGINT) AS bucket
+                FROM E CROSS JOIN B b)
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+            CAST(min(cents) AS BIGINT) AS lo_c, CAST(max(cents) AS BIGINT) AS hi_c
+          FROM A GROUP BY bucket ORDER BY bucket"""
+    },
+
     // bounded-state top-k agg: the oracle is the WINDOW formulation —
     // the aggregate must rank identically (cents DESC, event_id ASC)
     "q78_topk_agg" ->

@@ -985,6 +985,31 @@ object SparkEntry {
         col("n_win"), col("sum_win").as("cents_win"))
       .orderBy(col("event_id"))
 
+  /** Recency-decayed spend (EventAnalytics.decayedSum): per user,
+    * cents halved per day of age (integer shifts — no pow/exp, exact
+    * on every engine), saturating at 30 halvings. Scan + one groupBy.
+    */
+  private def qDecayedSum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.decayedSum(
+        tRaw(s, dir, "events").select(col("user_id"),
+          expr("ts DIV 1000").as("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+        col("user_id"), col("ts_us"), col("cents"),
+        halfLifeUs = 86400000000L)
+      .select(col("key").as("user_id"), col("decayed_sum").as("decayed_c"))
+      .orderBy(col("user_id"))
+
+  /** Equi-depth histogram (Diagnostics.equiDepthHistogram): 10 cent
+    * deciles over events — percentile-bound buckets, no global sort.
+    */
+  private def qEquiDepthHist(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.equiDepthHistogram(
+        tRaw(s, dir, "events").select(
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+        col("cents"), buckets = 10)
+      .select(col("bucket"), col("n"), col("lo").as("lo_c"), col("hi").as("hi_c"))
+      .orderBy(col("bucket"))
+
   /** Cohort retention (operators.EventAnalytics.retentionCohorts):
     * first-event-day cohorts × active-day offsets, distinct users per
     * cell.
@@ -1121,7 +1146,9 @@ object SparkEntry {
     "q75_ngram_containment" -> (qNgramContainment _),
     "q76_fuzzy_names" -> (qFuzzyNames _),
     "q77_cube_counts" -> (qCubeCounts _),
-    "q78_topk_agg" -> (qTopKAgg _))
+    "q78_topk_agg" -> (qTopKAgg _),
+    "q79_decayed_sum" -> (qDecayedSum _),
+    "q80_equidepth_hist" -> (qEquiDepthHist _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

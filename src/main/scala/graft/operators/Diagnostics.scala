@@ -26,6 +26,30 @@ object Diagnostics {
     *
     * Output: (rank, key, n, share_1e6, n_keys, p50_n, p99_n, max_n).
     */
+  /** Equi-depth histogram WITHOUT a global sort: bucket bounds come
+    * from one exact interpolated-percentile aggregate (≡ DuckDB
+    * quantile_cont — the battery's established parity), broadcast back
+    * onto a scan-speed bucket-assignment filter + groupBy. The ntile
+    * formulation this replaces is a single-partition global sort —
+    * unusable at scale; here the only full pass is the percentile agg
+    * over the (pruned) value column. Rows with NULL values are
+    * dropped. Output: (bucket, n, lo, hi) — observed min/max per
+    * bucket, `buckets` rows at most (empty buckets emit no row).
+    */
+  def equiDepthHistogram(df: DataFrame, value: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = df.agg(percentile(value, typedLit(ps)).as("_bs"))
+    val assigned = df.withColumn("_v", value).filter(col("_v").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("_bucket",
+        (0 until buckets - 1).foldRight(lit((buckets - 1).toLong)) { (i, acc) =>
+          when(col("_v") <= element_at(col("_bs"), i + 1), lit(i.toLong)).otherwise(acc)
+        })
+    assigned.groupBy(col("_bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("_v")).as("lo"), max(col("_v")).as("hi"))
+  }
+
   def keySkewReport(df: DataFrame, key: Column, topK: Int = 20): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))

@@ -87,6 +87,30 @@ object EventAnalytics {
     * cross-engine summation rule; pre-scale doubles with
     * `round(x * 100)` cents first).
     */
+  /** Recency-decayed sum per key: each event contributes
+    * `value div 2^(age / halfLifeUs)` (age measured from the stream's
+    * max timestamp; the shift saturates at `maxShift`). Power-of-two
+    * decay on purpose: `exp`/`pow`-based decay is not bit-stable
+    * across engines, while an integer halving schedule is exact
+    * everywhere and keeps the whole feature an associative BIGINT sum
+    * — the recency-weighting shape ranking/feature pipelines need,
+    * scan + one groupBy, no window.
+    */
+  def decayedSum(events: DataFrame, key: Column, tsUs: Column,
+      value: Column, halfLifeUs: Long, maxShift: Int = 30): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs must be positive, got $halfLifeUs")
+    require(maxShift >= 0 && maxShift <= 62, s"maxShift must be in [0, 62]: $maxShift")
+    val ref = events.agg(max(tsUs).as("_ref"))
+    events.crossJoin(broadcast(ref))
+      .withColumn("_v", value).withColumn("_ts", tsUs)
+      // integral div — a double round trip would lose µs bits
+      .withColumn("_shift",
+        least(expr(s"(_ref - _ts) div ${halfLifeUs}L"), lit(maxShift.toLong)))
+      .withColumn("_contrib", expr("_v div shiftleft(1L, cast(_shift as int))"))
+      .groupBy(key.as("key"))
+      .agg(sum(col("_contrib")).as("decayed_sum"))
+  }
+
   def trailingStats(events: DataFrame, key: Column, tsUs: Column,
       value: Column, backUs: Long): DataFrame = {
     require(backUs >= 0, s"window lookback must be >= 0, got $backUs")

@@ -556,6 +556,52 @@ class OperatorsSpec extends SparkSpec {
       ev, col("user_id"), col("ts_us"), col("cents"), backUs = -1L))
   }
 
+  test("decayedSum halves contributions per half-life; shift saturates") {
+    import graft.operators.EventAnalytics
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 3L * day, 800L),  // newest → ref; age 0 → full
+      (1L, 2L * day, 800L),  // 1 half-life → 400
+      (1L, 0L, 800L),        // 3 half-lives → 100
+      (2L, 3L * day - 1L, 801L) // age just under a half-life → full (int div)
+    ).toDF("user_id", "ts_us", "cents")
+    val out = EventAnalytics.decayedSum(ev, col("user_id"), col("ts_us"),
+        col("cents"), halfLifeUs = day)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 800L + 400L + 100L, s"halving schedule wrong: $out")
+    assert(out(2L) == 801L, s"sub-half-life age must not decay: $out")
+    // saturation: ancient events still contribute value >> maxShift
+    val old = Seq((3L, 100L * day, 1L << 40), (3L, 0L, 1L << 40))
+      .toDF("user_id", "ts_us", "cents")
+    val sat = EventAnalytics.decayedSum(old, col("user_id"), col("ts_us"),
+        col("cents"), halfLifeUs = day, maxShift = 30)
+      .collect().map(r => r.getLong(1)).head
+    assert(sat == (1L << 40) + (1L << 10), s"shift must saturate at 30: $sat")
+    intercept[IllegalArgumentException](EventAnalytics.decayedSum(
+      ev, col("user_id"), col("ts_us"), col("cents"), halfLifeUs = 0))
+  }
+
+  test("equiDepthHistogram buckets are ~equal depth with contiguous bounds") {
+    import graft.operators.Diagnostics
+    val df = spark.range(1, 1001).selectExpr("id AS v") // 1..1000
+    val out = Diagnostics.equiDepthHistogram(df, col("v"), buckets = 10)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toMap
+    assert(out.size == 10)
+    assert(out.values.map(_._1).sum == 1000)
+    // uniform data → every decile holds ~100 rows
+    assert(out.values.forall { case (n, _, _) => n >= 95 && n <= 105 },
+      s"uniform deciles must be ~equal: $out")
+    // buckets tile the domain in order without overlap
+    val sorted = out.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.sliding(2).forall {
+      case Seq((_, _, hi1), (_, lo2, _)) => hi1 < lo2
+      case _ => true
+    }, s"bucket ranges must be disjoint and ordered: $sorted")
+    intercept[IllegalArgumentException](
+      Diagnostics.equiDepthHistogram(df, col("v"), buckets = 1))
+  }
+
   test("retentionCohorts counts distinct users per cohort/offset cell") {
     import graft.operators.EventAnalytics
     val day = 86400000000L
