@@ -127,6 +127,30 @@ class PlanQualitySpec extends SparkSpec {
       s"bm25 must not re-scan the corpus after the stats pass:\n$p")
   }
 
+  test("equi-depth histogram plans no global sort; bounds broadcast onto the scan") {
+    val p = plan("q80_equidepth_hist")
+    // the final orderBy(bucket) sorts ≤10 rows; the VALUE stream must
+    // never be globally sorted (the ntile formulation would) — no Sort
+    // may appear below the bucket aggregation's exchange
+    val aggAt = p.indexOf("HashAggregate")
+    assert(aggAt >= 0, s"expected a bucket aggregation:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"percentile bounds must broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window (hence no ntile global sort):\n$p")
+  }
+
+  test("ANN rank tails aggregate (bounded state), not window-sort") {
+    for (q <- Seq("q21_ann_brute_force", "q49_ann_ivf")) {
+      val p = plan(q)
+      assert(p.contains("graft_topk"), s"$q must rank via TopKPairs:\n$p")
+    }
+    // brute force has no other window stage, so the absence of Window
+    // proves candidates are never window-sorted (q49 keeps one tiny
+    // window for its nprobe cell probe — queries × k rows, not data)
+    val p21 = plan("q21_ann_brute_force")
+    assert(!p21.contains("Window"), s"q21 must not window-sort candidates:\n$p21")
+  }
+
   test("IVF corpus assignment is narrow and uses the native dot expression") {
     import org.apache.spark.sql.functions.col
     val corpus = spark.read.parquet(s"$dir/embeddings.parquet")

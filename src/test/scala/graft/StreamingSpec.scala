@@ -81,6 +81,28 @@ class StreamingSpec extends SparkSpec {
       s"left enrichment keeps unmatched events: $rows")
   }
 
+  test("heavy-hitter counting runs unchanged on a stream (complete mode)") {
+    // the count side of Sketches.heavyHitters is groupBy+count — the
+    // stream-batch unification point: the SAME aggregation serves the
+    // batch report and a live token monitor (complete mode re-emits
+    // the running totals per micro-batch)
+    val dir = Fixtures.tmpDir("hh_stream")
+    val docs = ((1 to 30).map(_ => "hot") ++ (1 to 5).map(_ => "warm"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    docs.toDF("id", "token").write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema("id LONG, token STRING").parquet(dir.toString)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("hh_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("select * from hh_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("hot" -> 30L, "warm" -> 5L), s"streaming counts: $rows")
+  }
+
   test("sessionize closes a session after the gap (batch mode)") {
     val events = Seq(
       Event(1L, ts(0), 10L, "click", 1.0),
