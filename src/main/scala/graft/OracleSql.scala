@@ -284,6 +284,65 @@ object OracleSql {
   private def hitsSql(e: String, lang: String): String =
     s"cast(len(list_filter(${toks(s"lower($e)")}, t -> list_contains(${stopwordList(lang)}, t))) as bigint)"
 
+  /** Unrolled BPE trainer + encoder — mirror of operators.Bpe: vocab =
+    * word-frequency dictionary capped by (freq DESC, word ASC); each
+    * round counts adjacent symbol pairs (overlaps included) weighted
+    * by word freq, picks the best by (cnt DESC, a ASC, b ASC), and
+    * rewrites every word with ONE left-to-right non-overlapping fold
+    * (list_reduce with '' init = the same fold as Spark `aggregate`;
+    * string replace would skip every second adjacent occurrence).
+    * A LEFT JOIN ON TRUE against the 1-row best keeps rounds after
+    * pair exhaustion as no-ops instead of empty.
+    *
+    * Every CTE is MATERIALIZED: each round is referenced twice (pair
+    * counting and the merge rewrite), and DuckDB inlines plain CTEs —
+    * the chain would otherwise double per round (2^24 inlined scans;
+    * observed as an fd-exhaustion failure before the total blowup).
+    *
+    * Parity with the Spark expression encoder holds whenever the
+    * corpus has ≤ vocabCap distinct words (then the oracle's
+    * dictionary join covers every occurrence; the cap is a no-op on
+    * the test corpora).
+    */
+  private def bpeCtes(numMerges: Int, vocabCap: Int): String = {
+    val sep = "chr(31)"
+    def fold(ss: String, a: String, b: String): String =
+      s"""list_reduce(list_prepend('', $ss), (acc, sy) ->
+          CASE WHEN sy = $b AND ends_with(acc, $sep || $a)
+               THEN substr(acc, 1, length(acc) - length($a) - 1) || $sep || $a || $b
+               ELSE acc || $sep || sy END)"""
+    val head =
+      s"""TOK AS MATERIALIZED (SELECT unnest(${toks("lower(text)")}) AS w FROM documents),
+          V AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq FROM TOK
+               GROUP BY w ORDER BY freq DESC, w ASC LIMIT $vocabCap),
+          S0 AS MATERIALIZED (SELECT w, freq,
+               $sep || array_to_string(list_transform(range(length(w)),
+                 i -> substr(w, i+1, 1)), $sep) AS seg FROM V)"""
+    val rounds = (1 to numMerges).map { k =>
+      val p = k - 1
+      s"""Y$k AS MATERIALIZED (SELECT w, freq, seg,
+             list_filter(string_split(seg, $sep), x -> x <> '') AS ss FROM S$p),
+          P$k AS MATERIALIZED (SELECT pr.a AS a, pr.b AS b, sum(freq)::BIGINT AS cnt
+              FROM (SELECT freq, unnest(list_transform(range(1, len(ss)),
+                      i -> struct_pack(a := ss[i], b := ss[i+1]))) AS pr FROM Y$k)
+              GROUP BY 1, 2),
+          B$k AS MATERIALIZED (SELECT a, b FROM P$k ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+          S$k AS MATERIALIZED (SELECT y.w, y.freq,
+               CASE WHEN bk.a IS NULL THEN y.seg
+                    ELSE ${fold("y.ss", "bk.a", "bk.b")} END AS seg
+              FROM Y$k y LEFT JOIN B$k bk ON TRUE)"""
+    }.mkString(",\n")
+    s"""$head,
+        $rounds,
+        WENC AS MATERIALIZED (SELECT w,
+             (length(seg) - length(replace(seg, $sep, '')))::BIGINT AS ntok
+            FROM S$numMerges),
+        DT AS MATERIALIZED (SELECT doc_id, unnest(${toks("lower(text)")}) AS w FROM documents),
+        AGG AS MATERIALIZED (SELECT dt.doc_id, count(*)::BIGINT AS ws_tokens,
+             sum(we.ntok)::BIGINT AS bpe_tokens
+            FROM DT dt JOIN WENC we USING (w) GROUP BY dt.doc_id)"""
+  }
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1257,5 +1316,15 @@ object OracleSql {
               CASE WHEN r.fill > 0 AND r.fill + n.n_tokens > 512
                    THEN n.n_tokens ELSE r.fill + n.n_tokens END
             FROM R r JOIN N n ON n.shard = r.shard AND n.rn = r.rn + 1)
-          SELECT doc_id, shard, seq_id, seq_offset FROM R ORDER BY doc_id""")
+          SELECT doc_id, shard, seq_id, seq_offset FROM R ORDER BY doc_id""",
+
+    // BPE token counts: the full trainer replayed as unrolled merge
+    // rounds (bpeCtes), then each doc billed its per-word subword sum;
+    // the LEFT JOIN keeps tokenless docs at 0 like the Spark fold
+    "q81_bpe_tokens" ->
+      s"""WITH ${bpeCtes(graft.operators.Bpe.DefaultMerges, graft.operators.Bpe.DefaultVocabCap)}
+          SELECT d.doc_id, coalesce(a.ws_tokens, 0)::BIGINT AS ws_tokens,
+            coalesce(a.bpe_tokens, 0)::BIGINT AS bpe_tokens
+          FROM documents d LEFT JOIN AGG a USING (doc_id)
+          ORDER BY doc_id""")
 }

@@ -829,6 +829,24 @@ object SparkEntry {
       .select(col("doc_id"), col("shard"), col("seq_id"), col("seq_offset"))
       .orderBy(col("doc_id"))
 
+  /** BPE token counts (operators.Bpe): deterministic corpus-trained
+    * byte-pair encoding — the real-subword backend of the token-count
+    * seam. Training collects the capped word-frequency dictionary (one
+    * groupBy, driver loop over ≤ vocabCap rows); encoding is a pure
+    * per-row expression. The oracle replays the identical trainer as
+    * unrolled merge-round CTEs and bills each word occurrence its
+    * subword count.
+    */
+  private def qBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.operators.Bpe.trainFromCorpus(docs, "text",
+      graft.operators.Bpe.DefaultMerges, graft.operators.Bpe.DefaultVocabCap)
+    docs.select(col("doc_id"),
+        graft.functions.tokenCount(col("text")).as("ws_tokens"),
+        graft.functions.bpeTokenCount(col("text"), merges).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination (operators.Decontaminate.sharedNgrams):
     * every 97th document plays the eval set; the rest of the corpus is
     * checked for shared word 3-grams (distinct per doc) against it.
@@ -1148,7 +1166,8 @@ object SparkEntry {
     "q77_cube_counts" -> (qCubeCounts _),
     "q78_topk_agg" -> (qTopKAgg _),
     "q79_decayed_sum" -> (qDecayedSum _),
-    "q80_equidepth_hist" -> (qEquiDepthHist _))
+    "q80_equidepth_hist" -> (qEquiDepthHist _),
+    "q81_bpe_tokens" -> (qBpeTokens _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

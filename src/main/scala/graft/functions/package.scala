@@ -32,6 +32,15 @@ package object functions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Subword token count under a trained BPE merge list — the
+    * real-tokenizer backend of the token-count seam (packing, BM25
+    * document length, chunk budgets). Train with
+    * [[graft.operators.Bpe.trainFromCorpus]]; pure expression, no
+    * shuffle, no UDF.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    graft.operators.Bpe.tokenCount(text, merges)
+
   /** [0, n) index array; empty when n <= 0 (Spark `sequence` would
     * otherwise count *down* for a negative stop).
     */
