@@ -1326,5 +1326,53 @@ object OracleSql {
           SELECT d.doc_id, coalesce(a.ws_tokens, 0)::BIGINT AS ws_tokens,
             coalesce(a.bpe_tokens, 0)::BIGINT AS bpe_tokens
           FROM documents d LEFT JOIN AGG a USING (doc_id)
-          ORDER BY doc_id""")
+          ORDER BY doc_id""",
+
+    // adaptive simhash: band width re-derived from count(*) with the
+    // same exact integer ceil-log2 as Dedup.suggestSimhashParams
+    // (smallest b with 2^b ≥ ⌈n/2⌉, clamped to [4,15]); the 60-bit
+    // fingerprint masked to 4·bandBits equals the narrow fingerprint
+    // because each bit's majority vote is independent
+    "q82_simhash_adaptive" -> {
+      val hashes = s"list_transform(${toks("lower(text)")}, t -> ${md5long("t")})"
+      s"""WITH NB AS (SELECT count(*)::BIGINT AS n FROM documents),
+          BB AS (SELECT least(15, greatest(4, b))::BIGINT AS bb,
+                 (4 * least(15, greatest(4, b)))::BIGINT AS bits
+                FROM (SELECT min(b)::INT AS b FROM range(0, 61) t(b), NB
+                      WHERE (1::BIGINT << b) >= ((NB.n + 1) // 2))),
+          HS AS (SELECT doc_id, $hashes AS H FROM documents),
+          S AS (SELECT doc_id,
+                 ${simhashSql(60)} & ((1::BIGINT << bb.bits) - 1) AS sim,
+                 bb.bb AS bandbits
+                FROM HS, BB bb WHERE len(H) > 0),
+          B AS (SELECT doc_id, sim, bandbits, t.band AS band,
+                 (sim >> (t.band * bandbits)) & ((1::BIGINT << bandbits) - 1) AS bval
+                FROM S CROSS JOIN (SELECT unnest(range(4)) AS band) t),
+          P AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                  cast(bit_count(xor(a.sim, b2.sim)) as bigint) AS hamming
+                FROM B a JOIN B b2 ON a.band = b2.band AND a.bval = b2.bval
+                  AND a.doc_id < b2.doc_id)
+          SELECT id_a, id_b, hamming, (SELECT bits FROM BB) AS bits
+          FROM P WHERE hamming <= 3
+          ORDER BY id_a, id_b"""
+    },
+
+    // adaptive embedding near-dups: sign-bucket width from count(*)
+    // (smallest b with 2^b ≥ n, clamped to [4, min(dim,30)]); the
+    // 30-bit bucket masked to the chosen width equals the narrow
+    // bucket because each bit is one component's sign
+    "q84_near_dups_adaptive" ->
+      s"""WITH NE AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+          SB AS (SELECT greatest(4, least(30, b))::BIGINT AS bits
+                FROM (SELECT min(b)::INT AS b FROM range(0, 61) t(b), NE
+                      WHERE (1::BIGINT << b) >= NE.n)),
+          C AS (SELECT vec_id AS id, embedding AS emb,
+                 ${signBucketSql("embedding", 30)} & ((1::BIGINT << sb.bits) - 1) AS bucket
+                FROM embeddings, SB sb)
+          SELECT l.id AS id_a, r.id AS id_b,
+            ${scoreFixedSql("l.emb", "r.emb")} AS score_1e6,
+            (SELECT bits FROM SB) AS bits
+          FROM C l JOIN C r ON l.bucket = r.bucket AND l.id < r.id
+          WHERE ${scoreFixedSql("l.emb", "r.emb")} >= -1000000
+          ORDER BY id_a, id_b""")
 }

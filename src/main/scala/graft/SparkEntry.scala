@@ -621,6 +621,43 @@ object SparkEntry {
         bits = 32, bands = 4, maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q45's adaptive twin: band width chosen by
+    * Dedup.suggestSimhashParams from the CORPUS COUNT, so candidate
+    * pairs stay ~linear as the corpus grows (the 101→9.1 s ScaleProbe
+    * result, now oracle-gated). The oracle re-derives the identical
+    * width from count(*) with the same integer ceil-log2, computes the
+    * full 60-bit fingerprint, and masks — bit j's majority vote is
+    * independent of the total width, so the masked fingerprint equals
+    * the narrow one. Different SFs choose different widths (500 docs →
+    * 8-bit bands, 5 000 → 12-bit).
+    */
+  private def qSimhashAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (bits, bands) = Dedup.suggestSimhashParams(docs.count(), bands = 4)
+    Dedup.simhashPairs(docs, "doc_id", "text", bits, bands, maxHamming = 3)
+      .withColumn("bits", lit(bits.toLong))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q23's adaptive twin: sign-bucket width from
+    * Dedup.suggestSignBits(count, dim) — the q45-analog cliff cure,
+    * oracle-gated the same way (30-bit bucket masked to the chosen
+    * width; each bit is one component's sign, so masking ≡ narrower
+    * bucketing).
+    */
+  private def qNearDupsAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val bits = Dedup.suggestSignBits(embs.count(), dim = 64)
+    // threshold -1 keeps EVERY bucket-cohabiting pair: the synthetic
+    // embeddings never reach real near-dup cosine (q23 is 0 rows), so
+    // gating the adaptive widths needs the full candidate set — the
+    // hash then covers both the bucket assignment AND the scores
+    Dedup.embeddingNearDups(embs, "vec_id", "embedding",
+        threshold = -1.0, signBits = bits)
+      .withColumn("bits", lit(bits.toLong))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** K8/S9 in the battery: the bucketed COW upsert merge itself
     * (operators.VersionedTable — Hudi recordkey/precombine semantics,
     * reference hudi/register_hudi.py:44-96). Builds a three-commit
@@ -1167,7 +1204,9 @@ object SparkEntry {
     "q78_topk_agg" -> (qTopKAgg _),
     "q79_decayed_sum" -> (qDecayedSum _),
     "q80_equidepth_hist" -> (qEquiDepthHist _),
-    "q81_bpe_tokens" -> (qBpeTokens _))
+    "q81_bpe_tokens" -> (qBpeTokens _),
+    "q82_simhash_adaptive" -> (qSimhashAdaptive _),
+    "q84_near_dups_adaptive" -> (qNearDupsAdaptive _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

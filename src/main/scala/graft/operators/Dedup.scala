@@ -218,11 +218,18 @@ object Dedup {
     // larger Hamming radii, traded against band width)
     val maxBandBits = math.min(15, 60 / bands)
     require(maxBandBits >= 1, s"$bands bands cannot fit in 60 fingerprint bits")
-    val needed = math.ceil(
-      math.log(estimatedDocs.toDouble / targetBucket) / math.log(2.0)).toInt
+    // ceil(log2(n / target)) in EXACT integer math (smallest b with
+    // 2^b ≥ ⌈n/target⌉) — bit-identical to the SQL oracle's
+    // re-derivation from count(*), with no float-log boundary risk
+    val needed = log2Ceil( // overflow-safe ⌈n/target⌉ (n may be Long.Max)
+      estimatedDocs / targetBucket + (if (estimatedDocs % targetBucket == 0) 0 else 1))
     val bandBits = math.min(maxBandBits, math.max(math.min(4, maxBandBits), needed))
     (bands * bandBits, bands)
   }
+
+  /** ceil(log2(x)) for x ≥ 1 — exact (no float log), clamps x ≤ 0 to 0. */
+  private[operators] def log2Ceil(x: Long): Int =
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, x) - 1)
 
   /** The fingerprint stage of [[simhashPairs]], pre-materialization
     * (token-less docs carry no signal and are excluded).
@@ -397,7 +404,9 @@ object Dedup {
   def suggestSignBits(n: Long, dim: Int): Int = {
     require(n >= 1, s"corpus size must be >= 1, got $n")
     require(dim >= 1, s"embedding dimension must be >= 1, got $dim")
-    val want = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt
+    // exact integer ceil(log2(n)) — same oracle-parity rationale as
+    // suggestSimhashParams
+    val want = log2Ceil(n)
     math.max(4, math.min(math.min(dim, 30), want))
   }
 
