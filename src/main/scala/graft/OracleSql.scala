@@ -1374,5 +1374,33 @@ object OracleSql {
             (SELECT bits FROM SB) AS bits
           FROM C l JOIN C r ON l.bucket = r.bucket AND l.id < r.id
           WHERE ${scoreFixedSql("l.emb", "r.emb")} >= -1000000
-          ORDER BY id_a, id_b""")
+          ORDER BY id_a, id_b""",
+
+    // CDC rollup maintenance: the oracle is the full recompute of the
+    // replayed base → move-update → DELETE → re-insert final state
+    // (q66's lexicographic merge argument); the engine's maintained
+    // summary — including delete-shrunk and emptied groups — must
+    // equal it
+    "q85_rollup_cdc" ->
+      s"""WITH B AS (SELECT doc_id, lang,
+                 CAST(len(${toks("text")}) AS BIGINT) AS n_tokens,
+                 CAST(1 AS BIGINT) AS pre, 0 AS seq FROM documents),
+          U2 AS (SELECT doc_id, 'xx' AS lang, n_tokens + 5 AS n_tokens,
+                 CAST(2 AS BIGINT) AS pre, 1 AS seq FROM B WHERE doc_id % 7 = 0),
+          M12 AS (SELECT doc_id, lang, n_tokens, pre, seq FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY pre DESC, seq DESC) AS rn
+                 FROM (SELECT * FROM B UNION ALL SELECT * FROM U2))
+                WHERE rn = 1),
+          AD AS (SELECT * FROM M12 WHERE doc_id % 5 <> 0),
+          U4 AS (SELECT doc_id, 'yy' AS lang, n_tokens + 9 AS n_tokens,
+                 CAST(3 AS BIGINT) AS pre, 3 AS seq FROM B WHERE doc_id % 4 = 0),
+          F AS (SELECT doc_id, lang, n_tokens FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY pre DESC, seq DESC) AS rn
+                 FROM (SELECT * FROM AD UNION ALL SELECT * FROM U4))
+                WHERE rn = 1)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+          FROM F GROUP BY lang ORDER BY lang""")
 }

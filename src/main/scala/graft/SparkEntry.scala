@@ -775,6 +775,43 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** CDC rollup maintenance (RollupMaintenance.maintainRollupCdc):
+    * q71's summary maintained across an upsert → DELETE → upsert
+    * replay — the delete-aware refresh whose touched groups come from
+    * the change feed, so the delete that [[maintainRollup]] is
+    * documented to miss is applied. The oracle is the full recompute
+    * of the replayed final state: maintained ≡ recomputed is the
+    * whole contract.
+    */
+  private def qRollupCdc(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q85_cdc_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "doc_id", "pre", numBuckets = 8)
+    val base = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      graft.functions.tokenCount(col("text")).as("n_tokens"), lit(1L).as("pre"))
+    val aggs = Seq("n_docs" -> count(lit(1)), "sum_tokens" -> sum(col("n_tokens")))
+    val c1 = vt.upsert(base)
+    val summary1 = graft.operators.RollupMaintenance.fullRollup(vt, "lang", aggs)
+      .localCheckpoint()
+    // commit 2 moves every 7th doc to lang 'xx' (+5 tokens)
+    vt.upsert(base.filter(col("doc_id") % 7 === 0)
+      .withColumn("lang", lit("xx"))
+      .withColumn("n_tokens", col("n_tokens") + 5)
+      .withColumn("pre", lit(2L)))
+    // commit 3 DELETES every 5th doc (shrinks several groups)
+    vt.delete(base.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    // commit 4 re-inserts/updates every 4th doc as lang 'yy' (+9)
+    val head = vt.upsert(base.filter(col("doc_id") % 4 === 0)
+      .withColumn("lang", lit("yy"))
+      .withColumn("n_tokens", col("n_tokens") + 9)
+      .withColumn("pre", lit(3L)))
+    graft.operators.RollupMaintenance.maintainRollupCdc(
+        vt, c1, head, summary1, "lang", aggs)
+      .orderBy(col("lang"))
+  }
+
   /** Token-window chunking (operators.Chunker): 64-token windows with
     * 16-token overlap — the map-only splitting stage of an embedding
     * pipeline, no shuffle, no UDF.
@@ -1206,7 +1243,8 @@ object SparkEntry {
     "q80_equidepth_hist" -> (qEquiDepthHist _),
     "q81_bpe_tokens" -> (qBpeTokens _),
     "q82_simhash_adaptive" -> (qSimhashAdaptive _),
-    "q84_near_dups_adaptive" -> (qNearDupsAdaptive _))
+    "q84_near_dups_adaptive" -> (qNearDupsAdaptive _),
+    "q85_rollup_cdc" -> (qRollupCdc _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   * slice of the current snapshot.
   *
   * Limits, stated honestly: [[VersionedTable.delete]] commits are
-  * INVISIBLE to `incremental` (non-CDC semantics), so a delete-only
-  * commit leaves a stale summary — run a full refresh after deletes,
-  * or treat deletes as tombstone upserts upstream. This mirrors the
-  * restriction on Hudi incremental-ETL pipelines without CDC enabled.
+  * INVISIBLE to `incremental` (non-CDC semantics), so
+  * [[maintainRollup]] after a delete-only commit leaves a stale
+  * summary — mirroring the restriction on Hudi incremental-ETL
+  * pipelines without CDC enabled. [[maintainRollupCdc]] closes the
+  * hole: it takes touched groups from the key-level change feed
+  * ([[VersionedTable.diff]]), which sees deletes, at the cost of a
+  * snapshot-compare instead of a delta-only read.
   */
 object RollupMaintenance {
 
@@ -55,6 +58,47 @@ object RollupMaintenance {
       .join(changedKeys, Seq(vt.recordKey), "left_semi")
     val touched = delta.select(col(groupCol))
       .unionByName(oldRows.select(col(groupCol))).distinct()
+    recomputeAndCarry(vt, prevSummary, groupCol, aggs, touched)
+  }
+
+  /** CDC refresh — the delete-aware variant: touched groups come from
+    * [[VersionedTable.diff]] (`sinceTs` → `headTs`), which classifies
+    * every key-level change including DELETES, so the delete-staleness
+    * caveat of [[maintainRollup]] does not apply. Inserts contribute
+    * their after-group, deletes their before-group, updates both sides
+    * (group moves recompute source and destination). A group whose
+    * last row was deleted recomputes to no row and its carried summary
+    * row is anti-joined away — it disappears, matching the full
+    * recompute.
+    *
+    * Cost: one change-feed diff (two manifest-resolved snapshot reads,
+    * full-outer joined on the record key — bucket-pruned to commits'
+    * touched buckets) instead of `incremental`'s delta-only read; the
+    * group recompute still reads only the touched groups' slice.
+    */
+  def maintainRollupCdc(vt: VersionedTable, sinceTs: String, headTs: String,
+      prevSummary: DataFrame, groupCol: String,
+      aggs: Seq[(String, Column)]): DataFrame = {
+    require(aggs.nonEmpty, "need at least one aggregate")
+    val d = vt.diff(sinceTs, headTs)
+    // change_type (not null-ness of before/after) picks the sides: a
+    // legitimately-null group value must still mark its group touched
+    val touched = d.filter(col("change_type") =!= "delete")
+      .select(col(s"after_$groupCol").as(groupCol))
+      .unionByName(d.filter(col("change_type") =!= "insert")
+        .select(col(s"before_$groupCol").as(groupCol)))
+      .distinct()
+    recomputeAndCarry(vt, prevSummary, groupCol, aggs, touched)
+  }
+
+  /** Shared refresh tail: recompute the touched groups from the
+    * current snapshot, carry every untouched summary row verbatim.
+    * `touched` is small by construction (bounded by the delta), so
+    * both joins broadcast.
+    */
+  private def recomputeAndCarry(vt: VersionedTable, prevSummary: DataFrame,
+      groupCol: String, aggs: Seq[(String, Column)],
+      touched: DataFrame): DataFrame = {
     val recomputed = vt.snapshot
       .join(broadcast(touched.withColumnRenamed(groupCol, "_touched_g")),
         col(groupCol) <=> col("_touched_g"))

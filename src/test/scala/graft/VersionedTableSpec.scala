@@ -209,13 +209,22 @@ class VersionedTableSpec extends SparkSpec {
       s"moved-from group b must disappear: $got")
     // documented caveat, pinned: deleting a pre-sinceTs key in an
     // otherwise-untouched group is invisible to incremental — the
-    // carried summary row goes STALE; full-refresh after deletes
-    vt.delete(Seq("K6").toDF("k"))
+    // carried summary row goes STALE under the non-CDC refresh...
+    val headDel = vt.delete(Seq("K6").toDF("k"))
     val afterDel = RollupMaintenance.maintainRollup(vt, c1, s1, "grp", aggs)
       .collect().map(r => r.getString(0)).toSet
     assert(afterDel.contains("e"), "delete staleness is the documented contract")
     assert(!RollupMaintenance.fullRollup(vt, "grp", aggs)
       .collect().map(_.getString(0)).toSet.contains("e"))
+    // ...and the CDC refresh closes exactly that hole: group e's last
+    // row was deleted, so its carried row disappears and the result
+    // equals the full recompute
+    val cdc = RollupMaintenance.maintainRollupCdc(vt, c1, headDel, s1, "grp", aggs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fullDel = RollupMaintenance.fullRollup(vt, "grp", aggs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cdc == fullDel, s"CDC-maintained must equal full recompute: $cdc vs $fullDel")
+    assert(!cdc.contains("e"), "emptied group must disappear under CDC refresh")
   }
 
   test("upsert folds a legacy manifest-less snapshot instead of dropping it") {
