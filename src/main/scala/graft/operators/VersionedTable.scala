@@ -312,7 +312,35 @@ final class VersionedTable(spark: SparkSession, root: String,
     * for every shared payload column (null on the absent side).
     */
   def diff(tsA: String, tsB: String): DataFrame = {
-    val a = asOf(tsA); val b = asOf(tsB)
+    val dirA = resolveCommit(tsA); val dirB = resolveCommit(tsB)
+    val mA = readManifest(dirA); val mB = readManifest(dirB)
+    // manifest pruning: a bucket whose manifests reference the SAME
+    // writing commit holds byte-identical files on both sides — it
+    // cannot contribute a change row, so only buckets whose references
+    // differ (or exist on one side only) enter the snapshot compare.
+    // Prunable only when both manifests exist and agree on the bucket
+    // count (a rebucket migration renumbers keys, making bucket ids
+    // incomparable); otherwise fall back to the full compare. At
+    // 100 TB this turns "diff two snapshots" into "diff the touched
+    // file groups" — the same bucket-granularity COW argument as
+    // upsert.
+    val prunable = mA.nonEmpty && mB.nonEmpty && {
+      val (ba, bb) = (readBucketCount(dirA), readBucketCount(dirB))
+      ba.isDefined && ba == bb
+    }
+    val (a, b) =
+      if (!prunable) (readCommit(dirA), readCommit(dirB))
+      else {
+        val changed = (mA.keySet ++ mB.keySet)
+          .filter(bk => mA.get(bk) != mB.get(bk))
+        def side(m: Map[Int, String]): DataFrame = {
+          val paths = m.toSeq.filter(kv => changed(kv._1)).sortBy(_._1)
+            .map { case (bk, c) => bucketPath(bk, c) }
+          if (paths.isEmpty) readCommit(dirA).filter(lit(false)) // schema-only
+          else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        }
+        (side(mA), side(mB))
+      }
     val payload = a.columns.toSeq.filter(c => c != recordKey && c != CommitCol)
       .filter(b.columns.contains)
     val ap = a.select(col(recordKey).as("_ka") +: lit(true).as("_pa") +:
@@ -422,11 +450,11 @@ final class VersionedTable(spark: SparkSession, root: String,
     snapshotOpt.getOrElse(sys.error(s"no commits under $root"))
 
   /** Time travel: newest commit with commitTs <= asOfTs. */
-  def asOf(asOfTs: String): DataFrame = {
-    val dir = commitDirs.filter(_ <= asOfTs).lastOption
+  def asOf(asOfTs: String): DataFrame = readCommit(resolveCommit(asOfTs))
+
+  private def resolveCommit(asOfTs: String): String =
+    commitDirs.filter(_ <= asOfTs).lastOption
       .getOrElse(sys.error(s"no commit at or before $asOfTs"))
-    readCommit(dir)
-  }
 
   /** Distinct commit times desc — the reference's commit-history query
     * (`select distinct _hoodie_commit_time ... order by desc`).

@@ -185,6 +185,27 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.diff(head, head).count() == 0)
   }
 
+  test("diff prunes unchanged buckets via manifest references") {
+    val root = Fixtures.tmpDir("vt").toString
+    val vt = new VersionedTable(spark, root, "k", "pre", numBuckets = 4)
+    val c1 = vt.upsert((1 to 40).map(i => (s"K$i", 1L, s"p$i"))
+      .toDF("k", "pre", "payload"))
+    // base spreads keys over all 4 buckets; this commit rewrites ONE
+    val c2 = vt.upsert(Seq(("K7", 2L, "p7b")).toDF("k", "pre", "payload"))
+    val d = vt.diff(c1, c2)
+    val rows = d.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("change_type") == "update")
+    // the scan pin: only the touched bucket's file group is read on
+    // either side — unchanged buckets' identical references pruned
+    val buckets = d.inputFiles
+      .flatMap("_bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    assert(buckets.size == 1,
+      s"diff of a 1-bucket-touch commit must read 1 bucket, read: $buckets")
+    val allBuckets = vt.snapshot.inputFiles
+      .flatMap("_bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    assert(allBuckets.size == 4, s"base must populate all buckets: $allBuckets")
+  }
+
   test("maintainRollup recomputes touched groups (incl. moved-from), carries the rest") {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     import graft.operators.RollupMaintenance
