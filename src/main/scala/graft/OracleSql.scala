@@ -110,6 +110,15 @@ object OracleSql {
   private def scoreFixedSql(a: String, b: String): String =
     s"cast(floor(${cosineSql(a, b)} * 1000000.0) as bigint)"
 
+  /** [[scoreFixedSql]] with the zero-norm guard of
+    * Similarity.cellFromNorm / lutContrib: 0 when either side is the
+    * zero vector (reachable for residual-PQ slices). A no-op wherever
+    * norms are nonzero, so it cannot move existing hashes.
+    */
+  private def scoreFixedSafeSql(a: String, b: String): String =
+    s"""CASE WHEN ${dotSql(a, a)} = 0.0 OR ${dotSql(b, b)} = 0.0
+        THEN CAST(0 AS BIGINT) ELSE ${scoreFixedSql(a, b)} END"""
+
   /** Sign-bit bucket — mirror of Similarity.signBucket. */
   private def signBucketSql(e: String, bits: Int): String =
     (0 until bits).map(j => s"(CASE WHEN $e[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
@@ -176,7 +185,7 @@ object OracleSql {
     s"""$out AS (SELECT id, emb, cid FROM (
           SELECT c.id, c.emb, s.cid,
             row_number() OVER (PARTITION BY c.id
-              ORDER BY ${scoreFixedSql("c.emb", "s.cemb")} DESC, s.cid) AS rn
+              ORDER BY ${scoreFixedSafeSql("c.emb", "s.cemb")} DESC, s.cid) AS rn
           FROM $src c CROSS JOIN $cents s) WHERE rn <= $probes)"""
 
   private def ivfRound(prev: String, a: String, p: String, m: String,
@@ -265,19 +274,28 @@ object OracleSql {
     * own seeded k-means (two rounds), per-vector codes, sliced
     * queries, and the per-(query, cell) fixed-point contribution LUT.
     */
+  /** Slice + per-subspace k-means + codes for subspace `s`, training
+    * on `src` (raw vectors for q58/q59; the RES residual table for
+    * q83 — identical derivation either way).
+    */
+  private def pqTrainCodesCtes(s: Int, kc: Int, sub: Int, src: String): String = {
+    val c = s"C$s"
+    val lo = s * sub + 1; val hi = (s + 1) * sub
+    s"""$c AS (SELECT id, emb[$lo:$hi] AS emb FROM $src),
+        PS0_$s AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, emb AS cemb
+               FROM (SELECT * FROM $c ORDER BY id LIMIT $kc)),
+        ${ivfRound(s"PS0_$s", s"PA1_$s", s"PP1_$s", s"PM1_$s", s"PS1_$s", c)},
+        ${ivfRound(s"PS1_$s", s"PA2_$s", s"PP2_$s", s"PM2_$s", s"PS2_$s", c)},
+        ${ivfAssignCte(c, s"PS2_$s", s"CODE$s", 1)}"""
+  }
+
   private def pqSubspaceCtes(m: Int, kc: Int, sub: Int): String =
     (0 until m).map { s =>
       val c = s"C$s"
-      val lo = s * sub + 1; val hi = (s + 1) * sub
-      s"""$c AS (SELECT id, emb[$lo:$hi] AS emb FROM C),
-          PS0_$s AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, emb AS cemb
-                 FROM (SELECT * FROM $c ORDER BY id LIMIT $kc)),
-          ${ivfRound(s"PS0_$s", s"PA1_$s", s"PP1_$s", s"PM1_$s", s"PS1_$s", c)},
-          ${ivfRound(s"PS1_$s", s"PA2_$s", s"PP2_$s", s"PM2_$s", s"PS2_$s", c)},
-          ${ivfAssignCte(c, s"PS2_$s", s"CODE$s", 1)},
+      s"""${pqTrainCodesCtes(s, kc, sub, "C")},
           Q$s AS (SELECT id, emb FROM $c WHERE id % 200 = 0 AND id < 2000),
           LUT$s AS (SELECT q.id AS query_id, s2.cid,
-                 ${scoreFixedSql("q.emb", "s2.cemb")} AS contrib
+                 ${scoreFixedSafeSql("q.emb", "s2.cemb")} AS contrib
                 FROM Q$s q CROSS JOIN PS2_$s s2)"""
     }.mkString(",\n")
 
@@ -534,12 +552,14 @@ object OracleSql {
          ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""",
 
     // formatting-invariant dedup: mirror of TextAnalysis.normalizeForDedup
-    // (lowercase → strip [^a-z0-9\s] → collapse \s+ → trim); DuckDB
-    // regexp_replace needs the explicit 'g' flag Spark applies implicitly
+    // (lowercase → strip non-alnum → collapse whitespace → trim);
+    // whitespace as the explicit class [ \t\n\x0B\f\r] because Java \s
+    // includes \x0B and RE2 \s does not; DuckDB regexp_replace needs
+    // the explicit 'g' flag Spark applies implicitly
     "q74_dedup_normalized" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(
-           lower(coalesce(text, '')), '[^a-z0-9\s]', '', 'g'),
-           '\s+', ' ', 'g'))) AS content_hash,
+           lower(coalesce(text, '')), '[^a-z0-9 \t\n\x0B\f\r]', '', 'g'),
+           '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS content_hash,
          min(doc_id) AS keep_id, cast(count(*) as bigint) AS n_dups
          FROM documents GROUP BY 1 ORDER BY content_hash""",
 
@@ -1402,5 +1422,50 @@ object OracleSql {
                 WHERE rn = 1)
           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-          FROM F GROUP BY lang ORDER BY lang""")
+          FROM F GROUP BY lang ORDER BY lang""",
+
+    // residual IVF-PQ: the q59 composition, but codes quantize
+    // RESIDUALS (vector − assigned coarse centroid) and each query's
+    // LUT is per probed cell (its residual against THAT cell); the
+    // per-subspace k-means chains are the same q58 derivations run on
+    // the residual table
+    "q83_ivf_pq_residual" -> {
+      val (m, kc, sub) = (2, 4, 32)
+      val residual = (src: String, cells: String) =>
+        s"""list_transform(range(len($src.emb)),
+            i -> $src.emb[i+1]::DOUBLE - $cells.cemb[i+1])"""
+      val trains = (0 until m).map(s => pqTrainCodesCtes(s, kc, sub, "RES"))
+        .mkString(",\n")
+      val qluts = (0 until m).map { s =>
+        val lo = s * sub + 1; val hi = (s + 1) * sub
+        s"""QR$s AS (SELECT id, cell, emb[$lo:$hi] AS emb FROM QR),
+            RLUT$s AS (SELECT q.id AS query_id, q.cell, s2.cid,
+                   ${scoreFixedSafeSql("q.emb", "s2.cemb")} AS contrib
+                  FROM QR$s q CROSS JOIN PS2_$s s2)"""
+      }.mkString(",\n")
+      val unions = (0 until m).map(s =>
+        s"""SELECT ca.query_id, ca.id, l.contrib
+            FROM CAND ca JOIN CODE$s c$s ON c$s.id = ca.id
+            JOIN RLUT$s l ON l.cid = c$s.cid AND l.query_id = ca.query_id
+              AND l.cell = ca.cell""")
+        .mkString(" UNION ALL ")
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          ${ivfCoarseCtes(8, 2)},
+          RES AS (SELECT c.id, ${residual("c", "s")} AS emb
+                  FROM CC c JOIN S2 s USING (cid)),
+          $trains,
+          QR AS (SELECT q.id, q.cid AS cell, ${residual("q", "s")} AS emb
+                 FROM QP q JOIN S2 s ON s.cid = q.cid),
+          $qluts,
+          CAND AS (SELECT q.id AS query_id, q.cid AS cell, c.id
+                   FROM CC c JOIN QP q ON q.cid = c.cid AND q.id <> c.id),
+          CONTRIB AS ($unions),
+          ADC AS (SELECT query_id, id AS neighbor_id,
+                  CAST(sum(contrib) AS BIGINT) AS adc_1e6
+                  FROM CONTRIB GROUP BY query_id, id),
+          R AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_1e6 DESC, neighbor_id) AS rank FROM ADC)
+          SELECT query_id, rank, neighbor_id, adc_1e6 FROM R WHERE rank <= 3
+          ORDER BY query_id, rank"""
+    })
 }

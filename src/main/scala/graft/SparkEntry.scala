@@ -1048,6 +1048,24 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Residual IVF-PQ (Similarity.trainResidualCodebooks/
+    * ivfPqResidualTopK): q59's composition with codes quantizing
+    * residuals and a per-(query, probed-cell) LUT — the standard
+    * FAISS-shaped refinement that buys recall at equal nprobe. Coarse
+    * quantizer, residual codebooks, codes, and scoring all re-derived
+    * by the oracle.
+    */
+  private def qIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val coarse = Similarity.trainCentroids(corpus, k = 8, iters = 2)
+    val books = Similarity.trainResidualCodebooks(corpus, coarse, m = 2, k = 4, iters = 2)
+    Similarity.ivfPqResidualTopK(corpus,
+        corpus.filter(col("id") % 200 === 0 && col("id") < 2000),
+        coarse, books, k = 3, nprobe = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_1e6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Ordered conversion funnel (operators.EventAnalytics.funnel):
     * view → click → purchase, each stage strictly after the user's
     * first completion of the previous one; one shuffle (the user),
@@ -1244,6 +1262,7 @@ object SparkEntry {
     "q81_bpe_tokens" -> (qBpeTokens _),
     "q82_simhash_adaptive" -> (qSimhashAdaptive _),
     "q84_near_dups_adaptive" -> (qNearDupsAdaptive _),
+    "q83_ivf_pq_residual" -> (qIvfPqResidual _),
     "q85_rollup_cdc" -> (qRollupCdc _))
 
   def oracleSql: Map[String, String] = OracleSql.all

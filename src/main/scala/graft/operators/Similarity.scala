@@ -44,7 +44,16 @@ object Similarity {
     // "candidates" and "answers" moving through the cluster. Tie order
     // (score desc, neighbor asc) matches the former window exactly;
     // ranks emit as BIGINT (DuckDB row_number parity).
-    scored.groupBy(col("query_id"))
+    //
+    // NULL scores (null embeddings — a zero-norm vector raises ANSI
+    // DIVIDE_BY_ZERO instead) are DROPPED, made explicit by the filter
+    // below rather than left to TopKPairs' skip-null accumulate: a
+    // query with fewer than k non-null candidates returns fewer than
+    // k rows. A NULLS-LAST rank window (the DuckDB oracle's default)
+    // would pad such queries with null-scored rows — that divergence
+    // is only reachable when null embeddings exist.
+    scored.filter(col("score_1e6").isNotNull)
+      .groupBy(col("query_id"))
       .agg(graft.expressions.TopKPairs(col("score_1e6"), col("neighbor_id"), k)
         .as("_top"))
       .select(col("query_id"), posexplode(col("_top")))
@@ -133,11 +142,32 @@ object Similarity {
   private def normOf(v: Seq[Double]): Double =
     math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
 
+  /** One ADC LUT contribution: fixed-point cosine of a staged slice
+    * against a centroid constant, with the same zero-norm guard as
+    * [[cellFromNorm]] (zero slices/centroids contribute 0).
+    */
+  private def lutContrib(slice: Column, nrm: Column, cent: Seq[Double]): Column = {
+    val cn = normOf(cent)
+    if (cn == 0.0) lit(0L)
+    else when(nrm === 0, lit(0L))
+      .otherwise(floor(dot(slice, array(cent.map(lit): _*)) / (nrm * lit(cn))
+        * lit(1000000.0)).cast("long"))
+  }
+
   private def cellFromNorm(emb: Column, nrm: Column,
       ordered: Seq[(Int, Seq[Double])], norms: Seq[Double]): Column = {
     val scores = ordered.zip(norms).map { case ((_, v), cn) =>
-      floor(dot(emb, array(v.map(lit): _*)) / (nrm * lit(cn)) * lit(1000000.0))
-        .cast("long")
+      // zero-norm guard: a zero vector (or zero centroid) has no
+      // cosine — score it 0 so assignment falls to the cid tie-break
+      // instead of ANSI DIVIDE_BY_ZERO. Residual slices make this
+      // REACHABLE (a subspace where every cluster member equals its
+      // centroid residualizes to exactly zero); the oracle's assign
+      // CTE carries the same CASE, which is a no-op wherever norms
+      // are nonzero, so existing hashes are unaffected.
+      if (cn == 0.0) lit(0L)
+      else when(nrm === 0, lit(0L))
+        .otherwise(floor(dot(emb, array(v.map(lit): _*)) / (nrm * lit(cn))
+          * lit(1000000.0)).cast("long"))
     }
     val arr = array(scores: _*)
     (array_position(arr, array_max(arr)) - 1).cast("int")
@@ -248,9 +278,7 @@ object Similarity {
     val lutEntries = codebooks.indices.flatMap { s =>
       codebooks(s).sortBy(_._1).map { case (cid, cent) =>
         struct(lit(s).as("s"), lit(cid).as("cid"),
-          floor(dot(col(s"_s$s"), array(cent.map(lit): _*)) /
-              (col(s"_n$s") * lit(normOf(cent))) * lit(1000000.0))
-            .cast("long").as("contrib"))
+          lutContrib(col(s"_s$s"), col(s"_n$s"), cent).as("contrib"))
       }
     }
     stagedQ.select(col("id").as("query_id"),
@@ -359,6 +387,99 @@ object Similarity {
     val lutKeyed = cand
       .select(col("query_id"), col("id"), posexplode(col("codes")).as(Seq("s", "cid")))
       .join(broadcast(adcLut(queries, codebooks)), Seq("query_id", "s", "cid"))
+    adcRank(lutKeyed, k)
+  }
+
+  // ------------------------------------------------------------------
+  // Residual PQ — the standard composed-index refinement (FAISS's
+  // IVF{n},PQ{m}): codes quantize the RESIDUAL (vector − assigned
+  // coarse centroid) instead of the raw vector. Residuals concentrate
+  // near the origin with most inter-cluster variance removed, so the
+  // same m×k code budget spends its resolution on what the coarse
+  // quantizer didn't explain — higher recall at equal nprobe.
+  // ------------------------------------------------------------------
+
+  /** Elementwise residual against the assigned coarse centroid. The
+    * centroid table ships as an array-of-arrays literal (k·dim
+    * doubles — driver-sized); subtraction in double, and float→double
+    * casts are exact, so both engines compute identical residuals.
+    */
+  private def residualExpr(emb: Column, cid: Column,
+      coarse: Seq[(Int, Seq[Double])]): Column = {
+    val ordered = coarse.sortBy(_._1)
+    require(ordered.map(_._1) == ordered.indices.toSeq,
+      "centroid ids must be 0..k-1")
+    val table = array(ordered.map { case (_, v) => array(v.map(lit): _*) }: _*)
+    zip_with(emb, element_at(table, cid + 1), (x, c) => x.cast("double") - c)
+  }
+
+  /** (id, emb = residual, cid) — narrow assign + subtract, no shuffle. */
+  private def withResidual(corpus: DataFrame,
+      coarse: Seq[(Int, Seq[Double])]): DataFrame =
+    withCell(corpus, coarse).select(col("id"),
+      residualExpr(col("emb"), col("cid"), coarse).as("emb"), col("cid"))
+
+  /** Per-subspace codebooks trained on residuals — same deterministic
+    * integer k-means as [[trainPqCodebooks]], same hash-sample advice
+    * at real scale.
+    */
+  def trainResidualCodebooks(corpus: DataFrame, coarse: Seq[(Int, Seq[Double])],
+      m: Int, k: Int, iters: Int): Seq[Seq[(Int, Seq[Double])]] =
+    trainPqCodebooks(withResidual(corpus, coarse).select(col("id"), col("emb")),
+      m, k, iters)
+
+  /** IVF + residual-PQ search. Differences from [[ivfPqTopK]]: codes
+    * encode residuals, and the ADC lookup table is per (query, PROBED
+    * CELL) — the query's residual against each probed cell's centroid
+    * scores that cell's candidates — so the broadcast LUT holds
+    * |queries|·nprobe·m·k integer entries (still driver-trivial).
+    * Candidates still never load their original vectors.
+    * Output: (query_id, rank, neighbor_id, adc_1e6).
+    *
+    * Proxy caveat, stated honestly: contributions are COSINES of
+    * residual slices (scale-free), which ranks correctly within one
+    * probed cell — where the residual representation demonstrably
+    * beats raw-vector codes (spec-pinned) — but compares residuals of
+    * different magnitudes across cells at nprobe > 1; an L2/IP ADC
+    * (FAISS's metric) would anchor each cell by its distance term.
+    * Within this engine's fixed-point-cosine score system, residual
+    * PQ is therefore most valuable at small nprobe, which is exactly
+    * the regime it exists for.
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+      coarse: Seq[(Int, Seq[Double])], codebooks: Seq[Seq[(Int, Seq[Double])]],
+      k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarse.size)
+    // index build (write path): coarse cell + residual codes, all narrow
+    val (stagedC, _) = stageSubspaces(withResidual(corpus, coarse), codebooks)
+    val indexed = stagedC.select(col("id"), col("cid").as("cell"),
+      array(codebooks.indices.map(s =>
+        assignCellWithNorm(col(s"_s$s"), col(s"_n$s"), codebooks(s))): _*).as("codes"))
+    // per-(query, probed-cell) residual LUT
+    val probed = probeCells(queries, coarse, nprobe)
+    val qr = probed.select(col("id"), col("cid").as("cell"),
+      residualExpr(col("emb"), col("cid"), coarse).as("emb"))
+    val (stagedQ, _) = stageSubspaces(qr, codebooks)
+    val lutEntries = codebooks.indices.flatMap { s =>
+      codebooks(s).sortBy(_._1).map { case (cid, cent) =>
+        struct(lit(s).as("s"), lit(cid).as("cid"),
+          lutContrib(col(s"_s$s"), col(s"_n$s"), cent).as("contrib"))
+      }
+    }
+    val lut = stagedQ.select(col("id").as("query_id"), col("cell"),
+        explode(array(lutEntries: _*)).as("e"))
+      .select(col("query_id"), col("cell"), col("e.s").as("s"),
+        col("e.cid").as("cid"), col("e.contrib").as("contrib"))
+    // candidates from the probed-cell equi-join (at most one row per
+    // (query, doc) — one coarse cell per vector, distinct probed cells)
+    val cand = indexed
+      .join(broadcast(probed.select(col("id").as("query_id"),
+        col("cid").as("cell"))), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+    val lutKeyed = cand
+      .select(col("query_id"), col("cell"), col("id"),
+        posexplode(col("codes")).as(Seq("s", "cid")))
+      .join(broadcast(lut), Seq("query_id", "cell", "s", "cid"))
     adcRank(lutKeyed, k)
   }
 }

@@ -368,6 +368,81 @@ class OperatorsSpec extends SparkSpec {
       f"recall must not fall as nprobe grows: $r1%.3f / $r2%.3f / $r4%.3f")
   }
 
+  test("residual PQ codes beat raw PQ codes at equal nprobe") {
+    // planted structure where the textbook motivation is deterministic:
+    // cluster center j = 10·(e_j + e_{4+j}) spans BOTH subspaces, so
+    // raw per-subspace codebooks (k=4) spend every cell on cluster
+    // placement and all same-cluster candidates tie; within-cluster
+    // ±1 offset patterns in dims 4..7 survive only in residuals, whose
+    // codebooks resolve them. Queries are pattern-2 members whose true
+    // siblings sit mid-range in id order — an all-tied ADC cannot luck
+    // into them via the neighbor-id tie-break.
+    val patterns = Seq(
+      Array(1f, 1f, -1f, -1f), Array(-1f, 1f, 1f, -1f),
+      Array(1f, -1f, 1f, -1f), Array(-1f, -1f, -1f, 1f))
+    def vec(cluster: Int, pat: Int, scale: Float): Array[Float] = {
+      val v = Array.fill(8)(0f)
+      v(cluster) = 10f; v(4 + cluster) += 10f
+      for (d <- 0 until 4) v(4 + d) += patterns(pat)(d) * scale
+      v
+    }
+    val rows = (0 until 4).map(c => (c.toLong, vec(c, 0, 1.0f))) ++
+      (for (c <- 0 until 4; p <- 0 until 4; m <- 0 until 2) yield {
+        val id = 4L + c * 8 + p * 2 + m
+        (id, vec(c, p, 1.0f + 0.05f * m))
+      })
+    val corpus = rows.toDF("id", "emb")
+    val queries = corpus.filter(col("id") % 8 === 1 && col("id") >= 4)
+    val coarse = Similarity.trainCentroids(corpus, k = 4, iters = 2)
+    val raw = Similarity.trainPqCodebooks(corpus, m = 2, k = 4, iters = 2)
+    val res = Similarity.trainResidualCodebooks(corpus, coarse, m = 2, k = 4, iters = 2)
+    val truth = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+        .sum / truth.size
+    }
+    // nprobe=1 — the single-cell regime residual PQ exists for (the
+    // cosine-ADC cross-cell caveat is documented on ivfPqResidualTopK)
+    val rawR = recall(Similarity.ivfPqTopK(corpus, queries, coarse, raw, k = 3, nprobe = 1))
+    val resR = recall(Similarity.ivfPqResidualTopK(corpus, queries, coarse, res, k = 3, nprobe = 1))
+    info(f"planted recall@3 at nprobe=1: raw $rawR%.3f, residual $resR%.3f")
+    assert(resR > rawR + 0.2,
+      f"residual codes must clearly beat raw codes on planted structure: $resR%.3f vs $rawR%.3f")
+    // Real-embeddings sweep is REPORTED, not asserted: the synthetic
+    // embeddings are near-random, so ADC recall over 9 queries moves
+    // in 0.111 steps and the raw-vs-residual ordering flips with
+    // codebook capacity (m=8/k=16 measured raw 0/0/0.111 vs residual
+    // 0/0.111/0.222 at nprobe 1/2/4 — residual never worse; m=4/k=8
+    // flips at nprobe=1). Asserting on that would pin noise; the
+    // planted construction above is the deterministic gate.
+    val corpus2 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val queries2 = corpus2.filter(col("id") % 200 === 0)
+    val coarse2 = Similarity.trainCentroids(corpus2, k = 8, iters = 2)
+    val raw2 = Similarity.trainPqCodebooks(corpus2, m = 4, k = 8, iters = 2)
+    val res2 = Similarity.trainResidualCodebooks(corpus2, coarse2, m = 4, k = 8, iters = 2)
+    val truth2 = Similarity.bruteForceTopK(corpus2, queries2, k = 3)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall2(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth2.map { case (q, t) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+        .sum / truth2.size
+    }
+    for (np <- Seq(1, 2)) {
+      val rr = recall2(Similarity.ivfPqTopK(corpus2, queries2, coarse2, raw2, k = 3, nprobe = np))
+      val rs = recall2(Similarity.ivfPqResidualTopK(corpus2, queries2, coarse2, res2, k = 3, nprobe = np))
+      info(f"real recall@3 at nprobe=$np: raw $rr%.3f, residual $rs%.3f (reported, see comment)")
+    }
+  }
+
   test("PQ codes separate clusters; ADC recovers nearest neighbors without vectors") {
     // three tight clusters, visible in BOTH subspaces (dims 0-1 and
     // 2-3), so per-subspace codebooks must separate them and ADC
