@@ -28,39 +28,60 @@ object Layout {
   def colocatedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
-  /** Morton (Z-order) value: interleave the low `bits` bits of two
-    * non-negative integer columns — x's bit i lands at position 2i+1,
-    * y's at 2i. Rows close in BOTH dimensions get close z-values, so a
-    * range-partition on z gives every file a tight bounding box in x
-    * AND y and parquet min/max stats prune multi-dimensional
-    * predicates — the data-skipping layout single-column sorts can't
-    * provide (a sort by x leaves every file spanning all of y). Pure
-    * shift/and/add composition: codegen'd, and mirrored term-for-term
-    * by the DuckDB oracle.
+  /** Morton (Z-order) value over N non-negative integer columns:
+    * interleave the low `bits` bits of every column — column j's bit i
+    * lands at position `i·d + (d-1-j)` (for two columns that is x→2i+1,
+    * y→2i, the classic 2-D Morton order). Rows close in EVERY dimension
+    * get close z-values, so a range-partition on z gives each file a
+    * tight bounding box in all dimensions and parquet min/max stats
+    * prune multi-dimensional predicates — the data-skipping layout
+    * single-column sorts can't provide (a sort by x leaves every file
+    * spanning all of y). Pure shift/and/add composition: codegen'd,
+    * and mirrored term-for-term by the DuckDB oracle.
+    *
+    * Real layout keys are 3-4 columns (source, date, length bucket,
+    * lang id); `bits·d` must fit a signed long, and resolution per
+    * dimension falls as dimensions grow — 16 bits × 3 dims or 12 × 4
+    * are the practical shapes.
     */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val d = cols.length
+    require(d >= 1, "need at least one column")
+    require(bits >= 1 && bits * d <= 63,
+      s"bits·dims must fit a signed long: bits=$bits dims=$d")
     (0 until bits).flatMap { i =>
-      Seq(shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1),
-        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+          i * d + (d - 1 - j))
+      }
     }.reduce(_ + _)
   }
 
+  /** Two-column [[zValueN]] (the q69 battery shape). */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits <= 31, s"bits must be in [1, 31], got $bits")
+    zValueN(Seq(x, y), bits)
+  }
+
   /** Write `df` as `numFiles` parquet files range-partitioned and
-    * sorted by [[zValue]] over `(x, y)` — the clustering pass (Hudi/
+    * sorted by [[zValueN]] over `cols` — the clustering pass (Hudi/
     * Delta "Z-ORDER BY") a lake runs so that later selective scans
-    * skip files on both columns. One shuffle at write time, bought
-    * back on every subsequent multi-dimensional scan.
+    * skip files on every layout column. One shuffle at write time,
+    * bought back on every subsequent multi-dimensional scan.
     */
-  def zorderWrite(df: DataFrame, path: String, x: Column, y: Column,
-      numFiles: Int, bits: Int = 16): Unit = {
+  def zorderWriteN(df: DataFrame, path: String, cols: Seq[Column],
+      numFiles: Int, bits: Int): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    df.withColumn("_zv", zValue(x, y, bits))
+    df.withColumn("_zv", zValueN(cols, bits))
       .repartitionByRange(numFiles, col("_zv"))
       .sortWithinPartitions(col("_zv"))
       .drop("_zv")
       .write.mode("overwrite").parquet(path)
   }
+
+  def zorderWrite(df: DataFrame, path: String, x: Column, y: Column,
+      numFiles: Int, bits: Int = 16): Unit =
+    zorderWriteN(df, path, Seq(x, y), numFiles, bits)
 
   /** Compact a parquet directory's files into ~`targetBytes` outputs —
     * the small-file maintenance pass every lake needs: streaming

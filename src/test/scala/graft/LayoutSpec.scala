@@ -71,6 +71,39 @@ class LayoutSpec extends SparkSpec {
     assert(boxZ <= 4, s"8x8 box should touch a corner of the z-curve: $boxZ")
   }
 
+  test("3-column z-order prunes slices of every dimension") {
+    // 16x16x16 cube, one row per cell; 5 bits per dim (3·5=15 ≤ 63)
+    val cube = spark.range(0, 16 * 16 * 16).selectExpr(
+      "id", "id % 16 AS x", "(id DIV 16) % 16 AS y", "id DIV 256 AS z")
+    val nFiles = 16
+    val dir = Fixtures.tmpDir("zord3").toString
+    Layout.zorderWriteN(cube, dir, Seq(col("x"), col("y"), col("z")), nFiles, bits = 5)
+    val boxes = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg(min("x"), max("x"), min("y"), max("y"), min("z"), max("z"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(boxes.length == nFiles)
+    assert(spark.read.parquet(dir).select("id").exceptAll(cube.select("id")).isEmpty)
+    // a quarter-slice of any single dimension must skip files — a
+    // linear sort on x would span all of y and z in every file
+    def sliceTouched(dim: Int): Int = boxes.count { b =>
+      val (lo, hi) = dim match {
+        case 0 => (b._1, b._2); case 1 => (b._3, b._4); case _ => (b._5, b._6)
+      }
+      hi >= 0 && lo <= 3
+    }
+    for (d <- 0 until 3)
+      assert(sliceTouched(d) <= nFiles / 2,
+        s"dim $d quarter-slice must prune: touched ${sliceTouched(d)}/$nFiles")
+    // 2-col zValue must equal the N-col generalization (q69 stability)
+    val two = cube.select(
+      Layout.zValue(col("x"), col("y"), 5).as("a"),
+      Layout.zValueN(Seq(col("x"), col("y")), 5).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(two == 0, "zValue(x,y) must equal zValueN(Seq(x,y))")
+  }
+
   test("compactTo merges small files to the byte target with content unchanged") {
     val in = Fixtures.tmpDir("cmpin").toString
     val out = Fixtures.tmpDir("cmpout").toString

@@ -103,6 +103,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map("hot" -> 30L, "warm" -> 5L), s"streaming counts: $rows")
   }
 
+  test("windowed heavy hitters: streamed windows + rank tail equal the batch twin") {
+    import java.sql.Timestamp
+    val dir = Fixtures.tmpDir("whh_stream")
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // two 1-hour windows: hour 10 dominated by "hot", hour 11 by "cold";
+    // ties inside a window exercise the (cnt desc, token) order
+    val rows =
+      (1 to 5).map(i => (ts(i), "hot")) ++
+      (1 to 2).map(i => (ts(10 + i), "warm")) ++
+      (1 to 2).map(i => (ts(20 + i), "tepid")) ++
+      (1 to 4).map(i => (Timestamp.valueOf(f"2026-01-01 11:$i%02d:00"), "cold")) ++
+      Seq((Timestamp.valueOf("2026-01-01 11:30:00"), "warm"))
+    rows.toDF("ts", "token").write.mode("overwrite").parquet(dir.toString)
+
+    val streamed = graft.streaming.StreamingHeavyHitters.windowedTokenCounts(
+      spark.readStream.schema("ts TIMESTAMP, token STRING").parquet(dir.toString),
+      col("token"), col("ts"))
+    assert(streamed.isStreaming)
+    val q = streamed.writeStream.outputMode("complete")
+      .format("memory").queryName("whh_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    def ranked(counts: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamingHeavyHitters.topNPerWindow(counts, topN = 2)
+        .collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[Long]("rank"),
+          r.getAs[String]("token"), r.getAs[Long]("cnt"))).toSet
+
+    val streamRanked = ranked(spark.sql("select * from whh_out"))
+    // the batch twin: same operator, same rank tail, batch frame
+    val batchRanked = ranked(graft.streaming.StreamingHeavyHitters
+      .windowedTokenCounts(spark.read.parquet(dir.toString), col("token"), col("ts")))
+    assert(streamRanked == batchRanked,
+      s"stream and batch twins must agree: $streamRanked vs $batchRanked")
+    // spot-pin hour 10: hot(5) then tepid/warm tie broken by token asc
+    val h10 = streamRanked.filter(_._1 == Timestamp.valueOf("2026-01-01 10:00:00"))
+      .toSeq.sortBy(_._2).map(t => (t._3, t._4))
+    assert(h10 == Seq(("hot", 5L), ("tepid", 2L)), s"hour-10 top-2: $h10")
+  }
+
   test("sessionize closes a session after the gap (batch mode)") {
     val events = Seq(
       Event(1L, ts(0), 10L, "click", 1.0),
