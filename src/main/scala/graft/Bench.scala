@@ -21,31 +21,59 @@ object Bench {
     spark
   }
 
+  /** Between-query hygiene, shared with [[Verify]]: release dropped
+    * localCheckpoint blocks (the ContextCleaner only reclaims them
+    * after a driver GC notices the dead RDD references; without the
+    * nudge the block store fills across the battery and later queries
+    * pay the GC pressure). Runs outside any timed section.
+    */
+  def interQueryHygiene(): Unit = System.gc()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = buildSession()
-    // JIT/codegen warmup on the smallest SF so the timed runs below
-    // measure steady-state execution, not first-call janino compiles.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
-    }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // release dropped localCheckpoint blocks between queries (the
-      // ContextCleaner only reclaims them after a driver GC notices the
-      // dead RDD references; without the nudge the block store fills
-      // across the battery and later queries pay the GC pressure) —
-      // outside the timed section, so it's hygiene, not overhead
-      System.gc()
-      name -> sec
-    }.toMap
+    // SPARK_GRAFT_ISOLATE=1: run every query in a FRESH SparkSession
+    // (own codegen cache, block store, and /tmp scratch) with its own
+    // per-query warmup — the mode that separates a query's intrinsic
+    // cost from battery-accumulated JVM pressure. The BASELINE.md
+    // battery-inflation table compares the two modes.
+    val isolate = sys.env.get("SPARK_GRAFT_ISOLATE").contains("1")
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results: Map[String, Double] =
+      if (isolate) {
+        ordered.map { case (name, fn) =>
+          val spark = buildSession()
+          try fn(spark, "/root/testdata/sf0.001").count()
+          catch { case _: Throwable => () }
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.stop()
+          org.apache.spark.sql.SparkSession.clearActiveSession()
+          org.apache.spark.sql.SparkSession.clearDefaultSession()
+          interQueryHygiene()
+          name -> sec
+        }.toMap
+      } else {
+        val spark = buildSession()
+        // JIT/codegen warmup on the smallest SF so the timed runs below
+        // measure steady-state execution, not first-call janino compiles.
+        ordered.foreach { case (_, fn) =>
+          try fn(spark, "/root/testdata/sf0.001").count()
+          catch { case _: Throwable => () }
+        }
+        val out = ordered.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val sec = (System.nanoTime() - t0) / 1e9
+          interQueryHygiene()
+          name -> sec
+        }.toMap
+        spark.stop()
+        out
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }

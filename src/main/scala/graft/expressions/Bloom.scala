@@ -40,9 +40,12 @@ object Bloom {
   }
 
   /** Aggregate a serialized bloom filter (binary) over `key`'s xxhash64.
-    * `numBits` must stay within
-    * spark.sql.optimizer.runtime.bloomFilter.maxNumBits (64M bits = 8 MB
-    * default — raise the conf alongside for larger eval sets).
+    * TWO confs bound the build and both must be raised together for
+    * large eval sets: `numBits` must stay within
+    * spark.sql.optimizer.runtime.bloomFilter.maxNumBits (64M bits =
+    * 8 MB default), and `expectedItems` within
+    * spark.sql.optimizer.runtime.bloomFilter.maxNumItems (4M default —
+    * a 100M-gram eval suite fails analysis at the default cap).
     */
   def agg(key: Column, expectedItems: Long, numBits: Long): Column = {
     register(SparkSession.active)

@@ -57,6 +57,12 @@ object Decontaminate {
     * the true-overlap stream. `expectedGrams < 0` (default) sizes the
     * filter from an exact count of the (re-used, checkpointed) gram
     * set; pass an estimate to skip that job.
+    *
+    * Conf prerequisite at that scale: BloomFilterAggregate bounds both
+    * inputs — raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems
+    * (4M items default; a 100M-gram set fails analysis without it) AND
+    * .maxNumBits (64M default) together, or the build errors before a
+    * single row is read.
     */
   def sharedNgramsBloom(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8,

@@ -59,10 +59,15 @@ object Diagnostics {
       percentile(col("n"), lit(0.5)).as("p50_n"),
       percentile(col("n"), lit(0.99)).as("p99_n"),
       max(col("n")).as("max_n"))
-    val top = counts.orderBy(col("n").desc, col("key")).limit(topK)
+    // key tie-break pinned NULLS LAST explicitly: Spark's asc default
+    // is nulls-first while the DuckDB oracle's is nulls-last, so a
+    // null key tied on count at the top-K boundary would otherwise
+    // rank differently per engine
+    val top = counts.orderBy(col("n").desc, col("key").asc_nulls_last).limit(topK)
     top.crossJoin(broadcast(stats))
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("n").desc, col("key"))).cast("long"))
+        row_number().over(Window.orderBy(col("n").desc, col("key").asc_nulls_last))
+          .cast("long"))
       .withColumn("share_1e6", expr("n * 1000000 div _total"))
       .select(col("rank"), col("key"), col("n"), col("share_1e6"),
         col("n_keys"), col("p50_n"), col("p99_n"), col("max_n"))

@@ -95,6 +95,13 @@ object EventAnalytics {
     * everywhere and keeps the whole feature an associative BIGINT sum
     * — the recency-weighting shape ranking/feature pipelines need,
     * scan + one groupBy, no window.
+    *
+    * CONTRACT: `value` must be non-negative. The halving is Spark
+    * `div` (truncation toward zero); for negative values truncation
+    * and floor division disagree (-5 div 2 = -2 vs -3), so a SQL
+    * oracle using `//` (floor) would diverge and "decay by halving"
+    * stops being monotone. Feed deltas/refunds as separate
+    * non-negative columns and subtract the two decayed sums instead.
     */
   def decayedSum(events: DataFrame, key: Column, tsUs: Column,
       value: Column, halfLifeUs: Long, maxShift: Int = 30): DataFrame = {

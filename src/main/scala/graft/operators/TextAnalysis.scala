@@ -152,12 +152,15 @@ object TextAnalysis {
     * dedup also collapses the re-serialized / re-wrapped / re-punctuated
     * copies that raw-byte hashing misses (the first normalization pass
     * every published dedup pipeline applies before hashing). ASCII
-    * character class on purpose: `[^a-z0-9\s]` means the same thing to
-    * every regex engine, where Unicode classes are engine-dependent —
-    * swap in `\p{L}\p{N}` for Unicode corpora and re-derive the oracle.
+    * character classes on purpose, with whitespace spelled as the
+    * EXPLICIT class `[ \t\n\x0B\f\r]` rather than `\s`: Java's `\s`
+    * includes vertical tab (\x0B) while RE2's (the DuckDB oracle's
+    * engine) does not, so `\s` is NOT engine-portable — a \x0B in a
+    * document would normalize differently per engine. Swap in
+    * `\p{L}\p{N}` for Unicode corpora and re-derive the oracle.
     */
   def normalizeForDedup(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(coalesce(text, lit(""))), "[^a-z0-9\\s]", ""),
-      "\\s+", " "))
+      regexp_replace(lower(coalesce(text, lit(""))), "[^a-z0-9 \\t\\n\\x0B\\f\\r]", ""),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
 }
