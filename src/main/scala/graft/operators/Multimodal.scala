@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   *
   * Image decode is REAL for JDK-native formats (see
   * [[decodeImageMetaJvm]]: PNG/JPEG/BMP/GIF via javax.imageio), and
-  * audio/video container metadata is REAL for WAV/RIFF and
-  * MP4/QuickTime (see [[decodeAvHeader]]: pure-JVM header parsing, no
-  * codecs needed). The container ships no media codecs, so only
-  * formats that require one (mp3 frame scan, matroska EBML, ...) stay
-  * on the clearly-marked DETERMINISTIC STUB (features derived from the
-  * bytes' md5) — while the Spark-side plumbing is real either way:
+  * audio/video container metadata is REAL for WAV/RIFF, MP4/QuickTime,
+  * Matroska/WebM (EBML walk) and MP3 (frame-header walk) — see
+  * [[decodeAvHeader]]: pure-JVM header/table parsing, no codecs
+  * needed. The container ships no media codecs, so only operations
+  * that genuinely require one (pixel decode, sample decode, feature
+  * extraction from content) stay on the clearly-marked DETERMINISTIC
+  * STUB (features derived from the bytes' md5) — while the Spark-side
+  * plumbing is real either way:
   * schema, batch-friendly mapPartitions signature, partitioning notes,
   * and the binaryFile reader path all match what a production decoder
   * (JNI/codec per executor) would plug into.
@@ -177,6 +179,15 @@ object Multimodal {
     *    duration/timescale from the `mvhd` movie header (v0 32-bit and
     *    v1 64-bit layouts). Width/height live per-track (`tkhd`), so
     *    they stay null here.
+    *  - Matroska/WebM (EBML magic 0x1A45DFA3): EBML varint walk to
+    *    Segment → Info, duration = Duration (float) × TimestampScale
+    *    (ns/tick, default 1e6). Codec tag from the header's DocType.
+    *  - MP3 (optional ID3v2, then an MPEG audio frame at offset 0):
+    *    frame-by-frame walk using each header's own bitrate/samplerate
+    *    tables — no decoding, and VBR streams sum correctly because
+    *    every frame contributes its own samples/samplerate. Weakest
+    *    magic of the four, so it probes last and demands ≥2
+    *    consecutive valid frames before trusting a sync word.
     *
     * Returns meta Row(width=null, height=null, duration_ms, codec) or
     * None for unrecognized/corrupt bytes — a crawled payload with a
@@ -187,6 +198,7 @@ object Multimodal {
     if (bytes == null) None
     else
       try decodeWav(bytes).orElse(decodeMp4(bytes))
+        .orElse(decodeMkv(bytes)).orElse(decodeMp3(bytes))
       catch { case scala.util.control.NonFatal(_) => None }
 
   private def u32le(b: Array[Byte], i: Int): Long =
@@ -257,6 +269,168 @@ object Multimodal {
           if (timescale <= 0) None
           else Some(Row(null, null, duration * 1000L / timescale, "mp4"))
         }
+    }
+  }
+
+  // ---- MP3: frame-header walk (no codec — pure table lookups) -------------
+
+  // bitrate (kbps) by [version-group][layer][index]; index 0 = "free
+  // format" and 15 = invalid, both rejected. Version groups: 0 = MPEG1,
+  // 1 = MPEG2/2.5 (which share one Layer2/3 table).
+  private val mp3Bitrates: Array[Array[Array[Int]]] = {
+    val v1l1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+    val v1l2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+    val v1l3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val v2l1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+    val v2l23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    Array(Array(v1l1, v1l2, v1l3), Array(v2l1, v2l23, v2l23))
+  }
+  private val mp3Rates: Map[Int, Array[Int]] = Map( // by version bits
+    3 -> Array(44100, 48000, 32000), // MPEG1
+    2 -> Array(22050, 24000, 16000), // MPEG2
+    0 -> Array(11025, 12000, 8000))  // MPEG2.5
+
+  /** One parsed frame header: (frameBytes, samplesPerFrame, sampleRate),
+    * or None if the 4 bytes at `i` are not a valid MPEG audio header.
+    */
+  private def mp3Frame(b: Array[Byte], i: Int): Option[(Int, Int, Int)] = {
+    if (i + 4 > b.length || (b(i) & 0xff) != 0xff || (b(i + 1) & 0xe0) != 0xe0) return None
+    val version = (b(i + 1) >> 3) & 3   // 0=MPEG2.5 1=reserved 2=MPEG2 3=MPEG1
+    val layerBits = (b(i + 1) >> 1) & 3 // 0=reserved 1=L3 2=L2 3=L1
+    val brIdx = (b(i + 2) >> 4) & 15
+    val srIdx = (b(i + 2) >> 2) & 3
+    val padding = (b(i + 2) >> 1) & 1
+    if (version == 1 || layerBits == 0 || brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val layer = 3 - layerBits // 0=L1 1=L2 2=L3
+    val vGroup = if (version == 3) 0 else 1
+    val bitrate = mp3Bitrates(vGroup)(layer)(brIdx) * 1000
+    val rate = mp3Rates(version)(srIdx)
+    val samples =
+      if (layer == 0) 384
+      else if (layer == 1) 1152
+      else if (version == 3) 1152 else 576 // L3: halved for MPEG2/2.5
+    val len =
+      if (layer == 0) (12 * bitrate / rate + padding) * 4
+      else samples / 8 * bitrate / rate + padding
+    Some((len, samples, rate))
+  }
+
+  private def decodeMp3(b: Array[Byte]): Option[Row] = {
+    // skip a leading ID3v2 tag: "ID3" + ver(2) + flags(1) + syncsafe size(4)
+    var off =
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+        10 + ((b(6) & 0x7f) << 21 | (b(7) & 0x7f) << 14 | (b(8) & 0x7f) << 7 | (b(9) & 0x7f))
+      else 0
+    if (off >= b.length) return None
+    // a real stream's first frame sits exactly at off (no sync hunting —
+    // that is what keeps arbitrary binary from false-matching)
+    var frames = 0
+    var micros = 0L
+    var ok = true
+    while (ok && off + 4 <= b.length) {
+      mp3Frame(b, off) match {
+        case Some((len, samples, rate)) if len > 4 =>
+          frames += 1
+          micros += samples * 1000000L / rate
+          off += len
+        case _ => ok = false
+      }
+    }
+    // demand ≥2 consecutive valid frames AND that the walk consumed the
+    // stream (last frame may be truncated; anything else is a false sync)
+    if (frames >= 2 && (ok || off + 4 > b.length || frames >= 16))
+      Some(Row(null, null, micros / 1000L, "mp3"))
+    else None
+  }
+
+  // ---- Matroska/WebM: EBML varint walk ------------------------------------
+
+  /** EBML varint at `i`: (value, widthBytes, allOnes). For element IDs
+    * the marker bit is kept (IDs are compared with it); for sizes it is
+    * stripped by the caller via `mask`.
+    */
+  private def ebmlVarint(b: Array[Byte], i: Int, keepMarker: Boolean): Option[(Long, Int, Boolean)] = {
+    if (i >= b.length) return None
+    val first = b(i) & 0xff
+    if (first == 0) return None
+    val width = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+    if (i + width > b.length) return None
+    var v = if (keepMarker) first.toLong else (first & (0xff >>> width)).toLong
+    var allOnes = (first & (0xff >>> width)) == (0xff >>> width)
+    var j = 1
+    while (j < width) {
+      val byte = b(i + j) & 0xff
+      v = v << 8 | byte
+      allOnes &&= byte == 0xff
+      j += 1
+    }
+    Some((v, width, allOnes))
+  }
+
+  /** Children of an EBML master element as (id, bodyStart, bodyEnd). */
+  private def ebmlChildren(b: Array[Byte], lo: Int, hi: Int): Iterator[(Long, Int, Int)] =
+    new Iterator[(Long, Int, Int)] {
+      private var off = lo
+      private var nxt: Option[(Long, Int, Int)] = advance()
+      private def advance(): Option[(Long, Int, Int)] =
+        for {
+          (id, idW, _) <- ebmlVarint(b, off, keepMarker = true)
+          (size, szW, unknown) <- ebmlVarint(b, off + idW, keepMarker = false)
+        } yield {
+          val body = off + idW + szW
+          val end = if (unknown) hi else math.min(body + size, hi).toInt
+          (id, body, math.max(end, body))
+        }
+      def hasNext: Boolean = nxt.isDefined && off < hi
+      def next(): (Long, Int, Int) = {
+        val r = nxt.get
+        off = r._3
+        nxt = if (off < hi) advance() else None
+        r
+      }
+    }
+
+  private def ebmlUint(b: Array[Byte], lo: Int, hi: Int): Long = {
+    var v = 0L
+    var i = lo
+    while (i < hi) { v = v << 8 | (b(i) & 0xff); i += 1 }
+    v
+  }
+
+  private def decodeMkv(b: Array[Byte]): Option[Row] = {
+    if (b.length < 4 || u32be(b, 0) != 0x1a45dfa3L) return None
+    val top = ebmlChildren(b, 0, b.length).take(16).toSeq
+    val docType = top.collectFirst { case (0x1a45dfa3L, s, e) => (s, e) }
+      .flatMap { case (s, e) =>
+        ebmlChildren(b, s, e).collectFirst { case (0x4282L, ds, de) =>
+          new String(b, ds, de - ds, java.nio.charset.StandardCharsets.US_ASCII)
+            .takeWhile(_ != 0) // DocType may be zero-padded
+        }
+      }
+    if (docType.isEmpty) return None // EBML but not a media container we know
+    top.collectFirst { case (0x18538067L, s, e) => (s, e) }.map { case (s, e) =>
+      val info = ebmlChildren(b, s, e).take(64)
+        .collectFirst { case (0x1549a966L, is, ie) => (is, ie) }
+      val (scaleNs, durTicks) = info match {
+        case Some((is, ie)) =>
+          var scale = 1000000L // Matroska default: 1ms ticks
+          var dur: Option[Double] = None
+          ebmlChildren(b, is, ie).take(64).foreach {
+            case (0x2ad7b1L, ds, de) => scale = ebmlUint(b, ds, de)
+            case (0x4489L, ds, de) if de - ds == 4 =>
+              dur = Some(java.lang.Float.intBitsToFloat(u32be(b, ds).toInt).toDouble)
+            case (0x4489L, ds, de) if de - ds == 8 =>
+              dur = Some(java.lang.Double.longBitsToDouble(u32be(b, ds) << 32 | u32be(b, ds + 4)))
+            case _ => ()
+          }
+          (scale, dur)
+        case None => (1000000L, None)
+      }
+      val durMs = durTicks.map(t => math.round(t * scaleNs / 1e6))
+      Row(null, null, durMs.map(Long.box).orNull, docType.get match {
+        case "webm" => "webm"
+        case _ => "matroska"
+      })
     }
   }
 }

@@ -122,6 +122,70 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAvHeader(null).isEmpty)
   }
 
+  test("REAL mp3 frame walk: duration from headers, ID3 skip, false-sync reject") {
+    // MPEG1 Layer3, 128 kbps, 44100 Hz, no padding → 417-byte frames,
+    // header FF FB 90 00; 1152 samples/frame → 26122 µs/frame
+    def frame(n: Int = 1): Array[Byte] = {
+      val f = new Array[Byte](417)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte; f(2) = 0x90.toByte; f(3) = 0x00
+      Array.fill(n)(f).flatten
+    }
+    val three = frame(3)
+    val got = Multimodal.decodeAvHeader(three)
+    assert(got.isDefined, "3 valid frames must parse")
+    assert(got.get.getAs[String](3) == "mp3")
+    assert(got.get.getAs[Long](2) == 78L, s"3×26122µs → 78 ms, got ${got.get}") // 3*1152*1e6/44100/1000
+    // ID3v2 prefix (10-byte header + 32-byte body, syncsafe size 32)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 32) ++
+      new Array[Byte](32) ++ three
+    val tagged = Multimodal.decodeAvHeader(id3)
+    assert(tagged.isDefined && tagged.get.getAs[Long](2) == 78L, s"ID3 skip: $tagged")
+    // a lone sync word inside garbage must NOT be claimed as mp3
+    // (≥2 consecutive frames required)
+    val falseSync = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0) ++
+      "definitely not audio data".getBytes
+    assert(Multimodal.decodeAvHeader(falseSync).isEmpty, "single false sync rejected")
+    // VBR: a 64 kbps MPEG2 frame (576 samples @ 22050 Hz) appended to the
+    // CBR run contributes its own 26122 µs — walk must use per-frame tables
+    val v2len = 576 / 8 * 64000 / 22050 // 208
+    val v2 = new Array[Byte](v2len)
+    v2(0) = 0xff.toByte; v2(1) = 0xf3.toByte; v2(2) = 0x80.toByte; v2(3) = 0x00
+    val mixed = Multimodal.decodeAvHeader(three ++ v2)
+    assert(mixed.isDefined && mixed.get.getAs[Long](2) == 104L, s"VBR sum: $mixed") // (3*26122+26122)/1000
+  }
+
+  test("REAL matroska/webm EBML walk: DocType + Duration × TimestampScale") {
+    import java.nio.ByteBuffer
+    def el(id: Array[Byte], body: Array[Byte]): Array[Byte] = {
+      require(body.length < 127)
+      id ++ Array((0x80 | body.length).toByte) ++ body
+    }
+    val ebmlHdr = el(Array(0x1a, 0x45, 0xdf.toByte, 0xa3.toByte),
+      el(Array(0x42, 0x82.toByte), "webm".getBytes))
+    def segment(ts: Option[Long], durF: Option[Float]): Array[Byte] = {
+      val scale = ts.map(s => el(Array(0x2a, 0xd7.toByte, 0xb1.toByte),
+        ByteBuffer.allocate(4).putInt(s.toInt).array())).getOrElse(Array[Byte]())
+      val dur = durF.map(d => el(Array(0x44, 0x89.toByte),
+        ByteBuffer.allocate(4).putFloat(d).array())).getOrElse(Array[Byte]())
+      el(Array(0x18, 0x53, 0x80.toByte, 0x67),
+        el(Array(0x15, 0x49, 0xa9.toByte, 0x66), scale ++ dur))
+    }
+    // default 1e6 ns ticks → Duration 12345.0 = 12345 ms
+    val webm = Multimodal.decodeAvHeader(ebmlHdr ++ segment(None, Some(12345f)))
+    assert(webm.isDefined, "webm must parse")
+    assert(webm.get.getAs[String](3) == "webm")
+    assert(webm.get.getAs[Long](2) == 12345L, s"default-scale duration: $webm")
+    // explicit TimestampScale 2e6 ns doubles the wall-clock duration
+    val scaled = Multimodal.decodeAvHeader(ebmlHdr ++ segment(Some(2000000L), Some(1000f)))
+    assert(scaled.get.getAs[Long](2) == 2000L, s"scaled duration: $scaled")
+    // Info present but no Duration → codec known, duration null
+    val noDur = Multimodal.decodeAvHeader(ebmlHdr ++ segment(Some(1000000L), None))
+    assert(noDur.isDefined && noDur.get.isNullAt(2) &&
+      noDur.get.getAs[String](3) == "webm", s"no-duration: $noDur")
+    // truncated EBML header alone (no Segment) → reject
+    assert(Multimodal.decodeAvHeader(Array(0x1a, 0x45, 0xdf.toByte, 0xa3.toByte)).isEmpty)
+  }
+
   test("sampleChunks explodes n offset-chunks per payload") {
     val df = Seq((1L, "0123456789abcdef".getBytes)).toDF("media_id", "payload")
     val out = Multimodal.sampleChunks(df, col("payload"), n = 4, chunkBytes = 4)
