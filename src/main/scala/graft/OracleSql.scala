@@ -1424,6 +1424,65 @@ object OracleSql {
             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
           FROM F GROUP BY lang ORDER BY lang""",
 
+    // SemDeDup: the q49 coarse quantizer (identical unrolled k-means
+    // CTEs), candidate pairs ONLY within a cell, ≥0.95 fixed-point
+    // cosine edges, recursive reachability (the q36 formulation) for
+    // groups, min reachable id as representative
+    "q86_semantic_dedup" ->
+      s"""WITH RECURSIVE C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          ${ivfCoarseCtes(8, 2)},
+          SPAIRS AS (SELECT a.id AS id_a, b.id AS id_b
+                 FROM CC a JOIN CC b ON a.cid = b.cid AND a.id < b.id
+                 WHERE ${scoreFixedSql("a.emb", "b.emb")} >= 950000),
+          SEDGES AS (SELECT id_a AS src, id_b AS dst FROM SPAIRS
+                 UNION SELECT id_b, id_a FROM SPAIRS),
+          SREACH(node, r) AS (
+            SELECT src, src FROM SEDGES
+            UNION
+            SELECT e.dst, r.r FROM SREACH r JOIN SEDGES e ON e.src = r.node),
+          SCOMP AS (SELECT node AS id, min(r) AS rep FROM SREACH GROUP BY node)
+          SELECT c.id, coalesce(p.rep, c.id) AS rep_id,
+            CAST(CASE WHEN coalesce(p.rep, c.id) = c.id THEN 1 ELSE 0 END AS BIGINT) AS kept
+          FROM C c LEFT JOIN SCOMP p USING (id) ORDER BY c.id""",
+
+    // C4-style paragraph/segment dedup: the q47 chunk derivation at
+    // 32/32 (zero overlap), global first-occurrence by (id, seg_no)
+    // via a row_number over the md5 groups, ordered reassembly
+    "q87_segment_dedup" ->
+      s"""WITH T AS (SELECT doc_id, ${toks("text")} AS tk FROM documents),
+          N AS (SELECT doc_id, tk, len(tk) AS ntok FROM T WHERE len(tk) > 0),
+          C AS (SELECT doc_id, tk, ntok,
+                  CASE WHEN ntok <= 32 THEN 1
+                       ELSE CAST(floor((ntok - 32 + 31)::DOUBLE / 32) AS INT) + 1
+                  END AS nchunks FROM N),
+          X AS (SELECT doc_id, tk, ntok, unnest(range(nchunks)) AS i FROM C),
+          S AS (SELECT doc_id AS id, CAST(i AS BIGINT) AS seg_no,
+                 array_to_string(list_slice(tk, i * 32 + 1, i * 32 + 32), ' ') AS seg
+                FROM X),
+          H AS (SELECT *, md5(seg) AS h FROM S),
+          K AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY h
+                  ORDER BY id, seg_no) AS rn FROM H) WHERE rn = 1),
+          R AS (SELECT id, array_to_string(list(seg ORDER BY seg_no), ' ') AS text_dedup,
+                 CAST(count(*) AS BIGINT) AS n_kept FROM K GROUP BY id),
+          D AS (SELECT id, CAST(count(*) AS BIGINT) AS n_segs FROM S GROUP BY id)
+          SELECT d.id AS doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+            coalesce(r.n_kept, 0) AS n_kept, d.n_segs
+          FROM D d LEFT JOIN R r USING (id) ORDER BY doc_id""",
+
+    // unigram LM surprisal: corpus token counts, exact integer
+    // floor-log2 via binary digit counts (bin()), per-doc bit sums —
+    // the same arithmetic as TextAnalysis.unigramSurprisal
+    "q88_lm_surprisal" ->
+      s"""WITH E AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS term FROM documents),
+          CW AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM E GROUP BY term),
+          NT AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM CW),
+          SC AS (SELECT e.doc_id, CAST(length(bin(nt.n)) - length(bin(cw.c)) AS BIGINT) AS s
+                 FROM E e JOIN CW cw USING (term) CROSS JOIN NT nt)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(s) AS BIGINT) AS surprisal_bits,
+            (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_surprisal_1e6
+          FROM SC GROUP BY doc_id ORDER BY doc_id""",
+
     // residual IVF-PQ: the q59 composition, but codes quantize
     // RESIDUALS (vector − assigned coarse centroid) and each query's
     // LUT is per probed cell (its residual against THAT cell); the

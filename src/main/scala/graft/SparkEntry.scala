@@ -775,6 +775,48 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Semantic dedup (Dedup.semanticDedup): the SemDeDup recipe —
+    * trained coarse cells (the q49 quantizer, re-derived identically
+    * by the oracle's unrolled k-means CTEs) bound candidate pairs,
+    * cosine ≥ 0.95 edges cluster via connected components, min id
+    * represents each group. Training AND grouping are
+    * cross-engine-checked.
+    */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val cents = Similarity.trainCentroids(corpus, k = 8, iters = 2)
+    graft.operators.Dedup.semanticDedup(corpus, cents, threshold1e6 = 950000L)
+      .orderBy(col("id"))
+  }
+
+  /** Paragraph/segment-level dedup (Dedup.segmentDedup): the corpus is
+    * segmented by the q47 chunker (32-token windows, zero overlap — the
+    * flat-text stand-in for newline paragraphs), duplicated segments
+    * are dropped corpus-wide (first (id, seg_no) occurrence wins), and
+    * documents are reassembled from their survivors.
+    */
+  private def qSegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val segs = graft.operators.Chunker.chunkByTokens(
+        t(s, dir, "documents"), "text", 32, 0)
+      .select(col("doc_id").as("id"), col("chunk_no").as("seg_no"),
+        col("chunk").as("seg"))
+    graft.operators.Dedup.segmentDedup(segs)
+      .select(col("id").as("doc_id"), col("text_dedup"), col("n_kept"), col("n_segs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram LM surprisal (TextAnalysis.unigramSurprisal): integer
+    * floor-log2 perplexity proxy — corpus-count table broadcast onto
+    * the token stream, per-doc associative bit sums. The CCNet-style
+    * LM quality gate, engine-portable.
+    */
+  private def qLmSurprisal(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.unigramSurprisal(
+        t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        col("surprisal_bits"), col("avg_surprisal_1e6"))
+      .orderBy(col("doc_id"))
+
   /** CDC rollup maintenance (RollupMaintenance.maintainRollupCdc):
     * q71's summary maintained across an upsert → DELETE → upsert
     * replay — the delete-aware refresh whose touched groups come from
@@ -1263,7 +1305,10 @@ object SparkEntry {
     "q82_simhash_adaptive" -> (qSimhashAdaptive _),
     "q84_near_dups_adaptive" -> (qNearDupsAdaptive _),
     "q83_ivf_pq_residual" -> (qIvfPqResidual _),
-    "q85_rollup_cdc" -> (qRollupCdc _))
+    "q85_rollup_cdc" -> (qRollupCdc _),
+    "q86_semantic_dedup" -> (qSemanticDedup _),
+    "q87_segment_dedup" -> (qSegmentDedup _),
+    "q88_lm_surprisal" -> (qLmSurprisal _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

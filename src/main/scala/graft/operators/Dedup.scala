@@ -420,4 +420,84 @@ object Dedup {
         Similarity.scoreFixed(col("l.emb"), col("r.emb")).as("score_1e6"))
       .filter(col("score_1e6") >= math.floor(threshold * 1e6).toLong)
   }
+
+  /** Paragraph/segment-level deduplication (the C4-style "drop
+    * duplicated paragraphs corpus-wide, keep the documents" pass):
+    * segments dedup globally by content hash — the FIRST occurrence in
+    * (id, seg_no) order survives — and every document is reassembled
+    * from its surviving segments in order.
+    *
+    * Segmentation is the caller's: pass (id, seg_no, seg) rows —
+    * newline-split paragraphs for prose corpora, or
+    * [[Chunker.chunkByTokens]] with zero overlap for flat text (the
+    * battery's documents) — the dedup/reassembly is identical.
+    *
+    * Output: one row per input document — (id, text_dedup, n_kept,
+    * n_segs); a document whose every segment was seen earlier keeps an
+    * empty text_dedup, so downstream length gates drop it naturally.
+    *
+    * Scale: one shuffle on the segment hash (the exact-dedup shape), a
+    * hash-equi-join back (Catalyst reuses the hash partitioning), and
+    * one shuffle on id to reassemble; per-group state is bounded by a
+    * single document's segment count. Never all-pairs, nothing
+    * driver-side.
+    */
+  def segmentDedup(segments: DataFrame, joinSep: String = " "): DataFrame = {
+    val s = segments.select(col("id"), col("seg_no"), col("seg"))
+      .withColumn("h", md5(col("seg")))
+    // lexicographic struct-min = first occurrence in (id, seg_no) order
+    val first = s.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("seg_no"))).as("w"))
+      .select(col("h"), col("w.id").as("kid"), col("w.seg_no").as("kseg"))
+    val kept = s.join(first, Seq("h"))
+      .filter(col("id") === col("kid") && col("seg_no") === col("kseg"))
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("seg_no"), col("seg")))).as("segs"))
+      .select(col("id"),
+        array_join(transform(col("segs"), x => x("seg")), joinSep).as("text_dedup"),
+        size(col("segs")).cast("long").as("n_kept"))
+    s.groupBy(col("id")).agg(count(lit(1)).as("n_segs"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_segs"))
+  }
+
+  /** SemDeDup-style semantic deduplication: a trained coarse quantizer
+    * ([[Similarity.trainCentroids]]) partitions the corpus into cells,
+    * candidate pairs form ONLY within a cell (the published SemDeDup
+    * recipe dedups inside k-means clusters for exactly this reason —
+    * cross-cluster near-dups are the documented recall trade that
+    * keeps the join bounded), pairs at/above `threshold1e6` fixed-point
+    * cosine become edges, and [[connectedComponents]] elects one
+    * representative (the min id) per duplicate group.
+    *
+    * Output: (id, rep_id, kept) for EVERY corpus row — `rep_id` = the
+    * group representative (itself when unduplicated), `kept` = this
+    * row survives dedup.
+    *
+    * Scale: cells bound pair counts the same way sign buckets do in
+    * [[embeddingNearDups]], but the quantizer is TRAINED, so cell
+    * populations track the data's actual cluster structure instead of
+    * axis signs; size k so n/k stays in the low thousands and train on
+    * a hash sample at real scale. The pair join is a cid equi-join —
+    * never all-pairs — and the CC tail is O(log d) equi-join rounds.
+    */
+  def semanticDedup(corpus: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      threshold1e6: Long): DataFrame = {
+    val cells = Similarity.assignCells(corpus, centroids)
+      .select(col("id"), col("emb"), col("cid"))
+    val l = cells.as("l"); val r = cells.as("r")
+    val pairs = l.join(r, col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        Similarity.scoreFixed(col("l.emb"), col("r.emb")).as("score_1e6"))
+      .filter(col("score_1e6") >= threshold1e6)
+      .select(col("id_a"), col("id_b"))
+    val comps = connectedComponents(pairs)
+    corpus.select(col("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("rep_id"))
+      .withColumn("kept", (col("rep_id") === col("id")).cast("long"))
+  }
 }

@@ -178,6 +178,14 @@ object Similarity {
       .withColumn("cid", assignCellWithNorm(col("emb"), col("_nrm"), centroids))
       .drop("_nrm")
 
+  /** Public coarse-cell assignment — (id, emb, cid) with the same
+    * (score desc, cid asc) tie-break the IVF index uses. Consumers
+    * beyond search: [[Dedup.semanticDedup]] bounds its candidate pairs
+    * to cells.
+    */
+  def assignCells(df: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    withCell(df, centroids)
+
   /** Deterministic Lloyd's k-means: seeds are the `k` lowest-id
     * vectors (cid 0..k-1 in id order); each round assigns via
     * [[assignCell]] and recomputes means per dimension from fixed-point

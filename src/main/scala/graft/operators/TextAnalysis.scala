@@ -163,4 +163,40 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(coalesce(text, lit(""))), "[^a-z0-9 \\t\\n\\x0B\\f\\r]", ""),
       "[ \\t\\n\\x0B\\f\\r]+", " "))
+
+  /** Unigram LM surprisal — the perplexity-style quality signal
+    * (CCNet's "score every document under a corpus LM and gate on it")
+    * in engine-portable integer arithmetic: per token w,
+    * surprisal(w) = floor(log2 N) − floor(log2 c_w) ≈ log2(N / c_w)
+    * bits, where c_w is the token's CORPUS count and N the corpus
+    * token total. Both floor-log2s are computed EXACTLY as binary
+    * digit counts (`length(bin(x)) − 1` — no floating log whose
+    * rounding could differ across engines), so a document's score is
+    * an associative integer sum: rare-token-heavy (or out-of-domain)
+    * documents score high, boilerplate scores low — gate on either
+    * tail with [[Sampling.quantileGate]].
+    *
+    * Output: (id, n_tokens, surprisal_bits, avg_surprisal_1e6) per
+    * document with ≥1 token.
+    *
+    * Scale: pass 1 builds the vocabulary count table (vocab-sized —
+    * small even at 100 TB; Zipf means it fits a broadcast), pass 2
+    * scores the token stream against the BROADCAST counts — the big
+    * side never shuffles on term; the only wide exchange is the final
+    * per-document groupBy. The same two-pass df-stats shape as BM25.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n")) // 1 row
+    val bitsOf = (x: Column) => length(bin(x)).cast("long")
+    toks.join(broadcast(counts), Seq("term"))
+      .crossJoin(broadcast(total))
+      .select(col("id"), (bitsOf(col("n")) - bitsOf(col("c"))).as("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("surprisal_bits"))
+      .withColumn("avg_surprisal_1e6",
+        expr("surprisal_bits * 1000000L DIV n_tokens"))
+  }
 }

@@ -91,6 +91,54 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"aligned pair must survive: $pairs")
   }
 
+  test("semanticDedup groups within-cell near-dups and keeps one rep per group") {
+    // ids 1/2 seed the two cells (A=(1,0,0,0), B=(0,0,1,0)); 3 and 5
+    // duplicate the prototypes, 4 and 6 share a cell but sit below the
+    // 0.95 cosine threshold
+    val emb = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f)), (2L, Seq(0f, 0f, 1.0f, 0f)),
+      (3L, Seq(1.0f, 0f, 0f, 0f)), (4L, Seq(0.6f, 0.8f, 0f, 0f)),
+      (5L, Seq(0f, 0f, 1.0f, 0f)), (6L, Seq(0f, 0f, 0.6f, 0.8f)))
+      .toDF("id", "emb")
+    val cents = Similarity.trainCentroids(emb, k = 2, iters = 1)
+    val out = Dedup.semanticDedup(emb, cents, threshold1e6 = 950000L)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == (1L, 1L) && out(3L) == (1L, 0L), s"A group: $out")
+    assert(out(2L) == (2L, 1L) && out(5L) == (2L, 0L), s"B group: $out")
+    assert(out(4L) == (4L, 1L) && out(6L) == (6L, 1L), "sub-threshold rows keep themselves")
+    assert(out.values.count(_._2 == 1L) == 4, "exactly one survivor per group + singletons")
+  }
+
+  test("segmentDedup drops later duplicate segments and reassembles docs in order") {
+    val segs = Seq(
+      (1L, 0L, "alpha"), (1L, 1L, "beta"),
+      (2L, 0L, "alpha"), (2L, 1L, "gamma"), // alpha seen in doc 1 → drops
+      (3L, 0L, "beta"), (3L, 1L, "beta"),   // both drop (doc 1 owns beta)
+      (4L, 0L, "delta"), (4L, 1L, "delta")) // in-doc dup: first survives
+      .toDF("id", "seg_no", "seg")
+    val out = Dedup.segmentDedup(segs).orderBy("id").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ("alpha beta", 2L, 2L), s"doc1: $out")
+    assert(out(2L) == ("gamma", 1L, 2L), s"doc2: $out")
+    assert(out(3L) == ("", 0L, 2L), "fully-duplicated doc keeps an empty text")
+    assert(out(4L) == ("delta", 1L, 2L), "within-doc dup keeps only the first")
+  }
+
+  test("unigramSurprisal: exact floor-log2 bits, rare tokens score higher") {
+    // corpus: a×5, b×3, c×1 → N=9 (4 bits); s(a)=4-3=1, s(b)=4-2=2, s(c)=4-1=3
+    val docs = Seq((1L, "a a a b"), (2L, "a a b b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((4L, 5L, 1250000L)), s"doc1: $out")   // 3·1+1·2=5
+    assert(out(2L) == ((4L, 6L, 1500000L)), s"doc2: $out")   // 2·1+2·2=6
+    assert(out(3L) == ((1L, 3L, 3000000L)), s"rare-only doc scores highest: $out")
+    assert(out(3L)._3 > out(1L)._3, "rarity ordering")
+  }
+
   test("curateV2 layers repetition and decontamination gates over curate") {
     import graft.operators.Curation
     // quality gate needs len>=100 and some stopwords; build docs that
