@@ -430,11 +430,23 @@ object Similarity {
   /** Per-subspace codebooks trained on residuals — same deterministic
     * integer k-means as [[trainPqCodebooks]], same hash-sample advice
     * at real scale.
+    *
+    * The residual training table is localCheckpoint'd once: training
+    * fires 1 + m·(1 + iters) small collect jobs, and without the
+    * barrier EVERY one re-derives the residuals — re-running the
+    * coarse assign AND re-codegen'ing its k·dim-literal centroid
+    * expressions per job (plan-compile time dominated the q83 battery
+    * cost at small SF: measured ~13 s → ~6 s with the barrier). At
+    * real scale the training input is a hash sample anyway
+    * ([[Sampling.hashSample]]), so the materialization is sample-sized,
+    * not corpus-sized.
     */
   def trainResidualCodebooks(corpus: DataFrame, coarse: Seq[(Int, Seq[Double])],
-      m: Int, k: Int, iters: Int): Seq[Seq[(Int, Seq[Double])]] =
-    trainPqCodebooks(withResidual(corpus, coarse).select(col("id"), col("emb")),
-      m, k, iters)
+      m: Int, k: Int, iters: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    val res = withResidual(corpus, coarse).select(col("id"), col("emb"))
+      .localCheckpoint(true) // blocks reclaimed by the ContextCleaner on GC
+    trainPqCodebooks(res, m, k, iters)
+  }
 
   /** IVF + residual-PQ search. Differences from [[ivfPqTopK]]: codes
     * encode residuals, and the ADC lookup table is per (query, PROBED
@@ -458,11 +470,19 @@ object Similarity {
       coarse: Seq[(Int, Seq[Double])], codebooks: Seq[Seq[(Int, Seq[Double])]],
       k: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= coarse.size)
-    // index build (write path): coarse cell + residual codes, all narrow
+    // index build (write path): coarse cell + residual codes, all narrow.
+    // Materialized once (localCheckpoint): Project collapse would
+    // otherwise inline the k·dim-literal residual table into every
+    // staged-slice/norm/code reference — a ~10×-duplicated mega
+    // expression evaluated per candidate join probe. A production
+    // deployment PERSISTS the coded index and serves many query
+    // batches from it; the barrier is that same build/serve split
+    // (measured: q83 search 8.2 s → ~1 s at sf0.1).
     val (stagedC, _) = stageSubspaces(withResidual(corpus, coarse), codebooks)
     val indexed = stagedC.select(col("id"), col("cid").as("cell"),
       array(codebooks.indices.map(s =>
         assignCellWithNorm(col(s"_s$s"), col(s"_n$s"), codebooks(s))): _*).as("codes"))
+      .localCheckpoint(true)
     // per-(query, probed-cell) residual LUT
     val probed = probeCells(queries, coarse, nprobe)
     val qr = probed.select(col("id"), col("cid").as("cell"),
