@@ -1483,6 +1483,42 @@ object OracleSql {
             (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_surprisal_1e6
           FROM SC GROUP BY doc_id ORDER BY doc_id""",
 
+    // temperature-flattened mixture sampling: α=0.5 source weights
+    // (exact floor(sqrt) of the counts), all-BIGINT rate derivation,
+    // md5-ppm membership — the q48 hash filter with DATA-derived rates
+    "q89_temperature_sample" ->
+      s"""WITH N AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY source),
+          W AS (SELECT source, n, CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) AS w FROM N),
+          SW AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM W),
+          R AS (SELECT source,
+                 least(1000000, (200 * 1000000 * w) // (sw * n)) AS rate_ppm
+                FROM W CROSS JOIN SW)
+          SELECT d.doc_id, d.source, CAST(r.rate_ppm AS BIGINT) AS rate_ppm
+          FROM documents d JOIN R r USING (source)
+          WHERE (${md5long("cast(doc_id as varchar)")} % 1000000) < r.rate_ppm
+          ORDER BY d.doc_id""",
+
+    // bigram surprisal: adjacent-pair stream, unigram/bigram counts,
+    // exact binary-digit-count log2s — same arithmetic as the Spark
+    // TextAnalysis.bigramSurprisal plan
+    "q90_bigram_surprisal" ->
+      s"""WITH B AS (SELECT doc_id, tk FROM
+                (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents)
+                WHERE len(tk) >= 2),
+          UC AS (SELECT l, CAST(count(*) AS BIGINT) AS cu FROM
+                (SELECT unnest(tk) AS l FROM B) GROUP BY l),
+          P AS (SELECT doc_id, tk[i+1] AS l, tk[i+1] || ' ' || tk[i+2] AS bg
+                FROM (SELECT doc_id, tk, unnest(range(len(tk)-1)) AS i FROM B)),
+          BC AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM P GROUP BY bg),
+          SC AS (SELECT p.doc_id,
+                  CAST(length(bin(uc.cu)) - length(bin(bc.cb)) AS BIGINT) AS s
+                 FROM P p JOIN BC bc USING (bg) JOIN UC uc USING (l))
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            CAST(sum(s) AS BIGINT) AS surprisal_bits,
+            (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_surprisal_1e6
+          FROM SC GROUP BY doc_id ORDER BY doc_id""",
+
     // residual IVF-PQ: the q59 composition, but codes quantize
     // RESIDUALS (vector − assigned coarse centroid) and each query's
     // LUT is per probed cell (its residual against THAT cell); the

@@ -789,6 +789,29 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Temperature-flattened mixture sampling (Sampling.temperatureSample):
+    * per-source rates derived FROM THE DATA (α=0.5 via exact integer
+    * √-weights, fixed 200-row budget), membership a pure hash filter.
+    * The oracle re-derives the identical rates from its own counts.
+    */
+  private def qTemperatureSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureSample(t(s, dir, "documents"),
+        col("doc_id"), col("source"), budget = 200L)
+      .select(col("doc_id"), col("source"), col("rate_ppm"))
+      .orderBy(col("doc_id"))
+
+  /** Bigram LM surprisal (TextAnalysis.bigramSurprisal): first-order
+    * conditional surprisal from exact integer floor-log2 of
+    * unigram/bigram corpus counts — the local-coherence quality
+    * signal.
+    */
+  private def qBigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.bigramSurprisal(
+        t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"),
+        col("surprisal_bits"), col("avg_surprisal_1e6"))
+      .orderBy(col("doc_id"))
+
   /** Paragraph/segment-level dedup (Dedup.segmentDedup): the corpus is
     * segmented by the q47 chunker (32-token windows, zero overlap — the
     * flat-text stand-in for newline paragraphs), duplicated segments
@@ -1308,7 +1331,9 @@ object SparkEntry {
     "q85_rollup_cdc" -> (qRollupCdc _),
     "q86_semantic_dedup" -> (qSemanticDedup _),
     "q87_segment_dedup" -> (qSegmentDedup _),
-    "q88_lm_surprisal" -> (qLmSurprisal _))
+    "q88_lm_surprisal" -> (qLmSurprisal _),
+    "q89_temperature_sample" -> (qTemperatureSample _),
+    "q90_bigram_surprisal" -> (qBigramSurprisal _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

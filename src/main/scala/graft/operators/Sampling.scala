@@ -141,6 +141,38 @@ object Sampling {
       .drop("_stratum")
   }
 
+  /** Temperature-flattened mixture sampling — the multilingual-LM
+    * "sampling temperature" recipe: target share of stratum s ∝
+    * n_s^α with α = 1/2, so over-represented sources are flattened
+    * toward the tail instead of drowning it. Rates derive from the
+    * data itself: w_s = floor(√n_s) (exact — IEEE sqrt is correctly
+    * rounded on every engine, then floored), and
+    * rate_ppm(s) = min(1e6, budget·1e6·w_s ÷ (Σw · n_s)) in pure
+    * BIGINT arithmetic, giving E[kept_s] = budget·w_s/Σw — the
+    * α=0.5 mixture at ~`budget` total rows. Membership is the
+    * [[hashBucket]] filter: reproducible, nesting, scan-speed.
+    *
+    * Scale: one stratum-count aggregate (strata are bounded —
+    * sources, languages), rates broadcast back, then a pure filter;
+    * the corpus itself never shuffles. NULL strata are dropped (rate
+    * join on equality), matching [[rebalanceToMixture]].
+    */
+  def temperatureSample(df: DataFrame, key: Column, stratum: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = df.select(stratum.as("_stratum"))
+      .groupBy(col("_stratum")).agg(count(lit(1)).as("_n"))
+    val w = counts.select(col("_stratum"), col("_n"),
+      floor(sqrt(col("_n").cast("double"))).cast("long").as("_w"))
+    val sw = w.agg(sum(col("_w")).as("_sw"))
+    val rates = w.crossJoin(broadcast(sw))
+      .select(col("_stratum"),
+        least(lit(Ppm), expr(s"$budget * 1000000 * _w div (_sw * _n)")).as("rate_ppm"))
+    df.join(broadcast(rates), stratum === col("_stratum"))
+      .filter(hashBucket(key) < col("rate_ppm"))
+      .drop("_stratum")
+  }
+
   /** Keep rows whose `value` lies inside the group's [lo, hi] quantile
     * band — the outlier-trim (winsorization) gate of corpus curation:
     * drop truncated fragments below the low percentile and

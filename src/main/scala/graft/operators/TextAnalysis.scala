@@ -199,4 +199,42 @@ object TextAnalysis {
       .withColumn("avg_surprisal_1e6",
         expr("surprisal_bits * 1000000L DIV n_tokens"))
   }
+
+  /** Bigram LM surprisal — [[unigramSurprisal]]'s first-order upgrade:
+    * per adjacent pair (a, b), surprisal ≈ −log2 P(b|a) estimated as
+    * floor(log2 c_a) − floor(log2 c_ab) (unigram and bigram corpus
+    * counts, both floor-log2s exact binary digit counts — never
+    * negative since c_ab ≤ c_a). Catches locally-incoherent text
+    * (shuffled words, boilerplate splices) that unigram statistics
+    * can't see. Documents with < 2 tokens drop.
+    *
+    * Output: (id, n_bigrams, surprisal_bits, avg_surprisal_1e6).
+    *
+    * Scale: same two-pass shape as [[unigramSurprisal]] — count
+    * tables broadcast (bigram vocab is Zipf-bounded; cap or
+    * df-filter it for adversarial corpora), token stream never
+    * shuffles on term, one final per-document groupBy.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), tokens(lower(col(textCol))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val uni = base.select(explode(col("tk")).as("l"))
+      .groupBy(col("l")).agg(count(lit(1)).as("cu"))
+    val pairs = base.select(col("id"), explode(
+        zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("l"), concat(a, lit(" "), b).as("bg")))).as("p"))
+      .select(col("id"), col("p.l").as("l"), col("p.bg").as("bg"))
+    val bgc = pairs.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val bitsOf = (x: Column) => length(bin(x)).cast("long")
+    pairs.join(broadcast(bgc), Seq("bg"))
+      .join(broadcast(uni), Seq("l"))
+      .select(col("id"), (bitsOf(col("cu")) - bitsOf(col("cb"))).as("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("surprisal_bits"))
+      .withColumn("avg_surprisal_1e6",
+        expr("surprisal_bits * 1000000L DIV n_bigrams"))
+  }
 }

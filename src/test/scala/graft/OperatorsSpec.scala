@@ -139,6 +139,42 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L)._3 > out(1L)._3, "rarity ordering")
   }
 
+  test("temperatureSample flattens the mixture toward sqrt(n) shares") {
+    import graft.operators.Sampling
+    // 900 'big' vs 100 'small': raw shares 90/10, sqrt-weights 30/10
+    // → target shares 75/25 of the budget
+    val docs = (0 until 900).map(i => (i.toLong, "big")) ++
+      (1000 until 1100).map(i => (i.toLong, "small"))
+    val df = docs.toDF("doc_id", "source")
+    val out = Sampling.temperatureSample(df, col("doc_id"), col("source"), budget = 200L)
+    val rates = out.select("source", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w_big=30, w_small=10, sw=40: big → 200e6·30/(40·900)=166666,
+    // small → 200e6·10/(40·100)=500000
+    assert(rates("big") == 166666L && rates("small") == 500000L, s"rates: $rates")
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expectation 150/50; allow hash-sampling noise, require flattening
+    val bigShare = kept("big").toDouble / (kept("big") + kept("small"))
+    assert(bigShare < 0.88, s"flattened below the raw 90% share: $kept")
+    assert(kept("small") > 100 * 0.25, s"tail source lifted: $kept")
+  }
+
+  test("bigramSurprisal: conditional bits from exact integer log2s") {
+    // corpus (docs with >=2 tokens): d1 'a b a b', d2 'a b'
+    // unigrams a=3? no: a appears 2+1=3, b=2+1=3 → bin len 2
+    // bigrams 'a b'×3 (bin len 2), 'b a'×1 (len 1)
+    // s(a b)=2-2=0, s(b a)=2-1=1
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!out.contains(3L), "single-token docs drop")
+    assert(out(1L) == ((3L, 1L, 333333L)), s"d1: $out") // 0+1+0 over 3 pairs
+    assert(out(2L) == ((1L, 0L, 0L)), s"d2: $out")
+  }
+
   test("curateV2 layers repetition and decontamination gates over curate") {
     import graft.operators.Curation
     // quality gate needs len>=100 and some stopwords; build docs that
