@@ -1483,6 +1483,32 @@ object OracleSql {
             (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_surprisal_1e6
           FROM SC GROUP BY doc_id ORDER BY doc_id""",
 
+    // span-level contamination report: q55's gram join plus per-doc
+    // distinct-gram totals (len of the distinct shingle list — no
+    // second explode) and the lexicographic-min shared gram
+    "q91_contamination_report" ->
+      s"""WITH ${benchGramsCte()},
+          C AS (SELECT doc_id, unnest(${shingles3("text")}) AS gram
+               FROM documents WHERE NOT (doc_id % 97 = 0 AND doc_id < 5000)),
+          T AS (SELECT doc_id, CAST(len(${shingles3("text")}) AS BIGINT) AS n_grams
+               FROM documents WHERE NOT (doc_id % 97 = 0 AND doc_id < 5000)),
+          S AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+                 min(gram) AS first_gram
+                FROM C JOIN BG USING (gram) GROUP BY doc_id)
+          SELECT s.doc_id, t.n_grams, s.n_shared,
+            (s.n_shared * 1000000) // t.n_grams AS share_1e6, s.first_gram
+          FROM S s JOIN T t USING (doc_id) ORDER BY s.doc_id""",
+
+    // pairwise source overlap: distinct (gram, source), gram-keyed
+    // self-join with source_a < source_b, counted per pair
+    "q92_source_overlap" ->
+      s"""WITH GS AS (SELECT DISTINCT gram, source FROM
+                (SELECT unnest(${shingles3("text")}) AS gram, source FROM documents))
+          SELECT a.source AS source_a, b.source AS source_b,
+            CAST(count(*) AS BIGINT) AS n_shared_grams
+          FROM GS a JOIN GS b ON a.gram = b.gram AND a.source < b.source
+          GROUP BY a.source, b.source ORDER BY source_a, source_b""",
+
     // temperature-flattened mixture sampling: α=0.5 source weights
     // (exact floor(sqrt) of the counts), all-BIGINT rate derivation,
     // md5-ppm membership — the q48 hash filter with DATA-derived rates

@@ -789,6 +789,27 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Span-level contamination report (Decontaminate.contaminationReport):
+    * q55's eval slice and gram width, but per-doc overlap SHARE and a
+    * deterministic sample gram — the quarantine-review columns.
+    */
+  private def qContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Decontaminate.contaminationReport(
+        docs.filter(!(col("doc_id") % 97 === 0 && col("doc_id") < 5000)), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000), "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pairwise source content-overlap matrix
+    * (Diagnostics.sourceGramOverlap): shared distinct 3-grams per
+    * source pair — the feed-redundancy diagnostic.
+    */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.sourceGramOverlap(
+        t(s, dir, "documents"), col("text"), col("source"), n = 3)
+      .orderBy(col("source_a"), col("source_b"))
+
   /** Temperature-flattened mixture sampling (Sampling.temperatureSample):
     * per-source rates derived FROM THE DATA (α=0.5 via exact integer
     * √-weights, fixed 200-row budget), membership a pure hash filter.
@@ -1333,7 +1354,9 @@ object SparkEntry {
     "q87_segment_dedup" -> (qSegmentDedup _),
     "q88_lm_surprisal" -> (qLmSurprisal _),
     "q89_temperature_sample" -> (qTemperatureSample _),
-    "q90_bigram_surprisal" -> (qBigramSurprisal _))
+    "q90_bigram_surprisal" -> (qBigramSurprisal _),
+    "q91_contamination_report" -> (qContaminationReport _),
+    "q92_source_overlap" -> (qSourceOverlap _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -64,6 +64,39 @@ object Decontaminate {
     * .maxNumBits (64M default) together, or the build errors before a
     * single row is read.
     */
+  /** Span-level contamination evidence — [[sharedNgrams]] upgraded
+    * from a flag to a report: per contaminated document, how MUCH of
+    * it overlaps the benchmark (distinct-gram share) and a
+    * deterministic sample of the overlap (the lexicographically
+    * smallest shared gram), the columns a quarantine review actually
+    * reads.
+    *
+    * Output: (doc_id, n_grams, n_shared, share_1e6, first_gram) for
+    * docs with ≥ 1 shared gram.
+    *
+    * Scale: identical plan spine to [[sharedNgrams]] (broadcast gram
+    * set prunes the exploded stream before its only shuffle); the
+    * per-doc gram total comes from `size(shingles(...))` — a narrow
+    * second scan, never a second explode/shuffle.
+    */
+  def contaminationReport(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram width must be positive, got $n")
+    val bsh = bench
+      .select(explode(shingles(col(benchTextCol), n)).as("gram")).distinct()
+    val totals = corpus.select(col(idCol).as("doc_id"),
+      size(shingles(col(textCol), n)).cast("long").as("n_grams"))
+    corpus
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(bsh), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"), min(col("gram")).as("first_gram"))
+      .join(totals, Seq("doc_id"))
+      .withColumn("share_1e6", expr("n_shared * 1000000L DIV n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        col("share_1e6"), col("first_gram"))
+  }
+
   def sharedNgramsBloom(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8,
       minShared: Long = 1L, fpp: Double = 0.01,

@@ -72,4 +72,29 @@ object Diagnostics {
       .select(col("rank"), col("key"), col("n"), col("share_1e6"),
         col("n_keys"), col("p50_n"), col("p99_n"), col("max_n"))
   }
+
+  /** Pairwise source content-overlap matrix: for every pair of
+    * sources, how many DISTINCT word n-grams they share — the
+    * redundancy diagnostic that decides whether two feeds are worth
+    * ingesting separately (a crawl that is 80%-contained in another is
+    * mostly paying dedup to throw itself away).
+    *
+    * Plan: distinct (gram, source) pairs (the one big shuffle), then a
+    * gram-keyed self-join emits only source pairs — per-gram fan-out
+    * is bounded by |sources|² (sources are a handful even at 100 TB),
+    * never by corpus size — and a pair-keyed count. Output:
+    * (source_a, source_b, n_shared_grams), source_a < source_b.
+    */
+  def sourceGramOverlap(docs: DataFrame, textCol: Column, source: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n-gram width must be positive, got $n")
+    val gs = docs
+      .select(explode(graft.functions.shingles(textCol, n)).as("gram"),
+        source.as("source"))
+      .distinct()
+    val l = gs.as("l"); val r = gs.as("r")
+    l.join(r, col("l.gram") === col("r.gram") && col("l.source") < col("r.source"))
+      .groupBy(col("l.source").as("source_a"), col("r.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
 }

@@ -175,6 +175,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == ((1L, 0L, 0L)), s"d2: $out")
   }
 
+  test("contaminationReport: overlap share and deterministic sample gram") {
+    import graft.operators.Decontaminate
+    val corpus = Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("b c d")).toDF("text")
+    val out = Decontaminate.contaminationReport(corpus, "doc_id", "text",
+        bench, "text", n = 2).collect()
+    assert(out.length == 1, s"only the overlapping doc reports: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 500000L, s"1 of 2 grams shared: $r")
+    assert(r.getString(4) == "b c")
+  }
+
+  test("sourceGramOverlap counts shared distinct grams per source pair") {
+    import graft.operators.Diagnostics
+    val docs = Seq(
+      ("s1", "a b c"), ("s2", "b c d"), ("s2", "a b q"), ("s3", "z z"))
+      .toDF("source", "text")
+    val out = Diagnostics.sourceGramOverlap(docs, col("text"), col("source"), n = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // s1 grams {a b, b c}; s2 grams {b c, c d, a b, b q}; s3 {z z}
+    assert(out == Map(("s1", "s2") -> 2L), s"matrix: $out")
+  }
+
   test("curateV2 layers repetition and decontamination gates over curate") {
     import graft.operators.Curation
     // quality gate needs len>=100 and some stopwords; build docs that
