@@ -1483,6 +1483,36 @@ object OracleSql {
             (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_surprisal_1e6
           FROM SC GROUP BY doc_id ORDER BY doc_id""",
 
+    // adaptive-k semantic dedup: q86's derivation, but the seed count
+    // comes from the corpus itself — k = clamp(floor(sqrt(n)), 8,
+    // 4096), the same formula as Dedup.suggestSemanticCells (exact:
+    // IEEE sqrt is correctly rounded and perfect squares < 2^52 are
+    // exact doubles). The k-means round/assign CTEs are structurally
+    // k-free, so only the seed CTE changes
+    "q93_semantic_adaptive" ->
+      s"""WITH RECURSIVE C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          KP AS (SELECT CAST(least(4096, greatest(8,
+                   floor(sqrt(count(*)::DOUBLE)))) AS BIGINT) AS k FROM C),
+          S0 AS (SELECT rn - 1 AS cid, emb AS cemb FROM
+                 (SELECT row_number() OVER (ORDER BY id) AS rn, emb FROM C)
+                 WHERE rn <= (SELECT k FROM KP)),
+          ${ivfRound("S0", "A1", "P1", "M1", "S1")},
+          ${ivfRound("S1", "A2", "P2", "M2", "S2")},
+          ${ivfAssignCte("C", "S2", "CC", 1)},
+          SPAIRS AS (SELECT a.id AS id_a, b.id AS id_b
+                 FROM CC a JOIN CC b ON a.cid = b.cid AND a.id < b.id
+                 WHERE ${scoreFixedSql("a.emb", "b.emb")} >= 950000),
+          SEDGES AS (SELECT id_a AS src, id_b AS dst FROM SPAIRS
+                 UNION SELECT id_b, id_a FROM SPAIRS),
+          SREACH(node, r) AS (
+            SELECT src, src FROM SEDGES
+            UNION
+            SELECT e.dst, r.r FROM SREACH r JOIN SEDGES e ON e.src = r.node),
+          SCOMP AS (SELECT node AS id, min(r) AS rep FROM SREACH GROUP BY node)
+          SELECT c.id, coalesce(p.rep, c.id) AS rep_id,
+            CAST(CASE WHEN coalesce(p.rep, c.id) = c.id THEN 1 ELSE 0 END AS BIGINT) AS kept
+          FROM C c LEFT JOIN SCOMP p USING (id) ORDER BY c.id""",
+
     // span-level contamination report: q55's gram join plus per-doc
     // distinct-gram totals (len of the distinct shingle list — no
     // second explode) and the lexicographic-min shared gram

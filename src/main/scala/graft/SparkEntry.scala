@@ -789,6 +789,22 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Adaptive-k semantic dedup (the q86 cure, oracle-gated like
+    * q82/q84): cell count = Dedup.suggestSemanticCells(n) — exact
+    * integer floor-√n, clamp [8, 4096] — derived from the corpus
+    * count on BOTH engines (the oracle re-derives k from its own
+    * count(*) and seeds `LIMIT`-free via a row_number filter), so the
+    * √n-cells scale story is a hash gate, not just a probe. Different
+    * SFs choose different k (8 / 14 / 44 at sf0.001/0.01/0.1).
+    */
+  private def qSemanticAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val k = graft.operators.Dedup.suggestSemanticCells(corpus.count())
+    val cents = Similarity.trainCentroids(corpus, k = k, iters = 2)
+    graft.operators.Dedup.semanticDedup(corpus, cents, threshold1e6 = 950000L)
+      .orderBy(col("id"))
+  }
+
   /** Span-level contamination report (Decontaminate.contaminationReport):
     * q55's eval slice and gram width, but per-doc overlap SHARE and a
     * deterministic sample gram — the quarantine-review columns.
@@ -1356,7 +1372,8 @@ object SparkEntry {
     "q89_temperature_sample" -> (qTemperatureSample _),
     "q90_bigram_surprisal" -> (qBigramSurprisal _),
     "q91_contamination_report" -> (qContaminationReport _),
-    "q92_source_overlap" -> (qSourceOverlap _))
+    "q92_source_overlap" -> (qSourceOverlap _),
+    "q93_semantic_adaptive" -> (qSemanticAdaptive _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -464,6 +464,29 @@ object Dedup {
         col("n_segs"))
   }
 
+  /** Coarse-cell count for [[semanticDedup]] at corpus size `n` — the
+    * [[suggestSimhashParams]]/[[suggestSignBits]] analog for TRAINED
+    * cells: within-cell candidate pairs grow ~n²/2k while the flat
+    * assign pays n·k centroid dots, so k* ≈ √n minimizes their sum
+    * (FAISS's published ncells guidance for flat IVF is the same
+    * √n-scaling). Fixed k=8 is the battery's oracle-pinned teaching
+    * baseline (measured 35× at 10× data — the q45/q23 cliff family);
+    * this is its executable cure. Exact integer floor-√ (no double
+    * rounding at perfect squares) so any engine derives the same k
+    * from the same count; floor 8, cap 4096 (the broadcast centroid
+    * table stays driver-trivial: 4096·dim doubles ≈ 2 MB at dim 64).
+    * At real scale pair the √n cells with hash-sample training —
+    * a truly linear-total dedup needs a hierarchical quantizer, which
+    * is an architecture change, not a parameter.
+    */
+  def suggestSemanticCells(n: Long): Int = {
+    require(n >= 1, s"corpus size must be >= 1, got $n")
+    var s = math.sqrt(n.toDouble).toLong
+    while ((s + 1) * (s + 1) <= n) s += 1
+    while (s * s > n) s -= 1
+    math.max(8L, math.min(4096L, s)).toInt
+  }
+
   /** SemDeDup-style semantic deduplication: a trained coarse quantizer
     * ([[Similarity.trainCentroids]]) partitions the corpus into cells,
     * candidate pairs form ONLY within a cell (the published SemDeDup

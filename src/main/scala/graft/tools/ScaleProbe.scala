@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   private val Known = Set("simhash8", "simhash15", "simhashAuto",
-    "neardup8", "neardup12", "brute", "curation")
+    "neardup8", "neardup12", "brute", "curation",
+    "semantic8", "semanticAuto")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -54,6 +55,21 @@ object ScaleProbe {
       graft.operators.Dedup.embeddingNearDups(
         spark.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", threshold = 0.95, signBits = 12).count())
+    // semantic dedup: fixed 8 cells (the q86 oracle baseline) vs
+    // suggestSemanticCells(n) — training included in both timings,
+    // since adaptive k moves cost between train and pair phases
+    if (probes("semantic8")) timed("semantic_8cells") {
+      val cents = graft.operators.Similarity.trainCentroids(embs, k = 8, iters = 2)
+      graft.operators.Dedup.semanticDedup(embs, cents, 950000L).count()
+    }
+    if (probes("semanticAuto")) {
+      val n = embs.count()
+      val k = graft.operators.Dedup.suggestSemanticCells(n)
+      timed(s"semantic_auto_${k}cells") {
+        val cents = graft.operators.Similarity.trainCentroids(embs, k = k, iters = 2)
+        graft.operators.Dedup.semanticDedup(embs, cents, 950000L).count()
+      }
+    }
     if (probes("brute")) timed("ann_brute")(
       graft.operators.Similarity.bruteForceTopK(embs,
         embs.filter(col("id") % 200 === 0), k = 3).count())

@@ -199,6 +199,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map(("s1", "s2") -> 2L), s"matrix: $out")
   }
 
+  test("suggestSemanticCells: exact integer floor-sqrt, bounded, monotone") {
+    assert(Dedup.suggestSemanticCells(1) == 8, "floor keeps cells meaningful")
+    assert(Dedup.suggestSemanticCells(100) == 10)
+    assert(Dedup.suggestSemanticCells(99) == 9, "exact at perfect-square edges")
+    assert(Dedup.suggestSemanticCells(2000) == 44)
+    assert(Dedup.suggestSemanticCells(20000) == 141)
+    assert(Dedup.suggestSemanticCells(100000000L) == 4096, "capped for broadcast")
+    assert(Seq(100L, 10000L, 1000000L, 100000000L)
+      .map(Dedup.suggestSemanticCells).sliding(2).forall(p => p.head <= p.last))
+    // adaptive cells reproduce the fixed-k grouping on a planted corpus
+    val emb = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f)), (2L, Seq(0f, 0f, 1.0f, 0f)),
+      (3L, Seq(1.0f, 0f, 0f, 0f)), (4L, Seq(0f, 0f, 1.0f, 0f)))
+      .toDF("id", "emb")
+    val k = Dedup.suggestSemanticCells(4)
+    val cents = Similarity.trainCentroids(emb, k = math.min(k, 4), iters = 1)
+    val out = Dedup.semanticDedup(emb, cents, 950000L).orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L), s"groups: $out")
+  }
+
   test("curateV2 layers repetition and decontamination gates over curate") {
     import graft.operators.Curation
     // quality gate needs len>=100 and some stopwords; build docs that
