@@ -151,6 +151,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p21.contains("Window"), s"q21 must not window-sort candidates:\n$p21")
   }
 
+  test("LM surprisal broadcasts the count tables; token stream never shuffles on term") {
+    val p = plan("q88_lm_surprisal")
+    assert(p.contains("BroadcastHashJoin"), s"counts must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus token stream must never shuffle on term:\n$p")
+    val p90 = plan("q90_bigram_surprisal")
+    assert(p90.contains("BroadcastHashJoin") && !p90.contains("SortMergeJoin"),
+      s"bigram counts must broadcast too:\n$p90")
+  }
+
+  test("temperature sample: rates broadcast, corpus filtered without shuffling") {
+    val p = plan("q89_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for its rate:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"sampling must not read text: $readSchema")
+  }
+
+  test("contamination report broadcasts the gram set and never re-explodes for totals") {
+    val p = plan("q91_contamination_report")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
+    // the totals side computes size(shingles(...)) narrowly — no
+    // second Generate feeding an aggregation
+    assert(p.linesIterator.count(_.trim.startsWith("Generate")) <= 1,
+      s"per-doc totals must come from size(), not a second explode:\n$p")
+  }
+
   test("IVF corpus assignment is narrow and uses the native dot expression") {
     import org.apache.spark.sql.functions.col
     val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
