@@ -1483,6 +1483,29 @@ object OracleSql {
             (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_surprisal_1e6
           FROM SC GROUP BY doc_id ORDER BY doc_id""",
 
+    // incremental dedup replay: first occurrence per content hash with
+    // batch priority (batch asc, then doc_id asc) — one window over
+    // the two-batch union replays the whole ingest history
+    "q94_incremental_dedup" ->
+      """WITH D AS (SELECT doc_id, md5(text) AS h,
+                 CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS batch_no
+                FROM documents),
+          R AS (SELECT h, doc_id, batch_no, row_number() OVER
+                 (PARTITION BY h ORDER BY batch_no, doc_id) AS rn FROM D)
+          SELECT h, doc_id, batch_no FROM R WHERE rn = 1 ORDER BY h""",
+
+    // stateless contamination gate: per-doc flag = any shared gram
+    // with the eval slice's gram list (the q95 expression-literal gate)
+    "q95_contamination_gate" ->
+      s"""WITH ${benchGramsCte()},
+          GL AS (SELECT list(gram ORDER BY gram) AS gs FROM BG)
+          SELECT doc_id,
+            CAST(CASE WHEN list_has_any(${shingles3("text")}, gl.gs)
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+          FROM documents CROSS JOIN GL gl
+          WHERE NOT (doc_id % 97 = 0 AND doc_id < 5000)
+          ORDER BY doc_id""",
+
     // adaptive-k semantic dedup: q86's derivation, but the seed count
     // comes from the corpus itself — k = clamp(floor(sqrt(n)), 8,
     // 4096), the same formula as Dedup.suggestSemanticCells (exact:

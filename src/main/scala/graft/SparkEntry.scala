@@ -789,6 +789,46 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Dedup-on-ingest (IncrementalDedup.appendNovel): the corpus split
+    * into two batches (even then odd doc_ids) replayed through a
+    * content-hash index in a VersionedTable — batch 2 re-admits
+    * nothing batch 1 contributed; within-batch dups keep their min
+    * id. The oracle replays the same priority (batch, then id) as one
+    * window.
+    */
+  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q94_inc_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "h", "batch_no", numBuckets = 8)
+    val docs = t(s, dir, "documents")
+    graft.operators.IncrementalDedup.appendNovel(vt,
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 1L)
+    graft.operators.IncrementalDedup.appendNovel(vt,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 2L)
+    vt.snapshot.select(col("h"), col("doc_id"), col("batch_no"))
+      .orderBy(col("h"))
+  }
+
+  /** Stateless contamination gate (Decontaminate.flagByGramSet): the
+    * eval gram set rides as a sorted expression literal, so the SAME
+    * operator gates an append-mode stream (StreamingSpec) — here it
+    * flags the q55 corpus slice, oracle-checked per doc.
+    */
+  private def qContaminationGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // bounded benchmark gram set, collected once (what a deployed
+    // stream job bakes into the query as a literal)
+    val grams = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000)
+      .select(explode(graft.functions.shingles(col("text"), 3)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    graft.operators.Decontaminate.flagByGramSet(
+        docs.filter(!(col("doc_id") % 97 === 0 && col("doc_id") < 5000)),
+        "doc_id", "text", grams, n = 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** Adaptive-k semantic dedup (the q86 cure, oracle-gated like
     * q82/q84): cell count = Dedup.suggestSemanticCells(n) — exact
     * integer floor-√n, clamp [8, 4096] — derived from the corpus
@@ -1373,7 +1413,9 @@ object SparkEntry {
     "q90_bigram_surprisal" -> (qBigramSurprisal _),
     "q91_contamination_report" -> (qContaminationReport _),
     "q92_source_overlap" -> (qSourceOverlap _),
-    "q93_semantic_adaptive" -> (qSemanticAdaptive _))
+    "q93_semantic_adaptive" -> (qSemanticAdaptive _),
+    "q94_incremental_dedup" -> (qIncrementalDedup _),
+    "q95_contamination_gate" -> (qContaminationGate _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

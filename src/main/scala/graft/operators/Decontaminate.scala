@@ -97,6 +97,27 @@ object Decontaminate {
         col("share_1e6"), col("first_gram"))
   }
 
+  /** Stateless contamination gate — the STREAMING-SHAPED variant:
+    * `flagged = ∃ gram ∈ shingles(text) ∩ gramSet`, a pure map-side
+    * expression (the gram set rides along as a sorted array literal
+    * bound once via `let`), so it runs identically over a batch
+    * DataFrame and an append-mode stream — no state, no watermark, no
+    * aggregation; the ingest-time quarantine router. Exact, not a
+    * bloom: benchmark gram sets are bounded; for eval suites too big
+    * for an expression literal, chain [[sharedNgramsBloom]]'s filter
+    * as the prefilter and this as the confirm.
+    */
+  def flagByGramSet(df: DataFrame, idCol: String, textCol: String,
+      gramSet: Seq[String], n: Int): DataFrame = {
+    require(n >= 1, s"n-gram width must be positive, got $n")
+    val sorted = gramSet.distinct.sorted
+    val gate =
+      if (sorted.isEmpty) lit(false)
+      else graft.functions.let(typedLit(sorted), gs =>
+        exists(shingles(col(textCol), n), g => array_contains(gs, g)))
+    df.select(col(idCol).as("doc_id"), gate.cast("long").as("flagged"))
+  }
+
   def sharedNgramsBloom(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8,
       minShared: Long = 1L, fpp: Double = 0.01,

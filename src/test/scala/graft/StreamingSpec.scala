@@ -56,6 +56,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(1L -> 4L), s"streaming result must match batch: $rows")
   }
 
+  test("stateless contamination gate runs append-mode on a stream (no state, no watermark)") {
+    // flagByGramSet is a pure map-side expression (gram set as a
+    // sorted literal) — the ingest-time quarantine router: unlike the
+    // aggregate form above it needs NO output-mode complete, so it
+    // composes with any downstream append sink
+    val dir = Fixtures.tmpDir("gate_stream")
+    val docs = Seq(
+      (1L, "quiz answer the capital of france is paris so there"),
+      (2L, "unrelated content about something else entirely here")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir.toString)
+    val grams = Seq("capital of france", "of france is", "france is paris")
+    val stream = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    val gated = graft.operators.Decontaminate.flagByGramSet(
+      stream, "doc_id", "text", grams, n = 3)
+    assert(gated.isStreaming, "the plan must stay a streaming plan")
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("gate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("select * from gate_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("flagged")).toMap
+    assert(rows == Map(1L -> 1L, 2L -> 0L), s"append-mode gate: $rows")
+  }
+
   test("stream-static broadcast enrichment joins every micro-batch against the dim") {
     // the standard ingest-time enrichment shape: per micro-batch, the
     // stream side broadcast-joins a static dimension — no state, no

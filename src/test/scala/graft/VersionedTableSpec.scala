@@ -525,4 +525,28 @@ class VersionedTableSpec extends SparkSpec {
     assert(out("e2").contains(200L))
     assert(out("e3").isEmpty)        // right ts=6 is after left ts=5
   }
+
+  test("incremental dedup admits only history-novel content; re-ingest is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val root = Fixtures.tmpDir("incdedup").toString
+    val index = new VersionedTable(spark, root, "h", "batch_no", numBuckets = 4)
+    val b1 = Seq((10L, "alpha"), (11L, "beta"), (12L, "alpha")).toDF("doc_id", "text")
+    val a1 = graft.operators.IncrementalDedup.appendNovel(index, b1, "doc_id", "text", 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a1.values.toSet == Set(10L, 11L), s"within-batch dup keeps min id: $a1")
+    // batch 2: one repeat of history, one novel
+    val b2 = Seq((20L, "beta"), (21L, "gamma")).toDF("doc_id", "text")
+    val a2 = graft.operators.IncrementalDedup.appendNovel(index, b2, "doc_id", "text", 2L)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(a2 == Set(21L), s"history repeat must not re-admit: $a2")
+    // index state: 3 distinct contents, first-seen ids and batches
+    val snap = index.snapshot.select(col("doc_id"), col("batch_no")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap == Map(10L -> 1L, 11L -> 1L, 21L -> 2L), s"index: $snap")
+    // idempotence: replaying batch 2 admits nothing and commits nothing
+    val commits = index.commits.length
+    val a3 = graft.operators.IncrementalDedup.appendNovel(index, b2, "doc_id", "text", 3L)
+    assert(a3.isEmpty, "re-ingest admits nothing")
+    assert(index.commits.length == commits, "empty admission must not commit")
+  }
 }
