@@ -1483,6 +1483,31 @@ object OracleSql {
             (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_surprisal_1e6
           FROM SC GROUP BY doc_id ORDER BY doc_id""",
 
+    // incremental index maintenance: the q85 replay shape (upsert →
+    // delete → upsert with precombine priority), then postings of the
+    // final state — maintained ≡ full recompute
+    "q96_index_maintain" ->
+      s"""WITH B AS (SELECT doc_id, text, CAST(1 AS BIGINT) AS pre, 0 AS seq FROM documents),
+          U2 AS (SELECT doc_id, text || ' zz yy' AS text,
+                 CAST(2 AS BIGINT) AS pre, 1 AS seq FROM documents WHERE doc_id % 7 = 0),
+          M12 AS (SELECT doc_id, text, pre, seq FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY pre DESC, seq DESC) AS rn
+                 FROM (SELECT * FROM B UNION ALL SELECT * FROM U2))
+                WHERE rn = 1),
+          AD AS (SELECT * FROM M12 WHERE doc_id % 5 <> 0),
+          U4 AS (SELECT doc_id, text || ' qq' AS text,
+                 CAST(3 AS BIGINT) AS pre, 3 AS seq FROM documents WHERE doc_id % 4 = 0),
+          F AS (SELECT doc_id, text FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY pre DESC, seq DESC) AS rn
+                 FROM (SELECT * FROM AD UNION ALL SELECT * FROM U4))
+                WHERE rn = 1),
+          T AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM F),
+          E AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term FROM T)
+          SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+          FROM E GROUP BY term, doc_id, dl ORDER BY term, doc_id""",
+
     // incremental dedup replay: first occurrence per content hash with
     // batch priority (batch asc, then doc_id asc) — one window over
     // the two-batch union replays the whole ingest history

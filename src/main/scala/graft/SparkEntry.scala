@@ -789,6 +789,36 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Incremental inverted-index maintenance (TextSearch.maintainPostings):
+    * q71/q85's "summary follows the versioned corpus" pattern applied
+    * to the q70 index — postings refreshed from the change feed across
+    * an upsert → DELETE → upsert replay, never rescanning the corpus.
+    * The oracle recomputes postings of the replayed final state:
+    * maintained ≡ full recompute is the contract.
+    */
+  private def qIndexMaintain(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q96_idx_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "doc_id", "pre", numBuckets = 8)
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"), lit(1L).as("pre"))
+    val c1 = vt.upsert(base)
+    val postings1 = graft.operators.TextSearch.postingRows(vt.snapshot, "doc_id", "text")
+      .localCheckpoint()
+    // commit 2 rewrites every 7th doc; commit 3 deletes every 5th;
+    // commit 4 rewrites every 4th (re-inserting the %20 deletions)
+    vt.upsert(base.filter(col("doc_id") % 7 === 0)
+      .withColumn("text", concat(col("text"), lit(" zz yy")))
+      .withColumn("pre", lit(2L)))
+    vt.delete(base.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    val c4 = vt.upsert(base.filter(col("doc_id") % 4 === 0)
+      .withColumn("text", concat(col("text"), lit(" qq")))
+      .withColumn("pre", lit(3L)))
+    graft.operators.TextSearch.maintainPostings(vt, c1, c4, postings1, "text")
+      .orderBy(col("term"), col("doc_id"))
+  }
+
   /** Dedup-on-ingest (IncrementalDedup.appendNovel): the corpus split
     * into two batches (even then odd doc_ids) replayed through a
     * content-hash index in a VersionedTable — batch 2 re-admits
@@ -1415,7 +1445,8 @@ object SparkEntry {
     "q92_source_overlap" -> (qSourceOverlap _),
     "q93_semantic_adaptive" -> (qSemanticAdaptive _),
     "q94_incremental_dedup" -> (qIncrementalDedup _),
-    "q95_contamination_gate" -> (qContaminationGate _))
+    "q95_contamination_gate" -> (qContaminationGate _),
+    "q96_index_maintain" -> (qIndexMaintain _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -214,6 +214,18 @@ object TextSearch {
     * BM25-style scoring can run from the index alone, without the
     * corpus.
     */
+  /** Posting rows of a corpus frame — (term, doc_id, dl, tf); the
+    * storage-agnostic index payload [[buildInvertedIndex]] persists
+    * and [[maintainPostings]] refreshes.
+    */
+  def postingRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+
   def buildInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int): Unit = {
     val spark = docs.sparkSession
@@ -225,14 +237,38 @@ object TextSearch {
     val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    docs.select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("tk"))
-      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-        explode(col("tk")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+    postingRows(docs, idCol, textCol)
       .write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(table)
+  }
+
+  /** Incremental inverted-index refresh — the index follows a
+    * versioned corpus the way [[RollupMaintenance.maintainRollupCdc]]
+    * follows it for rollups: the commit-range change feed
+    * ([[VersionedTable.diff]] — manifest-pruned, delete-aware) names
+    * the touched documents; their old postings drop (anti-join),
+    * inserted/updated documents re-tokenize, and every untouched
+    * posting carries verbatim — the corpus is NEVER rescanned.
+    *
+    * Returns the refreshed postings frame (≡ [[postingRows]] of the
+    * head snapshot — the q96 oracle contract); the caller persists it,
+    * at scale rewriting only the term buckets that changed.
+    *
+    * Scale: `touched` is bounded by the delta, so both the drop and
+    * the recompute broadcast; the only wide work is tokenizing the
+    * changed documents.
+    */
+  def maintainPostings(vt: VersionedTable, sinceTs: String, headTs: String,
+      prevPostings: DataFrame, textCol: String): DataFrame = {
+    val key = vt.recordKey
+    val d = vt.diff(sinceTs, headTs)
+    val touched = d.select(col(key).as("_t")).distinct()
+    val changed = d.filter(col("change_type") =!= "delete")
+      .select(col(key), col(s"after_$textCol").as(textCol))
+    prevPostings
+      .join(broadcast(touched), col("doc_id") <=> col("_t"), "left_anti")
+      .unionByName(postingRows(changed, key, textCol))
   }
 
   /** Posting lists for `terms` — a bucket-pruned index read (the IN

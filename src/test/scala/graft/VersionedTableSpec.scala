@@ -526,6 +526,27 @@ class VersionedTableSpec extends SparkSpec {
     assert(out("e3").isEmpty)        // right ts=6 is after left ts=5
   }
 
+  test("maintainPostings follows upsert+delete; untouched postings carry verbatim") {
+    import org.apache.spark.sql.functions.col
+    val root = Fixtures.tmpDir("idxmaint").toString
+    val vt = new VersionedTable(spark, root, "doc_id", "pre", numBuckets = 4)
+    val c1 = vt.upsert(Seq((1L, "a b a", 1L), (2L, "c d", 1L), (3L, "e f", 1L))
+      .toDF("doc_id", "text", "pre"))
+    val p1 = graft.operators.TextSearch.postingRows(vt.snapshot, "doc_id", "text")
+      .localCheckpoint()
+    vt.upsert(Seq((2L, "c x", 2L)).toDF("doc_id", "text", "pre")) // update
+    val c3 = vt.delete(Seq(3L).toDF("doc_id"))                    // delete
+    val maintained = graft.operators.TextSearch
+      .maintainPostings(vt, c1, c3, p1, "text")
+    val full = graft.operators.TextSearch.postingRows(vt.snapshot, "doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(key(maintained) == key(full), "maintained must equal full recompute")
+    assert(!key(maintained).exists(_._2 == 3L), "deleted doc's postings drop")
+    assert(key(maintained).contains(("a", 1L, 3L, 2L)), "untouched postings carry")
+    assert(key(maintained).contains(("x", 2L, 2L, 1L)), "updated doc re-tokenized")
+  }
+
   test("incremental dedup admits only history-novel content; re-ingest is a no-op") {
     import org.apache.spark.sql.functions.col
     val root = Fixtures.tmpDir("incdedup").toString
