@@ -1508,6 +1508,49 @@ object OracleSql {
           SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
           FROM E GROUP BY term, doc_id, dl ORDER BY term, doc_id""",
 
+    // span-level exact-substring duplication: ordered positional
+    // 5-grams, corpus-wide occurrence counts, ≥2-count positions
+    // merged into maximal spans by the lag-gap island test (same-width
+    // intervals: new span iff pos - prev > 4)
+    "q97_dup_spans" ->
+      s"""WITH T AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          P AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 4), i ->
+                 {'pos': i, 'g': array_to_string(list_slice(tk, i+1, i+5), ' ')})) AS u
+                FROM T WHERE len(tk) >= 5),
+          Q AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.g AS gram FROM P),
+          D AS (SELECT gram FROM Q GROUP BY gram HAVING count(*) >= 2),
+          M AS (SELECT doc_id, pos FROM Q JOIN D USING (gram)),
+          B AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER
+                 (PARTITION BY doc_id ORDER BY pos) <= 4 THEN 0 ELSE 1 END AS brk
+                FROM M),
+          I AS (SELECT doc_id, pos, sum(brk) OVER
+                 (PARTITION BY doc_id ORDER BY pos) AS island FROM B),
+          S AS (SELECT doc_id, island, CAST(min(pos) AS BIGINT) AS s,
+                 CAST(max(pos) + 4 AS BIGINT) AS e FROM I GROUP BY doc_id, island),
+          A AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                 CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM S GROUP BY doc_id),
+          N AS (SELECT doc_id, CAST(len(${toks("text")}) AS BIGINT) AS n_tokens
+                FROM documents)
+          SELECT a.doc_id, n.n_tokens, a.n_spans, a.dup_tokens,
+            (a.dup_tokens * 1000000) // n.n_tokens AS dup_share_1e6
+          FROM A a JOIN N n USING (doc_id) ORDER BY a.doc_id""",
+
+    // epoch-weighted mixture: per-source ppm weights (VALUES generated
+    // from Sampling.DemoEpochsPpm), copies = floor + md5-ppm-gated
+    // fractional extra, fanned out via range()
+    "q98_epoch_mixture" -> {
+      val vals = graft.operators.Sampling.DemoEpochsPpm.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"('$s', CAST($w AS BIGINT))" }.mkString(", ")
+      s"""WITH W AS (SELECT * FROM (VALUES $vals) AS t(source, w)),
+          C AS (SELECT doc_id, d.source AS source,
+                 (w // 1000000) + CASE WHEN
+                   (${md5long("cast(doc_id as varchar)")} % 1000000) < (w % 1000000)
+                   THEN 1 ELSE 0 END AS copies
+                FROM documents d JOIN W USING (source))
+          SELECT doc_id, source, unnest(range(copies)) AS copy_no
+          FROM C WHERE copies > 0 ORDER BY doc_id, copy_no"""
+    },
+
     // incremental dedup replay: first occurrence per content hash with
     // batch priority (batch asc, then doc_id asc) — one window over
     // the two-batch union replays the whole ingest history

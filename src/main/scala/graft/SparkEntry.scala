@@ -775,6 +775,30 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Epoch-weighted mixture materialization (Sampling.epochMixture):
+    * fractional per-source repeat factors — floor(w) full copies plus
+    * one hash-gated extra — as (doc_id, source, copy_no). The oracle
+    * replays the same generated VALUES weights, md5-ppm gate, and
+    * range() fan-out.
+    */
+  private def qEpochMixture(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.epochMixture(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"), graft.operators.Sampling.DemoEpochsPpm)
+      .orderBy(col("doc_id"), col("copy_no"))
+
+  /** Span-level exact-substring duplication report
+    * (Dedup.duplicatedSpans): every token position covered by a
+    * corpus-repeated 5-gram, merged into maximal spans per doc — the
+    * ExactSubstr dedup signal at word-gram granularity. The oracle
+    * replays positions, counts, and the island merge as one window
+    * chain.
+    */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.duplicatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+
   /** Semantic dedup (Dedup.semanticDedup): the SemDeDup recipe —
     * trained coarse cells (the q49 quantizer, re-derived identically
     * by the oracle's unrolled k-means CTEs) bound candidate pairs,
@@ -1446,7 +1470,9 @@ object SparkEntry {
     "q93_semantic_adaptive" -> (qSemanticAdaptive _),
     "q94_incremental_dedup" -> (qIncrementalDedup _),
     "q95_contamination_gate" -> (qContaminationGate _),
-    "q96_index_maintain" -> (qIndexMaintain _))
+    "q96_index_maintain" -> (qIndexMaintain _),
+    "q97_dup_spans" -> (qDupSpans _),
+    "q98_epoch_mixture" -> (qEpochMixture _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

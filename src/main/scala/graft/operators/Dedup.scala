@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -522,5 +523,57 @@ object Dedup {
       .join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("rep_id"))
       .withColumn("kept", (col("rep_id") === col("id")).cast("long"))
+  }
+
+  /** Exact substring-level duplication report — the span-granular
+    * dedup signal of "Deduplicating Training Data Makes Language
+    * Models Better" (Lee et al., 2022, arXiv:2107.06499): instead of
+    * judging whole documents, find every token POSITION covered by a
+    * word n-gram that occurs ≥ `minCount` times anywhere in the
+    * corpus (other documents or elsewhere in the same one), merge
+    * overlapping positions into maximal spans, and report per-doc
+    * span counts and coverage. Downstream can cut the spans out
+    * (ExactSubstr) or use the share as a quality gate.
+    *
+    * Output: (doc_id, n_tokens, n_spans, dup_tokens, dup_share_1e6)
+    * for documents with ≥ 1 duplicated span.
+    *
+    * Scale shape: two corpus passes over ordered positional n-grams
+    * (suffix arrays are the single-machine tool; corpus-wide
+    * frequency of fixed-width grams is the shuffle-native equivalent
+    * at 100 TB). Pass 1 counts gram occurrences (map-side partial
+    * agg → one shuffle on the gram); pass 2 re-joins positions to the
+    * ≥minCount grams, then the island merge is one window over each
+    * doc's MARKED positions only (bounded by doc length, usually a
+    * small fraction of it). Same-width intervals make the merge a
+    * lag-gap test: a new span starts exactly when pos − prev > n − 1.
+    */
+  def duplicatedSpans(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minCount: Long = 2L): DataFrame = {
+    require(n >= 1, s"n-gram width must be positive, got $n")
+    require(minCount >= 2, s"minCount below 2 would mark everything: $minCount")
+    val pos = corpus.select(col(idCol).as("doc_id"),
+      posexplode(rawShingles(col(textCol), n)).as(Seq("pos", "gram")))
+    val dup = pos.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= minCount)
+      .select(col("gram"))
+    val marked = pos.join(dup, "gram").select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = marked
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n - 1, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("s"),
+        (max(col("pos")) + lit(n - 1)).cast("long").as("e"))
+    val totals = corpus.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).as("n_tokens"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("dup_tokens"),
+        expr("dup_tokens * 1000000L DIV n_tokens").as("dup_share_1e6"))
   }
 }

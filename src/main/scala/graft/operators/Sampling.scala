@@ -141,6 +141,50 @@ object Sampling {
       .drop("_stratum")
   }
 
+  /** Demo per-source epoch weights for the q98 battery entry (ppm:
+    * 1e6 = one full pass). Spans sub-epoch (0.5) through multi-epoch
+    * (1.75) so both the downsample and the repeat paths are exercised;
+    * the oracle's VALUES list is generated from this same map.
+    */
+  val DemoEpochsPpm: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> (500000L + 250000L * (i % 6))).toMap
+
+  /** Epoch-weighted mixture materialization — the "repeat factors"
+    * step of training-corpus assembly (sources are consumed for a
+    * fractional number of EPOCHS, e.g. books 1.75, web 0.5): each row
+    * is emitted floor(w) times plus one more iff its hash bucket
+    * falls under the fractional part, so E[copies] = w exactly and
+    * the realized copy count is a pure function of the key —
+    * reproducible on any engine or partitioning, and the fractional
+    * membership NESTS as a source's epoch weight grows (the 1.3-epoch
+    * extra-copy set contains the 1.2-epoch one, so raising a weight
+    * never rewrites earlier copies). Strata absent from `epochsPpm`
+    * are dropped.
+    *
+    * Scale shape: a when-chain weight lookup + `sequence`/`explode`
+    * fan-out — map-side only, no shuffle, no rand(); the output
+    * streams straight into the shuffle of whatever consumes it.
+    *
+    * Output: the input columns plus `copy_no` (0-based BIGINT).
+    */
+  def epochMixture(df: DataFrame, key: Column, stratum: Column,
+      epochsPpm: Map[String, Long]): DataFrame = {
+    require(epochsPpm.nonEmpty, "need at least one stratum weight")
+    require(epochsPpm.values.forall(_ >= 0),
+      s"epoch weights must be non-negative ppm: $epochsPpm")
+    val w = epochsPpm.toSeq.sortBy(_._1).foldLeft(lit(-1L): Column) {
+      case (acc, (s, e)) => when(stratum === s, lit(e)).otherwise(acc)
+    }
+    df.withColumn("_w", w)
+      .filter(col("_w") >= 0)
+      .withColumn("_copies",
+        expr(s"_w DIV $Ppm") +
+          when(hashBucket(key) < expr(s"_w % $Ppm"), lit(1L)).otherwise(lit(0L)))
+      .filter(col("_copies") > 0)
+      .withColumn("copy_no", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_w", "_copies")
+  }
+
   /** Temperature-flattened mixture sampling — the multilingual-LM
     * "sampling temperature" recipe: target share of stratum s ∝
     * n_s^α with α = 1/2, so over-represented sources are flattened

@@ -167,6 +167,34 @@ class ChunkerSamplingSpec extends SparkSpec {
     assert(math.abs(s50.size - 1000) < 150, s"got ${s50.size}")
   }
 
+  test("epochMixture: floor copies + hash-gated fractional extra; extras nest as weights grow") {
+    val df = (1L to 1000L).toDF("id")
+      .withColumn("src", when(col("id") <= 400, "a")
+        .when(col("id") <= 800, "b").otherwise("c"))
+    def run(w: Map[String, Long]) =
+      Sampling.epochMixture(df, col("id"), col("src"), w)
+        .groupBy("id").agg(count(lit(1)).as("n"), max("copy_no").as("mx"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // integral weights: exact copy counts, copy_no runs 0..w-1
+    val exact = run(Map("a" -> 2000000L, "b" -> 1000000L))
+    assert((1L to 400L).forall(exact(_) == (2L, 1L)), "a emits exactly 2 copies")
+    assert((401L to 800L).forall(exact(_) == (1L, 0L)), "b emits exactly 1 copy")
+    assert(!exact.contains(900L), "stratum without a weight drops")
+    // fractional: the extra-copy set IS the hashSample membership set
+    val frac = run(Map("a" -> 1300000L))
+    val extra = frac.filter(_._2._1 == 2L).keySet
+    val sampled = Sampling.hashSample(df.filter(col("src") === "a"), col("id"), 300000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(extra == sampled, "fractional membership mirrors hashSample")
+    // nesting: raising the weight only ADDS extra copies
+    val wider = run(Map("a" -> 1600000L)).filter(_._2._1 == 2L).keySet
+    assert(extra.subsetOf(wider), "extra-copy sets nest as the epoch weight grows")
+    // sub-epoch weight downsamples instead of repeating
+    val sub = run(Map("a" -> 500000L))
+    assert(sub.nonEmpty && sub.values.forall(_ == (1L, 0L)) && sub.size < 400,
+      s"0.5 epochs keeps a strict subset, one copy each: ${sub.size}")
+  }
+
   test("splitLabel partitions the corpus; splits align with hashSample prefixes") {
     val df = (1L to 1000L).toDF("id")
     val labeled = df.select(col("id"),

@@ -126,6 +126,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) == ("delta", 1L, 2L), "within-doc dup keeps only the first")
   }
 
+  test("duplicatedSpans merges overlapping dup positions into maximal spans") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox runs fast today ok fine"),  // shares one 3-gram with 1
+      (3L, "x y z x y z x y z"),                          // in-doc repetition: fully covered
+      (4L, "totally unique words nothing here matches anything at all"),
+      (5L, "quick brown fox gap1 gap2 gap3 gap4 x y z")   // two separate spans
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(!out.contains(4L), "doc without any repeated gram is absent")
+    assert(out(1L) == (9L, 1L, 3L, 333333L), s"doc1 one 3-token span: $out")
+    assert(out(2L) == (9L, 1L, 3L, 333333L), s"doc2 mirrors doc1: $out")
+    assert(out(3L) == (9L, 1L, 9L, 1000000L), "overlapping positions merge into full coverage")
+    assert(out(5L) == (10L, 2L, 6L, 600000L), "gap beyond n-1 splits spans")
+  }
+
   test("unigramSurprisal: exact floor-log2 bits, rare tokens score higher") {
     // corpus: a×5, b×3, c×1 → N=9 (4 bits); s(a)=4-3=1, s(b)=4-2=2, s(c)=4-1=3
     val docs = Seq((1L, "a a a b"), (2L, "a a b b"), (3L, "c"))
