@@ -1535,6 +1535,35 @@ object OracleSql {
             (a.dup_tokens * 1000000) // n.n_tokens AS dup_share_1e6
           FROM A a JOIN N n USING (doc_id) ORDER BY a.doc_id""",
 
+    // SQ8 scalar quantization: per-dim [lo, hi] bounds over 1e6
+    // fixed-point values, 8-bit codes, integer reconstruction, MIPS
+    // (dot) ranking — every step BIGINT, re-derived independently
+    "q99_sq8_ann" ->
+      s"""WITH F AS (SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS fx
+                FROM embeddings),
+          E AS (SELECT unnest(fx) AS v, generate_subscripts(fx, 1) AS pos FROM F),
+          ST AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM E GROUP BY pos),
+          SL AS (SELECT list(mn ORDER BY pos) AS lo, list(mx ORDER BY pos) AS hi FROM ST),
+          C AS (SELECT id, list_transform(range(len(fx)), i ->
+                 CASE WHEN hi[i+1] > lo[i+1]
+                   THEN least(255, greatest(0,
+                     ((fx[i+1] - lo[i+1]) * 255) // (hi[i+1] - lo[i+1])))
+                   ELSE 0 END) AS codes
+                FROM F CROSS JOIN SL),
+          DQ AS (SELECT id, list_transform(range(len(codes)), i ->
+                  lo[i+1] + (codes[i+1] * (hi[i+1] - lo[i+1])) // 255) AS deq
+                 FROM C CROSS JOIN SL),
+          QF AS (SELECT id, fx FROM F WHERE id % 200 = 0 AND id < 2000),
+          SC AS (SELECT q.id AS query_id, d.id AS neighbor_id,
+                  CAST(list_sum(list_transform(range(len(q.fx)), i ->
+                    q.fx[i+1] * d.deq[i+1])) AS BIGINT) AS score_1e12
+                 FROM DQ d JOIN QF q ON q.id <> d.id),
+          R AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_1e12 DESC, neighbor_id) AS rank FROM SC)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score_1e12
+          FROM R WHERE rank <= 3 ORDER BY query_id, rank""",
+
     // epoch-weighted mixture: per-source ppm weights (VALUES generated
     // from Sampling.DemoEpochsPpm), copies = floor + md5-ppm-gated
     // fractional extra, fanned out via range()

@@ -775,6 +775,22 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** SQ8 scalar-quantized ANN (Similarity.sqTrain/sqEncode/sqTopK):
+    * per-dimension 8-bit codes against trained [lo, hi] bounds,
+    * candidates reconstructed and dot-scored in pure BIGINT — the
+    * FAISS ScalarQuantizer storage path. The oracle re-derives
+    * bounds, codes, reconstructions, and the MIPS ranking.
+    */
+  private def qSq8Ann(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val bounds = Similarity.sqTrain(corpus)
+    val codes = Similarity.sqEncode(corpus, bounds)
+    Similarity.sqTopK(codes, bounds,
+        corpus.filter(col("id") % 200 === 0 && col("id") < 2000), k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score_1e12"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Epoch-weighted mixture materialization (Sampling.epochMixture):
     * fractional per-source repeat factors — floor(w) full copies plus
     * one hash-gated extra — as (doc_id, source, copy_no). The oracle
@@ -1472,7 +1488,8 @@ object SparkEntry {
     "q95_contamination_gate" -> (qContaminationGate _),
     "q96_index_maintain" -> (qIndexMaintain _),
     "q97_dup_spans" -> (qDupSpans _),
-    "q98_epoch_mixture" -> (qEpochMixture _))
+    "q98_epoch_mixture" -> (qEpochMixture _),
+    "q99_sq8_ann" -> (qSq8Ann _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

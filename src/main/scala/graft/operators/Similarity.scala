@@ -36,7 +36,8 @@ object Similarity {
   def scoreFixed(a: Column, b: Column): Column =
     floor(cosine(a, b) * lit(1000000.0)).cast("long")
 
-  private def rank(scored: DataFrame, k: Int): DataFrame =
+  private def rank(scored: DataFrame, k: Int,
+      scoreCol: String = "score_1e6"): DataFrame =
     // bounded-state top-k aggregate instead of a rank window: the
     // window form shuffles and sorts EVERY candidate; TopKPairs keeps
     // ≤k pairs per query in partial state (map-side combine), so only
@@ -52,13 +53,13 @@ object Similarity {
     // k rows. A NULLS-LAST rank window (the DuckDB oracle's default)
     // would pad such queries with null-scored rows — that divergence
     // is only reachable when null embeddings exist.
-    scored.filter(col("score_1e6").isNotNull)
+    scored.filter(col(scoreCol).isNotNull)
       .groupBy(col("query_id"))
-      .agg(graft.expressions.TopKPairs(col("score_1e6"), col("neighbor_id"), k)
+      .agg(graft.expressions.TopKPairs(col(scoreCol), col("neighbor_id"), k)
         .as("_top"))
       .select(col("query_id"), posexplode(col("_top")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as("neighbor_id"), col("col.v").as("score_1e6"))
+        col("col.id").as("neighbor_id"), col("col.v").as(scoreCol))
 
   /** Exact cosine top-k for each query vector. `queries` and `corpus`
     * need (id, emb) shaped columns. Queries are broadcast.
@@ -509,5 +510,84 @@ object Similarity {
         posexplode(col("codes")).as(Seq("s", "cid")))
       .join(broadcast(lut), Seq("query_id", "cell", "s", "cid"))
     adcRank(lutKeyed, k)
+  }
+
+  // ------------------------------------------------------------------
+  // Scalar quantization (SQ8) — the FAISS ScalarQuantizer storage
+  // path: each dimension compresses independently to an 8-bit code
+  // against per-dimension [lo, hi] bounds, so a d-float vector stores
+  // as d bytes with NO codebook training (the usual first step down
+  // from float32, before PQ's higher compression is worth its
+  // training). All arithmetic is BIGINT over 1e6 fixed-point values,
+  // so bounds, codes, and scores are bit-reproducible across engines.
+  // ------------------------------------------------------------------
+
+  /** floor(x·1e6) per dimension — the shared fixed-point embedding. */
+  private def fixed1e6(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  /** Integral quotient of non-negative BIGINTs via double division:
+    * operands stay ≪ 2^53 (≤ ~1e9 here), and a correctly-rounded
+    * double quotient of exactly-representable ints only disagrees
+    * with true division by < 1 ulp, while the nearest non-integer
+    * quotient sits ≥ 1/divisor ≫ ulp from any integer — so floor
+    * equals exact integer division (DuckDB `//`) on this domain.
+    * (expr("a DIV b") can't reach inside a transform() lambda, hence
+    * the double route.)
+    */
+  private def idiv(a: Column, b: Column): Column =
+    floor(a.cast("double") / b.cast("double")).cast("long")
+
+  /** Per-dimension [lo, hi] quantization bounds in 1e6 fixed point —
+    * one column-pruned posexplode aggregate (dim rows to the driver).
+    * At real scale run on a hash sample, like the k-means trainers.
+    */
+  def sqTrain(corpus: DataFrame): Seq[(Long, Long)] =
+    corpus.select(posexplode(fixed1e6(col("emb"))).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toSeq
+
+  /** SQ8-encode: (id, codes array<bigint> in [0, 255]) — narrow
+    * map-side pass; the write path of the compressed index (d bytes
+    * per vector at real storage). Dimensions with a degenerate range
+    * (hi = lo) code to 0. Out-of-bounds values (vectors unseen at
+    * train time) clamp to the code range.
+    */
+  def sqEncode(corpus: DataFrame, bounds: Seq[(Long, Long)]): DataFrame = {
+    require(bounds.nonEmpty, "empty bounds — train on a non-empty corpus")
+    val lo = array(bounds.map(b => lit(b._1)): _*)
+    val hi = array(bounds.map(b => lit(b._2)): _*)
+    corpus.select(col("id"), transform(fixed1e6(col("emb")), (x, i) => {
+      val l = get(lo, i); val h = get(hi, i)
+      when(h > l,
+        least(lit(255L), greatest(lit(0L), idiv((x - l) * lit(255L), h - l))))
+        .otherwise(lit(0L))
+    }).as("codes"))
+  }
+
+  /** Inner-product top-k over the SQ8 index: candidates reconstruct as
+    * lo + code·(hi−lo)/255 per dimension (1e6 fixed point, computed
+    * once per stored vector, narrow) and dot the broadcast fixed-point
+    * queries — original embeddings are never read at query time. This
+    * is MIPS ranking (dot, not cosine): normalize vectors upstream if
+    * cosine order is wanted. Output: (query_id, rank, neighbor_id,
+    * score_1e12).
+    */
+  def sqTopK(codes: DataFrame, bounds: Seq[(Long, Long)], queries: DataFrame,
+      k: Int): DataFrame = {
+    val lo = array(bounds.map(b => lit(b._1)): _*)
+    val hi = array(bounds.map(b => lit(b._2)): _*)
+    val deq = codes.select(col("id"), transform(col("codes"), (c, i) => {
+      val l = get(lo, i); val h = get(hi, i)
+      l + idiv(c * (h - l), lit(255L))
+    }).as("deq"))
+    val qf = queries.select(col("id"), fixed1e6(col("emb")).as("qf"))
+    val scored = deq.as("c")
+      .join(broadcast(qf.as("q")), col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        aggregate(zip_with(col("q.qf"), col("c.deq"), _ * _), lit(0L), _ + _)
+          .as("score_1e12"))
+    rank(scored, k, "score_1e12")
   }
 }

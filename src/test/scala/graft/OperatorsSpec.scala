@@ -591,6 +591,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 codes stay in [0,255], degenerate dims code 0, top-k follows exact dot order") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.05f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.05f, 0.0f)),
+      (3L, Seq(0.0f, 0.05f, 1.0f, 0.0f)), (4L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (5L, Seq(0.0f, 0.9f, 0.1f, 0.0f)), (6L, Seq(0.05f, 0.0f, 0.9f, 0.0f)))
+      .toDF("id", "emb")
+    val bounds = Similarity.sqTrain(df)
+    assert(bounds.size == 4 && bounds.last == ((0L, 0L)), s"constant dim bounds: $bounds")
+    val codes = Similarity.sqEncode(df, bounds).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.values.flatten.forall(c => c >= 0L && c <= 255L), "codes bounded")
+    assert(codes.values.forall(_(3) == 0L), "degenerate dim codes to 0")
+    assert(codes(1L)(0) == 255L && codes(2L)(1) == 255L, "range max codes to 255")
+    val out = Similarity.sqTopK(Similarity.sqEncode(df, bounds), bounds,
+        df.filter(col("id") <= 2), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact dot top-1: query 1 → 4 (0.905), query 2 → 5 (0.905); the
+    // ~0.4%-per-dim quantization error cannot flip those margins
+    assert(out.contains((1L, 1L, 4L)) && out.contains((2L, 1L, 5L)), out.mkString(","))
+  }
+
   test("PQ codes separate clusters; ADC recovers nearest neighbors without vectors") {
     // three tight clusters, visible in BOTH subspaces (dims 0-1 and
     // 2-3), so per-subspace codebooks must separate them and ADC
