@@ -1535,6 +1535,42 @@ object OracleSql {
             (a.dup_tokens * 1000000) // n.n_tokens AS dup_share_1e6
           FROM A a JOIN N n USING (doc_id) ORDER BY a.doc_id""",
 
+    // near-dup decontamination: the q18 LSH machinery split into a
+    // corpus side and an eval side, candidates from the cross
+    // band-bucket join, q20's fixed-point Jaccard as the verify
+    "q100_near_dup_decontaminate" -> {
+      val p = graft.operators.Dedup.MinhashP
+      val sigExprs = graft.operators.Dedup.minhashCoeffs(16).map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
+      }.mkString("[", ", ", "]")
+      val evalPred = "doc_id % 5 = 0 AND doc_id < 5000"
+      def side(nm: String, filter: String) =
+        s"""TH_$nm AS (SELECT doc_id, ${tokenHashExpr("text")} AS th
+                FROM documents WHERE $filter),
+            HS_$nm AS (SELECT doc_id, $gramFromTh AS hs FROM TH_$nm),
+            SIG_$nm AS (SELECT doc_id, $sigExprs AS sig FROM HS_$nm WHERE len(hs) > 0),
+            B_$nm AS (SELECT doc_id, t.band AS band,
+                   md5(array_to_string(list_transform(
+                     list_slice(sig, t.band * 4 + 1, t.band * 4 + 4), x -> x::varchar), ',')) AS bucket
+                  FROM SIG_$nm CROSS JOIN (SELECT unnest(range(4)) AS band) t)"""
+      s"""WITH ${side("c", s"NOT ($evalPred)")},
+          ${side("e", evalPred)},
+          CAND AS (SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS bench_id
+                   FROM B_c c JOIN B_e e ON c.band = e.band AND c.bucket = e.bucket),
+          SHC AS (SELECT doc_id, ${shingles3("text")} AS sh
+                  FROM documents WHERE NOT ($evalPred)),
+          SHE AS (SELECT doc_id AS bench_id, ${shingles3("text")} AS sh
+                  FROM documents WHERE $evalPred),
+          J AS (SELECT ca.doc_id, ca.bench_id,
+                 cast(floor((CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                   ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                        / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END)
+                   * 1000000.0) as bigint) AS jaccard_1e6
+                FROM CAND ca JOIN SHC a USING (doc_id) JOIN SHE b USING (bench_id))
+          SELECT doc_id, bench_id, jaccard_1e6 FROM J WHERE jaccard_1e6 >= 200000
+          ORDER BY doc_id, bench_id"""
+    },
+
     // SQ8 scalar quantization: per-dim [lo, hi] bounds over 1e6
     // fixed-point values, 8-bit codes, integer reconstruction, MIPS
     // (dot) ranking — every step BIGINT, re-derived independently

@@ -775,6 +775,25 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Near-duplicate decontamination (Decontaminate.nearDupContaminated):
+    * MinHash-LSH candidates across corpus ↔ eval slice (band-bucket
+    * equi-join), exact 3-gram Jaccard verify at ≥ 0.2 — catches
+    * paraphrased/reformatted eval leakage that exact-gram overlap
+    * (q55) misses. The oracle replays signatures, banding, the cross
+    * join, and the q20 Jaccard formula.
+    */
+  private def qNearDupDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // a WIDER eval slice than q55's (%5, not %97): near-dup leakage
+    // needs the slice to intersect the corpus's near-dup families to
+    // gate anything at every SF
+    val isEval = col("doc_id") % 5 === 0 && col("doc_id") < 5000
+    graft.operators.Decontaminate.nearDupContaminated(
+        docs.filter(!isEval), "doc_id", "text",
+        docs.filter(isEval), "doc_id", "text")
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   /** SQ8 scalar-quantized ANN (Similarity.sqTrain/sqEncode/sqTopK):
     * per-dimension 8-bit codes against trained [lo, hi] bounds,
     * candidates reconstructed and dot-scored in pure BIGINT — the
@@ -1489,7 +1508,8 @@ object SparkEntry {
     "q96_index_maintain" -> (qIndexMaintain _),
     "q97_dup_spans" -> (qDupSpans _),
     "q98_epoch_mixture" -> (qEpochMixture _),
-    "q99_sq8_ann" -> (qSq8Ann _))
+    "q99_sq8_ann" -> (qSq8Ann _),
+    "q100_near_dup_decontaminate" -> (qNearDupDecontaminate _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

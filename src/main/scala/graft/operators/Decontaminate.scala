@@ -141,4 +141,46 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Near-duplicate decontamination — the contamination exact-gram
+    * overlap misses: eval items lightly paraphrased, re-wrapped, or
+    * re-formatted inside corpus documents. MinHash-LSH across the two
+    * tables proposes candidates (a band-bucket equi-join — never
+    * corpus × eval), exact n-gram Jaccard verifies each candidate,
+    * and pairs at/above `minJaccard1e6` emit as
+    * (doc_id, bench_id, jaccard_1e6).
+    *
+    * Scale shape: the corpus pays one codegen'd signature pass plus a
+    * shuffle keyed on (band, bucket); the (bounded) eval side's band
+    * keys and shingle sets broadcast, so the corpus stream never
+    * shuffles a second time for the verify — the same
+    * prune-before-shuffle discipline as [[sharedNgrams]]. Jaccard
+    * uses the q20 fixed-point formula, so the gate is bit-stable
+    * across engines.
+    */
+  def nearDupContaminated(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
+      minJaccard1e6: Long = 200000L): DataFrame = {
+    require(minJaccard1e6 >= 0 && minJaccard1e6 <= 1000000L,
+      s"minJaccard1e6 must be a [0, 1e6] fixed-point fraction: $minJaccard1e6")
+    val cb = Dedup.bandedBuckets(corpus, idCol, textCol, bands, rowsPerBand, n)
+    val bb = Dedup.bandedBuckets(bench, benchIdCol, benchTextCol, bands, rowsPerBand, n)
+    val cand = cb.as("c")
+      .join(broadcast(bb.as("b")),
+        col("c.band") === col("b.band") && col("c.bucket") === col("b.bucket"))
+      .select(col("c.id").as("doc_id"), col("b.id").as("bench_id"))
+      .distinct()
+    val shc = corpus.select(col(idCol).as("doc_id"),
+      shingles(col(textCol), n).as("sh_c"))
+    val shb = bench.select(col(benchIdCol).as("bench_id"),
+      shingles(col(benchTextCol), n).as("sh_b"))
+    cand.join(shc, "doc_id").join(broadcast(shb), "bench_id")
+      .select(col("doc_id"), col("bench_id"),
+        floor(graft.functions.ratio(
+            size(array_intersect(col("sh_c"), col("sh_b"))),
+            size(array_union(col("sh_c"), col("sh_b")))) * lit(1000000.0))
+          .cast("long").as("jaccard_1e6"))
+      .filter(col("jaccard_1e6") >= minJaccard1e6)
+  }
 }

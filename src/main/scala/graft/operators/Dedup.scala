@@ -110,30 +110,37 @@ object Dedup {
     df.select(col(idCol).as("id"),
       graft.expressions.MinhashSig(col(textCol), n, k).as("sig"))
 
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+  /** (id, band, bucket) LSH band keys — the shared candidate-keying
+    * stage of [[minhashLshPairs]] (self-join) and cross-table joins
+    * (Decontaminate.nearDupContaminated). One native codegen'd
+    * signature pass per row (MinhashSig ≡ gramHashes∘minhashSignature,
+    * pinned by spec), materialized via localCheckpoint so downstream
+    * joins don't recompute it. Docs with no gram (under n tokens)
+    * yield a null signature; the null guard lives INSIDE the generator
+    * input (null array → posexplode emits nothing) rather than as a
+    * separate filter — a pushed-down `sig IS NOT NULL` predicate would
+    * make Catalyst evaluate the signature a second time per row.
+    * Checkpoint-block lifetime is GC-managed (ContextCleaner reclaims
+    * after the frame is unreachable); long-running callers should
+    * scope references per batch — graft.Bench nudges GC between
+    * queries for exactly this reason.
+    */
+  def bandedBuckets(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, n: Int): DataFrame = {
     val k = bands * rowsPerBand
-    // stage 1: the whole signature in one native codegen'd pass per row
-    // (MinhashSig ≡ gramHashes∘minhashSignature, pinned by spec). Docs
-    // with no gram (under n tokens) yield a null signature; the null
-    // guard lives INSIDE the generator input (null array → posexplode
-    // emits nothing) rather than as a separate filter — a pushed-down
-    // `sig IS NOT NULL` predicate would make Catalyst evaluate the
-    // signature a second time per row in the Filter condition.
-    // materialized once: the self-join (and the cap's size agg) would
-    // otherwise re-tokenize + re-hash the corpus once per reference.
-    // Checkpoint-block lifetime is GC-managed (ContextCleaner reclaims
-    // after the frame is unreachable); long-running callers should
-    // scope references per batch — graft.Bench nudges GC between
-    // queries for exactly this reason.
     val withSig = minhashSignatures(df, idCol, textCol, n, k).localCheckpoint()
     val bandBuckets = transform(sequence(lit(0), lit(bands - 1)), b => {
       val bandSlice = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
       md5(array_join(transform(bandSlice, x => x.cast("string")), ","))
     })
-    val bandedAll = withSig.select(col("id"),
+    withSig.select(col("id"),
       posexplode(when(col("sig").isNotNull, bandBuckets)).as(Seq("band", "bucket")))
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val bandedAll = bandedBuckets(df, idCol, textCol, bands, rowsPerBand, n)
     val banded = maxBucketSize match {
       case None => bandedAll
       case Some(cap) =>

@@ -207,6 +207,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getString(4) == "b c")
   }
 
+  test("nearDupContaminated flags paraphrased eval leakage above the Jaccard gate") {
+    import graft.operators.Decontaminate
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),                       // verbatim leak
+      (2L, base + " trailing extra"),   // paraphrase-ish: high overlap
+      (3L, "wholly unrelated words that never appear in any benchmark item at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val out = Decontaminate.nearDupContaminated(
+        corpus, "doc_id", "text", bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 100L)) == 1000000L, s"verbatim leak at jaccard 1: $out")
+    assert(out.contains((2L, 100L)) && out((2L, 100L)) >= 900000L,
+      s"near-verbatim leak flagged: $out")
+    assert(!out.keySet.map(_._1).contains(3L), "unrelated doc not flagged")
+  }
+
   test("sourceGramOverlap counts shared distinct grams per source pair") {
     import graft.operators.Diagnostics
     val docs = Seq(
