@@ -1616,6 +1616,60 @@ object OracleSql {
           FROM C WHERE copies > 0 ORDER BY doc_id, copy_no"""
     },
 
+    // the q97 span chain, then the CUT: anti-join original-case token
+    // positions against exploded span ranges, ordered reassembly
+    "q101_dup_span_removal" ->
+      s"""WITH T AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          P AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 4), i ->
+                 {'pos': i, 'g': array_to_string(list_slice(tk, i+1, i+5), ' ')})) AS u
+                FROM T WHERE len(tk) >= 5),
+          Q AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.g AS gram FROM P),
+          D AS (SELECT gram FROM Q GROUP BY gram HAVING count(*) >= 2),
+          M AS (SELECT doc_id, pos FROM Q JOIN D USING (gram)),
+          B AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER
+                 (PARTITION BY doc_id ORDER BY pos) <= 4 THEN 0 ELSE 1 END AS brk
+                FROM M),
+          I AS (SELECT doc_id, pos, sum(brk) OVER
+                 (PARTITION BY doc_id ORDER BY pos) AS island FROM B),
+          S AS (SELECT doc_id, island, CAST(min(pos) AS BIGINT) AS s,
+                 CAST(max(pos) + 4 AS BIGINT) AS e FROM I GROUP BY doc_id, island),
+          V AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM S),
+          TK AS (SELECT doc_id, unnest(tko) AS tok,
+                  generate_subscripts(tko, 1) - 1 AS pos
+                 FROM (SELECT doc_id, ${toks("text")} AS tko FROM documents)),
+          K AS (SELECT t.doc_id, t.pos, t.tok FROM TK t
+                LEFT JOIN V v ON v.doc_id = t.doc_id AND v.pos = t.pos
+                WHERE v.pos IS NULL),
+          RB AS (SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS text_clean,
+                  CAST(count(*) AS BIGINT) AS n_kept FROM K GROUP BY doc_id),
+          N AS (SELECT doc_id, CAST(len(${toks("text")}) AS BIGINT) AS n_tokens
+                FROM documents)
+          SELECT n.doc_id, coalesce(rb.text_clean, '') AS text_clean, n.n_tokens,
+            n.n_tokens - coalesce(rb.n_kept, 0) AS n_removed
+          FROM N n LEFT JOIN RB rb USING (doc_id) ORDER BY n.doc_id""",
+
+    // phrase search: positional base-votes (token at pos p matching
+    // slot j votes for start p−j; full distinct-slot coverage = match)
+    // from a VALUES slot table generated from TextSearch.DemoPhrases
+    "q102_phrase_search" -> {
+      val slots = graft.operators.TextSearch.DemoPhrases.flatMap { p =>
+        val ts = p.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        ts.zipWithIndex.map { case (t, j) => s"('$p', $j, '$t', ${ts.length})" }
+      }.mkString(", ")
+      s"""WITH PH AS (SELECT * FROM (VALUES $slots) AS t(phrase, j, term, m)),
+          T AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          TK AS (SELECT doc_id, unnest(tk) AS term,
+                  generate_subscripts(tk, 1) - 1 AS pos FROM T),
+          V AS (SELECT ph.phrase, tk.doc_id, tk.pos - ph.j AS base,
+                 count(DISTINCT ph.j) AS hits, min(ph.m) AS m
+                FROM TK tk JOIN PH ph USING (term)
+                GROUP BY ph.phrase, tk.doc_id, tk.pos - ph.j),
+          G AS (SELECT phrase, doc_id, base FROM V WHERE hits = m)
+          SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+            CAST(min(base) AS BIGINT) AS first_pos
+          FROM G GROUP BY phrase, doc_id ORDER BY phrase, doc_id"""
+    },
+
     // incremental dedup replay: first occurrence per content hash with
     // batch priority (batch asc, then doc_id asc) — one window over
     // the two-batch union replays the whole ingest history

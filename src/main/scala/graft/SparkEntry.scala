@@ -834,6 +834,27 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 5)
       .orderBy(col("doc_id"))
 
+  /** Exact phrase search (TextSearch.phraseSearch): positional-index
+    * base-vote joins — token at pos p matching phrase slot j votes
+    * for start p−j; full slot coverage = match. The oracle replays
+    * the votes from a generated VALUES slot table.
+    */
+  private def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.phraseSearch(
+        t(s, dir, "documents"), "doc_id", "text",
+        graft.operators.TextSearch.DemoPhrases)
+      .orderBy(col("phrase"), col("doc_id"))
+
+  /** Duplicated-span REMOVAL (Dedup.removeDuplicatedSpans): q97's
+    * spans cut out of the corpus and residual tokens reassembled in
+    * order — the ExactSubstr cut step. The oracle replays the cut as
+    * an anti-join of the token stream against exploded span ranges.
+    */
+  private def qDupSpanRemove(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.removeDuplicatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+
   /** Semantic dedup (Dedup.semanticDedup): the SemDeDup recipe —
     * trained coarse cells (the q49 quantizer, re-derived identically
     * by the oracle's unrolled k-means CTEs) bound candidate pairs,
@@ -1509,7 +1530,9 @@ object SparkEntry {
     "q97_dup_spans" -> (qDupSpans _),
     "q98_epoch_mixture" -> (qEpochMixture _),
     "q99_sq8_ann" -> (qSq8Ann _),
-    "q100_near_dup_decontaminate" -> (qNearDupDecontaminate _))
+    "q100_near_dup_decontaminate" -> (qNearDupDecontaminate _),
+    "q101_dup_span_removal" -> (qDupSpanRemove _),
+    "q102_phrase_search" -> (qPhraseSearch _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

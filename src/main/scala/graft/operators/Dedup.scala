@@ -555,8 +555,12 @@ object Dedup {
     * small fraction of it). Same-width intervals make the merge a
     * lag-gap test: a new span starts exactly when pos − prev > n − 1.
     */
-  def duplicatedSpans(corpus: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, minCount: Long = 2L): DataFrame = {
+  /** Maximal duplicated spans (doc_id, island, s, e) — the shared
+    * core of [[duplicatedSpans]] (report) and
+    * [[removeDuplicatedSpans]] (cut).
+    */
+  private def spansOf(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long): DataFrame = {
     require(n >= 1, s"n-gram width must be positive, got $n")
     require(minCount >= 2, s"minCount below 2 would mark everything: $minCount")
     val pos = corpus.select(col(idCol).as("doc_id"),
@@ -566,7 +570,7 @@ object Dedup {
       .select(col("gram"))
     val marked = pos.join(dup, "gram").select(col("doc_id"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = marked
+    marked
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(w) <= n - 1, lit(0L))
           .otherwise(lit(1L)))
@@ -574,6 +578,11 @@ object Dedup {
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).cast("long").as("s"),
         (max(col("pos")) + lit(n - 1)).cast("long").as("e"))
+  }
+
+  def duplicatedSpans(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minCount: Long = 2L): DataFrame = {
+    val spans = spansOf(corpus, idCol, textCol, n, minCount)
     val totals = corpus.select(col(idCol).as("doc_id"),
       tokenCount(col(textCol)).as("n_tokens"))
     spans.groupBy(col("doc_id"))
@@ -582,5 +591,45 @@ object Dedup {
       .join(totals, "doc_id")
       .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("dup_tokens"),
         expr("dup_tokens * 1000000L DIV n_tokens").as("dup_share_1e6"))
+  }
+
+  /** The cut step of ExactSubstr dedup (Lee et al., 2022): remove
+    * every token covered by a duplicated span (ALL occurrences — the
+    * conservative variant; to spare a canonical copy, gate the cut on
+    * a keeper table upstream) and reassemble the residual tokens in
+    * order. Whitespace normalizes to single spaces, like
+    * [[segmentDedup]]'s reassembly.
+    *
+    * Output: (doc_id, text_clean, n_tokens, n_removed) for EVERY
+    * corpus document (fully-duplicated docs keep an empty
+    * text_clean).
+    *
+    * Scale shape: [[duplicatedSpans]]'s two gram passes, then the cut
+    * is one anti-join of the token stream against the exploded span
+    * ranges (both keyed (doc_id, pos) — co-partitioned by the join)
+    * and one per-doc ordered reassembly, the same shuffle the
+    * chunker/segment reassemblies already pay.
+    */
+  def removeDuplicatedSpans(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minCount: Long = 2L): DataFrame = {
+    val spans = spansOf(corpus, idCol, textCol, n, minCount)
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("s"), col("e"))).as("pos"))
+    val toks = corpus.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val kept = toks.withColumn("pos", col("pos").cast("long"))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    corpus.select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 }

@@ -283,4 +283,47 @@ object TextSearch {
     require(terms.nonEmpty, "need at least one lookup term")
     spark.table(table).filter(col("term").isin(terms: _*))
   }
+
+  /** Demo phrase set for the q102 battery entry (the oracle's VALUES
+    * table is generated from this same Seq).
+    */
+  val DemoPhrases: Seq[String] = Seq("big order scan", "group slow spark")
+
+  /** Exact phrase search over POSITIONAL postings — the query shape
+    * term-frequency postings can't answer: which documents contain
+    * these exact consecutive tokens, where, and how often.
+    *
+    * The classic positional-index trick makes it pure equi-joins: a
+    * token at position p matching phrase token j votes for a phrase
+    * START at base = p − j; a start is real iff all m phrase slots
+    * voted (count(DISTINCT j) = m — duplicate phrase tokens vote per
+    * SLOT, so repeats are handled). Output per (phrase, doc):
+    * (phrase, doc_id, n_matches, first_pos).
+    *
+    * Scale shape: the positional stream filters to the phrase
+    * VOCABULARY (a broadcast join — bounded) BEFORE its only
+    * shuffles, so the corpus-wide explode collapses to the few
+    * matching tokens; the groupBys run on (phrase, doc, base) votes.
+    * Against a stored positional index, the same joins run off
+    * bucket-pruned posting scans instead of the raw corpus.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slots = phrases.flatMap { p =>
+      val ts = p.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      require(ts.nonEmpty, s"phrase has no tokens: '$p'")
+      ts.zipWithIndex.map { case (t, j) => (p, j, t, ts.length.toLong) }
+    }.toDF("phrase", "j", "term", "m")
+    val positional = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "term")))
+    positional.join(broadcast(slots), "term")
+      .groupBy(col("phrase"), col("doc_id"), (col("pos") - col("j")).as("base"))
+      .agg(countDistinct(col("j")).as("hits"), min(col("m")).as("m"))
+      .filter(col("hits") === col("m"))
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("base")).cast("long").as("first_pos"))
+  }
 }

@@ -145,6 +145,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(5L) == (10L, 2L, 6L, 600000L), "gap beyond n-1 splits spans")
   }
 
+  test("removeDuplicatedSpans cuts every covered token and reassembles the rest") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox runs fast today ok fine"),
+      (3L, "x y z x y z x y z"),
+      (4L, "totally unique words nothing here matches anything at all"),
+      (5L, "quick brown fox gap1 gap2 gap3 gap4 x y z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("the jumps over the lazy dog", 9L, 3L)), s"doc1: $out")
+    assert(out(3L) == (("", 9L, 9L)), "fully-duplicated doc empties")
+    assert(out(4L) == (("totally unique words nothing here matches anything at all", 9L, 0L)),
+      "untouched doc reassembles verbatim")
+    assert(out(5L) == (("gap1 gap2 gap3 gap4", 10L, 6L)), s"two spans cut: $out")
+    assert(out.size == 5, "every corpus doc is present")
+  }
+
   test("unigramSurprisal: exact floor-log2 bits, rare tokens score higher") {
     // corpus: a×5, b×3, c×1 → N=9 (4 bits); s(a)=4-3=1, s(b)=4-2=2, s(c)=4-1=3
     val docs = Seq((1L, "a a a b"), (2L, "a a b b"), (3L, "c"))
@@ -205,6 +225,23 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 1L)
     assert(r.getLong(3) == 500000L, s"1 of 2 grams shared: $r")
     assert(r.getString(4) == "b c")
+  }
+
+  test("phraseSearch matches only consecutive tokens; repeated slots vote per slot") {
+    import graft.operators.TextSearch
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat again"),
+      (2L, "cat sat the on mat"),  // all terms present, never consecutive
+      (3L, "a b a b a"))           // overlapping matches of a repeated-slot phrase
+      .toDF("doc_id", "text")
+    val out = TextSearch.phraseSearch(docs, "doc_id", "text",
+        Seq("the cat sat", "a b a"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(("the cat sat", 1L)) == ((2L, 0L)), s"two starts in doc1: $out")
+    assert(!out.contains(("the cat sat", 2L)), "scattered tokens don't match")
+    assert(out(("a b a", 3L)) == ((2L, 0L)), s"overlapping repeated-slot matches: $out")
+    assert(out.size == 2, s"no other rows: $out")
   }
 
   test("nearDupContaminated flags paraphrased eval leakage above the Jaccard gate") {
