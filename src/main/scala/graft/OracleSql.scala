@@ -1648,6 +1648,23 @@ object OracleSql {
             n.n_tokens - coalesce(rb.n_kept, 0) AS n_removed
           FROM N n LEFT JOIN RB rb USING (doc_id) ORDER BY n.doc_id""",
 
+    // winnowing: min gram-hash per w-window, rightmost tie — ONE
+    // window min over enc = h·2^20 + (2^20−1−pos), full windows only
+    "q103_winnowing" ->
+      s"""WITH TH AS (SELECT doc_id, ${tokenHashExpr("text")} AS th FROM documents),
+          HS AS (SELECT doc_id, $gramFromTh AS hs FROM TH),
+          G AS (SELECT doc_id, unnest(hs) AS h,
+                 generate_subscripts(hs, 1) - 1 AS pos FROM HS),
+          N AS (SELECT doc_id, len(hs) AS n FROM HS),
+          E AS (SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS enc FROM G),
+          W AS (SELECT doc_id, pos, min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel FROM E),
+          F AS (SELECT DISTINCT w.doc_id, sel FROM W w JOIN N USING (doc_id)
+                WHERE pos <= n - 4)
+          SELECT doc_id, sel // 1048576 AS fp_hash,
+            1048575 - (sel % 1048576) AS fp_pos
+          FROM F ORDER BY doc_id, fp_pos""",
+
     // phrase search: positional base-votes (token at pos p matching
     // slot j votes for start p−j; full distinct-slot coverage = match)
     // from a VALUES slot table generated from TextSearch.DemoPhrases

@@ -834,6 +834,17 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 5)
       .orderBy(col("doc_id"))
 
+  /** Winnowing fingerprints (TextAnalysis.winnowingFingerprints):
+    * MOSS-style min-in-window gram-hash selection (ties rightmost)
+    * with the guarantee that every shared ≥ w+n−1-token run is
+    * caught at ~2/(w+1) index density. Oracle replays the packed
+    * (hash, tie-pos) window min.
+    */
+  private def qWinnowing(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.winnowingFingerprints(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, w = 4)
+      .orderBy(col("doc_id"), col("fp_pos"))
+
   /** Exact phrase search (TextSearch.phraseSearch): positional-index
     * base-vote joins — token at pos p matching phrase slot j votes
     * for start p−j; full slot coverage = match. The oracle replays
@@ -1532,7 +1543,8 @@ object SparkEntry {
     "q99_sq8_ann" -> (qSq8Ann _),
     "q100_near_dup_decontaminate" -> (qNearDupDecontaminate _),
     "q101_dup_span_removal" -> (qDupSpanRemove _),
-    "q102_phrase_search" -> (qPhraseSearch _))
+    "q102_phrase_search" -> (qPhraseSearch _),
+    "q103_winnowing" -> (qWinnowing _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

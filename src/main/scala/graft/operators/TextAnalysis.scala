@@ -237,4 +237,44 @@ object TextAnalysis {
       .withColumn("avg_surprisal_1e6",
         expr("surprisal_bits * 1000000L DIV n_bigrams"))
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): from each window of `w`
+    * consecutive word-`n`-gram hashes, select the MINIMUM hash (ties
+    * → rightmost position), then keep the distinct selections. The
+    * guarantee plain min-sampling lacks: every `w`-gram window
+    * contributes a fingerprint, so any shared run of ≥ w + n − 1
+    * tokens between two documents is detected, at an expected
+    * density of only 2/(w+1) of the grams — the index-size/recall
+    * dial for plagiarism- and contamination-style matching.
+    *
+    * One window min does all the selection work: (hash, tie-pos)
+    * packs into a single BIGINT — `enc = h·2^20 + (2^20−1−pos)` — so
+    * min(enc) is lexicographic (min hash, then rightmost pos).
+    * Positions are assumed < 2^20 grams/doc; longer documents only
+    * soften the tie-break, never the min-hash choice.
+    *
+    * Output: (doc_id, fp_hash, fp_pos) per selected fingerprint.
+    * Scale shape: gram hashes are one codegen'd narrow pass
+    * ([[Dedup.gramHashes]] — md5-derived, engine-reproducible); the
+    * only shuffle is the per-doc window.
+    */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4): DataFrame = {
+    require(n >= 1 && w >= 1, s"need n >= 1 and w >= 1, got n=$n w=$w")
+    val g = docs.select(col(idCol).as("doc_id"),
+      posexplode(Dedup.gramHashes(col(textCol), n)).as(Seq("pos", "h")))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+    val perDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    g.withColumn("enc", col("h") * lit(1048576L) + (lit(1048575L) - col("pos")))
+      .withColumn("sel", min(col("enc")).over(frame))
+      .withColumn("n", count(lit(1)).over(perDoc))
+      // only rows with a FULL w-window ahead select (the final w−1
+      // windows would be truncated and over-select near the tail)
+      .filter(col("pos") <= col("n") - w)
+      .select(col("doc_id"), expr("sel DIV 1048576").as("fp_hash"),
+        (lit(1048575L) - expr("sel % 1048576")).as("fp_pos"))
+      .distinct()
+  }
 }

@@ -227,6 +227,31 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getString(4) == "b c")
   }
 
+  test("winnowingFingerprints: gap bound holds and shared runs share a fingerprint") {
+    import graft.operators.TextAnalysis
+    val shared = "alpha beta gamma delta epsilon zeta"  // w+n-1 = 6 tokens
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven eight nine ten"),
+      (2L, s"red green blue $shared cyan magenta yellow black white pink grey"),
+      (3L, "totally disjoint vocabulary with no overlap whatsoever here at all ok"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(docs, "doc_id", "text", n = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    // winnowing guarantee: one selection per window → consecutive
+    // fingerprint positions never gap by more than w
+    byDoc.values.foreach { ps =>
+      ps.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a <= 4, s"gap $a→$b")
+        case _ =>
+      }
+      assert(ps.head <= 3, "a fingerprint lands in the first window")
+    }
+    val h = (d: Long) => fps.filter(_._1 == d).map(_._2).toSet
+    assert((h(1L) & h(2L)).nonEmpty, "shared >= w+n-1 run guarantees a shared fingerprint")
+    assert((h(1L) & h(3L)).isEmpty && (h(2L) & h(3L)).isEmpty, "disjoint docs share nothing")
+  }
+
   test("phraseSearch matches only consecutive tokens; repeated slots vote per slot") {
     import graft.operators.TextSearch
     val docs = Seq(
