@@ -1665,6 +1665,25 @@ object OracleSql {
             1048575 - (sel % 1048576) AS fp_pos
           FROM F ORDER BY doc_id, fp_pos""",
 
+    // winnowing pairs: the q103 chain deduped to (doc, hash), hash
+    // self-join with id_a < id_b, distinct-shared-fingerprint count
+    "q104_winnowing_pairs" ->
+      s"""WITH TH AS (SELECT doc_id, ${tokenHashExpr("text")} AS th FROM documents),
+          HS AS (SELECT doc_id, $gramFromTh AS hs FROM TH),
+          G AS (SELECT doc_id, unnest(hs) AS h,
+                 generate_subscripts(hs, 1) - 1 AS pos FROM HS),
+          N AS (SELECT doc_id, len(hs) AS n FROM HS),
+          E AS (SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS enc FROM G),
+          W AS (SELECT doc_id, pos, min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel FROM E),
+          F AS (SELECT DISTINCT w.doc_id, sel // 1048576 AS fp_hash
+                FROM W w JOIN N USING (doc_id) WHERE pos <= n - 4)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM F a JOIN F b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
+          ORDER BY id_a, id_b""",
+
     // phrase search: positional base-votes (token at pos p matching
     // slot j votes for start p−j; full distinct-slot coverage = match)
     // from a VALUES slot table generated from TextSearch.DemoPhrases

@@ -845,6 +845,15 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 3, w = 4)
       .orderBy(col("doc_id"), col("fp_pos"))
 
+  /** Winnowing match pairs (TextAnalysis.winnowingPairs): documents
+    * sharing ≥ 3 distinct q103 fingerprints — the MOSS pairing step;
+    * run detection at fingerprint density.
+    */
+  private def qWinnowingPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.winnowingPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, w = 4, minShared = 3L)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Exact phrase search (TextSearch.phraseSearch): positional-index
     * base-vote joins — token at pos p matching phrase slot j votes
     * for start p−j; full slot coverage = match. The oracle replays
@@ -1544,7 +1553,8 @@ object SparkEntry {
     "q100_near_dup_decontaminate" -> (qNearDupDecontaminate _),
     "q101_dup_span_removal" -> (qDupSpanRemove _),
     "q102_phrase_search" -> (qPhraseSearch _),
-    "q103_winnowing" -> (qWinnowing _))
+    "q103_winnowing" -> (qWinnowing _),
+    "q104_winnowing_pairs" -> (qWinnowingPairs _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

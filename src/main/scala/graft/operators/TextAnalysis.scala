@@ -277,4 +277,40 @@ object TextAnalysis {
         (lit(1048575L) - expr("sel % 1048576")).as("fp_pos"))
       .distinct()
   }
+
+  /** The MOSS pairing step over [[winnowingFingerprints]]: candidate
+    * document pairs sharing ≥ `minShared` distinct fingerprint hashes
+    * — (id_a, id_b, n_shared) with id_a < id_b. Winnowing's guarantee
+    * makes this a RUN detector (any shared ≥ w+n−1-token run shares a
+    * fingerprint), at fingerprint density instead of full gram
+    * density — the same bucket-join shape as MinHash-LSH but with
+    * position-aware evidence.
+    *
+    * `maxHashDf` is the boilerplate valve (q18's maxBucketSize
+    * analog): a fingerprint appearing in B docs emits B²/2 pairs, so
+    * corpus-scale runs cap per-hash document frequency and handle the
+    * dropped template families explicitly. None (the oracle-mirrored
+    * default) disables the cap.
+    */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4, minShared: Long = 2L,
+      maxHashDf: Option[Int] = None): DataFrame = {
+    require(minShared >= 1, s"minShared must be positive: $minShared")
+    val fps = winnowingFingerprints(docs, idCol, textCol, n, w)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .localCheckpoint()
+    val keyed = maxHashDf match {
+      case None => fps
+      case Some(cap) =>
+        val dfs = fps.groupBy(col("fp_hash").as("fh"))
+          .agg(count(lit(1)).as("_df")).filter(col("_df") <= cap)
+        fps.join(dfs, fps("fp_hash") === col("fh"), "left_semi")
+    }
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

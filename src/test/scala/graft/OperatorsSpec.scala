@@ -252,6 +252,25 @@ class OperatorsSpec extends SparkSpec {
     assert((h(1L) & h(3L)).isEmpty && (h(2L) & h(3L)).isEmpty, "disjoint docs share nothing")
   }
 
+  test("winnowingPairs pairs shared-run docs; the df cap drops boilerplate hashes") {
+    import graft.operators.TextAnalysis
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven eight nine ten"),
+      (2L, s"red green blue $shared cyan magenta yellow black white pink grey"),
+      (3L, "totally disjoint vocabulary with no overlap whatsoever here at all ok"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowingPairs(docs, "doc_id", "text",
+        n = 3, w = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"only the shared-run pair: $pairs")
+    assert(pairs((1L, 2L)) >= 1L)
+    // every shared hash appears in exactly 2 docs → a df cap of 1 kills all pairs
+    val capped = TextAnalysis.winnowingPairs(docs, "doc_id", "text",
+        n = 3, w = 4, minShared = 1L, maxHashDf = Some(1))
+    assert(capped.count() == 0L, "df cap drops cross-doc hashes")
+  }
+
   test("phraseSearch matches only consecutive tokens; repeated slots vote per slot") {
     import graft.operators.TextSearch
     val docs = Seq(
