@@ -1648,6 +1648,26 @@ object OracleSql {
             n.n_tokens - coalesce(rb.n_kept, 0) AS n_removed
           FROM N n LEFT JOIN RB rb USING (doc_id) ORDER BY n.doc_id""",
 
+    // DSIR: add-one-smoothed exact floor-log2 likelihood ratio,
+    // target = lang 'en' slice, + the size normalizer per token
+    "q105_dsir_weights" ->
+      s"""WITH E AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS term FROM documents),
+          CC AS (SELECT term, CAST(count(*) AS BIGINT) AS cc FROM E GROUP BY term),
+          CT AS (SELECT term, CAST(count(*) AS BIGINT) AS ct FROM
+                 (SELECT unnest(${toks("lower(text)")}) AS term
+                  FROM documents WHERE lang = 'en') GROUP BY term),
+          NC AS (SELECT coalesce(CAST(sum(cc) AS BIGINT), 0) AS nc FROM CC),
+          NT AS (SELECT coalesce(CAST(sum(ct) AS BIGINT), 0) AS nt FROM CT),
+          SC AS (SELECT e.doc_id,
+                  CAST(length(bin(coalesce(t.ct, 0) + 1)) - length(bin(c.cc + 1))
+                    + length(bin(nc.nc + 1)) - length(bin(nt.nt + 1)) AS BIGINT) AS s
+                 FROM E e JOIN CC c USING (term) LEFT JOIN CT t USING (term)
+                 CROSS JOIN NC nc CROSS JOIN NT nt)
+          SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(s) AS BIGINT) AS dsir_bits,
+            (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_dsir_1e6
+          FROM SC GROUP BY doc_id ORDER BY id""",
+
     // winnowing: min gram-hash per w-window, rightmost tie — ONE
     // window min over enc = h·2^20 + (2^20−1−pos), full windows only
     "q103_winnowing" ->

@@ -834,6 +834,19 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 5)
       .orderBy(col("doc_id"))
 
+  /** DSIR importance weights (TextAnalysis.dsirWeights): exact
+    * integer log2-ratio of target-domain ('en' docs) vs corpus
+    * unigram likelihoods, add-one smoothed — the domain-targeting
+    * score of Data Selection via Importance Resampling. Oracle
+    * mirrors the bin() digit-count arithmetic.
+    */
+  private def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.TextAnalysis.dsirWeights(
+        docs, "doc_id", "text", docs.filter(col("lang") === "en"), "text")
+      .orderBy(col("id"))
+  }
+
   /** Winnowing fingerprints (TextAnalysis.winnowingFingerprints):
     * MOSS-style min-in-window gram-hash selection (ties rightmost)
     * with the guarantee that every shared ≥ w+n−1-token run is
@@ -1554,7 +1567,8 @@ object SparkEntry {
     "q101_dup_span_removal" -> (qDupSpanRemove _),
     "q102_phrase_search" -> (qPhraseSearch _),
     "q103_winnowing" -> (qWinnowing _),
-    "q104_winnowing_pairs" -> (qWinnowingPairs _))
+    "q104_winnowing_pairs" -> (qWinnowingPairs _),
+    "q105_dsir_weights" -> (qDsirWeights _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

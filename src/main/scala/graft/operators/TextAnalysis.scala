@@ -200,6 +200,51 @@ object TextAnalysis {
         expr("surprisal_bits * 1000000L DIV n_tokens"))
   }
 
+  /** DSIR importance weighting (Xie et al., NeurIPS 2023,
+    * arXiv:2302.03169 — Data Selection via Importance Resampling):
+    * score each corpus document by how much more likely its tokens
+    * are under a TARGET domain's unigram LM than under the corpus LM,
+    *
+    *   s(doc) = Σ_tokens [log2 p̂_T(w) − log2 p̂_C(w)]
+    *
+    * in exact integer arithmetic: add-one-smoothed counts, each
+    * floor-log2 an exact binary digit count (`length(bin(x)) − 1`
+    * style, as [[unigramSurprisal]]), plus the per-token constant
+    * normalizer floor-log2(N_C+1) − floor-log2(N_T+1) so corpus-size
+    * imbalance doesn't skew the sign. High = target-like; feed the
+    * score to [[Sampling.quantileGate]] or hash-resample the top
+    * mass — the domain-targeting step of corpus assembly.
+    *
+    * Output: (id, n_tokens, dsir_bits, avg_dsir_1e6) per document
+    * with ≥ 1 token.
+    *
+    * Scale: the q88 two-pass shape with two count tables — both
+    * vocab-sized broadcasts (Zipf keeps vocabularies small relative
+    * to any corpus); the corpus token stream never shuffles on term;
+    * the only wide exchange is the final per-document groupBy.
+    */
+  def dsirWeights(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String): DataFrame = {
+    val toksC = corpus.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val cc = toksC.groupBy(col("term")).agg(count(lit(1)).as("cc"))
+    val ct = target
+      .select(explode(tokens(lower(col(targetTextCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("ct"))
+    val nc = cc.agg(coalesce(sum(col("cc")), lit(0L)).as("nc")) // 1 row
+    val nt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")) // 1 row
+    val bitsOf = (x: Column) => length(bin(x)).cast("long")
+    toksC.join(broadcast(cc), Seq("term"))
+      .join(broadcast(ct), Seq("term"), "left")
+      .crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
+      .select(col("id"),
+        (bitsOf(coalesce(col("ct"), lit(0L)) + 1) - bitsOf(col("cc") + 1)
+          + bitsOf(col("nc") + 1) - bitsOf(col("nt") + 1)).as("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("dsir_bits"))
+      .withColumn("avg_dsir_1e6", expr("dsir_bits * 1000000L DIV n_tokens"))
+  }
+
   /** Bigram LM surprisal — [[unigramSurprisal]]'s first-order upgrade:
     * per adjacent pair (a, b), surprisal ≈ −log2 P(b|a) estimated as
     * floor(log2 c_a) − floor(log2 c_ab) (unigram and bigram corpus

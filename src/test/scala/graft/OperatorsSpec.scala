@@ -227,6 +227,20 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getString(4) == "b c")
   }
 
+  test("dsirWeights: exact bit arithmetic ranks target-like docs above off-domain") {
+    import graft.operators.TextAnalysis
+    // corpus tokens: en×3, xx, yy (N_C=5); target: en×3 (N_T=3)
+    // normalizer bits(6)-bits(4) = 0; s(en) = bits(4)-bits(4) = 0;
+    // s(xx) = s(yy) = bits(1)-bits(2) = -1
+    val corpus = Seq((1L, "en en en"), (2L, "xx yy")).toDF("doc_id", "text")
+    val target = Seq(Tuple1("en en en")).toDF("text")
+    val out = TextAnalysis.dsirWeights(corpus, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((3L, 0L, 0L)), s"target-like doc: $out")
+    assert(out(2L) == ((2L, -2L, -1000000L)), s"off-domain doc: $out")
+  }
+
   test("winnowingFingerprints: gap bound holds and shared runs share a fingerprint") {
     import graft.operators.TextAnalysis
     val shared = "alpha beta gamma delta epsilon zeta"  // w+n-1 = 6 tokens
