@@ -45,8 +45,13 @@ object Bench {
           try fn(spark, "/root/testdata/sf0.001").count()
           catch { case _: Throwable => () }
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          val sec = (System.nanoTime() - t0) / 1e9
+          val ok = try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+              false
+          }
+          val sec0 = (System.nanoTime() - t0) / 1e9
+          val sec = if (ok) sec0 else -1.0
           spark.stop()
           org.apache.spark.sql.SparkSession.clearActiveSession()
           org.apache.spark.sql.SparkSession.clearDefaultSession()
@@ -63,10 +68,18 @@ object Bench {
         }
         val out = ordered.map { case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          // a failed query must NOT masquerade as a fast one: record
+          // -1 and log, so battery totals/ratios can't silently absorb
+          // an error (a swallowed failure here once read as a 0.2 s
+          // "result" for a 15 s query)
+          val ok = try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+              false
+          }
           val sec = (System.nanoTime() - t0) / 1e9
           interQueryHygiene()
-          name -> sec
+          name -> (if (ok) sec else -1.0)
         }.toMap
         spark.stop()
         out

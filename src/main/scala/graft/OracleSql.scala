@@ -1648,6 +1648,27 @@ object OracleSql {
             n.n_tokens - coalesce(rb.n_kept, 0) AS n_removed
           FROM N n LEFT JOIN RB rb USING (doc_id) ORDER BY n.doc_id""",
 
+    // fixed-N per-stratum head: rank by (60-bit md5, key string) per
+    // source, keep the first 5
+    "q106_stratified_head" ->
+      s"""SELECT doc_id, source, pick_rank FROM (
+            SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source
+              ORDER BY ${md5long("cast(doc_id as varchar)")},
+                cast(doc_id as varchar)) AS BIGINT) AS pick_rank
+            FROM documents WHERE source IS NOT NULL)
+          WHERE pick_rank <= 5 ORDER BY source, pick_rank""",
+
+    // per-source dataset-card numbers; median length via quantile_cont
+    // (the q39 parity) in 1e6 fixed point
+    "q107_corpus_health" -> {
+      val tc = s"CAST(len(${toks("text")}) AS BIGINT)"
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+            CAST(sum($tc) AS BIGINT) AS sum_tokens,
+            CAST(floor(quantile_cont($tc, 0.5) * 1000000) AS BIGINT) AS p50_tokens_1e6
+          FROM documents GROUP BY source ORDER BY source"""
+    },
+
     // DSIR: add-one-smoothed exact floor-log2 likelihood ratio,
     // target = lang 'en' slice, + the size normalizer per token
     "q105_dsir_weights" ->
@@ -1697,10 +1718,12 @@ object OracleSql {
           W AS (SELECT doc_id, pos, min(enc) OVER (PARTITION BY doc_id ORDER BY pos
                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel FROM E),
           F AS (SELECT DISTINCT w.doc_id, sel // 1048576 AS fp_hash
-                FROM W w JOIN N USING (doc_id) WHERE pos <= n - 4)
+                FROM W w JOIN N USING (doc_id) WHERE pos <= n - 4),
+          FD AS (SELECT fp_hash FROM F GROUP BY fp_hash HAVING count(*) <= 50),
+          F2 AS (SELECT f.* FROM F f JOIN FD USING (fp_hash))
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             CAST(count(*) AS BIGINT) AS n_shared
-          FROM F a JOIN F b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+          FROM F2 a JOIN F2 b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
           ORDER BY id_a, id_b""",
 

@@ -834,6 +834,26 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 5)
       .orderBy(col("doc_id"))
 
+  /** Deterministic fixed-N per-stratum head (Sampling.stratifiedHead):
+    * 5 docs per source by smallest (md5, key) — count-based eval
+    * carve-outs, engine/partitioning-independent. Oracle mirrors the
+    * rank window.
+    */
+  private def qStratifiedHead(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedHead(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"), nPer = 5)
+      .orderBy(col("source"), col("pick_rank"))
+
+  /** Per-source corpus health report (Diagnostics.corpusHealth):
+    * docs / distinct content / token totals / exact fixed-point
+    * median length — the dataset-card numbers.
+    */
+  private def qCorpusHealth(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.corpusHealth(
+        t(s, dir, "documents"), col("source"), col("doc_id"), col("text"))
+      .orderBy(col("source"))
+
   /** DSIR importance weights (TextAnalysis.dsirWeights): exact
     * integer log2-ratio of target-domain ('en' docs) vs corpus
     * unigram likelihoods, add-one smoothed — the domain-targeting
@@ -860,11 +880,16 @@ object SparkEntry {
 
   /** Winnowing match pairs (TextAnalysis.winnowingPairs): documents
     * sharing ≥ 3 distinct q103 fingerprints — the MOSS pairing step;
-    * run detection at fingerprint density.
+    * run detection at fingerprint density. The df valve rides at 50
+    * (oracle-mirrored): boilerplate fingerprints in >50 docs emit
+    * B²/2 pairs each and are the q104 scale cliff — measured 62× at
+    * 10× data uncapped vs ~linear capped; driver-SF results are
+    * identical (max df there is 6).
     */
   private def qWinnowingPairs(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.winnowingPairs(
-        t(s, dir, "documents"), "doc_id", "text", n = 3, w = 4, minShared = 3L)
+        t(s, dir, "documents"), "doc_id", "text", n = 3, w = 4, minShared = 3L,
+        maxHashDf = Some(50))
       .orderBy(col("id_a"), col("id_b"))
 
   /** Exact phrase search (TextSearch.phraseSearch): positional-index
@@ -1568,7 +1593,9 @@ object SparkEntry {
     "q102_phrase_search" -> (qPhraseSearch _),
     "q103_winnowing" -> (qWinnowing _),
     "q104_winnowing_pairs" -> (qWinnowingPairs _),
-    "q105_dsir_weights" -> (qDsirWeights _))
+    "q105_dsir_weights" -> (qDsirWeights _),
+    "q106_stratified_head" -> (qStratifiedHead _),
+    "q107_corpus_health" -> (qCorpusHealth _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -97,4 +97,29 @@ object Diagnostics {
       .groupBy(col("l.source").as("source_a"), col("r.source").as("source_b"))
       .agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /** Per-source corpus health report — the dataset-card numbers a
+    * training-data release publishes per feed: document count,
+    * distinct-content count (its complement is the exact-dup rate),
+    * token total, and the interpolated median document length in 1e6
+    * fixed point (≡ DuckDB quantile_cont, the q39 parity).
+    *
+    * One groupBy over bounded strata; count(DISTINCT md5) keeps the
+    * per-group state at one 128-bit hash per distinct text (Spark
+    * plans it as a two-phase expand/agg — fine for bounded sources;
+    * swap in approx_count_distinct for open-ended strata). Median is
+    * exact over per-doc token counts (value domain is small); use
+    * percentile_approx for unbounded domains.
+    *
+    * Output: (source, n_docs, n_distinct, sum_tokens, p50_tokens_1e6).
+    */
+  def corpusHealth(docs: DataFrame, source: Column, id: Column,
+      text: Column): DataFrame = {
+    val tc = graft.functions.tokenCount(text)
+    docs.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(text)).as("n_distinct"),
+        sum(tc).as("sum_tokens"),
+        floor(percentile(tc, lit(0.5)) * 1000000).cast("long").as("p50_tokens_1e6"))
+  }
 }

@@ -141,6 +141,34 @@ object Sampling {
       .drop("_stratum")
   }
 
+  /** Deterministic fixed-SIZE per-stratum sample: the `nPer` rows of
+    * each stratum with the smallest (60-bit md5 hash, key) — the
+    * count-based companion to the rate-based [[stratifiedSample]]
+    * (eval carve-outs and per-domain probe sets want "exactly N per
+    * source", not a rate). Membership is a pure function of the
+    * stratum's key SET — same rows on any engine or partitioning; the
+    * key string tie-breaks hash collisions so the pick is total. The
+    * only shuffle is one rank window per stratum; at 100 TB with
+    * bounded strata this is a single exchange keyed by stratum, and
+    * nPer bounds every partition's retained rows. NULL strata drop
+    * (unassignable), matching the rate samplers.
+    *
+    * Output: the input columns plus `pick_rank` (1-based BIGINT).
+    */
+  def stratifiedHead(df: DataFrame, key: Column, stratum: Column,
+      nPer: Int): DataFrame = {
+    require(nPer >= 1, s"nPer must be positive, got $nPer")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_sh_stratum")).orderBy(col("_sh_h"), col("_sh_key"))
+    df.withColumn("_sh_stratum", stratum)
+      .filter(col("_sh_stratum").isNotNull)
+      .withColumn("_sh_key", key.cast("string"))
+      .withColumn("_sh_h", md5Long(col("_sh_key")))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= nPer)
+      .drop("_sh_stratum", "_sh_key", "_sh_h")
+  }
+
   /** Demo per-source epoch weights for the q98 battery entry (ppm:
     * 1e6 = one full pass). Spans sub-epoch (0.5) through multi-epoch
     * (1.75) so both the downsample and the repeat paths are exercised;

@@ -195,6 +195,21 @@ class ChunkerSamplingSpec extends SparkSpec {
       s"0.5 epochs keeps a strict subset, one copy each: ${sub.size}")
   }
 
+  test("stratifiedHead: exactly N per stratum, deterministic, prefix-stable in N") {
+    val df = (1L to 300L).toDF("id").withColumn("src",
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b")
+        .otherwise(lit(null).cast("string")))
+    def pick(n: Int) = Sampling.stratifiedHead(df, col("id"), col("src"), n)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val h5 = pick(5)
+    assert(h5.groupBy(_._1).view.mapValues(_.length).toMap == Map("a" -> 5, "b" -> 5),
+      "exactly N per stratum, null stratum dropped")
+    assert(h5.filter(_._1 == "a").map(_._3).sorted.toSeq == (1L to 5L), "ranks are 1..N")
+    assert(pick(5).toSet == h5.toSet, "same pick on re-run")
+    assert(pick(3).map(t => (t._1, t._2)).toSet.subsetOf(h5.map(t => (t._1, t._2)).toSet),
+      "growing N only appends picks")
+  }
+
   test("splitLabel partitions the corpus; splits align with hashSample prefixes") {
     val df = (1L to 1000L).toDF("id")
     val labeled = df.select(col("id"),

@@ -227,6 +227,19 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getString(4) == "b c")
   }
 
+  test("corpusHealth: dup-aware distinct counts, token totals, exact median") {
+    import graft.operators.Diagnostics
+    val docs = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y y"),
+      (4L, "b", "p q r"))
+      .toDF("doc_id", "source", "text")
+    val out = Diagnostics.corpusHealth(docs, col("source"), col("doc_id"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((3L, 2L, 4L, 1000000L)), s"source a: $out") // median of 1,1,2
+    assert(out("b") == ((1L, 1L, 3L, 3000000L)), s"source b: $out")
+  }
+
   test("dsirWeights: exact bit arithmetic ranks target-like docs above off-domain") {
     import graft.operators.TextAnalysis
     // corpus tokens: en×3, xx, yy (N_C=5); target: en×3 (N_T=3)
