@@ -180,6 +180,35 @@ class PlanQualitySpec extends SparkSpec {
       s"per-doc totals must come from size(), not a second explode:\n$p")
   }
 
+  test("phrase search broadcasts the slot table; no cartesian anywhere") {
+    val p = plan("q102_phrase_search")
+    assert(p.contains("BroadcastHashJoin"), s"slot table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"votes must join on term only:\n$p")
+  }
+
+  test("near-dup decontamination broadcasts the eval band keys and shingle sets") {
+    val p = plan("q100_near_dup_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+  }
+
+  test("DSIR broadcasts both count tables; token stream never shuffles on term") {
+    val p = plan("q105_dsir_weights")
+    val joins = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(joins >= 2, s"corpus and target counts must both broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the token stream must not shuffle on term:\n$p")
+  }
+
+  test("epoch mixture is map-side: weight chain + explode, no join, no extra shuffle") {
+    val p = plan("q98_epoch_mixture")
+    assert(!p.contains("Join"), "weights ride as a when-chain, not a join")
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    assert(tree.count(_.contains("Exchange")) == 1,
+      s"only the presentation sort may shuffle:\n${tree.mkString("\n")}")
+  }
+
   test("IVF corpus assignment is narrow and uses the native dot expression") {
     import org.apache.spark.sql.functions.col
     val corpus = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -80,6 +80,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(1L -> 1L, 2L -> 0L), s"append-mode gate: $rows")
   }
 
+  test("epoch mixture runs append-mode on a stream (map-side repeat factors)") {
+    // epochMixture is select/filter/explode only — the SAME operator
+    // call upsamples an ingest stream with no state and no watermark,
+    // and the hash-gated fractional copies stay deterministic per key
+    val dir = Fixtures.tmpDir("epoch_stream")
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("doc_id", "src")
+    docs.write.mode("overwrite").parquet(dir.toString)
+    val weights = Map("a" -> 2000000L, "b" -> 1000000L) // c unmapped → drops
+    val stream = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    val mixed = graft.operators.Sampling.epochMixture(
+      stream, col("doc_id"), col("src"), weights)
+    assert(mixed.isStreaming, "the plan must stay a streaming plan")
+    val q = mixed.writeStream.outputMode("append")
+      .format("memory").queryName("epoch_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("select * from epoch_out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_no")))
+    val batch = graft.operators.Sampling.epochMixture(
+        docs, col("doc_id"), col("src"), weights)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_no")))
+    assert(rows.sorted.toSeq == batch.sorted.toSeq,
+      s"stream ≡ batch: ${rows.toSeq} vs ${batch.toSeq}")
+    assert(rows.count(_._1 == 1L) == 2 && !rows.exists(_._1 == 4L),
+      s"two copies of 'a' docs, unmapped stratum drops: ${rows.toSeq}")
+  }
+
   test("stream-static broadcast enrichment joins every micro-batch against the dim") {
     // the standard ingest-time enrichment shape: per micro-batch, the
     // stream side broadcast-joins a static dimension — no state, no
