@@ -1669,6 +1669,51 @@ object OracleSql {
           FROM documents GROUP BY source ORDER BY source"""
     },
 
+    // deterministic sharding: shard = 60-bit md5 mod 8, position =
+    // rank by (hash, key string) within the shard
+    "q108_shard_layout" ->
+      s"""SELECT doc_id, shard_id,
+            CAST(row_number() OVER (PARTITION BY shard_id
+              ORDER BY h, cast(doc_id as varchar)) AS BIGINT) AS shard_pos
+          FROM (SELECT doc_id,
+                  ${md5long("cast(doc_id as varchar)")} % 8 AS shard_id,
+                  ${md5long("cast(doc_id as varchar)")} AS h
+                FROM documents)
+          ORDER BY shard_id, shard_pos""",
+
+    // sorted batching: per-shard rank by (ntok desc, hash, key),
+    // batches of 32, per-batch padding = max·n − sum
+    "q109_length_batches" ->
+      s"""WITH D AS (SELECT doc_id,
+                  CAST(len(${toks("text")}) AS BIGINT) AS ntok,
+                  ${md5long("cast(doc_id as varchar)")} AS h
+                FROM documents),
+          A AS (SELECT ntok, h % 4 AS shard,
+                  CAST(row_number() OVER (PARTITION BY h % 4
+                    ORDER BY ntok DESC, h, cast(doc_id as varchar)) AS BIGINT) AS rk
+                FROM D)
+          SELECT shard, (rk - 1) // 32 AS batch_no,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(max(ntok) AS BIGINT) AS max_tok,
+            CAST(sum(ntok) AS BIGINT) AS sum_tok,
+            CAST(max(ntok) * count(*) - sum(ntok) AS BIGINT) AS pad_tokens
+          FROM A GROUP BY shard, batch_no ORDER BY shard, batch_no""",
+
+    // Zipf head: top-50 terms by (count desc, term), shares and
+    // bounded cumulative shares in 1e9 fixed point
+    "q110_vocab_report" ->
+      s"""WITH T AS (SELECT unnest(${toks("lower(text)")}) AS term FROM documents),
+          C AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM T GROUP BY term),
+          TOT AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM C),
+          K AS (SELECT term, n,
+                  CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank,
+                  CAST(sum(n) OVER (ORDER BY n DESC, term
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                FROM C ORDER BY n DESC, term LIMIT 50)
+          SELECT rank, term, n, n * 1000000000 // total AS share_1e9,
+            cum * 1000000000 // total AS cum_share_1e9
+          FROM K CROSS JOIN TOT ORDER BY rank""",
+
     // DSIR: add-one-smoothed exact floor-log2 likelihood ratio,
     // target = lang 'en' slice, + the size normalizer per token
     "q105_dsir_weights" ->

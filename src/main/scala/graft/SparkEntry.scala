@@ -1486,6 +1486,45 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Deterministic corpus sharding (Layout.shardAssign): md5-mod
+    * shard ids + in-shard hash-rank positions — the dataloader
+    * "global shuffle + fixed-N shards" layout; concatenating shards
+    * in (shard_id, shard_pos) order is a reproducible global
+    * permutation. Oracle mirrors the mod and the rank window.
+    */
+  private def qShardLayout(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.shardAssign(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), numShards = 8)
+      .select(col("doc_id"), col("shard_id"), col("shard_pos"))
+      .orderBy(col("shard_id"), col("shard_pos"))
+
+  /** Length-bucketed batching (Chunker.lengthBatches +
+    * paddingReport): per-shard descending-length batches of 32 and
+    * the exact padding waste of each — the sorted-batching layout
+    * that pads each batch to its own max. Oracle replays the rank
+    * window and the per-batch aggregate.
+    */
+  private def qLengthBatches(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.tokenCount(col("text")).as("ntok"))
+    val assigned = graft.operators.Chunker.lengthBatches(
+      docs, "doc_id", "ntok", batchSize = 32, shards = 4)
+    graft.operators.Chunker.paddingReport(assigned, "ntok")
+      .orderBy(col("shard"), col("batch_no"))
+  }
+
+  /** Vocabulary head / Zipf report (Diagnostics.vocabReport): top-50
+    * terms with corpus share and cumulative share in 1e9 fixed point
+    * — tokenizer-planning numbers. Oracle mirrors the TakeOrdered cut
+    * and the bounded cumsum window.
+    */
+  private def qVocabReport(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.vocabReport(
+        t(s, dir, "documents"), col("text"), topK = 50)
+      .orderBy(col("rank"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1595,7 +1634,10 @@ object SparkEntry {
     "q104_winnowing_pairs" -> (qWinnowingPairs _),
     "q105_dsir_weights" -> (qDsirWeights _),
     "q106_stratified_head" -> (qStratifiedHead _),
-    "q107_corpus_health" -> (qCorpusHealth _))
+    "q107_corpus_health" -> (qCorpusHealth _),
+    "q108_shard_layout" -> (qShardLayout _),
+    "q109_length_batches" -> (qLengthBatches _),
+    "q110_vocab_report" -> (qVocabReport _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -168,4 +168,51 @@ object Chunker {
 
   /** Sentinel distinct from any shard value (including null). */
   private object PackStateUnset
+
+  /** Length-bucketed batch assignment ("sorted batching") — the
+    * padding-waste cure for padded-batch training/inference: within
+    * each md5 shard, documents sort by DESCENDING token count (hash,
+    * then key, break ties) and chop into consecutive batches of
+    * `batchSize`, so each batch holds near-equal lengths and pads
+    * only to its own max instead of the corpus max. Deterministic:
+    * the layout is a pure function of the key set and counts, the
+    * same on any engine or partitioning.
+    *
+    * Scale shape: identical to [[packSequences]] — one exchange keyed
+    * by shard, one rank window of n/shards rows per shard; no global
+    * sort. NULL token counts sort as 0 (coalesced), NULL keys drop.
+    *
+    * Adds `shard`, `batch_no` (0-based per shard), `batch_slot`
+    * (0-based within batch), all BIGINT.
+    */
+  def lengthBatches(df: DataFrame, keyCol: String, tokenCountCol: String,
+      batchSize: Int, shards: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be positive, got $batchSize")
+    require(shards >= 1, s"need at least one shard, got $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("_lb_n").desc, col("_lb_h"), col("_lb_key"))
+    df.withColumn("_lb_key", col(keyCol).cast("string"))
+      .filter(col("_lb_key").isNotNull)
+      .withColumn("_lb_h", graft.functions.md5Long(col("_lb_key")))
+      .withColumn("shard", pmod(col("_lb_h"), lit(shards.toLong)))
+      .withColumn("_lb_n", coalesce(col(tokenCountCol).cast("long"), lit(0L)))
+      .withColumn("_lb_rank", row_number().over(w).cast("long"))
+      .withColumn("batch_no", expr(s"(_lb_rank - 1) div $batchSize"))
+      .withColumn("batch_slot", expr(s"(_lb_rank - 1) % $batchSize"))
+      .drop("_lb_key", "_lb_h", "_lb_n", "_lb_rank")
+  }
+
+  /** Per-batch padding report over a [[lengthBatches]] layout: each
+    * batch pads every member to the batch max, so
+    * `pad_tokens = max_tok·n_docs − sum_tok` is the exact waste the
+    * sorted layout buys back vs. batching in corpus order. One
+    * groupBy on the already-assigned (shard, batch_no) keys.
+    */
+  def paddingReport(assigned: DataFrame, tokenCountCol: String): DataFrame =
+    assigned.groupBy(col("shard"), col("batch_no"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(coalesce(col(tokenCountCol).cast("long"), lit(0L))).as("max_tok"),
+        sum(coalesce(col(tokenCountCol).cast("long"), lit(0L))).as("sum_tok"))
+      .withColumn("pad_tokens", col("max_tok") * col("n_docs") - col("sum_tok"))
 }

@@ -122,4 +122,37 @@ object Diagnostics {
         sum(tc).as("sum_tokens"),
         floor(percentile(tc, lit(0.5)) * 1000000).cast("long").as("p50_tokens_1e6"))
   }
+
+  /** Vocabulary head report (the Zipf curve's top) — per top-K term:
+    * rank, occurrence count, corpus share, and CUMULATIVE share, all
+    * in 1e9 fixed point. The dataset-card / tokenizer-planning
+    * numbers: how heavy is the head (a BPE vocab's worth of mass),
+    * how long is the tail.
+    *
+    * Scale shape: explode + one term-keyed groupBy (map-side partial
+    * combine), a 1-row total broadcast, a TakeOrdered top-K — never a
+    * global sort — and the rank/cumsum window runs over ONLY the K
+    * survivors (bounded, like [[keySkewReport]]'s). Terms are
+    * lowercased whitespace tokens ([[graft.functions.tokens]]).
+    * Ties break by term so the cut and the cumsum are total orders on
+    * any engine.
+    *
+    * Output: (rank, term, n, share_1e9, cum_share_1e9).
+    */
+  def vocabReport(docs: DataFrame, text: Column, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = docs.select(explode(graft.functions.tokens(lower(text))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("_total"))
+    val top = counts.orderBy(col("n").desc, col("term")).limit(topK)
+    val w = Window.orderBy(col("n").desc, col("term"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("_cum", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("share_1e9", expr("n * 1000000000 div _total"))
+      .withColumn("cum_share_1e9", expr("_cum * 1000000000 div _total"))
+      .select(col("rank"), col("term"), col("n"), col("share_1e9"),
+        col("cum_share_1e9"))
+  }
 }

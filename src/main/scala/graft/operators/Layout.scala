@@ -112,6 +112,53 @@ object Layout {
     n
   }
 
+  /** Deterministic corpus sharding — the "global shuffle + fixed-N
+    * shards" step that ends every pretraining data pipeline: the
+    * dataloader reads shard files round-robin and needs (a) a
+    * reproducible pseudorandom order and (b) shards of near-equal
+    * size. Shard id = 60-bit md5 hash mod `numShards` (statistically
+    * balanced, scan-speed, no coordination); within-shard position =
+    * rank by (hash, key string) — so the concatenation of shards in
+    * (shard_id, shard_pos) order realizes a deterministic global
+    * permutation that is a pure function of the key SET: the same on
+    * any engine, run, or partitioning, and stable under corpus
+    * append (existing rows keep their relative order; new keys
+    * interleave by hash).
+    *
+    * Scale shape: the only shuffle is ONE exchange keyed by shard —
+    * which a sharded write pays anyway — and each rank window holds
+    * n/numShards rows, so there is no global sort and no
+    * single-partition window. NULL keys drop (unassignable),
+    * matching the samplers.
+    *
+    * Output: the input columns plus `shard_id`, `shard_pos` (both
+    * BIGINT, shard_pos 1-based).
+    */
+  def shardAssign(df: DataFrame, key: Column, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be positive, got $numShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col("_sh_h"), col("_sh_key"))
+    df.withColumn("_sh_key", key.cast("string"))
+      .filter(col("_sh_key").isNotNull)
+      .withColumn("_sh_h", graft.functions.md5Long(col("_sh_key")))
+      .withColumn("shard_id", pmod(col("_sh_h"), lit(numShards.toLong)))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .drop("_sh_key", "_sh_h")
+  }
+
+  /** Materialize [[shardAssign]] as `shard_id=K/` parquet directories,
+    * each file internally in shard_pos order (`repartition` on the
+    * shard column + `sortWithinPartitions` — one exchange total, then
+    * the rank window's sort is reused by the write). A training job
+    * maps shard K to worker K and streams it in order; re-running the
+    * write reproduces byte-identical shard membership and order.
+    */
+  def shardedWrite(df: DataFrame, path: String, key: Column, numShards: Int): Unit =
+    shardAssign(df, key, numShards)
+      .repartition(numShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("shard_pos"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+
   /** Salted join for skewed keys: explode the small side `salt` ways,
     * scatter the big side's hot keys uniformly with a random-ish salt
     * derived from a stable row hash (deterministic — no rand(), so

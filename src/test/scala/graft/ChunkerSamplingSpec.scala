@@ -303,4 +303,49 @@ class ChunkerSamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.quantileGate(df, col("v"), col("grp"), 0.9, 0.1))
   }
+
+  test("lengthBatches: descending lengths within shards, full batches, less padding than corpus order") {
+    val df = (1L to 800L).map(i => (i, (i * 37 % 500) + 1)).toDF("k", "ntok")
+    val a = Chunker.lengthBatches(df, "k", "ntok", batchSize = 16, shards = 4)
+    val rows = a.select("k", "ntok", "shard", "batch_no", "batch_slot")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 800)
+    // within a shard, batch k's every length >= batch k+1's every length
+    rows.groupBy(_._3).foreach { case (sh, rs) =>
+      val byBatch = rs.groupBy(_._4).toSeq.sortBy(_._1)
+      byBatch.sliding(2).foreach {
+        case Seq((_, cur), (_, nxt)) =>
+          assert(cur.map(_._2).min >= nxt.map(_._2).max,
+            s"shard $sh batches not length-sorted")
+        case _ =>
+      }
+      // all batches full except possibly the last
+      byBatch.init.foreach { case (b, g) =>
+        assert(g.length == 16, s"shard $sh batch $b not full: ${g.length}")
+      }
+      // slots are 0..n-1 within each batch
+      byBatch.foreach { case (b, g) =>
+        assert(g.map(_._5).sorted.toSeq == (0L until g.length).toSeq)
+      }
+    }
+    // padding: sorted batching wastes strictly less than key-order batching
+    def waste(assign: Map[Long, (Long, Long)], toks: Map[Long, Long]): Long =
+      assign.groupBy(_._2).map { case (_, g) =>
+        val ts = g.keys.toSeq.map(toks); ts.max * ts.length - ts.sum
+      }.sum
+    val toks = rows.map(r => r._1 -> r._2).toMap
+    val sortedAssign = rows.map(r => r._1 -> ((r._3, r._4))).toMap
+    val naiveAssign = rows.map(r => r._1 -> ((0L, (r._1 - 1) / 16))).toMap
+    assert(waste(sortedAssign, toks) < waste(naiveAssign, toks) / 4,
+      s"sorted batching must cut padding hard: ${waste(sortedAssign, toks)} vs ${waste(naiveAssign, toks)}")
+    // deterministic under repartitioning
+    val b = Chunker.lengthBatches(df.repartition(7), "k", "ntok", 16, 4)
+      .select("k", "shard", "batch_no", "batch_slot").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(b.toSeq == rows.map(r => (r._1, r._3, r._4, r._5)).sortBy(_._1).toSeq)
+    // paddingReport mirrors the hand-computed waste
+    val rep = Chunker.paddingReport(a, "ntok")
+    assert(rep.agg(sum("pad_tokens")).head.getLong(0) == waste(sortedAssign, toks))
+    intercept[IllegalArgumentException](Chunker.lengthBatches(df, "k", "ntok", 0, 4))
+  }
 }

@@ -125,6 +125,56 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](Layout.compactTo(spark, in, out, 0))
   }
 
+  test("shardAssign: deterministic permutation, balanced shards, null keys drop") {
+    val df = (1L to 4000L).map(i => (i, s"d$i")).toDF("k", "v")
+    val a = Layout.shardAssign(df, col("k"), numShards = 8)
+      .select("k", "shard_id", "shard_pos")
+    val rows = a.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 4000)
+    // every shard's positions are exactly 1..size (a permutation)
+    rows.groupBy(_._2).foreach { case (sh, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq,
+        s"shard $sh positions must be 1..n")
+    }
+    // md5-mod balance: no shard more than 35% off the mean at n=4000
+    val sizes = rows.groupBy(_._2).map(_._2.length)
+    assert(sizes.size == 8 && sizes.forall(s => s > 325 && s < 675),
+      s"shard sizes unbalanced: $sizes")
+    // pure function of the key set: a repartitioned input agrees
+    val b = Layout.shardAssign(df.repartition(13), col("k"), 8)
+      .select("k", "shard_id", "shard_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(b.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+    // null keys are unassignable
+    val withNull = df.union(
+      Seq("x").toDF("v").select(lit(null).cast("long").as("k"), col("v")))
+    assert(Layout.shardAssign(withNull, col("k"), 8).count() == 4000)
+    intercept[IllegalArgumentException](Layout.shardAssign(df, col("k"), 0))
+  }
+
+  test("shardedWrite: shard dirs land in shard_pos order and round-trip") {
+    val dir = Fixtures.tmpDir("shards").toString
+    val df = (1L to 1000L).map(i => (i, s"d$i")).toDF("k", "v")
+    Layout.shardedWrite(df, dir, col("k"), numShards = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.select("shard_id").distinct().count() == 4)
+    // within each shard dir, file row order IS shard_pos order (the
+    // dataloader streams the file without sorting)
+    (0 until 4).foreach { sh =>
+      val pos = spark.read.parquet(s"$dir/shard_id=$sh")
+        .select("shard_pos").collect().map(_.getLong(0))
+      assert(pos.toSeq == pos.sorted.toSeq, s"shard $sh not in pos order")
+      assert(pos.toSeq == (1L to pos.length).toSeq, s"shard $sh positions broken")
+    }
+    // membership agrees with shardAssign
+    val direct = Layout.shardAssign(df, col("k"), 4)
+      .select("k", "shard_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val written = back.select("k", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("shard_id").longValue())).toSet
+    assert(written == direct)
+  }
+
   test("provenance compaction preserves state and shrinks file count") {
     val lake = Fixtures.tmpDir("prov").toString
     val p = new Provenance(spark, lake)

@@ -240,6 +240,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out("b") == ((1L, 1L, 3L, 3000000L)), s"source b: $out")
   }
 
+  test("vocabReport: rank/share/cumulative-share head, hand-computed") {
+    import graft.operators.Diagnostics
+    // 10 tokens total: a×5, b×3, c×1, d×1 (case-folded)
+    val docs = Seq((1L, "A a a b B"), (2L, "a a b c d")).toDF("doc_id", "text")
+    val out = Diagnostics.vocabReport(docs, col("text"), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 5L, 500000000L, 500000000L),
+      (2L, "b", 3L, 300000000L, 800000000L),
+      (3L, "c", 1L, 100000000L, 900000000L)), s"head: ${out.toSeq}")
+    // tie at n=1 breaks by term: c before d, so the top-3 cut is total
+    val out4 = Diagnostics.vocabReport(docs, col("text"), topK = 4)
+      .collect().map(_.getString(1))
+    assert(out4.toSeq == Seq("a", "b", "c", "d"))
+    intercept[IllegalArgumentException](Diagnostics.vocabReport(docs, col("text"), 0))
+  }
+
   test("dsirWeights: exact bit arithmetic ranks target-like docs above off-domain") {
     import graft.operators.TextAnalysis
     // corpus tokens: en×3, xx, yy (N_C=5); target: en×3 (N_T=3)
