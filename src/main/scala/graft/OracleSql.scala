@@ -1714,6 +1714,31 @@ object OracleSql {
             cum * 1000000000 // total AS cum_share_1e9
           FROM K CROSS JOIN TOT ORDER BY rank""",
 
+    // leakage-free split: q50's CASE labels, then train docs sharing
+    // >= 1 distinct 3-gram with the val/test side -> 'quarantined'
+    "q111_decontaminated_split" -> {
+      val splits = graft.operators.Sampling.DemoSplits
+      val uppers = splits.scanLeft(0L)(_ + _._2).tail
+      val whens = splits.zip(uppers).init
+        .map { case ((l, _), u) => s"WHEN b < $u THEN '$l'" }.mkString(" ")
+      s"""WITH L AS (SELECT doc_id, text,
+                  CASE WHEN b IS NULL THEN NULL $whens
+                       ELSE '${splits.last._1}' END AS split
+                FROM (SELECT doc_id, text,
+                       (${md5long("cast(doc_id as varchar)")} % 1000000) AS b
+                      FROM documents)),
+          HG AS (SELECT DISTINCT unnest(${shingles3("text")}) AS gram
+                 FROM L WHERE split <> 'train'),
+          TG AS (SELECT doc_id, unnest(${shingles3("text")}) AS gram
+                 FROM L WHERE split = 'train'),
+          C AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                FROM TG JOIN HG USING (gram) GROUP BY doc_id)
+          SELECT l.doc_id,
+            CASE WHEN c.doc_id IS NOT NULL THEN 'quarantined' ELSE l.split END AS split,
+            coalesce(c.n_shared, 0) AS n_shared
+          FROM L l LEFT JOIN C c USING (doc_id) ORDER BY l.doc_id"""
+    },
+
     // DSIR: add-one-smoothed exact floor-log2 likelihood ratio,
     // target = lang 'en' slice, + the size normalizer per token
     "q105_dsir_weights" ->

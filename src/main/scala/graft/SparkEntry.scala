@@ -1525,6 +1525,18 @@ object SparkEntry {
         t(s, dir, "documents"), col("text"), topK = 50)
       .orderBy(col("rank"))
 
+  /** Leakage-free split (Decontaminate.decontaminatedSplit): the q50
+    * hash split fused with a train-vs-heldout 3-gram contamination
+    * check — contaminated train docs relabel `quarantined` with
+    * their shared-gram evidence. Oracle composes the q50 CASE with
+    * the q55 gram-join formula.
+    */
+  private def qDecontaminatedSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Decontaminate.decontaminatedSplit(
+        t(s, dir, "documents"), "doc_id", "text",
+        graft.operators.Sampling.DemoSplits)
+      .orderBy(col("doc_id"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1637,7 +1649,8 @@ object SparkEntry {
     "q107_corpus_health" -> (qCorpusHealth _),
     "q108_shard_layout" -> (qShardLayout _),
     "q109_length_batches" -> (qLengthBatches _),
-    "q110_vocab_report" -> (qVocabReport _))
+    "q110_vocab_report" -> (qVocabReport _),
+    "q111_decontaminated_split" -> (qDecontaminatedSplit _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

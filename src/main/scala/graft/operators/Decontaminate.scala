@@ -183,4 +183,44 @@ object Decontaminate {
           .cast("long").as("jaccard_1e6"))
       .filter(col("jaccard_1e6") >= minJaccard1e6)
   }
+
+  /** Leakage-free train/eval split — the split and the contamination
+    * check fused: every document gets its deterministic hash split
+    * ([[Sampling.splitLabel]]), then any TRAIN document sharing ≥
+    * `minShared` distinct word n-grams with any held-out (non-train)
+    * document is relabeled `quarantined` — so the published train set
+    * provably cannot leak the eval carve-outs, and the quarantine is
+    * auditable (its `n_shared` evidence rides along; clean docs carry
+    * 0). Splitting before checking matters: the held-out side is the
+    * SPLIT's own val/test, not an external benchmark, which is the
+    * leak [[sharedNgrams]] alone cannot see.
+    *
+    * Scale shape: the split label is a scan-speed hash filter; the
+    * held-out side is a bounded fraction of the corpus (val+test
+    * ppm), so its distinct gram set broadcasts exactly like
+    * [[sharedNgrams]]'s benchmark side — the train stream is pruned
+    * to overlapping grams BEFORE its only shuffle. For held-out
+    * slices too big to broadcast, swap the inner join for
+    * [[sharedNgramsBloom]]'s prefilter; the output contract is
+    * unchanged.
+    *
+    * Output: (doc_id, split ∈ {splits... | quarantined}, n_shared).
+    */
+  def decontaminatedSplit(docs: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Long)], trainLabel: String = "train",
+      n: Int = 3, minShared: Long = 1L): DataFrame = {
+    require(splits.exists(_._1 == trainLabel),
+      s"trainLabel '$trainLabel' must be one of the splits: $splits")
+    val labeled = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"),
+      Sampling.splitLabel(col(idCol), splits).as("split"))
+    val held = labeled.filter(col("split") =!= trainLabel)
+    val contaminated = sharedNgrams(
+      labeled.filter(col("split") === trainLabel), "doc_id", "_text",
+      held, "_text", n, minShared)
+    labeled.join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_shared").isNotNull, lit("quarantined"))
+          .otherwise(col("split")).as("split"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
 }

@@ -441,6 +441,40 @@ class OperatorsSpec extends SparkSpec {
       Decontaminate.sharedNgrams(corpus, "doc_id", "text", bench, "text", n = 0))
   }
 
+  test("decontaminatedSplit quarantines exactly the train docs overlapping the held-out side") {
+    import graft.operators.{Decontaminate, Sampling}
+    // every 7th doc carries one common sentence → once any of them
+    // lands in val/test, its train siblings must quarantine; the rest
+    // are per-doc unique and must keep their split untouched
+    val docs = spark.range(0, 300).selectExpr("id AS doc_id",
+      """CASE WHEN id % 7 = 0 THEN 'shared leak sentence appears verbatim here'
+              ELSE concat('unique doc ', id, ' noise tokens ', id * 31) END AS text""")
+    val out = Decontaminate.decontaminatedSplit(
+        docs, "doc_id", "text", Sampling.DemoSplits)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 300)
+    // replay expectations locally from the operator's own split labels
+    val labels = docs.select(col("doc_id"),
+        Sampling.splitLabel(col("doc_id"), Sampling.DemoSplits).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val leakHeld = (0L until 300L).exists(i => i % 7 == 0 && labels(i) != "train")
+    assert(leakHeld, "fixture must place at least one leak doc in val/test")
+    out.foreach { case (id, split, nShared) =>
+      if (labels(id) != "train") {
+        assert(split == labels(id) && nShared == 0L,
+          s"held-out doc $id must keep its split: ($split, $nShared)")
+      } else if (id % 7 == 0) {
+        assert(split == "quarantined" && nShared > 0L,
+          s"leaked train doc $id must quarantine: ($split, $nShared)")
+      } else {
+        assert(split == "train" && nShared == 0L,
+          s"clean train doc $id must stay train: ($split, $nShared)")
+      }
+    }
+    intercept[IllegalArgumentException](Decontaminate.decontaminatedSplit(
+      docs, "doc_id", "text", Sampling.DemoSplits, trainLabel = "nope"))
+  }
+
   test("bloom-prefiltered decontamination equals the exact path; bloom prunes below the shuffle") {
     import graft.operators.Decontaminate
     val bench = spark.range(0, 20)
