@@ -1739,6 +1739,25 @@ object OracleSql {
           FROM L l LEFT JOIN C c USING (doc_id) ORDER BY l.doc_id"""
     },
 
+    // cluster-balanced sampling: q49's k-means cells (shared CTEs),
+    // uniform div/mod shares in cell order, q61's rate math + md5 gate
+    "q112_cluster_balance" ->
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          ${ivfCoarseCtes(8, 1)},
+          CNT AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM CC GROUP BY cid),
+          M AS (SELECT CAST(count(*) AS BIGINT) AS m FROM CNT),
+          SH AS (SELECT cid, n,
+                  1000000 // m + (CASE WHEN row_number() OVER (ORDER BY cid)
+                    <= 1000000 % m THEN 1 ELSE 0 END) AS s_ppm
+                 FROM CNT CROSS JOIN M),
+          T AS (SELECT min(n * 1000000 // s_ppm) AS t FROM SH),
+          R AS (SELECT cid, CAST(s_ppm * t // n AS BIGINT) AS rate_ppm
+                FROM SH CROSS JOIN T)
+          SELECT c.id, c.cid, r.rate_ppm
+          FROM CC c JOIN R USING (cid)
+          WHERE (${md5long("cast(c.id as varchar)")} % 1000000) < r.rate_ppm
+          ORDER BY c.id""",
+
     // DSIR: add-one-smoothed exact floor-log2 likelihood ratio,
     // target = lang 'en' slice, + the size normalizer per token
     "q105_dsir_weights" ->

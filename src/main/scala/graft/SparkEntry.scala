@@ -1537,6 +1537,22 @@ object SparkEntry {
         graft.operators.Sampling.DemoSplits)
       .orderBy(col("doc_id"))
 
+  /** Cluster-balanced sampling (Sampling.clusterBalance): the q49
+    * coarse quantizer's cells as strata, uniform target shares —
+    * semantic-space topic balancing. The oracle re-derives the cells
+    * via the shared k-means CTEs, the shares via the same div/mod
+    * split, and the kept set via the md5-ppm gate.
+    */
+  private def qClusterBalance(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val cents = Similarity.trainCentroids(corpus, k = 8, iters = 2)
+    val assigned = Similarity.assignCells(corpus, cents)
+      .select(col("id"), col("cid"))
+    graft.operators.Sampling.clusterBalance(assigned, col("id"), col("cid"))
+      .select(col("id"), col("cid").cast("long").as("cid"), col("rate_ppm"))
+      .orderBy(col("id"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1650,7 +1666,8 @@ object SparkEntry {
     "q108_shard_layout" -> (qShardLayout _),
     "q109_length_batches" -> (qLengthBatches _),
     "q110_vocab_report" -> (qVocabReport _),
-    "q111_decontaminated_split" -> (qDecontaminatedSplit _))
+    "q111_decontaminated_split" -> (qDecontaminatedSplit _),
+    "q112_cluster_balance" -> (qClusterBalance _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -245,6 +245,58 @@ object Sampling {
       .drop("_stratum")
   }
 
+  /** Uniform ppm shares over `strata` (ascending order): 1e6 div m
+    * each, with the first 1e6 mod m strata taking +1 so the shares sum
+    * to exactly [[Ppm]] — the target a [[rebalanceToMixture]] needs to
+    * mean "equal parts of each".
+    */
+  def uniformSharesPpm(strata: Seq[String]): Seq[(String, Long)] = {
+    require(strata.nonEmpty, "need at least one stratum")
+    require(strata.distinct.size == strata.size, s"strata must be unique: $strata")
+    val m = strata.size
+    val base = Ppm / m
+    val extra = (Ppm % m).toInt
+    strata.sorted.zipWithIndex.map { case (s, i) =>
+      s -> (base + (if (i < extra) 1L else 0L))
+    }
+  }
+
+  /** Cluster-balanced ("diversity") sampling — [[rebalanceToMixture]]
+    * with the strata taken from a coarse quantizer's OBSERVED cells at
+    * a uniform target share: over-represented semantic clusters
+    * downsample until every cluster contributes equally — the
+    * topic-balancing step (SemDeDup-adjacent) that metadata strata
+    * can't express, because the skew lives in the embedding space, not
+    * in `source`/`lang`. `assigned` is a cell-assigned frame (e.g.
+    * [[Similarity.assignCells]] output); `cell` may be any integral
+    * column.
+    *
+    * The distinct-cell probe collects at most the quantizer's k ids
+    * (bounded — the same driver-side footprint as the centroid table
+    * itself); everything after is [[rebalanceToMixture]]'s
+    * one-aggregate-plus-scan-filter shape. Deriving targets from
+    * OBSERVED cells keeps the mixture achievable when a cell lost all
+    * members (an empty TARGET stratum would zero the whole output).
+    *
+    * Output: the kept rows plus their cell's `rate_ppm`.
+    */
+  def clusterBalance(assigned: DataFrame, key: Column, cell: Column): DataFrame = {
+    val cells = assigned.select(cell.cast("long").as("_c"))
+      .filter(col("_c").isNotNull).distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(cells.nonEmpty, "no cells observed in the assignment")
+    // single-digit-safe lexicographic = numeric ordering is NOT assumed:
+    // shares are assigned in numeric cell order, labels are the decimal
+    // strings rebalance joins on
+    val m = cells.length
+    val base = Ppm / m
+    val extra = (Ppm % m).toInt
+    val targets = cells.zipWithIndex.map { case (c, i) =>
+      c.toString -> (base + (if (i < extra) 1L else 0L))
+    }.toSeq
+    rebalanceToMixture(assigned, key, cell.cast("long").cast("string"), targets)
+  }
+
   /** Keep rows whose `value` lies inside the group's [lo, hi] quantile
     * band — the outlier-trim (winsorization) gate of corpus curation:
     * drop truncated fragments below the low percentile and

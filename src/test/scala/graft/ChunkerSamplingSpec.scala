@@ -304,6 +304,35 @@ class ChunkerSamplingSpec extends SparkSpec {
       Sampling.quantileGate(df, col("v"), col("grp"), 0.9, 0.1))
   }
 
+  test("clusterBalance equalizes planted skewed clusters; uniform shares sum exactly") {
+    import graft.operators.Similarity
+    // uniformSharesPpm: remainder goes to the first strata in sorted order
+    val sh = Sampling.uniformSharesPpm(Seq("b", "a", "c"))
+    assert(sh == Seq("a" -> 333334L, "b" -> 333333L, "c" -> 333333L))
+    assert(sh.map(_._2).sum == Sampling.Ppm)
+    intercept[IllegalArgumentException](Sampling.uniformSharesPpm(Seq("a", "a")))
+    // two planted clusters, 10:1 skew
+    val vecs = ((1L to 300L).map(i => (i, Seq(10.0f + (i % 7) * 0.01f, 1.0f))) ++
+      (301L to 330L).map(i => (i, Seq(-10.0f - (i % 5) * 0.01f, 1.0f))))
+      .toDF("id", "emb")
+    val cents = Similarity.trainCentroids(vecs, k = 2, iters = 2)
+    val assigned = Similarity.assignCells(vecs, cents).select(col("id"), col("cid"))
+    val kept = Sampling.clusterBalance(assigned, col("id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byCell = kept.groupBy(_._2)
+    assert(byCell.size == 2, s"both cells must survive: ${byCell.keySet}")
+    // binding (small) cluster keeps ALL 30 at rate 1e6; big cluster
+    // downsamples at exactly 500000·60 div 300 = 100000 ppm
+    val smallCell = assigned.filter(col("id") > 300).select("cid").head().getInt(0)
+    val small = byCell(smallCell)
+    assert(small.length == 30 && small.forall(_._3 == 1000000L),
+      s"binding cluster keeps everything: ${small.length}")
+    val big = byCell.keys.find(_ != smallCell).map(byCell).get
+    assert(big.forall(_._3 == 100000L), s"big-cluster rate: ${big.head._3}")
+    assert(big.length > 15 && big.length < 45,
+      s"~30 of 300 expected at 100000 ppm: ${big.length}")
+  }
+
   test("lengthBatches: descending lengths within shards, full batches, less padding than corpus order") {
     val df = (1L to 800L).map(i => (i, (i * 37 % 500) + 1)).toDF("k", "ntok")
     val a = Chunker.lengthBatches(df, "k", "ntok", batchSize = 16, shards = 4)
