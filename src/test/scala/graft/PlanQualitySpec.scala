@@ -209,6 +209,43 @@ class PlanQualitySpec extends SparkSpec {
       s"only the presentation sort may shuffle:\n${tree.mkString("\n")}")
   }
 
+  test("shard layout: the rank window is keyed by shard, never single-partition") {
+    val p = plan("q108_shard_layout")
+    val winLine = p.linesIterator.find(_.trim.startsWith("Arguments: [row_number()"))
+      .orElse(p.linesIterator.find(_.contains("row_number()"))).getOrElse("")
+    assert(winLine.contains("windowspecdefinition(shard_id"),
+      s"shard_pos must rank within shards, not globally:\n$winLine")
+  }
+
+  test("length batching: window keyed by shard; padding agg keeps map-side partial") {
+    val p = plan("q109_length_batches")
+    val winLine = p.linesIterator.find(_.contains("row_number()")).getOrElse("")
+    assert(winLine.contains("windowspecdefinition(shard"),
+      s"batch ranks must be per-shard:\n$winLine")
+    assert(p.contains("HashAggregate"), s"report must hash-aggregate:\n$p")
+  }
+
+  test("vocab report: top-k cut is TakeOrdered, total broadcasts onto the head") {
+    val p = plan("q110_vocab_report")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the vocab head must never globally sort the term counts:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row total must broadcast:\n$p")
+  }
+
+  test("decontaminated split broadcasts the held-out gram set before the train shuffle") {
+    val p = plan("q111_decontaminated_split")
+    assert(p.contains("BroadcastHashJoin"), s"held-out grams must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+  }
+
+  test("cluster balance: rates broadcast back onto a scan-speed filter") {
+    val p = plan("q112_cluster_balance")
+    assert(p.contains("BroadcastHashJoin"), s"the k-row rate table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"only 1-row stat frames may nest-loop:\n$p")
+  }
+
   test("IVF corpus assignment is narrow and uses the native dot expression") {
     import org.apache.spark.sql.functions.col
     val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
