@@ -225,6 +225,33 @@ object OracleSql {
     s"""BG AS (SELECT DISTINCT unnest(${shingles3("text")}) AS gram
            FROM documents WHERE doc_id % $mod = 0 AND doc_id < 5000)"""
 
+  /** DSIR score chain shared by q105/q113 — corpus/target unigram
+    * counts, size normalizers, per-token exact digit-count bit
+    * scores, per-document totals; ends with
+    * DS(id, n_tokens, dsir_bits, avg_dsir_1e6). Mirror of
+    * TextAnalysis.dsirWeights with target = the short-doc slice
+    * (n_chars < 150 — the driver-data carve-out with a genuinely
+    * different token distribution; uniform-vocab slices cancel to
+    * constant-zero scores).
+    */
+  private def dsirCtes: String =
+    s"""E AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS term FROM documents),
+        CC AS (SELECT term, CAST(count(*) AS BIGINT) AS cc FROM E GROUP BY term),
+        CT AS (SELECT term, CAST(count(*) AS BIGINT) AS ct FROM
+               (SELECT unnest(${toks("lower(text)")}) AS term
+                FROM documents WHERE n_chars < 150) GROUP BY term),
+        NC AS (SELECT coalesce(CAST(sum(cc) AS BIGINT), 0) AS nc FROM CC),
+        NT AS (SELECT coalesce(CAST(sum(ct) AS BIGINT), 0) AS nt FROM CT),
+        SC AS (SELECT e.doc_id,
+                CAST(length(bin(coalesce(t.ct, 0) + 1)) - length(bin(c.cc + 1))
+                  + length(bin(nc.nc + 1)) - length(bin(nt.nt + 1)) AS BIGINT) AS s
+               FROM E e JOIN CC c USING (term) LEFT JOIN CT t USING (term)
+               CROSS JOIN NC nc CROSS JOIN NT nt),
+        DS AS (SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(s) AS BIGINT) AS dsir_bits,
+                (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_dsir_1e6
+               FROM SC GROUP BY doc_id)"""
+
   /** BM25 stat chain shared by q51/q53/q60 — tokenized corpus (L, D),
     * corpus stats (ST), exploded term stream filtered by `eqFilter`
     * (EQ), df/idf (F, I), tf (T), and per-(doc, term) integer
@@ -1759,24 +1786,22 @@ object OracleSql {
           ORDER BY c.id""",
 
     // DSIR: add-one-smoothed exact floor-log2 likelihood ratio,
-    // target = lang 'en' slice, + the size normalizer per token
+    // target = short-doc slice, + the size normalizer per token
     "q105_dsir_weights" ->
-      s"""WITH E AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS term FROM documents),
-          CC AS (SELECT term, CAST(count(*) AS BIGINT) AS cc FROM E GROUP BY term),
-          CT AS (SELECT term, CAST(count(*) AS BIGINT) AS ct FROM
-                 (SELECT unnest(${toks("lower(text)")}) AS term
-                  FROM documents WHERE lang = 'en') GROUP BY term),
-          NC AS (SELECT coalesce(CAST(sum(cc) AS BIGINT), 0) AS nc FROM CC),
-          NT AS (SELECT coalesce(CAST(sum(ct) AS BIGINT), 0) AS nt FROM CT),
-          SC AS (SELECT e.doc_id,
-                  CAST(length(bin(coalesce(t.ct, 0) + 1)) - length(bin(c.cc + 1))
-                    + length(bin(nc.nc + 1)) - length(bin(nt.nt + 1)) AS BIGINT) AS s
-                 FROM E e JOIN CC c USING (term) LEFT JOIN CT t USING (term)
-                 CROSS JOIN NC nc CROSS JOIN NT nt)
-          SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
-            CAST(sum(s) AS BIGINT) AS dsir_bits,
-            (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_dsir_1e6
-          FROM SC GROUP BY doc_id ORDER BY id""",
+      s"""WITH $dsirCtes
+          SELECT id, n_tokens, dsir_bits, avg_dsir_1e6
+          FROM DS ORDER BY id""",
+
+    // DSIR selection: q113 = the q105 score chain + a quantile_cont
+    // [p25, p100] band (top quartile, threshold ties keep)
+    "q113_dsir_select" ->
+      s"""WITH $dsirCtes,
+          TH AS (SELECT quantile_cont(avg_dsir_1e6, 0.75) AS lo,
+                  quantile_cont(avg_dsir_1e6, 1.0) AS hi FROM DS)
+          SELECT id, n_tokens, dsir_bits, avg_dsir_1e6
+          FROM DS CROSS JOIN TH
+          WHERE avg_dsir_1e6 >= lo AND avg_dsir_1e6 <= hi
+          ORDER BY id""",
 
     // winnowing: min gram-hash per w-window, rightmost tie — ONE
     // window min over enc = h·2^20 + (2^20−1−pos), full windows only

@@ -855,15 +855,19 @@ object SparkEntry {
       .orderBy(col("source"))
 
   /** DSIR importance weights (TextAnalysis.dsirWeights): exact
-    * integer log2-ratio of target-domain ('en' docs) vs corpus
-    * unigram likelihoods, add-one smoothed — the domain-targeting
-    * score of Data Selection via Importance Resampling. Oracle
-    * mirrors the bin() digit-count arithmetic.
+    * integer log2-ratio of target-domain vs corpus unigram
+    * likelihoods, add-one smoothed — the domain-targeting score of
+    * Data Selection via Importance Resampling. The target is the
+    * short-document slice (n_chars < 150): the one driver-data
+    * carve-out whose token distribution genuinely differs from the
+    * corpus's (a lang/id-hash slice of the uniform synthetic vocab
+    * cancels to all-zero scores — a degenerate gate). Oracle mirrors
+    * the bin() digit-count arithmetic.
     */
   private def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     graft.operators.TextAnalysis.dsirWeights(
-        docs, "doc_id", "text", docs.filter(col("lang") === "en"), "text")
+        docs, "doc_id", "text", docs.filter(col("n_chars") < 150), "text")
       .orderBy(col("id"))
   }
 
@@ -1553,6 +1557,19 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** DSIR selection (TextAnalysis.dsirSelect): the resampling cut —
+    * the top quartile of q105's scores via the quantile-gate band
+    * [p25, p100]. Oracle = the shared q105 CTE chain + quantile_cont
+    * thresholds (the q39 parity).
+    */
+  private def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.TextAnalysis.dsirSelect(
+        docs, "doc_id", "text", docs.filter(col("n_chars") < 150), "text",
+        topShare = 0.25)
+      .orderBy(col("id"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1667,7 +1684,8 @@ object SparkEntry {
     "q109_length_batches" -> (qLengthBatches _),
     "q110_vocab_report" -> (qVocabReport _),
     "q111_decontaminated_split" -> (qDecontaminatedSplit _),
-    "q112_cluster_balance" -> (qClusterBalance _))
+    "q112_cluster_balance" -> (qClusterBalance _),
+    "q113_dsir_select" -> (qDsirSelect _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -245,6 +245,25 @@ object TextAnalysis {
       .withColumn("avg_dsir_1e6", expr("dsir_bits * 1000000L DIV n_tokens"))
   }
 
+  /** DSIR selection — the RESAMPLING step of Data Selection via
+    * Importance Resampling: keep the top `topShare` of documents by
+    * [[dsirWeights]] average score, the band being
+    * [p_(1−topShare), p_1] of the score distribution via
+    * [[Sampling.quantileGate]] (one percentile aggregate broadcast
+    * back onto a scan-speed filter — the corpus never re-shuffles for
+    * the cut). Exact interpolated percentile (quantile_cont parity);
+    * score ties at the threshold keep.
+    *
+    * Output: the [[dsirWeights]] columns of the kept documents.
+    */
+  def dsirSelect(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, topShare: Double): DataFrame = {
+    require(topShare > 0.0 && topShare <= 1.0,
+      s"topShare must be in (0, 1]: $topShare")
+    val w = dsirWeights(corpus, idCol, textCol, target, targetTextCol)
+    Sampling.quantileGate(w, col("avg_dsir_1e6"), lit(1), 1.0 - topShare, 1.0)
+  }
+
   /** Bigram LM surprisal — [[unigramSurprisal]]'s first-order upgrade:
     * per adjacent pair (a, b), surprisal ≈ −log2 P(b|a) estimated as
     * floor(log2 c_a) − floor(log2 c_ab) (unigram and bigram corpus

@@ -272,6 +272,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == ((2L, -2L, -1000000L)), s"off-domain doc: $out")
   }
 
+  test("dsirSelect keeps the top score band; threshold ties keep; topShare=1 keeps all") {
+    import graft.operators.TextAnalysis
+    // 8 on-domain docs + 24 off-domain docs of COMMON off-tokens (a
+    // corpus-rare token beats a target token under add-one smoothing
+    // — rarity is information — so the off side must be frequent to
+    // score below the target-like docs): s(en)=2, s(xx|yy|zz)=0
+    val corpus = ((1L to 8L).map(i => (i, "en en en")) ++
+      (9L to 32L).map(i => (i, "xx yy zz"))).toDF("doc_id", "text")
+    val target = Seq(Tuple1("en en en")).toDF("text")
+    val kept = TextAnalysis.dsirSelect(corpus, "doc_id", "text", target, "text",
+        topShare = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 8L).toSet, s"top quartile must be the on-domain docs: $kept")
+    // ties at the threshold keep: every on-domain doc scores identically
+    val all = TextAnalysis.dsirSelect(corpus, "doc_id", "text", target, "text", 1.0)
+    assert(all.count() == 32L, "topShare=1 keeps the whole corpus")
+    intercept[IllegalArgumentException](
+      TextAnalysis.dsirSelect(corpus, "doc_id", "text", target, "text", 0.0))
+  }
+
   test("winnowingFingerprints: gap bound holds and shared runs share a fingerprint") {
     import graft.operators.TextAnalysis
     val shared = "alpha beta gamma delta epsilon zeta"  // w+n-1 = 6 tokens
