@@ -1375,6 +1375,23 @@ object OracleSql {
           FROM documents d LEFT JOIN AGG a USING (doc_id)
           ORDER BY doc_id""",
 
+    // tokenizer fertility: q81's BPE chain re-used, per-source sums +
+    // fixed-point subwords-per-word and chars-per-subword ratios
+    "q114_tokenizer_fertility" ->
+      s"""WITH ${bpeCtes(graft.operators.Bpe.DefaultMerges, graft.operators.Bpe.DefaultVocabCap)},
+          J AS (SELECT d.doc_id, d.source, length(d.text)::BIGINT AS nch,
+                 coalesce(a.ws_tokens, 0)::BIGINT AS ws,
+                 coalesce(a.bpe_tokens, 0)::BIGINT AS bpe
+                FROM documents d LEFT JOIN AGG a USING (doc_id))
+          SELECT source, count(*)::BIGINT AS n_docs,
+            sum(ws)::BIGINT AS ws_tokens, sum(bpe)::BIGINT AS bpe_tokens,
+            sum(nch)::BIGINT AS n_chars,
+            CASE WHEN sum(ws) = 0 THEN NULL
+                 ELSE (sum(bpe)::BIGINT * 1000000) // sum(ws)::BIGINT END AS fertility_1e6,
+            CASE WHEN sum(bpe) = 0 THEN NULL
+                 ELSE (sum(nch)::BIGINT * 1000000) // sum(bpe)::BIGINT END AS chars_per_tok_1e6
+          FROM J GROUP BY source ORDER BY source""",
+
     // adaptive simhash: band width re-derived from count(*) with the
     // same exact integer ceil-log2 as Dedup.suggestSimhashParams
     // (smallest b with 2^b ≥ ⌈n/2⌉, clamped to [4,15]); the 60-bit

@@ -1570,6 +1570,20 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Tokenizer fertility report (Diagnostics.tokenizerFertility):
+    * per-source subwords-per-word and chars-per-subword under the
+    * q81 corpus-trained BPE merges. Oracle reuses the unrolled BPE
+    * CTE chain and mirrors the ratio arithmetic.
+    */
+  private def qTokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.operators.Bpe.trainFromCorpus(docs, "text",
+      graft.operators.Bpe.DefaultMerges, graft.operators.Bpe.DefaultVocabCap)
+    graft.operators.Diagnostics.tokenizerFertility(
+        docs, col("source"), col("text"), merges)
+      .orderBy(col("source"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1685,7 +1699,8 @@ object SparkEntry {
     "q110_vocab_report" -> (qVocabReport _),
     "q111_decontaminated_split" -> (qDecontaminatedSplit _),
     "q112_cluster_balance" -> (qClusterBalance _),
-    "q113_dsir_select" -> (qDsirSelect _))
+    "q113_dsir_select" -> (qDsirSelect _),
+    "q114_tokenizer_fertility" -> (qTokenizerFertility _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

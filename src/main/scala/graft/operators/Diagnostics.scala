@@ -123,6 +123,37 @@ object Diagnostics {
         floor(percentile(tc, lit(0.5)) * 1000000).cast("long").as("p50_tokens_1e6"))
   }
 
+  /** Tokenizer fertility report — the numbers that evaluate a
+    * tokenizer against a corpus, per source: whitespace word count,
+    * subword token count under a BPE merge table
+    * ([[graft.functions.bpeTokenCount]]), character count, and the
+    * two derived ratios in 1e6 fixed point — fertility (subwords per
+    * word; lower = the vocab fits the domain) and characters per
+    * subword (compression; higher = fewer tokens per byte). The
+    * dataset-card / tokenizer-selection table.
+    *
+    * One groupBy over bounded strata; the BPE encode is the map-only
+    * expression encoder (O(words × merges) per row, no shuffle, no
+    * UDF). Sources with zero words/tokens yield NULL ratios instead
+    * of a divide error.
+    *
+    * Output: (source, n_docs, ws_tokens, bpe_tokens, n_chars,
+    * fertility_1e6, chars_per_tok_1e6).
+    */
+  def tokenizerFertility(docs: DataFrame, source: Column, text: Column,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.tokenCount(text)).as("ws_tokens"),
+        sum(graft.functions.bpeTokenCount(text, merges)).as("bpe_tokens"),
+        sum(length(text).cast("long")).as("n_chars"))
+      .withColumn("fertility_1e6",
+        when(col("ws_tokens") === 0, lit(null).cast("long"))
+          .otherwise(expr("bpe_tokens * 1000000 div ws_tokens")))
+      .withColumn("chars_per_tok_1e6",
+        when(col("bpe_tokens") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_chars * 1000000 div bpe_tokens")))
+
   /** Vocabulary head report (the Zipf curve's top) — per top-K term:
     * rank, occurrence count, corpus share, and CUMULATIVE share, all
     * in 1e9 fixed point. The dataset-card / tokenizer-planning

@@ -240,6 +240,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out("b") == ((1L, 1L, 3L, 3000000L)), s"source b: $out")
   }
 
+  test("tokenizerFertility: hand-computed ratios; empty source yields NULL ratios") {
+    import graft.operators.Diagnostics
+    // merge (a,b): "ab"→1 subword, "cd"→2; doc "ab ab cd": ws=3,
+    // bpe=1+1+2=4, chars=8 → fertility 4e6/3, chars/tok 2e6
+    val docs = Seq((1L, "x", "ab ab cd"), (2L, "y", "")).toDF("doc_id", "source", "text")
+    val out = Diagnostics.tokenizerFertility(docs, col("source"), col("text"),
+        Seq(("a", "b")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = out("x")
+    assert((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)) ==
+      ((1L, 3L, 4L, 8L)), s"source x sums: $x")
+    assert(x.getLong(5) == 1333333L && x.getLong(6) == 2000000L, s"x ratios: $x")
+    val y = out("y")
+    assert(y.isNullAt(5) && y.isNullAt(6), s"empty source must yield NULL ratios: $y")
+  }
+
   test("vocabReport: rank/share/cumulative-share head, hand-computed") {
     import graft.operators.Diagnostics
     // 10 tokens total: a×5, b×3, c×1, d×1 (case-folded)
