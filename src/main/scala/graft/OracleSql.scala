@@ -225,6 +225,25 @@ object OracleSql {
     s"""BG AS (SELECT DISTINCT unnest(${shingles3("text")}) AS gram
            FROM documents WHERE doc_id % $mod = 0 AND doc_id < 5000)"""
 
+  /** Fixed-point q41 quality score as a CTE, shared by q41/q115 —
+    * mirror of TextAnalysis.qualityScoreRaw (same double ops in the
+    * same order). Ends with QS(doc_id, quality_1e6).
+    */
+  private def qualityCte: String =
+    s"""QS AS (SELECT doc_id, cast(floor(((ls + dp + ss) / 3.0::DOUBLE) * 1000000.0::DOUBLE) as bigint) AS quality_1e6
+         FROM (SELECT doc_id,
+             CASE WHEN len >= 100 AND len <= 10000 THEN 1.0::DOUBLE
+                  WHEN len < 100 THEN len / 100.0::DOUBLE
+                  ELSE 10000.0::DOUBLE / len END AS ls,
+             1.0::DOUBLE - (CASE WHEN len = 0 THEN 0.0::DOUBLE ELSE digits / len END) AS dp,
+             least((CASE WHEN ntok = 0 THEN 0.0::DOUBLE ELSE stops / ntok END) * 5.0::DOUBLE, 1.0::DOUBLE) AS ss
+           FROM (SELECT doc_id,
+               length(coalesce(text,''))::DOUBLE AS len,
+               len(${toks("text")})::DOUBLE AS ntok,
+               len(regexp_extract_all(coalesce(text,''), '[0-9]'))::DOUBLE AS digits,
+               ${hitsSql("text", "en")}::DOUBLE AS stops
+             FROM documents)))"""
+
   /** DSIR score chain shared by q105/q113 — corpus/target unigram
     * counts, size normalizers, per-token exact digit-count bit
     * scores, per-document totals; ends with
@@ -785,20 +804,8 @@ object OracleSql {
     // Mirror of TextAnalysis.qualityScoreRaw: same double ops in the
     // same order (IEEE-754 → bit-identical), compared in 1e-6 fixed pt.
     "q41_quality_score" ->
-      s"""SELECT doc_id, cast(floor(((ls + dp + ss) / 3.0::DOUBLE) * 1000000.0::DOUBLE) as bigint) AS quality_1e6
-         FROM (SELECT doc_id,
-             CASE WHEN len >= 100 AND len <= 10000 THEN 1.0::DOUBLE
-                  WHEN len < 100 THEN len / 100.0::DOUBLE
-                  ELSE 10000.0::DOUBLE / len END AS ls,
-             1.0::DOUBLE - (CASE WHEN len = 0 THEN 0.0::DOUBLE ELSE digits / len END) AS dp,
-             least((CASE WHEN ntok = 0 THEN 0.0::DOUBLE ELSE stops / ntok END) * 5.0::DOUBLE, 1.0::DOUBLE) AS ss
-           FROM (SELECT doc_id,
-               length(coalesce(text,''))::DOUBLE AS len,
-               len(${toks("text")})::DOUBLE AS ntok,
-               len(regexp_extract_all(coalesce(text,''), '[0-9]'))::DOUBLE AS digits,
-               ${hitsSql("text", "en")}::DOUBLE AS stops
-             FROM documents))
-         ORDER BY doc_id""",
+      s"""WITH $qualityCte
+         SELECT doc_id, quality_1e6 FROM QS ORDER BY doc_id""",
 
     "q42_hl7_component" ->
       """SELECT doc_id, parts[1] AS comp1, parts[2] AS comp2, parts[5] AS comp5
@@ -1374,6 +1381,27 @@ object OracleSql {
             coalesce(a.bpe_tokens, 0)::BIGINT AS bpe_tokens
           FROM documents d LEFT JOIN AGG a USING (doc_id)
           ORDER BY doc_id""",
+
+    // quality-aware dedup representative: q36's reachability clusters
+    // + the shared q41 quality CTE; best (score desc, id) per cluster
+    "q115_cluster_best" ->
+      s"""WITH RECURSIVE
+          ${lshPairCtes("documents")},
+          EDGES AS (SELECT id_a AS src, id_b AS dst FROM PAIRS
+                    UNION SELECT id_b, id_a FROM PAIRS),
+          REACH(node, r) AS (
+            SELECT src, src FROM EDGES
+            UNION
+            SELECT e.dst, r.r FROM REACH r JOIN EDGES e ON e.src = r.node),
+          CL AS (SELECT node, min(r) AS cluster_id FROM REACH GROUP BY node),
+          $qualityCte,
+          J AS (SELECT q.doc_id, coalesce(cl.cluster_id, q.doc_id) AS cluster_id,
+                 q.quality_1e6
+                FROM QS q LEFT JOIN CL cl ON cl.node = q.doc_id)
+          SELECT doc_id, cluster_id, quality_1e6,
+            CAST(CASE WHEN row_number() OVER (PARTITION BY cluster_id
+                ORDER BY quality_1e6 DESC, doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+          FROM J ORDER BY doc_id""",
 
     // tokenizer fertility: q81's BPE chain re-used, per-source sums +
     // fixed-point subwords-per-word and chars-per-subword ratios

@@ -1584,6 +1584,25 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Quality-aware dedup representative (Dedup.keepBestOfCluster):
+    * q36's LSH clusters keep their highest-q41-score member instead
+    * of the min id — production near-dedup keeps the cleanest copy.
+    * Oracle composes the q36 reachability CTEs with the shared q41
+    * quality CTE and the same (score desc, id) rank.
+    */
+  private def qClusterBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs, "doc_id", "text"))
+    val scored = docs.select(col("doc_id").as("id"),
+      floor(TextAnalysis.qualityScoreRaw(col("text")) * 1000000.0)
+        .cast("long").as("score"))
+    Dedup.keepBestOfCluster(scored, clusters)
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        col("score").as("quality_1e6"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1700,7 +1719,8 @@ object SparkEntry {
     "q111_decontaminated_split" -> (qDecontaminatedSplit _),
     "q112_cluster_balance" -> (qClusterBalance _),
     "q113_dsir_select" -> (qDsirSelect _),
-    "q114_tokenizer_fertility" -> (qTokenizerFertility _))
+    "q114_tokenizer_fertility" -> (qTokenizerFertility _),
+    "q115_cluster_best" -> (qClusterBest _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

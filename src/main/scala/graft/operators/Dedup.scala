@@ -389,6 +389,37 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Quality-aware near-dup representative selection — production
+    * dedup keeps each cluster's BEST member, not its smallest id:
+    * min-id keeps whichever copy was crawled first; best-of keeps the
+    * cleanest one (highest curation score). `scored` = (id, score)
+    * for the whole corpus; `clusters` = [[connectedComponents]]
+    * output over its near-dup pairs. Docs absent from `clusters`
+    * (singletons) are their own cluster and keep themselves. The
+    * (score DESC, id ASC) tie-break is total, so the pick is
+    * engine- and partitioning-independent.
+    *
+    * Scale shape: the rank window runs over ONLY the clustered docs
+    * (bounded by duplicate mass, ≪ corpus); singletons join in with
+    * a left-anti (no window, no second shuffle of the full corpus).
+    *
+    * Output: (id, cluster_id, score, kept ∈ {0,1}).
+    */
+  def keepBestOfCluster(scored: DataFrame, clusters: DataFrame): DataFrame = {
+    val clustered = scored.join(clusters, Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("id"))
+    val pickedClustered = clustered.withColumn("kept",
+      when(row_number().over(w) === 1, lit(1L)).otherwise(lit(0L)))
+    val singletons = scored
+      .join(clusters.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("cluster_id", col("id"))
+      .withColumn("kept", lit(1L))
+    pickedClustered.unionByName(singletons)
+      .select(col("id"), col("cluster_id"), col("score"), col("kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, bucketed
     * by sign-bit LSH to avoid the all-pairs join (see
     * [[Similarity.signBucket]]).

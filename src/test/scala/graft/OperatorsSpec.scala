@@ -240,6 +240,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out("b") == ((1L, 1L, 3L, 3000000L)), s"source b: $out")
   }
 
+  test("keepBestOfCluster keeps the top-scoring member; singletons keep themselves") {
+    val scored = Seq((1L, 50L), (2L, 90L), (3L, 90L), (4L, 70L), (9L, 10L))
+      .toDF("id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("id", "cluster_id")
+    val out = Dedup.keepBestOfCluster(scored, clusters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // cluster 1: scores 50/90/90 — tie breaks to the smaller id (2)
+    assert(out(2L) == ((1L, 90L, 1L)) && out(3L) == ((1L, 90L, 0L)) &&
+      out(1L) == ((1L, 50L, 0L)), s"best-of with tie: $out")
+    // single-member cluster and unclustered singleton both keep
+    assert(out(4L) == ((4L, 70L, 1L)), s"solo cluster: $out")
+    assert(out(9L) == ((9L, 10L, 1L)), s"singleton keeps itself: $out")
+    assert(out.values.count(_._3 == 1L) == 3)
+  }
+
   test("tokenizerFertility: hand-computed ratios; empty source yields NULL ratios") {
     import graft.operators.Diagnostics
     // merge (a,b): "ab"→1 subword, "cd"→2; doc "ab ab cd": ws=3,
