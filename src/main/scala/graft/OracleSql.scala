@@ -1403,6 +1403,39 @@ object OracleSql {
                 ORDER BY quality_1e6 DESC, doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
           FROM J ORDER BY doc_id""",
 
+    // content-defined chunk dedup: cuts after token p+2 where the
+    // 3-gram hash ≡ 0 mod 16; spans between cuts; chunk = md5 of the
+    // space-joined token slice; occurrence counts over chunk hashes
+    "q116_cdc_dedup" ->
+      s"""WITH TH AS (SELECT doc_id, ${toks("lower(text)")} AS tk,
+                 ${tokenHashExpr("text")} AS th FROM documents),
+          HS AS (SELECT doc_id, tk, $gramFromTh AS hs FROM TH),
+          SP AS (SELECT doc_id, tk,
+                 list_concat([0], list_transform(cuts, e -> e + 1)) AS starts,
+                 list_concat(cuts, [len(tk) - 1]) AS ends
+                FROM (SELECT doc_id, tk,
+                    list_transform(list_filter(range(len(hs)),
+                      i -> hs[i+1] % 16 = 0), i -> i + 2) AS cuts
+                  FROM HS)),
+          CH AS (SELECT doc_id,
+                 ${md5long("array_to_string(tk[starts[j+1]+1:ends[j+1]+1], ' ')")} AS chunk_h,
+                 ends[j+1] - starts[j+1] + 1 AS n_words
+                FROM (SELECT doc_id, tk, starts, ends, unnest(keep) AS j
+                  FROM (SELECT *, list_filter(range(len(starts)),
+                      j -> starts[j+1] <= ends[j+1]) AS keep FROM SP))),
+          OCC AS (SELECT chunk_h, count(*) AS occ FROM CH GROUP BY chunk_h),
+          AGG AS (SELECT doc_id, count(*) AS n_chunks,
+                 CAST(sum(n_words) AS BIGINT) AS n_words,
+                 CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+                 CAST(sum(CASE WHEN occ > 1 THEN n_words ELSE 0 END) AS BIGINT) AS dup_words
+                FROM CH JOIN OCC USING (chunk_h) GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(n_chunks, 0) AS n_chunks,
+            coalesce(a.n_words, 0) AS n_words,
+            coalesce(dup_chunks, 0) AS dup_chunks,
+            coalesce(dup_words, 0) AS dup_words
+          FROM documents d LEFT JOIN AGG a USING (doc_id)
+          ORDER BY d.doc_id""",
+
     // tokenizer fertility: q81's BPE chain re-used, per-source sums +
     // fixed-point subwords-per-word and chars-per-subword ratios
     "q114_tokenizer_fertility" ->

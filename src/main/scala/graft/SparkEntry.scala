@@ -1603,6 +1603,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunk dedup (Dedup.cdcDedupReport): rolling-hash
+    * cut points (3-gram hash ≡ 0 mod 16) chunk each doc, then chunk
+    * hashes dedup globally — the sub-document duplication view
+    * (boilerplate/quotes/partial copies) that document-level dedup
+    * can't see, edit-resilient where fixed windows misalign. Oracle
+    * replays cuts → spans → chunk md5s with DuckDB list ops and the
+    * shared gram-hash CTEs.
+    */
+  private def qCdcDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcDedupReport(t(s, dir, "documents"), "doc_id", "text", mask = 16)
+      .select(col("id").as("doc_id"), col("n_chunks"), col("n_words"),
+        col("dup_chunks"), col("dup_words"))
+      .orderBy(col("doc_id"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1720,7 +1734,8 @@ object SparkEntry {
     "q112_cluster_balance" -> (qClusterBalance _),
     "q113_dsir_select" -> (qDsirSelect _),
     "q114_tokenizer_fertility" -> (qTokenizerFertility _),
-    "q115_cluster_best" -> (qClusterBest _))
+    "q115_cluster_best" -> (qClusterBest _),
+    "q116_cdc_dedup" -> (qCdcDedup _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -420,6 +420,82 @@ object Dedup {
       .select(col("id"), col("cluster_id"), col("score"), col("kept"))
   }
 
+  /** Content-defined chunking (the FastCDC/rsync family, at word
+    * granularity): a cut falls after token `e` whenever the 3-token
+    * gram ENDING at `e` hashes to 0 mod `mask` — so boundaries are a
+    * function of local content, not position. An insertion or deletion
+    * re-synchronizes at the next content-derived boundary, leaving
+    * every following chunk identical; fixed windows
+    * ([[Chunker.chunkByTokens]]) misalign every window after the edit.
+    * Expected chunk length ≈ `mask` tokens; no min/max clamps — the
+    * stateless cut rule keeps the operator a pure per-row expression
+    * (and DuckDB-replayable).
+    *
+    * Scale shape: tokens → gram hashes → cuts → spans is one narrow
+    * codegen'd pass over arrays (the [[gramHashes]] machinery);
+    * posexplode emits ~len/mask rows per doc. No shuffle here at all.
+    *
+    * Output: (id, chunk_no, chunk_h, n_words) — `chunk_h` the 60-bit
+    * md5 of the space-joined chunk tokens.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      mask: Int = 16): DataFrame = {
+    require(mask >= 2, s"mask must be >= 2, got $mask")
+    val spans = docs
+      .select(col(idCol).as("id"),
+        tokens(lower(col(textCol))).as("tk"),
+        gramHashes(col(textCol), 3).as("hs"))
+      .withColumn("cuts", transform(
+        filter(when(size(col("hs")) > 0, sequence(lit(0), size(col("hs")) - 1))
+            .otherwise(array().cast("array<int>")),
+          p => get(col("hs"), p) % mask === 0),
+        p => p + 2))
+      .withColumn("spans", filter(
+        zip_with(
+          concat(array(lit(0)), transform(col("cuts"), e => e + 1)),
+          concat(col("cuts"), array(size(col("tk")) - 1)),
+          (s, e) => struct(s.as("s"), e.as("e"))),
+        sp => sp("s") <= sp("e")))
+    spans
+      .select(col("id"), col("tk"),
+        posexplode(col("spans")).as(Seq("chunk_no", "sp")))
+      .select(col("id"), col("chunk_no").cast("long").as("chunk_no"),
+        md5Long(array_join(
+          slice(col("tk"), col("sp.s") + 1, col("sp.e") - col("sp.s") + 1),
+          " ")).as("chunk_h"),
+        (col("sp.e") - col("sp.s") + 1).cast("long").as("n_words"))
+  }
+
+  /** Chunk-level dedup mass over [[cdcChunks]] — the storage/dedup
+    * view: how much of each document is made of chunks that occur
+    * more than once in the corpus (boilerplate, quoted passages,
+    * partial duplicates that document-level dedup can't see).
+    *
+    * Scale shape: one groupBy on the chunk hash (the same shuffle
+    * exact dedup pays) + one equi-join back on it; AQE handles hot
+    * boilerplate chunks. Final per-doc aggregate; docs with no tokens
+    * survive with zero counts via the left join.
+    *
+    * Output: (id, n_chunks, n_words, dup_chunks, dup_words).
+    */
+  def cdcDedupReport(docs: DataFrame, idCol: String, textCol: String,
+      mask: Int = 16): DataFrame = {
+    val ch = cdcChunks(docs, idCol, textCol, mask)
+    val occ = ch.groupBy(col("chunk_h")).agg(count(lit(1)).as("occ"))
+    val perDoc = ch.join(occ, Seq("chunk_h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_words")).as("n_words"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("occ") > 1, col("n_words")).otherwise(0L)).as("dup_words"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, bucketed
     * by sign-bit LSH to avoid the all-pairs join (see
     * [[Similarity.signBucket]]).

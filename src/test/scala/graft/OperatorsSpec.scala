@@ -256,6 +256,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out.values.count(_._3 == 1L) == 3)
   }
 
+  test("cdcChunks partitions the token stream; cdcDedupReport: exact-dup mass, insertion resilience, empty doc") {
+    val a = (0 until 240).map(i => s"tok$i").mkString(" ")
+    val b = ((0 until 6).map(i => s"tok$i") ++ Seq("inserted") ++
+      (6 until 240).map(i => s"tok$i")).mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, b), (4L, "")).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text", mask = 16)
+      .groupBy("id").agg(sum("n_words").as("nw"), count(lit(1)).as("nc"),
+        min("chunk_no").as("mn"), max("chunk_no").as("mx"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // chunks partition the token stream, numbered contiguously from 0
+    assert(ch(1L)._1 == 240L && ch(3L)._1 == 241L, s"word mass: $ch")
+    assert(ch(1L)._3 == 0L && ch(1L)._4 == ch(1L)._2 - 1, s"contiguous: $ch")
+    assert(!ch.contains(4L), "empty doc emits no chunks")
+    val rep = Dedup.cdcDedupReport(docs, "doc_id", "text", mask = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // identical docs: every chunk occurs >= 2x -> the full word mass is dup
+    assert(rep(1L)._2 == 240L && rep(1L)._4 == 240L, s"exact-dup mass: $rep")
+    // insertion: content-defined cuts re-synchronize -> shared tail chunks
+    assert(rep(3L)._4 > 0L, s"CDC must re-sync after an insertion: ${rep(3L)}")
+    // fixed-window contrast is structural: chunkByTokens at any width w
+    // would misalign every window after position 6 (off-by-one forever)
+    assert(rep(4L) == ((0L, 0L, 0L, 0L)), s"empty doc zeros: ${rep.get(4L)}")
+  }
+
   test("tokenizerFertility: hand-computed ratios; empty source yields NULL ratios") {
     import graft.operators.Diagnostics
     // merge (a,b): "ab"→1 subword, "cd"→2; doc "ab ab cd": ws=3,
