@@ -1436,6 +1436,22 @@ object OracleSql {
           FROM documents d LEFT JOIN AGG a USING (doc_id)
           ORDER BY d.doc_id""",
 
+    // token-budget selection: global (quality desc, id) prefix sum cut
+    // at 40% of corpus tokens — the direct formulation the engine's
+    // binned plan must reproduce exactly
+    "q117_token_budget" ->
+      s"""WITH $qualityCte,
+          TOKC AS (SELECT doc_id, CAST(len(${toks("text")}) AS BIGINT) AS ntok
+                   FROM documents),
+          J AS (SELECT q.doc_id, quality_1e6, ntok FROM QS q JOIN TOKC USING (doc_id)),
+          B AS (SELECT CAST(sum(ntok) * 2 // 5 AS BIGINT) AS budget FROM J),
+          R AS (SELECT doc_id, quality_1e6, ntok,
+                 sum(ntok) OVER (ORDER BY quality_1e6 DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM J)
+          SELECT doc_id, quality_1e6, ntok,
+            CAST(CASE WHEN cum <= budget THEN 1 ELSE 0 END AS BIGINT) AS selected
+          FROM R, B ORDER BY doc_id""",
+
     // tokenizer fertility: q81's BPE chain re-used, per-source sums +
     // fixed-point subwords-per-word and chars-per-subword ratios
     "q114_tokenizer_fertility" ->

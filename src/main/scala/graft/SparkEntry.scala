@@ -1617,6 +1617,25 @@ object SparkEntry {
         col("dup_chunks"), col("dup_words"))
       .orderBy(col("doc_id"))
 
+  /** Token-budget selection (Sampling.tokenBudgetSelect): keep the
+    * best-quality docs until 40% of the corpus tokens are spent — the
+    * final data-selection cut of a pretraining mix. The oracle is the
+    * straight global ordered-prefix-sum formulation; the engine must
+    * reproduce it bin-by-bin with only the boundary bin paying a rank
+    * window (never a global sort).
+    */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(col("doc_id"),
+      floor(TextAnalysis.qualityScoreRaw(col("text")) * 1000000.0)
+        .cast("long").as("q"),
+      graft.functions.tokenCount(col("text")).as("ntok"))
+    graft.operators.Sampling.tokenBudgetSelect(scored, col("doc_id"), col("q"),
+        col("ntok"), budgetNum = 2L, budgetDen = 5L)
+      .select(col("id").as("doc_id"), col("score").as("quality_1e6"),
+        col("ntok"), col("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1735,7 +1754,8 @@ object SparkEntry {
     "q113_dsir_select" -> (qDsirSelect _),
     "q114_tokenizer_fertility" -> (qTokenizerFertility _),
     "q115_cluster_best" -> (qClusterBest _),
-    "q116_cdc_dedup" -> (qCdcDedup _))
+    "q116_cdc_dedup" -> (qCdcDedup _),
+    "q117_token_budget" -> (qTokenBudget _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -328,4 +328,65 @@ object Sampling {
       .filter(col("_qg_value") >= col("_qg_lo") && col("_qg_value") <= col("_qg_hi"))
       .drop("_qg_value", "_qg_group", "_qg_group2", "_qg_lo", "_qg_hi")
   }
+
+  /** Token-budget selection — "keep the best docs until the token
+    * budget is spent": rank the corpus by (score DESC, key ASC) and
+    * select the prefix whose cumulative token count stays ≤ budget,
+    * where budget = total_tokens · budgetNum DIV budgetDen. The
+    * data-selection cut every curriculum/pretraining mix ends with
+    * ("best 40% of tokens by quality").
+    *
+    * The semantics are a GLOBAL ordered prefix sum, but the plan never
+    * globally sorts the corpus: integer scores bucket into
+    * `binWidth`-wide bins, per-bin token sums (≤ scoreRange/binWidth
+    * rows) take a tiny cumulative window, and every bin is then wholly
+    * in-budget, wholly out, or THE boundary bin — only the boundary
+    * bin's docs (≤ one bin of mass) pay a rank window. Equality with
+    * the ordered-prefix rule is exact because the global order
+    * (score DESC, key) refines the bin order.
+    *
+    * `score` must be a non-negative integer column (fixed-point
+    * quality scores — q41's quality_1e6 — fit directly).
+    *
+    * Output: (id, score, ntok, selected ∈ {0,1}); `selected = 1` iff
+    * the doc's inclusive cumulative token count ≤ budget (the budget
+    * is never exceeded).
+    */
+  def tokenBudgetSelect(df: DataFrame, key: Column, score: Column,
+      tok: Column, budgetNum: Long, budgetDen: Long,
+      binWidth: Long = 4096L): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0 && budgetNum <= budgetDen,
+      s"budget fraction must be in [0, 1]: $budgetNum/$budgetDen")
+    require(binWidth >= 1, s"binWidth must be positive: $binWidth")
+    val base = df.select(key.as("id"), score.cast("long").as("score"),
+        tok.cast("long").as("ntok"))
+      .withColumn("bin", expr(s"score DIV $binWidth"))
+    val budget = base.agg(
+      expr(s"sum(ntok) * $budgetNum DIV $budgetDen").as("_budget"))
+    val wBins = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val bins = base.groupBy(col("bin")).agg(sum(col("ntok")).as("_bs"))
+      .withColumn("_cum_incl", sum(col("_bs")).over(wBins))
+      .withColumn("_cum_before", col("_cum_incl") - col("_bs"))
+      .drop("_bs")
+    val tagged = base.join(broadcast(bins), Seq("bin"))
+      .crossJoin(broadcast(budget))
+    val easy = tagged
+      .filter(col("_cum_incl") <= col("_budget") ||
+        col("_cum_before") >= col("_budget"))
+      .withColumn("selected",
+        when(col("_cum_incl") <= col("_budget"), lit(1L)).otherwise(lit(0L)))
+    val wBoundary = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin")).orderBy(col("score").desc, col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val boundary = tagged
+      .filter(col("_cum_before") < col("_budget") &&
+        col("_cum_incl") > col("_budget"))
+      .withColumn("selected",
+        when(col("_cum_before") + sum(col("ntok")).over(wBoundary) <=
+          col("_budget"), lit(1L)).otherwise(lit(0L)))
+    easy.unionByName(boundary)
+      .select(col("id"), col("score"), col("ntok"), col("selected"))
+  }
 }

@@ -377,4 +377,31 @@ class ChunkerSamplingSpec extends SparkSpec {
     assert(rep.agg(sum("pad_tokens")).head.getLong(0) == waste(sortedAssign, toks))
     intercept[IllegalArgumentException](Chunker.lengthBatches(df, "k", "ntok", 0, 4))
   }
+
+  test("tokenBudgetSelect equals the global ordered-prefix rule; boundary bin splits mid-bin") {
+    // bins of width 100: {1,2}=bin9, {3}=bin8, {4}=bin5, {5,8}=bin4
+    // (the boundary bin — 5 selects, 8 does not), {6}=bin1, {7}=bin0
+    val rows = Seq((1L, 900L, 10L), (2L, 900L, 10L), (3L, 850L, 5L),
+      (4L, 500L, 20L), (5L, 450L, 6L), (8L, 450L, 3L),
+      (6L, 100L, 50L), (7L, 90L, 1L))
+    val out = Sampling.tokenBudgetSelect(rows.toDF("doc_id", "q", "ntok"),
+        col("doc_id"), col("q"), col("ntok"), budgetNum = 1L, budgetDen = 2L,
+        binWidth = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // naive replay of the oracle rule: (q desc, id) prefix, cum <= budget
+    val budget = rows.map(_._3).sum * 1L / 2L
+    var cum = 0L
+    val expected = rows.sortBy(r => (-r._2, r._1)).map { case (id, _, n) =>
+      cum += n; id -> (if (cum <= budget) 1L else 0L)
+    }.toMap
+    assert(out == expected, s"got $out, want $expected (budget $budget)")
+    // the boundary bin really split: one selected, one not, same bin
+    assert(out(5L) == 1L && out(8L) == 0L)
+    // budget never exceeded, and the next doc IN ORDER would exceed it
+    val spent = rows.filter(r => out(r._1) == 1L).map(_._3).sum
+    assert(spent <= budget && spent + 3L > budget) // doc 8 is next in order
+    intercept[IllegalArgumentException](Sampling.tokenBudgetSelect(
+      rows.toDF("doc_id", "q", "ntok"), col("doc_id"), col("q"), col("ntok"),
+      3L, 2L))
+  }
 }
