@@ -338,12 +338,12 @@ object Sampling {
     *
     * The semantics are a GLOBAL ordered prefix sum, but the plan never
     * globally sorts the corpus: integer scores bucket into
-    * `binWidth`-wide bins, per-bin token sums (≤ scoreRange/binWidth
-    * rows) take a tiny cumulative window, and every bin is then wholly
-    * in-budget, wholly out, or THE boundary bin — only the boundary
-    * bin's docs (≤ one bin of mass) pay a rank window. Equality with
-    * the ordered-prefix rule is exact because the global order
-    * (score DESC, key) refines the bin order.
+    * `binWidth`-wide bins, the per-bin token sums (≤ scoreRange /
+    * binWidth rows) walk cumulatively on the driver, and every bin is
+    * then wholly in-budget (literal 1), wholly out (literal 0), or THE
+    * boundary bin — only the boundary bin's docs (≤ one bin of mass)
+    * pay a rank window. Equality with the ordered-prefix rule is exact
+    * because the global order (score DESC, key) refines the bin order.
     *
     * `score` must be a non-negative integer column (fixed-point
     * quality scores — q41's quality_1e6 — fit directly).
@@ -358,35 +358,43 @@ object Sampling {
     require(budgetNum >= 0 && budgetDen > 0 && budgetNum <= budgetDen,
       s"budget fraction must be in [0, 1]: $budgetNum/$budgetDen")
     require(binWidth >= 1, s"binWidth must be positive: $binWidth")
+    // narrow (id, score, ntok, bin) projection materialized once —
+    // three consumers below (bin stats, easy filter, boundary window)
+    // must not re-derive the caller's score chain per branch
     val base = df.select(key.as("id"), score.cast("long").as("score"),
         tok.cast("long").as("ntok"))
       .withColumn("bin", expr(s"score DIV $binWidth"))
-    val budget = base.agg(
-      expr(s"sum(ntok) * $budgetNum DIV $budgetDen").as("_budget"))
-    val wBins = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bin").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val bins = base.groupBy(col("bin")).agg(sum(col("ntok")).as("_bs"))
-      .withColumn("_cum_incl", sum(col("_bs")).over(wBins))
-      .withColumn("_cum_before", col("_cum_incl") - col("_bs"))
-      .drop("_bs")
-    val tagged = base.join(broadcast(bins), Seq("bin"))
-      .crossJoin(broadcast(budget))
-    val easy = tagged
-      .filter(col("_cum_incl") <= col("_budget") ||
-        col("_cum_before") >= col("_budget"))
-      .withColumn("selected",
-        when(col("_cum_incl") <= col("_budget"), lit(1L)).otherwise(lit(0L)))
-    val wBoundary = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bin")).orderBy(col("score").desc, col("id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val boundary = tagged
-      .filter(col("_cum_before") < col("_budget") &&
-        col("_cum_incl") > col("_budget"))
-      .withColumn("selected",
-        when(col("_cum_before") + sum(col("ntok")).over(wBoundary) <=
-          col("_budget"), lit(1L)).otherwise(lit(0L)))
-    easy.unionByName(boundary)
-      .select(col("id"), col("score"), col("ntok"), col("selected"))
+      .localCheckpoint()
+    // per-bin token sums are control-plane small (≤ scoreRange /
+    // binWidth rows — 245 for q41-style 1e6 scores): the cumulative
+    // walk happens on the driver, like centroid seeds or split bounds
+    val bins = base.groupBy(col("bin")).agg(sum(col("ntok")).as("bs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val budget = bins.map(_._2).sum * budgetNum / budgetDen
+    var cum = 0L
+    var boundary: Option[(Long, Long)] = None // (bin, tokens before it)
+    for ((b, bs) <- bins if boundary.isEmpty) {
+      if (cum + bs > budget) boundary = Some((b, cum))
+      cum += bs
+    }
+    boundary match {
+      case None => // every bin fits: the whole corpus selects
+        base.select(col("id"), col("score"), col("ntok"),
+          lit(1L).as("selected"))
+      case Some((bLow, cumBefore)) =>
+        val easy = base.filter(col("bin") =!= bLow)
+          .withColumn("selected",
+            when(col("bin") > bLow, lit(1L)).otherwise(lit(0L)))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bin")).orderBy(col("score").desc, col("id"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val bnd = base.filter(col("bin") === bLow)
+          .withColumn("selected",
+            when(lit(cumBefore) + sum(col("ntok")).over(w) <= budget,
+              lit(1L)).otherwise(lit(0L)))
+        easy.unionByName(bnd)
+          .select(col("id"), col("score"), col("ntok"), col("selected"))
+    }
   }
 }

@@ -260,4 +260,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"cell assign must be map-side:\n$p")
     assert(p.contains("dot_fold"), "assignment must use the native dot expression")
   }
+
+  test("cluster-best pick: the rank window is keyed by cluster, never global") {
+    val p = plan("q115_cluster_best")
+    val winLine = p.linesIterator.find(_.contains("row_number()")).getOrElse("")
+    assert(winLine.contains("windowspecdefinition(cluster_id"),
+      s"kept-pick must rank within clusters only:\n$winLine")
+  }
+
+  test("CDC chunking is one narrow pass: zero exchanges before the chunk-hash shuffle") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.operators.Dedup.cdcChunks(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"),
+      s"cuts/spans/chunk hashes must never shuffle:\n$p")
+  }
+
+  test("token budget: no global sort; only the boundary bin pays a window") {
+    val p = plan("q117_token_budget")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty &&
+      winLines.forall(_.contains("windowspecdefinition(bin")),
+      s"every window must be keyed by the boundary bin:\n${winLines.mkString("\n")}")
+  }
 }
