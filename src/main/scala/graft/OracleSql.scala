@@ -54,13 +54,10 @@ object OracleSql {
        ELSE []::BIGINT[] END"""
   }
 
-  /** Shared CTE chain of q44/q57 — exact-dedup keepers → LSH-pair
-    * recursive-reachability pruning → gate signals (G ends with
-    * quality_1e6 + predicted_lang per survivor).
+  /** Exact-dedup keepers + LSH reachability clusters — ends with
+    * CL(node, cluster_id). Shared prefix of q44/q57/q118.
     */
-  private def curationCtes: String = {
-    val langs = TextAnalysis.stopwords.keys.toSeq.sorted // de, en, es, fr
-    val hits = langs.map(l => s"${hitsSql("text", l)} AS h_$l").mkString(", ")
+  private def dedupClusterCtes: String =
     s"""KEEP AS (SELECT * FROM documents
                  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
         ${lshPairCtes("KEEP")},
@@ -70,16 +67,21 @@ object OracleSql {
           SELECT src, src FROM EDGES
           UNION
           SELECT e.dst, r.r FROM REACH r JOIN EDGES e ON e.src = r.node),
-        CL AS (SELECT node, min(r) AS cluster_id FROM REACH GROUP BY node),
-        SURV AS (SELECT * FROM KEEP
-                 WHERE doc_id NOT IN (SELECT node FROM CL WHERE node <> cluster_id)),
-        BASE AS (SELECT doc_id,
+        CL AS (SELECT node, min(r) AS cluster_id FROM REACH GROUP BY node)"""
+
+  /** Quality + language gate signals over `src` — ends with
+    * G(doc_id, quality_1e6, predicted_lang).
+    */
+  private def gateCtes(src: String): String = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted // de, en, es, fr
+    val hits = langs.map(l => s"${hitsSql("text", l)} AS h_$l").mkString(", ")
+    s"""BASE AS (SELECT doc_id,
             length(coalesce(text,''))::DOUBLE AS len,
             len(${toks("text")})::DOUBLE AS ntok,
             len(regexp_extract_all(coalesce(text,''), '[0-9]'))::DOUBLE AS digits,
             ${hitsSql("text", "en")}::DOUBLE AS stops,
             $hits
-          FROM SURV),
+          FROM $src),
         SC AS (SELECT doc_id,
             CASE WHEN len >= 100 AND len <= 10000 THEN 1.0::DOUBLE
                  WHEN len < 100 THEN len / 100.0::DOUBLE
@@ -97,6 +99,16 @@ object OracleSql {
                  ELSE 'fr' END AS predicted_lang
           FROM SC)"""
   }
+
+  /** Shared CTE chain of q44/q57 — exact-dedup keepers → LSH-pair
+    * recursive-reachability pruning (min-id survivor) → gate signals
+    * (G ends with quality_1e6 + predicted_lang per survivor).
+    */
+  private def curationCtes: String =
+    s"""$dedupClusterCtes,
+        SURV AS (SELECT * FROM KEEP
+                 WHERE doc_id NOT IN (SELECT node FROM CL WHERE node <> cluster_id)),
+        ${gateCtes("SURV")}"""
 
   /** Left-to-right double fold — mirror of functions.dot. */
   private def dotSql(a: String, b: String): String =
@@ -1451,6 +1463,41 @@ object OracleSql {
           SELECT doc_id, quality_1e6, ntok,
             CAST(CASE WHEN cum <= budget THEN 1 ELSE 0 END AS BIGINT) AS selected
           FROM R, B ORDER BY doc_id""",
+
+    // curation v3: the q57 chain with (a) clusters keeping their BEST-
+    // quality member instead of min-id (q115's rank) and (b) the final
+    // q117 token-budget prefix cut over the clean survivors
+    "q118_curation_v3" ->
+      s"""WITH RECURSIVE $dedupClusterCtes,
+          ${gateCtes("KEEP")},
+          JB AS (SELECT k.doc_id, coalesce(cl.cluster_id, k.doc_id) AS cluster_id,
+                 g.quality_1e6, g.predicted_lang
+                FROM KEEP k JOIN G g USING (doc_id)
+                LEFT JOIN CL cl ON cl.node = k.doc_id),
+          BEST AS (SELECT doc_id, quality_1e6, predicted_lang FROM (
+                SELECT *, row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY quality_1e6 DESC, doc_id) AS rn FROM JB)
+              WHERE rn = 1),
+          ${benchGramsCte()},
+          CONTAM AS (SELECT DISTINCT d.doc_id
+                 FROM (SELECT doc_id, unnest(${shingles3("text")}) AS gram
+                       FROM documents) d JOIN BG USING (gram)),
+          REP AS (SELECT doc_id, ${repFixedSql("g")} AS rep_1e6
+              FROM (SELECT doc_id, ${rawShingles3("text")} AS g FROM documents)),
+          TOKC AS (SELECT doc_id, CAST(len(${toks("text")}) AS BIGINT) AS ntok
+                   FROM documents),
+          SURV3 AS (SELECT b.doc_id, b.quality_1e6, b.predicted_lang, t.ntok
+                FROM BEST b JOIN REP r USING (doc_id) JOIN TOKC t USING (doc_id)
+                WHERE b.quality_1e6 >= 600000 AND b.predicted_lang = 'en'
+                  AND r.rep_1e6 < 500000
+                  AND b.doc_id NOT IN (SELECT doc_id FROM CONTAM)),
+          BGT AS (SELECT CAST(sum(ntok) * 2 // 5 AS BIGINT) AS budget FROM SURV3),
+          R AS (SELECT doc_id, quality_1e6, predicted_lang, ntok,
+                 sum(ntok) OVER (ORDER BY quality_1e6 DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM SURV3)
+          SELECT doc_id, quality_1e6, predicted_lang, ntok
+          FROM R, BGT WHERE cum <= budget ORDER BY doc_id""",
 
     // tokenizer fertility: q81's BPE chain re-used, per-source sums +
     // fixed-point subwords-per-word and chars-per-subword ratios

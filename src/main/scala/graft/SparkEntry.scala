@@ -1636,6 +1636,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Curation v3 (Curation.curateV3): the q57 pipeline where near-dup
+    * clusters keep their best-quality member (q115's rank) and the
+    * clean survivors take the final 40%-of-tokens budget cut (q117) —
+    * the full corpus-construction story in one composite. The oracle
+    * chains the shared dedup-cluster, gate, bench-gram, repetition,
+    * and budget-prefix CTEs.
+    */
+  private def qCurationV3(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Curation.curateV3(docs,
+        docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000))
+      .select(col("doc_id"), col("quality_1e6"), col("predicted_lang"),
+        col("ntok"))
+      .orderBy(col("doc_id"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1755,7 +1771,8 @@ object SparkEntry {
     "q114_tokenizer_fertility" -> (qTokenizerFertility _),
     "q115_cluster_best" -> (qClusterBest _),
     "q116_cdc_dedup" -> (qCdcDedup _),
-    "q117_token_budget" -> (qTokenBudget _))
+    "q117_token_budget" -> (qTokenBudget _),
+    "q118_curation_v3" -> (qCurationV3 _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

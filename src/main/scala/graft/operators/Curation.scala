@@ -85,4 +85,66 @@ object Curation {
         lit(1000000.0)).cast("long") < maxRep1e6)
       .join(flagged, col(idCol) === col("_contaminated_id"), "left_anti")
   }
+
+  /** [[curateV2]] with the round-7 upgrades a production pipeline ends
+    * with:
+    *
+    *   - near-dup clusters keep their BEST-quality member
+    *     ([[Dedup.keepBestOfCluster]]) instead of the min id — the
+    *     cleanest copy survives, not the first-crawled one;
+    *   - after all gates, the corpus takes the final token-budget cut
+    *     ([[Sampling.tokenBudgetSelect]]): the best `budgetNum/
+    *     budgetDen` of the surviving tokens by quality.
+    *
+    * Plan discipline: quality is computed ONCE per exact-dedup
+    * survivor (the same gates struct serves best-of selection, the
+    * quality gate, and the budget ranking); the budget cut adds one
+    * bounded bin aggregate + a boundary-bin window, never a global
+    * sort.
+    *
+    * Output: (idCol, quality_1e6, predicted_lang, ntok) for the docs
+    * that make the cut.
+    */
+  def curateV3(docs: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minQuality1e6: Long = 600000L, lang: String = "en",
+      maxRep1e6: Long = 500000L, repetitionN: Int = 3,
+      decontamN: Int = 3, minShared: Long = 1L,
+      budgetNum: Long = 2L, budgetDen: Long = 5L,
+      bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+    val keepExact = Dedup.exact(docs, col(idCol), col(textCol)).select(col("keep_id"))
+    val kept = docs.join(keepExact, docs(idCol) === keepExact("keep_id"), "left_semi")
+      .localCheckpoint(true)
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(kept, idCol, textCol, bands, rowsPerBand, n))
+    // one gates struct per exact-dedup survivor, materialized once:
+    // best-of selection needs quality BEFORE near-dup pruning
+    val gated = kept
+      .select(col(idCol), col(textCol),
+        TextAnalysis.curationGates(col(textCol)).as("_g"))
+      .localCheckpoint(true)
+    val best = Dedup.keepBestOfCluster(
+        gated.select(col(idCol).as("id"), col("_g.quality_1e6").as("score")),
+        clusters)
+      .filter(col("kept") === 1L).select(col("id"))
+    val survivors = gated
+      .join(best, gated(idCol) === best("id"), "left_semi")
+      .filter(col("_g.quality_1e6") >= minQuality1e6 &&
+        col("_g.predicted_lang") === lang &&
+        floor(TextAnalysis.repetitionRatio(col(textCol), repetitionN) *
+          lit(1000000.0)).cast("long") < maxRep1e6)
+    val flagged = Decontaminate
+      .sharedNgrams(survivors, idCol, textCol, bench, textCol, decontamN, minShared)
+      .select(col("doc_id").as("_contaminated_id"))
+    val clean = survivors
+      .join(flagged, col(idCol) === col("_contaminated_id"), "left_anti")
+      .select(col(idCol),
+        col("_g.quality_1e6").as("quality_1e6"),
+        col("_g.predicted_lang").as("predicted_lang"),
+        graft.functions.tokenCount(col(textCol)).as("ntok"))
+    val cut = Sampling.tokenBudgetSelect(clean, col(idCol),
+        col("quality_1e6"), col("ntok"), budgetNum, budgetDen)
+      .filter(col("selected") === 1L).select(col("id"))
+    clean.join(cut, clean(idCol) === cut("id"), "left_semi")
+  }
 }

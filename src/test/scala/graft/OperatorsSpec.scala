@@ -482,6 +482,34 @@ class OperatorsSpec extends SparkSpec {
     assert(v2 == Set(1L), s"repetition and contamination must drop 2 and 3: $v2")
   }
 
+  test("curateV3 keeps the best-quality near-dup member and applies the token-budget cut") {
+    import graft.operators.Curation
+    val base = "the quick data table is in it for a full scan and the merge " +
+      "of sorted rows with many unique extra words spread out to reach enough length"
+    val good2 = "a wide report of the files is it for the user and the state " +
+      "of parsed notes with calm plain other terms laid out to reach enough size"
+    val repeaty = ("the data the data " * 10).trim + " it is for a scan"
+    val leaked = "a scan runs on the big table for it is of the data row and " +
+      "columns in a stream that keeps going until the unique leaked benchmark phrase here"
+    // {1, 5} are near-dups (one appended token); 1 has the digit
+    // penalty, so 5 — the LARGER id — is the better-quality member
+    val docs = Seq((1L, base + " 77"), (5L, base), (4L, good2),
+      (2L, repeaty), (3L, leaked)).toDF("doc_id", "text")
+    val bench = Seq((100L, "unique leaked benchmark phrase here")).toDF("doc_id", "text")
+    val all = Curation.curateV3(docs, bench, budgetNum = 1L, budgetDen = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // best-of keeps 5 (not min-id 1); repetition drops 2, decontam drops 3
+    assert(all.map(_._1).toSet == Set(4L, 5L), s"v3 survivors: ${all.toSeq}")
+    // tight budget: survivors cut to the (quality desc, id) token prefix
+    val budget = all.map(_._3).sum / 2
+    var cum = 0L
+    val expect = all.sortBy(t => (-t._2, t._1))
+      .takeWhile { t => cum += t._3; cum <= budget }.map(_._1).toSet
+    val cut = Curation.curateV3(docs, bench, budgetNum = 1L, budgetDen = 2L)
+      .collect().map(_.getLong(0)).toSet
+    assert(cut == expect, s"budget cut: $cut vs $expect")
+  }
+
   test("repetitionRatio measures duplicate n-gram mass; short docs are 0") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),   // all 3-grams identical
