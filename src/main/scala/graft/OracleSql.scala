@@ -1499,6 +1499,40 @@ object OracleSql {
           SELECT doc_id, quality_1e6, predicted_lang, ntok
           FROM R, BGT WHERE cum <= budget ORDER BY doc_id""",
 
+    // hard negatives: q60's pruned-term BM25 per seed, minus each
+    // seed's LSH near-dups (q18's PAIRS, both orientations), ranked
+    // AFTER the exclusion
+    "q119_hard_negatives" -> {
+      val qt = """QT0 AS (SELECT doc_id AS query_id, unnest(list_distinct(tk)) AS term
+                  FROM D WHERE doc_id % 200 = 0 AND doc_id < 5000),
+          DFX AS (SELECT term, CAST(count(*) AS BIGINT) AS dfx
+                  FROM (SELECT doc_id, unnest(list_distinct(tk)) AS term FROM D)
+                  GROUP BY term),
+          QT AS (SELECT query_id, term FROM (
+                  SELECT q.query_id, q.term,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY x.dfx, q.term) AS tr
+                  FROM QT0 q JOIN DFX x USING (term))
+                 WHERE tr <= 16)"""
+      s"""WITH ${bm25ScCtes("term IN (SELECT term FROM QT)", mid = qt)},
+          BS AS (SELECT q.query_id, s.doc_id, CAST(sum(s.c) AS BIGINT) AS bm25_1e6
+                FROM SC s JOIN QT q USING (term)
+                GROUP BY q.query_id, s.doc_id),
+          ${lshPairCtes("documents")},
+          ND AS (SELECT id_a AS query_id, id_b AS doc_id FROM PAIRS
+                 UNION ALL SELECT id_b, id_a FROM PAIRS),
+          FR AS (SELECT b.query_id, b.doc_id, b.bm25_1e6 FROM BS b
+                 WHERE b.doc_id <> b.query_id AND NOT EXISTS (
+                   SELECT 1 FROM ND n
+                   WHERE n.query_id = b.query_id AND n.doc_id = b.doc_id)),
+          RK AS (SELECT query_id, doc_id, bm25_1e6,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY bm25_1e6 DESC, doc_id) AS rank
+                 FROM FR)
+          SELECT query_id, doc_id AS neg_id, bm25_1e6, CAST(rank AS BIGINT) AS rank
+          FROM RK WHERE rank <= 10 ORDER BY query_id, rank"""
+    },
+
     // tokenizer fertility: q81's BPE chain re-used, per-source sums +
     // fixed-point subwords-per-word and chars-per-subword ratios
     "q114_tokenizer_fertility" ->

@@ -1652,6 +1652,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Hard-negative mining (Retrieval.hardNegatives): per seed, the
+    * top-10 BM25 candidates that are NOT MinHash-LSH near-dups of the
+    * seed — the bi-encoder training negatives. Oracle composes q60's
+    * pruned-seed-term BM25 chain with q18's LSH pair CTEs and ranks
+    * after the exclusion.
+    */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Retrieval.hardNegatives(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 200 === 0 && col("doc_id") < 5000), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1772,7 +1785,8 @@ object SparkEntry {
     "q115_cluster_best" -> (qClusterBest _),
     "q116_cdc_dedup" -> (qCdcDedup _),
     "q117_token_budget" -> (qTokenBudget _),
-    "q118_curation_v3" -> (qCurationV3 _))
+    "q118_curation_v3" -> (qCurationV3 _),
+    "q119_hard_negatives" -> (qHardNegatives _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -93,4 +93,53 @@ object Retrieval {
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(lexical, dense), k, c)
   }
+
+  /** Hard-negative mining for retrieval/contrastive training: for each
+    * seed document, the top-`k` BM25-scoring corpus docs that are NOT
+    * near-duplicates of it — lexically confusable yet genuinely
+    * different, exactly the negatives a bi-encoder learns most from.
+    * Scoring near-dups as negatives poisons training (they're secretly
+    * positives), so candidates sharing a MinHash-LSH cluster edge with
+    * the seed are excluded BEFORE the top-k rank.
+    *
+    * Scale shape: the BM25 side is [[hybridMoreLikeThis]]'s lexical
+    * path (df-pruned seed terms, one corpus scoring pass); the
+    * exclusion list is the corpus's standard LSH pair artifact
+    * restricted to pairs touching a seed (seeds are bounded, so the
+    * anti-join build side is tiny) — a pipeline that already ran dedup
+    * passes its pair table in for free.
+    *
+    * Output: (query_id, neg_id, bm25_1e6, rank), rank 1-based AFTER
+    * exclusion.
+    */
+  def hardNegatives(docs: DataFrame, idCol: String, textCol: String,
+      seedDocs: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, maxQueryTerms: Int = 16,
+      bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+    require(k >= 1, s"need k>=1, got $k")
+    val seeds = TextSearch.collectQueries(
+      seedDocs.select(col(idCol).cast("string").as("qid"), col(textCol).as("qtext")),
+      "qid", "qtext")
+    val seedIds = seeds.map(_._1.toLong)
+    val fullPairs = seeds.flatMap { case (qid, q) =>
+      TextSearch.queryTerms(q).map((qid, _)) }
+    val pruned = TextSearch.pruneQueryTermsByDf(docs, idCol, textCol,
+      fullPairs, maxQueryTerms)
+    require(pruned.nonEmpty, "no seed term appears in the corpus")
+    val scored = TextSearch.bm25ManyPairs(docs, idCol, textCol, pruned, k1, b)
+      .withColumn("query_id", col("query_id").cast("long"))
+      .filter(col("doc_id") =!= col("query_id"))
+    val lsh = Dedup.minhashLshPairs(docs, idCol, textCol, bands, rowsPerBand, n)
+    val nearDups = lsh
+      .select(col("id_a").as("query_id"), col("id_b").as("doc_id"))
+      .unionByName(lsh.select(col("id_b").as("query_id"), col("id_a").as("doc_id")))
+      .filter(col("query_id").isin(seedIds: _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25_1e6").desc, col("doc_id"))
+    scored.join(nearDups, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id").as("neg_id"),
+        col("bm25_1e6"), col("rank"))
+  }
 }

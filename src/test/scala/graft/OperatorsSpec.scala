@@ -510,6 +510,30 @@ class OperatorsSpec extends SparkSpec {
     assert(cut == expect, s"budget cut: $cut vs $expect")
   }
 
+  test("hardNegatives ranks lexical matches but never near-dups of the seed") {
+    import graft.operators.Retrieval
+    // 14 distinct terms — UNDER the 16-term MoreLikeThis cap, so the
+    // df-prune keeps the hardNeg-shared terms too
+    val seed = "zephyr quartz marble onyx travertine granite slate basalt " +
+      "pumice obsidian limestone gneiss schist shale"
+    val nearDup = seed + " extra" // one appended token -> LSH near-dup
+    val hardNeg = "zephyr quartz marble onyx pebble gravel sand clay silt " +
+      "loam dust mica feldspar quartzite dolomite gypsum talc calcite halite"
+    val unrelated = "apples pears plums cherries grapes melons figs dates " +
+      "kiwis mangos papayas guavas lychees quinces apricots nectarines"
+    val docs = Seq((10L, seed), (2L, nearDup), (3L, hardNeg), (4L, unrelated))
+      .toDF("doc_id", "text")
+    val out = Retrieval.hardNegatives(docs, "doc_id", "text",
+        docs.filter(col("doc_id") === 10L), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.forall(_._1 == 10L), s"one seed only: ${out.toSeq}")
+    val negs = out.sortBy(_._3).map(_._2).toSeq
+    assert(!negs.contains(2L), s"near-dup must be excluded: $negs")
+    assert(!negs.contains(10L), s"seed excludes itself: $negs")
+    assert(negs.headOption.contains(3L),
+      s"the term-sharing non-dup must rank first: $negs")
+  }
+
   test("repetitionRatio measures duplicate n-gram mass; short docs are 0") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),   // all 3-grams identical
