@@ -1533,6 +1533,25 @@ object OracleSql {
           FROM RK WHERE rank <= 10 ORDER BY query_id, rank"""
     },
 
+    // minhash estimator audit: signature-agreement estimate (q18's SIG)
+    // next to the exact shingle jaccard (q20's formula) per LSH pair
+    "q120_minhash_estimate" ->
+      s"""WITH ${lshPairCtes("documents")},
+          SH AS (SELECT doc_id, ${shingles3("text")} AS sh FROM documents),
+          M AS (SELECT p.id_a, p.id_b,
+                 CAST(len(list_filter(range(16),
+                   i -> sa.sig[i+1] = sb.sig[i+1])) AS BIGINT) AS matches
+                FROM PAIRS p JOIN SIG sa ON sa.doc_id = p.id_a
+                JOIN SIG sb ON sb.doc_id = p.id_b)
+          SELECT m.id_a, m.id_b,
+            matches * 1000000 // 16 AS est_jaccard_1e6,
+            cast(floor((CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+              ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END)
+              * 1000000.0) as bigint) AS jaccard_1e6
+          FROM M m JOIN SH a ON a.doc_id = m.id_a JOIN SH b ON b.doc_id = m.id_b
+          ORDER BY id_a, id_b""",
+
     // tokenizer fertility: q81's BPE chain re-used, per-source sums +
     // fixed-point subwords-per-word and chars-per-subword ratios
     "q114_tokenizer_fertility" ->

@@ -1665,6 +1665,15 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** MinHash estimator audit (Dedup.minhashJaccardEstimate): for each
+    * LSH candidate pair, the signature-agreement Jaccard estimate next
+    * to the exact shingle Jaccard. Oracle replays both from q18's SIG
+    * and PAIRS CTEs plus q20's exact formula.
+    */
+  private def qMinhashEstimate(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashJaccardEstimate(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1786,7 +1795,8 @@ object SparkEntry {
     "q116_cdc_dedup" -> (qCdcDedup _),
     "q117_token_budget" -> (qTokenBudget _),
     "q118_curation_v3" -> (qCurationV3 _),
-    "q119_hard_negatives" -> (qHardNegatives _))
+    "q119_hard_negatives" -> (qHardNegatives _),
+    "q120_minhash_estimate" -> (qMinhashEstimate _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -293,6 +293,39 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** MinHash-estimated Jaccard alongside the exact value for every LSH
+    * candidate pair — the estimator-quality view. The estimate is the
+    * signature-agreement fraction (matching components / k, the
+    * textbook unbiased MinHash estimator); the exact value is the
+    * shingle-set Jaccard. At corpus scale the exact set intersection
+    * is what you CANNOT afford beyond the candidate set, while the
+    * estimate is a narrow zip over two k-int arrays the LSH pass
+    * already materialized — this operator emits both on the (bounded)
+    * candidate pairs so the estimator's error is measured on real data
+    * before a pipeline trusts it standalone (e.g. as a cheap
+    * pair-confirmation threshold replacing [[ngramJaccard]]).
+    *
+    * Output: (id_a, id_b, est_jaccard_1e6, jaccard_1e6).
+    */
+  def minhashJaccardEstimate(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = minhashSignatures(df, idCol, textCol, n, k).localCheckpoint()
+    val pairs = minhashLshPairs(df, idCol, textCol, bands, rowsPerBand, n)
+    val est = pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("matches"))
+      .withColumn("est_jaccard_1e6", expr(s"matches * 1000000L DIV ${k}L"))
+    val exact = ngramJaccard(df, idCol, textCol, pairs, n)
+    est.join(exact, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard_1e6"),
+        floor(col("jaccard") * 1000000.0).cast("long").as("jaccard_1e6"))
+  }
+
   /** Asymmetric n-gram CONTAINMENT for candidate pairs: |A∩B| / |A|
     * and |A∩B| / |B| in 1e6 fixed point. Jaccard under-scores a short
     * document fully embedded in a long one (quotation, excerpting,

@@ -534,6 +534,20 @@ class OperatorsSpec extends SparkSpec {
       s"the term-sharing non-dup must rank first: $negs")
   }
 
+  test("minhashJaccardEstimate: exact-dup pairs estimate 1e6; near-dups track exact") {
+    val a = (0 until 60).map(i => s"m$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, a + " tail")).toDF("doc_id", "text")
+    val out = Dedup.minhashJaccardEstimate(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // identical docs: identical signatures AND identical shingle sets
+    assert(out((1L, 2L)) == ((1000000L, 1000000L)), s"exact pair: $out")
+    // near-dup: exact J = 58/59; k=16 estimate within its error band
+    val (est, exact) = out((1L, 3L))
+    assert(exact > 900000L, s"planted near-dup must have high exact J: $exact")
+    assert((est - exact).abs <= 400000L, s"estimate tracks exact: $est vs $exact")
+  }
+
   test("repetitionRatio measures duplicate n-gram mass; short docs are 0") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),   // all 3-grams identical
