@@ -1552,6 +1552,36 @@ object OracleSql {
           FROM M m JOIN SH a ON a.doc_id = m.id_a JOIN SH b ON b.doc_id = m.id_b
           ORDER BY id_a, id_b""",
 
+    // source near-dup matrix: q18's PAIRS joined to sources twice,
+    // unordered pair via least/greatest
+    "q121_source_near_dups" ->
+      s"""WITH ${lshPairCtes("documents")},
+          S AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL)
+          SELECT least(sa.source, sb.source) AS source_a,
+            greatest(sa.source, sb.source) AS source_b,
+            CAST(count(*) AS BIGINT) AS n_pairs
+          FROM PAIRS p JOIN S sa ON sa.doc_id = p.id_a
+          JOIN S sb ON sb.doc_id = p.id_b
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // per-source percentile calibration: the direct rank-window
+    // formulation ((rank-1)*1e6 // (n-1), min rank on ties) the
+    // engine's counts-based plan must reproduce exactly
+    "q122_score_calibration" ->
+      s"""WITH $qualityCte,
+          B AS (SELECT d.doc_id, d.source, q.quality_1e6
+                FROM documents d JOIN QS q USING (doc_id)
+                WHERE d.source IS NOT NULL),
+          R AS (SELECT doc_id, source, quality_1e6,
+                 CAST(rank() OVER (PARTITION BY source
+                   ORDER BY quality_1e6) AS BIGINT) AS rk,
+                 CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+                FROM B)
+          SELECT doc_id, source, quality_1e6,
+            CAST(CASE WHEN n <= 1 THEN 0
+                 ELSE (rk - 1) * 1000000 // (n - 1) END AS BIGINT) AS pct_1e6
+          FROM R ORDER BY doc_id""",
+
     // tokenizer fertility: q81's BPE chain re-used, per-source sums +
     // fixed-point subwords-per-word and chars-per-subword ratios
     "q114_tokenizer_fertility" ->

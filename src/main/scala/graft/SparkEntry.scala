@@ -1674,6 +1674,34 @@ object SparkEntry {
     Dedup.minhashJaccardEstimate(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Source near-dup matrix (Diagnostics.sourceNearDupMatrix): LSH
+    * candidate pairs per unordered source pair — whole-document
+    * duplication pressure between feeds (the gram-level q92 sees only
+    * shared phrases). Oracle joins q18's PAIRS to sources twice.
+    */
+  private def qSourceNearDups(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.sourceNearDupMatrix(
+        t(s, dir, "documents"), "doc_id", "text", "source")
+      .orderBy(col("source_a"), col("source_b"))
+
+  /** Per-source score calibration (Sampling.percentileCalibrate):
+    * q41 quality mapped onto each source's own percentile scale. The
+    * oracle is the direct rank-window formulation; the engine must
+    * reproduce it from (stratum, score) counts with no corpus-wide
+    * window.
+    */
+  private def qScoreCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        floor(TextAnalysis.qualityScoreRaw(col("text")) * 1000000.0)
+          .cast("long").as("q"))
+    graft.operators.Sampling.percentileCalibrate(scored, col("doc_id"),
+        col("source"), col("q"))
+      .select(col("id").as("doc_id"), col("stratum").as("source"),
+        col("score").as("quality_1e6"), col("pct_1e6"))
+      .orderBy(col("doc_id"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1796,7 +1824,9 @@ object SparkEntry {
     "q117_token_budget" -> (qTokenBudget _),
     "q118_curation_v3" -> (qCurationV3 _),
     "q119_hard_negatives" -> (qHardNegatives _),
-    "q120_minhash_estimate" -> (qMinhashEstimate _))
+    "q120_minhash_estimate" -> (qMinhashEstimate _),
+    "q121_source_near_dups" -> (qSourceNearDups _),
+    "q122_score_calibration" -> (qScoreCalibration _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

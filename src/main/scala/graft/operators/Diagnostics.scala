@@ -98,6 +98,37 @@ object Diagnostics {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Near-dup leakage matrix between sources: the corpus's MinHash-LSH
+    * candidate pairs ([[Dedup.minhashLshPairs]]) aggregated by
+    * unordered source pair — which feeds duplicate WHICH. The
+    * gram-level view ([[sourceGramOverlap]]) sees shared boilerplate
+    * phrases; this sees whole-document duplication pressure — the
+    * number a corpus builder reads before deciding which source to
+    * dedup against which. Diagonal rows (same source twice) count
+    * intra-source near-dups.
+    *
+    * Scale shape: the pair stream is the dedup pipeline's existing
+    * artifact (bounded by duplicate mass); two id→source joins and one
+    * bounded |sources|² groupBy on top.
+    *
+    * Output: (source_a, source_b, n_pairs), source_a ≤ source_b.
+    */
+  def sourceNearDupMatrix(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, bands: Int = 4, rowsPerBand: Int = 4,
+      n: Int = 3): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(docs, idCol, textCol, bands, rowsPerBand, n)
+    val src = docs.filter(col(sourceCol).isNotNull)
+      .select(col(idCol).as("_nid"), col(sourceCol).as("_nsrc"))
+    pairs
+      .join(src.withColumnRenamed("_nid", "id_a").withColumnRenamed("_nsrc", "src_a"),
+        Seq("id_a"))
+      .join(src.withColumnRenamed("_nid", "id_b").withColumnRenamed("_nsrc", "src_b"),
+        Seq("id_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Per-source corpus health report — the dataset-card numbers a
     * training-data release publishes per feed: document count,
     * distinct-content count (its complement is the exact-dup rate),

@@ -397,4 +397,40 @@ object Sampling {
           .select(col("id"), col("score"), col("ntok"), col("selected"))
     }
   }
+
+  /** Per-stratum percentile calibration of an integer score — maps raw
+    * scores onto each stratum's own [0, 1e6] percentile scale so they
+    * compare ACROSS strata (a web doc's 0.7 raw quality and a books
+    * doc's 0.7 mean different things; their within-source percentiles
+    * don't). `pct_1e6 = (rank − 1) · 1e6 DIV (n − 1)` with rank the
+    * MIN rank among ties (SQL `rank()`), 0 for single-row strata.
+    *
+    * The semantics are a per-stratum rank window, but the corpus never
+    * windows: per-(stratum, score) counts aggregate first (bounded by
+    * |strata| × |score domain| — fixed-point scores keep this ≪
+    * corpus), the below-count cumsum runs over THAT table, and ranks
+    * join back by (stratum, score) — one corpus shuffle, no
+    * corpus-wide sort, immune to stratum skew a per-stratum window
+    * would serialize on.
+    *
+    * Output: (id, stratum, score, pct_1e6). NULL strata are dropped.
+    */
+  def percentileCalibrate(df: DataFrame, key: Column, stratum: Column,
+      score: Column): DataFrame = {
+    val base = df.filter(stratum.isNotNull)
+      .select(key.as("id"), stratum.as("stratum"), score.cast("long").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
+    val ranks = base.groupBy(col("stratum"), col("score"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_below", coalesce(sum(col("_c")).over(w), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(wn))
+      .drop("_c")
+    base.join(ranks, Seq("stratum", "score"))
+      .withColumn("pct_1e6", when(col("_n") <= 1, lit(0L))
+        .otherwise(expr("_below * 1000000L DIV (_n - 1)")))
+      .select(col("id"), col("stratum"), col("score"), col("pct_1e6"))
+  }
 }

@@ -404,4 +404,17 @@ class ChunkerSamplingSpec extends SparkSpec {
       rows.toDF("doc_id", "q", "ntok"), col("doc_id"), col("q"), col("ntok"),
       3L, 2L))
   }
+
+  test("percentileCalibrate matches the rank formula; ties share min rank; singleton stratum is 0") {
+    val rows = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L),
+      (4L, "a", 30L), (5L, "b", 7L), (6L, null.asInstanceOf[String], 9L))
+    val out = Sampling.percentileCalibrate(rows.toDF("k", "s", "v"),
+        col("k"), col("s"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // stratum a (n=4): 10 -> 0; 20,20 (min rank 2) -> 333333; 30 (rank 4) -> 1e6
+    assert(out(1L) == 0L && out(2L) == 333333L && out(3L) == 333333L &&
+      out(4L) == 1000000L, s"$out")
+    assert(out(5L) == 0L, s"singleton stratum pct must be 0: $out")
+    assert(!out.contains(6L), "null stratum drops")
+  }
 }

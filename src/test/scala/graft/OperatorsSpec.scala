@@ -548,6 +548,20 @@ class OperatorsSpec extends SparkSpec {
     assert((est - exact).abs <= 400000L, s"estimate tracks exact: $est vs $exact")
   }
 
+  test("sourceNearDupMatrix counts unordered source pairs; diagonal is intra-source") {
+    import graft.operators.Diagnostics
+    val t0 = (0 until 40).map(i => s"s$i").mkString(" ")
+    val docs = Seq((1L, t0, "web"), (2L, t0 + " x", "web"),
+      (3L, t0 + " y", "books"),
+      (9L, "totally different other words entirely here now", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = Diagnostics.sourceNearDupMatrix(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // pairs: (1,2) web-web; (1,3), (2,3) books-web — one unordered key
+    assert(out(("web", "web")) == 1L && out(("books", "web")) == 2L, s"$out")
+    assert(!out.contains(("web", "books")), s"orientation must normalize: $out")
+  }
+
   test("repetitionRatio measures duplicate n-gram mass; short docs are 0") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),   // all 3-grams identical
