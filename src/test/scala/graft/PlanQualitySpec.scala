@@ -284,4 +284,11 @@ class PlanQualitySpec extends SparkSpec {
       winLines.forall(_.contains("windowspecdefinition(bin")),
       s"every window must be keyed by the boundary bin:\n${winLines.mkString("\n")}")
   }
+
+  test("score calibration: windows run over the counts table, never the corpus") {
+    val p = plan("q122_score_calibration")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("sum(_c")),
+      s"both windows must sum per-(stratum,score) counts only:\n${winLines.mkString("\n")}")
+  }
 }
