@@ -468,16 +468,18 @@ object Dedup {
     * codegen'd pass over arrays (the [[gramHashes]] machinery);
     * posexplode emits ~len/mask rows per doc. No shuffle here at all.
     *
-    * Output: (id, chunk_no, chunk_h, n_words) — `chunk_h` the 60-bit
-    * md5 of the space-joined chunk tokens.
+    * Output: (id, [carry...], chunk_no, chunk_h, n_words) — `chunk_h`
+    * the 60-bit md5 of the space-joined chunk tokens. `carry` columns
+    * ride along unchanged (e.g. an event-time column for the
+    * streaming twin [[graft.streaming.StreamingDedup.dedupChunks]]).
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
-      mask: Int = 16): DataFrame = {
+      mask: Int = 16, carry: Seq[String] = Nil): DataFrame = {
     require(mask >= 2, s"mask must be >= 2, got $mask")
     val spans = docs
-      .select(col(idCol).as("id"),
-        tokens(lower(col(textCol))).as("tk"),
-        gramHashes(col(textCol), 3).as("hs"))
+      .select(col(idCol).as("id") +: carry.map(col) :+
+        tokens(lower(col(textCol))).as("tk") :+
+        gramHashes(col(textCol), 3).as("hs"): _*)
       .withColumn("cuts", transform(
         filter(when(size(col("hs")) > 0, sequence(lit(0), size(col("hs")) - 1))
             .otherwise(array().cast("array<int>")),
@@ -490,13 +492,14 @@ object Dedup {
           (s, e) => struct(s.as("s"), e.as("e"))),
         sp => sp("s") <= sp("e")))
     spans
-      .select(col("id"), col("tk"),
-        posexplode(col("spans")).as(Seq("chunk_no", "sp")))
-      .select(col("id"), col("chunk_no").cast("long").as("chunk_no"),
+      .select(col("id") +: carry.map(col) :+ col("tk") :+
+        posexplode(col("spans")).as(Seq("chunk_no", "sp")): _*)
+      .select(col("id") +: carry.map(col) :+
+        col("chunk_no").cast("long").as("chunk_no") :+
         md5Long(array_join(
           slice(col("tk"), col("sp.s") + 1, col("sp.e") - col("sp.s") + 1),
-          " ")).as("chunk_h"),
-        (col("sp.e") - col("sp.s") + 1).cast("long").as("n_words"))
+          " ")).as("chunk_h") :+
+        (col("sp.e") - col("sp.s") + 1).cast("long").as("n_words"): _*)
   }
 
   /** Chunk-level dedup mass over [[cdcChunks]] — the storage/dedup

@@ -60,4 +60,25 @@ object StreamingDedup {
     exactWithinWatermark(
       stream.withColumn("content_md5", contentKey(col(textCol))),
       tsCol, delay, Seq("content_md5"))
+
+  /** Chunk-level streaming dedup — the streaming twin of
+    * [[graft.operators.Dedup.cdcDedupReport]]'s dedup half: documents
+    * explode into content-defined chunks as they arrive
+    * ([[graft.operators.Dedup.cdcChunks]] is stateless per row, so it
+    * runs unchanged on the stream), and only first-seen chunk hashes
+    * pass — sub-document dedup at ingest, catching the boilerplate and
+    * re-quoted passages document-level keys miss. State is one 60-bit
+    * hash per chunk within the watermark delay: bounded by
+    * chunk-ingest-rate × delay, the only formulation that survives an
+    * unbounded stream.
+    *
+    * Output: the surviving (id, tsCol, chunk_no, chunk_h, n_words)
+    * chunk rows, append-mode compatible.
+    */
+  def dedupChunks(stream: DataFrame, idCol: String, textCol: String,
+      tsCol: String, delay: String, mask: Int = 16): DataFrame =
+    exactWithinWatermark(
+      graft.operators.Dedup.cdcChunks(stream, idCol, textCol, mask,
+        carry = Seq(tsCol)),
+      tsCol, delay, Seq("chunk_h"))
 }

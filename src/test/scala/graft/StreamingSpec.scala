@@ -265,6 +265,52 @@ class StreamingSpec extends SparkSpec {
     assert(keyed.select("content_md5").distinct().count() == 3)
   }
 
+  test("streaming chunk dedup drops re-seen CDC chunks in and across batches") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val srcDir = Fixtures.tmpDir("scd_src")
+    val outDir = Fixtures.tmpDir("scd_out").toString
+    val ckpt = Fixtures.tmpDir("scd_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def addFile(n: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      import scala.jdk.CollectionConverters._
+      val tmp = Fixtures.tmpDir(s"scd_tmp$n")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, srcDir.resolve(s"b$n.parquet"))
+    }
+    def runBatch(): Long = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val chunks = graft.streaming.StreamingDedup
+        .dedupChunks(stream, "doc_id", "text", "ts", "1 hour")
+      val q = chunks.writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir).count()
+    }
+    val a = (0 until 60).map(i => s"c$i").mkString(" ")
+    // B: 10 fresh tokens, then A's tail — CDC re-syncs, tail chunks shared
+    val b = ((100 until 110).map(i => s"n$i") ++ (20 until 60).map(i => s"c$i"))
+      .mkString(" ")
+    // batch-side ground truth from the SAME operator
+    val bd = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val expectDistinct = graft.operators.Dedup.cdcChunks(bd, "doc_id", "text")
+      .select("chunk_h").distinct().count()
+    val totalChunks = graft.operators.Dedup.cdcChunks(bd, "doc_id", "text").count()
+    assume(expectDistinct < totalChunks, "B must share a tail chunk with A")
+    addFile(1, Seq((1L, ts(0), a), (2L, ts(1), b)).toDF("doc_id", "ts", "text"))
+    assert(runBatch() == expectDistinct,
+      "first batch emits each distinct chunk exactly once")
+    // verbatim re-arrival within the watermark: every chunk already seen
+    addFile(2, Seq((3L, ts(10), a)).toDF("doc_id", "ts", "text"))
+    assert(runBatch() == expectDistinct, "re-seen chunks must all drop")
+  }
+
   test("streaming ingest registers arriving files exactly once, e2e into validate") {
     import graft.streaming.StreamingIngest
     val lake = Fixtures.tmpDir("slake").toString
