@@ -110,6 +110,33 @@ object OracleSql {
                  WHERE doc_id NOT IN (SELECT node FROM CL WHERE node <> cluster_id)),
         ${gateCtes("SURV")}"""
 
+  /** Content-defined chunking chain — mirror of Dedup.cdcChunks at
+    * mask 16: cuts after token p+2 where the 3-gram hash ≡ 0 mod 16,
+    * spans between cuts, chunk text + 60-bit md5. Ends with
+    * CH(doc_id, chunk_no, chunk_h, chunk_str, n_words); shared by
+    * q116/q123.
+    */
+  private def cdcChunkCtes: String =
+    s"""TH AS (SELECT doc_id, ${toks("lower(text)")} AS tk,
+               ${tokenHashExpr("text")} AS th FROM documents),
+        HS AS (SELECT doc_id, tk, $gramFromTh AS hs FROM TH),
+        SP AS (SELECT doc_id, tk,
+               list_concat([0], list_transform(cuts, e -> e + 1)) AS starts,
+               list_concat(cuts, [len(tk) - 1]) AS ends
+              FROM (SELECT doc_id, tk,
+                  list_transform(list_filter(range(len(hs)),
+                    i -> hs[i+1] % 16 = 0), i -> i + 2) AS cuts
+                FROM HS)),
+        CH AS (SELECT doc_id, chunk_no, ${md5long("chunk_str")} AS chunk_h,
+               chunk_str, n_words
+              FROM (SELECT doc_id, chunk_no,
+                  array_to_string(tk[starts[j+1]+1:ends[j+1]+1], ' ') AS chunk_str,
+                  ends[j+1] - starts[j+1] + 1 AS n_words
+                FROM (SELECT doc_id, tk, starts, ends, unnest(keep) AS j,
+                    generate_subscripts(keep, 1) - 1 AS chunk_no
+                  FROM (SELECT *, list_filter(range(len(starts)),
+                      j -> starts[j+1] <= ends[j+1]) AS keep FROM SP))))"""
+
   /** Left-to-right double fold — mirror of functions.dot. */
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
@@ -1419,22 +1446,7 @@ object OracleSql {
     // 3-gram hash ≡ 0 mod 16; spans between cuts; chunk = md5 of the
     // space-joined token slice; occurrence counts over chunk hashes
     "q116_cdc_dedup" ->
-      s"""WITH TH AS (SELECT doc_id, ${toks("lower(text)")} AS tk,
-                 ${tokenHashExpr("text")} AS th FROM documents),
-          HS AS (SELECT doc_id, tk, $gramFromTh AS hs FROM TH),
-          SP AS (SELECT doc_id, tk,
-                 list_concat([0], list_transform(cuts, e -> e + 1)) AS starts,
-                 list_concat(cuts, [len(tk) - 1]) AS ends
-                FROM (SELECT doc_id, tk,
-                    list_transform(list_filter(range(len(hs)),
-                      i -> hs[i+1] % 16 = 0), i -> i + 2) AS cuts
-                  FROM HS)),
-          CH AS (SELECT doc_id,
-                 ${md5long("array_to_string(tk[starts[j+1]+1:ends[j+1]+1], ' ')")} AS chunk_h,
-                 ends[j+1] - starts[j+1] + 1 AS n_words
-                FROM (SELECT doc_id, tk, starts, ends, unnest(keep) AS j
-                  FROM (SELECT *, list_filter(range(len(starts)),
-                      j -> starts[j+1] <= ends[j+1]) AS keep FROM SP))),
+      s"""WITH $cdcChunkCtes,
           OCC AS (SELECT chunk_h, count(*) AS occ FROM CH GROUP BY chunk_h),
           AGG AS (SELECT doc_id, count(*) AS n_chunks,
                  CAST(sum(n_words) AS BIGINT) AS n_words,
@@ -1581,6 +1593,22 @@ object OracleSql {
             CAST(CASE WHEN n <= 1 THEN 0
                  ELSE (rk - 1) * 1000000 // (n - 1) END AS BIGINT) AS pct_1e6
           FROM R ORDER BY doc_id""",
+
+    // boilerplate removal: q116's chunk chain, chunks with occ > 2
+    // drop, survivors reassemble per doc in chunk order
+    "q123_deboilerplate" ->
+      s"""WITH $cdcChunkCtes,
+          OCC AS (SELECT chunk_h, count(*) AS occ FROM CH GROUP BY chunk_h),
+          KEPT AS (SELECT c.* FROM CH c JOIN OCC USING (chunk_h)
+                   WHERE occ <= 2),
+          AGG AS (SELECT doc_id,
+                 string_agg(chunk_str, ' ' ORDER BY chunk_no) AS clean_text,
+                 CAST(count(*) AS BIGINT) AS kept_chunks
+                FROM KEPT GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(clean_text, '') AS clean_text,
+            CAST(coalesce(kept_chunks, 0) AS BIGINT) AS kept_chunks
+          FROM documents d LEFT JOIN AGG a USING (doc_id)
+          ORDER BY d.doc_id""",
 
     // tokenizer fertility: q81's BPE chain re-used, per-source sums +
     // fixed-point subwords-per-word and chars-per-subword ratios

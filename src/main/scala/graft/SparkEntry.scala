@@ -1702,6 +1702,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Boilerplate removal (Dedup.deboilerplate): chunks occurring more
+    * than twice corpus-wide drop; each doc reassembles from its
+    * surviving chunks in order — sub-document dedup with document
+    * reconstruction. Oracle reuses q116's chunk chain + string_agg in
+    * chunk order.
+    */
+  private def qDeboilerplate(s: SparkSession, dir: String): DataFrame =
+    Dedup.deboilerplate(t(s, dir, "documents"), "doc_id", "text", maxDf = 2L)
+      .select(col("id").as("doc_id"), col("clean_text"), col("kept_chunks"))
+      .orderBy(col("doc_id"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1826,7 +1837,8 @@ object SparkEntry {
     "q119_hard_negatives" -> (qHardNegatives _),
     "q120_minhash_estimate" -> (qMinhashEstimate _),
     "q121_source_near_dups" -> (qSourceNearDups _),
-    "q122_score_calibration" -> (qScoreCalibration _))
+    "q122_score_calibration" -> (qScoreCalibration _),
+    "q123_deboilerplate" -> (qDeboilerplate _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -293,6 +293,46 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** CDC-based boilerplate removal: drop every chunk whose hash occurs
+    * more than `maxDf` times corpus-wide, and reassemble each document
+    * from its surviving chunks in order — sub-document dedup with
+    * document RECONSTRUCTION (shared footers, navigation, license
+    * blocks, re-quoted passages vanish; unique prose survives).
+    * Because cut points are content-defined, a chunk that is pure
+    * boilerplate hashes identically wherever it appears; only the seam
+    * chunks straddling a boilerplate boundary can retain fragments
+    * (they are unique to their context by construction).
+    *
+    * The rebuilt text is in the operator's normalized form (lowercased
+    * whitespace tokens joined by single spaces) — the form dedup
+    * pipelines feed downstream anyway.
+    *
+    * Scale shape: q116's chunk shuffle + join, then one per-doc
+    * aggregate whose state is the doc's own surviving chunks
+    * (bounded by document length). Fully-duplicated docs rebuild to
+    * the empty string (kept via the left join, `kept_chunks` 0).
+    *
+    * Output: (id, clean_text, kept_chunks).
+    */
+  def deboilerplate(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Long, mask: Int = 16): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be positive, got $maxDf")
+    val ch = cdcChunks(docs, idCol, textCol, mask, withText = true)
+    val occ = ch.groupBy(col("chunk_h")).agg(count(lit(1)).as("occ"))
+    val rebuilt = ch.join(occ, Seq("chunk_h"))
+      .filter(col("occ") <= maxDf)
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_no"), col("chunk_str")))),
+          s => s("chunk_str")), " ").as("clean_text"),
+        count(lit(1)).as("kept_chunks"))
+    docs.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"))
+  }
+
   /** MinHash-estimated Jaccard alongside the exact value for every LSH
     * candidate pair — the estimator-quality view. The estimate is the
     * signature-agreement fraction (matching components / k, the
@@ -468,13 +508,17 @@ object Dedup {
     * codegen'd pass over arrays (the [[gramHashes]] machinery);
     * posexplode emits ~len/mask rows per doc. No shuffle here at all.
     *
-    * Output: (id, [carry...], chunk_no, chunk_h, n_words) — `chunk_h`
-    * the 60-bit md5 of the space-joined chunk tokens. `carry` columns
-    * ride along unchanged (e.g. an event-time column for the
-    * streaming twin [[graft.streaming.StreamingDedup.dedupChunks]]).
+    * Output: (id, [carry...], chunk_no, chunk_h, n_words
+    * [, chunk_str]) — `chunk_h` the 60-bit md5 of the space-joined
+    * chunk tokens, `chunk_str` those tokens themselves when
+    * `withText` (only [[deboilerplate]] needs the strings; the dedup
+    * report deliberately ships hashes alone). `carry` columns ride
+    * along unchanged (e.g. an event-time column for the streaming
+    * twin [[graft.streaming.StreamingDedup.dedupChunks]]).
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
-      mask: Int = 16, carry: Seq[String] = Nil): DataFrame = {
+      mask: Int = 16, carry: Seq[String] = Nil,
+      withText: Boolean = false): DataFrame = {
     require(mask >= 2, s"mask must be >= 2, got $mask")
     val spans = docs
       .select(col(idCol).as("id") +: carry.map(col) :+
@@ -491,15 +535,17 @@ object Dedup {
           concat(col("cuts"), array(size(col("tk")) - 1)),
           (s, e) => struct(s.as("s"), e.as("e"))),
         sp => sp("s") <= sp("e")))
+    val chunkStr = array_join(
+      slice(col("tk"), col("sp.s") + 1, col("sp.e") - col("sp.s") + 1), " ")
+    val textCols = if (withText) Seq(chunkStr.as("chunk_str")) else Nil
     spans
       .select(col("id") +: carry.map(col) :+ col("tk") :+
         posexplode(col("spans")).as(Seq("chunk_no", "sp")): _*)
       .select(col("id") +: carry.map(col) :+
         col("chunk_no").cast("long").as("chunk_no") :+
-        md5Long(array_join(
-          slice(col("tk"), col("sp.s") + 1, col("sp.e") - col("sp.s") + 1),
-          " ")).as("chunk_h") :+
-        (col("sp.e") - col("sp.s") + 1).cast("long").as("n_words"): _*)
+        md5Long(chunkStr).as("chunk_h") :+
+        (col("sp.e") - col("sp.s") + 1).cast("long").as("n_words") :++
+        textCols: _*)
   }
 
   /** Chunk-level dedup mass over [[cdcChunks]] — the storage/dedup

@@ -562,6 +562,21 @@ class OperatorsSpec extends SparkSpec {
     assert(!out.contains(("web", "books")), s"orientation must normalize: $out")
   }
 
+  test("deboilerplate drops high-df chunks and reassembles survivors in order") {
+    val uniq = (0 until 50).map(i => s"u$i").mkString(" ")
+    val boiler = (0 until 40).map(i => s"f$i").mkString(" ")
+    val docs = Seq((1L, uniq), (2L, boiler), (3L, boiler), (4L, boiler))
+      .toDF("doc_id", "text")
+    val out = Dedup.deboilerplate(docs, "doc_id", "text", maxDf = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // the unique doc's chunks all have occ=1 -> verbatim reassembly
+    // (order included: a reordered reassembly would not equal the input)
+    assert(out(1L)._1 == uniq, s"unique doc reassembles in order: ${out(1L)}")
+    // 3x-duplicated content: every chunk has occ=3 > maxDf -> empty
+    assert(Seq(2L, 3L, 4L).forall(id => out(id) == (("", 0L))),
+      s"3x boilerplate must vanish: $out")
+  }
+
   test("repetitionRatio measures duplicate n-gram mass; short docs are 0") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),   // all 3-grams identical
