@@ -1610,6 +1610,31 @@ object OracleSql {
           FROM documents d LEFT JOIN AGG a USING (doc_id)
           ORDER BY d.doc_id""",
 
+    // language-ID confidence margin: q26's per-language hit counts,
+    // best/second via a sorted list, fixed-point per-token margin
+    "q124_lang_margin" -> {
+      val langs = TextAnalysis.stopwords.keys.toSeq.sorted // de, en, es, fr
+      val hits = langs.map(l => s"${hitsSql("text", l)} AS h_$l").mkString(", ")
+      s"""WITH H AS (SELECT doc_id, lang,
+             cast(len(${toks("lower(text)")}) as bigint) AS n_tokens, $hits
+            FROM documents),
+          S AS (SELECT *,
+                 list_sort([h_de, h_en, h_es, h_fr], 'DESC')[1] AS best_hits,
+                 list_sort([h_de, h_en, h_es, h_fr], 'DESC')[2] AS second_hits
+                FROM H)
+          SELECT doc_id, lang,
+            CASE WHEN best_hits = 0 THEN 'und'
+                 WHEN h_de = best_hits THEN 'de'
+                 WHEN h_en = best_hits THEN 'en'
+                 WHEN h_es = best_hits THEN 'es'
+                 ELSE 'fr' END AS predicted_lang,
+            best_hits, (best_hits - second_hits) AS margin, n_tokens,
+            CASE WHEN n_tokens = 0 THEN 0::BIGINT
+                 ELSE ((best_hits - second_hits) * 1000000) // n_tokens
+            END AS margin_1e6
+          FROM S ORDER BY doc_id"""
+    },
+
     // tokenizer fertility: q81's BPE chain re-used, per-source sums +
     // fixed-point subwords-per-word and chars-per-subword ratios
     "q114_tokenizer_fertility" ->

@@ -362,6 +362,29 @@ object SparkEntry {
         TextAnalysis.langId(col("text")).as("predicted_lang"))
       .orderBy(col("doc_id"))
 
+  /** Language-ID confidence margin (q124): predicted language plus the
+    * gap between the best and runner-up stopword-hit counts, normalized
+    * to 1e-6 fixed point per token. margin_1e6 = 0 flags docs where the
+    * argmax label is a coin flip (tie) or vacuous (no tokens) — the
+    * rows a curation pipeline routes to a heavier classifier. One
+    * tokenization per row inside the fused struct; the division runs on
+    * named columns with `div` (exact non-negative integer floor
+    * division, matching DuckDB `//`). Map-only, shuffle-free.
+    */
+  private def qLangMargin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langIdWithMargin(col("text")).as("m"))
+      .select(col("doc_id"), col("lang"),
+        col("m.predicted_lang").as("predicted_lang"),
+        col("m.best_hits").as("best_hits"),
+        (col("m.best_hits") - col("m.second_hits")).as("margin"),
+        col("m.n_tokens").as("n_tokens"))
+      .withColumn("margin_1e6",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("(margin * 1000000) div n_tokens")))
+      .orderBy(col("doc_id"))
+
   /** Document fingerprints: normalized-content hash + rolling hash. */
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1838,7 +1861,8 @@ object SparkEntry {
     "q120_minhash_estimate" -> (qMinhashEstimate _),
     "q121_source_near_dups" -> (qSourceNearDups _),
     "q122_score_calibration" -> (qScoreCalibration _),
-    "q123_deboilerplate" -> (qDeboilerplate _))
+    "q123_deboilerplate" -> (qDeboilerplate _),
+    "q124_lang_margin" -> (qLangMargin _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -55,6 +55,47 @@ object TextAnalysis {
   def langId(text: Column): Column =
     let(tokens(lower(text)), toks => argmaxLang(toks))
 
+  /** Language-ID with a confidence margin: struct(predicted_lang,
+    * best_hits, second_hits, n_tokens). One left fold over the same
+    * let-bound scored array as [[langId]] tracks the top TWO hit
+    * counts, so tie semantics match exactly: the first language in
+    * code order wins a tie, and a later language tying the maximum
+    * raises `second_hits` to the shared maximum (margin 0) — which is
+    * precisely when the argmax label is untrustworthy. Callers derive
+    * margin = best − second and any fixed-point normalization from
+    * the raw longs (see q124: `(margin·1e6) div n_tokens`, exact
+    * non-negative integer arithmetic, so Spark `div` and DuckDB `//`
+    * agree). Map-only scan shape — codegen'd expressions, no shuffle,
+    * no UDF; at 100 TB this runs at read bandwidth like the other
+    * text gates.
+    */
+  def langIdWithMargin(text: Column): Column =
+    let(tokens(lower(text)), toks => {
+      val scoredArr = array(stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        struct(hitsFromTokens(toks, words).as("hits"), lit(lang).as("lang")) }: _*)
+      let(scoredArr, arr => {
+        val init = struct(element_at(arr, 1).as("best"), lit(0L).as("second"))
+        let(aggregate(slice(arr, 2, stopwords.size - 1), init, (acc, x) => {
+            val best = acc.getField("best")
+            val hits = x.getField("hits")
+            when(hits > best.getField("hits"),
+                struct(x.as("best"), best.getField("hits").as("second")))
+              .when(hits > acc.getField("second"),
+                struct(best.as("best"), hits.as("second")))
+              .otherwise(acc)
+          }),
+          st => {
+            val bh = st.getField("best").getField("hits")
+            struct(
+              when(bh > 0, st.getField("best").getField("lang"))
+                .otherwise(lit("und")).as("predicted_lang"),
+              bh.as("best_hits"),
+              st.getField("second").as("second_hits"),
+              size(toks).cast("long").as("n_tokens"))
+          })
+      })
+    })
+
   /** Heuristic quality signals: length, token count, mean word length,
     * punctuation ratio, digit ratio, english-stopword ratio, and a
     * [0,1] composite score.

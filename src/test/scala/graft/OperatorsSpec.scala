@@ -1318,6 +1318,24 @@ class OperatorsSpec extends SparkSpec {
     assert(m(3L) == "und")
   }
 
+  test("langIdWithMargin: margin tracks best-vs-runner-up; ties and empty yield 0") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is happy"), // clear en, no other-lang hits
+      (2L, "the der cat hund"),                      // en/de tie at 2 hits each
+      (3L, "qqq www eee"),                           // no hits anywhere
+      (4L, "")).toDF("doc_id", "text")               // no tokens
+    val rows = df.select($"doc_id", TextAnalysis.langIdWithMargin($"text").as("m"))
+      .select($"doc_id", $"m.predicted_lang", $"m.best_hits", $"m.second_hits",
+        $"m.n_tokens").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows(1L) == (("en", 7L, 0L, 10L))) // the,is ×2 + on,and,it
+    assert(rows(2L)._1 == "de", "tie goes to first language in code order")
+    assert(rows(2L)._2 == rows(2L)._3, "a tied argmax must carry margin 0")
+    assert(rows(3L) == (("und", 0L, 0L, 3L)))
+    assert(rows(4L) == (("und", 0L, 0L, 0L)))
+  }
+
   test("token count and quality ratios") {
     val df = Seq((1L, "one two  three")).toDF("doc_id", "text")
     assert(df.select(tokenCount($"text")).as[Long].collect()(0) == 3L)
