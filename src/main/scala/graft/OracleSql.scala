@@ -2255,6 +2255,29 @@ object OracleSql {
             (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_surprisal_1e6
           FROM SC GROUP BY doc_id ORDER BY doc_id""",
 
+    // Kneser-Ney bigram LM: q90's adjacent-pair stream, then the
+    // interpolated-KN rational — num/den in HUGEINT (Spark side uses
+    // DECIMAL(38,0)), D = 3/4, singleton rows pruned after stats
+    "q125_kneser_ney" ->
+      s"""WITH B AS (SELECT doc_id, tk FROM
+                (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents)
+                WHERE len(tk) >= 2),
+          P AS (SELECT tk[i+1] AS a, tk[i+2] AS b
+                FROM (SELECT tk, unnest(range(len(tk)-1)) AS i FROM B)),
+          BG AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+                 FROM P GROUP BY a, b),
+          L AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+                 CAST(count(*) AS BIGINT) AS n1_fwd FROM BG GROUP BY a),
+          R AS (SELECT b, CAST(count(*) AS BIGINT) AS n1_bwd FROM BG GROUP BY b),
+          T AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM BG)
+          SELECT g.a, g.b, g.c_ab, l.c_a, l.n1_fwd, r.n1_bwd,
+            CAST((((4*g.c_ab - 3)::HUGEINT * t.n_types
+                   + 3::HUGEINT * l.n1_fwd * r.n1_bwd) * 1000000)
+                 // (4::HUGEINT * l.c_a * t.n_types) AS BIGINT) AS p_kn_1e6
+          FROM BG g JOIN L l USING (a) JOIN R r USING (b) CROSS JOIN T t
+          WHERE g.c_ab >= 2
+          ORDER BY g.a, g.b""",
+
     // residual IVF-PQ: the q59 composition, but codes quantize
     // RESIDUALS (vector − assigned coarse centroid) and each query's
     // LUT is per probed cell (its residual against THAT cell); the

@@ -1084,6 +1084,16 @@ object SparkEntry {
         col("surprisal_bits"), col("avg_surprisal_1e6"))
       .orderBy(col("doc_id"))
 
+  /** Kneser–Ney bigram LM estimation (q125): the KenLM-shaped trainer —
+    * per surviving bigram, discounted ML mass plus continuation-prob
+    * backoff as ONE exact rational, 1e-6 fixed point; singleton rows
+    * pruned after statistics. See TextAnalysis.kneserNeyBigrams.
+    */
+  private def qKneserNey(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.kneserNeyBigrams(
+        t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("a"), col("b"))
+
   /** Paragraph/segment-level dedup (Dedup.segmentDedup): the corpus is
     * segmented by the q47 chunker (32-token windows, zero overlap — the
     * flat-text stand-in for newline paragraphs), duplicated segments
@@ -1862,7 +1872,8 @@ object SparkEntry {
     "q121_source_near_dups" -> (qSourceNearDups _),
     "q122_score_calibration" -> (qScoreCalibration _),
     "q123_deboilerplate" -> (qDeboilerplate _),
-    "q124_lang_margin" -> (qLangMargin _))
+    "q124_lang_margin" -> (qLangMargin _),
+    "q125_kneser_ney" -> (qKneserNey _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

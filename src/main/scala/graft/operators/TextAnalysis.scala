@@ -343,6 +343,60 @@ object TextAnalysis {
         expr("surprisal_bits * 1000000L DIV n_bigrams"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM estimation — the smoothing the
+    * KenLM-style quality models behind CCNet-shaped pipelines use.
+    * Per distinct bigram (a, b), with D = 3/4 (the textbook absolute
+    * discount, chosen rational so everything stays exact):
+    *
+    *   P_KN(b|a) = (c(a,b) − D)/c(a·)
+    *             + D·N1+(a,·)/c(a·) · N1+(·,b)/N1+(·,·)
+    *
+    * where c(a·) = Σ_b c(a,b), N1+(a,·) = distinct continuations of
+    * a, N1+(·,b) = distinct left contexts of b (the "novel-context"
+    * count that makes KN beat plain backoff), N1+(·,·) = distinct
+    * bigram types. The whole expression is one exact rational —
+    * num = (4·c_ab − 3)·T + 3·N1fwd·N1bwd over den = 4·c_a·T — so
+    * p_kn_1e6 = num·1e6 div den reproduces bit-identically on any
+    * engine; the products run in DECIMAL(38,0) so corpus sizes far
+    * past BIGINT midpoints can't overflow. Σ_b P(b|a) = 1 by
+    * construction (spec-pinned within floor error).
+    *
+    * Rows with c_ab < `minCount` are pruned AFTER all statistics are
+    * taken (KenLM-style singleton pruning: the model shrinks, the
+    * probabilities don't move).
+    *
+    * Scale shape: one shuffle to count bigrams; the three statistics
+    * tables derive from the Zipf-bounded model table itself (never
+    * from the token stream), join back on term keys, and the 1-row
+    * type count broadcasts. At 100 TB the corpus is read once.
+    */
+  def kneserNeyBigrams(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 2L): DataFrame = {
+    val base = docs
+      .select(tokens(lower(col(textCol))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val pairs = base.select(explode(
+        zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bg = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val left = bg.groupBy(col("a"))
+      .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1_fwd"))
+    val right = bg.groupBy(col("b")).agg(count(lit(1)).as("n1_bwd"))
+    val types = bg.agg(count(lit(1)).as("n_types"))
+    bg.join(left, Seq("a")).join(right, Seq("b"))
+      .crossJoin(broadcast(types))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("p_kn_1e6", expr(
+        """CAST((((4 * c_ab - 3) * CAST(n_types AS DECIMAL(38,0))
+                  + 3 * CAST(n1_fwd AS DECIMAL(38,0)) * n1_bwd) * 1000000)
+           DIV (4 * c_a * CAST(n_types AS DECIMAL(38,0))) AS BIGINT)"""))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"),
+        col("n1_fwd"), col("n1_bwd"), col("p_kn_1e6"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS algorithm): from each window of `w`
     * consecutive word-`n`-gram hashes, select the MINIMUM hash (ties

@@ -1336,6 +1336,26 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(4L) == (("und", 0L, 0L, 0L)))
   }
 
+  test("kneserNeyBigrams: hand-computed interpolated-KN probabilities; pruning keeps stats") {
+    // corpus: "a b a b", "b c" -> BG (a,b):2 (b,a):1 (b,c):1, T=3
+    // P(b|a) = (2-3/4)/2 + (3/4)(1/2)(1/3) = 3/4
+    // P(a|b) = (1-3/4)/2 + (3/4)(2/2)(1/3) = 3/8 ; P(c|b) likewise
+    val docs = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val all = TextAnalysis.kneserNeyBigrams(docs, "doc_id", "text", minCount = 1L)
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        (r.getAs[Long]("c_ab"), r.getAs[Long]("p_kn_1e6"))).toMap
+    assert(all(("a", "b")) == ((2L, 750000L)))
+    assert(all(("b", "a")) == ((1L, 375000L)))
+    assert(all(("b", "c")) == ((1L, 375000L)))
+    val pruned = TextAnalysis.kneserNeyBigrams(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        r.getAs[Long]("p_kn_1e6")).toMap
+    assert(pruned.keySet == Set(("a", "b")),
+      s"minCount=2 must prune singleton rows: ${pruned.keySet}")
+    assert(pruned(("a", "b")) == 750000L,
+      "pruning must not move surviving probabilities (stats taken pre-prune)")
+  }
+
   test("token count and quality ratios") {
     val df = Seq((1L, "one two  three")).toDF("doc_id", "text")
     assert(df.select(tokenCount($"text")).as[Long].collect()(0) == 3L)
