@@ -2255,6 +2255,19 @@ object OracleSql {
             (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_surprisal_1e6
           FROM SC GROUP BY doc_id ORDER BY doc_id""",
 
+    // ANALYZE-style column stats: one branch per column (union all),
+    // min/max rendered VARCHAR so types share a schema
+    "q126_column_stats" -> {
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count($c) AS BIGINT) AS n_nonnull,
+             CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             CAST(min($c) AS VARCHAR) AS min_value,
+             CAST(max($c) AS VARCHAR) AS max_value FROM documents"""
+      }.mkString("", " UNION ALL ", " ORDER BY column_name")
+    },
+
     // Kneser-Ney bigram LM: q90's adjacent-pair stream, then the
     // interpolated-KN rational — num/den in HUGEINT (Spark side uses
     // DECIMAL(38,0)), D = 3/4, singleton rows pruned after stats

@@ -1094,6 +1094,17 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("a"), col("b"))
 
+  /** ANALYZE-style column statistics (q126): one Expand-based pass over
+    * documents computing per-column row/non-null/exact-NDV/min/max —
+    * the stats that decide broadcast joins and bucketing counts. See
+    * Diagnostics.columnStats.
+    */
+  private def qColumnStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.columnStats(
+        t(s, dir, "documents"),
+        Seq("doc_id", "lang", "n_chars", "source", "text"))
+      .orderBy(col("column_name"))
+
   /** Paragraph/segment-level dedup (Dedup.segmentDedup): the corpus is
     * segmented by the q47 chunker (32-token windows, zero overlap — the
     * flat-text stand-in for newline paragraphs), duplicated segments
@@ -1873,7 +1884,8 @@ object SparkEntry {
     "q122_score_calibration" -> (qScoreCalibration _),
     "q123_deboilerplate" -> (qDeboilerplate _),
     "q124_lang_margin" -> (qLangMargin _),
-    "q125_kneser_ney" -> (qKneserNey _))
+    "q125_kneser_ney" -> (qKneserNey _),
+    "q126_column_stats" -> (qColumnStats _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -50,6 +50,37 @@ object Diagnostics {
       .agg(count(lit(1)).as("n"), min(col("_v")).as("lo"), max(col("_v")).as("hi"))
   }
 
+  /** ANALYZE-style per-column statistics — row count, non-null count,
+    * exact NDV, and min/max (rendered as strings so heterogeneous
+    * column types share one report schema): the numbers that drive
+    * broadcast-vs-shuffle decisions, bucketing counts, and skew
+    * alarms. One pass over the table: the multi-column exact
+    * count(DISTINCT) aggregate plans as a single Expand-based
+    * aggregation (rows fan out ×|cols| in-flight but the source is
+    * read once — the same plan Spark's own ANALYZE ... FOR COLUMNS
+    * runs). For billion-row interactive use swap the exact NDV for
+    * approx_count_distinct — the HLL error contract is the q35 /
+    * [[Sketches]] pattern; here exact is what the oracle can replay.
+    *
+    * Output: (column_name, n_rows, n_nonnull, n_distinct, min_value,
+    * max_value), one row per requested column.
+    */
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      count_distinct(col(c)).as(s"ndv_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', nn_$c, ndv_$c, min_$c, max_$c").mkString(", ")
+    wide.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_nonnull, n_distinct, min_value, max_value)")
+      .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
+
   def keySkewReport(df: DataFrame, key: Column, topK: Int = 20): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))

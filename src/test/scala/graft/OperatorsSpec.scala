@@ -1336,6 +1336,19 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(4L) == (("und", 0L, 0L, 0L)))
   }
 
+  test("columnStats: per-column rows/nulls/NDV/min/max in one pass") {
+    val df = Seq((1L, Some("x"), 10L), (2L, None, 5L), (3L, Some("x"), 10L))
+      .toDF("id", "tag", "v")
+    val m = graft.operators.Diagnostics.columnStats(df, Seq("id", "tag", "v"))
+      .collect().map(r => r.getAs[String]("column_name") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_nonnull"),
+          r.getAs[Long]("n_distinct"), r.getAs[String]("min_value"),
+          r.getAs[String]("max_value")))).toMap
+    assert(m("id") == ((3L, 3L, 3L, "1", "3")))
+    assert(m("tag") == ((3L, 2L, 1L, "x", "x")))
+    assert(m("v") == ((3L, 3L, 2L, "5", "10")))
+  }
+
   test("kneserNeyBigrams: hand-computed interpolated-KN probabilities; pruning keeps stats") {
     // corpus: "a b a b", "b c" -> BG (a,b):2 (b,a):1 (b,c):1, T=3
     // P(b|a) = (2-3/4)/2 + (3/4)(1/2)(1/3) = 3/4
