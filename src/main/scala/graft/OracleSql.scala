@@ -2255,6 +2255,33 @@ object OracleSql {
             (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_surprisal_1e6
           FROM SC GROUP BY doc_id ORDER BY doc_id""",
 
+    // gate-attrition funnel: first-fail attribution over the q44/q57
+    // gate stack — dedup keepers + clusters (q44 CTEs), gates (G),
+    // repetition (q56), contamination (q57 eval slice), one CASE
+    "q127_gate_attrition" ->
+      s"""WITH RECURSIVE $dedupClusterCtes,
+          ${gateCtes("documents")},
+          ${benchGramsCte()},
+          CONTAM AS (SELECT DISTINCT d.doc_id
+                 FROM (SELECT doc_id, unnest(${shingles3("text")}) AS gram
+                       FROM documents) d
+                 JOIN BG USING (gram)),
+          REP AS (SELECT doc_id, ${repFixedSql("g")} AS rep_1e6
+              FROM (SELECT doc_id, ${rawShingles3("text")} AS g FROM documents)),
+          V AS (SELECT d.doc_id,
+                 CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM KEEP) THEN '1_exact_dup'
+                      WHEN d.doc_id IN (SELECT node FROM CL WHERE node <> cluster_id) THEN '2_near_dup'
+                      WHEN g.quality_1e6 < 600000 THEN '3_quality'
+                      WHEN g.predicted_lang <> 'en' THEN '4_language'
+                      WHEN r.rep_1e6 >= 500000 THEN '5_repetition'
+                      WHEN d.doc_id IN (SELECT doc_id FROM CONTAM) THEN '6_contaminated'
+                      ELSE '7_pass' END AS gate
+                FROM documents d JOIN G g USING (doc_id) JOIN REP r USING (doc_id)),
+          T AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+          SELECT gate, CAST(count(*) AS BIGINT) AS n_docs,
+            (CAST(count(*) AS BIGINT) * 1000000) // t.total AS share_1e6
+          FROM V CROSS JOIN T t GROUP BY gate, t.total ORDER BY gate""",
+
     // ANALYZE-style column stats: one branch per column (union all),
     // min/max rendered VARCHAR so types share a schema
     "q126_column_stats" -> {

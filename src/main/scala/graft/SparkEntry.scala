@@ -1105,6 +1105,19 @@ object SparkEntry {
         Seq("doc_id", "lang", "n_chars", "source", "text"))
       .orderBy(col("column_name"))
 
+  /** Curation gate-attrition funnel (q127): every document attributed
+    * to the first curateV2 gate that kills it (exact dup → near dup →
+    * quality → language → repetition → contamination → pass), with
+    * per-gate counts and corpus shares. Eval slice = q57's
+    * doc_id % 97 = 0. See Curation.attritionFunnel.
+    */
+  private def qAttrition(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Curation.attritionFunnel(docs,
+        docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000))
+      .orderBy(col("gate"))
+  }
+
   /** Paragraph/segment-level dedup (Dedup.segmentDedup): the corpus is
     * segmented by the q47 chunker (32-token windows, zero overlap — the
     * flat-text stand-in for newline paragraphs), duplicated segments
@@ -1885,7 +1898,8 @@ object SparkEntry {
     "q123_deboilerplate" -> (qDeboilerplate _),
     "q124_lang_margin" -> (qLangMargin _),
     "q125_kneser_ney" -> (qKneserNey _),
-    "q126_column_stats" -> (qColumnStats _))
+    "q126_column_stats" -> (qColumnStats _),
+    "q127_gate_attrition" -> (qAttrition _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -147,4 +147,66 @@ object Curation {
       .filter(col("selected") === 1L).select(col("id"))
     clean.join(cut, clean(idCol) === cut("id"), "left_semi")
   }
+
+  /** Gate-attrition funnel: attribute EVERY document to the FIRST
+    * curation gate that kills it — the per-gate loss report a corpus
+    * team publishes with each pipeline run (without first-fail
+    * attribution the per-gate counts double-count docs several gates
+    * would reject). Gate order mirrors [[curateV2]]'s composition:
+    *
+    *   1_exact_dup → 2_near_dup → 3_quality → 4_language →
+    *   5_repetition → 6_contaminated → 7_pass
+    *
+    * All gate signals are computed for all docs in parallel branches
+    * (dedup keepers, LSH clusters over keepers, one fused gates
+    * struct, repetition, decontamination) and folded into one
+    * CASE — so the funnel costs the same as running the pipeline
+    * once, not once per gate. Output: (gate, n_docs, share_1e6),
+    * share in 1e-6 of the corpus (floor division, exact integers).
+    *
+    * Scale shape: the same shuffles curateV2 itself pays (content-hash
+    * groupBy, banded LSH equi-join, O(log d) CC rounds, one broadcast
+    * decontamination join), plus id-keyed left joins to fold flags and
+    * a 7-group final aggregate; the 1-row total broadcasts.
+    */
+  def attritionFunnel(docs: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minQuality1e6: Long = 600000L, lang: String = "en",
+      maxRep1e6: Long = 500000L, repetitionN: Int = 3,
+      decontamN: Int = 3, minShared: Long = 1L,
+      bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+    val keepers = Dedup.exact(docs, col(idCol), col(textCol))
+      .select(col("keep_id").as("_keep_id"), lit(true).as("_is_keep"))
+    val kept = docs.join(
+        keepers.select(col("_keep_id")), docs(idCol) === col("_keep_id"), "left_semi")
+      .localCheckpoint(true)
+    val nearDropped = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(kept, idCol, textCol, bands, rowsPerBand, n))
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("_nd_id"), lit(true).as("_near_dup"))
+    val contaminated = Decontaminate
+      .sharedNgrams(docs, idCol, textCol, bench, textCol, decontamN, minShared)
+      .select(col("doc_id").as("_ct_id"), lit(true).as("_contam"))
+    val sig = docs.select(col(idCol).as("_id"),
+      TextAnalysis.curationGates(col(textCol)).as("_g"),
+      floor(TextAnalysis.repetitionRatio(col(textCol), repetitionN) *
+        lit(1000000.0)).cast("long").as("_rep_1e6"))
+    val verdicts = sig
+      .join(keepers, col("_id") === col("_keep_id"), "left")
+      .join(nearDropped, col("_id") === col("_nd_id"), "left")
+      .join(contaminated, col("_id") === col("_ct_id"), "left")
+      .select(when(col("_is_keep").isNull, "1_exact_dup")
+        .when(coalesce(col("_near_dup"), lit(false)), "2_near_dup")
+        .when(col("_g.quality_1e6") < minQuality1e6, "3_quality")
+        .when(col("_g.predicted_lang") =!= lang, "4_language")
+        .when(col("_rep_1e6") >= maxRep1e6, "5_repetition")
+        .when(coalesce(col("_contam"), lit(false)), "6_contaminated")
+        .otherwise("7_pass").as("gate"))
+    val total = docs.agg(count(lit(1)).as("_total"))
+    verdicts.groupBy(col("gate"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_1e6", expr("n_docs * 1000000 DIV _total"))
+      .select(col("gate"), col("n_docs"), col("share_1e6"))
+  }
 }

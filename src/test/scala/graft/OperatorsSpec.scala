@@ -1336,6 +1336,30 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(4L) == (("und", 0L, 0L, 0L)))
   }
 
+  test("attritionFunnel: each doc lands on its FIRST failing gate; shares are exact") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),                                     // passes everything
+      (2L, base),                                     // exact dup of 1
+      (3L, base + " extra"),                          // near dup of 1 (LSH)
+      (4L, "zz qq xx"),                               // too short -> quality
+      (5L, "der hund ist ein tier und das ist gut " * 3),   // german, len>=100
+      (6L, "the cat sat on the mat " * 5),            // en, repetitive
+      (7L, "the maple syrup festival is a lovely event and it is fun for all of the folks in town every year here now"))
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, "people enjoy the maple syrup festival greatly"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Curation.attritionFunnel(docs, bench)
+      .collect().map(r => r.getAs[String]("gate") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("share_1e6")))).toMap
+    val expected = Map(
+      "1_exact_dup" -> ((1L, 142857L)), "2_near_dup" -> ((1L, 142857L)),
+      "3_quality" -> ((1L, 142857L)), "4_language" -> ((1L, 142857L)),
+      "5_repetition" -> ((1L, 142857L)), "6_contaminated" -> ((1L, 142857L)),
+      "7_pass" -> ((1L, 142857L)))
+    assert(out == expected, s"got $out")
+  }
+
   test("columnStats: per-column rows/nulls/NDV/min/max in one pass") {
     val df = Seq((1L, Some("x"), 10L), (2L, None, 5L), (3L, Some("x"), 10L))
       .toDF("id", "tag", "v")
