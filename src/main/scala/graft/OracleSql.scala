@@ -2255,6 +2255,22 @@ object OracleSql {
             (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_surprisal_1e6
           FROM SC GROUP BY doc_id ORDER BY doc_id""",
 
+    // cluster cohesion: q49's coarse-quantizer chain (identical CTEs),
+    // then per-cell mean/min member-to-own-centroid fixed cosine; the
+    // mean is offset-positive floor division so // and DIV agree for
+    // negative score sums
+    "q128_cluster_cohesion" ->
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          ${ivfCoarseCtes(8, 2)},
+          SC AS (SELECT c.cid, ${scoreFixedSafeSql("c.emb", "s.cemb")} AS s
+                 FROM CC c JOIN S2 s USING (cid))
+          SELECT CAST(cid AS BIGINT) AS cid,
+            CAST(count(*) AS BIGINT) AS n,
+            (CAST(sum(s) AS BIGINT) + CAST(count(*) AS BIGINT) * 1000000)
+              // CAST(count(*) AS BIGINT) - 1000000 AS avg_cos_1e6,
+            CAST(min(s) AS BIGINT) AS min_cos_1e6
+          FROM SC GROUP BY cid ORDER BY cid""",
+
     // gate-attrition funnel: first-fail attribution over the q44/q57
     // gate stack — dedup keepers + clusters (q44 CTEs), gates (G),
     // repetition (q56), contamination (q57 eval slice), one CASE

@@ -1218,6 +1218,17 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Cluster-cohesion report (q128): q49's trained coarse quantizer,
+    * then per cell the member count and mean/worst member-to-centroid
+    * fixed cosine — the nprobe-sizing diagnostic. See
+    * Similarity.clusterCohesion.
+    */
+  private def qClusterCohesion(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val cents = Similarity.trainCentroids(corpus, k = 8, iters = 2)
+    Similarity.clusterCohesion(corpus, cents).orderBy(col("cid"))
+  }
+
   /** Deterministic train/val/test split (operators.Sampling.splitLabel):
     * cumulative hash-bucket ranges partition the corpus 80/10/10 —
     * reproducible on any engine, no coordination, prefix-stable.
@@ -1899,7 +1910,8 @@ object SparkEntry {
     "q124_lang_margin" -> (qLangMargin _),
     "q125_kneser_ney" -> (qKneserNey _),
     "q126_column_stats" -> (qColumnStats _),
-    "q127_gate_attrition" -> (qAttrition _))
+    "q127_gate_attrition" -> (qAttrition _),
+    "q128_cluster_cohesion" -> (qClusterCohesion _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -329,6 +329,43 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Cluster-cohesion report for a trained coarse quantizer: per cell,
+    * member count plus the mean and worst fixed-point cosine of members
+    * to THEIR OWN centroid — the diagnostic that says whether the cells
+    * are tight enough for a small nprobe (loose cells → raise nprobe or
+    * k, retrain, or fall back to brute force). Scoring reuses the exact
+    * guarded fixed cosine the assignment path uses ([[assignCell]]'s
+    * branches), selected per row by a cid CASE over the broadcast
+    * centroid constants — so the report is consistent with what the
+    * index actually did, and the whole pass is one narrow projection +
+    * one k-group aggregate. The mean is exact integer floor division:
+    * scores can be negative, and Spark `div` truncates toward zero
+    * while DuckDB `//` floors, so the quotient is computed on the
+    * offset-positive sum `(Σs + n·1e6) div n − 1e6` — identical floor
+    * semantics on both engines for any sign.
+    *
+    * Output: (cid, n, avg_cos_1e6, min_cos_1e6) ordered by cid.
+    */
+  def clusterCohesion(corpus: DataFrame,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val ordered = centroids.sortBy(_._1)
+    require(ordered.map(_._1) == ordered.indices.toSeq,
+      "centroid ids must be 0..k-1")
+    val assigned = corpus.withColumn("_nrm", l2norm(col("emb")))
+      .withColumn("cid", assignCellWithNorm(col("emb"), col("_nrm"), ordered))
+    val scored = assigned.withColumn("_s",
+      ordered.foldRight(lit(0L)) { case ((cid, v), acc) =>
+        when(col("cid") === cid, lutContrib(col("emb"), col("_nrm"), v))
+          .otherwise(acc)
+      })
+    scored.groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("_s")).as("_sum"),
+        min(col("_s")).as("min_cos_1e6"))
+      .withColumn("avg_cos_1e6",
+        expr("(_sum + n * 1000000) DIV n - 1000000"))
+      .select(col("cid"), col("n"), col("avg_cos_1e6"), col("min_cos_1e6"))
+  }
+
   /** Each query's `nprobe` nearest cells — (id, emb, cid), one row per
     * probed cell, ranked by the same (score desc, cid asc) order the
     * corpus assign uses.

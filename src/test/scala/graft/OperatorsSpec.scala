@@ -1336,6 +1336,22 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(4L) == (("und", 0L, 0L, 0L)))
   }
 
+  test("clusterCohesion: per-cell mean/min cosine to own centroid, exact floor mean") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // cell 0, cos 1.0
+      (3L, Seq(1.0f, 1.0f)),   // cos .7071 to both -> tie -> cell 0
+      (2L, Seq(0.0f, 1.0f)),   // cell 1, cos 1.0
+      (4L, Seq(-1.0f, 0.0f)))  // cos -1 vs c0, 0 vs c1 -> cell 1
+      .toDF("id", "emb")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+    val out = Similarity.clusterCohesion(corpus, cents)
+      .collect().map(r => r.getAs[Long]("cid") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("avg_cos_1e6"),
+          r.getAs[Long]("min_cos_1e6")))).toMap
+    assert(out(0L) == ((2L, 853553L, 707106L))) // (1000000+707106) div 2
+    assert(out(1L) == ((2L, 500000L, 0L)))
+  }
+
   test("attritionFunnel: each doc lands on its FIRST failing gate; shares are exact") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
