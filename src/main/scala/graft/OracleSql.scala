@@ -2255,6 +2255,35 @@ object OracleSql {
             (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_surprisal_1e6
           FROM SC GROUP BY doc_id ORDER BY doc_id""",
 
+    // CCNet buckets: q88's surprisal chain, q122's per-source min-rank
+    // percentile math, exact integer tertile compares
+    "q129_ccnet_buckets" ->
+      s"""WITH E AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS term FROM documents),
+          CW AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM E GROUP BY term),
+          NT AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM CW),
+          SC AS (SELECT e.doc_id, CAST(length(bin(nt.n)) - length(bin(cw.c)) AS BIGINT) AS s
+                 FROM E e JOIN CW cw USING (term) CROSS JOIN NT nt),
+          SUR AS (SELECT doc_id,
+                 (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_surprisal_1e6
+                FROM SC GROUP BY doc_id),
+          B AS (SELECT d.doc_id, d.source, u.avg_surprisal_1e6
+                FROM documents d JOIN SUR u USING (doc_id)
+                WHERE d.source IS NOT NULL),
+          R AS (SELECT doc_id, source, avg_surprisal_1e6,
+                 CAST(rank() OVER (PARTITION BY source
+                   ORDER BY avg_surprisal_1e6) AS BIGINT) AS rk,
+                 CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+                FROM B),
+          P AS (SELECT doc_id, source, avg_surprisal_1e6,
+                 CAST(CASE WHEN n <= 1 THEN 0
+                      ELSE (rk - 1) * 1000000 // (n - 1) END AS BIGINT) AS pct_1e6
+                FROM R)
+          SELECT doc_id, source, avg_surprisal_1e6, pct_1e6,
+            CASE WHEN pct_1e6 * 3 < 1000000 THEN 'head'
+                 WHEN pct_1e6 * 3 < 2000000 THEN 'middle'
+                 ELSE 'tail' END AS bucket
+          FROM P ORDER BY doc_id""",
+
     // cluster cohesion: q49's coarse-quantizer chain (identical CTEs),
     // then per-cell mean/min member-to-own-centroid fixed cosine; the
     // mean is offset-positive floor division so // and DIV agree for

@@ -1084,6 +1084,17 @@ object SparkEntry {
         col("surprisal_bits"), col("avg_surprisal_1e6"))
       .orderBy(col("doc_id"))
 
+  /** CCNet perplexity buckets (q129): per-source head/middle/tail split
+    * at the source's own 1/3 and 2/3 surprisal percentiles — the CCNet
+    * keep/drop partition. See TextAnalysis.ccnetBuckets.
+    */
+  private def qCcnetBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.ccnetBuckets(
+        t(s, dir, "documents"), "doc_id", "text", "source")
+      .select(col("id").as("doc_id"), col("source"),
+        col("avg_surprisal_1e6"), col("pct_1e6"), col("bucket"))
+      .orderBy(col("doc_id"))
+
   /** Kneser–Ney bigram LM estimation (q125): the KenLM-shaped trainer —
     * per surviving bigram, discounted ML mass plus continuation-prob
     * backoff as ONE exact rational, 1e-6 fixed point; singleton rows
@@ -1911,7 +1922,8 @@ object SparkEntry {
     "q125_kneser_ney" -> (qKneserNey _),
     "q126_column_stats" -> (qColumnStats _),
     "q127_gate_attrition" -> (qAttrition _),
-    "q128_cluster_cohesion" -> (qClusterCohesion _))
+    "q128_cluster_cohesion" -> (qClusterCohesion _),
+    "q129_ccnet_buckets" -> (qCcnetBuckets _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

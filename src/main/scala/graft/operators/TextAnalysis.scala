@@ -241,6 +241,40 @@ object TextAnalysis {
         expr("surprisal_bits * 1000000L DIV n_tokens"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020,
+    * arXiv:1911.00359): score every document under the corpus LM
+    * ([[unigramSurprisal]] — the engine-portable integer stand-in for
+    * KenLM perplexity), then split EACH SOURCE at its own 1/3 and 2/3
+    * perplexity percentiles into head / middle / tail. Per-source
+    * calibration is the part that matters: a "hard" source would land
+    * wholesale in a global tail; CCNet keeps head+middle per source
+    * and drops tails. Percentiles come from
+    * [[Sampling.percentileCalibrate]] (min-rank ties, (rank−1)·1e6
+    * div (n−1)); bucket thresholds are exact integer compares
+    * (pct·3 < 1e6, < 2e6) so engines agree on boundary docs.
+    *
+    * Output: (id, source, avg_surprisal_1e6, pct_1e6, bucket) for
+    * every document with ≥ 1 token.
+    *
+    * Scale shape: surprisal's two broadcast passes + calibration's
+    * counts-table windows (bounded by distinct (source, score), never
+    * a corpus-wide window).
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val sur = unigramSurprisal(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("id"), col(sourceCol).as("source")), Seq("id"))
+    Sampling.percentileCalibrate(sur, col("id"), col("source"),
+        col("avg_surprisal_1e6"))
+      .withColumnRenamed("score", "avg_surprisal_1e6")
+      .withColumn("bucket",
+        when(col("pct_1e6") * 3 < 1000000L, "head")
+          .when(col("pct_1e6") * 3 < 2000000L, "middle")
+          .otherwise("tail"))
+      .select(col("id"), col("stratum").as("source"),
+        col("avg_surprisal_1e6"), col("pct_1e6"), col("bucket"))
+  }
+
   /** DSIR importance weighting (Xie et al., NeurIPS 2023,
     * arXiv:2302.03169 — Data Selection via Importance Resampling):
     * score each corpus document by how much more likely its tokens

@@ -1336,6 +1336,22 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(4L) == (("und", 0L, 0L, 0L)))
   }
 
+  test("ccnetBuckets: per-source tertiles; singleton source is head") {
+    val docs = Seq(
+      (1L, "common common common", "x"), // lowest surprisal in x
+      (2L, "common common rare1", "x"),
+      (3L, "rare2 rare3 rare4", "x"),    // highest surprisal in x
+      (4L, "common", "y"))               // singleton source
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.ccnetBuckets(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("pct_1e6"), r.getAs[String]("bucket")))).toMap
+    assert(out(1L) == ((0L, "head")))
+    assert(out(2L) == ((500000L, "middle")))
+    assert(out(3L) == ((1000000L, "tail")))
+    assert(out(4L) == ((0L, "head")))
+  }
+
   test("clusterCohesion: per-cell mean/min cosine to own centroid, exact floor mean") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f)),   // cell 0, cos 1.0
