@@ -2255,6 +2255,17 @@ object OracleSql {
             (CAST(sum(s) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avg_surprisal_1e6
           FROM SC GROUP BY doc_id ORDER BY doc_id""",
 
+    // feature hashing: md5-long token hash, low 6 bits = bucket, bit 6
+    // = sign, zero-sum buckets dropped
+    "q130_hashed_tf" ->
+      s"""WITH E AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS term FROM documents),
+          H AS (SELECT doc_id, ${md5long("term")} AS h FROM E)
+          SELECT doc_id, (h & 63) AS bucket,
+            CAST(sum(CASE WHEN ((h >> 6) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+          FROM H GROUP BY doc_id, bucket
+          HAVING sum(CASE WHEN ((h >> 6) & 1) = 1 THEN 1 ELSE -1 END) <> 0
+          ORDER BY doc_id, bucket""",
+
     // CCNet buckets: q88's surprisal chain, q122's per-source min-rank
     // percentile math, exact integer tertile compares
     "q129_ccnet_buckets" ->

@@ -1095,6 +1095,16 @@ object SparkEntry {
         col("avg_surprisal_1e6"), col("pct_1e6"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** Feature-hashed sparse TF vectors (q130): signed hashing-trick
+    * featurization into 64 buckets — the model-free text→vector
+    * bridge. See TextAnalysis.hashedTf.
+    */
+  private def qHashedTf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.hashedTf(
+        t(s, dir, "documents"), "doc_id", "text", dim = 64)
+      .select(col("id").as("doc_id"), col("bucket"), col("weight"))
+      .orderBy(col("doc_id"), col("bucket"))
+
   /** Kneser–Ney bigram LM estimation (q125): the KenLM-shaped trainer —
     * per surviving bigram, discounted ML mass plus continuation-prob
     * backoff as ONE exact rational, 1e-6 fixed point; singleton rows
@@ -1923,7 +1933,8 @@ object SparkEntry {
     "q126_column_stats" -> (qColumnStats _),
     "q127_gate_attrition" -> (qAttrition _),
     "q128_cluster_cohesion" -> (qClusterCohesion _),
-    "q129_ccnet_buckets" -> (qCcnetBuckets _))
+    "q129_ccnet_buckets" -> (qCcnetBuckets _),
+    "q130_hashed_tf" -> (qHashedTf _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

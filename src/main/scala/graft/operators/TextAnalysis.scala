@@ -275,6 +275,40 @@ object TextAnalysis {
         col("avg_surprisal_1e6"), col("pct_1e6"), col("bucket"))
   }
 
+  /** Feature hashing ("the hashing trick", Weinberger et al., ICML
+    * 2009): tokens hash into a fixed `dim`-bucket sparse vector with a
+    * ±1 sign drawn from an independent hash bit, which makes the
+    * implicit inner product an unbiased estimate of the true TF inner
+    * product. This is the deterministic text→vector bridge — no model,
+    * no vocabulary table, any engine reproduces it bit-for-bit — that
+    * lets the dense ops (cosine near-dups, clustering, ANN) run on raw
+    * documents. Bucket = low log2(dim) bits of the md5-derived token
+    * hash; sign = the next bit; zero-sum buckets (sign cancellation)
+    * are dropped, keeping the output truly sparse.
+    *
+    * Output: (id, bucket, weight) sparse rows, weight = signed count.
+    *
+    * Scale shape: narrow explode + one (id, bucket) groupBy with
+    * map-side combine — the same single-shuffle cost as token
+    * counting; output is ≤ min(tokens, dim) rows per doc.
+    */
+  def hashedTf(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 2 && (dim & (dim - 1)) == 0,
+      s"dim must be a power of two >= 2, got $dim")
+    val bits = java.lang.Integer.numberOfTrailingZeros(dim)
+    val toksDf = docs.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val h = md5Long(col("term"))
+    toksDf.select(col("id"),
+        h.bitwiseAND(lit((dim - 1).toLong)).as("bucket"),
+        when(shiftright(h, bits).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+      .groupBy(col("id"), col("bucket"))
+      .agg(sum(col("sgn")).as("weight"))
+      .filter(col("weight") =!= 0L)
+  }
+
   /** DSIR importance weighting (Xie et al., NeurIPS 2023,
     * arXiv:2302.03169 — Data Selection via Importance Resampling):
     * score each corpus document by how much more likely its tokens

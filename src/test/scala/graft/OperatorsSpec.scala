@@ -1336,6 +1336,17 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(4L) == (("und", 0L, 0L, 0L)))
   }
 
+  test("hashedTf: deterministic signed buckets, repeated tokens accumulate") {
+    val docs = Seq((1L, "foo foo bar"), (2L, "foo foo bar")).toDF("doc_id", "text")
+    val rows = TextAnalysis.hashedTf(docs, "doc_id", "text", dim = 64).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("bucket"), r.getAs[Long]("weight")))
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 64), s"buckets in range: ${rows.toSeq}")
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(byDoc(1L) == byDoc(2L), "identical text must yield identical vectors")
+    assert(rows.filter(_._1 == 1L).map(r => math.abs(r._3)).sorted.toSeq == Seq(1L, 2L),
+      "foo contributes |2|, bar |1| (distinct buckets for these tokens)")
+  }
+
   test("ccnetBuckets: per-source tertiles; singleton source is head") {
     val docs = Seq(
       (1L, "common common common", "x"), // lowest surprisal in x
