@@ -979,6 +979,36 @@ object OracleSql {
             before_pre, after_pre
           FROM D WHERE change_type IS NOT NULL ORDER BY doc_id""",
 
+    // release delta: q72's replay carrying source, aggregated by
+    // (dimension from whichever image exists, change_type)
+    "q131_release_delta" ->
+      """WITH A AS (SELECT doc_id, source AS src, substr(text, 1, 20) AS txt,
+                CAST(1 AS BIGINT) AS pre FROM documents),
+          U AS (SELECT doc_id, source AS src, 'upd:' || substr(text, 1, 15) AS txt,
+                CAST(2 AS BIGINT) AS pre FROM documents WHERE doc_id % 5 = 0),
+          I AS (SELECT doc_id + 1000000 AS doc_id, 'newfeed' AS src, 'fresh' AS txt,
+                CAST(1 AS BIGINT) AS pre FROM documents WHERE doc_id % 11 = 0),
+          MB AS (SELECT doc_id, src, txt, pre FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY pre DESC, seq DESC) AS rn
+                 FROM (SELECT doc_id, src, txt, pre, 0 AS seq FROM A
+                       UNION ALL SELECT doc_id, src, txt, pre, 1 FROM U
+                       UNION ALL SELECT doc_id, src, txt, pre, 2 FROM I))
+                WHERE rn = 1),
+          B AS (SELECT * FROM MB WHERE doc_id NOT IN
+                (SELECT doc_id FROM documents WHERE doc_id % 9 = 0)),
+          D AS (SELECT coalesce(b.src, a.src) AS source,
+                 CASE WHEN a.doc_id IS NULL THEN 'insert'
+                      WHEN b.doc_id IS NULL THEN 'delete'
+                      WHEN NOT (a.src IS NOT DISTINCT FROM b.src
+                                AND a.txt IS NOT DISTINCT FROM b.txt
+                                AND a.pre IS NOT DISTINCT FROM b.pre)
+                        THEN 'update' END AS change_type
+                FROM A a FULL JOIN B b ON a.doc_id = b.doc_id)
+          SELECT source, change_type, CAST(count(*) AS BIGINT) AS n
+          FROM D WHERE change_type IS NOT NULL
+          GROUP BY source, change_type ORDER BY source, change_type""",
+
     // incremental rollup maintenance: the oracle is the FULL recompute
     // of the merged final state — the maintained summary must equal it
     "q71_rollup_maintain" ->

@@ -770,6 +770,32 @@ object SparkEntry {
     vt.diff(c1, head).orderBy(col("doc_id"))
   }
 
+  /** Release-delta report (q131): q72's commit replay with `source`
+    * carried as payload, then the per-source insert/update/delete
+    * counts between release commits — the corpus release note. See
+    * VersionedTable.releaseDelta.
+    */
+  private def qReleaseDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q131_delta_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "doc_id", "pre", numBuckets = 8)
+    val c1 = vt.upsert(docs.select(col("doc_id"), col("source").as("src"),
+      substring(col("text"), 1, 20).as("txt"), lit(1L).as("pre")))
+    vt.upsert(docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"),
+      col("source").as("src"),
+      concat(lit("upd:"), substring(col("text"), 1, 15)).as("txt"), lit(2L).as("pre")))
+    vt.upsert(docs.filter(col("doc_id") % 11 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"), lit("newfeed").as("src"),
+      lit("fresh").as("txt"), lit(1L).as("pre")))
+    val head = vt.delete(docs.filter(col("doc_id") % 9 === 0).select(col("doc_id")))
+    vt.releaseDelta(c1, head, "src")
+      .select(col("src").as("source"), col("change_type"), col("n"))
+      .orderBy(col("source"), col("change_type"))
+  }
+
   /** Incremental rollup maintenance (operators.RollupMaintenance):
     * a per-language summary bootstrapped at commit 1, then REFRESHED
     * from commit 2's incremental delta (touched groups recomputed —
@@ -1934,7 +1960,8 @@ object SparkEntry {
     "q127_gate_attrition" -> (qAttrition _),
     "q128_cluster_cohesion" -> (qClusterCohesion _),
     "q129_ccnet_buckets" -> (qCcnetBuckets _),
-    "q130_hashed_tf" -> (qHashedTf _))
+    "q130_hashed_tf" -> (qHashedTf _),
+    "q131_release_delta" -> (qReleaseDelta _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -362,6 +362,20 @@ final class VersionedTable(spark: SparkSession, root: String,
         payload.flatMap(c => Seq(col(s"before_$c"), col(s"after_$c"))): _*)
   }
 
+  /** Release-delta report: [[diff]] between two commits aggregated by a
+    * dimension column — the per-feed "what changed in this corpus
+    * release" note (inserts/updates/deletes per source) published with
+    * every versioned dataset drop. The dimension of a delete comes from
+    * the before-image, of an insert from the after-image. Costs the
+    * manifest-pruned diff plus one bounded (dim × 3) aggregate.
+    */
+  def releaseDelta(tsA: String, tsB: String, dim: String): DataFrame =
+    diff(tsA, tsB)
+      .select(coalesce(col(s"after_$dim"), col(s"before_$dim")).as(dim),
+        col("change_type"))
+      .groupBy(col(dim), col("change_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** Bucket-count migration — the growth path for a table whose data
     * outlives its creation-time layout (Hudi solves the same problem
     * with sized file groups, register_hudi.py:56-69 at real scale).

@@ -32,6 +32,22 @@ class VersionedTableSpec extends SparkSpec {
     assert(vt.commitHistory.collect().map(_.getString(0)).toSeq == Seq(c2, c1))
   }
 
+  test("releaseDelta: per-dimension insert/update/delete counts; delete keeps before-image dim") {
+    val root = Fixtures.tmpDir("vt").toString
+    val vt = new VersionedTable(spark, root, "id", "pre")
+    val c1 = vt.upsert(Seq(
+      (1L, "web", "aa", 1L), (2L, "web", "bb", 1L), (3L, "books", "cc", 1L))
+      .toDF("id", "src", "txt", "pre"))
+    vt.upsert(Seq((1L, "web", "aa2", 2L), (9L, "wiki", "new", 1L))
+      .toDF("id", "src", "txt", "pre"))
+    val head = vt.delete(Seq(Tuple1(3L)).toDF("id"))
+    val out = vt.releaseDelta(c1, head, "src").collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("change_type")) ->
+        r.getAs[Long]("n")).toMap
+    assert(out == Map(
+      ("web", "update") -> 1L, ("wiki", "insert") -> 1L, ("books", "delete") -> 1L))
+  }
+
   test("precombine tie: incoming update wins (Hudi latest-write-wins)") {
     val root = Fixtures.tmpDir("vt").toString
     val vt = new VersionedTable(spark, root, "k", "v")
