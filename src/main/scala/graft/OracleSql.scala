@@ -806,6 +806,24 @@ object OracleSql {
           SELECT node AS doc_id, min(r) AS cluster_id FROM REACH
           GROUP BY node ORDER BY doc_id""",
 
+    // duplication-mass histogram: q36's reachability clusters, then
+    // clusters-per-size
+    "q132_dup_mass" ->
+      s"""WITH RECURSIVE
+          ${lshPairCtes("documents")},
+          EDGES AS (SELECT id_a AS src, id_b AS dst FROM PAIRS
+                    UNION SELECT id_b, id_a FROM PAIRS),
+          REACH(node, r) AS (
+            SELECT src, src FROM EDGES
+            UNION
+            SELECT e.dst, r.r FROM REACH r JOIN EDGES e ON e.src = r.node),
+          CL AS (SELECT node, min(r) AS cluster_id FROM REACH GROUP BY node),
+          S AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM CL GROUP BY cluster_id)
+          SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+            cluster_size * CAST(count(*) AS BIGINT) AS n_docs
+          FROM S GROUP BY cluster_size ORDER BY cluster_size""",
+
     "q37_sessionize" ->
       """WITH E AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
           L AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM E),

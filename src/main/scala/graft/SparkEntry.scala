@@ -574,6 +574,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplication-mass histogram (q132): q36's LSH cluster labeling,
+    * then clusters-per-size and docs-tied-up — the "is dedup worth it"
+    * one-pager. See Dedup.clusterSizeHistogram.
+    */
+  private def qDupMassHist(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.clusterSizeHistogram(Dedup.connectedComponents(pairs))
+      .orderBy(col("cluster_size"))
+  }
+
   /** String-function surface: edit distance, replace, padding,
     * reversal — all integer/deterministic semantics in both engines.
     */
@@ -1961,7 +1971,8 @@ object SparkEntry {
     "q128_cluster_cohesion" -> (qClusterCohesion _),
     "q129_ccnet_buckets" -> (qCcnetBuckets _),
     "q130_hashed_tf" -> (qHashedTf _),
-    "q131_release_delta" -> (qReleaseDelta _))
+    "q131_release_delta" -> (qReleaseDelta _),
+    "q132_dup_mass" -> (qDupMassHist _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -411,6 +411,25 @@ object Dedup {
     * is one (id,label) row per node, localCheckpoint'd so lineage stays
     * flat. No driver-side graph, no cartesian.
     */
+  /** Duplication-mass histogram over a cluster labeling
+    * ([[connectedComponents]] output): how many near-dup clusters exist
+    * at each size and how many documents they tie up — the one-page
+    * answer to "how much of the corpus is duplicated, and is it a few
+    * giant templates or many small pairs" that decides whether dedup
+    * is worth a cluster-day BEFORE running it. Two bounded groupBys
+    * (clusters, then sizes); n_docs = size × count is exact.
+    *
+    * Output: (cluster_size, n_clusters, n_docs). Singletons never
+    * appear (a clean doc joins no pair — by construction of the pair
+    * stream).
+    */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the edge list once — its lineage (e.g. a whole
     // minhash pipeline) must not re-execute per iteration

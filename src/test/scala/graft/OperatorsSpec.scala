@@ -1336,6 +1336,19 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(4L) == (("und", 0L, 0L, 0L)))
   }
 
+  test("clusterSizeHistogram: clusters-per-size and doc mass from planted groups") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "completely different words entirely unrelated content here now friends"
+    val docs = Seq((1L, a), (2L, a), (3L, a), (4L, b), (5L, b),
+      (6L, "a lone unique document nothing like the others at all indeed"))
+      .toDF("doc_id", "text")
+    val hist = Dedup.clusterSizeHistogram(
+        Dedup.connectedComponents(Dedup.minhashLshPairs(docs, "doc_id", "text")))
+      .collect().map(r => r.getAs[Long]("cluster_size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs")))).toMap
+    assert(hist == Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L))), s"got $hist")
+  }
+
   test("hashedTf: deterministic signed buckets, repeated tokens accumulate") {
     val docs = Seq((1L, "foo foo bar"), (2L, "foo foo bar")).toDF("doc_id", "text")
     val rows = TextAnalysis.hashedTf(docs, "doc_id", "text", dim = 64).collect()
