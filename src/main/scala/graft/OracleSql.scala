@@ -2343,6 +2343,52 @@ object OracleSql {
                  ELSE 'tail' END AS bucket
           FROM P ORDER BY doc_id""",
 
+    // MMR re-rank: brute-force top-6 candidates (q21 shape), pairwise
+    // candidate sims, then 3 unrolled greedy rounds — margin = rel −
+    // max(sim to picked), rank window (m DESC, nid) per round
+    "q133_mmr_rerank" ->
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          Q AS (SELECT id, emb FROM C WHERE id % 200 = 0 AND id < 2000),
+          SC AS (SELECT q.id AS query_id, c.id AS nid,
+                  ${scoreFixedSql("q.emb", "c.emb")} AS rel, c.emb AS cemb
+                 FROM C c JOIN Q q ON q.id <> c.id),
+          CAND AS (SELECT query_id, nid, rel, cemb FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, nid) AS rn FROM SC) WHERE rn <= 6),
+          SIM AS (SELECT x.query_id, x.nid AS a, y.nid AS b,
+                  ${scoreFixedSql("x.cemb", "y.cemb")} AS sim
+                 FROM CAND x JOIN CAND y
+                   ON x.query_id = y.query_id AND x.nid <> y.nid),
+          S1 AS (SELECT query_id, nid, rel AS m FROM (
+                 SELECT query_id, nid, rel, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, nid) AS rn FROM CAND) WHERE rn = 1),
+          M2 AS (SELECT c.query_id, c.nid, c.rel - max(s.sim) AS m
+                 FROM CAND c
+                 JOIN S1 p ON p.query_id = c.query_id AND p.nid <> c.nid
+                 JOIN SIM s ON s.query_id = c.query_id AND s.a = c.nid AND s.b = p.nid
+                 GROUP BY c.query_id, c.nid, c.rel),
+          S2 AS (SELECT query_id, nid, m FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY m DESC, nid) AS rn FROM M2) WHERE rn = 1),
+          S12 AS (SELECT query_id, nid FROM S1
+                  UNION ALL SELECT query_id, nid FROM S2),
+          M3 AS (SELECT c.query_id, c.nid, c.rel - max(s.sim) AS m
+                 FROM CAND c
+                 JOIN S12 p ON p.query_id = c.query_id
+                 JOIN SIM s ON s.query_id = c.query_id AND s.a = c.nid AND s.b = p.nid
+                 WHERE NOT EXISTS (SELECT 1 FROM S12 w
+                   WHERE w.query_id = c.query_id AND w.nid = c.nid)
+                 GROUP BY c.query_id, c.nid, c.rel),
+          S3 AS (SELECT query_id, nid, m FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY m DESC, nid) AS rn FROM M3) WHERE rn = 1)
+          SELECT query_id, CAST(pick_no AS BIGINT) AS pick_no,
+            nid AS neighbor_id, CAST(m AS BIGINT) AS mmr_1e6 FROM (
+            SELECT query_id, 1 AS pick_no, nid, m FROM S1
+            UNION ALL SELECT query_id, 2, nid, m FROM S2
+            UNION ALL SELECT query_id, 3, nid, m FROM S3)
+          ORDER BY query_id, pick_no""",
+
     // cluster cohesion: q49's coarse-quantizer chain (identical CTEs),
     // then per-cell mean/min member-to-own-centroid fixed cosine; the
     // mean is offset-positive floor division so // and DIV agree for

@@ -1275,6 +1275,19 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** MMR diversified re-rank (q133): greedy maximal-marginal-relevance
+    * over each eval query's top-6 cosine candidates, 3 picks, λ=1/2 as
+    * the exact integer margin rel − max-sim-to-picked. See
+    * Retrieval.mmrRerank.
+    */
+  private def qMmr(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    graft.operators.Retrieval.mmrRerank(corpus,
+        corpus.filter(col("id") % 200 === 0 && col("id") < 2000),
+        depth = 6, k = 3)
+      .orderBy(col("query_id"), col("pick_no"))
+  }
+
   /** Cluster-cohesion report (q128): q49's trained coarse quantizer,
     * then per cell the member count and mean/worst member-to-centroid
     * fixed cosine — the nprobe-sizing diagnostic. See
@@ -1972,7 +1985,8 @@ object SparkEntry {
     "q129_ccnet_buckets" -> (qCcnetBuckets _),
     "q130_hashed_tf" -> (qHashedTf _),
     "q131_release_delta" -> (qReleaseDelta _),
-    "q132_dup_mass" -> (qDupMassHist _))
+    "q132_dup_mass" -> (qDupMassHist _),
+    "q133_mmr_rerank" -> (qMmr _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -142,4 +142,72 @@ object Retrieval {
       .select(col("query_id"), col("doc_id").as("neg_id"),
         col("bm25_1e6"), col("rank"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): greedily pick `k` of each query's top-`depth` cosine
+    * candidates, each round taking the candidate maximizing
+    * relevance − max-similarity-to-already-picked — the diversified
+    * retrieval a data-selection stack uses so its k exemplars aren't k
+    * copies of the same passage. λ is fixed at 1/2 and the ×2-scaled
+    * margin `m = rel_1e6 − max sim_1e6` is ranked directly: pure
+    * integer arithmetic (associative max, exact subtraction), so both
+    * engines agree on every pick including ties (margin desc, id asc —
+    * the max(struct(m, −id)) first-max; the oracle's rank window).
+    *
+    * The greedy loop is inherently sequential in k, so it runs as k
+    * unrolled DISTRIBUTED rounds: each round is one bounded join
+    * (|Q|·depth candidates × ≤r picked) + one groupBy argmax — never a
+    * per-query driver loop. The candidate and pairwise-sim frames
+    * (≤ |Q|·depth and ≤ |Q|·depth² rows) are materialized once and
+    * reused by every round; the corpus is touched only by the
+    * brute-force candidate pass ([[Similarity.bruteForceTopK]] — swap
+    * in ivfTopK at scale, the re-rank is producer-agnostic).
+    *
+    * Output: (query_id, pick_no 1..k, neighbor_id, mmr_1e6) — round-1
+    * rows carry m = rel (nothing picked yet), later rounds the margin.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame,
+      depth: Int, k: Int): DataFrame = {
+    require(depth >= 1 && k >= 1 && k <= depth,
+      s"need 1 <= k <= depth, got k=$k depth=$depth")
+    val cands = Similarity.bruteForceTopK(corpus, queries, depth)
+      .select(col("query_id"), col("neighbor_id"), col("score_1e6").as("rel"))
+      .localCheckpoint(true)
+    val withEmb = cands.join(corpus.select(col("id"), col("emb")),
+        col("neighbor_id") === col("id"))
+      .select(col("query_id"), col("neighbor_id"), col("emb"))
+    val x = withEmb.select(col("query_id"), col("neighbor_id").as("a"),
+      col("emb").as("ea"))
+    val y = withEmb.select(col("query_id"), col("neighbor_id").as("b"),
+      col("emb").as("eb"))
+    val sims = x.join(y, Seq("query_id")).filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        Similarity.scoreFixed(col("ea"), col("eb")).as("sim"))
+      .localCheckpoint(true)
+    var sel: DataFrame = null
+    for (r <- 1 to k) {
+      val scored =
+        if (sel == null) cands.withColumn("m", col("rel"))
+        else {
+          val picked = sel.select(col("query_id").as("_q"), col("neighbor_id").as("_p"))
+          val rem = cands.join(picked,
+            cands("query_id") === col("_q") && col("neighbor_id") === col("_p"),
+            "left_anti")
+          val selSim = sims.join(picked,
+              sims("query_id") === col("_q") && col("b") === col("_p"))
+            .groupBy(sims("query_id").as("query_id"), col("a"))
+            .agg(max(col("sim")).as("maxsim"))
+          rem.join(selSim,
+              rem("query_id") === selSim("query_id") && col("neighbor_id") === col("a"))
+            .select(rem("query_id"), col("neighbor_id"), col("rel"),
+              (col("rel") - col("maxsim")).as("m"))
+        }
+      val pick = scored.groupBy(col("query_id"))
+        .agg(max(struct(col("m"), (-col("neighbor_id")).as("nid"))).as("_b"))
+        .select(col("query_id"), (-col("_b.nid")).as("neighbor_id"),
+          col("_b.m").as("mmr_1e6"), lit(r.toLong).as("pick_no"))
+      sel = (if (sel == null) pick else sel.unionByName(pick)).localCheckpoint(true)
+    }
+    sel.select(col("query_id"), col("pick_no"), col("neighbor_id"), col("mmr_1e6"))
+  }
 }

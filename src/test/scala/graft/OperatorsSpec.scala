@@ -1336,6 +1336,23 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(4L) == (("und", 0L, 0L, 0L)))
   }
 
+  test("mmrRerank: diverse candidate beats the near-duplicate of pick 1") {
+    // query (2,1); b=(0.98,0.04) is the most relevant, a=(1,0) its
+    // near-dup, c=(0,1) diverse. Greedy: pick b, then c (margin
+    // 447213-40782 beats a's 894427-999163), then a.
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.98f, 0.04f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("id", "emb")
+    val queries = Seq((100L, Seq(2.0f, 1.0f))).toDF("id", "emb")
+    val picks = graft.operators.Retrieval.mmrRerank(corpus, queries, depth = 3, k = 3)
+      .orderBy(col("pick_no")).collect()
+      .map(r => (r.getAs[Long]("pick_no"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("mmr_1e6")))
+    assert(picks.map(_._2).toSeq == Seq(2L, 3L, 1L), s"got ${picks.toSeq}")
+    assert(picks(0)._3 > picks(1)._3, "pick 1 carries raw relevance")
+    assert(picks(2)._3 < 0, "the near-dup's margin is negative")
+  }
+
   test("clusterSizeHistogram: clusters-per-size and doc mass from planted groups") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val b = "completely different words entirely unrelated content here now friends"
