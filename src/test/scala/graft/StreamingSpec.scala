@@ -56,6 +56,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(1L -> 4L), s"streaming result must match batch: $rows")
   }
 
+  test("streaming quality monitor: windowed per-source gate rates equal the batch twin") {
+    val dir = Fixtures.tmpDir("qmon_stream")
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val docs = Seq(
+      (ts(5), "web", "the quick brown fox jumps over the lazy dog again and again today"),
+      (ts(10), "web", "zz qq xx"),                                    // fails quality
+      (ts(15), "web", "der hund ist ein tier und das ist gut " * 3),  // fails language
+      (ts(20), "wiki", "it is a fine day and the sun is up for all of us here now"))
+      .toDF("ts", "source", "text")
+    docs.write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    val mon = graft.streaming.StreamingQuality.qualityMonitor(stream)
+    assert(mon.isStreaming, "the plan must stay a streaming plan")
+    val q = mon.writeStream.outputMode("complete")
+      .format("memory").queryName("qmon_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("select * from qmon_out").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_quality_pass"),
+          r.getAs[Long]("n_lang_pass"), r.getAs[Long]("n_pass")))).toMap
+    val batch = graft.streaming.StreamingQuality.qualityMonitor(docs).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_quality_pass"),
+          r.getAs[Long]("n_lang_pass"), r.getAs[Long]("n_pass")))).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    val web = streamed.collectFirst { case ((_, "web"), v) => v }.get
+    assert(web == ((3L, 2L, 1L, 1L)), s"web gate counts: $web")
+  }
+
   test("stateless contamination gate runs append-mode on a stream (no state, no watermark)") {
     // flagByGramSet is a pure map-side expression (gram set as a
     // sorted literal) — the ingest-time quarantine router: unlike the
