@@ -574,6 +574,28 @@ object OracleSql {
           FROM D a JOIN D b ON a.doc_id < b.doc_id ORDER BY id_a, id_b"""
     },
 
+    // LSH threshold sweep: exact q20 Jaccard on the q18 candidate
+    // pairs, 0.1-wide bins (top bin merged into 9), cumulative from
+    // above
+    "q134_jaccard_sweep" -> {
+      val sh = shingles3("text")
+      s"""WITH ${lshPairCtes("documents")},
+          SH2 AS (SELECT doc_id, $sh AS sh FROM documents),
+          J2 AS (SELECT cast(floor((CASE
+                  WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                  ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                       / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
+                  END) * 1000000.0) as bigint) AS j1e6
+                FROM PAIRS p
+                JOIN SH2 a ON a.doc_id = p.id_a
+                JOIN SH2 b ON b.doc_id = p.id_b),
+          BINS AS (SELECT least(j1e6 // 100000, 9) AS bin,
+                 CAST(count(*) AS BIGINT) AS n_pairs FROM J2 GROUP BY bin)
+          SELECT bin * 100000 AS bin_lo_1e6, n_pairs,
+            CAST(sum(n_pairs) OVER (ORDER BY bin DESC) AS BIGINT) AS n_at_or_above
+          FROM BINS ORDER BY bin_lo_1e6"""
+    },
+
     // recency decay: integer halving per day of age (non-negative
     // values, so Spark div ≡ DuckDB //), saturating at 30 shifts
     "q79_decayed_sum" ->

@@ -248,6 +248,30 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** LSH threshold-calibration sweep (q134): exact 3-gram Jaccard of
+    * every LSH candidate pair, binned per 0.1, with the
+    * cumulative-from-above pair counts — the table that picks the
+    * confirm-threshold for a dedup run (how many pairs survive at
+    * ≥0.7? ≥0.8?) BEFORE committing to one. Candidates only — the
+    * sweep costs one pass over the existing LSH artifact, never n².
+    * The 11-row bin table's cumulative window is driver-trivial.
+    */
+  private def qJaccardSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select(col("id_a"), col("id_b"))
+    val binned = Dedup.ngramJaccard(docs, "doc_id", "text", pairs, 3)
+      .select(floor(col("jaccard") * 1000000.0).cast("long").as("j1e6"))
+      .select(expr("least(j1e6 DIV 100000, 9L)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+    binned
+      .withColumn("n_at_or_above", sum(col("n_pairs")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bin").desc)))
+      .select((col("bin") * 100000L).as("bin_lo_1e6"), col("n_pairs"),
+        col("n_at_or_above"))
+      .orderBy(col("bin_lo_1e6"))
+  }
+
   /** Formatting-invariant exact dedup (TextAnalysis.normalizeForDedup
     * + Dedup.exact): re-punctuated / re-wrapped copies collapse into
     * one group — the normalization pass raw-byte hashing misses.
@@ -1986,7 +2010,8 @@ object SparkEntry {
     "q130_hashed_tf" -> (qHashedTf _),
     "q131_release_delta" -> (qReleaseDelta _),
     "q132_dup_mass" -> (qDupMassHist _),
-    "q133_mmr_rerank" -> (qMmr _))
+    "q133_mmr_rerank" -> (qMmr _),
+    "q134_jaccard_sweep" -> (qJaccardSweep _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
