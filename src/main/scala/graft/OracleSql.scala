@@ -2454,6 +2454,30 @@ object OracleSql {
             (CAST(count(*) AS BIGINT) * 1000000) // t.total AS share_1e6
           FROM V CROSS JOIN T t GROUP BY gate, t.total ORDER BY gate""",
 
+    // source divergence: add-one-smoothed KL in exact binary-digit
+    // bits, offset-positive millibit quotient
+    "q135_source_divergence" ->
+      s"""WITH E AS (SELECT source, unnest(${toks("lower(text)")}) AS term FROM documents),
+          CNT AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                  FROM E GROUP BY source, term),
+          TOT AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM CNT GROUP BY source),
+          V AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM CNT),
+          X AS (SELECT a.source AS source_a, tb.source AS source_b,
+                 ta.n AS na, tb.n AS nb, a.term, a.c AS ca,
+                 coalesce(b.c, 0) AS cb, vv.v
+                FROM CNT a
+                JOIN TOT ta ON ta.source = a.source
+                JOIN TOT tb ON tb.source <> a.source
+                LEFT JOIN CNT b ON b.source = tb.source AND b.term = a.term
+                CROSS JOIN V vv),
+          K AS (SELECT source_a, source_b, na,
+                 CAST(sum(ca * ((length(bin(nb + v)) - length(bin(cb + 1)))
+                       - (length(bin(na + v)) - length(bin(ca + 1))))) AS BIGINT) AS num
+                FROM X GROUP BY source_a, source_b, na)
+          SELECT source_a, source_b,
+            ((num + 63 * na) * 1000) // na - 63000 AS kl_mbits
+          FROM K ORDER BY source_a, source_b""",
+
     // ANALYZE-style column stats: one branch per column (union all),
     // min/max rendered VARCHAR so types share a schema
     "q126_column_stats" -> {

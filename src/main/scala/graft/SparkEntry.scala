@@ -1175,6 +1175,16 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("a"), col("b"))
 
+  /** Source-divergence matrix (q135): add-one-smoothed unigram KL per
+    * ordered source pair in exact integer floor-log2 bits — which
+    * feeds are distributionally interchangeable. See
+    * Diagnostics.sourceDivergence.
+    */
+  private def qSourceDivergence(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.sourceDivergence(
+        t(s, dir, "documents"), "doc_id", "text", "source")
+      .orderBy(col("source_a"), col("source_b"))
+
   /** ANALYZE-style column statistics (q126): one Expand-based pass over
     * documents computing per-column row/non-null/exact-NDV/min/max —
     * the stats that decide broadcast joins and bucketing counts. See
@@ -2011,7 +2021,8 @@ object SparkEntry {
     "q131_release_delta" -> (qReleaseDelta _),
     "q132_dup_mass" -> (qDupMassHist _),
     "q133_mmr_rerank" -> (qMmr _),
-    "q134_jaccard_sweep" -> (qJaccardSweep _))
+    "q134_jaccard_sweep" -> (qJaccardSweep _),
+    "q135_source_divergence" -> (qSourceDivergence _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -81,6 +81,57 @@ object Diagnostics {
         col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** Source-divergence matrix: add-one-smoothed KL(a‖b) between each
+    * ordered pair of sources' unigram distributions, in the battery's
+    * exact integer floor-log2 "bits" arithmetic (binary digit counts —
+    * no floating log, so any engine reproduces it bit-for-bit):
+    *
+    *   s'_x(w) = bits(N_x + V) − bits(c_x(w) + 1)
+    *   KL(a‖b) ≈ Σ_{w: c_a(w)>0} c_a(w)·(s'_b(w) − s'_a(w)) / N_a
+    *
+    * — the "which feeds are interchangeable, which add new
+    * distribution mass" table that mixture design reads before
+    * weighting sources. Coarse (log2 granularity) but ordinal-stable;
+    * the quotient is offset-positive (`(num + 63·N_a)·1000 div N_a −
+    * 63000`, millibits) so Spark DIV ≡ DuckDB // despite the
+    * floor-log2 approximation admitting small negative sums.
+    *
+    * Scale shape: one (source, term) count shuffle (vocab-bounded);
+    * the a-side count table fans out only ×(|sources|−1) against a
+    * broadcast source list; per-pair aggregate is |sources|² rows.
+    */
+  def sourceDivergence(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    import graft.functions.tokens
+    val toksDf = docs.select(col(sourceCol).as("source"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val counts = toksDf.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val vdf = counts.agg(count_distinct(col("term")).as("v"))
+    val aSide = counts.select(col("source").as("source_a"), col("term"),
+      col("c").as("ca"))
+    val bCounts = counts.select(col("source").as("source_b"), col("term"),
+      col("c").as("cb"))
+    val bits = (x: Column) => length(bin(x)).cast("long")
+    val expanded = aSide
+      .join(broadcast(totals.select(col("source").as("source_b"), col("n").as("nb"))),
+        col("source_a") =!= col("source_b"))
+      .join(bCounts, Seq("source_b", "term"), "left")
+      .na.fill(0L, Seq("cb"))
+      .join(broadcast(totals.select(col("source").as("source_a"), col("n").as("na"))),
+        Seq("source_a"))
+      .crossJoin(broadcast(vdf))
+      .select(col("source_a"), col("source_b"), col("na"),
+        (col("ca") * ((bits(col("nb") + col("v")) - bits(col("cb") + 1)) -
+          (bits(col("na") + col("v")) - bits(col("ca") + 1)))).as("contrib"))
+    expanded.groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("contrib")).as("_num"), first(col("na")).as("_na"))
+      .withColumn("kl_mbits",
+        expr("((_num + 63 * _na) * 1000) DIV _na - 63000"))
+      .select(col("source_a"), col("source_b"), col("kl_mbits"))
+  }
+
   def keySkewReport(df: DataFrame, key: Column, topK: Int = 20): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))

@@ -1336,6 +1336,20 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(4L) == (("und", 0L, 0L, 0L)))
   }
 
+  test("sourceDivergence: identical distributions score below disjoint ones") {
+    val docs = Seq(
+      (1L, "aa bb aa bb cc", "p"), (2L, "aa bb aa bb cc", "q"),
+      (3L, "zz yy xx ww vv", "r"))
+      .toDF("doc_id", "text", "source")
+    val kl = graft.operators.Diagnostics.sourceDivergence(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("kl_mbits")).toMap
+    assert(kl.size == 6, s"ordered pairs of 3 sources: $kl")
+    assert(kl(("p", "q")) < kl(("p", "r")),
+      s"same-dist pair must diverge less than disjoint pair: $kl")
+    assert(kl(("r", "p")) > kl(("q", "p")), s"disjoint beats identical from r side: $kl")
+  }
+
   test("mmrRerank: diverse candidate beats the near-duplicate of pick 1") {
     // query (2,1); b=(0.98,0.04) is the most relevant, a=(1,0) its
     // near-dup, c=(0,1) diverse. Greedy: pick b, then c (margin
