@@ -2454,6 +2454,16 @@ object OracleSql {
             (CAST(count(*) AS BIGINT) * 1000000) // t.total AS share_1e6
           FROM V CROSS JOIN T t GROUP BY gate, t.total ORDER BY gate""",
 
+    // health heatmap: q41's quality CTE joined to char lengths, exact
+    // integer buckets
+    "q136_health_heatmap" ->
+      s"""WITH $qualityCte
+          SELECT CAST(length(bin(length(coalesce(d.text,''))::BIGINT)) AS BIGINT) AS len_bits,
+            least(q.quality_1e6 // 100000, 9) AS q_decile,
+            CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents d JOIN QS q USING (doc_id)
+          GROUP BY len_bits, q_decile ORDER BY len_bits, q_decile""",
+
     // source divergence: add-one-smoothed KL in exact binary-digit
     // bits, offset-positive millibit quotient
     "q135_source_divergence" ->

@@ -1175,6 +1175,13 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("a"), col("b"))
 
+  /** Corpus-health heatmap (q136): joint log2-length × quality-decile
+    * counts. See Diagnostics.healthHeatmap.
+    */
+  private def qHealthHeatmap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.healthHeatmap(t(s, dir, "documents"), "text")
+      .orderBy(col("len_bits"), col("q_decile"))
+
   /** Source-divergence matrix (q135): add-one-smoothed unigram KL per
     * ordered source pair in exact integer floor-log2 bits — which
     * feeds are distributionally interchangeable. See
@@ -2022,7 +2029,8 @@ object SparkEntry {
     "q132_dup_mass" -> (qDupMassHist _),
     "q133_mmr_rerank" -> (qMmr _),
     "q134_jaccard_sweep" -> (qJaccardSweep _),
-    "q135_source_divergence" -> (qSourceDivergence _))
+    "q135_source_divergence" -> (qSourceDivergence _),
+    "q136_health_heatmap" -> (qHealthHeatmap _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -132,6 +132,25 @@ object Diagnostics {
       .select(col("source_a"), col("source_b"), col("kl_mbits"))
   }
 
+  /** Corpus-health heatmap: the joint (log2 length-bucket × quality
+    * decile) document counts — the 2-D picture that separates "short
+    * docs are low quality" from "we have two disjoint populations",
+    * which no pair of 1-D histograms can distinguish. Buckets are
+    * exact integer arithmetic: len_bits = binary digit count of the
+    * char length (the battery's floor-log2 idiom), q_decile =
+    * quality_1e6 div 100000 with the perfect-score row clamped into
+    * decile 9. One scan, one bounded (≤ ~64×10 group) aggregate.
+    */
+  def healthHeatmap(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(
+        length(bin(length(coalesce(col(textCol), lit(""))).cast("long")))
+          .cast("long").as("len_bits"),
+        floor(TextAnalysis.qualityScoreRaw(col(textCol)) * lit(1000000.0))
+          .cast("long").as("_q"))
+      .select(col("len_bits"), expr("least(_q DIV 100000, 9L)").as("q_decile"))
+      .groupBy(col("len_bits"), col("q_decile"))
+      .agg(count(lit(1)).as("n_docs"))
+
   def keySkewReport(df: DataFrame, key: Column, topK: Int = 20): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
