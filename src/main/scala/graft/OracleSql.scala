@@ -2454,6 +2454,33 @@ object OracleSql {
             (CAST(count(*) AS BIGINT) * 1000000) // t.total AS share_1e6
           FROM V CROSS JOIN T t GROUP BY gate, t.total ORDER BY gate""",
 
+    // Markov transitions: lead() over (epoch µs, event_id) per user,
+    // exact fixed-point row probabilities
+    "q137_markov_matrix" ->
+      """WITH E AS (SELECT user_id, event_type, event_id,
+                epoch_us(ts) AS ts_us FROM events),
+          P AS (SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id) AS to_type FROM E),
+          C AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+                FROM P WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+          T AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t
+                FROM C GROUP BY from_type)
+          SELECT c.from_type, c.to_type, c.n,
+            (c.n * 1000000) // t.t AS p_1e6
+          FROM C c JOIN T t USING (from_type)
+          ORDER BY from_type, to_type""",
+
+    // per-user cap: row_number over (id-hash DESC, id) per user — the
+    // direct window formulation of the engine's bounded TopKPairs
+    "q138_user_cap" ->
+      s"""SELECT user_id, CAST(rn AS BIGINT) AS keep_rank, event_id FROM (
+            SELECT user_id, event_id,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ${md5long("cast(event_id as varchar)")} DESC, event_id) AS rn
+            FROM events)
+          WHERE rn <= 20 ORDER BY user_id, keep_rank""",
+
     // health heatmap: q41's quality CTE joined to char lengths, exact
     // integer buckets
     "q136_health_heatmap" ->

@@ -1574,6 +1574,28 @@ object SparkEntry {
         col("t_purchase").as("purchase_us"))
       .orderBy(col("user_id"))
 
+  /** Event-type Markov transition matrix (q137): consecutive-pair
+    * counts per user stream with exact fixed-point row probabilities —
+    * the behavioral bigram LM. See EventAnalytics.transitionMatrix.
+    */
+  private def qTransitionMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.transitionMatrix(
+        tRaw(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("event_type"), expr("ts DIV 1000").as("ts_us")),
+        "user_id", "event_type", "ts_us", "event_id")
+      .orderBy(col("from_type"), col("to_type"))
+
+  /** Per-user event cap (q138): at most 20 events per user, selected
+    * by id-hash order through the bounded-state TopKPairs aggregate —
+    * the dominating-key rate limiter. See Sampling.perKeyCap.
+    */
+  private def qUserCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.perKeyCap(
+        tRaw(s, dir, "events"), col("user_id"), col("event_id"), maxPerKey = 20)
+      .select(col("key").as("user_id"), col("keep_rank"),
+        col("id").as("event_id"))
+      .orderBy(col("user_id"), col("keep_rank"))
+
   /** Trailing 1-hour window stats (EventAnalytics.trailingStats):
     * per event, the user's event count and cents-sum over the last
     * hour — per-row RANGE frames on integer µs, tie-order-proof.
@@ -2030,7 +2052,9 @@ object SparkEntry {
     "q133_mmr_rerank" -> (qMmr _),
     "q134_jaccard_sweep" -> (qJaccardSweep _),
     "q135_source_divergence" -> (qSourceDivergence _),
-    "q136_health_heatmap" -> (qHealthHeatmap _))
+    "q136_health_heatmap" -> (qHealthHeatmap _),
+    "q137_markov_matrix" -> (qTransitionMatrix _),
+    "q138_user_cap" -> (qUserCap _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

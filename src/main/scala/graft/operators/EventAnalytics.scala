@@ -118,6 +118,34 @@ object EventAnalytics {
       .agg(sum(col("_contrib")).as("decayed_sum"))
   }
 
+  /** First-order Markov transition matrix over per-user event streams:
+    * consecutive (from_type → to_type) counts and the row-normalized
+    * transition probability in 1e-6 fixed point — the behavioral
+    * "bigram LM" that anomaly/bot screens and funnel designs read
+    * (a session whose transitions are improbable under the matrix is
+    * an outlier). Ordering is (ts, id) so timestamp ties are
+    * deterministic on any engine; probabilities are exact integer
+    * floor division (counts are non-negative, Spark DIV ≡ DuckDB //).
+    *
+    * Scale shape: one user-key shuffle for the lead() window (the same
+    * exchange sessionize/funnel pay), then two type-bounded groupBys
+    * (|types|² rows at most).
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .select(col(typeCol).as("from_type"), col("_next").as("to_type"))
+    val cnt = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("_t"))
+    cnt.join(tot, Seq("from_type"))
+      .withColumn("p_1e6", expr("n * 1000000 DIV _t"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p_1e6"))
+  }
+
   def trailingStats(events: DataFrame, key: Column, tsUs: Column,
       value: Column, backUs: Long): DataFrame = {
     require(backUs >= 0, s"window lookback must be >= 0, got $backUs")

@@ -23,6 +23,32 @@ import graft.functions.md5Long
   */
 object Sampling {
 
+  /** Deterministic per-key contribution cap — keep at most `maxPerKey`
+    * rows per key, chosen by an id-hash order (an unbiased fixed-size
+    * sample of each key's rows, stable across runs and engines): the
+    * rate limiter that stops a dominating user / crawler / template
+    * from owning a training mix or a per-key aggregate. Implemented on
+    * the bounded-state [[graft.expressions.TopKPairs]] aggregate, so
+    * only |keys|·maxPerKey pairs cross the shuffle with map-side
+    * combine — a hot key costs its partial buffers, never a full
+    * per-key sort (the row_number window this replaces sorts every
+    * row of the hottest key on one task).
+    *
+    * Output: (key, keep_rank 1..maxPerKey, id) — rank follows the
+    * (hash desc, id asc) order of the aggregate.
+    */
+  def perKeyCap(df: DataFrame, key: Column, id: Column,
+      maxPerKey: Int): DataFrame = {
+    require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    df.select(key.as("key"), id.as("id"))
+      .withColumn("_h", md5Long(col("id").cast("string")))
+      .groupBy(col("key"))
+      .agg(graft.expressions.TopKPairs(col("_h"), col("id"), maxPerKey).as("_top"))
+      .select(col("key"), posexplode(col("_top")))
+      .select(col("key"), (col("pos") + 1).cast("long").as("keep_rank"),
+        col("col.id").as("id"))
+  }
+
   /** Rate denominator: rates are parts-per-million. */
   val Ppm = 1000000L
 

@@ -1336,6 +1336,35 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(4L) == (("und", 0L, 0L, 0L)))
   }
 
+  test("transitionMatrix: per-user consecutive pairs, exact row probabilities") {
+    val events = Seq(
+      (1L, 10L, "view", 100L), (2L, 10L, "click", 200L), (3L, 10L, "view", 300L),
+      (4L, 20L, "view", 100L), (5L, 20L, "view", 200L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val m = graft.operators.EventAnalytics.transitionMatrix(
+        events, "user_id", "event_type", "ts_us", "event_id")
+      .collect().map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("p_1e6")))).toMap
+    // from view: ->click (u10), ->view (u20) ; from click: ->view (u10)
+    assert(m == Map(
+      ("view", "click") -> ((1L, 500000L)), ("view", "view") -> ((1L, 500000L)),
+      ("click", "view") -> ((1L, 1000000L))), s"got $m")
+  }
+
+  test("perKeyCap: at most k rows per key, deterministic hash order") {
+    val df = (1L to 50L).map(i => (i % 3, i)).toDF("k", "i")
+    val out = graft.operators.Sampling.perKeyCap(df, col("k"), col("i"), 5)
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[Long]("keep_rank"),
+        r.getAs[Long]("id")))
+    assert(out.groupBy(_._1).forall(_._2.length == 5), "each key capped at 5")
+    assert(out.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._2).sorted.toSeq == (1L to 5L) }, "ranks are 1..5 per key")
+    val again = graft.operators.Sampling.perKeyCap(df, col("k"), col("i"), 5)
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[Long]("keep_rank"),
+        r.getAs[Long]("id")))
+    assert(out.toSet == again.toSet, "selection is deterministic")
+  }
+
   test("sourceDivergence: identical distributions score below disjoint ones") {
     val docs = Seq(
       (1L, "aa bb aa bb cc", "p"), (2L, "aa bb aa bb cc", "q"),
