@@ -2481,6 +2481,146 @@ object OracleSql {
             FROM events)
           WHERE rn <= 20 ORDER BY user_id, keep_rank""",
 
+    // rolling 7-day actives: dedup (user, day), window via BETWEEN
+    // range join, exact distinct counts per observed day
+    "q139_rolling_active" ->
+      """WITH E AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         A AS (SELECT DISTINCT user_id, day FROM E),
+         D AS (SELECT DISTINCT day FROM A),
+         DAU AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+                 FROM A GROUP BY day),
+         R AS (SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS rolling_active
+               FROM D d JOIN A a ON a.day BETWEEN d.day - 6 AND d.day
+               GROUP BY d.day)
+         SELECT dau.day, dau.dau, r.rolling_active
+         FROM DAU dau JOIN R r ON r.day = dau.day
+         ORDER BY dau.day""",
+
+    // curriculum ordinal: the operator's realized global order
+    // (bin, shard, hash, id) as one row_number — the independent
+    // formulation of the sharded prefix-sum plan
+    "q140_curriculum" ->
+      s"""WITH B AS (SELECT doc_id,
+            CAST(length(bin(coalesce(n_chars, 0))) AS BIGINT) AS len_bits,
+            ${md5long("cast(doc_id as varchar)")} AS h
+          FROM documents)
+          SELECT doc_id, len_bits,
+            CAST(row_number() OVER (ORDER BY len_bits, h % 8, h, doc_id)
+                 AS BIGINT) AS ordinal
+          FROM B ORDER BY ordinal""",
+
+    // last-click attribution: interval LEFT JOIN + rank tail, NULLs
+    // kept for unattributed purchases — the stream-stream join's
+    // batch-twin oracle
+    "q141_attribution" ->
+      """WITH C AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+                    FROM events WHERE event_type = 'click'),
+         P AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+               FROM events WHERE event_type = 'purchase'),
+         J AS (SELECT p.user_id, p.purchase_id, p.pus, c.click_id, c.cus
+               FROM P p LEFT JOIN C c ON c.user_id = p.user_id
+                 AND c.cus <= p.pus AND c.cus >= p.pus - 1800000000),
+         R AS (SELECT *, row_number() OVER (PARTITION BY purchase_id
+                 ORDER BY cus DESC NULLS LAST, click_id DESC NULLS LAST) AS rn
+               FROM J)
+         SELECT user_id, purchase_id, pus AS purchase_us, click_id,
+           cus AS click_us
+         FROM R WHERE rn = 1 ORDER BY purchase_id""",
+
+    // PageRank over the q18 LSH pair graph: the operator's three
+    // supersteps unrolled — out = pr // deg, pr' = 150000 +
+    // (850000 * in) // 1e6, all-integer so the replay is exact
+    "q142_pagerank" -> {
+      val step = (i: Int) =>
+        s"""I$i AS (SELECT e.dst AS node, CAST(sum(p.pr // d.deg) AS BIGINT) AS m
+               FROM E e JOIN P${i - 1} p ON p.node = e.src
+               JOIN D d ON d.src = e.src
+               GROUP BY e.dst),
+           P$i AS (SELECT node, 150000 + (850000 * m) // 1000000 AS pr FROM I$i)"""
+      s"""WITH ${lshPairCtes("documents")},
+          E AS (SELECT id_a AS src, id_b AS dst FROM PAIRS
+                UNION SELECT id_b, id_a FROM PAIRS),
+          D AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM E GROUP BY src),
+          P0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM D),
+          ${(1 to 3).map(step).mkString(",\n")}
+          SELECT node AS doc_id, pr AS pr_1e6 FROM P3 ORDER BY doc_id"""
+    },
+
+    // day-over-day event-mix drift: q135's smoothed-KL bits idiom
+    // joined to the consecutive day only
+    "q143_event_drift" ->
+      """WITH E AS (SELECT epoch_us(ts) // 86400000000 AS bucket, event_type AS cat
+                    FROM events),
+         CNT AS (SELECT bucket, cat, CAST(count(*) AS BIGINT) AS c
+                 FROM E GROUP BY bucket, cat),
+         TOT AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n FROM CNT GROUP BY bucket),
+         V AS (SELECT CAST(count(DISTINCT cat) AS BIGINT) AS v FROM CNT),
+         X AS (SELECT a.bucket, ta.n AS na, tb.n AS nb, a.c AS ca,
+                coalesce(b.c, 0) AS cb, vv.v
+               FROM CNT a
+               JOIN TOT ta ON ta.bucket = a.bucket
+               JOIN TOT tb ON tb.bucket = a.bucket - 1
+               LEFT JOIN CNT b ON b.bucket = a.bucket - 1 AND b.cat = a.cat
+               CROSS JOIN V vv),
+         K AS (SELECT bucket, na,
+                CAST(sum(ca * ((length(bin(nb + v)) - length(bin(cb + 1)))
+                      - (length(bin(na + v)) - length(bin(ca + 1))))) AS BIGINT) AS num
+               FROM X GROUP BY bucket, na)
+         SELECT bucket AS day, ((num + 63 * na) * 1000) // na - 63000 AS kl_mbits
+         FROM K ORDER BY day""",
+
+    // source-centroid cosine matrix: per-source integer-sum means
+    // (the ivfRound discipline), list rebuilt in pos order, pairwise
+    // cosine over |S| rows
+    "q144_source_centroids" ->
+      s"""WITH J AS (SELECT d.source, e.embedding AS emb
+                     FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+          P AS (SELECT source, unnest(range(len(emb))) AS pos, emb FROM J),
+          M AS (SELECT source, pos,
+                 (sum(cast(floor(emb[pos+1]::DOUBLE * 1048576.0) as bigint))::DOUBLE
+                   / count(*)::DOUBLE) / 1048576.0 AS mv
+                FROM P GROUP BY source, pos),
+          CENT AS (SELECT source, list(mv ORDER BY pos) AS cent FROM M GROUP BY source)
+          SELECT a.source AS source_a, b.source AS source_b,
+            ${scoreFixedSql("a.cent", "b.cent")} AS cos_1e6
+          FROM CENT a JOIN CENT b ON a.source < b.source
+          ORDER BY source_a, source_b""",
+
+    // mutual-best linkage: brute-force the small slices (blocking is
+    // recall-complete at maxDist 2 — the q76 pigeonhole contract),
+    // then both argmaxes as rank-1 windows
+    "q145_mutual_best" ->
+      """WITH L AS (SELECT c_custkey AS id, lower(trim(c_name)) AS nm
+                    FROM customer WHERE c_custkey % 31 = 0 AND c_custkey < 7500),
+         R AS (SELECT c_custkey AS id, lower(trim(c_name)) AS nm
+               FROM customer WHERE c_custkey % 17 = 0 AND c_custkey < 7500),
+         P AS (SELECT l.id AS id_l, r.id AS id_r,
+                CAST(levenshtein(l.nm, r.nm) AS BIGINT) AS dist
+               FROM L l JOIN R r ON levenshtein(l.nm, r.nm) <= 2),
+         BL AS (SELECT id_l, id_r, dist FROM (
+                 SELECT *, row_number() OVER (PARTITION BY id_l
+                   ORDER BY dist, id_r) AS rn FROM P) WHERE rn = 1),
+         BR AS (SELECT id_l, id_r FROM (
+                 SELECT *, row_number() OVER (PARTITION BY id_r
+                   ORDER BY dist, id_l) AS rn FROM P) WHERE rn = 1)
+         SELECT bl.id_l, bl.id_r, bl.dist
+         FROM BL bl JOIN BR br ON br.id_l = bl.id_l AND br.id_r = bl.id_r
+         ORDER BY bl.id_l""",
+
+    // exact-quota stratified split: stratum rank over the operator's
+    // realized (shard, hash, id) order vs floor(n_s·ppm/1e6)
+    "q146_quota_split" ->
+      s"""WITH B AS (SELECT doc_id, source,
+            ${md5long("cast(doc_id as varchar)")} AS h
+          FROM documents),
+          R AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY h % 8, h, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+                FROM B)
+          SELECT doc_id, source, (rn <= (n * 100000) // 1000000) AS heldout
+          FROM R ORDER BY doc_id""",
+
     // health heatmap: q41's quality CTE joined to char lengths, exact
     // integer buckets
     "q136_health_heatmap" ->

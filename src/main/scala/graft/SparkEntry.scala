@@ -1596,6 +1596,119 @@ object SparkEntry {
         col("id").as("event_id"))
       .orderBy(col("user_id"), col("keep_rank"))
 
+  /** Rolling 7-day active users (EventAnalytics.rollingActive): per
+    * observed day, exact DAU and distinct users over the window ending
+    * that day — dedup to (user, day), bounded ×7 fan-out, semi-join to
+    * observed days. The sketch-mode twin (HLL per day, union over the
+    * window) is spec-pinned against this exact series.
+    */
+  private def qRollingActive(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.rollingActive(
+        tRaw(s, dir, "events").select(col("user_id"),
+          expr("ts DIV 1000").as("ts_us")),
+        "user_id", "ts_us", windowDays = 7)
+      .orderBy(col("day"))
+
+  /** Curriculum ordering (Sampling.curriculumOrder): global 1..n
+    * training-order ordinal — short (easy) length-bins first,
+    * id-hash pseudo-shuffle within each bin — realized as per-
+    * (bin, shard) ranks plus a tiny broadcast offset table, never a
+    * global sort.
+    */
+  private def qCurriculum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.curriculumOrder(
+        tRaw(s, dir, "documents"),
+        col("doc_id"), expr("length(bin(coalesce(n_chars, 0)))"), shards = 8)
+      .select(col("id").as("doc_id"), col("bin").as("len_bits"), col("ordinal"))
+      .orderBy(col("ordinal"))
+
+  /** Click→purchase last-click attribution (q141): the BATCH twin of
+    * streaming.StreamingAttribution — the same interval-join +
+    * rank-tail code path the watermarked stream-stream join runs,
+    * executed on the events table (StreamingSpec pins stream ≡ batch).
+    * Unattributed purchases survive with NULL click columns.
+    */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    // ts arrives as nanos-long (nanosAsLong) → real TIMESTAMP for the
+    // watermark-typed join path, back to epoch-µs for the oracle
+    val ev = tRaw(s, dir, "events")
+      .withColumn("_ts", expr("timestamp_micros(ts DIV 1000)"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("_ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("_ts").as("purchase_ts"))
+    graft.streaming.StreamingAttribution.lastClick(
+        graft.streaming.StreamingAttribution.attributeClicks(
+          clicks, purchases, windowSec = 1800L))
+      .select(col("user_id"), col("purchase_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        col("click_id"), unix_micros(col("click_ts")).as("click_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** PageRank centrality over the near-dup candidate graph (q142):
+    * three exact fixed-point supersteps of Graph.pageRank on the q18
+    * LSH pairs — which document anchors each mirror cluster. Every
+    * step is floor-division integer arithmetic, so ranks are
+    * bit-identical across partitionings and engines.
+    */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRank(
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text"),
+        "id_a", "id_b", iters = 3)
+      .select(col("node").as("doc_id"), col("pr").as("pr_1e6"))
+      .orderBy(col("doc_id"))
+
+  /** Day-over-day event-mix drift (q143): KL(day ‖ previous day) of
+    * the event-type distribution in exact millibits — the stream-shape
+    * monitor. See Diagnostics.temporalDrift.
+    */
+  private def qEventDrift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.temporalDrift(
+        tRaw(s, dir, "events"),
+        expr("(ts DIV 1000) div 86400000000"), col("event_type"))
+      .select(col("bucket").as("day"), col("kl_mbits"))
+      .orderBy(col("day"))
+
+  /** Source-centroid cosine matrix (q144): per-source mean embedding
+    * (integer-sum fixed point) + pairwise centroid cosine — the
+    * semantic complement of q135's lexical source divergence. See
+    * Similarity.sourceCentroidMatrix.
+    */
+  private def qSourceCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.sourceCentroidMatrix(
+        t(s, dir, "documents"), "doc_id", "source", embCorpus(s, dir))
+      .orderBy(col("source_a"), col("source_b"))
+
+  /** Mutual-best record linkage (q145): q76's q-gram-blocked edit
+    * distance as a TWO-table join (overlapping customer slices), then
+    * FuzzyJoin.mutualBestMatch keeps only pairs that are each other's
+    * closest candidate — the one-to-one "sure match" tier.
+    */
+  private def qMutualBest(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    graft.operators.FuzzyJoin.mutualBestMatch(
+        graft.operators.FuzzyJoin.editDistanceJoin(
+          cust.filter(col("c_custkey") % 31 === 0 && col("c_custkey") < 7500),
+          "c_custkey", "c_name",
+          cust.filter(col("c_custkey") % 17 === 0 && col("c_custkey") < 7500),
+          "c_custkey", "c_name", maxDist = 2))
+      .orderBy(col("id_l"))
+  }
+
+  /** Exact-quota stratified split (q146): exactly ⌊n_s·10%⌋ held-out
+    * docs per source in id-hash order — the count-exact eval split the
+    * q50 per-row coin flip can't promise. See Sampling.quotaSplit.
+    */
+  private def qQuotaSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.quotaSplit(
+        t(s, dir, "documents"), col("doc_id"), col("source"),
+        heldoutPpm = 100000L, shards = 8)
+      .select(col("id").as("doc_id"), col("stratum").as("source"), col("heldout"))
+      .orderBy(col("doc_id"))
+
   /** Trailing 1-hour window stats (EventAnalytics.trailingStats):
     * per event, the user's event count and cents-sum over the last
     * hour — per-row RANGE frames on integer µs, tie-order-proof.
@@ -2054,7 +2167,15 @@ object SparkEntry {
     "q135_source_divergence" -> (qSourceDivergence _),
     "q136_health_heatmap" -> (qHealthHeatmap _),
     "q137_markov_matrix" -> (qTransitionMatrix _),
-    "q138_user_cap" -> (qUserCap _))
+    "q138_user_cap" -> (qUserCap _),
+    "q139_rolling_active" -> (qRollingActive _),
+    "q140_curriculum" -> (qCurriculum _),
+    "q141_attribution" -> (qAttribution _),
+    "q142_pagerank" -> (qPageRank _),
+    "q143_event_drift" -> (qEventDrift _),
+    "q144_source_centroids" -> (qSourceCentroids _),
+    "q145_mutual_best" -> (qMutualBest _),
+    "q146_quota_split" -> (qQuotaSplit _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -132,6 +132,46 @@ object Diagnostics {
       .select(col("source_a"), col("source_b"), col("kl_mbits"))
   }
 
+  /** Temporal drift series: add-one-smoothed KL(bucket ‖ previous
+    * bucket) of a categorical distribution across consecutive ordered
+    * buckets — the "did the stream change shape overnight" monitor
+    * (event-mix drift, source-mix drift, label drift) that catches
+    * upstream breakage before any single count alarms. Same exact
+    * integer floor-log2 bits arithmetic and offset-positive millibit
+    * quotient as [[sourceDivergence]], so the series is bit-identical
+    * on every engine; buckets with no predecessor bucket (the first,
+    * or any bucket following a gap) emit nothing.
+    *
+    * Scale shape: one (bucket, category) count shuffle (bounded by
+    * buckets × |categories|); the consecutive-bucket join fans each
+    * count row to at most ONE neighbor — |buckets| output rows.
+    */
+  def temporalDrift(df: DataFrame, bucket: Column, category: Column): DataFrame = {
+    val counts = df.select(bucket.cast("long").as("bucket"), category.as("cat"))
+      .groupBy(col("bucket"), col("cat")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("bucket")).agg(sum(col("c")).as("n"))
+    val vdf = counts.agg(count_distinct(col("cat")).as("v"))
+    val bits = (x: Column) => length(bin(x)).cast("long")
+    val cur = counts.select(col("bucket"), col("cat"), col("c").as("ca"))
+    val prev = counts.select((col("bucket") + 1L).as("bucket"), col("cat"),
+      col("c").as("cb"))
+    val expanded = cur
+      .join(broadcast(totals.select((col("bucket") + 1L).as("bucket"),
+        col("n").as("nb"))), Seq("bucket"))
+      .join(prev, Seq("bucket", "cat"), "left")
+      .na.fill(0L, Seq("cb"))
+      .join(broadcast(totals), Seq("bucket"))
+      .crossJoin(broadcast(vdf))
+      .select(col("bucket"), col("n").as("na"),
+        (col("ca") * ((bits(col("nb") + col("v")) - bits(col("cb") + 1)) -
+          (bits(col("n") + col("v")) - bits(col("ca") + 1)))).as("contrib"))
+    expanded.groupBy(col("bucket"))
+      .agg(sum(col("contrib")).as("_num"), first(col("na")).as("_na"))
+      .withColumn("kl_mbits",
+        expr("((_num + 63 * _na) * 1000) DIV _na - 63000"))
+      .select(col("bucket"), col("kl_mbits"))
+  }
+
   /** Corpus-health heatmap: the joint (log2 length-bucket × quality
     * decile) document counts — the 2-D picture that separates "short
     * docs are low quality" from "we have two disjoint populations",

@@ -154,4 +154,64 @@ object EventAnalytics {
     events.withColumn("n_win", count(lit(1)).over(w))
       .withColumn("sum_win", sum(value).over(w))
   }
+
+  private val DayUs = 86400000000L
+
+  /** Rolling-window active users — per observed day, the exact DAU and
+    * the distinct users active in the `windowDays`-day window ENDING
+    * that day (WAU/MAU): the engagement series every event product
+    * reports, and the one a tumbling `groupBy(day)` cannot produce
+    * because windows overlap.
+    *
+    * Exact plan: dedup to (user, day) pairs (one shuffle, map-side
+    * combine), fan each pair out to the `windowDays` target days it
+    * can serve (map-only ×w), semi-join to observed days, and
+    * count-distinct per day. The fan-out is w×|pairs| rows of two
+    * BIGINTs — at 100 TB that is the standard exact rolling-actives
+    * plan; when even that exchange is too wide, [[rollingActiveSketch]]
+    * fans out |days| pre-aggregated HLL sketches instead of users.
+    */
+  def rollingActive(events: DataFrame, userCol: String, tsUsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val pairs = events.select(col(userCol).as("_user"),
+      expr(s"$tsUsCol div ${DayUs}L").as("_day")).distinct()
+    val days = pairs.select(col("_day").as("day")).distinct()
+    val dau = pairs.groupBy(col("_day").as("day"))
+      .agg(count_distinct(col("_user")).as("dau"))
+    val rolling = pairs
+      .select(col("_user"), explode(sequence(col("_day"),
+        col("_day") + lit(windowDays - 1L))).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count_distinct(col("_user")).as("rolling_active"))
+    dau.join(rolling, Seq("day"))
+      .select(col("day"), col("dau"), col("rolling_active"))
+  }
+
+  /** Sketch-mode rolling actives: one HLL sketch per (day) — |days|
+    * rows, built with a single map-side-combinable pass — then the
+    * window union merges `windowDays` SKETCHES per target day instead
+    * of re-shuffling w× the raw user stream. This is how the rolling
+    * series stays cheap when |users|/day is itself huge; the estimate
+    * carries HLL's standard ~1.04/√2^lgK relative error (spec-pinned
+    * against [[rollingActive]]).
+    */
+  def rollingActiveSketch(events: DataFrame, userCol: String,
+      tsUsCol: String, windowDays: Int = 7, lgK: Int = 12): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    val pairs = events.select(col(userCol).as("_user"),
+      expr(s"$tsUsCol div ${DayUs}L").as("_day"))
+    val days = pairs.select(col("_day").as("day")).distinct()
+    val daily = pairs.groupBy(col("_day"))
+      .agg(expr(s"hll_sketch_agg(_user, $lgK)").as("_sk"))
+    daily
+      .select(explode(sequence(col("_day"),
+        col("_day") + lit(windowDays - 1L))).as("day"), col("_sk"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(_sk, true))")
+        .as("rolling_est"))
+  }
 }

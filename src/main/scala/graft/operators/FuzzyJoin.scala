@@ -88,4 +88,30 @@ object FuzzyJoin {
         base.join(broadcast(hot), Seq("gram"), "left_anti")
     }
   }
+
+  /** Mutual-best one-to-one matching over [[editDistanceJoin]] pairs —
+    * keep (l, r) only when r is l's closest right-side candidate AND l
+    * is r's closest left-side candidate (ties broken on lowest partner
+    * id, so the tier is deterministic on any engine). This is the
+    * "sure match" tier of record linkage: a candidate pair table says
+    * who COULD match; the mutual-argmax filter is what merge/survivor
+    * pipelines actually act on, because it can never link one record
+    * to two masters.
+    *
+    * Both argmaxes are `min(struct(dist, partner))` aggregates —
+    * bounded state, map-side combinable, no per-key sort window — so
+    * the step costs two shuffles of the (already small) candidate
+    * table. Output: (id_l, id_r, dist), at most one row per id_l and
+    * per id_r.
+    */
+  def mutualBestMatch(pairs: DataFrame): DataFrame = {
+    val bl = pairs.groupBy(col("id_l"))
+      .agg(min(struct(col("dist"), col("id_r"))).as("_b"))
+      .select(col("id_l"), col("_b.id_r").as("id_r"), col("_b.dist").as("dist"))
+    val br = pairs.groupBy(col("id_r"))
+      .agg(min(struct(col("dist"), col("id_l"))).as("_b"))
+      .select(col("id_r"), col("_b.id_l").as("id_l"))
+    bl.join(br, Seq("id_l", "id_r"))
+      .select(col("id_l"), col("id_r"), col("dist"))
+  }
 }

@@ -459,4 +459,85 @@ object Sampling {
         .otherwise(expr("_below * 1000000L DIV (_n - 1)")))
       .select(col("id"), col("stratum"), col("score"), col("pct_1e6"))
   }
+
+  /** Exact-quota stratified split — per stratum, EXACTLY
+    * ⌊n_s · ppm / 1e6⌋ rows go to the held-out split, selected in
+    * id-hash order. [[hashSample]]'s per-row coin flip is only
+    * proportional in expectation; evaluation protocols that promise
+    * "10% of every source" need the count to be exact, not
+    * approximate — this is that contract.
+    *
+    * Same no-global-sort discipline as [[curriculumOrder]]: rank
+    * within (stratum, shard) — shard-sized sorts — plus a
+    * (|strata|·|shards|)-row offset/total table cumsum'd per stratum
+    * and broadcast back; held-out = stratum-rank ≤ quota. Output:
+    * (id, stratum, heldout) for every input row.
+    */
+  def quotaSplit(df: DataFrame, key: Column, stratum: Column,
+      heldoutPpm: Long, shards: Int = 64): DataFrame = {
+    require(heldoutPpm >= 0 && heldoutPpm <= Ppm,
+      s"heldoutPpm must be in [0, $Ppm], got $heldoutPpm")
+    require(shards >= 1, s"need at least one shard, got $shards")
+    val base = df.select(key.as("id"), stratum.as("stratum"))
+      .withColumn("_h", md5Long(col("id").cast("string")))
+      .withColumn("_shard", pmod(col("_h"), lit(shards.toLong)))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"), col("_shard")).orderBy(col("_h"), col("id"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("_shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
+    val offsets = base.groupBy(col("stratum"), col("_shard"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_offset", coalesce(sum(col("_c")).over(ws), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(wn))
+      .drop("_c")
+    base
+      .withColumn("_r", row_number().over(wg).cast("long"))
+      .join(broadcast(offsets), Seq("stratum", "_shard"))
+      .withColumn("heldout",
+        col("_offset") + col("_r") <= expr(s"_n * ${heldoutPpm}L div ${Ppm}L"))
+      .select(col("id"), col("stratum"), col("heldout"))
+  }
+
+  /** Curriculum ordering — a deterministic GLOBAL training-order
+    * ordinal: documents sorted by difficulty bin (easy bins first),
+    * pseudo-shuffled within each bin by id-hash so a bin isn't
+    * consumed in storage order. The assignment every
+    * curriculum/annealing schedule needs, produced WITHOUT a global
+    * sort: the corpus is hash-sharded, ranked only within (bin, shard)
+    * — shard-sized sorts, skew-immune — and each group's start offset
+    * comes from a (|bins|·|shards|)-row count table cumsum'd with a
+    * tiny window and broadcast back. The global order realized is
+    * (bin, shard, hash, id), which is itself deterministic, so the
+    * ordinal is reproducible run-over-run AND engine-over-engine.
+    *
+    * `shards` is the distribution grain (scale with executors; each
+    * within-group sort holds ~n/(bins·shards) rows). Output: (id, bin,
+    * ordinal) with ordinal 1..n dense over the whole corpus. NULL bins
+    * are rejected up front — a training order with unplaceable rows is
+    * a bug, not a row to drop silently.
+    */
+  def curriculumOrder(df: DataFrame, key: Column, bin: Column,
+      shards: Int = 64): DataFrame = {
+    require(shards >= 1, s"need at least one shard, got $shards")
+    val base = df.select(key.as("id"),
+        when(bin.isNull, raise_error(lit("curriculumOrder: NULL difficulty bin")))
+          .otherwise(bin.cast("long")).as("bin"))
+      .withColumn("_h", md5Long(col("id").cast("string")))
+      .withColumn("_shard", pmod(col("_h"), lit(shards.toLong)))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin"), col("_shard")).orderBy(col("_h"), col("id"))
+    val wo = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin"), col("_shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("bin"), col("_shard"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_offset", coalesce(sum(col("_c")).over(wo), lit(0L)))
+      .drop("_c")
+    base
+      .withColumn("_r", row_number().over(wg).cast("long"))
+      .join(broadcast(offsets), Seq("bin", "_shard"))
+      .select(col("id"), col("bin"), (col("_offset") + col("_r")).as("ordinal"))
+  }
 }

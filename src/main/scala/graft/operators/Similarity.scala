@@ -627,4 +627,41 @@ object Similarity {
           .as("score_1e12"))
     rank(scored, k, "score_1e12")
   }
+
+  /** Source-centroid similarity matrix — per-source mean embedding,
+    * then pairwise centroid cosine over the (tiny) centroid set: the
+    * SEMANTIC "which feeds overlap" map that complements the lexical
+    * KL of Diagnostics.sourceDivergence (two sources can share no
+    * vocabulary yet sit on the same topic manifold, and vice versa).
+    * Mixture design reads both before collapsing or re-weighting
+    * feeds.
+    *
+    * Centroid components use the trainCentroids discipline —
+    * `sum(floor(v·2^20))` BIGINT sums (associative, partition-proof),
+    * divided back in exactly-rounded IEEE double — so the matrix is
+    * bit-stable across runs and engines (the q144 oracle re-derives
+    * it). Scale shape: one id-equi-join docs↔embeddings, one
+    * (source, pos) groupBy bounded by |S|·dim, then a broadcast
+    * self-join over |S| centroid rows — the corpus never moves twice.
+    */
+  def sourceCentroidMatrix(docs: DataFrame, idCol: String,
+      sourceCol: String, embs: DataFrame): DataFrame = {
+    val joined = docs.select(col(idCol).as("id"), col(sourceCol).as("source"))
+      .join(embs, Seq("id"))
+    val stats = joined
+      .select(col("source"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("source"), col("pos"))
+      .agg(sum(floor(col("v").cast("double") * MeanScale).cast("long")).as("sf"),
+        count(lit(1)).as("n"))
+    val cent = stats
+      .withColumn("c",
+        col("sf").cast("double") / col("n").cast("double") / lit(MeanScale))
+      .groupBy(col("source"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cent"))
+    cent.as("a")
+      .join(broadcast(cent.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        scoreFixed(col("a.cent"), col("b.cent")).as("cos_1e6"))
+  }
 }

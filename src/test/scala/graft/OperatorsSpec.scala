@@ -1553,4 +1553,147 @@ class OperatorsSpec extends SparkSpec {
     assert(!kept.contains(5L), "digit soup must fail the quality gate")
     assert(!kept.contains(3L), "near-dup cluster loser must be dropped")
   }
+
+  test("rollingActive: window ending each observed day, overlap not double-counted") {
+    val DayUs = 86400000000L
+    // user 1 active days 0,1; user 2 day 1 (twice); user 3 day 4
+    val events = Seq((1L, 0L), (1L, 1L), (2L, 1L), (2L, 1L), (3L, 4L))
+      .map { case (u, d) => (u, d * DayUs + 5L) }.toDF("user_id", "ts_us")
+    val out = graft.operators.EventAnalytics.rollingActive(
+        events, "user_id", "ts_us", windowDays = 3)
+      .collect().map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("rolling_active")))).toMap
+    // only observed days appear; day 1 window covers days -1..1; day 4 covers 2..4
+    assert(out == Map(0L -> ((1L, 1L)), 1L -> ((2L, 2L)), 4L -> ((1L, 1L))),
+      s"got $out")
+  }
+
+  test("curriculumOrder: dense 1..n ordinal, bins in ascending blocks, deterministic") {
+    val df = (1L to 100L).map(i => (i, i % 4)).toDF("doc_id", "difficulty")
+    val out = graft.operators.Sampling.curriculumOrder(
+        df, col("doc_id"), col("difficulty"), shards = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("bin"),
+        r.getAs[Long]("ordinal")))
+    assert(out.map(_._3).sorted.toSeq == (1L to 100L), "ordinal is a dense permutation")
+    val byOrd = out.sortBy(_._3).map(_._2)
+    assert(byOrd.toSeq == byOrd.sorted.toSeq, "bins form ascending contiguous blocks")
+    val again = graft.operators.Sampling.curriculumOrder(
+        df, col("doc_id"), col("difficulty"), shards = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("ordinal"))).toSet
+    assert(out.map(t => (t._1, t._3)).toSet == again, "reproducible run-over-run")
+    // within a bin the order is hash-shuffled, not id order
+    val bin0 = out.filter(_._2 == 0L).sortBy(_._3).map(_._1)
+    assert(bin0.toSeq != bin0.sorted.toSeq, "within-bin order is pseudo-shuffled")
+  }
+
+  test("curriculumOrder: NULL bin raises instead of silently dropping") {
+    val df = Seq((1L, Some(2L)), (2L, None)).toDF("doc_id", "difficulty")
+    val ex = intercept[Exception] {
+      graft.operators.Sampling.curriculumOrder(
+        df, col("doc_id"), col("difficulty"), shards = 2).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("pageRank: hub of a star outranks leaves; mass is exact integer arithmetic") {
+    // star: 1 — {2,3,4}, plus an isolated pair 5 — 6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("a", "b")
+    val pr = graft.operators.Graph.pageRank(edges, "a", "b", iters = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(pr(2L) == pr(3L) && pr(3L) == pr(4L), s"symmetric leaves tie: $pr")
+    assert(pr(1L) > pr(2L), s"hub must outrank leaves: $pr")
+    assert(pr(5L) == pr(6L), s"symmetric pair ties: $pr")
+    // hand-replay: deg(1)=3, leaves deg 1; pair nodes deg 1
+    // t1: in(1)=3·(1e6/1)=3e6 → pr=150000+2550000=2700000;
+    //     in(leaf)=1e6/3=333333 → pr=150000+283333=433333
+    //     pair: in=1e6 → pr=1000000
+    assert(pr(5L) == 1000000L, s"pair is a fixed point: $pr")
+    val again = graft.operators.Graph.pageRank(edges, "a", "b", iters = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    assert(pr == again, "deterministic across runs")
+  }
+
+  test("temporalDrift: stable mix scores below a flipped mix; first bucket emits nothing") {
+    // day 0: a-heavy; day 1: same shape; day 2: flipped shape
+    val rows =
+      Seq.fill(9)((0L, "a")) ++ Seq.fill(1)((0L, "b")) ++
+      Seq.fill(9)((1L, "a")) ++ Seq.fill(1)((1L, "b")) ++
+      Seq.fill(1)((2L, "a")) ++ Seq.fill(9)((2L, "b"))
+    val df = rows.toDF("day", "cat")
+    val out = graft.operators.Diagnostics.temporalDrift(df, col("day"), col("cat"))
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("kl_mbits")).toMap
+    assert(out.keySet == Set(1L, 2L), s"first bucket has no predecessor: $out")
+    assert(out(2L) > out(1L), s"flip day must out-diverge the stable day: $out")
+  }
+
+  test("sourceCentroidMatrix: aligned sources out-cosine orthogonal ones") {
+    val docs = Seq((1L, "p"), (2L, "p"), (3L, "q"), (4L, "r"))
+      .toDF("doc_id", "source")
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.2f)),   // p ~ x-axis
+      (3L, Seq(1.0f, 0.1f)),                          // q ~ x-axis too
+      (4L, Seq(0.0f, 1.0f)))                          // r ~ y-axis
+      .toDF("id", "emb")
+    val m = graft.operators.Similarity.sourceCentroidMatrix(docs, "doc_id", "source", embs)
+      .collect().map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("cos_1e6")).toMap
+    assert(m.keySet == Set(("p", "q"), ("p", "r"), ("q", "r")), s"upper triangle: $m")
+    assert(m(("p", "q")) > 900000L, s"aligned sources near cos 1: $m")
+    assert(m(("p", "r")) < 300000L && m(("q", "r")) < 300000L,
+      s"orthogonal source stays low: $m")
+  }
+
+  test("mutualBestMatch: one-to-one, mutual argmax only, ties to lowest id") {
+    // l1's best is r1 (dist 0) and vice versa → kept.
+    // l2 prefers r1, but r1 prefers l1 → l2 unmatched.
+    // l3/r3 tie with l3/r4 at dist 1 → tie breaks to r3; r3 agrees → kept.
+    val pairs = Seq(
+      (1L, 1L, 0L), (2L, 1L, 1L), (2L, 2L, 2L),
+      (3L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("id_l", "id_r", "dist")
+    val m = graft.operators.FuzzyJoin.mutualBestMatch(pairs)
+      .collect().map(r => (r.getAs[Long]("id_l"), r.getAs[Long]("id_r"),
+        r.getAs[Long]("dist"))).toSet
+    assert(m == Set((1L, 1L, 0L), (3L, 3L, 1L)), s"got $m")
+  }
+
+  test("quotaSplit: exactly floor(n·ppm/1e6) held out per stratum, deterministic") {
+    val df = ((1L to 37L).map(i => (i, "a")) ++ (100L to 109L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val out = graft.operators.Sampling.quotaSplit(
+        df, col("doc_id"), col("source"), heldoutPpm = 250000L, shards = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("stratum"),
+        r.getAs[Boolean]("heldout")))
+    assert(out.length == 47, "every input row labeled")
+    val held = out.filter(_._3).groupBy(_._2).view.mapValues(_.length).toMap
+    // floor(37·0.25)=9, floor(10·0.25)=2
+    assert(held == Map("a" -> 9, "b" -> 2), s"got $held")
+    val again = graft.operators.Sampling.quotaSplit(
+        df, col("doc_id"), col("source"), heldoutPpm = 250000L, shards = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Boolean]("heldout"))).toSet
+    assert(out.map(t => (t._1, t._3)).toSet == again, "selection is deterministic")
+  }
+
+  test("rollingActiveSketch: HLL window union tracks the exact series") {
+    val DayUs = 86400000000L
+    val events = (1L to 400L).flatMap { u =>
+      // user u active on day u%5 and (if even) day u%5 + 2
+      val d0 = u % 5
+      val ds = if (u % 2 == 0) Seq(d0, d0 + 2) else Seq(d0)
+      ds.map(d => (u, d * DayUs + u))
+    }.toDF("user_id", "ts_us")
+    val exact = graft.operators.EventAnalytics.rollingActive(
+        events, "user_id", "ts_us", windowDays = 3)
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("rolling_active")).toMap
+    val est = graft.operators.EventAnalytics.rollingActiveSketch(
+        events, "user_id", "ts_us", windowDays = 3, lgK = 12)
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("rolling_est")).toMap
+    assert(est.keySet == exact.keySet, s"same observed days: $est vs $exact")
+    exact.foreach { case (day, ex) =>
+      val e = est(day)
+      assert(math.abs(e - ex) <= math.max(1L, (0.05 * ex).toLong),
+        s"day $day: estimate $e vs exact $ex outside 5%")
+    }
+  }
 }

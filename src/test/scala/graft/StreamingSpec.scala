@@ -384,4 +384,69 @@ class StreamingSpec extends SparkSpec {
     assert(batch.columns.toSeq == Seq("window_start", "event_type", "n_events", "sum_value_c"))
     assert(batch.count() > 0)
   }
+
+  test("stream-stream interval join: attribution pairs equal the batch twin") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    import graft.streaming.StreamingAttribution
+
+    // clicks: 11 at the exact 30-min window edge of purchase 21;
+    // 12 far outside every window; sentinel user-99 clicks only
+    // advance the watermark so outer-null state flushes
+    val clicksData = Seq((1L, 11L, ts(0)), (1L, 12L, ts(55)))
+    val purchData = Seq((1L, 21L, ts(30)), (2L, 22L, ts(5)))
+    val clicksDf = clicksData.toDF("user_id", "click_id", "click_ts")
+    val purchDf = purchData.toDF("user_id", "purchase_id", "purchase_ts")
+
+    val expected = StreamingAttribution
+      .attributeClicks(clicksDf, purchDf, windowSec = 1800L, delay = "1 minute")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+        Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong))).toSet
+    // batch twin semantics: 21 attributed to click 11 (edge inclusive,
+    // click 12 is AFTER the purchase); 22 unattributed
+    assert(expected == Set((1L, 21L, Some(11L)), (2L, 22L, None)),
+      s"batch twin: $expected")
+
+    val cSchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("click_id", LongType), StructField("click_ts", TimestampType)))
+    val pSchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("purchase_id", LongType), StructField("purchase_ts", TimestampType)))
+    val cDir = Fixtures.tmpDir("att_c"); val pDir = Fixtures.tmpDir("att_p")
+    val outDir = Fixtures.tmpDir("att_out").toString
+    val ckpt = Fixtures.tmpDir("att_ckpt").toString
+    def addFile(dir: java.nio.file.Path, n: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      import scala.jdk.CollectionConverters._
+      val tmp = Fixtures.tmpDir(s"att_tmp${dir.getFileName}$n")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, dir.resolve(s"b$n.parquet"))
+    }
+    def runBatch(): Set[(Long, Long, Option[Long])] = {
+      val cs = spark.readStream.schema(cSchema).parquet(cDir.toString)
+      val ps = spark.readStream.schema(pSchema).parquet(pDir.toString)
+      val joined = StreamingAttribution
+        .attributeClicks(cs, ps, windowSec = 1800L, delay = "1 minute")
+      val q = joined.writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+          Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong))).toSet
+    }
+
+    addFile(cDir, 1, clicksData.toDF("user_id", "click_id", "click_ts"))
+    addFile(pDir, 1, purchData.toDF("user_id", "purchase_id", "purchase_ts"))
+    runBatch()
+    // watermark-advancing sentinels (unmatched user): outer-null rows
+    // for closed windows must flush once event time moves past them
+    addFile(cDir, 2, Seq((99L, 901L, ts(58))).toDF("user_id", "click_id", "click_ts"))
+    runBatch()
+    addFile(cDir, 3, Seq((99L, 902L, ts(59))).toDF("user_id", "click_id", "click_ts"))
+    val streamed = runBatch()
+    assert(streamed == expected,
+      s"stream-stream join must equal the batch twin: $streamed vs $expected")
+  }
 }
