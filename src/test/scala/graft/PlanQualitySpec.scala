@@ -291,4 +291,49 @@ class PlanQualitySpec extends SparkSpec {
     assert(winLines.nonEmpty && winLines.forall(_.contains("sum(_c")),
       s"both windows must sum per-(stratum,score) counts only:\n${winLines.mkString("\n")}")
   }
+
+  test("rolling actives: window fan-out is a generator; observed-days semi-join broadcasts") {
+    val p = plan("q139_rolling_active")
+    assert(p.contains("Generate"), s"day fan-out must be an explode, not a join:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"observed-days filter must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+  }
+
+  test("curriculum order: rank window keyed by (bin, shard); offsets broadcast back") {
+    val p = plan("q140_curriculum")
+    val rankWins = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("row_number")).toSeq
+    assert(rankWins.nonEmpty && rankWins.forall(_.contains("_shard")),
+      s"the corpus rank window must be sharded, never per-bin global:\n${rankWins.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the offset table must broadcast onto the ranked stream:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-wide shuffle join:\n$p")
+  }
+
+  test("quota split: rank window sharded; quota compare needs no second corpus pass") {
+    val p = plan("q146_quota_split")
+    val rankWins = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("row_number")).toSeq
+    assert(rankWins.nonEmpty && rankWins.forall(_.contains("_shard")),
+      s"the stratum rank must be sharded:\n${rankWins.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"offset/total table must broadcast:\n$p")
+  }
+
+  test("source centroids: corpus explodes once; pairwise join runs over centroid rows only") {
+    val p = plan("q144_source_centroids")
+    assert(p.linesIterator.count(_.trim.startsWith("Generate")) <= 2,
+      s"embedding explode must happen once in the tree:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the |S|-row pairwise join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no shuffled cartesian for the centroid pairs:\n$p")
+  }
+
+  test("pagerank: supersteps are equi-joins — no cartesian, no nested-loop") {
+    val p = plan("q142_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rank propagation must stay equi-join shaped:\n$p")
+  }
 }
