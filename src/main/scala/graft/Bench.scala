@@ -37,7 +37,11 @@ object Bench {
     // cost from battery-accumulated JVM pressure. The BASELINE.md
     // battery-inflation table compares the two modes.
     val isolate = sys.env.get("SPARK_GRAFT_ISOLATE").contains("1")
+    // SPARK_GRAFT_ONLY=q1,q2: probe a subset (scale-slope runs);
+    // the driver never sets it, so BENCH_r{N} stays the full battery
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val results: Map[String, Double] =
       if (isolate) {
         ordered.map { case (name, fn) =>
