@@ -2621,6 +2621,26 @@ object OracleSql {
           SELECT doc_id, source, (rn <= (n * 100000) // 1000000) AS heldout
           FROM R ORDER BY doc_id""",
 
+    // eval-coverage: q55's gram machinery flipped — per eval doc, the
+    // share of its distinct shingles present anywhere in the corpus
+    "q147_eval_coverage" ->
+      s"""WITH EG AS (SELECT doc_id AS eval_id, unnest(${shingles3("text")}) AS gram
+                      FROM documents WHERE doc_id % 97 = 0 AND doc_id < 5000),
+          M AS (SELECT DISTINCT c.gram
+                FROM (SELECT unnest(${shingles3("text")}) AS gram FROM documents
+                      WHERE NOT (doc_id % 97 = 0 AND doc_id < 5000)) c
+                JOIN (SELECT DISTINCT gram FROM EG) g ON g.gram = c.gram),
+          T AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM EG GROUP BY eval_id),
+          V AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_covered
+                FROM EG JOIN M USING (gram) GROUP BY eval_id)
+          SELECT t.eval_id, t.n_grams, coalesce(v.n_covered, 0) AS n_covered,
+            CASE WHEN t.n_grams = 0 THEN 0
+                 ELSE (coalesce(v.n_covered, 0) * 1000000) // t.n_grams
+            END AS share_1e6
+          FROM T t LEFT JOIN V v ON v.eval_id = t.eval_id
+          ORDER BY t.eval_id""",
+
     // health heatmap: q41's quality CTE joined to char lengths, exact
     // integer buckets
     "q136_health_heatmap" ->

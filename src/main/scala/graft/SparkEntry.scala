@@ -1709,6 +1709,20 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("stratum").as("source"), col("heldout"))
       .orderBy(col("doc_id"))
 
+  /** Eval-coverage report (q147): q91 flipped — per EVAL doc, the
+    * share of its distinct shingles already present in the training
+    * corpus: the benchmark-integrity table. Same q55 eval slice. See
+    * Decontaminate.evalCoverage.
+    */
+  private def qEvalCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Decontaminate.evalCoverage(
+        docs.filter(!(col("doc_id") % 97 === 0 && col("doc_id") < 5000)), "text",
+        docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000),
+        "doc_id", "text", n = 3)
+      .orderBy(col("eval_id"))
+  }
+
   /** Trailing 1-hour window stats (EventAnalytics.trailingStats):
     * per event, the user's event count and cents-sum over the last
     * hour — per-row RANGE frames on integer µs, tie-order-proof.
@@ -2175,7 +2189,8 @@ object SparkEntry {
     "q143_event_drift" -> (qEventDrift _),
     "q144_source_centroids" -> (qSourceCentroids _),
     "q145_mutual_best" -> (qMutualBest _),
-    "q146_quota_split" -> (qQuotaSplit _))
+    "q146_quota_split" -> (qQuotaSplit _),
+    "q147_eval_coverage" -> (qEvalCoverage _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

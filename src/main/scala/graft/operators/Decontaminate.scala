@@ -97,6 +97,46 @@ object Decontaminate {
         col("share_1e6"), col("first_gram"))
   }
 
+  /** Eval-coverage report — [[contaminationReport]] with the direction
+    * FLIPPED: for each EVAL document, the share of its distinct
+    * n-gram shingles that appear anywhere in the training corpus.
+    * The corpus-side report says which training docs to drop; this one
+    * says which benchmark items are already compromised (and how
+    * badly) — the table an eval-integrity review reads before trusting
+    * a score.
+    *
+    * Scale shape: the corpus stream is pruned by the broadcast eval
+    * gram set BEFORE any shuffle (the [[sharedNgrams]] spine); the
+    * matched-gram distinct and every later join are bounded by the
+    * EVAL set's gram count, never the corpus. Zero-gram eval docs
+    * report share 0, not an error.
+    *
+    * Output: (eval_id, n_grams, n_covered, share_1e6).
+    */
+  def evalCoverage(corpus: DataFrame, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram width must be positive, got $n")
+    // shingles() is per-doc distinct, so the pair stream needs no dedup
+    val evalGrams = bench.select(col(benchIdCol).as("eval_id"),
+      explode(shingles(col(benchTextCol), n)).as("gram"))
+    val gramSet = evalGrams.select(col("gram")).distinct()
+    val matched = corpus
+      .select(explode(shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(gramSet), Seq("gram"))
+      .distinct()
+    val totals = bench.select(col(benchIdCol).as("eval_id"),
+      size(shingles(col(benchTextCol), n)).cast("long").as("n_grams"))
+    val covered = evalGrams.join(broadcast(matched), Seq("gram"), "left_semi")
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_covered"))
+    totals.join(covered, Seq("eval_id"), "left")
+      .na.fill(0L, Seq("n_covered"))
+      .withColumn("share_1e6", when(col("n_grams") === 0L, lit(0L))
+        .otherwise(expr("n_covered * 1000000L DIV n_grams")))
+      .select(col("eval_id"), col("n_grams"), col("n_covered"),
+        col("share_1e6"))
+  }
+
   /** Stateless contamination gate — the STREAMING-SHAPED variant:
     * `flagged = ∃ gram ∈ shingles(text) ∩ gramSet`, a pure map-side
     * expression (the gram set rides along as a sorted array literal

@@ -1675,6 +1675,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._3)).toSet == again, "selection is deterministic")
   }
 
+  test("evalCoverage: per-eval-doc covered-gram share; zero-gram docs report 0") {
+    val corpus = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma zeta"),   // grams: abg (covered), bgz (not) → 1/2
+      (2L, "unrelated words entirely completely"), // 0/2
+      (3L, "xy"))                       // < 3 tokens → 0 grams
+      .toDF("doc_id", "text")
+    val out = graft.operators.Decontaminate.evalCoverage(
+        corpus, "text", bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("eval_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_covered"),
+          r.getAs[Long]("share_1e6")))).toMap
+    assert(out(1L) == ((2L, 1L, 500000L)), s"half covered: $out")
+    assert(out(2L) == ((2L, 0L, 0L)), s"uncovered: $out")
+    assert(out(3L) == ((0L, 0L, 0L)), s"zero-gram doc reports 0, no error: $out")
+  }
+
   test("rollingActiveSketch: HLL window union tracks the exact series") {
     val DayUs = 86400000000L
     val events = (1L to 400L).flatMap { u =>
