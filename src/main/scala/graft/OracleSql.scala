@@ -2641,6 +2641,62 @@ object OracleSql {
           FROM T t LEFT JOIN V v ON v.eval_id = t.eval_id
           ORDER BY t.eval_id""",
 
+    // Gopher rule gate: every rule an integer comparison; tokenizer,
+    // line split, and replace-based occurrence counts mirror the Spark
+    // expressions exactly
+    "q148_gopher_rules" ->
+      s"""WITH B AS (SELECT doc_id, coalesce(text, '') AS tx,
+                 ${toks("text")} AS tk,
+                 string_split(coalesce(text, ''), chr(10)) AS ln
+               FROM documents),
+          C AS (SELECT doc_id,
+                 CAST(len(tk) AS BIGINT) AS n_words,
+                 CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)
+                   AS BIGINT) AS word_chars,
+                 CAST(len(ln) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(ln, l -> starts_with(l, '- ')
+                   OR starts_with(l, '* '))) AS BIGINT) AS bullet_lines,
+                 CAST(len(list_filter(ln, l -> ends_with(l, '...')))
+                   AS BIGINT) AS ellipsis_lines,
+                 CAST(length(tx) - length(replace(tx, '#', ''))
+                   + (length(tx) - length(replace(tx, '...', ''))) // 3
+                   AS BIGINT) AS n_symbols,
+                 CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+                   AS BIGINT) AS alpha_words,
+                 CAST(len(list_intersect(list_transform(tk, t -> lower(t)),
+                   ['the', 'a'])) AS BIGINT) AS stop_hits
+                FROM B)
+          SELECT doc_id, n_words,
+            (n_words >= 40 AND n_words <= 120) AS ok_words,
+            (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+              AS ok_mean_len,
+            (10 * n_symbols <= n_words) AS ok_symbols,
+            (10 * bullet_lines <= 9 * n_lines) AS ok_bullets,
+            (10 * ellipsis_lines <= 3 * n_lines) AS ok_ellipsis,
+            (5 * alpha_words >= 4 * n_words) AS ok_alpha,
+            (stop_hits >= 2) AS ok_stops,
+            ((n_words >= 40 AND n_words <= 120)
+             AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+             AND (10 * n_symbols <= n_words)
+             AND (10 * bullet_lines <= 9 * n_lines)
+             AND (10 * ellipsis_lines <= 3 * n_lines)
+             AND (5 * alpha_words >= 4 * n_words)
+             AND (stop_hits >= 2)) AS pass
+          FROM C ORDER BY doc_id""",
+
+    // priority sampling: rank = md5-hash DIV weight, k smallest win,
+    // ties to smaller id — the weighted-without-replacement sample
+    "q150_priority_sample" ->
+      s"""WITH W AS (SELECT doc_id,
+                 CAST(len(${toks("text")}) + 1 AS BIGINT) AS weight
+               FROM documents),
+          R AS (SELECT doc_id, weight,
+                 ${md5long("cast(doc_id as varchar)")} // weight AS prio
+                FROM W)
+          SELECT doc_id, weight, prio,
+            CAST(row_number() OVER (ORDER BY prio, doc_id) AS BIGINT) AS rank
+          FROM R ORDER BY prio, doc_id LIMIT 25""",
+
     // health heatmap: q41's quality CTE joined to char lengths, exact
     // integer buckets
     "q136_health_heatmap" ->

@@ -2041,6 +2041,32 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("clean_text"), col("kept_chunks"))
       .orderBy(col("doc_id"))
 
+  /** Gopher rule gate (q148): the integer-exact rule-based pre-filter
+    * (word-count bounds, mean word length, symbol/bullet/ellipsis
+    * ratios, alpha-word share, required stopwords). Bounds 40..120
+    * split the ~54-token battery corpus; stop set {the, a} matches its
+    * vocabulary. See TextAnalysis.gopherRules.
+    */
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.gopherRules(
+        t(s, dir, "documents"), "doc_id", "text",
+        minWords = 40L, maxWords = 120L,
+        stopSet = Seq("the", "a"), minStopHits = 2L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Priority sample (q150): k = 25 docs weighted by token count —
+    * Duffield–Lund–Thorup priority sampling, rank = md5-hash DIV
+    * weight, k smallest win. See Sampling.prioritySample.
+    */
+  private def qPrioritySample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), graft.functions.tokenCount(col("text")).as("w"))
+    graft.operators.Sampling.prioritySample(
+        docs, col("doc_id"), col("w") + 1L, k = 25)
+      .select(col("id").as("doc_id"), col("weight"), col("prio"), col("rank"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2190,7 +2216,9 @@ object SparkEntry {
     "q144_source_centroids" -> (qSourceCentroids _),
     "q145_mutual_best" -> (qMutualBest _),
     "q146_quota_split" -> (qQuotaSplit _),
-    "q147_eval_coverage" -> (qEvalCoverage _))
+    "q147_eval_coverage" -> (qEvalCoverage _),
+    "q148_gopher_rules" -> (qGopherRules _),
+    "q150_priority_sample" -> (qPrioritySample _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

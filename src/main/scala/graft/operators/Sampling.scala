@@ -540,4 +540,39 @@ object Sampling {
       .join(broadcast(offsets), Seq("bin", "_shard"))
       .select(col("id"), col("bin"), (col("_offset") + col("_r")).as("ordinal"))
   }
+
+  /** Deterministic weighted sample of k rows WITHOUT replacement —
+    * priority sampling (Duffield, Lund & Thorup, JACM 2007). Each row
+    * draws the pseudo-uniform `h = md5(key) mod 2^60` and competes
+    * with priority rank `r = h div w` (integer u/w — the k SMALLEST r
+    * win, equivalent to the paper's k largest w/u): heavy rows get
+    * proportionally small ranks, so inclusion probability scales with
+    * weight, yet membership is a pure function of the key — stable
+    * across runs, engines, and partitionings (rand()-based weighted
+    * reservoirs are none of these). Tie rank → smaller id wins.
+    *
+    * Scale shape: the rank is a scan-speed expression; selection is a
+    * global top-k (TakeOrderedAndProject — per-partition heaps of k,
+    * only |partitions|·k rows reach the driver-side merge, never a
+    * global sort). Weights must be >= 1; a zero/negative/NULL weight
+    * raises rather than silently skewing the sample.
+    *
+    * Output: (id, weight, prio, rank 1..k) in rank order.
+    */
+  def prioritySample(df: DataFrame, key: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val w = when(weight.isNull || weight.cast("long") < 1L,
+        raise_error(lit("prioritySample: weight must be >= 1")))
+      .otherwise(weight.cast("long"))
+    df.select(key.as("id"), w.as("weight"))
+      .withColumn("_h", md5Long(col("id").cast("string")))
+      .withColumn("prio", expr("CAST(_h DIV weight AS BIGINT)"))
+      .orderBy(col("prio"), col("id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("prio"), col("id"))).cast("long"))
+      .select(col("id"), col("weight"), col("prio"), col("rank"))
+  }
 }

@@ -540,4 +540,79 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: … Gopher", App. A1.1): the rule-based pre-filter
+    * production corpora apply BEFORE model-based scoring. Each rule is
+    * an integer comparison (ratios cross-multiplied), so both engines
+    * decide every flag exactly — no float thresholds:
+    *
+    *  - `ok_words`       word count in [minWords, maxWords]
+    *  - `ok_mean_len`    mean word length in [3, 10] chars
+    *      (3·n ≤ Σlen ≤ 10·n)
+    *  - `ok_symbols`     symbol-to-word ratio ('#' or '...') ≤ 0.1
+    *  - `ok_bullets`     ≤ 90% of lines start with a bullet ('- ', '* ')
+    *  - `ok_ellipsis`    ≤ 30% of lines end with '...'
+    *  - `ok_alpha`       ≥ 80% of words contain an alphabetic char
+    *  - `ok_stops`       ≥ minStopHits distinct words from `stopSet`
+    *  - `pass`           conjunction of all seven
+    *
+    * Whole-corpus shape: one narrow codegen'd pass, zero shuffles —
+    * the token array binds once per row (`let`) and every rule folds
+    * over it. NULL text behaves as the empty document (0 words → fails
+    * `ok_words`).
+    *
+    * The reference pipeline's validation gates are row-level null/type
+    * checks (`/root/reference/etl/validate.py`); these rules are the
+    * corpus-scale analog for free-text columns.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      stopSet: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with"),
+      minStopHits: Long = 2L): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    val tx = coalesce(col(textCol), lit(""))
+    val stopArr = array(stopSet.map(lit): _*)
+    // non-overlapping left-to-right occurrence count via plain (non-
+    // regex) replace — identical semantics in DuckDB's replace()
+    val occurrences = (s: String) =>
+      ((length(tx) - length(replace(tx, lit(s), lit("")))).cast("long")
+        / lit(s.length.toLong)).cast("long")
+    val out = df.select(col(idCol).as("id"), tx.as("_tx"),
+        tokens(tx).as("_tk"), split(tx, "\n", -1).as("_ln"))
+      .select(col("id"),
+        size(col("_tk")).cast("long").as("n_words"),
+        aggregate(transform(col("_tk"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("word_chars"),
+        size(col("_ln")).cast("long").as("n_lines"),
+        size(filter(col("_ln"), l =>
+          l.startsWith("- ") || l.startsWith("* "))).cast("long")
+          .as("bullet_lines"),
+        size(filter(col("_ln"), l => l.endsWith("..."))).cast("long")
+          .as("ellipsis_lines"),
+        (occurrences("#") + occurrences("...")).as("n_symbols"),
+        size(filter(col("_tk"), t => t.rlike("[A-Za-z]"))).cast("long")
+          .as("alpha_words"),
+        size(array_intersect(transform(col("_tk"), t => lower(t)), stopArr))
+          .cast("long").as("stop_hits"))
+    out.select(col("id"), col("n_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("ok_words"),
+        (lit(3L) * col("n_words") <= col("word_chars") &&
+          col("word_chars") <= lit(10L) * col("n_words")).as("ok_mean_len"),
+        (lit(10L) * col("n_symbols") <= col("n_words")).as("ok_symbols"),
+        (lit(10L) * col("bullet_lines") <= lit(9L) * col("n_lines"))
+          .as("ok_bullets"),
+        (lit(10L) * col("ellipsis_lines") <= lit(3L) * col("n_lines"))
+          .as("ok_ellipsis"),
+        (lit(5L) * col("alpha_words") >= lit(4L) * col("n_words"))
+          .as("ok_alpha"),
+        (col("stop_hits") >= minStopHits).as("ok_stops"))
+      .withColumn("pass",
+        col("ok_words") && col("ok_mean_len") && col("ok_symbols") &&
+          col("ok_bullets") && col("ok_ellipsis") && col("ok_alpha") &&
+          col("ok_stops"))
+  }
 }
