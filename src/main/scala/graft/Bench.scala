@@ -40,6 +40,14 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2: probe a subset (scale-slope runs);
     // the driver never sets it, so BENCH_r{N} stays the full battery
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // input drift yields one named line per drifted column up front,
+    // not N opaque per-query failures (the round-7 lesson)
+    locally {
+      val s = buildSession()
+      try graft.util.SchemaContract.check(s, sfDir) finally s.stop()
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results: Map[String, Double] =

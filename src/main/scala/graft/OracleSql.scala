@@ -2684,6 +2684,20 @@ object OracleSql {
              AND (stop_hits >= 2)) AS pass
           FROM C ORDER BY doc_id""",
 
+    // repeated n-gram report: word 6-grams in ≥2 docs, df + total
+    // occurrences, top 20 (gram as the unique last sort key)
+    "q149_repeated_ngrams" ->
+      s"""WITH T AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          G AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 5), i ->
+                  array_to_string(tk[i+1:i+6], ' '))) AS gram
+                FROM T WHERE len(tk) >= 6),
+          D AS (SELECT gram, doc_id, CAST(count(*) AS BIGINT) AS c
+                FROM G GROUP BY gram, doc_id)
+          SELECT gram, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(c) AS BIGINT) AS n_occ
+          FROM D GROUP BY gram HAVING count(*) >= 2
+          ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 20""",
+
     // priority sampling: rank = md5-hash DIV weight, k smallest win,
     // ties to smaller id — the weighted-without-replacement sample
     "q150_priority_sample" ->

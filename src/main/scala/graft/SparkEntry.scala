@@ -49,19 +49,57 @@ object SparkEntry {
       .computeIfAbsent((dir, name), _ => mk)
   }
 
+  /** events.ts has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (arrives as BIGINT ns under
+    * spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS)
+    * (arrives as TIMESTAMP_NTZ). Both readers branch on the actual
+    * schema so a regenerated input changes NOTHING downstream:
+    * `t()` always serves a µs-precision TimestampType column, and
+    * `tRaw()` always serves the ns-long contract the integer-µs
+    * queries divide down from. Sessions run with
+    * spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast is a pure
+    * reinterpretation (identical micros), matching DuckDB's
+    * epoch_us(ts) on the same file.
+    */
+  private def tsAsTimestamp(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // DIV keeps the division integral (a double roundtrip would
+        // lose ns bits).
+        timestamp_micros(expr("ts DIV 1000"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast("timestamp")
+      case _: org.apache.spark.sql.types.TimestampType => col("ts")
+      case dt => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $dt (expected ns-long or timestamp)")
+    }
+
+  private def tsAsNanosLong(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+      case _: org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col("ts")) * lit(1000L)
+      case dt => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $dt (expected ns-long or timestamp)")
+    }
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     cached(spark, dir, name) {
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      // events.ts is parquet TIMESTAMP(NANOS): read as long (legacy conf)
-      // and convert to a timestamp at µs precision. DIV keeps the
-      // division integral (a double roundtrip would lose ns bits).
-      if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      if (name == "events") df.withColumn("ts", tsAsTimestamp(df))
       else df
     }
 
-  /** Raw variant (no ts conversion) for the µs-integer queries. */
+  /** Raw variant: events.ts normalized to ns-long for the µs-integer
+    * queries (`ts DIV 1000` sites); other tables pass through. */
   private def tRaw(spark: SparkSession, dir: String, name: String): DataFrame =
-    cached(spark, dir, s"raw:$name")(spark.read.parquet(s"$dir/$name.parquet"))
+    cached(spark, dir, s"raw:$name") {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") df.withColumn("ts", tsAsNanosLong(df))
+      else df
+    }
 
   /** sum(floor(expr*100)) → bigint "cents" — deterministic across engines. */
   private def cents(c: Column): Column = sum(floor(c * 100).cast("long"))
@@ -1689,12 +1727,18 @@ object SparkEntry {
     */
   private def qMutualBest(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
+    // maxGramDf pins the hot-gram skew valve into the plan. Both
+    // slices are id-capped (< 7500 → ≤ 241 + 441 rows at ANY sf), so
+    // 1000 sits above every possible combined gram frequency: the cap
+    // drops nothing here (the all-pairs oracle needs no mirror) while
+    // guaranteeing boilerplate grams can't quadratically flood the
+    // blocking buckets if the slice predicate is ever widened.
     graft.operators.FuzzyJoin.mutualBestMatch(
         graft.operators.FuzzyJoin.editDistanceJoin(
           cust.filter(col("c_custkey") % 31 === 0 && col("c_custkey") < 7500),
           "c_custkey", "c_name",
           cust.filter(col("c_custkey") % 17 === 0 && col("c_custkey") < 7500),
-          "c_custkey", "c_name", maxDist = 2))
+          "c_custkey", "c_name", maxDist = 2, maxGramDf = Some(1000L)))
       .orderBy(col("id_l"))
   }
 
@@ -2055,6 +2099,16 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Repeated n-gram report (q149): every word 6-gram shared by ≥ 2
+    * documents — doc frequency + total occurrences, top 20. The
+    * "memorization risk" sizing report run before q97/q101's span
+    * removal. See TextAnalysis.repeatedNgrams.
+    */
+  private def qRepeatedNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.repeatedNgrams(
+        t(s, dir, "documents"), "doc_id", "text",
+        n = 6, minDocs = 2L, topK = 20)
+
   /** Priority sample (q150): k = 25 docs weighted by token count —
     * Duffield–Lund–Thorup priority sampling, rank = md5-hash DIV
     * weight, k smallest win. See Sampling.prioritySample.
@@ -2065,6 +2119,9 @@ object SparkEntry {
     graft.operators.Sampling.prioritySample(
         docs, col("doc_id"), col("w") + 1L, k = 25)
       .select(col("id").as("doc_id"), col("weight"), col("prio"), col("rank"))
+      // contractual order (oracle: ORDER BY prio, doc_id ≡ rank) — the
+      // limit+window above only orders incidentally
+      .orderBy(col("rank"))
   }
 
   // =====================================================================
@@ -2218,6 +2275,7 @@ object SparkEntry {
     "q146_quota_split" -> (qQuotaSplit _),
     "q147_eval_coverage" -> (qEvalCoverage _),
     "q148_gopher_rules" -> (qGopherRules _),
+    "q149_repeated_ngrams" -> (qRepeatedNgrams _),
     "q150_priority_sample" -> (qPrioritySample _))
 
   def oracleSql: Map[String, String] = OracleSql.all

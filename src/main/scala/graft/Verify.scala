@@ -16,12 +16,17 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark only reads
-      // as long; graft's events reader converts to timestamp (µs).
+      // older testdata generations carried events.ts as
+      // TIMESTAMP(NANOS), which Spark only reads as long under this
+      // flag; SparkEntry's schema-adaptive reader handles both that
+      // ns-long encoding and the current TIMESTAMP(MICROS) one.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // input drift yields one named line per drifted column up front,
+    // not N opaque per-query failures (the round-7 lesson)
+    graft.util.SchemaContract.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

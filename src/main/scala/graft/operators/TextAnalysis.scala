@@ -541,6 +541,38 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Corpus-wide repeated n-gram report — the "memorization risk"
+    * one-pager (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" motivates removing text repeated across
+    * documents; this is the report that sizes the problem BEFORE
+    * running span removal, see [[Dedup.exactSubstringSpans]]): every
+    * word n-gram appearing in ≥ `minDocs` distinct documents, with its
+    * document frequency and total occurrence count, top `topK` by
+    * (n_docs desc, n_occ desc, gram asc — unique last key, so the cut
+    * is deterministic on any engine).
+    *
+    * Shape at scale: explode → two-level hash agg. The (gram, id)
+    * pre-aggregation replaces `countDistinct` — no Expand doubling of
+    * the exploded stream, and map-side partial agg compresses within-
+    * doc repeats before either shuffle. The top-k cut plans as
+    * TakeOrderedAndProject (no global sort).
+    */
+  def repeatedNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 6, minDocs: Long = 2L, topK: Int = 20): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    require(minDocs >= 1 && topK >= 1,
+      s"need minDocs, topK >= 1, got $minDocs, $topK")
+    df.select(col(idCol).as("id"),
+        explode(rawShingles(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"), col("id"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_c")).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+      .limit(topK)
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
     * Language Models: … Gopher", App. A1.1): the rule-based pre-filter
     * production corpora apply BEFORE model-based scoring. Each rule is
@@ -576,10 +608,14 @@ object TextAnalysis {
     val tx = coalesce(col(textCol), lit(""))
     val stopArr = array(stopSet.map(lit): _*)
     // non-overlapping left-to-right occurrence count via plain (non-
-    // regex) replace — identical semantics in DuckDB's replace()
-    val occurrences = (s: String) =>
-      ((length(tx) - length(replace(tx, lit(s), lit("")))).cast("long")
+    // regex) replace — identical semantics in DuckDB's replace().
+    // Evaluated in the SECOND select, where only the projected `_tx`
+    // survives (textCol is gone by then).
+    val occurrences = (s: String) => {
+      val c = col("_tx")
+      ((length(c) - length(replace(c, lit(s), lit("")))).cast("long")
         / lit(s.length.toLong)).cast("long")
+    }
     val out = df.select(col(idCol).as("id"), tx.as("_tx"),
         tokens(tx).as("_tk"), split(tx, "\n", -1).as("_ln"))
       .select(col("id"),

@@ -1692,6 +1692,52 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 0L)), s"zero-gram doc reports 0, no error: $out")
   }
 
+  test("repeatedNgrams: doc frequency and occurrence counts, unique grams dropped") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, shared + " " + shared), // the shared 6-gram at positions 0 and 6
+      (2L, shared),
+      (3L, "totally different words that never repeat anywhere at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedNgrams(docs, "doc_id", "text",
+      n = 6, minDocs = 2L, topK = 10).collect()
+    assert(out.length == 1, s"only the shared 6-gram crosses minDocs: ${out.toSeq}")
+    assert(out.head.getAs[String]("gram") == shared)
+    assert(out.head.getAs[Long]("n_docs") == 2L, "docs 1 and 2")
+    assert(out.head.getAs[Long]("n_occ") == 3L, "twice in doc 1, once in doc 2")
+  }
+
+  test("gopherRules: hand-computed rule booleans per document") {
+    val docs = Seq(
+      // 13 words, Σlen=39 (mean exactly 3.0), 4 distinct stopwords,
+      // no symbols/bullets/ellipsis → all rules pass
+      (1L, "the cat sat on the mat and it was happy to be there"),
+      // every line bullet-led → ok_bullets false (3/3 > 90%)
+      (2L, "- item one\n- item two\n- item three"),
+      // 2 of 3 lines end '...' (> 30%) and 4 symbol hits ('#'×2 +
+      // '...'×2) against 10 words (> 10%) → ok_ellipsis/ok_symbols false
+      (3L, "this goes on...\nand on...\nmore # stuff # here"),
+      // NULL text behaves as empty: 0 words fails ok_words
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        minWords = 3L, maxWords = 100L, minStopHits = 2L)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("ok_words") && out(1L).getAs[Boolean]("ok_mean_len")
+      && out(1L).getAs[Boolean]("ok_symbols") && out(1L).getAs[Boolean]("ok_bullets")
+      && out(1L).getAs[Boolean]("ok_ellipsis") && out(1L).getAs[Boolean]("ok_alpha")
+      && out(1L).getAs[Boolean]("ok_stops") && out(1L).getAs[Boolean]("pass"),
+      s"clean doc passes all rules: ${out(1L)}")
+    assert(!out(2L).getAs[Boolean]("ok_bullets") && !out(2L).getAs[Boolean]("pass"),
+      s"all-bullet doc fails ok_bullets: ${out(2L)}")
+    assert(!out(3L).getAs[Boolean]("ok_ellipsis") && !out(3L).getAs[Boolean]("ok_symbols")
+      && !out(3L).getAs[Boolean]("pass"),
+      s"ellipsis/symbol doc fails those rules: ${out(3L)}")
+    assert(out(3L).getAs[Boolean]("ok_bullets"), s"no bullets in doc 3: ${out(3L)}")
+    assert(out(4L).getAs[Long]("n_words") == 0L && !out(4L).getAs[Boolean]("ok_words")
+      && !out(4L).getAs[Boolean]("pass"), s"null text = empty doc: ${out(4L)}")
+  }
+
   test("rollingActiveSketch: HLL window union tracks the exact series") {
     val DayUs = 86400000000L
     val events = (1L to 400L).flatMap { u =>

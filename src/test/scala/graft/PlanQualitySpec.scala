@@ -336,4 +336,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"rank propagation must stay equi-join shaped:\n$p")
   }
+
+  test("mutual-best linkage plans the hot-gram skew valve (broadcast anti-join)") {
+    val p = plan("q145_mutual_best")
+    assert(p.contains("LeftAnti"),
+      s"maxGramDf cap must plan anti-joins against the hot-gram set:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"gram blocking must stay equi-join shaped:\n$p")
+  }
 }
