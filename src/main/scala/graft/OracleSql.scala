@@ -2711,6 +2711,87 @@ object OracleSql {
             CAST(row_number() OVER (ORDER BY prio, doc_id) AS BIGINT) AS rank
           FROM R ORDER BY prio, doc_id LIMIT 25""",
 
+    // daily anomaly flags: per-type daily counts, trailing 7-OBSERVED-
+    // day integer z-test — (n·x−S)²·(n−1) > σ²·n·(n·Q−S²), all BIGINT
+    "q151_daily_anomaly" ->
+      """WITH D AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+          W AS (SELECT event_type, day, cnt,
+                 CAST(count(*) OVER w AS BIGINT) AS n_prev,
+                 CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS s_prev,
+                 CAST(coalesce(sum(cnt*cnt) OVER w, 0) AS BIGINT) AS q_prev
+                FROM D WINDOW w AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+          SELECT event_type, day, cnt, n_prev,
+            CAST((n_prev*cnt - s_prev)*(n_prev*cnt - s_prev)*(n_prev - 1)
+              AS BIGINT) AS dev_sq,
+            CAST(4*n_prev*(n_prev*q_prev - s_prev*s_prev) AS BIGINT) AS bound_sq,
+            ((n_prev >= 4) AND
+             ((n_prev*cnt - s_prev)*(n_prev*cnt - s_prev)*(n_prev - 1)
+              > 4*n_prev*(n_prev*q_prev - s_prev*s_prev))) AS is_anomaly
+          FROM W ORDER BY event_type, day""",
+
+    // per-doc TF-IDF keywords, idf = bit-length log2 surrogate (exact
+    // integer, same trick as q88's surprisal), top 3 per doc
+    "q152_tfidf_keywords" ->
+      s"""WITH T AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS term
+                FROM documents),
+          TF AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM T GROUP BY 1, 2),
+          DF AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+                 FROM TF GROUP BY term),
+          N AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          S AS (SELECT tf.doc_id, tf.term, tf.tf, df.df_docs,
+                 CAST(tf.tf * (length(bin(n.n_docs)) - length(bin(df.df_docs)))
+                   AS BIGINT) AS score
+                FROM TF tf JOIN DF df USING (term) CROSS JOIN N n),
+          R AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term) AS rank FROM S)
+          SELECT doc_id, term, tf, df_docs, score, CAST(rank AS BIGINT) AS rank
+          FROM R WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    // corpus novelty curve: distinct vs first-seen word 3-grams per
+    // 100-doc bucket, running distinct total, fixed-point novelty rate
+    "q153_novelty_curve" ->
+      s"""WITH G AS (SELECT doc_id AS id, unnest(${rawShingles3("text")}) AS gram
+                FROM documents),
+          PB AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_distinct
+                 FROM (SELECT DISTINCT id // 100 AS bucket, gram FROM G)
+                 GROUP BY bucket),
+          FS AS (SELECT first_id // 100 AS bucket,
+                  CAST(count(*) AS BIGINT) AS n_new
+                 FROM (SELECT gram, min(id) AS first_id FROM G GROUP BY gram)
+                 GROUP BY 1),
+          J AS (SELECT pb.bucket, pb.n_distinct,
+                 CAST(coalesce(fs.n_new, 0) AS BIGINT) AS n_new
+                FROM PB pb LEFT JOIN FS fs USING (bucket))
+          SELECT bucket, n_distinct, n_new,
+            CAST(sum(n_new) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_grams,
+            (n_new * 1000000) // n_distinct AS novelty_1e6
+          FROM J ORDER BY bucket""",
+
+    // PMI collocations over adjacent word pairs: fixed-point odds
+    // ratio (c_ab·N·1e6) // (c_a·c_b), marginals from the same bigram
+    // stream, min count 10, top 20
+    "q154_pmi_collocations" ->
+      s"""WITH T AS (SELECT ${toks("lower(text)")} AS tk FROM documents),
+          G AS (SELECT unnest(list_transform(range(len(tk) - 1),
+                  i -> tk[i+1] || ' ' || tk[i+2])) AS gram
+                FROM T WHERE len(tk) >= 2),
+          C AS (SELECT gram, CAST(count(*) AS BIGINT) AS c_ab
+                FROM G GROUP BY gram),
+          C2 AS (SELECT gram, c_ab, split_part(gram, ' ', 1) AS l,
+                  split_part(gram, ' ', 2) AS r FROM C),
+          N AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM C),
+          L AS (SELECT l, CAST(sum(c_ab) AS BIGINT) AS c_l FROM C2 GROUP BY l),
+          R AS (SELECT r, CAST(sum(c_ab) AS BIGINT) AS c_r FROM C2 GROUP BY r)
+          SELECT c2.gram, c2.c_ab, lt.c_l, rt.c_r,
+            (c2.c_ab * n.n_bi * 1000000) // (lt.c_l * rt.c_r) AS ratio_1e6
+          FROM C2 c2 JOIN L lt USING (l) JOIN R rt USING (r) CROSS JOIN N n
+          WHERE c2.c_ab >= 10
+          ORDER BY ratio_1e6 DESC, gram LIMIT 20""",
+
     // health heatmap: q41's quality CTE joined to char lengths, exact
     // integer buckets
     "q136_health_heatmap" ->

@@ -2124,6 +2124,36 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Daily anomaly flags (q151): trailing-7-day integer z-test on
+    * per-type daily event counts. See EventAnalytics.dailyAnomalies.
+    */
+  private def qDailyAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.dailyAnomalies(
+        t(s, dir, "events"), "event_type", "ts",
+        lookback = 7, minPrev = 4, sigma = 2)
+
+  /** TF-IDF keywords (q152): top-3 terms per document, bit-length
+    * log2 idf. See TextAnalysis.tfidfKeywords.
+    */
+  private def qTfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.tfidfKeywords(
+        t(s, dir, "documents"), "doc_id", "text", topK = 3)
+
+  /** Corpus novelty curve (q153): first-seen word-3-gram saturation
+    * per 100-doc bucket. See TextAnalysis.noveltyCurve.
+    */
+  private def qNoveltyCurve(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.noveltyCurve(
+        t(s, dir, "documents"), "doc_id", "text",
+        n = 3, bucketSize = 100L)
+
+  /** PMI collocations (q154): top-20 adjacent word pairs by the
+    * fixed-point PMI odds ratio. See TextAnalysis.pmiCollocations.
+    */
+  private def qPmiCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.pmiCollocations(
+        t(s, dir, "documents"), "text", minCount = 10L, topK = 20)
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2276,7 +2306,11 @@ object SparkEntry {
     "q147_eval_coverage" -> (qEvalCoverage _),
     "q148_gopher_rules" -> (qGopherRules _),
     "q149_repeated_ngrams" -> (qRepeatedNgrams _),
-    "q150_priority_sample" -> (qPrioritySample _))
+    "q150_priority_sample" -> (qPrioritySample _),
+    "q151_daily_anomaly" -> (qDailyAnomaly _),
+    "q152_tfidf_keywords" -> (qTfidfKeywords _),
+    "q153_novelty_curve" -> (qNoveltyCurve _),
+    "q154_pmi_collocations" -> (qPmiCollocations _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

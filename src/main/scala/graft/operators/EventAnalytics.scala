@@ -214,4 +214,50 @@ object EventAnalytics {
       .agg(expr("hll_sketch_estimate(hll_union_agg(_sk, true))")
         .as("rolling_est"))
   }
+
+  /** Daily-count anomaly detection per event type: flag days whose
+    * count deviates from the trailing `lookback`-day mean by more
+    * than `sigma` SAMPLE standard deviations — computed ENTIRELY in
+    * integers, so both engines agree to the bit. With n = trailing
+    * days present, S = Σcnt, Q = Σcnt², x = today's count, the test
+    *   |x − S/n| > sigma·√((Q − S²/n)/(n−1))
+    * cross-multiplies to
+    *   (n·x − S)²·(n−1) > sigma²·n·(n·Q − S²)
+    * (both sides BIGINT-exact while counts stay ≲ 1e9/day; beyond
+    * that pre-scale counts by a common factor — the z-score is
+    * scale-free). Days with fewer than `minPrev` trailing observations
+    * are never flagged (cold start). The trailing frame is the
+    * previous `lookback` OBSERVED days (ROWS frame), so silent
+    * calendar gaps don't shrink the variance estimate with zeros.
+    *
+    * Shape at scale: one hash agg to (type, day) — map-side combined,
+    * output cardinality |types|·|days| ≪ events — then a window per
+    * type over that tiny series. The raw stream is never windowed.
+    */
+  def dailyAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+      lookback: Int = 7, minPrev: Int = 4, sigma: Int = 2): DataFrame = {
+    require(lookback >= 1 && minPrev >= 1 && sigma >= 1,
+      s"need lookback, minPrev, sigma >= 1, got $lookback, $minPrev, $sigma")
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"),
+        date_format(col(tsCol), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-lookback, -1)
+    daily
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("s_prev", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("q_prev",
+        coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
+      .withColumn("dev_sq",
+        expr("(n_prev*cnt - s_prev)*(n_prev*cnt - s_prev)*(n_prev - 1)"))
+      .withColumn("bound_sq",
+        expr(s"${sigma.toLong * sigma}*n_prev*(n_prev*q_prev - s_prev*s_prev)"))
+      .withColumn("is_anomaly",
+        col("n_prev") >= minPrev && col("dev_sq") > col("bound_sq"))
+      .select(col("event_type"), col("day"), col("cnt"), col("n_prev"),
+        col("dev_sq"), col("bound_sq"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

@@ -651,4 +651,117 @@ object TextAnalysis {
           col("ok_bullets") && col("ok_ellipsis") && col("ok_alpha") &&
           col("ok_stops"))
   }
+
+  /** Per-document TF-IDF keywords (top `topK` terms). IDF uses the
+    * bit-length log2 surrogate ([[lmSurprisal]]'s trick): idf_bits =
+    * bitlen(N) - bitlen(df) — an exact INTEGER both engines compute
+    * identically, unlike `ln` whose last ulp differs between libm and
+    * the JVM. score = tf · idf_bits; ties broken by term (ascending)
+    * so the top-k cut is deterministic.
+    *
+    * Shape at scale: explode → (id, term) hash agg with map-side
+    * partial combine → df by a second agg over the (already small)
+    * tf relation → broadcast the 1-row corpus count → per-doc top-k
+    * window partitioned by id (never a global sort).
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val bitlen = (c: Column) => length(bin(c)).cast("long")
+    val tf = df.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_docs"))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        col("tf") * (bitlen(col("n_docs")) - bitlen(col("df_docs"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("id").as("doc_id"), col("term"), col("tf"),
+        col("df_docs"), col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Corpus novelty (saturation) curve: bucket documents by
+    * `id DIV bucketSize` and report, per bucket, how many DISTINCT
+    * word n-grams appear, how many appear for the FIRST time anywhere
+    * in the corpus (global min doc id lands in the bucket), the
+    * running total of first-seen grams, and the novelty rate
+    * (new/distinct, fixed-point 1e6). The curve that says when a
+    * crawl stops contributing new content — flat cum_grams = stop
+    * ingesting that source.
+    *
+    * Shape at scale: one explode feeds two aggregations — per-gram
+    * global min (map-side combine on the gram key) and per-bucket
+    * distinct grams; the per-bucket join is on bucket ids (tiny);
+    * the cumulative window runs over #buckets rows (≪ data).
+    */
+  def noveltyCurve(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bucketSize: Long = 100L): DataFrame = {
+    require(n >= 1 && bucketSize >= 1, s"need n, bucketSize >= 1")
+    val grams = df.select(col(idCol).cast("long").as("id"),
+        explode(rawShingles(col(textCol), n)).as("gram"))
+    val perBucketDistinct = grams
+      .select(expr(s"id DIV ${bucketSize}").as("bucket"), col("gram"))
+      .distinct()
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_distinct"))
+    val firstSeen = grams
+      .groupBy(col("gram")).agg(min(col("id")).as("first_id"))
+      .select(expr(s"first_id DIV ${bucketSize}").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBucketDistinct.join(firstSeen, Seq("bucket"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_grams", sum(col("n_new")).over(w))
+      .withColumn("novelty_1e6",
+        expr("(n_new * 1000000) DIV n_distinct"))
+      .select(col("bucket"), col("n_distinct"), col("n_new"),
+        col("cum_grams"), col("novelty_1e6"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Pointwise-mutual-information collocations over ADJACENT word
+    * pairs: ratio_1e6 = (c_ab · N · 1e6) DIV (c_a· · c_·b), the PMI
+    * odds ratio in fixed point (no logarithm — exact integers on both
+    * engines; the log is monotone so ranking is unchanged). Marginals
+    * c_a· / c_·b come from the SAME bigram stream (left- and
+    * right-position counts), so probabilities are consistent. Pairs
+    * below `minCount` are dropped (PMI's low-count pathology), top
+    * `topK` by (ratio desc, gram asc).
+    *
+    * Shape at scale: one explode of word 2-grams → hash agg per gram;
+    * the left/right marginals re-aggregate the (already collapsed)
+    * gram counts, and both are joined back by gram-key equi-joins.
+    * Integer range: c_ab·N·1e6 stays below 2^63 while c_ab·N < 9.2e12
+    * — at larger corpora scale both counts down by a common factor
+    * first (ratio is scale-free).
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 10L, topK: Int = 20): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"need minCount, topK >= 1")
+    val pairs = df.select(explode(rawShingles(col(textCol), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c_ab"))
+      .withColumn("l", substring_index(col("gram"), " ", 1))
+      .withColumn("r", substring_index(col("gram"), " ", -1))
+    val totals = pairs.agg(sum(col("c_ab")).as("n_bi"))
+    val lc = pairs.groupBy(col("l")).agg(sum(col("c_ab")).as("c_l"))
+    val rc = pairs.groupBy(col("r")).agg(sum(col("c_ab")).as("c_r"))
+    pairs.filter(col("c_ab") >= minCount)
+      .join(lc, "l").join(rc, "r")
+      .crossJoin(broadcast(totals))
+      .withColumn("ratio_1e6",
+        expr("(c_ab * n_bi * 1000000) DIV (c_l * c_r)"))
+      .select(col("gram"), col("c_ab"), col("c_l"), col("c_r"),
+        col("ratio_1e6"))
+      .orderBy(col("ratio_1e6").desc, col("gram"))
+      .limit(topK)
+  }
 }

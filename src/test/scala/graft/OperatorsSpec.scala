@@ -1759,4 +1759,83 @@ class OperatorsSpec extends SparkSpec {
         s"day $day: estimate $e vs exact $ex outside 5%")
     }
   }
+
+  test("dailyAnomalies: integer z-test flags the spike, cold start never flags") {
+    val DayUs = 86400000000L
+    // type "a": 10 events/day for days 1-8, 50 on day 9 (spike);
+    // type "b": constant 5/day (zero variance, never flags)
+    val rows =
+      (1 to 8).flatMap(d => (1 to 10).map(i => ("a", d * DayUs + i))) ++
+      (1 to 50).map(i => ("a", 9 * DayUs + i)) ++
+      (1 to 9).flatMap(d => (1 to 5).map(i => ("b", d * DayUs + i)))
+    val events = rows.toDF("event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = graft.operators.EventAnalytics.dailyAnomalies(
+        events, "event_type", "ts", lookback = 7, minPrev = 4, sigma = 2)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) -> r)
+      .toMap
+    assert(out.size == 18, s"9 days x 2 types: ${out.keySet}")
+    val flagged = out.filter(_._2.getAs[Boolean]("is_anomaly")).keySet
+    assert(flagged == Set(("a", "1970-01-10")),
+      s"only the day-9 spike flags (zero-variance trailing window, 50 vs 10): $flagged")
+    // cold start: the first 4 observed days of type a have n_prev < 4
+    // even though day 1 deviates from an empty window (d·DayUs lands
+    // on 1970-01-(d+1))
+    assert(out(("a", "1970-01-06")).getAs[Long]("n_prev") == 4L &&
+      out(("a", "1970-01-03")).getAs[Long]("n_prev") == 1L,
+      "ROWS frame counts observed trailing days")
+  }
+
+  test("tfidfKeywords: bit-length idf, per-doc ranks, ties to term order") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian durian durian")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", topK = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("score")))
+      .toMap
+    // N=3 (bitlen 2); df=1 → idf 1 bit; df=2 → idf 0 bits
+    assert(out((1L, 1L)) == (("apple", 2L, 2L)), s"doc1 top = apple tf2·idf1: $out")
+    assert(out((1L, 2L)) == (("banana", 1L, 0L)), "doc1 rank2 = banana score 0")
+    assert(out((3L, 1L)) == (("durian", 3L, 3L)), "doc3 top = durian tf3·idf1")
+    assert(out((2L, 1L))._3 == 0L &&
+      out((2L, 1L))._1 == "banana" && out((2L, 2L))._1 == "cherry",
+      s"doc2 all-zero scores rank by term asc: $out")
+  }
+
+  test("noveltyCurve: first-seen vs distinct gram counts per bucket") {
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b c"),
+      (2L, "a b c x"), (3L, "q w e r")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyCurve(docs, "doc_id", "text",
+        n = 3, bucketSize = 2L)
+      .collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_distinct"), r.getAs[Long]("n_new"),
+          r.getAs[Long]("cum_grams"), r.getAs[Long]("novelty_1e6"))))
+      .toMap
+    assert(out(0L) == ((2L, 2L, 2L, 1000000L)),
+      s"bucket 0: grams {a b c, b c d} all first-seen: $out")
+    assert(out(1L) == ((4L, 3L, 5L, 750000L)),
+      s"bucket 1: 4 distinct, 'a b c' already seen → 3 new: $out")
+  }
+
+  test("pmiCollocations: fixed-point odds ratio, deterministic tie order") {
+    val docs = Seq((1L, "x y x y"), (2L, "z z")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.pmiCollocations(
+        docs, "text", minCount = 1L, topK = 10)
+      .collect()
+      .map(r => (r.getAs[String]("gram"), r.getAs[Long]("c_ab"),
+        r.getAs[Long]("ratio_1e6")))
+    // bigram stream: "x y"×2, "y x"×1, "z z"×1 → N=4
+    // "y x": (1·4e6)/(1·1)=4e6; "z z": same; "x y": (2·4e6)/(2·2)=2e6
+    assert(out.toSeq == Seq(
+      ("y x", 1L, 4000000L), ("z z", 1L, 4000000L), ("x y", 2L, 2000000L)),
+      s"ratio desc then gram asc: ${out.toSeq}")
+  }
 }
