@@ -34,14 +34,20 @@ object FuzzyJoin {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val grams = grammed(df, idCol, nameCol, q, maxGramDf)
+    // distance is computed and filtered ON the gram-partitioned stream,
+    // BEFORE the dedup shuffle: a pair sharing g grams is re-verified g
+    // times (cheap — levenshtein on two short strings), but the
+    // exchange then carries only true matches instead of every
+    // candidate duplicated per shared gram with both name payloads —
+    // on boilerplate-heavy corpora (shared prefixes) that is the
+    // difference between shuffling |matches| rows and shuffling
+    // Σ_gram |L_g|·|R_g| wide rows.
     grams.as("a")
       .join(grams.as("b"), col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.nm").as("nm_a"),
-        col("b.id").as("id_b"), col("b.nm").as("nm_b"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("nm_a"), col("nm_b")).cast("long"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.nm"), col("b.nm")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct()
   }
 
   /** Two-table record linkage: every (left, right) pair within
@@ -56,29 +62,51 @@ object FuzzyJoin {
     require(q >= 1, s"q must be >= 1, got $q")
     // cap on combined gram frequency, so one side's boilerplate can't
     // flood the other side's blocking buckets
+    // the hot set is MATERIALIZED (localCheckpoint): it is consumed by
+    // BOTH sides' anti-joins, and without cutting lineage each
+    // consumer would re-run the two full gram scans that feed it —
+    // the set itself is tiny (only grams above the cap)
     val hot = maxGramDf.map { cap =>
       grammed(left, leftId, leftName, q, None)
         .unionByName(grammed(right, rightId, rightName, q, None))
         .groupBy(col("gram")).agg(count(lit(1)).as("_df"))
         .filter(col("_df") > cap).select(col("gram"))
+        .localCheckpoint()
     }
     def side(df: DataFrame, id: String, nm: String): DataFrame = {
       val g = grammed(df, id, nm, q, None)
       hot.fold(g)(h => g.join(broadcast(h), Seq("gram"), "left_anti"))
     }
+    // same verify-before-shuffle shape as [[editDistancePairs]]: the
+    // distance filter runs on the gram-partitioned stream so the dedup
+    // exchange carries only matches, never the per-gram-duplicated
+    // candidate pairs with name payloads
     side(left, leftId, leftName).as("l")
       .join(side(right, rightId, rightName).as("r"), col("l.gram") === col("r.gram"))
-      .select(col("l.id").as("id_l"), col("l.nm").as("nm_l"),
-        col("r.id").as("id_r"), col("r.nm").as("nm_r"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("nm_l"), col("nm_r")).cast("long"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
+        levenshtein(col("l.nm"), col("r.nm")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
-      .select(col("id_l"), col("id_r"), col("dist"))
+      .distinct()
   }
 
   private def grammed(df: DataFrame, idCol: String, nameCol: String,
       q: Int, maxGramDf: Option[Long]): DataFrame = {
+    // The narrow (id, name) projection is hash-repartitioned BEFORE
+    // the gram explode: the explode multiplies rows ~|name|× and the
+    // per-candidate levenshtein verification multiplies work again, so
+    // the verify stage's parallelism must come from the cluster, not
+    // from however few splits the upstream scan produced (a broadcast
+    // gram join keeps the probe side's partitioning — measured: every
+    // levenshtein of a 1.5M-candidate block ran in ONE task off a
+    // single-file scan). The partition count is pinned explicitly:
+    // an unnumbered repartition is fair game for AQE to coalesce back
+    // to one partition when the shuffled BYTES are small, but bytes
+    // are the wrong currency here — each narrow row fans out to
+    // grams × candidates × levenshtein downstream. Cost: one shuffle
+    // of two short columns, noise next to the work it parallelizes.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val base = df.select(col(idCol).as("id"), lower(trim(col(nameCol))).as("nm"))
+      .repartition(n, col("id"))
       .withColumn("gram", explode(charShingles(col("nm"), q)))
     maxGramDf match {
       case None => base
@@ -105,10 +133,15 @@ object FuzzyJoin {
     * per id_r.
     */
   def mutualBestMatch(pairs: DataFrame): DataFrame = {
-    val bl = pairs.groupBy(col("id_l"))
+    // both argmax aggregations consume `pairs`; materialize it once
+    // (candidate-match tables are small — blocking + the distance
+    // filter already ran) instead of re-running the full blocking
+    // pipeline, scans included, per consumer
+    val p = pairs.localCheckpoint()
+    val bl = p.groupBy(col("id_l"))
       .agg(min(struct(col("dist"), col("id_r"))).as("_b"))
       .select(col("id_l"), col("_b.id_r").as("id_r"), col("_b.dist").as("dist"))
-    val br = pairs.groupBy(col("id_r"))
+    val br = p.groupBy(col("id_r"))
       .agg(min(struct(col("dist"), col("id_l"))).as("_b"))
       .select(col("id_r"), col("_b.id_l").as("id_l"))
     bl.join(br, Seq("id_l", "id_r"))

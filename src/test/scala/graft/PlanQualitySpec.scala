@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 
 /** Locks in the physical-plan properties the engine is designed
   * around — if a refactor breaks pushdown or broadcast selection,
@@ -338,10 +339,25 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("mutual-best linkage plans the hot-gram skew valve (broadcast anti-join)") {
-    val p = plan("q145_mutual_best")
+    // q145's mutualBestMatch materializes the candidate pairs
+    // (localCheckpoint), so the valve must be pinned on the PAIR
+    // GENERATION plan — the battery query's final plan starts at the
+    // checkpointed RDD and shows only the argmax joins.
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val pairs = graft.operators.FuzzyJoin.editDistanceJoin(
+      cust.filter(col("c_custkey") % 31 === 0 && col("c_custkey") < 7500),
+      "c_custkey", "c_name",
+      cust.filter(col("c_custkey") % 17 === 0 && col("c_custkey") < 7500),
+      "c_custkey", "c_name", maxDist = 2, maxGramDf = Some(1000L))
+    val p = pairs.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("LeftAnti"),
       s"maxGramDf cap must plan anti-joins against the hot-gram set:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"gram blocking must stay equi-join shaped:\n$p")
+    // and the battery query itself stays cartesian-free end to end
+    val q = plan("q145_mutual_best")
+    assert(!q.contains("CartesianProduct"),
+      s"mutual-best argmax joins must stay equi-join shaped:\n$q")
   }
 }
