@@ -197,12 +197,19 @@ object Similarity {
     */
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     require(k >= 1 && iters >= 0, s"need k>=1, iters>=0; got k=$k iters=$iters")
-    var cents: Seq[(Int, Seq[Double])] = corpus.orderBy(col("id")).limit(k)
+    // materialize the training set once: the seed collect plus every
+    // assign+stats iteration is a separate action, and without cutting
+    // lineage each one re-runs the corpus scan (and whatever
+    // projection/sampling fed it). Materializing the trainer's input
+    // is also the honest contract at real scale — `corpus` here is the
+    // (sampled) training set, not the 100 TB table.
+    val train = corpus.select(col("id"), col("emb")).localCheckpoint()
+    var cents: Seq[(Int, Seq[Double])] = train.orderBy(col("id")).limit(k)
       .select(col("emb")).collect()
       .map(_.getSeq[Any](0).map(toD).toSeq)
       .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
     for (_ <- 0 until iters) {
-      val assigned = withCell(corpus, cents)
+      val assigned = withCell(train, cents)
         .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
       val stats = assigned.groupBy(col("cid"), col("pos"))
         .agg(sum(floor(col("v").cast("double") * MeanScale).cast("long")).as("sf"),
@@ -236,7 +243,11 @@ object Similarity {
   def trainPqCodebooks(corpus: DataFrame, m: Int, k: Int,
       iters: Int): Seq[Seq[(Int, Seq[Double])]] = {
     require(m >= 1, s"need at least one subspace, got $m")
-    val dim = corpus.select(size(col("emb")).as("d")).limit(1).collect() match {
+    // one materialization shared by all m per-subspace trainers (each
+    // slices its subvector from the in-memory frame instead of
+    // re-running the corpus scan m × (iters + 1) times)
+    val train = corpus.select(col("id"), col("emb")).localCheckpoint()
+    val dim = train.select(size(col("emb")).as("d")).limit(1).collect() match {
       case Array(r) => r.getInt(0)
       case _ => throw new IllegalArgumentException("empty corpus")
     }
@@ -244,7 +255,7 @@ object Similarity {
     val sub = dim / m
     (0 until m).map { s =>
       trainCentroids(
-        corpus.select(col("id"), slice(col("emb"), s * sub + 1, sub).as("emb")),
+        train.select(col("id"), slice(col("emb"), s * sub + 1, sub).as("emb")),
         k, iters)
     }
   }
