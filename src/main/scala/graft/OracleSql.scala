@@ -2792,6 +2792,74 @@ object OracleSql {
           WHERE c2.c_ab >= 10
           ORDER BY ratio_1e6 DESC, gram LIMIT 20""",
 
+    // ANN recall@3: bucketed top-3 (q22's plan) audited against the
+    // brute-force top-3 (q21's plan), per query — shared tie order
+    // (score desc, neighbor asc) makes the intersection exact
+    "q155_ann_recall" ->
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb,
+                 ${signBucketSql("embedding", 6)} AS bucket FROM embeddings),
+          Q AS (SELECT * FROM C WHERE id % 200 = 0 AND id < 2000),
+          SE AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+                  ${scoreFixedSql("q.emb", "c.emb")} AS score_1e6
+                 FROM C c CROSS JOIN Q q WHERE q.id <> c.id),
+          RE AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_1e6 DESC, neighbor_id) AS rank FROM SE),
+          E AS (SELECT query_id, neighbor_id FROM RE WHERE rank <= 3),
+          SB AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+                  ${scoreFixedSql("q.emb", "c.emb")} AS score_1e6
+                 FROM C c JOIN Q q ON q.bucket = c.bucket AND q.id <> c.id),
+          RB AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_1e6 DESC, neighbor_id) AS rank FROM SB),
+          A AS (SELECT query_id, neighbor_id FROM RB WHERE rank <= 3),
+          H AS (SELECT e.query_id,
+                 CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+                FROM E e LEFT JOIN A a USING (query_id, neighbor_id)
+                GROUP BY e.query_id)
+          SELECT query_id, n_hits, (n_hits * 1000000) // 3 AS recall_1e6
+          FROM H ORDER BY query_id""",
+
+    // user feature snapshot: q37's sessionization folded to one row
+    // per user + spend cents + active days + watermark recency
+    "q156_user_features" ->
+      """WITH E AS (SELECT user_id, epoch_us(ts) AS ts_us, value,
+                 event_type FROM events),
+          L AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+                 ORDER BY ts_us) AS prev_us FROM E),
+          N AS (SELECT *, CASE WHEN prev_us IS NULL
+                 OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END
+                 AS new_session FROM L),
+          U AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_purchases,
+                 CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                 CAST(count(DISTINCT ts_us // 86400000000) AS BIGINT)
+                   AS active_days,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_c,
+                 CAST(max(ts_us) AS BIGINT) AS last_us
+                FROM N GROUP BY user_id),
+          M AS (SELECT CAST(max(ts_us) AS BIGINT) AS mx_us FROM E)
+          SELECT user_id, n_events, n_purchases, n_sessions, active_days,
+            sum_value_c, last_us, (m.mx_us - last_us) // 86400000000
+              AS recency_days
+          FROM U CROSS JOIN M m ORDER BY user_id""",
+
+    // token frequency spectrum: Zipf profile in log2 bands
+    // (band = bitlen(term count)), type/occurrence mass + share
+    "q157_freq_spectrum" ->
+      s"""WITH T AS (SELECT unnest(${toks("lower(text)")}) AS term
+                FROM documents),
+          C AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM T
+                GROUP BY term),
+          B AS (SELECT CAST(length(bin(c)) AS BIGINT) AS band,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(c) AS BIGINT) AS n_tokens
+                FROM C GROUP BY 1),
+          TT AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM B)
+          SELECT band, n_types, n_tokens,
+            (n_tokens * 1000000) // tt.tot AS share_1e6
+          FROM B CROSS JOIN TT tt ORDER BY band""",
+
     // health heatmap: q41's quality CTE joined to char lengths, exact
     // integer buckets
     "q136_health_heatmap" ->

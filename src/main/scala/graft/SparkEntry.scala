@@ -2154,6 +2154,32 @@ object SparkEntry {
     graft.operators.TextAnalysis.pmiCollocations(
         t(s, dir, "documents"), "text", minCount = 10L, topK = 20)
 
+  /** ANN recall@3 (q155): the bucketed path audited against the
+    * brute-force ground truth, per query. See Similarity.recallAtK.
+    */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallAtK(
+        embCorpus(s, dir),
+        embCorpus(s, dir).filter(col("id") % 200 === 0 && col("id") < 2000),
+        k = 3, signBits = 6)
+
+  /** User feature snapshot (q156): per-user activity/session/spend/
+    * recency features off the event stream. See
+    * EventAnalytics.userFeatures.
+    */
+  private def qUserFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.userFeatures(
+        tRaw(s, dir, "events")
+          .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+            col("value"), col("event_type")),
+        "user_id", "ts_us", "value", "event_type")
+
+  /** Token frequency spectrum (q157): Zipf profile in log2 bands.
+    * See TextAnalysis.freqSpectrum.
+    */
+  private def qFreqSpectrum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.freqSpectrum(t(s, dir, "documents"), "text")
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2310,7 +2336,10 @@ object SparkEntry {
     "q151_daily_anomaly" -> (qDailyAnomaly _),
     "q152_tfidf_keywords" -> (qTfidfKeywords _),
     "q153_novelty_curve" -> (qNoveltyCurve _),
-    "q154_pmi_collocations" -> (qPmiCollocations _))
+    "q154_pmi_collocations" -> (qPmiCollocations _),
+    "q155_ann_recall" -> (qAnnRecall _),
+    "q156_user_features" -> (qUserFeatures _),
+    "q157_freq_spectrum" -> (qFreqSpectrum _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -234,6 +234,48 @@ object EventAnalytics {
     * output cardinality |types|·|days| ≪ events — then a window per
     * type over that tiny series. The raw stream is never windowed.
     */
+  /** Per-user feature snapshot — the point-in-time feature matrix a
+    * churn/propensity model trains on, derived in one pass over the
+    * event stream: activity volume, session count (same 30-min-gap
+    * sessionization as the session report), active-day spread, spend
+    * in integer cents, and recency against the corpus watermark.
+    * Everything integer (µs, cents, counts) — bit-identical across
+    * engines.
+    *
+    * Shape at scale: one window per user (lag → session starts) over
+    * user-partitioned data, then a single per-user aggregate; the
+    * corpus watermark is a broadcast 1-row aggregate. No driver
+    * state, no second pass over the raw stream.
+    */
+  def userFeatures(events: DataFrame, userCol: String, tsUsCol: String,
+      valueCol: String, typeCol: String, purchaseType: String = "purchase",
+      gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsUsCol))
+    val sessioned = events
+      .select(col(userCol).as("user_id"), col(tsUsCol).as("ts_us"),
+        col(valueCol).as("value"), col(typeCol).as("event_type"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+    val perUser = sessioned.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === purchaseType, 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(col("new_session")).as("n_sessions"),
+        countDistinct(expr(s"ts_us DIV ${DayUs}L")).as("active_days"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_value_c"),
+        max(col("ts_us")).as("last_us"))
+    val watermark = events.agg(max(col(tsUsCol)).as("mx_us"))
+    perUser.crossJoin(broadcast(watermark))
+      .withColumn("recency_days", expr(s"(mx_us - last_us) DIV ${DayUs}L"))
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        col("n_sessions"), col("active_days"), col("sum_value_c"),
+        col("last_us"), col("recency_days"))
+      .orderBy(col("user_id"))
+  }
+
   def dailyAnomalies(events: DataFrame, typeCol: String, tsCol: String,
       lookback: Int = 7, minPrev: Int = 4, sigma: Int = 2): DataFrame = {
     require(lookback >= 1 && minPrev >= 1 && sigma >= 1,

@@ -377,6 +377,34 @@ object Similarity {
       .select(col("cid"), col("n"), col("avg_cos_1e6"), col("min_cos_1e6"))
   }
 
+  /** Recall@k report for the bucketed (approximate) path against the
+    * brute-force ground truth — THE metric an ANN index is judged by
+    * (recall/latency trade; the scan-cost saving is only worth what
+    * it keeps of the true neighbors). Per query: how many of the
+    * exact top-k survive in the approximate top-k, as a fixed-point
+    * recall. Ranking ties break by neighbor id in BOTH paths, so the
+    * intersection is well-defined on any engine.
+    *
+    * Shape at scale: both top-k paths are their own audited plans
+    * (broadcast queries, bounded per-query state); the comparison
+    * adds one semi-join on (query, neighbor) + a per-query count —
+    * cost O(|queries|·k), independent of corpus size.
+    */
+  def recallAtK(corpus: DataFrame, queries: DataFrame, k: Int,
+      signBits: Int = 6): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = bucketedTopK(corpus, queries, k, signBits)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_1e6", expr(s"(n_hits * 1000000) DIV $k"))
+      .orderBy(col("query_id"))
+  }
+
   /** Each query's `nprobe` nearest cells — (id, emb, cid), one row per
     * probed cell, ranked by the same (score desc, cid asc) order the
     * corpus assign uses.

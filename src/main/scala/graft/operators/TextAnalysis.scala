@@ -728,6 +728,32 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** Token frequency spectrum — the corpus's Zipf profile in integer
+    * log2 bands: for each frequency band b = bitlen(count), how many
+    * distinct token TYPES fall in it, how many token OCCURRENCES they
+    * account for, and that band's share of the corpus (fixed-point).
+    * Band 1 is the hapax band — its type count is the classic OCR-
+    * garbage / boilerplate-explosion indicator; a healthy natural-
+    * language corpus shows smoothly decaying type counts per band.
+    *
+    * Shape at scale: explode → term hash agg (map-side combined) →
+    * re-agg of the (already vocabulary-sized) counts into ≤ 64 bands
+    * + a broadcast 1-row total. Never touches raw text twice.
+    */
+  def freqSpectrum(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val bands = counts
+      .groupBy(length(bin(col("c"))).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"))
+    val total = bands.agg(sum(col("n_tokens")).as("_tot"))
+    bands.crossJoin(broadcast(total))
+      .withColumn("share_1e6", expr("(n_tokens * 1000000) DIV _tot"))
+      .select(col("band"), col("n_types"), col("n_tokens"), col("share_1e6"))
+      .orderBy(col("band"))
+  }
+
   /** Pointwise-mutual-information collocations over ADJACENT word
     * pairs: ratio_1e6 = (c_ab · N · 1e6) DIV (c_a· · c_·b), the PMI
     * odds ratio in fixed point (no logarithm — exact integers on both

@@ -1825,6 +1825,62 @@ class OperatorsSpec extends SparkSpec {
       s"bucket 1: 4 distinct, 'a b c' already seen → 3 new: $out")
   }
 
+  test("recallAtK: counts exact neighbors surviving the bucketed path") {
+    // signBits=1 → bucket = sign of dim 0. Query 10's true nearest
+    // (id 1) sits in the OTHER bucket → recall 0; query 20's true
+    // nearest (id 2) shares its bucket → recall 1.
+    val corpus = Seq(
+      (1L, Seq(-0.001f, 1.0f)), (2L, Seq(0.5f, 0.866f))
+    ).toDF("id", "emb")
+    val queries = Seq(
+      (10L, Seq(0.001f, 1.0f)), (20L, Seq(1.0f, 0.1f))
+    ).toDF("id", "emb")
+    val out = graft.operators.Similarity.recallAtK(
+        corpus, queries, k = 1, signBits = 1)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("recall_1e6")))).toMap
+    assert(out(10L) == ((0L, 0L)), s"true neighbor lost to the other bucket: $out")
+    assert(out(20L) == ((1L, 1000000L)), s"same-bucket neighbor kept: $out")
+  }
+
+  test("userFeatures: sessions, purchases, cents, active days, recency") {
+    val H = 3600000000L; val D = 24L * H
+    val rows = Seq(
+      (1L, 0L, 1.0, "purchase"), (1L, 600000000L, 1.0, "click"),
+      (1L, 2 * H, 1.0, "click"), (1L, 2 * H + 300000000L, 1.0, "view"),
+      (2L, 3 * D, 2.5, "click"))
+    val events = rows.toDF("user_id", "ts_us", "value", "event_type")
+    val out = graft.operators.EventAnalytics.userFeatures(
+        events, "user_id", "ts_us", "value", "event_type")
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getAs[Long]("n_events") == 4L && u1.getAs[Long]("n_purchases") == 1L)
+    assert(u1.getAs[Long]("n_sessions") == 2L,
+      s"10-min gap continues, 110-min gap splits: $u1")
+    assert(u1.getAs[Long]("active_days") == 1L &&
+      u1.getAs[Long]("sum_value_c") == 400L)
+    assert(u1.getAs[Long]("recency_days") == 2L,
+      s"watermark 3d - last 2h05m = 2 whole days: $u1")
+    val u2 = out(2L)
+    assert(u2.getAs[Long]("n_sessions") == 1L &&
+      u2.getAs[Long]("sum_value_c") == 250L &&
+      u2.getAs[Long]("recency_days") == 0L, s"$u2")
+  }
+
+  test("freqSpectrum: log2 bands with type/token mass and exact shares") {
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.freqSpectrum(docs, "text").collect()
+      .map(r => r.getAs[Long]("band") ->
+        ((r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("share_1e6")))).toMap
+    assert(out == Map(
+      1L -> ((1L, 1L, 142857L)),   // hapax: c
+      2L -> ((1L, 2L, 285714L)),   // b ×2
+      3L -> ((1L, 4L, 571428L))),  // a ×4
+      s"bands keyed by bitlen(count): $out")
+  }
+
   test("pmiCollocations: fixed-point odds ratio, deterministic tie order") {
     val docs = Seq((1L, "x y x y"), (2L, "z z")).toDF("doc_id", "text")
     val out = graft.operators.TextAnalysis.pmiCollocations(
