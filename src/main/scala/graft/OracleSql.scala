@@ -2860,6 +2860,24 @@ object OracleSql {
             (n_tokens * 1000000) // tt.tot AS share_1e6
           FROM B CROSS JOIN TT tt ORDER BY band""",
 
+    // cluster purity: q49's trained quantizer (identical CTE chain)
+    // audited against the label column — majority label per cell,
+    // ties to the lower label, fixed-point purity
+    "q158_cell_purity" ->
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          ${ivfCoarseCtes(8, 1)},
+          J AS (SELECT cc.cid, e.label
+                FROM CC cc JOIN (SELECT vec_id AS id, label FROM embeddings) e
+                  USING (id)),
+          G AS (SELECT CAST(cid AS BIGINT) AS cid, CAST(label AS BIGINT) AS label,
+                 CAST(count(*) AS BIGINT) AS cnt FROM J GROUP BY 1, 2),
+          R AS (SELECT *, row_number() OVER (PARTITION BY cid
+                 ORDER BY cnt DESC, label) AS rn FROM G),
+          T AS (SELECT cid, CAST(sum(cnt) AS BIGINT) AS n FROM G GROUP BY cid)
+          SELECT t.cid, t.n, r.label AS major_label, r.cnt AS n_major,
+            (r.cnt * 1000000) // t.n AS purity_1e6
+          FROM T t JOIN R r USING (cid) WHERE r.rn = 1 ORDER BY t.cid""",
+
     // health heatmap: q41's quality CTE joined to char lengths, exact
     // integer buckets
     "q136_health_heatmap" ->

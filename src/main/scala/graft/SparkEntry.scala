@@ -2180,6 +2180,17 @@ object SparkEntry {
   private def qFreqSpectrum(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.freqSpectrum(t(s, dir, "documents"), "text")
 
+  /** Cluster purity (q158): the q49 trained quantizer audited against
+    * ground-truth labels. See Similarity.cellPurity.
+    */
+  private def qCellPurity(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val cents = Similarity.trainCentroids(corpus, k = 8, iters = 2)
+    Similarity.cellPurity(corpus,
+      t(s, dir, "embeddings").select(col("vec_id").as("id"), col("label")),
+      cents)
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2339,7 +2350,8 @@ object SparkEntry {
     "q154_pmi_collocations" -> (qPmiCollocations _),
     "q155_ann_recall" -> (qAnnRecall _),
     "q156_user_features" -> (qUserFeatures _),
-    "q157_freq_spectrum" -> (qFreqSpectrum _))
+    "q157_freq_spectrum" -> (qFreqSpectrum _),
+    "q158_cell_purity" -> (qCellPurity _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -377,6 +377,35 @@ object Similarity {
       .select(col("cid"), col("n"), col("avg_cos_1e6"), col("min_cos_1e6"))
   }
 
+  /** Cluster-purity audit of a trained quantizer against ground-truth
+    * labels: per cell, the member count, majority label (ties to the
+    * lower label — deterministic), its mass, and purity in fixed
+    * point. THE sanity report before trusting cells for semantic
+    * dedup or cluster-balanced sampling — low-purity cells mean the
+    * quantizer is slicing across semantics, so cell-bounded candidate
+    * generation is dropping true pairs.
+    *
+    * Shape at scale: map-side cell assignment (broadcast centroid
+    * literals), then two hash aggs over (cell, label) — output is
+    * k·|labels| rows, independent of corpus size.
+    */
+  def cellPurity(corpus: DataFrame, labels: DataFrame,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val counts = assignCells(corpus, centroids)
+      .select(col("id"), col("cid"))
+      .join(labels, "id")
+      .groupBy(col("cid").cast("long").as("cid"),
+        col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("cid"))
+      .agg(sum(col("cnt")).as("n"),
+        min(struct((-col("cnt")).as("_neg"), col("label"))).as("_m"))
+      .select(col("cid"), col("n"), col("_m.label").as("major_label"),
+        (-col("_m._neg")).as("n_major"))
+      .withColumn("purity_1e6", expr("(n_major * 1000000) DIV n"))
+      .orderBy(col("cid"))
+  }
+
   /** Recall@k report for the bucketed (approximate) path against the
     * brute-force ground truth — THE metric an ANN index is judged by
     * (recall/latency trade; the scan-cost saving is only worth what

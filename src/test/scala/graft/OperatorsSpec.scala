@@ -1825,6 +1825,27 @@ class OperatorsSpec extends SparkSpec {
       s"bucket 1: 4 distinct, 'a b c' already seen → 3 new: $out")
   }
 
+  test("cellPurity: majority label per trained cell, ties to lower label") {
+    // iters=0 → centroids are the two lowest-id vectors; cosine
+    // assignment sends 3,4 to cell 0 and 5 to cell 1
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.95f, 0.05f)), (5L, Seq(0.1f, 0.9f))
+    ).toDF("id", "emb")
+    val labels = Seq((1L, 0L), (2L, 7L), (3L, 0L), (4L, 1L), (5L, 5L))
+      .toDF("id", "label")
+    val cents = graft.operators.Similarity.trainCentroids(corpus, k = 2, iters = 0)
+    val out = graft.operators.Similarity.cellPurity(corpus, labels, cents)
+      .collect()
+      .map(r => r.getAs[Long]("cid") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("major_label"),
+          r.getAs[Long]("n_major"), r.getAs[Long]("purity_1e6")))).toMap
+    assert(out(0L) == ((3L, 0L, 2L, 666666L)),
+      s"cell 0: labels {0,0,1} → majority 0 at 2/3: $out")
+    assert(out(1L) == ((2L, 5L, 1L, 500000L)),
+      s"cell 1: labels {7,5} tie → lower label 5 wins: $out")
+  }
+
   test("recallAtK: counts exact neighbors surviving the bucketed path") {
     // signBits=1 → bucket = sign of dim 0. Query 10's true nearest
     // (id 1) sits in the OTHER bucket → recall 0; query 20's true
