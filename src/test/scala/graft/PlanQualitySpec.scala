@@ -338,6 +338,46 @@ class PlanQualitySpec extends SparkSpec {
       s"rank propagation must stay equi-join shaped:\n$p")
   }
 
+  test("daily anomaly: raw stream aggregates before the window; no raw-stream window") {
+    val p = plan("q151_daily_anomaly")
+    // the trailing-stats window must run over the (type, day) counts,
+    // partitioned by event_type — never over raw events. The formatted
+    // tree prints root-first, so a window CONSUMING the aggregate
+    // appears textually above it.
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window must consume the aggregated daily series:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("tfidf keywords: corpus count broadcasts; per-doc rank window partitioned by id") {
+    val p = plan("q152_tfidf_keywords")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row corpus count must broadcast onto the tf stream:\n$p")
+    val rankWins = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("row_number")).toSeq
+    assert(rankWins.nonEmpty && rankWins.forall(_.contains("id")),
+      s"top-k window must be per-document, never global:\n${rankWins.mkString("\n")}")
+  }
+
+  test("repeated n-grams: top-20 cut plans as TakeOrdered, no Expand from countDistinct") {
+    val p = plan("q149_repeated_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k must never global-sort:\n$p")
+    assert(!p.contains("Expand"),
+      s"(gram,id) pre-agg must replace countDistinct's Expand doubling:\n$p")
+  }
+
+  test("frequency spectrum / pmi: totals broadcast as 1-row aggregates") {
+    for (q <- Seq("q157_freq_spectrum", "q154_pmi_collocations")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q: the corpus-total row must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: no shuffled cartesian:\n$p")
+    }
+  }
+
   test("mutual-best linkage plans the hot-gram skew valve (broadcast anti-join)") {
     // q145's mutualBestMatch materializes the candidate pairs
     // (localCheckpoint), so the valve must be pinned on the PAIR
