@@ -2878,6 +2878,25 @@ object OracleSql {
             (r.cnt * 1000000) // t.n AS purity_1e6
           FROM T t JOIN R r USING (cid) WHERE r.rn = 1 ORDER BY t.cid""",
 
+    // source token-mass Gini: per-source shares ranked (tokens asc,
+    // source asc) + exact-integer Gini of the distribution
+    "q159_source_gini" ->
+      s"""WITH P AS (SELECT source,
+                 CAST(sum(len(${toks("text")})) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source),
+          R AS (SELECT source, n_tokens,
+                 CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT)
+                   AS rank
+                FROM P),
+          T AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS s,
+                 CAST(sum(rank * n_tokens) AS BIGINT) AS srt,
+                 CAST(count(*) AS BIGINT) AS n FROM R)
+          SELECT r.source, r.n_tokens, r.rank,
+            (r.n_tokens * 1000000) // t.s AS share_1e6,
+            (2 * t.srt * 1000000 - (t.n + 1) * t.s * 1000000) // (t.n * t.s)
+              AS gini_1e6
+          FROM R r CROSS JOIN T t ORDER BY r.rank""",
+
     // health heatmap: q41's quality CTE joined to char lengths, exact
     // integer buckets
     "q136_health_heatmap" ->

@@ -2180,6 +2180,13 @@ object SparkEntry {
   private def qFreqSpectrum(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.freqSpectrum(t(s, dir, "documents"), "text")
 
+  /** Source token-mass Gini (q159): per-source shares + corpus
+    * concentration coefficient. See TextAnalysis.sourceGini.
+    */
+  private def qSourceGini(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.sourceGini(
+        t(s, dir, "documents"), "source", "text")
+
   /** Cluster purity (q158): the q49 trained quantizer audited against
     * ground-truth labels. See Similarity.cellPurity.
     */
@@ -2351,7 +2358,8 @@ object SparkEntry {
     "q155_ann_recall" -> (qAnnRecall _),
     "q156_user_features" -> (qUserFeatures _),
     "q157_freq_spectrum" -> (qFreqSpectrum _),
-    "q158_cell_purity" -> (qCellPurity _))
+    "q158_cell_purity" -> (qCellPurity _),
+    "q159_source_gini" -> (qSourceGini _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

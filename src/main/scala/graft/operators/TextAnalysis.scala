@@ -754,6 +754,37 @@ object TextAnalysis {
       .orderBy(col("band"))
   }
 
+  /** Token-mass concentration across sources: per-source token
+    * totals + share, plus the corpus Gini coefficient of that
+    * distribution in fixed point — the one-number answer to "is the
+    * mixture dominated by a few feeds?" that mixture rebalancing
+    * (q61) and quota splits (q146) act on. Exact integers throughout:
+    * with sources ranked 1..n by (tokens asc, source asc),
+    * G·1e6 = (2·Σ(rank·tok)·1e6 − (n+1)·S·1e6) DIV (n·S).
+    *
+    * Shape at scale: one token-count agg to |sources| rows; ranking
+    * and the Gini sum are windows over that tiny relation. The
+    * corpus pays one pass.
+    */
+  def sourceGini(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val per = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(tokenCount(col(textCol))).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens"), col("source"))
+    val ranked = per
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("_rt", col("rank") * col("n_tokens"))
+    val totals = ranked.agg(sum(col("n_tokens")).as("_s"),
+      sum(col("_rt")).as("_srt"), count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(totals))
+      .withColumn("share_1e6", expr("(n_tokens * 1000000) DIV _s"))
+      .withColumn("gini_1e6",
+        expr("(2 * _srt * 1000000 - (_n + 1) * _s * 1000000) DIV (_n * _s)"))
+      .select(col("source"), col("n_tokens"), col("rank"),
+        col("share_1e6"), col("gini_1e6"))
+      .orderBy(col("rank"))
+  }
+
   /** Pointwise-mutual-information collocations over ADJACENT word
     * pairs: ratio_1e6 = (c_ab · N · 1e6) DIV (c_a· · c_·b), the PMI
     * odds ratio in fixed point (no logarithm — exact integers on both

@@ -1902,6 +1902,18 @@ class OperatorsSpec extends SparkSpec {
       s"bands keyed by bitlen(count): $out")
   }
 
+  test("sourceGini: ranked shares and exact integer Gini") {
+    val docs = Seq((1L, "A", "a b c"), (2L, "B", "a")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceGini(docs, "source", "text").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("rank"),
+          r.getAs[Long]("share_1e6"), r.getAs[Long]("gini_1e6")))).toMap
+    // ranks (tokens asc): B=1, A=2; S=4, Σrank·tok=7, n=2 →
+    // G = (2·7 − 3·4)/(2·4) = 0.25
+    assert(out("B") == ((1L, 1L, 250000L, 250000L)), s"$out")
+    assert(out("A") == ((3L, 2L, 750000L, 250000L)), s"$out")
+  }
+
   test("pmiCollocations: fixed-point odds ratio, deterministic tie order") {
     val docs = Seq((1L, "x y x y"), (2L, "z z")).toDF("doc_id", "text")
     val out = graft.operators.TextAnalysis.pmiCollocations(

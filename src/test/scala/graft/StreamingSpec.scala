@@ -449,4 +449,81 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expected,
       s"stream-stream join must equal the batch twin: $streamed vs $expected")
   }
+
+  test("streaming user features: state carries sessions across micro-batches; final state equals the batch operator") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.StreamingFeatures
+    import graft.streaming.StreamingFeatures.{FeatEvent, UserFeatures}
+    val H = 3600000000L; val D = 24L * H
+    val srcDir = Fixtures.tmpDir("suf_src")
+    val ckpt = Fixtures.tmpDir("suf_ckpt").toString
+    val outDir = Fixtures.tmpDir("suf_out").toString
+
+    def addFile(n: Int, rows: Seq[FeatEvent]): Unit = {
+      val tmp = Fixtures.tmpDir(s"suf_tmp$n")
+      rows.toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, srcDir.resolve(s"b$n.parquet"))
+    }
+    // foreachBatch sink (update-mode stateful + recoverable from the
+    // checkpoint, which memory sink is not): each micro-batch's rows
+    // land in parquet stamped with the global batch id, and "current
+    // features" = each user's highest-batch row
+    def runBatch(): Map[Long, UserFeatures] = {
+      val stream = spark.readStream
+        .schema("user_id LONG, ts_us LONG, value DOUBLE, event_type STRING")
+        .parquet(srcDir.toString).as[FeatEvent]
+      val q = StreamingFeatures.maintain(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[UserFeatures], batchId: Long) =>
+          df.withColumn("_batch", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val all = spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("_batch"), UserFeatures(
+          r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_purchases"), r.getAs[Long]("n_sessions"),
+          r.getAs[Long]("active_days"), r.getAs[Long]("sum_value_c"),
+          r.getAs[Long]("last_us"))))
+      all.groupBy(_._2.user_id).view
+        .mapValues(rows => rows.maxBy(_._1)._2).toMap
+    }
+
+    val batch1 = Seq(
+      FeatEvent(10L, 0L, 1.0, "purchase"), FeatEvent(10L, 600000000L, 1.0, "click"),
+      FeatEvent(11L, 3 * D, 2.5, "click"))
+    val batch2 = Seq(
+      FeatEvent(10L, 2 * H, 1.0, "click"),          // > 30min after batch-1 last → session 2
+      FeatEvent(10L, 2 * H + 300000000L, 1.0, "view"),
+      FeatEvent(12L, 3 * D + H, 4.0, "purchase"))
+
+    addFile(1, batch1)
+    val out1 = runBatch()
+    assert(out1(10L).n_sessions == 1L && out1(10L).n_events == 2L, s"$out1")
+    addFile(2, batch2)
+    val out2 = runBatch()
+    assert(out2(10L).n_sessions == 2L && out2(10L).n_events == 4L,
+      s"the cross-batch gap must open session 2 from STATE, not from a same-batch lag: ${out2(10L)}")
+    assert(out2(11L) == out1(11L),
+      "untouched user keeps the run-1 row (update mode re-emits only touched users)")
+
+    // final streamed state ≡ the oracle-checked batch operator over
+    // the full history, feature for feature
+    val finalStreamed = out2.map { case (u, f) =>
+      u -> ((f.n_events, f.n_purchases, f.n_sessions, f.active_days, f.sum_value_c, f.last_us))
+    }
+    val batchTwin = graft.operators.EventAnalytics.userFeatures(
+        (batch1 ++ batch2).toDS().toDF(), "user_id", "ts_us", "value", "event_type")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_purchases"),
+          r.getAs[Long]("n_sessions"), r.getAs[Long]("active_days"),
+          r.getAs[Long]("sum_value_c"), r.getAs[Long]("last_us")))).toMap
+    assert(finalStreamed == batchTwin,
+      s"stream state must equal the batch matrix: $finalStreamed vs $batchTwin")
+  }
 }
