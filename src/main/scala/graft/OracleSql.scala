@@ -2897,6 +2897,24 @@ object OracleSql {
               AS gini_1e6
           FROM R r CROSS JOIN T t ORDER BY r.rank""",
 
+    // audience overlap: exact per-type distincts + pairwise
+    // intersections; the HLL flag is pinned 1 (q35 sketch-contract
+    // style — the estimate is engine-specific, the bound must hold)
+    "q160_audience_overlap" ->
+      """WITH DU AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+          P AS (SELECT t, CAST(count(*) AS BIGINT) AS nd FROM DU GROUP BY t),
+          B AS (SELECT a.t AS type_a, b.t AS type_b,
+                 CAST(count(*) AS BIGINT) AS exact_both
+                FROM DU a JOIN DU b ON a.u = b.u AND a.t < b.t
+                GROUP BY 1, 2)
+          SELECT pa.t AS type_a, pb.t AS type_b,
+            pa.nd AS exact_a, pb.nd AS exact_b,
+            CAST(coalesce(b.exact_both, 0) AS BIGINT) AS exact_both,
+            CAST(1 AS BIGINT) AS est_ok
+          FROM P pa JOIN P pb ON pa.t < pb.t
+          LEFT JOIN B b ON b.type_a = pa.t AND b.type_b = pb.t
+          ORDER BY type_a, type_b""",
+
     // health heatmap: q41's quality CTE joined to char lengths, exact
     // integer buckets
     "q136_health_heatmap" ->

@@ -2187,6 +2187,14 @@ object SparkEntry {
     graft.operators.TextAnalysis.sourceGini(
         t(s, dir, "documents"), "source", "text")
 
+  /** Audience overlap (q160): exact pairwise segment intersections +
+    * HLL inclusion–exclusion within-bound flags. See
+    * Sketches.audienceOverlap.
+    */
+  private def qAudienceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.audienceOverlap(
+        tRaw(s, dir, "events"), "event_type", "user_id")
+
   /** Cluster purity (q158): the q49 trained quantizer audited against
     * ground-truth labels. See Similarity.cellPurity.
     */
@@ -2359,7 +2367,8 @@ object SparkEntry {
     "q156_user_features" -> (qUserFeatures _),
     "q157_freq_spectrum" -> (qFreqSpectrum _),
     "q158_cell_purity" -> (qCellPurity _),
-    "q159_source_gini" -> (qSourceGini _))
+    "q159_source_gini" -> (qSourceGini _),
+    "q160_audience_overlap" -> (qAudienceOverlap _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -56,4 +56,56 @@ object Sketches {
     }.toSeq
     rows.toDF("token", "rank", "cnt", "cms_lower_ok", "cms_upper_ok")
   }
+
+  /** Audience overlap between segments (event types): for every
+    * unordered pair, the EXACT distinct-user counts and intersection
+    * (hash-checked by the oracle) next to an HLL inclusion–exclusion
+    * estimate (|A∩B| ≈ |A|+|B|−|A∪B| from three mergeable sketches),
+    * emitted as a 0/1 within-bound flag in the q35/q62 sketch-contract
+    * style — the estimates themselves are engine-specific and stay
+    * out of the compared output. At 100 TB the exact companion is the
+    * audit you run once; the sketches are what the dashboard serves,
+    * because per-segment sketches union in O(2^lgK) regardless of
+    * user count.
+    *
+    * Bound: inclusion–exclusion compounds the union's relative
+    * standard error (~1.04/√2^lgK), so the flag allows
+    * 3·rse·|A∪B|_exact + 16 absolute — generous enough to hold whp,
+    * tight enough that a broken union merge trips it.
+    *
+    * Shape at scale: one (type, user) dedup shuffle feeds BOTH the
+    * exact pair join and the per-type sketch agg; the pair join is
+    * |types|²-bounded on the deduped relation, never on raw events.
+    */
+  def audienceOverlap(events: DataFrame, typeCol: String, userCol: String,
+      lgK: Int = 14): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    val du = events.select(col(typeCol).as("t"), col(userCol).as("u")).distinct()
+    val per = du.groupBy(col("t"))
+      .agg(count(lit(1)).as("nd"), expr(s"hll_sketch_agg(u, $lgK)").as("sk"))
+    val exactBoth = du.as("a")
+      .join(du.as("b"), col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+      .agg(count(lit(1)).as("exact_both"))
+    val rse = 1.04 / math.sqrt((1L << lgK).toDouble)
+    per.as("pa").join(per.as("pb"), col("pa.t") < col("pb.t"))
+      .join(exactBoth,
+        col("pa.t") === col("ta") && col("pb.t") === col("tb"), "left")
+      .select(col("pa.t").as("type_a"), col("pb.t").as("type_b"),
+        col("pa.nd").as("exact_a"), col("pb.nd").as("exact_b"),
+        coalesce(col("exact_both"), lit(0L)).as("exact_both"),
+        expr("hll_sketch_estimate(hll_union(pa.sk, pb.sk, false))")
+          .as("_est_union"))
+      .withColumn("_est_both",
+        col("exact_a") + col("exact_b") - col("_est_union"))
+      .withColumn("_union_exact",
+        col("exact_a") + col("exact_b") - col("exact_both"))
+      .withColumn("est_ok",
+        (abs(col("_est_both") - col("exact_both")).cast("double")
+          <= col("_union_exact").cast("double") * (3.0 * rse) + 16.0)
+          .cast("long"))
+      .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
+        col("exact_both"), col("est_ok"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

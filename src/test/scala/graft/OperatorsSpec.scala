@@ -1902,6 +1902,25 @@ class OperatorsSpec extends SparkSpec {
       s"bands keyed by bitlen(count): $out")
   }
 
+  test("audienceOverlap: exact pairwise intersections + in-bound HLL flags") {
+    // A = users 1..300, B = 201..500 (overlap 100), C = 1000..1009
+    // (disjoint from both)
+    val rows = (1L to 300L).map(u => ("A", u)) ++
+      (201L to 500L).map(u => ("B", u)) ++
+      (1000L to 1009L).map(u => ("C", u)) ++
+      (1L to 50L).map(u => ("A", u)) // duplicates must not inflate
+    val events = rows.toDF("event_type", "user_id")
+    val out = graft.operators.Sketches.audienceOverlap(
+        events, "event_type", "user_id")
+      .collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"),
+          r.getAs[Long]("exact_both"), r.getAs[Long]("est_ok")))).toMap
+    assert(out(("A", "B")) == ((300L, 300L, 100L, 1L)), s"$out")
+    assert(out(("A", "C")) == ((300L, 10L, 0L, 1L)), s"disjoint pair: $out")
+    assert(out(("B", "C")) == ((300L, 10L, 0L, 1L)), s"$out")
+  }
+
   test("sourceGini: ranked shares and exact integer Gini") {
     val docs = Seq((1L, "A", "a b c"), (2L, "B", "a")).toDF("doc_id", "source", "text")
     val out = TextAnalysis.sourceGini(docs, "source", "text").collect()

@@ -450,6 +450,72 @@ class StreamingSpec extends SparkSpec {
       s"stream-stream join must equal the batch twin: $streamed vs $expected")
   }
 
+  test("streaming anomaly: day-close verdicts across micro-batches equal the batch z-test") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.StreamingAnomaly
+    import graft.streaming.StreamingAnomaly.{Ev, Verdict}
+    val D = StreamingAnomaly.DayUs
+    val srcDir = Fixtures.tmpDir("sa_src")
+    val ckpt = Fixtures.tmpDir("sa_ckpt").toString
+    val outDir = Fixtures.tmpDir("sa_out").toString
+
+    def addFile(n: Int, rows: Seq[Ev]): Unit = {
+      val tmp = Fixtures.tmpDir(s"sa_tmp$n")
+      rows.toDS().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, srcDir.resolve(s"b$n.parquet"))
+    }
+    def runBatch(): Seq[Verdict] = {
+      val stream = spark.readStream.schema("event_type STRING, ts_us LONG")
+        .parquet(srcDir.toString).as[Ev]
+      val q = StreamingAnomaly.maintain(stream)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir).as[Verdict].collect().toSeq
+    }
+
+    def day(d: Long, k: Int): Seq[Ev] = (1 to k).map(i => Ev("a", d * D + i))
+    // batch 1: days 1-8 at 10 events; day 9 OPEN with the spike begun
+    addFile(1, (1L to 8L).flatMap(day(_, 10)) ++ day(9L, 30))
+    val out1 = runBatch()
+    assert(out1.map(_.day).toSet == (1L to 8L).toSet,
+      s"day 9 is still open — 8 closed verdicts: ${out1.map(_.day).sorted}")
+    assert(out1.forall(!_.is_anomaly), s"flat days never flag: $out1")
+    // batch 2: the spike grows to 50, then one day-10 event closes it
+    addFile(2, day(9L, 20) ++ Seq(Ev("a", 10L * D + 1)))
+    val out2 = runBatch()
+    val v9 = out2.find(_.day == 9L).get
+    assert(v9.cnt == 50L && v9.is_anomaly,
+      s"day 9 closes with the full cross-batch count and flags: $v9")
+
+    // closed-day verdicts ≡ the oracle-checked batch operator run on
+    // the same history (restricted to closed days)
+    val allEvents = (1L to 8L).flatMap(day(_, 10)) ++ day(9L, 30) ++
+      day(9L, 20) ++ Seq(Ev("a", 10L * D + 1))
+    val batchTwin = graft.operators.EventAnalytics.dailyAnomalies(
+        allEvents.toDS().toDF()
+          .withColumn("ts", timestamp_micros(col("ts_us"))),
+        "event_type", "ts")
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("n_prev"),
+          r.getAs[Long]("dev_sq"), r.getAs[Long]("bound_sq"),
+          r.getAs[Boolean]("is_anomaly")))).toMap
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    out2.foreach { v =>
+      val dayStr = fmt.format(new java.util.Date(v.day * 86400000L))
+      assert(batchTwin(("a", dayStr)) ==
+        ((v.cnt, v.n_prev, v.dev_sq, v.bound_sq, v.is_anomaly)),
+        s"stream verdict for day ${v.day} must equal the batch row: $v vs ${batchTwin(("a", dayStr))}")
+    }
+  }
+
   test("streaming user features: state carries sessions across micro-batches; final state equals the batch operator") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
