@@ -28,6 +28,23 @@ class ContractSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("no battery query plans a shuffled CartesianProduct") {
+    // Global plan-hygiene invariant: every intentional cross join in
+    // the battery is crossJoin(broadcast(<tiny agg>)), which plans as
+    // BroadcastNestedLoopJoin. A CartesianProductExec means a shuffled
+    // all-pairs product slipped into some composition — the one plan
+    // shape that can never survive a 100× scale-up.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val p = fn(spark, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct")) Some(name) else None
+      } catch { case _: Throwable => None } // execution errors caught above
+    }
+    assert(offenders.isEmpty,
+      s"queries planning CartesianProduct: ${offenders.mkString(", ")}")
+  }
+
   test("connected components cluster transitively") {
     import spark.implicits._
     // 1-2, 2-3 chain plus isolated pair 10-11

@@ -110,4 +110,83 @@ class PropertyParitySpec extends SparkSpec {
           java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
     }
   }
+
+  test("property: dailyAnomalies ≡ a driver-side reference z-test on generated series") {
+    // random (type, day, count) series with gaps and spikes; the
+    // operator's windowed integer arithmetic must match a plain Scala
+    // fold over the same observed-day series
+    val seriesGen = for {
+      nDays <- Gen.choose(1, 20)
+      days <- Gen.pick(nDays, 0L to 29L)
+      counts <- Gen.listOfN(nDays, Gen.frequency(
+        8 -> Gen.choose(1L, 40L), 1 -> Gen.choose(200L, 400L)))
+    } yield days.sorted.zip(counts)
+    val series = sample(Gen.listOfN(6, seriesGen), seed = 8202613L)
+      .zipWithIndex.map { case (s, i) => (s"t$i", s) }
+    val DayUs = 86400000000L
+    val events = series.flatMap { case (tpe, s) =>
+      s.flatMap { case (d, c) => (1L to c).map(i => (tpe, d * DayUs + i)) } }
+    val out = graft.operators.EventAnalytics.dailyAnomalies(
+        events.toDF("event_type", "us")
+          .withColumn("ts", timestamp_micros($"us")),
+        "event_type", "ts", lookback = 7, minPrev = 4, sigma = 2)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        ((r.getAs[Long]("n_prev"), r.getAs[Long]("dev_sq"),
+          r.getAs[Long]("bound_sq"), r.getAs[Boolean]("is_anomaly")))).toMap
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    var checked = 0
+    series.foreach { case (tpe, s) =>
+      val seq = s.toIndexedSeq
+      seq.indices.foreach { i =>
+        val (d, x) = seq(i)
+        val prev = seq.slice(math.max(0, i - 7), i).map(_._2)
+        val n = prev.length.toLong
+        val sum = prev.sum; val q = prev.map(c => c * c).sum
+        val dev = (n * x - sum) * (n * x - sum) * (n - 1)
+        val bound = 4L * n * (n * q - sum * sum)
+        val key = (tpe, fmt.format(new java.util.Date(d * 86400000L)))
+        assert(out(key) == ((n, dev, bound, n >= 4 && dev > bound)),
+          s"$key: operator ${out(key)} vs reference ${(n, dev, bound)}")
+        checked += 1
+      }
+    }
+    assert(checked >= 30, s"generator degenerate: only $checked rows")
+  }
+
+  test("property: sourceGini ≡ a driver-side rank-sum Gini on generated masses") {
+    val massGen = for {
+      n <- Gen.choose(1, 15)
+      toks <- Gen.listOfN(n, Gen.choose(0L, 500L))
+    } yield toks
+    sample(Gen.listOfN(8, massGen), seed = 9202613L).zipWithIndex.foreach {
+      case (masses, trial) =>
+        // one doc per source, text = k space-separated tokens
+        val docs = masses.zipWithIndex.map { case (k, i) =>
+          (f"s$i%02d", Seq.fill(k.toInt)("w").mkString(" ")) }
+        val out = graft.operators.TextAnalysis.sourceGini(
+            docs.toDF("source", "text"), "source", "text")
+          .collect().map(r => (r.getAs[String]("source"),
+            r.getAs[Long]("n_tokens"), r.getAs[Long]("rank"),
+            r.getAs[Long]("gini_1e6")))
+        val ranked = masses.zipWithIndex
+          .map { case (k, i) => (f"s$i%02d", k) }
+          .sortBy { case (s, k) => (k, s) }.zipWithIndex
+          .map { case ((s, k), i) => (s, k, i + 1L) }
+        val n = ranked.length.toLong
+        val sTot = ranked.map(_._2).sum
+        val srt = ranked.map { case (_, k, r) => r * k }.sum
+        val expGini = if (sTot == 0) None
+          else Some(Math.floorDiv(2 * srt * 1000000L - (n + 1) * sTot * 1000000L,
+            n * sTot))
+        expGini match {
+          case None => // all-zero corpus: DIV by zero → null gini; rows still rank
+            assert(out.length == ranked.length, s"trial $trial: $out")
+          case Some(g) =>
+            assert(out.toSeq == ranked.map { case (s, k, r) => (s, k, r, g) },
+              s"trial $trial: operator ${out.toSeq} vs reference ${ranked.map { case (s, k, r) => (s, k, r, g) }}")
+        }
+    }
+  }
 }
