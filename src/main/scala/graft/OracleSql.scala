@@ -2915,6 +2915,21 @@ object OracleSql {
           LEFT JOIN B b ON b.type_a = pa.t AND b.type_b = pb.t
           ORDER BY type_a, type_b""",
 
+    // Gram matrix over the first 8 dims: per-row floor(x_i·x_j·1e6)
+    // summed as BIGINT — floor-before-sum, exact on both engines
+    "q161_gram_matrix" ->
+      """WITH E AS (SELECT embedding AS emb FROM embeddings),
+          IJ AS (SELECT i.i, j.j
+                 FROM generate_series(0, 7) AS i(i)
+                 JOIN generate_series(0, 7) AS j(j) ON i.i <= j.j)
+          SELECT CAST(ij.i AS BIGINT) AS i, CAST(ij.j AS BIGINT) AS j,
+            CAST(sum(CAST(floor(e.emb[ij.i + 1]::DOUBLE
+              * e.emb[ij.j + 1]::DOUBLE * 1000000.0) AS BIGINT)) AS BIGINT)
+              AS sum_1e6,
+            CAST(count(*) AS BIGINT) AS n_rows
+          FROM E e CROSS JOIN IJ ij
+          GROUP BY ij.i, ij.j ORDER BY i, j""",
+
     // health heatmap: q41's quality CTE joined to char lengths, exact
     // integer buckets
     "q136_health_heatmap" ->

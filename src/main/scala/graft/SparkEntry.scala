@@ -2195,6 +2195,13 @@ object SparkEntry {
     graft.operators.Sketches.audienceOverlap(
         tRaw(s, dir, "events"), "event_type", "user_id")
 
+  /** Gram matrix (q161): upper-triangle Σ xᵢ·xⱼ over the first 8
+    * embedding dims, exact fixed-point — the normal-equations
+    * primitive. See Similarity.gramMatrix.
+    */
+  private def qGramMatrix(s: SparkSession, dir: String): DataFrame =
+    Similarity.gramMatrix(embCorpus(s, dir), dims = 8)
+
   /** Cluster purity (q158): the q49 trained quantizer audited against
     * ground-truth labels. See Similarity.cellPurity.
     */
@@ -2368,7 +2375,8 @@ object SparkEntry {
     "q157_freq_spectrum" -> (qFreqSpectrum _),
     "q158_cell_purity" -> (qCellPurity _),
     "q159_source_gini" -> (qSourceGini _),
-    "q160_audience_overlap" -> (qAudienceOverlap _))
+    "q160_audience_overlap" -> (qAudienceOverlap _),
+    "q161_gram_matrix" -> (qGramMatrix _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

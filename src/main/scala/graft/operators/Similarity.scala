@@ -406,6 +406,35 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** Distributed Gram-matrix aggregation — the Σ xᵢ·xⱼ primitive
+    * behind normal-equation linear probes (fit a linear head on
+    * frozen embeddings: solve (XᵀX)β = Xᵀy with XᵀX accumulated in
+    * one distributed pass, solved on the driver — dim² doubles of
+    * state no matter how many rows). Entries are exact integers:
+    * per-row floor(xᵢ·xⱼ·1e6) summed as BIGINT, so both engines
+    * agree to the bit (the floor-before-sum discipline of the
+    * battery's cents columns). Upper triangle only (i ≤ j).
+    *
+    * Shape at scale: one narrow projection → explode to the
+    * dim·(dim+1)/2 (i, j) keys → hash agg with map-side partial
+    * combine. No shuffle of the vectors themselves; output is
+    * dim²-bounded.
+    */
+  def gramMatrix(corpus: DataFrame, dims: Int): DataFrame = {
+    require(dims >= 1, s"need dims >= 1, got $dims")
+    val pairs = (0 until dims).flatMap(i => (i until dims).map(j => (i, j)))
+    val entries = array(pairs.map { case (i, j) =>
+      struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"),
+        floor(element_at(col("emb"), i + 1).cast("double")
+          * element_at(col("emb"), j + 1).cast("double") * 1000000.0)
+          .cast("long").as("v"))
+    }: _*)
+    corpus.select(explode(entries).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.v")).as("sum_1e6"), count(lit(1)).as("n_rows"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** Recall@k report for the bucketed (approximate) path against the
     * brute-force ground truth — THE metric an ANN index is judged by
     * (recall/latency trade; the scan-cost saving is only worth what

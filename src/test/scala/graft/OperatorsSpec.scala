@@ -1902,6 +1902,21 @@ class OperatorsSpec extends SparkSpec {
       s"bands keyed by bitlen(count): $out")
   }
 
+  test("gramMatrix: exact fixed-point upper-triangle sums") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(0.5f, -1.0f))
+    ).toDF("id", "emb")
+    val out = graft.operators.Similarity.gramMatrix(corpus, dims = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+        ((r.getAs[Long]("sum_1e6"), r.getAs[Long]("n_rows")))).toMap
+    // (0,0): 1 + 0.25 → 1000000 + 250000; (0,1): 2 + (-0.5) → 2000000
+    // + floor(-0.5e6) = −500000; (1,1): 4 + 1
+    assert(out((0L, 0L)) == ((1250000L, 2L)), s"$out")
+    assert(out((0L, 1L)) == ((1500000L, 2L)), s"$out")
+    assert(out((1L, 1L)) == ((5000000L, 2L)), s"$out")
+  }
+
   test("audienceOverlap: exact pairwise intersections + in-bound HLL flags") {
     // A = users 1..300, B = 201..500 (overlap 100), C = 1000..1009
     // (disjoint from both)
