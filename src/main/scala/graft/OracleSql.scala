@@ -2930,6 +2930,17 @@ object OracleSql {
           FROM E e CROSS JOIN IJ ij
           GROUP BY ij.i, ij.j ORDER BY i, j""",
 
+    // dup-graph triangles: node-ordered enumeration over q18's LSH
+    // candidate pairs (a<b, b<c wedges closed by the a<c edge)
+    "q162_dup_triangles" ->
+      s"""WITH ${lshPairCtes("documents")},
+          E AS (SELECT DISTINCT id_a, id_b FROM PAIRS)
+          SELECT ab.id_a AS id_a, ab.id_b AS id_b, bc.id_b AS id_c
+          FROM E ab
+          JOIN E bc ON ab.id_b = bc.id_a
+          JOIN E ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b
+          ORDER BY id_a, id_b, id_c""",
+
     // health heatmap: q41's quality CTE joined to char lengths, exact
     // integer buckets
     "q136_health_heatmap" ->

@@ -2202,6 +2202,14 @@ object SparkEntry {
   private def qGramMatrix(s: SparkSession, dir: String): DataFrame =
     Similarity.gramMatrix(embCorpus(s, dir), dims = 8)
 
+  /** Dup-graph triangles (q162): node-ordered triangle enumeration
+    * over the q18 LSH candidate pairs — tight-cluster vs hub-spokes
+    * density probe. See Graph.triangles.
+    */
+  private def qDupTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangles(
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text"))
+
   /** Cluster purity (q158): the q49 trained quantizer audited against
     * ground-truth labels. See Similarity.cellPurity.
     */
@@ -2376,7 +2384,8 @@ object SparkEntry {
     "q158_cell_purity" -> (qCellPurity _),
     "q159_source_gini" -> (qSourceGini _),
     "q160_audience_overlap" -> (qAudienceOverlap _),
-    "q161_gram_matrix" -> (qGramMatrix _))
+    "q161_gram_matrix" -> (qGramMatrix _),
+    "q162_dup_triangles" -> (qDupTriangles _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -62,4 +62,34 @@ object Graph {
     }
     pr
   }
+
+  /** Triangle enumeration over an undirected edge set given as
+    * (id_a < id_b) pairs — the cluster-density probe of a near-dup
+    * candidate graph: triangles are what distinguish a tight mirror
+    * cluster (every pair agrees) from a hub-and-spokes artifact of
+    * banding (pairs share a hub but not each other), which is the
+    * difference between "dedup the whole cluster to one survivor"
+    * and "verify pairwise before collapsing".
+    *
+    * Output: one row per triangle (a < b < c), ordered.
+    *
+    * Scale shape: the classic node-ordered enumeration — both joins
+    * are equi-joins on a node key, and because edges are oriented
+    * low→high, each wedge (a<b<c with a-b, b-c) is generated exactly
+    * once and closed by one hash probe of the (a, c) edge. Work is
+    * Σ deg²(v) over LOW-degree orientation, the standard bound;
+    * candidate-pair graphs are sparse by LSH construction so the
+    * wedge stream stays linear-ish in edges.
+    */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("id_a"), col("id_b")).distinct()
+    e.as("ab")
+      .join(e.as("bc"), col("ab.id_b") === col("bc.id_a"))
+      .select(col("ab.id_a").as("a"), col("ab.id_b").as("b"),
+        col("bc.id_b").as("c"))
+      .join(e.as("ac"),
+        col("a") === col("ac.id_a") && col("c") === col("ac.id_b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("c").as("id_c"))
+      .orderBy(col("id_a"), col("id_b"), col("id_c"))
+  }
 }

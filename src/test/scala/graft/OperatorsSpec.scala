@@ -1902,6 +1902,20 @@ class OperatorsSpec extends SparkSpec {
       s"bands keyed by bitlen(count): $out")
   }
 
+  test("triangles: node-ordered enumeration closes wedges exactly once") {
+    // K4 on {1,2,3,4} → 4 triangles; hub 10-{11,12,13} with no
+    // spoke-spoke edges → 0 triangles from the hub
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (1L, 2L) // duplicate edge must not duplicate triangles
+    ).toDF("id_a", "id_b")
+    val out = graft.operators.Graph.triangles(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)),
+      s"K4's 4 triangles, hub-spokes none, each exactly once: $out")
+  }
+
   test("gramMatrix: exact fixed-point upper-triangle sums") {
     val corpus = Seq(
       (1L, Seq(1.0f, 2.0f)), (2L, Seq(0.5f, -1.0f))
