@@ -29,6 +29,25 @@ object Bench {
     */
   def interQueryHygiene(): Unit = System.gc()
 
+  /** Schema-contract gate shared by Bench and [[Verify]]: the drift
+    * COUNT is surfaced in one prominent summary line (not just the
+    * per-column stderr detail), and `SPARK_GRAFT_STRICT=1` turns a
+    * drifted input into an immediate abort instead of N downstream
+    * per-query failures.
+    */
+  def contractGate(spark: SparkSession, sfDir: String): Unit = {
+    val drifts = graft.util.SchemaContract.check(spark, sfDir)
+    if (drifts > 0) {
+      val strict = sys.env.get("SPARK_GRAFT_STRICT").contains("1")
+      System.err.println(s"[schema-contract] SUMMARY: $drifts drifted " +
+        s"column(s) at $sfDir — " + (if (strict)
+          "aborting (SPARK_GRAFT_STRICT=1)"
+        else "queries over drifted tables will fail downstream; " +
+          "set SPARK_GRAFT_STRICT=1 to abort here instead"))
+      if (strict) sys.exit(2)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_ISOLATE=1: run every query in a FRESH SparkSession
@@ -40,18 +59,19 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2: probe a subset (scale-slope runs);
     // the driver never sets it, so BENCH_r{N} stays the full battery
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // input drift yields one named line per drifted column up front,
-    // not N opaque per-query failures (the round-7 lesson)
-    locally {
-      val s = buildSession()
-      try graft.util.SchemaContract.check(s, sfDir) finally s.stop()
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
-    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results: Map[String, Double] =
       if (isolate) {
+        // input drift yields one named line per drifted column up
+        // front, not N opaque per-query failures (the round-7 lesson);
+        // isolate mode needs its own throwaway session for the check
+        locally {
+          val s = buildSession()
+          try contractGate(s, sfDir) finally s.stop()
+          org.apache.spark.sql.SparkSession.clearActiveSession()
+          org.apache.spark.sql.SparkSession.clearDefaultSession()
+        }
         ordered.map { case (name, fn) =>
           val spark = buildSession()
           try fn(spark, "/root/testdata/sf0.001").count()
@@ -72,6 +92,9 @@ object Bench {
         }.toMap
       } else {
         val spark = buildSession()
+        // drift check reuses the battery session (no extra JVM-wide
+        // session start/stop just for the gate)
+        contractGate(spark, sfDir)
         // JIT/codegen warmup on the smallest SF so the timed runs below
         // measure steady-state execution, not first-call janino compiles.
         ordered.foreach { case (_, fn) =>

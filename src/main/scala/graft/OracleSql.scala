@@ -2812,10 +2812,11 @@ object OracleSql {
                   ORDER BY score_1e6 DESC, neighbor_id) AS rank FROM SB),
           A AS (SELECT query_id, neighbor_id FROM RB WHERE rank <= 3),
           H AS (SELECT e.query_id,
-                 CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+                 CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+                 CAST(count(*) AS BIGINT) AS n_exact
                 FROM E e LEFT JOIN A a USING (query_id, neighbor_id)
                 GROUP BY e.query_id)
-          SELECT query_id, n_hits, (n_hits * 1000000) // 3 AS recall_1e6
+          SELECT query_id, n_hits, (n_hits * 1000000) // n_exact AS recall_1e6
           FROM H ORDER BY query_id""",
 
     // user feature snapshot: q37's sessionization folded to one row

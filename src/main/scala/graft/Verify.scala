@@ -25,8 +25,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // input drift yields one named line per drifted column up front,
-    // not N opaque per-query failures (the round-7 lesson)
-    graft.util.SchemaContract.check(spark, sfDir)
+    // not N opaque per-query failures (the round-7 lesson);
+    // SPARK_GRAFT_STRICT=1 aborts on any drift
+    Bench.contractGate(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -422,6 +422,14 @@ object Similarity {
     */
   def gramMatrix(corpus: DataFrame, dims: Int): DataFrame = {
     require(dims >= 1, s"need dims >= 1, got $dims")
+    // fail loudly on a dims/width mismatch: a row narrower than dims
+    // would yield null element_at products that sum() skips while
+    // n_rows still counts the row — silently skewed cell sums instead
+    // of an error
+    val guarded = corpus.withColumn("emb",
+      when(size(col("emb")) >= dims, col("emb")).otherwise(raise_error(
+        concat(lit(s"gramMatrix: emb has fewer than dims=$dims elements: "),
+          size(col("emb")).cast("string")))))
     val pairs = (0 until dims).flatMap(i => (i until dims).map(j => (i, j)))
     val entries = array(pairs.map { case (i, j) =>
       struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"),
@@ -429,7 +437,7 @@ object Similarity {
           * element_at(col("emb"), j + 1).cast("double") * 1000000.0)
           .cast("long").as("v"))
     }: _*)
-    corpus.select(explode(entries).as("e"))
+    guarded.select(explode(entries).as("e"))
       .groupBy(col("e.i").as("i"), col("e.j").as("j"))
       .agg(sum(col("e.v")).as("sum_1e6"), count(lit(1)).as("n_rows"))
       .orderBy(col("i"), col("j"))
@@ -456,10 +464,15 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-    exact.select(col("query_id")).distinct()
+    // denominator is the per-query EXACT neighbor count, not the literal
+    // k: a corpus (or filtered corpus) smaller than k+1 has fewer than k
+    // true neighbors, and dividing by k would cap recall below 1 even
+    // for a perfect approximate path
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq("query_id"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
-      .withColumn("recall_1e6", expr(s"(n_hits * 1000000) DIV $k"))
+      .withColumn("recall_1e6", expr("(n_hits * 1000000) DIV n_exact"))
+      .select(col("query_id"), col("n_hits"), col("recall_1e6"))
       .orderBy(col("query_id"))
   }
 

@@ -17,7 +17,9 @@ import graft.operators.Provenance
   *   GET /provenance/steps/{batch_id}      → step list (time asc)
   *   GET /provenance/rules/{batch_id}      → applied-rule list
   *   GET /provenance/source/{name}?limit=N → latest N batches desc
-  *   GET /provenance/search?status=&source= → filtered batches desc
+  *   GET /provenance/search?status=&source=&limit=N → filtered batches
+  *     desc, capped at N (default 20; the reference's search is
+  *     unbounded, the cap is the robust choice for a collect-and-serve)
   *
   * Each route delegates to the corresponding [[Provenance]] DataFrame
   * query (batchById / batchTimeline / batchRules / latestBatches /
@@ -57,7 +59,13 @@ final class LineageService(provenance: Provenance, bindPort: Int = 0) {
         val limit = params.get("limit").flatMap(_.toIntOption).getOrElse(20)
         (200, arr(jsonRows(provenance.latestBatches(Some(name), limit))))
       case "provenance" :: "search" :: Nil =>
-        (200, arr(jsonRows(provenance.search(params.get("status"), params.get("source")))))
+        // ?limit= caps the collect (default 20, like /source) — the
+        // reference's search is unbounded (api/app.py:136-152), but an
+        // unfiltered search over a large control plane must not pull
+        // every batch row onto the service thread
+        val limit = params.get("limit").flatMap(_.toIntOption).getOrElse(20)
+        (200, arr(jsonRows(provenance.search(params.get("status"),
+          params.get("source")).limit(limit))))
       case _ => (404, """{"detail":"Not Found"}""")
     }
 

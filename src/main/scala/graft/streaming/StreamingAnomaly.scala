@@ -21,10 +21,12 @@ object StreamingAnomaly {
 
   final case class Ev(event_type: String, ts_us: Long)
 
-  final case class AnomState(counts: Map[Long, Long], lastClosed: Long)
+  final case class AnomState(counts: Map[Long, Long], lastClosed: Long,
+      nLateDropped: Long = 0L)
 
   final case class Verdict(event_type: String, day: Long, cnt: Long,
-      n_prev: Long, dev_sq: Long, bound_sq: Long, is_anomaly: Boolean)
+      n_prev: Long, dev_sq: Long, bound_sq: Long, is_anomaly: Boolean,
+      late_drops: Long = 0L)
 
   val DayUs: Long = 86400000000L
 
@@ -32,13 +34,14 @@ object StreamingAnomaly {
     * day-counts (oldest first), `x` = the closing day's count.
     */
   private[streaming] def verdict(tpe: String, day: Long, x: Long,
-      prev: Seq[Long], minPrev: Int, sigma: Int): Verdict = {
+      prev: Seq[Long], minPrev: Int, sigma: Int,
+      lateDrops: Long = 0L): Verdict = {
     val n = prev.length.toLong
     val s = prev.sum
     val q = prev.map(c => c * c).sum
     val dev = (n * x - s) * (n * x - s) * (n - 1)
     val bound = sigma.toLong * sigma * n * (n * q - s * s)
-    Verdict(tpe, day, x, n, dev, bound, n >= minPrev && dev > bound)
+    Verdict(tpe, day, x, n, dev, bound, n >= minPrev && dev > bound, lateDrops)
   }
 
   /** Stateful day-close detection. Emits one [[Verdict]] per (type,
@@ -55,15 +58,23 @@ object StreamingAnomaly {
         (tpe, evs, state: GroupState[AnomState]) =>
           var st = state.getOption.getOrElse(AnomState(Map.empty, Long.MinValue))
           var counts = st.counts
+          var lateDrops = st.nLateDropped
           evs.foreach { e =>
             val d = e.ts_us / DayUs
             // closed is closed: a late event for an already-judged day
             // must not resurrect a pruned count into future trailing
-            // windows (the watermark policy, keyed on day closure)
+            // windows (the watermark policy, keyed on day closure) —
+            // but the drop is COUNTED, not invisible: a source with
+            // meaningful lateness surfaces as a growing late_drops
+            // on this type's verdicts instead of silent under-counts
             if (d > st.lastClosed)
               counts += d -> (counts.getOrElse(d, 0L) + 1L)
+            else lateDrops += 1L
           }
-          if (counts.isEmpty) { state.update(st); Iterator.empty }
+          if (counts.isEmpty) {
+            state.update(st.copy(nLateDropped = lateDrops))
+            Iterator.empty
+          }
           else {
           val maxDay = counts.keys.max
           // every observed day strictly before the newest is closed:
@@ -73,12 +84,13 @@ object StreamingAnomaly {
           val closing = ordered.filter(d => d > st.lastClosed && d < maxDay)
           val out = closing.map { d =>
             val prev = ordered.filter(_ < d).takeRight(lookback).map(counts)
-            verdict(tpe, d, counts(d), prev, minPrev, sigma)
+            verdict(tpe, d, counts(d), prev, minPrev, sigma, lateDrops)
           }
           // prune: the open day + the lookback closed days behind it
           val keep = ordered.takeRight(lookback + 1).toSet
           st = AnomState(counts.view.filterKeys(keep).toMap,
-            math.max(st.lastClosed, closing.lastOption.getOrElse(Long.MinValue)))
+            math.max(st.lastClosed, closing.lastOption.getOrElse(Long.MinValue)),
+            lateDrops)
           state.update(st)
           out.iterator
           }

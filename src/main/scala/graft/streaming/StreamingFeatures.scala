@@ -18,7 +18,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * same trade [[graft.operators.EventAnalytics.rollingActiveSketch]]
   * makes). Events WITHIN a micro-batch are processed in ts order;
   * cross-batch ordering is the source's append order, exactly like
-  * the batch window's ORDER BY ts.
+  * the batch window's ORDER BY ts. Violations of that in-order
+  * assumption (an event arriving with ts below the user's running
+  * max) are DETECTED, not assumed away: each one increments the
+  * `n_out_of_order` output column, so a disordered source shows up
+  * as a nonzero counter instead of silent session-count drift.
   *
   * Reference scope: the reference pipeline has no streaming tier; this
   * extends its provenance/event model (etl/db.py batch status rows) to
@@ -30,11 +34,12 @@ object StreamingFeatures {
       event_type: String)
 
   final case class FeatState(nEvents: Long, nPurchases: Long, nSessions: Long,
-      lastUs: Long, sumValueC: Long, days: Set[Long])
+      lastUs: Long, sumValueC: Long, days: Set[Long],
+      nOutOfOrder: Long = 0L)
 
   final case class UserFeatures(user_id: Long, n_events: Long,
       n_purchases: Long, n_sessions: Long, active_days: Long,
-      sum_value_c: Long, last_us: Long)
+      sum_value_c: Long, last_us: Long, n_out_of_order: Long = 0L)
 
   val DayUs: Long = 86400000000L
 
@@ -50,9 +55,16 @@ object StreamingFeatures {
       acc match {
         case Some(s) =>
           val newSession = if (e.ts_us - s.lastUs > gapUs) 1L else 0L
+          // a cross-batch late event (ts below the running max) can
+          // never open a session here, while the batch twin's global
+          // ORDER BY ts would have seen it in place — count it, so
+          // stream/batch drift on a disordered source is OBSERVABLE
+          // in the output instead of silent
+          val ooo = if (e.ts_us < s.lastUs) 1L else 0L
           Some(FeatState(s.nEvents + 1, s.nPurchases + p,
             s.nSessions + newSession, math.max(s.lastUs, e.ts_us),
-            s.sumValueC + cents, s.days + e.ts_us / DayUs))
+            s.sumValueC + cents, s.days + e.ts_us / DayUs,
+            s.nOutOfOrder + ooo))
         case None =>
           Some(FeatState(1L, p, 1L, e.ts_us, cents, Set(e.ts_us / DayUs)))
       }
@@ -74,7 +86,8 @@ object StreamingFeatures {
             purchaseType, gapUs).get
           state.update(next)
           UserFeatures(userId, next.nEvents, next.nPurchases, next.nSessions,
-            next.days.size.toLong, next.sumValueC, next.lastUs)
+            next.days.size.toLong, next.sumValueC, next.lastUs,
+            next.nOutOfOrder)
       }
   }
 }

@@ -56,6 +56,11 @@ class LineageServiceSpec extends SparkSpec {
       assert(c5 == 200 && found.contains("b3") && !found.contains("b1"))
       val (c5b, all) = get(port, "/provenance/search")
       assert(c5b == 200 && Seq("b1", "b2", "b3").forall(all.contains))
+      // search honors ?limit= (newest first), default cap 20
+      val (c5c, capped) = get(port, "/provenance/search?limit=1")
+      assert(c5c == 200 && capped.split("batch_id").length == 2,
+        s"limit=1 must return one row: $capped")
+      assert(capped.contains("b3"), s"newest batch wins the cap: $capped")
     } finally svc.stop()
   }
 

@@ -1865,6 +1865,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out(20L) == ((1L, 1000000L)), s"same-bucket neighbor kept: $out")
   }
 
+  test("recallAtK: denominator is the per-query exact count, not k") {
+    // corpus of 2 → every query has only 2 true neighbors; a perfect
+    // approximate path must still read recall 1.0 at k=3
+    val corpus = Seq(
+      (1L, Seq(0.6f, 0.8f)), (2L, Seq(0.8f, 0.6f))
+    ).toDF("id", "emb")
+    val queries = Seq((10L, Seq(0.7f, 0.71f))).toDF("id", "emb")
+    val out = graft.operators.Similarity.recallAtK(
+        corpus, queries, k = 3, signBits = 1)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("recall_1e6")))).toMap
+    // signBits=1 on all-positive dim 0 → one bucket → approx == exact
+    assert(out(10L) == ((2L, 1000000L)),
+      s"2 of 2 true neighbors kept → recall 1e6: $out")
+  }
+
   test("userFeatures: sessions, purchases, cents, active days, recency") {
     val H = 3600000000L; val D = 24L * H
     val rows = Seq(
@@ -1929,6 +1946,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out((0L, 0L)) == ((1250000L, 2L)), s"$out")
     assert(out((0L, 1L)) == ((1500000L, 2L)), s"$out")
     assert(out((1L, 1L)) == ((5000000L, 2L)), s"$out")
+  }
+
+  test("gramMatrix: a row narrower than dims fails loudly, not silently") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(0.5f)) // row 2 is too narrow
+    ).toDF("id", "emb")
+    val e = intercept[Exception] {
+      graft.operators.Similarity.gramMatrix(corpus, dims = 2).collect()
+    }
+    // the raise_error message survives somewhere in the cause chain
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("fewer than dims=2")), s"$e")
   }
 
   test("audienceOverlap: exact pairwise intersections + in-bound HLL flags") {

@@ -448,6 +448,17 @@ class StreamingSpec extends SparkSpec {
     val streamed = runBatch()
     assert(streamed == expected,
       s"stream-stream join must equal the batch twin: $streamed vs $expected")
+
+    // LATE-ARRIVAL DROP SEMANTICS: the watermark is now past ts(58);
+    // a click at ts(4) that WOULD have attributed purchase 22 (window
+    // [ts(5)−30min, ts(5)]) arrives after that window's state flushed.
+    // Structured Streaming drops it at the stateful join: no late
+    // (2, 22, Some) row appears and the already-emitted outer-null
+    // (2, 22, None) row is not retracted.
+    addFile(cDir, 4, Seq((2L, 903L, ts(4))).toDF("user_id", "click_id", "click_ts"))
+    val afterLate = runBatch()
+    assert(afterLate == expected,
+      s"click after watermark closed its window must be dropped: $afterLate")
   }
 
   test("streaming anomaly: day-close verdicts across micro-batches equal the batch z-test") {
@@ -514,6 +525,17 @@ class StreamingSpec extends SparkSpec {
         ((v.cnt, v.n_prev, v.dev_sq, v.bound_sq, v.is_anomaly)),
         s"stream verdict for day ${v.day} must equal the batch row: $v vs ${batchTwin(("a", dayStr))}")
     }
+    assert(out2.forall(_.late_drops == 0L),
+      s"in-order source: no late drops recorded: $out2")
+
+    // a late event for already-closed day 5 is dropped ("closed is
+    // closed") but ACCOUNTED: the next emitted verdict (day 10 closes
+    // when day 11 arrives) carries late_drops = 1
+    addFile(3, Seq(Ev("a", 5L * D + 99L), Ev("a", 11L * D + 1L)))
+    val out3 = runBatch()
+    val v10 = out3.find(_.day == 10L).get
+    assert(v10.late_drops == 1L && v10.cnt == 1L,
+      s"dropped late event is visible on the day-10 verdict: $v10")
   }
 
   test("streaming user features: state carries sessions across micro-batches; final state equals the batch operator") {
@@ -555,7 +577,7 @@ class StreamingSpec extends SparkSpec {
           r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
           r.getAs[Long]("n_purchases"), r.getAs[Long]("n_sessions"),
           r.getAs[Long]("active_days"), r.getAs[Long]("sum_value_c"),
-          r.getAs[Long]("last_us"))))
+          r.getAs[Long]("last_us"), r.getAs[Long]("n_out_of_order"))))
       all.groupBy(_._2.user_id).view
         .mapValues(rows => rows.maxBy(_._1)._2).toMap
     }
@@ -591,5 +613,17 @@ class StreamingSpec extends SparkSpec {
           r.getAs[Long]("sum_value_c"), r.getAs[Long]("last_us")))).toMap
     assert(finalStreamed == batchTwin,
       s"stream state must equal the batch matrix: $finalStreamed vs $batchTwin")
+    assert(out2.values.forall(_.n_out_of_order == 0L),
+      s"in-order source: the disorder counter stays zero: $out2")
+
+    // a cross-batch LATE event (ts below user 10's running max) can't
+    // open a session stream-side — the in-order assumption is violated
+    // and the violation must be VISIBLE: n_out_of_order increments
+    addFile(3, Seq(FeatEvent(10L, H, 1.0, "click"))) // between batch-1 events
+    val out3 = runBatch()
+    assert(out3(10L).n_out_of_order == 1L && out3(10L).n_events == 5L,
+      s"late event counted AND flagged: ${out3(10L)}")
+    assert(out3(10L).n_sessions == 2L && out3(10L).last_us == out2(10L).last_us,
+      s"late event neither opens a session nor moves the watermark: ${out3(10L)}")
   }
 }
