@@ -240,6 +240,32 @@ object OracleSql {
                     (SELECT cid, list(mv ORDER BY pos) AS cemb FROM $m GROUP BY cid) n
                   ON n.cid = s.cid)"""
 
+  /** One within-cell Lloyd's round for the two-level quantizer
+    * (q164): like [[ivfRound]], but everything is PARTITIONED by the
+    * level-1 cell — assignment joins each vector of `src` to its own
+    * cell's sub-centroids in `prev` ((score desc, cid2 asc)
+    * tie-break), means aggregate per (cid, cid2, pos) with the same
+    * fixed-point sums, empty subcells carry their previous centroid.
+    * Mirror of Similarity.trainSubCentroids' distributed iteration.
+    */
+  private def ivfSubRound(prev: String, a: String, p: String, m: String,
+      next: String, src: String): String =
+    s"""$a AS (SELECT id, emb, cid, cid2 FROM (
+          SELECT c.id, c.emb, c.cid, s.cid2,
+            row_number() OVER (PARTITION BY c.id
+              ORDER BY ${scoreFixedSafeSql("c.emb", "s.cemb")} DESC, s.cid2) AS rn
+          FROM $src c JOIN $prev s ON s.cid = c.cid) WHERE rn = 1),
+        $p AS (SELECT cid, cid2, unnest(range(len(emb))) AS pos, emb FROM $a),
+        $m AS (SELECT cid, cid2, pos,
+                (sum(cast(floor(emb[pos+1]::DOUBLE * 1048576.0) as bigint))::DOUBLE
+                  / count(*)::DOUBLE) / 1048576.0 AS mv
+               FROM $p GROUP BY cid, cid2, pos),
+        $next AS (SELECT s.cid, s.cid2, coalesce(n.cemb, s.cemb) AS cemb
+                  FROM $prev s LEFT JOIN
+                    (SELECT cid, cid2, list(mv ORDER BY pos) AS cemb
+                     FROM $m GROUP BY cid, cid2) n
+                  ON n.cid = s.cid AND n.cid2 = s.cid2)"""
+
   /** rep_1e6 over a gram-array column — mirror of
     * TextAnalysis.repetitionRatio × 1e6 (shared by q56/q57 so the two
     * can't drift).
@@ -2941,6 +2967,79 @@ object OracleSql {
           JOIN E bc ON ab.id_b = bc.id_a
           JOIN E ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b
           ORDER BY id_a, id_b, id_c""",
+
+    // sample-trained semantic dedup: q93's derivation, but the two
+    // Lloyd rounds run over the md5-ppm 25% HASH SAMPLE (the
+    // trainCentroids scaladoc contract) — seeds are the k lowest-id
+    // SAMPLED vectors, k still sized to the full corpus, and the
+    // final assign + dedup tail runs over the full corpus
+    "q163_semantic_sampled" ->
+      s"""WITH RECURSIVE C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          T AS (SELECT * FROM C
+                WHERE (${md5long("cast(id as varchar)")} % 1000000) < 250000),
+          KP AS (SELECT CAST(least(4096, greatest(8,
+                   floor(sqrt(count(*)::DOUBLE)))) AS BIGINT) AS k FROM C),
+          S0 AS (SELECT rn - 1 AS cid, emb AS cemb FROM
+                 (SELECT row_number() OVER (ORDER BY id) AS rn, emb FROM T)
+                 WHERE rn <= (SELECT k FROM KP)),
+          ${ivfRound("S0", "A1", "P1", "M1", "S1", src = "T")},
+          ${ivfRound("S1", "A2", "P2", "M2", "S2", src = "T")},
+          ${ivfAssignCte("C", "S2", "CC", 1)},
+          SPAIRS AS (SELECT a.id AS id_a, b.id AS id_b
+                 FROM CC a JOIN CC b ON a.cid = b.cid AND a.id < b.id
+                 WHERE ${scoreFixedSql("a.emb", "b.emb")} >= 950000),
+          SEDGES AS (SELECT id_a AS src, id_b AS dst FROM SPAIRS
+                 UNION SELECT id_b, id_a FROM SPAIRS),
+          SREACH(node, r) AS (
+            SELECT src, src FROM SEDGES
+            UNION
+            SELECT e.dst, r.r FROM SREACH r JOIN SEDGES e ON e.src = r.node),
+          SCOMP AS (SELECT node AS id, min(r) AS rep FROM SREACH GROUP BY node)
+          SELECT c.id, coalesce(p.rep, c.id) AS rep_id,
+            CAST(CASE WHEN coalesce(p.rep, c.id) = c.id THEN 1 ELSE 0 END AS BIGINT) AS kept
+          FROM C c LEFT JOIN SCOMP p USING (id) ORDER BY c.id""",
+
+    // two-level hierarchical semantic dedup: level 1 = q93's trained
+    // coarse cells at k1 = floor(sqrt(ceil(n/32))); level 2 = a k2
+    // sub-quantizer per cell, trained with two PARTITIONED Lloyd
+    // rounds (ivfSubRound — all cells at once); pairs only within a
+    // (cid, cid2) subcell, same CC tail. k1·k2 ∝ n keeps subcell
+    // populations constant — the linear-total form
+    "q164_semantic_2level" ->
+      s"""WITH RECURSIVE C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          KP AS (SELECT CAST(least(4096, greatest(4, floor(sqrt(
+                   ((count(*) + 31) // 32)::DOUBLE)))) AS BIGINT) AS k FROM C),
+          S0 AS (SELECT rn - 1 AS cid, emb AS cemb FROM
+                 (SELECT row_number() OVER (ORDER BY id) AS rn, emb FROM C)
+                 WHERE rn <= (SELECT k FROM KP)),
+          ${ivfRound("S0", "A1", "P1", "M1", "S1")},
+          ${ivfRound("S1", "A2", "P2", "M2", "S2")},
+          ${ivfAssignCte("C", "S2", "CC1", 1)},
+          SS0 AS (SELECT cid, rn - 1 AS cid2, emb AS cemb FROM
+                 (SELECT cid, emb, row_number() OVER (PARTITION BY cid
+                    ORDER BY id) AS rn FROM CC1)
+                 WHERE rn <= (SELECT k FROM KP)),
+          ${ivfSubRound("SS0", "AA1", "PP1", "MM1", "SS1", "CC1")},
+          ${ivfSubRound("SS1", "AA2", "PP2", "MM2", "SS2", "CC1")},
+          CC2 AS (SELECT id, emb, cid, cid2 FROM (
+                 SELECT c.id, c.emb, c.cid, s.cid2,
+                   row_number() OVER (PARTITION BY c.id
+                     ORDER BY ${scoreFixedSafeSql("c.emb", "s.cemb")} DESC, s.cid2) AS rn
+                 FROM CC1 c JOIN SS2 s ON s.cid = c.cid) WHERE rn = 1),
+          SPAIRS AS (SELECT a.id AS id_a, b.id AS id_b
+                 FROM CC2 a JOIN CC2 b ON a.cid = b.cid AND a.cid2 = b.cid2
+                   AND a.id < b.id
+                 WHERE ${scoreFixedSql("a.emb", "b.emb")} >= 950000),
+          SEDGES AS (SELECT id_a AS src, id_b AS dst FROM SPAIRS
+                 UNION SELECT id_b, id_a FROM SPAIRS),
+          SREACH(node, r) AS (
+            SELECT src, src FROM SEDGES
+            UNION
+            SELECT e.dst, r.r FROM SREACH r JOIN SEDGES e ON e.src = r.node),
+          SCOMP AS (SELECT node AS id, min(r) AS rep FROM SREACH GROUP BY node)
+          SELECT c.id, coalesce(p.rep, c.id) AS rep_id,
+            CAST(CASE WHEN coalesce(p.rep, c.id) = c.id THEN 1 ELSE 0 END AS BIGINT) AS kept
+          FROM C c LEFT JOIN SCOMP p USING (id) ORDER BY c.id""",
 
     // health heatmap: q41's quality CTE joined to char lengths, exact
     // integer buckets

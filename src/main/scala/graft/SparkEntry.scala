@@ -2210,6 +2210,50 @@ object SparkEntry {
     graft.operators.Graph.triangles(
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text"))
 
+  /** Sample-trained semantic dedup (q163): Similarity.trainCentroids'
+    * own scaladoc contract — "train on a hash sample at real scale,
+    * the quantizer needs a representative sample, not the corpus" —
+    * finally executable as a hash-gated battery row. The quantizer
+    * trains on the deterministic md5-ppm 25% sample
+    * (Sampling.hashSample), k still sized to the FULL corpus
+    * (suggestSemanticCells(n) — cells serve the assignment corpus,
+    * not the trainer), then the full corpus is assigned and deduped
+    * exactly like q93. The oracle derives the identical sample, seeds
+    * (k lowest-id SAMPLED vectors), and both Lloyd rounds, so sampled
+    * training agrees bit-for-bit across engines. At 100 TB this is
+    * the shape that runs: training cost scales with the sample while
+    * assignment stays the narrow map-side pass.
+    */
+  private def qSemanticSampled(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val train = graft.operators.Sampling.hashSample(corpus, col("id"), 250000L)
+    val k = graft.operators.Dedup.suggestSemanticCells(corpus.count())
+    val cents = Similarity.trainCentroids(train, k = k, iters = 2)
+    graft.operators.Dedup.semanticDedup(corpus, cents, threshold1e6 = 950000L)
+      .orderBy(col("id"))
+  }
+
+  /** Two-level hierarchical semantic dedup (q164): the linear-total
+    * architecture semanticDedup's scaladoc documents — k1 trained
+    * coarse cells, then EVERY cell trains its own k2 sub-quantizer in
+    * one distributed pass (Similarity.trainSubCentroids — the
+    * quantizer is a DataFrame, zero driver state), pairs only within
+    * a (cid, cid2) subcell. k1 = k2 = ⌊√⌈n/32⌉⌋ keeps subcell
+    * populations CONSTANT as n grows (q93's √n flat cells grow their
+    * populations as √n — the measured 4.8× slope this form beats).
+    * The oracle derives both levels: seeds, two Lloyd rounds each,
+    * and the assignment tie-breaks, all exact-integer — hash-gated
+    * like q93. See Dedup.semanticDedup2.
+    */
+  private def qSemantic2Level(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val k = graft.operators.Dedup.suggestSemantic2Params(corpus.count())
+    val cents1 = Similarity.trainCentroids(corpus, k = k, iters = 2)
+    graft.operators.Dedup.semanticDedup2(corpus, cents1, k2 = k, iters = 2,
+        threshold1e6 = 950000L)
+      .orderBy(col("id"))
+  }
+
   /** Cluster purity (q158): the q49 trained quantizer audited against
     * ground-truth labels. See Similarity.cellPurity.
     */
@@ -2385,7 +2429,9 @@ object SparkEntry {
     "q159_source_gini" -> (qSourceGini _),
     "q160_audience_overlap" -> (qAudienceOverlap _),
     "q161_gram_matrix" -> (qGramMatrix _),
-    "q162_dup_triangles" -> (qDupTriangles _))
+    "q162_dup_triangles" -> (qDupTriangles _),
+    "q163_semantic_sampled" -> (qSemanticSampled _),
+    "q164_semantic_2level" -> (qSemantic2Level _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

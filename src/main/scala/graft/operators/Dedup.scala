@@ -703,6 +703,65 @@ object Dedup {
     math.max(8L, math.min(4096L, s)).toInt
   }
 
+  /** Level-1/level-2 cell count for [[semanticDedup2]]: target a
+    * CONSTANT cell population `targetPop`, so total subcells K =
+    * ⌈n/targetPop⌉ grows LINEARLY with the corpus and within-cell
+    * pair work stays ~n·targetPop/2 — linear total, the property √n
+    * flat cells cannot have (their n^1.5 pair growth is the measured
+    * q93 4.8× slope). Split K across two levels as k1 = k2 =
+    * clamp(⌊√K⌋, 4, 4096) — level 1 stays a driver-trivial constants
+    * assign while level 2 is the distributed
+    * [[Similarity.trainSubCentroids]] table. Exact integer floor-√
+    * (same discipline as [[suggestSemanticCells]]) so any engine
+    * derives the same split from the same count.
+    */
+  def suggestSemantic2Params(n: Long, targetPop: Long = 32L): Int = {
+    require(n >= 1 && targetPop >= 1, s"need n>=1, targetPop>=1; got $n/$targetPop")
+    val kTot = (n + targetPop - 1) / targetPop
+    var s = math.sqrt(kTot.toDouble).toLong
+    while ((s + 1) * (s + 1) <= kTot) s += 1
+    while (s * s > kTot) s -= 1
+    math.max(4L, math.min(4096L, s)).toInt
+  }
+
+  /** Two-level hierarchical semantic dedup — the architecture change
+    * [[semanticDedup]]'s scaladoc documents as the requirement for
+    * truly-linear-total dedup: a k1-cell trained coarse quantizer
+    * (level 1, constants assign) partitions the corpus, then EVERY
+    * level-1 cell trains its own k2 sub-quantizer simultaneously via
+    * the distributed [[Similarity.trainSubCentroids]] pass, candidate
+    * pairs form only within a (cid, cid2) SUBCELL, and the same
+    * threshold + connected-components tail elects representatives.
+    * With k1·k2 ∝ n (see [[suggestSemantic2Params]]), subcell
+    * populations are CONSTANT in expectation: pair work grows
+    * linearly where flat √n cells grow n^1.5. The recall trade is the
+    * SemDeDup one twice over (near-dups split across subcells are
+    * missed) — the price of the bound, stated rather than hidden.
+    *
+    * Output: (id, rep_id, kept) for every corpus row, exactly like
+    * [[semanticDedup]].
+    */
+  def semanticDedup2(corpus: DataFrame, level1: Seq[(Int, Seq[Double])],
+      k2: Int, iters: Int, threshold1e6: Long): DataFrame = {
+    val cells1 = Similarity.assignCells(corpus, level1)
+      .select(col("id"), col("emb"), col("cid"))
+    val sub = Similarity.trainSubCentroids(cells1, k2, iters)
+    val cells = Similarity.assignSubCells(cells1, sub)
+      .select(col("id"), col("emb"), col("cid"), col("cid2"))
+    val l = cells.as("l"); val r = cells.as("r")
+    val pairs = l.join(r, col("l.cid") === col("r.cid")
+        && col("l.cid2") === col("r.cid2") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        Similarity.scoreFixed(col("l.emb"), col("r.emb")).as("score_1e6"))
+      .filter(col("score_1e6") >= threshold1e6)
+      .select(col("id_a"), col("id_b"))
+    val comps = connectedComponents(pairs)
+    corpus.select(col("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("rep_id"))
+      .withColumn("kept", (col("rep_id") === col("id")).cast("long"))
+  }
+
   /** SemDeDup-style semantic deduplication: a trained coarse quantizer
     * ([[Similarity.trainCentroids]]) partitions the corpus into cells,
     * candidate pairs form ONLY within a cell (the published SemDeDup

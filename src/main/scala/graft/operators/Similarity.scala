@@ -227,6 +227,77 @@ object Similarity {
     cents
   }
 
+  /** [[scoreFixed]] with the zero-norm guard of the cell assigner
+    * (zero vectors score 0 instead of raising ANSI DIVIDE_BY_ZERO) —
+    * the Spark mirror of the oracle's scoreFixedSafeSql.
+    */
+  def scoreFixedSafe(a: Column, b: Column): Column =
+    when(dot(a, a) === 0.0 || dot(b, b) === 0.0, lit(0L))
+      .otherwise(scoreFixed(a, b))
+
+  /** Distributed second-level (within-cell) Lloyd's k-means — the
+    * hierarchical half of a two-level coarse quantizer. Given a
+    * level-1 assignment (id, emb, cid), train `k2` sub-centroids in
+    * EVERY cell simultaneously: seeds are each cell's k2 lowest-id
+    * members, and each iteration is ONE partitioned assign (join on
+    * cid, rank over the k2 candidates) plus ONE fixed-point mean agg
+    * across all cells at once — k1 independent k-means trainings for
+    * the price of one pass, with NO per-cell driver loop. The trained
+    * quantizer stays a DataFrame (cid, cid2, cemb): driver state is
+    * zero, which is what makes subcell counts that GROW WITH n
+    * affordable — the architecture change [[Dedup.semanticDedup]]'s
+    * scaladoc calls for. Same exact-integer mean discipline as
+    * [[trainCentroids]] (floor ×2^20 sums, empty subcells carry their
+    * previous centroid), same (score desc, cid2 asc) tie-break, so
+    * any engine derives bit-identical sub-centroids.
+    */
+  def trainSubCentroids(cells: DataFrame, k2: Int, iters: Int): DataFrame = {
+    require(k2 >= 1 && iters >= 0, s"need k2>=1, iters>=0; got k2=$k2 iters=$iters")
+    val base = cells.select(col("cid"), col("id"), col("emb")).localCheckpoint()
+    val seedW = Window.partitionBy(col("cid")).orderBy(col("id"))
+    var cents = base.withColumn("_rn", row_number().over(seedW))
+      .filter(col("_rn") <= k2)
+      .select(col("cid"), (col("_rn") - 1).cast("int").as("cid2"),
+        col("emb").cast("array<double>").as("cemb"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val stats = assignSubCells(base, cents)
+        .select(col("cid"), col("cid2"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("cid2"), col("pos"))
+        .agg(sum(floor(col("v").cast("double") * MeanScale).cast("long")).as("sf"),
+          count(lit(1)).as("n"))
+      val means = stats
+        .withColumn("mv",
+          col("sf").cast("double") / col("n").cast("double") / lit(MeanScale))
+        .groupBy(col("cid"), col("cid2"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          x => x.getField("mv")).as("nemb"))
+      cents = cents.join(means, Seq("cid", "cid2"), "left")
+        .select(col("cid"), col("cid2"),
+          coalesce(col("nemb"), col("cemb")).as("cemb"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Assign each (id, emb, cid) row to its nearest sub-centroid of its
+    * OWN level-1 cell: broadcast the (cid, cid2, cemb) table, join on
+    * cid (k2 candidates per row), rank by (score desc, cid2 asc) —
+    * the same tie-break as [[assignCell]]. Output adds `cid2`.
+    * The sub-centroid table is n/targetPop rows of dim doubles — tiny
+    * relative to the corpus; if it ever outgrew broadcast range the
+    * same plan runs as a shuffle join on cid.
+    */
+  def assignSubCells(vectors: DataFrame, subCents: DataFrame): DataFrame = {
+    val cols = vectors.columns.map(col).toSeq
+    val w = Window.partitionBy(col("id")).orderBy(col("_s").desc, col("cid2"))
+    vectors.join(broadcast(subCents), Seq("cid"))
+      .withColumn("_s", scoreFixedSafe(col("emb"), col("cemb")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(cols :+ col("cid2"): _*)
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ) — the memory-bound ANN storage path: a
   // d-float vector compresses to m small cell codes (one per contiguous

@@ -1948,6 +1948,47 @@ class OperatorsSpec extends SparkSpec {
     assert(out((1L, 1L)) == ((5000000L, 2L)), s"$out")
   }
 
+  test("semanticDedup2: subcell-partitioned pairs still find in-cell dups") {
+    // 8 vectors in two obvious level-1 clusters around (1,0) and
+    // (0,1); each cluster holds one near-dup pair (cos > 0.95) and
+    // ids that seed deterministically. k1=k2=2, 1 Lloyd iter.
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.999f, 0.001f)),   // dup pair A
+      (3L, Seq(0.8f, 0.6f)),
+      (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.001f, 0.999f)),   // dup pair B
+      (6L, Seq(0.6f, 0.8f)),
+      (7L, Seq(0.9f, 0.436f)), (8L, Seq(0.436f, 0.9f))
+    )
+    val corpus = rows.toDF("id", "emb")
+    val cents1 = graft.operators.Similarity.trainCentroids(corpus, k = 2, iters = 2)
+    val out = graft.operators.Dedup.semanticDedup2(corpus, cents1,
+        k2 = 2, iters = 1, threshold1e6 = 999000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rep_id"), r.getAs[Long]("kept")))).toMap
+    assert(out.size == 8, s"every corpus row reported: $out")
+    assert(out(2L) == ((1L, 0L)), s"near-dup 2 folds to rep 1: $out")
+    assert(out(5L) == ((4L, 0L)), s"near-dup 5 folds to rep 4: $out")
+    assert(Seq(1L, 3L, 4L, 6L).forall(i => out(i) == ((i, 1L))),
+      s"singletons keep themselves: $out")
+  }
+
+  test("trainSubCentroids: per-cell seeds, distributed means, empty-cell carry") {
+    // one level-1 cell (cid 0) with 3 one-dim-ish vectors; k2=2 seeds
+    // from the two lowest ids; one iteration reassigns and means
+    val cells = Seq(
+      (0, 1L, Seq(0.0f, 0.0f)), (0, 2L, Seq(1.0f, 0.0f)),
+      (0, 3L, Seq(1.0f, 0.02f))
+    ).toDF("cid", "id", "emb")
+    val sub = graft.operators.Similarity.trainSubCentroids(cells, k2 = 2, iters = 1)
+      .collect().map(r => r.getAs[Int]("cid2") ->
+        r.getSeq[Double](r.fieldIndex("cemb"))).toMap
+    // seed 0 = zero vector (scores 0 everywhere, keeps only itself →
+    // mean stays (0,0)); seed 1 = (1,0) attracts id 3 → mean of the two
+    assert(sub(0) == Seq(0.0, 0.0), s"$sub")
+    assert(math.abs(sub(1).head - 1.0) < 1e-9 &&
+      math.abs(sub(1)(1) - 0.01) < 1e-4, s"mean of (1,0),(1,0.02): $sub")
+  }
+
   test("gramMatrix: a row narrower than dims fails loudly, not silently") {
     val corpus = Seq(
       (1L, Seq(1.0f, 2.0f)), (2L, Seq(0.5f)) // row 2 is too narrow
