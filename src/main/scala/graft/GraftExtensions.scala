@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotFold, Md5Long60, MinhashSig, SimhashText, TopKPairs}
+import graft.expressions.{BestCell, DotFold, Md5Long60, MinhashSig, SimhashText, TopKPairs}
 
 /** Session extensions: registers graft's native expressions for SQL
   * use. Attach with
@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(TopKPairs.FnName),
       new ExpressionInfo(classOf[TopKPairs].getName, TopKPairs.FnName),
       TopKPairs.builder))
+    e.injectFunction((
+      new FunctionIdentifier(BestCell.FnName),
+      new ExpressionInfo(classOf[BestCell].getName, BestCell.FnName),
+      BestCell.builder))
     // composed aggregate(zip_with(...)) dot products → native DotFold
     e.injectOptimizerRule(_ => graft.plans.RewriteDotFold)
   }

@@ -254,10 +254,18 @@ object Similarity {
   def trainSubCentroids(cells: DataFrame, k2: Int, iters: Int): DataFrame = {
     require(k2 >= 1 && iters >= 0, s"need k2>=1, iters>=0; got k2=$k2 iters=$iters")
     val base = cells.select(col("cid"), col("id"), col("emb")).localCheckpoint()
-    val seedW = Window.partitionBy(col("cid")).orderBy(col("id"))
-    var cents = base.withColumn("_rn", row_number().over(seedW))
-      .filter(col("_rn") <= k2)
-      .select(col("cid"), (col("_rn") - 1).cast("int").as("cid2"),
+    // seeds = each cell's k2 lowest-id members, found with the bounded
+    // TopKPairs aggregate (map-side combine; |cells|·k2 (cid, id)
+    // pairs cross the shuffle — a row_number window here would
+    // shuffle AND sort the whole corpus), then the tiny seed-id list
+    // broadcasts back for its embeddings. TopKPairs ranks (v desc,
+    // id asc); v = −id makes that ascending id, so pos = rank = cid2.
+    val seedIds = base.groupBy(col("cid"))
+      .agg(graft.expressions.TopKPairs(-col("id"), col("id"), k2).as("_top"))
+      .select(col("cid"), posexplode(col("_top")))
+      .select(col("pos").cast("int").as("cid2"), col("col.id").as("id"))
+    var cents = base.join(broadcast(seedIds), Seq("id"))
+      .select(col("cid"), col("cid2"),
         col("emb").cast("array<double>").as("cemb"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
@@ -281,21 +289,26 @@ object Similarity {
   }
 
   /** Assign each (id, emb, cid) row to its nearest sub-centroid of its
-    * OWN level-1 cell: broadcast the (cid, cid2, cemb) table, join on
-    * cid (k2 candidates per row), rank by (score desc, cid2 asc) —
-    * the same tie-break as [[assignCell]]. Output adds `cid2`.
-    * The sub-centroid table is n/targetPop rows of dim doubles — tiny
-    * relative to the corpus; if it ever outgrew broadcast range the
-    * same plan runs as a shuffle join on cid.
+    * OWN level-1 cell — with NO row explosion: the (cid, cid2, cemb)
+    * table folds to one cid2-sorted ARRAY per cell, broadcast-joins
+    * on cid (one row in, one row out), and the native
+    * [[graft.expressions.BestCell]] expression computes the argmax
+    * ((score desc, cid2 asc), zero-norm-guarded fixed-point cosine —
+    * the engine's shared assignment contract) in a compiled loop.
+    * Earlier formulations (row_number window; join-explode + max_by
+    * agg) moved n·k2 candidate rows carrying vector payloads through
+    * a shuffle or an aggregate — ~12 GB of row traffic at gen-sf10
+    * for ~1 G flops of actual scoring. This keeps level-2 assignment
+    * as map-side as level-1's constants assign. Output adds `cid2`.
+    * The per-cell centroid array is k2·dim doubles; the whole
+    * broadcast is n/targetPop rows — tiny relative to the corpus.
     */
   def assignSubCells(vectors: DataFrame, subCents: DataFrame): DataFrame = {
-    val cols = vectors.columns.map(col).toSeq
-    val w = Window.partitionBy(col("id")).orderBy(col("_s").desc, col("cid2"))
-    vectors.join(broadcast(subCents), Seq("cid"))
-      .withColumn("_s", scoreFixedSafe(col("emb"), col("cemb")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(cols :+ col("cid2"): _*)
+    val centArr = subCents.groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("cid2"), col("cemb")))).as("_cents"))
+    vectors.join(broadcast(centArr), Seq("cid"))
+      .withColumn("cid2", graft.expressions.BestCell(col("emb"), col("_cents")))
+      .drop("_cents")
   }
 
   // ------------------------------------------------------------------

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val Known = Set("simhash8", "simhash15", "simhashAuto",
     "neardup8", "neardup12", "brute", "curation",
-    "semantic8", "semanticAuto")
+    "semantic8", "semanticAuto", "semantic2")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -68,6 +68,51 @@ object ScaleProbe {
       timed(s"semantic_auto_${k}cells") {
         val cents = graft.operators.Similarity.trainCentroids(embs, k = k, iters = 2)
         graft.operators.Dedup.semanticDedup(embs, cents, 950000L).count()
+      }
+    }
+    // two-level semantic dedup (q164): stage-by-stage decomposition —
+    // level-1 train, level-1 assign, level-2 distributed train,
+    // level-2 assign, subcell pair join + CC
+    if (probes("semantic2")) {
+      import graft.operators.{Dedup, Similarity}
+      val n = embs.count()
+      val k = Dedup.suggestSemantic2Params(n)
+      println(s"PROBE semantic2 n=$n k1=k2=$k")
+      var cents1: Seq[(Int, Seq[Double])] = null
+      timed("s2_train_level1") {
+        cents1 = Similarity.trainCentroids(embs, k = k, iters = 2); k.toLong
+      }
+      var cells1: org.apache.spark.sql.DataFrame = null
+      timed("s2_assign_level1") {
+        cells1 = Similarity.assignCells(embs, cents1)
+          .select(col("id"), col("emb"), col("cid")).localCheckpoint(true)
+        cells1.count()
+      }
+      var sub: org.apache.spark.sql.DataFrame = null
+      timed("s2_train_level2") {
+        sub = Similarity.trainSubCentroids(cells1, k, iters = 2); sub.count()
+      }
+      var cells: org.apache.spark.sql.DataFrame = null
+      timed("s2_assign_level2") {
+        cells = Similarity.assignSubCells(cells1, sub)
+          .select(col("id"), col("emb"), col("cid"), col("cid2"))
+          .localCheckpoint(true)
+        cells.count()
+      }
+      timed("s2_subcell_pair_count") {
+        // candidate-pair volume: the quantity the architecture bounds
+        cells.groupBy(col("cid"), col("cid2")).count()
+          .agg(sum(col("count") * (col("count") - 1) / 2)).collect()
+          .head.getAs[Any](0).toString.toDouble.toLong
+      }
+      timed("s2_pairs_and_cc") {
+        val l = cells.as("l"); val r = cells.as("r")
+        val pairs = l.join(r, col("l.cid") === col("r.cid")
+            && col("l.cid2") === col("r.cid2") && col("l.id") < col("r.id"))
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+            Similarity.scoreFixed(col("l.emb"), col("r.emb")).as("s"))
+          .filter(col("s") >= 950000L).select(col("id_a"), col("id_b"))
+        Dedup.connectedComponents(pairs).count()
       }
     }
     if (probes("brute")) timed("ann_brute")(
