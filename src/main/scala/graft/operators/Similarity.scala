@@ -174,10 +174,28 @@ object Similarity {
     (array_position(arr, array_max(arr)) - 1).cast("int")
   }
 
-  private def withCell(df: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame =
-    df.withColumn("_nrm", l2norm(col("emb")))
-      .withColumn("cid", assignCellWithNorm(col("emb"), col("_nrm"), centroids))
-      .drop("_nrm")
+  /** Centroid-table assignment via the native [[graft.expressions.BestCell]]
+    * loop. The centroid array is a FOLDABLE expression (literals all
+    * the way down), so Catalyst's ConstantFolding collapses it to one
+    * Literal before codegen: unlike the unrolled k-score expression
+    * form ([[assignCellWithNorm]], kept for the small-k PQ subspace
+    * codebooks), there is NO k·dim-literal janino unit to compile per
+    * distinct centroid set — the cost that dominated every Lloyd
+    * iteration of large-k trainings (each iteration = new constants =
+    * new codegen unit; 20.5 s of the 85 s q164 total at gen-sf10).
+    * Scoring is bit-identical: same guarded fixed-point cosine, same
+    * left-to-right folds, same first-max (score desc, cid asc)
+    * tie-break — re-verified against the oracle battery-wide.
+    */
+  private def withCell(df: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val ordered = centroids.sortBy(_._1)
+    require(ordered.map(_._1) == ordered.indices.toSeq,
+      "centroid ids must be 0..k-1")
+    val centArr = array(ordered.map { case (cid, v) =>
+      struct(lit(cid).as("cid2"), array(v.map(lit): _*).as("cemb"))
+    }: _*)
+    df.withColumn("cid", graft.expressions.BestCell(col("emb"), centArr))
+  }
 
   /** Public coarse-cell assignment — (id, emb, cid) with the same
     * (score desc, cid asc) tie-break the IVF index uses. Consumers
