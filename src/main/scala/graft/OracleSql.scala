@@ -3154,5 +3154,134 @@ object OracleSql {
                   ORDER BY adc_1e6 DESC, neighbor_id) AS rank FROM ADC)
           SELECT query_id, rank, neighbor_id, adc_1e6 FROM R WHERE rank <= 3
           ORDER BY query_id, rank"""
+    },
+
+    // per-document Kneser-Ney surprisal: q125's stats re-derived from
+    // the per-doc pair weights, pruned pairs (c_ab < 2) scored with
+    // the interpolation's own backoff mass ((4c_ab-3) -> 0 limit),
+    // probabilities clamped >= 1, bits = 20 - bitlen (q88 idiom)
+    "q165_doc_lm_bits" ->
+      s"""WITH B AS (SELECT doc_id, tk FROM
+                (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents)
+                WHERE len(tk) >= 2),
+          DP AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS w FROM
+                 (SELECT doc_id, tk[i+1] AS a, tk[i+2] AS b
+                  FROM (SELECT doc_id, tk, unnest(range(len(tk)-1)) AS i FROM B))
+                 GROUP BY doc_id, a, b),
+          BG AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS c_ab FROM DP GROUP BY a, b),
+          L AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+                 CAST(count(*) AS BIGINT) AS n1_fwd FROM BG GROUP BY a),
+          R AS (SELECT b, CAST(count(*) AS BIGINT) AS n1_bwd FROM BG GROUP BY b),
+          T AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM BG),
+          SB AS (SELECT g.a, g.b,
+                  CAST(20 - length(bin(greatest(CASE WHEN g.c_ab >= 2
+                    THEN CAST((((4*g.c_ab - 3)::HUGEINT * t.n_types
+                               + 3::HUGEINT * l.n1_fwd * r.n1_bwd) * 1000000)
+                         // (4::HUGEINT * l.c_a * t.n_types) AS BIGINT)
+                    ELSE CAST((3::HUGEINT * l.n1_fwd * r.n1_bwd * 1000000)
+                         // (4::HUGEINT * l.c_a * t.n_types) AS BIGINT)
+                  END, CAST(1 AS BIGINT)))) AS BIGINT) AS bits
+                 FROM BG g JOIN L l USING (a) JOIN R r USING (b) CROSS JOIN T t)
+          SELECT dp.doc_id, CAST(sum(dp.w) AS BIGINT) AS n_pairs,
+            CAST(sum(dp.w * sb.bits) AS BIGINT) AS sum_bits,
+            CAST((sum(dp.w * sb.bits) * 1000) // sum(dp.w) AS BIGINT) AS avg_millibits
+          FROM DP dp JOIN SB sb ON sb.a = dp.a AND sb.b = dp.b
+          GROUP BY dp.doc_id ORDER BY dp.doc_id""",
+
+    // PC1 outliers: q161's gram matrix symmetrized, three unrolled
+    // power-iteration rounds in HUGEINT (renormalize by max |w| with
+    // truncating //, = Scala BigInt / on the Spark driver), then the
+    // top-10 docs by |projection| onto the resulting direction
+    "q166_pc1_outliers" -> {
+      val rounds = (1 to 3).map { r =>
+        val pv = s"V${r - 1}"
+        s"""W$r AS (SELECT m.i AS d, CAST(sum(m.g * v.v) AS HUGEINT) AS w
+               FROM M m JOIN $pv v ON v.d = m.j GROUP BY m.i),
+            N$r AS (SELECT max(abs(w)) AS mx FROM W$r),
+            V$r AS (SELECT d, CASE WHEN n.mx = 0 THEN 1000000::HUGEINT
+                    ELSE (w * 1000000) // n.mx END AS v
+                    FROM W$r CROSS JOIN N$r n)"""
+      }.mkString(",\n")
+      s"""WITH E AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          GP AS (SELECT i.i, j.j FROM generate_series(0, 7) AS i(i)
+                 JOIN generate_series(0, 7) AS j(j) ON i.i <= j.j),
+          G0 AS (SELECT gp.i, gp.j,
+                 CAST(sum(CAST(floor(e.emb[gp.i + 1]::DOUBLE
+                   * e.emb[gp.j + 1]::DOUBLE * 1000000.0) AS BIGINT)) AS HUGEINT) AS g
+                 FROM E e CROSS JOIN GP gp GROUP BY gp.i, gp.j),
+          M AS (SELECT i, j, g FROM G0
+                UNION ALL SELECT j AS i, i AS j, g FROM G0 WHERE i <> j),
+          V0 AS (SELECT unnest(range(8)) AS d, 1000000::HUGEINT AS v),
+          $rounds,
+          PROJ AS (SELECT e.id,
+                   CAST(sum(CAST(floor(e.emb[v.d + 1]::DOUBLE * 1000000.0) AS BIGINT)
+                     * v.v) AS BIGINT) AS proj_fp
+                   FROM E e CROSS JOIN V3 v GROUP BY e.id),
+          RK AS (SELECT id, proj_fp,
+                 CAST(row_number() OVER (ORDER BY abs(proj_fp) DESC, id) AS BIGINT) AS rank
+                 FROM PROJ)
+          SELECT id, proj_fp, rank FROM RK WHERE rank <= 10 ORDER BY rank"""
+    },
+
+    // IVF-PQ + exact refine: q59's chain cut at rank <= 10 (the ADC
+    // shortlist), true embeddings re-score only those rows, exact
+    // fixed cosine re-ranks the final top-3
+    "q167_ivf_pq_refine" -> {
+      val (m, kc, sub) = (2, 4, 32)
+      val unions = (0 until m).map(s =>
+        s"""SELECT ca.query_id, ca.id, l.contrib
+            FROM CAND ca JOIN CODE$s c$s ON c$s.id = ca.id
+            JOIN LUT$s l ON l.cid = c$s.cid AND l.query_id = ca.query_id""")
+        .mkString(" UNION ALL ")
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          ${ivfCoarseCtes(8, 2)},
+          ${pqSubspaceCtes(m, kc, sub)},
+          CAND AS (SELECT q.id AS query_id, c.id
+                   FROM CC c JOIN QP q ON q.cid = c.cid AND q.id <> c.id),
+          CONTRIB AS ($unions),
+          ADC AS (SELECT query_id, id AS neighbor_id,
+                  CAST(sum(contrib) AS BIGINT) AS adc_1e6
+                  FROM CONTRIB GROUP BY query_id, id),
+          SHORT AS (SELECT query_id, neighbor_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_1e6 DESC, neighbor_id) AS rn FROM ADC)
+                    WHERE rn <= 10),
+          EX AS (SELECT s.query_id, s.neighbor_id,
+                 ${scoreFixedSafeSql("q.emb", "c.emb")} AS score_1e6
+                 FROM SHORT s JOIN C c ON c.id = s.neighbor_id
+                 JOIN Q q ON q.id = s.query_id),
+          R2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_1e6 DESC, neighbor_id) AS BIGINT) AS rank FROM EX)
+          SELECT query_id, rank, neighbor_id, score_1e6 FROM R2 WHERE rank <= 3
+          ORDER BY query_id, rank"""
+    },
+
+    // LSH band-plan sweep: one 16-perm signature derivation (q18's
+    // SIG), re-banded per (bands, rows) config; per config the raw
+    // candidate workload sum(sz*(sz-1))//2 over band buckets
+    "q168_lsh_band_sweep" -> {
+      val p = graft.operators.Dedup.MinhashP
+      val sigExprs = graft.operators.Dedup.minhashCoeffs(16).map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
+      }.mkString("[", ", ", "]")
+      val perConfig = Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (bands, rpb) =>
+        s"""SELECT ${bands}::BIGINT AS bands, ${rpb}::BIGINT AS rows_per_band,
+              t.band AS band,
+              md5(array_to_string(list_transform(
+                list_slice(sig, t.band * $rpb + 1, t.band * $rpb + $rpb),
+                x -> x::varchar), ',')) AS bucket
+            FROM SIG CROSS JOIN (SELECT unnest(range($bands)) AS band) t"""
+      }.mkString(" UNION ALL ")
+      s"""WITH TH AS (SELECT doc_id, ${tokenHashExpr("text")} AS th FROM documents),
+          HS AS (SELECT doc_id, $gramFromTh AS hs FROM TH),
+          SIG AS (SELECT doc_id, $sigExprs AS sig FROM HS WHERE len(hs) > 0),
+          BB AS ($perConfig),
+          SZ AS (SELECT bands, rows_per_band, band, bucket,
+                 CAST(count(*) AS BIGINT) AS sz
+                 FROM BB GROUP BY bands, rows_per_band, band, bucket)
+          SELECT bands, rows_per_band, CAST(count(*) AS BIGINT) AS n_buckets,
+            CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS n_candidate_pairs,
+            CAST(max(sz) AS BIGINT) AS max_bucket
+          FROM SZ GROUP BY bands, rows_per_band ORDER BY bands DESC"""
     })
 }

@@ -2254,6 +2254,50 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Document LM surprisal (q165): every doc scored under the
+    * corpus's own interpolated Kneser–Ney bigram LM, backoff mass
+    * included — the CCNet-style perplexity quality filter as one
+    * battery row. Exact integer floor-log2 bits (q88 idiom) over
+    * q125's rational probabilities. See TextAnalysis.docLmBits.
+    */
+  private def qDocLmBits(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.docLmBits(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** PC1 outlier report (q166): dominant gram-matrix eigenvector by
+    * 3 rounds of exact fixed-point power iteration (driver-side
+    * BigInt over the dim²-bounded q161 gram result), then the top-10
+    * docs by |projection| — the embedding-space outlier review list.
+    * See Similarity.powerIterationPc1/pc1Outliers.
+    */
+  private def qPc1Outliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.pc1Outliers(embCorpus(s, dir), dims = 8, iters = 3, k = 10)
+      .orderBy(col("rank"))
+
+  /** IVF-PQ + exact refine (q167): the q59 compressed index serves a
+    * kShort=10 ADC shortlist, true embeddings re-score only those
+    * rows, exact cosine re-ranks the final top-3 — FAISS's
+    * RefineFlat accuracy-recovery step. See Similarity.ivfPqRefineTopK.
+    */
+  private def qIvfPqRefine(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val coarse = Similarity.trainCentroids(corpus, k = 8, iters = 2)
+    val books = Similarity.trainPqCodebooks(corpus, m = 2, k = 4, iters = 2)
+    Similarity.ivfPqRefineTopK(corpus,
+        corpus.filter(col("id") % 200 === 0 && col("id") < 2000),
+        coarse, books, k = 3, kShort = 10, nprobe = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score_1e6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH band-plan sweep (q168): measured candidate-pair workload of
+    * every (bands, rows) split of the 16-perm signature on the real
+    * corpus — the cost table read before choosing a banding at scale.
+    * See Dedup.lshBandSweep.
+    */
+  private def qLshBandSweep(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshBandSweep(t(s, dir, "documents"), "doc_id", "text")
+
   /** Cluster purity (q158): the q49 trained quantizer audited against
     * ground-truth labels. See Similarity.cellPurity.
     */
@@ -2431,7 +2475,11 @@ object SparkEntry {
     "q161_gram_matrix" -> (qGramMatrix _),
     "q162_dup_triangles" -> (qDupTriangles _),
     "q163_semantic_sampled" -> (qSemanticSampled _),
-    "q164_semantic_2level" -> (qSemantic2Level _))
+    "q164_semantic_2level" -> (qSemantic2Level _),
+    "q165_doc_lm_bits" -> (qDocLmBits _),
+    "q166_pc1_outliers" -> (qPc1Outliers _),
+    "q167_ivf_pq_refine" -> (qIvfPqRefine _),
+    "q168_lsh_band_sweep" -> (qLshBandSweep _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

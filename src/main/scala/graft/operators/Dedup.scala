@@ -159,6 +159,52 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH band-plan sweep: the MEASURED candidate-pair workload of
+    * every (bands, rowsPerBand) split of one k-perm signature, from
+    * the corpus's real signatures — the planning table to read BEFORE
+    * paying the pair explosion at scale. More bands (fewer rows per
+    * band) = higher recall but more collisions; the S-curve formula
+    * says where the threshold lands, but the COST side is corpus-
+    * dependent (bucket skew, template families), so this measures it:
+    * per config, Σ_buckets sz·(sz−1)/2 raw candidate pairs — the
+    * pre-distinct join volume [[minhashLshPairs]] would actually
+    * generate — plus bucket count and worst bucket.
+    *
+    * One native signature pass ([[minhashSignatures]],
+    * localCheckpoint'd) serves every config; each config re-bands the
+    * same signatures (map-side explode), and the stats are two
+    * bounded groupBys. Cost: |configs| band shuffles over (id, band,
+    * bucket) keys — a fraction of running even ONE config's full pair
+    * join.
+    *
+    * Output: (bands, rows_per_band, n_buckets, n_candidate_pairs,
+    * max_bucket) per config, widest banding first.
+    */
+  def lshBandSweep(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16,
+      configs: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4), (2, 8))): DataFrame = {
+    require(configs.nonEmpty && configs.forall { case (b, r) => b * r == k },
+      s"every (bands, rowsPerBand) must multiply to k=$k: $configs")
+    val sig = minhashSignatures(df, idCol, textCol, n, k).localCheckpoint()
+    val perConfig = configs.map { case (bands, rpb) =>
+      val bandBuckets = transform(sequence(lit(0), lit(bands - 1)), b => {
+        val bandSlice = slice(col("sig"), b * rpb + 1, lit(rpb))
+        md5(array_join(transform(bandSlice, x => x.cast("string")), ","))
+      })
+      sig.select(lit(bands.toLong).as("bands"),
+        lit(rpb.toLong).as("rows_per_band"),
+        posexplode(when(col("sig").isNotNull, bandBuckets)).as(Seq("band", "bucket")))
+    }.reduce(_ unionAll _)
+    perConfig
+      .groupBy(col("bands"), col("rows_per_band"), col("band"), col("bucket"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("(sz * (sz - 1)) DIV 2")).cast("long").as("n_candidate_pairs"),
+        max(col("sz")).as("max_bucket"))
+      .orderBy(col("bands").desc)
+  }
+
   /** SimHash bit-vote fold over a *materialized* token-hash array
     * column (see the minhash note — don't inline the hash expression,
     * it would be re-evaluated once per bit).

@@ -545,6 +545,93 @@ object Similarity {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Dominant eigenvector of the corpus gram matrix by `iters` rounds
+    * of fixed-point power iteration — the PCA-direction primitive on
+    * top of [[gramMatrix]] (XᵀX is PSD, so power iteration converges
+    * to the top principal direction of the raw — uncentered — second
+    * moment). The dim²-bounded gram result is the ONLY collect
+    * (the same bounded-driver-state contract as trainCentroids' k×dim
+    * stats); the iteration itself is exact BigInt arithmetic: v₀ =
+    * all-ones at 1e6 scale, w = G·v, then renormalize v' = (w·1e6) /
+    * max|w| with TRUNCATING division (Scala BigInt `/` ≡ DuckDB `//`
+    * ≡ Spark DIV — all round toward zero, measured, so an oracle can
+    * replay every round bit-for-bit). A zero matrix degenerates to
+    * the all-ones start vector on both engines.
+    *
+    * Returns the dim components in 1e6 fixed point (max |component|
+    * = 1e6 after ≥ 1 round).
+    */
+  def powerIterationPc1(corpus: DataFrame, dims: Int, iters: Int): Seq[Long] = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val entries = gramMatrix(corpus, dims).collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), BigInt(r.getLong(2))))
+      .toMap
+    def g(i: Int, j: Int): BigInt = entries((math.min(i, j), math.max(i, j)))
+    val ones = Vector.fill(dims)(BigInt(1000000L))
+    var v = ones
+    for (_ <- 0 until iters) {
+      val w = (0 until dims).map(i =>
+        (0 until dims).map(j => g(i, j) * v(j)).sum).toVector
+      val m = w.map(_.abs).max
+      v = if (m == 0) ones else w.map(x => x * 1000000 / m)
+    }
+    v.map(_.toLong)
+  }
+
+  /** Top-`k` extreme documents by |projection| onto the dominant
+    * gram-matrix direction ([[powerIterationPc1]]) — the embedding-
+    * space OUTLIER report: rows at either end of the first principal
+    * axis are the mislabeled/degenerate/off-distribution vectors a
+    * curation pass reviews first. proj_fp = Σᵢ floor(xᵢ·1e6)·vᵢ
+    * (1e12 scale, exact associative integer sum — no division, so no
+    * sign-semantics trap); ranking is (|proj| desc, id) through a
+    * TakeOrderedAndProject cut, with row_number assigned over only
+    * the k survivors.
+    *
+    * Output: (id, proj_fp, rank), rank 1..k.
+    */
+  def pc1Outliers(corpus: DataFrame, dims: Int, iters: Int, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val v = powerIterationPc1(corpus, dims, iters)
+    val proj = (0 until dims).map(i =>
+        floor(element_at(col("emb"), i + 1).cast("double") * lit(1000000.0))
+          .cast("long") * lit(v(i)))
+      .reduce(_ + _)
+    corpus.select(col("id"), proj.as("proj_fp"))
+      .orderBy(abs(col("proj_fp")).desc, col("id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(abs(col("proj_fp")).desc, col("id"))).cast("long"))
+  }
+
+  /** IVF-PQ search with an exact REFINE stage — the standard FAISS
+    * accuracy-recovery step (RefineFlat): the compressed index serves
+    * a cheap shortlist of `kShort` candidates per query via ADC
+    * ([[ivfPqTopK]]), then only those |queries|·kShort rows re-score
+    * against their TRUE embeddings and the exact cosine re-ranks the
+    * final top `k`. Buys back the quantization error of the m-byte
+    * codes at a cost independent of corpus size: the shortlist is
+    * broadcast onto the corpus scan (scan-speed semi-join — the
+    * corpus never shuffles), queries broadcast, and the rank tail is
+    * the bounded-state TopKPairs aggregate.
+    *
+    * Output: (query_id, rank, neighbor_id, score_1e6) — exact fixed
+    * cosines, rank ≤ k.
+    */
+  def ivfPqRefineTopK(corpus: DataFrame, queries: DataFrame,
+      coarse: Seq[(Int, Seq[Double])], codebooks: Seq[Seq[(Int, Seq[Double])]],
+      k: Int, kShort: Int, nprobe: Int): DataFrame = {
+    require(kShort >= k, s"shortlist must cover the answer: kShort=$kShort < k=$k")
+    val shortlist = ivfPqTopK(corpus, queries, coarse, codebooks, kShort, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = corpus.select(col("id").as("neighbor_id"), col("emb").as("nemb"))
+      .join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(queries.select(col("id").as("query_id"), col("emb").as("qemb"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        scoreFixedSafe(col("qemb"), col("nemb")).as("score_1e6"))
+    rank(scored, k)
+  }
+
   /** Recall@k report for the bucketed (approximate) path against the
     * brute-force ground truth — THE metric an ANN index is judged by
     * (recall/latency trade; the scan-cost saving is only worth what

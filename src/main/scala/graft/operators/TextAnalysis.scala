@@ -821,4 +821,73 @@ object TextAnalysis {
       .orderBy(col("ratio_1e6").desc, col("gram"))
       .limit(topK)
   }
+
+  /** Per-document surprisal under the corpus's own interpolated
+    * Kneser–Ney bigram LM — the CCNet-style "LM perplexity" document
+    * quality signal ([[kneserNeyBigrams]] builds the model; this
+    * operator SCORES every document with it, backoff included, so the
+    * filter-on-perplexity step of an LM-quality pipeline is one
+    * battery-checked call).
+    *
+    * Model rows with c_ab ≥ `minCount` score through the full
+    * interpolated-KN rational (q125's formula); pruned pairs (every
+    * corpus bigram is by construction in the pre-prune stats, so both
+    * words always have L/R rows) fall back to the interpolation's own
+    * backoff mass λ(a)·P_cont(b) = (3·n1_fwd · n1_bwd · 1e6) div
+    * (4·c_a · T) — the (4c_ab−3)→0 limit of the same rational, not an
+    * ad-hoc floor. Probabilities clamp to ≥ 1 (the 1e-6 floor), and
+    * the per-pair cost is the exact integer floor-log2 bits idiom of
+    * q88: bits = 20 − bitlen(p_1e6), so 0 bits at P = 1 and both
+    * engines agree to the bit (no libm log anywhere).
+    *
+    * Output: (doc_id, n_pairs, sum_bits, avg_millibits) for every doc
+    * with ≥ 2 tokens; avg_millibits = (1000·Σbits) div n_pairs.
+    *
+    * Shape at scale: ONE tokenized pair pass serves both the model
+    * stats and the scoring stream — pairs aggregate per (doc, a, b)
+    * first (localCheckpoint'd), corpus-level stats re-aggregate from
+    * that, and scoring joins the doc-pair weights against the
+    * bigram-type-bounded scored-model table on (a, b); the L/R vocab
+    * tables and 1-row T broadcast. No corpus re-tokenization, no
+    * driver state.
+    */
+  def docLmBits(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, s"minCount must be positive: $minCount")
+    val base = docs
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    // per-doc bigram weights: the single pair stream everything reuses
+    val dp = base.select(col("doc_id"), explode(
+        zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .groupBy(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val bg = dp.groupBy(col("a"), col("b")).agg(sum(col("w")).as("c_ab"))
+    val left = bg.groupBy(col("a"))
+      .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1_fwd"))
+    val right = bg.groupBy(col("b")).agg(count(lit(1)).as("n1_bwd"))
+    val types = bg.agg(count(lit(1)).as("n_types"))
+    val scored = bg.join(broadcast(left), Seq("a"))
+      .join(broadcast(right), Seq("b"))
+      .crossJoin(broadcast(types))
+      .withColumn("p_1e6", expr(
+        s"""greatest(CASE WHEN c_ab >= $minCount
+             THEN CAST((((4 * c_ab - 3) * CAST(n_types AS DECIMAL(38,0))
+                         + 3 * CAST(n1_fwd AS DECIMAL(38,0)) * n1_bwd) * 1000000)
+                  DIV (4 * c_a * CAST(n_types AS DECIMAL(38,0))) AS BIGINT)
+             ELSE CAST((3 * CAST(n1_fwd AS DECIMAL(38,0)) * n1_bwd * 1000000)
+                  DIV (4 * CAST(c_a AS DECIMAL(38,0)) * n_types) AS BIGINT)
+           END, CAST(1 AS BIGINT))"""))
+      .withColumn("bits", lit(20L) - length(bin(col("p_1e6"))).cast("long"))
+      .select(col("a"), col("b"), col("bits"))
+    dp.join(scored, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).cast("long").as("n_pairs"),
+        sum(col("w") * col("bits")).cast("long").as("sum_bits"))
+      .withColumn("avg_millibits", expr("(sum_bits * 1000) DIV n_pairs"))
+  }
 }

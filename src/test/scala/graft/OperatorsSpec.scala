@@ -2046,4 +2046,102 @@ class OperatorsSpec extends SparkSpec {
       ("y x", 1L, 4000000L), ("z z", 1L, 4000000L), ("x y", 2L, 2000000L)),
       s"ratio desc then gram asc: ${out.toSeq}")
   }
+
+  test("docLmBits: hand-computed KN bits incl. backoff for pruned pairs") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // pairs: doc1 (a,b)×2 (b,a)×1; doc2 (a,b)×1 (b,c)×1
+    // BG: (a,b)=3 (b,a)=1 (b,c)=1; L: a→(3,1), b→(2,2); R: a=1 b=1 c=1; T=3
+    // (a,b) c_ab=3≥2: ((4·3−3)·3 + 3·1·1)·1e6 // (4·3·3) = 30e6//36 = 833333
+    //   bits = 20 − bitlen(833333)=20 → 0
+    // (b,a)/(b,c) backoff: (3·2·1·1e6) // (4·2·3) = 250000 → bits = 20−18 = 2
+    val out = TextAnalysis.docLmBits(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("sum_bits"), r.getAs[Long]("avg_millibits")))
+    assert(out.toSeq == Seq((1L, 3L, 2L, 666L), (2L, 2L, 2L, 1000L)), s"${out.toSeq}")
+  }
+
+  test("docLmBits: single-token and empty docs drop; all docs else emit") {
+    val docs = Seq((1L, "only"), (2L, ""), (3L, "two words")).toDF("doc_id", "text")
+    val out = TextAnalysis.docLmBits(docs, "doc_id", "text").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(3L))
+  }
+
+  test("powerIterationPc1: dominant axis recovered, max component at 1e6") {
+    val corpus = Seq(
+      (1L, Seq(10.0, 0.1)), (2L, Seq(-9.0, 0.2)), (3L, Seq(8.0, -0.1)),
+      (4L, Seq(0.1, 1.0)), (5L, Seq(-0.2, -1.0))).toDF("id", "emb")
+    val v = Similarity.powerIterationPc1(corpus, dims = 2, iters = 3)
+    assert(math.abs(v(0)) == 1000000L, s"dominant x-axis component: $v")
+    assert(math.abs(v(1)) < 200000L, s"minor axis stays small: $v")
+  }
+
+  test("pc1Outliers: extremes of the dominant axis rank first, id tie-break") {
+    val corpus = Seq(
+      (1L, Seq(10.0, 0.0)), (2L, Seq(-9.0, 0.0)), (3L, Seq(8.0, 0.0)),
+      (4L, Seq(0.0, 1.0)), (5L, Seq(0.0, -1.0))).toDF("id", "emb")
+    val out = Similarity.pc1Outliers(corpus, dims = 2, iters = 3, k = 3)
+      .orderBy("rank").collect().map(_.getAs[Long]("id"))
+    assert(out.toSeq == Seq(1L, 2L, 3L), s"|proj| desc: ${out.toSeq}")
+  }
+
+  test("pc1Outliers: zero matrix degenerates to all-ones direction, no crash") {
+    val corpus = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0))).toDF("id", "emb")
+    val v = Similarity.powerIterationPc1(corpus, dims = 2, iters = 2)
+    assert(v == Seq(1000000L, 1000000L), s"$v")
+  }
+
+  test("ivfPqRefineTopK: full shortlist + full probe ≡ exact brute force") {
+    // two tight clusters; with nprobe = k(coarse) and kShort covering
+    // every candidate, refine must reproduce the exact ranking
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.1, 0.0)), (2L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (3L, Seq(1.0, 0.1, 0.1, 0.0)), (4L, Seq(0.0, 0.1, 0.9, 1.0)),
+      (5L, Seq(0.1, 0.0, 1.0, 0.9)), (6L, Seq(0.0, 0.0, 1.0, 1.0)))
+    val corpus = vecs.toDF("id", "emb")
+    val queries = corpus.filter(col("id").isin(1L, 4L))
+    val coarse = Similarity.trainCentroids(corpus, k = 2, iters = 2)
+    val books = Similarity.trainPqCodebooks(corpus, m = 2, k = 2, iters = 2)
+    val refined = Similarity.ivfPqRefineTopK(corpus, queries, coarse, books,
+        k = 2, kShort = 6, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id", "score_1e6")
+      .orderBy("query_id", "rank").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 2)
+      .orderBy("query_id", "rank").collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Long]("score_1e6")))
+    assert(refined.toSeq == exact.toSeq, s"refine=${refined.toSeq} exact=${exact.toSeq}")
+  }
+
+  test("lshBandSweep: identical docs collide in every band of every config") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq((1L, base), (2L, base),
+      (3L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lshBandSweep(df, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band"),
+        r.getAs[Long]("n_buckets"), r.getAs[Long]("n_candidate_pairs"),
+        r.getAs[Long]("max_bucket"))).toSeq
+    assert(out.map(c => (c._1, c._2)) == Seq((16L, 1L), (8L, 2L), (4L, 4L), (2L, 8L)))
+    out.foreach { case (bands, _, nb, pairs, mx) =>
+      // the identical pair collides in all `bands` bands → ≥ bands raw pairs
+      assert(pairs >= bands, s"identical docs must collide everywhere: $out")
+      assert(mx >= 2L, s"a shared bucket exists: $out")
+      // Σ sz over buckets = 3 docs · bands rows; with one shared pair
+      // per band, bucket count is ≤ 2 per band
+      assert(nb <= 2L * bands && nb >= bands, s"bucket-count bounds: $out")
+    }
+  }
+
+  test("lshBandSweep: raw candidate count dominates the distinct pair count") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq((1L, base), (2L, base), (3L, base + " extra"),
+      (4L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val sweep = Dedup.lshBandSweep(df, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("n_candidate_pairs"))).toMap
+    val distinctPairs = Dedup.minhashLshPairs(df, "doc_id", "text").count()
+    assert(sweep((4L)) >= distinctPairs,
+      s"sweep(4,4)=${sweep(4L)} raw pairs must be ≥ ${distinctPairs} distinct")
+  }
 }
