@@ -400,4 +400,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(!q.contains("CartesianProduct"),
       s"mutual-best argmax joins must stay equi-join shaped:\n$q")
   }
+
+  test("doc LM bits: vocab stats broadcast; one pair pass (scoring reads the checkpoint)") {
+    val p = plan("q165_doc_lm_bits")
+    assert(p.contains("ExistingRDD"),
+      s"scoring must reuse the checkpointed per-doc pair weights:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"L/R vocab tables must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+  }
+
+  test("pc1 outliers: projection is scan-speed; cut is TakeOrdered, not global sort") {
+    val p = plan("q166_pc1_outliers")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k cut must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the projection is a literal expression — no joins at all:\n$p")
+  }
+
+  test("IVF-PQ refine: shortlist broadcasts onto the corpus scan; rank tail aggregates") {
+    val p = plan("q167_ivf_pq_refine")
+    assert(p.contains("graft_topk"), s"refine must rank via TopKPairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the kShort shortlist must broadcast onto the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the refine join:\n$p")
+  }
+
+  test("LSH band sweep: every config reads ONE checkpointed signature pass") {
+    val p = plan("q168_lsh_band_sweep")
+    assert(p.contains("ExistingRDD"),
+      s"configs must re-band the checkpointed signatures:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"no config may re-scan the corpus / recompute signatures:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"bucket stats are plain aggregates:\n$p")
+  }
 }
