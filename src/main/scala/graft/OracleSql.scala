@@ -3283,5 +3283,127 @@ object OracleSql {
             CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS n_candidate_pairs,
             CAST(max(sz) AS BIGINT) AS max_bucket
           FROM SZ GROUP BY bands, rows_per_band ORDER BY bands DESC"""
+    },
+
+    // refine recall lift: exact brute-force top-3 (q21 chain) checked
+    // for membership against the plain ADC top-3 (q59 chain) and the
+    // refined top-3 (q167 chain); per-query denominators
+    "q169_refine_recall" -> {
+      val (m, kc, sub) = (2, 4, 32)
+      val unions = (0 until m).map(s =>
+        s"""SELECT ca.query_id, ca.id, l.contrib
+            FROM CAND ca JOIN CODE$s c$s ON c$s.id = ca.id
+            JOIN LUT$s l ON l.cid = c$s.cid AND l.query_id = ca.query_id""")
+        .mkString(" UNION ALL ")
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          ${ivfCoarseCtes(8, 2)},
+          ${pqSubspaceCtes(m, kc, sub)},
+          CAND AS (SELECT q.id AS query_id, c.id
+                   FROM CC c JOIN QP q ON q.cid = c.cid AND q.id <> c.id),
+          CONTRIB AS ($unions),
+          ADC AS (SELECT query_id, id AS neighbor_id,
+                  CAST(sum(contrib) AS BIGINT) AS adc_1e6
+                  FROM CONTRIB GROUP BY query_id, id),
+          ADCR AS (SELECT query_id, neighbor_id FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc_1e6 DESC, neighbor_id) AS rn FROM ADC)
+                   WHERE rn <= 3),
+          SHORT AS (SELECT query_id, neighbor_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_1e6 DESC, neighbor_id) AS rn FROM ADC)
+                    WHERE rn <= 100),
+          EXR AS (SELECT s.query_id, s.neighbor_id,
+                  ${scoreFixedSafeSql("q.emb", "c.emb")} AS score_1e6
+                  FROM SHORT s JOIN C c ON c.id = s.neighbor_id
+                  JOIN Q q ON q.id = s.query_id),
+          REFR AS (SELECT query_id, neighbor_id FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY score_1e6 DESC, neighbor_id) AS rn FROM EXR)
+                   WHERE rn <= 3),
+          BS AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+                 ${scoreFixedSql("q.emb", "c.emb")} AS s
+                 FROM C c CROSS JOIN Q q WHERE q.id <> c.id),
+          BR AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY s DESC, neighbor_id) AS rn FROM BS)
+                 WHERE rn <= 3),
+          J AS (SELECT b.query_id,
+                 CASE WHEN EXISTS (SELECT 1 FROM ADCR a
+                   WHERE a.query_id = b.query_id
+                     AND a.neighbor_id = b.neighbor_id) THEN 1 ELSE 0 END AS in_adc,
+                 CASE WHEN EXISTS (SELECT 1 FROM REFR r
+                   WHERE r.query_id = b.query_id
+                     AND r.neighbor_id = b.neighbor_id) THEN 1 ELSE 0 END AS in_ref
+                FROM BR b)
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+            CAST(sum(in_adc) AS BIGINT) AS hits_adc,
+            CAST(sum(in_ref) AS BIGINT) AS hits_refine,
+            CAST((sum(in_adc) * 1000000) // count(*) AS BIGINT) AS recall_adc_1e6,
+            CAST((sum(in_ref) * 1000000) // count(*) AS BIGINT) AS recall_refine_1e6
+          FROM J GROUP BY query_id ORDER BY query_id"""
+    },
+
+    // vocab/OOV coverage: per-(source, term) counts, top-10 vocabulary
+    // by (count desc, term asc), OOV mass + type counts per source
+    "q170_vocab_coverage" ->
+      s"""WITH TS AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+                 FROM (SELECT source, unnest(${toks("lower(text)")}) AS term
+                       FROM documents)
+                 GROUP BY source, term),
+          V AS (SELECT term FROM (SELECT term, sum(cnt) AS tc FROM TS GROUP BY term)
+                ORDER BY tc DESC, term LIMIT 10)
+          SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN term NOT IN (SELECT term FROM V) THEN cnt ELSE 0 END)
+              AS BIGINT) AS n_oov,
+            CAST(sum(CASE WHEN term NOT IN (SELECT term FROM V) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_oov_types,
+            CAST(CASE WHEN sum(cnt) = 0 THEN 0
+              ELSE (sum(CASE WHEN term NOT IN (SELECT term FROM V) THEN cnt ELSE 0 END)
+                    * 1000000) // sum(cnt) END AS BIGINT) AS oov_ppm
+          FROM TS GROUP BY source ORDER BY source""",
+
+    // per-source dedup savings: q44's exact-keeper + LSH reachability
+    // chain, token mass summed before / after each stage
+    "q171_dedup_savings" ->
+      s"""WITH RECURSIVE BASE AS (SELECT doc_id, source,
+                 CAST(len(${toks("text")}) AS BIGINT) AS n_tok FROM documents),
+          $dedupClusterCtes,
+          SURV AS (SELECT doc_id FROM KEEP
+                   WHERE doc_id NOT IN (SELECT node FROM CL WHERE node <> cluster_id)),
+          A AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM BASE GROUP BY source),
+          KE AS (SELECT b.source, CAST(sum(b.n_tok) AS BIGINT) AS t FROM BASE b
+                JOIN (SELECT doc_id FROM KEEP) k USING (doc_id) GROUP BY b.source),
+          SV AS (SELECT b.source, CAST(sum(b.n_tok) AS BIGINT) AS t FROM BASE b
+                 JOIN SURV s USING (doc_id) GROUP BY b.source)
+          SELECT a.source, a.n_docs, a.n_tokens,
+            CAST(coalesce(ke.t, 0) AS BIGINT) AS tokens_after_exact,
+            CAST(coalesce(sv.t, 0) AS BIGINT) AS tokens_after_neardup,
+            CAST(CASE WHEN a.n_tokens = 0 THEN 0
+              ELSE (coalesce(sv.t, 0) * 1000000) // a.n_tokens END AS BIGINT)
+              AS retained_ppm
+          FROM A a LEFT JOIN KE ke USING (source) LEFT JOIN SV sv USING (source)
+          ORDER BY a.source""",
+
+    // simhash Hamming histogram: q45's banded candidate stream WITHOUT
+    // the verify filter, bucketed by Hamming distance + cumulative
+    "q172_simhash_hamming" -> {
+      val hashes = s"list_transform(${toks("lower(text)")}, t -> ${md5long("t")})"
+      s"""WITH HS AS (SELECT doc_id, $hashes AS H FROM documents),
+          S AS (SELECT doc_id, ${simhashSql(32)} AS sim FROM HS
+                WHERE len(H) > 0),
+          B AS (SELECT doc_id, sim, t.band AS band, (sim >> (t.band * 8)) & 255 AS bval
+                FROM S CROSS JOIN (SELECT unnest(range(4)) AS band) t),
+          P AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                  cast(bit_count(xor(a.sim, b2.sim)) as bigint) AS hamming
+                FROM B a JOIN B b2 ON a.band = b2.band AND a.bval = b2.bval
+                  AND a.doc_id < b2.doc_id),
+          H AS (SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+                FROM P GROUP BY hamming)
+          SELECT hamming, n_pairs,
+            CAST(sum(n_pairs) OVER (ORDER BY hamming
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS n_pairs_le
+          FROM H ORDER BY hamming"""
     })
 }

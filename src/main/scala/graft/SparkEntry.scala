@@ -2298,6 +2298,53 @@ object SparkEntry {
   private def qLshBandSweep(s: SparkSession, dir: String): DataFrame =
     Dedup.lshBandSweep(t(s, dir, "documents"), "doc_id", "text")
 
+  /** Refine recall lift (q169): per query, exact-top-k survival in
+    * the plain IVF-PQ ADC ranking vs the refined ranking — the
+    * measured "does refine buy the recall back" table, per-query
+    * denominators. kShort = 100: at this m=2×k=4 code budget the
+    * ADC top-3 misses every exact neighbor (measured 0 recall at
+    * kShort = 10 too — the shortlist must OUT-SIZE the code noise),
+    * while the 100-deep shortlist + exact re-rank recovers recall up
+    * to the nprobe cell ceiling — both effects visible in one table.
+    * See Similarity.refineRecallReport.
+    */
+  private def qRefineRecall(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val coarse = Similarity.trainCentroids(corpus, k = 8, iters = 2)
+    val books = Similarity.trainPqCodebooks(corpus, m = 2, k = 4, iters = 2)
+    Similarity.refineRecallReport(corpus,
+        corpus.filter(col("id") % 200 === 0 && col("id") < 2000),
+        coarse, books, k = 3, kShort = 100, nprobe = 2)
+      .orderBy(col("query_id"))
+  }
+
+  /** Vocab/OOV coverage (q170): per-source token mass outside the
+    * corpus's own top-10 vocabulary — the tokenizer/vocab-sizing
+    * table (topV = 10 so the synthetic 30-word vocabulary has a
+    * real tail; a production run sizes topV to the tokenizer).
+    * See TextAnalysis.vocabCoverage.
+    */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.vocabCoverage(
+      t(s, dir, "documents"), "source", "text", topV = 10)
+
+  /** Dedup savings (q171): per-source token mass before dedup, after
+    * exact dedup, after LSH near-dup pruning — the dedup-ROI
+    * one-pager attributed to the feed that pays for it.
+    * See Diagnostics.dedupSavings.
+    */
+  private def qDedupSavings(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.dedupSavings(
+      t(s, dir, "documents"), "doc_id", "source", "text")
+
+  /** SimHash Hamming histogram (q172): the banded candidate stream
+    * bucketed by exact Hamming distance with cumulative counts — the
+    * maxHamming calibration table (q134's analog for the simhash
+    * family). See Dedup.simhashHammingHistogram.
+    */
+  private def qSimhashHamming(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashHammingHistogram(t(s, dir, "documents"), "doc_id", "text")
+
   /** Cluster purity (q158): the q49 trained quantizer audited against
     * ground-truth labels. See Similarity.cellPurity.
     */
@@ -2479,7 +2526,11 @@ object SparkEntry {
     "q165_doc_lm_bits" -> (qDocLmBits _),
     "q166_pc1_outliers" -> (qPc1Outliers _),
     "q167_ivf_pq_refine" -> (qIvfPqRefine _),
-    "q168_lsh_band_sweep" -> (qLshBandSweep _))
+    "q168_lsh_band_sweep" -> (qLshBandSweep _),
+    "q169_refine_recall" -> (qRefineRecall _),
+    "q170_vocab_coverage" -> (qVocabCoverage _),
+    "q171_dedup_savings" -> (qDedupSavings _),
+    "q172_simhash_hamming" -> (qSimhashHamming _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

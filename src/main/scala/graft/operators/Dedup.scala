@@ -323,6 +323,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Hamming-distance histogram of the SimHash banded candidate
+    * stream — [[simhashPairs]]' candidate pairs WITHOUT the verify
+    * filter, bucketed by exact Hamming distance with a cumulative
+    * ≤h count: the maxHamming-threshold calibration table (q134's
+    * LSH-sweep analog for the simhash family). Read it to pick the
+    * verify threshold BEFORE a corpus-scale run: the histogram shows
+    * where the near-dup mass ends and the band-collision noise floor
+    * begins.
+    *
+    * Same banding/self-join as simhashPairs (one native signature
+    * pass, checkpointed); the histogram adds one ≤ bits+1-row
+    * aggregate and an equally bounded cumsum window.
+    *
+    * Output: (hamming, n_pairs, n_pairs_le) ordered by hamming.
+    */
+  def simhashHammingHistogram(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    val bandBits = bits / bands
+    val withSim = simhashSignatures(df, idCol, textCol, bits).localCheckpoint()
+    val bandVals = array((0 until bands).map(b =>
+      shiftright(col("simhash"), b * bandBits)
+        .bitwiseAND(lit((1L << bandBits) - 1))): _*)
+    val banded = withSim.select(col("id"), col("simhash"),
+      posexplode(bandVals).as(Seq("band", "bval")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("hamming"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    pairs.groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_pairs_le", sum(col("n_pairs")).over(w).cast("long"))
+      .orderBy(col("hamming"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs. `candidates`
     * must have (id_a, id_b); df provides (id, text). Intended as the
     * verify stage after [[minhashLshPairs]] — joins are equi-joins on

@@ -358,4 +358,51 @@ object Diagnostics {
       .select(col("rank"), col("term"), col("n"), col("share_1e9"),
         col("cum_share_1e9"))
   }
+
+  /** Per-source dedup savings: token mass before dedup, after exact
+    * dedup (min-id keeper per content hash), and after LSH near-dup
+    * cluster pruning (min-id survivor per connected component, the
+    * q44 chain) — the "was the dedup pass worth the cluster-day"
+    * one-pager, attributed per source so the answer names the feed
+    * that pays for it. retained_ppm is exact integer.
+    *
+    * Shape: the (doc, source, token-count) base materializes once
+    * (localCheckpoint); keeper/survivor sets are id-only semi/anti
+    * joins against it; the expensive LSH stage runs over KEEPERS only
+    * (exact-dup mass never pays signature cost — the q44 staging).
+    * Sources whose docs all drop report 0, not a missing row.
+    *
+    * Output: (source, n_docs, n_tokens, tokens_after_exact,
+    * tokens_after_neardup, retained_ppm).
+    */
+  def dedupSavings(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.tokens
+    val base = docs.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source"), col(textCol).as("text"),
+        size(tokens(col(textCol))).cast("long").as("n_tok"))
+      .localCheckpoint()
+    val keepIds = base.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val keep = base.join(keepIds, Seq("doc_id"), "left_semi").localCheckpoint()
+    val dropped = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(keep, "doc_id", "text"))
+      .filter(col("id") =!= col("cluster_id")).select(col("id").as("doc_id"))
+    val surv = keep.join(dropped, Seq("doc_id"), "left_anti")
+    val before = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val afterExact = keep.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("tokens_after_exact"))
+    val afterNear = surv.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("tokens_after_neardup"))
+    before.join(afterExact, Seq("source"), "left")
+      .join(afterNear, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        coalesce(col("tokens_after_exact"), lit(0L)).as("tokens_after_exact"),
+        coalesce(col("tokens_after_neardup"), lit(0L)).as("tokens_after_neardup"))
+      .withColumn("retained_ppm", expr(
+        "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (tokens_after_neardup * 1000000) DIV n_tokens END"))
+      .orderBy(col("source"))
+  }
 }

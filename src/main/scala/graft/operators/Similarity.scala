@@ -632,6 +632,40 @@ object Similarity {
     rank(scored, k)
   }
 
+  /** Recall-lift report for the refine stage: per query, how many of
+    * the EXACT top-k ([[bruteForceTopK]] ground truth) survive in (a)
+    * the plain IVF-PQ ADC top-k and (b) the refined top-k — the
+    * measured answer to "does the compressed index need the refine
+    * pass, and does refine buy it back". Per-query denominators (the
+    * exact-neighbor count, not the literal k) so recall is honest on
+    * small/filtered corpora.
+    *
+    * All three rankings are their own audited plans; the comparison
+    * adds two |queries|·k left joins + one bounded aggregate — cost
+    * independent of corpus size.
+    *
+    * Output: (query_id, n_exact, hits_adc, hits_refine,
+    * recall_adc_1e6, recall_refine_1e6).
+    */
+  def refineRecallReport(corpus: DataFrame, queries: DataFrame,
+      coarse: Seq[(Int, Seq[Double])], codebooks: Seq[Seq[(Int, Seq[Double])]],
+      k: Int, kShort: Int, nprobe: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val adc = ivfPqTopK(corpus, queries, coarse, codebooks, k, nprobe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_adc"))
+    val ref = ivfPqRefineTopK(corpus, queries, coarse, codebooks, k, kShort, nprobe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_refine"))
+    exact.join(adc, Seq("query_id", "neighbor_id"), "left")
+      .join(ref, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("in_adc"), lit(0L))).cast("long").as("hits_adc"),
+        sum(coalesce(col("in_refine"), lit(0L))).cast("long").as("hits_refine"))
+      .withColumn("recall_adc_1e6", expr("(hits_adc * 1000000) DIV n_exact"))
+      .withColumn("recall_refine_1e6", expr("(hits_refine * 1000000) DIV n_exact"))
+  }
+
   /** Recall@k report for the bucketed (approximate) path against the
     * brute-force ground truth — THE metric an ANN index is judged by
     * (recall/latency trade; the scan-cost saving is only worth what

@@ -890,4 +890,43 @@ object TextAnalysis {
         sum(col("w") * col("bits")).cast("long").as("sum_bits"))
       .withColumn("avg_millibits", expr("(sum_bits * 1000) DIV n_pairs"))
   }
+
+  /** Closed-vocabulary coverage per source: token-occurrence share
+    * OUTSIDE the corpus's own top-`topV` vocabulary — the OOV-rate
+    * table a tokenizer/vocab decision is made from (a source whose
+    * mass lives in the vocab tail pays fertility and UNK costs first).
+    * Vocabulary = top-V terms by (count desc, term asc) — a
+    * deterministic cut on both engines.
+    *
+    * Shape at scale: the token stream aggregates to per-(source,
+    * term) counts FIRST (one shuffle bounded by |sources|·|vocab
+    * observed|, checkpointed), the stats re-aggregate from that, and
+    * the top-V vocab is a TakeOrdered cut broadcast back onto the
+    * counts — the corpus is never re-tokenized and never joins on
+    * term at full stream width.
+    *
+    * Output: (source, n_tokens, n_oov, n_oov_types, oov_ppm).
+    */
+  def vocabCoverage(docs: DataFrame, sourceCol: String, textCol: String,
+      topV: Int = 1000): DataFrame = {
+    require(topV >= 1, s"need topV >= 1, got $topV")
+    val ts = docs.select(col(sourceCol).as("source"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vocab = ts.groupBy(col("term")).agg(sum(col("cnt")).as("tc"))
+      .orderBy(col("tc").desc, col("term")).limit(topV)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    ts.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).cast("long").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("cnt")).otherwise(lit(0L)))
+          .cast("long").as("n_oov"),
+        sum(when(col("in_vocab").isNull, lit(1L)).otherwise(lit(0L)))
+          .cast("long").as("n_oov_types"))
+      .withColumn("oov_ppm", expr(
+        "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_oov * 1000000) DIV n_tokens END"))
+      .orderBy(col("source"))
+  }
 }

@@ -2133,6 +2133,77 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("refineRecallReport: full probe + full shortlist → refine recall is 1") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.1, 0.0)), (2L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (3L, Seq(1.0, 0.1, 0.1, 0.0)), (4L, Seq(0.0, 0.1, 0.9, 1.0)),
+      (5L, Seq(0.1, 0.0, 1.0, 0.9)), (6L, Seq(0.0, 0.0, 1.0, 1.0)))
+    val corpus = vecs.toDF("id", "emb")
+    val queries = corpus.filter(col("id").isin(1L, 4L))
+    val coarse = Similarity.trainCentroids(corpus, k = 2, iters = 2)
+    val books = Similarity.trainPqCodebooks(corpus, m = 2, k = 2, iters = 2)
+    val out = Similarity.refineRecallReport(corpus, queries, coarse, books,
+        k = 2, kShort = 6, nprobe = 2).orderBy("query_id").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("recall_refine_1e6") == 1000000L,
+        s"refine over the full candidate set must be exact: ${out.mkString(";")}")
+      assert(r.getAs[Long]("hits_adc") <= r.getAs[Long]("hits_refine"),
+        s"refine never loses recall vs plain ADC: ${out.mkString(";")}")
+      assert(r.getAs[Long]("n_exact") == 2L)
+    }
+  }
+
+  test("vocabCoverage: OOV mass per source, deterministic tie-break at the cut") {
+    val docs = Seq((1L, "A", "a a b"), (2L, "B", "c")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "source", "text", topV = 1)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("n_oov_types"), r.getAs[Long]("oov_ppm")))).toMap
+    // vocab = {a} (count 2); A: b is OOV (1 of 3); B: c is OOV (1 of 1)
+    assert(out("A") == ((3L, 1L, 1L, 333333L)), s"$out")
+    assert(out("B") == ((1L, 1L, 1L, 1000000L)), s"$out")
+    // count tie at the cut → term asc wins: vocab = {a}, b stays OOV
+    val tie = Seq((1L, "S", "b a")).toDF("doc_id", "source", "text")
+    val t = TextAnalysis.vocabCoverage(tie, "source", "text", topV = 1).collect()(0)
+    assert(t.getAs[Long]("n_oov") == 1L, s"tie must resolve to 'a' in-vocab: $t")
+  }
+
+  test("dedupSavings: per-source token mass through exact + near-dup stages") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today" // 13
+    val docs = Seq(
+      (1L, "X", base), (2L, "X", base),                    // exact dup inside X
+      (5L, "Z", base),                                     // exact dup ACROSS sources
+      (3L, "Y", "completely different words entirely unrelated content here now") // 8
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.Diagnostics.dedupSavings(docs, "doc_id", "source", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("tokens_after_exact"), r.getAs[Long]("tokens_after_neardup"),
+          r.getAs[Long]("retained_ppm")))).toMap
+    // keeper of `base` is min(doc_id) = 1 → X keeps one copy, Z keeps NONE
+    assert(out("X") == ((2L, 26L, 13L, 13L, 500000L)), s"$out")
+    assert(out("Z") == ((1L, 13L, 0L, 0L, 0L)), s"fully-deduped source reports 0: $out")
+    assert(out("Y") == ((1L, 8L, 8L, 8L, 1000000L)), s"$out")
+  }
+
+  test("simhashHammingHistogram: h=0 mass for identical docs; cumulative consistent with pairs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq((1L, base), (2L, base),
+      (3L, "completely different words entirely unrelated content here now"),
+      (4L, base + " extra tail")).toDF("doc_id", "text")
+    val hist = Dedup.simhashHammingHistogram(df, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("hamming"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_pairs_le")))
+    assert(hist.head._1 == 0L && hist.head._2 >= 1L,
+      s"identical docs must land a Hamming-0 pair: ${hist.toSeq}")
+    // cumulative is monotone and ends at the total
+    assert(hist.map(_._3).toSeq == hist.map(_._2).scanLeft(0L)(_ + _).tail.toSeq)
+    // the ≤3 cumulative equals the verified pair count of simhashPairs
+    val le3 = hist.filter(_._1 <= 3L).map(_._2).sum
+    val verified = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3).count()
+    assert(le3 == verified, s"histogram(≤3)=$le3 vs simhashPairs=$verified")
+  }
+
   test("lshBandSweep: raw candidate count dominates the distinct pair count") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val df = Seq((1L, base), (2L, base), (3L, base + " extra"),
