@@ -3386,13 +3386,24 @@ object OracleSql {
           ORDER BY a.source""",
 
     // simhash Hamming histogram: q45's banded candidate stream WITHOUT
-    // the verify filter, bucketed by Hamming distance + cumulative
+    // the verify filter, bucketed by Hamming distance + cumulative;
+    // band width ADAPTIVE from count(*) (the q82 derivation — the
+    // unfiltered stream is the n²/2^bandBits cliff population, so the
+    // histogram must size itself)
     "q172_simhash_hamming" -> {
       val hashes = s"list_transform(${toks("lower(text)")}, t -> ${md5long("t")})"
-      s"""WITH HS AS (SELECT doc_id, $hashes AS H FROM documents),
-          S AS (SELECT doc_id, ${simhashSql(32)} AS sim FROM HS
-                WHERE len(H) > 0),
-          B AS (SELECT doc_id, sim, t.band AS band, (sim >> (t.band * 8)) & 255 AS bval
+      s"""WITH NB AS (SELECT count(*)::BIGINT AS n FROM documents),
+          BB AS (SELECT least(15, greatest(4, b))::BIGINT AS bb,
+                 (4 * least(15, greatest(4, b)))::BIGINT AS bits
+                FROM (SELECT min(b)::INT AS b FROM range(0, 61) t(b), NB
+                      WHERE (1::BIGINT << b) >= ((NB.n + 1) // 2))),
+          HS AS (SELECT doc_id, $hashes AS H FROM documents),
+          S AS (SELECT doc_id,
+                 ${simhashSql(60)} & ((1::BIGINT << bb.bits) - 1) AS sim,
+                 bb.bb AS bandbits
+                FROM HS, BB bb WHERE len(H) > 0),
+          B AS (SELECT doc_id, sim, bandbits, t.band AS band,
+                 (sim >> (t.band * bandbits)) & ((1::BIGINT << bandbits) - 1) AS bval
                 FROM S CROSS JOIN (SELECT unnest(range(4)) AS band) t),
           P AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
                   cast(bit_count(xor(a.sim, b2.sim)) as bigint) AS hamming
@@ -3403,7 +3414,8 @@ object OracleSql {
           SELECT hamming, n_pairs,
             CAST(sum(n_pairs) OVER (ORDER BY hamming
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-              AS n_pairs_le
+              AS n_pairs_le,
+            (SELECT bits FROM BB) AS bits
           FROM H ORDER BY hamming"""
     })
 }

@@ -2340,10 +2340,20 @@ object SparkEntry {
   /** SimHash Hamming histogram (q172): the banded candidate stream
     * bucketed by exact Hamming distance with cumulative counts — the
     * maxHamming calibration table (q134's analog for the simhash
-    * family). See Dedup.simhashHammingHistogram.
+    * family). Band width is ADAPTIVE (Dedup.suggestSimhashParams from
+    * count(*), the q82 pattern): the unfiltered candidate stream is
+    * exactly the ~n²/2^bandBits population the q45 cliff is made of,
+    * so a fixed-width histogram would be its own scale cliff (measured
+    * 77× at 10× data at fixed 8-bit bands; adaptive re-measured
+    * ~linear). The oracle re-derives the width from its own count(*).
+    * See Dedup.simhashHammingHistogram.
     */
-  private def qSimhashHamming(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashHammingHistogram(t(s, dir, "documents"), "doc_id", "text")
+  private def qSimhashHamming(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (bits, bands) = Dedup.suggestSimhashParams(docs.count(), bands = 4)
+    Dedup.simhashHammingHistogram(docs, "doc_id", "text", bits, bands)
+      .withColumn("bits", lit(bits.toLong))
+  }
 
   /** Cluster purity (q158): the q49 trained quantizer audited against
     * ground-truth labels. See Similarity.cellPurity.
