@@ -3417,5 +3417,192 @@ object OracleSql {
               AS n_pairs_le,
             (SELECT bits FROM BB) AS bits
           FROM H ORDER BY hamming"""
+    },
+
+    // incremental near-dup admit: q94's two-batch replay, but batch-2
+    // rejection = exact md5 OR (shared LSH band AND >= 50% signature
+    // agreement) against batch 1's admitted signature index
+    "q173_inc_near_dup" -> {
+      val p = graft.operators.Dedup.MinhashP
+      val sigExprs = graft.operators.Dedup.minhashCoeffs(16).map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
+      }.mkString("[", ", ", "]")
+      s"""WITH D AS (SELECT doc_id, text, md5(text) AS h,
+                 CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS bno
+                FROM documents),
+          F AS (SELECT bno, h, doc_id, text FROM (
+                SELECT *, row_number() OVER (PARTITION BY bno, h
+                  ORDER BY doc_id) AS rn FROM D) WHERE rn = 1),
+          TH AS (SELECT doc_id, ${tokenHashExpr("text")} AS th FROM F),
+          HS AS (SELECT doc_id, $gramFromTh AS hs FROM TH),
+          SG AS (SELECT doc_id,
+                 CASE WHEN len(hs) > 0 THEN $sigExprs ELSE NULL END AS sig FROM HS),
+          FS AS (SELECT f.bno, f.h, f.doc_id, s.sig
+                 FROM F f JOIN SG s USING (doc_id)),
+          A1 AS (SELECT * FROM FS WHERE bno = 1),
+          EXN AS (SELECT * FROM FS WHERE bno = 2
+                  AND h NOT IN (SELECT h FROM A1)),
+          REJ AS (SELECT DISTINCT e.doc_id FROM EXN e JOIN A1 a
+                  ON e.sig IS NOT NULL AND a.sig IS NOT NULL
+                  AND len(list_filter(range(4), b ->
+                      list_slice(e.sig, b*4 + 1, b*4 + 4)
+                        = list_slice(a.sig, b*4 + 1, b*4 + 4))) > 0
+                  AND len(list_filter(range(16), i ->
+                      e.sig[i+1] = a.sig[i+1])) * 1000000 >= 500000 * 16),
+          A2 AS (SELECT * FROM EXN
+                 WHERE doc_id NOT IN (SELECT doc_id FROM REJ))
+          SELECT doc_id, h, bno AS batch_no FROM A1
+          UNION ALL SELECT doc_id, h, bno FROM A2
+          ORDER BY doc_id"""
+    },
+
+    // k-center coreset: 3 unrolled greedy farthest-point rounds —
+    // seed = min id, then argmin of best-coverage cosine (ties low)
+    "q174_kcenter_coreset" ->
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          S1 AS (SELECT id AS c1, emb AS e1 FROM C
+                 WHERE id = (SELECT min(id) FROM C)),
+          COV1 AS (SELECT c.id, c.emb,
+                   ${scoreFixedSafeSql("c.emb", "s.e1")} AS ms
+                   FROM C c CROSS JOIN S1 s WHERE c.id <> s.c1),
+          F2 AS (SELECT id, ms FROM COV1 ORDER BY ms, id LIMIT 1),
+          S2 AS (SELECT f.id AS c2, c.emb AS e2, f.ms AS ms2
+                 FROM F2 f JOIN C c ON c.id = f.id),
+          COV2 AS (SELECT v.id, v.emb,
+                   greatest(v.ms, ${scoreFixedSafeSql("v.emb", "s.e2")}) AS ms
+                   FROM COV1 v CROSS JOIN S2 s WHERE v.id <> s.c2),
+          F3 AS (SELECT id, ms FROM COV2 ORDER BY ms, id LIMIT 1)
+          SELECT CAST(1 AS BIGINT) AS pick_no, c1 AS center_id,
+            CAST(NULL AS BIGINT) AS cover_sim_1e6 FROM S1
+          UNION ALL SELECT CAST(2 AS BIGINT), c2, CAST(ms2 AS BIGINT) FROM S2
+          UNION ALL SELECT CAST(3 AS BIGINT), id, CAST(ms AS BIGINT) FROM F3
+          ORDER BY pick_no""",
+
+    // semantic cosine histogram: q86's within-cell candidate pairs
+    // bucketed by truncating 50k-wide cosine buckets + cumulative >=
+    "q175_semantic_cos_hist" ->
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          ${ivfCoarseCtes(8, 2)},
+          SP AS (SELECT ${scoreFixedSafeSql("a.emb", "b.emb")} AS cos
+                 FROM CC a JOIN CC b ON a.cid = b.cid AND a.id < b.id),
+          HB AS (SELECT (cos // 50000) * 50000 AS bucket_lo_1e6,
+                 CAST(count(*) AS BIGINT) AS n_pairs FROM SP GROUP BY 1)
+          SELECT bucket_lo_1e6, n_pairs,
+            CAST(sum(n_pairs) OVER (ORDER BY bucket_lo_1e6 DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS n_pairs_ge
+          FROM HB ORDER BY bucket_lo_1e6 DESC""",
+
+    // per-source attrition: q127's first-fail CASE joined with source,
+    // shares within each source's own total
+    "q176_attrition_by_source" ->
+      s"""WITH RECURSIVE $dedupClusterCtes,
+          ${gateCtes("documents")},
+          ${benchGramsCte()},
+          CONTAM AS (SELECT DISTINCT d.doc_id
+                 FROM (SELECT doc_id, unnest(${shingles3("text")}) AS gram
+                       FROM documents) d
+                 JOIN BG USING (gram)),
+          REP AS (SELECT doc_id, ${repFixedSql("g")} AS rep_1e6
+              FROM (SELECT doc_id, ${rawShingles3("text")} AS g FROM documents)),
+          V AS (SELECT d.doc_id, d.source,
+                 CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM KEEP) THEN '1_exact_dup'
+                      WHEN d.doc_id IN (SELECT node FROM CL WHERE node <> cluster_id) THEN '2_near_dup'
+                      WHEN g.quality_1e6 < 600000 THEN '3_quality'
+                      WHEN g.predicted_lang <> 'en' THEN '4_language'
+                      WHEN r.rep_1e6 >= 500000 THEN '5_repetition'
+                      WHEN d.doc_id IN (SELECT doc_id FROM CONTAM) THEN '6_contaminated'
+                      ELSE '7_pass' END AS gate
+                FROM documents d JOIN G g USING (doc_id) JOIN REP r USING (doc_id)),
+          CT AS (SELECT source, gate, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM V GROUP BY source, gate),
+          TT AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS t
+                 FROM CT GROUP BY source)
+          SELECT c.source, c.gate, c.n_docs,
+            (c.n_docs * 1000000) // t.t AS share_1e6
+          FROM CT c JOIN TT t USING (source)
+          ORDER BY c.source, c.gate""",
+
+    // held-out KN perplexity: stats from the even-id half only, the
+    // odd-id half scored with interpolated -> backoff -> unseen floor
+    "q177_lm_heldout" ->
+      s"""WITH TRP AS (SELECT tk[i+1] AS a, tk[i+2] AS b
+                FROM (SELECT tk, unnest(range(len(tk)-1)) AS i
+                      FROM (SELECT ${toks("lower(text)")} AS tk FROM documents
+                            WHERE doc_id % 2 = 0)
+                      WHERE len(tk) >= 2)),
+          BG AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+                 FROM TRP GROUP BY a, b),
+          L AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+                 CAST(count(*) AS BIGINT) AS n1_fwd FROM BG GROUP BY a),
+          R AS (SELECT b, CAST(count(*) AS BIGINT) AS n1_bwd FROM BG GROUP BY b),
+          T AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM BG),
+          DP AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS w FROM
+                 (SELECT doc_id, tk[i+1] AS a, tk[i+2] AS b
+                  FROM (SELECT doc_id, tk, unnest(range(len(tk)-1)) AS i
+                        FROM (SELECT doc_id, ${toks("lower(text)")} AS tk
+                              FROM documents WHERE doc_id % 2 = 1)
+                        WHERE len(tk) >= 2))
+                 GROUP BY doc_id, a, b),
+          SC AS (SELECT dp.doc_id, dp.w,
+                  CAST(20 - length(bin(greatest(CASE
+                    WHEN g.c_ab IS NOT NULL AND g.c_ab >= 2
+                    THEN CAST((((4*g.c_ab - 3)::HUGEINT * t.n_types
+                               + 3::HUGEINT * l.n1_fwd * r.n1_bwd) * 1000000)
+                         // (4::HUGEINT * l.c_a * t.n_types) AS BIGINT)
+                    WHEN l.c_a IS NOT NULL AND r.n1_bwd IS NOT NULL
+                    THEN CAST((3::HUGEINT * l.n1_fwd * r.n1_bwd * 1000000)
+                         // (4::HUGEINT * l.c_a * t.n_types) AS BIGINT)
+                    ELSE CAST(1 AS BIGINT)
+                  END, CAST(1 AS BIGINT)))) AS BIGINT) AS bits
+                 FROM DP dp
+                 LEFT JOIN BG g ON g.a = dp.a AND g.b = dp.b
+                 LEFT JOIN L l ON l.a = dp.a
+                 LEFT JOIN R r ON r.b = dp.b
+                 CROSS JOIN T t)
+          SELECT doc_id, CAST(sum(w) AS BIGINT) AS n_pairs,
+            CAST(sum(w * bits) AS BIGINT) AS sum_bits,
+            CAST((sum(w * bits) * 1000) // sum(w) AS BIGINT) AS avg_millibits
+          FROM SC GROUP BY doc_id ORDER BY doc_id""",
+
+    // per-doc word entropy: exact-integer bits over the doc's own
+    // word distribution + type/token ratio, all list ops
+    "q178_word_entropy" ->
+      s"""WITH TK AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents)
+          SELECT doc_id,
+            CAST(len(tk) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(tk)) AS BIGINT) AS n_types,
+            CAST(CASE WHEN len(tk) = 0 THEN 0 ELSE coalesce(list_sum(
+              list_transform(list_distinct(tk), w ->
+                len(list_filter(tk, t -> t = w))::BIGINT
+                  * (length(bin(len(tk)::BIGINT))
+                     - length(bin(len(list_filter(tk, t -> t = w))::BIGINT))))),
+              0) END AS BIGINT) AS sum_bits,
+            CAST(CASE WHEN len(tk) = 0 THEN 0
+              ELSE (len(list_distinct(tk))::BIGINT * 1000000) // len(tk) END
+              AS BIGINT) AS ttr_ppm
+          FROM TK ORDER BY doc_id""",
+
+    // PQ quantization error: q58's per-subspace codes joined back to
+    // their centroids, reconstruction cosine bucketed + cumulative
+    "q179_pq_error" -> {
+      val (m, kc, sub) = (2, 4, 32)
+      val trains = (0 until m).map(s => pqTrainCodesCtes(s, kc, sub, "C"))
+        .mkString(",\n")
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          $trains,
+          RC AS (SELECT c.id, c.emb, list_concat(p0.cemb, p1.cemb) AS recon
+                 FROM C c
+                 JOIN CODE0 c0 ON c0.id = c.id JOIN PS2_0 p0 ON p0.cid = c0.cid
+                 JOIN CODE1 c1 ON c1.id = c.id JOIN PS2_1 p1 ON p1.cid = c1.cid),
+          SC AS (SELECT ${scoreFixedSafeSql("rc.emb", "rc.recon")} AS cos
+                 FROM RC rc),
+          HB AS (SELECT (cos // 10000) * 10000 AS bucket_lo_1e6,
+                 CAST(count(*) AS BIGINT) AS n_vectors FROM SC GROUP BY 1)
+          SELECT bucket_lo_1e6, n_vectors,
+            CAST(sum(n_vectors) OVER (ORDER BY bucket_lo_1e6 DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS n_ge
+          FROM HB ORDER BY bucket_lo_1e6 DESC"""
     })
 }

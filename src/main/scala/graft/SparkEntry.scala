@@ -2355,6 +2355,93 @@ object SparkEntry {
       .withColumn("bits", lit(bits.toLong))
   }
 
+  /** Incremental NEAR-dup dedup-on-ingest (q173): q94's two-batch
+    * replay with the admission test upgraded to MinHash similarity
+    * against the signature index — batch 2 docs sharing an LSH band
+    * with batch 1's admitted docs at ≥ 50% signature agreement are
+    * turned away without any historical text. The oracle replays both
+    * batches: in-batch exact firsts, then the band-collision +
+    * agreement rejection against batch 1's admitted set.
+    * See IncrementalDedup.appendNovelNearDup.
+    */
+  private def qIncNearDup(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q173_incnd_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "doc_id", "batch_no",
+      numBuckets = 8)
+    val docs = t(s, dir, "documents")
+    graft.operators.IncrementalDedup.appendNovelNearDup(vt,
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 1L)
+    graft.operators.IncrementalDedup.appendNovelNearDup(vt,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 2L)
+    vt.snapshot.select(col("doc_id"), col("h"), col("batch_no"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** k-center coreset (q174): greedy farthest-point selection of 3
+    * diverse anchors (seed = lowest id), each round one distributed
+    * argmin over the coverage frame — with the coverage-radius curve
+    * in the output. See Similarity.kCenterSelect.
+    */
+  private def qKCenter(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterSelect(embCorpus(s, dir), k = 3)
+
+  /** Semantic cosine histogram (q175): q86's within-cell candidate
+    * pairs bucketed by fixed cosine with cumulative ≥ counts — the
+    * threshold calibration table for semantic dedup (the q134/q172
+    * analog for embeddings). See Dedup.semanticCosineHistogram.
+    */
+  private def qSemanticCosHist(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val cents = Similarity.trainCentroids(corpus, k = 8, iters = 2)
+    graft.operators.Dedup.semanticCosineHistogram(corpus, cents)
+  }
+
+  /** Per-source attrition funnel (q176): q127's first-fail gate
+    * attribution grouped by source with within-source shares — the
+    * actionable per-feed loss table. See Curation.attritionFunnelBySource.
+    */
+  private def qAttritionBySource(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Curation.attritionFunnelBySource(docs,
+      docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000), "source")
+  }
+
+  /** Held-out LM perplexity (q177): the KN bigram LM trained on the
+    * even-id half, the odd-id half scored with the full unseen
+    * ladder (interpolated → backoff → unseen-word floor) — the
+    * honest train/test perplexity q165 can't show.
+    * See TextAnalysis.docLmBitsHeldOut.
+    */
+  private def qLmHeldOut(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.TextAnalysis.docLmBitsHeldOut(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word entropy / lexical diversity (q178): exact-integer per-doc
+    * word entropy + type/token ratio, entirely map-side (one HOF
+    * pass, zero shuffles). See TextAnalysis.wordEntropy.
+    */
+  private def qWordEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.wordEntropy(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** PQ quantization-error report (q179): per-vector cosine to the PQ
+    * reconstruction, bucketed — the code-budget calibration table at
+    * the error's source (q169 measures the recall symptom downstream).
+    * See Similarity.pqErrorReport.
+    */
+  private def qPqError(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val books = Similarity.trainPqCodebooks(corpus, m = 2, k = 4, iters = 2)
+    Similarity.pqErrorReport(corpus, books)
+  }
+
   /** Cluster purity (q158): the q49 trained quantizer audited against
     * ground-truth labels. See Similarity.cellPurity.
     */
@@ -2540,7 +2627,14 @@ object SparkEntry {
     "q169_refine_recall" -> (qRefineRecall _),
     "q170_vocab_coverage" -> (qVocabCoverage _),
     "q171_dedup_savings" -> (qDedupSavings _),
-    "q172_simhash_hamming" -> (qSimhashHamming _))
+    "q172_simhash_hamming" -> (qSimhashHamming _),
+    "q173_inc_near_dup" -> (qIncNearDup _),
+    "q174_kcenter_coreset" -> (qKCenter _),
+    "q175_semantic_cos_hist" -> (qSemanticCosHist _),
+    "q176_attrition_by_source" -> (qAttritionBySource _),
+    "q177_lm_heldout" -> (qLmHeldOut _),
+    "q178_word_entropy" -> (qWordEntropy _),
+    "q179_pq_error" -> (qPqError _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

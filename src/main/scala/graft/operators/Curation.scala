@@ -175,6 +175,27 @@ object Curation {
       maxRep1e6: Long = 500000L, repetitionN: Int = 3,
       decontamN: Int = 3, minShared: Long = 1L,
       bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+    val verdicts = funnelVerdicts(docs, bench, idCol, textCol, minQuality1e6,
+      lang, maxRep1e6, repetitionN, decontamN, minShared, bands, rowsPerBand, n)
+    val total = docs.agg(count(lit(1)).as("_total"))
+    verdicts.groupBy(col("gate"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_1e6", expr("n_docs * 1000000 DIV _total"))
+      .select(col("gate"), col("n_docs"), col("share_1e6"))
+  }
+
+  /** Per-doc first-fail gate verdicts — the shared spine of
+    * [[attritionFunnel]] and [[attritionFunnelBySource]]: every gate
+    * signal computed in a parallel branch, folded by one CASE.
+    * Returns (_id, gate).
+    */
+  private def funnelVerdicts(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      minQuality1e6: Long, lang: String,
+      maxRep1e6: Long, repetitionN: Int,
+      decontamN: Int, minShared: Long,
+      bands: Int, rowsPerBand: Int, n: Int): DataFrame = {
     val keepers = Dedup.exact(docs, col(idCol), col(textCol))
       .select(col("keep_id").as("_keep_id"), lit(true).as("_is_keep"))
     val kept = docs.join(
@@ -191,22 +212,48 @@ object Curation {
       TextAnalysis.curationGates(col(textCol)).as("_g"),
       floor(TextAnalysis.repetitionRatio(col(textCol), repetitionN) *
         lit(1000000.0)).cast("long").as("_rep_1e6"))
-    val verdicts = sig
+    sig
       .join(keepers, col("_id") === col("_keep_id"), "left")
       .join(nearDropped, col("_id") === col("_nd_id"), "left")
       .join(contaminated, col("_id") === col("_ct_id"), "left")
-      .select(when(col("_is_keep").isNull, "1_exact_dup")
+      .select(col("_id"),
+        when(col("_is_keep").isNull, "1_exact_dup")
         .when(coalesce(col("_near_dup"), lit(false)), "2_near_dup")
         .when(col("_g.quality_1e6") < minQuality1e6, "3_quality")
         .when(col("_g.predicted_lang") =!= lang, "4_language")
         .when(col("_rep_1e6") >= maxRep1e6, "5_repetition")
         .when(coalesce(col("_contam"), lit(false)), "6_contaminated")
         .otherwise("7_pass").as("gate"))
-    val total = docs.agg(count(lit(1)).as("_total"))
-    verdicts.groupBy(col("gate"))
+  }
+
+  /** [[attritionFunnel]] attributed per SOURCE: the same first-fail
+    * verdict spine, grouped by (source, gate) with shares within each
+    * source's own total — the table that turns "the corpus loses 40%
+    * to near-dups" into "feed X loses 80%, feed Y loses 2%", which is
+    * the actionable form (fix or drop the feed, not the pipeline).
+    * Costs one id→source join and a |sources|·7-bounded aggregate on
+    * top of the funnel spine; per-source totals are a second bounded
+    * aggregate broadcast back.
+    *
+    * Output: (source, gate, n_docs, share_1e6) ordered by source, gate.
+    */
+  def attritionFunnelBySource(docs: DataFrame, bench: DataFrame,
+      sourceCol: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      minQuality1e6: Long = 600000L, lang: String = "en",
+      maxRep1e6: Long = 500000L, repetitionN: Int = 3,
+      decontamN: Int = 3, minShared: Long = 1L,
+      bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+    val verdicts = funnelVerdicts(docs, bench, idCol, textCol, minQuality1e6,
+      lang, maxRep1e6, repetitionN, decontamN, minShared, bands, rowsPerBand, n)
+    val withSource = verdicts.join(
+      docs.select(col(idCol).as("_id"), col(sourceCol).as("source")), Seq("_id"))
+    val counts = withSource.groupBy(col("source"), col("gate"))
       .agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(total))
+    val totals = counts.groupBy(col("source")).agg(sum(col("n_docs")).as("_total"))
+    counts.join(broadcast(totals), Seq("source"))
       .withColumn("share_1e6", expr("n_docs * 1000000 DIV _total"))
-      .select(col("gate"), col("n_docs"), col("share_1e6"))
+      .select(col("source"), col("gate"), col("n_docs"), col("share_1e6"))
+      .orderBy(col("source"), col("gate"))
   }
 }

@@ -205,6 +205,46 @@ object Dedup {
       .orderBy(col("bands").desc)
   }
 
+  /** Cosine histogram of the SEMANTIC dedup candidate stream: all
+    * within-cell pairs of a trained coarse quantizer
+    * ([[graft.operators.Similarity.assignCells]] — the q86 candidate
+    * population), bucketed by fixed-point cosine with a cumulative
+    * ≥-bucket count — the threshold1e6 calibration table for
+    * [[semanticDedup]] (the q134/q172 analog for the embedding
+    * family): read it to see where the duplicate mass ends before
+    * committing a cosine threshold at corpus scale.
+    *
+    * bucket_lo_1e6 = (cos div width)·width with TRUNCATING division
+    * on both engines (negative cosines bucket toward zero — a label
+    * convention, not a correctness hazard, and engine-identical).
+    * Pair work is bounded by cell populations exactly as
+    * semanticDedup's is; the histogram adds one bounded aggregate and
+    * a ≤(2e6/width)-row cumulative window.
+    *
+    * Output: (bucket_lo_1e6, n_pairs, n_pairs_ge) ordered by bucket
+    * descending.
+    */
+  def semanticCosineHistogram(corpus: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      bucketWidth1e6: Long = 50000L): DataFrame = {
+    require(bucketWidth1e6 >= 1, s"bucket width must be positive: $bucketWidth1e6")
+    val cells = graft.operators.Similarity.assignCells(corpus, centroids)
+      .localCheckpoint()
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(graft.operators.Similarity.scoreFixedSafe(
+        col("a.emb"), col("b.emb")).as("cos_1e6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket_lo_1e6").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    pairs
+      .withColumn("bucket_lo_1e6",
+        expr(s"(cos_1e6 DIV $bucketWidth1e6) * $bucketWidth1e6"))
+      .groupBy(col("bucket_lo_1e6")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_pairs_ge", sum(col("n_pairs")).over(w).cast("long"))
+      .orderBy(col("bucket_lo_1e6").desc)
+  }
+
   /** SimHash bit-vote fold over a *materialized* token-hash array
     * column (see the minhash note — don't inline the hash expression,
     * it would be re-evaluated once per bit).

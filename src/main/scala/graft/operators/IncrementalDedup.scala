@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dedup-on-ingest against corpus history: each incoming batch is
@@ -42,5 +42,72 @@ object IncrementalDedup {
       .localCheckpoint(true) // pin the admitted set BEFORE the commit mutates the index
     if (!novel.isEmpty) index.upsert(novel)
     novel
+  }
+
+  /** NEAR-dup-aware dedup-on-ingest: [[appendNovel]]'s contract with
+    * the admission test upgraded from exact content identity to
+    * MinHash similarity against everything ever admitted. The index
+    * stores one (doc_id, h, sig, batch_no) row per admitted doc —
+    * content md5 plus the k-int minhash signature, ~150 B/doc — and a
+    * batch doc is REJECTED when (a) its md5 is already indexed, or
+    * (b) it shares an LSH band with an admitted doc AND the
+    * signature-agreement Jaccard estimate (the q120 estimator — no
+    * historical text needed, the signatures ARE the index) reaches
+    * `simThreshold1e6`. Docs too short to carry a signature admit on
+    * the exact test alone and index with a null sig.
+    *
+    * Within a batch only exact first-occurrence dedup applies (near
+    * dups arriving in the SAME batch both admit — batch-granular by
+    * design; run an in-batch near-dup pass upstream if that matters).
+    *
+    * Scale: the history side is the signature index, not the corpus —
+    * the band join shuffles |batch|·bands keys against index band
+    * keys, agreement is a narrow zip over already-materialized
+    * signatures, and only touched buckets rewrite on commit. The
+    * admitted set pins via localCheckpoint before the commit mutates
+    * the snapshot (the appendNovel lesson).
+    */
+  def appendNovelNearDup(index: VersionedTable, batch: DataFrame,
+      idCol: String, textCol: String, batchNo: Long,
+      simThreshold1e6: Long = 500000L,
+      bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3): DataFrame = {
+    require(index.recordKey == "doc_id",
+      s"near-dup index must be keyed on 'doc_id', got '${index.recordKey}'")
+    val k = bands * rowsPerBand
+    def bandKeys(sig: Column): Column =
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        md5(array_join(transform(
+          slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")), ",")))
+    val hashed = batch.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("h"), col(textCol).as("text"))
+    val firsts = hashed.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("_m"))
+      .select(col("h"), col("_m.doc_id").as("doc_id"),
+        graft.expressions.MinhashSig(col("_m.text"), n, k).as("sig"))
+      .localCheckpoint(true)
+    val admitted = (index.snapshotOpt match {
+      case None => firsts
+      case Some(hist) =>
+        val exactNovel = firsts.join(hist.select(col("h")), Seq("h"), "left_anti")
+        val histBands = hist.filter(col("sig").isNotNull)
+          .select(col("sig").as("_hsig"),
+            posexplode(bandKeys(col("sig"))).as(Seq("band", "bucket")))
+        val batchBands = exactNovel.filter(col("sig").isNotNull)
+          .select(col("doc_id"), col("sig"),
+            posexplode(bandKeys(col("sig"))).as(Seq("band", "bucket")))
+        val rejected = batchBands.join(histBands, Seq("band", "bucket"))
+          .select(col("doc_id"), col("sig"), col("_hsig")).distinct()
+          .withColumn("_agree",
+            size(filter(zip_with(col("sig"), col("_hsig"),
+              (a, b) => a === b), v => v)).cast("long"))
+          .filter(col("_agree") * lit(1000000L) >= lit(simThreshold1e6 * k))
+          .select(col("doc_id")).distinct()
+        exactNovel.join(rejected, Seq("doc_id"), "left_anti")
+    }).withColumn("batch_no", lit(batchNo))
+      .select(col("doc_id"), col("h"), col("sig"), col("batch_no"))
+      .localCheckpoint(true)
+    if (!admitted.isEmpty) index.upsert(admitted)
+    admitted
   }
 }

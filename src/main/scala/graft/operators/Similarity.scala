@@ -632,6 +632,93 @@ object Similarity {
     rank(scored, k)
   }
 
+  /** PQ quantization-error report: per-vector cosine between the raw
+    * embedding and its PQ RECONSTRUCTION (each subspace's assigned
+    * codebook centroid, concatenated), bucketed with cumulative ≥
+    * counts — the m/k code-budget calibration table (read it before
+    * trusting ADC at scale: q169 measures recall downstream, this
+    * measures the error at its source). Encode + reconstruct are one
+    * narrow map-side pass (codebooks are plan literals, the when-chain
+    * per subspace is the assignCell idiom); the histogram is a bounded
+    * aggregate + a ≤(2e6/width)-row cumulative window.
+    *
+    * Output: (bucket_lo_1e6, n_vectors, n_ge) ordered desc —
+    * truncating bucket labels, the q175 convention.
+    */
+  def pqErrorReport(corpus: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      bucketWidth1e6: Long = 10000L): DataFrame = {
+    require(bucketWidth1e6 >= 1, s"bucket width must be positive: $bucketWidth1e6")
+    val (staged, _) = stageSubspaces(corpus, codebooks)
+    val recon = concat(codebooks.indices.map { s =>
+      val cid = assignCellWithNorm(col(s"_s$s"), col(s"_n$s"), codebooks(s))
+      codebooks(s).foldLeft(lit(null).cast("array<double>")) { case (acc, (c, cent)) =>
+        when(cid === c, array(cent.map(lit): _*)).otherwise(acc)
+      }
+    }: _*)
+    val w = Window.orderBy(col("bucket_lo_1e6").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    staged
+      .select(scoreFixedSafe(col("emb"), recon).as("cos_1e6"))
+      .withColumn("bucket_lo_1e6",
+        expr(s"(cos_1e6 DIV $bucketWidth1e6) * $bucketWidth1e6"))
+      .groupBy(col("bucket_lo_1e6")).agg(count(lit(1)).as("n_vectors"))
+      .withColumn("n_ge", sum(col("n_vectors")).over(w).cast("long"))
+      .orderBy(col("bucket_lo_1e6").desc)
+  }
+
+  /** Greedy k-center coreset selection — the "diverse anchor set"
+    * data-selection primitive (Sener & Savarese 2018's core-set
+    * approach, greedy 2-approximation): seed = the lowest id (the
+    * documented deterministic start), then each round picks the
+    * document FARTHEST from every chosen center (minimum best-cosine
+    * coverage, ties to lowest id) and folds it into the coverage
+    * state. k unrolled DISTRIBUTED rounds, never a per-item driver
+    * loop: coverage is a (id, maxsim) frame updated by one broadcast
+    * 1-row join per round, the argmin is a bounded min(struct)
+    * aggregate — so each round costs one corpus pass regardless of k,
+    * and the whole selection is k passes.
+    *
+    * Output: (pick_no, center_id, cover_sim_1e6) — cover_sim is the
+    * selected doc's best cosine to the PREVIOUSLY chosen centers
+    * (null for the seed): the coverage-radius curve that says when to
+    * stop adding centers.
+    */
+  def kCenterSelect(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val ids = corpus.select(col("id"), col("emb"))
+    val seed = ids.agg(min(col("id")).as("id"))
+    var centers = ids.join(broadcast(seed), Seq("id"))
+      .select(col("id").as("center_id"), col("emb").as("_cemb"),
+        lit(1L).as("pick_no"), lit(null).cast("long").as("cover_sim_1e6"))
+      .localCheckpoint(true)
+    var cov = ids.join(broadcast(centers.select(col("center_id"))),
+        col("id") === col("center_id"), "left_anti")
+      .crossJoin(broadcast(centers.select(col("_cemb"))))
+      .select(col("id"), col("emb"),
+        scoreFixedSafe(col("emb"), col("_cemb")).as("maxsim"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val far = cov.agg(min(struct(col("maxsim"), col("id"))).as("_f"))
+        .select(col("_f.id").as("center_id"),
+          col("_f.maxsim").as("cover_sim_1e6"))
+      val newC = ids.join(broadcast(far), col("id") === col("center_id"))
+        .select(col("center_id"), col("emb").as("_cemb"),
+          lit(r.toLong).as("pick_no"), col("cover_sim_1e6"))
+        .localCheckpoint(true)
+      centers = centers.unionByName(newC).localCheckpoint(true)
+      cov = cov.join(broadcast(newC.select(col("center_id").as("_cid"))),
+          col("id") === col("_cid"), "left_anti")
+        .crossJoin(broadcast(newC.select(col("_cemb"))))
+        .select(col("id"), col("emb"),
+          greatest(col("maxsim"),
+            scoreFixedSafe(col("emb"), col("_cemb"))).as("maxsim"))
+        .localCheckpoint(true)
+    }
+    centers.select(col("pick_no"), col("center_id"), col("cover_sim_1e6"))
+      .orderBy(col("pick_no"))
+  }
+
   /** Recall-lift report for the refine stage: per query, how many of
     * the EXACT top-k ([[bruteForceTopK]] ground truth) survive in (a)
     * the plain IVF-PQ ADC top-k and (b) the refined top-k — the

@@ -891,6 +891,102 @@ object TextAnalysis {
       .withColumn("avg_millibits", expr("(sum_bits * 1000) DIV n_pairs"))
   }
 
+  /** [[docLmBits]] with a genuine TRAIN/HELD-OUT split — the
+    * methodologically honest perplexity: the LM's stats come from
+    * `train` only, and `score` docs are scored with the full unseen
+    * ladder: (a, b) observed with c_ab ≥ minCount → interpolated KN;
+    * both words known but the pair unseen/pruned → the backoff mass
+    * λ(a)·P_cont(b); EITHER word unseen in training → the 1e-6 floor
+    * (p = 1 → 19 bits), which is the one path [[docLmBits]] can never
+    * take (scoring the training corpus, every word is known). Same
+    * exact-integer bits idiom throughout.
+    *
+    * Output: (doc_id, n_pairs, sum_bits, avg_millibits) for every
+    * score doc with ≥ 2 tokens.
+    *
+    * Shape at scale: train pairs aggregate once into the
+    * bigram-type-bounded stats; score pairs aggregate per (doc, a, b)
+    * and LEFT-join the scored-model table on (a, b); L/R vocab and
+    * 1-row T broadcast, exactly the docLmBits plan with outer joins.
+    */
+  def docLmBitsHeldOut(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String, minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, s"minCount must be positive: $minCount")
+    def pairStream(docs: DataFrame): DataFrame = docs
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(
+        zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val bg = pairStream(train).groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val left = bg.groupBy(col("a"))
+      .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1_fwd"))
+    val right = bg.groupBy(col("b")).agg(count(lit(1)).as("n1_bwd"))
+    val types = bg.agg(count(lit(1)).as("n_types"))
+    val dp = pairStream(score).groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("w"))
+    dp.join(bg, Seq("a", "b"), "left")
+      .join(broadcast(left), Seq("a"), "left")
+      .join(broadcast(right), Seq("b"), "left")
+      .crossJoin(broadcast(types))
+      .withColumn("p_1e6", expr(
+        s"""greatest(CASE
+             WHEN c_ab IS NOT NULL AND c_ab >= $minCount
+             THEN CAST((((4 * c_ab - 3) * CAST(n_types AS DECIMAL(38,0))
+                         + 3 * CAST(n1_fwd AS DECIMAL(38,0)) * n1_bwd) * 1000000)
+                  DIV (4 * c_a * CAST(n_types AS DECIMAL(38,0))) AS BIGINT)
+             WHEN c_a IS NOT NULL AND n1_bwd IS NOT NULL
+             THEN CAST((3 * CAST(n1_fwd AS DECIMAL(38,0)) * n1_bwd * 1000000)
+                  DIV (4 * CAST(c_a AS DECIMAL(38,0)) * n_types) AS BIGINT)
+             ELSE CAST(1 AS BIGINT)
+           END, CAST(1 AS BIGINT))"""))
+      .withColumn("bits", lit(20L) - length(bin(col("p_1e6"))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).cast("long").as("n_pairs"),
+        sum(col("w") * col("bits")).cast("long").as("sum_bits"))
+      .withColumn("avg_millibits", expr("(sum_bits * 1000) DIV n_pairs"))
+  }
+
+  /** Per-document word entropy — the lexical-diversity quality signal
+    * (a doc whose mass sits on a few repeated words is template/spam;
+    * the Gopher-adjacent signal repetitionRatio's n-grams don't
+    * capture for unigram loops). Exact integers only: per-word bits =
+    * floor-log2(n) − floor-log2(c_w) via binary digit counts (the q88
+    * idiom), sum weighted by c_w; plus the type/token ratio in ppm.
+    *
+    * Entirely MAP-SIDE — one higher-order-function pass per row, no
+    * explode, no shuffle: the per-doc distinct/count loop is O(types ·
+    * tokens) inside codegen, bounded by document length. The cheapest
+    * possible plan for a per-doc signal.
+    *
+    * Output: (doc_id, n_tokens, n_types, sum_bits, ttr_ppm).
+    */
+  def wordEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bitlen = (c: Column) => length(bin(c)).cast("long")
+    val body = let(tokens(lower(col(textCol))), tk => {
+      val n = size(tk).cast("long")
+      val sumBits = aggregate(array_distinct(tk), lit(0L), (acc, w) => {
+        val c = size(filter(tk, t => t === w)).cast("long")
+        acc + c * (bitlen(n) - bitlen(c))
+      })
+      struct(n.as("n_tokens"),
+        size(array_distinct(tk)).cast("long").as("n_types"),
+        when(n === 0, lit(0L)).otherwise(sumBits).as("sum_bits"),
+        // integral quotient via exact double floor (operands ≪ 2^53,
+        // the Similarity.idiv argument): ≡ DuckDB // on this domain
+        when(n === 0, lit(0L)).otherwise(
+          floor(size(array_distinct(tk)).cast("double") * lit(1000000.0)
+            / n.cast("double")).cast("long")).as("ttr_ppm"))
+    })
+    docs.select(col(idCol).as("doc_id"), body.as("_e"))
+      .select(col("doc_id"), col("_e.n_tokens"), col("_e.n_types"),
+        col("_e.sum_bits"), col("_e.ttr_ppm"))
+  }
+
   /** Closed-vocabulary coverage per source: token-occurrence share
     * OUTSIDE the corpus's own top-`topV` vocabulary — the OOV-rate
     * table a tokenizer/vocab decision is made from (a source whose

@@ -2204,6 +2204,112 @@ class OperatorsSpec extends SparkSpec {
     assert(le3 == verified, s"histogram(≤3)=$le3 vs simhashPairs=$verified")
   }
 
+  test("kCenterSelect: greedy farthest-point picks diverse anchors, seed = min id") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0)),
+      (4L, Seq(0.1, 0.9)), (5L, Seq(-1.0, -1.0))).toDF("id", "emb")
+    val out = Similarity.kCenterSelect(corpus, k = 3).collect()
+      .map(r => (r.getAs[Long]("pick_no"), r.getAs[Long]("center_id"),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    // seed = 1; farthest from 1 = 5 (cos ≈ −0.707); then 3 (cos 0 to
+    // center 1 beats 4's 0.11 and 2's 0.99)
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 1L), (2L, 5L), (3L, 3L)),
+      s"${out.toSeq}")
+    assert(out(0)._3.isEmpty, "seed has no coverage radius")
+    assert(out(1)._3.get < 0L, s"pick 2 was anti-aligned: ${out.toSeq}")
+    assert(out(2)._3.get == 0L, s"pick 3 was orthogonal: ${out.toSeq}")
+  }
+
+  test("semanticCosineHistogram: within-cell pair mass, cumulative from the top") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.99, 0.01)), (3L, Seq(0.98, 0.02)),
+      (4L, Seq(0.0, 1.0)), (5L, Seq(0.01, 0.99))).toDF("id", "emb")
+    val cents = Similarity.trainCentroids(corpus, k = 2, iters = 2)
+    val out = Dedup.semanticCosineHistogram(corpus, cents).collect()
+      .map(r => (r.getAs[Long]("bucket_lo_1e6"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_pairs_ge")))
+    // two tight cells of 3 and 2 members → 3 + 1 within-cell pairs
+    assert(out.map(_._2).sum == 4L, s"pair mass: ${out.toSeq}")
+    // ordered desc, cumulative is the running total, buckets on the grid
+    assert(out.map(_._1).toSeq == out.map(_._1).sortBy(-_).toSeq)
+    assert(out.map(_._3).toSeq == out.map(_._2).scanLeft(0L)(_ + _).tail.toSeq)
+    out.foreach { case (b, _, _) => assert(b % 50000L == 0L, s"grid: $b") }
+    // all pairs here are near-aligned → every bucket is high-cosine
+    assert(out.forall(_._1 >= 900000L), s"tight cells: ${out.toSeq}")
+  }
+
+  test("attritionFunnelBySource: shares within each source's own total") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, "A", base), (2L, "A", base), (3L, "A", base + " extra"),
+      (4L, "B", "zz qq xx"),
+      (5L, "B", "der hund ist ein tier und das ist gut " * 3),
+      (6L, "B", "the cat sat on the mat " * 5),
+      (7L, "B", "the maple syrup festival is a lovely event and it is fun for all of the folks in town every year here now"))
+      .toDF("doc_id", "source", "text")
+    val bench = Seq((900L, "people enjoy the maple syrup festival greatly"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Curation
+      .attritionFunnelBySource(docs.select("doc_id", "text", "source"), bench, "source")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[String]("gate")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("share_1e6")))).toMap
+    val expected = Map(
+      ("A", "7_pass") -> ((1L, 333333L)), ("A", "1_exact_dup") -> ((1L, 333333L)),
+      ("A", "2_near_dup") -> ((1L, 333333L)),
+      ("B", "3_quality") -> ((1L, 250000L)), ("B", "4_language") -> ((1L, 250000L)),
+      ("B", "5_repetition") -> ((1L, 250000L)),
+      ("B", "6_contaminated") -> ((1L, 250000L)))
+    assert(out == expected, s"got $out")
+  }
+
+  test("docLmBitsHeldOut: interpolated / backoff / unseen-floor ladder, hand-computed") {
+    val train = Seq((2L, "a b a b a b")).toDF("doc_id", "text")
+    // BG: (a,b)=3 (b,a)=2; L: a→(3,1) b→(2,1); R: a=1 b=1; T=2
+    val score = Seq((1L, "a b z"), (3L, "b b")).toDF("doc_id", "text")
+    // (a,b) interp: ((4·3−3)·2+3·1·1)e6//(4·3·2)=875000 → bits 0
+    // (b,z): z unseen → floor p=1 → bits 19
+    // (b,b) backoff: (3·1·1)e6//(4·2·2)=187500 → bits 2
+    val out = TextAnalysis.docLmBitsHeldOut(train, score, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("sum_bits"),
+        r.getAs[Long]("avg_millibits")))
+    assert(out.toSeq == Seq((1L, 2L, 19L, 9500L), (3L, 1L, 2L, 2000L)),
+      s"${out.toSeq}")
+  }
+
+  test("wordEntropy: exact bits + type/token ratio, map-side degenerate cases") {
+    val docs = Seq((1L, "a a b"), (2L, "x x x x"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.wordEntropy(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+        r.getAs[Long]("sum_bits"), r.getAs[Long]("ttr_ppm")))
+    // doc1: a(c=2): bitlen(3)−bitlen(2)=0; b(c=1): 2−1=1 → sum 1
+    assert(out(0) == ((3L, 2L, 1L, 666666L)), s"${out.toSeq}")
+    // uniform doc: zero entropy
+    assert(out(1) == ((4L, 1L, 0L, 250000L)), s"${out.toSeq}")
+    assert(out(2) == ((0L, 0L, 0L, 0L)), s"empty doc: ${out.toSeq}")
+    // zero shuffles: the plan has no exchange
+    val plan = TextAnalysis.wordEntropy(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must stay map-side:\n$plan")
+  }
+
+  test("pqErrorReport: mass accounted, grid buckets, tight clusters near the top") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.1, 0.0)), (2L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (3L, Seq(1.0, 0.1, 0.1, 0.0)), (4L, Seq(0.0, 0.1, 0.9, 1.0)),
+      (5L, Seq(0.1, 0.0, 1.0, 0.9)), (6L, Seq(0.0, 0.0, 1.0, 1.0)))
+      .toDF("id", "emb")
+    val books = Similarity.trainPqCodebooks(corpus, m = 2, k = 2, iters = 2)
+    val out = Similarity.pqErrorReport(corpus, books).collect()
+      .map(r => (r.getAs[Long]("bucket_lo_1e6"), r.getAs[Long]("n_vectors"),
+        r.getAs[Long]("n_ge")))
+    assert(out.map(_._2).sum == 6L, s"every vector lands once: ${out.toSeq}")
+    out.foreach { case (b, _, _) => assert(b % 10000L == 0L && b <= 1000000L) }
+    assert(out.map(_._3).toSeq == out.map(_._2).scanLeft(0L)(_ + _).tail.toSeq)
+    assert(out.head._1 >= 900000L,
+      s"tight clusters reconstruct near-perfectly: ${out.toSeq}")
+  }
+
   test("lshBandSweep: raw candidate count dominates the distinct pair count") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val df = Seq((1L, base), (2L, base), (3L, base + " extra"),

@@ -586,4 +586,37 @@ class VersionedTableSpec extends SparkSpec {
     assert(a3.isEmpty, "re-ingest admits nothing")
     assert(index.commits.length == commits, "empty admission must not commit")
   }
+
+  test("appendNovelNearDup: exact + near-dup rejection against the signature index") {
+    val root = Fixtures.tmpDir("vtnd").toString
+    val index = new graft.operators.VersionedTable(spark, root, "doc_id", "batch_no",
+      numBuckets = 4)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val b1 = Seq((10L, base), (11L, "hi")).toDF("doc_id", "text") // 11: no grams → null sig
+    val a1 = graft.operators.IncrementalDedup
+      .appendNovelNearDup(index, b1, "doc_id", "text", 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a1 == Set(10L, 11L), s"empty history admits everything: $a1")
+    val b2 = Seq(
+      (20L, base),                     // exact repeat of history → rejected
+      (21L, base + " extra"),          // near dup of 10 → rejected by agreement
+      (22L, "completely different words entirely unrelated content here now"),
+      (23L, "hi")                      // exact repeat of the no-sig doc → rejected
+    ).toDF("doc_id", "text")
+    val a2 = graft.operators.IncrementalDedup
+      .appendNovelNearDup(index, b2, "doc_id", "text", 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a2 == Set(22L), s"exact + near dups must be turned away: $a2")
+    // the index carries the admitted signatures, null for the sig-less doc
+    val snap = index.snapshot.collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Seq[Long]]("sig") == null)).toMap
+    assert(snap.keySet == Set(10L, 11L, 22L), s"index keys: $snap")
+    assert(snap(11L) && !snap(10L), s"no-gram doc indexes with null sig: $snap")
+    // idempotence: replay admits nothing, commits nothing
+    val commits = index.commits.length
+    val a3 = graft.operators.IncrementalDedup
+      .appendNovelNearDup(index, b2, "doc_id", "text", 3L)
+    assert(a3.isEmpty, "re-ingest admits nothing")
+    assert(index.commits.length == commits, "empty admission must not commit")
+  }
 }
