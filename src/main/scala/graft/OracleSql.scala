@@ -3478,11 +3478,20 @@ object OracleSql {
           UNION ALL SELECT CAST(3 AS BIGINT), id, CAST(ms AS BIGINT) FROM F3
           ORDER BY pick_no""",
 
-    // semantic cosine histogram: q86's within-cell candidate pairs
-    // bucketed by truncating 50k-wide cosine buckets + cumulative >=
+    // semantic cosine histogram: the within-cell candidate pairs
+    // bucketed by truncating 50k-wide cosine buckets + cumulative >=;
+    // cell count ADAPTIVE from count(*) (the q93 KP derivation — the
+    // within-cell population is n²/k, so fixed k is a cliff)
     "q175_semantic_cos_hist" ->
       s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
-          ${ivfCoarseCtes(8, 2)},
+          KP AS (SELECT CAST(least(4096, greatest(8,
+                   floor(sqrt(count(*)::DOUBLE)))) AS BIGINT) AS k FROM C),
+          S0 AS (SELECT rn - 1 AS cid, emb AS cemb FROM
+                 (SELECT row_number() OVER (ORDER BY id) AS rn, emb FROM C)
+                 WHERE rn <= (SELECT k FROM KP)),
+          ${ivfRound("S0", "A1", "P1", "M1", "S1")},
+          ${ivfRound("S1", "A2", "P2", "M2", "S2")},
+          ${ivfAssignCte("C", "S2", "CC", 1)},
           SP AS (SELECT ${scoreFixedSafeSql("a.emb", "b.emb")} AS cos
                  FROM CC a JOIN CC b ON a.cid = b.cid AND a.id < b.id),
           HB AS (SELECT (cos // 50000) * 50000 AS bucket_lo_1e6,

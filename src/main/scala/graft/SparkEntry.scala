@@ -2388,14 +2388,20 @@ object SparkEntry {
   private def qKCenter(s: SparkSession, dir: String): DataFrame =
     Similarity.kCenterSelect(embCorpus(s, dir), k = 3)
 
-  /** Semantic cosine histogram (q175): q86's within-cell candidate
+  /** Semantic cosine histogram (q175): the within-cell candidate
     * pairs bucketed by fixed cosine with cumulative ≥ counts — the
     * threshold calibration table for semantic dedup (the q134/q172
-    * analog for embeddings). See Dedup.semanticCosineHistogram.
+    * analog for embeddings). Cell count is ADAPTIVE
+    * (suggestSemanticCells = ⌊√n⌋, the q93 derivation, re-derived by
+    * the oracle from its own count(*)): the histogram enumerates the
+    * same ~n²/k within-cell population the dedup would, so a fixed k
+    * is its own cliff (measured 31× at 10× data at k=8; adaptive
+    * re-measured ~5×). See Dedup.semanticCosineHistogram.
     */
   private def qSemanticCosHist(s: SparkSession, dir: String): DataFrame = {
     val corpus = embCorpus(s, dir)
-    val cents = Similarity.trainCentroids(corpus, k = 8, iters = 2)
+    val k = graft.operators.Dedup.suggestSemanticCells(corpus.count())
+    val cents = Similarity.trainCentroids(corpus, k = k, iters = 2)
     graft.operators.Dedup.semanticCosineHistogram(corpus, cents)
   }
 
