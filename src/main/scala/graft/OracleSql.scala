@@ -3613,5 +3613,133 @@ object OracleSql {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
               AS n_ge
           FROM HB ORDER BY bucket_lo_1e6 DESC"""
-    })
+    },
+
+    // dup-graph degree histogram: q18's PAIRS both directions, per-node
+    // degree, degree-bucketed counts + cumulative from the top
+    "q180_dup_degree_hist" ->
+      s"""WITH ${lshPairCtes("documents")},
+          E AS (SELECT id_a AS id, id_b AS nb FROM PAIRS
+                UNION SELECT id_b, id_a FROM PAIRS),
+          DG AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+                 FROM E GROUP BY id),
+          H AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+                FROM DG GROUP BY degree)
+          SELECT degree, n_nodes,
+            CAST(sum(n_nodes) OVER (ORDER BY degree DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS n_nodes_ge
+          FROM H ORDER BY degree DESC""",
+
+    // per-user event-type entropy: (user, type) counts, exact integer
+    // bits = c * (bitlen(n) - bitlen(c)) summed per user
+    "q181_user_entropy" ->
+      """WITH CT AS (SELECT user_id, event_type,
+                CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY user_id, event_type),
+          TOT AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+                  CAST(count(*) AS BIGINT) AS n_types FROM CT GROUP BY user_id)
+          SELECT t.user_id, t.n_events, t.n_types,
+            CAST(sum(c.c * (length(bin(t.n_events)) - length(bin(c.c))))
+              AS BIGINT) AS sum_bits
+          FROM CT c JOIN TOT t USING (user_id)
+          GROUP BY t.user_id, t.n_events, t.n_types
+          ORDER BY t.user_id""",
+
+    // DSIR resampling: q105's DS scores, per-doc linear keep rate on
+    // the corpus score range, md5-ppm gate
+    "q182_dsir_resample" ->
+      s"""WITH $dsirCtes,
+          RG AS (SELECT min(avg_dsir_1e6) AS lo, max(avg_dsir_1e6) AS hi FROM DS),
+          RT AS (SELECT ds.*, CAST(CASE WHEN r.hi = r.lo THEN 1000000
+                 ELSE ((ds.avg_dsir_1e6 - r.lo) * 1000000) // (r.hi - r.lo)
+                 END AS BIGINT) AS rate_ppm
+                 FROM DS ds CROSS JOIN RG r)
+          SELECT id, n_tokens, dsir_bits, avg_dsir_1e6, rate_ppm
+          FROM RT
+          WHERE (${md5long("cast(id as varchar)")} % 1000000) < rate_ppm
+          ORDER BY id""",
+
+    // char-class profile: exact class counts via class-delete regex
+    // lengths, per-source sums, other = remainder
+    "q183_char_classes" -> {
+      val t = "coalesce(text, '')"
+      val cnt = (cls: String) =>
+        s"(length($t) - length(regexp_replace($t, '$cls', '', 'g')))::BIGINT"
+      s"""WITH P AS (SELECT source, length($t)::BIGINT AS c,
+                 ${cnt("[A-Za-z]")} AS l, ${cnt("[0-9]")} AS d,
+                 ${cnt("[.!?,;:]")} AS p, ${cnt("""\s""")} AS w
+                FROM documents)
+          SELECT source, CAST(sum(c) AS BIGINT) AS n_chars,
+            CAST(sum(l) AS BIGINT) AS n_letters,
+            CAST(sum(d) AS BIGINT) AS n_digits,
+            CAST(sum(p) AS BIGINT) AS n_punct,
+            CAST(sum(w) AS BIGINT) AS n_space,
+            CAST(sum(c) - sum(l) - sum(d) - sum(p) - sum(w) AS BIGINT) AS n_other,
+            CAST(CASE WHEN sum(c) = 0 THEN 0
+              ELSE ((sum(c) - sum(l) - sum(d) - sum(p) - sum(w)) * 1000000)
+                   // sum(c) END AS BIGINT) AS other_ppm
+          FROM P GROUP BY source ORDER BY source"""
+    },
+
+    // simhash precision audit: q45's verified pairs + the exact q20
+    // Jaccard on the pair texts
+    "q184_simhash_precision" -> {
+      val hashes = s"list_transform(${toks("lower(text)")}, t -> ${md5long("t")})"
+      val sh = shingles3("text")
+      s"""WITH HS AS (SELECT doc_id, $hashes AS H FROM documents),
+          S AS (SELECT doc_id, ${simhashSql(32)} AS sim FROM HS
+                WHERE len(H) > 0),
+          B AS (SELECT doc_id, sim, t.band AS band, (sim >> (t.band * 8)) & 255 AS bval
+                FROM S CROSS JOIN (SELECT unnest(range(4)) AS band) t),
+          P AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                  cast(bit_count(xor(a.sim, b2.sim)) as bigint) AS hamming
+                FROM B a JOIN B b2 ON a.band = b2.band AND a.bval = b2.bval
+                  AND a.doc_id < b2.doc_id),
+          D AS (SELECT doc_id, $sh AS sh FROM documents)
+          SELECT p.id_a, p.id_b, p.hamming,
+            cast(floor((CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+              ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END)
+              * 1000000.0) as bigint) AS jaccard_1e6
+          FROM (SELECT * FROM P WHERE hamming <= 3) p
+          JOIN D a ON a.doc_id = p.id_a JOIN D b ON b.doc_id = p.id_b
+          ORDER BY id_a, id_b"""
+    },
+
+    // sentence stats: [.!?]+ segments with >= 1 whitespace token,
+    // per-doc count/total/max/avg — all list ops
+    "q185_sentence_stats" ->
+      s"""WITH SS AS (SELECT doc_id, list_filter(list_transform(
+               regexp_split_to_array(coalesce(text, ''), '[.!?]+'),
+               s -> len(list_filter(regexp_split_to_array(s, '\\s+'),
+                        t -> t <> ''))::BIGINT),
+               c -> c > 0) AS wc FROM documents)
+          SELECT doc_id, CAST(len(wc) AS BIGINT) AS n_sentences,
+            CAST(coalesce(list_sum(wc), 0) AS BIGINT) AS n_words,
+            CAST(coalesce(list_max(wc), 0) AS BIGINT) AS max_words,
+            CAST(CASE WHEN len(wc) = 0 THEN 0
+              ELSE (coalesce(list_sum(wc), 0) * 1000000) // len(wc) END
+              AS BIGINT) AS avg_words_ppm
+          FROM SS ORDER BY doc_id""",
+
+    // packing budget sweep: per-shard token totals, n_seqs =
+    // ceil(total/budget) per shard, tail padding summed per budget
+    "q186_packing_sweep" ->
+      s"""WITH TC AS (SELECT doc_id, CAST(len(${toks("text")}) AS BIGINT) AS n_tokens
+                 FROM documents),
+          SH AS (SELECT (${md5long("cast(doc_id as varchar)")} % 4) AS shard,
+                 CAST(sum(n_tokens) AS BIGINT) AS tot FROM TC GROUP BY 1),
+          BD AS (SELECT unnest([128, 256, 512, 1024]) AS budget),
+          X AS (SELECT b.budget::BIGINT AS budget, s.tot,
+                ((s.tot + b.budget - 1) // b.budget)::BIGINT AS ns
+                FROM SH s CROSS JOIN BD b)
+          SELECT budget, CAST(count(*) AS BIGINT) AS n_shards,
+            CAST(sum(ns) AS BIGINT) AS n_seqs,
+            CAST(sum(ns * budget) - sum(tot) AS BIGINT) AS n_pad,
+            CAST(CASE WHEN sum(ns) = 0 THEN 0
+              ELSE ((sum(ns * budget) - sum(tot)) * 1000000)
+                   // (sum(ns) * budget) END AS BIGINT) AS pad_ppm
+          FROM X GROUP BY budget ORDER BY budget"""
+    )
 }

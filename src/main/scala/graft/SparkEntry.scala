@@ -2448,6 +2448,71 @@ object SparkEntry {
     Similarity.pqErrorReport(corpus, books)
   }
 
+  /** Dup-graph degree histogram (q180): node-degree distribution of
+    * the q18 LSH candidate graph with cumulative ≥ counts — the
+    * hub-node screen read before any pair-expensive pass.
+    * See Graph.degreeHistogram.
+    */
+  private def qDupDegreeHist(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.degreeHistogram(
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text"))
+
+  /** Per-user event entropy (q181): exact-integer behavioral
+    * diversity — the one-number bot/instrumentation-loop screen
+    * (q137's transition matrix, collapsed). See
+    * EventAnalytics.userEventEntropy.
+    */
+  private def qUserEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.userEventEntropy(
+        tRaw(s, dir, "events"), "user_id", "event_type")
+      .orderBy(col("user_id"))
+
+  /** DSIR importance resampling (q182): q105's scores turned into
+    * per-doc keep rates on the corpus's own score range, gated by the
+    * md5-ppm coin — the probabilistic cut next to q113's hard band.
+    * See TextAnalysis.dsirResample.
+    */
+  private def qDsirResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.TextAnalysis.dsirResample(
+        docs, "doc_id", "text", docs.filter(col("n_chars") < 150), "text")
+      .orderBy(col("id"))
+  }
+
+  /** Char-class profile (q183): per-source letters/digits/punct/
+    * whitespace/other byte split — the mojibake/markup alarm before
+    * any tokenizer runs. See Diagnostics.charClassProfile.
+    */
+  private def qCharClassProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.charClassProfile(
+      t(s, dir, "documents"), "source", "text")
+
+  /** SimHash precision audit (q184): every Hamming-verified pair next
+    * to its exact 3-gram Jaccard — the false-positive side of the
+    * simhash gate (q172 is the recall side). See
+    * Dedup.simhashPrecisionAudit.
+    */
+  private def qSimhashPrecision(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPrecisionAudit(t(s, dir, "documents"), "doc_id", "text")
+
+  /** Sentence stats (q185): map-side per-doc sentence counts/lengths —
+    * the Gopher-family shape signal at sentence granularity.
+    * See TextAnalysis.sentenceStats.
+    */
+  private def qSentenceStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.sentenceStats(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Packing budget sweep (q186): exact sequence counts + tail waste
+    * for candidate context lengths from per-shard token totals alone —
+    * no placement run, any corpus size. See Chunker.packingBudgetSweep.
+    */
+  private def qPackingSweep(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunker.packingBudgetSweep(
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", budgets = Seq(128L, 256L, 512L, 1024L), shards = 4)
+
   /** Cluster purity (q158): the q49 trained quantizer audited against
     * ground-truth labels. See Similarity.cellPurity.
     */
@@ -2640,7 +2705,14 @@ object SparkEntry {
     "q176_attrition_by_source" -> (qAttritionBySource _),
     "q177_lm_heldout" -> (qLmHeldOut _),
     "q178_word_entropy" -> (qWordEntropy _),
-    "q179_pq_error" -> (qPqError _))
+    "q179_pq_error" -> (qPqError _),
+    "q180_dup_degree_hist" -> (qDupDegreeHist _),
+    "q181_user_entropy" -> (qUserEntropy _),
+    "q182_dsir_resample" -> (qDsirResample _),
+    "q183_char_classes" -> (qCharClassProfile _),
+    "q184_simhash_precision" -> (qSimhashPrecision _),
+    "q185_sentence_stats" -> (qSentenceStats _),
+    "q186_packing_sweep" -> (qPackingSweep _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

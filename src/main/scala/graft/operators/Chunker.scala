@@ -215,4 +215,39 @@ object Chunker {
         max(coalesce(col(tokenCountCol).cast("long"), lit(0L))).as("max_tok"),
         sum(coalesce(col(tokenCountCol).cast("long"), lit(0L))).as("sum_tok"))
       .withColumn("pad_tokens", col("max_tok") * col("n_docs") - col("sum_tok"))
+
+  /** Sequence-budget sizing sweep for the [[packSequences]] (split)
+    * layout: for each candidate budget, the exact sequence count and
+    * tail-padding waste — WITHOUT running any placement. Split packing
+    * concatenates each shard's stream and cuts every `budget` tokens,
+    * so per shard `n_seqs = ceil(total/budget)` and the only waste is
+    * each shard's final partial sequence: the whole sweep needs just
+    * the per-shard token totals (one bounded groupBy; the |shards| ×
+    * |budgets| fan-out is a generator over a tiny table). The
+    * seq-len-choice table (context length vs step count vs waste) for
+    * free, at any corpus size.
+    *
+    * Output: (budget, n_shards, n_seqs, n_pad, pad_ppm) per budget,
+    * ascending; pad_ppm is waste over the padded total.
+    */
+  def packingBudgetSweep(df: DataFrame, keyCol: String, tokenCountCol: String,
+      budgets: Seq[Long], shards: Int): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0), s"positive budgets: $budgets")
+    require(shards >= 1, s"need at least one shard, got $shards")
+    val totals = df.withColumn("shard",
+        pmod(graft.functions.md5Long(col(keyCol).cast("string")), lit(shards.toLong)))
+      .groupBy(col("shard")).agg(sum(col(tokenCountCol)).cast("long").as("tot"))
+    totals
+      .select(col("shard"), col("tot"),
+        explode(array(budgets.map(lit): _*)).as("budget"))
+      .select(col("budget"),
+        expr("(tot + budget - 1) DIV budget").as("ns"), col("tot"))
+      .groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_shards"), sum(col("ns")).as("n_seqs"),
+        (sum(col("ns") * col("budget")) - sum(col("tot"))).as("n_pad"))
+      .withColumn("pad_ppm", expr(
+        "CASE WHEN n_seqs = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_pad * 1000000) DIV (n_seqs * budget) END"))
+      .orderBy(col("budget"))
+  }
 }

@@ -417,6 +417,36 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** SimHash PRECISION audit: every [[simhashPairs]]-verified pair
+    * next to its exact word-n-gram Jaccard — measures what the
+    * Hamming gate actually admits (q120 is this audit for the minhash
+    * estimator; this is the simhash family's). A pair at hamming ≤
+    * maxHamming with low exact Jaccard is a fingerprint collision —
+    * their rate is the false-positive cost of the chosen bit width,
+    * read together with [[simhashHammingHistogram]]'s recall side
+    * before trusting the gate at corpus scale.
+    *
+    * Cost: the audited pair set is the (already bounded) verified
+    * stream; the Jaccard adds two id-equi-joins against the shingle
+    * projection and per-row set ops.
+    *
+    * Output: (id_a, id_b, hamming, jaccard_1e6) ordered by ids.
+    */
+  def simhashPrecisionAudit(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3,
+      n: Int = 3): DataFrame = {
+    val pairs = simhashPairs(df, idCol, textCol, bits, bands, maxHamming)
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        floor(ratio(size(array_intersect(col("sh_a"), col("sh_b"))),
+          size(array_union(col("sh_a"), col("sh_b")))) * lit(1000000.0))
+          .cast("long").as("jaccard_1e6"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** CDC-based boilerplate removal: drop every chunk whose hash occurs
     * more than `maxDf` times corpus-wide, and reassemble each document
     * from its surviving chunks in order — sub-document dedup with

@@ -359,6 +359,39 @@ object Diagnostics {
         col("cum_share_1e9"))
   }
 
+  /** Per-source character-class profile: how each feed's bytes split
+    * across letters / digits / the q25 punctuation class / whitespace
+    * / OTHER — the mojibake-and-markup alarm (a source whose `other`
+    * share jumps is mis-decoded, binary-contaminated, or markup-heavy
+    * before any tokenizer sees it). Counts are exact via class-delete
+    * regexp lengths, entirely map-side; one |sources|-bounded
+    * aggregate; other_ppm is the one-number alarm column.
+    *
+    * Output: (source, n_chars, n_letters, n_digits, n_punct, n_space,
+    * n_other, other_ppm).
+    */
+  def charClassProfile(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val cnt = (cls: String) => length(regexp_replace(t, cls, "")).cast("long")
+    val perDoc = docs.select(col(sourceCol).as("source"),
+      length(t).cast("long").as("c"),
+      (length(t) - cnt("[A-Za-z]")).cast("long").as("l"),
+      (length(t) - cnt("[0-9]")).cast("long").as("d"),
+      (length(t) - cnt("[.!?,;:]")).cast("long").as("p"),
+      (length(t) - cnt("[\\s]")).cast("long").as("w"))
+    perDoc.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_chars"), sum(col("l")).as("n_letters"),
+        sum(col("d")).as("n_digits"), sum(col("p")).as("n_punct"),
+        sum(col("w")).as("n_space"))
+      .withColumn("n_other",
+        expr("n_chars - n_letters - n_digits - n_punct - n_space"))
+      .withColumn("other_ppm", expr(
+        "CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_other * 1000000) DIV n_chars END"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source dedup savings: token mass before dedup, after exact
     * dedup (min-id keeper per content hash), and after LSH near-dup
     * cluster pruning (min-id survivor per connected component, the

@@ -302,4 +302,34 @@ object EventAnalytics {
         col("dev_sq"), col("bound_sq"), col("is_anomaly"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** Per-user event-type entropy — the behavioral-diversity signal
+    * (a "user" firing one event type thousands of times is a bot or
+    * an instrumentation loop; q137's transition matrix sees the same
+    * thing pairwise, this is the one-number screen). Exact integers:
+    * per-type bits = floor-log2(n) − floor-log2(c) via binary digit
+    * counts (the q88 idiom), weighted by c.
+    *
+    * Shape: the raw stream aggregates to (user, type) counts first —
+    * the only corpus-width shuffle — then user totals re-aggregate
+    * from that |users|·|types|-bounded table; the bits join is
+    * user-co-partitioned with it.
+    *
+    * Output: (user_id, n_events, n_types, sum_bits).
+    */
+  def userEventEntropy(events: DataFrame, userCol: String,
+      typeCol: String): DataFrame = {
+    val bitlen = (c: Column) => length(bin(c)).cast("long")
+    val ct = events.select(col(userCol).as("user_id"), col(typeCol).as("t"))
+      .groupBy(col("user_id"), col("t")).agg(count(lit(1)).as("c"))
+    val tot = ct.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_types"))
+    ct.join(tot, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        (col("c") * (bitlen(col("n_events")) - bitlen(col("c")))).as("b"))
+      .groupBy(col("user_id"))
+      .agg(first(col("n_events")).as("n_events"),
+        first(col("n_types")).as("n_types"),
+        sum(col("b")).cast("long").as("sum_bits"))
+  }
 }

@@ -92,4 +92,29 @@ object Graph {
       .select(col("a").as("id_a"), col("b").as("id_b"), col("c").as("id_c"))
       .orderBy(col("id_a"), col("id_b"), col("id_c"))
   }
+
+  /** Degree distribution of an undirected pair graph — the structural
+    * one-pager between q132's cluster-size histogram and q162's
+    * triangle census: how many nodes carry how many edges. Read it
+    * before pair-expensive work (a fat tail = hub nodes = the
+    * boilerplate/template families the dedup caps exist for; the
+    * per-node degree bound is what makes wedge enumeration safe).
+    *
+    * Cost: one direction-union + a node-keyed count + a degree-keyed
+    * count — output rows bounded by the distinct degree count.
+    *
+    * Output: (degree, n_nodes, n_nodes_ge) — cumulative from the
+    * highest degree down — ordered by degree descending.
+    */
+  def degreeHistogram(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+      .distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("degree").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .withColumn("n_nodes_ge", sum(col("n_nodes")).over(w).cast("long"))
+      .orderBy(col("degree").desc)
+  }
 }

@@ -373,6 +373,37 @@ object TextAnalysis {
     Sampling.quantileGate(w, col("avg_dsir_1e6"), lit(1), 1.0 - topShare, 1.0)
   }
 
+  /** DSIR importance RESAMPLING — the probabilistic cut [[dsirSelect]]'s
+    * hard quantile band is the deterministic stand-in for: each doc
+    * keeps with probability proportional to its position on the
+    * corpus's own [[dsirWeights]] score range, via the md5-ppm gate
+    * (rate_ppm = (score − min)·1e6 div (max − min); a degenerate
+    * one-score corpus keeps everything). Linear-in-score rates are
+    * the exact-integer stand-in for exp-weight sampling — monotone in
+    * the same scores, reproducible on any engine, and E[kept docs]
+    * follows the score distribution, softening the cliff a hard
+    * threshold puts at the band edge.
+    *
+    * Shape: the score min/max is ONE broadcast row; the gate is a
+    * scan-speed filter on the scored table — no new corpus shuffle
+    * beyond what dsirWeights already paid.
+    *
+    * Output: the [[dsirWeights]] columns + rate_ppm for kept docs.
+    */
+  def dsirResample(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String): DataFrame = {
+    val w = dsirWeights(corpus, idCol, textCol, target, targetTextCol)
+    val range = w.agg(min(col("avg_dsir_1e6")).as("_lo"),
+      max(col("avg_dsir_1e6")).as("_hi"))
+    w.crossJoin(broadcast(range))
+      .withColumn("rate_ppm", expr(
+        """CASE WHEN _hi = _lo THEN CAST(1000000 AS BIGINT)
+           ELSE ((avg_dsir_1e6 - _lo) * 1000000) DIV (_hi - _lo) END"""))
+      .filter(Sampling.hashBucket(col("id")) < col("rate_ppm"))
+      .select(col("id"), col("n_tokens"), col("dsir_bits"),
+        col("avg_dsir_1e6"), col("rate_ppm"))
+  }
+
   /** Bigram LM surprisal — [[unigramSurprisal]]'s first-order upgrade:
     * per adjacent pair (a, b), surprisal ≈ −log2 P(b|a) estimated as
     * floor(log2 c_a) − floor(log2 c_ab) (unigram and bigram corpus
@@ -985,6 +1016,34 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"), body.as("_e"))
       .select(col("doc_id"), col("_e.n_tokens"), col("_e.n_types"),
         col("_e.sum_bits"), col("_e.ttr_ppm"))
+  }
+
+  /** Per-document sentence statistics — the Gopher-family document
+    * shape signal at SENTENCE granularity (a doc of one run-on
+    * "sentence" or of hundreds of three-word fragments fails
+    * different quality bars than token counts can see). Sentences =
+    * [.!?]+-delimited segments with ≥ 1 token; per doc: count, total
+    * words, longest sentence, average words per sentence in ppm.
+    * Entirely map-side (nested HOFs, zero exchanges).
+    *
+    * Output: (doc_id, n_sentences, n_words, max_words, avg_words_ppm).
+    */
+  def sentenceStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val body = let(
+      filter(transform(split(coalesce(col(textCol), lit("")), "[.!?]+"),
+          s => size(tokens(s)).cast("long")), c => c > 0),
+      wc => {
+        val n = size(wc).cast("long")
+        val total = coalesce(aggregate(wc, lit(0L), (a, c) => a + c), lit(0L))
+        struct(n.as("n_sentences"), total.as("n_words"),
+          coalesce(array_max(wc), lit(0L)).as("max_words"),
+          when(n === 0, lit(0L)).otherwise(
+            floor(total.cast("double") * lit(1000000.0) / n.cast("double"))
+              .cast("long")).as("avg_words_ppm"))
+      })
+    docs.select(col(idCol).as("doc_id"), body.as("_s"))
+      .select(col("doc_id"), col("_s.n_sentences"), col("_s.n_words"),
+        col("_s.max_words"), col("_s.avg_words_ppm"))
   }
 
   /** Closed-vocabulary coverage per source: token-occurrence share

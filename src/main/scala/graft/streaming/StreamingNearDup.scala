@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{IncrementalDedup, VersionedTable}
+
+/** Streaming NEAR-dup ingest — continuous
+  * [[graft.operators.IncrementalDedup.appendNovelNearDup]]: each
+  * micro-batch runs the batch admission operator (exact md5 OR
+  * LSH-band + signature-agreement rejection against the admitted
+  * signature index) and commits the survivors, via `foreachBatch`.
+  *
+  * Why foreachBatch and not a stateful streaming join: the admission
+  * decision needs "∃ admitted historical doc within similarity T" —
+  * an aggregate over a join against an index that THIS STREAM is
+  * appending to. Spark's stream-static joins freeze the static side
+  * per batch and stateful dedup only sees exact keys, so the honest
+  * formulation is the micro-batch one: freeze the index snapshot,
+  * run the audited batch operator, commit, repeat. Exactly the shape
+  * the versioned-lake maintenance jobs use (StreamingIngest,
+  * q96's postings maintenance) — and it inherits the batch
+  * operator's oracle-checked semantics verbatim, so stream and lake
+  * CANNOT drift (one code path).
+  *
+  * Delivery guarantees: re-delivered micro-batches admit nothing new
+  * (appendNovelNearDup is idempotent per content, and empty
+  * admissions don't commit), so at-least-once sources land
+  * exactly-once content in the index.
+  *
+  * State: none in the streaming engine (no watermark, no state
+  * store) — the "state" IS the signature index table, bucketed and
+  * manifest-pruned like any lake table, shared with batch jobs.
+  */
+object StreamingNearDup {
+
+  /** Start the ingest gate: every micro-batch of `stream` (must carry
+    * `idCol` + `textCol`) is admitted against — and folded into —
+    * `index`. `batchBase` offsets the recorded batch_no so replays
+    * across restarts keep monotone provenance.
+    */
+  def ingestGate(stream: DataFrame, index: VersionedTable,
+      idCol: String, textCol: String,
+      checkpointDir: String, batchBase: Long = 0L,
+      simThreshold1e6: Long = 500000L): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IncrementalDedup.appendNovelNearDup(index, batch, idCol, textCol,
+          batchBase + batchId, simThreshold1e6)
+        ()
+      }
+      .start()
+}

@@ -2310,6 +2310,104 @@ class OperatorsSpec extends SparkSpec {
       s"tight clusters reconstruct near-perfectly: ${out.toSeq}")
   }
 
+  test("degreeHistogram: per-node degrees bucketed, cumulative from the top") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = graft.operators.Graph.degreeHistogram(pairs).collect()
+      .map(r => (r.getAs[Long]("degree"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_nodes_ge")))
+    // degrees: 3→{3}, 2→{1,2}, 1→{4}
+    assert(out.toSeq == Seq((3L, 1L, 1L), (2L, 2L, 3L), (1L, 1L, 4L)),
+      s"${out.toSeq}")
+  }
+
+  test("userEventEntropy: exact bits per user; uniform single-type user scores 0") {
+    val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "c"), (2L, "c"), (2L, "c"), (2L, "c")).toDF("user_id", "event_type")
+    val out = graft.operators.EventAnalytics.userEventEntropy(ev, "user_id", "event_type")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("sum_bits")))).toMap
+    // user 1: a(c=2): bitlen(3)−bitlen(2)=0; b(c=1): 2−1=1 → 1 bit
+    assert(out(1L) == ((3L, 2L, 1L)), s"$out")
+    assert(out(2L) == ((4L, 1L, 0L)), s"single-type loop has zero entropy: $out")
+  }
+
+  test("dsirResample: extreme scores pin the gate; degenerate range keeps all") {
+    val corpus = Seq((1L, "aa aa"), (2L, "zz zz"), (3L, "aa zz"))
+      .toDF("doc_id", "text")
+    val target = Seq((9L, "aa aa")).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirResample(corpus, "doc_id", "text", target, "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rate_ppm")).toMap
+    assert(out.contains(1L) && out(1L) == 1000000L,
+      s"max-score doc keeps at rate 1e6: $out")
+    assert(!out.contains(2L), s"min-score doc has rate 0 and never keeps: $out")
+    out.get(3L).foreach(r => assert(r > 0L && r < 1000000L, s"mid rate: $out"))
+    // one-score corpus: every doc keeps at 1e6
+    val flat = Seq((1L, "aa"), (2L, "aa")).toDF("doc_id", "text")
+    val kept = TextAnalysis.dsirResample(flat, "doc_id", "text", target, "text")
+      .collect().map(r => r.getAs[Long]("rate_ppm"))
+    assert(kept.length == 2 && kept.forall(_ == 1000000L), s"${kept.toSeq}")
+  }
+
+  test("charClassProfile: exact class split; non-ASCII lands in other") {
+    val docs = Seq((1L, "A", "Ab1. x"), (2L, "B", "héllo")).toDF("doc_id", "source", "text")
+    val out = graft.operators.Diagnostics.charClassProfile(docs, "source", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Long]("n_letters"),
+          r.getAs[Long]("n_digits"), r.getAs[Long]("n_punct"),
+          r.getAs[Long]("n_space"), r.getAs[Long]("n_other"),
+          r.getAs[Long]("other_ppm")))).toMap
+    assert(out("A") == ((6L, 3L, 1L, 1L, 1L, 0L, 0L)), s"$out")
+    assert(out("B") == ((5L, 4L, 0L, 0L, 0L, 1L, 200000L)),
+      s"é is outside [A-Za-z] → other: $out")
+  }
+
+  test("simhashPrecisionAudit: identical pair scores exact Jaccard 1; near dup less") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq((1L, base), (2L, base), (3L, base + " extra tail words"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashPrecisionAudit(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Long]("hamming"), r.getAs[Long]("jaccard_1e6")))).toMap
+    assert(out((1L, 2L)) == ((0L, 1000000L)), s"identical pair: $out")
+    out.get((1L, 3L)).foreach { case (h, j) =>
+      assert(j < 1000000L && j > 0L, s"near dup strictly between: $out")
+    }
+  }
+
+  test("sentenceStats: segment counts, extremes, map-side degenerate cases") {
+    val docs = Seq((1L, "one two. three!! "), (2L, ""), (3L, "just words here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceStats(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("n_sentences"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("max_words"), r.getAs[Long]("avg_words_ppm")))
+    assert(out(0) == ((2L, 3L, 2L, 1500000L)), s"${out.toSeq}")
+    assert(out(1) == ((0L, 0L, 0L, 0L)), s"empty doc: ${out.toSeq}")
+    assert(out(2) == ((1L, 3L, 3L, 3000000L)), s"no delimiter = one sentence: ${out.toSeq}")
+  }
+
+  test("packingBudgetSweep: exact counts from totals; consistent with the real packer") {
+    val docs = Seq((1L, 4L), (2L, 3L), (3L, 3L)).toDF("doc_id", "n_tokens")
+    val out = graft.operators.Chunker.packingBudgetSweep(
+        docs, "doc_id", "n_tokens", budgets = Seq(4L), shards = 1)
+      .collect().map(r => (r.getAs[Long]("budget"), r.getAs[Long]("n_shards"),
+        r.getAs[Long]("n_seqs"), r.getAs[Long]("n_pad"), r.getAs[Long]("pad_ppm")))
+    // one shard, 10 tokens at budget 4 → 3 seqs, 2 pad, 2/12 ppm
+    assert(out.toSeq == Seq((4L, 1L, 3L, 2L, 166666L)), s"${out.toSeq}")
+    // sweep n_seqs must equal what the real packer materializes
+    val big = (1L to 40L).map(i => (i, 1L + (i * 7) % 23)).toDF("doc_id", "n_tokens")
+    val sweep = graft.operators.Chunker.packingBudgetSweep(
+        big, "doc_id", "n_tokens", budgets = Seq(64L), shards = 4)
+      .collect()(0).getAs[Long]("n_seqs")
+    val placed = graft.operators.Chunker.packSequences(
+        big, "doc_id", "n_tokens", budgetTokens = 64L, shards = 4)
+    val real = placed.groupBy("shard")
+      .agg(max(expr("seq_id + CASE WHEN seq_offset + n_tokens > 64 " +
+        "THEN (seq_offset + n_tokens - 1) DIV 64 ELSE 0 END")).as("last"))
+      .agg(sum(col("last") + 1)).collect()(0).getLong(0)
+    assert(sweep == real, s"sweep=$sweep placed=$real")
+  }
+
   test("lshBandSweep: raw candidate count dominates the distinct pair count") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val df = Seq((1L, base), (2L, base), (3L, base + " extra"),

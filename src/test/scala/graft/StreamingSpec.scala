@@ -626,4 +626,45 @@ class StreamingSpec extends SparkSpec {
     assert(out3(10L).n_sessions == 2L && out3(10L).last_us == out2(10L).last_us,
       s"late event neither opens a session nor moves the watermark: ${out3(10L)}")
   }
+
+  test("streaming near-dup ingest gate: index equals the batch replay; replay admits nothing") {
+    val srcDir = Fixtures.tmpDir("nd_stream_src")
+    val ckpt = Fixtures.tmpDir("nd_stream_ckpt").toString
+    val idxRoot = Fixtures.tmpDir("nd_stream_idx").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    def addFile(n: Int, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir.toString)
+    def drain(index: graft.operators.VersionedTable, batchBase: Long): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val q = graft.streaming.StreamingNearDup.ingestGate(
+        stream, index, "doc_id", "text", ckpt, batchBase)
+      q.awaitTermination(120000)
+    }
+    val index = new graft.operators.VersionedTable(spark, idxRoot, "doc_id",
+      "batch_no", numBuckets = 4)
+    addFile(1, Seq((10L, base), (11L, base))) // in-batch exact dup
+    drain(index, 0L)
+    val after1 = index.snapshot.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after1 == Set(10L), s"in-batch exact dup keeps min id: $after1")
+    // batch 2: exact repeat + near dup + novel, through the SAME checkpoint
+    addFile(2, Seq((20L, base), (21L, base + " extra"),
+      (22L, "completely different words entirely unrelated content here now")))
+    drain(index, 100L)
+    val after2 = index.snapshot.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after2 == Set(10L, 22L),
+      s"exact + near dups turned away at the stream gate: $after2")
+    // restart-with-replay: a fresh checkpoint re-delivers EVERYTHING;
+    // at-least-once delivery still lands exactly-once content
+    val ckpt2 = Fixtures.tmpDir("nd_stream_ckpt2").toString
+    val commits = index.commits.length
+    val stream2 = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val q2 = graft.streaming.StreamingNearDup.ingestGate(
+      stream2, index, "doc_id", "text", ckpt2, 200L)
+    q2.awaitTermination(120000)
+    assert(index.snapshot.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(10L, 22L), "full re-delivery admits nothing new")
+    assert(index.commits.length == commits, "empty admissions never commit")
+  }
 }
