@@ -3682,15 +3682,23 @@ object OracleSql {
           FROM P GROUP BY source ORDER BY source"""
     },
 
-    // simhash precision audit: q45's verified pairs + the exact q20
-    // Jaccard on the pair texts
+    // simhash precision audit: ADAPTIVE-band verified pairs (the q82
+    // derivation) + the exact q20 Jaccard on the pair texts
     "q184_simhash_precision" -> {
       val hashes = s"list_transform(${toks("lower(text)")}, t -> ${md5long("t")})"
       val sh = shingles3("text")
-      s"""WITH HS AS (SELECT doc_id, $hashes AS H FROM documents),
-          S AS (SELECT doc_id, ${simhashSql(32)} AS sim FROM HS
-                WHERE len(H) > 0),
-          B AS (SELECT doc_id, sim, t.band AS band, (sim >> (t.band * 8)) & 255 AS bval
+      s"""WITH NB AS (SELECT count(*)::BIGINT AS n FROM documents),
+          BB AS (SELECT least(15, greatest(4, b))::BIGINT AS bb,
+                 (4 * least(15, greatest(4, b)))::BIGINT AS bits
+                FROM (SELECT min(b)::INT AS b FROM range(0, 61) t(b), NB
+                      WHERE (1::BIGINT << b) >= ((NB.n + 1) // 2))),
+          HS AS (SELECT doc_id, $hashes AS H FROM documents),
+          S AS (SELECT doc_id,
+                 ${simhashSql(60)} & ((1::BIGINT << bb.bits) - 1) AS sim,
+                 bb.bb AS bandbits
+                FROM HS, BB bb WHERE len(H) > 0),
+          B AS (SELECT doc_id, sim, bandbits, t.band AS band,
+                 (sim >> (t.band * bandbits)) & ((1::BIGINT << bandbits) - 1) AS bval
                 FROM S CROSS JOIN (SELECT unnest(range(4)) AS band) t),
           P AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
                   cast(bit_count(xor(a.sim, b2.sim)) as bigint) AS hamming
@@ -3701,7 +3709,8 @@ object OracleSql {
             cast(floor((CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
               ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
                    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END)
-              * 1000000.0) as bigint) AS jaccard_1e6
+              * 1000000.0) as bigint) AS jaccard_1e6,
+            (SELECT bits FROM BB) AS bits
           FROM (SELECT * FROM P WHERE hamming <= 3) p
           JOIN D a ON a.doc_id = p.id_a JOIN D b ON b.doc_id = p.id_b
           ORDER BY id_a, id_b"""

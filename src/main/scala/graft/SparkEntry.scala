@@ -2489,11 +2489,18 @@ object SparkEntry {
 
   /** SimHash precision audit (q184): every Hamming-verified pair next
     * to its exact 3-gram Jaccard — the false-positive side of the
-    * simhash gate (q172 is the recall side). See
-    * Dedup.simhashPrecisionAudit.
+    * simhash gate (q172 is the recall side). Band width ADAPTIVE from
+    * count(*) (the q82 derivation; measured 82× at 10× data at fixed
+    * 8-bit bands — the audit walks the same candidate stream the
+    * dedup would, the q172/q175 lesson a third time).
+    * See Dedup.simhashPrecisionAudit.
     */
-  private def qSimhashPrecision(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPrecisionAudit(t(s, dir, "documents"), "doc_id", "text")
+  private def qSimhashPrecision(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (bits, bands) = Dedup.suggestSimhashParams(docs.count(), bands = 4)
+    Dedup.simhashPrecisionAudit(docs, "doc_id", "text", bits, bands)
+      .withColumn("bits", lit(bits.toLong))
+  }
 
   /** Sentence stats (q185): map-side per-doc sentence counts/lengths —
     * the Gopher-family shape signal at sentence granularity.
