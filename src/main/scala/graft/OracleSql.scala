@@ -3749,6 +3749,180 @@ object OracleSql {
             CAST(CASE WHEN sum(ns) = 0 THEN 0
               ELSE ((sum(ns * budget) - sum(tot)) * 1000000)
                    // (sum(ns) * budget) END AS BIGINT) AS pad_ppm
-          FROM X GROUP BY budget ORDER BY budget"""
+          FROM X GROUP BY budget ORDER BY budget""",
+
+    // windowed PMI: pair lists for offsets 1..3 (sorted members),
+    // unigram marginals, q154's fixed-point odds ratio, top-20
+    "q187_windowed_pmi" ->
+      s"""WITH TKD AS (SELECT ${toks("lower(text)")} AS tk FROM documents),
+          PR AS (SELECT unnest(list_concat(list_concat(
+                 list_transform(range(greatest(len(tk) - 1, 0)), i ->
+                   least(tk[i+1], tk[i+2]) || ' ' || greatest(tk[i+1], tk[i+2])),
+                 list_transform(range(greatest(len(tk) - 2, 0)), i ->
+                   least(tk[i+1], tk[i+3]) || ' ' || greatest(tk[i+1], tk[i+3]))),
+                 list_transform(range(greatest(len(tk) - 3, 0)), i ->
+                   least(tk[i+1], tk[i+4]) || ' ' || greatest(tk[i+1], tk[i+4]))))
+                 AS pair FROM TKD),
+          PC AS (SELECT pair, CAST(count(*) AS BIGINT) AS c_ab
+                 FROM PR GROUP BY pair),
+          TC AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+                 FROM (SELECT unnest(tk) AS t FROM TKD) GROUP BY t),
+          NP AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_pairs FROM PC)
+          SELECT pair, c_ab, a.c AS c_a, b.c AS c_b,
+            CAST((c_ab * np.n_pairs * 1000000) // (a.c * b.c) AS BIGINT)
+              AS ratio_1e6
+          FROM PC JOIN TC a ON a.t = split_part(pair, ' ', 1)
+          JOIN TC b ON b.t = split_part(pair, ' ', 2)
+          CROSS JOIN NP np
+          WHERE c_ab >= 10
+          ORDER BY ratio_1e6 DESC, pair LIMIT 20""",
+
+    // incremental decontamination: the oracle recomputes flags against
+    // the FINAL eval state (both committed slices) — maintained ≡ full
+    "q188_inc_decontam" ->
+      s"""WITH BG AS (SELECT DISTINCT gram FROM (
+                 SELECT unnest(${shingles3("text")}) AS gram FROM documents
+                 WHERE (doc_id % 97 = 0 OR doc_id % 89 = 0) AND doc_id < 5000)),
+          C AS (SELECT doc_id, unnest(${shingles3("text")}) AS gram FROM documents
+                WHERE NOT ((doc_id % 97 = 0 AND doc_id < 5000)
+                        OR (doc_id % 89 = 0 AND doc_id < 5000)))
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+          FROM C JOIN BG USING (gram) GROUP BY doc_id ORDER BY doc_id""",
+
+    // per-source KS distance: (source, len) counts, per-source vs
+    // corpus CDFs on the shared length grid, max |cross-product gap|
+    // in HUGEINT, final ppm
+    "q189_source_ks" ->
+      s"""WITH B AS (SELECT source, CAST(len(${toks("text")}) AS BIGINT) AS len
+                 FROM documents),
+          SC AS (SELECT source, len, CAST(count(*) AS BIGINT) AS sc
+                 FROM B GROUP BY source, len),
+          LENS AS (SELECT DISTINCT len FROM SC),
+          SRC AS (SELECT source, CAST(sum(sc) AS BIGINT) AS n_s
+                  FROM SC GROUP BY source),
+          CCT AS (SELECT len, CAST(sum(sc) AS BIGINT) AS cc
+                  FROM SC GROUP BY len),
+          TOT AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM B),
+          G AS (SELECT s.source, l.len, s.n_s,
+                CAST(coalesce(x.sc, 0) AS BIGINT) AS sc, c.cc, t.n_tot
+                FROM SRC s CROSS JOIN LENS l
+                LEFT JOIN SC x ON x.source = s.source AND x.len = l.len
+                JOIN CCT c ON c.len = l.len CROSS JOIN TOT t),
+          W AS (SELECT source, n_s, n_tot,
+                 abs(CAST(sum(sc) OVER win AS HUGEINT) * n_tot
+                   - CAST(sum(cc) OVER win AS HUGEINT) * n_s) AS gap
+                FROM G WINDOW win AS (PARTITION BY source ORDER BY len
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+            CAST((max(gap) * 1000000)
+              // (CAST(max(n_s) AS HUGEINT) * max(n_tot)) AS BIGINT) AS ks_ppm
+          FROM W GROUP BY source ORDER BY source""",
+
+    // incremental ANN index: full re-encode of the corpus's FINAL
+    // state (evens minus %10 deletes, plus odds) under quantizers
+    // trained on the COMMIT-1 corpus (evens) — maintained ≡ full
+    "q190_index_maintain_ann" -> {
+      val (m, kc, sub) = (2, 4, 32)
+      val codeCtes = (0 until m).map { s =>
+        val lo = s * sub + 1; val hi = (s + 1) * sub
+        s"""CT$s AS (SELECT id, emb[$lo:$hi] AS emb FROM C),
+            PS0_$s AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, emb AS cemb
+                   FROM (SELECT * FROM CT$s ORDER BY id LIMIT $kc)),
+            ${ivfRound(s"PS0_$s", s"PA1_$s", s"PP1_$s", s"PM1_$s", s"PS1_$s", s"CT$s")},
+            ${ivfRound(s"PS1_$s", s"PA2_$s", s"PP2_$s", s"PM2_$s", s"PS2_$s", s"CT$s")},
+            FS$s AS (SELECT id, emb[$lo:$hi] AS emb FROM FIN),
+            ${ivfAssignCte(s"FS$s", s"PS2_$s", s"CODE$s", 1)}"""
+      }.mkString(",\n")
+      s"""WITH C0 AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          C AS (SELECT * FROM C0 WHERE id % 2 = 0),
+          S0 AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, emb AS cemb
+                 FROM (SELECT * FROM C ORDER BY id LIMIT 8)),
+          ${ivfRound("S0", "A1", "P1", "M1", "S1")},
+          ${ivfRound("S1", "A2", "P2", "M2", "S2")},
+          FIN AS (SELECT * FROM C0 WHERE id % 10 <> 0),
+          ${ivfAssignCte("FIN", "S2", "CC", 1)},
+          $codeCtes
+          SELECT f.id, cc.cid, c0.cid AS c0, c1.cid AS c1
+          FROM FIN f JOIN CC cc ON cc.id = f.id
+          JOIN CODE0 c0 ON c0.id = f.id JOIN CODE1 c1 ON c1.id = f.id
+          ORDER BY f.id"""
+    },
+
+    // recall curve: q21/q22's rank lists at kmax = 10, per-k filters
+    "q191_recall_curve" ->
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          Q AS (SELECT * FROM C WHERE id % 200 = 0 AND id < 2000),
+          BS AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+                 ${scoreFixedSql("q.emb", "c.emb")} AS s
+                 FROM C c CROSS JOIN Q q WHERE q.id <> c.id),
+          BR AS (SELECT query_id, neighbor_id, rn AS er FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY s DESC, neighbor_id) AS rn FROM BS) WHERE rn <= 10),
+          CB AS (SELECT vec_id AS id, embedding AS emb,
+                 ${signBucketSql("embedding", 6)} AS bucket FROM embeddings),
+          QB AS (SELECT * FROM CB WHERE id % 200 = 0 AND id < 2000),
+          SB2 AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+                  ${scoreFixedSql("q.emb", "c.emb")} AS s
+                  FROM CB c JOIN QB q ON q.bucket = c.bucket AND q.id <> c.id),
+          AR AS (SELECT query_id, neighbor_id, rn AS ar FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY s DESC, neighbor_id) AS rn FROM SB2) WHERE rn <= 10),
+          J AS (SELECT b.query_id, b.er, a.ar FROM BR b
+                LEFT JOIN AR a ON a.query_id = b.query_id
+                  AND a.neighbor_id = b.neighbor_id),
+          K AS (SELECT unnest([1, 3, 5, 10]) AS k),
+          X AS (SELECT k.k::BIGINT AS k, j.query_id, j.er, j.ar
+                FROM J CROSS JOIN K k WHERE j.er <= k.k)
+          SELECT k, CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+            CAST(count(*) AS BIGINT) AS sum_exact,
+            CAST(sum(CASE WHEN ar IS NOT NULL AND ar <= k THEN 1 ELSE 0 END)
+              AS BIGINT) AS sum_hits,
+            CAST((sum(CASE WHEN ar IS NOT NULL AND ar <= k THEN 1 ELSE 0 END)
+              * 1000000) // count(*) AS BIGINT) AS recall_1e6
+          FROM X GROUP BY k ORDER BY k""",
+
+    // per-doc gate verdicts: q127's V table, row by row
+    "q192_gate_verdicts" ->
+      s"""WITH RECURSIVE $dedupClusterCtes,
+          ${gateCtes("documents")},
+          ${benchGramsCte()},
+          CONTAM AS (SELECT DISTINCT d.doc_id
+                 FROM (SELECT doc_id, unnest(${shingles3("text")}) AS gram
+                       FROM documents) d
+                 JOIN BG USING (gram)),
+          REP AS (SELECT doc_id, ${repFixedSql("g")} AS rep_1e6
+              FROM (SELECT doc_id, ${rawShingles3("text")} AS g FROM documents)),
+          V AS (SELECT d.doc_id,
+                 CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM KEEP) THEN '1_exact_dup'
+                      WHEN d.doc_id IN (SELECT node FROM CL WHERE node <> cluster_id) THEN '2_near_dup'
+                      WHEN g.quality_1e6 < 600000 THEN '3_quality'
+                      WHEN g.predicted_lang <> 'en' THEN '4_language'
+                      WHEN r.rep_1e6 >= 500000 THEN '5_repetition'
+                      WHEN d.doc_id IN (SELECT doc_id FROM CONTAM) THEN '6_contaminated'
+                      ELSE '7_pass' END AS gate
+                FROM documents d JOIN G g USING (doc_id) JOIN REP r USING (doc_id))
+          SELECT doc_id, gate FROM V ORDER BY doc_id""",
+
+    // KMV distinct estimate: k = 256 smallest distinct gram hashes,
+    // est = (k-1)*2^60 // h_k in HUGEINT, 3-sigma/sqrt(k) bound flag
+    "q193_kmv_distinct" ->
+      s"""WITH H AS (SELECT DISTINCT ${md5long("g")} AS h FROM
+                 (SELECT unnest(${rawShingles3("text")}) AS g FROM documents)),
+          MK AS (SELECT h FROM H ORDER BY h LIMIT 256),
+          KT AS (SELECT max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS n_seen
+                 FROM MK),
+          EX AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM H),
+          E AS (SELECT kt.kth_hash, ex.exact_distinct,
+                 CASE WHEN kt.n_seen < 256 THEN ex.exact_distinct
+                 ELSE CAST((255::HUGEINT * 1152921504606846976) // kt.kth_hash
+                      AS BIGINT) END AS est_distinct
+                FROM KT kt CROSS JOIN EX ex)
+          SELECT CAST(256 AS BIGINT) AS k, kth_hash, est_distinct,
+            exact_distinct,
+            CAST(CASE WHEN (est_distinct::HUGEINT - exact_distinct)
+                * (est_distinct::HUGEINT - exact_distinct) * 256
+                <= 9::HUGEINT * exact_distinct * exact_distinct
+              THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+          FROM E"""
     )
 }

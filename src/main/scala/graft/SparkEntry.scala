@@ -2520,6 +2520,112 @@ object SparkEntry {
         graft.functions.tokenCount(col("text")).as("n_tokens")),
       "doc_id", "n_tokens", budgets = Seq(128L, 256L, 512L, 1024L), shards = 4)
 
+  /** Windowed PMI (q187): ±3-token co-occurrence collocations — the
+    * word2vec-style statistic beyond q154's adjacent pairs; pairs
+    * built by map-side shifted zips, corpus never self-joins.
+    * See TextAnalysis.windowedPmi.
+    */
+  private def qWindowedPmi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.windowedPmi(t(s, dir, "documents"), "text")
+
+  /** Incremental decontamination (q188): contamination flags FOLLOW a
+    * versioned eval set — a second benchmark commit rescans the
+    * corpus for only the grams it ADDED; prior flags carry. The
+    * oracle recomputes flags against the FINAL eval state directly,
+    * so maintained ≡ full is the hash contract (the q71 discipline
+    * for benchmark hygiene). See Decontaminate.maintainEvalFlags.
+    */
+  private def qIncDecontam(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q188_dec_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "doc_id", "ver",
+      numBuckets = 4)
+    val docs = t(s, dir, "documents")
+    val s1 = col("doc_id") % 97 === 0 && col("doc_id") < 5000
+    val s2 = col("doc_id") % 89 === 0 && col("doc_id") < 5000
+    vt.upsert(docs.filter(s1).select(col("doc_id"), col("text"), lit(1L).as("ver")))
+    vt.upsert(docs.filter(s2 && !s1)
+      .select(col("doc_id"), col("text"), lit(2L).as("ver")))
+    graft.operators.Decontaminate.maintainEvalFlags(
+        docs.filter(!s1 && !s2), "doc_id", "text", vt,
+        prevTs = vt.commits.last, n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Source KS distance (q189): exact integer Kolmogorov–Smirnov gap
+    * between each source's token-length CDF and the corpus's — the
+    * feed-drift alarm. See Diagnostics.sourceKsDistance.
+    */
+  private def qSourceKs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.sourceKsDistance(
+      t(s, dir, "documents"), "source", "text")
+
+  /** Incremental ANN-index maintenance (q190): the PQ index follows
+    * the versioned vector corpus — commit 2's inserts re-encode, its
+    * deletes drop index rows, untouched buckets carry; quantizers
+    * frozen at the commit-1 training. Oracle = full re-encode of the
+    * final corpus state under the same frozen quantizers (maintained
+    * ≡ full, the q96 discipline for vectors).
+    * See Similarity.encodeIvfPq/maintainPqIndex.
+    */
+  private def qIndexMaintainAnn(s: SparkSession, dir: String): DataFrame = {
+    def scratch(tag: String) = {
+      val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_q190_${tag}_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(dir.hashCode))
+      graft.util.Fs.deleteRecursively(p); p.toString
+    }
+    val corpus = embCorpus(s, dir)
+    val cvt = new graft.operators.VersionedTable(s, scratch("cvt"), "id", "ver",
+      numBuckets = 8)
+    cvt.upsert(corpus.filter(col("id") % 2 === 0).withColumn("ver", lit(1L)))
+    val ts1 = cvt.commits.last
+    val frozen = cvt.snapshot.select(col("id"), col("emb"))
+    val coarse = Similarity.trainCentroids(frozen, k = 8, iters = 2)
+    val books = Similarity.trainPqCodebooks(frozen, m = 2, k = 4, iters = 2)
+    val ivt = new graft.operators.VersionedTable(s, scratch("ivt"), "id", "ver",
+      numBuckets = 8)
+    ivt.upsert(Similarity.encodeIvfPq(frozen, coarse, books)
+      .join(cvt.snapshot.select(col("id"), col("ver")), Seq("id")))
+    cvt.upsert(corpus.filter(col("id") % 2 === 1).withColumn("ver", lit(2L)))
+    cvt.delete(corpus.filter(col("id") % 10 === 0).select(col("id")))
+    Similarity.maintainPqIndex(ivt, cvt, ts1, coarse, books)
+    ivt.snapshot.select(col("id"), col("cid").cast("long").as("cid"),
+        element_at(col("codes"), 1).cast("long").as("c0"),
+        element_at(col("codes"), 2).cast("long").as("c1"))
+      .orderBy(col("id"))
+  }
+
+  /** Recall curve (q191): recall@k of the sign-bucket ANN path at
+    * k ∈ {1,3,5,10} from one pair of rankings — q155 widened to the
+    * curve a k/nprobe decision reads. See Similarity.recallCurve.
+    */
+  private def qRecallCurve(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallCurve(embCorpus(s, dir),
+      embCorpus(s, dir).filter(col("id") % 200 === 0 && col("id") < 2000),
+      ks = Seq(1, 3, 5, 10), signBits = 6)
+
+  /** Per-doc gate verdicts (q192): the q127 funnel's verdict table
+    * row-by-row — the "why is doc X missing" provenance record.
+    * See Curation.gateVerdicts.
+    */
+  private def qGateVerdicts(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Curation.gateVerdicts(docs,
+        docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000))
+      .orderBy(col("doc_id"))
+  }
+
+  /** KMV distinct-gram estimate (q193): the k-minimum-values sketch
+    * next to its exact companion with the 3σ/√k bound flag — the
+    * third sketch family after HLL (q35) and count-min (q62).
+    * See Sketches.kmvDistinctGrams.
+    */
+  private def qKmvDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvDistinctGrams(t(s, dir, "documents"), "text")
+
   /** Cluster purity (q158): the q49 trained quantizer audited against
     * ground-truth labels. See Similarity.cellPurity.
     */
@@ -2719,7 +2825,14 @@ object SparkEntry {
     "q183_char_classes" -> (qCharClassProfile _),
     "q184_simhash_precision" -> (qSimhashPrecision _),
     "q185_sentence_stats" -> (qSentenceStats _),
-    "q186_packing_sweep" -> (qPackingSweep _))
+    "q186_packing_sweep" -> (qPackingSweep _),
+    "q187_windowed_pmi" -> (qWindowedPmi _),
+    "q188_inc_decontam" -> (qIncDecontam _),
+    "q189_source_ks" -> (qSourceKs _),
+    "q190_index_maintain_ann" -> (qIndexMaintainAnn _),
+    "q191_recall_curve" -> (qRecallCurve _),
+    "q192_gate_verdicts" -> (qGateVerdicts _),
+    "q193_kmv_distinct" -> (qKmvDistinct _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

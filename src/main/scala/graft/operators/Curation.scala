@@ -226,6 +226,22 @@ object Curation {
         .otherwise("7_pass").as("gate"))
   }
 
+  /** The per-document verdict table itself — [[attritionFunnel]]'s
+    * spine exposed row-by-row: (doc_id, gate) for EVERY document, the
+    * provenance record a curation run ships so any individual drop is
+    * explainable after the fact ("why is doc X missing?" answers with
+    * a lookup, not a pipeline re-run).
+    */
+  def gateVerdicts(docs: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minQuality1e6: Long = 600000L, lang: String = "en",
+      maxRep1e6: Long = 500000L, repetitionN: Int = 3,
+      decontamN: Int = 3, minShared: Long = 1L,
+      bands: Int = 4, rowsPerBand: Int = 4, n: Int = 3): DataFrame =
+    funnelVerdicts(docs, bench, idCol, textCol, minQuality1e6, lang,
+      maxRep1e6, repetitionN, decontamN, minShared, bands, rowsPerBand, n)
+      .select(col("_id").as("doc_id"), col("gate"))
+
   /** [[attritionFunnel]] attributed per SOURCE: the same first-fail
     * verdict spine, grouped by (source, gate) with shares within each
     * source's own total — the table that turns "the corpus loses 40%

@@ -41,6 +41,46 @@ object Decontaminate {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Incremental decontamination maintenance — contamination flags
+    * FOLLOW a versioned eval set (the q71/q85/q96 "summary follows
+    * the table" discipline applied to benchmark hygiene): when new
+    * benchmarks land in `evalVt`, only the grams those commits ADDED
+    * rescan the corpus — prior flags carry, increments merge by sum.
+    * Exact for additive commits because per-doc gram streams are
+    * distinct and added grams are by construction disjoint from the
+    * prior eval gram set (so distinct-gram counts add); benchmark
+    * REMOVALS cannot un-flag on this path — recompute against the
+    * snapshot for that (the q71 delete-staleness caveat, documented
+    * and pinned the same way).
+    *
+    * Cost per maintenance run: two eval-side gram projections (eval
+    * sets are small), one corpus pass pruned by the BROADCAST added
+    * grams before its only shuffle (the q55 shape), and an id-keyed
+    * merge of two flag tables.
+    *
+    * Output: (doc_id, n_shared) — every doc sharing ≥ 1 distinct gram
+    * with the FULL current eval set.
+    */
+  def maintainEvalFlags(corpus: DataFrame, idCol: String, textCol: String,
+      evalVt: VersionedTable, prevTs: String, evalTextCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val prevEval = evalVt.asOf(prevTs)
+    val prevFlags = sharedNgrams(corpus, idCol, textCol, prevEval, evalTextCol, n, 1L)
+    val prevGrams = prevEval
+      .select(explode(shingles(col(evalTextCol), n)).as("gram")).distinct()
+    val addedGrams = evalVt.snapshot
+      .select(explode(shingles(col(evalTextCol), n)).as("gram")).distinct()
+      .join(prevGrams, Seq("gram"), "left_anti")
+    val inc = corpus
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(addedGrams), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_inc"))
+    prevFlags.join(inc, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("n_shared"), lit(0L)) + coalesce(col("n_inc"), lit(0L)))
+          .as("n_shared"))
+  }
+
   /** [[sharedNgrams]] for benchmark sets too large to broadcast as
     * strings: a bloom filter over the benchmark's gram hashes (built in
     * one distributed aggregate — the driver receives only the final

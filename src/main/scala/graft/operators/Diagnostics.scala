@@ -392,6 +392,49 @@ object Diagnostics {
       .orderBy(col("source"))
   }
 
+  /** Per-source length-distribution drift: the exact Kolmogorov–
+    * Smirnov statistic (max CDF gap, in ppm) between each source's
+    * token-length distribution and the corpus's — the feed-drift
+    * alarm that catches "source X started sending truncated docs"
+    * before any quality gate moves. All-integer: the gap compares
+    * cdf_s·N vs cdf_c·n_s in DECIMAL(38,0) (no ratios until the final
+    * ppm), so engines agree to the bit and counts can be petascale.
+    *
+    * Shape: one (source, len) count shuffle; the CDF windows run over
+    * the |sources|·|distinct lens| GRID (bounded — lengths are
+    * bucketable if ever unbounded), never the corpus.
+    *
+    * Output: (source, n_docs, ks_ppm) ordered by source.
+    */
+  def sourceKsDistance(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.tokenCount
+    val base = docs.select(col(sourceCol).as("source"),
+      tokenCount(col(textCol)).as("len"))
+    val sc = base.groupBy(col("source"), col("len")).agg(count(lit(1)).as("sc"))
+    val lens = sc.select(col("len")).distinct()
+    val sources = sc.groupBy(col("source")).agg(sum(col("sc")).as("n_s"))
+    val cc = sc.groupBy(col("len")).agg(sum(col("sc")).as("cc"))
+    val total = base.agg(count(lit(1)).as("n_tot"))
+    val w = Window.partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sources.crossJoin(broadcast(lens))
+      .join(sc, Seq("source", "len"), "left")
+      .join(broadcast(cc), Seq("len"))
+      .crossJoin(broadcast(total))
+      .withColumn("cdf_s", sum(coalesce(col("sc"), lit(0L))).over(w))
+      .withColumn("cdf_c", sum(col("cc")).over(w))
+      .withColumn("gap", expr(
+        "abs(CAST(cdf_s AS DECIMAL(38,0)) * n_tot - CAST(cdf_c AS DECIMAL(38,0)) * n_s)"))
+      .groupBy(col("source"))
+      .agg(first(col("n_s")).cast("long").as("n_docs"),
+        max(col("gap")).as("_g"), first(col("n_tot")).as("_nt"))
+      .withColumn("ks_ppm",
+        expr("CAST((_g * 1000000) DIV (CAST(n_docs AS DECIMAL(38,0)) * _nt) AS BIGINT)"))
+      .select(col("source"), col("n_docs"), col("ks_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source dedup savings: token mass before dedup, after exact
     * dedup (min-id keeper per content hash), and after LSH near-dup
     * cluster pruning (min-id survivor per connected component, the

@@ -719,6 +719,39 @@ object Similarity {
       .orderBy(col("pick_no"))
   }
 
+  /** Recall CURVE for the bucketed ANN path: corpus-level recall@k at
+    * several k values from ONE pair of rankings — both the exact and
+    * the approximate top-max(ks) lists compute once, and each k of
+    * the sweep is a filter over the joined |queries|·kmax rank pairs
+    * (the recall/latency trade as a table, not a single point —
+    * q155's audit widened to the curve an nprobe/k decision actually
+    * reads). Denominator per k = total exact neighbors at that k
+    * (honest on small corpora, the q155 rule).
+    *
+    * Output: (k, n_queries, sum_exact, sum_hits, recall_1e6)
+    * ascending by k.
+    */
+  def recallCurve(corpus: DataFrame, queries: DataFrame, ks: Seq[Int],
+      signBits: Int = 6): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"positive ks: $ks")
+    val kmax = ks.max
+    val exact = bruteForceTopK(corpus, queries, kmax)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("er"))
+    val approx = bucketedTopK(corpus, queries, kmax, signBits)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("ar"))
+    val joined = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("er"), col("ar"),
+        explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+      .filter(col("er") <= col("k"))
+    joined.groupBy(col("k"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("sum_exact"),
+        sum(when(col("ar").isNotNull && col("ar") <= col("k"), 1L)
+          .otherwise(0L)).cast("long").as("sum_hits"))
+      .withColumn("recall_1e6", expr("(sum_hits * 1000000) DIV sum_exact"))
+      .orderBy(col("k"))
+  }
+
   /** Recall-lift report for the refine stage: per query, how many of
     * the EXACT top-k ([[bruteForceTopK]] ground truth) survive in (a)
     * the plain IVF-PQ ADC top-k and (b) the refined top-k — the
@@ -832,15 +865,56 @@ object Similarity {
     * bytes per vector; original vectors are never read at query time.
     * Output: (query_id, rank, neighbor_id, adc_1e6).
     */
+  /** The IVF-PQ index-build write path as a standalone operator:
+    * coarse cell id + m PQ codes per vector, one narrow map-side pass
+    * (centroids and codebooks are plan literals) — what a persisted
+    * ANN index table stores per row. Shared by [[ivfPqTopK]]'s inline
+    * build and [[maintainPqIndex]]'s incremental one, so the two can
+    * never encode differently.
+    */
+  def encodeIvfPq(corpus: DataFrame, coarse: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val (stagedC, _) = stageSubspaces(withCell(corpus, coarse), codebooks)
+    stagedC.select(col("id"), col("cid"),
+      array(codebooks.indices.map(s =>
+        assignCellWithNorm(col(s"_s$s"), col(s"_n$s"), codebooks(s))): _*).as("codes"))
+  }
+
+  /** Incremental ANN-index maintenance — the PQ index FOLLOWS the
+    * versioned corpus (q96's "the index follows the table" discipline
+    * applied to vectors): only rows the corpus commits since `sinceTs`
+    * inserted or updated re-encode (the narrow [[encodeIvfPq]] pass
+    * over JUST the change feed), deletes drop their index rows, and
+    * every untouched bucket carries by manifest reference. The coarse
+    * quantizer and codebooks are FROZEN between retrains (the
+    * realistic cadence: ingest is continuous, retraining is
+    * scheduled) — retrain means full rebuild, by design.
+    *
+    * Contract (oracle-pinned): maintained index ≡ full re-encode of
+    * the corpus's final state under the same frozen quantizers.
+    */
+  def maintainPqIndex(indexVt: VersionedTable, corpusVt: VersionedTable,
+      sinceTs: String, coarse: Seq[(Int, Seq[Double])],
+      codebooks: Seq[Seq[(Int, Seq[Double])]]): Unit = {
+    val head = corpusVt.commits.head
+    val d = corpusVt.diff(sinceTs, head).localCheckpoint(true)
+    val changed = d.filter(col("change_type").isin("insert", "update"))
+      .select(col("id"), col("after_emb").as("emb"), col("after_ver").as("ver"))
+    val enc = encodeIvfPq(changed, coarse, codebooks)
+      .join(changed.select(col("id"), col("ver")), Seq("id"))
+      .localCheckpoint(true)
+    if (!enc.isEmpty) indexVt.upsert(enc)
+    val dels = d.filter(col("change_type") === "delete").select(col("id"))
+      .localCheckpoint(true)
+    if (!dels.isEmpty) indexVt.delete(dels)
+  }
+
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
       coarse: Seq[(Int, Seq[Double])], codebooks: Seq[Seq[(Int, Seq[Double])]],
       k: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= coarse.size)
     // index build (write path): coarse cell + PQ codes, all narrow
-    val (stagedC, _) = stageSubspaces(withCell(corpus, coarse), codebooks)
-    val indexed = stagedC.select(col("id"), col("cid"),
-      array(codebooks.indices.map(s =>
-        assignCellWithNorm(col(s"_s$s"), col(s"_n$s"), codebooks(s))): _*).as("codes"))
+    val indexed = encodeIvfPq(corpus, coarse, codebooks)
     // search: candidate set from the cell equi-join (no dedup needed —
     // each vector has exactly one coarse cid and a query's probed cids
     // are distinct, so at most one row per (query, doc)), then the same

@@ -108,4 +108,49 @@ object Sketches {
         col("exact_both"), col("est_ok"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** KMV (k-minimum-values) distinct estimator over the corpus's word
+    * 3-gram space — the third sketch family next to HLL (q35) and
+    * count-min (q62), with the same "estimate NEXT TO its exact
+    * companion + an engine-computed error-bound flag" contract. The
+    * estimator: keep the k smallest distinct 60-bit gram hashes; with
+    * h_k the k-th smallest, D̂ = (k−1)·2^60 div h_k — all exact
+    * integers (DECIMAL(38,0) ≡ HUGEINT for the product), so both
+    * engines compute the identical estimate. The flag pins the
+    * standard ~1/√k relative-error bound at 3σ:
+    * (est − exact)²·k ≤ 9·exact², entirely in integers.
+    *
+    * Shape at scale: the min-k set is a TakeOrdered over
+    * partial-distinct hashes (the estimate's whole point is that the
+    * k-set, not the distinct set, is what a production sketch keeps);
+    * the exact companion pays the full distinct for the audit.
+    *
+    * Output: 1 row (k, kth_hash, est_distinct, exact_distinct,
+    * within_bound).
+    */
+  def kmvDistinctGrams(docs: DataFrame, textCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    import graft.functions.{md5Long, rawShingles}
+    val hashes = docs
+      .select(explode(rawShingles(lower(col(textCol)), 3)).as("g"))
+      .select(md5Long(col("g")).as("h"))
+    val minK = hashes.distinct().orderBy(col("h")).limit(k)
+    val kth = minK.agg(max(col("h")).as("kth_hash"),
+      count(lit(1)).as("_n_seen"))
+    val exact = hashes.agg(countDistinct(col("h")).as("exact_distinct"))
+    kth.crossJoin(exact)
+      // fewer than k distinct grams → the sketch IS exact
+      .withColumn("est_distinct", expr(
+        s"""CASE WHEN _n_seen < $k THEN exact_distinct
+            ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * ${1L << 60})
+                 DIV kth_hash AS BIGINT) END"""))
+      .withColumn("within_bound", expr(
+        s"""CAST(CASE WHEN (CAST(est_distinct AS DECIMAL(38,0)) - exact_distinct)
+              * (CAST(est_distinct AS DECIMAL(38,0)) - exact_distinct) * $k
+              <= CAST(9 AS DECIMAL(38,0)) * exact_distinct * exact_distinct
+            THEN 1 ELSE 0 END AS BIGINT)"""))
+      .select(lit(k.toLong).as("k"), col("kth_hash"),
+        col("est_distinct"), col("exact_distinct"), col("within_bound"))
+  }
 }

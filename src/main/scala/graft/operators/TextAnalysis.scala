@@ -922,6 +922,46 @@ object TextAnalysis {
       .withColumn("avg_millibits", expr("(sum_bits * 1000) DIV n_pairs"))
   }
 
+  /** Windowed PMI co-occurrence — [[pmiCollocations]] widened from
+    * adjacent pairs to a ±`window` token window (the word2vec-style
+    * co-occurrence statistic: "new york" is adjacent, "doctor …
+    * hospital" is not). Pairs are UNORDERED (sorted members), built
+    * map-side by `window` shifted zips — the corpus never self-joins;
+    * marginals are plain unigram counts and the ratio is the exact
+    * fixed-point odds ratio (log-free, ranking-equivalent to PMI, the
+    * q154 idiom). TakeOrdered top-K cut.
+    *
+    * Output: (pair, c_ab, c_a, c_b, ratio_1e6) — top K by ratio desc,
+    * pair asc.
+    */
+  def windowedPmi(df: DataFrame, textCol: String, window: Int = 3,
+      minCount: Long = 10L, topK: Int = 20): DataFrame = {
+    require(window >= 1 && minCount >= 1 && topK >= 1,
+      s"need window, minCount, topK >= 1")
+    val pairsCol = let(tokens(lower(col(textCol))), tk => {
+      val offsets = (1 to window).map { d =>
+        val n = greatest(size(tk) - d, lit(0))
+        zip_with(slice(tk, lit(1), n), slice(tk, lit(d + 1), n),
+          (a, b) => concat(least(a, b), lit(" "), greatest(a, b)))
+      }
+      offsets.reduce(concat(_, _))
+    })
+    val pairs = df.select(explode(pairsCol).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c_ab"))
+    val toksC = df.select(explode(tokens(lower(col(textCol)))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val nPairs = pairs.agg(sum(col("c_ab")).as("n_pairs"))
+    pairs.filter(col("c_ab") >= minCount)
+      .withColumn("a", substring_index(col("pair"), " ", 1))
+      .withColumn("b", substring_index(col("pair"), " ", -1))
+      .join(broadcast(toksC.select(col("t").as("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(toksC.select(col("t").as("b"), col("c").as("c_b"))), "b")
+      .crossJoin(broadcast(nPairs))
+      .withColumn("ratio_1e6", expr("(c_ab * n_pairs * 1000000) DIV (c_a * c_b)"))
+      .select(col("pair"), col("c_ab"), col("c_a"), col("c_b"), col("ratio_1e6"))
+      .orderBy(col("ratio_1e6").desc, col("pair")).limit(topK)
+  }
+
   /** [[docLmBits]] with a genuine TRAIN/HELD-OUT split — the
     * methodologically honest perplexity: the LM's stats come from
     * `train` only, and `score` docs are scored with the full unseen

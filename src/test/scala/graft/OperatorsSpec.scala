@@ -2408,6 +2408,141 @@ class OperatorsSpec extends SparkSpec {
     assert(sweep == real, s"sweep=$sweep placed=$real")
   }
 
+  test("windowedPmi: all within-window sorted pairs, exact ratios, pair tie order") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.windowedPmi(docs, "text", window = 3,
+        minCount = 1L, topK = 10).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("c_ab"),
+        r.getAs[Long]("ratio_1e6")))
+    // d=1: ab bc cd; d=2: ac bd; d=3: ad → 6 pairs, each once;
+    // every unigram count is 1 → ratio = 1·6·1e6/1 = 6e6 for all
+    assert(out.map(_._1).toSeq ==
+      Seq("a b", "a c", "a d", "b c", "b d", "c d"), s"${out.toSeq}")
+    assert(out.forall(p => p._2 == 1L && p._3 == 6000000L), s"${out.toSeq}")
+    // window = 1 degenerates to adjacent pairs only
+    val adj = TextAnalysis.windowedPmi(docs, "text", window = 1,
+        minCount = 1L, topK = 10).collect().map(_.getAs[String]("pair"))
+    assert(adj.toSeq == Seq("a b", "b c", "c d"), s"${adj.toSeq}")
+  }
+
+  test("maintainEvalFlags: incremental flags equal the full recompute on the final eval") {
+    val root = Fixtures.tmpDir("evalvt").toString
+    val vt = new graft.operators.VersionedTable(spark, root, "doc_id", "ver",
+      numBuckets = 2)
+    vt.upsert(Seq((100L, "w1 w2 w3 w4", 1L)).toDF("doc_id", "text", "ver"))
+    val prevTs = vt.commits.last
+    vt.upsert(Seq((101L, "x1 x2 x3", 2L)).toDF("doc_id", "text", "ver"))
+    val corpus = Seq(
+      (10L, "w1 w2 w3 zz"),                 // 1 gram shared with commit 1
+      (11L, "x1 x2 x3 yy"),                 // 1 gram shared with the ADDED set only
+      (12L, "w2 w3 w4 x1 x2 x3"),           // one from each commit
+      (13L, "totally unrelated words here")).toDF("doc_id", "text")
+    val out = graft.operators.Decontaminate.maintainEvalFlags(
+        corpus, "doc_id", "text", vt, prevTs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(out == Map(10L -> 1L, 11L -> 1L, 12L -> 2L), s"$out")
+    // contract: maintained ≡ direct recompute against the final snapshot
+    val full = graft.operators.Decontaminate.sharedNgrams(
+        corpus, "doc_id", "text", vt.snapshot, "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(out == full, s"maintained $out vs full $full")
+  }
+
+  test("sourceKsDistance: identical distributions score 0; disjoint halves score the gap") {
+    val same = Seq((1L, "A", "w"), (2L, "A", "w w"), (3L, "B", "w"), (4L, "B", "w w"))
+      .toDF("doc_id", "source", "text")
+    val s0 = graft.operators.Diagnostics.sourceKsDistance(same, "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("ks_ppm")).toMap
+    assert(s0 == Map("A" -> 0L, "B" -> 0L), s"$s0")
+    val skew = Seq((1L, "A", "w"), (2L, "A", "w"), (3L, "B", "w w w"), (4L, "B", "w w w"))
+      .toDF("doc_id", "source", "text")
+    val s1 = graft.operators.Diagnostics.sourceKsDistance(skew, "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("ks_ppm")).toMap
+    // corpus CDF at len 1 = 1/2; A = 1, B = 0 → both gaps = 1/2
+    assert(s1 == Map("A" -> 500000L, "B" -> 500000L), s"$s1")
+  }
+
+  test("maintainPqIndex: maintained index equals a full re-encode of the final state") {
+    val cvt = new graft.operators.VersionedTable(spark,
+      Fixtures.tmpDir("annc").toString, "id", "ver", numBuckets = 2)
+    val base = Seq(
+      (2L, Seq(1.0, 0.0, 0.1, 0.0)), (4L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (6L, Seq(0.0, 0.1, 0.9, 1.0)), (8L, Seq(0.1, 0.0, 1.0, 0.9)))
+      .toDF("id", "emb").withColumn("ver", lit(1L))
+    cvt.upsert(base)
+    val ts1 = cvt.commits.last
+    val frozen = cvt.snapshot.select("id", "emb")
+    val coarse = Similarity.trainCentroids(frozen, k = 2, iters = 2)
+    val books = Similarity.trainPqCodebooks(frozen, m = 2, k = 2, iters = 2)
+    val ivt = new graft.operators.VersionedTable(spark,
+      Fixtures.tmpDir("anni").toString, "id", "ver", numBuckets = 2)
+    ivt.upsert(Similarity.encodeIvfPq(frozen, coarse, books)
+      .join(cvt.snapshot.select(col("id"), col("ver")), Seq("id")))
+    // commit 2: one insert, one update, one delete
+    cvt.upsert(Seq((3L, Seq(0.0, 0.0, 1.0, 1.0)), (4L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("id", "emb").withColumn("ver", lit(2L)))
+    cvt.delete(Seq(Tuple1(8L)).toDF("id"))
+    Similarity.maintainPqIndex(ivt, cvt, ts1, coarse, books)
+    val maintained = ivt.snapshot
+      .select(col("id"), col("cid").cast("long"), col("codes").cast("array<long>"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    val full = Similarity.encodeIvfPq(cvt.snapshot.select("id", "emb"), coarse, books)
+      .select(col("id"), col("cid").cast("long"), col("codes").cast("array<long>"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    assert(maintained == full, s"maintained $maintained vs full $full")
+    assert(maintained.map(_._1) == Set(2L, 3L, 4L, 6L), s"$maintained")
+  }
+
+  test("recallCurve: aligned buckets give perfect recall; split buckets lose neighbors") {
+    // all-positive components → every vector lands in the same sign
+    // bucket → the approximate ranking IS the exact one
+    val aligned = Seq(
+      (1L, Seq(1.0, 0.2)), (2L, Seq(0.9, 0.3)), (3L, Seq(0.8, 0.1)),
+      (4L, Seq(0.7, 0.4))).toDF("id", "emb")
+    val q = aligned.filter(col("id") === 1L)
+    val perfect = Similarity.recallCurve(aligned, q, ks = Seq(1, 3), signBits = 2)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("recall_1e6")).toMap
+    assert(perfect == Map(1L -> 1000000L, 3L -> 1000000L), s"$perfect")
+    // nearest neighbor in the OPPOSITE sign bucket → missed at k=1
+    val split = Seq(
+      (1L, Seq(1.0, 0.1)), (2L, Seq(1.0, -0.1)), (3L, Seq(-1.0, 0.5)))
+      .toDF("id", "emb")
+    val missed = Similarity.recallCurve(split, split.filter(col("id") === 1L),
+        ks = Seq(1), signBits = 2)
+      .collect()(0).getAs[Long]("recall_1e6")
+    assert(missed == 0L, s"cross-bucket true neighbor must be missed: $missed")
+  }
+
+  test("gateVerdicts: the per-doc verdict table matches the funnel attribution") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base + " extra"), (4L, "zz qq xx"),
+      (5L, "der hund ist ein tier und das ist gut " * 3),
+      (6L, "the cat sat on the mat " * 5),
+      (7L, "the maple syrup festival is a lovely event and it is fun for all of the folks in town every year here now"))
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, "people enjoy the maple syrup festival greatly"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Curation.gateVerdicts(docs, bench)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("gate")).toMap
+    assert(out == Map(1L -> "7_pass", 2L -> "1_exact_dup", 3L -> "2_near_dup",
+      4L -> "3_quality", 5L -> "4_language", 6L -> "5_repetition",
+      7L -> "6_contaminated"), s"$out")
+  }
+
+  test("kmvDistinctGrams: fewer than k distinct grams → sketch is exact and in bound") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c x y")).toDF("doc_id", "text")
+    val r = graft.operators.Sketches.kmvDistinctGrams(docs, "text", k = 256)
+      .collect()(0)
+    assert(r.getAs[Long]("est_distinct") == r.getAs[Long]("exact_distinct"),
+      s"small corpus: estimate IS exact: $r")
+    assert(r.getAs[Long]("within_bound") == 1L)
+    // a real estimate path (k = 2) stays deterministic and positive
+    val r2 = graft.operators.Sketches.kmvDistinctGrams(docs, "text", k = 2)
+      .collect()(0)
+    assert(r2.getAs[Long]("est_distinct") > 0L && r2.getAs[Long]("kth_hash") > 0L)
+  }
+
   test("lshBandSweep: raw candidate count dominates the distinct pair count") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val df = Seq((1L, base), (2L, base), (3L, base + " extra"),
