@@ -3923,6 +3923,175 @@ object OracleSql {
                 * (est_distinct::HUGEINT - exact_distinct) * 256
                 <= 9::HUGEINT * exact_distinct * exact_distinct
               THEN 1 ELSE 0 END AS BIGINT) AS within_bound
-          FROM E"""
-    )
+          FROM E""",
+
+    // MRR by label: exact and sign-bucket top-5 rankings, first
+    // same-label neighbor's reciprocal rank, scalar-subquery totals
+    // so zero-hit paths still emit their row
+    "q194_mrr_by_label" ->
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          LAB AS (SELECT vec_id AS id, label FROM embeddings),
+          Q AS (SELECT * FROM C WHERE id % 200 = 0 AND id < 2000),
+          NQ AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM Q),
+          BS AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+                 ${scoreFixedSql("q.emb", "c.emb")} AS s
+                 FROM C c CROSS JOIN Q q WHERE q.id <> c.id),
+          BR AS (SELECT query_id, neighbor_id, rn FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY s DESC, neighbor_id) AS rn FROM BS) WHERE rn <= 5),
+          CB AS (SELECT vec_id AS id, embedding AS emb,
+                 ${signBucketSql("embedding", 6)} AS bucket FROM embeddings),
+          QB AS (SELECT * FROM CB WHERE id % 200 = 0 AND id < 2000),
+          SB2 AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+                  ${scoreFixedSql("q.emb", "c.emb")} AS s
+                  FROM CB c JOIN QB q ON q.bucket = c.bucket AND q.id <> c.id),
+          AR AS (SELECT query_id, neighbor_id, rn FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY s DESC, neighbor_id) AS rn FROM SB2) WHERE rn <= 5),
+          ER AS (SELECT r.query_id, min(r.rn) AS r FROM BR r
+                 JOIN LAB nl ON nl.id = r.neighbor_id
+                 JOIN LAB ql ON ql.id = r.query_id AND ql.label = nl.label
+                 GROUP BY r.query_id),
+          ARH AS (SELECT r.query_id, min(r.rn) AS r FROM AR r
+                  JOIN LAB nl ON nl.id = r.neighbor_id
+                  JOIN LAB ql ON ql.id = r.query_id AND ql.label = nl.label
+                  GROUP BY r.query_id),
+          EH AS (SELECT CAST(count(*) AS BIGINT) AS n_hit,
+                 CAST(coalesce(sum(1000000 // r), 0) AS BIGINT) AS srr FROM ER),
+          AH AS (SELECT CAST(count(*) AS BIGINT) AS n_hit,
+                 CAST(coalesce(sum(1000000 // r), 0) AS BIGINT) AS srr FROM ARH)
+          SELECT 'bucketed' AS path, nq.n_queries, ah.n_hit,
+            CAST(ah.srr // nq.n_queries AS BIGINT) AS mrr_1e6
+          FROM NQ nq CROSS JOIN AH ah
+          UNION ALL
+          SELECT 'exact', nq.n_queries, eh.n_hit,
+            CAST(eh.srr // nq.n_queries AS BIGINT)
+          FROM NQ nq CROSS JOIN EH eh
+          ORDER BY path""",
+
+    // correlation report: one-pass integer sums, r^2 in ppm + sign,
+    // quality pre-scaled by 1000 so HUGEINT products stay bounded
+    "q195_corr_report" ->
+      s"""WITH ${gateCtes("documents")},
+          XY AS (SELECT CAST(len(${toks("text")}) AS BIGINT) AS x,
+                 (g.quality_1e6 // 1000) AS y
+                 FROM documents d JOIN G g USING (doc_id)),
+          SUMS AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,
+                   sum(y::HUGEINT * y) AS syy FROM XY)
+          SELECT n,
+            CAST(CASE WHEN n * sxx - sx::HUGEINT * sx = 0
+                   OR n * syy - sy::HUGEINT * sy = 0 THEN 0
+              ELSE ((n * sxy - sx::HUGEINT * sy) * (n * sxy - sx::HUGEINT * sy)
+                    * 1000000)
+                   // ((n * sxx - sx::HUGEINT * sx) * (n * syy - sy::HUGEINT * sy))
+              END AS BIGINT) AS r2_ppm,
+            CAST(CASE WHEN n * sxy - sx::HUGEINT * sy > 0 THEN 1
+              WHEN n * sxy - sx::HUGEINT * sy < 0 THEN -1
+              ELSE 0 END AS BIGINT) AS sign
+          FROM SUMS""",
+
+    // inter-arrival bands: per-user lag gaps, bitlen band (0 for
+    // equal timestamps), per-type histogram
+    "q196_interarrival" ->
+      """WITH E AS (SELECT user_id, event_type, event_id,
+                epoch_us(ts) AS ts_us FROM events),
+          P AS (SELECT event_type, ts_us - lag(ts_us) OVER (
+                 PARTITION BY user_id ORDER BY ts_us, event_id) AS gap FROM E),
+          B AS (SELECT event_type,
+                 CASE WHEN gap = 0 THEN 0
+                 ELSE CAST(length(bin(gap)) AS BIGINT) END AS band
+                FROM P WHERE gap IS NOT NULL)
+          SELECT event_type, band, CAST(count(*) AS BIGINT) AS n_gaps
+          FROM B GROUP BY event_type, band ORDER BY event_type, band""",
+
+    // dataset card: one per-doc projection (hash + tokens + gates),
+    // totals + TakeOrdered(1) language mode
+    "q197_dataset_card" ->
+      s"""WITH ${gateCtes("documents")},
+          PD AS (SELECT d.doc_id, md5(d.text) AS h,
+                 CAST(len(${toks("text")}) AS BIGINT) AS ntok,
+                 g.quality_1e6 AS q, g.predicted_lang AS lang
+                 FROM documents d JOIN G g USING (doc_id)),
+          T AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_content,
+                CAST(sum(q) AS BIGINT) AS sq FROM PD),
+          TOP AS (SELECT lang AS majority_lang, CAST(count(*) AS BIGINT) AS ln
+                  FROM PD GROUP BY lang ORDER BY ln DESC, lang LIMIT 1)
+          SELECT t.n_docs, t.n_tokens, t.n_distinct_content,
+            ((t.n_docs - t.n_distinct_content) * 1000000) // t.n_docs
+              AS exact_dup_ppm,
+            t.sq // t.n_docs AS mean_quality_1e6,
+            top.majority_lang,
+            (top.ln * 1000000) // t.n_docs AS majority_ppm
+          FROM T t CROSS JOIN TOP top""",
+
+    // bucket balance: md5 mod 16 buckets, shares + max/mean ppm
+    "q198_bucket_balance" ->
+      s"""WITH B AS (SELECT (${md5long("cast(doc_id as varchar)")} % 16) AS bucket
+                 FROM documents),
+          C AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows
+                FROM B GROUP BY bucket),
+          T AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t,
+                CAST(max(n_rows) AS BIGINT) AS mx,
+                CAST(count(*) AS BIGINT) AS nb FROM C)
+          SELECT bucket, n_rows,
+            (n_rows * 1000000) // t.t AS share_ppm,
+            (t.mx * t.nb * 1000000) // t.t AS imbalance_ppm
+          FROM C CROSS JOIN T t ORDER BY bucket""",
+
+    // pipeline run report: the q127 verdict chain folded to stage
+    // counts, survivors projected once for split/token/packing math
+    "q199_pipeline_report" -> {
+      val splits = graft.operators.Sampling.DemoSplits
+      val uppers = splits.scanLeft(0L)(_ + _._2).tail
+      val cases = splits.zip(uppers).init
+        .map { case ((l, _), u) => s"WHEN b < $u THEN '$l'" }.mkString(" ")
+      val splitCase = s"CASE $cases ELSE '${splits.last._1}' END"
+      s"""WITH RECURSIVE $dedupClusterCtes,
+          ${gateCtes("documents")},
+          ${benchGramsCte()},
+          CONTAM AS (SELECT DISTINCT d.doc_id
+                 FROM (SELECT doc_id, unnest(${shingles3("text")}) AS gram
+                       FROM documents) d
+                 JOIN BG USING (gram)),
+          REP AS (SELECT doc_id, ${repFixedSql("g")} AS rep_1e6
+              FROM (SELECT doc_id, ${rawShingles3("text")} AS g FROM documents)),
+          V AS (SELECT d.doc_id,
+                 CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM KEEP) THEN '1_exact_dup'
+                      WHEN d.doc_id IN (SELECT node FROM CL WHERE node <> cluster_id) THEN '2_near_dup'
+                      WHEN g.quality_1e6 < 600000 THEN '3_quality'
+                      WHEN g.predicted_lang <> 'en' THEN '4_language'
+                      WHEN r.rep_1e6 >= 500000 THEN '5_repetition'
+                      WHEN d.doc_id IN (SELECT doc_id FROM CONTAM) THEN '6_contaminated'
+                      ELSE '7_pass' END AS gate
+                FROM documents d JOIN G g USING (doc_id) JOIN REP r USING (doc_id)),
+          CN AS (SELECT CAST(count(*) AS BIGINT) AS n_raw,
+                 CAST(sum(CASE WHEN gate <> '1_exact_dup' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_after_exact,
+                 CAST(sum(CASE WHEN gate NOT IN ('1_exact_dup', '2_near_dup')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_after_near,
+                 CAST(sum(CASE WHEN gate = '7_pass' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_curated FROM V),
+          P AS (SELECT d.doc_id, CAST(len(${toks("text")}) AS BIGINT) AS ntok,
+                 (${md5long("cast(d.doc_id as varchar)")} % 1000000) AS b,
+                 (${md5long("cast(d.doc_id as varchar)")} % 4) AS shard
+                FROM documents d JOIN V v ON v.doc_id = d.doc_id
+                  AND v.gate = '7_pass'),
+          PA AS (SELECT CAST(sum(ntok) AS BIGINT) AS tokens_curated,
+                 CAST(sum(CASE WHEN ($splitCase) = 'train' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_train,
+                 CAST(sum(CASE WHEN ($splitCase) = 'val' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_val,
+                 CAST(sum(CASE WHEN ($splitCase) = 'test' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_test FROM P),
+          SQ AS (SELECT CAST(sum((tot + 511) // 512) AS BIGINT) AS n_seqs
+                 FROM (SELECT shard, CAST(sum(ntok) AS BIGINT) AS tot
+                       FROM P GROUP BY shard))
+          SELECT cn.n_raw, cn.n_after_exact, cn.n_after_near, cn.n_curated,
+            pa.tokens_curated, pa.n_train, pa.n_val, pa.n_test, sq.n_seqs
+          FROM CN cn CROSS JOIN PA pa CROSS JOIN SQ sq"""
+    })
 }

@@ -2626,6 +2626,69 @@ object SparkEntry {
   private def qKmvDistinct(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sketches.kmvDistinctGrams(t(s, dir, "documents"), "text")
 
+  /** MRR-by-label audit (q194): mean reciprocal rank of the first
+    * same-label neighbor, exact vs sign-bucket path — the IR-metric
+    * cost of compression in one row pair. See Similarity.mrrByLabel.
+    */
+  private def qMrrByLabel(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    Similarity.mrrByLabel(corpus,
+      t(s, dir, "embeddings").select(col("vec_id").as("id"), col("label")),
+      corpus.filter(col("id") % 200 === 0 && col("id") < 2000),
+      k = 5, signBits = 6)
+  }
+
+  /** Correlation report (q195): exact-integer r² (ppm) + sign between
+    * token count and the q41 quality score — "is my quality score
+    * just length" as one engine-exact number (score pre-scaled DIV
+    * 1000; r is scale-invariant). See Diagnostics.corrReport.
+    */
+  private def qCorrReport(s: SparkSession, dir: String): DataFrame = {
+    val xy = t(s, dir, "documents").select(
+      graft.functions.tokenCount(col("text")).as("x"),
+      graft.operators.TextAnalysis.curationGates(col("text")).as("_g"))
+      .select(col("x"), expr("_g.quality_1e6 DIV 1000").as("y"))
+    graft.operators.Diagnostics.corrReport(xy, col("x"), col("y"))
+  }
+
+  /** Inter-arrival bands (q196): per event type, log₂-µs gap
+    * histogram of each user's consecutive events — the burstiness /
+    * bot profile. See EventAnalytics.interArrivalBands.
+    */
+  private def qInterArrival(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.interArrivalBands(
+      tRaw(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts DIV 1000").as("ts_us")),
+      "user_id", "event_type", "ts_us", "event_id")
+
+  /** Dataset card (q197): the one-row corpus release header — docs,
+    * tokens, distinct content / exact-dup share, floor-mean quality,
+    * majority language. See Diagnostics.datasetCard.
+    */
+  private def qDatasetCard(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.datasetCard(t(s, dir, "documents"), "text")
+
+  /** Bucket balance audit (q198): per-bucket shares + the max/mean
+    * imbalance ppm for the 16-bucket key-hash layout — the hot-key
+    * pre-check before committing a bucket count.
+    * See Layout.bucketBalanceAudit.
+    */
+  private def qBucketBalance(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.bucketBalanceAudit(
+      t(s, dir, "documents"), col("doc_id"), numBuckets = 16)
+
+  /** Pipeline run report (q199): the end-to-end curation → split →
+    * packing capstone in one row — raw/after-exact/after-near/curated
+    * counts, curated token mass, train/val/test sizes, and the exact
+    * packed-sequence count at budget 512. One funnel pass + one
+    * survivor projection. See Curation.pipelineReport.
+    */
+  private def qPipelineReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Curation.pipelineReport(docs,
+      docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000))
+  }
+
   /** Cluster purity (q158): the q49 trained quantizer audited against
     * ground-truth labels. See Similarity.cellPurity.
     */
@@ -2832,7 +2895,13 @@ object SparkEntry {
     "q190_index_maintain_ann" -> (qIndexMaintainAnn _),
     "q191_recall_curve" -> (qRecallCurve _),
     "q192_gate_verdicts" -> (qGateVerdicts _),
-    "q193_kmv_distinct" -> (qKmvDistinct _))
+    "q193_kmv_distinct" -> (qKmvDistinct _),
+    "q194_mrr_by_label" -> (qMrrByLabel _),
+    "q195_corr_report" -> (qCorrReport _),
+    "q196_interarrival" -> (qInterArrival _),
+    "q197_dataset_card" -> (qDatasetCard _),
+    "q198_bucket_balance" -> (qBucketBalance _),
+    "q199_pipeline_report" -> (qPipelineReport _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -242,6 +242,55 @@ object Curation {
       maxRep1e6, repetitionN, decontamN, minShared, bands, rowsPerBand, n)
       .select(col("_id").as("doc_id"), col("gate"))
 
+  /** The END-TO-END run report — one row that describes a whole
+    * curation → split → packing run (what lands in the release notes
+    * next to [[graft.operators.Diagnostics.datasetCard]]): raw doc
+    * count, survivors after each dedup tier, the fully-curated count
+    * and its token mass, deterministic train/val/test split sizes
+    * over the survivors, and the exact packed-sequence count at
+    * `budgetTokens` (the [[graft.operators.Chunker.packingBudgetSweep]]
+    * ceil-math — no placement run). Everything derives from ONE
+    * funnel-verdict pass plus one survivor projection: the report
+    * costs one pipeline run, not one per number.
+    *
+    * Output: 1 row (n_raw, n_after_exact, n_after_near, n_curated,
+    * tokens_curated, n_train, n_val, n_test, n_seqs).
+    */
+  def pipelineReport(docs: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      splits: Seq[(String, Long)] = Sampling.DemoSplits,
+      budgetTokens: Long = 512L, shards: Int = 4): DataFrame = {
+    require(splits.size == 3, s"expected train/val/test splits: $splits")
+    val verdicts = funnelVerdicts(docs, bench, idCol, textCol, 600000L, "en",
+        500000L, 3, 3, 1L, 4, 4, 3)
+      .localCheckpoint(true)
+    val counts = verdicts.agg(count(lit(1)).as("n_raw"),
+      sum(when(col("gate") =!= "1_exact_dup", 1L).otherwise(0L))
+        .as("n_after_exact"),
+      sum(when(col("gate") =!= "1_exact_dup" && col("gate") =!= "2_near_dup", 1L)
+        .otherwise(0L)).as("n_after_near"),
+      sum(when(col("gate") === "7_pass", 1L).otherwise(0L)).as("n_curated"))
+    val pass = docs.join(
+        verdicts.filter(col("gate") === "7_pass").select(col("_id")),
+        docs(idCol) === col("_id"), "left_semi")
+      .select(col(idCol).as("_pid"),
+        graft.functions.tokenCount(col(textCol)).as("_ntok"),
+        Sampling.splitLabel(col(idCol), splits).as("_split"),
+        pmod(graft.functions.md5Long(col(idCol).cast("string")),
+          lit(shards.toLong)).as("_shard"))
+      .localCheckpoint(true)
+    val splitNames = splits.map(_._1)
+    val passAgg = pass.agg(sum(col("_ntok")).as("tokens_curated"),
+      sum(when(col("_split") === splitNames(0), 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("_split") === splitNames(1), 1L).otherwise(0L)).as("n_val"),
+      sum(when(col("_split") === splitNames(2), 1L).otherwise(0L)).as("n_test"))
+    val seqs = pass.groupBy(col("_shard"))
+      .agg(sum(col("_ntok")).as("_tot"))
+      .agg(sum(expr(s"(_tot + $budgetTokens - 1) DIV $budgetTokens"))
+        .cast("long").as("n_seqs"))
+    counts.crossJoin(broadcast(passAgg)).crossJoin(broadcast(seqs))
+  }
+
   /** [[attritionFunnel]] attributed per SOURCE: the same first-fail
     * verdict spine, grouped by (source, gate) with shares within each
     * source's own total — the table that turns "the corpus loses 40%

@@ -435,6 +435,73 @@ object Diagnostics {
       .orderBy(col("source"))
   }
 
+  /** Exact-integer correlation report between two integer columns —
+    * r² in ppm plus the sign, from one aggregation pass (n, Σx, Σy,
+    * Σxy, Σx², Σy² in DECIMAL(38,0); r²_ppm = cov²·1e6 div
+    * (varx·vary), sign = sign(cov); zero variance on either side
+    * reports 0). THE sanity check before trusting a quality score:
+    * "is my score just measuring length?" answers with one number,
+    * engine-exact (no float covariance drift). Callers pre-scale
+    * wide-range columns (r is scale-invariant; products must fit
+    * DECIMAL(38,0) — e.g. a 1e6-fixed score divides to 1e3 first).
+    *
+    * Output: 1 row (n, r2_ppm, sign).
+    */
+  def corrReport(df: DataFrame, xCol: Column, yCol: Column): DataFrame =
+    df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .select(col("n").cast("long").as("n"),
+        expr("""CAST(CASE
+            WHEN n * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0
+              OR n * syy - CAST(sy AS DECIMAL(38,0)) * sy = 0 THEN 0
+            ELSE ((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                  * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000)
+                 DIV ((n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                      * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy))
+          END AS BIGINT)""").as("r2_ppm"),
+        expr("""CAST(CASE WHEN n * sxy - CAST(sx AS DECIMAL(38,0)) * sy > 0 THEN 1
+            WHEN n * sxy - CAST(sx AS DECIMAL(38,0)) * sy < 0 THEN -1
+            ELSE 0 END AS BIGINT)""").as("sign"))
+
+  /** One-row dataset card — the header numbers of a corpus release
+    * (HF dataset-card style): docs, tokens, distinct content and the
+    * exact-dup share, floor-mean quality, majority language and its
+    * share. One per-doc projection pass (content hash + token count +
+    * the fused q41/q26 gates struct), then two bounded aggregates and
+    * a TakeOrdered(1) language mode (count desc, lang asc — the
+    * deterministic tie).
+    *
+    * Output: 1 row (n_docs, n_tokens, n_distinct_content,
+    * exact_dup_ppm, mean_quality_1e6, majority_lang, majority_ppm).
+    */
+  def datasetCard(docs: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.tokenCount
+    val perDoc = docs.select(md5(col(textCol)).as("h"),
+        tokenCount(col(textCol)).as("ntok"),
+        TextAnalysis.curationGates(col(textCol)).as("_g"))
+      .select(col("h"), col("ntok"), col("_g.quality_1e6").as("q"),
+        col("_g.predicted_lang").as("lang"))
+      .localCheckpoint()
+    val tot = perDoc.agg(count(lit(1)).as("n_docs"),
+      sum(col("ntok")).as("n_tokens"),
+      countDistinct(col("h")).as("n_distinct_content"),
+      sum(col("q")).as("_sq"))
+    val top = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("_ln"))
+      .orderBy(col("_ln").desc, col("lang")).limit(1)
+      .select(col("lang").as("majority_lang"), col("_ln"))
+    tot.crossJoin(broadcast(top))
+      .select(col("n_docs"), col("n_tokens"), col("n_distinct_content"),
+        expr("((n_docs - n_distinct_content) * 1000000) DIV n_docs")
+          .as("exact_dup_ppm"),
+        expr("_sq DIV n_docs").as("mean_quality_1e6"),
+        col("majority_lang"),
+        expr("(_ln * 1000000) DIV n_docs").as("majority_ppm"))
+  }
+
   /** Per-source dedup savings: token mass before dedup, after exact
     * dedup (min-id keeper per content hash), and after LSH near-dup
     * cluster pruning (min-id survivor per connected component, the

@@ -303,6 +303,31 @@ object EventAnalytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Inter-arrival log₂-band histogram: per event type, how the gaps
+    * between a user's consecutive events distribute across power-of-2
+    * µs bands — the burstiness profile (a bot fires in the bottom
+    * bands; a human's gaps spread). Band = bitlen(gap_us) (the q88
+    * digit-count idiom; gap 0 → band 0), attributed to the LATER
+    * event's type. One user-keyed window, then a |types|·64-bounded
+    * aggregate.
+    *
+    * Output: (event_type, band, n_gaps) ordered by type, band.
+    */
+  def interArrivalBands(events: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsUsCol), col(idCol))
+    events
+      .withColumn("_prev", lag(col(tsUsCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .select(col(typeCol).as("event_type"),
+        when(col(tsUsCol) === col("_prev"), lit(0L))
+          .otherwise(length(bin(col(tsUsCol) - col("_prev"))).cast("long"))
+          .as("band"))
+      .groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .orderBy(col("event_type"), col("band"))
+  }
+
   /** Per-user event-type entropy — the behavioral-diversity signal
     * (a "user" firing one event type thousands of times is a bot or
     * an instrumentation loop; q137's transition matrix sees the same

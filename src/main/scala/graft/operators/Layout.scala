@@ -175,4 +175,31 @@ object Layout {
       .withColumn("_salt", col("_salt").cast("bigint"))
     bigSalted.join(smallSalted, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Bucket-balance audit for a key-hash layout: per-bucket row
+    * counts, shares, and the one-number imbalance ratio
+    * (max/mean in ppm; 1e6 = perfectly even) — the pre-check before
+    * committing a bucket count for a table or shuffle (an imbalance
+    * far above 1e6 means hot keys, and hot keys mean stragglers at
+    * cluster scale). One count shuffle on the bucket id; the summary
+    * is a bounded second aggregate broadcast back.
+    *
+    * Output: (bucket, n_rows, share_ppm, imbalance_ppm) ordered by
+    * bucket; imbalance_ppm repeats on every row by design (the
+    * one-number verdict travels with the detail).
+    */
+  def bucketBalanceAudit(df: DataFrame, key: Column,
+      numBuckets: Int): DataFrame = {
+    require(numBuckets >= 1, s"need numBuckets >= 1, got $numBuckets")
+    val b = df.select(pmod(graft.functions.md5Long(key.cast("string")),
+        lit(numBuckets.toLong)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+    val tot = b.agg(sum(col("n_rows")).as("_t"), max(col("n_rows")).as("_mx"),
+      count(lit(1)).as("_nb"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_rows"),
+        expr("(n_rows * 1000000) DIV _t").as("share_ppm"),
+        expr("(_mx * _nb * 1000000) DIV _t").as("imbalance_ppm"))
+      .orderBy(col("bucket"))
+  }
 }

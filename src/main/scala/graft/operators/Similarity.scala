@@ -752,6 +752,42 @@ object Similarity {
       .orderBy(col("k"))
   }
 
+  /** MRR-by-label retrieval audit: mean reciprocal rank of the first
+    * SAME-LABEL neighbor in each path's top-k — the IR-metric view of
+    * an ANN index (recall@k says "are the true neighbors there"; MRR
+    * says "does the index surface something RELEVANT early", using
+    * ground-truth labels as relevance). Reciprocal ranks are exact
+    * integers (1e6 div r); queries with no relevant hit in top-k
+    * contribute 0 but stay in the denominator. Both the exact and the
+    * sign-bucket path score in one report, so the compression cost is
+    * read in metric points.
+    *
+    * Output: (path, n_queries, n_hit, mrr_1e6) for path ∈
+    * {bucketed, exact}, ordered by path.
+    */
+  def mrrByLabel(corpus: DataFrame, labels: DataFrame, queries: DataFrame,
+      k: Int, signBits: Int = 6): DataFrame = {
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    def mrrOf(ranked: DataFrame, path: String): DataFrame = {
+      val rr = ranked
+        .join(broadcast(labels.select(col("id").as("neighbor_id"),
+          col("label").as("_nl"))), "neighbor_id")
+        .join(broadcast(labels.select(col("id").as("query_id"),
+          col("label").as("_ql"))), "query_id")
+        .filter(col("_nl") === col("_ql"))
+        .groupBy(col("query_id")).agg(min(col("rank")).as("_r"))
+        .select(expr("1000000 DIV _r").as("rr"))
+      rr.agg(count(lit(1)).as("n_hit"),
+          coalesce(sum(col("rr")), lit(0L)).as("_sum_rr"))
+        .crossJoin(broadcast(nq))
+        .select(lit(path).as("path"), col("n_queries"), col("n_hit"),
+          expr("_sum_rr DIV n_queries").as("mrr_1e6"))
+    }
+    mrrOf(bruteForceTopK(corpus, queries, k), "exact")
+      .unionByName(mrrOf(bucketedTopK(corpus, queries, k, signBits), "bucketed"))
+      .orderBy(col("path"))
+  }
+
   /** Recall-lift report for the refine stage: per query, how many of
     * the EXACT top-k ([[bruteForceTopK]] ground truth) survive in (a)
     * the plain IVF-PQ ADC top-k and (b) the refined top-k — the

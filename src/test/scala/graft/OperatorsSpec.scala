@@ -2543,6 +2543,98 @@ class OperatorsSpec extends SparkSpec {
     assert(r2.getAs[Long]("est_distinct") > 0L && r2.getAs[Long]("kth_hash") > 0L)
   }
 
+  test("mrrByLabel: first same-label rank reciprocals; zero-hit queries stay in the denominator") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0)),
+      (4L, Seq(-1.0, 0.2))).toDF("id", "emb")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C")).toDF("id", "label")
+    val queries = corpus.filter(col("id").isin(1L, 4L))
+    val out = Similarity.mrrByLabel(corpus, labels, queries, k = 3, signBits = 2)
+      .collect().map(r => r.getAs[String]("path") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("n_hit"),
+          r.getAs[Long]("mrr_1e6")))).toMap
+    // exact: query 1 finds same-label 2 at rank 1 (rr 1e6); query 4's
+    // label C has no other member → 0 but still divides → mrr 5e5
+    assert(out("exact") == ((2L, 1L, 500000L)), s"$out")
+    assert(out.contains("bucketed") && out("bucketed")._1 == 2L, s"$out")
+  }
+
+  test("corrReport: perfect line, anti-line, and constant column") {
+    val up = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("x", "y")
+    val u = graft.operators.Diagnostics.corrReport(up, col("x"), col("y")).collect()(0)
+    assert((u.getAs[Long]("n"), u.getAs[Long]("r2_ppm"), u.getAs[Long]("sign"))
+      == ((3L, 1000000L, 1L)), s"$u")
+    val down = Seq((1L, -1L), (2L, -2L), (3L, -3L)).toDF("x", "y")
+    val d = graft.operators.Diagnostics.corrReport(down, col("x"), col("y")).collect()(0)
+    assert((d.getAs[Long]("r2_ppm"), d.getAs[Long]("sign")) == ((1000000L, -1L)), s"$d")
+    val flat = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("x", "y")
+    val f = graft.operators.Diagnostics.corrReport(flat, col("x"), col("y")).collect()(0)
+    assert((f.getAs[Long]("r2_ppm"), f.getAs[Long]("sign")) == ((0L, 0L)), s"$f")
+  }
+
+  test("interArrivalBands: bitlen bands per later-event type; equal timestamps band 0") {
+    val ev = Seq(
+      (1L, 10L, "a", 100L), (2L, 10L, "b", 100L), (3L, 10L, "a", 108L),
+      (4L, 11L, "b", 500L)).toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = graft.operators.EventAnalytics.interArrivalBands(
+        ev, "user_id", "event_type", "ts_us", "event_id")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("band"),
+        r.getAs[Long]("n_gaps"))).toSet
+    // user 10: (a@100 → b@100) gap 0 band 0 on b; (b@100 → a@108) gap 8
+    // band 4 on a; user 11 has one event → no gap
+    assert(out == Set(("b", 0L, 1L), ("a", 4L, 1L)), s"$out")
+  }
+
+  test("datasetCard: dup share, majority language, quality bounds") {
+    val docs = Seq(
+      (1L, "the a and of to in is it for on"),
+      (2L, "the a and of to in is it for on"),
+      (3L, "der die das und ist ein zu mit von nicht")).toDF("doc_id", "text")
+    val r = graft.operators.Diagnostics.datasetCard(docs, "text").collect()(0)
+    assert(r.getAs[Long]("n_docs") == 3L && r.getAs[Long]("n_tokens") == 30L)
+    assert(r.getAs[Long]("n_distinct_content") == 2L
+      && r.getAs[Long]("exact_dup_ppm") == 333333L, s"$r")
+    assert(r.getAs[String]("majority_lang") == "en"
+      && r.getAs[Long]("majority_ppm") == 666666L, s"$r")
+    val q = r.getAs[Long]("mean_quality_1e6")
+    assert(q >= 0L && q <= 1000000L, s"$r")
+  }
+
+  test("bucketBalanceAudit: shares account for everything; singleton bucket is even") {
+    val df = (1L to 64L).map(Tuple1(_)).toDF("doc_id")
+    val out = graft.operators.Layout.bucketBalanceAudit(df, col("doc_id"), 4)
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("share_ppm"), r.getAs[Long]("imbalance_ppm")))
+    assert(out.map(_._2).sum == 64L, s"${out.toSeq}")
+    val imb = out.map(_._4).distinct
+    assert(imb.length == 1 && imb.head >= 1000000L,
+      s"imbalance is one number ≥ 1e6: ${out.toSeq}")
+    val one = graft.operators.Layout.bucketBalanceAudit(df, col("doc_id"), 1)
+      .collect()(0)
+    assert(one.getAs[Long]("share_ppm") == 1000000L
+      && one.getAs[Long]("imbalance_ppm") == 1000000L, s"$one")
+  }
+
+  test("pipelineReport: stage counts, curated tokens, split partition, packed seqs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base + " extra"), (4L, "zz qq xx"),
+      (5L, "der hund ist ein tier und das ist gut " * 3),
+      (6L, "the cat sat on the mat " * 5),
+      (7L, "the maple syrup festival is a lovely event and it is fun for all of the folks in town every year here now"))
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, "people enjoy the maple syrup festival greatly"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Curation.pipelineReport(docs, bench).collect()(0)
+    assert((r.getAs[Long]("n_raw"), r.getAs[Long]("n_after_exact"),
+      r.getAs[Long]("n_after_near"), r.getAs[Long]("n_curated"))
+      == ((7L, 6L, 5L, 1L)), s"$r")
+    assert(r.getAs[Long]("tokens_curated") == 13L, s"$r")
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_val")
+      + r.getAs[Long]("n_test") == 1L, s"splits partition the survivors: $r")
+    assert(r.getAs[Long]("n_seqs") == 1L, s"13 tokens pack into one sequence: $r")
+  }
+
   test("lshBandSweep: raw candidate count dominates the distinct pair count") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val df = Seq((1L, base), (2L, base), (3L, base + " extra"),
