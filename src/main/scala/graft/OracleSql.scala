@@ -4093,5 +4093,23 @@ object OracleSql {
           SELECT cn.n_raw, cn.n_after_exact, cn.n_after_near, cn.n_curated,
             pa.tokens_curated, pa.n_train, pa.n_val, pa.n_test, sq.n_seqs
           FROM CN cn CROSS JOIN PA pa CROSS JOIN SQ sq"""
-    })
+    },
+
+    // TPC-H Q5 shape: 6-table local-supplier volume, floor-cents sum
+    "q200_local_supplier_volume" ->
+      """SELECT n_name,
+           cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100)
+             as bigint)) as bigint) AS revenue_c,
+           cast(count(*) as bigint) AS n_lineitems
+         FROM region JOIN nation ON n_regionkey = r_regionkey
+         JOIN customer ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON s_suppkey = l_suppkey
+           AND s_nationkey = c_nationkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue_c DESC, n_name"""
+    )
 }

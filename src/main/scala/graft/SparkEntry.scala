@@ -2689,6 +2689,35 @@ object SparkEntry {
       docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000))
   }
 
+  /** Local-supplier volume (q200): the TPC-H Q5 shape — the battery's
+    * deepest join tree (region → nation → customer → orders →
+    * lineitem → supplier with the classic supplier-in-customer-nation
+    * condition and a one-year date band). All bounded dims broadcast;
+    * the single fact-fact join (orders ⋈ lineitem) is the only
+    * shuffle; the date filter pushes to the orders scan; revenue is
+    * the per-row floor-cents integer sum (engine-exact doubles).
+    */
+  private def qLocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    t(s, dir, "orders")
+      .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01'" +
+        " AND o_orderdate < TIMESTAMP '1997-01-01'"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey")
+          && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100.0)).cast("long")).cast("long").as("revenue_c"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue_c").desc, col("n_name"))
+  }
+
   /** Cluster purity (q158): the q49 trained quantizer audited against
     * ground-truth labels. See Similarity.cellPurity.
     */
@@ -2901,7 +2930,8 @@ object SparkEntry {
     "q196_interarrival" -> (qInterArrival _),
     "q197_dataset_card" -> (qDatasetCard _),
     "q198_bucket_balance" -> (qBucketBalance _),
-    "q199_pipeline_report" -> (qPipelineReport _))
+    "q199_pipeline_report" -> (qPipelineReport _),
+    "q200_local_supplier_volume" -> (qLocalSupplierVolume _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -426,6 +426,14 @@ class PlanQualitySpec extends SparkSpec {
       s"the corpus must never shuffle for the refine join:\n$p")
   }
 
+  test("TPC-H Q5 shape: date filter pushes to the orders scan; dims broadcast; one shuffle join") {
+    val p = plan("q200_local_supplier_volume")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"the date band must reach the orders scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the join tree:\n$p")
+  }
+
   test("LSH band sweep: every config reads ONE checkpointed signature pass") {
     val p = plan("q168_lsh_band_sweep")
     assert(p.contains("ExistingRDD"),
