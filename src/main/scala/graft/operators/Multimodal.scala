@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
   * audio/video container metadata is REAL for WAV/RIFF, MP4/QuickTime,
   * Matroska/WebM (EBML walk) and MP3 (frame-header walk) — see
   * [[decodeAvHeader]]: pure-JVM header/table parsing, no codecs
-  * needed. The container ships no media codecs, so only operations
-  * that genuinely require one (pixel decode, sample decode, feature
-  * extraction from content) stay on the clearly-marked DETERMINISTIC
-  * STUB (features derived from the bytes' md5) — while the Spark-side
-  * plumbing is real either way:
+  * needed. Image PIXEL decode is ALSO real — the JDK ships its own
+  * PNG/JPEG/BMP/GIF codecs, so [[decodeImageContentJvm]] extracts
+  * exact per-channel pixel sums with zero external dependencies.
+  * Only audio/video SAMPLE decode (true external-codec territory)
+  * stays on the clearly-marked DETERMINISTIC STUB (features derived
+  * from the bytes' md5) — while the Spark-side plumbing is real
+  * either way:
   * schema, batch-friendly mapPartitions signature, partitioning notes,
   * and the binaryFile reader path all match what a production decoder
   * (JNI/codec per executor) would plug into.
@@ -166,6 +168,76 @@ object Multimodal {
         }
       } finally in.close()
     }
+  }
+
+  /** Schema of the REAL pixel-content feature struct: exact integer
+    * channel sums so features are deterministic on any executor (no
+    * float accumulation order); callers derive means as
+    * sum div n_pixels.
+    */
+  val contentSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_pixels", LongType, nullable = true),
+    StructField("sum_r", LongType, nullable = true),
+    StructField("sum_g", LongType, nullable = true),
+    StructField("sum_b", LongType, nullable = true)))
+
+  /** REAL image CONTENT decode — full pixel decode via the JDK's own
+    * javax.imageio codecs (PNG/JPEG/BMP/GIF/WBMP ship with the JVM —
+    * no external libraries), extracting exact per-channel integer
+    * sums: the mean-color / brightness features an image-dedup or
+    * quality gate runs on. This retires the content-decode stub for
+    * every JDK-native image format; only audio/video SAMPLE decode
+    * (true codec territory) remains stubbed.
+    *
+    * Determinism: sums are exact integers over the decoded ARGB
+    * raster, so the feature is bit-stable across executors and runs
+    * (JPEG pixel values are whatever the JDK decoder produces —
+    * deterministic for a fixed JDK, exact for lossless formats).
+    * Cost: O(pixels) per payload in a narrow partition-batched pass
+    * ([[mapDecode]]) — the shape a per-partition codec context wants.
+    * Unrecognized/corrupt payloads yield a null struct, never an
+    * aborted job.
+    */
+  def decodeImageContentJvm(df: DataFrame,
+      payloadCol: String = "payload", outCol: String = "content"): DataFrame = {
+    val schema = StructType(df.schema.filter(_.name != outCol) :+
+      StructField(outCol, contentSchema, nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val dropIdx = df.schema.fieldNames.indexOf(outCol)
+    mapDecode(df, schema)(rows => rows.map { r =>
+      val base = if (dropIdx < 0) r.toSeq
+        else r.toSeq.patch(dropIdx, Nil, 1)
+      Row.fromSeq(base :+ imageContentFeatures(
+        r.getAs[Array[Byte]](payloadIdx)).orNull)
+    })
+  }
+
+  /** Pixel-sum probe for one payload; None when ImageIO has no codec
+    * for the bytes (or they are corrupt past the header).
+    */
+  def imageContentFeatures(bytes: Array[Byte]): Option[Row] = {
+    if (bytes == null) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some(Row(w, h, w.toLong * h, sr, sg, sb))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** REAL audio/video container header probe — pure-JVM byte parsing,

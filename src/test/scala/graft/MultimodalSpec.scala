@@ -70,6 +70,40 @@ class MultimodalSpec extends SparkSpec {
     assert(byType("wav") == null) // unrecognized bytes → null meta
   }
 
+  test("REAL pixel content decode: exact channel sums for PNG/BMP/GIF; corrupt → null") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def twoPixel(fmt: String): Array[Byte] = {
+      val img = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff0000) // pure red
+      img.setRGB(1, 0, 0x0000ff) // pure blue
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, out), s"JDK has no $fmt writer")
+      out.toByteArray
+    }
+    val dir = Fixtures.tmpDir("pix")
+    Files.write(dir.resolve("a.png"), twoPixel("png"))
+    Files.write(dir.resolve("b.bmp"), twoPixel("bmp"))
+    Files.write(dir.resolve("c.gif"), twoPixel("gif"))
+    Files.write(dir.resolve("d.bin"), "definitely not pixels".getBytes)
+    val decoded = Multimodal.decodeImageContentJvm(
+      Multimodal.readBinaryDir(spark, dir.toString))
+    val byType = decoded.collect()
+      .map(r => r.getAs[String]("media_type") ->
+        r.getAs[org.apache.spark.sql.Row]("content")).toMap
+    for (fmt <- Seq("png", "bmp", "gif")) {
+      val c = byType(fmt)
+      assert(c != null, s"$fmt must decode")
+      assert((c.getAs[Int]("width"), c.getAs[Int]("height"),
+        c.getAs[Long]("n_pixels")) == ((2, 1, 2L)), s"$fmt: $c")
+      // lossless round-trip: exactly one full-red and one full-blue pixel
+      assert((c.getAs[Long]("sum_r"), c.getAs[Long]("sum_g"),
+        c.getAs[Long]("sum_b")) == ((255L, 0L, 255L)), s"$fmt sums: $c")
+    }
+    assert(byType("bin") == null, "unrecognized bytes → null content")
+  }
+
   test("real WAV/MP4 header decode reads true durations; corrupt bytes degrade to null") {
     import java.io.ByteArrayOutputStream
     import java.nio.{ByteBuffer, ByteOrder}
