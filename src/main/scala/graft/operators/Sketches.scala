@@ -139,7 +139,7 @@ object Sketches {
     val kth = minK.agg(max(col("h")).as("kth_hash"),
       count(lit(1)).as("_n_seen"))
     val exact = hashes.agg(countDistinct(col("h")).as("exact_distinct"))
-    kth.crossJoin(exact)
+    kth.crossJoin(broadcast(exact))
       // fewer than k distinct grams → the sketch IS exact
       .withColumn("est_distinct", expr(
         s"""CASE WHEN _n_seen < $k THEN exact_distinct
