@@ -176,10 +176,15 @@ object SparkEntry {
       .orderBy(col("o_custkey"))
   }
 
-  /** §2.4 join: broadcast dim join + agg (lineage-style correlation). */
+  /** §2.4 join: dim join + agg (lineage-style correlation). No user
+    * broadcast hint on `customer`: it scales linearly with SF (150k×SF
+    * rows), so forcing a driver-side build would OOM at cluster scale.
+    * AQE still picks a broadcast join at small SF on its own; at 100 TB
+    * it degrades gracefully to a shuffle join.
+    */
   private def qJoinRevenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(cents(col("o_totalprice")).as("revenue_c"),
         count(lit(1)).as("n_orders"),
@@ -2692,10 +2697,13 @@ object SparkEntry {
   /** Local-supplier volume (q200): the TPC-H Q5 shape — the battery's
     * deepest join tree (region → nation → customer → orders →
     * lineitem → supplier with the classic supplier-in-customer-nation
-    * condition and a one-year date band). All bounded dims broadcast;
-    * the single fact-fact join (orders ⋈ lineitem) is the only
-    * shuffle; the date filter pushes to the orders scan; revenue is
-    * the per-row floor-cents integer sum (engine-exact doubles).
+    * condition and a one-year date band). Only the genuinely bounded
+    * dims (region: 5 rows, nation: 25 rows) carry a user broadcast
+    * hint; customer and supplier scale linearly with SF, so their join
+    * strategy is left to AQE — broadcast at small SF, shuffle join at
+    * cluster scale (a forced hint would be a driver-OOM at 100 TB).
+    * The date filter pushes to the orders scan; revenue is the
+    * per-row floor-cents integer sum (engine-exact doubles).
     */
   private def qLocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
     val asiaNations = t(s, dir, "nation")
@@ -2706,8 +2714,8 @@ object SparkEntry {
       .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01'" +
         " AND o_orderdate < TIMESTAMP '1997-01-01'"))
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, dir, "supplier")),
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"),
         col("l_suppkey") === col("s_suppkey")
           && col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))

@@ -434,6 +434,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian in the join tree:\n$p")
   }
 
+  test("no user broadcast hint on SF-scaling tables (customer/supplier)") {
+    // customer and supplier grow linearly with SF (150k/10k rows per SF
+    // unit) — a user broadcast() hint on either forces a driver-sized
+    // build at cluster scale. Only region (5 rows) and nation (25 rows)
+    // may carry hints; everything else is AQE's call.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (q <- Seq("q08_join_revenue", "q200_local_supplier_volume")) {
+      val analyzed = SparkEntry.queries(q)(spark, dir).queryExecution.analyzed
+      val hinted = analyzed.collect { case h: ResolvedHint => h }
+      for (h <- hinted; bad <- Seq("customer", "supplier")) {
+        assert(!h.child.toString.contains(bad),
+          s"$q carries a user hint over the SF-scaling table '$bad':\n$h")
+      }
+      // AQE must still broadcast the small sides at test SF on its own.
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q small sides should still auto-broadcast at sf0.001")
+    }
+  }
+
   test("LSH band sweep: every config reads ONE checkpointed signature pass") {
     val p = plan("q168_lsh_band_sweep")
     assert(p.contains("ExistingRDD"),
