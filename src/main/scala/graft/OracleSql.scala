@@ -4110,6 +4110,58 @@ object OracleSql {
          WHERE r_name = 'ASIA'
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
-         GROUP BY n_name ORDER BY revenue_c DESC, n_name"""
+         GROUP BY n_name ORDER BY revenue_c DESC, n_name""",
+
+    // q175's calibration histogram over q164's two-level (cid, cid2)
+    // subcells — the linear-pair-mass production form: the oracle
+    // re-derives both quantizer levels exactly as q164 does, then
+    // runs q175's bucket/cumulative tail over the subcell pairs
+    "q201_semantic_cos_hist2" ->
+      s"""WITH C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          KP AS (SELECT CAST(least(4096, greatest(4, floor(sqrt(
+                   ((count(*) + 31) // 32)::DOUBLE)))) AS BIGINT) AS k FROM C),
+          S0 AS (SELECT rn - 1 AS cid, emb AS cemb FROM
+                 (SELECT row_number() OVER (ORDER BY id) AS rn, emb FROM C)
+                 WHERE rn <= (SELECT k FROM KP)),
+          ${ivfRound("S0", "A1", "P1", "M1", "S1")},
+          ${ivfRound("S1", "A2", "P2", "M2", "S2")},
+          ${ivfAssignCte("C", "S2", "CC1", 1)},
+          SS0 AS (SELECT cid, rn - 1 AS cid2, emb AS cemb FROM
+                 (SELECT cid, emb, row_number() OVER (PARTITION BY cid
+                    ORDER BY id) AS rn FROM CC1)
+                 WHERE rn <= (SELECT k FROM KP)),
+          ${ivfSubRound("SS0", "AA1", "PP1", "MM1", "SS1", "CC1")},
+          ${ivfSubRound("SS1", "AA2", "PP2", "MM2", "SS2", "CC1")},
+          CC2 AS (SELECT id, emb, cid, cid2 FROM (
+                 SELECT c.id, c.emb, c.cid, s.cid2,
+                   row_number() OVER (PARTITION BY c.id
+                     ORDER BY ${scoreFixedSafeSql("c.emb", "s.cemb")} DESC, s.cid2) AS rn
+                 FROM CC1 c JOIN SS2 s ON s.cid = c.cid) WHERE rn = 1),
+          SP AS (SELECT ${scoreFixedSafeSql("a.emb", "b.emb")} AS cos
+                 FROM CC2 a JOIN CC2 b ON a.cid = b.cid AND a.cid2 = b.cid2
+                   AND a.id < b.id),
+          HB AS (SELECT (cos // 50000) * 50000 AS bucket_lo_1e6,
+                 CAST(count(*) AS BIGINT) AS n_pairs FROM SP GROUP BY 1)
+          SELECT bucket_lo_1e6, n_pairs,
+            CAST(sum(n_pairs) OVER (ORDER BY bucket_lo_1e6 DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS n_pairs_ge
+          FROM HB ORDER BY bucket_lo_1e6 DESC""",
+
+    // KMV production form: q193 minus the exact-distinct audit — the
+    // k-set alone determines the row; when fewer than k distinct
+    // grams exist the k-set holds all of them, so the estimate IS
+    // that count
+    "q202_kmv_sketch" ->
+      s"""WITH H AS (SELECT DISTINCT ${md5long("g")} AS h FROM
+                 (SELECT unnest(${rawShingles3("text")}) AS g FROM documents)),
+          MK AS (SELECT h FROM H ORDER BY h LIMIT 256),
+          KT AS (SELECT max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS n_seen
+                 FROM MK)
+          SELECT CAST(256 AS BIGINT) AS k, kth_hash,
+            CAST(CASE WHEN n_seen < 256 THEN n_seen
+                 ELSE CAST((255::HUGEINT * 1152921504606846976) // kth_hash
+                      AS BIGINT) END AS BIGINT) AS est_distinct
+          FROM KT"""
     )
 }

@@ -2410,6 +2410,22 @@ object SparkEntry {
     graft.operators.Dedup.semanticCosineHistogram(corpus, cents)
   }
 
+  /** Semantic cosine histogram over SUBCELLS (q201): q175's
+    * calibration table re-run over q164's (cid, cid2) two-level
+    * population — constant subcell sizes make the enumerated pair
+    * mass LINEAR in the corpus where the flat-cell q175 form is
+    * n^1.5 by construction (measured 26.8× at 10× data). Both rows
+    * stay in the battery: q175 calibrates the flat dedup's own
+    * candidate stream, q201 is the corpus-scale production form.
+    * See Dedup.semanticCosineHistogram2.
+    */
+  private def qSemanticCosHist2(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val k = graft.operators.Dedup.suggestSemantic2Params(corpus.count())
+    val cents1 = Similarity.trainCentroids(corpus, k = k, iters = 2)
+    graft.operators.Dedup.semanticCosineHistogram2(corpus, cents1, k2 = k, iters = 2)
+  }
+
   /** Per-source attrition funnel (q176): q127's first-fail gate
     * attribution grouped by source with within-source shares — the
     * actionable per-feed loss table. See Curation.attritionFunnelBySource.
@@ -2630,6 +2646,14 @@ object SparkEntry {
     */
   private def qKmvDistinct(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sketches.kmvDistinctGrams(t(s, dir, "documents"), "text")
+
+  /** KMV production form (q202): the sketch alone — bounded
+    * per-partition k-set state, ≤ partitions·k longs shuffled, no
+    * exact-distinct audit pass (q193 keeps that companion; its slope
+    * IS the audit's full distinct). See Sketches.kmvSketchGrams.
+    */
+  private def qKmvSketch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvSketchGrams(t(s, dir, "documents"), "text")
 
   /** MRR-by-label audit (q194): mean reciprocal rank of the first
     * same-label neighbor, exact vs sign-bucket path — the IR-metric
@@ -2939,7 +2963,9 @@ object SparkEntry {
     "q197_dataset_card" -> (qDatasetCard _),
     "q198_bucket_balance" -> (qBucketBalance _),
     "q199_pipeline_report" -> (qPipelineReport _),
-    "q200_local_supplier_volume" -> (qLocalSupplierVolume _))
+    "q200_local_supplier_volume" -> (qLocalSupplierVolume _),
+    "q201_semantic_cos_hist2" -> (qSemanticCosHist2 _),
+    "q202_kmv_sketch" -> (qKmvSketch _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -245,6 +245,48 @@ object Dedup {
       .orderBy(col("bucket_lo_1e6").desc)
   }
 
+  /** The LINEAR-pair-mass form of [[semanticCosineHistogram]]: the
+    * same threshold-calibration table, but the candidate population
+    * is [[semanticDedup2]]'s (cid, cid2) SUBCELLS instead of flat
+    * √n cells. With k1·k2 ∝ n (see [[suggestSemantic2Params]]),
+    * subcell populations are constant in expectation, so the pair
+    * mass the histogram enumerates grows LINEARLY with the corpus —
+    * the flat-cell form's measured 26.8× at 10× data (n^1.5 by
+    * construction) is exactly what this twin exists to avoid. Use
+    * the flat form only when the histogram must cover the flat
+    * dedup's own candidate stream; calibrate thresholds at corpus
+    * scale with this one.
+    *
+    * Output: (bucket_lo_1e6, n_pairs, n_pairs_ge) ordered by bucket
+    * descending — same schema and bucketing convention as
+    * [[semanticCosineHistogram]].
+    */
+  def semanticCosineHistogram2(corpus: DataFrame,
+      level1: Seq[(Int, Seq[Double])], k2: Int, iters: Int,
+      bucketWidth1e6: Long = 50000L): DataFrame = {
+    require(bucketWidth1e6 >= 1, s"bucket width must be positive: $bucketWidth1e6")
+    val cells1 = graft.operators.Similarity.assignCells(corpus, level1)
+      .select(col("id"), col("emb"), col("cid"))
+    val sub = graft.operators.Similarity.trainSubCentroids(cells1, k2, iters)
+    val cells = graft.operators.Similarity.assignSubCells(cells1, sub)
+      .select(col("id"), col("emb"), col("cid"), col("cid2"))
+      .localCheckpoint()
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.cid") === col("b.cid") && col("a.cid2") === col("b.cid2")
+          && col("a.id") < col("b.id"))
+      .select(graft.operators.Similarity.scoreFixedSafe(
+        col("a.emb"), col("b.emb")).as("cos_1e6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket_lo_1e6").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    pairs
+      .withColumn("bucket_lo_1e6",
+        expr(s"(cos_1e6 DIV $bucketWidth1e6) * $bucketWidth1e6"))
+      .groupBy(col("bucket_lo_1e6")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_pairs_ge", sum(col("n_pairs")).over(w).cast("long"))
+      .orderBy(col("bucket_lo_1e6").desc)
+  }
+
   /** SimHash bit-vote fold over a *materialized* token-hash array
     * column (see the minhash note — don't inline the hash expression,
     * it would be re-evaluated once per bit).

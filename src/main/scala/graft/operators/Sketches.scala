@@ -128,6 +128,54 @@ object Sketches {
     * Output: 1 row (k, kth_hash, est_distinct, exact_distinct,
     * within_bound).
     */
+  /** The PRODUCTION form of [[kmvDistinctGrams]]: the sketch alone,
+    * no exact companion — the cost profile a deployed KMV has (q193
+    * keeps the exact distinct next to the estimate as the audit row;
+    * its 4.7× measured slope IS that companion). Per partition the
+    * only state is a k-entry ordered set of the smallest DISTINCT
+    * hashes seen (the KMV accumulator), so shuffle traffic is
+    * ≤ partitions·k longs instead of the full distinct-hash stream —
+    * the sketch's entire point at 100 TB. This is the one battery
+    * operator written over mapPartitions: a bounded-state streaming
+    * accumulator is genuine per-partition imperative logic that no
+    * built-in aggregate expresses without first paying the exact
+    * distinct's shuffle.
+    *
+    * When the corpus has fewer than k distinct grams the k-set holds
+    * all of them, so the "estimate" is exact by construction.
+    *
+    * Output: 1 row (k, kth_hash, est_distinct).
+    */
+  def kmvSketchGrams(docs: DataFrame, textCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    import graft.functions.{md5Long, rawShingles}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashes = docs
+      .select(explode(rawShingles(lower(col(textCol)), 3)).as("g"))
+      .select(md5Long(col("g")).as("h"))
+      .as[Long]
+    val partials = hashes.mapPartitions { it =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      while (it.hasNext) {
+        val h: java.lang.Long = it.next()
+        if (set.size < k) set.add(h)
+        else if (h < set.last()) { if (set.add(h)) set.pollLast() }
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+        .asScala.map(_.longValue())
+    }
+    // global merge: ≤ partitions·k candidate hashes (the same hash can
+    // surface from several partitions — dedup before the final cut)
+    val minK = partials.toDF("h").distinct().orderBy(col("h")).limit(k)
+    minK.agg(max(col("h")).as("kth_hash"), count(lit(1)).as("_n_seen"))
+      .select(lit(k.toLong).as("k"), col("kth_hash"),
+        expr(s"""CAST(CASE WHEN _n_seen < $k THEN _n_seen
+              ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * ${1L << 60})
+                   DIV kth_hash AS BIGINT) END AS BIGINT)""").as("est_distinct"))
+  }
+
   def kmvDistinctGrams(docs: DataFrame, textCol: String,
       k: Int = 256): DataFrame = {
     require(k >= 2, s"need k >= 2, got $k")

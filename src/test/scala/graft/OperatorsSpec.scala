@@ -2238,6 +2238,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_._1 >= 900000L), s"tight cells: ${out.toSeq}")
   }
 
+  test("semanticCosineHistogram2: subcell pair mass is a per-bucket subset of the flat form") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.99, 0.01)), (3L, Seq(0.98, 0.02)),
+      (4L, Seq(0.0, 1.0)), (5L, Seq(0.01, 0.99)), (6L, Seq(0.02, 0.98)))
+      .toDF("id", "emb")
+    val cents = Similarity.trainCentroids(corpus, k = 2, iters = 2)
+    val flat = Dedup.semanticCosineHistogram(corpus, cents).collect()
+      .map(r => r.getAs[Long]("bucket_lo_1e6") -> r.getAs[Long]("n_pairs")).toMap
+    val out = Dedup.semanticCosineHistogram2(corpus, cents, k2 = 2, iters = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket_lo_1e6"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_pairs_ge")))
+    // (cid, cid2) pairs are a subset of the cid pairs, bucket by bucket
+    out.foreach { case (b, n, _) =>
+      assert(n <= flat.getOrElse(b, 0L), s"bucket $b: $n > flat ${flat.get(b)}")
+    }
+    // same output contract as the flat form: desc order, running
+    // cumulative, buckets on the width grid
+    assert(out.map(_._1).toSeq == out.map(_._1).sortBy(-_).toSeq)
+    assert(out.map(_._3).toSeq == out.map(_._2).scanLeft(0L)(_ + _).tail.toSeq)
+    out.foreach { case (b, _, _) => assert(b % 50000L == 0L, s"grid: $b") }
+    // the pair mass equals Σ C(pop,2) over the actual subcell populations
+    val cells1 = Similarity.assignCells(corpus, cents).select(col("id"), col("emb"), col("cid"))
+    val sub = Similarity.trainSubCentroids(cells1, k2 = 2, iters = 2)
+    val pops = Similarity.assignSubCells(cells1, sub)
+      .groupBy(col("cid"), col("cid2")).count().collect().map(_.getAs[Long]("count"))
+    assert(out.map(_._2).sum == pops.map(p => p * (p - 1) / 2).sum,
+      s"pair mass vs subcell populations: ${out.toSeq} vs ${pops.toSeq}")
+  }
+
   test("attritionFunnelBySource: shares within each source's own total") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
@@ -2541,6 +2571,22 @@ class OperatorsSpec extends SparkSpec {
     val r2 = graft.operators.Sketches.kmvDistinctGrams(docs, "text", k = 2)
       .collect()(0)
     assert(r2.getAs[Long]("est_distinct") > 0L && r2.getAs[Long]("kth_hash") > 0L)
+  }
+
+  test("kmvSketchGrams: production form matches the audited sketch across partitionings") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c x y"), (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    for (parts <- Seq(1, 7); k <- Seq(2, 256)) {
+      val audited = graft.operators.Sketches
+        .kmvDistinctGrams(docs, "text", k = k).collect()(0)
+      val r = graft.operators.Sketches
+        .kmvSketchGrams(docs.repartition(parts), "text", k = k).collect()(0)
+      assert(r.getAs[Long]("k") == k.toLong)
+      assert(r.getAs[Long]("kth_hash") == audited.getAs[Long]("kth_hash"),
+        s"parts=$parts k=$k: k-set must be partitioning-invariant")
+      assert(r.getAs[Long]("est_distinct") == audited.getAs[Long]("est_distinct"),
+        s"parts=$parts k=$k: estimate must match the audited form")
+    }
   }
 
   test("mrrByLabel: first same-label rank reciprocals; zero-hit queries stay in the denominator") {
