@@ -48,8 +48,34 @@ object Bench {
     }
   }
 
+  /** Min-of-`runs` timing of one query execution: the per-run floor is
+    * the intrinsic cost estimate that round-over-round comparisons
+    * should use (the measured run-to-run variance band for join-tail
+    * queries is ~2.3× — single-shot deltas chase that variance). A
+    * failure in ANY run records −1: a query that sometimes fails must
+    * never report its fastest success.
+    */
+  private def timeMin(runs: Int, body: () => Boolean): Double = {
+    var best = Double.MaxValue
+    var allOk = true
+    var i = 0
+    while (i < runs && allOk) {
+      val t0 = System.nanoTime()
+      allOk = body()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (allOk) best = math.min(best, sec)
+      interQueryHygiene()
+      i += 1
+    }
+    if (allOk && best != Double.MaxValue) best else -1.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_RUNS=N: time each query N times and report the
+    // per-query MIN (default 1 — the driver's single-shot battery)
+    val runs = math.max(1,
+      sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(1))
     // SPARK_GRAFT_ISOLATE=1: run every query in a FRESH SparkSession
     // (own codegen cache, block store, and /tmp scratch) with its own
     // per-query warmup — the mode that separates a query's intrinsic
@@ -76,14 +102,12 @@ object Bench {
           val spark = buildSession()
           try fn(spark, "/root/testdata/sf0.001").count()
           catch { case _: Throwable => () }
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-              false
-          }
-          val sec0 = (System.nanoTime() - t0) / 1e9
-          val sec = if (ok) sec0 else -1.0
+          val sec = timeMin(runs, () =>
+            try { fn(spark, sfDir).count(); true } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+                false
+            })
           spark.stop()
           org.apache.spark.sql.SparkSession.clearActiveSession()
           org.apache.spark.sql.SparkSession.clearDefaultSession()
@@ -102,19 +126,17 @@ object Bench {
           catch { case _: Throwable => () }
         }
         val out = ordered.map { case (name, fn) =>
-          val t0 = System.nanoTime()
           // a failed query must NOT masquerade as a fast one: record
           // -1 and log, so battery totals/ratios can't silently absorb
           // an error (a swallowed failure here once read as a 0.2 s
           // "result" for a 15 s query)
-          val ok = try { fn(spark, sfDir).count(); true } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-              false
-          }
-          val sec = (System.nanoTime() - t0) / 1e9
-          interQueryHygiene()
-          name -> (if (ok) sec else -1.0)
+          val sec = timeMin(runs, () =>
+            try { fn(spark, sfDir).count(); true } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+                false
+            })
+          name -> sec
         }.toMap
         spark.stop()
         out

@@ -175,26 +175,33 @@ object Similarity {
   }
 
   /** Centroid-table assignment via the native [[graft.expressions.BestCell]]
-    * loop. The centroid array is a FOLDABLE expression (literals all
-    * the way down), so Catalyst's ConstantFolding collapses it to one
-    * Literal before codegen: unlike the unrolled k-score expression
-    * form ([[assignCellWithNorm]], kept for the small-k PQ subspace
-    * codebooks), there is NO k·dim-literal janino unit to compile per
-    * distinct centroid set — the cost that dominated every Lloyd
-    * iteration of large-k trainings (each iteration = new constants =
-    * new codegen unit; 20.5 s of the 85 s q164 total at gen-sf10).
-    * Scoring is bit-identical: same guarded fixed-point cosine, same
-    * left-to-right folds, same first-max (score desc, cid asc)
-    * tie-break — re-verified against the oracle battery-wide.
+    * loop, with the centroid payload bound as a NON-FOLDABLE input:
+    * the k·dim table rides in as a broadcast 1-row aggregate (the
+    * [[assignSubCells]] idiom) instead of a literal, so the generated
+    * whole-stage source is byte-identical across DIFFERENT centroid
+    * sets and the codegen cache serves every Lloyd iteration from one
+    * compiled unit. The literal form re-entered janino+JIT per
+    * iteration because each iteration's new constants produced a new
+    * plan — the cost that dominated large-k trainings at bench SF
+    * (BASELINE's q93 attribution: compile, not scan; 20.5 s of the
+    * 85 s q164 total at gen-sf10 before BestCell). Unrolled literal
+    * scoring ([[assignCellWithNorm]]) stays for the small-k PQ
+    * subspace codebooks. Scoring is bit-identical: same guarded
+    * fixed-point cosine, same left-to-right folds, same first-max
+    * (score desc, cid asc) tie-break — re-verified against the
+    * oracle battery-wide.
     */
   private def withCell(df: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     val ordered = centroids.sortBy(_._1)
     require(ordered.map(_._1) == ordered.indices.toSeq,
       "centroid ids must be 0..k-1")
-    val centArr = array(ordered.map { case (cid, v) =>
-      struct(lit(cid).as("cid2"), array(v.map(lit): _*).as("cemb"))
-    }: _*)
-    df.withColumn("cid", graft.expressions.BestCell(col("emb"), centArr))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centArr = ordered.toDF("cid2", "cemb")
+      .agg(array_sort(collect_list(struct(col("cid2"), col("cemb")))).as("_cents"))
+    df.crossJoin(broadcast(centArr))
+      .withColumn("cid", graft.expressions.BestCell(col("emb"), col("_cents")))
+      .drop("_cents")
   }
 
   /** Public coarse-cell assignment — (id, emb, cid) with the same
