@@ -359,13 +359,16 @@ object Diagnostics {
         col("cum_share_1e9"))
   }
 
-  /** Per-source character-class profile: how each feed's bytes split
-    * across letters / digits / the q25 punctuation class / whitespace
-    * / OTHER — the mojibake-and-markup alarm (a source whose `other`
-    * share jumps is mis-decoded, binary-contaminated, or markup-heavy
-    * before any tokenizer sees it). Counts are exact via class-delete
-    * regexp lengths, entirely map-side; one |sources|-bounded
-    * aggregate; other_ppm is the one-number alarm column.
+  /** Per-source character-class profile: how each feed's CHARACTERS
+    * (UTF-16 units as counted by `length`, not raw bytes — a
+    * multi-byte-heavy feed is profiled per character, and the oracle
+    * parity is on characters too) split across letters / digits / the
+    * q25 punctuation class / whitespace / OTHER — the
+    * mojibake-and-markup alarm (a source whose `other` share jumps is
+    * mis-decoded, binary-contaminated, or markup-heavy before any
+    * tokenizer sees it). Counts are exact via class-delete regexp
+    * lengths, entirely map-side; one |sources|-bounded aggregate;
+    * other_ppm is the one-number alarm column.
     *
     * Output: (source, n_chars, n_letters, n_digits, n_punct, n_space,
     * n_other, other_ppm).

@@ -573,7 +573,11 @@ object Similarity {
     val entries = gramMatrix(corpus, dims).collect()
       .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), BigInt(r.getLong(2))))
       .toMap
-    def g(i: Int, j: Int): BigInt = entries((math.min(i, j), math.max(i, j)))
+    // an empty corpus yields an empty gram result: treat missing
+    // entries as 0 so the iteration degrades to the documented
+    // all-ones start vector instead of a driver-side lookup error
+    def g(i: Int, j: Int): BigInt =
+      entries.getOrElse((math.min(i, j), math.max(i, j)), BigInt(0))
     val ones = Vector.fill(dims)(BigInt(1000000L))
     var v = ones
     for (_ <- 0 until iters) {
@@ -689,7 +693,9 @@ object Similarity {
     * Output: (pick_no, center_id, cover_sim_1e6) — cover_sim is the
     * selected doc's best cosine to the PREVIOUSLY chosen centers
     * (null for the seed): the coverage-radius curve that says when to
-    * stop adding centers.
+    * stop adding centers. A corpus with fewer than k rows returns one
+    * pick per row and stops (the coverage frame empties — later
+    * rounds would only synthesize null picks).
     */
   def kCenterSelect(corpus: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
@@ -705,7 +711,11 @@ object Similarity {
       .select(col("id"), col("emb"),
         scoreFixedSafe(col("emb"), col("_cemb")).as("maxsim"))
       .localCheckpoint(true)
-    for (r <- 2 to k) {
+    var r = 2
+    // corpus smaller than k: stop once every row is a center — the
+    // argmin over an empty coverage frame would yield a null-id row
+    // and each later round would silently add nothing
+    while (r <= k && !cov.isEmpty) {
       val far = cov.agg(min(struct(col("maxsim"), col("id"))).as("_f"))
         .select(col("_f.id").as("center_id"),
           col("_f.maxsim").as("cover_sim_1e6"))
@@ -721,6 +731,7 @@ object Similarity {
           greatest(col("maxsim"),
             scoreFixedSafe(col("emb"), col("_cemb"))).as("maxsim"))
         .localCheckpoint(true)
+      r += 1
     }
     centers.select(col("pick_no"), col("center_id"), col("cover_sim_1e6"))
       .orderBy(col("pick_no"))
@@ -776,11 +787,16 @@ object Similarity {
       k: Int, signBits: Int = 6): DataFrame = {
     val nq = queries.agg(count(lit(1)).as("n_queries"))
     def mrrOf(ranked: DataFrame, path: String): DataFrame = {
-      val rr = ranked
-        .join(broadcast(labels.select(col("id").as("neighbor_id"),
-          col("label").as("_nl"))), "neighbor_id")
-        .join(broadcast(labels.select(col("id").as("query_id"),
-          col("label").as("_ql"))), "query_id")
+      // the BOUNDED side is the ranked frame (|queries|·k rows);
+      // labels is corpus-width, so the broadcast hints go on the
+      // ranked side — at real corpus scale broadcasting labels would
+      // ship an unbounded table to every executor
+      val withNl = broadcast(ranked)
+        .join(labels.select(col("id").as("neighbor_id"),
+          col("label").as("_nl")), "neighbor_id")
+      val rr = broadcast(withNl)
+        .join(labels.select(col("id").as("query_id"),
+          col("label").as("_ql")), "query_id")
         .filter(col("_nl") === col("_ql"))
         .groupBy(col("query_id")).agg(min(col("rank")).as("_r"))
         .select(expr("1000000 DIV _r").as("rr"))

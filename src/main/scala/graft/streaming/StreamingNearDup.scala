@@ -38,15 +38,22 @@ object StreamingNearDup {
     * `idCol` + `textCol`) is admitted against — and folded into —
     * `index`. `batchBase` offsets the recorded batch_no so replays
     * across restarts keep monotone provenance.
+    *
+    * `trigger` controls the run mode: the default
+    * `Trigger.AvailableNow()` drains what the source currently has
+    * and STOPS (the test/replay/scheduled-ingest-cycle shape — call
+    * again per cycle); pass `Trigger.ProcessingTime(...)` for a
+    * continuously running gate.
     */
   def ingestGate(stream: DataFrame, index: VersionedTable,
       idCol: String, textCol: String,
       checkpointDir: String, batchBase: Long = 0L,
-      simThreshold1e6: Long = 500000L): StreamingQuery =
+      simThreshold1e6: Long = 500000L,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         IncrementalDedup.appendNovelNearDup(index, batch, idCol, textCol,
           batchBase + batchId, simThreshold1e6)

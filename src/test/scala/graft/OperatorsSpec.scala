@@ -2220,6 +2220,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2)._3.get == 0L, s"pick 3 was orthogonal: ${out.toSeq}")
   }
 
+  test("kCenterSelect: corpus smaller than k returns one pick per row, no null picks") {
+    val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "emb")
+    val out = Similarity.kCenterSelect(corpus, k = 5).collect()
+    assert(out.length == 2, s"2-row corpus must yield 2 picks: ${out.toSeq}")
+    assert(out.forall(r => !r.isNullAt(1)), s"no null center ids: ${out.toSeq}")
+  }
+
+  test("powerIterationPc1: empty corpus degrades to the all-ones start vector") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "emb")
+    val v = Similarity.powerIterationPc1(empty, dims = 3, iters = 2)
+    assert(v == Seq(1000000L, 1000000L, 1000000L), s"$v")
+  }
+
   test("semanticCosineHistogram: within-cell pair mass, cumulative from the top") {
     val corpus = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(0.99, 0.01)), (3L, Seq(0.98, 0.02)),
