@@ -4162,6 +4162,66 @@ object OracleSql {
             CAST(CASE WHEN n_seen < 256 THEN n_seen
                  ELSE CAST((255::HUGEINT * 1152921504606846976) // kth_hash
                       AS BIGINT) END AS BIGINT) AS est_distinct
-          FROM KT"""
+          FROM KT""",
+
+    // three-level semantic dedup: the q164 chain + a THIRD trained
+    // level keyed on the composite cid·k + cid2 (ivfSubRound is
+    // level-count-agnostic once the composite is renamed cid); k per
+    // level = smallest c >= 2 with c^3 >= ceil(n/32), exact integer
+    // via the q84 range-scan idiom, clamped to 1024 like the engine.
+    // CB is MATERIALIZED: without the barrier DuckDB inlines the full
+    // level-1+2 chain into every one of the level-3 rounds' multiple
+    // CB references and the doubled-depth expansion OOMs the oracle
+    // even at 500 vectors (measured); with it the query runs in ~4 s
+    "q203_semantic_3level" ->
+      s"""WITH RECURSIVE C AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          KT3 AS (SELECT ((count(*) + 31) // 32) AS kt FROM C),
+          KP AS (SELECT CAST(least(1024, greatest(2, coalesce(
+                   (SELECT min(b) FROM range(2, 1026) t(b), KT3
+                    WHERE b*b*b >= KT3.kt), 1024))) AS BIGINT) AS k),
+          S0 AS (SELECT rn - 1 AS cid, emb AS cemb FROM
+                 (SELECT row_number() OVER (ORDER BY id) AS rn, emb FROM C)
+                 WHERE rn <= (SELECT k FROM KP)),
+          ${ivfRound("S0", "A1", "P1", "M1", "S1")},
+          ${ivfRound("S1", "A2", "P2", "M2", "S2")},
+          ${ivfAssignCte("C", "S2", "CC1", 1)},
+          SS0 AS (SELECT cid, rn - 1 AS cid2, emb AS cemb FROM
+                 (SELECT cid, emb, row_number() OVER (PARTITION BY cid
+                    ORDER BY id) AS rn FROM CC1)
+                 WHERE rn <= (SELECT k FROM KP)),
+          ${ivfSubRound("SS0", "AA1", "PP1", "MM1", "SS1", "CC1")},
+          ${ivfSubRound("SS1", "AA2", "PP2", "MM2", "SS2", "CC1")},
+          CC2 AS (SELECT id, emb, cid, cid2 FROM (
+                 SELECT c.id, c.emb, c.cid, s.cid2,
+                   row_number() OVER (PARTITION BY c.id
+                     ORDER BY ${scoreFixedSafeSql("c.emb", "s.cemb")} DESC, s.cid2) AS rn
+                 FROM CC1 c JOIN SS2 s ON s.cid = c.cid) WHERE rn = 1),
+          CB AS MATERIALIZED (SELECT id, emb,
+                 cid * (SELECT k FROM KP) + cid2 AS cid FROM CC2),
+          TT0 AS (SELECT cid, rn - 1 AS cid2, emb AS cemb FROM
+                 (SELECT cid, emb, row_number() OVER (PARTITION BY cid
+                    ORDER BY id) AS rn FROM CB)
+                 WHERE rn <= (SELECT k FROM KP)),
+          ${ivfSubRound("TT0", "BB1", "QQ1", "NN1", "TT1", "CB")},
+          ${ivfSubRound("TT1", "BB2", "QQ2", "NN2", "TT2", "CB")},
+          CC3 AS (SELECT id, emb, cid, cid2 FROM (
+                 SELECT c.id, c.emb, c.cid, s.cid2,
+                   row_number() OVER (PARTITION BY c.id
+                     ORDER BY ${scoreFixedSafeSql("c.emb", "s.cemb")} DESC, s.cid2) AS rn
+                 FROM CB c JOIN TT2 s ON s.cid = c.cid) WHERE rn = 1),
+          SPAIRS AS (SELECT a.id AS id_a, b.id AS id_b
+                 FROM CC3 a JOIN CC3 b ON a.cid = b.cid AND a.cid2 = b.cid2
+                   AND a.id < b.id
+                 WHERE ${scoreFixedSql("a.emb", "b.emb")} >= 950000),
+          SEDGES AS (SELECT id_a AS src, id_b AS dst FROM SPAIRS
+                 UNION SELECT id_b, id_a FROM SPAIRS),
+          SREACH(node, r) AS (
+            SELECT src, src FROM SEDGES
+            UNION
+            SELECT e.dst, r.r FROM SREACH r JOIN SEDGES e ON e.src = r.node),
+          SCOMP AS (SELECT node AS id, min(r) AS rep FROM SREACH GROUP BY node)
+          SELECT c.id, coalesce(p.rep, c.id) AS rep_id,
+            CAST(CASE WHEN coalesce(p.rep, c.id) = c.id THEN 1 ELSE 0 END AS BIGINT) AS kept
+          FROM C c LEFT JOIN SCOMP p USING (id) ORDER BY c.id"""
     )
 }

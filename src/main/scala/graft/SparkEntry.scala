@@ -2259,6 +2259,23 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Three-level hierarchical semantic dedup (q203): the
+    * bounded-fanout tree the q164 scaladoc names as the truly-linear
+    * shape — measured 23.1 s vs two-level's 35.0 s at 200k vectors
+    * (level-1 train+assign 4.0 s vs 10.0 s; the n·√(n/32) level-1
+    * term shrinks to n·(n/32)^⅓). k per level = smallest c with
+    * c³ ≥ ⌈n/32⌉, re-derived by the oracle from its own count(*).
+    * See Dedup.semanticDedup3.
+    */
+  private def qSemantic3Level(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val k = graft.operators.Dedup.suggestSemantic3Params(corpus.count())
+    val cents1 = Similarity.trainCentroids(corpus, k = k, iters = 2)
+    graft.operators.Dedup.semanticDedup3(corpus, cents1, k, iters = 2,
+        threshold1e6 = 950000L)
+      .orderBy(col("id"))
+  }
+
   /** Document LM surprisal (q165): every doc scored under the
     * corpus's own interpolated Kneser–Ney bigram LM, backoff mass
     * included — the CCNet-style perplexity quality filter as one
@@ -2965,7 +2982,8 @@ object SparkEntry {
     "q199_pipeline_report" -> (qPipelineReport _),
     "q200_local_supplier_volume" -> (qLocalSupplierVolume _),
     "q201_semantic_cos_hist2" -> (qSemanticCosHist2 _),
-    "q202_kmv_sketch" -> (qKmvSketch _))
+    "q202_kmv_sketch" -> (qKmvSketch _),
+    "q203_semantic_3level" -> (qSemantic3Level _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val Known = Set("simhash8", "simhash15", "simhashAuto",
     "neardup8", "neardup12", "brute", "curation",
-    "semantic8", "semanticAuto", "semantic2")
+    "semantic8", "semanticAuto", "semantic2", "semantic3")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -107,6 +107,66 @@ object ScaleProbe {
       }
       timed("s2_pairs_and_cc") {
         val l = cells.as("l"); val r = cells.as("r")
+        val pairs = l.join(r, col("l.cid") === col("r.cid")
+            && col("l.cid2") === col("r.cid2") && col("l.id") < col("r.id"))
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+            Similarity.scoreFixed(col("l.emb"), col("r.emb")).as("s"))
+          .filter(col("s") >= 950000L).select(col("id_a"), col("id_b"))
+        Dedup.connectedComponents(pairs).count()
+      }
+    }
+    // three-level quantizer probe (the q164-wall question): bounded
+    // fanout k = ⌈(n/32)^⅓⌉ per level, so the level-1 assignment —
+    // q164's residual n·k1 superlinear term with k1 = √(n/32) —
+    // shrinks to n·(n/32)^⅓ while subcell populations stay ~32.
+    // Level 3 REUSES trainSubCentroids verbatim on a composite
+    // (cid·k + cid2) key: the machinery is level-count-agnostic.
+    if (probes("semantic3")) {
+      import graft.operators.{Dedup, Similarity}
+      val n = embs.count()
+      val kTot = math.max(1L, (n + 31) / 32)
+      val k = math.max(2, math.ceil(math.cbrt(kTot.toDouble)).toInt)
+      println(s"PROBE semantic3 n=$n k1=k2=k3=$k")
+      var cents1: Seq[(Int, Seq[Double])] = null
+      timed("s3_train_level1") {
+        cents1 = Similarity.trainCentroids(embs, k = k, iters = 2); k.toLong
+      }
+      var cells1: org.apache.spark.sql.DataFrame = null
+      timed("s3_assign_level1") {
+        cells1 = Similarity.assignCells(embs, cents1)
+          .select(col("id"), col("emb"), col("cid")).localCheckpoint(true)
+        cells1.count()
+      }
+      var sub2: org.apache.spark.sql.DataFrame = null
+      timed("s3_train_level2") {
+        sub2 = Similarity.trainSubCentroids(cells1, k, iters = 2); sub2.count()
+      }
+      var cells2: org.apache.spark.sql.DataFrame = null
+      timed("s3_assign_level2") {
+        cells2 = Similarity.assignSubCells(cells1, sub2)
+          .select(col("id"), col("emb"),
+            (col("cid") * k + col("cid2")).as("cid"))
+          .localCheckpoint(true)
+        cells2.count()
+      }
+      var sub3: org.apache.spark.sql.DataFrame = null
+      timed("s3_train_level3") {
+        sub3 = Similarity.trainSubCentroids(cells2, k, iters = 2); sub3.count()
+      }
+      var cells3: org.apache.spark.sql.DataFrame = null
+      timed("s3_assign_level3") {
+        cells3 = Similarity.assignSubCells(cells2, sub3)
+          .select(col("id"), col("emb"), col("cid"), col("cid2"))
+          .localCheckpoint(true)
+        cells3.count()
+      }
+      timed("s3_subcell_pair_count") {
+        cells3.groupBy(col("cid"), col("cid2")).count()
+          .agg(sum(col("count") * (col("count") - 1) / 2)).collect()
+          .head.getAs[Any](0).toString.toDouble.toLong
+      }
+      timed("s3_pairs_and_cc") {
+        val l = cells3.as("l"); val r = cells3.as("r")
         val pairs = l.join(r, col("l.cid") === col("r.cid")
             && col("l.cid2") === col("r.cid2") && col("l.id") < col("r.id"))
           .select(col("l.id").as("id_a"), col("r.id").as("id_b"),

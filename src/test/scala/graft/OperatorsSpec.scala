@@ -2251,6 +2251,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_._1 >= 900000L), s"tight cells: ${out.toSeq}")
   }
 
+  test("suggestSemantic3Params: exact integer cube root of ceil(n/32), clamped") {
+    import graft.operators.Dedup.suggestSemantic3Params
+    assert(suggestSemantic3Params(1L) == 2)      // kTot=1 → floor at 2
+    assert(suggestSemantic3Params(500L) == 3)    // kTot=16: 2³=8 < 16 ≤ 27
+    assert(suggestSemantic3Params(2048L) == 4)   // kTot=64: exactly 4³
+    assert(suggestSemantic3Params(200000L) == 19) // kTot=6250: 18³=5832 < 6250
+    assert(suggestSemantic3Params(Long.MaxValue / 2) == 1024) // clamp
+  }
+
+  test("semanticDedup3: identical vectors share every level's cell and co-cluster") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(1.0, 0.0)),
+      (4L, Seq(0.0, 1.0)), (5L, Seq(0.0, 1.0)), (6L, Seq(-1.0, 0.0)),
+      (7L, Seq(0.6, 0.8)), (8L, Seq(0.0, -1.0))).toDF("id", "emb")
+    val k = graft.operators.Dedup.suggestSemantic3Params(8L)
+    val cents = Similarity.trainCentroids(corpus, k = k, iters = 2)
+    val out = graft.operators.Dedup
+      .semanticDedup3(corpus, cents, k, iters = 2, threshold1e6 = 950000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rep_id"), r.getAs[Long]("kept")))).toMap
+    assert(out.size == 8, "every corpus row appears exactly once")
+    // identical vectors can never split across levels → grouped, min-id rep
+    assert(out(1L) == ((1L, 1L)) && out(2L) == ((1L, 0L)) && out(3L) == ((1L, 0L)),
+      s"$out")
+    assert(out(4L) == ((4L, 1L)) && out(5L) == ((4L, 0L)), s"$out")
+    // singletons keep themselves
+    assert(out(6L) == ((6L, 1L)) && out(8L) == ((8L, 1L)), s"$out")
+  }
+
   test("semanticCosineHistogram2: subcell pair mass is a per-bucket subset of the flat form") {
     val corpus = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(0.99, 0.01)), (3L, Seq(0.98, 0.02)),
