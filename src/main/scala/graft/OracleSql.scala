@@ -4222,6 +4222,30 @@ object OracleSql {
           SCOMP AS (SELECT node AS id, min(r) AS rep FROM SREACH GROUP BY node)
           SELECT c.id, coalesce(p.rep, c.id) AS rep_id,
             CAST(CASE WHEN coalesce(p.rep, c.id) = c.id THEN 1 ELSE 0 END AS BIGINT) AS kept
-          FROM C c LEFT JOIN SCOMP p USING (id) ORDER BY c.id"""
+          FROM C c LEFT JOIN SCOMP p USING (id) ORDER BY c.id""",
+
+    // incremental semantic admission: replay of the two-batch ingest —
+    // batch 1 admits everything into the empty index, batch 2 rejects
+    // on (shared adaptive sign bucket ∧ cosine ≥ threshold) against
+    // batch 1's admitted set; bits re-derived from count(*), the q84
+    // idiom
+    "q204_inc_semantic" ->
+      s"""WITH NE AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+          SB AS (SELECT greatest(4, least(30, b))::BIGINT AS bits
+                FROM (SELECT min(b)::INT AS b FROM range(0, 61) t(b), NE
+                      WHERE (1::BIGINT << b) >= NE.n)),
+          C AS (SELECT vec_id AS id, embedding AS emb,
+                 ${signBucketSql("embedding", 30)} & ((1::BIGINT << sb.bits) - 1) AS bucket
+                FROM embeddings, SB sb),
+          B1 AS (SELECT * FROM C WHERE id % 2 = 0),
+          B2 AS (SELECT * FROM C WHERE id % 2 = 1),
+          REJ AS (SELECT DISTINCT b.id FROM B2 b JOIN B1 h ON b.bucket = h.bucket
+                  WHERE ${scoreFixedSafeSql("b.emb", "h.emb")} >= 200000)
+          SELECT id, bucket, CAST(batch_no AS BIGINT) AS batch_no FROM (
+            SELECT id, bucket, 1 AS batch_no FROM B1
+            UNION ALL
+            SELECT id, bucket, 2 AS batch_no FROM B2
+            WHERE id NOT IN (SELECT id FROM REJ))
+          ORDER BY id"""
     )
 }

@@ -2402,6 +2402,36 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental SEMANTIC dedup-on-ingest (q204): q173's replay in
+    * embedding space — batch 2 vectors sharing an adaptive sign
+    * bucket (suggestSignBits, the q84 derivation) with batch 1's
+    * admitted set at ≥ 0.20 cosine are turned away; the admitted
+    * vectors ARE the index. The 0.20 demonstration threshold exists
+    * because the synthetic embeddings are near-orthogonal (max
+    * cross-batch in-bucket cosine ≈ 0.32; a production 0.95 gate
+    * would reject nothing here and leave the reject path un-hashed) —
+    * at sf0.01 it turns away 21 of 250 batch-2 vectors, so the oracle
+    * pins BOTH paths. See IncrementalDedup.appendNovelSemantic.
+    */
+  private def qIncSemantic(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q204_incsem_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "id", "batch_no",
+      numBuckets = 8)
+    val embs = t(s, dir, "embeddings")
+    val bits = Dedup.suggestSignBits(embs.count(), dim = 64)
+    graft.operators.IncrementalDedup.appendNovelSemantic(vt,
+      embs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", 1L,
+      simThreshold1e6 = 200000L, signBits = bits)
+    graft.operators.IncrementalDedup.appendNovelSemantic(vt,
+      embs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", 2L,
+      simThreshold1e6 = 200000L, signBits = bits)
+    vt.snapshot.select(col("id"), col("bucket"), col("batch_no"))
+      .orderBy(col("id"))
+  }
+
   /** k-center coreset (q174): greedy farthest-point selection of 3
     * diverse anchors (seed = lowest id), each round one distributed
     * argmin over the coverage frame — with the coverage-radius curve
@@ -2983,7 +3013,8 @@ object SparkEntry {
     "q200_local_supplier_volume" -> (qLocalSupplierVolume _),
     "q201_semantic_cos_hist2" -> (qSemanticCosHist2 _),
     "q202_kmv_sketch" -> (qKmvSketch _),
-    "q203_semantic_3level" -> (qSemantic3Level _))
+    "q203_semantic_3level" -> (qSemantic3Level _),
+    "q204_inc_semantic" -> (qIncSemantic _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -110,4 +110,50 @@ object IncrementalDedup {
     if (!admitted.isEmpty) index.upsert(admitted)
     admitted
   }
+
+  /** SEMANTIC dedup-on-ingest: [[appendNovelNearDup]]'s contract in
+    * embedding space — a batch vector is REJECTED when some admitted
+    * historical vector shares its sign bucket
+    * ([[Similarity.signBucket]] — the q23/q84 blocking) AND scores at
+    * least `simThreshold1e6` fixed-point cosine against it. The index
+    * stores one (id, emb, bucket, batch_no) row per admitted vector —
+    * the vectors ARE the index (dim doubles/floats per row; at real
+    * scale swap in PQ codes for the verify stage, same plan shape).
+    * Within a batch no test applies (batch-granular, the
+    * appendNovelNearDup trade, stated not hidden).
+    *
+    * Scale: cost tracks the CHANGE FEED, not the corpus — the history
+    * side is the bucketed admitted index, the band-analog join is the
+    * bucket equi-join, the verify is a narrow scoreFixedSafe over
+    * colliding pairs, and only touched buckets rewrite on commit.
+    * Size `signBits` with [[Dedup.suggestSignBits]] so expected bucket
+    * populations stay bounded as the index grows. Idempotent per
+    * content: re-ingesting admitted vectors finds themselves in the
+    * index at cosine 10^6 ≥ any threshold and admits nothing new
+    * (zero vectors score 0 by the shared guard — they never reject
+    * each other, the engine-wide scoreFixedSafe contract).
+    */
+  def appendNovelSemantic(index: VersionedTable, batch: DataFrame,
+      idCol: String, embCol: String, batchNo: Long,
+      simThreshold1e6: Long, signBits: Int = 8): DataFrame = {
+    require(index.recordKey == "id",
+      s"semantic index must be keyed on 'id', got '${index.recordKey}'")
+    val b = batch.select(col(idCol).as("id"), col(embCol).as("emb"),
+        Similarity.signBucket(col(embCol), signBits).as("bucket"))
+      .localCheckpoint(true)
+    val admitted = (index.snapshotOpt match {
+      case None => b
+      case Some(hist) =>
+        val rejected = b.join(hist.select(col("bucket"), col("emb").as("_hemb")),
+            Seq("bucket"))
+          .filter(Similarity.scoreFixedSafe(col("emb"), col("_hemb"))
+            >= simThreshold1e6)
+          .select(col("id")).distinct()
+        b.join(rejected, Seq("id"), "left_anti")
+    }).withColumn("batch_no", lit(batchNo))
+      .select(col("id"), col("emb"), col("bucket"), col("batch_no"))
+      .localCheckpoint(true) // pin BEFORE the commit mutates the snapshot
+    if (!admitted.isEmpty) index.upsert(admitted)
+    admitted
+  }
 }

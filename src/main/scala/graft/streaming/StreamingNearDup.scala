@@ -60,4 +60,30 @@ object StreamingNearDup {
         ()
       }
       .start()
+
+  /** Embedding-space twin of [[ingestGate]]: every micro-batch runs
+    * the batch semantic-admission operator
+    * ([[graft.operators.IncrementalDedup.appendNovelSemantic]] —
+    * sign-bucket blocking + in-bucket cosine verify against the
+    * admitted vector index) and commits the survivors. Same
+    * foreachBatch rationale, same trigger contract, same idempotence
+    * (re-delivered vectors find themselves at cosine 10^6), and the
+    * SAME code path as the lake-side batch gate, so stream and batch
+    * cannot drift.
+    */
+  def semanticIngestGate(stream: DataFrame, index: VersionedTable,
+      idCol: String, embCol: String,
+      checkpointDir: String, batchBase: Long = 0L,
+      simThreshold1e6: Long = 950000L, signBits: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IncrementalDedup.appendNovelSemantic(index, batch, idCol, embCol,
+          batchBase + batchId, simThreshold1e6, signBits)
+        ()
+      }
+      .start()
 }

@@ -667,4 +667,43 @@ class StreamingSpec extends SparkSpec {
       == Set(10L, 22L), "full re-delivery admits nothing new")
     assert(index.commits.length == commits, "empty admissions never commit")
   }
+
+  test("streaming semantic ingest gate: vector index equals the batch replay; replay admits nothing") {
+    val srcDir = Fixtures.tmpDir("sem_stream_src")
+    val ckpt = Fixtures.tmpDir("sem_stream_ckpt").toString
+    val idxRoot = Fixtures.tmpDir("sem_stream_idx").toString
+    val schema = Seq((0L, Seq(0.0))).toDF("id", "emb").schema
+    def addFile(rows: Seq[(Long, Seq[Double])]): Unit =
+      rows.toDF("id", "emb").coalesce(1)
+        .write.mode("append").parquet(srcDir.toString)
+    def drain(index: graft.operators.VersionedTable, batchBase: Long): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val q = graft.streaming.StreamingNearDup.semanticIngestGate(
+        stream, index, "id", "emb", ckpt, batchBase, 950000L, signBits = 1)
+      q.awaitTermination(120000)
+    }
+    val index = new graft.operators.VersionedTable(spark, idxRoot, "id",
+      "batch_no", numBuckets = 4)
+    addFile(Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.0, 1.0))))
+    drain(index, 0L)
+    assert(index.snapshot.select("id").collect().map(_.getLong(0)).toSet
+      == Set(10L, 11L), "empty history admits everything")
+    // batch 2 through the SAME checkpoint: identical + near + novel
+    addFile(Seq((20L, Seq(1.0, 0.0)), (21L, Seq(0.99, 0.1)),
+      (22L, Seq(-1.0, 0.5))))
+    drain(index, 100L)
+    assert(index.snapshot.select("id").collect().map(_.getLong(0)).toSet
+      == Set(10L, 11L, 22L), "in-bucket near dups turned away at the stream gate")
+    // restart-with-replay through a fresh checkpoint: at-least-once
+    // delivery still lands exactly-once content
+    val ckpt2 = Fixtures.tmpDir("sem_stream_ckpt2").toString
+    val commits = index.commits.length
+    val stream2 = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val q2 = graft.streaming.StreamingNearDup.semanticIngestGate(
+      stream2, index, "id", "emb", ckpt2, 200L, 950000L, signBits = 1)
+    q2.awaitTermination(120000)
+    assert(index.snapshot.select("id").collect().map(_.getLong(0)).toSet
+      == Set(10L, 11L, 22L), "full re-delivery admits nothing new")
+    assert(index.commits.length == commits, "empty admissions never commit")
+  }
 }

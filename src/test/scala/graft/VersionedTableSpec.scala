@@ -619,4 +619,37 @@ class VersionedTableSpec extends SparkSpec {
     assert(a3.isEmpty, "re-ingest admits nothing")
     assert(index.commits.length == commits, "empty admission must not commit")
   }
+
+  test("appendNovelSemantic: in-bucket cosine rejection against the vector index") {
+    import org.apache.spark.sql.functions.col
+    val root = Fixtures.tmpDir("vtsem").toString
+    val index = new graft.operators.VersionedTable(spark, root, "id", "batch_no",
+      numBuckets = 4)
+    val b1 = Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.0, 1.0))).toDF("id", "emb")
+    val a1 = graft.operators.IncrementalDedup
+      .appendNovelSemantic(index, b1, "id", "emb", 1L,
+        simThreshold1e6 = 950000L, signBits = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a1 == Set(10L, 11L), s"empty history admits everything: $a1")
+    val b2 = Seq(
+      (20L, Seq(1.0, 0.0)),    // identical to 10 (same bucket, cos 1e6) → rejected
+      (21L, Seq(0.99, 0.1)),   // near dup of 10 (same bucket, cos ≈ 0.995) → rejected
+      (22L, Seq(-1.0, 0.5))    // bucket 0 with 11, but cos < 0.95 → admitted
+    ).toDF("id", "emb")
+    val a2 = graft.operators.IncrementalDedup
+      .appendNovelSemantic(index, b2, "id", "emb", 2L,
+        simThreshold1e6 = 950000L, signBits = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a2 == Set(22L), s"in-bucket near dups must be turned away: $a2")
+    val snap = index.snapshot.select(col("id"), col("batch_no")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap == Map(10L -> 1L, 11L -> 1L, 22L -> 2L), s"index: $snap")
+    // idempotence: replayed vectors find THEMSELVES at cosine 10^6
+    val commits = index.commits.length
+    val a3 = graft.operators.IncrementalDedup
+      .appendNovelSemantic(index, b2, "id", "emb", 3L,
+        simThreshold1e6 = 950000L, signBits = 1)
+    assert(a3.isEmpty, "re-ingest admits nothing")
+    assert(index.commits.length == commits, "empty admission must not commit")
+  }
 }
