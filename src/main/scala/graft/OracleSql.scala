@@ -4246,6 +4246,28 @@ object OracleSql {
             UNION ALL
             SELECT id, bucket, 2 AS batch_no FROM B2
             WHERE id NOT IN (SELECT id FROM REJ))
-          ORDER BY id"""
+          ORDER BY id""",
+
+    // q45's skew-cap path: identical banding, but buckets with more
+    // than 8 members are dropped wholesale before any pair forms
+    "q205_simhash_capped" -> {
+      val hashes = s"list_transform(${toks("lower(text)")}, t -> ${md5long("t")})"
+      s"""WITH HS AS (SELECT doc_id, $hashes AS H FROM documents),
+          S AS (SELECT doc_id, ${simhashSql(32)} AS sim FROM HS
+                WHERE len(H) > 0),
+          B AS (SELECT doc_id, sim, t.band AS band, (sim >> (t.band * 8)) & 255 AS bval
+                FROM S CROSS JOIN (SELECT unnest(range(4)) AS band) t),
+          SZ AS (SELECT band, bval FROM
+                 (SELECT band, bval, count(*) AS n FROM B GROUP BY band, bval)
+                 WHERE n <= 8),
+          BC AS (SELECT b.doc_id, b.sim, b.band, b.bval
+                 FROM B b JOIN SZ USING (band, bval)),
+          P AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                  cast(bit_count(xor(a.sim, b2.sim)) as bigint) AS hamming
+                FROM BC a JOIN BC b2 ON a.band = b2.band AND a.bval = b2.bval
+                  AND a.doc_id < b2.doc_id)
+          SELECT id_a, id_b, hamming FROM P WHERE hamming <= 3
+          ORDER BY id_a, id_b"""
+    }
     )
 }

@@ -721,6 +721,20 @@ object SparkEntry {
         bits = 32, bands = 4, maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q45's maxBucketSize cure (q205): the SKEW-CAP path, hash-gated —
+    * buckets whose population exceeds the cap are dropped wholesale
+    * before any pair forms (the boilerplate-family guard: one 10^6-doc
+    * template cluster would otherwise emit ~10^12 candidate pairs;
+    * run exact dedup first, cap the rest — the ScaleProbe 3.9 s path,
+    * previously probe-only). At sf0.01 the cap=8 drops 63 of 305
+    * buckets (max population 86), so the oracle pins the cap
+    * semantics, not a no-op.
+    */
+  private def qSimhashCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        bits = 32, bands = 4, maxHamming = 3, maxBucketSize = Some(8))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** q45's adaptive twin: band width chosen by
     * Dedup.suggestSimhashParams from the CORPUS COUNT, so candidate
     * pairs stay ~linear as the corpus grows (the 101→9.1 s ScaleProbe
@@ -3014,7 +3028,8 @@ object SparkEntry {
     "q201_semantic_cos_hist2" -> (qSemanticCosHist2 _),
     "q202_kmv_sketch" -> (qKmvSketch _),
     "q203_semantic_3level" -> (qSemantic3Level _),
-    "q204_inc_semantic" -> (qIncSemantic _))
+    "q204_inc_semantic" -> (qIncSemantic _),
+    "q205_simhash_capped" -> (qSimhashCapped _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

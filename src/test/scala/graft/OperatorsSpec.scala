@@ -2251,6 +2251,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_._1 >= 900000L), s"tight cells: ${out.toSeq}")
   }
 
+  test("simhashPairs maxBucketSize: over-cap buckets drop wholesale; survivors unchanged") {
+    // 6 near-identical template docs share every band bucket (size 6);
+    // 2 distinct docs pair only with their own twin (size-2 buckets)
+    val tmpl = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = ((1L to 6L).map(i => (i, tmpl)) ++
+      Seq((10L, "totally different words here now"),
+        (11L, "totally different words here now"))).toDF("doc_id", "text")
+    val all = Dedup.simhashPairs(docs, "doc_id", "text",
+      bits = 32, bands = 4, maxHamming = 3)
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text",
+      bits = 32, bands = 4, maxHamming = 3, maxBucketSize = Some(5))
+    assert(all.count() == 15 + 1, s"uncapped: C(6,2) template pairs + 1 twin pair")
+    val cp = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cp == Set((10L, 11L)),
+      s"cap must drop the size-6 template buckets, keep the twin pair: $cp")
+  }
+
   test("suggestSemantic3Params: exact integer cube root of ceil(n/32), clamped") {
     import graft.operators.Dedup.suggestSemantic3Params
     assert(suggestSemantic3Params(1L) == 2)      // kTot=1 → floor at 2
