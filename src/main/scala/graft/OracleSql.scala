@@ -4268,6 +4268,32 @@ object OracleSql {
                   AND a.doc_id < b2.doc_id)
           SELECT id_a, id_b, hamming FROM P WHERE hamming <= 3
           ORDER BY id_a, id_b"""
-    }
+    },
+
+    // perceptual aHash over the engine's synthesize→BMP-encode→decode
+    // round-trip: BMP is lossless, so the oracle re-derives every
+    // pixel from the same md5 chain arithmetically (no codec) — for
+    // the 8x8 raster each pixel is its own cell, so bit i = 64·g_i >
+    // Σg. The 64-bit hash assembles in HUGEINT (DuckDB refuses
+    // 1<<63 in BIGINT) and wraps to two's complement at the end
+    "q206_image_ahash" ->
+      s"""WITH SD AS (SELECT doc_id, md5(coalesce(text,'')) AS seed
+                FROM documents),
+          G AS (SELECT doc_id,
+                 list_transform(range(0, 64), i ->
+                   ${md5long("seed || '|' || i::VARCHAR")} & 255) AS g
+                FROM SD),
+          S AS (SELECT doc_id, g, CAST(list_sum(g) AS BIGINT) AS total FROM G),
+          H AS (SELECT doc_id,
+                 list_sum(list_transform(range(0, 64), i ->
+                   CASE WHEN 64 * g[i+1] > total
+                     THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS uh
+                FROM S)
+          SELECT doc_id,
+            CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                 THEN uh - 18446744073709551616::HUGEINT ELSE uh END
+                 AS BIGINT) AS ahash,
+            CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
+          FROM H ORDER BY doc_id"""
     )
 }

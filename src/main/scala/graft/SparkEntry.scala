@@ -476,6 +476,34 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual image hash over a REAL codec round-trip (q206): each
+    * doc becomes an 8×8 grayscale BMP (pixel bytes = md5-derived from
+    * the text, written by the JDK's own encoder), the payload decodes
+    * back through javax.imageio, and the aHash computes from the
+    * DECODED raster — so the battery exercises the synthesize→encode→
+    * decode→fingerprint pipeline end to end with a full hash gate: BMP
+    * is lossless (MultimodalSpec round-trip pin), so the oracle
+    * re-derives every pixel arithmetically from the same md5 chain,
+    * no codec needed. Near-dup image pairing from these hashes is the
+    * simhash banding verbatim. See Multimodal.imageAHash/synthGrayBmp.
+    */
+  private def qImageAHash(s: SparkSession, dir: String): DataFrame = {
+    // pixel bytes chain off ONE full-text md5 seed (the 64 per-pixel
+    // hashes then run over a 32-char hex string, not the document —
+    // measured 91→75 s at 500k docs; the residual cost is the ImageIO
+    // encode+decode itself, i.e. the real-codec work this row exists
+    // to exercise)
+    val gray = let(md5(coalesce(col("text"), lit(""))), seed =>
+      transform(sequence(lit(0), lit(63)), i =>
+        md5Long(concat(seed, lit("|"), i.cast("string")))
+          .bitwiseAND(lit(255L))))
+    val withGray = t(s, dir, "documents").select(col("doc_id"), gray.as("_gray"))
+    val withPayload = graft.operators.Multimodal.synthGrayBmp(withGray, "_gray", 8, 8)
+    graft.operators.Multimodal.decodeImageAHash(withPayload)
+      .select(col("doc_id"), col("ahash"), col("width"), col("height"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming-shaped windowed aggregation (1h tumbling windows) —
     * identical logic runs under Structured Streaming (see
     * graft.streaming); batch mode here for the oracle.
@@ -3029,7 +3057,8 @@ object SparkEntry {
     "q202_kmv_sketch" -> (qKmvSketch _),
     "q203_semantic_3level" -> (qSemantic3Level _),
     "q204_inc_semantic" -> (qIncSemantic _),
-    "q205_simhash_capped" -> (qSimhashCapped _))
+    "q205_simhash_capped" -> (qSimhashCapped _),
+    "q206_image_ahash" -> (qImageAHash _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

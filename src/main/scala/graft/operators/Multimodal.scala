@@ -240,6 +240,130 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Average-hash (aHash) perceptual image fingerprint over the REAL
+    * decoded raster — the image-dedup primitive: decode via the JDK's
+    * own codecs, reduce to an 8×8 luma grid by exact integer block
+    * sums, bit (cy·8+cx) set iff that cell's mean luma exceeds the
+    * global mean. Every comparison is CROSS-MULTIPLIED
+    * (cellSum·nPixels > globalSum·cellPixels) so the hash is exact
+    * integer arithmetic end to end — no float means, no rounding
+    * divergence; near-duplicate images (resizes, small edits) land
+    * within small Hamming distance, and pairing them is the simhash
+    * machinery verbatim (band the 64 bits, bucket-join, verify).
+    * Luma = 299r + 587g + 114b (integer Rec.601 ×1000 — the scale
+    * cancels in the cross-multiplied compare).
+    *
+    * Returns None when ImageIO has no codec for the bytes or the
+    * image is empty.
+    */
+  def imageAHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None else aHashOfImage(img)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def aHashOfImage(img: java.awt.image.BufferedImage): Option[Long] = {
+    try {
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      val cellSum = new Array[Long](64)
+      val cellN = new Array[Long](64)
+      var global = 0L
+      var y = 0
+      while (y < h) {
+        val cy = math.min(7, y * 8 / h)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(7, x * 8 / w)
+          val p = img.getRGB(x, y)
+          val luma = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+            114L * (p & 0xff)
+          val c = cy * 8 + cx
+          cellSum(c) += luma; cellN(c) += 1L; global += luma
+          x += 1
+        }
+        y += 1
+      }
+      val nPix = w.toLong * h
+      var hash = 0L
+      var c = 0
+      while (c < 64) {
+        // BigInt compare: cellSum·nPix tops 2^63 past ~6 MP rasters
+        // (64 BigInt ops per image — noise next to the decode)
+        if (cellN(c) > 0 &&
+            BigInt(cellSum(c)) * nPix > BigInt(global) * cellN(c))
+          hash |= 1L << c
+        c += 1
+      }
+      Some(hash)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[imageAHash]] over a payload column — adds `(ahash, width,
+    * height)` nullable columns via one [[mapDecode]] partition pass
+    * (the decode happens once; dimensions ride along for free).
+    */
+  def decodeImageAHash(df: DataFrame,
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema :+
+      StructField("ahash", LongType, nullable = true) :+
+      StructField("width", LongType, nullable = true) :+
+      StructField("height", LongType, nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    mapDecode(df, schema)(rows => rows.map { r =>
+      val bytes = r.getAs[Array[Byte]](payloadIdx)
+      // ONE decode serves both the hash and the dimensions
+      val decoded: Option[java.awt.image.BufferedImage] =
+        if (bytes == null) None
+        else try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      val hash = decoded.flatMap(aHashOfImage)
+      Row.fromSeq(r.toSeq :+ hash.map(java.lang.Long.valueOf).orNull :+
+        decoded.filter(_ => hash.nonEmpty)
+          .map(i => java.lang.Long.valueOf(i.getWidth.toLong)).orNull :+
+        decoded.filter(_ => hash.nonEmpty)
+          .map(i => java.lang.Long.valueOf(i.getHeight.toLong)).orNull)
+    })
+  }
+
+  /** Synthesize a REAL grayscale BMP payload from a gray-value array
+    * (row-major, values 0–255) via the JDK's own encoder — the
+    * battery's oracle-checkable image source: BMP is lossless (the
+    * round-trip pin in MultimodalSpec), so the decoded raster equals
+    * the input values exactly and an arithmetic oracle can re-derive
+    * any pixel-content feature without a codec. One [[mapDecode]]
+    * pass; a null/short gray array yields a null payload.
+    */
+  def synthGrayBmp(df: DataFrame, grayCol: String, w: Int, h: Int,
+      outCol: String = "payload"): DataFrame = {
+    require(w >= 1 && h >= 1, s"need positive dims, got ${w}x$h")
+    val schema = StructType(df.schema :+
+      StructField(outCol, BinaryType, nullable = true))
+    val grayIdx = df.schema.fieldIndex(grayCol)
+    mapDecode(df, schema)(rows => rows.map { r =>
+      val g = r.getAs[scala.collection.Seq[Long]](grayIdx)
+      val payload: Array[Byte] =
+        if (g == null || g.length < w * h) null
+        else {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < w * h) {
+            val v = (g(i) & 0xffL).toInt
+            img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "bmp", bos)
+          bos.toByteArray
+        }
+      Row.fromSeq(r.toSeq :+ payload)
+    })
+  }
+
   /** REAL audio/video container header probe — pure-JVM byte parsing,
     * duration without decoding a single sample/frame:
     *

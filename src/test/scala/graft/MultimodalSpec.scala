@@ -252,4 +252,59 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[String]("sha256") == local)
     }
   }
+
+  test("perceptual aHash: format-invariant, perturbation-tolerant, discriminative") {
+    import java.awt.image.BufferedImage
+    def img(f: (Int, Int) => Int, w: Int = 32, h: Int = 32): BufferedImage = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff; im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    def bytes(im: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, bos); bos.toByteArray
+    }
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val gradient = img((x, _) => x * 8)
+    val hBmp = Multimodal.imageAHash(bytes(gradient, "bmp")).get
+    // the hash is a CONTENT fingerprint: PNG of the same pixels = same hash
+    assert(Multimodal.imageAHash(bytes(gradient, "png")).get == hBmp,
+      "lossless re-encode must not move the hash")
+    // small perturbation (a few pixels) stays within small Hamming
+    val perturbed = img((x, y) => if (x == 5 && y < 3) 255 else x * 8)
+    assert(ham(Multimodal.imageAHash(bytes(perturbed, "bmp")).get, hBmp) <= 4,
+      "few-pixel edit lands nearby")
+    // a structurally different image (vertical gradient) is far away
+    val other = img((_, y) => y * 8)
+    assert(ham(Multimodal.imageAHash(bytes(other, "bmp")).get, hBmp) >= 16,
+      "different structure lands far")
+    // corrupt bytes degrade to None
+    assert(Multimodal.imageAHash("not an image".getBytes).isEmpty)
+    assert(Multimodal.imageAHash(null).isEmpty)
+  }
+
+  test("synthGrayBmp → decodeImageAHash: lossless loop; short gray arrays go null") {
+    val rows = Seq(
+      (1L, (0L until 64L).map(i => (i * 4) % 256)),  // full 8x8 raster
+      (2L, Seq(1L, 2L, 3L))                          // too short → null payload
+    ).toDF("id", "gray")
+    val out = Multimodal.decodeImageAHash(
+        Multimodal.synthGrayBmp(rows, "gray", 8, 8))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[java.lang.Long]("ahash")),
+          Option(r.getAs[java.lang.Long]("width"))))).toMap
+    // the decoded raster is exactly the input values: recompute the
+    // aHash arithmetically (64·g_i > Σg) and demand equality
+    val g = (0L until 64L).map(i => (i * 4) % 256)
+    val total = g.sum
+    val expected = g.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (64L * v > total) acc | (1L << i) else acc
+    }
+    assert(out(1L)._1.map(_.longValue()) == Some(expected),
+      s"codec round-trip must equal the arithmetic hash: ${out(1L)}")
+    assert(out(1L)._2.map(_.longValue()) == Some(8L))
+    assert(out(2L) == ((None, None)), s"short gray array degrades to null: $out")
+  }
 }
