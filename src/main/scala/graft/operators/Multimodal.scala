@@ -364,6 +364,49 @@ object Multimodal {
     })
   }
 
+  /** REAL image resize — decode via the JDK codecs, scale through the
+    * AWT raster pipeline (bilinear), re-encode lossless BMP: the
+    * thumbnail/normalize step of a multimodal ingest, fully
+    * functional with zero external libraries. Deterministic for a
+    * fixed JDK (one interpolation path, no dithering); feed the
+    * output to [[imageAHash]] for resize-tolerant dedup or to the
+    * content probes for normalized features. Returns None for
+    * payloads no codec accepts.
+    */
+  def resizeImageBytes(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    require(w >= 1 && h >= 1, s"need positive dims, got ${w}x$h")
+    if (bytes == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "bmp", bos)
+      Some(bos.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[resizeImageBytes]] over a payload column — adds a nullable
+    * `resized` binary column via one [[mapDecode]] partition pass.
+    */
+  def resizeImages(df: DataFrame, w: Int, h: Int,
+      payloadCol: String = "payload", outCol: String = "resized"): DataFrame = {
+    val schema = StructType(df.schema :+
+      StructField(outCol, BinaryType, nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    mapDecode(df, schema)(rows => rows.map { r =>
+      Row.fromSeq(r.toSeq :+
+        resizeImageBytes(r.getAs[Array[Byte]](payloadIdx), w, h).orNull)
+    })
+  }
+
   /** REAL audio/video container header probe — pure-JVM byte parsing,
     * duration without decoding a single sample/frame:
     *

@@ -285,6 +285,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageAHash(null).isEmpty)
   }
 
+  test("REAL resize: true output dimensions; structure survives; aHash stays near") {
+    import java.awt.image.BufferedImage
+    val src = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = (x * 8) & 0xff; src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "bmp", bos)
+    val resized = Multimodal.resizeImageBytes(bos.toByteArray, 8, 8).get
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 8 && back.getHeight == 8, "true output dimensions")
+    // the horizontal gradient survives scaling: left column darker than right
+    assert((back.getRGB(0, 4) & 0xff) < (back.getRGB(7, 4) & 0xff))
+    // aHash is resize-tolerant by construction: small Hamming move
+    val h0 = Multimodal.imageAHash(bos.toByteArray).get
+    val h1 = Multimodal.imageAHash(resized).get
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 8,
+      s"resize moved the perceptual hash too far: ${java.lang.Long.bitCount(h0 ^ h1)}")
+    // DataFrame pass: resized column present, corrupt payload → null
+    val df = Seq((1L, bos.toByteArray), (2L, "junk".getBytes)).toDF("id", "payload")
+    val out = Multimodal.resizeImages(df, 8, 8).collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[Array[Byte]]("resized"))).toMap
+    assert(out(1L).nonEmpty && out(2L).isEmpty, s"$out")
+  }
+
   test("synthGrayBmp → decodeImageAHash: lossless loop; short gray arrays go null") {
     val rows = Seq(
       (1L, (0L until 64L).map(i => (i * 4) % 256)),  // full 8x8 raster
