@@ -4294,6 +4294,34 @@ object OracleSql {
                  THEN uh - 18446744073709551616::HUGEINT ELSE uh END
                  AS BIGINT) AS ahash,
             CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
+          FROM H ORDER BY doc_id""",
+
+    // audio-envelope fingerprint over the engine's synthesize→WAV-
+    // encode→decode round-trip: PCM WAV is lossless, so the oracle
+    // re-derives every sample from the same md5 chain arithmetically
+    // (no codec) — 128 samples in 64 blocks of 2, bit b =
+    // 64·(s_{2b}+s_{2b+1}) > Σs (the cross-multiplied block-mean-vs-
+    // global-mean compare with n=128, blockN=2). HUGEINT assembly +
+    // two's-complement wrap, the q206 idiom
+    "q207_audio_envelope" ->
+      s"""WITH SD AS (SELECT doc_id, md5(coalesce(text,'')) AS seed
+                FROM documents),
+          G AS (SELECT doc_id,
+                 list_transform(range(0, 128), i ->
+                   ${md5long("seed || '|a' || i::VARCHAR")} & 255) AS s
+                FROM SD),
+          S AS (SELECT doc_id, s, CAST(list_sum(s) AS BIGINT) AS total FROM G),
+          H AS (SELECT doc_id,
+                 list_sum(list_transform(range(0, 64), b ->
+                   CASE WHEN 64 * (s[2*b+1] + s[2*b+2]) > total
+                     THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)) AS uh
+                FROM S)
+          SELECT doc_id,
+            CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                 THEN uh - 18446744073709551616::HUGEINT ELSE uh END
+                 AS BIGINT) AS afp,
+            CAST(128 AS BIGINT) AS n_samples,
+            CAST(8000 AS BIGINT) AS sample_rate_hz
           FROM H ORDER BY doc_id"""
     )
 }

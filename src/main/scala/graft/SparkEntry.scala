@@ -504,6 +504,35 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio-envelope fingerprint over a REAL codec round-trip (q207):
+    * each doc becomes a 128-sample 8-bit PCM WAV (sample bytes
+    * md5-derived from the text, written by the JDK's own audio
+    * encoder), the payload decodes back through
+    * javax.sound.sampled.AudioSystem, and the 64-block envelope hash
+    * computes from the DECODED samples — the audio twin of q206 and
+    * the closure of the last audio-sample stub: PCM WAV is lossless
+    * (MultimodalSpec round-trip pin), so the oracle re-derives every
+    * sample arithmetically from the same md5 chain, no codec needed.
+    * Near-dup audio pairing from these fingerprints is the simhash
+    * banding verbatim. See Multimodal.audioEnvelopeHash/synthPcmWav.
+    */
+  private def qAudioEnvelope(s: SparkSession, dir: String): DataFrame = {
+    // sample bytes chain off ONE full-text md5 seed (the q206 lesson:
+    // per-sample hashes run over a 32-char hex string, not the
+    // document; the residual cost is the WAV encode+decode itself —
+    // the real-codec work this row exists to exercise). '|a' keeps
+    // the chain disjoint from q206's pixel chain.
+    val samples = let(md5(coalesce(col("text"), lit(""))), seed =>
+      transform(sequence(lit(0), lit(127)), i =>
+        md5Long(concat(seed, lit("|a"), i.cast("string")))
+          .bitwiseAND(lit(255L))))
+    val withSamples = t(s, dir, "documents").select(col("doc_id"), samples.as("_pcm"))
+    val withPayload = graft.operators.Multimodal.synthPcmWav(withSamples, "_pcm", 8000)
+    graft.operators.Multimodal.decodeAudioFingerprint(withPayload)
+      .select(col("doc_id"), col("afp"), col("n_samples"), col("sample_rate_hz"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming-shaped windowed aggregation (1h tumbling windows) —
     * identical logic runs under Structured Streaming (see
     * graft.streaming); batch mode here for the oracle.
@@ -3058,7 +3087,8 @@ object SparkEntry {
     "q203_semantic_3level" -> (qSemantic3Level _),
     "q204_inc_semantic" -> (qIncSemantic _),
     "q205_simhash_capped" -> (qSimhashCapped _),
-    "q206_image_ahash" -> (qImageAHash _))
+    "q206_image_ahash" -> (qImageAHash _),
+    "q207_audio_envelope" -> (qAudioEnvelope _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -14,11 +14,15 @@ import org.apache.spark.sql.types._
   * [[decodeAvHeader]]: pure-JVM header/table parsing, no codecs
   * needed. Image PIXEL decode is ALSO real — the JDK ships its own
   * PNG/JPEG/BMP/GIF codecs, so [[decodeImageContentJvm]] extracts
-  * exact per-channel pixel sums with zero external dependencies.
-  * Only audio/video SAMPLE decode (true external-codec territory)
-  * stays on the clearly-marked DETERMINISTIC STUB (features derived
-  * from the bytes' md5) — while the Spark-side plumbing is real
-  * either way:
+  * exact per-channel pixel sums with zero external dependencies —
+  * and so is audio SAMPLE decode for PCM WAV: the JDK ships its own
+  * WAV reader/writer in `javax.sound.sampled`, so
+  * [[audioEnvelopeHash]]/[[synthPcmWav]] run a real encode→decode
+  * round-trip with zero external dependencies. Only COMPRESSED audio
+  * (MP3/AAC/Vorbis) and video SAMPLE decode (true external-codec
+  * territory) stay on the clearly-marked DETERMINISTIC STUB (features
+  * derived from the bytes' md5) — while the Spark-side plumbing is
+  * real either way:
   * schema, batch-friendly mapPartitions signature, partitioning notes,
   * and the binaryFile reader path all match what a production decoder
   * (JNI/codec per executor) would plug into.
@@ -671,5 +675,136 @@ object Multimodal {
         case _ => "matroska"
       })
     }
+  }
+
+  // ---------- REAL audio sample decode (javax.sound.sampled) ----------
+
+  /** Synthesize a REAL PCM WAV payload (8-bit unsigned mono) from a
+    * sample array (values 0–255) via the JDK's own audio encoder
+    * (`javax.sound.sampled.AudioSystem.write`) — the audio analog of
+    * [[synthGrayBmp]]: PCM WAV is lossless (the round-trip pin in
+    * MultimodalSpec), so the decoded samples equal the input exactly
+    * and an arithmetic oracle can re-derive any sample-content feature
+    * without a codec. One [[mapDecode]] pass; a null/empty sample
+    * array yields a null payload.
+    */
+  def synthPcmWav(df: DataFrame, samplesCol: String, sampleRateHz: Int,
+      outCol: String = "payload"): DataFrame = {
+    require(sampleRateHz >= 1, s"need a positive sample rate, got $sampleRateHz")
+    val schema = StructType(df.schema :+
+      StructField(outCol, BinaryType, nullable = true))
+    val sIdx = df.schema.fieldIndex(samplesCol)
+    mapDecode(df, schema)(rows => rows.map { r =>
+      val s = r.getAs[scala.collection.Seq[Long]](sIdx)
+      val payload: Array[Byte] =
+        if (s == null || s.isEmpty) null
+        else {
+          val pcm = new Array[Byte](s.length)
+          var i = 0
+          while (i < s.length) { pcm(i) = (s(i) & 0xffL).toByte; i += 1 }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+            sampleRateHz.toFloat, 8, 1, 1, sampleRateHz.toFloat, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, s.length.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          bos.toByteArray
+        }
+      Row.fromSeq(r.toSeq :+ payload)
+    })
+  }
+
+  /** Amplitude-envelope fingerprint over REAL decoded audio samples —
+    * the audio-dedup primitive and the [[imageAHash]] analog: decode
+    * via the JDK's own WAV codec (`AudioSystem.getAudioInputStream` —
+    * no external libs), bucket the samples into 64 equal time blocks,
+    * bit b set iff block b's mean level exceeds the global mean.
+    * Every compare is CROSS-MULTIPLIED (blockSum·nSamples >
+    * globalSum·blockN) in BigInt, so the fingerprint is exact integer
+    * arithmetic end to end; re-encodes and small edits land within
+    * small Hamming distance, and pairing fingerprints is the simhash
+    * banding machinery verbatim.
+    *
+    * Supports the PCM layouts the JDK decodes natively: 8-bit
+    * (unsigned or signed) and 16-bit signed (either endianness), mono.
+    * Levels normalize to unsigned (signed +128 / +32768) so the bit
+    * pattern is encoding-invariant for the same waveform. Returns
+    * (fingerprint, nSamples, sampleRateHz), or None for
+    * multi-channel / unsupported widths / bytes no audio reader
+    * accepts — a crawled payload must degrade to null, never abort.
+    */
+  def audioEnvelopeHash(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+    if (bytes == null) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (fmt.getChannels != 1 || !(signed || unsigned) ||
+            (bits != 8 && bits != 16)) return None
+        val raw = ais.readAllBytes()
+        val bpf = bits / 8
+        val n = raw.length / bpf
+        if (n <= 0) return None
+        val blockSum = new Array[Long](64)
+        val blockN = new Array[Long](64)
+        var global = 0L
+        var i = 0
+        while (i < n) {
+          val level: Long =
+            if (bits == 8) {
+              val v = raw(i) & 0xffL
+              if (signed) (v + 128L) & 0xffL else v
+            } else {
+              val lo = if (fmt.isBigEndian) raw(2 * i + 1) else raw(2 * i)
+              val hi = if (fmt.isBigEndian) raw(2 * i) else raw(2 * i + 1)
+              val v = ((hi.toLong << 8) | (lo & 0xffL)) & 0xffffL
+              if (signed) (v + 32768L) & 0xffffL else v
+            }
+          val b = math.min(63, (i.toLong * 64L / n).toInt)
+          blockSum(b) += level; blockN(b) += 1L; global += level
+          i += 1
+        }
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          // BigInt compare: blockSum·n overflows Long past ~2^47
+          // samples·levels — 64 BigInt ops per clip, noise next to
+          // the decode
+          if (blockN(b) > 0 &&
+              BigInt(blockSum(b)) * n > BigInt(global) * blockN(b))
+            hash |= 1L << b
+          b += 1
+        }
+        Some((hash, n.toLong, math.round(fmt.getSampleRate.toDouble)))
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[audioEnvelopeHash]] over a payload column — adds `(afp,
+    * n_samples, sample_rate_hz)` nullable columns via one
+    * [[mapDecode]] partition pass (the decode happens once; the
+    * stream stats ride along for free).
+    */
+  def decodeAudioFingerprint(df: DataFrame,
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema :+
+      StructField("afp", LongType, nullable = true) :+
+      StructField("n_samples", LongType, nullable = true) :+
+      StructField("sample_rate_hz", LongType, nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    mapDecode(df, schema)(rows => rows.map { r =>
+      val out = audioEnvelopeHash(r.getAs[Array[Byte]](payloadIdx))
+      Row.fromSeq(r.toSeq :+
+        out.map(o => java.lang.Long.valueOf(o._1)).orNull :+
+        out.map(o => java.lang.Long.valueOf(o._2)).orNull :+
+        out.map(o => java.lang.Long.valueOf(o._3)).orNull)
+    })
   }
 }

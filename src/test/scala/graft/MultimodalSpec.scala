@@ -332,4 +332,92 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L)._2.map(_.longValue()) == Some(8L))
     assert(out(2L) == ((None, None)), s"short gray array degrades to null: $out")
   }
+
+  test("synthPcmWav → decodeAudioFingerprint: lossless loop; empty samples go null") {
+    val samples = (0L until 128L).map(i => (i * 7) % 256)
+    val rows = Seq((1L, samples), (2L, Seq.empty[Long])).toDF("id", "pcm")
+    val withWav = Multimodal.synthPcmWav(rows, "pcm", 8000)
+    // the WAV round-trip is lossless: decode the payload with the JDK
+    // reader directly and demand the exact input bytes back
+    val payload = withWav.filter(col("id") === 1L).collect()(0)
+      .getAs[Array[Byte]]("payload")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val decoded = ais.readAllBytes().map(_ & 0xff).map(_.toLong).toSeq
+    assert(decoded == samples, "PCM WAV round-trip must be lossless")
+    assert(ais.getFormat.getSampleRate == 8000f &&
+      ais.getFormat.getChannels == 1 && ais.getFormat.getSampleSizeInBits == 8)
+    // fingerprint from the DECODED samples equals the arithmetic hash:
+    // 64 blocks of 2 → bit b iff 64·(s_2b + s_2b+1) > Σs
+    val out = Multimodal.decodeAudioFingerprint(withWav).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[java.lang.Long]("afp")),
+          Option(r.getAs[java.lang.Long]("n_samples")),
+          Option(r.getAs[java.lang.Long]("sample_rate_hz"))))).toMap
+    val total = samples.sum
+    val expected = (0 until 64).foldLeft(0L) { (acc, b) =>
+      if (64L * (samples(2 * b) + samples(2 * b + 1)) > total) acc | (1L << b)
+      else acc
+    }
+    assert(out(1L)._1.map(_.longValue()) == Some(expected),
+      s"codec round-trip must equal the arithmetic hash: ${out(1L)}")
+    assert(out(1L)._2.map(_.longValue()) == Some(128L))
+    assert(out(1L)._3.map(_.longValue()) == Some(8000L))
+    assert(out(2L) == ((None, None, None)), s"empty samples degrade to null: $out")
+  }
+
+  test("audioEnvelopeHash: encoding invariance, perturbation tolerance, rejection") {
+    def wav16(levels: Seq[Long], bigEndian: Boolean): Array[Byte] = {
+      // same waveform as 8-bit level v at 16-bit depth: signed 257·v−32768
+      // (an affine map, so every block-vs-global compare is unchanged)
+      val pcm = new Array[Byte](levels.length * 2)
+      levels.zipWithIndex.foreach { case (v, i) =>
+        val s16 = (257L * v - 32768L).toInt
+        val (b0, b1) = ((s16 >> 8).toByte, (s16 & 0xff).toByte)
+        if (bigEndian) { pcm(2 * i) = b0; pcm(2 * i + 1) = b1 }
+        else { pcm(2 * i) = b1; pcm(2 * i + 1) = b0 }
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, bigEndian)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, levels.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val levels = (0L until 128L).map(i => (i * 29 + 3) % 256)
+    val via8 = Multimodal.decodeAudioFingerprint(
+        Multimodal.synthPcmWav(Seq((1L, levels)).toDF("id", "pcm"), "pcm", 8000))
+      .collect()(0).getAs[java.lang.Long]("afp")
+    val via16 = Multimodal.audioEnvelopeHash(wav16(levels, bigEndian = false))
+    assert(via16.map(_._1) == Some(via8.longValue()),
+      s"8-bit and 16-bit encodings of one waveform must fingerprint alike: $via8 vs $via16")
+    assert(via16.map(_._2) == Some(128L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // a few-sample edit moves the envelope hash only slightly...
+    val perturbed = levels.updated(5, (levels(5) + 9) % 256)
+      .updated(77, (levels(77) + 5) % 256)
+    val hPert = Multimodal.audioEnvelopeHash(wav16(perturbed, bigEndian = false)).get._1
+    assert(ham(hPert, via8) <= 4,
+      s"small edit moved the fingerprint too far: ${ham(hPert, via8)}")
+    // ...while a structurally different waveform lands far away
+    val other = (0L until 128L).map(i => if (i < 64) 250L else 5L)
+    val hOther = Multimodal.audioEnvelopeHash(wav16(other, bigEndian = false)).get._1
+    assert(ham(hOther, via8) >= 16,
+      s"different waveform landed too close: ${ham(hOther, via8)}")
+    // non-audio bytes and nulls degrade to None, never throw
+    assert(Multimodal.audioEnvelopeHash("not audio".getBytes).isEmpty)
+    assert(Multimodal.audioEnvelopeHash(null).isEmpty)
+    // stereo is documented out of scope → None (2-channel WAV)
+    val stereoFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 2, 2, 8000f, false)
+    val stereo = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](64)), stereoFmt, 32L)
+    val sbos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stereo,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, sbos)
+    assert(Multimodal.audioEnvelopeHash(sbos.toByteArray).isEmpty)
+  }
 }
