@@ -4322,6 +4322,44 @@ object OracleSql {
                  AS BIGINT) AS afp,
             CAST(128 AS BIGINT) AS n_samples,
             CAST(8000 AS BIGINT) AS sample_rate_hz
-          FROM H ORDER BY doc_id"""
+          FROM H ORDER BY doc_id""",
+
+    // audio near-dup candidates: the q207 fingerprint CTE feeds the
+    // q82 banding idiom — 16-bit band strides masked to the
+    // count(*)-derived width (suggestSimhashParams' log2 law), every
+    // bucket-cohabiting pair kept (the q23 rationale), hamming over
+    // the full 64-bit fingerprint via xor/bit_count on the signed wrap
+    "q208_audio_neardup" ->
+      s"""WITH NB AS (SELECT count(*)::BIGINT AS n FROM documents),
+          BB AS (SELECT least(15, greatest(4, b))::BIGINT AS bb
+                FROM (SELECT min(b)::INT AS b FROM range(0, 61) t(b), NB
+                      WHERE (1::BIGINT << b) >= ((NB.n + 1) // 2))),
+          SD AS (SELECT doc_id, md5(coalesce(text,'')) AS seed
+                FROM documents),
+          G AS (SELECT doc_id,
+                 list_transform(range(0, 128), i ->
+                   ${md5long("seed || '|a' || i::VARCHAR")} & 255) AS s
+                FROM SD),
+          S AS (SELECT doc_id, s, CAST(list_sum(s) AS BIGINT) AS total FROM G),
+          H AS (SELECT doc_id,
+                 list_sum(list_transform(range(0, 64), b ->
+                   CASE WHEN 64 * (s[2*b+1] + s[2*b+2]) > total
+                     THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)) AS uh
+                FROM S),
+          F AS (SELECT doc_id, uh,
+                 CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                      THEN uh - 18446744073709551616::HUGEINT ELSE uh END
+                      AS BIGINT) AS afp
+                FROM H),
+          B AS (SELECT doc_id, afp, t.band AS band,
+                 CAST((uh >> (t.band * 16)) & ((1::HUGEINT << bb.bb) - 1)
+                      AS BIGINT) AS bval
+                FROM F, BB bb, (SELECT unnest(range(4)) AS band) t),
+          P AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                  cast(bit_count(xor(a.afp, b2.afp)) as bigint) AS hamming
+                FROM B a JOIN B b2 ON a.band = b2.band AND a.bval = b2.bval
+                  AND a.doc_id < b2.doc_id)
+          SELECT id_a, id_b, hamming, (SELECT bb FROM BB) AS mask_bits
+          FROM P ORDER BY id_a, id_b"""
     )
 }

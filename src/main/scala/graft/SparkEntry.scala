@@ -533,6 +533,35 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio near-dup candidate pairing, decode → fingerprint → band →
+    * pair end to end (q208): the q207 real-codec fingerprints feed
+    * Dedup.fingerprintPairs — the modality-independent banding core —
+    * with 16-bit band strides masked to a DATA-DERIVED width
+    * (suggestSimhashParams' log2 law, the q82 idiom), so expected
+    * candidate mass stays linear as the corpus grows. maxHamming=64
+    * keeps every bucket-cohabiting candidate (the q23 rationale: the
+    * synthetic fingerprints are hash-random, so true near-dup Hamming
+    * never occurs at oracle SF — the hash must cover band assignment
+    * AND the full Hamming arithmetic, not just survivors).
+    */
+  private def qAudioNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (bits, bands) = graft.operators.Dedup.suggestSimhashParams(docs.count(), bands = 4)
+    val maskBits = bits / bands
+    val samples = let(md5(coalesce(col("text"), lit(""))), seed =>
+      transform(sequence(lit(0), lit(127)), i =>
+        md5Long(concat(seed, lit("|a"), i.cast("string")))
+          .bitwiseAND(lit(255L))))
+    val fp = graft.operators.Multimodal.decodeAudioFingerprint(
+        graft.operators.Multimodal.synthPcmWav(
+          docs.select(col("doc_id"), samples.as("_pcm")), "_pcm", 8000))
+      .select(col("doc_id"), col("afp"))
+    graft.operators.Dedup.fingerprintPairs(fp, "doc_id", "afp",
+        bands = 4, strideBits = 16, maskBits = maskBits, maxHamming = 64)
+      .withColumn("mask_bits", lit(maskBits.toLong))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Streaming-shaped windowed aggregation (1h tumbling windows) —
     * identical logic runs under Structured Streaming (see
     * graft.streaming); batch mode here for the oracle.
@@ -3088,7 +3117,8 @@ object SparkEntry {
     "q204_inc_semantic" -> (qIncSemantic _),
     "q205_simhash_capped" -> (qSimhashCapped _),
     "q206_image_ahash" -> (qImageAHash _),
-    "q207_audio_envelope" -> (qAudioEnvelope _))
+    "q207_audio_envelope" -> (qAudioEnvelope _),
+    "q208_audio_neardup" -> (qAudioNearDup _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

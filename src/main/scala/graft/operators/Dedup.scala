@@ -381,12 +381,39 @@ object Dedup {
       maxBucketSize: Option[Int] = None): DataFrame = {
     require(bits % bands == 0, "bits must divide evenly into bands")
     val bandBits = bits / bands
+    fingerprintPairs(simhashSignatures(df, idCol, textCol, bits),
+      "id", "simhash", bands = bands, strideBits = bandBits,
+      maskBits = bandBits, maxHamming = maxHamming,
+      maxBucketSize = maxBucketSize)
+  }
+
+  /** Banded near-dup candidate pairing over a PRECOMPUTED fingerprint
+    * column — the modality-independent core of [[simhashPairs]]: any
+    * fingerprint whose bits are independent hash-like signals (text
+    * simhash, image aHash, audio envelope hash) bands identically.
+    * Band b's key is `(fp >> b·strideBits) & (2^maskBits − 1)`, so a
+    * full-width fingerprint (e.g. 64-bit, strideBits=16, bands=4)
+    * bands on ADAPTIVELY-masked low bits without recomputing the
+    * fingerprint — the [[suggestSimhashParams]] log2 law applies
+    * verbatim (pass its bits/bands as maskBits). Hamming verifies over
+    * the FULL fingerprint. Same shuffle shape as [[simhashPairs]]:
+    * bounded band keys, never all-pairs; `maxBucketSize` is the skew
+    * guard.
+    */
+  def fingerprintPairs(df: DataFrame, idCol: String, fpCol: String,
+      bands: Int, strideBits: Int, maskBits: Int, maxHamming: Int,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    require(bands >= 1 && strideBits >= 1 && maskBits >= 1,
+      s"need positive bands/stride/mask, got $bands/$strideBits/$maskBits")
+    require(maskBits <= strideBits, "mask wider than the band stride overlaps bands")
+    require(bands * strideBits <= 64, "bands overrun the 64-bit fingerprint")
     // materialized once — same reason (and caveat) as minhashLshPairs
-    val withSim = simhashSignatures(df, idCol, textCol, bits).localCheckpoint()
+    val withFp = df.select(col(idCol).as("id"), col(fpCol).as("fp"))
+      .localCheckpoint()
     val bandVals = array((0 until bands).map(b =>
-      shiftright(col("simhash"), b * bandBits)
-        .bitwiseAND(lit((1L << bandBits) - 1))): _*)
-    val bandedAll = withSim.select(col("id"), col("simhash"),
+      shiftright(col("fp"), b * strideBits)
+        .bitwiseAND(lit((1L << maskBits) - 1))): _*)
+    val bandedAll = withFp.select(col("id"), col("fp"),
       posexplode(bandVals).as(Seq("band", "bval")))
     val banded = maxBucketSize match {
       case None => bandedAll
@@ -400,7 +427,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

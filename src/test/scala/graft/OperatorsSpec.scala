@@ -2268,6 +2268,30 @@ class OperatorsSpec extends SparkSpec {
       s"cap must drop the size-6 template buckets, keep the twin pair: $cp")
   }
 
+  test("fingerprintPairs: stride/mask banding over precomputed fingerprints; full-width hamming") {
+    // two fingerprints sharing band 0's low byte (and nothing else),
+    // one sharing no masked band with anyone
+    val fps = Seq(
+      (1L, 0x1111_2222_3333_11AAL),
+      (2L, 0x4444_5555_6666_44AAL),  // band0 low 8 bits match id 1
+      (3L, 0x7777_8888_9999_77BBL)).toDF("id", "fp")
+    val pairs = Dedup.fingerprintPairs(fps, "id", "fp",
+        bands = 4, strideBits = 16, maskBits = 8, maxHamming = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expHam = java.lang.Long.bitCount(0x1111_2222_3333_11AAL ^ 0x4444_5555_6666_44AAL)
+    assert(pairs.toSeq == Seq((1L, 2L, expHam.toLong)),
+      s"only the band0-masked cohabitants pair, hamming over ALL 64 bits: ${pairs.toSeq}")
+    // widening the mask past the shared byte separates them
+    val none = Dedup.fingerprintPairs(fps, "id", "fp",
+      bands = 4, strideBits = 16, maskBits = 16, maxHamming = 64).count()
+    assert(none == 0, "16-bit masks see the differing high byte -> no pairs")
+    // a mask wider than the stride would overlap bands -> rejected
+    intercept[IllegalArgumentException] {
+      Dedup.fingerprintPairs(fps, "id", "fp",
+        bands = 4, strideBits = 16, maskBits = 17, maxHamming = 64)
+    }
+  }
+
   test("suggestSemantic3Params: exact integer cube root of ceil(n/32), clamped") {
     import graft.operators.Dedup.suggestSemantic3Params
     assert(suggestSemantic3Params(1L) == 2)      // kTot=1 → floor at 2
