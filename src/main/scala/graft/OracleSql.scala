@@ -4360,6 +4360,42 @@ object OracleSql {
                 FROM B a JOIN B b2 ON a.band = b2.band AND a.bval = b2.bval
                   AND a.doc_id < b2.doc_id)
           SELECT id_a, id_b, hamming, (SELECT bb FROM BB) AS mask_bits
+          FROM P ORDER BY id_a, id_b""",
+
+    // image near-dup candidates: the q206 aHash CTE through the q208
+    // banding oracle verbatim (one fingerprint-pairing semantics for
+    // every modality)
+    "q209_image_neardup" ->
+      s"""WITH NB AS (SELECT count(*)::BIGINT AS n FROM documents),
+          BB AS (SELECT least(15, greatest(4, b))::BIGINT AS bb
+                FROM (SELECT min(b)::INT AS b FROM range(0, 61) t(b), NB
+                      WHERE (1::BIGINT << b) >= ((NB.n + 1) // 2))),
+          SD AS (SELECT doc_id, md5(coalesce(text,'')) AS seed
+                FROM documents),
+          G AS (SELECT doc_id,
+                 list_transform(range(0, 64), i ->
+                   ${md5long("seed || '|' || i::VARCHAR")} & 255) AS g
+                FROM SD),
+          S AS (SELECT doc_id, g, CAST(list_sum(g) AS BIGINT) AS total FROM G),
+          H AS (SELECT doc_id,
+                 list_sum(list_transform(range(0, 64), i ->
+                   CASE WHEN 64 * g[i+1] > total
+                     THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS uh
+                FROM S),
+          F AS (SELECT doc_id, uh,
+                 CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                      THEN uh - 18446744073709551616::HUGEINT ELSE uh END
+                      AS BIGINT) AS ahash
+                FROM H),
+          B AS (SELECT doc_id, ahash, t.band AS band,
+                 CAST((uh >> (t.band * 16)) & ((1::HUGEINT << bb.bb) - 1)
+                      AS BIGINT) AS bval
+                FROM F, BB bb, (SELECT unnest(range(4)) AS band) t),
+          P AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                  cast(bit_count(xor(a.ahash, b2.ahash)) as bigint) AS hamming
+                FROM B a JOIN B b2 ON a.band = b2.band AND a.bval = b2.bval
+                  AND a.doc_id < b2.doc_id)
+          SELECT id_a, id_b, hamming, (SELECT bb FROM BB) AS mask_bits
           FROM P ORDER BY id_a, id_b"""
     )
 }

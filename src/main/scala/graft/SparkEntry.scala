@@ -562,6 +562,30 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Image near-dup candidate pairing (q209): q206's real-codec
+    * aHashes through the SAME Dedup.fingerprintPairs core as q208 —
+    * one banding implementation serves text simhash, audio envelope,
+    * and image aHash fingerprints. Parameters and rationale identical
+    * to q208 (adaptive mask width, every candidate kept).
+    */
+  private def qImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (bits, bands) = graft.operators.Dedup.suggestSimhashParams(docs.count(), bands = 4)
+    val maskBits = bits / bands
+    val gray = let(md5(coalesce(col("text"), lit(""))), seed =>
+      transform(sequence(lit(0), lit(63)), i =>
+        md5Long(concat(seed, lit("|"), i.cast("string")))
+          .bitwiseAND(lit(255L))))
+    val fp = graft.operators.Multimodal.decodeImageAHash(
+        graft.operators.Multimodal.synthGrayBmp(
+          docs.select(col("doc_id"), gray.as("_gray")), "_gray", 8, 8))
+      .select(col("doc_id"), col("ahash"))
+    graft.operators.Dedup.fingerprintPairs(fp, "doc_id", "ahash",
+        bands = 4, strideBits = 16, maskBits = maskBits, maxHamming = 64)
+      .withColumn("mask_bits", lit(maskBits.toLong))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Streaming-shaped windowed aggregation (1h tumbling windows) —
     * identical logic runs under Structured Streaming (see
     * graft.streaming); batch mode here for the oracle.
@@ -3118,7 +3142,8 @@ object SparkEntry {
     "q205_simhash_capped" -> (qSimhashCapped _),
     "q206_image_ahash" -> (qImageAHash _),
     "q207_audio_envelope" -> (qAudioEnvelope _),
-    "q208_audio_neardup" -> (qAudioNearDup _))
+    "q208_audio_neardup" -> (qAudioNearDup _),
+    "q209_image_neardup" -> (qImageNearDup _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
