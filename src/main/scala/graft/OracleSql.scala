@@ -4396,6 +4396,36 @@ object OracleSql {
                 FROM B a JOIN B b2 ON a.band = b2.band AND a.bval = b2.bval
                   AND a.doc_id < b2.doc_id)
           SELECT id_a, id_b, hamming, (SELECT bb FROM BB) AS mask_bits
-          FROM P ORDER BY id_a, id_b"""
+          FROM P ORDER BY id_a, id_b""",
+
+    // audio resample: the q207 samples decimated 2:1 by exact
+    // box-filter floor-average (// truncates; levels non-negative, so
+    // floor ≡ trunc on both engines), then the 64-sample envelope
+    // fingerprint (block size 1: bit b = 64·s2_b > Σs2) — the engine
+    // pays two real codec round-trips for the same arithmetic
+    "q210_audio_resample" ->
+      s"""WITH SD AS (SELECT doc_id, md5(coalesce(text,'')) AS seed
+                FROM documents),
+          G AS (SELECT doc_id,
+                 list_transform(range(0, 128), i ->
+                   ${md5long("seed || '|a' || i::VARCHAR")} & 255) AS s
+                FROM SD),
+          D AS (SELECT doc_id,
+                 list_transform(range(0, 64), i ->
+                   (s[2*i+1] + s[2*i+2]) // 2) AS s2
+                FROM G),
+          S AS (SELECT doc_id, s2, CAST(list_sum(s2) AS BIGINT) AS total FROM D),
+          H AS (SELECT doc_id,
+                 list_sum(list_transform(range(0, 64), b ->
+                   CASE WHEN 64 * s2[b+1] > total
+                     THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)) AS uh
+                FROM S)
+          SELECT doc_id,
+            CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                 THEN uh - 18446744073709551616::HUGEINT ELSE uh END
+                 AS BIGINT) AS afp,
+            CAST(64 AS BIGINT) AS n_samples,
+            CAST(4000 AS BIGINT) AS sample_rate_hz
+          FROM H ORDER BY doc_id"""
     )
 }

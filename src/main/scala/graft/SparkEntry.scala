@@ -586,6 +586,29 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Real audio resample over the codec round-trip (q210): the q207
+    * WAVs decode through the JDK codec, decimate 2:1 with exact
+    * box-filter averaging (the anti-aliasing low-pass), re-encode at
+    * 4 kHz, decode AGAIN, and fingerprint — two full codec
+    * round-trips plus a real DSP step, all hash-gated: the oracle
+    * re-derives the decimated samples arithmetically
+    * (⌊(s_2i+s_2i+1)/2⌋ — DuckDB's `//` truncates and the levels are
+    * non-negative, so both engines floor identically). See
+    * Multimodal.resampleWavBytes.
+    */
+  private def qAudioResample(s: SparkSession, dir: String): DataFrame = {
+    val samples = let(md5(coalesce(col("text"), lit(""))), seed =>
+      transform(sequence(lit(0), lit(127)), i =>
+        md5Long(concat(seed, lit("|a"), i.cast("string")))
+          .bitwiseAND(lit(255L))))
+    val wav = graft.operators.Multimodal.synthPcmWav(
+      t(s, dir, "documents").select(col("doc_id"), samples.as("_pcm")), "_pcm", 8000)
+    val resampled = graft.operators.Multimodal.resampleWavs(wav, factor = 2)
+    graft.operators.Multimodal.decodeAudioFingerprint(resampled, payloadCol = "resampled")
+      .select(col("doc_id"), col("afp"), col("n_samples"), col("sample_rate_hz"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming-shaped windowed aggregation (1h tumbling windows) —
     * identical logic runs under Structured Streaming (see
     * graft.streaming); batch mode here for the oracle.
@@ -3143,7 +3166,8 @@ object SparkEntry {
     "q206_image_ahash" -> (qImageAHash _),
     "q207_audio_envelope" -> (qAudioEnvelope _),
     "q208_audio_neardup" -> (qAudioNearDup _),
-    "q209_image_neardup" -> (qImageNearDup _))
+    "q209_image_neardup" -> (qImageNearDup _),
+    "q210_audio_resample" -> (qAudioResample _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

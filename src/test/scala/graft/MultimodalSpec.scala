@@ -366,6 +366,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) == ((None, None, None)), s"empty samples degrade to null: $out")
   }
 
+  test("resampleWavBytes: exact box-filter decimation; envelope bits survive even-sample decimation") {
+    val samples = (0L until 128L).map(i => ((i * 13) % 128) * 2)  // all even → no rounding
+    val wav = Multimodal.synthPcmWav(Seq((1L, samples)).toDF("id", "pcm"), "pcm", 8000)
+    val payload = wav.collect()(0).getAs[Array[Byte]]("payload")
+    val half = Multimodal.resampleWavBytes(payload, 2).get
+    // decoded output: halved rate, halved length, exact pair averages
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(half))
+    assert(ais.getFormat.getSampleRate == 4000f)
+    val out = ais.readAllBytes().map(_ & 0xffL).toSeq
+    val expected = (0 until 64).map(i => (samples(2 * i) + samples(2 * i + 1)) / 2)
+    assert(out == expected, "decimation must be the exact floor pair-average")
+    // no rounding occurred → the envelope fingerprint is bit-identical
+    val h0 = Multimodal.audioEnvelopeHash(payload).get
+    val h1 = Multimodal.audioEnvelopeHash(half).get
+    assert(h1._1 == h0._1,
+      s"even-sample decimation must preserve every envelope bit: ${h0._1} vs ${h1._1}")
+    assert(h1._2 == 64L && h1._3 == 4000L)
+    // degradation: junk bytes and a factor longer than the clip → None
+    assert(Multimodal.resampleWavBytes("junk".getBytes, 2).isEmpty)
+    assert(Multimodal.resampleWavBytes(payload, 1000).isEmpty)
+    // DataFrame pass: resampled column, corrupt payload → null
+    val df = Seq((1L, payload), (2L, "junk".getBytes)).toDF("id", "payload")
+    val rs = Multimodal.resampleWavs(df, 2).collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[Array[Byte]]("resampled"))).toMap
+    assert(rs(1L).nonEmpty && rs(2L).isEmpty, s"$rs")
+  }
+
   test("audioEnvelopeHash: encoding invariance, perturbation tolerance, rejection") {
     def wav16(levels: Seq[Long], bigEndian: Boolean): Array[Byte] = {
       // same waveform as 8-bit level v at 16-bit depth: signed 257·v−32768
