@@ -4426,6 +4426,24 @@ object OracleSql {
                  AS BIGINT) AS afp,
             CAST(64 AS BIGINT) AS n_samples,
             CAST(4000 AS BIGINT) AS sample_rate_hz
-          FROM H ORDER BY doc_id"""
+          FROM H ORDER BY doc_id""",
+
+    // MP4 demux: the synthesized layout is deterministic — ftyp(16) +
+    // mdat header(8) = 24, then 32-byte frames in 3-frame chunks with
+    // 8 pad bytes before every chunk after the first, so frame i sits
+    // at 24 + 32·i + 8·(i div 3); the ENGINE must re-derive these by
+    // actually walking stco/stsc/stsz. Frame content pins via
+    // md5Long of the sliced ASCII bytes (= the frame's hex string)
+    "q211_video_frames" ->
+      s"""WITH SD AS (SELECT doc_id, md5(coalesce(text,'')) AS seed
+                FROM documents),
+          F AS (SELECT doc_id, t.i AS i,
+                 md5(seed || '|v' || t.i::VARCHAR) AS fhex
+                FROM SD, (SELECT unnest(range(8)) AS i) t)
+          SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+            CAST(24 + 32 * i + 8 * (i // 3) AS BIGINT) AS frame_off,
+            CAST(32 AS BIGINT) AS frame_len,
+            ${md5long("fhex")} AS frame_fp
+          FROM F ORDER BY doc_id, frame_no"""
     )
 }

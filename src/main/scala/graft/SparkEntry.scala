@@ -609,6 +609,37 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Real MP4 demux to frame byte ranges (q211): each doc becomes a
+    * REAL ISO-BMFF file (8 md5-hex frames in 3-frame chunks with
+    * 8-byte inter-chunk padding, full stts/stsc/stsz/stco sample
+    * table, written box-by-box), and the engine walks the boxes back
+    * — expanding the stsc run list (two runs: 3,3 then the 2-frame
+    * tail) against the stco chunk offsets and variable stsz sizes —
+    * to slice every frame's true bytes. The padding makes chunk
+    * offsets NON-derivable from frame sizes alone, so the hash gate
+    * pins the actual stco/stsc walk; frame content round-trips
+    * through md5Long of the sliced bytes. This is the container-level
+    * frame extraction a video pipeline runs before any codec — only
+    * the codec itself stays stubbed. See Multimodal.mp4SampleTable.
+    */
+  private def qVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    val frames = let(md5(coalesce(col("text"), lit(""))), seed =>
+      transform(sequence(lit(0), lit(7)), i =>
+        md5(concat(seed, lit("|v"), i.cast("string")))))
+    val mp4 = graft.operators.Multimodal.synthMp4(
+      t(s, dir, "documents").select(col("doc_id"), frames.as("_frames")),
+      "_frames", timescale = 1000, frameDurTicks = 40,
+      chunkFrames = 3, interChunkPad = 8)
+    graft.operators.Multimodal.demuxMp4Frames(mp4)
+      .select(col("doc_id"), explode(col("frames")).as("f"))
+      .select(col("doc_id"),
+        col("f.frame_no").cast("long").as("frame_no"),
+        col("f.frame_off").as("frame_off"),
+        col("f.frame_len").as("frame_len"),
+        md5Long(decode(col("f.data"), "US-ASCII")).as("frame_fp"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
   /** Streaming-shaped windowed aggregation (1h tumbling windows) —
     * identical logic runs under Structured Streaming (see
     * graft.streaming); batch mode here for the oracle.
@@ -3167,7 +3198,8 @@ object SparkEntry {
     "q207_audio_envelope" -> (qAudioEnvelope _),
     "q208_audio_neardup" -> (qAudioNearDup _),
     "q209_image_neardup" -> (qImageNearDup _),
-    "q210_audio_resample" -> (qAudioResample _))
+    "q210_audio_resample" -> (qAudioResample _),
+    "q211_video_frames" -> (qVideoFrames _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -476,26 +476,35 @@ object Multimodal {
     else Some(Row(null, null, dataBytes * 1000L / byteRate, "wav"))
   }
 
+  /** ISO-BMFF box iterator over `[lo, hi)`: yields (type, bodyStart,
+    * bodyEnd) handling 64-bit (`size==1`) and to-EOF (`size==0`)
+    * largesize forms; malformed sizes still advance (never loop).
+    * Shared by the mvhd duration probe and the [[mp4SampleTable]]
+    * demux walk.
+    */
+  private def mp4Boxes(b: Array[Byte], lo: Long, hi: Long): Iterator[(String, Long, Long)] =
+    new Iterator[(String, Long, Long)] {
+      private var off = lo
+      def hasNext: Boolean = off + 8 <= hi
+      def next(): (String, Long, Long) = {
+        val t = tag(b, off.toInt + 4)
+        val size0 = u32be(b, off.toInt)
+        val (hdr, size) =
+          if (size0 == 1 && off + 16 <= hi) (16L, u64be(b, off.toInt + 8))
+          else if (size0 == 0) (8L, hi - off) // box extends to EOF
+          else (8L, size0)
+        val r = (t, off + hdr, math.min(off + math.max(size, hdr), hi))
+        off += math.max(size, hdr) // malformed size<hdr must still advance
+        r
+      }
+    }
+
   private def decodeMp4(b: Array[Byte]): Option[Row] = {
     // top-level box walk: a real MP4 leads with ftyp, but bare
     // QuickTime-style files may lead with moov directly — accept any
     // well-formed box list that contains a moov
     def boxes(lo: Long, hi: Long): Iterator[(String, Long, Long)] =
-      new Iterator[(String, Long, Long)] {
-        private var off = lo
-        def hasNext: Boolean = off + 8 <= hi
-        def next(): (String, Long, Long) = {
-          val t = tag(b, off.toInt + 4)
-          val size0 = u32be(b, off.toInt)
-          val (hdr, size) =
-            if (size0 == 1 && off + 16 <= hi) (16L, u64be(b, off.toInt + 8))
-            else if (size0 == 0) (8L, hi - off) // box extends to EOF
-            else (8L, size0)
-          val r = (t, off + hdr, math.min(off + math.max(size, hdr), hi))
-          off += math.max(size, hdr) // malformed size<hdr must still advance
-          r
-        }
-      }
+      mp4Boxes(b, lo, hi)
     if (b.length < 8) return None
     val top = boxes(0, b.length.toLong).take(64).toSeq
     // reject non-MP4 byte streams that happen to survive the walk: the
@@ -874,6 +883,208 @@ object Multimodal {
         out.map(o => java.lang.Long.valueOf(o._1)).orNull :+
         out.map(o => java.lang.Long.valueOf(o._2)).orNull :+
         out.map(o => java.lang.Long.valueOf(o._3)).orNull)
+    })
+  }
+
+  // ---------- REAL MP4/ISO-BMFF demux (sample-table walk) ----------
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def box(typ: String, body: Array[Byte]*): Array[Byte] = {
+    val bodyLen = body.map(_.length).sum
+    val out = new java.io.ByteArrayOutputStream(8 + bodyLen)
+    out.write(be32(8L + bodyLen)); out.write(typ.getBytes("US-ASCII"))
+    body.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Synthesize a REAL minimal ISO-BMFF (MP4) payload from per-frame
+    * byte strings — the video-container analog of [[synthGrayBmp]]/
+    * [[synthPcmWav]]: `ftyp` + `mdat` (frame bytes in
+    * `chunkFrames`-sized chunks separated by `interChunkPad` zero
+    * bytes, so chunk offsets are NOT derivable from frame sizes
+    * alone) + `moov` with a full sample table (`stts`/`stsc` run-list
+    * /variable-`stsz`/`stco`). The layout is deterministic, so an
+    * arithmetic oracle can re-derive every frame offset — while the
+    * engine-side [[mp4SampleTable]] must REALLY walk the boxes. One
+    * [[mapDecode]] pass; null/empty frame arrays yield a null
+    * payload. Frames are ASCII strings (the battery feeds md5 hex).
+    */
+  def synthMp4(df: DataFrame, framesCol: String, timescale: Int,
+      frameDurTicks: Int, chunkFrames: Int, interChunkPad: Int,
+      outCol: String = "payload"): DataFrame = {
+    require(timescale >= 1 && frameDurTicks >= 1 && chunkFrames >= 1 &&
+      interChunkPad >= 0, "need positive timescale/duration/chunking")
+    val schema = StructType(df.schema :+
+      StructField(outCol, BinaryType, nullable = true))
+    val fIdx = df.schema.fieldIndex(framesCol)
+    mapDecode(df, schema)(rows => rows.map { r =>
+      val frames = r.getAs[scala.collection.Seq[String]](fIdx)
+      val payload: Array[Byte] =
+        if (frames == null || frames.isEmpty) null
+        else {
+          val fb = frames.map(_.getBytes("US-ASCII"))
+          val n = fb.length
+          val nChunks = (n + chunkFrames - 1) / chunkFrames
+          val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0L))
+          // mdat body: chunks of frames with inter-chunk padding
+          val mdatBody = new java.io.ByteArrayOutputStream()
+          val chunkOffsets = new Array[Long](nChunks)
+          var c = 0
+          while (c < nChunks) {
+            if (c > 0) mdatBody.write(new Array[Byte](interChunkPad))
+            chunkOffsets(c) = ftyp.length.toLong + 8L + mdatBody.size()
+            var i = c * chunkFrames
+            while (i < math.min(n, (c + 1) * chunkFrames)) {
+              mdatBody.write(fb(i)); i += 1
+            }
+            c += 1
+          }
+          val mdat = box("mdat", mdatBody.toByteArray)
+          val durTicks = n.toLong * frameDurTicks
+          val vf = be32(0L) // version 0 + zero flags
+          val mvhd = box("mvhd", vf, be32(0L), be32(0L), be32(timescale.toLong),
+            be32(durTicks), be32(0x00010000L), be32(0x01000000L),
+            new Array[Byte](8), // reserved
+            // identity matrix
+            be32(0x00010000L), be32(0L), be32(0L), be32(0L), be32(0x00010000L),
+            be32(0L), be32(0L), be32(0L), be32(0x40000000L),
+            new Array[Byte](24), be32(2L))
+          val tkhd = box("tkhd", be32(7L), be32(0L), be32(0L), be32(1L),
+            be32(0L), be32(durTicks), new Array[Byte](16),
+            be32(0x00010000L), be32(0L), be32(0L), be32(0L), be32(0x00010000L),
+            be32(0L), be32(0L), be32(0L), be32(0x40000000L),
+            be32(0L), be32(0L))
+          val mdhd = box("mdhd", vf, be32(0L), be32(0L), be32(timescale.toLong),
+            be32(durTicks), Array[Byte](0x55, (0xc4 & 0xff).toByte, 0, 0))
+          val hdlr = box("hdlr", vf, be32(0L), "vide".getBytes("US-ASCII"),
+            new Array[Byte](12), Array[Byte](0))
+          val vmhd = box("vmhd", be32(1L), new Array[Byte](8))
+          val dref = box("dref", vf, be32(1L), box("url ", be32(1L)))
+          val dinf = box("dinf", dref)
+          val stsd = box("stsd", vf, be32(1L), box("mp4v", new Array[Byte](8)))
+          val stts = box("stts", vf, be32(1L), be32(n.toLong), be32(frameDurTicks.toLong))
+          // stsc: one run if every chunk is full, else a tail run for
+          // the short last chunk (the spec's run-list semantics)
+          val lastN = n - (nChunks - 1) * chunkFrames
+          val stsc =
+            if (nChunks == 1 || lastN == chunkFrames)
+              box("stsc", vf, be32(1L), be32(1L), be32(chunkFrames.toLong), be32(1L))
+            else box("stsc", vf, be32(2L),
+              be32(1L), be32(chunkFrames.toLong), be32(1L),
+              be32(nChunks.toLong), be32(lastN.toLong), be32(1L))
+          val stsz = box("stsz", vf, be32(0L), be32(n.toLong),
+            fb.toArray.flatMap(f => be32(f.length.toLong)))
+          val stco = box("stco", vf, be32(nChunks.toLong),
+            chunkOffsets.flatMap(be32))
+          val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+          val minf = box("minf", vmhd, dinf, stbl)
+          val mdia = box("mdia", mdhd, hdlr, minf)
+          val trak = box("trak", tkhd, mdia)
+          val moov = box("moov", mvhd, trak)
+          ftyp ++ mdat ++ moov
+        }
+      Row.fromSeq(r.toSeq :+ payload)
+    })
+  }
+
+  /** REAL ISO-BMFF demux: walk ftyp/moov/trak/mdia/minf/stbl, expand
+    * the `stsc` run list against `stco`/`co64` chunk offsets and
+    * fixed-or-variable `stsz` sample sizes, and return every sample's
+    * true byte range — (sample_no, offset, size) — the container-level
+    * frame extraction a video pipeline runs BEFORE any codec. Pure
+    * JVM byte parsing via the same box iterator as the duration
+    * probe; no codec, no external libs. Returns None when the
+    * payload isn't a well-formed MP4 with a complete sample table —
+    * degrade, never abort.
+    */
+  def mp4SampleTable(b: Array[Byte]): Option[Seq[(Int, Long, Long)]] = {
+    if (b == null || b.length < 8) return None
+    try {
+      val top = mp4Boxes(b, 0, b.length.toLong).take(64).toSeq
+      val known = Set("ftyp", "moov", "mdat", "free", "skip", "wide", "pdin", "moof")
+      if (top.isEmpty || !known.contains(top.head._1)) return None
+      def child(lo: Long, hi: Long, typ: String): Option[(Long, Long)] =
+        mp4Boxes(b, lo, hi).take(64).collectFirst { case (`typ`, s, e) => (s, e) }
+      for {
+        (ms, me) <- top.collectFirst { case ("moov", s, e) => (s, e) }
+        (ts, te) <- child(ms, me, "trak")
+        (ds, de) <- child(ts, te, "mdia")
+        (ns, ne) <- child(ds, de, "minf")
+        (ss, se) <- child(ns, ne, "stbl")
+        sizes <- child(ss, se, "stsz").flatMap { case (zs, _) =>
+          val fixed = u32be(b, zs.toInt + 4)
+          val count = u32be(b, zs.toInt + 8).toInt
+          if (count < 0 || count > (b.length / 4) + 1) None
+          else if (fixed != 0) Some(Vector.fill(count)(fixed))
+          else Some(Vector.tabulate(count)(i => u32be(b, zs.toInt + 12 + 4 * i)))
+        }
+        chunks <- child(ss, se, "stco").map { case (cs, _) =>
+          val n = u32be(b, cs.toInt + 4).toInt
+          Vector.tabulate(n)(i => u32be(b, cs.toInt + 8 + 4 * i))
+        }.orElse(child(ss, se, "co64").map { case (cs, _) =>
+          val n = u32be(b, cs.toInt + 4).toInt
+          Vector.tabulate(n)(i => u64be(b, cs.toInt + 8 + 8 * i))
+        })
+        runs <- child(ss, se, "stsc").map { case (rs, _) =>
+          val n = u32be(b, rs.toInt + 4).toInt
+          Vector.tabulate(n)(i => (u32be(b, rs.toInt + 8 + 12 * i),
+            u32be(b, rs.toInt + 12 + 12 * i)))
+        }
+        if sizes.nonEmpty && chunks.nonEmpty && runs.nonEmpty
+      } yield {
+        // expand stsc runs: run k applies from its first_chunk until
+        // the next run's first_chunk (1-based); walk chunks in order,
+        // assigning samples and accumulating intra-chunk offsets
+        val out = Vector.newBuilder[(Int, Long, Long)]
+        var sample = 0
+        var run = 0
+        var chunk = 0
+        while (chunk < chunks.length && sample < sizes.length) {
+          while (run + 1 < runs.length && chunk + 1 >= runs(run + 1)._1)
+            run += 1
+          val spc = runs(run)._2.toInt
+          var off = chunks(chunk)
+          var j = 0
+          while (j < spc && sample < sizes.length) {
+            out += ((sample, off, sizes(sample)))
+            off += sizes(sample)
+            sample += 1; j += 1
+          }
+          chunk += 1
+        }
+        out.result()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[mp4SampleTable]] over a payload column — adds a nullable
+    * `frames` array<struct<frame_no,frame_off,frame_len,data>> column
+    * via one [[mapDecode]] partition pass, each frame's `data` sliced
+    * from the payload at its demuxed byte range (explode Spark-side —
+    * the distributed per-frame shape).
+    */
+  def demuxMp4Frames(df: DataFrame,
+      payloadCol: String = "payload", outCol: String = "frames"): DataFrame = {
+    val frameType = ArrayType(StructType(Seq(
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame_off", LongType, nullable = false),
+      StructField("frame_len", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = true))), containsNull = false)
+    val schema = StructType(df.schema :+
+      StructField(outCol, frameType, nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    mapDecode(df, schema)(rows => rows.map { r =>
+      val bytes = r.getAs[Array[Byte]](payloadIdx)
+      val frames = mp4SampleTable(bytes).map(_.map { case (i, off, len) =>
+        val ok = off >= 0 && len >= 0 && off + len <= bytes.length
+        Row(i, off, len,
+          if (ok) java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+          else null)
+      })
+      Row.fromSeq(r.toSeq :+ frames.orNull)
     })
   }
 }

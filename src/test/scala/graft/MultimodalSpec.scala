@@ -366,6 +366,43 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) == ((None, None, None)), s"empty samples degrade to null: $out")
   }
 
+  test("synthMp4 → mp4SampleTable: real stsc/stco/stsz walk recovers padded chunk layout") {
+    val frames = (0 until 8).map(i => f"frame-$i%02d-payload-bytes-here-pad." )
+    val fl = frames.head.length.toLong // 32 ASCII bytes each
+    assert(frames.forall(_.length == fl))
+    val df = Seq((1L, frames), (2L, Seq.empty[String])).toDF("id", "frames")
+    val mp4 = Multimodal.synthMp4(df, "frames", timescale = 1000,
+      frameDurTicks = 40, chunkFrames = 3, interChunkPad = 8)
+    val payload = mp4.filter(col("id") === 1L).collect()(0).getAs[Array[Byte]]("payload")
+    // the container itself is a well-formed MP4: the duration probe
+    // reads the real mvhd (8 frames x 40 ticks @ 1000 = 320 ms)
+    val meta = Multimodal.decodeAvHeader(payload).get
+    assert(meta.getAs[Long](2) == 320L && meta.getAs[String](3) == "mp4", s"$meta")
+    // sample-table walk: offsets include the 8-byte inter-chunk pads
+    // (frame i at 24 + fl·i + 8·(i div 3)) — derivable ONLY from stco
+    val table = Multimodal.mp4SampleTable(payload).get
+    val expected = (0 until 8).map(i => (i, 24L + fl * i + 8L * (i / 3), fl))
+    assert(table == expected, s"demux must recover the padded layout: $table")
+    // sliced frame bytes round-trip the original strings
+    val out = Multimodal.demuxMp4Frames(mp4).collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("frames"))).toMap
+    val texts = out(1L).get.map(f => new String(f.getAs[Array[Byte]]("data"), "US-ASCII"))
+    assert(texts == frames, s"frame bytes must round-trip: $texts")
+    assert(out(2L).isEmpty, "empty frame list degrades to null payload -> null frames")
+    // a fixed-size stsz (sample_size != 0) also walks: rebuild with
+    // chunkFrames covering all frames in one chunk and no padding
+    val one = Multimodal.synthMp4(Seq((3L, frames)).toDF("id", "frames"),
+      "frames", 1000, 40, chunkFrames = 8, interChunkPad = 0)
+    val t1 = Multimodal.mp4SampleTable(
+      one.collect()(0).getAs[Array[Byte]]("payload")).get
+    assert(t1 == (0 until 8).map(i => (i, 24L + fl * i, fl)), s"$t1")
+    // garbage and truncation degrade to None
+    assert(Multimodal.mp4SampleTable("not an mp4 at all".getBytes).isEmpty)
+    assert(Multimodal.mp4SampleTable(java.util.Arrays.copyOf(payload, 40)).isEmpty)
+    assert(Multimodal.mp4SampleTable(null).isEmpty)
+  }
+
   test("resampleWavBytes: exact box-filter decimation; envelope bits survive even-sample decimation") {
     val samples = (0L until 128L).map(i => ((i * 13) % 128) * 2)  // all even → no rounding
     val wav = Multimodal.synthPcmWav(Seq((1L, samples)).toDF("id", "pcm"), "pcm", 8000)
