@@ -569,6 +569,16 @@ object SparkEntry {
     * to q208 (adaptive mask width, every candidate kept).
     */
   private def qImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, maskBits) = imageFingerprintPairs(s, dir)
+    pairs.withColumn("mask_bits", lit(maskBits.toLong))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The q209 pipeline sans presentation: real-codec image aHashes
+    * through the shared fingerprint-pairing core, adaptive mask width
+    * — returned with the chosen width so q209/q212 stay one code path.
+    */
+  private def imageFingerprintPairs(s: SparkSession, dir: String): (DataFrame, Int) = {
     val docs = t(s, dir, "documents")
     val (bits, bands) = graft.operators.Dedup.suggestSimhashParams(docs.count(), bands = 4)
     val maskBits = bits / bands
@@ -580,10 +590,27 @@ object SparkEntry {
         graft.operators.Multimodal.synthGrayBmp(
           docs.select(col("doc_id"), gray.as("_gray")), "_gray", 8, 8))
       .select(col("doc_id"), col("ahash"))
-    graft.operators.Dedup.fingerprintPairs(fp, "doc_id", "ahash",
-        bands = 4, strideBits = 16, maskBits = maskBits, maxHamming = 64)
-      .withColumn("mask_bits", lit(maskBits.toLong))
-      .orderBy(col("id_a"), col("id_b"))
+    (graft.operators.Dedup.fingerprintPairs(fp, "doc_id", "ahash",
+      bands = 4, strideBits = 16, maskBits = maskBits, maxHamming = 64), maskBits)
+  }
+
+  /** Image dup-mass histogram (q212): the q209 candidate graph
+    * clustered by pointer-doubling connected components (the q36
+    * machinery on fingerprint edges), summarized clusters-per-size —
+    * the image analog of q132's duplication-mass report, closing the
+    * pair → cluster → report chain for the multimodal dedup family.
+    * The hash-random fingerprints make the candidate graph DENSE
+    * (avg degree ~2·bands), so the corpus collapses to one giant
+    * component — deliberately the opposite stress from q36's sparse
+    * clusters: the oracle's recursive reachability only matches if
+    * the pointer-doubling iteration actually reaches fixpoint across
+    * the whole component, not just short chains.
+    */
+  private def qImageDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, _) = imageFingerprintPairs(s, dir)
+    graft.operators.Dedup.clusterSizeHistogram(
+        graft.operators.Dedup.connectedComponents(pairs))
+      .orderBy(col("cluster_size"))
   }
 
   /** Real audio resample over the codec round-trip (q210): the q207
@@ -3199,7 +3226,8 @@ object SparkEntry {
     "q208_audio_neardup" -> (qAudioNearDup _),
     "q209_image_neardup" -> (qImageNearDup _),
     "q210_audio_resample" -> (qAudioResample _),
-    "q211_video_frames" -> (qVideoFrames _))
+    "q211_video_frames" -> (qVideoFrames _),
+    "q212_image_dup_clusters" -> (qImageDupClusters _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
