@@ -453,6 +453,32 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("multimodal codec rows stay narrow: one presentation sort, no join, no extra shuffle") {
+    // q207/q210/q211 are synth → codec → fingerprint chains: the decode
+    // work is a mapPartitions over the scan, so the ONLY Exchange in
+    // the plan is the final orderBy's range partitioning — a second
+    // shuffle would mean the per-payload work stopped being map-side
+    for (q <- Seq("q207_audio_envelope", "q210_audio_resample", "q211_video_frames")) {
+      val p = plan(q)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 2, // formatted mode lists each node twice (tree + detail)
+        s"$q must shuffle only for the presentation sort, saw $exchanges Exchange lines:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q has no join stage:\n$p")
+    }
+  }
+
+  test("fingerprint pairing joins band-bucketed, never cartesian") {
+    // q208/q209: the self-join must be an equi-join on (band, bval) —
+    // a cartesian/nested-loop here is the all-pairs scale-killer the
+    // banding exists to avoid
+    for (q <- Seq("q208_audio_neardup", "q209_image_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must pair via the band-key equi-join:\n$p")
+    }
+  }
+
   test("LSH band sweep: every config reads ONE checkpointed signature pass") {
     val p = plan("q168_lsh_band_sweep")
     assert(p.contains("ExistingRDD"),
