@@ -455,7 +455,7 @@ object OracleSql {
               FROM (SELECT freq, unnest(list_transform(range(1, len(ss)),
                       i -> struct_pack(a := ss[i], b := ss[i+1]))) AS pr FROM Y$k)
               GROUP BY 1, 2),
-          B$k AS MATERIALIZED (SELECT a, b FROM P$k ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+          B$k AS MATERIALIZED (SELECT a, b, cnt FROM P$k ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
           S$k AS MATERIALIZED (SELECT y.w, y.freq,
                CASE WHEN bk.a IS NULL THEN y.seg
                     ELSE ${fold("y.ss", "bk.a", "bk.b")} END AS seg
@@ -4484,6 +4484,18 @@ object OracleSql {
                 FROM CL GROUP BY cluster_id)
           SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
             cluster_size * CAST(count(*) AS BIGINT) AS n_docs
-          FROM SZ GROUP BY cluster_size ORDER BY cluster_size"""
+          FROM SZ GROUP BY cluster_size ORDER BY cluster_size""",
+
+    // distributed BPE training: the q81 unrolled merge rounds, but the
+    // CHECKED OUTPUT is the training trace itself — each round's
+    // winning pair and its freq-weighted count (B$k now carries cnt)
+    "q213_bpe_train" -> {
+      val n = graft.operators.Bpe.DefaultMerges
+      s"""WITH ${bpeCtes(n, graft.operators.Bpe.DefaultVocabCap)}
+          SELECT * FROM (${(1 to n).map(k =>
+            s"SELECT CAST($k AS BIGINT) AS round, a AS sym_a, b AS sym_b, " +
+            s"cnt AS pair_count FROM B$k").mkString(" UNION ALL ")})
+          ORDER BY round"""
+    }
     )
 }

@@ -1662,6 +1662,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Distributed BPE merge training (q213): the q81 trainer with the
+    * vocabulary kept on the cluster — per round one freq-weighted
+    * pair-count shuffle, a 1-row argmax collect, and a distributed
+    * merge fold (Bpe.trainDistributed). The checked output is the
+    * TRAINING TRACE (round, winning pair, weighted count), so the
+    * oracle pins every round's argmax, not just the final encoding;
+    * q81/q114 already pin the downstream encodings. This is the
+    * open-vocab scale path: the collected-dictionary trainer walls at
+    * driver memory when a web-scale corpus's word dictionary passes
+    * 10⁸ rows; here driver state is the merge list alone.
+    */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = graft.operators.Bpe.trainDistributed(t(s, dir, "documents"),
+      "text", graft.operators.Bpe.DefaultMerges, graft.operators.Bpe.DefaultVocabCap)
+    merges.zipWithIndex
+      .map { case ((a, b, c), i) => (i.toLong + 1L, a, b, c) }
+      .toDF("round", "sym_a", "sym_b", "pair_count")
+      .orderBy(col("round"))
+  }
+
   /** Benchmark decontamination (operators.Decontaminate.sharedNgrams):
     * every 97th document plays the eval set; the rest of the corpus is
     * checked for shared word 3-grams (distinct per doc) against it.
@@ -3227,7 +3248,8 @@ object SparkEntry {
     "q209_image_neardup" -> (qImageNearDup _),
     "q210_audio_resample" -> (qAudioResample _),
     "q211_video_frames" -> (qVideoFrames _),
-    "q212_image_dup_clusters" -> (qImageDupClusters _))
+    "q212_image_dup_clusters" -> (qImageDupClusters _),
+    "q213_bpe_train" -> (qBpeTrain _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

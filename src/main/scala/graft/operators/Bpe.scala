@@ -132,29 +132,92 @@ object Bpe {
       vocabCap: Int = 10000): Seq[(String, String)] =
     train(dictionary(docs, textCol, vocabCap), numMerges)
 
+  /** Distributed BPE merge training — the [[train]] loop with the
+    * vocabulary kept ON THE CLUSTER. Per round: adjacent-pair
+    * counting is one freq-weighted groupBy (shuffle keyed on the
+    * bounded pair vocabulary), ONLY the winning pair returns to the
+    * driver (a 1-row collect, the same count-desc/lexicographic
+    * tie-break as [[train]]), and the merge applies via
+    * [[applyMerge]] — the same fold expression the encoder uses —
+    * with a per-round localCheckpoint so 24 rounds don't stack 24
+    * nested folds into one codegen unit. Driver state is the merge
+    * list alone (numMerges-bounded): the collected-dictionary form's
+    * open-vocab wall disappears, which is the 100 TB shape — a
+    * web-scale corpus's word dictionary can hold 10⁸ rows, far past
+    * any driver collect, while each training round here stays a
+    * distributed count/argmax/map. Pass `vocabCap` < Int.MaxValue to
+    * reproduce [[trainFromCorpus]]'s capped-dictionary semantics
+    * bit-identically (BpeSpec pins equality); cap Int.MaxValue trains
+    * the open vocabulary.
+    *
+    * Returns (symA, symB, pairCount) per round, in merge order.
+    */
+  def trainDistributed(docs: DataFrame, textCol: String, numMerges: Int,
+      vocabCap: Int = 10000): Seq[(String, String, Long)] = {
+    val base = docs.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val capped =
+      if (vocabCap == Int.MaxValue) base
+      else base.orderBy(col("freq").desc, col("w").asc).limit(vocabCap)
+    var vocab = capped.select(col("w"), col("freq"), charSeg(col("w")).as("seg"))
+      .localCheckpoint(true)
+    val merges = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val ss = filter(split(col("seg"), Sep), s => s =!= "")
+      val pairs = vocab
+        .select(col("freq"), explode(when(size(ss) >= 2,
+            transform(sequence(lit(0), size(ss) - 2),
+              i => struct(element_at(ss, i + 1).as("a"),
+                element_at(ss, i + 2).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      val winner = pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect() // exactly one row crosses to the driver
+      if (winner.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (winner(0).getString(0), winner(0).getString(1),
+          winner(0).getLong(2))
+        merges += ((a, b, c))
+        vocab = vocab.withColumn("seg", applyMerge(col("seg"), a, b))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
   /** Separator-prefixed symbol string of one (lowercased) word after
     * applying `merges` in order. "hello" with no merges →
     * "<s>h<s>e<s>l<s>l<s>o"; a merge (l,l) rewrites the
     * "<s>l<s>l" span to "<s>ll". Pure expression: one
     * char-explode plus one fold per merge.
     */
-  def encodeSeg(word: Column, merges: Seq[(String, String)]): Column = {
+  def encodeSeg(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(charSeg(word)) { case (seg, (a, b)) => applyMerge(seg, a, b) }
+
+  /** Separator-prefixed character segmentation of a word (merge round
+    * zero). */
+  private[operators] def charSeg(word: Column): Column = {
     val chars = transform(
       when(length(word) <= 0, array().cast("array<int>"))
         .otherwise(sequence(lit(0), length(word) - 1)),
       i => word.substr(i + 1, lit(1)))
-    val seg0 = when(length(word) <= 0, lit(""))
+    when(length(word) <= 0, lit(""))
       .otherwise(concat(lit(Sep), array_join(chars, Sep)))
-    merges.foldLeft(seg0) { case (seg, (a, b)) =>
-      aggregate(
-        filter(split(seg, Sep), s => s =!= ""),
-        lit(""),
-        (acc, sy) =>
-          when(sy === lit(b) && acc.endsWith(lit(Sep + a)),
-            concat(acc.substr(lit(1), length(acc) - lit(a.length + 1)), lit(Sep + a + b)))
-            .otherwise(concat(acc, lit(Sep), sy)))
-    }
   }
+
+  /** One left-to-right non-overlapping (a,b)→ab merge pass over a
+    * segmentation column — the expression twin of [[mergeOnce]].
+    */
+  private[operators] def applyMerge(seg: Column, a: String, b: String): Column =
+    aggregate(
+      filter(split(seg, Sep), s => s =!= ""),
+      lit(""),
+      (acc, sy) =>
+        when(sy === lit(b) && acc.endsWith(lit(Sep + a)),
+          concat(acc.substr(lit(1), length(acc) - lit(a.length + 1)), lit(Sep + a + b)))
+          .otherwise(concat(acc, lit(Sep), sy)))
 
   /** Subword token count of one encoded word = number of separators. */
   private def segCount(seg: Column): Column =

@@ -34,6 +34,23 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq(("a", "b"))) // one merge → single symbols → stop
   }
 
+  test("distributed trainer ≡ driver trainer on the same capped corpus") {
+    val docs = Seq("the cat sat on the mat", "the cat ran", "a mat sat there",
+      "cats scatter the mats", "on and on the cat sat").toDF("text")
+    val driver = Bpe.trainFromCorpus(docs, "text", numMerges = 8, vocabCap = 10)
+    val dist = Bpe.trainDistributed(docs, "text", numMerges = 8, vocabCap = 10)
+    assert(dist.map(m => (m._1, m._2)) == driver,
+      s"merge lists must be bit-identical:\n driver=$driver\n dist=$dist")
+    assert(dist.forall(_._3 > 0), s"winning pair counts must ride along: $dist")
+    // open-vocab mode (no cap) still terminates and stays deterministic
+    val open = Bpe.trainDistributed(docs, "text", numMerges = 3, vocabCap = Int.MaxValue)
+    assert(open == Bpe.trainDistributed(docs, "text", 3, Int.MaxValue))
+    // exhaustion: a one-pair corpus stops after one merge
+    val tiny = Seq("ab ab").toDF("text")
+    assert(Bpe.trainDistributed(tiny, "text", 10, 10).map(m => (m._1, m._2))
+      == Seq(("a", "b")))
+  }
+
   test("expression encoder matches the driver trainer's segmentations") {
     val docs = Seq((1L, "abab abab cd"), (2L, "abab"), (3L, "cd cd")).toDF("doc_id", "text")
     val merges = Bpe.trainFromCorpus(docs, "text", 4)
