@@ -156,4 +156,62 @@ object IncrementalDedup {
     if (!admitted.isEmpty) index.upsert(admitted)
     admitted
   }
+
+  /** MULTIMODAL dedup-on-ingest: [[appendNovelNearDup]]'s contract in
+    * perceptual-fingerprint space — a batch row (any modality that
+    * fingerprints to 64 bits: image aHash, audio envelope, text
+    * simhash) is REJECTED when (a) its exact fingerprint is already
+    * indexed, or (b) it shares a masked band
+    * ([[Dedup.fingerprintPairs]]' stride/mask banding) with an
+    * admitted fingerprint AND full-width Hamming distance is ≤
+    * `maxHamming`. The index stores one (media_id, fp, batch_no) row
+    * per admitted item — 24 bytes of state per item regardless of
+    * payload size; the payloads themselves never enter the index.
+    * Within a batch only exact-fp first-occurrence dedup applies
+    * (batch-granular, the appendNovelNearDup trade, stated not
+    * hidden). Null fingerprints (undecodable payloads) are dropped —
+    * quarantine them upstream if they matter.
+    *
+    * Scale: the history side is the fingerprint index, not the media
+    * corpus — the band join shuffles |batch|·bands keys against index
+    * band keys, the verify is one xor/popcount per colliding pair,
+    * and only touched buckets rewrite on commit. Size `maskBits` with
+    * [[Dedup.suggestSimhashParams]] as the index grows. Idempotent
+    * per content: a re-ingested fingerprint finds itself via the
+    * exact test and admits nothing new.
+    */
+  def appendNovelFingerprint(index: VersionedTable, batch: DataFrame,
+      idCol: String, fpCol: String, batchNo: Long,
+      maxHamming: Int = 3, bands: Int = 4, strideBits: Int = 16,
+      maskBits: Int = 8): DataFrame = {
+    require(index.recordKey == "media_id",
+      s"fingerprint index must be keyed on 'media_id', got '${index.recordKey}'")
+    require(maskBits >= 1 && maskBits <= strideBits && bands * strideBits <= 64,
+      s"bad banding: $bands bands × $strideBits stride, $maskBits mask")
+    def bandKeys(fp: Column): Column = array((0 until bands).map(b =>
+      shiftright(fp, b * strideBits)
+        .bitwiseAND(lit((1L << maskBits) - 1))): _*)
+    val firsts = batch
+      .select(col(idCol).as("media_id"), col(fpCol).as("fp"))
+      .filter(col("fp").isNotNull)
+      .groupBy(col("fp")).agg(min(col("media_id")).as("media_id"))
+      .localCheckpoint(true)
+    val admitted = (index.snapshotOpt match {
+      case None => firsts
+      case Some(hist) =>
+        val exactNovel = firsts.join(hist.select(col("fp")), Seq("fp"), "left_anti")
+        val histBands = hist.select(col("fp").as("_hfp"),
+          posexplode(bandKeys(col("fp"))).as(Seq("band", "bucket")))
+        val batchBands = exactNovel.select(col("media_id"), col("fp"),
+          posexplode(bandKeys(col("fp"))).as(Seq("band", "bucket")))
+        val rejected = batchBands.join(histBands, Seq("band", "bucket"))
+          .filter(bit_count(col("fp").bitwiseXOR(col("_hfp"))) <= maxHamming)
+          .select(col("media_id")).distinct()
+        exactNovel.join(rejected, Seq("media_id"), "left_anti")
+    }).withColumn("batch_no", lit(batchNo))
+      .select(col("media_id"), col("fp"), col("batch_no"))
+      .localCheckpoint(true) // pin BEFORE the commit mutates the snapshot
+    if (!admitted.isEmpty) index.upsert(admitted)
+    admitted
+  }
 }

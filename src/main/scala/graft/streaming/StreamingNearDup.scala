@@ -86,4 +86,38 @@ object StreamingNearDup {
         ()
       }
       .start()
+
+  /** MULTIMODAL twin of [[ingestGate]]: every micro-batch first runs
+    * `decode` — the REAL codec pass (e.g.
+    * `Multimodal.decodeImageAHash(_)` or
+    * `Multimodal.decodeAudioFingerprint(_)`), executed once per
+    * arriving payload inside the batch — then admits by perceptual
+    * fingerprint against the admitted fingerprint index
+    * ([[graft.operators.IncrementalDedup.appendNovelFingerprint]]:
+    * exact-fp OR banded-Hamming rejection). Same foreachBatch
+    * rationale, same trigger contract, same idempotence
+    * (re-delivered payloads re-fingerprint identically and find
+    * themselves via the exact test), and the SAME code path as the
+    * lake-side batch gate — stream and batch cannot drift. Index
+    * state is 24 B per admitted item regardless of payload size: the
+    * gate scales with the fingerprint index, never the media corpus.
+    */
+  def mediaIngestGate(stream: DataFrame, index: VersionedTable,
+      idCol: String, fpCol: String,
+      decode: DataFrame => DataFrame,
+      checkpointDir: String, batchBase: Long = 0L,
+      maxHamming: Int = 3, bands: Int = 4, strideBits: Int = 16,
+      maskBits: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IncrementalDedup.appendNovelFingerprint(index, decode(batch),
+          idCol, fpCol, batchBase + batchId, maxHamming, bands, strideBits,
+          maskBits)
+        ()
+      }
+      .start()
 }

@@ -706,4 +706,52 @@ class StreamingSpec extends SparkSpec {
       == Set(10L, 11L, 22L), "full re-delivery admits nothing new")
     assert(index.commits.length == commits, "empty admissions never commit")
   }
+
+  test("streaming media ingest gate: real decode per micro-batch; perceptual dups turned away") {
+    import graft.operators.Multimodal
+    val srcDir = Fixtures.tmpDir("media_stream_src")
+    val ckpt = Fixtures.tmpDir("media_stream_ckpt").toString
+    val idxRoot = Fixtures.tmpDir("media_stream_idx").toString
+    // gray rasters with controlled aHash structure: half the cells
+    // bright (bit set), half dark
+    val imgA = (0 until 64).map(i => if (i < 32) 200L else 40L)
+    val imgANear = imgA.updated(40, 255L)  // one dark cell flips on → Hamming 1
+    val imgNovel = (0 until 64).map(i => if (i % 2 == 0) 220L else 20L)
+    def addFile(rows: Seq[(Long, Seq[Long])]): Unit =
+      Multimodal.synthGrayBmp(rows.toDF("media_id", "gray"), "gray", 8, 8)
+        .select(col("media_id"), col("payload"))
+        .coalesce(1).write.mode("append").parquet(srcDir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    def drain(index: graft.operators.VersionedTable, ck: String, base: Long): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val q = graft.streaming.StreamingNearDup.mediaIngestGate(
+        stream, index, "media_id", "ahash",
+        df => Multimodal.decodeImageAHash(df),  // the REAL codec pass, per batch
+        ck, base, maxHamming = 3, maskBits = 16)
+      q.awaitTermination(120000)
+    }
+    val index = new graft.operators.VersionedTable(spark, idxRoot, "media_id",
+      "batch_no", numBuckets = 4)
+    addFile(Seq((10L, imgA)))
+    drain(index, ckpt, 0L)
+    assert(index.snapshot.select("media_id").collect().map(_.getLong(0)).toSet
+      == Set(10L), "empty history admits the first image")
+    // batch 2: an exact pixel copy (new id), a 1-bit perceptual near
+    // dup, and a structurally novel image
+    addFile(Seq((20L, imgA), (21L, imgANear), (22L, imgNovel)))
+    drain(index, ckpt, 100L)
+    assert(index.snapshot.select("media_id").collect().map(_.getLong(0)).toSet
+      == Set(10L, 22L),
+      "exact copy rejected on fp identity, near dup on banded Hamming; novel admits")
+    // restart-with-replay through a fresh checkpoint: exactly-once content
+    val commits = index.commits.length
+    drain(index, Fixtures.tmpDir("media_stream_ckpt2").toString, 200L)
+    assert(index.snapshot.select("media_id").collect().map(_.getLong(0)).toSet
+      == Set(10L, 22L), "full re-delivery admits nothing new")
+    assert(index.commits.length == commits, "empty admissions never commit")
+  }
 }
