@@ -4496,6 +4496,57 @@ object OracleSql {
             s"SELECT CAST($k AS BIGINT) AS round, a AS sym_a, b AS sym_b, " +
             s"cnt AS pair_count FROM B$k").mkString(" UNION ALL ")})
           ORDER BY round"""
-    }
+    },
+
+    // incremental multimodal admission: evens ingest into an empty
+    // index (distinct-fp firsts all admit), odds then reject on exact
+    // fp identity OR any masked-band collision with the committed
+    // evens (the engine's maxHamming=64 keeps every collision) — the
+    // q209 aHash CTEs + the q82 width derivation, replayed as the
+    // two-batch admission sequence
+    "q214_inc_media" ->
+      s"""WITH NB AS (SELECT count(*)::BIGINT AS n FROM documents),
+          BB AS (SELECT least(15, greatest(4, b))::BIGINT AS bb
+                FROM (SELECT min(b)::INT AS b FROM range(0, 61) t(b), NB
+                      WHERE (1::BIGINT << b) >= ((NB.n + 1) // 2))),
+          SD AS (SELECT doc_id, md5(coalesce(text,'')) AS seed
+                FROM documents),
+          G AS (SELECT doc_id,
+                 list_transform(range(0, 64), i ->
+                   ${md5long("seed || '|' || i::VARCHAR")} & 255) AS g
+                FROM SD),
+          S AS (SELECT doc_id, g, CAST(list_sum(g) AS BIGINT) AS total FROM G),
+          H AS (SELECT doc_id,
+                 list_sum(list_transform(range(0, 64), i ->
+                   CASE WHEN 64 * g[i+1] > total
+                     THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS uh
+                FROM S),
+          F AS (SELECT doc_id, uh,
+                 CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                      THEN uh - 18446744073709551616::HUGEINT ELSE uh END
+                      AS BIGINT) AS ahash
+                FROM H),
+          A1 AS (SELECT min(doc_id) AS media_id, ahash, uh
+                FROM F WHERE doc_id % 2 = 0 GROUP BY ahash, uh),
+          F2 AS (SELECT min(doc_id) AS media_id, ahash, uh
+                FROM F WHERE doc_id % 2 = 1 GROUP BY ahash, uh),
+          X2 AS (SELECT f2.* FROM F2 f2
+                WHERE f2.ahash NOT IN (SELECT ahash FROM A1)),
+          BA1 AS (SELECT media_id, t.band AS band,
+                 CAST((uh >> (t.band * 16)) & ((1::HUGEINT << bb.bb) - 1)
+                      AS BIGINT) AS bval
+                FROM A1, BB bb, (SELECT unnest(range(4)) AS band) t),
+          BX2 AS (SELECT media_id, t.band AS band,
+                 CAST((uh >> (t.band * 16)) & ((1::HUGEINT << bb.bb) - 1)
+                      AS BIGINT) AS bval
+                FROM X2, BB bb, (SELECT unnest(range(4)) AS band) t),
+          RJ AS (SELECT DISTINCT x.media_id FROM BX2 x
+                JOIN BA1 a ON x.band = a.band AND x.bval = a.bval),
+          A2 AS (SELECT x.media_id, x.ahash FROM X2 x
+                WHERE x.media_id NOT IN (SELECT media_id FROM RJ))
+          SELECT media_id, ahash AS fp, CAST(1 AS BIGINT) AS batch_no FROM A1
+          UNION ALL
+          SELECT media_id, ahash, CAST(2 AS BIGINT) FROM A2
+          ORDER BY media_id"""
     )
 }

@@ -578,20 +578,64 @@ object SparkEntry {
     * through the shared fingerprint-pairing core, adaptive mask width
     * — returned with the chosen width so q209/q212 stay one code path.
     */
-  private def imageFingerprintPairs(s: SparkSession, dir: String): (DataFrame, Int) = {
-    val docs = t(s, dir, "documents")
-    val (bits, bands) = graft.operators.Dedup.suggestSimhashParams(docs.count(), bands = 4)
-    val maskBits = bits / bands
+  /** The q206 synthesize→encode→decode→aHash chain as a reusable
+    * frame: (doc_id, ahash) through the REAL codec round-trip.
+    */
+  private def imageAHashes(s: SparkSession, dir: String): DataFrame =
+    imageAHashesOf(t(s, dir, "documents"))
+
+  private def imageAHashesOf(docs: DataFrame): DataFrame = {
     val gray = let(md5(coalesce(col("text"), lit(""))), seed =>
       transform(sequence(lit(0), lit(63)), i =>
         md5Long(concat(seed, lit("|"), i.cast("string")))
           .bitwiseAND(lit(255L))))
-    val fp = graft.operators.Multimodal.decodeImageAHash(
+    graft.operators.Multimodal.decodeImageAHash(
         graft.operators.Multimodal.synthGrayBmp(
           docs.select(col("doc_id"), gray.as("_gray")), "_gray", 8, 8))
       .select(col("doc_id"), col("ahash"))
-    (graft.operators.Dedup.fingerprintPairs(fp, "doc_id", "ahash",
+  }
+
+  private def imageFingerprintPairs(s: SparkSession, dir: String): (DataFrame, Int) = {
+    val (bits, bands) = graft.operators.Dedup.suggestSimhashParams(
+      t(s, dir, "documents").count(), bands = 4)
+    val maskBits = bits / bands
+    (graft.operators.Dedup.fingerprintPairs(imageAHashes(s, dir), "doc_id", "ahash",
       bands = 4, strideBits = 16, maskBits = maskBits, maxHamming = 64), maskBits)
+  }
+
+  /** Incremental multimodal admission, batch form (q214): the q204
+    * two-batch pattern in fingerprint space — even doc_ids ingest
+    * first (empty history admits all distinct fingerprints), odd
+    * doc_ids then admit against the committed index through
+    * IncrementalDedup.appendNovelFingerprint: exact-fp identity OR
+    * any masked-band collision rejects (maxHamming=64 keeps every
+    * collision, the q208 rationale — hash-random fingerprints never
+    * reach near-dup Hamming at oracle SF, so the gate must pin the
+    * band-collision path, not a no-op). The output is the index
+    * snapshot: who got in, carrying which batch stamp.
+    */
+  private def qIncMedia(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q214_incmedia_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "media_id", "batch_no",
+      numBuckets = 8)
+    val (bits, bands) = graft.operators.Dedup.suggestSimhashParams(
+      t(s, dir, "documents").count(), bands = 4)
+    val maskBits = bits / bands
+    // parity filter BELOW the codec: each batch decodes only its own
+    // half (the filter is on the scan side of the mapPartitions, so
+    // the corpus pays ONE decode total, not one per admission call)
+    val docs = t(s, dir, "documents")
+    graft.operators.IncrementalDedup.appendNovelFingerprint(vt,
+      imageAHashesOf(docs.filter(col("doc_id") % 2 === 0)), "doc_id", "ahash", 1L,
+      maxHamming = 64, maskBits = maskBits)
+    graft.operators.IncrementalDedup.appendNovelFingerprint(vt,
+      imageAHashesOf(docs.filter(col("doc_id") % 2 === 1)), "doc_id", "ahash", 2L,
+      maxHamming = 64, maskBits = maskBits)
+    vt.snapshot.select(col("media_id"), col("fp"), col("batch_no"))
+      .orderBy(col("media_id"))
   }
 
   /** Image dup-mass histogram (q212): the q209 candidate graph
@@ -3249,7 +3293,8 @@ object SparkEntry {
     "q210_audio_resample" -> (qAudioResample _),
     "q211_video_frames" -> (qVideoFrames _),
     "q212_image_dup_clusters" -> (qImageDupClusters _),
-    "q213_bpe_train" -> (qBpeTrain _))
+    "q213_bpe_train" -> (qBpeTrain _),
+    "q214_inc_media" -> (qIncMedia _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
