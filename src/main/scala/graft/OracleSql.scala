@@ -4547,6 +4547,31 @@ object OracleSql {
           SELECT media_id, ahash AS fp, CAST(1 AS BIGINT) AS batch_no FROM A1
           UNION ALL
           SELECT media_id, ahash, CAST(2 AS BIGINT) FROM A2
-          ORDER BY media_id"""
+          ORDER BY media_id""",
+
+    // KMV mergeability: per-source k-min sets, plus the `_merged` row
+    // rebuilt ONLY from those k-sets (union → distinct → k smallest) —
+    // losslessly equal to the direct global sketch (q202's formula)
+    "q215_kmv_merge" ->
+      s"""WITH D AS (SELECT DISTINCT source, ${md5long("g")} AS h FROM
+                 (SELECT source, unnest(${rawShingles3("text")}) AS g
+                  FROM documents)),
+          MS AS (SELECT source, h FROM
+                 (SELECT source, h, row_number() OVER
+                    (PARTITION BY source ORDER BY h) AS rn FROM D)
+                WHERE rn <= 256),
+          PS AS (SELECT source, max(h) AS kth_hash,
+                 CAST(count(*) AS BIGINT) AS n FROM MS GROUP BY source),
+          MM AS (SELECT h FROM (SELECT DISTINCT h FROM MS)
+                ORDER BY h LIMIT 256),
+          MK AS (SELECT max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS n
+                FROM MM)
+          SELECT source, CAST(256 AS BIGINT) AS k, kth_hash,
+            CAST(CASE WHEN n < 256 THEN n
+                 ELSE CAST((255::HUGEINT * 1152921504606846976) // kth_hash
+                      AS BIGINT) END AS BIGINT) AS est_distinct
+          FROM (SELECT source, kth_hash, n FROM PS
+                UNION ALL SELECT '_merged', kth_hash, n FROM MK)
+          ORDER BY source"""
     )
 }

@@ -1727,6 +1727,17 @@ object SparkEntry {
       .orderBy(col("round"))
   }
 
+  /** KMV mergeability (q215): per-source k-min sketches plus a
+    * `_merged` row rebuilt ONLY from those k-sets — losslessly equal
+    * to the direct global sketch, the algebra that lets 1000
+    * executors (or ingest days) each keep a k-set and still answer
+    * corpus-wide distinct by shipping sources·k longs. See
+    * Sketches.kmvPerSourceMerge.
+    */
+  private def qKmvMerge(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvPerSourceMerge(
+      t(s, dir, "documents"), "text", "source")
+
   /** Benchmark decontamination (operators.Decontaminate.sharedNgrams):
     * every 97th document plays the eval set; the rest of the corpus is
     * checked for shared word 3-grams (distinct per doc) against it.
@@ -3294,7 +3305,8 @@ object SparkEntry {
     "q211_video_frames" -> (qVideoFrames _),
     "q212_image_dup_clusters" -> (qImageDupClusters _),
     "q213_bpe_train" -> (qBpeTrain _),
-    "q214_inc_media" -> (qIncMedia _))
+    "q214_inc_media" -> (qIncMedia _),
+    "q215_kmv_merge" -> (qKmvMerge _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

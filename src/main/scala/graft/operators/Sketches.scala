@@ -176,6 +176,59 @@ object Sketches {
                    DIV kth_hash AS BIGINT) END AS BIGINT)""").as("est_distinct"))
   }
 
+  /** KMV MERGEABILITY — the property that makes sketches distributed
+    * infrastructure rather than a single-pass trick: per-source k-min
+    * sets union and re-cut to k, and because every hash in the global
+    * k-min set is necessarily inside its own source's k-min set, the
+    * merged sketch is IDENTICAL to the sketch a direct global pass
+    * builds — lossless, not approximately-correct. This is how a
+    * 1000-executor fleet (or 1000 ingest days) each keep a k-set and
+    * still answer corpus-wide distinct: ship sources·k longs, never
+    * the gram stream.
+    *
+    * Output: one row per source — (source, k, kth_hash, est_distinct)
+    * — plus a `_merged` row built ONLY from the per-source k-sets
+    * (union → distinct → k smallest), whose estimate therefore equals
+    * q202's direct global sketch. Sources with fewer than k distinct
+    * grams estimate exactly (the k-set holds everything), and so does
+    * the merged row when the union stays under k.
+    *
+    * Scale: the per-(source, hash) distinct is one shuffle; the k-cut
+    * is a bounded per-source window; everything after operates on
+    * ≤ sources·k rows. (The accumulator form — [[kmvSketchGrams]] —
+    * is the shuffle-free production variant; this row exists to pin
+    * the merge algebra.)
+    */
+  def kmvPerSourceMerge(docs: DataFrame, textCol: String,
+      sourceCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    import graft.functions.{md5Long, rawShingles}
+    val d = docs.select(col(sourceCol).as("source"),
+        explode(rawShingles(lower(col(textCol)), 3)).as("g"))
+      .select(col("source"), md5Long(col("g")).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    // the per-source k-min sets — ≤ sources·k rows, used twice
+    val mins = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .localCheckpoint(true)
+    def estCol = expr(
+      s"""CAST(CASE WHEN _n < $k THEN _n
+            ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * ${1L << 60})
+                 DIV kth_hash AS BIGINT) END AS BIGINT)""")
+    val perSource = mins.groupBy(col("source"))
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("_n"))
+      .select(col("source"), lit(k.toLong).as("k"), col("kth_hash"),
+        estCol.as("est_distinct"))
+    // LOSSLESS MERGE: union of k-sets → distinct → k smallest
+    val merged = mins.select(col("h")).distinct().orderBy(col("h")).limit(k)
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("_n"))
+      .select(lit("_merged").as("source"), lit(k.toLong).as("k"),
+        col("kth_hash"), estCol.as("est_distinct"))
+    perSource.unionByName(merged).orderBy(col("source"))
+  }
+
   def kmvDistinctGrams(docs: DataFrame, textCol: String,
       k: Int = 256): DataFrame = {
     require(k >= 2, s"need k >= 2, got $k")

@@ -2292,6 +2292,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("kmvPerSourceMerge: merged k-set sketch equals the direct global sketch") {
+    import graft.operators.Sketches
+    // enough gram mass per source that sketches engage (k small here)
+    val docs = (1 to 40).map { i =>
+      val src = s"s${i % 4}"
+      (i.toLong, src, (1 to 30).map(j => s"w${(i * 7 + j * 13) % 97}").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = Sketches.kmvPerSourceMerge(docs, "text", "source", k = 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set("s0", "s1", "s2", "s3", "_merged"))
+    // the merged row must equal the direct single-pass global sketch
+    val direct = Sketches.kmvSketchGrams(docs, "text", k = 16).collect()(0)
+    assert(out("_merged") == ((direct.getAs[Long]("kth_hash"),
+        direct.getAs[Long]("est_distinct"))),
+      s"lossless merge: ${out("_merged")} vs direct $direct")
+    // a source with fewer than k distinct grams estimates exactly
+    val tiny = Seq((1L, "a", "x y z")).toDF("doc_id", "source", "text")
+    val t = Sketches.kmvPerSourceMerge(tiny, "text", "source", k = 16).collect()
+    assert(t.forall(_.getAs[Long]("est_distinct") == 1L),
+      s"one distinct 3-gram -> exact estimate 1: ${t.toSeq}")
+  }
+
   test("suggestSemantic3Params: exact integer cube root of ceil(n/32), clamped") {
     import graft.operators.Dedup.suggestSemantic3Params
     assert(suggestSemantic3Params(1L) == 2)      // kTot=1 → floor at 2
