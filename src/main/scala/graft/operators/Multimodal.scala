@@ -1014,24 +1014,33 @@ object Multimodal {
         (ds, de) <- child(ts, te, "mdia")
         (ns, ne) <- child(ds, de, "minf")
         (ss, se) <- child(ns, ne, "stbl")
-        sizes <- child(ss, se, "stsz").flatMap { case (zs, _) =>
+        // every declared count is validated against the bytes that
+        // must back it BEFORE allocating — a corrupt/hostile count
+        // must degrade to None, not attempt a 4-billion-entry Vector
+        // (OutOfMemoryError is fatal; the NonFatal catch would not
+        // save the executor)
+        sizes <- child(ss, se, "stsz").flatMap { case (zs, ze) =>
           val fixed = u32be(b, zs.toInt + 4)
           val count = u32be(b, zs.toInt + 8).toInt
-          if (count < 0 || count > (b.length / 4) + 1) None
+          if (count < 0 || count > b.length) None
           else if (fixed != 0) Some(Vector.fill(count)(fixed))
+          else if (zs + 12 + 4L * count > ze) None
           else Some(Vector.tabulate(count)(i => u32be(b, zs.toInt + 12 + 4 * i)))
         }
-        chunks <- child(ss, se, "stco").map { case (cs, _) =>
+        chunks <- child(ss, se, "stco").flatMap { case (cs, ce) =>
           val n = u32be(b, cs.toInt + 4).toInt
-          Vector.tabulate(n)(i => u32be(b, cs.toInt + 8 + 4 * i))
-        }.orElse(child(ss, se, "co64").map { case (cs, _) =>
+          if (n < 0 || cs + 8 + 4L * n > ce) None
+          else Some(Vector.tabulate(n)(i => u32be(b, cs.toInt + 8 + 4 * i)))
+        }.orElse(child(ss, se, "co64").flatMap { case (cs, ce) =>
           val n = u32be(b, cs.toInt + 4).toInt
-          Vector.tabulate(n)(i => u64be(b, cs.toInt + 8 + 8 * i))
+          if (n < 0 || cs + 8 + 8L * n > ce) None
+          else Some(Vector.tabulate(n)(i => u64be(b, cs.toInt + 8 + 8 * i)))
         })
-        runs <- child(ss, se, "stsc").map { case (rs, _) =>
+        runs <- child(ss, se, "stsc").flatMap { case (rs, re) =>
           val n = u32be(b, rs.toInt + 4).toInt
-          Vector.tabulate(n)(i => (u32be(b, rs.toInt + 8 + 12 * i),
-            u32be(b, rs.toInt + 12 + 12 * i)))
+          if (n < 0 || rs + 8 + 12L * n > re) None
+          else Some(Vector.tabulate(n)(i => (u32be(b, rs.toInt + 8 + 12 * i),
+            u32be(b, rs.toInt + 12 + 12 * i))))
         }
         if sizes.nonEmpty && chunks.nonEmpty && runs.nonEmpty
       } yield {

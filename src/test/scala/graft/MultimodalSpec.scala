@@ -401,6 +401,14 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mp4SampleTable("not an mp4 at all".getBytes).isEmpty)
     assert(Multimodal.mp4SampleTable(java.util.Arrays.copyOf(payload, 40)).isEmpty)
     assert(Multimodal.mp4SampleTable(null).isEmpty)
+    // a hostile stsz sample count (4 billion) must degrade to None,
+    // never attempt the allocation
+    val evil = payload.clone()
+    val stszAt = (0 until evil.length - 4)
+      .find(i => new String(evil, i, 4, "US-ASCII") == "stsz").get
+    evil(stszAt + 12) = 0x7f.toByte // count field := 0x7fxxxxxx
+    assert(Multimodal.mp4SampleTable(evil).isEmpty,
+      "corrupt sample count must not allocate")
   }
 
   test("resampleWavBytes: exact box-filter decimation; envelope bits survive even-sample decimation") {
