@@ -207,10 +207,21 @@ object Sketches {
         explode(rawShingles(lower(col(textCol)), 3)).as("g"))
       .select(col("source"), md5Long(col("g")).as("h"))
       .distinct()
+    // salted two-level k-cut: a straight per-source window would sort
+    // the source's ENTIRE distinct stream in one partition (the skew
+    // wall for a dominant source at corpus scale). Level 1 cuts k-min
+    // per (source, h mod 64) — 64-way parallel, and lossless because
+    // each of the true per-source k smallest is within its own salt
+    // bucket's k smallest — so level 2's window sees ≤ 64·k rows per
+    // source.
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), pmod(col("h"), lit(64))).orderBy(col("h"))
+    val pruned = d.withColumn("_rn1", row_number().over(w1))
+      .filter(col("_rn1") <= k).drop("_rn1")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("h"))
     // the per-source k-min sets — ≤ sources·k rows, used twice
-    val mins = d.withColumn("rn", row_number().over(w))
+    val mins = pruned.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
       .localCheckpoint(true)
     def estCol = expr(
