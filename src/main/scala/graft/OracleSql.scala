@@ -4486,6 +4486,46 @@ object OracleSql {
             cluster_size * CAST(count(*) AS BIGINT) AS n_docs
           FROM SZ GROUP BY cluster_size ORDER BY cluster_size""",
 
+    // the bipartite-CC twin shares q212's oracle verbatim: identical
+    // components by construction (see qImageDupClusters2)
+    "q216_image_dup_clusters2" ->
+      s"""WITH RECURSIVE
+          NB AS (SELECT count(*)::BIGINT AS n FROM documents),
+          BB AS (SELECT least(15, greatest(4, b))::BIGINT AS bb
+                FROM (SELECT min(b)::INT AS b FROM range(0, 61) t(b), NB
+                      WHERE (1::BIGINT << b) >= ((NB.n + 1) // 2))),
+          SD AS (SELECT doc_id, md5(coalesce(text,'')) AS seed
+                FROM documents),
+          G AS (SELECT doc_id,
+                 list_transform(range(0, 64), i ->
+                   ${md5long("seed || '|' || i::VARCHAR")} & 255) AS g
+                FROM SD),
+          S AS (SELECT doc_id, g, CAST(list_sum(g) AS BIGINT) AS total FROM G),
+          H AS (SELECT doc_id,
+                 list_sum(list_transform(range(0, 64), i ->
+                   CASE WHEN 64 * g[i+1] > total
+                     THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS uh
+                FROM S),
+          B AS (SELECT doc_id, t.band AS band,
+                 CAST((uh >> (t.band * 16)) & ((1::HUGEINT << bb.bb) - 1)
+                      AS BIGINT) AS bval
+                FROM H, BB bb, (SELECT unnest(range(4)) AS band) t),
+          P AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+                FROM B a JOIN B b2 ON a.band = b2.band AND a.bval = b2.bval
+                  AND a.doc_id < b2.doc_id),
+          EDGES AS (SELECT id_a AS src, id_b AS dst FROM P
+                    UNION SELECT id_b, id_a FROM P),
+          REACH(node, r) AS (
+            SELECT src, src FROM EDGES
+            UNION
+            SELECT e.dst, r.r FROM REACH r JOIN EDGES e ON e.src = r.node),
+          CL AS (SELECT node, min(r) AS cluster_id FROM REACH GROUP BY node),
+          SZ AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM CL GROUP BY cluster_id)
+          SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+            cluster_size * CAST(count(*) AS BIGINT) AS n_docs
+          FROM SZ GROUP BY cluster_size ORDER BY cluster_size""",
+
     // distributed BPE training: the q81 unrolled merge rounds, but the
     // CHECKED OUTPUT is the training trace itself — each round's
     // winning pair and its freq-weighted count (B$k now carries cnt)

@@ -657,6 +657,27 @@ object SparkEntry {
       .orderBy(col("cluster_size"))
   }
 
+  /** q212's dense-graph cure (q216): the SAME cluster histogram
+    * through Dedup.bucketConnectedComponents — components over the
+    * doc–bucket bipartite graph (n·bands membership edges) instead of
+    * the Σ C(|bucket|,2) pairwise candidate edges. Identical output
+    * by construction (every bucket cohabitant pairs in q212's
+    * maxHamming=64 graph, and any two docs in a bucket connect
+    * through the bucket node here), so the two rows share one oracle
+    * — and the slope table shows which formulation survives a dense
+    * corpus.
+    */
+  private def qImageDupClusters2(s: SparkSession, dir: String): DataFrame = {
+    val (bits, bands) = graft.operators.Dedup.suggestSimhashParams(
+      t(s, dir, "documents").count(), bands = 4)
+    val banded = graft.operators.Dedup.fingerprintBands(
+      imageAHashes(s, dir), "doc_id", "ahash",
+      bands = 4, strideBits = 16, maskBits = bits / bands)
+    graft.operators.Dedup.clusterSizeHistogram(
+        graft.operators.Dedup.bucketConnectedComponents(banded))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Real audio resample over the codec round-trip (q210): the q207
     * WAVs decode through the JDK codec, decimate 2:1 with exact
     * box-filter averaging (the anti-aliasing low-pass), re-encode at
@@ -3306,7 +3327,8 @@ object SparkEntry {
     "q212_image_dup_clusters" -> (qImageDupClusters _),
     "q213_bpe_train" -> (qBpeTrain _),
     "q214_inc_media" -> (qIncMedia _),
-    "q215_kmv_merge" -> (qKmvMerge _))
+    "q215_kmv_merge" -> (qKmvMerge _),
+    "q216_image_dup_clusters2" -> (qImageDupClusters2 _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -2292,6 +2292,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bucketConnectedComponents ≡ pairwise CC over the same banded frame") {
+    // hand-built bands: docs 1,2 share a bucket; 2,3 share another
+    // (transitively one component); 4,5 share; 6 sits alone
+    val banded = Seq(
+      (1L, 0, 10L), (2L, 0, 10L), (2L, 1, 20L), (3L, 1, 20L),
+      (4L, 0, 30L), (5L, 0, 30L), (6L, 2, 99L)
+    ).toDF("id", "band", "bval")
+    val viaBuckets = Dedup.bucketConnectedComponents(banded)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBuckets == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 4L), s"edge-less doc 6 must not be labeled: $viaBuckets")
+    // identical to the pairwise formulation over all bucket cohabitants
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val viaPairs = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPairs == viaBuckets, s"$viaPairs vs $viaBuckets")
+  }
+
   test("kmvPerSourceMerge: merged k-set sketch equals the direct global sketch") {
     import graft.operators.Sketches
     // enough gram mass per source that sketches engage (k small here)
