@@ -746,13 +746,13 @@ object Dedup {
     *
     * Formulation: alternating minimization on the two bipartite
     * halves — bucket label = min member label, doc label = min over
-    * its buckets, plus one pointer-doubling jump on the doc labels —
+    * its buckets, plus two pointer-doubling jumps on the doc labels —
     * so labels never leave doc-id space and each iteration is two
     * membership-keyed groupBys plus one label self-join, all linear.
     * (A first cut ran the generic node-union [[connectedComponents]]
     * over doc∪bucket nodes; measured 707 s at gen-sf0.1 with
     * per-iteration cost growing ~5× per round — the alternating form
-    * runs the same graph in ~21 s. See BASELINE.)
+    * runs the same graph in ~10 s. See BASELINE.)
     *
     * Input: the (id, band, bval) frame from [[fingerprintBands]].
     * Output: (id, cluster_id), cluster_id = min doc id of the
