@@ -4612,6 +4612,21 @@ object OracleSql {
                       AS BIGINT) END AS BIGINT) AS est_distinct
           FROM (SELECT source, kth_hash, n FROM PS
                 UNION ALL SELECT '_merged', kth_hash, n FROM MK)
-          ORDER BY source"""
+          ORDER BY source""",
+
+    // count-min mergeability: q62's exact top-20 with the engine's
+    // merge-equality and bound flags asserted (counter addition makes
+    // merged estimates bit-equal to the direct sketch; the bounds are
+    // the standard CMS guarantees — the q62 oracle contract)
+    "q217_cms_merge" ->
+      s"""WITH E AS (SELECT unnest(${toks("lower(text)")}) AS token FROM documents),
+          G AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM E GROUP BY token),
+          R AS (SELECT token, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM G)
+          SELECT token, rank, cnt,
+                 CAST(1 AS BIGINT) AS merged_eq_direct,
+                 CAST(1 AS BIGINT) AS cms_lower_ok, CAST(1 AS BIGINT) AS cms_upper_ok
+          FROM R WHERE rank <= 20
+          ORDER BY rank"""
     )
 }

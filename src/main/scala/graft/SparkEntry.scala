@@ -1759,6 +1759,17 @@ object SparkEntry {
     graft.operators.Sketches.kmvPerSourceMerge(
       t(s, dir, "documents"), "text", "source")
 
+  /** Count-min mergeability (q217): per-source sketches merged by
+    * counter addition — every merged estimate is BIT-EQUAL to the
+    * direct global sketch's (min over linearly-summing counters), so
+    * the engine-computed merged_eq_direct flag pins exact merge
+    * algebra, and the q62 bounds re-check on the merged estimates.
+    * See Sketches.cmsPerSourceMerge.
+    */
+  private def qCmsMerge(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.cmsPerSourceMerge(
+      t(s, dir, "documents"), "text", "source")
+
   /** Benchmark decontamination (operators.Decontaminate.sharedNgrams):
     * every 97th document plays the eval set; the rest of the corpus is
     * checked for shared word 3-grams (distinct per doc) against it.
@@ -3328,7 +3339,8 @@ object SparkEntry {
     "q213_bpe_train" -> (qBpeTrain _),
     "q214_inc_media" -> (qIncMedia _),
     "q215_kmv_merge" -> (qKmvMerge _),
-    "q216_image_dup_clusters2" -> (qImageDupClusters2 _))
+    "q216_image_dup_clusters2" -> (qImageDupClusters2 _),
+    "q217_cms_merge" -> (qCmsMerge _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

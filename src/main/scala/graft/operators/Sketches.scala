@@ -176,6 +176,61 @@ object Sketches {
                    DIV kth_hash AS BIGINT) END AS BIGINT)""").as("est_distinct"))
   }
 
+  /** COUNT-MIN MERGEABILITY — [[kmvPerSourceMerge]]'s companion for
+    * the frequency sketch: per-source count-min sketches (same
+    * eps/confidence/seed → identical hash functions) merge by
+    * COUNTER ADDITION, and because estimation takes a min over
+    * per-row counters that each sum linearly across sources, the
+    * merged sketch's every estimate is EXACTLY the direct global
+    * sketch's — not within-bound, bit-equal. The distributed shape:
+    * each source (executor, ingest day) keeps depth·width counters,
+    * the coordinator merges |sources| binaries, and the key stream
+    * never moves.
+    *
+    * Output: the q62 heavy-hitter table with a `merged_eq_direct`
+    * column — per top-`topN` token (exact counts), 1 iff the merged
+    * estimate equals the direct sketch's, plus the usual
+    * lower/upper-bound flags on the MERGED estimate. Driver state:
+    * |sources| sketch binaries + topN rows, never the stream.
+    */
+  def cmsPerSourceMerge(docs: DataFrame, textCol: String, sourceCol: String,
+      topN: Int = 20, eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(topN >= 1, s"need topN>=1, got $topN")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.tokens
+    val keyed = docs.select(col(sourceCol).as("source"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token").isNotNull)
+      .localCheckpoint() // one tokenize feeds three aggregates
+    val top = keyed.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topN).collect()
+    // |sources| sketch binaries — the only rows that reach the driver
+    val perSource = keyed.groupBy(col("source"))
+      .agg(expr(s"count_min_sketch(token, ${eps}d, ${confidence}d, $seed)").as("s"))
+      .collect().map(_.getAs[Array[Byte]]("s"))
+    require(perSource.nonEmpty, "empty corpus: nothing to sketch")
+    val merged = CountMinSketch.readFrom(new ByteArrayInputStream(perSource.head))
+    perSource.tail.foreach(b =>
+      merged.mergeInPlace(CountMinSketch.readFrom(new ByteArrayInputStream(b))))
+    val direct = CountMinSketch.readFrom(new ByteArrayInputStream(keyed
+      .agg(expr(s"count_min_sketch(token, ${eps}d, ${confidence}d, $seed)").as("s"))
+      .collect()(0).getAs[Array[Byte]](0)))
+    val bound = math.ceil(eps * merged.totalCount()).toLong
+    val rows = top.zipWithIndex.map { case (r, i) =>
+      val token = r.getString(0)
+      val cnt = r.getLong(1)
+      val est = merged.estimateCount(token)
+      (token, (i + 1).toLong, cnt,
+        if (est == direct.estimateCount(token)) 1L else 0L,
+        if (est >= cnt) 1L else 0L,
+        if (est <= cnt + bound) 1L else 0L)
+    }.toSeq
+    rows.toDF("token", "rank", "cnt", "merged_eq_direct",
+      "cms_lower_ok", "cms_upper_ok")
+  }
+
   /** KMV MERGEABILITY — the property that makes sketches distributed
     * infrastructure rather than a single-pass trick: per-source k-min
     * sets union and re-cut to k, and because every hash in the global
