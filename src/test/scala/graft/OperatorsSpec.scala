@@ -2313,6 +2313,22 @@ class OperatorsSpec extends SparkSpec {
     assert(viaPairs == viaBuckets, s"$viaPairs vs $viaBuckets")
   }
 
+  test("cmsPerSourceMerge: merged estimates bit-equal the direct sketch; exact ranks") {
+    import graft.operators.Sketches
+    val docs = Seq(
+      (1L, "a", "x x x y z common common"),
+      (2L, "b", "y y common w w w w"),
+      (3L, "b", "common x y z z")).toDF("doc_id", "source", "text")
+    val out = Sketches.cmsPerSourceMerge(docs, "text", "source", topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // exact counts: x=4, common=4, w=4, y=4, z=3 → top3 by (cnt desc, token)
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("common", 1L, 4L), ("w", 2L, 4L), ("x", 3L, 4L)), s"${out.toSeq}")
+    assert(out.forall(t => t._4 == 1L && t._5 == 1L && t._6 == 1L),
+      s"merge equality and bounds must hold: ${out.toSeq}")
+  }
+
   test("kmvPerSourceMerge: merged k-set sketch equals the direct global sketch") {
     import graft.operators.Sketches
     // enough gram mass per source that sketches engage (k small here)
