@@ -4627,6 +4627,26 @@ object OracleSql {
                  CAST(1 AS BIGINT) AS merged_eq_direct,
                  CAST(1 AS BIGINT) AS cms_lower_ok, CAST(1 AS BIGINT) AS cms_upper_ok
           FROM R WHERE rank <= 20
-          ORDER BY rank"""
+          ORDER BY rank""",
+
+    // schema evolution: replay both commits — commit 2 adds n_tokens
+    // — and the precombine merge; pre-evolution rows surface NULL for
+    // the added column (the engine's allowMissingColumns/mergeSchema
+    // path)
+    "q218_schema_evolution" ->
+      s"""WITH B1 AS (SELECT doc_id, lang,
+                 CAST(NULL AS BIGINT) AS n_tokens,
+                 CAST(1 AS BIGINT) AS batch_no FROM documents),
+          U2 AS (SELECT doc_id, 'xx' AS lang,
+                 CAST(len(${toks("text")}) AS BIGINT) AS n_tokens,
+                 CAST(2 AS BIGINT) AS batch_no
+                FROM documents WHERE doc_id % 5 = 0),
+          M AS (SELECT doc_id, lang, n_tokens, batch_no FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY batch_no DESC) AS rn
+                 FROM (SELECT * FROM B1 UNION ALL SELECT * FROM U2))
+                WHERE rn = 1)
+          SELECT doc_id, lang, n_tokens, batch_no
+          FROM M ORDER BY doc_id"""
     )
 }

@@ -1770,6 +1770,33 @@ object SparkEntry {
     graft.operators.Sketches.cmsPerSourceMerge(
       t(s, dir, "documents"), "text", "source")
 
+  /** Versioned-lake schema evolution (q218): commit 2 upserts rows
+    * carrying a column commit 1 never had — the add-column migration
+    * every long-lived lake table eventually performs. The engine path
+    * is upsert's `unionByName(allowMissingColumns)` merge plus
+    * mergeSchema snapshot reads: untouched buckets keep their old
+    * files (no rewrite — the evolution is METADATA-cheap), and the
+    * snapshot surfaces the union schema with nulls for pre-evolution
+    * rows. The oracle replays both commits and the precombine merge
+    * in SQL.
+    */
+  private def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q218_evo_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "doc_id", "batch_no",
+      numBuckets = 8)
+    val docs = t(s, dir, "documents")
+    vt.upsert(docs.select(col("doc_id"), col("lang"), lit(1L).as("batch_no")))
+    vt.upsert(docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), lit("xx").as("lang"),
+        tokenCount(col("text")).as("n_tokens"), lit(2L).as("batch_no")))
+    vt.snapshot
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("batch_no"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination (operators.Decontaminate.sharedNgrams):
     * every 97th document plays the eval set; the rest of the corpus is
     * checked for shared word 3-grams (distinct per doc) against it.
@@ -3340,7 +3367,8 @@ object SparkEntry {
     "q214_inc_media" -> (qIncMedia _),
     "q215_kmv_merge" -> (qKmvMerge _),
     "q216_image_dup_clusters2" -> (qImageDupClusters2 _),
-    "q217_cms_merge" -> (qCmsMerge _))
+    "q217_cms_merge" -> (qCmsMerge _),
+    "q218_schema_evolution" -> (qSchemaEvolution _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -542,6 +542,35 @@ class VersionedTableSpec extends SparkSpec {
     assert(out("e3").isEmpty)        // right ts=6 is after left ts=5
   }
 
+  test("schema evolution: added column surfaces with nulls; untouched buckets keep old files") {
+    val root = Fixtures.tmpDir("vt_evo").toString
+    val vt = new VersionedTable(spark, root, "id", "pre", numBuckets = 4)
+    val c1 = vt.upsert((1L to 8L).map(i => (i, 1L, s"v$i")).toDF("id", "pre", "val"))
+    // commit 2 adds `extra`, touching only a subset of keys/buckets
+    vt.upsert(Seq((4L, 2L, "v4b", 44L), (8L, 2L, "v8b", 88L))
+      .toDF("id", "pre", "val", "extra"))
+    val snap = vt.snapshot.orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("val"), Option(r.getAs[java.lang.Long]("extra"))))).toMap
+    assert(snap(4L) == (("v4b", Some(44L))) && snap(8L) == (("v8b", Some(88L))))
+    assert((1L to 8L).filterNot(Set(4L, 8L)).forall(i =>
+      snap(i) == ((s"v$i", None))), s"pre-evolution rows carry NULL extra: $snap")
+    // time travel to commit 1 shows the pre-evolution schema
+    assert(!vt.asOf(c1).columns.contains("extra"),
+      "the old commit must not grow the new column")
+    // the evolution is metadata-cheap: commit 2 rewrote only the
+    // touched buckets — the live snapshot still reads some commit-1
+    // bucket files (layout: <root>/<commit>/data/_bucket=<b>)
+    val c1Buckets = new java.io.File(s"$root/$c1/data").listFiles()
+      .count(_.getName.startsWith("_bucket="))
+    assert(c1Buckets >= 1, "commit 1 bucket dirs survive (shared via manifest)")
+    val c2 = vt.commits.last
+    val c2Buckets = new java.io.File(s"$root/$c2/data").listFiles()
+      .count(_.getName.startsWith("_bucket="))
+    assert(c2Buckets < 4,
+      s"commit 2 must rewrite only its touched buckets, saw $c2Buckets of 4")
+  }
+
   test("maintainPostings follows upsert+delete; untouched postings carry verbatim") {
     import org.apache.spark.sql.functions.col
     val root = Fixtures.tmpDir("idxmaint").toString
