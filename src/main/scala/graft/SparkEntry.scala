@@ -2958,7 +2958,7 @@ object SparkEntry {
       .select(col("doc_id"), col("text"), lit(2L).as("ver")))
     graft.operators.Decontaminate.maintainEvalFlags(
         docs.filter(!s1 && !s2), "doc_id", "text", vt,
-        prevTs = vt.commits.last, n = 3)
+        prevTs = vt.commits.last, n = 3) // commits is newest-first; .last = commit 1 (the prev snapshot)
       .orderBy(col("doc_id"))
   }
 
@@ -2989,7 +2989,7 @@ object SparkEntry {
     val cvt = new graft.operators.VersionedTable(s, scratch("cvt"), "id", "ver",
       numBuckets = 8)
     cvt.upsert(corpus.filter(col("id") % 2 === 0).withColumn("ver", lit(1L)))
-    val ts1 = cvt.commits.last
+    val ts1 = cvt.commits.head // exactly one commit exists here; head names "newest" explicitly
     val frozen = cvt.snapshot.select(col("id"), col("emb"))
     val coarse = Similarity.trainCentroids(frozen, k = 8, iters = 2)
     val books = Similarity.trainPqCodebooks(frozen, m = 2, k = 4, iters = 2)

@@ -2602,7 +2602,7 @@ class OperatorsSpec extends SparkSpec {
     val vt = new graft.operators.VersionedTable(spark, root, "doc_id", "ver",
       numBuckets = 2)
     vt.upsert(Seq((100L, "w1 w2 w3 w4", 1L)).toDF("doc_id", "text", "ver"))
-    val prevTs = vt.commits.last
+    val prevTs = vt.commits.head // single commit so far; head = commit 1
     vt.upsert(Seq((101L, "x1 x2 x3", 2L)).toDF("doc_id", "text", "ver"))
     val corpus = Seq(
       (10L, "w1 w2 w3 zz"),                 // 1 gram shared with commit 1
@@ -2642,7 +2642,7 @@ class OperatorsSpec extends SparkSpec {
       (6L, Seq(0.0, 0.1, 0.9, 1.0)), (8L, Seq(0.1, 0.0, 1.0, 0.9)))
       .toDF("id", "emb").withColumn("ver", lit(1L))
     cvt.upsert(base)
-    val ts1 = cvt.commits.last
+    val ts1 = cvt.commits.head // single commit so far; head = commit 1
     val frozen = cvt.snapshot.select("id", "emb")
     val coarse = Similarity.trainCentroids(frozen, k = 2, iters = 2)
     val books = Similarity.trainPqCodebooks(frozen, m = 2, k = 2, iters = 2)

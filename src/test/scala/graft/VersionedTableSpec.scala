@@ -564,7 +564,7 @@ class VersionedTableSpec extends SparkSpec {
     val c1Buckets = new java.io.File(s"$root/$c1/data").listFiles()
       .count(_.getName.startsWith("_bucket="))
     assert(c1Buckets >= 1, "commit 1 bucket dirs survive (shared via manifest)")
-    val c2 = vt.commits.last
+    val c2 = vt.commits.head // commits is newest-first; head = the evolution commit
     val c2Buckets = new java.io.File(s"$root/$c2/data").listFiles()
       .count(_.getName.startsWith("_bucket="))
     assert(c2Buckets < 4,
