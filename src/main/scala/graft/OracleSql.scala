@@ -4647,6 +4647,30 @@ object OracleSql {
                  FROM (SELECT * FROM B1 UNION ALL SELECT * FROM U2))
                 WHERE rn = 1)
           SELECT doc_id, lang, n_tokens, batch_no
-          FROM M ORDER BY doc_id"""
+          FROM M ORDER BY doc_id""",
+
+    // adaptive sign-bucket audit: bits re-derived from count(*) (the
+    // q84 derivation), bucket geometry + exact pair mass via integer
+    // division (both engines truncate: DuckDB // , Spark div), dup
+    // count at q23's production threshold
+    "q219_signbits_audit" ->
+      s"""WITH NE AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+          SB AS (SELECT greatest(4, least(30, b))::BIGINT AS bits
+                FROM (SELECT min(b)::INT AS b FROM range(0, 61) t(b), NE
+                      WHERE (1::BIGINT << b) >= NE.n)),
+          C AS (SELECT vec_id AS id, embedding AS emb,
+                 ${signBucketSql("embedding", 30)} & ((1::BIGINT << sb.bits) - 1) AS bucket
+                FROM embeddings, SB sb),
+          P AS (SELECT bucket, count(*)::BIGINT AS pop FROM C GROUP BY bucket),
+          G AS (SELECT (SELECT bits FROM SB) AS bits,
+                 count(*)::BIGINT AS n_buckets,
+                 max(pop)::BIGINT AS max_pop,
+                 (sum(pop * (pop - 1)) // 2)::BIGINT AS cand_pairs
+                FROM P),
+          D AS (SELECT count(*)::BIGINT AS dup_pairs
+                FROM C l JOIN C r ON l.bucket = r.bucket AND l.id < r.id
+                WHERE ${scoreFixedSql("l.emb", "r.emb")} >= 950000)
+          SELECT G.bits, G.n_buckets, G.max_pop, G.cand_pairs, D.dup_pairs
+          FROM G, D"""
     )
 }

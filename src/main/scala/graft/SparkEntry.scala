@@ -1028,6 +1028,32 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Adaptive sign-bucket audit (q219): q23's REAL threshold path
+    * (0.95) under count(*)-derived bit width, summarized as one row —
+    * chosen bits, occupied buckets, worst bucket population, exact
+    * candidate-pair mass Σ C(pop,2), and the thresholded near-dup
+    * count. q84 gates the full adaptive candidate stream; this row
+    * gates the GEOMETRY the adaptive law buys (pair mass stays ~linear
+    * in n because bits track log2 n) plus the production threshold,
+    * and stays non-trivial at every SF even when dup_pairs = 0.
+    */
+  private def qSignBitsAudit(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val bits = Dedup.suggestSignBits(embs.count(), dim = 64)
+    val pops = embs
+      .select(Similarity.signBucket(col("embedding"), bits).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("pop"))
+    val geo = pops.agg(
+      lit(bits.toLong).as("bits"),
+      count(lit(1)).as("n_buckets"),
+      max(col("pop")).as("max_pop"),
+      expr("sum(pop * (pop - 1)) div 2").as("cand_pairs"))
+    val dups = Dedup.embeddingNearDups(embs, "vec_id", "embedding",
+        threshold = 0.95, signBits = bits)
+      .agg(count(lit(1)).as("dup_pairs"))
+    geo.crossJoin(broadcast(dups)) // both sides are 1-row aggregates
+  }
+
   /** K8/S9 in the battery: the bucketed COW upsert merge itself
     * (operators.VersionedTable — Hudi recordkey/precombine semantics,
     * reference hudi/register_hudi.py:44-96). Builds a three-commit
@@ -3368,7 +3394,8 @@ object SparkEntry {
     "q215_kmv_merge" -> (qKmvMerge _),
     "q216_image_dup_clusters2" -> (qImageDupClusters2 _),
     "q217_cms_merge" -> (qCmsMerge _),
-    "q218_schema_evolution" -> (qSchemaEvolution _))
+    "q218_schema_evolution" -> (qSchemaEvolution _),
+    "q219_signbits_audit" -> (qSignBitsAudit _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
