@@ -19,6 +19,22 @@ object Fs {
       try s.iterator().asScala.toList finally s.close()
     }
 
+  /** Recursive copy of a directory tree (driver-local scratch only —
+    * e.g. seeding a fresh bench fixture from a pristine template
+    * without re-running the Spark write that produced it). */
+  def copyRecursively(from: Path, to: Path): Unit = {
+    val s = Files.walk(from)
+    val all = try s.iterator().asScala.toList finally s.close()
+    all.sortBy(_.getNameCount).foreach { src =>
+      val dst = to.resolve(from.relativize(src))
+      if (Files.isDirectory(src)) Files.createDirectories(dst)
+      else {
+        Files.createDirectories(dst.getParent)
+        Files.copy(src, dst)
+      }
+    }
+  }
+
   /** Recursive delete (no-op when absent), streams closed. */
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
