@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Battery regression tripwire (VERDICT r10 item 6).
+
+Compares a fresh `graft.Bench` JSON line against a reference archive
+(default: the newest bench_archive/*.json by mtime) and prints every
+query whose time exceeds `threshold`x the archived time, so battery
+drift is adjudicated by script instead of by hand against archives.
+
+Usage:
+  # pipe a fresh run:
+  SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Bench" 2>&1 | grep '"metric"' \
+      | sed 's/^\[info\] //' | python3 scripts/bench_regress.py
+  # or compare two saved files:
+  python3 scripts/bench_regress.py fresh.json [reference.json] [--threshold 1.5]
+
+Exit status: 0 = no query above threshold, 1 = regressions listed,
+2 = usage/reference problems. Queries present on only one side are
+reported informationally and are not regressions (batteries grow).
+"""
+import glob
+import json
+import os
+import sys
+
+THRESHOLD = 1.5
+# single-run times under this are dominated by fixed per-query overhead
+# (session dispatch, tiny-job scheduling); ratios on them are noise
+MIN_SECONDS = 0.5
+
+
+def load(path_or_stream):
+    if hasattr(path_or_stream, "read"):
+        text = path_or_stream.read()
+    else:
+        with open(path_or_stream) as f:
+            text = f.read()
+    # tolerate sbt-prefixed or multi-line input: take the last line
+    # holding a bench record
+    for line in reversed([l for l in text.splitlines() if '"metric"' in l]):
+        line = line.strip()
+        if line.startswith("[info]"):
+            line = line[len("[info]"):].strip()
+        return json.loads(line)
+    return json.loads(text)
+
+
+def newest_archive():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = glob.glob(os.path.join(here, "bench_archive", "*.json"))
+    if not paths:
+        return None
+    return max(paths, key=os.path.getmtime)
+
+
+def main(argv):
+    args = [a for a in argv if not a.startswith("--")]
+    thr = THRESHOLD
+    for a in argv:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1])
+    fresh_src = args[0] if args else sys.stdin
+    ref_src = args[1] if len(args) > 1 else newest_archive()
+    if ref_src is None:
+        print("bench_regress: no reference archive under bench_archive/", file=sys.stderr)
+        return 2
+    fresh, ref = load(fresh_src), load(ref_src)
+    fq, rq = fresh.get("queries", {}), ref.get("queries", {})
+    ref_name = ref_src if isinstance(ref_src, str) else "<stdin-ref>"
+    print(f"reference: {ref_name} ({len(rq)} queries, sf={ref.get('sf')})")
+    print(f"fresh:     {len(fq)} queries, sf={fresh.get('sf')}, "
+          f"total {fresh.get('value', float('nan')):.1f}s vs {ref.get('value', float('nan')):.1f}s archived")
+    only_fresh = sorted(set(fq) - set(rq))
+    only_ref = sorted(set(rq) - set(fq))
+    if only_fresh:
+        print(f"new queries (no archived time): {', '.join(only_fresh)}")
+    if only_ref:
+        print(f"archived-only (missing from fresh run): {', '.join(only_ref)}")
+    regressions = []
+    for name in sorted(set(fq) & set(rq)):
+        f, r = fq[name], rq[name]
+        if f < 0 or r <= 0:
+            if f < 0:
+                regressions.append((name, f, r, float("inf")))
+                print(f"FAILED   {name}: fresh run recorded failure (-1)")
+            continue
+        ratio = f / r
+        if ratio > thr and max(f, r) >= MIN_SECONDS:
+            regressions.append((name, f, r, ratio))
+    for name, f, r, ratio in sorted(regressions, key=lambda t: -t[3]):
+        if ratio != float("inf"):
+            print(f"REGRESS  {name}: {f:.2f}s vs {r:.2f}s archived ({ratio:.2f}x > {thr}x)")
+    if not regressions:
+        print(f"OK: no common query above {thr}x the archive (>= {MIN_SECONDS}s)")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

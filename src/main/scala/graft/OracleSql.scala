@@ -4671,6 +4671,31 @@ object OracleSql {
                 FROM C l JOIN C r ON l.bucket = r.bucket AND l.id < r.id
                 WHERE ${scoreFixedSql("l.emb", "r.emb")} >= 950000)
           SELECT G.bits, G.n_buckets, G.max_pop, G.cand_pairs, D.dup_pairs
-          FROM G, D"""
+          FROM G, D""",
+
+    // schema-migration lifecycle: replay the merge (q218's window
+    // idiom); the dropped lang column never surfaces, n_tok reads wide
+    // (commit-2 values exceed Int.MaxValue) under its post-rename
+    // name. The flags are deterministic schema contracts the engine
+    // computes from actual schemas (the q217 merged_eq_direct idiom).
+    "q220_schema_migrations" ->
+      s"""WITH B1 AS (SELECT doc_id,
+                 CAST(len(${toks("text")}) AS BIGINT) AS tok_count,
+                 CAST(1 AS BIGINT) AS pre FROM documents),
+          U2 AS (SELECT doc_id,
+                 CAST(len(${toks("text")}) AS BIGINT) + 3000000000 AS tok_count,
+                 CAST(2 AS BIGINT) AS pre
+                FROM documents WHERE doc_id % 5 = 0),
+          M AS (SELECT doc_id, tok_count FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY pre DESC) AS rn
+                 FROM (SELECT * FROM B1 UNION ALL SELECT * FROM U2))
+                WHERE rn = 1)
+          SELECT doc_id, tok_count,
+            CAST(1 AS BIGINT) AS old_has_lang,
+            CAST(1 AS BIGINT) AS old_n_tok_int,
+            CAST(1 AS BIGINT) AS live_migrated,
+            CAST(1 AS BIGINT) AS live_wide
+          FROM M ORDER BY doc_id"""
     )
 }

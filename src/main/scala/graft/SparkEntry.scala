@@ -1832,6 +1832,50 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Schema-migration lifecycle (q220): q218 widened to the full set of
+    * migrations a long-lived table performs. Commit 1 writes n_tok as
+    * INT; commit 2 upserts every 5th doc with a BIGINT n_tok beyond
+    * Int.MaxValue (implicit widening — VersionedTable's per-writer
+    * grouped-union read coerces table-wide where parquet mergeSchema
+    * refuses mixed int/long files); then dropColumn("lang") and
+    * renameColumn("n_tok", "tok_count") migrate the live schema as
+    * full-rewrite commits. Output = final snapshot + engine-computed
+    * schema-contract flags: the pre-evolution commit still time-travels
+    * to int + lang; the live snapshot reads long + renamed + no lang.
+    * Flags are deterministic contracts (the q217 merged_eq_direct
+    * idiom). See VersionedTable.readGrouped/dropColumn/renameColumn.
+    */
+  private def qSchemaMigrations(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q220_mig_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "doc_id", "pre",
+      numBuckets = 4)
+    val docs = t(s, dir, "documents")
+    val c1 = vt.upsert(docs.select(col("doc_id"), col("lang"),
+      tokenCount(col("text")).cast("int").as("n_tok"), lit(1L).as("pre")))
+    vt.upsert(docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"),
+      lit("xx").as("lang"),
+      (tokenCount(col("text")) + lit(3000000000L)).as("n_tok"),
+      lit(2L).as("pre")))
+    vt.dropColumn("lang")
+    vt.renameColumn("n_tok", "tok_count")
+    val old = vt.asOf(c1); val snap = vt.snapshot
+    val flags = Seq((
+      if (old.columns.contains("lang")) 1L else 0L,
+      if (old.schema("n_tok").dataType == IntegerType) 1L else 0L,
+      if (!snap.columns.contains("lang") && snap.columns.contains("tok_count")) 1L
+      else 0L,
+      if (snap.schema("tok_count").dataType == LongType) 1L else 0L)).toList
+    val flagsDf = s.createDataFrame(flags).toDF(
+      "old_has_lang", "old_n_tok_int", "live_migrated", "live_wide")
+    snap.select(col("doc_id"), col("tok_count"))
+      .crossJoin(broadcast(flagsDf)) // 1-row schema-contract flags
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination (operators.Decontaminate.sharedNgrams):
     * every 97th document plays the eval set; the rest of the corpus is
     * checked for shared word 3-grams (distinct per doc) against it.
@@ -3451,7 +3495,8 @@ object SparkEntry {
     "q216_image_dup_clusters2" -> (qImageDupClusters2 _),
     "q217_cms_merge" -> (qCmsMerge _),
     "q218_schema_evolution" -> (qSchemaEvolution _),
-    "q219_signbits_audit" -> (qSignBitsAudit _))
+    "q219_signbits_audit" -> (qSignBitsAudit _),
+    "q220_schema_migrations" -> (qSchemaMigrations _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

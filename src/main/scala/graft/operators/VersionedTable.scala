@@ -150,11 +150,28 @@ final class VersionedTable(spark: SparkSession, root: String,
   private def readCommit(ts: String): DataFrame = {
     val m = readManifest(ts)
     if (m.isEmpty) spark.read.parquet(s"$root/$ts")
-    else {
-      val paths = m.toSeq.sortBy(_._1).map { case (b, c) => bucketPath(b, c) }
-      spark.read.option("mergeSchema", "true").parquet(paths: _*)
-    }
+    else readGrouped(m)
   }
+
+  /** Manifest-driven read with SCHEMA EVOLUTION across commits: bucket
+    * files are grouped by their writing commit (files inside one commit
+    * share a schema) and the groups are unioned by name with implicit
+    * up-cast coercion — a column a later commit ADDED null-fills on
+    * pre-evolution rows, and a column a later commit WIDENED (int→long,
+    * the union's wider common type) reads as the wide type table-wide.
+    * Plain parquet `mergeSchema` refuses mixed int/long files outright,
+    * so the union-of-groups IS the widening read path. Groups are
+    * unioned oldest-writer-first so the oldest schema anchors column
+    * order and evolved columns append. Scans stay manifest-pruned and
+    * filters/pruning push into every branch; the branch count is
+    * bounded by the distinct writer commits a manifest references,
+    * which [[clean]] keeps small.
+    */
+  private def readGrouped(m: Map[Int, String]): DataFrame =
+    m.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (c, kvs) =>
+        spark.read.parquet(kvs.map(kv => bucketPath(kv._1, c)).sorted: _*) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** COW upsert: touched buckets' latest rows ⟕ updates, keep
     * max-precombine row per key; on precombine ties the incoming
@@ -196,10 +213,8 @@ final class VersionedTable(spark: SparkSession, root: String,
         val touched = updates0.select(bucketExpr.as("b")).distinct()
           .collect().map(_.getLong(0).toInt).toSet
         touchedProbe = Some(touched)
-        val prevPaths = touched.toSeq.sorted
-          .flatMap(b => prevManifest.get(b).map(c => bucketPath(b, c)))
-        if (prevPaths.isEmpty) None
-        else Some(spark.read.option("mergeSchema", "true").parquet(prevPaths: _*))
+        val touchedM = prevManifest.filter { case (b, _) => touched(b) }
+        if (touchedM.isEmpty) None else Some(readGrouped(touchedM))
     }
     val merged = prevData match {
       case None => tagged
@@ -269,9 +284,8 @@ final class VersionedTable(spark: SparkSession, root: String,
         val touched = keys.select(bucketExpr.as("b")).distinct()
           .collect().map(_.getLong(0).toInt).toSet
         val live = touched.filter(prevManifest.contains)
-        val paths = live.toSeq.sorted.map(b => bucketPath(b, prevManifest(b)))
-        (if (paths.isEmpty) None
-         else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*)), live)
+        val liveM = prevManifest.filter { case (b, _) => live(b) }
+        (if (liveM.isEmpty) None else Some(readGrouped(liveM)), live)
       }
     var survOpt: Option[DataFrame] = None
     val written: Seq[Int] = prevData match {
@@ -334,10 +348,9 @@ final class VersionedTable(spark: SparkSession, root: String,
         val changed = (mA.keySet ++ mB.keySet)
           .filter(bk => mA.get(bk) != mB.get(bk))
         def side(m: Map[Int, String]): DataFrame = {
-          val paths = m.toSeq.filter(kv => changed(kv._1)).sortBy(_._1)
-            .map { case (bk, c) => bucketPath(bk, c) }
-          if (paths.isEmpty) readCommit(dirA).filter(lit(false)) // schema-only
-          else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+          val cm = m.filter(kv => changed(kv._1))
+          if (cm.isEmpty) readCommit(dirA).filter(lit(false)) // schema-only
+          else readGrouped(cm)
         }
         (side(mA), side(mB))
       }
@@ -407,6 +420,25 @@ final class VersionedTable(spark: SparkSession, root: String,
     */
   def rebucket(newBuckets: Int): VersionedTable = {
     require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
+    val migrated = new VersionedTable(spark, root, recordKey, precombine, newBuckets)
+    migrationCommit(identity, migrated, newBuckets)
+    migrated
+  }
+
+  /** Full-snapshot rewrite commit — the shared engine of [[rebucket]]
+    * and the schema migrations below. Reads the current snapshot,
+    * applies `transform`, rewrites every bucket under `target`'s
+    * layout, and stamps a complete manifest (all buckets → this
+    * commit). Per-row `_commit_time`s are preserved — a migration
+    * moves bytes, not records, so [[incremental]] consumers see no
+    * phantom changes. Older commits keep their own schema and layout:
+    * every read is driven by its commit's manifest, so [[asOf]] before
+    * the migration returns the pre-migration schema (the time-travel
+    * contract a long-lived table depends on). Crash-safe like
+    * [[upsert]]: data before manifest.
+    */
+  private def migrationCommit(transform: DataFrame => DataFrame,
+      target: VersionedTable, targetBuckets: Int): String = {
     val prev = commitDirs.lastOption.getOrElse(sys.error(s"no commits under $root"))
     // same open-guard as upsert: refuse to migrate a table opened with
     // the wrong current bucket count (the caller's mental model of the
@@ -415,7 +447,6 @@ final class VersionedTable(spark: SparkSession, root: String,
       require(stored == numBuckets,
         s"table at $root was written with numBuckets=$stored, opened with $numBuckets")
     }
-    val migrated = new VersionedTable(spark, root, recordKey, precombine, newBuckets)
     val ts = newCommitTs()
     val snap = readCommit(prev)
     // legacy (pre-bucketing) snapshots carry no per-row commit time;
@@ -423,11 +454,64 @@ final class VersionedTable(spark: SparkSession, root: String,
     val stamped =
       if (snap.columns.contains(CommitCol)) snap
       else snap.withColumn(CommitCol, lit(ts))
-    stamped.withColumn(BucketCol, migrated.bucketExpr)
-      .repartition(newBuckets, col(BucketCol)) // ~one file per bucket (see upsert)
+    val out = transform(stamped)
+    require(out.columns.contains(CommitCol),
+      "migration transform must preserve the per-row commit-time column")
+    out.withColumn(BucketCol, target.bucketExpr)
+      .repartition(targetBuckets, col(BucketCol)) // ~one file per bucket (see upsert)
       .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$ts/data")
-    migrated.writeManifest(ts, writtenBuckets(ts).map(_ -> ts).toMap)
-    migrated
+    target.writeManifest(ts, writtenBuckets(ts).map(_ -> ts).toMap)
+    ts
+  }
+
+  private def requireMigratable(name: String): Unit =
+    require(name != recordKey && name != precombine && name != CommitCol,
+      s"column $name is structural (recordKey/precombine/$CommitCol) and cannot be migrated")
+
+  /** Schema migration: DROP a payload column from the live schema as a
+    * full-rewrite commit. Older commits keep the column ([[asOf]]
+    * before the drop still reads it); [[upsert]]s after the drop must
+    * not reintroduce it unless the evolution is intended — an upsert
+    * carrying the column simply ADDS it back (null on other rows), the
+    * same add-column path as any new column.
+    */
+  def dropColumn(name: String): String = {
+    requireMigratable(name)
+    require(snapshot.columns.contains(name), s"no column $name to drop")
+    migrationCommit(_.drop(name), this, numBuckets)
+  }
+
+  /** Schema migration: RENAME a payload column in the live schema as a
+    * full-rewrite commit; older commits keep the old name.
+    */
+  def renameColumn(from: String, to: String): String = {
+    requireMigratable(from); requireMigratable(to)
+    val cols = snapshot.columns
+    require(cols.contains(from), s"no column $from to rename")
+    require(!cols.contains(to), s"column $to already exists")
+    migrationCommit(_.withColumnRenamed(from, to), this, numBuckets)
+  }
+
+  /** Schema migration: WIDEN a column's type (int→long, float→double,
+    * …) as a full-rewrite commit. Only lossless up-casts are allowed
+    * (Catalyst's `Cast.canUpCast` — the same rule ANSI store
+    * assignment uses), so a widen can never corrupt data. Note the
+    * read path already widens IMPLICITLY when a later commit writes a
+    * wider type into some buckets (see [[readGrouped]]); the explicit
+    * form rewrites the files so every bucket carries the wide type —
+    * the difference between "reads as long" and "is long on disk".
+    * Widening the precombine or recordKey column is allowed: key
+    * hashing goes through the string form (bucket-stable) and
+    * precombine ordering is preserved by any up-cast.
+    */
+  def widenColumn(name: String, toType: String): String = {
+    val schema = snapshot.schema
+    require(schema.fieldNames.contains(name), s"no column $name to widen")
+    val from = schema(name).dataType
+    val to = org.apache.spark.sql.types.DataType.fromDDL(toType)
+    require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to),
+      s"cast ${from.simpleString} -> ${to.simpleString} is not a lossless widening")
+    migrationCommit(_.withColumn(name, col(name).cast(to)), this, numBuckets)
   }
 
   /** Incremental pull (Hudi incremental-query semantics): records whose
@@ -450,11 +534,9 @@ final class VersionedTable(spark: SparkSession, root: String,
         else if (latest > sinceTs) df
         else df.filter(lit(false))
       } else {
-        val touched = m.filter { case (_, c) => c > sinceTs }.toSeq.sortBy(_._1)
+        val touched = m.filter { case (_, c) => c > sinceTs }
         if (touched.isEmpty) snapshot.filter(lit(false))
-        else spark.read.option("mergeSchema", "true")
-          .parquet(touched.map { case (b, c) => bucketPath(b, c) }: _*)
-          .filter(col(CommitCol) > sinceTs)
+        else readGrouped(touched).filter(col(CommitCol) > sinceTs)
       }
   }
 

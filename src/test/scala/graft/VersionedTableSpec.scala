@@ -571,6 +571,60 @@ class VersionedTableSpec extends SparkSpec {
       s"commit 2 must rewrite only its touched buckets, saw $c2Buckets of 4")
   }
 
+  test("implicit widening: later long commit reads table-wide as long; old commit keeps int") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val root = Fixtures.tmpDir("vt_widen_i").toString
+    val vt = new VersionedTable(spark, root, "id", "pre", numBuckets = 4)
+    val c1 = vt.upsert((1L to 8L).map(i => (i, 1L, i.toInt * 10)).toDF("id", "pre", "n")
+      .select(col("id"), col("pre"), col("n").cast("int").as("n")))
+    // commit 2 writes n as BIGINT with values beyond Int.MaxValue —
+    // mergeSchema would refuse the mixed int/long files outright
+    vt.upsert(Seq((4L, 2L, 3000000004L), (8L, 2L, 3000000008L)).toDF("id", "pre", "n"))
+    val snap = vt.snapshot
+    assert(snap.schema("n").dataType == LongType, "snapshot reads wide")
+    val m = snap.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n")).toMap
+    assert(m(4L) == 3000000004L && m(8L) == 3000000008L && m(1L) == 10L, s"$m")
+    assert(vt.asOf(c1).schema("n").dataType == IntegerType,
+      "time travel: the old commit keeps its narrow schema")
+  }
+
+  test("dropColumn/renameColumn migrate the live schema only; history and commit times survive") {
+    import org.apache.spark.sql.functions.col
+    val root = Fixtures.tmpDir("vt_mig").toString
+    val vt = new VersionedTable(spark, root, "id", "pre", numBuckets = 4)
+    val c1 = vt.upsert((1L to 8L).map(i => (i, 1L, s"a$i", s"b$i")).toDF("id", "pre", "a", "b"))
+    val cDrop = vt.dropColumn("a")
+    assert(!vt.snapshot.columns.contains("a") && vt.asOf(c1).columns.contains("a"),
+      "drop is live-only; time travel resurrects the column")
+    val cRen = vt.renameColumn("b", "bb")
+    val cols = vt.snapshot.columns.toSet
+    assert(cols.contains("bb") && !cols.contains("b"), s"$cols")
+    assert(vt.asOf(cDrop).columns.contains("b"), "pre-rename commit keeps the old name")
+    assert(vt.snapshot.orderBy("id").collect().map(_.getAs[String]("bb")).toSeq ==
+      (1L to 8L).map(i => s"b$i"), "values carry through both migrations")
+    // migrations move bytes, not records: per-row commit times are
+    // preserved, so an incremental consumer sees no phantom changes
+    assert(vt.incremental(c1).count() == 0L,
+      "migration commits must be invisible to incremental reads")
+    intercept[IllegalArgumentException](vt.dropColumn("id"))
+    intercept[IllegalArgumentException](vt.renameColumn("bb", "pre"))
+  }
+
+  test("widenColumn: explicit widen rewrites on disk; narrowing refused") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.LongType
+    val root = Fixtures.tmpDir("vt_widen_x").toString
+    val vt = new VersionedTable(spark, root, "id", "pre", numBuckets = 4)
+    vt.upsert((1L to 6L).map(i => (i, 1L, i.toInt)).toDF("id", "pre", "n")
+      .select(col("id"), col("pre"), col("n").cast("int").as("n")))
+    vt.widenColumn("n", "bigint")
+    assert(vt.snapshot.schema("n").dataType == LongType)
+    assert(vt.snapshot.orderBy("id").collect().map(_.getAs[Long]("n")).toSeq ==
+      (1L to 6L), "values are preserved by the widen")
+    intercept[IllegalArgumentException](vt.widenColumn("n", "int"))
+  }
+
   test("maintainPostings follows upsert+delete; untouched postings carry verbatim") {
     import org.apache.spark.sql.functions.col
     val root = Fixtures.tmpDir("idxmaint").toString
