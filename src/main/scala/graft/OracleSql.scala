@@ -4618,6 +4618,16 @@ object OracleSql {
     // merge-equality and bound flags asserted (counter addition makes
     // merged estimates bit-equal to the direct sketch; the bounds are
     // the standard CMS guarantees — the q62 oracle contract)
+    // NOTE on cms_upper_ok: merged_eq_direct and cms_lower_ok are hard
+    // CMS guarantees (estimate >= true count always; merge is counter
+    // addition, bit-equal by construction), but the UPPER bound
+    // `est <= true + eps·N` holds only with prob >= confidence per
+    // item. Asserting 1 follows the q62 precedent CONSCIOUSLY: at the
+    // battery's eps/width and the generated token distributions the
+    // bound holds deterministically at every driver/gen SF we probe
+    // (re-checked through gen-sf10); a future SF or tokenizer change
+    // that makes the engine correctly emit 0 should widen this flag,
+    // not be "fixed" in the sketch.
     "q217_cms_merge" ->
       s"""WITH E AS (SELECT unnest(${toks("lower(text)")}) AS token FROM documents),
           G AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM E GROUP BY token),

@@ -805,6 +805,14 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // a non-fixpoint result must not masquerade as final clusters:
+    // downstream histograms would silently diverge from the full CC.
+    // Pointer-doubling converges in O(log diameter) rounds, so hitting
+    // the cap is an anomaly worth failing loudly on, not a tail case.
+    if (!done) sys.error(
+      s"bucketConnectedComponents did not reach a fixpoint in $maxIter " +
+        "iterations; raise maxIter (rounds needed ~ log2 of the longest " +
+        "bucket-chain diameter)")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -1023,7 +1023,13 @@ object Multimodal {
           val fixed = u32be(b, zs.toInt + 4)
           val count = u32be(b, zs.toInt + 8).toInt
           if (count < 0 || count > b.length) None
-          else if (fixed != 0) Some(Vector.fill(count)(fixed))
+          // fixed-size path is byte-backed too: count samples of
+          // `fixed` bytes each must fit in the payload, else a few-MB
+          // file declaring millions of samples allocates a boxed
+          // Vector hundreds of MB large before any range check fires
+          else if (fixed != 0)
+            (if (fixed > b.length || count.toLong * fixed > b.length) None
+             else Some(Vector.fill(count)(fixed)))
           else if (zs + 12 + 4L * count > ze) None
           else Some(Vector.tabulate(count)(i => u32be(b, zs.toInt + 12 + 4 * i)))
         }

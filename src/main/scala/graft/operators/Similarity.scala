@@ -197,11 +197,16 @@ object Similarity {
       "centroid ids must be 0..k-1")
     val spark = df.sparkSession
     import spark.implicits._
+    // internal column name must be collision-proof: a caller frame
+    // already carrying `_cents` would make the reference ambiguous (or
+    // the drop would eat the caller's column) — suffix until free
+    val cents = Iterator.from(0).map(i => if (i == 0) "_cents" else s"_cents$i")
+      .find(n => !df.columns.contains(n)).get
     val centArr = ordered.toDF("cid2", "cemb")
-      .agg(array_sort(collect_list(struct(col("cid2"), col("cemb")))).as("_cents"))
+      .agg(array_sort(collect_list(struct(col("cid2"), col("cemb")))).as(cents))
     df.crossJoin(broadcast(centArr))
-      .withColumn("cid", graft.expressions.BestCell(col("emb"), col("_cents")))
-      .drop("_cents")
+      .withColumn("cid", graft.expressions.BestCell(col("emb"), col(cents)))
+      .drop(cents)
   }
 
   /** Public coarse-cell assignment — (id, emb, cid) with the same
