@@ -103,43 +103,35 @@ final class ParquetControlBackend(spark: SparkSession, root: String,
   */
 final class JdbcControlBackend(spark: SparkSession, url: String) extends ControlBackend {
   import java.sql.{Connection, DriverManager, SQLException, Types}
-  import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+  import org.apache.spark.sql.types.{IntegerType, LongType}
   JdbcControlBackend.init()
+
+  /** Resolved from the URL, so pointing the same code at
+    * `jdbc:postgresql://…` — the reference's actual control plane,
+    * etl/db.py:12-34 — is a config-only swap: every emitted statement
+    * is the ANSI intersection and only the type/SQLState entries in
+    * the dialect differ. See [[JdbcControlBackend.SqlDialect]].
+    */
+  private val dialect = JdbcControlBackend.dialectForUrl(url)
 
   private def withConn[A](f: Connection => A): A = {
     val c = DriverManager.getConnection(url)
     try f(c) finally c.close()
   }
 
-  /** Unbounded-text fields (error samples, details blobs) go to CLOB so
-    * a long value can't make this backend reject an append the parquet
-    * and in-memory backends accept (Derby SQLState 22001 truncation).
-    * Key/short fields stay VARCHAR — Derby forbids comparisons on CLOB,
-    * and Spark pushes equality filters (batch_id etc.) into the query.
-    */
-  private val clobFields = Set("details_json", "error_details", "details")
-
-  private def sqlType(f: org.apache.spark.sql.types.StructField): String = f.dataType match {
-    case LongType => "BIGINT"
-    case IntegerType => "INTEGER"
-    case org.apache.spark.sql.types.DoubleType => "DOUBLE"
-    case _ if clobFields.contains(f.name) => "CLOB"
-    case _ => "VARCHAR(32000)"
-  }
-
   private def jdbcType(f: org.apache.spark.sql.types.StructField): Int = f.dataType match {
     case LongType => Types.BIGINT
     case IntegerType => Types.INTEGER
     case org.apache.spark.sql.types.DoubleType => Types.DOUBLE
-    case _ if clobFields.contains(f.name) => Types.CLOB
+    case _ if JdbcControlBackend.unboundedTextFields.contains(f.name) => Types.CLOB
     case _ => Types.VARCHAR
   }
 
   private def ensureTable(c: Connection, table: String, schema: StructType): Unit = {
-    val cols = schema.map(f => s""""${f.name}" ${sqlType(f)}""").mkString(", ")
     val st = c.createStatement()
-    try st.executeUpdate(s"""CREATE TABLE "$table" ($cols)""")
-    catch { case e: SQLException if e.getSQLState == "X0Y32" => () } // exists
+    try st.executeUpdate(JdbcControlBackend.createTableSql(table, schema, dialect))
+    catch { case e: SQLException
+      if dialect.duplicateTableStates.contains(e.getSQLState) => () } // exists
     finally st.close()
   }
 
@@ -165,9 +157,7 @@ final class JdbcControlBackend(spark: SparkSession, url: String) extends Control
         "control-plane records only; write data-plane frames to the lake " +
         "(parquet/VersionedTable), not the RDBMS")
     ensureTable(c, table, df.schema)
-    val cols = df.schema.map(f => s""""${f.name}"""").mkString(", ")
-    val marks = df.schema.map(_ => "?").mkString(", ")
-    val ps = c.prepareStatement(s"""INSERT INTO "$table" ($cols) VALUES ($marks)""")
+    val ps = c.prepareStatement(JdbcControlBackend.insertSql(table, df.schema))
     try {
       rows.foreach { row =>
         df.schema.indices.foreach { i =>
@@ -194,6 +184,60 @@ object JdbcControlBackend {
     * a data-plane frame.
     */
   val MaxControlRows = 10000
+
+  /** The dialect seam — the ONLY place backend SQL may vary. Every
+    * statement this backend emits (enumerated by [[createTableSql]] /
+    * [[insertSql]], pinned by ProvenanceSpec's portability test) is
+    * the ANSI intersection of Derby and Postgres: quoted
+    * case-preserving identifiers, `CREATE TABLE`, positional-`?`
+    * `INSERT` — no upserts (the control plane is append-only, state
+    * transitions are new rows), no sequences/SERIAL, no vendor DDL.
+    * What genuinely differs between the engines is captured here:
+    * the unbounded-text type name (Derby CLOB / Postgres TEXT — Derby
+    * has no TEXT, Postgres no CLOB) and the duplicate-table SQLState
+    * the create-if-absent probe must swallow. `DOUBLE PRECISION` is
+    * the one spelling both accept, so it is emitted for both.
+    */
+  final case class SqlDialect(name: String, doubleType: String,
+      unboundedText: String, duplicateTableStates: Set[String])
+  val Derby = SqlDialect("derby", "DOUBLE PRECISION", "CLOB", Set("X0Y32"))
+  val Postgres = SqlDialect("postgres", "DOUBLE PRECISION", "TEXT", Set("42P07"))
+
+  def dialectForUrl(url: String): SqlDialect =
+    if (url.startsWith("jdbc:postgresql:")) Postgres else Derby
+
+  /** Unbounded-text fields (error samples, details blobs) get the
+    * dialect's unbounded type so a long value can't make this backend
+    * reject an append the parquet and in-memory backends accept (Derby
+    * SQLState 22001 truncation). Key/short fields stay VARCHAR — Derby
+    * forbids comparisons on CLOB, and Spark pushes equality filters
+    * (batch_id etc.) into the query.
+    */
+  val unboundedTextFields = Set("details_json", "error_details", "details")
+
+  private def sqlType(f: org.apache.spark.sql.types.StructField,
+      d: SqlDialect): String = f.dataType match {
+    case org.apache.spark.sql.types.LongType => "BIGINT"
+    case org.apache.spark.sql.types.IntegerType => "INTEGER"
+    case org.apache.spark.sql.types.DoubleType => d.doubleType
+    case _ if unboundedTextFields.contains(f.name) => d.unboundedText
+    case _ => "VARCHAR(32000)"
+  }
+
+  /** The complete DDL the backend can emit, exposed so the dialect
+    * portability is testable as data rather than asserted in prose.
+    */
+  def createTableSql(table: String, schema: StructType, d: SqlDialect): String = {
+    val cols = schema.map(f => s""""${f.name}" ${sqlType(f, d)}""").mkString(", ")
+    s"""CREATE TABLE "$table" ($cols)"""
+  }
+
+  /** The complete DML the backend can emit (dialect-invariant). */
+  def insertSql(table: String, schema: StructType): String = {
+    val cols = schema.map(f => s""""${f.name}"""").mkString(", ")
+    val marks = schema.map(_ => "?").mkString(", ")
+    s"""INSERT INTO "$table" ($cols) VALUES ($marks)"""
+  }
 
   /** Keep embedded Derby's derby.log out of the working directory. */
   private lazy val initOnce: Unit = {

@@ -132,6 +132,43 @@ class ProvenanceSpec extends SparkSpec {
       "refused append must not create/populate the table")
   }
 
+  // CONTRACT: the reference's control plane is Postgres (etl/db.py);
+  // the Derby-backed e2e above must therefore exercise only SQL a
+  // Postgres swap would also accept. The backend pins that by
+  // construction — every emitted statement comes from
+  // createTableSql/insertSql, and the dialect object is the only
+  // permitted variation point — and this test enumerates the emitted
+  // SQL to keep it that way.
+  test("jdbc backend emits only the Derby/Postgres-portable SQL subset") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("batch_id", StringType), StructField("n_rows", LongType),
+      StructField("retry", IntegerType), StructField("score", DoubleType),
+      StructField("details_json", StringType)))
+    val derby = JdbcControlBackend.createTableSql("batches", schema,
+      JdbcControlBackend.Derby)
+    val pg = JdbcControlBackend.createTableSql("batches", schema,
+      JdbcControlBackend.Postgres)
+    assert(derby == """CREATE TABLE "batches" ("batch_id" VARCHAR(32000), """ +
+      """"n_rows" BIGINT, "retry" INTEGER, "score" DOUBLE PRECISION, """ +
+      """"details_json" CLOB)""")
+    // the Postgres form differs ONLY in the unbounded-text type name
+    assert(pg == derby.replace("CLOB", "TEXT"), s"$pg vs $derby")
+    // DOUBLE PRECISION is the one spelling both engines accept; bare
+    // DOUBLE (Derby-ism) must never be emitted
+    assert(!derby.matches(".*DOUBLE(?! PRECISION).*"))
+    val ins = JdbcControlBackend.insertSql("batches", schema)
+    assert(ins == """INSERT INTO "batches" ("batch_id", "n_rows", "retry", """ +
+      """"score", "details_json") VALUES (?, ?, ?, ?, ?)""")
+    // dialect-invariant DML: no vendor syntax can hide in the insert
+    assert(!ins.contains("`") && !ins.toUpperCase.contains("SERIAL"))
+    // URL routing: the swap is config-only
+    assert(JdbcControlBackend.dialectForUrl("jdbc:postgresql://h/db") ==
+      JdbcControlBackend.Postgres)
+    assert(JdbcControlBackend.dialectForUrl("jdbc:derby:/tmp/x;create=true") ==
+      JdbcControlBackend.Derby)
+  }
+
   test("sha256File matches a known digest") {
     val f = Fixtures.write(Fixtures.tmpDir("sha").resolve("x.txt"), "abc")
     assert(Provenance.sha256File(f.toString) ==
