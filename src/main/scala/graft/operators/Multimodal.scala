@@ -1102,4 +1102,139 @@ object Multimodal {
       Row.fromSeq(r.toSeq :+ frames.orNull)
     })
   }
+
+  // ---- external-codec seam ----------------------------------------
+
+  /** 8×8 block-mean aHash over a bare gray8 raster — [[aHashOfImage]]'s
+    * arithmetic without any codec, shared by the [[FrameDecoder]] path
+    * (a decoded video frame hashes exactly like a decoded image).
+    */
+  def aHashOfGray(w: Int, h: Int, px: Array[Byte]): Option[Long] = {
+    if (w <= 0 || h <= 0 || px == null || px.length < w * h) return None
+    val cellSum = new Array[Long](64)
+    val cellN = new Array[Long](64)
+    var global = 0L
+    var y = 0
+    while (y < h) {
+      val cy = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(7, x * 8 / w)
+        val v = (px(y * w + x) & 0xff).toLong
+        val c = cy * 8 + cx
+        cellSum(c) += v; cellN(c) += 1L; global += v
+        x += 1
+      }
+      y += 1
+    }
+    val nPix = w.toLong * h
+    var hash = 0L
+    var c = 0
+    while (c < 64) {
+      if (cellN(c) > 0 &&
+          BigInt(cellSum(c)) * nPix > BigInt(global) * cellN(c))
+        hash |= 1L << c
+      c += 1
+    }
+    Some(hash)
+  }
+
+  /** Pluggable per-frame decode over [[demuxMp4Frames]] output — the
+    * [[FrameDecoder]] seam run as one partition-batched pass. Adds
+    * `outCol`: array<struct<frame_no,width,height,pixels>>; a frame the
+    * decoder can't handle keeps its frame_no with null raster fields
+    * (auditable, not silently dropped); a row with no demuxed frames
+    * gets a null array.
+    */
+  def decodeFramesWith(df: DataFrame, decoder: FrameDecoder,
+      framesCol: String = "frames", outCol: String = "decoded"): DataFrame = {
+    val decType = ArrayType(StructType(Seq(
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("pixels", BinaryType, nullable = true))), containsNull = false)
+    val schema = StructType(df.schema :+ StructField(outCol, decType, nullable = true))
+    val fIdx = df.schema.fieldIndex(framesCol)
+    mapDecode(df, schema)(rows => rows.map { r =>
+      val frames = r.getAs[scala.collection.Seq[Row]](fIdx)
+      val dec =
+        if (frames == null) null
+        else frames.map { fr =>
+          // positional access: nested struct Rows inside mapPartitions
+          // carry no schema — layout is (frame_no, frame_off,
+          // frame_len, data) per [[demuxMp4Frames]]
+          decoder.decodeFrame(fr.getAs[Array[Byte]](3)) match {
+            case Some((w, h, px)) => Row(fr.getInt(0), w, h, px)
+            case None => Row(fr.getInt(0), null, null, null)
+          }
+        }
+      Row.fromSeq(r.toSeq :+ dec)
+    })
+  }
+
+  /** Demux → pluggable decode → per-frame perceptual hash: the whole
+    * compressed-video fingerprint pipeline with the codec behind the
+    * [[FrameDecoder]] seam, exploded to (id, frame_no, frame_hash)
+    * rows in one partition pass. Undecodable frames surface a null
+    * hash. Downstream, the hashes feed the SAME banded-Hamming pairing
+    * as every other fingerprint ([[Dedup.fingerprintPairs]]) — the
+    * codec is the only moving part.
+    */
+  def frameAHashesWith(df: DataFrame, decoder: FrameDecoder,
+      payloadCol: String = "payload", idCol: String = "media_id"): DataFrame = {
+    val demuxed = demuxMp4Frames(df, payloadCol, "_frames")
+    val schema = StructType(Seq(df.schema(df.schema.fieldIndex(idCol)),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame_hash", LongType, nullable = true)))
+    val idIdx = demuxed.schema.fieldIndex(idCol)
+    val fIdx = demuxed.schema.fieldIndex("_frames")
+    mapDecode(demuxed, schema)(rows => rows.flatMap { r =>
+      val frames = r.getAs[scala.collection.Seq[Row]](fIdx)
+      if (frames == null) Iterator.empty
+      else frames.iterator.map { fr =>
+        // positional: schema-less nested Rows, layout per demuxMp4Frames
+        val hash = decoder.decodeFrame(fr.getAs[Array[Byte]](3))
+          .flatMap { case (w, h, px) => aHashOfGray(w, h, px) }
+        Row(r.get(idIdx), fr.getInt(0), hash.map(Long.box).orNull)
+      }
+    })
+  }
+}
+
+/** External-codec seam — the engine's ONE declared external
+  * dependency. Compressed video/audio SAMPLE decode (H.264, AAC, VP9,
+  * …) is native-codec territory this image can't ship; the engine
+  * demuxes real containers to exact frame byte ranges
+  * ([[Multimodal.mp4SampleTable]]) and hands each frame's bytes to
+  * this interface. Everything Spark-side is real and spec-tested
+  * against the deterministic fake — schema, partition-batched
+  * execution, null-on-undecodable, and the downstream per-frame
+  * fingerprint — so a real codec (a JNI FFmpeg binding, a JavaCV
+  * wrapper) drops in by implementing `decodeFrame` with no operator
+  * changes.
+  */
+trait FrameDecoder extends Serializable {
+  /** Codec tag, surfaced in audit columns/logs. */
+  def name: String
+  /** Decode ONE demuxed sample to a gray8 raster: (width, height,
+    * row-major pixels). None = bytes this codec can't decode.
+    */
+  def decodeFrame(data: Array[Byte]): Option[(Int, Int, Array[Byte])]
+}
+
+object FrameDecoder {
+  /** Deterministic test fake: a frame whose byte length is a perfect
+    * square IS its own √n×√n gray raster; anything else (including
+    * null/empty) is undecodable. Exercises both seam paths with zero
+    * codec dependencies.
+    */
+  object SquareGray8Fake extends FrameDecoder {
+    val name = "fake-gray8"
+    def decodeFrame(data: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      if (data == null || data.length == 0) None
+      else {
+        val s = math.sqrt(data.length.toDouble).toInt
+        if (s * s == data.length) Some((s, s, data)) else None
+      }
+  }
 }

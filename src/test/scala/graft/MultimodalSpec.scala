@@ -493,4 +493,52 @@ class MultimodalSpec extends SparkSpec {
       javax.sound.sampled.AudioFileFormat.Type.WAVE, sbos)
     assert(Multimodal.audioEnvelopeHash(sbos.toByteArray).isEmpty)
   }
+
+  test("FrameDecoder seam: demux → pluggable decode → per-frame hash, fake codec") {
+    import graft.operators.FrameDecoder
+    // three demuxable frames: 16 B (4×4 raster), 9 B (3×3), 7 B (NOT a
+    // perfect square — the undecodable path); the container is a real
+    // chunked MP4, so the seam runs over true demuxed byte ranges
+    val f0 = "aaaaaaaa" + "zzzzzzzz"    // 4×4: rows 0-1 dark, 2-3 bright
+    val frames = Seq(f0, "b" * 9, "c" * 7)
+    val mp4 = Multimodal.synthMp4(Seq((1L, frames)).toDF("media_id", "frames"),
+      "frames", timescale = 1000, frameDurTicks = 40, chunkFrames = 2,
+      interChunkPad = 4)
+    val demuxed = Multimodal.demuxMp4Frames(mp4)
+    val dec = Multimodal.decodeFramesWith(demuxed, FrameDecoder.SquareGray8Fake)
+      .collect()(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("decoded")
+    assert(dec.length == 3)
+    assert(dec(0).getAs[Int]("width") == 4 && dec(0).getAs[Int]("height") == 4)
+    assert(dec(0).getAs[Array[Byte]]("pixels").toSeq == f0.getBytes("US-ASCII").toSeq,
+      "decoded raster is the demuxed frame bytes, sliced at the stco/stsz range")
+    assert(dec(1).getAs[Int]("width") == 3)
+    assert(dec(2).isNullAt(dec(2).fieldIndex("width")),
+      "undecodable frame keeps frame_no with null raster, not dropped")
+    // end-to-end per-frame fingerprint through the seam: 4×4 maps one
+    // pixel per touched 8×8 cell (cy=2y, cx=2x); bright rows y=2,3 set
+    // cells (4,{0,2,4,6}) and (6,{0,2,4,6})
+    val expected = Seq(32, 34, 36, 38, 48, 50, 52, 54)
+      .foldLeft(0L)((a, b) => a | (1L << b))
+    val hashes = Multimodal.frameAHashesWith(mp4, FrameDecoder.SquareGray8Fake)
+      .collect().map(r => r.getAs[Int]("frame_no") ->
+        Option(r.getAs[java.lang.Long]("frame_hash"))).toMap
+    assert(hashes(0).map(_.longValue()) == Some(expected), s"$hashes")
+    assert(hashes(1).map(_.longValue()) == Some(0L),
+      "uniform raster: no cell exceeds the global mean (strict >)")
+    assert(hashes(2).isEmpty, "undecodable frame surfaces a null hash")
+    // swapping the codec is the ONLY change a real decoder needs: a
+    // second implementation drives the same operators unmodified
+    object Inverted extends FrameDecoder {
+      val name = "fake-inverted"
+      def decodeFrame(d: Array[Byte]) = FrameDecoder.SquareGray8Fake
+        .decodeFrame(d).map { case (w, h, px) =>
+          (w, h, px.map(b => (255 - (b & 0xff)).toByte)) }
+    }
+    val inv = Multimodal.frameAHashesWith(mp4, Inverted)
+      .collect().map(r => r.getAs[Int]("frame_no") ->
+        Option(r.getAs[java.lang.Long]("frame_hash"))).toMap
+    assert(inv(0).map(_.longValue()) == Some(Seq(0, 2, 4, 6, 16, 18, 20, 22)
+      .foldLeft(0L)((a, b) => a | (1L << b))),
+      "inverted codec flips which rows read bright — through the same operator")
+  }
 }
