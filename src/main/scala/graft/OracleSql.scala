@@ -4706,6 +4706,63 @@ object OracleSql {
             CAST(1 AS BIGINT) AS old_n_tok_int,
             CAST(1 AS BIGINT) AS live_migrated,
             CAST(1 AS BIGINT) AS live_wide
-          FROM M ORDER BY doc_id"""
+          FROM M ORDER BY doc_id""",
+
+    // mergeable quantile sketch: per-source bottom-k-by-hash samples,
+    // `_merged` rebuilt ONLY from the k-sets (lossless — bottom-k of a
+    // union is inside the union of bottom-k's, so merged_eq_direct is
+    // literal 1 here and COMPUTED on the Spark side, the q215/q217
+    // idiom); est = sample's ceil(q·m)-th value with (v, h) tie-break,
+    // rank interval audited against the full population; the 4-sigma
+    // band constants come from the same Sketches.quantileBoundPpm the
+    // engine uses
+    "q221_quantile_merge" -> {
+      val k = 128
+      val bands = Seq(50, 90, 99)
+        .map(p => s"($p, ${graft.operators.Sketches.quantileBoundPpm(p, k)})")
+        .mkString(", ")
+      s"""WITH B AS (SELECT source,
+                 ${md5long("CAST(doc_id AS VARCHAR)")} AS h,
+                 CAST(n_chars AS BIGINT) AS v FROM documents),
+          S AS (SELECT source, h, v FROM
+                 (SELECT source, h, v, row_number() OVER
+                    (PARTITION BY source ORDER BY h, v) AS rn FROM B)
+                WHERE rn <= $k),
+          M AS (SELECT '_merged' AS source, h, v FROM
+                 (SELECT h, v, row_number() OVER (ORDER BY h, v) AS rn
+                  FROM S)
+                WHERE rn <= $k),
+          A AS (SELECT source, h, v FROM S
+                UNION ALL SELECT source, h, v FROM M),
+          MS AS (SELECT source, CAST(count(*) AS BIGINT) AS m_sample
+                FROM A GROUP BY source),
+          R AS (SELECT source, h, v, row_number() OVER
+                 (PARTITION BY source ORDER BY v, h) AS srn FROM A),
+          Q(q_pct, band) AS (VALUES $bands),
+          E AS (SELECT r.source, q.q_pct, q.band, ms.m_sample,
+                 r.v AS est_value
+                FROM R r JOIN MS ms ON ms.source = r.source
+                JOIN Q q ON r.srn = (q.q_pct * ms.m_sample + 99) // 100),
+          P AS (SELECT source, v FROM B
+                UNION ALL SELECT '_merged', v FROM B),
+          K AS (SELECT e.source, e.q_pct, e.band, e.m_sample, e.est_value,
+                 CAST(count(*) AS BIGINT) AS n_pop,
+                 CAST(sum(CASE WHEN p.v < e.est_value THEN 1 ELSE 0 END)
+                      AS BIGINT) AS lt,
+                 CAST(sum(CASE WHEN p.v <= e.est_value THEN 1 ELSE 0 END)
+                      AS BIGINT) AS le
+                FROM P p JOIN E e ON e.source = p.source
+                GROUP BY 1, 2, 3, 4, 5)
+          SELECT source, CAST(q_pct AS BIGINT) AS q_pct, n_pop, m_sample,
+            est_value,
+            CAST(lt * 1000000 // n_pop AS BIGINT) AS lo_ppm,
+            CAST(le * 1000000 // n_pop AS BIGINT) AS hi_ppm,
+            CAST(CASE WHEN n_pop <= $k THEN 1
+                 WHEN q_pct * 10000 >= lt * 1000000 // n_pop - band
+                  AND q_pct * 10000 <= le * 1000000 // n_pop + band THEN 1
+                 ELSE 0 END AS BIGINT) AS within_bound,
+            CAST(1 AS BIGINT) AS merged_eq_direct
+          FROM K ORDER BY source, q_pct"""
+    }
     )
 }

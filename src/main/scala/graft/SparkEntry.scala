@@ -1876,6 +1876,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Mergeable quantile sketch (q221): per-source bottom-k-by-hash
+    * uniform samples of n_chars plus the `_merged` sketch rebuilt only
+    * from those k-sets — the KMV trick (q215) carried to order
+    * statistics, completing the sketch-algebra family (HLL q35, KMV
+    * q215, CMS q217). merged_eq_direct is COMPUTED (merged k-set vs
+    * the direct global bottom-k); the rank-band flags audit each
+    * estimate against the exact population rank interval. See
+    * Sketches.quantileSketchMerge.
+    */
+  private def qQuantileMerge(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.quantileSketchMerge(
+      t(s, dir, "documents"), "doc_id", col("n_chars"), "source")
+
   /** Benchmark decontamination (operators.Decontaminate.sharedNgrams):
     * every 97th document plays the eval set; the rest of the corpus is
     * checked for shared word 3-grams (distinct per doc) against it.
@@ -3496,7 +3509,8 @@ object SparkEntry {
     "q217_cms_merge" -> (qCmsMerge _),
     "q218_schema_evolution" -> (qSchemaEvolution _),
     "q219_signbits_audit" -> (qSignBitsAudit _),
-    "q220_schema_migrations" -> (qSchemaMigrations _))
+    "q220_schema_migrations" -> (qSchemaMigrations _),
+    "q221_quantile_merge" -> (qQuantileMerge _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

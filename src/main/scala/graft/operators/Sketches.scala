@@ -320,4 +320,123 @@ object Sketches {
       .select(lit(k.toLong).as("k"), col("kth_hash"),
         col("est_distinct"), col("exact_distinct"), col("within_bound"))
   }
+
+  /** 4-sigma sampling band for a rank estimate from a k-row uniform
+    * sample, in ppm: ceil(4e6 * sqrt(q(1-q)/k)). Shared with the
+    * oracle generator so both engines assert the identical band.
+    */
+  def quantileBoundPpm(qPct: Int, k: Int): Long = {
+    require(qPct >= 1 && qPct <= 99 && k >= 2, s"bad qPct=$qPct k=$k")
+    val q = qPct / 100.0
+    math.ceil(4e6 * math.sqrt(q * (1 - q) / k)).toLong
+  }
+
+  /** Mergeable quantile sketch (q221): per-source bottom-k-by-hash
+    * uniform value samples, plus a `_merged` sketch rebuilt ONLY from
+    * those k-sets. Bottom-k by a uniform per-row hash IS a uniform
+    * random sample, and its merge is LOSSLESS — the k smallest hashes
+    * of a union are contained in the union of each side's k smallest —
+    * so 1000 executors / ingest days / sources each keep k (hash,
+    * value) pairs and a coordinator answers any corpus-wide quantile
+    * from sources·k rows, never the stream. The KMV trick (q215)
+    * carried from distinct-counting to order statistics; completes the
+    * battery's sketch-algebra family (HLL bounds q35, KMV merge q215,
+    * CMS merge q217).
+    *
+    * Output, one row per (source ∪ `_merged`) × qPct, ordered:
+    * (source, q_pct, n_pop, m_sample, est_value, lo_ppm, hi_ppm,
+    * within_bound, merged_eq_direct) where est_value is the sample's
+    * ceil(q·m)-th value (ties broken by hash — deterministic on both
+    * engines), lo_ppm/hi_ppm bracket est_value's exact rank interval
+    * in the FULL population (strict-below / at-or-below — the audit
+    * join; ties in the value domain make this an interval, not a
+    * point), within_bound = the target rank q·1e4 falls inside
+    * [lo − band, hi + band] with band = [[quantileBoundPpm]] (exact
+    * populations, n ≤ k, pass by construction), and merged_eq_direct
+    * compares the merged k-set row-by-row against the bottom-k
+    * computed directly on the full stream (lossless ⇒ always 1; the
+    * engine COMPUTES it rather than asserting it).
+    *
+    * Scale shape: one window per source for the k-cut (salted
+    * two-level, the q215 skew guard), then everything except the rank
+    * audit operates on ≤ sources·k rows; the audit is one broadcast
+    * join of ≤ (sources+1)·|qPcts| estimate rows against the
+    * population stream — a single scan, no sort of the full data.
+    */
+  def quantileSketchMerge(docs: DataFrame, idCol: String, value: Column,
+      sourceCol: String, k: Int = 128,
+      qPcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    require(qPcts.nonEmpty && qPcts.forall(p => p >= 1 && p <= 99),
+      s"qPcts must be in [1,99]: $qPcts")
+    import graft.functions.md5Long
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(sourceCol).as("source"),
+      md5Long(col(idCol).cast("string")).as("h"),
+      value.cast("long").as("v"))
+    // per-source bottom-k by (h, v): salted two-level cut — a straight
+    // per-source window would sort the source's entire stream in one
+    // partition (the skew wall); each true per-source k-min is within
+    // its salt bucket's k-min, so level 2 sees ≤ 64·k rows per source
+    val w1 = Window.partitionBy(col("source"), pmod(col("h"), lit(64)))
+      .orderBy(col("h"), col("v"))
+    val pruned = base.withColumn("_rn1", row_number().over(w1))
+      .filter(col("_rn1") <= k).drop("_rn1")
+    val w2 = Window.partitionBy(col("source")).orderBy(col("h"), col("v"))
+    val samples = pruned.withColumn("_rn", row_number().over(w2))
+      .filter(col("_rn") <= k).drop("_rn")
+      .localCheckpoint(true) // ≤ sources·k rows, used four times
+    // LOSSLESS MERGE: bottom-k of the union of per-source bottom-k
+    val mergedSample = samples.select(col("h"), col("v"))
+      .orderBy(col("h"), col("v")).limit(k)
+      .select(lit("_merged").as("source"), col("h"), col("v"))
+      .localCheckpoint(true) // ≤ k rows
+    // merged_eq_direct: multiset-compare the merged k-set against the
+    // bottom-k computed directly on the full stream (1-row result)
+    val direct = base.select(col("h"), col("v"))
+      .orderBy(col("h"), col("v")).limit(k)
+    val meq = mergedSample.groupBy(col("h"), col("v"))
+      .agg(count(lit(1)).as("_cm"))
+      .join(direct.groupBy(col("h"), col("v")).agg(count(lit(1)).as("_cd")),
+        Seq("h", "v"), "full_outer")
+      .agg(coalesce(sum(when(coalesce(col("_cm"), lit(0L)) =!=
+          coalesce(col("_cd"), lit(0L)), 1L).otherwise(0L)), lit(0L)).as("_bad"))
+      .select(when(col("_bad") === 0L, 1L).otherwise(0L).as("merged_eq_direct"))
+    val all = samples.unionByName(mergedSample)
+    val mPer = all.groupBy(col("source")).agg(count(lit(1)).as("m_sample"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("v"), col("h"))
+    val ranked = all.withColumn("_srn", row_number().over(ws))
+    // bound table shared with the oracle via quantileBoundPpm
+    val qRows = qPcts.map(p => struct(lit(p.toLong).as("q_pct"),
+      lit(quantileBoundPpm(p, k)).as("_band")))
+    val ests = ranked.join(mPer, "source")
+      .withColumn("_q", explode(array(qRows: _*)))
+      .select(col("source"), col("_q.q_pct").as("q_pct"),
+        col("_q._band").as("_band"), col("m_sample"), col("_srn"), col("v"))
+      .filter(col("_srn") === expr("(q_pct * m_sample + 99) DIV 100"))
+      .select(col("source"), col("q_pct"), col("_band"), col("m_sample"),
+        col("v").as("est_value"))
+    // rank audit: one scan of the population (doubled for the global
+    // row) against the broadcast ≤ (sources+1)·|qPcts| estimates
+    val popUnion = base.select(col("source"), col("v"))
+      .unionByName(base.select(lit("_merged").as("source"), col("v")))
+    val audited = popUnion.join(broadcast(ests), Seq("source"))
+      .groupBy(col("source"), col("q_pct"), col("_band"), col("m_sample"),
+        col("est_value"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(when(col("v") < col("est_value"), 1L).otherwise(0L)).as("_lt"),
+        sum(when(col("v") <= col("est_value"), 1L).otherwise(0L)).as("_le"))
+      .withColumn("lo_ppm", expr("CAST(_lt * 1000000 DIV n_pop AS BIGINT)"))
+      .withColumn("hi_ppm", expr("CAST(_le * 1000000 DIV n_pop AS BIGINT)"))
+      .withColumn("within_bound", expr(
+        s"""CAST(CASE WHEN n_pop <= $k THEN 1
+              WHEN q_pct * 10000 >= lo_ppm - _band
+               AND q_pct * 10000 <= hi_ppm + _band THEN 1
+              ELSE 0 END AS BIGINT)"""))
+    audited.crossJoin(broadcast(meq))
+      .select(col("source"), col("q_pct"), col("n_pop"), col("m_sample"),
+        col("est_value"), col("lo_ppm"), col("hi_ppm"),
+        col("within_bound"), col("merged_eq_direct"))
+      .orderBy(col("source"), col("q_pct"))
+  }
 }

@@ -2351,6 +2351,45 @@ class OperatorsSpec extends SparkSpec {
       s"one distinct 3-gram -> exact estimate 1: ${t.toSeq}")
   }
 
+  test("quantileSketchMerge: exact when n<=k; lossless merge; real-sample bands") {
+    import graft.operators.Sketches
+    // tiny sources (n < k): the sample IS the population → est is the
+    // exact ceil(q·n)-th order statistic
+    val tiny = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 40L),
+      (5L, "b", 100L), (6L, "b", 200L)
+    ).toDF("doc_id", "source", "v")
+    val t = Sketches.quantileSketchMerge(tiny, "doc_id", col("v"), "source",
+        k = 16, qPcts = Seq(50, 99))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(7), r.getLong(8)))
+      .toMap
+    // source a: m=4 → q50 rank ceil(2.0)=2 → 20; q99 rank ceil(3.96)=4 → 40
+    assert(t(("a", 50L))._3 == 20L && t(("a", 99L))._3 == 40L, s"$t")
+    // source b: m=2 → q50 rank 1 → 100; q99 rank 2 → 200
+    assert(t(("b", 50L))._3 == 100L && t(("b", 99L))._3 == 200L, s"$t")
+    // merged over 6 rows: q50 rank 3 → 30
+    assert(t(("_merged", 50L))._1 == 6L && t(("_merged", 50L))._3 == 30L, s"$t")
+    assert(t.values.forall(x => x._4 == 1L && x._5 == 1L),
+      s"exact populations must pass bands; merge must be lossless: $t")
+    // real sampling (n > k): merge stays lossless, sample caps at k,
+    // and the 4-sigma band holds on a smooth value domain
+    val big = (1 to 600).map { i =>
+      (i.toLong, s"s${i % 2}", (i * 37 % 601).toLong)
+    }.toDF("doc_id", "source", "v")
+    val b = Sketches.quantileSketchMerge(big, "doc_id", col("v"), "source",
+      k = 64, qPcts = Seq(50, 90)).collect()
+    assert(b.length == 6, s"${b.toSeq}")
+    val merged = b.filter(_.getString(0) == "_merged")
+    assert(merged.forall(r => r.getLong(2) == 600L && r.getLong(3) == 64L),
+      s"${merged.toSeq}")
+    assert(b.forall(r => r.getLong(7) == 1L && r.getLong(8) == 1L),
+      s"bands + lossless merge on the sampled path: ${b.toSeq}")
+    // the shared band helper: 4e6·sqrt(q(1−q)/k), ceil'd
+    assert(Sketches.quantileBoundPpm(50, 16) == 500000L)
+    assert(Sketches.quantileBoundPpm(50, 128) == 176777L)
+  }
+
   test("suggestSemantic3Params: exact integer cube root of ceil(n/32), clamped") {
     import graft.operators.Dedup.suggestSemantic3Params
     assert(suggestSemantic3Params(1L) == 2)      // kTot=1 → floor at 2
