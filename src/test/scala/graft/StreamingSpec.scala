@@ -754,4 +754,91 @@ class StreamingSpec extends SparkSpec {
       == Set(10L, 22L), "full re-delivery admits nothing new")
     assert(index.commits.length == commits, "empty admissions never commit")
   }
+
+  test("streaming quantile sketch: state equals the batch bottom-k; merge stays lossless through the stream") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.StreamingSketch
+    import graft.streaming.StreamingSketch.HV
+    val k = 4
+    val srcDir = Fixtures.tmpDir("qsk_src")
+    val ckpt = Fixtures.tmpDir("qsk_ckpt").toString
+    val outDir = Fixtures.tmpDir("qsk_out").toString
+
+    def addFile(n: Int, rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = Fixtures.tmpDir(s"qsk_tmp$n")
+      rows.toDF("doc_id", "source", "v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, srcDir.resolve(s"b$n.parquet"))
+    }
+    // foreachBatch sink stamped with the global batch id; "current
+    // sketch" = each source's highest-batch snapshot (update-mode upsert)
+    def runBatch(): Map[String, Vector[(Long, Long)]] = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, source STRING, v LONG")
+        .parquet(srcDir.toString)
+      val q = StreamingSketch.sketchDocuments(stream, "doc_id", "v", "source", k)
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[StreamingSketch.SourceSketch], batchId: Long) =>
+            ds.withColumn("_batch", lit(batchId))
+              .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("_batch"), r.getAs[String]("source"),
+          r.getAs[Seq[Long]]("hs").zip(r.getAs[Seq[Long]]("vs")).toVector))
+        .groupBy(_._2).view.mapValues(rs => rs.maxBy(_._1)._3).toMap
+    }
+    // the expected sample: engine-hashed (md5Long) bottom-k by (h, v)
+    def directBottomK(rows: Seq[(Long, String, Long)]): Map[String, Vector[(Long, Long)]] =
+      rows.toDF("doc_id", "source", "v")
+        .select(col("source"),
+          graft.functions.md5Long(col("doc_id").cast("string")).as("h"), col("v"))
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(k).toVector).toMap
+
+    val batch1 = (1L to 10L).map(i => (i, "a", i * 10)) ++
+      (11L to 13L).map(i => (i, "b", i * 10))
+    val batch2 = (14L to 20L).map(i => (i, "a", i * 10)) ++
+      (21L to 30L).map(i => (i, "c", i * 10))
+
+    addFile(1, batch1)
+    val out1 = runBatch()
+    assert(out1 == directBottomK(batch1),
+      s"first batch: streamed state must equal the direct bottom-k: $out1")
+    assert(out1("b").length == 3, "n < k source keeps its whole population")
+
+    addFile(2, batch2)
+    val out2 = runBatch()
+    assert(out2 == directBottomK(batch1 ++ batch2),
+      s"state must merge across micro-batches to the full-history bottom-k: $out2")
+    assert(out2("b") == out1("b"),
+      "untouched source keeps the run-1 snapshot (update mode re-emits only touched sources)")
+
+    // lossless merge THROUGH the stream: the global bottom-k re-cut
+    // from the per-source streamed k-sets equals the bottom-k computed
+    // directly on every row ever ingested (the q221 merge law)
+    val mergedFromState = out2.values.flatten.toVector.sorted.take(k)
+    val directGlobal = directBottomK((batch1 ++ batch2).map { case (i, _, v) =>
+      (i, "_all", v) })("_all")
+    assert(mergedFromState == directGlobal,
+      s"merge must be lossless: $mergedFromState vs $directGlobal")
+
+    // partitioning invariance of the stateless pre-cut: the local heaps
+    // shrink data but never change the final k-set
+    val hv = batch1.toDF("doc_id", "source", "v")
+      .select(col("source"),
+        graft.functions.md5Long(col("doc_id").cast("string")).as("h"),
+        col("v")).as[HV]
+    val cut = StreamingSketch.localCut(hv.repartition(7), k).collect()
+      .groupBy(_.source).view
+      .mapValues(_.map(r => (r.h, r.v)).sorted.take(k).toVector).toMap
+    assert(cut == directBottomK(batch1),
+      s"pre-cut must preserve the per-source bottom-k under any partitioning: $cut")
+  }
 }
