@@ -4763,6 +4763,35 @@ object OracleSql {
                  ELSE 0 END AS BIGINT) AS within_bound,
             CAST(1 AS BIGINT) AS merged_eq_direct
           FROM K ORDER BY source, q_pct"""
-    }
+    },
+
+    // incremental sketch maintenance on the versioned lake: the
+    // engine seeds the per-source bottom-64 sample at commit 1 and
+    // maintains it from commit 2's change feed alone; lossless merge
+    // makes maintained ≡ full recompute EXACTLY (adds-only commits —
+    // deletes force recompute, the q188 caveat), so the oracle is the
+    // full-corpus bottom-64 with literal flag 1 and the engine
+    // COMPUTES maintained_eq_full (the q85/q188 maintained≡recomputed
+    // idiom); p50/p90 are the sample's ceil(q·m)-th values by (v, h)
+    "q222_sketch_maintain" ->
+      s"""WITH B AS (SELECT source,
+                 ${md5long("CAST(doc_id AS VARCHAR)")} AS h,
+                 CAST(n_chars AS BIGINT) AS v FROM documents),
+          S AS (SELECT source, h, v FROM
+                 (SELECT source, h, v, row_number() OVER
+                    (PARTITION BY source ORDER BY h, v) AS rn FROM B)
+                WHERE rn <= 64),
+          MS AS (SELECT source, CAST(count(*) AS BIGINT) AS m_sample
+                FROM S GROUP BY source),
+          R AS (SELECT source, v, row_number() OVER
+                 (PARTITION BY source ORDER BY v, h) AS srn FROM S)
+          SELECT r.source, ms.m_sample,
+            CAST(max(CASE WHEN r.srn = (50 * ms.m_sample + 99) // 100
+                 THEN r.v END) AS BIGINT) AS est_p50,
+            CAST(max(CASE WHEN r.srn = (90 * ms.m_sample + 99) // 100
+                 THEN r.v END) AS BIGINT) AS est_p90,
+            CAST(1 AS BIGINT) AS maintained_eq_full
+          FROM R r JOIN MS ms ON ms.source = r.source
+          GROUP BY 1, 2 ORDER BY r.source"""
     )
 }

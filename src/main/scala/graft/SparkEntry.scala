@@ -1889,6 +1889,64 @@ object SparkEntry {
     graft.operators.Sketches.quantileSketchMerge(
       t(s, dir, "documents"), "doc_id", col("n_chars"), "source")
 
+  /** Incremental sketch maintenance on the versioned lake (q222): the
+    * per-source bottom-k quantile sample follows the table — commit 1
+    * seeds the sketch from the snapshot, commit 2 (adds only) updates
+    * it from `vt.incremental(c1)` ALONE (the change feed, never a
+    * table re-scan), and the lossless-merge law makes the maintained
+    * sample EXACTLY equal a full recompute (engine-computed
+    * `maintained_eq_full`, the q85/q188 maintained≡recomputed idiom;
+    * deletes force recompute — the q188 additive-only caveat). Output:
+    * per-source m_sample + p50/p90 estimates read from the MAINTAINED
+    * sample. See Sketches.maintainQuantileSamples.
+    */
+  private def qSketchMaintain(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q222_skm_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "doc_id", "pre",
+      numBuckets = 8)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    def hashed(df: DataFrame): DataFrame = df.select(col("source"),
+      graft.functions.md5Long(col("doc_id").cast("string")).as("h"),
+      col("n_chars").cast("long").as("v"))
+    val c1 = vt.upsert(docs.filter(col("doc_id") % 3 =!= 0)
+      .withColumn("pre", lit(1L)))
+    // the persisted sketch table: ≤ sources·k rows
+    val sketch1 = graft.operators.Sketches.bottomKBySource(
+      hashed(vt.snapshot), k).localCheckpoint(true)
+    vt.upsert(docs.filter(col("doc_id") % 3 === 0).withColumn("pre", lit(2L)))
+    val maintained = graft.operators.Sketches.maintainQuantileSamples(
+      sketch1, vt.incremental(c1), "doc_id", col("n_chars"), "source", k)
+      .localCheckpoint(true)
+    val full = graft.operators.Sketches.bottomKBySource(hashed(vt.snapshot), k)
+    val eq = maintained.groupBy(col("source"), col("h"), col("v"))
+      .agg(count(lit(1)).as("_cm"))
+      .join(full.groupBy(col("source"), col("h"), col("v"))
+        .agg(count(lit(1)).as("_cf")), Seq("source", "h", "v"), "full_outer")
+      .agg(coalesce(sum(when(coalesce(col("_cm"), lit(0L)) =!=
+          coalesce(col("_cf"), lit(0L)), 1L).otherwise(0L)), lit(0L)).as("_bad"))
+      .select(when(col("_bad") === 0L, 1L).otherwise(0L)
+        .as("maintained_eq_full"))
+    val mPer = maintained.groupBy(col("source")).agg(count(lit(1)).as("m_sample"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("v"), col("h"))
+    maintained.withColumn("_srn", row_number().over(ws)).join(mPer, "source")
+      .groupBy(col("source"), col("m_sample"))
+      .agg(
+        max(when(col("_srn") === expr("(50 * m_sample + 99) DIV 100"),
+          col("v"))).as("est_p50"),
+        max(when(col("_srn") === expr("(90 * m_sample + 99) DIV 100"),
+          col("v"))).as("est_p90"))
+      .crossJoin(broadcast(eq)) // 1-row engine-computed equality flag
+      .select(col("source"), col("m_sample"), col("est_p50"), col("est_p90"),
+        col("maintained_eq_full"))
+      .orderBy(col("source"))
+  }
+
   /** Benchmark decontamination (operators.Decontaminate.sharedNgrams):
     * every 97th document plays the eval set; the rest of the corpus is
     * checked for shared word 3-grams (distinct per doc) against it.
@@ -3510,7 +3568,8 @@ object SparkEntry {
     "q218_schema_evolution" -> (qSchemaEvolution _),
     "q219_signbits_audit" -> (qSignBitsAudit _),
     "q220_schema_migrations" -> (qSchemaMigrations _),
-    "q221_quantile_merge" -> (qQuantileMerge _))
+    "q221_quantile_merge" -> (qQuantileMerge _),
+    "q222_sketch_maintain" -> (qSketchMaintain _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

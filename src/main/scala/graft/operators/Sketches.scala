@@ -374,17 +374,7 @@ object Sketches {
     val base = docs.select(col(sourceCol).as("source"),
       md5Long(col(idCol).cast("string")).as("h"),
       value.cast("long").as("v"))
-    // per-source bottom-k by (h, v): salted two-level cut — a straight
-    // per-source window would sort the source's entire stream in one
-    // partition (the skew wall); each true per-source k-min is within
-    // its salt bucket's k-min, so level 2 sees ≤ 64·k rows per source
-    val w1 = Window.partitionBy(col("source"), pmod(col("h"), lit(64)))
-      .orderBy(col("h"), col("v"))
-    val pruned = base.withColumn("_rn1", row_number().over(w1))
-      .filter(col("_rn1") <= k).drop("_rn1")
-    val w2 = Window.partitionBy(col("source")).orderBy(col("h"), col("v"))
-    val samples = pruned.withColumn("_rn", row_number().over(w2))
-      .filter(col("_rn") <= k).drop("_rn")
+    val samples = bottomKBySource(base, k)
       .localCheckpoint(true) // ≤ sources·k rows, used four times
     // LOSSLESS MERGE: bottom-k of the union of per-source bottom-k
     val mergedSample = samples.select(col("h"), col("v"))
@@ -438,5 +428,48 @@ object Sketches {
         col("est_value"), col("lo_ppm"), col("hi_ppm"),
         col("within_bound"), col("merged_eq_direct"))
       .orderBy(col("source"), col("q_pct"))
+  }
+
+  /** Per-source bottom-k by (h, v) over (source, h, v) rows — the cut
+    * shared by [[quantileSketchMerge]] and [[maintainQuantileSamples]].
+    * Salted two-level: a straight per-source window would sort the
+    * source's entire stream in one partition (the skew wall); each
+    * true per-source k-min is within its salt bucket's k-min, so
+    * level 2 sees ≤ 64·k rows per source.
+    */
+  def bottomKBySource(base: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col("source"), pmod(col("h"), lit(64)))
+      .orderBy(col("h"), col("v"))
+    val pruned = base.withColumn("_rn1", row_number().over(w1))
+      .filter(col("_rn1") <= k).drop("_rn1")
+    val w2 = Window.partitionBy(col("source")).orderBy(col("h"), col("v"))
+    pruned.withColumn("_rn", row_number().over(w2))
+      .filter(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Incremental maintenance of per-source bottom-k samples under
+    * ADDITIVE commits (q222): re-cut prior ∪ newly-added — EXACT
+    * equality with a full recompute by the lossless-merge law
+    * (bottom-k(bottom-k(S) ∪ A) = bottom-k(S ∪ A)), so a 100-TB lake
+    * keeps per-source quantiles current by scanning only each commit's
+    * change feed, never the table. Deletions invalidate a bottom-k
+    * sample (an evicted competitor cannot be resurrected without the
+    * stream) — a delete-bearing commit forces recompute, the same
+    * additive-only caveat as incremental decontamination (q188).
+    *
+    * `prior` is a (source, h, v) sample table (≤ sources·k rows);
+    * `added` is the raw change feed, hashed here with the same
+    * engine-wide md5Long as every sketch producer.
+    */
+  def maintainQuantileSamples(prior: DataFrame, added: DataFrame,
+      idCol: String, value: Column, sourceCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    import graft.functions.md5Long
+    val addedHashed = added.select(col(sourceCol).as("source"),
+      md5Long(col(idCol).cast("string")).as("h"),
+      value.cast("long").as("v"))
+    bottomKBySource(prior.select(col("source"), col("h"), col("v"))
+      .unionByName(addedHashed), k)
   }
 }

@@ -2390,6 +2390,30 @@ class OperatorsSpec extends SparkSpec {
     assert(Sketches.quantileBoundPpm(50, 128) == 176777L)
   }
 
+  test("maintainQuantileSamples: adds-only maintenance equals full recompute exactly") {
+    import graft.operators.Sketches
+    val k = 4
+    def hashed(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("doc_id", "source", "v").select(col("source"),
+        graft.functions.md5Long(col("doc_id").cast("string")).as("h"),
+        col("v"))
+    def kset(df: org.apache.spark.sql.DataFrame): Map[String, Seq[(Long, Long)]] =
+      df.collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val initial = (1L to 12L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 10))
+    val added = (13L to 25L).map(i => (i, if (i % 3 == 0) "a" else "c", i * 10))
+    val sketch1 = Sketches.bottomKBySource(hashed(initial), k)
+    val maintained = Sketches.maintainQuantileSamples(sketch1,
+      added.toDF("doc_id", "source", "v"), "doc_id", col("v"), "source", k)
+    val full = Sketches.bottomKBySource(hashed(initial ++ added), k)
+    assert(kset(maintained) == kset(full),
+      "bottom-k(bottom-k(S) ∪ A) must equal bottom-k(S ∪ A) per source")
+    // source c exists only in the change feed; source b only in the base
+    assert(kset(maintained).keySet == Set("a", "b", "c"))
+    assert(kset(maintained)("b") == kset(sketch1)("b"),
+      "a source untouched by the commit keeps its prior sample verbatim")
+  }
+
   test("suggestSemantic3Params: exact integer cube root of ceil(n/32), clamped") {
     import graft.operators.Dedup.suggestSemantic3Params
     assert(suggestSemantic3Params(1L) == 2)      // kTot=1 → floor at 2
