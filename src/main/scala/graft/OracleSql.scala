@@ -4792,6 +4792,36 @@ object OracleSql {
                  THEN r.v END) AS BIGINT) AS est_p90,
             CAST(1 AS BIGINT) AS maintained_eq_full
           FROM R r JOIN MS ms ON ms.source = r.source
-          GROUP BY 1, 2 ORDER BY r.source"""
+          GROUP BY 1, 2 ORDER BY r.source""",
+
+    // sketch-thresholded quantile gate: [p10, p90] per source from the
+    // bottom-128 sample's order statistics (reproducible on any engine
+    // that can hash and sort — the cure for approx_percentile's
+    // engine-specific internals), then a scan-speed BETWEEN filter
+    "q223_sketch_gate" ->
+      s"""WITH B AS (SELECT source,
+                 ${md5long("CAST(doc_id AS VARCHAR)")} AS h,
+                 CAST(n_chars AS BIGINT) AS v FROM documents),
+          S AS (SELECT source, h, v FROM
+                 (SELECT source, h, v, row_number() OVER
+                    (PARTITION BY source ORDER BY h, v) AS rn FROM B)
+                WHERE rn <= 128),
+          MS AS (SELECT source, CAST(count(*) AS BIGINT) AS m_sample
+                FROM S GROUP BY source),
+          R AS (SELECT source, v, row_number() OVER
+                 (PARTITION BY source ORDER BY v, h) AS srn FROM S),
+          T AS (SELECT r.source,
+                 max(CASE WHEN r.srn = (10 * ms.m_sample + 99) // 100
+                     THEN r.v END) AS lo,
+                 max(CASE WHEN r.srn = (90 * ms.m_sample + 99) // 100
+                     THEN r.v END) AS hi
+                FROM R r JOIN MS ms ON ms.source = r.source
+                GROUP BY 1)
+          SELECT b.source, CAST(count(*) AS BIGINT) AS n_pass,
+            CAST(min(b.v) AS BIGINT) AS min_kept,
+            CAST(max(b.v) AS BIGINT) AS max_kept
+          FROM B b JOIN T t ON t.source = b.source
+          WHERE b.v >= t.lo AND b.v <= t.hi
+          GROUP BY 1 ORDER BY b.source"""
     )
 }

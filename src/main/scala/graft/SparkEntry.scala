@@ -1947,6 +1947,21 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Sketch-thresholded quantile gate (q223): keep docs whose n_chars
+    * sits within the [p10, p90] of their source, thresholds estimated
+    * from the per-source bottom-k sample instead of approx_percentile —
+    * reproducible on any engine (the oracle re-derives the identical
+    * thresholds), scan-speed gate. See Sampling.sketchQuantileGate.
+    */
+  private def qSketchGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.sketchQuantileGate(t(s, dir, "documents"),
+        col("doc_id"), col("n_chars"), col("source"), 10, 90)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pass"),
+        min(col("n_chars")).cast("long").as("min_kept"),
+        max(col("n_chars")).cast("long").as("max_kept"))
+      .orderBy(col("source"))
+
   /** Benchmark decontamination (operators.Decontaminate.sharedNgrams):
     * every 97th document plays the eval set; the rest of the corpus is
     * checked for shared word 3-grams (distinct per doc) against it.
@@ -3569,7 +3584,8 @@ object SparkEntry {
     "q219_signbits_audit" -> (qSignBitsAudit _),
     "q220_schema_migrations" -> (qSchemaMigrations _),
     "q221_quantile_merge" -> (qQuantileMerge _),
-    "q222_sketch_maintain" -> (qSketchMaintain _))
+    "q222_sketch_maintain" -> (qSketchMaintain _),
+    "q223_sketch_gate" -> (qSketchGate _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -355,6 +355,59 @@ object Sampling {
       .drop("_qg_value", "_qg_group", "_qg_group2", "_qg_lo", "_qg_hi")
   }
 
+  /** Sketch-thresholded quantile gate — [[quantileGate]]'s scale form
+    * with REPRODUCIBLE thresholds: `exact = false` there reaches for
+    * `approx_percentile`, whose internal sketch is engine-specific
+    * (un-oracle-able, and a different engine or Spark version may gate
+    * a different row set); here the per-group thresholds are the
+    * ceil(p·m)-th order statistics of the group's bottom-k-by-hash
+    * sample ([[Sketches.bottomKBySource]], q221) — a pure function of
+    * the keys, identical on every engine that can hash and sort.
+    *
+    * Scale shape: the sample costs the salted two-level cut (bounded
+    * windows), thresholds are ≤ |groups| rows broadcast back, and the
+    * gate itself is a scan-speed filter — same plan as quantileGate,
+    * but the threshold stage touches ≤ groups·k sample rows instead of
+    * holding O(distinct values) percentile state per group. With a
+    * maintained sample (q222) the threshold stage reads a ≤ groups·k
+    * row table and touches no data at all. Sampling error: thresholds
+    * sit within the q221 rank band (±4σ·√(p(1−p)/k) of the target
+    * rank) — gates at 100 TB tolerate that; audits that can't should
+    * use [[quantileGate]] `exact = true`.
+    *
+    * Keeps rows with loPct-th ≤ value ≤ hiPct-th estimated percentile
+    * of their group (NULL values never pass; a group smaller than k
+    * gates on its exact order statistics since the sample IS the
+    * population).
+    */
+  def sketchQuantileGate(df: DataFrame, id: Column, value: Column,
+      group: Column, loPct: Int, hiPct: Int, k: Int = 128): DataFrame = {
+    require(1 <= loPct && loPct <= hiPct && hiPct <= 99,
+      s"need 1 <= loPct <= hiPct <= 99: $loPct, $hiPct")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("_sg_v", value.cast("long"))
+      .withColumn("_sg_g", group)
+    val samples = Sketches.bottomKBySource(
+      base.select(col("_sg_g").as("source"),
+        md5Long(id.cast("string")).as("h"), col("_sg_v").as("v")), k)
+    val mPer = samples.groupBy(col("source")).agg(count(lit(1)).as("_sg_m"))
+    val ranked = samples.withColumn("_sg_rn", row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("v"), col("h"))))
+      .join(mPer, "source")
+    val thr = ranked.groupBy(col("source"))
+      .agg(
+        max(when(col("_sg_rn") === expr(s"($loPct * _sg_m + 99) DIV 100"),
+          col("v"))).as("_sg_lo"),
+        max(when(col("_sg_rn") === expr(s"($hiPct * _sg_m + 99) DIV 100"),
+          col("v"))).as("_sg_hi"))
+    // the sample side's `source` must not collide with a caller column
+    // of the same name (documents has one) — rename before the join
+    base.join(broadcast(thr.withColumnRenamed("source", "_sg_src")),
+        col("_sg_g") <=> col("_sg_src"))
+      .filter(col("_sg_v") >= col("_sg_lo") && col("_sg_v") <= col("_sg_hi"))
+      .drop("_sg_v", "_sg_g", "_sg_src", "_sg_lo", "_sg_hi")
+  }
+
   /** Token-budget selection — "keep the best docs until the token
     * budget is spent": rank the corpus by (score DESC, key ASC) and
     * select the prefix whose cumulative token count stays ≤ budget,

@@ -304,6 +304,31 @@ class ChunkerSamplingSpec extends SparkSpec {
       Sampling.quantileGate(df, col("v"), col("grp"), 0.9, 0.1))
   }
 
+  test("sketchQuantileGate: exact order-statistic thresholds when n<=k; sampled path gates on the sample's order stats") {
+    val df = (1 to 100).map(i => (i.toLong, "g", i.toLong)).toDF("id", "grp", "v")
+    // n <= k: the sample IS the population — ceil-rank order statistics:
+    // lo = ceil(10·100/100) = 10th value, hi = ceil(90·100/100) = 90th
+    val kept = Sampling.sketchQuantileGate(df, col("id"), col("v"),
+        col("grp"), 10, 90, k = 128)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (10L to 90L).toSet, s"exact path keeps 10..90: $kept")
+    // sampled path (k = 16): thresholds must be the ceil-rank order
+    // statistics of the bottom-16-by-(h, v) sample, re-derived here
+    // from the same engine hash
+    val hv = df.select(col("v"),
+        graft.functions.md5Long(col("id").cast("string")).as("h"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+    val sv = hv.sorted.take(16).map(_._2).sorted
+    val (lo, hi) = (sv((10 * 16 + 99) / 100 - 1), sv((90 * 16 + 99) / 100 - 1))
+    val kept16 = Sampling.sketchQuantileGate(df, col("id"), col("v"),
+        col("grp"), 10, 90, k = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept16 == (lo to hi).toSet,
+      s"sampled thresholds [$lo, $hi] must gate reproducibly: $kept16")
+    intercept[IllegalArgumentException](
+      Sampling.sketchQuantileGate(df, col("id"), col("v"), col("grp"), 90, 10))
+  }
+
   test("clusterBalance equalizes planted skewed clusters; uniform shares sum exactly") {
     import graft.operators.Similarity
     // uniformSharesPpm: remainder goes to the first strata in sorted order
