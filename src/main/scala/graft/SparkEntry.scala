@@ -1962,6 +1962,19 @@ object SparkEntry {
         max(col("n_chars")).cast("long").as("max_kept"))
       .orderBy(col("source"))
 
+  /** KMV pairwise source Jaccard (q224): all |sources|² content
+    * similarities answered from the per-source k-min gram sketches
+    * alone (Broder's min-wise estimator on bottom-k sets), with the
+    * exact Jaccard from one distinct-gram self-join as the audit leg
+    * and an all-integer 3σ band flag computed on BOTH engines. The
+    * sketch family's fourth duty: distinct (q215), frequency (q217),
+    * quantiles (q221), similarity (q224). See
+    * Sketches.kmvPairwiseJaccard.
+    */
+  private def qKmvJaccard(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvPairwiseJaccard(
+      t(s, dir, "documents"), "text", "source")
+
   /** Benchmark decontamination (operators.Decontaminate.sharedNgrams):
     * every 97th document plays the eval set; the rest of the corpus is
     * checked for shared word 3-grams (distinct per doc) against it.
@@ -3585,7 +3598,8 @@ object SparkEntry {
     "q220_schema_migrations" -> (qSchemaMigrations _),
     "q221_quantile_merge" -> (qQuantileMerge _),
     "q222_sketch_maintain" -> (qSketchMaintain _),
-    "q223_sketch_gate" -> (qSketchGate _))
+    "q223_sketch_gate" -> (qSketchGate _),
+    "q224_kmv_jaccard" -> (qKmvJaccard _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

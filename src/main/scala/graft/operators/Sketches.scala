@@ -430,6 +430,99 @@ object Sketches {
       .orderBy(col("source"), col("q_pct"))
   }
 
+  /** Pairwise source content similarity from KMV sketches ALONE
+    * (q224): the k-minimum-values sets that already serve distinct
+    * counting (q215) are a coordinated uniform sample of each source's
+    * gram space, so for any source pair the k smallest hashes of
+    * A_k ∪ B_k are a uniform sample of A ∪ B, and the fraction of them
+    * present in BOTH k-sets estimates the Jaccard similarity
+    * (Broder's min-wise estimator on bottom-k sketches). At 100 TB the
+    * coordinator answers all |sources|² similarities from sources·k
+    * longs — the corpus is never re-scanned per pair, which is exactly
+    * what the exact matrix (q92's shape, and this row's audit leg)
+    * must do.
+    *
+    * Output, one row per unordered pair (src_a < src_b):
+    * (src_a, src_b, m_union_k, j_num, est_ppm, inter_exact,
+    * union_exact, exact_ppm, within_3sig) where m_union_k = |k smallest
+    * of A_k ∪ B_k| (< k only when the true union is smaller — then the
+    * estimate is exact by construction), j_num = how many of those sit
+    * in both k-sets, est_ppm = j_num·1e6 DIV m_union_k, the exact legs
+    * come from one distinct-gram self-join (the audit), and
+    * within_3sig applies the binomial 3σ band entirely in integers:
+    * (est−exact)²·k ≤ 9·(exact_ppm·(1e6−exact_ppm) + 1e6) — the flag
+    * is COMPUTED on both engines, so a legitimately-outside-3σ pair
+    * still hash-matches (no q217-style asserted probability).
+    */
+  def kmvPairwiseJaccard(docs: DataFrame, textCol: String,
+      sourceCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    import graft.functions.{md5Long, rawShingles}
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col(sourceCol).as("source"),
+        explode(rawShingles(lower(col(textCol)), 3)).as("g"))
+      .select(col("source"), md5Long(col("g")).as("h"))
+      .distinct()
+      .localCheckpoint(true) // distinct (source, gram-hash): sketch + audit input
+    // per-source k-min sets — the q215 salted two-level cut
+    val w1 = Window.partitionBy(col("source"), pmod(col("h"), lit(64)))
+      .orderBy(col("h"))
+    val pruned = d.withColumn("_rn1", row_number().over(w1))
+      .filter(col("_rn1") <= k).drop("_rn1")
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    val mins = pruned.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k).drop("_rn")
+      .localCheckpoint(true) // ≤ sources·k rows
+    val srcs = mins.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b")) // ≤ C(|sources|, 2) rows
+    // per-pair union of the two k-sets with membership flags
+    val sideA = pairs.join(mins.withColumnRenamed("source", "src_a"), "src_a")
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(1L).as("_ia"), lit(0L).as("_ib"))
+    val sideB = pairs.join(mins.withColumnRenamed("source", "src_b"), "src_b")
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(0L).as("_ia"), lit(1L).as("_ib"))
+    val union2 = sideA.unionByName(sideB)
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(col("_ia")).as("_ia"), max(col("_ib")).as("_ib"))
+    val wp = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
+    val est = union2.withColumn("_urn", row_number().over(wp))
+      .filter(col("_urn") <= k) // the k smallest of A_k ∪ B_k
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("m_union_k"),
+        sum(col("_ia") * col("_ib")).as("j_num"))
+      .withColumn("est_ppm",
+        expr("CAST(j_num * 1000000 DIV m_union_k AS BIGINT)"))
+    // exact audit: one self-join of the distinct gram-hash sets
+    val nPer = d.groupBy(col("source")).agg(count(lit(1)).as("_n"))
+    val inter = d.withColumnRenamed("source", "src_a")
+      .join(d.withColumnRenamed("source", "src_b"), "h")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter_exact"))
+    val exact = pairs
+      .join(nPer.select(col("source").as("src_a"), col("_n").as("_na")), "src_a")
+      .join(nPer.select(col("source").as("src_b"), col("_n").as("_nb")), "src_b")
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      .withColumn("union_exact", col("_na") + col("_nb") - col("inter_exact"))
+      .withColumn("exact_ppm",
+        expr("CAST(inter_exact * 1000000 DIV union_exact AS BIGINT)"))
+      .select(col("src_a"), col("src_b"), col("inter_exact"),
+        col("union_exact"), col("exact_ppm"))
+    est.join(exact, Seq("src_a", "src_b"))
+      .withColumn("within_3sig", expr(
+        s"""CAST(CASE WHEN (est_ppm - exact_ppm) * (est_ppm - exact_ppm) * $k
+              <= 9 * (exact_ppm * (1000000 - exact_ppm) + 1000000) THEN 1
+              ELSE 0 END AS BIGINT)"""))
+      .select(col("src_a"), col("src_b"), col("m_union_k"), col("j_num"),
+        col("est_ppm"), col("inter_exact"), col("union_exact"),
+        col("exact_ppm"), col("within_3sig"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Per-source bottom-k by (h, v) over (source, h, v) rows — the cut
     * shared by [[quantileSketchMerge]] and [[maintainQuantileSamples]].
     * Salted two-level: a straight per-source window would sort the

@@ -2390,6 +2390,27 @@ class OperatorsSpec extends SparkSpec {
     assert(Sketches.quantileBoundPpm(50, 128) == 176777L)
   }
 
+  test("kmvPairwiseJaccard: exact when unions fit in k; disjoint pair estimates zero") {
+    import graft.operators.Sketches
+    val docs = Seq(
+      (1L, "a", "w1 w2 w3 w4"), // grams: (w1 w2 w3), (w2 w3 w4)
+      (2L, "b", "w1 w2 w3"),    // shares (w1 w2 w3): inter 1, union 2 → J = 0.5
+      (3L, "c", "x1 x2 x3")     // disjoint from both
+    ).toDF("doc_id", "source", "text")
+    val r = Sketches.kmvPairwiseJaccard(docs, "text", "source", k = 8)
+      .collect().map(row => ((row.getString(0), row.getString(1)),
+        (row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+          row.getLong(6), row.getLong(7), row.getLong(8)))).toMap
+    assert(r.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")),
+      s"all unordered pairs, ordered lexically: ${r.keySet}")
+    // n < k ⇒ the k-sets are the full gram sets and the estimate is exact
+    assert(r(("a", "b")) == (2L, 1L, 500000L, 1L, 2L, 500000L, 1L),
+      s"a-b: m=2, j_num=1, est=exact=0.5: ${r(("a", "b"))}")
+    val ac = r(("a", "c"))
+    assert(ac._3 == 0L && ac._4 == 0L && ac._6 == 0L && ac._7 == 1L,
+      s"disjoint pair: est 0, exact 0, within band: $ac")
+  }
+
   test("maintainQuantileSamples: adds-only maintenance equals full recompute exactly") {
     import graft.operators.Sketches
     val k = 4
