@@ -4879,6 +4879,40 @@ object OracleSql {
             CAST(CASE WHEN (est_ppm - exact_ppm) * (est_ppm - exact_ppm) * 256
                  <= 9 * (exact_ppm * (1000000 - exact_ppm) + 1000000) THEN 1
                  ELSE 0 END AS BIGINT) AS within_3sig
-          FROM F ORDER BY src_a, src_b"""
+          FROM F ORDER BY src_a, src_b""",
+
+    // robust outlier report: per-source median + MAD from the
+    // bottom-128 sample's ceil-rank order statistics (two "medians"
+    // that never touch the data), then the scan-speed 3-MAD count
+    "q225_robust_outliers" ->
+      s"""WITH B AS (SELECT source,
+                 ${md5long("CAST(doc_id AS VARCHAR)")} AS h,
+                 CAST(n_chars AS BIGINT) AS v FROM documents),
+          S AS (SELECT source, h, v FROM
+                 (SELECT source, h, v, row_number() OVER
+                    (PARTITION BY source ORDER BY h, v) AS rn FROM B)
+                WHERE rn <= 128),
+          MS AS (SELECT source, CAST(count(*) AS BIGINT) AS m
+                FROM S GROUP BY source),
+          MED AS (SELECT r.source, r.v AS med_est FROM
+                 (SELECT source, v, row_number() OVER
+                    (PARTITION BY source ORDER BY v, h) AS srn FROM S) r
+                JOIN MS ms ON ms.source = r.source
+                WHERE r.srn = (50 * ms.m + 99) // 100),
+          MAD AS (SELECT r.source, r.med_est, r.dev AS mad_est FROM
+                 (SELECT s.source, med.med_est, abs(s.v - med.med_est) AS dev,
+                   row_number() OVER (PARTITION BY s.source
+                     ORDER BY abs(s.v - med.med_est), s.h) AS srn
+                  FROM S s JOIN MED med ON med.source = s.source) r
+                JOIN MS ms ON ms.source = r.source
+                WHERE r.srn = (50 * ms.m + 99) // 100)
+          SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(t.med_est AS BIGINT) AS med_est,
+            CAST(t.mad_est AS BIGINT) AS mad_est,
+            CAST(sum(CASE WHEN b.v IS NOT NULL
+                 AND abs(b.v - t.med_est) > 3 * t.mad_est
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          FROM B b JOIN MAD t ON t.source = b.source
+          GROUP BY 1, 3, 4 ORDER BY b.source"""
     )
 }

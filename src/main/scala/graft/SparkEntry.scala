@@ -1975,6 +1975,16 @@ object SparkEntry {
     graft.operators.Sketches.kmvPairwiseJaccard(
       t(s, dir, "documents"), "text", "source")
 
+  /** Robust outlier report (q225): per-source median + MAD of n_chars
+    * from the bottom-k sample (both order statistics never touch the
+    * data), then a scan-speed count of docs beyond 3 MADs — the
+    * heavy-tail-proof version of a mean/stddev length gate. See
+    * Diagnostics.robustOutlierReport.
+    */
+  private def qRobustOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.robustOutlierReport(t(s, dir, "documents"),
+      col("doc_id"), col("n_chars"), col("source"))
+
   /** Benchmark decontamination (operators.Decontaminate.sharedNgrams):
     * every 97th document plays the eval set; the rest of the corpus is
     * checked for shared word 3-grams (distinct per doc) against it.
@@ -3599,7 +3609,8 @@ object SparkEntry {
     "q221_quantile_merge" -> (qQuantileMerge _),
     "q222_sketch_maintain" -> (qSketchMaintain _),
     "q223_sketch_gate" -> (qSketchGate _),
-    "q224_kmv_jaccard" -> (qKmvJaccard _))
+    "q224_kmv_jaccard" -> (qKmvJaccard _),
+    "q225_robust_outliers" -> (qRobustOutliers _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

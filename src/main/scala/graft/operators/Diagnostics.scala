@@ -81,6 +81,61 @@ object Diagnostics {
         col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** Robust per-group outlier report (q225): median and MAD estimated
+    * from the group's bottom-k-by-hash sample
+    * ([[Sketches.bottomKBySource]], q221 — ceil-rank order statistics,
+    * reproducible on any engine), then one scan-speed pass counts rows
+    * beyond `nMads`·MAD of the median. Median/MAD resist the heavy
+    * tails that make mean/stddev gates useless on document-length
+    * distributions (one 100 MB crawl artifact moves a mean, not a
+    * median), and computing BOTH from the ≤ groups·k sample keeps the
+    * robust pass as cheap as the naive one: the two "medians" (value,
+    * then absolute deviation) never touch the data — only the final
+    * count does, with ≤ |groups| threshold rows broadcast.
+    *
+    * A constant group has MAD 0 — any deviation flags, the correct
+    * degenerate reading. NULL values count into n_docs but never into
+    * n_outliers (a missing measurement is not an outlying one).
+    *
+    * Output: (source, n_docs, med_est, mad_est, n_outliers) per group.
+    */
+  def robustOutlierReport(docs: DataFrame, id: Column, value: Column,
+      group: Column, k: Int = 128, nMads: Int = 3): DataFrame = {
+    require(k >= 2 && nMads >= 1, s"need k >= 2, nMads >= 1: $k, $nMads")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.md5Long
+    val base = docs.select(group.as("_ro_g"), value.cast("long").as("_ro_v"),
+      md5Long(id.cast("string")).as("_ro_h"))
+    val samples = Sketches.bottomKBySource(base.filter(col("_ro_v").isNotNull)
+        .select(col("_ro_g").as("source"), col("_ro_h").as("h"),
+          col("_ro_v").as("v")), k)
+      .localCheckpoint(true) // ≤ groups·k rows, walked twice
+    val mPer = samples.groupBy(col("source")).agg(count(lit(1)).as("_m"))
+    def ceilRank(pct: Int) = expr(s"($pct * _m + 99) DIV 100")
+    val med = samples.withColumn("_rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("v"), col("h"))))
+      .join(mPer, "source")
+      .filter(col("_rn") === ceilRank(50))
+      .select(col("source"), col("v").as("med_est"))
+    // second order statistic, same sample: median absolute deviation
+    val mad = samples.join(med, "source")
+      .withColumn("_dev", abs(col("v") - col("med_est")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("_dev"), col("h"))))
+      .join(mPer, "source")
+      .filter(col("_rn") === ceilRank(50))
+      .select(col("source"), col("med_est"), col("_dev").as("mad_est"))
+    base.join(broadcast(mad), col("_ro_g") <=> col("source"))
+      .groupBy(col("source"), col("med_est"), col("mad_est"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_ro_v").isNotNull &&
+          abs(col("_ro_v") - col("med_est")) > lit(nMads.toLong) * col("mad_est"),
+          1L).otherwise(0L)).as("n_outliers"))
+      .select(col("source"), col("n_docs"), col("med_est"), col("mad_est"),
+        col("n_outliers"))
+      .orderBy(col("source"))
+  }
+
   /** Source-divergence matrix: add-one-smoothed KL(a‖b) between each
     * ordered pair of sources' unigram distributions, in the battery's
     * exact integer floor-log2 "bits" arithmetic (binary digit counts —

@@ -2390,6 +2390,21 @@ class OperatorsSpec extends SparkSpec {
     assert(Sketches.quantileBoundPpm(50, 128) == 176777L)
   }
 
+  test("robustOutlierReport: exact order-statistic med/MAD when n<=k; MAD-0 group flags any deviation") {
+    import graft.operators.Diagnostics
+    // g: 1..101 → med = 51st value = 51; devs 0,1,1,..,50,50 → MAD = 51st = 25;
+    // no |v−51| exceeds 3·25. c: five 7s and one 8 → med 7, MAD 0 (rank 3
+    // of [0,0,0,0,0,1]) → the 8 is the one outlier (any deviation flags)
+    val rows = (1 to 101).map(i => (i.toLong, "g", i.toLong)) ++
+      (102 to 106).map(i => (i.toLong, "c", 7L)) :+ ((107L, "c", 8L))
+    val r = Diagnostics.robustOutlierReport(rows.toDF("id", "src", "v"),
+        col("id"), col("v"), col("src"), k = 128)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("g") == (101L, 51L, 25L, 0L), s"${r("g")}")
+    assert(r("c") == (6L, 7L, 0L, 1L), s"${r("c")}")
+  }
+
   test("kmvPairwiseJaccard: exact when unions fit in k; disjoint pair estimates zero") {
     import graft.operators.Sketches
     val docs = Seq(
