@@ -488,4 +488,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
       s"bucket stats are plain aggregates:\n$p")
   }
+
+  test("bottom-k sample cut (q221/q222/q223/q225 core) is the salted two-level window") {
+    // level 1 must partition by (source, pmod(h, 64)) — a plain
+    // per-source window funnels a dominant source's whole stream
+    // through one task (the skew wall the salting exists for). Pinned
+    // on the operator directly: the battery rows checkpoint the sample
+    // eagerly, so their final plans no longer show the cut.
+    import org.apache.spark.sql.execution.ExplainMode
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        graft.functions.md5Long(col("doc_id").cast("string")).as("h"),
+        col("n_chars").cast("long").as("v"))
+    val p = graft.operators.Sketches.bottomKBySource(base, 64)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("pmod("),
+      s"the level-1 salt (pmod(h, 64)) must key the first window:\n$p")
+    assert(p.linesIterator.count(_.matches(".*\\+- Window \\(\\d+\\)")) >= 2,
+      s"two window levels (salted cut, then per-source cut):\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rank<=k filter must push into the window as a group limit:\n$p")
+  }
+
+  test("sketch gate + robust outliers: thresholds broadcast onto the scan, never a corpus shuffle-join") {
+    for (q <- Seq("q223_sketch_gate", "q225_robust_outliers")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the <= |groups| threshold rows must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q: the corpus must never shuffle for the threshold join:\n$p")
+    }
+  }
 }
