@@ -4913,6 +4913,59 @@ object OracleSql {
                  AND abs(b.v - t.med_est) > 3 * t.mad_est
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
           FROM B b JOIN MAD t ON t.source = b.source
-          GROUP BY 1, 3, 4 ORDER BY b.source"""
+          GROUP BY 1, 3, 4 ORDER BY b.source""",
+
+    // sparse pairwise Jaccard: q224 with the pair frontier from the
+    // k-set self-join — only pairs sharing a sketch hash materialize
+    // (a candidate can still score 0; disjoint pairs never appear)
+    "q226_kmv_jaccard_sparse" ->
+      s"""WITH D AS (SELECT DISTINCT source, ${md5long("g")} AS h FROM
+                 (SELECT source, unnest(${rawShingles3("text")}) AS g
+                  FROM documents)),
+          MS AS (SELECT source, h FROM
+                 (SELECT source, h, row_number() OVER
+                    (PARTITION BY source ORDER BY h) AS rn FROM D)
+                WHERE rn <= 256),
+          P AS (SELECT DISTINCT a.source AS src_a, b.source AS src_b
+                FROM MS a JOIN MS b ON a.h = b.h AND a.source < b.source),
+          U2 AS (SELECT src_a, src_b, h,
+                  max(ia) AS ia, max(ib) AS ib FROM (
+                  SELECT p.src_a, p.src_b, m.h, 1 AS ia, 0 AS ib
+                  FROM P p JOIN MS m ON m.source = p.src_a
+                  UNION ALL
+                  SELECT p.src_a, p.src_b, m.h, 0 AS ia, 1 AS ib
+                  FROM P p JOIN MS m ON m.source = p.src_b)
+                 GROUP BY 1, 2, 3),
+          E AS (SELECT src_a, src_b,
+                 CAST(count(*) AS BIGINT) AS m_union_k,
+                 CAST(sum(ia * ib) AS BIGINT) AS j_num
+                FROM (SELECT *, row_number() OVER
+                       (PARTITION BY src_a, src_b ORDER BY h) AS urn FROM U2)
+                WHERE urn <= 256 GROUP BY 1, 2),
+          N AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                FROM D GROUP BY source),
+          I AS (SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) AS BIGINT) AS inter_exact
+                FROM D a JOIN D b ON a.h = b.h AND a.source < b.source
+                GROUP BY 1, 2),
+          X AS (SELECT p.src_a, p.src_b,
+                 CAST(coalesce(i.inter_exact, 0) AS BIGINT) AS inter_exact,
+                 CAST(na.n + nb.n - coalesce(i.inter_exact, 0) AS BIGINT)
+                   AS union_exact
+                FROM P p JOIN N na ON na.source = p.src_a
+                JOIN N nb ON nb.source = p.src_b
+                LEFT JOIN I i ON i.src_a = p.src_a AND i.src_b = p.src_b),
+          F AS (SELECT e.src_a, e.src_b, e.m_union_k, e.j_num,
+                 CAST(e.j_num * 1000000 // e.m_union_k AS BIGINT) AS est_ppm,
+                 x.inter_exact, x.union_exact,
+                 CAST(x.inter_exact * 1000000 // x.union_exact AS BIGINT)
+                   AS exact_ppm
+                FROM E e JOIN X x ON x.src_a = e.src_a AND x.src_b = e.src_b)
+          SELECT src_a, src_b, m_union_k, j_num, est_ppm, inter_exact,
+            union_exact, exact_ppm,
+            CAST(CASE WHEN (est_ppm - exact_ppm) * (est_ppm - exact_ppm) * 256
+                 <= 9 * (exact_ppm * (1000000 - exact_ppm) + 1000000) THEN 1
+                 ELSE 0 END AS BIGINT) AS within_3sig
+          FROM F ORDER BY src_a, src_b"""
     )
 }

@@ -1975,6 +1975,16 @@ object SparkEntry {
     graft.operators.Sketches.kmvPairwiseJaccard(
       t(s, dir, "documents"), "text", "source")
 
+  /** Sparse pairwise Jaccard (q226): q224's many-sources cure — the
+    * pair frontier from the k-set self-join (only pairs that can score
+    * nonzero materialize; disjoint pairs never build a union). Dense
+    * q224 stays pinned as the full-matrix baseline, the q212/q216
+    * pairing. See Sketches.kmvPairwiseJaccard(candidatesOnly = true).
+    */
+  private def qKmvJaccardSparse(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvPairwiseJaccard(
+      t(s, dir, "documents"), "text", "source", candidatesOnly = true)
+
   /** Robust outlier report (q225): per-source median + MAD of n_chars
     * from the bottom-k sample (both order statistics never touch the
     * data), then a scan-speed count of docs beyond 3 MADs — the
@@ -3610,7 +3620,8 @@ object SparkEntry {
     "q222_sketch_maintain" -> (qSketchMaintain _),
     "q223_sketch_gate" -> (qSketchGate _),
     "q224_kmv_jaccard" -> (qKmvJaccard _),
-    "q225_robust_outliers" -> (qRobustOutliers _))
+    "q225_robust_outliers" -> (qRobustOutliers _),
+    "q226_kmv_jaccard_sparse" -> (qKmvJaccardSparse _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

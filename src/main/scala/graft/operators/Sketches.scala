@@ -453,9 +453,17 @@ object Sketches {
     * (est−exact)²·k ≤ 9·(exact_ppm·(1e6−exact_ppm) + 1e6) — the flag
     * is COMPUTED on both engines, so a legitimately-outside-3σ pair
     * still hash-matches (no q217-style asserted probability).
+    *
+    * `candidatesOnly = true` (q226) is the many-sources scale path:
+    * the pair frontier comes from the k-set self-join on h instead of
+    * the source cross — only pairs that CAN score nonzero materialize,
+    * so 1000 mostly-disjoint sources cost the overlap structure, not
+    * C(1000, 2) union builds. The q212→q216 dense-baseline/sparse-cure
+    * pairing.
     */
   def kmvPairwiseJaccard(docs: DataFrame, textCol: String,
-      sourceCol: String, k: Int = 256): DataFrame = {
+      sourceCol: String, k: Int = 256,
+      candidatesOnly: Boolean = false): DataFrame = {
     require(k >= 2, s"need k >= 2, got $k")
     import graft.functions.{md5Long, rawShingles}
     import org.apache.spark.sql.expressions.Window
@@ -473,10 +481,26 @@ object Sketches {
     val mins = pruned.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k).drop("_rn")
       .localCheckpoint(true) // ≤ sources·k rows
-    val srcs = mins.select(col("source")).distinct()
-    val pairs = srcs.select(col("source").as("src_a"))
-      .crossJoin(srcs.select(col("source").as("src_b")))
-      .filter(col("src_a") < col("src_b")) // ≤ C(|sources|, 2) rows
+    // the pair frontier. Dense (default): all C(|sources|, 2) — the
+    // full matrix a 20-source corpus report wants. Sparse
+    // (candidatesOnly, q226): only pairs whose k-sets SHARE a hash —
+    // at 1000 mostly-disjoint sources the dense form's per-pair union
+    // build is 500k pairs × 2k rows, nearly all of it spent proving
+    // zeros; the sketch self-join emits exactly the pairs that can
+    // score nonzero (j_num > 0 ⇒ a shared hash in both k-sets), so
+    // disjoint pairs never materialize. A candidate can still
+    // legitimately score 0 (its shared hashes rank past k in the
+    // union) — emitted, so the output is a deterministic function of
+    // the k-sets, not of which zeros were pruned.
+    val pairs = (if (!candidatesOnly) {
+      val srcs = mins.select(col("source")).distinct()
+      srcs.select(col("source").as("src_a"))
+        .crossJoin(srcs.select(col("source").as("src_b")))
+    } else
+      mins.withColumnRenamed("source", "src_a")
+        .join(mins.withColumnRenamed("source", "src_b"), "h")
+        .select(col("src_a"), col("src_b")).distinct()
+    ).filter(col("src_a") < col("src_b"))
     // per-pair union of the two k-sets with membership flags
     val sideA = pairs.join(mins.withColumnRenamed("source", "src_a"), "src_a")
       .select(col("src_a"), col("src_b"), col("h"),

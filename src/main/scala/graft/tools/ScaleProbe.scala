@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val Known = Set("simhash8", "simhash15", "simhashAuto",
     "neardup8", "neardup12", "brute", "curation",
-    "semantic8", "semanticAuto", "semantic2", "semantic3")
+    "semantic8", "semanticAuto", "semantic2", "semantic3", "jaccard400")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -174,6 +174,30 @@ object ScaleProbe {
           .filter(col("s") >= 950000L).select(col("id_a"), col("id_b"))
         Dedup.connectedComponents(pairs).count()
       }
+    }
+    // q224 vs q226 at MANY mostly-disjoint sources — the regime the
+    // sparse frontier exists for: 400 sources in 40 vocab groups of 10
+    // (grams namespaced by group, so only same-group pairs overlap).
+    // Dense must build C(400,2) = 79 800 per-pair unions to prove the
+    // zeros; sparse materializes only the ~1 800 same-group candidates.
+    if (probes("jaccard400")) {
+      val docs400 = spark.range(0, 12000).select(
+        col("id").as("doc_id"),
+        concat(lit("s"), col("id") % 400).as("source"),
+        // word values depend on the row index WITHIN the source
+        // (id DIV 400), not the raw id, so two sources of the same
+        // vocab group emit identical grams at matching indices —
+        // real within-group overlap, still zero across groups
+        concat_ws(" ", (0 to 12).map(j =>
+          concat(lit("w"), expr("(id % 400) DIV 10"), lit("_"),
+            expr(s"(id DIV 400) * ${j + 7} % 50"))): _*).as("text"))
+        .localCheckpoint(true)
+      timed("jaccard_dense_400src")(
+        graft.operators.Sketches.kmvPairwiseJaccard(
+          docs400, "text", "source", k = 64).count())
+      timed("jaccard_sparse_400src")(
+        graft.operators.Sketches.kmvPairwiseJaccard(
+          docs400, "text", "source", k = 64, candidatesOnly = true).count())
     }
     if (probes("brute")) timed("ann_brute")(
       graft.operators.Similarity.bruteForceTopK(embs,

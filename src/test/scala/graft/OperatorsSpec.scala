@@ -2424,6 +2424,18 @@ class OperatorsSpec extends SparkSpec {
     val ac = r(("a", "c"))
     assert(ac._3 == 0L && ac._4 == 0L && ac._6 == 0L && ac._7 == 1L,
       s"disjoint pair: est 0, exact 0, within band: $ac")
+    // sparse mode: the frontier comes from the k-set self-join, so
+    // disjoint pairs never materialize; overlapping pairs are identical
+    // to the dense rows
+    val sp = Sketches.kmvPairwiseJaccard(docs, "text", "source", k = 8,
+        candidatesOnly = true)
+      .collect().map(row => ((row.getString(0), row.getString(1)),
+        (row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+          row.getLong(6), row.getLong(7), row.getLong(8)))).toMap
+    assert(sp.keySet == Set(("a", "b")),
+      s"only the overlapping pair appears: ${sp.keySet}")
+    assert(sp(("a", "b")) == r(("a", "b")),
+      "sparse rows must equal the dense computation on shared pairs")
   }
 
   test("maintainQuantileSamples: adds-only maintenance equals full recompute exactly") {
