@@ -1,10 +1,19 @@
 #!/usr/bin/env python3
-"""Battery regression tripwire (VERDICT r10 item 6).
+"""Battery regression tripwire (VERDICT r10 item 6; canary r11 item 1).
 
 Compares a fresh `graft.Bench` JSON line against a reference archive
 (default: the newest bench_archive/*.json by mtime) and prints every
 query whose time exceeds `threshold`x the archived time, so battery
 drift is adjudicated by script instead of by hand against archives.
+
+When BOTH lines carry the fixed-work `"canary"` field (graft.Bench
+records it on every run: a constant-seed in-memory aggregate that
+never touches SF data), per-query ratios are divided by the canary
+ratio before the threshold applies — a battery-wide host slowdown
+(round 11's uniform 1.24x, then adjudicated by hand-rebuilding the
+r10 snapshot) moves the canary identically and normalizes away, while
+a genuine plan regression survives normalization. Raw ratios are
+still printed next to normalized ones. Pass --no-canary to disable.
 
 Usage:
   # pipe a fresh run:
@@ -69,6 +78,19 @@ def main(argv):
     print(f"reference: {ref_name} ({len(rq)} queries, sf={ref.get('sf')})")
     print(f"fresh:     {len(fq)} queries, sf={fresh.get('sf')}, "
           f"total {fresh.get('value', float('nan')):.1f}s vs {ref.get('value', float('nan')):.1f}s archived")
+    # environment normalization: divide per-query ratios by the
+    # fixed-work canary ratio when both sides recorded one
+    cal = 1.0
+    fc, rc = fresh.get("canary", -1.0), ref.get("canary", -1.0)
+    if "--no-canary" in argv:
+        print("canary normalization disabled (--no-canary)")
+    elif fc and rc and fc > 0 and rc > 0:
+        cal = fc / rc
+        print(f"canary: fresh {fc:.3f}s vs {rc:.3f}s archived -> "
+              f"host-speed ratio {cal:.3f}x (per-query ratios normalized by it)")
+    else:
+        print("canary: absent on one side -> raw ratios (no environment "
+              "normalization; re-archive with a canary-recording bench)")
     only_fresh = sorted(set(fq) - set(rq))
     only_ref = sorted(set(rq) - set(fq))
     if only_fresh:
@@ -80,15 +102,18 @@ def main(argv):
         f, r = fq[name], rq[name]
         if f < 0 or r <= 0:
             if f < 0:
-                regressions.append((name, f, r, float("inf")))
+                regressions.append((name, f, r, float("inf"), float("inf")))
                 print(f"FAILED   {name}: fresh run recorded failure (-1)")
             continue
-        ratio = f / r
+        raw = f / r
+        ratio = raw / cal
         if ratio > thr and max(f, r) >= MIN_SECONDS:
-            regressions.append((name, f, r, ratio))
-    for name, f, r, ratio in sorted(regressions, key=lambda t: -t[3]):
+            regressions.append((name, f, r, ratio, raw))
+    for name, f, r, ratio, raw in sorted(regressions, key=lambda t: -t[3]):
         if ratio != float("inf"):
-            print(f"REGRESS  {name}: {f:.2f}s vs {r:.2f}s archived ({ratio:.2f}x > {thr}x)")
+            note = f", raw {raw:.2f}x" if cal != 1.0 else ""
+            print(f"REGRESS  {name}: {f:.2f}s vs {r:.2f}s archived "
+                  f"({ratio:.2f}x > {thr}x{note})")
     if not regressions:
         print(f"OK: no common query above {thr}x the archive (>= {MIN_SECONDS}s)")
         return 0

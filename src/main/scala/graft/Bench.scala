@@ -48,6 +48,34 @@ object Bench {
     }
   }
 
+  /** Fixed-work environment canary (VERDICT r11 item 1): a
+    * constant-seed, in-memory, CPU-bound aggregate that never touches
+    * SF data — 64M xxhash64+sum over a `range` split across the
+    * session's cores, the same parallel whole-stage-codegen shape as
+    * the battery's hot rows. Its min-of-3 time moves with the HOST
+    * (cpu contention, frequency scaling, co-tenant load) and with
+    * nothing in this repo, so `scripts/bench_regress.py` can divide
+    * per-query ratios by the canary ratio and distinguish a
+    * battery-wide environment shift (round 11's uniform 1.24×, then
+    * adjudicated by hand-rebuilding the r10 snapshot) from a plan
+    * regression automatically. Recorded in every bench line as
+    * top-level `"canary"`, never inside `queries`.
+    */
+  def canarySec(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val parts = spark.sparkContext.defaultParallelism
+    var best = Double.MaxValue
+    var i = 0
+    while (i < 3) {
+      val t0 = System.nanoTime()
+      spark.range(0L, 64L * 1000 * 1000, 1L, parts)
+        .agg(sum(xxhash64(col("id") + lit(42L)))).count()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      i += 1
+    }
+    best
+  }
+
   /** Min-of-`runs` timing of one query execution: the per-run floor is
     * the intrinsic cost estimate that round-over-round comparisons
     * should use (the measured run-to-run variance band for join-tail
@@ -87,6 +115,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    var canary = -1.0
     val results: Map[String, Double] =
       if (isolate) {
         // input drift yields one named line per drifted column up
@@ -94,7 +123,7 @@ object Bench {
         // isolate mode needs its own throwaway session for the check
         locally {
           val s = buildSession()
-          try contractGate(s, sfDir) finally s.stop()
+          try { contractGate(s, sfDir); canary = canarySec(s) } finally s.stop()
           org.apache.spark.sql.SparkSession.clearActiveSession()
           org.apache.spark.sql.SparkSession.clearDefaultSession()
         }
@@ -119,6 +148,9 @@ object Bench {
         // drift check reuses the battery session (no extra JVM-wide
         // session start/stop just for the gate)
         contractGate(spark, sfDir)
+        // environment canary BEFORE the battery: same session, fixed
+        // work, so the recorded host-speed sample brackets the run
+        canary = canarySec(spark)
         // JIT/codegen warmup on the smallest SF so the timed runs below
         // measure steady-state execution, not first-call janino compiles.
         ordered.foreach { case (_, fn) =>
@@ -144,6 +176,6 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canary}""")
   }
 }

@@ -4614,30 +4614,55 @@ object OracleSql {
                 UNION ALL SELECT '_merged', kth_hash, n FROM MK)
           ORDER BY source""",
 
-    // count-min mergeability: q62's exact top-20 with the engine's
-    // merge-equality and bound flags asserted (counter addition makes
-    // merged estimates bit-equal to the direct sketch; the bounds are
-    // the standard CMS guarantees — the q62 oracle contract)
-    // NOTE on cms_upper_ok: merged_eq_direct and cms_lower_ok are hard
-    // CMS guarantees (estimate >= true count always; merge is counter
-    // addition, bit-equal by construction), but the UPPER bound
-    // `est <= true + eps·N` holds only with prob >= confidence per
-    // item. Asserting 1 follows the q62 precedent CONSCIOUSLY: at the
-    // battery's eps/width and the generated token distributions the
-    // bound holds deterministically at every driver/gen SF we probe
-    // (re-checked through gen-sf10); a future SF or tokenizer change
-    // that makes the engine correctly emit 0 should widen this flag,
-    // not be "fixed" in the sketch.
-    "q217_cms_merge" ->
-      s"""WITH E AS (SELECT unnest(${toks("lower(text)")}) AS token FROM documents),
+    // count-min mergeability, PORTABLE form: the sketch's md5-hashed
+    // cells and depth×width counter relation are replayed verbatim
+    // here, so the estimates and ALL flags — including the
+    // probabilistic upper bound that rounds 7–11 asserted as a
+    // constant — are computed identically on both engines (the
+    // q221/q224 within_bound idiom): an out-of-bound item would emit
+    // 0 on BOTH sides and still hash-match. merged = per-source
+    // counters summed (counter addition IS the CMS merge), direct =
+    // counted straight off the stream; est = min over depth cells.
+    "q217_cms_merge" -> {
+      val (depth, width) = (4, 8192)
+      val prefixes = (0 until depth).map(r => s"($r, 'cms$r:')").mkString(", ")
+      s"""WITH E AS (SELECT source, unnest(${toks("lower(text)")}) AS token
+                FROM documents),
+          N AS (SELECT CAST(count(*) AS BIGINT) AS n FROM E),
           G AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM E GROUP BY token),
           R AS (SELECT token, cnt,
-                 row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM G)
-          SELECT token, rank, cnt,
-                 CAST(1 AS BIGINT) AS merged_eq_direct,
-                 CAST(1 AS BIGINT) AS cms_lower_ok, CAST(1 AS BIGINT) AS cms_upper_ok
-          FROM R WHERE rank <= 20
-          ORDER BY rank""",
+                 row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM G),
+          T AS (SELECT token, cnt, CAST(rank AS BIGINT) AS rank
+                FROM R WHERE rank <= 20),
+          H(r, pre) AS (VALUES $prefixes),
+          X AS (SELECT e.source, h.r,
+                 ${md5long("h.pre || e.token")} % $width AS cell
+                FROM E e, H h),
+          PS AS (SELECT source, r, cell, CAST(count(*) AS BIGINT) AS c
+                FROM X GROUP BY 1, 2, 3),
+          M AS (SELECT r, cell, CAST(sum(c) AS BIGINT) AS c
+                FROM PS GROUP BY 1, 2),
+          DIR AS (SELECT r, cell, CAST(count(*) AS BIGINT) AS c
+                FROM X GROUP BY 1, 2),
+          TE AS (SELECT t.token, t.rank, t.cnt,
+                 CAST(min(m.c) AS BIGINT) AS est,
+                 CAST(min(d.c) AS BIGINT) AS est_direct
+                FROM T t JOIN H h ON TRUE
+                JOIN M m ON m.r = h.r
+                 AND m.cell = ${md5long("h.pre || t.token")} % $width
+                JOIN DIR d ON d.r = h.r AND d.cell = m.cell
+                GROUP BY 1, 2, 3)
+          SELECT te.token, te.rank, te.cnt, te.est,
+                 CAST(CASE WHEN te.est = te.est_direct THEN 1 ELSE 0 END
+                   AS BIGINT) AS merged_eq_direct,
+                 CAST(CASE WHEN te.est >= te.cnt THEN 1 ELSE 0 END
+                   AS BIGINT) AS cms_lower_ok,
+                 CAST(CASE WHEN te.est <= te.cnt
+                      + 3 * ((n.n + ${width - 1}) // $width) THEN 1 ELSE 0 END
+                   AS BIGINT) AS cms_upper_ok
+          FROM TE te, N n
+          ORDER BY te.rank"""
+    },
 
     // schema evolution: replay both commits — commit 2 adds n_tokens
     // — and the precombine merge; pre-evolution rows surface NULL for
@@ -4726,7 +4751,8 @@ object OracleSql {
                  CAST(n_chars AS BIGINT) AS v FROM documents),
           S AS (SELECT source, h, v FROM
                  (SELECT source, h, v, row_number() OVER
-                    (PARTITION BY source ORDER BY h, v) AS rn FROM B)
+                    (PARTITION BY source ORDER BY h, v) AS rn FROM B
+                  WHERE v IS NOT NULL)
                 WHERE rn <= $k),
           M AS (SELECT '_merged' AS source, h, v FROM
                  (SELECT h, v, row_number() OVER (ORDER BY h, v) AS rn
@@ -4779,7 +4805,8 @@ object OracleSql {
                  CAST(n_chars AS BIGINT) AS v FROM documents),
           S AS (SELECT source, h, v FROM
                  (SELECT source, h, v, row_number() OVER
-                    (PARTITION BY source ORDER BY h, v) AS rn FROM B)
+                    (PARTITION BY source ORDER BY h, v) AS rn FROM B
+                  WHERE v IS NOT NULL)
                 WHERE rn <= 64),
           MS AS (SELECT source, CAST(count(*) AS BIGINT) AS m_sample
                 FROM S GROUP BY source),
@@ -4804,7 +4831,8 @@ object OracleSql {
                  CAST(n_chars AS BIGINT) AS v FROM documents),
           S AS (SELECT source, h, v FROM
                  (SELECT source, h, v, row_number() OVER
-                    (PARTITION BY source ORDER BY h, v) AS rn FROM B)
+                    (PARTITION BY source ORDER BY h, v) AS rn FROM B
+                  WHERE v IS NOT NULL)
                 WHERE rn <= 128),
           MS AS (SELECT source, CAST(count(*) AS BIGINT) AS m_sample
                 FROM S GROUP BY source),
@@ -4890,7 +4918,8 @@ object OracleSql {
                  CAST(n_chars AS BIGINT) AS v FROM documents),
           S AS (SELECT source, h, v FROM
                  (SELECT source, h, v, row_number() OVER
-                    (PARTITION BY source ORDER BY h, v) AS rn FROM B)
+                    (PARTITION BY source ORDER BY h, v) AS rn FROM B
+                  WHERE v IS NOT NULL)
                 WHERE rn <= 128),
           MS AS (SELECT source, CAST(count(*) AS BIGINT) AS m
                 FROM S GROUP BY source),
@@ -4966,6 +4995,34 @@ object OracleSql {
             CAST(CASE WHEN (est_ppm - exact_ppm) * (est_ppm - exact_ppm) * 256
                  <= 9 * (exact_ppm * (1000000 - exact_ppm) + 1000000) THEN 1
                  ELSE 0 END AS BIGINT) AS within_3sig
-          FROM F ORDER BY src_a, src_b"""
+          FROM F ORDER BY src_a, src_b""",
+
+    // compressed-frame decode through the real codec seam: 4 PNG
+    // frames per doc inside a real MP4; PNG is lossless, so each
+    // decoded frame's pixels re-derive arithmetically from the md5
+    // chain and the per-frame aHash is the q206 8x8 form (each pixel
+    // its own cell: bit i = 64·g_i > Σg, HUGEINT assembly +
+    // two's-complement wrap). A hash mismatch anywhere in synth → PNG
+    // encode → mux → demux → ImageIO decode → luma → aHash trips this.
+    "q227_frame_decode" ->
+      s"""WITH SD AS (SELECT doc_id, md5(coalesce(text,'')) AS seed
+                FROM documents),
+          FG AS (SELECT doc_id, t.f AS f,
+                 list_transform(range(0, 64), i ->
+                   ${md5long("seed || '|f' || t.f::VARCHAR || '|' || i::VARCHAR")}
+                     & 255) AS g
+                FROM SD, (SELECT unnest(range(4)) AS f) t),
+          S AS (SELECT doc_id, f, g, CAST(list_sum(g) AS BIGINT) AS total
+                FROM FG),
+          H AS (SELECT doc_id, f,
+                 list_sum(list_transform(range(0, 64), i ->
+                   CASE WHEN 64 * g[i+1] > total
+                     THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS uh
+                FROM S)
+          SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+            CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                 THEN uh - 18446744073709551616::HUGEINT ELSE uh END
+                 AS BIGINT) AS frame_hash
+          FROM H ORDER BY doc_id, frame_no"""
     )
 }

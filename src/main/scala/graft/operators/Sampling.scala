@@ -376,9 +376,11 @@ object Sampling {
     * use [[quantileGate]] `exact = true`.
     *
     * Keeps rows with loPct-th ≤ value ≤ hiPct-th estimated percentile
-    * of their group (NULL values never pass; a group smaller than k
-    * gates on its exact order statistics since the sample IS the
-    * population).
+    * of their group (NULL values never pass the gate AND never enter
+    * the sample — [[Sketches.bottomKBySource]] excludes them, so a
+    * nullable value column cannot shift a group's thresholds or NULL
+    * them out; a group smaller than k gates on its exact order
+    * statistics since the sample IS the population).
     */
   def sketchQuantileGate(df: DataFrame, id: Column, value: Column,
       group: Column, loPct: Int, hiPct: Int, k: Int = 128): DataFrame = {

@@ -231,6 +231,94 @@ object Sketches {
       "cms_lower_ok", "cms_upper_ok")
   }
 
+  /** PORTABLE count-min merge (q217) — the [[cmsPerSourceMerge]]
+    * contract rebuilt so that EVERY output column, including the
+    * estimates and the probabilistic upper-bound flag, is a
+    * deterministic integer function both engines compute: the sketch's
+    * hash functions are the engine-wide md5Long over a per-row prefix
+    * (`"cms<r>:" || token`), and the sketch itself is stored as
+    * (r, cell) → counter ROWS rather than an opaque binary. That is
+    * the same data structure Spark's CountMinSketch holds internally
+    * — depth·width counters — but as a relation it is:
+    *
+    *  - engine-portable: DuckDB replays the identical sketch in SQL,
+    *    so q217's `cms_upper_ok` is COMPUTED on both sides (the
+    *    q221/q224 within_bound idiom) — a legitimately-out-of-bound
+    *    item still hash-matches, closing the one battery row that
+    *    asserted a probabilistic guarantee as a constant;
+    *  - fully distributed: counters come from one map-side-combined
+    *    groupBy over the ×depth-fanned token stream (bounded
+    *    depth·width output — 32k rows at the defaults), merge is
+    *    counter ADDITION (a second bounded aggregate), and NO sketch
+    *    state ever reaches the driver — at 100 TB the binary-collect
+    *    form ships |sources| binaries to one coordinator, this form
+    *    keeps the whole algebra in the engine.
+    *
+    * merged_eq_direct: per top token, min-over-rows of the per-source-
+    * summed counters equals min over the directly-counted ones —
+    * counter addition is exact, so 1 by the merge law, computed here.
+    * cms_lower_ok: est ≥ cnt — the hard CMS guarantee (every cell
+    * counter includes the token's own count). cms_upper_ok:
+    * est ≤ cnt + 3·ceil(N/width) — Markov on the per-row collision
+    * mass (expectation < N/width) gives P[fail] ≤ 3^−depth per item;
+    * the flag may legitimately read 0 and both engines agree on it.
+    *
+    * Output: (token, rank, cnt, est, merged_eq_direct, cms_lower_ok,
+    * cms_upper_ok) for the exact top-`topN` tokens.
+    */
+  def cmsPortableMerge(docs: DataFrame, textCol: String, sourceCol: String,
+      topN: Int = 20, depth: Int = 4, width: Int = 8192): DataFrame = {
+    require(topN >= 1 && depth >= 1 && width >= 2,
+      s"need topN>=1, depth>=1, width>=2: $topN, $depth, $width")
+    import graft.functions.{md5Long, tokens}
+    val keyed = docs.select(col(sourceCol).as("source"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token").isNotNull)
+      .localCheckpoint() // one tokenize feeds totals, top-N and cells
+    def cellOf(tok: Column, r: Int): Column =
+      pmod(md5Long(concat(lit(s"cms$r:"), tok)), lit(width.toLong))
+    // ×depth fan-out, then ONE bounded aggregate per leg: the merged
+    // leg sums per-source counters (the merge IS addition), the direct
+    // leg counts the stream — both ≤ depth·width rows
+    val cells = keyed.select(col("source"), explode(array(
+      (0 until depth).map(r =>
+        struct(lit(r).as("r"), cellOf(col("token"), r).as("cell"))): _*)).as("_rc"))
+      .select(col("source"), col("_rc.r").as("r"), col("_rc.cell").as("cell"))
+    val perSource = cells.groupBy(col("source"), col("r"), col("cell"))
+      .agg(count(lit(1)).as("c"))
+    val mergedCtr = perSource.groupBy(col("r"), col("cell"))
+      .agg(sum(col("c")).as("c"))
+    val directCtr = cells.groupBy(col("r"), col("cell"))
+      .agg(count(lit(1)).as("c"))
+    val top = keyed.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("token"))).cast("long"))
+    // probe the counters for the topN tokens: topN·depth probe rows
+    // against the ≤ depth·width counter relations (broadcast-scale)
+    val probes = top.select(col("token"), col("rank"), col("cnt"), explode(array(
+      (0 until depth).map(r =>
+        struct(lit(r).as("r"), cellOf(col("token"), r).as("cell"))): _*)).as("_rc"))
+      .select(col("token"), col("rank"), col("cnt"),
+        col("_rc.r").as("r"), col("_rc.cell").as("cell"))
+    val ests = probes
+      .join(mergedCtr.withColumnRenamed("c", "_cm"), Seq("r", "cell"))
+      .join(directCtr.withColumnRenamed("c", "_cd"), Seq("r", "cell"))
+      .groupBy(col("token"), col("rank"), col("cnt"))
+      .agg(min(col("_cm")).as("est"), min(col("_cd")).as("_est_direct"))
+    val total = keyed.agg(count(lit(1)).as("_n"))
+    ests.crossJoin(broadcast(total))
+      .select(col("token"), col("rank"), col("cnt"), col("est"),
+        when(col("est") === col("_est_direct"), 1L).otherwise(0L)
+          .as("merged_eq_direct"),
+        when(col("est") >= col("cnt"), 1L).otherwise(0L).as("cms_lower_ok"),
+        when(col("est") <= col("cnt") +
+          lit(3L) * expr(s"(_n + ${width - 1}) DIV $width"), 1L).otherwise(0L)
+          .as("cms_upper_ok"))
+      .orderBy(col("rank"))
+  }
+
   /** KMV MERGEABILITY — the property that makes sketches distributed
     * infrastructure rather than a single-pass trick: per-source k-min
     * sets union and re-cut to k, and because every hash in the global
@@ -362,6 +450,12 @@ object Sketches {
     * audit operates on ≤ sources·k rows; the audit is one broadcast
     * join of ≤ (sources+1)·|qPcts| estimate rows against the
     * population stream — a single scan, no sort of the full data.
+    *
+    * NULL values never enter the sample (see [[bottomKBySource]]) nor
+    * the direct-compare leg; they still count into n_pop but never
+    * into the strict/at-or-below rank sums (CASE-guarded to 0 on both
+    * engines), so a nullable value column cannot shift thresholds or
+    * drop a group cross-engine.
     */
   def quantileSketchMerge(docs: DataFrame, idCol: String, value: Column,
       sourceCol: String, k: Int = 128,
@@ -382,8 +476,11 @@ object Sketches {
       .select(lit("_merged").as("source"), col("h"), col("v"))
       .localCheckpoint(true) // ≤ k rows
     // merged_eq_direct: multiset-compare the merged k-set against the
-    // bottom-k computed directly on the full stream (1-row result)
-    val direct = base.select(col("h"), col("v"))
+    // bottom-k computed directly on the full stream (1-row result).
+    // The direct leg must apply the same NULL-value exclusion as the
+    // sample cut (bottomKBySource) or a NULL-v row could enter only
+    // the direct side and falsely fail the lossless-merge compare.
+    val direct = base.filter(col("v").isNotNull).select(col("h"), col("v"))
       .orderBy(col("h"), col("v")).limit(k)
     val meq = mergedSample.groupBy(col("h"), col("v"))
       .agg(count(lit(1)).as("_cm"))
@@ -461,6 +558,35 @@ object Sketches {
     * C(1000, 2) union builds. The q212→q216 dense-baseline/sparse-cure
     * pairing.
     */
+  /** Frontier-selection law for [[kmvPairwiseJaccard]] (VERDICT r11
+    * item 6): pick the sparse candidate frontier once the dense form's
+    * pair count C(n,2) crosses ~2k — the ENTIRE pair mass the measured
+    * 400-source probe materialized sparsely (BASELINE.md round-11
+    * table: dense 79,800 pairs / 35.2 s vs sparse 1,800 pairs / 3.4 s
+    * at 400 sources in 40 disjoint vocab groups; at the battery's 20
+    * overlapping sources the two emit identical rows in statistically
+    * equal time — 2.73 vs 2.55 s). C(64,2) = 2,016 is where the dense
+    * frontier alone exceeds that measured sparse pair mass, so 64 is
+    * the crossover: below it the cross-join's simplicity costs
+    * nothing; at or above it the dense form burns quadratic union
+    * builds proving zeros that the k-set self-join never materializes.
+    */
+  def suggestJaccardFrontier(nSources: Long): Boolean = nSources >= 64L
+
+  /** [[kmvPairwiseJaccard]] with the frontier chosen by
+    * [[suggestJaccardFrontier]] from a column-pruned distinct-source
+    * count (one cheap planning scan — the suggestSimhashParams
+    * discipline: derive the knob from the data on every engine, no
+    * fixed-parameter cliff). Callers get the scale-safe plan by
+    * default; the battery keeps both pinned shapes (q224 dense, q226
+    * sparse) so each regresses independently.
+    */
+  def kmvPairwiseJaccardAuto(docs: DataFrame, textCol: String,
+      sourceCol: String, k: Int = 256): DataFrame =
+    kmvPairwiseJaccard(docs, textCol, sourceCol, k,
+      candidatesOnly = suggestJaccardFrontier(
+        docs.select(col(sourceCol)).distinct().count()))
+
   def kmvPairwiseJaccard(docs: DataFrame, textCol: String,
       sourceCol: String, k: Int = 256,
       candidatesOnly: Boolean = false): DataFrame = {
@@ -553,12 +679,21 @@ object Sketches {
     * source's entire stream in one partition (the skew wall); each
     * true per-source k-min is within its salt bucket's k-min, so
     * level 2 sees ≤ 64·k rows per source.
+    *
+    * NULL values never enter the sample: a NULL `v` carries no order
+    * statistic, and because the cut orders by (h, v) with h unique, a
+    * NULL-v row would otherwise survive it — then every consumer's
+    * (v, h) rank window would place it engine-specifically (Spark
+    * ranks NULLs first, DuckDB last), shifting ceil-rank thresholds
+    * cross-engine or making a group's threshold itself NULL. The
+    * oracle sample CTEs (q221/q222/q223/q225) mirror this filter.
     */
   def bottomKBySource(base: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w1 = Window.partitionBy(col("source"), pmod(col("h"), lit(64)))
       .orderBy(col("h"), col("v"))
-    val pruned = base.withColumn("_rn1", row_number().over(w1))
+    val pruned = base.filter(col("v").isNotNull)
+      .withColumn("_rn1", row_number().over(w1))
       .filter(col("_rn1") <= k).drop("_rn1")
     val w2 = Window.partitionBy(col("source")).orderBy(col("h"), col("v"))
     pruned.withColumn("_rn", row_number().over(w2))

@@ -81,6 +81,9 @@ object StreamingSketch {
     * micro-batch is the same bound. Runs BEFORE the stateful shuffle.
     */
   def localCut(rows: Dataset[HV], k: Int): Dataset[HV] = {
+    // same contract error as maintain — a direct caller with k < 2
+    // must not surface as a NoSuchElementException inside heapCut
+    require(k >= 2, s"need k >= 2, got $k")
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       val acc = mutable.Map.empty[String, Vector[(Long, Long)]]

@@ -541,4 +541,72 @@ class MultimodalSpec extends SparkSpec {
       .foldLeft(0L)((a, b) => a | (1L << b))),
       "inverted codec flips which rows read bright — through the same operator")
   }
+
+  test("FrameDecoder.ImageIo: REAL compressed frames through the seam (q227)") {
+    import graft.operators.FrameDecoder
+    // real compressed fixture: a 4×4 gray PNG written by ImageIO itself
+    def pngOf(gray: Array[Int], w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      gray.zipWithIndex.foreach { case (v, i) =>
+        img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v) }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val gray = Array(10, 20, 30, 40, 50, 60, 70, 80,
+      90, 100, 110, 120, 130, 140, 250, 255)
+    val png = pngOf(gray, 4, 4)
+    // it IS compressed content: a PNG signature + deflate stream, not
+    // a raster — the fake square-length decoder can't read it
+    assert((png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt,
+      'G'.toInt)), "fixture must be a real PNG")
+    // lossless round-trip: decode returns the exact gray raster
+    // (Rec.601 luma of a gray pixel is the identity — the property the
+    // q227 oracle's arithmetic re-derivation rests on)
+    val Some((w, h, px)) = FrameDecoder.ImageIo.decodeFrame(png)
+    assert(w == 4 && h == 4 && px.map(_ & 0xff).toSeq == gray.toSeq)
+    // bytes no ImageIO reader accepts degrade to None, never throw —
+    // including a compressed-video-style sample (arbitrary bitstream)
+    assert(FrameDecoder.ImageIo.decodeFrame("notanimage".getBytes).isEmpty)
+    assert(FrameDecoder.ImageIo.decodeFrame(null).isEmpty)
+    assert(FrameDecoder.ImageIo.decodeFrame(Array.empty[Byte]).isEmpty)
+    // truncated PNG (header intact, deflate stream cut): decoder must
+    // degrade, not abort the executor
+    assert(FrameDecoder.ImageIo.decodeFrame(png.take(20)).isEmpty)
+    // end-to-end through the REAL container + REAL codec: PNG frames
+    // muxed into a real MP4, demuxed by the stco/stsc/stsz walk,
+    // decoded by ImageIO, hashed per frame — one garbage frame mixed
+    // in surfaces a null hash at its frame_no (auditable, not dropped)
+    val frames: Seq[Array[Byte]] =
+      Seq(png, "garbage-not-a-picture".getBytes("US-ASCII"),
+        pngOf(Array.fill(16)(7), 4, 4))
+    val mp4 = Multimodal.synthMp4FromBytes(
+      Seq((1L, frames)).toDF("media_id", "frames"), "frames",
+      timescale = 1000, frameDurTicks = 40, chunkFrames = 2, interChunkPad = 4)
+    val hashes = Multimodal.frameAHashesWith(mp4, FrameDecoder.ImageIo)
+      .collect().map(r => r.getAs[Int]("frame_no") ->
+        Option(r.getAs[java.lang.Long]("frame_hash"))).toMap
+    // 4×4: pixel (y,x) lands in cell (2y, 2x); cells with gray > mean
+    // (mean = sum/16 = 94.6…, strict cross-multiplied compare)
+    val expectedBits = gray.zipWithIndex.collect {
+      case (v, i) if 16L * v > gray.map(_.toLong).sum =>
+        (i / 4) * 2 * 8 + (i % 4) * 2
+    }
+    val expected = expectedBits.foldLeft(0L)((a, b) => a | (1L << b))
+    assert(hashes(0).map(_.longValue()) == Some(expected), s"$hashes")
+    assert(hashes(1).isEmpty, "non-image sample -> null hash")
+    assert(hashes(2).map(_.longValue()) == Some(0L),
+      "uniform frame: strict > sets no bit")
+    // synthGrayFrames (the battery's frame synth) produces REAL PNGs
+    // that round-trip through the real decoder to the input grays
+    val synth = Multimodal.synthGrayFrames(
+      Seq((1L, Seq(gray.map(_.toLong).toSeq))).toDF("id", "grays"),
+      "grays", 4, 4)
+      .collect()(0).getAs[scala.collection.Seq[Array[Byte]]]("_frames")
+    assert(synth.length == 1)
+    val Some((_, _, spx)) = FrameDecoder.ImageIo.decodeFrame(synth(0))
+    assert(spx.map(_ & 0xff).toSeq == gray.toSeq,
+      "synth PNG frame round-trips losslessly through the real codec")
+  }
 }

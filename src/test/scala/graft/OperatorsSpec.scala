@@ -2329,6 +2329,31 @@ class OperatorsSpec extends SparkSpec {
       s"merge equality and bounds must hold: ${out.toSeq}")
   }
 
+  test("cmsPortableMerge: collision-free width is exact; forced collisions keep the hard guarantees") {
+    import graft.operators.Sketches
+    val docs = Seq(
+      (1L, "a", "x x x y z common common"),
+      (2L, "b", "y y common w w w w"),
+      (3L, "b", "common x y z z")).toDF("doc_id", "source", "text")
+    val out = Sketches.cmsPortableMerge(docs, "text", "source", topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("common", 1L, 4L), ("w", 2L, 4L), ("x", 3L, 4L)), s"${out.toSeq}")
+    // 5 distinct tokens in an 8192-cell row: no collisions → est == cnt
+    assert(out.forall(t => t._4 == t._3),
+      s"collision-free sketch must be exact: ${out.toSeq}")
+    assert(out.forall(t => t._5 == 1L && t._6 == 1L && t._7 == 1L),
+      s"merge equality and both bounds: ${out.toSeq}")
+    // width 2 forces collisions: the lower bound and the merge law are
+    // HARD guarantees and must survive; est may exceed cnt
+    val tight = Sketches.cmsPortableMerge(docs, "text", "source", topN = 5,
+        depth = 2, width = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(tight.forall(t => t._2 >= t._1 && t._3 == 1L && t._4 == 1L),
+      s"est >= cnt and merged == direct even under full collision: ${tight.toSeq}")
+  }
+
   test("kmvPerSourceMerge: merged k-set sketch equals the direct global sketch") {
     import graft.operators.Sketches
     // enough gram mass per source that sketches engage (k small here)
@@ -2405,6 +2430,44 @@ class OperatorsSpec extends SparkSpec {
     assert(r("c") == (6L, 7L, 0L, 1L), s"${r("c")}")
   }
 
+  test("sketch family: NULL values never enter samples; all-NULL groups drop consistently") {
+    import graft.operators.{Diagnostics, Sampling, Sketches}
+    // source a mixes NULLs into real values; source z is all-NULL.
+    // NULL-v rows must not enter any bottom-k sample (h is unique, so
+    // the (h, v) cut would otherwise admit them and the (v, h) rank
+    // windows would place them engine-specifically — the ADVICE-r11
+    // cross-engine divergence).
+    val rows = Seq(
+      (1L, "a", Option(10L)), (2L, "a", Option(20L)), (3L, "a", Option(30L)),
+      (4L, "a", None: Option[Long]),
+      (5L, "z", None: Option[Long]), (6L, "z", None: Option[Long])
+    ).toDF("doc_id", "source", "v")
+    val q = Sketches.quantileSketchMerge(rows, "doc_id", col("v"), "source",
+        k = 16, qPcts = Seq(50)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(8)))).toMap
+    // a: sample = {10,20,30} (m=3, est = 2nd = 20) while n_pop counts
+    // the NULL row too; z: empty sample → no row; merge stays lossless
+    assert(q.keySet == Set("a", "_merged"), s"${q.keySet}")
+    assert(q("a") == (4L, 3L, 20L, 1L), s"${q("a")}")
+    assert(q("_merged") == (6L, 3L, 20L, 1L), s"${q("_merged")}")
+    // gate thresholds come from the non-NULL sample only: 1..10 with
+    // NULL rows mixed in gates ranks 1..9, not the rank-shifted 2..
+    val gd = ((1 to 10).map(i => (i.toLong, "a", Option(i.toLong))) ++
+      Seq((11L, "a", None: Option[Long]), (12L, "a", None: Option[Long])))
+      .toDF("doc_id", "source", "v")
+    val kept = Sampling.sketchQuantileGate(gd, col("doc_id"), col("v"),
+      col("source"), 10, 90, k = 16).collect()
+    assert(kept.length == 9 && kept.forall(r => !r.isNullAt(2)),
+      s"exact order-statistic gate over the non-NULL sample: ${kept.length}")
+    // robust report: NULLs count into n_docs, never into outliers; an
+    // all-NULL group has no sample and drops from the report entirely
+    val ro = Diagnostics.robustOutlierReport(rows, col("doc_id"), col("v"),
+        col("source"), k = 16).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    assert(ro.keySet == Set("a") && ro("a") == (4L, 0L), s"$ro")
+  }
+
   test("kmvPairwiseJaccard: exact when unions fit in k; disjoint pair estimates zero") {
     import graft.operators.Sketches
     val docs = Seq(
@@ -2436,6 +2499,15 @@ class OperatorsSpec extends SparkSpec {
       s"only the overlapping pair appears: ${sp.keySet}")
     assert(sp(("a", "b")) == r(("a", "b")),
       "sparse rows must equal the dense computation on shared pairs")
+    // the frontier law: dense below C(64,2)≈the measured sparse pair
+    // mass of the 400-source probe, sparse at or past it
+    import graft.operators.Sketches.suggestJaccardFrontier
+    assert(!suggestJaccardFrontier(20L) && !suggestJaccardFrontier(63L))
+    assert(suggestJaccardFrontier(64L) && suggestJaccardFrontier(400L))
+    // auto on a 3-source corpus picks dense → full matrix incl. zeros
+    val auto = Sketches.kmvPairwiseJaccardAuto(docs, "text", "source", k = 8)
+      .collect().map(row => (row.getString(0), row.getString(1))).toSet
+    assert(auto == Set(("a", "b"), ("a", "c"), ("b", "c")), s"$auto")
   }
 
   test("maintainQuantileSamples: adds-only maintenance equals full recompute exactly") {

@@ -169,6 +169,55 @@ class ProvenanceSpec extends SparkSpec {
       JdbcControlBackend.Derby)
   }
 
+  // GOLDEN FILE (VERDICT r11 item 8): the property test above pins
+  // characteristics of the emitted SQL; this one snapshots the COMPLETE
+  // ordered statement stream of a full batch lifecycle, so any drift —
+  // a new statement, a reordered emission, a type change — shows as a
+  // readable diff against src/test/resources/jdbc_control_statements
+  // .golden. Regenerate intentionally with GRAFT_UPDATE_GOLDEN=1
+  // (sbt "testOnly graft.ProvenanceSpec -- -z golden") and review the
+  // diff like any schema migration.
+  test("jdbc backend full-lifecycle statement stream matches the golden file") {
+    val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val p = new Provenance(spark, new JdbcControlBackend(spark,
+      s"jdbc:derby:${Fixtures.tmpDir("derbygold")}/db;create=true", stmts += _))
+    // the reference pipeline's full happy path plus one failure probe:
+    // create → validated count → curated → final, steps, a PHI rule,
+    // an audit row, then the pending-queue read
+    p.createBatch("b1", "hospital_a", "/raw/f.csv", "sha-raw")
+    p.setRowCount("b1", "VALIDATED", 42L)
+    p.updateCuratedHash("b1", "sha-cur", "/curated/f.csv")
+    p.updateFinalHash("b1", "sha-fin", "/qlm/v1")
+    p.recordStep("b1", "INGEST", Map("k" -> "v"))
+    p.recordStep("b1", "VALIDATION_PASSED", Map("rows" -> "42"))
+    p.recordRule("b1", "PHI_SSN", "applied")
+    p.writeAudit("tester", "RUN", "ok")
+    p.pending("INGESTED").collect()
+    val actual = stmts.mkString("\n")
+    val goldenPath = java.nio.file.Paths.get(
+      "src/test/resources/jdbc_control_statements.golden")
+    if (sys.env.get("GRAFT_UPDATE_GOLDEN").contains("1")) {
+      java.nio.file.Files.createDirectories(goldenPath.getParent)
+      java.nio.file.Files.writeString(goldenPath, actual + "\n")
+      info(s"golden file rewritten: $goldenPath (${stmts.length} statements)")
+    } else {
+      assert(java.nio.file.Files.exists(goldenPath),
+        s"missing $goldenPath — run once with GRAFT_UPDATE_GOLDEN=1 to create it")
+      val expected = java.nio.file.Files.readString(goldenPath).trim
+      assert(actual == expected,
+        "emitted JDBC statement stream drifted from the golden file — if " +
+          "intentional, regenerate with GRAFT_UPDATE_GOLDEN=1 and review " +
+          s"the diff\n--- actual ---\n$actual\n--- golden ---\n$expected")
+    }
+    // the postgres render of the same lifecycle differs from the golden
+    // ONLY at the documented dialect seam (CLOB -> TEXT, pinned by the
+    // property test above), so CLOB->TEXT over the golden IS the
+    // Postgres statement stream; that mapping is well-defined only if
+    // the derby stream never contains the token TEXT itself
+    assert(!actual.contains("TEXT"),
+      "derby stream must not contain TEXT or the CLOB->TEXT dialect map is ambiguous")
+  }
+
   test("sha256File matches a known digest") {
     val f = Fixtures.write(Fixtures.tmpDir("sha").resolve("x.txt"), "abc")
     assert(Provenance.sha256File(f.toString) ==

@@ -840,5 +840,10 @@ class StreamingSpec extends SparkSpec {
       .mapValues(_.map(r => (r.h, r.v)).sorted.take(k).toVector).toMap
     assert(cut == directBottomK(batch1),
       s"pre-cut must preserve the per-source bottom-k under any partitioning: $cut")
+
+    // contract guard: a direct localCut caller with k < 2 gets the
+    // explicit message, not a NoSuchElementException inside heapCut
+    val e = intercept[IllegalArgumentException](StreamingSketch.localCut(hv, 0))
+    assert(e.getMessage.contains("k >= 2"), e.getMessage)
   }
 }
