@@ -275,15 +275,12 @@ object Sketches {
         explode(tokens(lower(col(textCol)))).as("token"))
       .filter(col("token").isNotNull)
       .localCheckpoint() // one tokenize feeds totals, top-N and cells
-    def cellOf(tok: Column, r: Int): Column =
-      pmod(md5Long(concat(lit(s"cms$r:"), tok)), lit(width.toLong))
+    def cellOf(tok: Column, r: Int): Column = cmsCellOf(tok, r, width)
     // ×depth fan-out, then ONE bounded aggregate per leg: the merged
     // leg sums per-source counters (the merge IS addition), the direct
     // leg counts the stream — both ≤ depth·width rows
-    val cells = keyed.select(col("source"), explode(array(
-      (0 until depth).map(r =>
-        struct(lit(r).as("r"), cellOf(col("token"), r).as("cell"))): _*)).as("_rc"))
-      .select(col("source"), col("_rc.r").as("r"), col("_rc.cell").as("cell"))
+    val cells = cmsCells(keyed, col("token"), depth, width)
+      .select(col("source"), col("r"), col("cell"))
     val perSource = cells.groupBy(col("source"), col("r"), col("cell"))
       .agg(count(lit(1)).as("c"))
     val mergedCtr = perSource.groupBy(col("r"), col("cell"))
@@ -317,6 +314,30 @@ object Sketches {
           lit(3L) * expr(s"(_n + ${width - 1}) DIV $width"), 1L).otherwise(0L)
           .as("cms_upper_ok"))
       .orderBy(col("rank"))
+  }
+
+  /** Hash cell r of the portable CMS — the one hash definition shared
+    * by [[cmsPortableMerge]], its DuckDB oracle, and the streaming
+    * counter maintenance ([[graft.streaming.StreamingHeavyHitters
+    * .cmsCounterUpdates]]), so all three build the IDENTICAL sketch.
+    */
+  def cmsCellOf(tok: Column, r: Int, width: Int): Column = {
+    import graft.functions.md5Long
+    pmod(md5Long(concat(lit(s"cms$r:"), tok)), lit(width.toLong))
+  }
+
+  /** Fan each row out to its `depth` (r, cell) sketch coordinates —
+    * the map-side stage of the portable CMS, exposed so the streaming
+    * twin runs the SAME cell derivation (stream ≡ batch by code
+    * identity, the ingest-gate discipline). Input keeps its columns;
+    * adds `r`, `cell`.
+    */
+  def cmsCells(df: DataFrame, token: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth>=1, width>=2: $depth, $width")
+    df.withColumn("_rc", explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmsCellOf(token, r, width).as("cell"))): _*)))
+      .withColumn("r", col("_rc.r")).withColumn("cell", col("_rc.cell"))
+      .drop("_rc")
   }
 
   /** KMV MERGEABILITY — the property that makes sketches distributed

@@ -40,6 +40,29 @@ object StreamingHeavyHitters {
         col("cnt").cast("long").as("cnt"))
   }
 
+  /** Streaming maintenance of the PORTABLE count-min sketch (q217's
+    * counter relation on a stream): the md5-celled (r, cell) fan-out
+    * — the SAME [[graft.operators.Sketches.cmsCells]] the batch
+    * operator and the DuckDB oracle use — into a running groupBy
+    * count. Update output mode; the sink upserts by (r, cell), and
+    * because CMS merge IS counter addition, the upserted relation
+    * after any micro-batch sequence is BIT-IDENTICAL to the batch
+    * sketch over the union of those batches (the state-identity the
+    * parity spec pins). State is ≤ depth·width counters FOREVER —
+    * the sketch contract: an unbounded token stream never grows it.
+    *
+    * This supersedes the old "the sketch side stays batch" note: the
+    * binary driver-held sketch had no streaming story, the counter
+    * RELATION does.
+    */
+  def cmsCounterUpdates(stream: DataFrame, token: Column,
+      depth: Int = 4, width: Int = 8192): DataFrame =
+    graft.operators.Sketches.cmsCells(
+        stream.select(token.cast("string").as("token"))
+          .filter(col("token").isNotNull),
+        col("token"), depth, width)
+      .groupBy(col("r"), col("cell")).agg(count(lit(1)).as("c"))
+
   /** Rank tail over emitted window counts — (cnt DESC, token ASC), the
     * q62 tie order. Runs on completed windows (a batch frame: the sink
     * table or a foreachBatch micro-batch), where rank windows are

@@ -666,6 +666,27 @@ class StreamingSpec extends SparkSpec {
     assert(index.snapshot.select("doc_id").collect().map(_.getLong(0)).toSet
       == Set(10L, 22L), "full re-delivery admits nothing new")
     assert(index.commits.length == commits, "empty admissions never commit")
+    // STATE-IDENTITY (parity-table pin): the streamed index's content
+    // equals a fresh BATCH replay of the same micro-batches through
+    // IncrementalDedup.appendNovelNearDup, column for column
+    // (batch_no aside — stream batch ids and replay numbers differ by
+    // construction)
+    val replay = new graft.operators.VersionedTable(spark,
+      Fixtures.tmpDir("nd_replay_idx").toString, "doc_id", "batch_no",
+      numBuckets = 4)
+    graft.operators.IncrementalDedup.appendNovelNearDup(replay,
+      Seq((10L, base), (11L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", 0L)
+    graft.operators.IncrementalDedup.appendNovelNearDup(replay,
+      Seq((20L, base), (21L, base + " extra"),
+        (22L, "completely different words entirely unrelated content here now"))
+        .toDF("doc_id", "text"), "doc_id", "text", 1L)
+    def stateRows(vt: graft.operators.VersionedTable) =
+      vt.snapshot.select("doc_id", "h", "sig").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          Option(r.getAs[scala.collection.Seq[Long]]("sig")).map(_.toSeq))).toSet
+    assert(stateRows(index) == stateRows(replay),
+      "streamed admission state must equal the batch-operator replay")
   }
 
   test("streaming semantic ingest gate: vector index equals the batch replay; replay admits nothing") {
@@ -705,6 +726,24 @@ class StreamingSpec extends SparkSpec {
     assert(index.snapshot.select("id").collect().map(_.getLong(0)).toSet
       == Set(10L, 11L, 22L), "full re-delivery admits nothing new")
     assert(index.commits.length == commits, "empty admissions never commit")
+    // STATE-IDENTITY (parity-table pin): streamed vector index ≡ batch
+    // replay through IncrementalDedup.appendNovelSemantic
+    val replay = new graft.operators.VersionedTable(spark,
+      Fixtures.tmpDir("sem_replay_idx").toString, "id", "batch_no",
+      numBuckets = 4)
+    graft.operators.IncrementalDedup.appendNovelSemantic(replay,
+      Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.0, 1.0))).toDF("id", "emb"),
+      "id", "emb", 0L, 950000L, signBits = 1)
+    graft.operators.IncrementalDedup.appendNovelSemantic(replay,
+      Seq((20L, Seq(1.0, 0.0)), (21L, Seq(0.99, 0.1)), (22L, Seq(-1.0, 0.5)))
+        .toDF("id", "emb"), "id", "emb", 1L, 950000L, signBits = 1)
+    def stateRows(vt: graft.operators.VersionedTable) =
+      vt.snapshot.select("id", "emb", "bucket").collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Double]]("emb").toSeq,
+          r.getLong(2))).toSet
+    assert(stateRows(index) == stateRows(replay),
+      "streamed vector-admission state must equal the batch-operator replay")
   }
 
   test("streaming media ingest gate: real decode per micro-batch; perceptual dups turned away") {
@@ -753,6 +792,25 @@ class StreamingSpec extends SparkSpec {
     assert(index.snapshot.select("media_id").collect().map(_.getLong(0)).toSet
       == Set(10L, 22L), "full re-delivery admits nothing new")
     assert(index.commits.length == commits, "empty admissions never commit")
+    // STATE-IDENTITY (parity-table pin): streamed fingerprint index ≡
+    // batch replay — same decode, same admission operator
+    def decoded(rows: Seq[(Long, Seq[Long])]) =
+      Multimodal.decodeImageAHash(Multimodal.synthGrayBmp(
+        rows.toDF("media_id", "gray"), "gray", 8, 8))
+    val replay = new graft.operators.VersionedTable(spark,
+      Fixtures.tmpDir("media_replay_idx").toString, "media_id", "batch_no",
+      numBuckets = 4)
+    graft.operators.IncrementalDedup.appendNovelFingerprint(replay,
+      decoded(Seq((10L, imgA))), "media_id", "ahash", 0L,
+      maxHamming = 3, maskBits = 16)
+    graft.operators.IncrementalDedup.appendNovelFingerprint(replay,
+      decoded(Seq((20L, imgA), (21L, imgANear), (22L, imgNovel))),
+      "media_id", "ahash", 1L, maxHamming = 3, maskBits = 16)
+    def stateRows(vt: graft.operators.VersionedTable) =
+      vt.snapshot.select("media_id", "fp").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stateRows(index) == stateRows(replay),
+      "streamed media-admission state must equal the batch-operator replay")
   }
 
   test("streaming quantile sketch: state equals the batch bottom-k; merge stays lossless through the stream") {
@@ -845,5 +903,126 @@ class StreamingSpec extends SparkSpec {
     // explicit message, not a NoSuchElementException inside heapCut
     val e = intercept[IllegalArgumentException](StreamingSketch.localCut(hv, 0))
     assert(e.getMessage.contains("k >= 2"), e.getMessage)
+  }
+
+  /** STATE-IDENTITY PARITY TABLE (VERDICT r11 item 7) — one pin per
+    * streaming twin, against the twin's batch STATE analog wherever
+    * the state is an explicit artifact, and against the state's only
+    * observable (output over identical history) where Spark manages
+    * the state internally:
+    *
+    * | twin                        | state artifact              | batch analog / pin                           | where pinned |
+    * |-----------------------------|-----------------------------|----------------------------------------------|--------------|
+    * | StreamingSketch             | per-source (h,v) k-sets     | Sketches.bottomKBySource — bit-equal         | "streaming quantile sketch" test |
+    * | StreamingFeatures.maintain  | FeatState per user          | EventAnalytics.userFeatures — field-equal    | "streaming user features" test |
+    * | StreamingAnomaly.maintain   | day-count lookback map      | EventAnalytics.dailyAnomalies on closed days | "streaming anomaly" test |
+    * | StreamingNearDup.ingestGate | admitted content index (VT) | IncrementalDedup.appendNovelNearDup replay   | "near-dup ingest gate" test (snapshot ≡ batch replay) |
+    * | …  .semanticIngestGate      | admitted vector index (VT)  | IncrementalDedup.appendNovelSemantic replay  | "semantic ingest gate" test (snapshot ≡ batch replay) |
+    * | …  .mediaIngestGate         | admitted fp index (VT)      | IncrementalDedup.appendNovelFingerprint      | "media ingest gate" test (snapshot ≡ batch replay) |
+    * | StreamingHeavyHitters (CMS) | (r,cell)→counter relation   | Sketches portable-CMS counters — bit-equal   | HERE (streamed upserts ≡ batch counters) |
+    * | StreamingHeavyHitters (win) | per-window count state      | same groupBy on batch — count-equal          | "windowed heavy hitters" test |
+    * | EventStream.sessionize      | open SessionState per user  | lag/gap window sessionization — here         | HERE (flushed sessions ≡ batch windows) |
+    * | EventStream.windowedCounts  | window agg state (Spark)    | q29 batch window agg                         | "windowed counts" + "q29 shape" tests |
+    * | StreamingDedup              | dedup key store (Spark)     | batch distinct over same history             | HERE + "streaming dedup" test |
+    * | StreamingQuality            | window agg state (Spark)    | batch gate-rate groupBy                      | "streaming quality monitor" test |
+    * | StreamingAttribution        | join buffer (Spark)         | batch interval join + last-click             | "stream-stream interval join" test |
+    * | StreamingIngest             | registered-file set (ctrl)  | Pipeline batch registration, exactly-once    | "streaming ingest registers" test |
+    */
+  test("state-identity parity table: sessionize, dedup, and CMS counter pins") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+
+    // --- EventStream.sessionize: flushed stream-code sessions over the
+    // full history ≡ the q37-style lag/gap window sessionization
+    val evs = Seq(
+      Event(1L, ts(0), 10L, "click", 1.0), Event(2L, ts(5), 10L, "click", 2.0),
+      Event(3L, ts(50), 10L, "view", 4.0), // 45min gap → session 2
+      Event(4L, ts(7), 11L, "view", 8.0))
+    val flushed = EventStream.sessionize(evs.toDS(), flushOpen = true)
+      .collect().map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events)).toSet
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val batchSessions = evs.toDS().toDF()
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_s", when(col("prev").isNull ||
+        unix_millis(col("ts")) - unix_millis(col("prev")) > 30L * 60 * 1000, 1)
+        .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"),
+        count(lit(1)).cast("int").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    assert(flushed == batchSessions,
+      s"open-session state flushed over history must equal the batch gap windows: $flushed vs $batchSessions")
+
+    // --- StreamingDedup: the Spark-managed key store's observable —
+    // survivors over the same history ≡ batch distinct-by-key
+    val docs = Seq((1L, ts(0), "A"), (2L, ts(1), "A"), (3L, ts(5), "B"))
+      .toDF("doc_id", "ts", "text")
+    val streamedCode = graft.streaming.StreamingDedup.exact(docs, Seq("text"))
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(streamedCode == Set("A", "B"),
+      s"dedup survivors equal batch distinct keys: $streamedCode")
+
+    // --- StreamingHeavyHitters.cmsCounterUpdates: the portable-CMS
+    // counter RELATION maintained across REAL micro-batches (update
+    // mode, upsert-by-key sink) is bit-identical to the batch sketch
+    // over the union — counter addition IS the merge
+    import graft.streaming.StreamingHeavyHitters
+    val (depth, width) = (3, 16)
+    val srcDir = Fixtures.tmpDir("cms_src")
+    val ckpt = Fixtures.tmpDir("cms_ckpt").toString
+    val outDir = Fixtures.tmpDir("cms_out").toString
+    def addFile(n: Int, toks: Seq[String]): Unit = {
+      val tmp = Fixtures.tmpDir(s"cms_tmp$n")
+      toks.toDF("token").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, srcDir.resolve(s"b$n.parquet"))
+    }
+    def runBatch(): Map[(Int, Long), Long] = {
+      val stream = spark.readStream.schema("token STRING").parquet(srcDir.toString)
+      val q = StreamingHeavyHitters.cmsCounterUpdates(stream, col("token"),
+          depth, width)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          df.withColumn("_batch", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("_batch"),
+          (r.getAs[Int]("r"), r.getAs[Long]("cell")) -> r.getAs[Long]("c")))
+        .groupBy(_._2._1).view
+        .mapValues(rows => rows.maxBy(_._1)._2._2).toMap
+    }
+    val b1 = Seq("x", "x", "y", "z")
+    val b2 = Seq("x", "w", "w", "y")
+    addFile(1, b1)
+    val s1 = runBatch()
+    addFile(2, b2)
+    val s2 = runBatch()
+    def batchCounters(toks: Seq[String]): Map[(Int, Long), Long] =
+      StreamingHeavyHitters.cmsCounterUpdates(toks.toDF("token"), col("token"),
+          depth, width)
+        .collect().map(r => (r.getAs[Int]("r"), r.getAs[Long]("cell")) ->
+          r.getAs[Long]("c")).toMap
+    assert(s1 == batchCounters(b1),
+      s"after batch 1 the upserted counters ARE the batch sketch: $s1")
+    assert(s2 == batchCounters(b1 ++ b2),
+      s"streamed counter state over two micro-batches must be bit-identical " +
+        s"to the batch sketch over their union: $s2 vs ${batchCounters(b1 ++ b2)}")
+    // the merge law itself, engine-side: union counters = per-batch sums
+    val law = (batchCounters(b1).keySet ++ batchCounters(b2).keySet).map { k =>
+      k -> (batchCounters(b1).getOrElse(k, 0L) + batchCounters(b2).getOrElse(k, 0L))
+    }.toMap
+    assert(law == batchCounters(b1 ++ b2), "CMS merge is counter addition")
+    // state bound: the relation never exceeds depth·width rows
+    assert(s2.size <= depth * width)
   }
 }
