@@ -2015,17 +2015,24 @@ object SparkEntry {
     * FrameDecoder.ImageIo.
     */
   private def qFrameDecode(s: SparkSession, dir: String): DataFrame = {
-    val grays = let(md5(coalesce(col("text"), lit(""))), seed =>
-      transform(sequence(lit(0), lit(3)), f =>
-        transform(sequence(lit(0), lit(63)), i =>
-          md5Long(concat(seed, lit("|f"), f.cast("string"), lit("|"),
-            i.cast("string"))).bitwiseAND(lit(255L)))))
-    val mp4 = graft.operators.Multimodal.synthMp4FromBytes(
-      graft.operators.Multimodal.synthGrayFrames(
-        t(s, dir, "documents").select(col("doc_id"), grays.as("_grays")),
-        "_grays", 8, 8),
-      "_frames", timescale = 1000, frameDurTicks = 40,
-      chunkFrames = 3, interChunkPad = 8)
+    // the synthesized MP4 corpus is scenery (deterministic in dir —
+    // the q190/imageAHashes fixture discipline): the timed operator is
+    // demux → REAL PNG decode → per-frame aHash, not the PNG encoder
+    val mp4 = fixtureFor(s, dir, "q227mp4") {
+      val grays = let(md5(coalesce(col("text"), lit(""))), seed =>
+        transform(sequence(lit(0), lit(3)), f =>
+          transform(sequence(lit(0), lit(63)), i =>
+            md5Long(concat(seed, lit("|f"), f.cast("string"), lit("|"),
+              i.cast("string"))).bitwiseAND(lit(255L)))))
+      graft.operators.Multimodal.synthMp4FromBytes(
+        graft.operators.Multimodal.synthGrayFrames(
+          t(s, dir, "documents").select(col("doc_id"), grays.as("_grays")),
+          "_grays", 8, 8),
+        "_frames", timescale = 1000, frameDurTicks = 40,
+        chunkFrames = 3, interChunkPad = 8)
+        .select(col("doc_id"), col("payload"))
+        .localCheckpoint(true)
+    }
     graft.operators.Multimodal.frameAHashesWith(mp4,
         graft.operators.FrameDecoder.ImageIo, "payload", "doc_id")
       .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),

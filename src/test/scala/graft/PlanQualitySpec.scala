@@ -454,11 +454,14 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("multimodal codec rows stay narrow: one presentation sort, no join, no extra shuffle") {
-    // q207/q210/q211 are synth → codec → fingerprint chains: the decode
-    // work is a mapPartitions over the scan, so the ONLY Exchange in
-    // the plan is the final orderBy's range partitioning — a second
-    // shuffle would mean the per-payload work stopped being map-side
-    for (q <- Seq("q207_audio_envelope", "q210_audio_resample", "q211_video_frames")) {
+    // q207/q210/q211/q227 are synth → codec → fingerprint chains: the
+    // decode work is a mapPartitions over the scan, so the ONLY
+    // Exchange in the plan is the final orderBy's range partitioning —
+    // a second shuffle would mean the per-payload work stopped being
+    // map-side (q227 runs the REAL ImageIO codec per demuxed frame and
+    // must stay exactly as narrow)
+    for (q <- Seq("q207_audio_envelope", "q210_audio_resample",
+        "q211_video_frames", "q227_frame_decode")) {
       val p = plan(q)
       val exchanges = p.linesIterator.count(_.contains("Exchange"))
       assert(exchanges <= 2, // formatted mode lists each node twice (tree + detail)
