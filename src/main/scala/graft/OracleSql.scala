@@ -5023,6 +5023,81 @@ object OracleSql {
             CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
                  THEN uh - 18446744073709551616::HUGEINT ELSE uh END
                  AS BIGINT) AS frame_hash
-          FROM H ORDER BY doc_id, frame_no"""
+          FROM H ORDER BY doc_id, frame_no""",
+
+    // video-level near-dup candidates: the q227 frame-hash chain (PNG
+    // lossless => hashes re-derive arithmetically) banded by the q212
+    // idiom with the mask width re-derived from count(*)·4 frames on
+    // both engines; per pair, count of DISTINCT shared (band, bucket)
+    // cells. uh stays unsigned HUGEINT through the shifts — identical
+    // low bits to Spark's arithmetic shiftright + sub-16-bit mask
+    "q228_video_neardup" ->
+      s"""WITH NB AS (SELECT count(*)::BIGINT AS n FROM documents),
+          BB AS (SELECT least(15, greatest(4, b))::BIGINT AS bb
+                FROM (SELECT min(b)::INT AS b FROM range(0, 61) t(b), NB
+                      WHERE (1::BIGINT << b) >= ((4 * NB.n + 1) // 2))),
+          SD AS (SELECT doc_id, md5(coalesce(text,'')) AS seed
+                FROM documents),
+          FG AS (SELECT doc_id, t.f AS f,
+                 list_transform(range(0, 64), i ->
+                   ${md5long("seed || '|f' || t.f::VARCHAR || '|' || i::VARCHAR")}
+                     & 255) AS g
+                FROM SD, (SELECT unnest(range(4)) AS f) t),
+          S AS (SELECT doc_id, f, g, CAST(list_sum(g) AS BIGINT) AS total
+                FROM FG),
+          H AS (SELECT doc_id, f,
+                 list_sum(list_transform(range(0, 64), i ->
+                   CASE WHEN 64 * g[i+1] > total
+                     THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS uh
+                FROM S),
+          B AS (SELECT DISTINCT doc_id, t.band,
+                 CAST((uh >> (t.band * 16)) & ((1::HUGEINT << bb.bb) - 1)
+                      AS BIGINT) AS bval
+                FROM H, BB bb, (SELECT unnest(range(4)) AS band) t)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(count(*) AS BIGINT) AS n_shared_buckets,
+            (SELECT bb FROM BB) AS mask_bits
+          FROM B a JOIN B b ON a.band = b.band AND a.bval = b.bval
+            AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 ORDER BY id_a, id_b""",
+
+    // frontier-law audit: the q224 sketch estimates with the auto
+    // path's selection law re-derived from count(DISTINCT source) —
+    // at the battery's 20 sources the law routes dense, so the rows
+    // are q224's sketch columns plus the law columns
+    "q229_jaccard_frontier_law" ->
+      s"""WITH NS AS (SELECT count(DISTINCT source)::BIGINT AS ns
+                FROM documents),
+          D AS (SELECT DISTINCT source, ${md5long("g")} AS h FROM
+                 (SELECT source, unnest(${rawShingles3("text")}) AS g
+                  FROM documents)),
+          MS AS (SELECT source, h FROM
+                 (SELECT source, h, row_number() OVER
+                    (PARTITION BY source ORDER BY h) AS rn FROM D)
+                WHERE rn <= 256),
+          P AS (SELECT a.source AS src_a, b.source AS src_b
+                FROM (SELECT DISTINCT source FROM MS) a,
+                     (SELECT DISTINCT source FROM MS) b
+                WHERE a.source < b.source),
+          U2 AS (SELECT src_a, src_b, h,
+                  max(ia) AS ia, max(ib) AS ib FROM (
+                  SELECT p.src_a, p.src_b, m.h, 1 AS ia, 0 AS ib
+                  FROM P p JOIN MS m ON m.source = p.src_a
+                  UNION ALL
+                  SELECT p.src_a, p.src_b, m.h, 0 AS ia, 1 AS ib
+                  FROM P p JOIN MS m ON m.source = p.src_b)
+                 GROUP BY 1, 2, 3),
+          E AS (SELECT src_a, src_b,
+                 CAST(count(*) AS BIGINT) AS m_union_k,
+                 CAST(sum(ia * ib) AS BIGINT) AS j_num
+                FROM (SELECT *, row_number() OVER
+                       (PARTITION BY src_a, src_b ORDER BY h) AS urn FROM U2)
+                WHERE urn <= 256 GROUP BY 1, 2)
+          SELECT src_a, src_b, m_union_k, j_num,
+            CAST(j_num * 1000000 // m_union_k AS BIGINT) AS est_ppm,
+            ns.ns AS n_sources,
+            CAST(CASE WHEN ns.ns >= 64 THEN 1 ELSE 0 END AS BIGINT)
+              AS use_sparse
+          FROM E, NS ns ORDER BY src_a, src_b"""
     )
 }

@@ -2014,11 +2014,13 @@ object SparkEntry {
     * See Multimodal.{synthGrayFrames,synthMp4FromBytes,frameAHashesWith},
     * FrameDecoder.ImageIo.
     */
-  private def qFrameDecode(s: SparkSession, dir: String): DataFrame = {
-    // the synthesized MP4 corpus is scenery (deterministic in dir —
-    // the q190/imageAHashes fixture discipline): the timed operator is
-    // demux → REAL PNG decode → per-frame aHash, not the PNG encoder
-    val mp4 = fixtureFor(s, dir, "q227mp4") {
+  /** The q227 synthesized-MP4 corpus (4 real PNG frames per doc inside
+    * a real container), cached per (session, dir) — scenery for q227
+    * (which times demux → REAL PNG decode → aHash) and the input to
+    * the q228 frame-hash fixture. Deterministic in dir.
+    */
+  private def mp4Fixture(s: SparkSession, dir: String): DataFrame =
+    fixtureFor(s, dir, "q227mp4") {
       val grays = let(md5(coalesce(col("text"), lit(""))), seed =>
         transform(sequence(lit(0), lit(3)), f =>
           transform(sequence(lit(0), lit(63)), i =>
@@ -2033,11 +2035,63 @@ object SparkEntry {
         .select(col("doc_id"), col("payload"))
         .localCheckpoint(true)
     }
-    graft.operators.Multimodal.frameAHashesWith(mp4,
+
+  private def qFrameDecode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.frameAHashesWith(mp4Fixture(s, dir),
         graft.operators.FrameDecoder.ImageIo, "payload", "doc_id")
       .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
         col("frame_hash"))
       .orderBy(col("doc_id"), col("frame_no"))
+
+  /** Video-level near-dup candidates (q228): each video is its SET of
+    * real-codec per-frame aHashes (the q227 chain — demuxed from the
+    * real MP4, decoded by FrameDecoder.ImageIo); videos pair when any
+    * frame collides in a banded bucket, scored by distinct shared
+    * (band, bucket) cells. Mask width re-derived from count(*)·4
+    * frames on BOTH engines (the q82/q219 adaptive law), so expected
+    * bucket population — and with it the candidate frontier — stays
+    * constant as the corpus grows. The decoded hash table is a cached
+    * fixture (decode cost regresses on q227; this row times banding +
+    * pairing — the q206/q216 split discipline).
+    * See Dedup.fingerprintOverlapPairs.
+    */
+  private def qVideoNearDup(s: SparkSession, dir: String): DataFrame = {
+    val (bits, _) = graft.operators.Dedup.suggestSimhashParams(
+      t(s, dir, "documents").count() * 4, bands = 4)
+    val maskBits = bits / 4
+    val fh = fixtureFor(s, dir, "q228framehashes") {
+      graft.operators.Multimodal.frameAHashesWith(mp4Fixture(s, dir),
+          graft.operators.FrameDecoder.ImageIo, "payload", "doc_id")
+        .select(col("doc_id"), col("frame_hash"))
+        .localCheckpoint(true)
+    }
+    graft.operators.Dedup.fingerprintOverlapPairs(fh, "doc_id", "frame_hash",
+        bands = 4, strideBits = 16, maskBits = maskBits)
+      .withColumn("mask_bits", lit(maskBits.toLong))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Frontier-law audit (q229): kmvPairwiseJaccardAuto's selection law
+    * re-derived on BOTH engines — n_sources from a column-pruned
+    * distinct count, use_sparse = n ≥ 64 (the measured crossover,
+    * BASELINE round-11 probe) — emitted next to the sketch estimates
+    * the auto path serves, so the default-route choice is itself
+    * hash-gated (the q219 adaptive-audit idiom applied to the q224/
+    * q226 pair). At the battery's 20 sources the law picks the dense
+    * frontier; the row's rows are therefore q224's sketch columns
+    * with the law columns appended.
+    */
+  private def qJaccardFrontierLaw(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nSources = docs.select(col("source")).distinct().count()
+    val useSparse = graft.operators.Sketches.suggestJaccardFrontier(nSources)
+    graft.operators.Sketches.kmvPairwiseJaccard(docs, "text", "source",
+        candidatesOnly = useSparse)
+      .select(col("src_a"), col("src_b"), col("m_union_k"), col("j_num"),
+        col("est_ppm"))
+      .withColumn("n_sources", lit(nSources))
+      .withColumn("use_sparse", lit(if (useSparse) 1L else 0L))
+      .orderBy(col("src_a"), col("src_b"))
   }
 
   /** Robust outlier report (q225): per-source median + MAD of n_chars
@@ -3677,7 +3731,9 @@ object SparkEntry {
     "q224_kmv_jaccard" -> (qKmvJaccard _),
     "q225_robust_outliers" -> (qRobustOutliers _),
     "q226_kmv_jaccard_sparse" -> (qKmvJaccardSparse _),
-    "q227_frame_decode" -> (qFrameDecode _))
+    "q227_frame_decode" -> (qFrameDecode _),
+    "q228_video_neardup" -> (qVideoNearDup _),
+    "q229_jaccard_frontier_law" -> (qJaccardFrontierLaw _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

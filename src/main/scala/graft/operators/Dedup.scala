@@ -444,6 +444,45 @@ object Dedup {
       .distinct()
   }
 
+  /** Entity-level near-dup candidates from MULTI-fingerprint entities
+    * (q228): an entity — a video as its per-frame perceptual hashes,
+    * a document as its per-chunk fingerprints — pairs with another
+    * when ANY of their fingerprints collide in a banded bucket, scored
+    * by how many DISTINCT (band, bucket) cells the two entities share
+    * (a whole shared frame contributes all `bands` cells, so identical
+    * videos score bands·frames and a single-frame overlap scores
+    * ≥ 1). The multi-fingerprint generalization of
+    * [[fingerprintPairs]]: the per-entity distinct collapses repeated
+    * frames BEFORE the join, the bucket cells bound the candidate
+    * frontier exactly as in q209/q212 (adaptive maskBits keep expected
+    * bucket size constant as the corpus grows), and `maxBucketSize`
+    * is the same boilerplate-bucket guard as q205 (an intro card
+    * shared by half the corpus must not mint B² pairs).
+    *
+    * Output: (id_a, id_b, n_shared_buckets), id_a < id_b.
+    */
+  def fingerprintOverlapPairs(df: DataFrame, idCol: String, fpCol: String,
+      bands: Int, strideBits: Int, maskBits: Int,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val cells = fingerprintBands(df.filter(col(fpCol).isNotNull),
+        idCol, fpCol, bands, strideBits, maskBits)
+      .select(col("id"), col("band"), col("bval")).distinct()
+      .localCheckpoint(true) // one banding pass feeds both join sides
+    val capped = maxBucketSize match {
+      case None => cells
+      case Some(cap) =>
+        val sizes = cells.groupBy(col("band").as("sb"), col("bval").as("sk"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") <= cap)
+        cells.join(sizes,
+          cells("band") === col("sb") && cells("bval") === col("sk"), "left_semi")
+    }
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_buckets"))
+  }
+
   /** Hamming-distance histogram of the SimHash banded candidate
     * stream — [[simhashPairs]]' candidate pairs WITHOUT the verify
     * filter, bucketed by exact Hamming distance with a cumulative

@@ -2510,6 +2510,34 @@ class OperatorsSpec extends SparkSpec {
     assert(auto == Set(("a", "b"), ("a", "c"), ("b", "c")), s"$auto")
   }
 
+  test("fingerprintOverlapPairs: shared frames score all bands once; disjoint entities absent; cap guards hot buckets") {
+    import graft.operators.Dedup
+    def fp(b0: Long, b1: Long, b2: Long, b3: Long): Long =
+      b0 | (b1 << 16) | (b2 << 32) | (b3 << 48)
+    val fpA = fp(1, 2, 3, 4); val fpB = fp(5, 6, 7, 8)
+    val fpC = fp(9, 10, 11, 12); val fpD = fp(13, 14, 15, 16)
+    // v1 = {A, A, B} (repeated frame must count once), v2 = {A, C},
+    // v3 = {D} (band-disjoint from everything)
+    val frames = Seq((1L, fpA), (1L, fpA), (1L, fpB),
+      (2L, fpA), (2L, fpC), (3L, fpD)).toDF("vid", "fh")
+    val pairs = Dedup.fingerprintOverlapPairs(frames, "vid", "fh",
+        bands = 4, strideBits = 16, maskBits = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the one shared frame contributes exactly its 4 band cells
+    assert(pairs == Map((1L, 2L) -> 4L), s"$pairs")
+    // boilerplate guard: a frame shared by ALL entities would mint B²
+    // pairs; capping its buckets keeps only the organic overlap
+    val intro = fp(100, 101, 102, 103)
+    val many = (1L to 6L).map(v => (v, intro)) ++
+      Seq((1L, fpA), (2L, fpA))
+    val capped = Dedup.fingerprintOverlapPairs(many.toDF("vid", "fh"),
+        "vid", "fh", bands = 4, strideBits = 16, maskBits = 15,
+        maxBucketSize = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == Map((1L, 2L) -> 4L),
+      s"the 6-member intro-card buckets must drop, organic pair survives: $capped")
+  }
+
   test("maintainQuantileSamples: adds-only maintenance equals full recompute exactly") {
     import graft.operators.Sketches
     val k = 4
