@@ -158,6 +158,37 @@ object OracleSql {
     s"""CASE WHEN ${dotSql(a, a)} = 0.0 OR ${dotSql(b, b)} = 0.0
         THEN CAST(0 AS BIGINT) ELSE ${scoreFixedSql(a, b)} END"""
 
+  /** ±1 random-projection literal sums over a fixed-point component
+    * array column `xf` — mirror of Similarity.rpProjExpr, generated
+    * from the SAME Scala sign matrix (Similarity.rpSigns) the Spark
+    * plan interpolates, so the two sides cannot drift.
+    */
+  private def rpProjSql(outDims: Int, dim: Int): String = {
+    val signs = graft.operators.Similarity.rpSigns(outDims, dim)
+    (0 until outDims).map { j =>
+      "(CAST(0 AS BIGINT)" + (0 until dim).map { i =>
+        (if (signs(j)(i) > 0) " + " else " - ") + s"xf[${i + 1}]"
+      }.mkString + ")"
+    }.mkString("[", ", ", "]")
+  }
+
+  /** Exact integer dot over BIGINT list columns — mirror of the
+    * integer fold inside Similarity.rpScoreFixed.
+    */
+  private def idotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(len($a)), i -> $a[i+1] * $b[i+1])),
+        (acc, v) -> acc + v)"""
+
+  /** Fixed-point cosine from staged integer dot/norm columns
+    * (dd, na, nb) — mirror of Similarity.rpScoreFixed's final
+    * normalize, zero-norm → 0.
+    */
+  private val rpCosFromDots: String =
+    s"""CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(floor((dd::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)))
+          * 1000000.0) AS BIGINT) END"""
+
   /** Sign-bit bucket — mirror of Similarity.signBucket. */
   private def signBucketSql(e: String, bits: Int): String =
     (0 until bits).map(j => s"(CASE WHEN $e[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
@@ -5098,6 +5129,117 @@ object OracleSql {
             ns.ns AS n_sources,
             CAST(CASE WHEN ns.ns >= 64 THEN 1 ELSE 0 END AS BIGINT)
               AS use_sparse
-          FROM E, NS ns ORDER BY src_a, src_b"""
+          FROM E, NS ns ORDER BY src_a, src_b""",
+
+    "q230_rp_error_sweep" ->
+      s"""WITH B AS (SELECT vec_id AS id, embedding AS emb,
+                 list_transform(embedding,
+                   v -> CAST(floor(v::DOUBLE * 1000000.0) AS BIGINT)) AS xf
+                FROM embeddings),
+          P AS (SELECT id, emb, ${rpProjSql(32, 64)} AS proj FROM B),
+          PR AS (SELECT ${scoreFixedSql("a.emb", "b.emb")} AS ex,
+                  a.proj AS pa, b.proj AS pb
+                 FROM P a JOIN P b ON a.id + 1 = b.id),
+          S AS (SELECT d.out_dims,
+                 list_slice(pr.pa, 1, d.out_dims) AS sa,
+                 list_slice(pr.pb, 1, d.out_dims) AS sb, pr.ex
+                FROM PR pr CROSS JOIN (SELECT unnest([8, 16, 32]) AS out_dims) d),
+          I AS (SELECT out_dims, ex, ${idotSql("sa", "sb")} AS dd,
+                 ${idotSql("sa", "sa")} AS na, ${idotSql("sb", "sb")} AS nb
+                FROM S),
+          E AS (SELECT out_dims, abs(($rpCosFromDots) - ex) AS err FROM I),
+          H AS (SELECT CAST(out_dims AS BIGINT) AS out_dims,
+                 CAST((err // 50000) * 50000 AS BIGINT) AS bucket_lo_1e6,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+                FROM E GROUP BY 1, 2)
+          SELECT out_dims, bucket_lo_1e6, n_pairs,
+            CAST(sum(n_pairs) OVER (PARTITION BY out_dims
+              ORDER BY bucket_lo_1e6
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS n_le
+          FROM H ORDER BY out_dims, bucket_lo_1e6""",
+
+    "q231_rp_refine" ->
+      s"""WITH B AS (SELECT vec_id AS id, embedding AS emb,
+                 list_transform(embedding,
+                   v -> CAST(floor(v::DOUBLE * 1000000.0) AS BIGINT)) AS xf
+                FROM embeddings),
+          P AS (SELECT id, emb, ${rpProjSql(16, 64)} AS proj FROM B),
+          Q AS (SELECT * FROM P WHERE id % 200 = 0 AND id < 2000),
+          RS AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+                  ${idotSql("q.proj", "c.proj")} AS dd,
+                  ${idotSql("q.proj", "q.proj")} AS na,
+                  ${idotSql("c.proj", "c.proj")} AS nb
+                 FROM P c CROSS JOIN Q q WHERE q.id <> c.id),
+          RP AS (SELECT query_id, neighbor_id, $rpCosFromDots AS rp_1e6 FROM RS),
+          SHORT AS (SELECT query_id, neighbor_id FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rp_1e6 DESC, neighbor_id) AS r FROM RP)
+                WHERE r <= 32),
+          REF AS (SELECT s.query_id, s.neighbor_id,
+                  ${scoreFixedSafeSql("qe.emb", "ce.emb")} AS score_1e6
+                 FROM SHORT s
+                 JOIN P ce ON ce.id = s.neighbor_id
+                 JOIN Q qe ON qe.id = s.query_id),
+          TOPR AS (SELECT query_id, CAST(r AS BIGINT) AS rank, neighbor_id,
+                  score_1e6 FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_1e6 DESC, neighbor_id) AS r FROM REF)
+                WHERE r <= 3),
+          BS AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+                  ${scoreFixedSql("q.emb", "c.emb")} AS s
+                 FROM P c CROSS JOIN Q q WHERE q.id <> c.id),
+          BT AS (SELECT query_id, neighbor_id FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY s DESC, neighbor_id) AS r FROM BS)
+                WHERE r <= 3)
+          SELECT t.query_id, t.rank, t.neighbor_id, t.score_1e6,
+            CAST(CASE WHEN EXISTS (SELECT 1 FROM BT b
+              WHERE b.query_id = t.query_id
+                AND b.neighbor_id = t.neighbor_id) THEN 1 ELSE 0 END
+              AS BIGINT) AS in_exact
+          FROM TOPR t ORDER BY t.query_id, t.rank""",
+
+    "q232_stitch_pairs" ->
+      s"""WITH T AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          S AS (SELECT doc_id, tk, len(tk) AS n, len(tk) // 2 AS m
+                FROM T WHERE len(tk) >= 8),
+          F AS (SELECT doc_id * 2 AS fid, list_slice(tk, 1, m + 3) AS ft
+                 FROM S
+                UNION ALL
+                SELECT doc_id * 2 + 1, list_slice(tk, m + 1, n) FROM S),
+          HT AS (SELECT fid, list_slice(ft, 1, 3) AS head,
+                  list_slice(ft, len(ft) - 2, len(ft)) AS tail
+                 FROM F WHERE len(ft) >= 3)
+          SELECT a.fid AS id_a, b.fid AS id_b,
+            array_to_string(a.tail, ' ') AS overlap
+          FROM HT a JOIN HT b ON a.tail = b.head AND a.fid <> b.fid
+          ORDER BY id_a, id_b""",
+
+    "q233_maintain_prio_sample" ->
+      s"""WITH D AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
+                 CAST(${md5long("CAST(doc_id AS VARCHAR)")} // n_chars
+                   AS BIGINT) AS prio
+                FROM documents),
+          P1 AS (SELECT id, weight, prio FROM
+                 (SELECT *, row_number() OVER (ORDER BY prio, id) AS r
+                  FROM D WHERE id % 2 = 0) WHERE r <= 64),
+          U AS (SELECT id, weight, prio FROM P1
+                UNION ALL
+                SELECT id, weight, prio FROM D WHERE id % 2 <> 0),
+          M AS (SELECT id, weight, prio, CAST(r AS BIGINT) AS rank FROM
+                 (SELECT *, row_number() OVER (ORDER BY prio, id) AS r FROM U)
+                WHERE r <= 64),
+          F AS (SELECT id, weight, prio, CAST(r AS BIGINT) AS rank FROM
+                 (SELECT *, row_number() OVER (ORDER BY prio, id) AS r FROM D)
+                WHERE r <= 64),
+          BADG AS (SELECT id, prio, rank FROM
+                 (SELECT id, prio, rank FROM M
+                  UNION ALL SELECT id, prio, rank FROM F)
+                GROUP BY id, prio, rank HAVING count(*) <> 2)
+          SELECT m.id, m.weight, m.prio, m.rank,
+            CAST(CASE WHEN (SELECT count(*) FROM BADG) = 0
+              THEN 1 ELSE 0 END AS BIGINT) AS maintained_eq_full
+          FROM M m ORDER BY m.rank"""
     )
 }

@@ -2071,6 +2071,104 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** JL cosine-preservation sweep (q230): the error a signed random
+    * projection (Achlioptas ±1, training-free) costs at 8/16/32
+    * projected dims, measured on the adjacent-id pair stream against
+    * exact cosine — the dimensionality-lever calibration table next to
+    * PQ's q179 and the sign-bucket audits (q23/q219). One projection
+    * pass serves all three widths (prefix slices ARE the narrower
+    * projections); everything downstream is narrow + bounded.
+    * See Similarity.{rpSigns,rpProjExpr,rpErrorSweep}.
+    */
+  private def qRpErrorSweep(s: SparkSession, dir: String): DataFrame =
+    Similarity.rpErrorSweep(embCorpus(s, dir), Seq(8, 16, 32), dim = 64)
+
+  /** RP-compressed shortlist + exact refine, recall-audited (q231):
+    * the q167 refine discipline on the dimensionality lever — 16
+    * projected integer dims (4× less arithmetic, 4× less index IO than
+    * 64 floats) shortlist 32 candidates per query, true cosine
+    * re-ranks the top 3, and each answer carries an `in_exact` flag
+    * against the brute-force top 3 so the compression's recall is
+    * hash-gated in the same row (the q169/q191 audit idiom).
+    * See Similarity.{rpRefineTopK,rpScoreFixed}.
+    */
+  private def qRpRefine(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val queries = corpus.filter(col("id") % 200 === 0 && col("id") < 2000)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("_hit"))
+    Similarity.rpRefineTopK(corpus, queries, k = 3, kShort = 32,
+        outDims = 16, dim = 64)
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("score_1e6"), coalesce(col("_hit"), lit(0L)).as("in_exact"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Maintained weighted sample (q233): the q222 maintenance
+    * discipline applied to the weighted (priority-sampling) lever. The
+    * corpus arrives as two batches (doc_id parity); the k=64 priority
+    * sample is cut on batch 1, then MAINTAINED with batch 2 ALONE —
+    * k + |feed| rows re-cut, never a corpus re-scan — and compared
+    * row-for-row against the direct sample of the whole corpus.
+    * Deterministic priorities make maintained ≡ full an IDENTITY (not
+    * an approximation), and the flag is computed on both engines.
+    * See Sampling.{prioritySample,maintainPrioritySample}.
+    */
+  private def qMaintainPrioritySample(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val prior = graft.operators.Sampling.prioritySample(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("n_chars"), k)
+      .localCheckpoint(true) // the persisted k-set: what a real feed reads
+    val maintained = graft.operators.Sampling.maintainPrioritySample(
+        prior, docs.filter(col("doc_id") % 2 =!= 0),
+        col("doc_id"), col("n_chars"), k)
+      .localCheckpoint(true)
+    val full = graft.operators.Sampling.prioritySample(
+      docs, col("doc_id"), col("n_chars"), k)
+    val eq = maintained.groupBy(col("id"), col("prio"), col("rank"))
+      .agg(count(lit(1)).as("_cm"))
+      .join(full.groupBy(col("id"), col("prio"), col("rank"))
+        .agg(count(lit(1)).as("_cf")), Seq("id", "prio", "rank"), "full_outer")
+      .agg(coalesce(sum(when(coalesce(col("_cm"), lit(0L)) =!=
+          coalesce(col("_cf"), lit(0L)), 1L).otherwise(0L)), lit(0L)).as("_bad"))
+      .select(when(col("_bad") === 0L, 1L).otherwise(0L)
+        .as("maintained_eq_full"))
+    maintained.crossJoin(broadcast(eq)) // 1-row engine-computed flag
+      .select(col("id"), col("weight"), col("prio"), col("rank"),
+        col("maintained_eq_full"))
+      .orderBy(col("rank"))
+  }
+
+  /** Boundary-stitch fragment detection (q232): every document is
+    * split into two fragments overlapping by exactly w=3 tokens — the
+    * seam a pagination/chunked-export/recrawl pipeline leaves — and
+    * the operator must recover each (first-half → second-half) stitch
+    * from the seam alone, plus whatever cross-document seams
+    * duplicated texts share. No dedup family can see these pairs (the
+    * fragments share only 3 tokens); fragmenting is a narrow fixture
+    * expression, detection is ONE tail-key = head-key equi-join.
+    * See Dedup.boundaryOverlapPairs.
+    */
+  private def qStitchPairs(s: SparkSession, dir: String): DataFrame = {
+    val w = 3
+    val staged = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(lower(col("text"))).as("_tk"))
+      .filter(size(col("_tk")) >= 2 * w + 2)
+      .withColumn("_n", size(col("_tk")))
+      .withColumn("_m", expr("_n DIV 2"))
+    val frags = staged.select(explode(array(
+        struct((col("doc_id") * 2).as("fid"),
+          array_join(slice(col("_tk"), lit(1), col("_m") + w), " ").as("text")),
+        struct((col("doc_id") * 2 + 1).as("fid"),
+          array_join(slice(col("_tk"), col("_m") + 1, col("_n") - col("_m")),
+            " ").as("text")))).as("f"))
+      .select(col("f.fid").as("fid"), col("f.text").as("text"))
+    graft.operators.Dedup.boundaryOverlapPairs(frags, "fid", "text", w)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Frontier-law audit (q229): kmvPairwiseJaccardAuto's selection law
     * re-derived on BOTH engines — n_sources from a column-pruned
     * distinct count, use_sparse = n ≥ 64 (the measured crossover,
@@ -3733,7 +3831,11 @@ object SparkEntry {
     "q226_kmv_jaccard_sparse" -> (qKmvJaccardSparse _),
     "q227_frame_decode" -> (qFrameDecode _),
     "q228_video_neardup" -> (qVideoNearDup _),
-    "q229_jaccard_frontier_law" -> (qJaccardFrontierLaw _))
+    "q229_jaccard_frontier_law" -> (qJaccardFrontierLaw _),
+    "q230_rp_error_sweep" -> (qRpErrorSweep _),
+    "q231_rp_refine" -> (qRpRefine _),
+    "q232_stitch_pairs" -> (qStitchPairs _),
+    "q233_maintain_prio_sample" -> (qMaintainPrioritySample _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

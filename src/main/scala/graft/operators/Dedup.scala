@@ -1316,4 +1316,57 @@ object Dedup {
         col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** Boundary-overlap stitch pairs — crawl/ingest FRAGMENT detection:
+    * a pair (a, b) where a's trailing w tokens are exactly b's leading
+    * w tokens is evidence the two rows are halves of one original
+    * document (pagination, chunked exports, truncated-and-recrawled
+    * continuations). The dedup families (q17–q20, q45) cannot see
+    * this: the fragments share only the w-token seam, far below any
+    * Jaccard or Hamming threshold — yet training on both teaches the
+    * seam twice and splits every fact that straddles it.
+    *
+    * Shape: head/tail w-token windows and their md5 keys are narrow
+    * map-side expressions; candidates come from ONE equi-join of tail
+    * keys against head keys (never a corpus self-cross); the exact
+    * w-token sequence equality rides the join (md5-collision guard,
+    * the q45 verify discipline). `maxKeyDf` drops hot seams (shared
+    * headers/footers/boilerplate) from EACH side before pair
+    * formation — the q205 valve; with it a key contributes ≤ cap²
+    * candidates. Docs shorter than w tokens cannot certify a w-token
+    * overlap and are excluded; id inequality excludes a doc stitching
+    * to itself.
+    *
+    * Output: (id_a, id_b, overlap) — a's tail stitches to b's head,
+    * `overlap` is the space-joined seam (the provenance evidence).
+    */
+  def boundaryOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, maxKeyDf: Option[Int] = None): DataFrame = {
+    require(w >= 1, s"need w >= 1, got $w")
+    maxKeyDf.foreach(c => require(c >= 1, s"need maxKeyDf >= 1, got $c"))
+    val tk = tokens(lower(col(textCol)))
+    val base = docs
+      .select(col(idCol).as("id"), tk.as("_tk"))
+      .filter(size(col("_tk")) >= w)
+      .select(col("id"), slice(col("_tk"), 1, w).as("_head"),
+        slice(col("_tk"), -w, w).as("_tail"))
+    def side(rel: DataFrame, keyCol: String): DataFrame = maxKeyDf match {
+      case None => rel
+      case Some(cap) =>
+        val hot = rel.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > cap).select(col(keyCol))
+        rel.join(broadcast(hot), Seq(keyCol), "left_anti")
+    }
+    val tails = side(base.select(col("id").as("id_a"),
+      col("_tail").as("_seam_a"),
+      md5Long(array_join(col("_tail"), " ")).as("_h")), "_h")
+    val heads = side(base.select(col("id").as("id_b"),
+      col("_head").as("_seam_b"),
+      md5Long(array_join(col("_head"), " ")).as("_h")), "_h")
+    tails.join(heads, Seq("_h"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("_seam_a") === col("_seam_b"))
+      .select(col("id_a"), col("id_b"),
+        array_join(col("_seam_a"), " ").as("overlap"))
+  }
 }

@@ -617,17 +617,53 @@ object Sampling {
   def prioritySample(df: DataFrame, key: Column, weight: Column,
       k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
+    prioCut(withPrio(df, key, weight), k)
+  }
+
+  /** (id, weight, prio) projection shared by the direct and maintained
+    * priority-sample paths — one priority definition, so the two
+    * cannot drift.
+    */
+  private def withPrio(df: DataFrame, key: Column, weight: Column): DataFrame = {
     val w = when(weight.isNull || weight.cast("long") < 1L,
         raise_error(lit("prioritySample: weight must be >= 1")))
       .otherwise(weight.cast("long"))
     df.select(key.as("id"), w.as("weight"))
       .withColumn("_h", md5Long(col("id").cast("string")))
       .withColumn("prio", expr("CAST(_h DIV weight AS BIGINT)"))
-      .orderBy(col("prio"), col("id"))
+      .select(col("id"), col("weight"), col("prio"))
+  }
+
+  /** Global bottom-k by (prio, id) + rank — TakeOrderedAndProject,
+    * never a global sort.
+    */
+  private def prioCut(rel: DataFrame, k: Int): DataFrame =
+    rel.orderBy(col("prio"), col("id"))
       .limit(k)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("prio"), col("id"))).cast("long"))
       .select(col("id"), col("weight"), col("prio"), col("rank"))
+
+  /** The weighted sample FOLLOWS the corpus — q222's maintenance
+    * discipline on the weighted lever. The bottom-k-by-priority cut is
+    * LOSSLESS under union (the k smallest priorities of A ∪ B are a
+    * subset of bottom-k(A) ∪ B when B is the increment), so the
+    * maintained sample re-cuts the PRIOR k-SET plus the new rows alone
+    * — k + |feed| rows, never a corpus re-scan — and equals the direct
+    * recompute EXACTLY, row for row (deterministic priorities make
+    * this an identity, not an approximation). Adds-only contract: ids
+    * must be new (removals or re-deliveries force a recompute — the
+    * q188/q222 additive-only caveat); a changed weight for an existing
+    * id is a removal.
+    *
+    * `prior` is a previous [[prioritySample]]/[[maintainPrioritySample]]
+    * output; `added` is the raw increment (key/weight shaped).
+    */
+  def maintainPrioritySample(prior: DataFrame, added: DataFrame,
+      key: Column, weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    prioCut(prior.select(col("id"), col("weight"), col("prio"))
+      .unionByName(withPrio(added, key, weight)), k)
   }
 }

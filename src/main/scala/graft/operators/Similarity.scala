@@ -1222,4 +1222,152 @@ object Similarity {
       .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
         scoreFixed(col("a.cent"), col("b.cent")).as("cos_1e6"))
   }
+
+  // ------------------------------------------------------------------
+  // Random-projection (Johnson–Lindenstrauss) embedding compression —
+  // the dimensionality lever next to the codebook lever (PQ, q58/q179)
+  // and the 1-bit lever (sign buckets, q22/q23). A ±1 signed random
+  // projection preserves cosine in expectation with error ~1/√d'
+  // (Achlioptas 2003, JL lemma), needs NO training pass at all, and
+  // compresses dim floats to d' integers — at 100 TB the projected
+  // index is the only thing the shortlist scan ever reads.
+  // ------------------------------------------------------------------
+
+  /** ±1 projection signs as Scala constants: sign(j)(i) = bit 0 of the
+    * 60-bit md5 hash of "rp|j|i" (the Md5Long60 truncation), mapped to
+    * ±1. The minhashCoeffs discipline: both the Spark plan and the
+    * DuckDB oracle interpolate THIS matrix as literals, so the two
+    * sides cannot drift — and no per-row hashing happens anywhere; the
+    * projection is a literal add/subtract chain.
+    */
+  def rpSigns(outDims: Int, dim: Int): IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    IndexedSeq.tabulate(outDims, dim) { (j, i) =>
+      val hex = md.digest(s"rp|$j|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1 else -1
+    }
+  }
+
+  /** The projection itself: proj_j = Σ_i sign(j,i)·floor(x_i·10^6) —
+    * pure BIGINT sums of the q161 fixed-point components, so the
+    * projected vector is associative-exact (partition- and
+    * engine-independent, no float fold at any width). One map-side
+    * expression, whole-stage-codegen'd; a row narrower than `dim`
+    * raises rather than silently projecting a prefix.
+    */
+  def rpProjExpr(outDims: Int, dim: Int, emb: Column): Column = {
+    val signs = rpSigns(outDims, dim)
+    val guarded = when(size(emb) >= dim, emb).otherwise(raise_error(
+      concat(lit(s"randomProject: emb has fewer than dim=$dim elements: "),
+        size(emb).cast("string"))))
+    // stage the fixed-point components once (array attr), then sum
+    val xf = transform(guarded,
+      v => floor(v.cast("double") * lit(1000000.0)).cast("long"))
+    array((0 until outDims).map { j =>
+      (0 until dim).map { i =>
+        val t = element_at(xf, i + 1)
+        if (signs(j)(i) > 0) t else -t
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** (id, proj) — the compressed index write path. */
+  def randomProject(df: DataFrame, outDims: Int, dim: Int): DataFrame =
+    df.select(col("id"), rpProjExpr(outDims, dim, col("emb")).as("proj"))
+
+  /** Fixed-point cosine over projected BIGINT vectors: dot and both
+    * norms are EXACT integer sums (|proj_j| ≤ dim·10^6 ⇒ every product
+    * ≤ ~4·10^15 and a ≤64-term sum stays far under Long range); only
+    * the final normalization touches DOUBLE, with the scoreFixed
+    * operand order both engines replay bit-for-bit. A zero-norm
+    * projection (total cancellation — reachable under JL) scores 0,
+    * the scoreFixedSafe convention.
+    */
+  def rpScoreFixed(a: Column, b: Column): Column = {
+    def idot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+    val d = idot(a, b)
+    val na = idot(a, a)
+    val nb = idot(b, b)
+    when(na === 0L || nb === 0L, lit(0L)).otherwise(
+      floor(d.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+        * lit(1000000.0)).cast("long"))
+  }
+
+  /** JL cosine-preservation sweep — the "how many projected dims does
+    * this corpus need" calibration table, read BEFORE committing an
+    * ANN or near-dup pass to compressed vectors (q179 is this table
+    * for the PQ lever). Sign rows are independent, so proj[1..d'] IS
+    * the d'-dim projection: the whole sweep costs ONE projection pass,
+    * and each candidate d' scores a prefix slice. Error is measured on
+    * the deterministic adjacent-id pair stream (id, id+1) — n−1 pairs,
+    * linear; a calibration needs an unbiased error sample, not all
+    * pairs — as |floor(cos_proj·10^6) − floor(cos_exact·10^6)|,
+    * bucketed with cumulative ≤ counts per d'.
+    *
+    * Scale shape: projection + scoring are narrow over an id-shift
+    * self-join (equi-join, no fan-out); the histogram is a bounded
+    * aggregate; the cumulative window runs over ≤ |outDimsList| ×
+    * (2e6/width) rows. Nothing is quadratic anywhere.
+    *
+    * Output: (out_dims, bucket_lo_1e6, n_pairs, n_le) ordered.
+    */
+  def rpErrorSweep(corpus: DataFrame, outDimsList: Seq[Int], dim: Int,
+      bucketWidth1e6: Long = 50000L): DataFrame = {
+    require(outDimsList.nonEmpty && outDimsList.forall(_ >= 1),
+      s"need positive out dims, got $outDimsList")
+    require(bucketWidth1e6 >= 1, s"bucket width must be positive: $bucketWidth1e6")
+    val dMax = outDimsList.max
+    val base = corpus.select(col("id"), col("emb"),
+      rpProjExpr(dMax, dim, col("emb")).as("_proj"))
+    val pairs = base.as("a")
+      .join(base.as("b"), col("a.id") + 1 === col("b.id"))
+      .select(
+        scoreFixed(col("a.emb"), col("b.emb")).as("_exact"),
+        col("a._proj").as("_pa"), col("b._proj").as("_pb"))
+    val errs = explode(array(outDimsList.map { d =>
+      struct(lit(d.toLong).as("out_dims"),
+        abs(rpScoreFixed(slice(col("_pa"), 1, d), slice(col("_pb"), 1, d))
+          - col("_exact")).as("err"))
+    }: _*))
+    val w = Window.partitionBy(col("out_dims")).orderBy(col("bucket_lo_1e6"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pairs.select(errs.as("e"))
+      .select(col("e.out_dims").as("out_dims"),
+        expr(s"(e.err DIV $bucketWidth1e6) * $bucketWidth1e6").as("bucket_lo_1e6"))
+      .groupBy(col("out_dims"), col("bucket_lo_1e6"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_le", sum(col("n_pairs")).over(w).cast("long"))
+      .orderBy(col("out_dims"), col("bucket_lo_1e6"))
+  }
+
+  /** RP-compressed shortlist + exact refine — the q167 refine
+    * discipline on the dimensionality lever: queries score the corpus
+    * on d'-dim projected INTEGER vectors (dim/d' × less arithmetic,
+    * and at scale dim/d' × less index IO — the projected index is all
+    * the shortlist scan reads), the top-kShort survivors re-rank by
+    * TRUE cosine. Shortlist and queries broadcast onto the corpus
+    * scan; the corpus never shuffles; both rank tails are the
+    * bounded-state TopKPairs aggregate.
+    */
+  def rpRefineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      kShort: Int, outDims: Int, dim: Int): DataFrame = {
+    require(kShort >= k, s"shortlist must cover the answer: kShort=$kShort < k=$k")
+    def proj(d: DataFrame) = d.select(col("id"),
+      rpProjExpr(outDims, dim, col("emb")).as("_proj"))
+    val scored = proj(corpus).as("c")
+      .join(broadcast(proj(queries).as("q")), col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        rpScoreFixed(col("q._proj"), col("c._proj")).as("rp_1e6"))
+    val shortlist = rank(scored, kShort, "rp_1e6")
+      .select(col("query_id"), col("neighbor_id"))
+    val refined = corpus.select(col("id").as("neighbor_id"), col("emb").as("nemb"))
+      .join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(queries.select(col("id").as("query_id"), col("emb").as("qemb"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        scoreFixedSafe(col("qemb"), col("nemb")).as("score_1e6"))
+    rank(refined, k)
+  }
 }

@@ -442,4 +442,29 @@ class ChunkerSamplingSpec extends SparkSpec {
     assert(out(5L) == 0L, s"singleton stratum pct must be 0: $out")
     assert(!out.contains(6L), "null stratum drops")
   }
+
+  test("maintainPrioritySample: maintained ≡ full, row for row") {
+    val all = (1L to 40L).map(i => (i, 1L + i % 7)).toDF("id", "w")
+    val b1 = all.filter(col("id") <= 25L)
+    val b2 = all.filter(col("id") > 25L)
+    val prior = Sampling.prioritySample(b1, col("id"), col("w"), k = 8)
+    val maintained = Sampling
+      .maintainPrioritySample(prior, b2, col("id"), col("w"), k = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val full = Sampling.prioritySample(all, col("id"), col("w"), k = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(maintained.toSeq == full.toSeq,
+      s"maintained=${maintained.toSeq} full=${full.toSeq}")
+  }
+
+  test("maintainPrioritySample: empty increment is the identity") {
+    val all = (1L to 10L).map(i => (i, 2L)).toDF("id", "w")
+    val prior = Sampling.prioritySample(all, col("id"), col("w"), k = 4)
+    val kept = Sampling.maintainPrioritySample(prior,
+        all.filter(col("id") < 0L), col("id"), col("w"), k = 4)
+      .orderBy("rank").collect().map(_.toSeq)
+    assert(kept.toSeq == prior.orderBy("rank").collect().map(_.toSeq).toSeq)
+  }
 }

@@ -3045,4 +3045,110 @@ class OperatorsSpec extends SparkSpec {
     assert(sweep((4L)) >= distinctPairs,
       s"sweep(4,4)=${sweep(4L)} raw pairs must be ≥ ${distinctPairs} distinct")
   }
+
+  test("boundaryOverlapPairs: recovers the seam, rejects shorter overlaps") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),     // tail2 = "gamma delta"
+      (2L, "gamma delta epsilon zeta"),   // head2 = "gamma delta" → stitch 1→2
+      (3L, "delta epsilon other words"),  // head2 = "delta epsilon": 1-token
+                                          // overlap with doc 1 — no pair
+      (4L, "x")                           // shorter than w → excluded
+    ).toDF("doc_id", "text")
+    val out = Dedup.boundaryOverlapPairs(df, "doc_id", "text", w = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[String]("overlap")))
+    assert(out.toSet == Set((1L, 2L, "gamma delta")), out.mkString(";"))
+  }
+
+  test("boundaryOverlapPairs: no self-stitch, case-folded match") {
+    val df = Seq(
+      (1L, "a b a b"),             // own head == own tail — must NOT self-pair
+      (2L, "A B c d")              // head2 "a b" after lowering = 1's tail
+    ).toDF("doc_id", "text")
+    val out = Dedup.boundaryOverlapPairs(df, "doc_id", "text", w = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(out.toSet == Set((1L, 2L)), out.mkString(";"))
+  }
+
+  test("boundaryOverlapPairs: maxKeyDf drops hot boilerplate seams") {
+    val rows = (1L to 5L).map(i => (i, s"unique$i words copyright footer")) ++
+      Seq((10L, "copyright footer continues onward"))
+    val df = rows.toDF("doc_id", "text")
+    val all = Dedup.boundaryOverlapPairs(df, "doc_id", "text", w = 2)
+    assert(all.count() == 5L) // every footer tail stitches to doc 10's head
+    val capped = Dedup.boundaryOverlapPairs(df, "doc_id", "text", w = 2,
+      maxKeyDf = Some(3))
+    assert(capped.count() == 0L)
+  }
+
+  test("rpSigns: deterministic ±1 matrix, independent of requested shape") {
+    val s1 = Similarity.rpSigns(4, 8)
+    val s2 = Similarity.rpSigns(8, 16)
+    assert(s1.flatten.forall(v => v == 1 || v == -1))
+    // prefix stability: sign(j)(i) depends only on (j, i), so a wider
+    // request agrees with a narrower one on the shared cells — this is
+    // what makes prefix slices of one projection BE the narrower
+    // projections (rpErrorSweep's one-pass sweep)
+    for (j <- 0 until 4; i <- 0 until 8) assert(s1(j)(i) == s2(j)(i))
+  }
+
+  test("randomProject: hand-computed components + width guard") {
+    val df = Seq((1L, Seq(0.5f, -0.25f, 1.0f).map(_.toDouble))).toDF("id", "emb")
+    val row = Similarity.randomProject(df, outDims = 2, dim = 3).collect()(0)
+    val out = row.getSeq[Long](row.fieldIndex("proj"))
+    val signs = Similarity.rpSigns(2, 3)
+    val xf = Seq(500000L, -250000L, 1000000L)
+    val expect = (0 until 2).map(j =>
+      (0 until 3).map(i => signs(j)(i) * xf(i)).sum)
+    assert(out == expect, s"$out vs $expect")
+    val narrow = Seq((1L, Seq(0.5, 0.5))).toDF("id", "emb")
+    intercept[Exception] {
+      Similarity.randomProject(narrow, outDims = 2, dim = 3).collect()
+    }
+  }
+
+  test("rpScoreFixed: identical → 1e6, opposite → −1e6, zero-norm → 0") {
+    val df = Seq((Seq(3L, 4L), Seq(3L, 4L), Seq(-3L, -4L), Seq(0L, 0L)))
+      .toDF("a", "b", "neg", "z")
+    val r = df.select(
+      Similarity.rpScoreFixed(col("a"), col("b")).as("same"),
+      Similarity.rpScoreFixed(col("a"), col("neg")).as("opp"),
+      Similarity.rpScoreFixed(col("a"), col("z")).as("zero")).collect()(0)
+    assert(r.getAs[Long]("same") == 1000000L)
+    assert(r.getAs[Long]("opp") == -1000000L)
+    assert(r.getAs[Long]("zero") == 0L)
+  }
+
+  test("rpErrorSweep: identical adjacent vectors land every pair in bucket 0") {
+    val v = Seq(0.6, -0.3, 0.8, 0.2)
+    val df = (1L to 4L).map(i => (i, v)).toDF("id", "emb")
+    val rows = Similarity.rpErrorSweep(df, Seq(2, 4), dim = 4).collect()
+    // identical vectors: projected cosine = exact cosine = 1e6 at any
+    // width (unless the projection cancels to zero-norm, which this
+    // vector does not) → every pair errs 0
+    assert(rows.forall(_.getAs[Long]("bucket_lo_1e6") == 0L), rows.mkString(";"))
+    assert(rows.map(r => (r.getAs[Long]("out_dims"), r.getAs[Long]("n_pairs")))
+      .toSet == Set((2L, 3L), (4L, 3L)))
+    assert(rows.forall(r => r.getAs[Long]("n_le") == r.getAs[Long]("n_pairs")))
+  }
+
+  test("rpRefineTopK: full shortlist ≡ exact brute force") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.1, 0.0)), (2L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (3L, Seq(1.0, 0.1, 0.1, 0.0)), (4L, Seq(0.0, 0.1, 0.9, 1.0)),
+      (5L, Seq(0.1, 0.0, 1.0, 0.9)), (6L, Seq(0.0, 0.0, 1.0, 1.0)))
+    val corpus = vecs.toDF("id", "emb")
+    val queries = corpus.filter(col("id").isin(1L, 4L))
+    val refined = Similarity.rpRefineTopK(corpus, queries, k = 2, kShort = 6,
+        outDims = 3, dim = 4)
+      .orderBy("query_id", "rank").collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Long]("score_1e6")))
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 2)
+      .orderBy("query_id", "rank").collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Long]("score_1e6")))
+    assert(refined.toSeq == exact.toSeq,
+      s"refine=${refined.toSeq} exact=${exact.toSeq}")
+  }
 }
