@@ -5240,6 +5240,16 @@ object OracleSql {
           SELECT m.id, m.weight, m.prio, m.rank,
             CAST(CASE WHEN (SELECT count(*) FROM BADG) = 0
               THEN 1 ELSE 0 END AS BIGINT) AS maintained_eq_full
-          FROM M m ORDER BY m.rank"""
+          FROM M m ORDER BY m.rank""",
+
+    "q234_prio_sample_stratum" ->
+      s"""WITH D AS (SELECT source, doc_id,
+                 CAST(${md5long("CAST(doc_id AS VARCHAR)")} // n_chars
+                   AS BIGINT) AS prio
+                FROM documents)
+          SELECT source, CAST(r AS BIGINT) AS rank, doc_id, prio FROM
+           (SELECT source, doc_id, prio, row_number() OVER
+              (PARTITION BY source ORDER BY prio, doc_id) AS r FROM D)
+          WHERE r <= 8 ORDER BY source, rank"""
     )
 }

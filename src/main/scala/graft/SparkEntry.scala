@@ -2105,6 +2105,22 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-stratum weighted sample (q234): prioritySample's scale form
+    * for mixture construction — 8 docs per source by the SAME md5 DIV
+    * n_chars priority as q150/q233 (shared definition), cut by the
+    * bounded-state TopKPairs aggregate so only |sources|·8 pairs cross
+    * the shuffle with map-side combine, never a per-stratum sort
+    * window or a global TakeOrdered.
+    * See Sampling.prioritySampleByStratum.
+    */
+  private def qPrioritySampleByStratum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.prioritySampleByStratum(
+        t(s, dir, "documents"), col("source"), col("doc_id"),
+        col("n_chars"), k = 8)
+      .select(col("stratum").as("source"), col("rank"),
+        col("id").as("doc_id"), col("prio"))
+      .orderBy(col("source"), col("rank"))
+
   /** Maintained weighted sample (q233): the q222 maintenance
     * discipline applied to the weighted (priority-sampling) lever. The
     * corpus arrives as two batches (doc_id parity); the k=64 priority
@@ -3835,7 +3851,8 @@ object SparkEntry {
     "q230_rp_error_sweep" -> (qRpErrorSweep _),
     "q231_rp_refine" -> (qRpRefine _),
     "q232_stitch_pairs" -> (qStitchPairs _),
-    "q233_maintain_prio_sample" -> (qMaintainPrioritySample _))
+    "q233_maintain_prio_sample" -> (qMaintainPrioritySample _),
+    "q234_prio_sample_stratum" -> (qPrioritySampleByStratum _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

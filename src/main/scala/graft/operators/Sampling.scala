@@ -624,14 +624,41 @@ object Sampling {
     * priority-sample paths — one priority definition, so the two
     * cannot drift.
     */
-  private def withPrio(df: DataFrame, key: Column, weight: Column): DataFrame = {
+  private def withPrio(df: DataFrame, key: Column, weight: Column,
+      stratum: Option[Column] = None): DataFrame = {
     val w = when(weight.isNull || weight.cast("long") < 1L,
         raise_error(lit("prioritySample: weight must be >= 1")))
       .otherwise(weight.cast("long"))
-    df.select(key.as("id"), w.as("weight"))
+    val keep = stratum.toSeq.map(_.as("stratum")) ++
+      Seq(key.as("id"), w.as("weight"))
+    df.select(keep: _*)
       .withColumn("_h", md5Long(col("id").cast("string")))
       .withColumn("prio", expr("CAST(_h DIV weight AS BIGINT)"))
-      .select(col("id"), col("weight"), col("prio"))
+      .drop("_h")
+  }
+
+  /** Per-stratum weighted sample — [[prioritySample]]'s scale form for
+    * mixture construction: k rows PER STRATUM by the same md5-derived
+    * priority (hash DIV weight, k smallest win), cut with the
+    * bounded-state TopKPairs aggregate so only |strata|·k pairs cross
+    * the shuffle with map-side combine (the perKeyCap discipline) —
+    * never a per-stratum sort window, never a global TakeOrdered. One
+    * priority definition shared with the global form (withPrio), so
+    * the two cannot drift; tie order (prio, id) matches exactly
+    * (TopKPairs keeps (−prio desc, id asc)).
+    *
+    * Output: (stratum, rank 1..k, id, prio). Weights/payloads rejoin
+    * by id — the sample is |strata|·k rows, so the join broadcasts.
+    */
+  def prioritySampleByStratum(df: DataFrame, stratum: Column, key: Column,
+      weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    withPrio(df, key, weight, Some(stratum))
+      .groupBy(col("stratum"))
+      .agg(graft.expressions.TopKPairs(-col("prio"), col("id"), k).as("_top"))
+      .select(col("stratum"), posexplode(col("_top")))
+      .select(col("stratum"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"), (-col("col.v")).as("prio"))
   }
 
   /** Global bottom-k by (prio, id) + rank — TakeOrderedAndProject,

@@ -141,4 +141,29 @@ object StreamingSketch {
     snapshots.select(col("source"),
         explode(arrays_zip(col("hs"), col("vs"))).as("_p"))
       .select(col("source"), col("_p.hs").as("h"), col("_p.vs").as("v"))
+
+  /** Weighted-sample twin: the per-stratum priority sample
+    * ([[graft.operators.Sampling.prioritySampleByStratum]], battery
+    * q234) kept current on a stream. Pure reuse of the bottom-k
+    * machinery — (prio = md5(id) DIV weight, id) plays (h, v) in the
+    * SAME lossless merge, so everything proven for the quantile
+    * sketch carries verbatim: stateless per-partition pre-cut, ≤16·k
+    * bytes of state per stratum forever, streamed state ≡ the batch
+    * operator over the union of micro-batches. Snapshot shape:
+    * hs = priorities, vs = ids (ascending (prio, id) = rank order).
+    * Weight < 1 or NULL raises — the batch operator's contract.
+    */
+  def sampleWeighted(stream: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, k: Int): Dataset[SourceSketch] = {
+    import stream.sparkSession.implicits._
+    val w = when(col(weightCol).isNull || col(weightCol).cast("long") < 1L,
+        raise_error(lit("sampleWeighted: weight must be >= 1")))
+      .otherwise(col(weightCol).cast("long"))
+    maintain(stream
+      .select(col(stratumCol).as("source"), col(idCol).cast("long").as("v"),
+        graft.functions.md5Long(col(idCol).cast("string")).as("_mh"),
+        w.as("_w"))
+      .withColumn("h", expr("CAST(_mh DIV _w AS BIGINT)"))
+      .select(col("source"), col("h"), col("v")).as[HV], k)
+  }
 }

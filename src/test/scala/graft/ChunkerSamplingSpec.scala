@@ -459,6 +459,24 @@ class ChunkerSamplingSpec extends SparkSpec {
       s"maintained=${maintained.toSeq} full=${full.toSeq}")
   }
 
+  test("prioritySampleByStratum: per-stratum cut ≡ global form run per stratum") {
+    val df = (1L to 30L).map(i => (if (i % 3 == 0) "a" else "b", i, 1L + i % 5))
+      .toDF("src", "id", "w")
+    val byStratum = Sampling
+      .prioritySampleByStratum(df, col("src"), col("id"), col("w"), k = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val perStratum = Seq("a", "b").flatMap { s =>
+      Sampling.prioritySample(df.filter(col("src") === s), col("id"), col("w"),
+          k = 4)
+        .collect()
+        .map(r => (s, r.getAs[Long]("rank"), r.getAs[Long]("id"),
+          r.getAs[Long]("prio")))
+    }.toSet
+    assert(byStratum == perStratum, s"$byStratum vs $perStratum")
+  }
+
   test("maintainPrioritySample: empty increment is the identity") {
     val all = (1L to 10L).map(i => (i, 2L)).toDF("id", "w")
     val prior = Sampling.prioritySample(all, col("id"), col("w"), k = 4)

@@ -905,6 +905,62 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("k >= 2"), e.getMessage)
   }
 
+  test("streaming weighted sample: state equals the batch per-stratum priority sample") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.StreamingSketch
+    val k = 4
+    val srcDir = Fixtures.tmpDir("wsk_src")
+    val ckpt = Fixtures.tmpDir("wsk_ckpt").toString
+    val outDir = Fixtures.tmpDir("wsk_out").toString
+
+    def addFile(n: Int, rows: Seq[(String, Long, Long)]): Unit = {
+      val tmp = Fixtures.tmpDir(s"wsk_tmp$n")
+      rows.toDF("src", "id", "w").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, srcDir.resolve(s"b$n.parquet"))
+    }
+    def runBatch(): Map[String, Vector[(Long, Long)]] = {
+      val stream = spark.readStream
+        .schema("src STRING, id LONG, w LONG")
+        .parquet(srcDir.toString)
+      val q = StreamingSketch.sampleWeighted(stream, "src", "id", "w", k)
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[StreamingSketch.SourceSketch], batchId: Long) =>
+            ds.withColumn("_batch", lit(batchId))
+              .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("_batch"), r.getAs[String]("source"),
+          r.getAs[Seq[Long]]("hs").zip(r.getAs[Seq[Long]]("vs")).toVector))
+        .groupBy(_._2).view.mapValues(rs => rs.maxBy(_._1)._3).toMap
+    }
+    val batch1 = (1L to 9L).map(i => ("a", i, 1L + i % 3)) ++
+      (10L to 12L).map(i => ("b", i, 5L))
+    val batch2 = (13L to 20L).map(i => ("a", i, 2L))
+    addFile(1, batch1); addFile(2, batch2)
+    val streamed = runBatch()
+
+    // the batch STATE analog: prioritySampleByStratum over the union —
+    // (prio, id) in rank order must be bit-equal per stratum
+    val expected = graft.operators.Sampling.prioritySampleByStratum(
+        (batch1 ++ batch2).toDF("src", "id", "w"),
+        col("src"), col("id"), col("w"), k)
+      .orderBy("stratum", "rank").collect()
+      .map(r => (r.getAs[String]("stratum"),
+        (r.getAs[Long]("prio"), r.getAs[Long]("id"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+    assert(streamed == expected,
+      s"streamed weighted-sample state must equal the batch operator: " +
+        s"$streamed vs $expected")
+  }
+
   /** STATE-IDENTITY PARITY TABLE (VERDICT r11 item 7) — one pin per
     * streaming twin, against the twin's batch STATE analog wherever
     * the state is an explicit artifact, and against the state's only
@@ -914,6 +970,7 @@ class StreamingSpec extends SparkSpec {
     * | twin                        | state artifact              | batch analog / pin                           | where pinned |
     * |-----------------------------|-----------------------------|----------------------------------------------|--------------|
     * | StreamingSketch             | per-source (h,v) k-sets     | Sketches.bottomKBySource — bit-equal         | "streaming quantile sketch" test |
+    * | …  .sampleWeighted          | per-stratum (prio,id) k-sets| Sampling.prioritySampleByStratum — bit-equal | "streaming weighted sample" test |
     * | StreamingFeatures.maintain  | FeatState per user          | EventAnalytics.userFeatures — field-equal    | "streaming user features" test |
     * | StreamingAnomaly.maintain   | day-count lookback map      | EventAnalytics.dailyAnomalies on closed days | "streaming anomaly" test |
     * | StreamingNearDup.ingestGate | admitted content index (VT) | IncrementalDedup.appendNovelNearDup replay   | "near-dup ingest gate" test (snapshot ≡ batch replay) |
