@@ -606,4 +606,52 @@ object Diagnostics {
           "ELSE (tokens_after_neardup * 1000000) DIV n_tokens END"))
       .orderBy(col("source"))
   }
+
+  /** Embedding-column health report — the data-quality screen the
+    * vector pipeline reads BEFORE any ANN/dedup pass commits: per
+    * stratum, counts of NULL embeddings, wrong-width rows, NaN-carrying
+    * rows and zero-norm rows (each one a guard path or a crash inside
+    * a cosine), plus the fixed-point norm² envelope (min/max/floor-
+    * mean) of the healthy rows — an envelope far from 1e12 (unit norm
+    * at the 1e6 component scale) flags an unnormalized or truncated
+    * batch before it poisons an index.
+    *
+    * Health classes are evaluated lazily (a NaN row never reaches the
+    * norm arithmetic — ANSI-safe), norm² per row is an exact ≤ dim·1e12
+    * BIGINT, and the mean divides DECIMAL(38,0) sums (the corrReport
+    * idiom: BIGINT norm² sums would overflow past ~9M unit vectors).
+    * One scan, |strata| output rows.
+    */
+  def embeddingHealth(embs: DataFrame, stratum: Column, emb: Column,
+      dim: Int): DataFrame = {
+    require(dim >= 1, s"need dim >= 1, got $dim")
+    val isNull = emb.isNull
+    val badDim = !isNull && (size(emb) =!= dim)
+    val nanFree = !exists(emb, v => isnan(v.cast("double")))
+    val hasNan = !isNull && (size(emb) === dim) && !nanFree
+    val healthy = !isNull && (size(emb) === dim) && nanFree
+    val norm2 = aggregate(
+      transform(emb, v => floor(v.cast("double") * lit(1000000.0)).cast("long")),
+      lit(0L), (acc, x) => acc + x * x)
+    embs.select(stratum.as("stratum"),
+        when(isNull, 1L).otherwise(0L).as("_null"),
+        when(badDim, 1L).otherwise(0L).as("_bad"),
+        when(hasNan, 1L).otherwise(0L).as("_nan"),
+        when(healthy, norm2).as("_n2")) // null on every unhealthy row
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("_null")).as("n_null"),
+        sum(col("_bad")).as("n_bad_dim"),
+        sum(col("_nan")).as("n_nan"),
+        sum(when(col("_n2") === 0L, 1L).otherwise(0L)).as("n_zero_norm"),
+        min(col("_n2")).as("min_norm2"),
+        max(col("_n2")).as("max_norm2"),
+        count(col("_n2")).as("_nh"),
+        sum(col("_n2").cast("decimal(38,0)")).as("_s"))
+      .withColumn("mean_norm2", expr(
+        "CAST(CASE WHEN _nh = 0 THEN NULL ELSE _s DIV _nh END AS BIGINT)"))
+      .select(col("stratum"), col("n_vecs"), col("n_null"), col("n_bad_dim"),
+        col("n_nan"), col("n_zero_norm"), col("min_norm2"), col("max_norm2"),
+        col("mean_norm2"))
+  }
 }

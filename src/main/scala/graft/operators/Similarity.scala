@@ -1249,32 +1249,52 @@ object Similarity {
     }
   }
 
-  /** The projection itself: proj_j = Σ_i sign(j,i)·floor(x_i·10^6) —
-    * pure BIGINT sums of the q161 fixed-point components, so the
-    * projected vector is associative-exact (partition- and
-    * engine-independent, no float fold at any width). One map-side
-    * expression, whole-stage-codegen'd; a row narrower than `dim`
-    * raises rather than silently projecting a prefix.
+  /** Fixed-point components floor(x_i·10^6) with the width guard — the
+    * staging half of the projection. Callers MUST alias this as its
+    * own column (a separate Project) before feeding it to
+    * [[rpProjFromComponents]]: the sum expression references the array
+    * ~outDims·dim times, and an un-staged subtree would re-run this
+    * transform under every term (the minhashSignature staging lesson —
+    * measured 21 s → sub-second on the q230 row).
     */
-  def rpProjExpr(outDims: Int, dim: Int, emb: Column): Column = {
-    val signs = rpSigns(outDims, dim)
+  def rpComponentsExpr(emb: Column, dim: Int): Column = {
     val guarded = when(size(emb) >= dim, emb).otherwise(raise_error(
       concat(lit(s"randomProject: emb has fewer than dim=$dim elements: "),
         size(emb).cast("string"))))
-    // stage the fixed-point components once (array attr), then sum
-    val xf = transform(guarded,
+    transform(guarded,
       v => floor(v.cast("double") * lit(1000000.0)).cast("long"))
-    array((0 until outDims).map { j =>
-      (0 until dim).map { i =>
-        val t = element_at(xf, i + 1)
-        if (signs(j)(i) > 0) t else -t
-      }.reduce(_ + _)
-    }: _*)
   }
 
-  /** (id, proj) — the compressed index write path. */
+  /** The projection itself: proj_j = Σ_i sign(j,i)·xf_i over a STAGED
+    * fixed-point component attribute — pure BIGINT sums of the q161
+    * components, so the projected vector is associative-exact
+    * (partition- and engine-independent, no float fold at any width).
+    *
+    * Plan shape: the sign matrix enters as ONE constant-folded literal
+    * (array<array<long>>) and the sums run as a transform/zip_with
+    * fold over it. An unrolled outDims·dim add/subtract chain computes
+    * the same integers but costs seconds of Janino compilation per
+    * plan (measured: the q230 row was compile-dominated and FLAT in
+    * data size at ~7 s) and risks the generated-method size limit as
+    * dims grow; the folded form keeps the tree O(1) in both widths.
+    */
+  def rpProjFromComponents(outDims: Int, dim: Int, xf: Column): Column = {
+    val signs = rpSigns(outDims, dim)
+    val signsLit = array(signs.map(row =>
+      array(row.map(v => lit(v.toLong)): _*)): _*) // constant-folds to one literal
+    transform(signsLit, srow =>
+      aggregate(zip_with(srow, xf, (s, x) => s * x),
+        lit(0L), (acc, v) => acc + v))
+  }
+
+  /** (id, proj) — the compressed index write path. Stages components,
+    * then sums (two stacked Projects = one codegen stage, components
+    * computed once per row).
+    */
   def randomProject(df: DataFrame, outDims: Int, dim: Int): DataFrame =
-    df.select(col("id"), rpProjExpr(outDims, dim, col("emb")).as("proj"))
+    df.select(col("id"), rpComponentsExpr(col("emb"), dim).as("_xf"))
+      .select(col("id"),
+        rpProjFromComponents(outDims, dim, col("_xf")).as("proj"))
 
   /** Fixed-point cosine over projected BIGINT vectors: dot and both
     * norms are EXACT integer sums (|proj_j| ≤ dim·10^6 ⇒ every product
@@ -1319,8 +1339,10 @@ object Similarity {
       s"need positive out dims, got $outDimsList")
     require(bucketWidth1e6 >= 1, s"bucket width must be positive: $bucketWidth1e6")
     val dMax = outDimsList.max
-    val base = corpus.select(col("id"), col("emb"),
-      rpProjExpr(dMax, dim, col("emb")).as("_proj"))
+    val base = corpus
+      .select(col("id"), col("emb"), rpComponentsExpr(col("emb"), dim).as("_xf"))
+      .select(col("id"), col("emb"),
+        rpProjFromComponents(dMax, dim, col("_xf")).as("_proj"))
     val pairs = base.as("a")
       .join(base.as("b"), col("a.id") + 1 === col("b.id"))
       .select(
@@ -1354,8 +1376,9 @@ object Similarity {
   def rpRefineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       kShort: Int, outDims: Int, dim: Int): DataFrame = {
     require(kShort >= k, s"shortlist must cover the answer: kShort=$kShort < k=$k")
-    def proj(d: DataFrame) = d.select(col("id"),
-      rpProjExpr(outDims, dim, col("emb")).as("_proj"))
+    def proj(d: DataFrame) = d
+      .select(col("id"), rpComponentsExpr(col("emb"), dim).as("_xf"))
+      .select(col("id"), rpProjFromComponents(outDims, dim, col("_xf")).as("_proj"))
     val scored = proj(corpus).as("c")
       .join(broadcast(proj(queries).as("q")), col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
