@@ -5250,6 +5250,38 @@ object OracleSql {
           SELECT source, CAST(r AS BIGINT) AS rank, doc_id, prio FROM
            (SELECT source, doc_id, prio, row_number() OVER
               (PARTITION BY source ORDER BY prio, doc_id) AS r FROM D)
-          WHERE r <= 8 ORDER BY source, rank"""
+          WHERE r <= 8 ORDER BY source, rank""",
+
+    "q235_embedding_health" ->
+      s"""WITH S AS (SELECT CAST(label AS BIGINT) AS label,
+                 CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+                 CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64
+                   THEN 1 ELSE 0 END AS bad,
+                 CASE WHEN embedding IS NOT NULL AND len(embedding) = 64
+                       AND len(list_filter(embedding,
+                             v -> isnan(v::DOUBLE))) > 0
+                   THEN 1 ELSE 0 END AS nan,
+                 CASE WHEN embedding IS NOT NULL AND len(embedding) = 64
+                       AND len(list_filter(embedding,
+                             v -> isnan(v::DOUBLE))) = 0
+                   THEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(embedding,
+                       v -> CAST(floor(v::DOUBLE * 1000000.0) AS BIGINT)
+                          * CAST(floor(v::DOUBLE * 1000000.0) AS BIGINT))),
+                     (a, b) -> a + b)
+                   ELSE NULL END AS n2
+                FROM embeddings)
+          SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+            CAST(sum(is_null) AS BIGINT) AS n_null,
+            CAST(sum(bad) AS BIGINT) AS n_bad_dim,
+            CAST(sum(nan) AS BIGINT) AS n_nan,
+            CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_zero_norm,
+            CAST(min(n2) AS BIGINT) AS min_norm2,
+            CAST(max(n2) AS BIGINT) AS max_norm2,
+            CAST(CASE WHEN count(n2) = 0 THEN NULL
+              ELSE CAST(sum(n2) AS HUGEINT) // count(n2) END AS BIGINT)
+              AS mean_norm2
+          FROM S GROUP BY label ORDER BY label"""
     )
 }

@@ -2105,6 +2105,21 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding health report (q235): the data-quality screen the
+    * vector pipeline reads before any ANN/dedup pass commits — per
+    * label, NULL/wrong-width/NaN/zero-norm counts plus the fixed-point
+    * norm² envelope of the healthy rows (an envelope far from 1e12
+    * flags an unnormalized or truncated batch). One scan, |labels|
+    * rows; DECIMAL(38,0) mean (BIGINT norm² sums overflow past ~9M
+    * unit vectors). See Diagnostics.embeddingHealth.
+    */
+  private def qEmbeddingHealth(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.embeddingHealth(
+        t(s, dir, "embeddings"), col("label").cast("long"),
+        col("embedding"), dim = 64)
+      .withColumnRenamed("stratum", "label")
+      .orderBy(col("label"))
+
   /** Per-stratum weighted sample (q234): prioritySample's scale form
     * for mixture construction — 8 docs per source by the SAME md5 DIV
     * n_chars priority as q150/q233 (shared definition), cut by the
@@ -3852,7 +3867,8 @@ object SparkEntry {
     "q231_rp_refine" -> (qRpRefine _),
     "q232_stitch_pairs" -> (qStitchPairs _),
     "q233_maintain_prio_sample" -> (qMaintainPrioritySample _),
-    "q234_prio_sample_stratum" -> (qPrioritySampleByStratum _))
+    "q234_prio_sample_stratum" -> (qPrioritySampleByStratum _),
+    "q235_embedding_health" -> (qEmbeddingHealth _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -3081,6 +3081,30 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("embeddingHealth: null/bad-dim/NaN/zero-norm classes + norm envelope") {
+    import graft.operators.Diagnostics
+    val rows: Seq[(Long, Option[Seq[Double]])] = Seq(
+      (1L, Some(Seq(0.5, 0.5))),            // n2 = 2·(5e5)² = 5e11
+      (1L, Some(Seq(1.0, 0.0))),            // n2 = 1e12
+      (2L, None),                           // null
+      (2L, Some(Seq(0.1))),                 // wrong dim
+      (2L, Some(Seq(Double.NaN, 1.0))),     // NaN
+      (2L, Some(Seq(0.0000001, 0.0))))      // floors to zero norm (healthy class)
+    val df = rows.toDF("label", "emb")
+    val out = Diagnostics.embeddingHealth(df, col("label"), col("emb"), dim = 2)
+      .orderBy("stratum").collect()
+    val l1 = out(0)
+    assert(l1.getAs[Long]("n_vecs") == 2 && l1.getAs[Long]("n_null") == 0)
+    assert(l1.getAs[Long]("min_norm2") == 500000000000L)
+    assert(l1.getAs[Long]("max_norm2") == 1000000000000L)
+    assert(l1.getAs[Long]("mean_norm2") == 750000000000L)
+    val l2 = out(1)
+    assert(l2.getAs[Long]("n_vecs") == 4 && l2.getAs[Long]("n_null") == 1 &&
+      l2.getAs[Long]("n_bad_dim") == 1 && l2.getAs[Long]("n_nan") == 1 &&
+      l2.getAs[Long]("n_zero_norm") == 1)
+    assert(l2.getAs[Long]("min_norm2") == 0L && l2.getAs[Long]("mean_norm2") == 0L)
+  }
+
   test("rpSigns: deterministic ±1 matrix, independent of requested shape") {
     val s1 = Similarity.rpSigns(4, 8)
     val s2 = Similarity.rpSigns(8, 16)
