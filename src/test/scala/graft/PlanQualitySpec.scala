@@ -522,4 +522,27 @@ class PlanQualitySpec extends SparkSpec {
         s"$q: the corpus must never shuffle for the threshold join:\n$p")
     }
   }
+
+  test("RP sweep: id-shift pairing is an equi-join, never cartesian; one projection per side") {
+    val p = plan("q230_rp_error_sweep")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"adjacent-id pairing must plan as an equi-join:\n$p")
+    // the constant-folded sign matrix must not survive as a
+    // CreateArray forest (one literal, not 2048 expression nodes)
+    assert(!p.contains("named_struct(rp"), p.take(500))
+  }
+
+  test("per-stratum weighted sample aggregates bounded state, no sort window") {
+    val p = plan("q234_prio_sample_stratum")
+    assert(p.contains("ObjectHashAggregate"),
+      s"TopKPairs must plan as ObjectHashAggregate (map-side combine):\n$p")
+    assert(!p.linesIterator.exists(_.matches(".*\\bWindow \\(\\d+\\).*")),
+      s"no per-stratum rank window may appear:\n$p")
+  }
+
+  test("stitch pairs: seam join is hash-keyed, never cartesian") {
+    val p = plan("q232_stitch_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"tail-key = head-key must plan as an equi-join:\n$p")
+  }
 }
