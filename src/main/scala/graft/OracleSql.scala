@@ -5282,6 +5282,68 @@ object OracleSql {
             CAST(CASE WHEN count(n2) = 0 THEN NULL
               ELSE CAST(sum(n2) AS HUGEINT) // count(n2) END AS BIGINT)
               AS mean_norm2
-          FROM S GROUP BY label ORDER BY label"""
+          FROM S GROUP BY label ORDER BY label""",
+
+    "q236_stitch_reassemble" ->
+      s"""WITH T AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          S AS (SELECT doc_id, tk, len(tk) AS n, len(tk) // 2 AS m
+                FROM T WHERE len(tk) >= 8),
+          F AS (SELECT doc_id * 2 AS fid, list_slice(tk, 1, m + 3) AS ft
+                 FROM S
+                UNION ALL
+                SELECT doc_id * 2 + 1, list_slice(tk, m + 1, n) FROM S),
+          HT AS (SELECT fid, ft, list_slice(ft, 1, 3) AS head,
+                  list_slice(ft, len(ft) - 2, len(ft)) AS tail
+                 FROM F WHERE len(ft) >= 3),
+          P AS (SELECT a.fid AS id_a, b.fid AS id_b
+                FROM HT a JOIN HT b ON a.tail = b.head AND a.fid <> b.fid),
+          OD AS (SELECT id_a, count(*) AS c FROM P GROUP BY 1),
+          IND AS (SELECT id_b, count(*) AS c FROM P GROUP BY 1),
+          U AS (SELECT p.id_a, p.id_b FROM P p
+                JOIN OD o ON o.id_a = p.id_a
+                JOIN IND i ON i.id_b = p.id_b
+                WHERE o.c = 1 AND i.c = 1),
+          R AS (SELECT u.id_a, u.id_b,
+                 array_to_string(list_concat(fa.ft,
+                   list_slice(fb.ft, 4, len(fb.ft))), ' ') AS text
+                FROM U u
+                JOIN F fa ON fa.fid = u.id_a
+                JOIN F fb ON fb.fid = u.id_b)
+          SELECT r.id_a // 2 AS doc_id, r.id_a, r.id_b,
+            CAST(CASE WHEN r.text = array_to_string(t2.tk, ' ')
+              THEN 1 ELSE 0 END AS BIGINT) AS matches_original
+          FROM R r JOIN T t2 ON t2.doc_id = r.id_a // 2
+          ORDER BY doc_id, id_a, id_b""",
+
+    // q228's chain with the saturated-mask precision valve: score >= 2
+    "q237_video_neardup2" ->
+      s"""WITH NB AS (SELECT count(*)::BIGINT AS n FROM documents),
+          BB AS (SELECT least(15, greatest(4, b))::BIGINT AS bb
+                FROM (SELECT min(b)::INT AS b FROM range(0, 61) t(b), NB
+                      WHERE (1::BIGINT << b) >= ((4 * NB.n + 1) // 2))),
+          SD AS (SELECT doc_id, md5(coalesce(text,'')) AS seed
+                FROM documents),
+          FG AS (SELECT doc_id, t.f AS f,
+                 list_transform(range(0, 64), i ->
+                   ${md5long("seed || '|f' || t.f::VARCHAR || '|' || i::VARCHAR")}
+                     & 255) AS g
+                FROM SD, (SELECT unnest(range(4)) AS f) t),
+          S AS (SELECT doc_id, f, g, CAST(list_sum(g) AS BIGINT) AS total
+                FROM FG),
+          H AS (SELECT doc_id, f,
+                 list_sum(list_transform(range(0, 64), i ->
+                   CASE WHEN 64 * g[i+1] > total
+                     THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS uh
+                FROM S),
+          B AS (SELECT DISTINCT doc_id, t.band,
+                 CAST((uh >> (t.band * 16)) & ((1::HUGEINT << bb.bb) - 1)
+                      AS BIGINT) AS bval
+                FROM H, BB bb, (SELECT unnest(range(4)) AS band) t)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(count(*) AS BIGINT) AS n_shared_buckets,
+            (SELECT bb FROM BB) AS mask_bits
+          FROM B a JOIN B b ON a.band = b.band AND a.bval = b.bval
+            AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b"""
     )
 }

@@ -2182,21 +2182,80 @@ object SparkEntry {
     * expression, detection is ONE tail-key = head-key equi-join.
     * See Dedup.boundaryOverlapPairs.
     */
-  private def qStitchPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The q232/q236 fragment corpus: every ≥8-token document split into
+    * two fragments overlapping by exactly 3 tokens. Shared by the
+    * detection row and the reassembly row so the two cannot drift.
+    */
+  private def stitchFrags(s: SparkSession, dir: String): DataFrame = {
     val w = 3
     val staged = t(s, dir, "documents")
       .select(col("doc_id"), tokens(lower(col("text"))).as("_tk"))
       .filter(size(col("_tk")) >= 2 * w + 2)
       .withColumn("_n", size(col("_tk")))
       .withColumn("_m", expr("_n DIV 2"))
-    val frags = staged.select(explode(array(
+    staged.select(explode(array(
         struct((col("doc_id") * 2).as("fid"),
           array_join(slice(col("_tk"), lit(1), col("_m") + w), " ").as("text")),
         struct((col("doc_id") * 2 + 1).as("fid"),
           array_join(slice(col("_tk"), col("_m") + 1, col("_n") - col("_m")),
             " ").as("text")))).as("f"))
       .select(col("f.fid").as("fid"), col("f.text").as("text"))
-    graft.operators.Dedup.boundaryOverlapPairs(frags, "fid", "text", w)
+  }
+
+  private def qStitchPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.boundaryOverlapPairs(
+        stitchFrags(s, dir), "fid", "text", 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Stitch reassembly (q236): the cut step after q232's detection —
+    * unambiguous fragment pairs merge back into one document, seam
+    * kept once, and every reassembled row is hash-gated against the
+    * ORIGINAL document it came from (`matches_original` computed on
+    * both engines: reassembly of an even-id first-half must reproduce
+    * the source text token-for-token; pairs born of cross-document
+    * boilerplate seams score 0 or are excluded by the degree filter).
+    * The detect → filter-unambiguous → rebuild → equals-original chain
+    * is the whole fragment story in one gated row.
+    * See Dedup.stitchReassemble.
+    */
+  private def qStitchReassemble(s: SparkSession, dir: String): DataFrame = {
+    val rebuilt = graft.operators.Dedup.stitchReassemble(
+      stitchFrags(s, dir), "fid", "text", 3)
+    val orig = t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(tokens(lower(col("text"))), " ").as("_orig"))
+    rebuilt.withColumn("doc_id", expr("id_a DIV 2"))
+      .join(orig, Seq("doc_id"))
+      .select(col("doc_id"), col("id_a"), col("id_b"),
+        when(col("text") === col("_orig"), 1L).otherwise(0L)
+          .as("matches_original"))
+      .orderBy(col("doc_id"), col("id_a"), col("id_b"))
+  }
+
+  /** Saturated-mask precision valve (q237): q228's pairing with
+    * minShared = 2 — the battery-pinned cure for the regime where the
+    * adaptive mask hits its band-width cap (≳65k frames) and
+    * SINGLE-band random collisions grow ~n²/2^maskBits: a random pair
+    * overwhelmingly shares exactly one cell, a true near-dup video
+    * shares many, so score ≥ 2 cuts the collision floor quadratically.
+    * Measured at gen-sf1 (200k frames, mask saturated at 15 bits):
+    * 6.70M pairs → 13.7k (487×). The q228 row stays as the pinned
+    * single-cell frontier baseline.
+    * See Dedup.fingerprintOverlapPairs(minShared).
+    */
+  private def qVideoNearDup2(s: SparkSession, dir: String): DataFrame = {
+    val (bits, _) = graft.operators.Dedup.suggestSimhashParams(
+      t(s, dir, "documents").count() * 4, bands = 4)
+    val maskBits = bits / 4
+    val fh = fixtureFor(s, dir, "q228framehashes") {
+      graft.operators.Multimodal.frameAHashesWith(mp4Fixture(s, dir),
+          graft.operators.FrameDecoder.ImageIo, "payload", "doc_id")
+        .select(col("doc_id"), col("frame_hash"))
+        .localCheckpoint(true)
+    }
+    graft.operators.Dedup.fingerprintOverlapPairs(fh, "doc_id", "frame_hash",
+        bands = 4, strideBits = 16, maskBits = maskBits, minShared = 2)
+      .withColumn("mask_bits", lit(maskBits.toLong))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -3868,7 +3927,9 @@ object SparkEntry {
     "q232_stitch_pairs" -> (qStitchPairs _),
     "q233_maintain_prio_sample" -> (qMaintainPrioritySample _),
     "q234_prio_sample_stratum" -> (qPrioritySampleByStratum _),
-    "q235_embedding_health" -> (qEmbeddingHealth _))
+    "q235_embedding_health" -> (qEmbeddingHealth _),
+    "q236_stitch_reassemble" -> (qStitchReassemble _),
+    "q237_video_neardup2" -> (qVideoNearDup2 _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

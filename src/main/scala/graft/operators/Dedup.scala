@@ -463,7 +463,8 @@ object Dedup {
     */
   def fingerprintOverlapPairs(df: DataFrame, idCol: String, fpCol: String,
       bands: Int, strideBits: Int, maskBits: Int,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None, minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"need minShared >= 1, got $minShared")
     val cells = fingerprintBands(df.filter(col(fpCol).isNotNull),
         idCol, fpCol, bands, strideBits, maskBits)
       .select(col("id"), col("band"), col("bval")).distinct()
@@ -476,11 +477,21 @@ object Dedup {
         cells.join(sizes,
           cells("band") === col("sb") && cells("bval") === col("sk"), "left_semi")
     }
+    // minShared is the saturated-mask-regime precision valve: once the
+    // adaptive mask hits its band-width cap (maskBits can't exceed the
+    // stride), SINGLE-band random collisions grow ~n²/2^maskBits — but
+    // a random pair overwhelmingly shares exactly one cell, while a
+    // true near-dup entity pair shares many, so score ≥ 2 cuts the
+    // collision floor quadratically (≈2^-2·maskBits per random pair).
+    // The candidate shuffle still carries the floor (it is the groupBy
+    // input); when even that is too wide, the q216 bucket-CC shape
+    // answers cluster questions without materializing pairs at all.
     capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared_buckets"))
+      .filter(col("n_shared_buckets") >= minShared)
   }
 
   /** Hamming-distance histogram of the SimHash banded candidate
@@ -1368,5 +1379,43 @@ object Dedup {
         col("_seam_a") === col("_seam_b"))
       .select(col("id_a"), col("id_b"),
         array_join(col("_seam_a"), " ").as("overlap"))
+  }
+
+  /** Reassemble stitched fragments — the CUT step after
+    * [[boundaryOverlapPairs]]' detection (the duplicatedSpans →
+    * removeDuplicatedSpans pairing, applied to fragment seams): every
+    * UNAMBIGUOUS pair (a stitches to exactly one b AND b is stitched
+    * by exactly one a) merges into one document, the seam kept once —
+    * `a.text ⧺ b.text minus its leading w tokens`. Ambiguous fan-in or
+    * fan-out (boilerplate seams, template heads) is left alone:
+    * reassembly must never guess; run the maxKeyDf valve upstream and
+    * review what remains. Tokens are the operator's lowercase
+    * whitespace normalization, so output text is normalized.
+    *
+    * Shape: degree filters are two bounded groupBys on the pair list;
+    * the rebuild joins the (bounded) unambiguous pairs back to the
+    * fragment corpus twice — broadcast-sized whenever stitching is the
+    * exception, which is the only regime where auto-merging is sane.
+    *
+    * Output: (id_a, id_b, text).
+    */
+  def stitchReassemble(frags: DataFrame, idCol: String, textCol: String,
+      w: Int, maxKeyDf: Option[Int] = None): DataFrame = {
+    val pairs = boundaryOverlapPairs(frags, idCol, textCol, w, maxKeyDf)
+    val outDeg = pairs.groupBy(col("id_a")).agg(count(lit(1)).as("_od"))
+    val inDeg = pairs.groupBy(col("id_b")).agg(count(lit(1)).as("_id"))
+    val uniq = pairs.join(outDeg, Seq("id_a")).join(inDeg, Seq("id_b"))
+      .filter(col("_od") === 1L && col("_id") === 1L)
+      .select(col("id_a"), col("id_b"))
+    val t = frags.select(col(idCol).as("_fid"),
+      tokens(lower(col(textCol))).as("_tk"))
+    uniq
+      .join(t.select(col("_fid").as("id_a"), col("_tk").as("_ta")), Seq("id_a"))
+      .join(t.select(col("_fid").as("id_b"), col("_tk").as("_tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        array_join(concat(col("_ta"),
+          slice(col("_tb"), lit(w + 1),
+            greatest(size(col("_tb")) - w, lit(0)))),
+          " ").as("text"))
   }
 }

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val Known = Set("simhash8", "simhash15", "simhashAuto",
     "neardup8", "neardup12", "brute", "curation",
-    "semantic8", "semanticAuto", "semantic2", "semantic3", "jaccard400")
+    "semantic8", "semanticAuto", "semantic2", "semantic3", "jaccard400",
+    "videodup")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -198,6 +199,43 @@ object ScaleProbe {
       timed("jaccard_sparse_400src")(
         graft.operators.Sketches.kmvPairwiseJaccard(
           docs400, "text", "source", k = 64, candidatesOnly = true).count())
+    }
+    if (probes("videodup")) {
+      // q228's pairing input (4 md5-derived frame hashes per doc — dup
+      // texts yield identical frame sets, exactly like the battery
+      // fixture) WITHOUT the codec work: times the banding+pairing
+      // core uncapped vs with the q205 hot-bucket valve, so the
+      // dup-family pair mass and its cure are both measured
+      val fh = docs.select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(3)), f =>
+            graft.functions.md5Long(concat(md5(coalesce(col("text"), lit(""))),
+              lit("|f"), f.cast("string"))))).as("frame_hash"))
+        .localCheckpoint(true)
+      val (bits, _) = graft.operators.Dedup.suggestSimhashParams(
+        fh.count(), bands = 4)
+      val mask = bits / 4
+      timed("videodup_uncapped")(
+        graft.operators.Dedup.fingerprintOverlapPairs(fh, "doc_id",
+          "frame_hash", bands = 4, strideBits = 16, maskBits = mask).count())
+      timed("videodup_cap64")(
+        graft.operators.Dedup.fingerprintOverlapPairs(fh, "doc_id",
+          "frame_hash", bands = 4, strideBits = 16, maskBits = mask,
+          maxBucketSize = Some(64)).count())
+      // the actual cure for duplicate-FAMILY pair mass: exact video
+      // dedup first (one representative per identical frame multiset —
+      // the q17→q18 staging discipline), then pair survivors
+      val reps = fh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("frame_hash"))).as("_fs"))
+        .groupBy(col("_fs")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), explode(col("_fs")).as("frame_hash"))
+        .localCheckpoint(true)
+      timed("videodup_exact_first")(
+        graft.operators.Dedup.fingerprintOverlapPairs(reps, "doc_id",
+          "frame_hash", bands = 4, strideBits = 16, maskBits = mask).count())
+      timed("videodup_minshared2")(
+        graft.operators.Dedup.fingerprintOverlapPairs(fh, "doc_id",
+          "frame_hash", bands = 4, strideBits = 16, maskBits = mask,
+          minShared = 2).count())
     }
     if (probes("brute")) timed("ann_brute")(
       graft.operators.Similarity.bruteForceTopK(embs,

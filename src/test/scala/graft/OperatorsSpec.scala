@@ -2536,6 +2536,16 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(capped == Map((1L, 2L) -> 4L),
       s"the 6-member intro-card buckets must drop, organic pair survives: $capped")
+    // saturated-mask precision valve: a pair sharing a single band
+    // cell (the random-collision signature) drops at minShared = 2; a
+    // whole-frame match (4 cells) survives
+    val mixed = Seq((1L, fpA), (2L, fpA),          // 4 shared cells
+      (3L, fp(1, 90, 91, 92)), (4L, fp(1, 93, 94, 95))) // 1 shared cell
+      .toDF("vid", "fh")
+    val strict = Dedup.fingerprintOverlapPairs(mixed, "vid", "fh",
+        bands = 4, strideBits = 16, maskBits = 15, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(strict == Map((1L, 2L) -> 4L), s"$strict")
   }
 
   test("maintainQuantileSamples: adds-only maintenance equals full recompute exactly") {
@@ -3079,6 +3089,32 @@ class OperatorsSpec extends SparkSpec {
     val capped = Dedup.boundaryOverlapPairs(df, "doc_id", "text", w = 2,
       maxKeyDf = Some(3))
     assert(capped.count() == 0L)
+  }
+
+  test("stitchReassemble: unambiguous pairs merge seam-once; fan-in is left alone") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),   // 1 → 2 unambiguous
+      (2L, "gamma delta epsilon zeta"),
+      (3L, "one two shared seam"),      // 3 and 4 both stitch into 5: fan-in
+      (4L, "other words shared seam"),
+      (5L, "shared seam continues here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stitchReassemble(df, "doc_id", "text", w = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[String]("text")))
+    assert(out.toSet ==
+      Set((1L, 2L, "alpha beta gamma delta epsilon zeta")), out.mkString(";"))
+  }
+
+  test("stitchReassemble: fragment round-trip reproduces the original") {
+    val original = "the quick brown fox jumps over the lazy dog tonight"
+    val frags = Seq(
+      (10L, "the quick brown fox jumps over"),  // overlap w=2: "jumps over"
+      (11L, "jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stitchReassemble(frags, "doc_id", "text", w = 2)
+      .collect().map(_.getAs[String]("text"))
+    assert(out.toSeq == Seq(original), out.mkString(";"))
   }
 
   test("embeddingHealth: null/bad-dim/NaN/zero-norm classes + norm envelope") {
