@@ -5344,6 +5344,20 @@ object OracleSql {
             (SELECT bb FROM BB) AS mask_bits
           FROM B a JOIN B b ON a.band = b.band AND a.bval = b.bval
             AND a.doc_id < b.doc_id
-          GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b"""
+          GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""",
+
+    "q238_big_orders" ->
+      """WITH BIG AS (SELECT l_orderkey,
+                cast(sum(cast(floor(l_quantity * 100) as bigint)) as bigint)
+                  AS total_qty_c
+               FROM lineitem GROUP BY l_orderkey
+               HAVING sum(cast(floor(l_quantity * 100) as bigint)) > 25000)
+         SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           b.total_qty_c
+         FROM BIG b
+         JOIN orders o ON o.o_orderkey = b.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         ORDER BY b.total_qty_c DESC, o.o_orderkey LIMIT 20"""
     )
 }

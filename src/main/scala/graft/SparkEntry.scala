@@ -2232,6 +2232,33 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("id_a"), col("id_b"))
   }
 
+  /** TPC-H Q18 shape (q238): large-volume orders — the groupBy-HAVING
+    * funnel: lineitem aggregates ONCE to per-order floor-cent
+    * quantities, the > 250 HAVING cut keeps ~1% of orders, and only
+    * those survivors join customer/orders (AQE broadcasts the tiny
+    * survivor side) before a top-20 TakeOrdered. At scale the one wide
+    * exchange is the per-order aggregate; everything downstream
+    * operates on HAVING survivors.
+    */
+  private def qBigOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        floor(col("l_quantity") * 100).cast("long").as("_qc"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("_qc")).as("total_qty_c"))
+      .filter(col("total_qty_c") > 25000L)
+    big
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty_c"))
+      .orderBy(col("total_qty_c").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** Saturated-mask precision valve (q237): q228's pairing with
     * minShared = 2 — the battery-pinned cure for the regime where the
     * adaptive mask hits its band-width cap (≳65k frames) and
@@ -3929,7 +3956,8 @@ object SparkEntry {
     "q234_prio_sample_stratum" -> (qPrioritySampleByStratum _),
     "q235_embedding_health" -> (qEmbeddingHealth _),
     "q236_stitch_reassemble" -> (qStitchReassemble _),
-    "q237_video_neardup2" -> (qVideoNearDup2 _))
+    "q237_video_neardup2" -> (qVideoNearDup2 _),
+    "q238_big_orders" -> (qBigOrders _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -545,4 +545,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"tail-key = head-key must plan as an equi-join:\n$p")
   }
+
+  test("Q18 funnel: top-k is TakeOrdered; scans prune to used columns") {
+    val p = plan("q238_big_orders")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must never be a global sort:\n$p")
+    val liSchema = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("l_orderkey")).getOrElse("")
+    assert(!liSchema.contains("l_comment") && !liSchema.contains("l_shipdate"),
+      s"lineitem scan must read only orderkey+quantity: $liSchema")
+  }
 }
