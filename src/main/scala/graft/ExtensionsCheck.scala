@@ -28,6 +28,9 @@ object ExtensionsCheck {
         .collect()(0).getSeq[Long](0).length == 16, "minhash_sig arity")
       assert(spark.sql("SELECT dot_fold(array(1.0D,2.0D), array(3.0D,4.0D))")
         .collect()(0).getDouble(0) == 11.0, "dot_fold value")
+      assert(spark.sql(
+        "SELECT dot_fold_long(array(1L,2L), array(3L,4L))")
+        .collect()(0).getLong(0) == 11L, "dot_fold_long value")
       assert(spark.sql("SELECT simhash_text('one two three', 16)")
         .collect()(0).getLong(0) >= 0L, "simhash_text callable")
       assert(spark.sql(
@@ -51,7 +54,7 @@ object ExtensionsCheck {
           "RewriteDotFold did not fire via extensions")
         assert(composed.collect()(0).getDouble(0) == 11.0, "rewritten result")
       } finally graft.util.Fs.deleteRecursively(dir)
-      println("[extensions-check] OK: 5 functions + optimizer rule active")
+      println("[extensions-check] OK: 6 functions + optimizer rule active")
     } finally spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BestCell, DotFold, Md5Long60, MinhashSig, SimhashText, TopKPairs}
+import graft.expressions.{BestCell, DotFold, DotFoldLong, Md5Long60, MinhashSig, SimhashText, TopKPairs}
 
 /** Session extensions: registers graft's native expressions for SQL
   * use. Attach with
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(DotFold.FnName),
       new ExpressionInfo(classOf[DotFold].getName, DotFold.FnName),
       DotFold.builder))
+    e.injectFunction((
+      new FunctionIdentifier(DotFoldLong.FnName),
+      new ExpressionInfo(classOf[DotFoldLong].getName, DotFoldLong.FnName),
+      DotFoldLong.builder))
     e.injectFunction((
       new FunctionIdentifier(SimhashText.FnName),
       new ExpressionInfo(classOf[SimhashText].getName, SimhashText.FnName),

@@ -1280,11 +1280,16 @@ object Similarity {
     */
   def rpProjFromComponents(outDims: Int, dim: Int, xf: Column): Column = {
     val signs = rpSigns(outDims, dim)
-    val signsLit = array(signs.map(row =>
-      array(row.map(v => lit(v.toLong)): _*)): _*) // constant-folds to one literal
-    transform(signsLit, srow =>
-      aggregate(zip_with(srow, xf, (s, x) => s * x),
-        lit(0L), (acc, v) => acc + v))
+    // each output dim is one compiled DotFoldLong loop against its
+    // constant-folded ±1 sign row — same left-to-right integer sum as
+    // the composed transform/zip_with/aggregate form (the executable
+    // spec pinned in ExpressionsSpec), but per-row cost is outDims
+    // compiled loops instead of outDims·dim interpreted tree-walks:
+    // the projection dominated the gen-sf10 sweep leg in HOF form
+    array((0 until outDims).map { j =>
+      graft.expressions.DotFoldLong(
+        array(signs(j).map(v => lit(v.toLong)): _*), xf)
+    }: _*)
   }
 
   /** (id, proj) — the compressed index write path. Stages components,
@@ -1305,8 +1310,11 @@ object Similarity {
     * the scoreFixedSafe convention.
     */
   def rpScoreFixed(a: Column, b: Column): Column = {
-    def idot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+    // native compiled integer dot; the composed
+    // aggregate(zip_with(a,b,(x,y)=>x*y), 0L, _+_) form is its
+    // executable spec (ExpressionsSpec parity) — the HOF tree-walk was
+    // the q231 shortlist scan's dominant term at gen-sf10
+    def idot(x: Column, y: Column) = graft.expressions.DotFoldLong(x, y)
     val d = idot(a, b)
     val na = idot(a, a)
     val nb = idot(b, b)

@@ -107,6 +107,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(out.last.isNullAt(0), "mismatched lengths must fold to null")
   }
 
+  test("DotFoldLong equals the composed integer zip_with/aggregate fold") {
+    import org.apache.spark.sql.functions.{aggregate, lit, zip_with}
+    val rnd = new scala.util.Random(11)
+    val pairs: Seq[(Array[Long], Array[Long])] =
+      (1 to 50).map { _ =>
+        val n = 1 + rnd.nextInt(32)
+        (Array.fill(n)(rnd.nextLong() % 1000000L),
+          Array.fill(n)(rnd.nextLong() % 1000000L))
+      } :+ ((Array.empty[Long], Array.empty[Long])) :+
+        ((Array(1L, 2L, 3L), Array(4L, 5L))) // length mismatch → null
+    val df = pairs.toDF("a", "b")
+    val out = df.select(
+      graft.expressions.DotFoldLong($"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("slow")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), r.toString)
+    }
+    assert(out.last.isNullAt(0), "mismatched lengths must fold to null")
+  }
+
   test("RewriteDotFold optimizer rule turns composed dots into DotFold") {
     import graft.expressions.{DotFold => DotFoldExpr}
     val prev = spark.experimental.extraOptimizations
