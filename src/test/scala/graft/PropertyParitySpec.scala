@@ -111,6 +111,29 @@ class PropertyParitySpec extends SparkSpec {
     }
   }
 
+  test("property: DotFoldLong ≡ composed integer fold within the RP contract range") {
+    import org.apache.spark.sql.functions.{aggregate, lit, zip_with}
+    // the caller contract bounds components at dim·1e6 (projected
+    // fixed-point vectors) — inside it both forms add raw longs; at
+    // overflow they intentionally diverge (ANSI throw vs wrap), which
+    // is why the contract is documented on the expression
+    val valGen = Gen.chooseNum(-64000000L, 64000000L)
+    val pairGen = for {
+      n <- Gen.choose(0, 64)
+      a <- Gen.listOfN(n, valGen)
+      b <- Gen.listOfN(n, valGen)
+    } yield (a.toArray, b.toArray)
+    val pairs = sample(Gen.listOfN(300, pairGen), seed = 4202612L)
+    val out = pairs.toDF("a", "b").select(
+      graft.expressions.DotFoldLong($"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("slow")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), r.toString)
+    }
+  }
+
   test("property: dailyAnomalies ≡ a driver-side reference z-test on generated series") {
     // random (type, day, count) series with gaps and spikes; the
     // operator's windowed integer arithmetic must match a plain Scala
