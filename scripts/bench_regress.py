@@ -107,7 +107,17 @@ def main(argv):
             continue
         raw = f / r
         ratio = raw / cal
-        if ratio > thr and max(f, r) >= MIN_SECONDS:
+        # the normalized ratio carries the threshold, but a row must
+        # also be slower in ABSOLUTE terms (raw > 1) to flag:
+        # normalization exists to keep a host slowdown from flagging
+        # the whole battery (raw high, normalized ~1) — but when the
+        # canary epoch moves the other way (archive cut on a fast
+        # host, fresh run on a slower one, queries nonetheless
+        # raw-FASTER), dividing by a canary ratio > 1 would false-flag
+        # raw-improvements (observed round 12: canary 0.148 -> 0.267
+        # epoch shift with every raw ratio <= 0.95). A row that got
+        # absolutely faster is never a regression.
+        if ratio > thr and raw > 1.0 and max(f, r) >= MIN_SECONDS:
             regressions.append((name, f, r, ratio, raw))
     for name, f, r, ratio, raw in sorted(regressions, key=lambda t: -t[3]):
         if ratio != float("inf"):
