@@ -5358,6 +5358,27 @@ object OracleSql {
          FROM BIG b
          JOIN orders o ON o.o_orderkey = b.l_orderkey
          JOIN customer c ON c.c_custkey = o.o_custkey
-         ORDER BY b.total_qty_c DESC, o.o_orderkey LIMIT 20"""
+         ORDER BY b.total_qty_c DESC, o.o_orderkey LIMIT 20""",
+
+    // q232's pair set with the two-batch ingest attribution: batch 1 =
+    // even fids (first halves), batch 2 = odd fids; a pair is found at
+    // the ingest where its LATER side arrived
+    "q239_stitch_ingest" ->
+      s"""WITH T AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          S AS (SELECT doc_id, tk, len(tk) AS n, len(tk) // 2 AS m
+                FROM T WHERE len(tk) >= 8),
+          F AS (SELECT doc_id * 2 AS fid, list_slice(tk, 1, m + 3) AS ft
+                 FROM S
+                UNION ALL
+                SELECT doc_id * 2 + 1, list_slice(tk, m + 1, n) FROM S),
+          HT AS (SELECT fid, list_slice(ft, 1, 3) AS head,
+                  list_slice(ft, len(ft) - 2, len(ft)) AS tail
+                 FROM F WHERE len(ft) >= 3)
+          SELECT CAST(CASE WHEN a.fid % 2 = 1 OR b.fid % 2 = 1
+              THEN 2 ELSE 1 END AS BIGINT) AS ingest_no,
+            a.fid AS id_a, b.fid AS id_b,
+            array_to_string(a.tail, ' ') AS overlap
+          FROM HT a JOIN HT b ON a.tail = b.head AND a.fid <> b.fid
+          ORDER BY ingest_no, id_a, id_b"""
     )
 }

@@ -2207,6 +2207,36 @@ object SparkEntry {
         stitchFrags(s, dir), "fid", "text", 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Stitch detection on ingest (q239): q232's seam detector as the
+    * fifth dedup-on-ingest member — the fragment corpus arrives as two
+    * batches (first halves, then second halves); each ingest checks
+    * within itself and BOTH directions against the boundary index
+    * (head/tail w-token keys per admitted fragment — never the text),
+    * flags its stitch pairs, and appends. The two-ingest union must
+    * equal the batch operator on the whole corpus, each pair found
+    * exactly once at the ingest where its later side arrived — the
+    * oracle re-derives the pair set AND the ingest attribution from
+    * fid parity. See IncrementalDedup.detectStitches.
+    */
+  private def qStitchIngest(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q239_sti_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "fid", "batch_no",
+      numBuckets = 8)
+    val frags = stitchFrags(s, dir)
+    val p1 = graft.operators.IncrementalDedup.detectStitches(
+        vt, frags.filter(col("fid") % 2 === 0), "fid", "text", 3, 1L)
+      .withColumn("ingest_no", lit(1L))
+    val p2 = graft.operators.IncrementalDedup.detectStitches(
+        vt, frags.filter(col("fid") % 2 =!= 0), "fid", "text", 3, 2L)
+      .withColumn("ingest_no", lit(2L))
+    p1.unionByName(p2)
+      .select(col("ingest_no"), col("id_a"), col("id_b"), col("overlap"))
+      .orderBy(col("ingest_no"), col("id_a"), col("id_b"))
+  }
+
   /** Stitch reassembly (q236): the cut step after q232's detection —
     * unambiguous fragment pairs merge back into one document, seam
     * kept once, and every reassembled row is hash-gated against the
@@ -3957,7 +3987,8 @@ object SparkEntry {
     "q235_embedding_health" -> (qEmbeddingHealth _),
     "q236_stitch_reassemble" -> (qStitchReassemble _),
     "q237_video_neardup2" -> (qVideoNearDup2 _),
-    "q238_big_orders" -> (qBigOrders _))
+    "q238_big_orders" -> (qBigOrders _),
+    "q239_stitch_ingest" -> (qStitchIngest _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

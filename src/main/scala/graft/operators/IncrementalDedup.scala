@@ -214,4 +214,66 @@ object IncrementalDedup {
     if (!admitted.isEmpty) index.upsert(admitted)
     admitted
   }
+
+  /** Stitch-detection-on-ingest — [[graft.operators.Dedup.boundaryOverlapPairs]]
+    * (battery q232) as an incremental operator, the fifth member of
+    * the dedup-on-ingest family (exact q94, near q173, semantic q204,
+    * media q214). Unlike those four this one FLAGS instead of
+    * rejecting: a fragment whose head continues an admitted fragment's
+    * tail is PROVENANCE (two halves of one original), not a duplicate,
+    * so every fragment is admitted and the found (id_a, id_b, overlap)
+    * pairs are the ingest's output — feed them to
+    * [[graft.operators.Dedup.stitchReassemble]]'s degree filter
+    * downstream.
+    *
+    * The index stores each admitted fragment's BOUNDARY only: head/
+    * tail w-token arrays (the exact-verify evidence) and their md5
+    * keys — ~2·w tokens + 2 longs per fragment, never the text. Each
+    * batch is checked three ways: within itself, batch-tail against
+    * historical heads, and historical tails against batch heads — so
+    * a two-batch replay finds exactly the pairs the batch operator
+    * finds on the union, each once, at the ingest where its later
+    * side arrived (spec-pinned). Cost tracks the change feed: history
+    * participates only through the two key equi-joins against the
+    * (bounded) batch key set. Feed exactly-once batches (a re-delivery
+    * re-flags its pairs — flagging is idempotent in effect but not in
+    * output).
+    *
+    * Returns the stitch pairs found by THIS ingest.
+    */
+  def detectStitches(index: VersionedTable, batch: DataFrame,
+      idCol: String, textCol: String, w: Int, batchNo: Long): DataFrame = {
+    require(w >= 1, s"need w >= 1, got $w")
+    require(index.recordKey == "fid",
+      s"stitch index must be keyed on 'fid', got '${index.recordKey}'")
+    import graft.functions.{md5Long, tokens}
+    val tk = tokens(lower(col(textCol)))
+    val rows = batch
+      .select(col(idCol).as("fid"), tk.as("_tk"))
+      .filter(size(col("_tk")) >= w)
+      .select(col("fid"),
+        slice(col("_tk"), 1, w).as("head"),
+        slice(col("_tk"), -w, w).as("tail"))
+      .select(col("fid"), col("head"), col("tail"),
+        md5Long(array_join(col("head"), " ")).as("head_h"),
+        md5Long(array_join(col("tail"), " ")).as("tail_h"))
+      .localCheckpoint(true) // pin BEFORE the commit mutates the snapshot
+    def tails(rel: DataFrame) = rel.select(col("fid").as("id_a"),
+      col("tail").as("_sa"), col("tail_h").as("_h"))
+    def heads(rel: DataFrame) = rel.select(col("fid").as("id_b"),
+      col("head").as("_sb"), col("head_h").as("_h"))
+    def pair(a: DataFrame, b: DataFrame) = a.join(b, Seq("_h"))
+      .filter(col("id_a") =!= col("id_b") && col("_sa") === col("_sb"))
+      .select(col("id_a"), col("id_b"),
+        array_join(col("_sa"), " ").as("overlap"))
+    val found = (index.snapshotOpt match {
+      case None => pair(tails(rows), heads(rows))
+      case Some(hist) =>
+        pair(tails(rows), heads(rows))
+          .unionByName(pair(tails(rows), heads(hist)))
+          .unionByName(pair(tails(hist), heads(rows)))
+    }).localCheckpoint(true)
+    index.upsert(rows.withColumn("batch_no", lit(batchNo)))
+    found
+  }
 }

@@ -735,4 +735,38 @@ class VersionedTableSpec extends SparkSpec {
     assert(a3.isEmpty, "re-ingest admits nothing")
     assert(index.commits.length == commits, "empty admission must not commit")
   }
+
+  test("detectStitches: two-batch replay finds the batch operator's pairs, each once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val frags = Seq(
+      (1L, "alpha beta gamma delta"),    // tail2 "gamma delta"
+      (2L, "gamma delta epsilon zeta"),  // head2 matches 1 (cross-batch)
+      (3L, "one two three four"),        // tail2 "three four"
+      (5L, "three four five six"),       // head2 matches 3 (in-batch 1)
+      (4L, "epsilon zeta eta theta")     // head2 "epsilon zeta" matches 2's
+                                         // tail (batch2-precedes-hist dir? no:
+                                         // 2 is batch 2... both in batch 2)
+    ).toDF("fid", "text")
+    val index = new graft.operators.VersionedTable(spark,
+      Fixtures.tmpDir("sti").toString, "fid", "batch_no", numBuckets = 4)
+    val b1 = frags.filter(col("fid") % 2 === 1) // fids 1, 3, 5
+    val b2 = frags.filter(col("fid") % 2 === 0) // fids 2, 4
+    val p1 = graft.operators.IncrementalDedup
+      .detectStitches(index, b1, "fid", "text", 2, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = graft.operators.IncrementalDedup
+      .detectStitches(index, b2, "fid", "text", 2, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == Set((3L, 5L)), s"in-batch-1 pair only: $p1")
+    // ingest 2 finds: 1→2 (hist tail → batch head) and 2→4 (in-batch)
+    assert(p2 == Set((1L, 2L), (2L, 4L)), s"cross + in-batch-2 pairs: $p2")
+    // the union equals the batch operator on the whole corpus
+    val whole = graft.operators.Dedup
+      .boundaryOverlapPairs(frags, "fid", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((p1 ++ p2) == whole, s"${p1 ++ p2} vs $whole")
+    // the index holds every fragment's boundary exactly once
+    assert(index.snapshot.count() == 5)
+  }
 }
