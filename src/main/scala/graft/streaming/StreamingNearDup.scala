@@ -120,4 +120,33 @@ object StreamingNearDup {
         ()
       }
       .start()
+
+  /** Stitch-detection ingest gate — the q239 flagger on a stream:
+    * every micro-batch runs the SAME IncrementalDedup.detectStitches
+    * (one code path for stream and lake), appends its fragments to the
+    * boundary index, and hands the pairs it found to `onPairs` (write
+    * them next to the corpus; stitchReassemble's degree filter runs
+    * downstream). Unlike the three dedup gates nothing is rejected —
+    * continuations are provenance. State is the index itself (2·w
+    * tokens + 2 longs per fragment); Spark streaming state stays
+    * empty. Exactly-once batches are the q239 contract: a checkpoint
+    * replay re-runs foreachBatch with the same batchId, and upsert by
+    * fid makes the index idempotent, but re-found pairs reach
+    * `onPairs` again — sink by (id_a, id_b) key.
+    */
+  def stitchIngestGate(stream: DataFrame, index: VersionedTable,
+      idCol: String, textCol: String, w: Int,
+      onPairs: (DataFrame, Long) => Unit,
+      checkpointDir: String, batchBase: Long = 0L,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onPairs(IncrementalDedup.detectStitches(index, batch,
+          idCol, textCol, w, batchBase + batchId), batchBase + batchId)
+        ()
+      }
+      .start()
 }

@@ -905,6 +905,63 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("k >= 2"), e.getMessage)
   }
 
+  test("stitch ingest gate: streamed pairs and index equal the batch replay") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val srcDir = Fixtures.tmpDir("stg_src")
+    val ckpt = Fixtures.tmpDir("stg_ckpt").toString
+    val outDir = Fixtures.tmpDir("stg_out").toString
+    val idxRoot = Fixtures.tmpDir("stg_idx").toString
+    val frags = Seq(
+      (1L, "alpha beta gamma delta"),
+      (3L, "one two three four"),
+      (5L, "three four five six"),      // 3→5 in file 1
+      (2L, "gamma delta epsilon zeta"), // 1→2 cross-file
+      (4L, "epsilon zeta eta theta"))   // 2→4 in file 2
+    def addFile(n: Int, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Fixtures.tmpDir(s"stg_tmp$n")
+      rows.toDF("fid", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, srcDir.resolve(s"b$n.parquet"))
+    }
+    val index = new graft.operators.VersionedTable(spark, idxRoot, "fid",
+      "batch_no", numBuckets = 4)
+    def run(): Unit = {
+      val stream = spark.readStream.schema("fid LONG, text STRING")
+        .parquet(srcDir.toString)
+      val q = graft.streaming.StreamingNearDup.stitchIngestGate(
+        stream, index, "fid", "text", w = 2,
+        onPairs = (pairs, bid) => pairs.withColumn("_b", lit(bid))
+          .write.mode("append").parquet(outDir),
+        checkpointDir = ckpt)
+      q.awaitTermination(120000)
+    }
+    addFile(1, frags.take(3)); run()
+    addFile(2, frags.drop(3)); run()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val whole = graft.operators.Dedup
+      .boundaryOverlapPairs(frags.toDF("fid", "text"), "fid", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == whole,
+      s"streamed pair stream must equal the batch operator: $streamed vs $whole")
+    // state identity: the boundary index equals a fresh batch replay
+    // through the same operator (the parity-table discipline)
+    val replayIdx = new graft.operators.VersionedTable(spark,
+      Fixtures.tmpDir("stg_replay").toString, "fid", "batch_no", numBuckets = 4)
+    graft.operators.IncrementalDedup.detectStitches(replayIdx,
+      frags.take(3).toDF("fid", "text"), "fid", "text", 2, 0L)
+    graft.operators.IncrementalDedup.detectStitches(replayIdx,
+      frags.drop(3).toDF("fid", "text"), "fid", "text", 2, 1L)
+    def snap(vt: graft.operators.VersionedTable) =
+      vt.snapshot.select("fid", "head_h", "tail_h").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(snap(index) == snap(replayIdx),
+      "streamed boundary index must equal the batch-operator replay")
+  }
+
   test("streaming weighted sample: state equals the batch per-stratum priority sample") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
@@ -976,6 +1033,7 @@ class StreamingSpec extends SparkSpec {
     * | StreamingNearDup.ingestGate | admitted content index (VT) | IncrementalDedup.appendNovelNearDup replay   | "near-dup ingest gate" test (snapshot ≡ batch replay) |
     * | …  .semanticIngestGate      | admitted vector index (VT)  | IncrementalDedup.appendNovelSemantic replay  | "semantic ingest gate" test (snapshot ≡ batch replay) |
     * | …  .mediaIngestGate         | admitted fp index (VT)      | IncrementalDedup.appendNovelFingerprint      | "media ingest gate" test (snapshot ≡ batch replay) |
+    * | …  .stitchIngestGate        | boundary index (VT)         | IncrementalDedup.detectStitches replay       | "stitch ingest gate" test (pairs + snapshot ≡ batch replay) |
     * | StreamingHeavyHitters (CMS) | (r,cell)→counter relation   | Sketches portable-CMS counters — bit-equal   | HERE (streamed upserts ≡ batch counters) |
     * | StreamingHeavyHitters (win) | per-window count state      | same groupBy on batch — count-equal          | "windowed heavy hitters" test |
     * | EventStream.sessionize      | open SessionState per user  | lag/gap window sessionization — here         | HERE (flushed sessions ≡ batch windows) |
