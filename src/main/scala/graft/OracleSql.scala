@@ -5379,6 +5379,37 @@ object OracleSql {
             a.fid AS id_a, b.fid AS id_b,
             array_to_string(a.tail, ' ') AS overlap
           FROM HT a JOIN HT b ON a.tail = b.head AND a.fid <> b.fid
-          ORDER BY ingest_no, id_a, id_b"""
+          ORDER BY ingest_no, id_a, id_b""",
+
+    "q240_ams_join_size" -> {
+      // X[j] = n − 2·Σ bit_j(md5Long(key)) — generated for the same
+      // m = 32 the Spark operator uses, so the two cannot drift
+      val xs = (0 until 32).map(j =>
+        s"""(CAST(count(*) AS BIGINT)
+            - 2 * CAST(sum((h >> $j) & 1) AS BIGINT))""")
+        .mkString("[", ", ", "]")
+      s"""WITH H AS (SELECT ${md5long("CAST(user_id AS VARCHAR)")} AS h
+                FROM events),
+          SA AS (SELECT CAST(count(*) AS BIGINT) AS n_a, $xs AS xa FROM H),
+          SB AS (SELECT CAST(count(*) AS BIGINT) AS n_b, $xs AS xb FROM H),
+          K AS (SELECT CAST(user_id AS VARCHAR) AS k,
+                 CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1),
+          EX AS (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT)
+                  AS exact_join
+                 FROM K a JOIN K b ON a.k = b.k),
+          F2 AS (SELECT CAST(coalesce(sum(c * c), 0) AS BIGINT) AS f2 FROM K),
+          E AS (SELECT sa.n_a, sb.n_b,
+                 list_sort(list_transform(range(32),
+                   i -> sa.xa[i+1] * sb.xb[i+1]))[16] AS est_join,
+                 ex.exact_join, f2.f2 AS f2_a, f2.f2 AS f2_b
+                FROM SA sa, SB sb, EX ex, F2 f2)
+          SELECT n_a, n_b, CAST(est_join AS BIGINT) AS est_join,
+            exact_join, f2_a, f2_b,
+            CAST(CASE WHEN (est_join - exact_join) * (est_join - exact_join)
+              <= 18 * f2_a * f2_b THEN 1 ELSE 0 END AS BIGINT)
+              AS within_3sig
+          FROM E"""
+    }
     )
 }

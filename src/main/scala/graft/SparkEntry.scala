@@ -2262,6 +2262,21 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("id_a"), col("id_b"))
   }
 
+  /** AMS join-size estimate (q240): |events ⋈ events| on user_id — the
+    * self-join whose size is the skew question — estimated from one
+    * m=32-sketch aggregate pass per side (sign_j = bit j of ONE
+    * md5Long per row; estimate = exact lower median of the 32
+    * X_A·X_B products), next to the exact Σ fA·fB companion and the
+    * engine-computed AMS variance-bound flag (est−exact)² ≤ 18·F2·F2.
+    * The sketch family's fifth duty: sizing a join without running
+    * it. See Sketches.amsJoinSizeReport.
+    */
+  private def qAmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"))
+    graft.operators.Sketches.amsJoinSizeReport(
+      ev, col("user_id"), ev, col("user_id"))
+  }
+
   /** TPC-H Q18 shape (q238): large-volume orders — the groupBy-HAVING
     * funnel: lineitem aggregates ONCE to per-order floor-cent
     * quantities, the > 250 HAVING cut keeps ~1% of orders, and only
@@ -3988,7 +4003,8 @@ object SparkEntry {
     "q236_stitch_reassemble" -> (qStitchReassemble _),
     "q237_video_neardup2" -> (qVideoNearDup2 _),
     "q238_big_orders" -> (qBigOrders _),
-    "q239_stitch_ingest" -> (qStitchIngest _))
+    "q239_stitch_ingest" -> (qStitchIngest _),
+    "q240_ams_join_size" -> (qAmsJoinSize _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -745,4 +745,70 @@ object Sketches {
     bottomKBySource(prior.select(col("source"), col("h"), col("v"))
       .unionByName(addedHashed), k)
   }
+
+  /** AMS join-size estimate (Alon–Matias–Szegedy F2 machinery in its
+    * Alon–Gibbons–Matias–Szegedy join form): |A ⋈_key B| = Σ_k
+    * fA(k)·fB(k) estimated WITHOUT joining — the "is this join
+    * broadcast-able / how many rows will it emit" planner read at
+    * 100 TB, where running the join to size it defeats the point.
+    * The sketch family's fifth duty (distinct q193/q215, frequency
+    * q217, quantiles q221, similarity q224, join size here).
+    *
+    * Per sketch j < m: sign_j(k) = ±1 from bit j of md5Long(key) (one
+    * hash per row serves all m sketches); X_side[j] = Σ_rows
+    * sign_j(key) — m exact BIGINT sums folded in ONE aggregate pass
+    * per side, so each side's sketch is m longs and the estimate
+    * E[X_A[j]·X_B[j]] = Σ fA·fB is served by the exact lower median
+    * of the m products (deterministic order statistic — both engines
+    * replay it; no mean-of-means randomness to seed).
+    *
+    * This is an AUDIT-shaped report (the q193 discipline): it carries
+    * the exact join size and both second frequency moments — computed
+    * from one per-key count aggregate per side plus a key-level join,
+    * bounded by distinct keys, NOT the row-level join being sized —
+    * and the AMS single-sketch variance bound Var ≤ 2·F2(A)·F2(B) as
+    * the engine-computed flag (est − exact)² ≤ 9·2·F2A·F2B, the q151
+    * cross-multiplied integer discipline (conservative for a median
+    * of m, stated not hidden). X values are ≤ row counts and products
+    * ≤ n_a·n_b — BIGINT-safe to ~3·10⁹ rows per side; past that,
+    * lift the products to DECIMAL(38,0).
+    *
+    * Output: 1 row (n_a, n_b, est_join, exact_join, f2_a, f2_b,
+    * within_3sig).
+    */
+  def amsJoinSizeReport(a: DataFrame, aKey: Column, b: DataFrame,
+      bKey: Column, m: Int = 32): DataFrame = {
+    require(m >= 1 && m <= 60, s"need 1 <= m <= 60 (md5Long bits), got $m")
+    import graft.functions.md5Long
+    def sketch(df: DataFrame, key: Column, nCol: String): DataFrame = {
+      val aggs = count(lit(1)).as(nCol) +:
+        (0 until m).map(j => sum(expr(s"shiftright(_h, $j) & 1")).as(s"_o$j"))
+      df.select(md5Long(key.cast("string")).as("_h"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col(nCol), array((0 until m).map(j =>
+          col(nCol) - lit(2L) * col(s"_o$j")): _*).as(s"${nCol}_x"))
+    }
+    def keyCounts(df: DataFrame, key: Column, cCol: String): DataFrame =
+      df.select(key.cast("string").as("_k"))
+        .groupBy(col("_k")).agg(count(lit(1)).as(cCol))
+    val sa = sketch(a, aKey, "n_a")
+    val sb = sketch(b, bKey, "n_b")
+    val ka = keyCounts(a, aKey, "_ca")
+    val kb = keyCounts(b, bKey, "_cb")
+    val exact = ka.join(kb, Seq("_k"))
+      .agg(coalesce(sum(col("_ca") * col("_cb")), lit(0L)).as("exact_join"))
+    val f2a = ka.agg(coalesce(sum(col("_ca") * col("_ca")), lit(0L)).as("f2_a"))
+    val f2b = kb.agg(coalesce(sum(col("_cb") * col("_cb")), lit(0L)).as("f2_b"))
+    sa.crossJoin(sb).crossJoin(broadcast(exact))
+      .crossJoin(broadcast(f2a)).crossJoin(broadcast(f2b))
+      .withColumn("_prods", array_sort(zip_with(col("n_a_x"), col("n_b_x"),
+        (x, y) => x * y)))
+      .withColumn("est_join", element_at(col("_prods"), (m + 1) / 2))
+      .withColumn("within_3sig",
+        when((col("est_join") - col("exact_join"))
+          * (col("est_join") - col("exact_join"))
+          <= lit(18L) * col("f2_a") * col("f2_b"), 1L).otherwise(0L))
+      .select(col("n_a"), col("n_b"), col("est_join"), col("exact_join"),
+        col("f2_a"), col("f2_b"), col("within_3sig"))
+  }
 }

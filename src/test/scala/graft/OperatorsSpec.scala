@@ -3117,6 +3117,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq(original), out.mkString(";"))
   }
 
+  test("amsJoinSizeReport: exact companions, bound holds, est deterministic") {
+    import graft.operators.Sketches
+    // A: key 1 ×3, key 2 ×2, key 3 ×1; B: key 1 ×2, key 3 ×4, key 9 ×5
+    val a = (Seq.fill(3)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L)).toDF("k")
+    val b = (Seq.fill(2)(1L) ++ Seq.fill(4)(3L) ++ Seq.fill(5)(9L)).toDF("k")
+    val r = Sketches.amsJoinSizeReport(a, col("k"), b, col("k")).collect()(0)
+    assert(r.getAs[Long]("n_a") == 6 && r.getAs[Long]("n_b") == 11)
+    assert(r.getAs[Long]("exact_join") == 3 * 2 + 1 * 4, r.toString) // = 10
+    assert(r.getAs[Long]("f2_a") == 9 + 4 + 1)
+    assert(r.getAs[Long]("f2_b") == 4 + 16 + 25)
+    assert(r.getAs[Long]("within_3sig") == 1L, r.toString)
+    // determinism: md5-derived signs, exact median — same run twice
+    val again = Sketches.amsJoinSizeReport(a, col("k"), b, col("k"))
+      .collect()(0).getAs[Long]("est_join")
+    assert(again == r.getAs[Long]("est_join"))
+    // disjoint sides: exact 0, estimate inside the bound around 0
+    val c = Seq(100L, 101L).toDF("k")
+    val r2 = Sketches.amsJoinSizeReport(a, col("k"), c, col("k")).collect()(0)
+    assert(r2.getAs[Long]("exact_join") == 0L)
+    assert(r2.getAs[Long]("within_3sig") == 1L, r2.toString)
+  }
+
   test("embeddingHealth: null/bad-dim/NaN/zero-norm classes + norm envelope") {
     import graft.operators.Diagnostics
     val rows: Seq[(Long, Option[Seq[Double]])] = Seq(
