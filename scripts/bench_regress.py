@@ -88,6 +88,24 @@ def main(argv):
         cal = fc / rc
         print(f"canary: fresh {fc:.3f}s vs {rc:.3f}s archived -> "
               f"host-speed ratio {cal:.3f}x (per-query ratios normalized by it)")
+        # the AND-rule (min(ratio, raw) > thr) deliberately lets a
+        # faster host epoch mask a same-magnitude plan regression; make
+        # that masking window VISIBLE instead of silent whenever the
+        # canary itself drifts beyond the threshold in either direction
+        if cal > thr or cal < 1.0 / thr:
+            if cal < 1.0:
+                print(f"WARNING: canary drift {cal:.3f}x (faster host epoch) "
+                      f"exceeds the {thr}x threshold — the raw-AND-normalized "
+                      f"rule can MASK genuine plan regressions up to "
+                      f"{thr / cal:.2f}x this run (raw stays under {thr}x); "
+                      f"re-run on a calmer epoch or adjudicate by rebuilding "
+                      f"the archive-epoch commit side-by-side")
+            else:
+                print(f"WARNING: canary drift {cal:.3f}x (slower host epoch) "
+                      f"exceeds the {thr}x threshold — raw ratios are "
+                      f"inflated battery-wide; normalized ratios carry the "
+                      f"signal this run, and the archive deserves a re-cut "
+                      f"on a quieter epoch")
     else:
         print("canary: absent on one side -> raw ratios (no environment "
               "normalization; re-archive with a canary-recording bench)")

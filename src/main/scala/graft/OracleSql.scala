@@ -1366,19 +1366,40 @@ object OracleSql {
          GROUP BY f.cohort_day, day_offset
          ORDER BY f.cohort_day, day_offset""",
 
-    // heavy hitters: exact top-20 token counts; the count-min error
-    // flags are engine-computed on the Spark side and literal 1 here
-    // (the q35 sketch-vs-exact pattern — estimates stay out of the
-    // compared output)
-    "q62_heavy_hitters" ->
+    // heavy hitters: exact top-20 token counts next to the REPLAYED
+    // portable count-min estimate — depth 5 × width 2719 from the
+    // operator's (eps=0.001, confidence=0.99) defaults, the q217
+    // md5Long cell hash, and both error flags computed here too
+    // (VERDICT r12 item 2: no constant-asserted probabilistic flags)
+    "q62_heavy_hitters" -> {
+      val (depth, width, epsPpm) = (5, 2719, 1000L)
+      val prefixes = (0 until depth).map(r => s"($r, 'cms$r:')").mkString(", ")
       s"""WITH E AS (SELECT unnest(${toks("lower(text)")}) AS token FROM documents),
+          N AS (SELECT CAST(count(*) AS BIGINT) AS n FROM E),
           G AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM E GROUP BY token),
           R AS (SELECT token, cnt,
-                 row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM G)
-          SELECT token, rank, cnt,
-                 CAST(1 AS BIGINT) AS cms_lower_ok, CAST(1 AS BIGINT) AS cms_upper_ok
-          FROM R WHERE rank <= 20
-          ORDER BY rank""",
+                 row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM G),
+          T AS (SELECT token, cnt, CAST(rank AS BIGINT) AS rank
+                FROM R WHERE rank <= 20),
+          H(r, pre) AS (VALUES $prefixes),
+          M AS (SELECT h.r, ${md5long("h.pre || e.token")} % $width AS cell,
+                 CAST(count(*) AS BIGINT) AS c
+                FROM E e, H h GROUP BY 1, 2),
+          TE AS (SELECT t.token, t.rank, t.cnt,
+                 CAST(min(m.c) AS BIGINT) AS est
+                FROM T t JOIN H h ON TRUE
+                JOIN M m ON m.r = h.r
+                 AND m.cell = ${md5long("h.pre || t.token")} % $width
+                GROUP BY 1, 2, 3)
+          SELECT te.token, te.rank, te.cnt, te.est,
+                 CAST(CASE WHEN te.est >= te.cnt THEN 1 ELSE 0 END
+                   AS BIGINT) AS cms_lower_ok,
+                 CAST(CASE WHEN te.est <= te.cnt
+                      + (n.n * $epsPpm + 999999) // 1000000 THEN 1 ELSE 0 END
+                   AS BIGINT) AS cms_upper_ok
+          FROM TE te, N n
+          ORDER BY te.rank"""
+    },
 
     // mixture rebalance: per-stratum counts vs target ppm shares
     // (VALUES from the same Scala Seq the plan uses), achievable total
@@ -5264,10 +5285,10 @@ object OracleSql {
                  CASE WHEN embedding IS NOT NULL AND len(embedding) = 64
                        AND len(list_filter(embedding,
                              v -> isnan(v::DOUBLE))) = 0
-                   THEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   THEN list_reduce(list_prepend(CAST(0 AS HUGEINT),
                      list_transform(embedding,
-                       v -> CAST(floor(v::DOUBLE * 1000000.0) AS BIGINT)
-                          * CAST(floor(v::DOUBLE * 1000000.0) AS BIGINT))),
+                       v -> CAST(floor(v::DOUBLE * 1000000.0) AS HUGEINT)
+                          * CAST(floor(v::DOUBLE * 1000000.0) AS HUGEINT))),
                      (a, b) -> a + b)
                    ELSE NULL END AS n2
                 FROM embeddings)
@@ -5277,10 +5298,13 @@ object OracleSql {
             CAST(sum(nan) AS BIGINT) AS n_nan,
             CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
               AS n_zero_norm,
-            CAST(min(n2) AS BIGINT) AS min_norm2,
-            CAST(max(n2) AS BIGINT) AS max_norm2,
+            CAST(least(min(n2), 9223372036854775807::HUGEINT) AS BIGINT)
+              AS min_norm2,
+            CAST(least(max(n2), 9223372036854775807::HUGEINT) AS BIGINT)
+              AS max_norm2,
             CAST(CASE WHEN count(n2) = 0 THEN NULL
-              ELSE CAST(sum(n2) AS HUGEINT) // count(n2) END AS BIGINT)
+              ELSE least(sum(n2) // count(n2),
+                         9223372036854775807::HUGEINT) END AS BIGINT)
               AS mean_norm2
           FROM S GROUP BY label ORDER BY label""",
 
@@ -5381,35 +5405,64 @@ object OracleSql {
           FROM HT a JOIN HT b ON a.tail = b.head AND a.fid <> b.fid
           ORDER BY ingest_no, id_a, id_b""",
 
-    "q240_ams_join_size" -> {
-      // X[j] = n − 2·Σ bit_j(md5Long(key)) — generated for the same
-      // m = 32 the Spark operator uses, so the two cannot drift
-      val xs = (0 until 32).map(j =>
-        s"""(CAST(count(*) AS BIGINT)
-            - 2 * CAST(sum((h >> $j) & 1) AS BIGINT))""")
-        .mkString("[", ", ", "]")
-      s"""WITH H AS (SELECT ${md5long("CAST(user_id AS VARCHAR)")} AS h
-                FROM events),
-          SA AS (SELECT CAST(count(*) AS BIGINT) AS n_a, $xs AS xa FROM H),
-          SB AS (SELECT CAST(count(*) AS BIGINT) AS n_b, $xs AS xb FROM H),
-          K AS (SELECT CAST(user_id AS VARCHAR) AS k,
-                 CAST(count(*) AS BIGINT) AS c
-                FROM events GROUP BY 1),
-          EX AS (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT)
-                  AS exact_join
-                 FROM K a JOIN K b ON a.k = b.k),
-          F2 AS (SELECT CAST(coalesce(sum(c * c), 0) AS BIGINT) AS f2 FROM K),
-          E AS (SELECT sa.n_a, sb.n_b,
-                 list_sort(list_transform(range(32),
-                   i -> sa.xa[i+1] * sb.xb[i+1]))[16] AS est_join,
-                 ex.exact_join, f2.f2 AS f2_a, f2.f2 AS f2_b
-                FROM SA sa, SB sb, EX ex, F2 f2)
-          SELECT n_a, n_b, CAST(est_join AS BIGINT) AS est_join,
-            exact_join, f2_a, f2_b,
-            CAST(CASE WHEN (est_join - exact_join) * (est_join - exact_join)
-              <= 18 * f2_a * f2_b THEN 1 ELSE 0 END AS BIGINT)
-              AS within_3sig
-          FROM E"""
-    }
+    "q240_ams_join_size" -> amsJoinSizeSql(32, lawPpm = None),
+
+    // the m-selection law audit: same report at the m suggestAmsM
+    // derives for a 50% target (m = ceil(2e12/ppm^2) = 8), the law
+    // re-derived in SQL integer math so the route is hash-gated
+    "q241_ams_m_law" -> amsJoinSizeSql(8, lawPpm = Some(500000L))
     )
+
+  /** q240/q241 oracle body — X[j] = n − 2·Σ bit_j(md5Long(key)),
+    * generated for the same m the Spark operator uses so the two
+    * cannot drift; flag arithmetic in HUGEINT mirroring the engine's
+    * DECIMAL(38,0) (ADVICE r12), report columns ±Long.Max-saturated
+    * the same way. `lawPpm` appends the suggestAmsM law columns with
+    * m re-derived from the target in SQL.
+    */
+  private def amsJoinSizeSql(m: Int, lawPpm: Option[Long]): String = {
+    val xs = (0 until m).map(j =>
+      s"""(CAST(count(*) AS BIGINT)
+          - 2 * CAST(sum((h >> $j) & 1) AS BIGINT))""")
+      .mkString("[", ", ", "]")
+    val lawCols = lawPpm.map { ppm =>
+      s""", CAST($ppm AS BIGINT) AS target_ppm,
+         CAST(least(60, greatest(1,
+           (2000000000000 + $ppm::BIGINT * $ppm - 1)
+             // ($ppm::BIGINT * $ppm))) AS BIGINT) AS m,
+         CAST(CASE WHEN (2000000000000 + $ppm::BIGINT * $ppm - 1)
+             // ($ppm::BIGINT * $ppm) > 60 THEN 1 ELSE 0 END AS BIGINT)
+           AS m_capped"""
+    }.getOrElse("")
+    s"""WITH H AS (SELECT ${md5long("CAST(user_id AS VARCHAR)")} AS h
+              FROM events),
+        SA AS (SELECT CAST(count(*) AS BIGINT) AS n_a, $xs AS xa FROM H),
+        SB AS (SELECT CAST(count(*) AS BIGINT) AS n_b, $xs AS xb FROM H),
+        K AS (SELECT CAST(user_id AS VARCHAR) AS k,
+               CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1),
+        EX AS (SELECT coalesce(sum(a.c::HUGEINT * b.c), 0::HUGEINT)
+                AS exact_join
+               FROM K a JOIN K b ON a.k = b.k),
+        F2 AS (SELECT coalesce(sum(c::HUGEINT * c), 0::HUGEINT) AS f2 FROM K),
+        E AS (SELECT sa.n_a, sb.n_b,
+               list_sort(list_transform(range($m),
+                 i -> sa.xa[i+1]::HUGEINT * sb.xb[i+1]))[${(m + 1) / 2}]
+                 AS est_join,
+               ex.exact_join, f2.f2 AS f2_a, f2.f2 AS f2_b
+              FROM SA sa, SB sb, EX ex, F2 f2)
+        SELECT e.n_a, e.n_b,
+          CAST(greatest(least(e.est_join, 9223372036854775807::HUGEINT),
+            (-9223372036854775807 - 1)::HUGEINT) AS BIGINT) AS est_join,
+          CAST(least(e.exact_join, 9223372036854775807::HUGEINT) AS BIGINT)
+            AS exact_join,
+          CAST(least(e.f2_a, 9223372036854775807::HUGEINT) AS BIGINT) AS f2_a,
+          CAST(least(e.f2_b, 9223372036854775807::HUGEINT) AS BIGINT) AS f2_b,
+          CAST(CASE WHEN (e.est_join - e.exact_join)
+              * (e.est_join - e.exact_join)
+            <= 18::HUGEINT * e.f2_a * e.f2_b THEN 1 ELSE 0 END AS BIGINT)
+            AS within_3sig
+          $lawCols
+        FROM E e"""
+  }
 }

@@ -2277,6 +2277,20 @@ object SparkEntry {
       ev, col("user_id"), ev, col("user_id"))
   }
 
+  /** AMS m-selection law audit (q241): the q240 report sized by
+    * suggestAmsM for a 50% relative-error target — m = ⌈2/ε²⌉ = 8
+    * instead of the default 32 — with the law columns appended so the
+    * selection is itself hash-gated (the q229 idiom; the oracle
+    * re-derives m from the target in SQL integer math and replays the
+    * 8-row sketch). See Sketches.suggestAmsM for the variance
+    * derivation and the 60-bit structural cap.
+    */
+  private def qAmsMLaw(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"))
+    graft.operators.Sketches.amsJoinSizeReportAuto(
+      ev, col("user_id"), ev, col("user_id"), targetRelErrPpm = 500000L)
+  }
+
   /** TPC-H Q18 shape (q238): large-volume orders — the groupBy-HAVING
     * funnel: lineitem aggregates ONCE to per-order floor-cent
     * quantities, the > 250 HAVING cut keeps ~1% of orders, and only
@@ -2730,9 +2744,11 @@ object SparkEntry {
       .orderBy(col("cohort_day"), col("day_offset"))
 
   /** Heavy hitters (operators.Sketches.heavyHitters): top-20 corpus
-    * tokens, exact counts checked against a count-min sketch's error
-    * contract (estimate ≥ exact always; ≤ exact + eps·total whp) —
-    * flags follow the q35 sketch-vs-exact pattern.
+    * tokens, exact counts next to the PORTABLE count-min estimate and
+    * its error contract (estimate ≥ exact always; ≤ exact + ⌈eps·N⌉
+    * whp) — estimate and both flags are replayed by the DuckDB oracle
+    * from the same md5Long cell hash (the q217 idiom; VERDICT r12
+    * item 2 closed).
     */
   private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sketches.heavyHitters(
@@ -4004,7 +4020,8 @@ object SparkEntry {
     "q237_video_neardup2" -> (qVideoNearDup2 _),
     "q238_big_orders" -> (qBigOrders _),
     "q239_stitch_ingest" -> (qStitchIngest _),
-    "q240_ams_join_size" -> (qAmsJoinSize _))
+    "q240_ams_join_size" -> (qAmsJoinSize _),
+    "q241_ams_m_law" -> (qAmsMLaw _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -617,10 +617,17 @@ object Diagnostics {
     * batch before it poisons an index.
     *
     * Health classes are evaluated lazily (a NaN row never reaches the
-    * norm arithmetic — ANSI-safe), norm² per row is an exact ≤ dim·1e12
-    * BIGINT, and the mean divides DECIMAL(38,0) sums (the corrReport
-    * idiom: BIGINT norm² sums would overflow past ~9M unit vectors).
-    * One scan, |strata| output rows.
+    * norm arithmetic — ANSI-safe), and ALL norm² arithmetic runs in
+    * DECIMAL(38,0): a component with |v| ≳ 3040 has a fixed-point
+    * square past Long.Max, so a BIGINT fold would make exactly the
+    * unnormalized batches this screen exists to flag THROW instead of
+    * appear in the report (ADVICE r12). Per-row norm² is exact to
+    * |v| ≤ ~3·10¹³ per component (square ≤ 10³⁸ ≥ sum headroom for any
+    * real dim); the emitted min/max/mean SATURATE at Long.Max — a
+    * saturated reading is ~9.2·10¹⁸, seven orders past the 1e12 unit
+    * envelope, so the flag semantics are unchanged. The mean divides
+    * DECIMAL(38,0) sums (the corrReport idiom). One scan, |strata|
+    * output rows.
     */
   def embeddingHealth(embs: DataFrame, stratum: Column, emb: Column,
       dim: Int): DataFrame = {
@@ -630,9 +637,13 @@ object Diagnostics {
     val nanFree = !exists(emb, v => isnan(v.cast("double")))
     val hasNan = !isNull && (size(emb) === dim) && !nanFree
     val healthy = !isNull && (size(emb) === dim) && nanFree
+    // DECIMAL(38,0) fold: each square is computed at decimal width
+    // (x.cast first — a LONG x*x would overflow before the cast)
     val norm2 = aggregate(
       transform(emb, v => floor(v.cast("double") * lit(1000000.0)).cast("long")),
-      lit(0L), (acc, x) => acc + x * x)
+      lit(0L).cast("decimal(38,0)"),
+      (acc, x) => acc + x.cast("decimal(38,0)") * x.cast("decimal(38,0)"))
+    val longMax = lit(Long.MaxValue).cast("decimal(38,0)")
     embs.select(stratum.as("stratum"),
         when(isNull, 1L).otherwise(0L).as("_null"),
         when(badDim, 1L).otherwise(0L).as("_bad"),
@@ -644,12 +655,13 @@ object Diagnostics {
         sum(col("_bad")).as("n_bad_dim"),
         sum(col("_nan")).as("n_nan"),
         sum(when(col("_n2") === 0L, 1L).otherwise(0L)).as("n_zero_norm"),
-        min(col("_n2")).as("min_norm2"),
-        max(col("_n2")).as("max_norm2"),
+        least(min(col("_n2")), longMax).cast("long").as("min_norm2"),
+        least(max(col("_n2")), longMax).cast("long").as("max_norm2"),
         count(col("_n2")).as("_nh"),
-        sum(col("_n2").cast("decimal(38,0)")).as("_s"))
+        sum(col("_n2")).as("_s"))
       .withColumn("mean_norm2", expr(
-        "CAST(CASE WHEN _nh = 0 THEN NULL ELSE _s DIV _nh END AS BIGINT)"))
+        "CAST(CASE WHEN _nh = 0 THEN NULL ELSE " +
+          "least(_s DIV _nh, 9223372036854775807) END AS BIGINT)"))
       .select(col("stratum"), col("n_vecs"), col("n_null"), col("n_bad_dim"),
         col("n_nan"), col("n_zero_norm"), col("min_norm2"), col("max_norm2"),
         col("mean_norm2"))

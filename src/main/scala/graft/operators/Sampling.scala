@@ -154,8 +154,11 @@ object Sampling {
     val counts = df.select(stratum.as("_stratum"))
       .groupBy(col("_stratum")).agg(count(lit(1)).as("_n"))
     // left join from targets: an absent stratum surfaces as n=0 and
-    // pins T (hence every rate) to 0
-    val present = broadcast(tgt).join(counts, Seq("_stratum"), "left")
+    // pins T (hence every rate) to 0. The hint must sit on the COUNTS
+    // side — the preserved (left) side of a left-outer join can never
+    // be the broadcast build side, so hinting tgt was a logged no-op
+    // that fell back to a shuffle join (VERDICT r12 item 4)
+    val present = tgt.join(broadcast(counts), Seq("_stratum"), "left")
       .select(col("_stratum"), col("_s_ppm"), coalesce(col("_n"), lit(0L)).as("_n"))
     val tMax = present.agg(min(expr("_n * 1000000 div _s_ppm")).as("_t"))
     val rates = present.crossJoin(broadcast(tMax))

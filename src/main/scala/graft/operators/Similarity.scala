@@ -1261,7 +1261,13 @@ object Similarity {
     val guarded = when(size(emb) >= dim, emb).otherwise(raise_error(
       concat(lit(s"randomProject: emb has fewer than dim=$dim elements: "),
         size(emb).cast("string"))))
-    transform(guarded,
+    // slice to EXACTLY dim before the fixed-point transform: the sign
+    // rows downstream are dim-wide and DotFoldLong returns null on a
+    // length mismatch, so an over-width embedding fed whole would
+    // silently yield null projections while the DuckDB oracle (fixed
+    // xf[i+1] reads, i < dim) computes real values — the slice makes
+    // both engines project the first dim components (ADVICE r12)
+    transform(slice(guarded, 1, dim),
       v => floor(v.cast("double") * lit(1000000.0)).cast("long"))
   }
 

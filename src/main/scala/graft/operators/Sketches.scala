@@ -8,53 +8,86 @@ import org.apache.spark.util.sketch.CountMinSketch
 
 /** Heavy hitters (frequent items) over an unbounded key stream — the
   * vocabulary/URL/domain frequency probe of corpus analysis, done the
-  * way it has to be done at 100 TB: a count-min sketch, which is a
-  * fixed-size (depth × width counters) mergeable summary. Spark's
-  * `count_min_sketch` aggregate builds one sketch PER PARTITION and
-  * merges them (no shuffle of the stream, constant memory), so the
-  * cost is one scan regardless of cardinality.
+  * way it has to be done at 100 TB: a count-min sketch — a fixed-size
+  * (depth × width counters) mergeable summary whose cost is one scan
+  * regardless of cardinality. The battery's sketch is the PORTABLE
+  * relation form (counters as (r, cell) rows from one map-side-combined
+  * groupBy); Spark's opaque `count_min_sketch` binary aggregate stays
+  * exercised in [[cmsPerSourceMerge]] (spec-pinned), but its hash
+  * functions are engine-private, which is exactly why the battery row
+  * uses the replayable form — see [[heavyHitters]].
   *
   * The returned frame pairs the exact top-N (TakeOrderedAndProject —
   * never a global sort) with the sketch's error contract per item,
-  * emitted as 0/1 flags the way the battery's other sketch query (q35)
-  * does: `cms_lower_ok` = estimate ≥ exact (CMS never undercounts —
-  * a hard guarantee), `cms_upper_ok` = estimate ≤ exact + eps·total
-  * (holds with probability ≥ confidence per item). The estimates
-  * themselves are engine-specific and stay out of the compared output.
+  * emitted as 0/1 flags: `cms_lower_ok` = estimate ≥ exact (CMS never
+  * undercounts — a hard guarantee), `cms_upper_ok` = estimate ≤
+  * exact + ⌈eps·total⌉ (holds with probability ≥ confidence per item).
   */
 object Sketches {
 
-  /** Top-`topN` values of `key` by exact count, each checked against a
-    * count-min estimate. Output: (token, rank, cnt, cms_lower_ok,
-    * cms_upper_ok), rank 1-based by (cnt desc, token asc).
+  /** Top-`topN` values of `key` by exact count, each next to its
+    * portable count-min estimate and both error-contract flags — ALL
+    * engine-computed on both sides (VERDICT r12 item 2: this was the
+    * last battery row asserting a probabilistic per-item guarantee as
+    * an oracle constant; it now carries the q217 replayed-sketch
+    * idiom, and the estimate itself joins the compared output).
     *
-    * Driver state is bounded: the sketch binary (depth·width counters)
-    * and the `topN` exact rows — never the key stream.
+    * Sketch: depth = ⌈ln(1/(1−confidence))⌉ rows × width = ⌈e/eps⌉
+    * cells; cell r of a token is md5Long("cms<r>:" ⧺ token) mod width
+    * ([[cmsCellOf]] — the ONE hash definition shared with q217 and
+    * the streaming counter maintenance). Counters come from one
+    * map-side-combined groupBy over the ×depth-fanned stream (bounded
+    * depth·width output), estimates from min-over-rows on topN·depth
+    * probe rows — fully distributed; the binary-collect form this
+    * replaces shipped sketch + topN rows to the driver.
+    *
+    * Flags (the q217 Markov contract): with width = ⌈e/eps⌉ a row's
+    * expected collision mass is ≤ N/width ≤ eps·N/e, so Markov gives
+    * P[row over eps·N] ≤ 1/e and P[min over] ≤ e^−depth ≤
+    * 1 − confidence — `cms_upper_ok` = est ≤ cnt + ⌈eps·N⌉ may
+    * legitimately read 0 and both engines agree on it. The eps bound
+    * rides integer ppm math (⌈N·eps_ppm/10⁶⌉, exact to ~9·10¹⁵
+    * stream rows).
+    *
+    * Output: (token, rank, cnt, est, cms_lower_ok, cms_upper_ok),
+    * rank 1-based by (cnt desc, token asc).
     */
   def heavyHitters(df: DataFrame, key: Column, topN: Int,
-      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+      eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
     require(topN >= 1, s"need topN>=1, got $topN")
     require(eps > 0 && eps < 1 && confidence > 0 && confidence < 1,
       s"need eps, confidence in (0,1); got eps=$eps confidence=$confidence")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val keyed = df.select(key.cast("string").as("token")).filter(col("token").isNotNull)
+    val depth = math.max(1, math.ceil(math.log(1.0 / (1.0 - confidence))).toInt)
+    val width = math.max(2, math.ceil(math.E / eps).toInt)
+    val epsPpm = math.round(eps * 1e6)
+    val keyed = df.select(key.cast("string").as("token"))
+      .filter(col("token").isNotNull)
+      .localCheckpoint() // one scan feeds total, top-N and counters
+    val total = keyed.agg(count(lit(1)).as("_n"))
+    val counters = cmsCells(keyed, col("token"), depth, width)
+      .groupBy(col("r"), col("cell")).agg(count(lit(1)).as("_c"))
     val top = keyed.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("token")).limit(topN).collect()
-    val bin = keyed
-      .agg(expr(s"count_min_sketch(token, ${eps}d, ${confidence}d, $seed)").as("s"))
-      .collect()(0).getAs[Array[Byte]](0)
-    val cms = CountMinSketch.readFrom(new ByteArrayInputStream(bin))
-    val bound = math.ceil(eps * cms.totalCount()).toLong
-    val rows = top.zipWithIndex.map { case (r, i) =>
-      val token = r.getString(0)
-      val cnt = r.getLong(1)
-      val est = cms.estimateCount(token)
-      (token, (i + 1).toLong, cnt,
-        if (est >= cnt) 1L else 0L,
-        if (est <= cnt + bound) 1L else 0L)
-    }.toSeq
-    rows.toDF("token", "rank", "cnt", "cms_lower_ok", "cms_upper_ok")
+      .orderBy(col("cnt").desc, col("token")).limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("token"))).cast("long"))
+    // topN·depth probe rows against the ≤ depth·width counter relation
+    val probes = top.select(col("token"), col("rank"), col("cnt"),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r).as("r"), cmsCellOf(col("token"), r, width)
+            .as("cell"))): _*)).as("_rc"))
+      .select(col("token"), col("rank"), col("cnt"),
+        col("_rc.r").as("r"), col("_rc.cell").as("cell"))
+    probes.join(counters, Seq("r", "cell"))
+      .groupBy(col("token"), col("rank"), col("cnt"))
+      .agg(min(col("_c")).as("est"))
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("rank"), col("cnt"), col("est"),
+        when(col("est") >= col("cnt"), 1L).otherwise(0L).as("cms_lower_ok"),
+        when(col("est") <= col("cnt") +
+          expr(s"(_n * $epsPpm + 999999) DIV 1000000"), 1L).otherwise(0L)
+          .as("cms_upper_ok"))
+      .orderBy(col("rank"))
   }
 
   /** Audience overlap between segments (event types): for every
@@ -769,9 +802,21 @@ object Sketches {
     * and the AMS single-sketch variance bound Var ≤ 2·F2(A)·F2(B) as
     * the engine-computed flag (est − exact)² ≤ 9·2·F2A·F2B, the q151
     * cross-multiplied integer discipline (conservative for a median
-    * of m, stated not hidden). X values are ≤ row counts and products
-    * ≤ n_a·n_b — BIGINT-safe to ~3·10⁹ rows per side; past that,
-    * lift the products to DECIMAL(38,0).
+    * of m, stated not hidden).
+    *
+    * Numeric envelope (ADVICE r12): every product — the X_A·X_B
+    * sketch products, the exact Σ c_a·c_b, both F2 sums, and the
+    * flag's (est−exact)² vs 18·F2A·F2B cross-multiply — runs in
+    * DECIMAL(38,0) (HUGEINT in the oracle), because BIGINT overflows
+    * the FLAG arithmetic at only ~10⁵ rows per side on one hot key
+    * (F2 ~ n², the flag multiplies two of them). The decimal form is
+    * exact while |est−exact| ≤ 10¹⁹ AND 18·F2A·F2B ≤ 10³⁸ — i.e.
+    * ~1.5·10⁹ rows/side worst-case (everything on one key) and
+    * ≥ 2·10¹⁸ rows/side with near-distinct keys; past that ANSI
+    * raises rather than silently wrapping. The REPORT columns stay
+    * BIGINT and saturate at ±Long.Max (readings there are 9.2·10¹⁸ —
+    * any real sizing decision fired long before); the flag compares
+    * the UNsaturated decimals.
     *
     * Output: 1 row (n_a, n_b, est_join, exact_join, f2_a, f2_b,
     * within_3sig).
@@ -791,24 +836,76 @@ object Sketches {
     def keyCounts(df: DataFrame, key: Column, cCol: String): DataFrame =
       df.select(key.cast("string").as("_k"))
         .groupBy(col("_k")).agg(count(lit(1)).as(cCol))
+    val dec = "decimal(38,0)"
+    def sat(c: Column): Column = // ±Long.Max saturation for report columns
+      greatest(least(c, lit(Long.MaxValue).cast(dec)),
+        lit(Long.MinValue).cast(dec)).cast("long")
     val sa = sketch(a, aKey, "n_a")
     val sb = sketch(b, bKey, "n_b")
     val ka = keyCounts(a, aKey, "_ca")
     val kb = keyCounts(b, bKey, "_cb")
     val exact = ka.join(kb, Seq("_k"))
-      .agg(coalesce(sum(col("_ca") * col("_cb")), lit(0L)).as("exact_join"))
-    val f2a = ka.agg(coalesce(sum(col("_ca") * col("_ca")), lit(0L)).as("f2_a"))
-    val f2b = kb.agg(coalesce(sum(col("_cb") * col("_cb")), lit(0L)).as("f2_b"))
+      .agg(coalesce(sum(col("_ca").cast(dec) * col("_cb")),
+        lit(0L).cast(dec)).as("_exact"))
+    val f2a = ka.agg(coalesce(sum(col("_ca").cast(dec) * col("_ca")),
+      lit(0L).cast(dec)).as("_f2a"))
+    val f2b = kb.agg(coalesce(sum(col("_cb").cast(dec) * col("_cb")),
+      lit(0L).cast(dec)).as("_f2b"))
     sa.crossJoin(sb).crossJoin(broadcast(exact))
       .crossJoin(broadcast(f2a)).crossJoin(broadcast(f2b))
       .withColumn("_prods", array_sort(zip_with(col("n_a_x"), col("n_b_x"),
-        (x, y) => x * y)))
-      .withColumn("est_join", element_at(col("_prods"), (m + 1) / 2))
+        (x, y) => x.cast(dec) * y)))
+      .withColumn("_est", element_at(col("_prods"), (m + 1) / 2))
       .withColumn("within_3sig",
-        when((col("est_join") - col("exact_join"))
-          * (col("est_join") - col("exact_join"))
-          <= lit(18L) * col("f2_a") * col("f2_b"), 1L).otherwise(0L))
-      .select(col("n_a"), col("n_b"), col("est_join"), col("exact_join"),
-        col("f2_a"), col("f2_b"), col("within_3sig"))
+        when((col("_est") - col("_exact")) * (col("_est") - col("_exact"))
+          <= lit(18L).cast(dec) * col("_f2a") * col("_f2b"), 1L).otherwise(0L))
+      .select(col("n_a"), col("n_b"), sat(col("_est")).as("est_join"),
+        sat(col("_exact")).as("exact_join"), sat(col("_f2a")).as("f2_a"),
+        sat(col("_f2b")).as("f2_b"), col("within_3sig"))
+  }
+
+  /** m-selection law for [[amsJoinSizeReport]] (VERDICT r12 item 5):
+    * m = ⌈2/ε²⌉ sketch rows for a target relative error ε, clamped to
+    * [1, 60] — the suggestSimhashParams discipline (derive the knob
+    * from a stated target in exact integer math, no fixed-parameter
+    * cliff). Derivation: a single AGMS product X_A·X_B has
+    * Var ≤ 2·F2(A)·F2(B) (Alon–Gibbons–Matias–Szegedy), so m combined
+    * rows put σ at √(2·F2A·F2B/m); in the Cauchy–Schwarz-tight regime
+    * J ≈ √(F2A·F2B) — the self-join-like worst case, the ONLY regime
+    * where relative error is data-independent — σ/J ≤ √(2/m), giving
+    * m = ⌈2/ε²⌉. The operator's estimator is the lower MEDIAN of the
+    * m products rather than their mean, so the same m doubles as the
+    * median's confidence dial (per-product 3σ failure ≤ 1/9 by
+    * Chebyshev; the median of m fails only if half the products do,
+    * probability ≤ exp(−2m·(1/2−1/9)²)). The 60 cap is structural —
+    * each row is one BIT of the single 60-bit md5Long per input row —
+    * so targets below √(2/60) ≈ 18.3% are unreachable within one
+    * hash; `capped` says so instead of silently under-delivering.
+    *
+    * ε arrives in ppm (integer, engine-portable): the default
+    * 250_000 ppm (25%) reproduces the operator's historical m = 32.
+    *
+    * Returns (m, capped).
+    */
+  def suggestAmsM(targetRelErrPpm: Long = 250000L): (Int, Boolean) = {
+    require(targetRelErrPpm >= 1 && targetRelErrPpm <= 1000000,
+      s"need targetRelErrPpm in [1, 1e6], got $targetRelErrPpm")
+    val p2 = targetRelErrPpm * targetRelErrPpm // <= 1e12, BIGINT-safe
+    val raw = (2000000000000L + p2 - 1) / p2   // ceil(2e12 / ppm^2)
+    (math.min(60L, math.max(1L, raw)).toInt, raw > 60L)
+  }
+
+  /** [[amsJoinSizeReport]] with m chosen by [[suggestAmsM]] from a
+    * target relative error, the law columns appended so the selection
+    * itself is hash-gated (the q229/kmvPairwiseJaccardAuto idiom).
+    * Output adds (target_ppm, m, m_capped) to the report row.
+    */
+  def amsJoinSizeReportAuto(a: DataFrame, aKey: Column, b: DataFrame,
+      bKey: Column, targetRelErrPpm: Long = 250000L): DataFrame = {
+    val (m, capped) = suggestAmsM(targetRelErrPpm)
+    amsJoinSizeReport(a, aKey, b, bKey, m)
+      .withColumn("target_ppm", lit(targetRelErrPpm))
+      .withColumn("m", lit(m.toLong))
+      .withColumn("m_capped", lit(if (capped) 1L else 0L))
   }
 }

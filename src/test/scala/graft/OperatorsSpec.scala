@@ -1235,15 +1235,16 @@ class OperatorsSpec extends SparkSpec {
       (1 to 5).map(i => s"cold$i")).toDF("token")
     val out = Sketches.heavyHitters(df, col("token"), topN = 3)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))
+        r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
       Seq(("hot", 1L, 50L), ("warm", 2L, 10L), ("cold1", 3L, 1L)))
-    assert(out.forall(t => t._4 == 1L), "CMS must never undercount")
-    assert(out.forall(t => t._5 == 1L), "eps bound must hold on a tiny stream")
-    // deterministic across runs (fixed seed)
+    assert(out.forall(t => t._4 >= t._3), "CMS must never undercount (est >= cnt)")
+    assert(out.forall(t => t._5 == 1L), "lower flag is est >= cnt, computed")
+    assert(out.forall(t => t._6 == 1L), "eps bound must hold on a tiny stream")
+    // deterministic across runs (md5Long cells — no RNG anywhere)
     val again = Sketches.heavyHitters(df, col("token"), topN = 3).collect()
     assert(out.toSeq == again.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-      r.getLong(3), r.getLong(4))).toSeq)
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq)
     intercept[IllegalArgumentException](Sketches.heavyHitters(df, col("token"), 0))
   }
 
