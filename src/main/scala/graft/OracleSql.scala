@@ -5410,7 +5410,47 @@ object OracleSql {
     // the m-selection law audit: same report at the m suggestAmsM
     // derives for a 50% target (m = ceil(2e12/ppm^2) = 8), the law
     // re-derived in SQL integer math so the route is hash-gated
-    "q241_ams_m_law" -> amsJoinSizeSql(8, lawPpm = Some(500000L))
+    "q241_ams_m_law" -> amsJoinSizeSql(8, lawPpm = Some(500000L)),
+
+    // stitch hot-seam cap law: q232's fragments and pair join, with
+    // maxKeyDf re-derived here as the same exact order statistic the
+    // Scala law walks — the df of the (budget+1)-th seam key in
+    // descending-df order (budget = floor(n_keys/1000)), floored at 4
+    // — and the per-side hot-key drops applied before pairing
+    "q242_stitch_df_law" ->
+      s"""WITH T AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          S AS (SELECT doc_id, tk, len(tk) AS n, len(tk) // 2 AS m
+                FROM T WHERE len(tk) >= 8),
+          F AS (SELECT doc_id * 2 AS fid, list_slice(tk, 1, m + 3) AS ft
+                 FROM S
+                UNION ALL
+                SELECT doc_id * 2 + 1, list_slice(tk, m + 1, n) FROM S),
+          HT AS (SELECT fid, list_slice(ft, 1, 3) AS head,
+                  list_slice(ft, len(ft) - 2, len(ft)) AS tail
+                 FROM F WHERE len(ft) >= 3),
+          K AS (SELECT 't' AS side, array_to_string(tail, ' ') AS key FROM HT
+                UNION ALL
+                SELECT 'h', array_to_string(head, ' ') FROM HT),
+          DF AS (SELECT side, key, CAST(count(*) AS BIGINT) AS df
+                 FROM K GROUP BY 1, 2),
+          HG AS (SELECT df, CAST(count(*) AS BIGINT) AS c FROM DF GROUP BY df),
+          NK AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_keys FROM HG),
+          CUM AS (SELECT df, sum(c) OVER (ORDER BY df DESC) AS cum FROM HG),
+          CAP AS (SELECT greatest(4, coalesce(
+                   (SELECT max(df) FROM CUM, NK
+                    WHERE cum >= n_keys * 1000 // 1000000 + 1), 1)) AS cap)
+          SELECT a.fid AS id_a, b.fid AS id_b,
+            array_to_string(a.tail, ' ') AS overlap,
+            nk.n_keys,
+            CAST(nk.n_keys * 1000 // 1000000 AS BIGINT) AS hot_key_budget,
+            CAST(cap.cap AS BIGINT) AS max_key_df
+          FROM HT a JOIN HT b ON a.tail = b.head AND a.fid <> b.fid,
+            NK nk, CAP cap
+          WHERE NOT EXISTS (SELECT 1 FROM DF d WHERE d.side = 't'
+                  AND d.key = array_to_string(a.tail, ' ') AND d.df > cap.cap)
+            AND NOT EXISTS (SELECT 1 FROM DF d WHERE d.side = 'h'
+                  AND d.key = array_to_string(b.head, ' ') AND d.df > cap.cap)
+          ORDER BY id_a, id_b"""
     )
 
   /** q240/q241 oracle body — X[j] = n − 2·Σ bit_j(md5Long(key)),

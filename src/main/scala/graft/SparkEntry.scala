@@ -2207,6 +2207,22 @@ object SparkEntry {
         stitchFrags(s, dir), "fid", "text", 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Stitch hot-seam cap law (q242): q232's detector routed through
+    * boundaryOverlapPairsAuto — maxKeyDf derived from the seam-key df
+    * histogram (at most 0.1% of keys droppable, floor 4) instead of
+    * caller-supplied (VERDICT r12 item 3), the law columns appended so
+    * the selection is hash-gated. The oracle re-derives the histogram,
+    * the order-statistic cap, and the per-side hot-key drops in SQL.
+    * At battery data organic seam dfs sit at 1–2, so the law caps
+    * nothing and the pair set equals q232's; the gen legs in
+    * BASELINE.md measure the capped templated-seam regime.
+    * See Dedup.suggestStitchMaxKeyDf.
+    */
+  private def qStitchDfLaw(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.boundaryOverlapPairsAuto(
+        stitchFrags(s, dir), "fid", "text", 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Stitch detection on ingest (q239): q232's seam detector as the
     * fifth dedup-on-ingest member — the fragment corpus arrives as two
     * batches (first halves, then second halves); each ingest checks
@@ -4021,7 +4037,8 @@ object SparkEntry {
     "q238_big_orders" -> (qBigOrders _),
     "q239_stitch_ingest" -> (qStitchIngest _),
     "q240_ams_join_size" -> (qAmsJoinSize _),
-    "q241_ams_m_law" -> (qAmsMLaw _))
+    "q241_ams_m_law" -> (qAmsMLaw _),
+    "q242_stitch_df_law" -> (qStitchDfLaw _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1355,12 +1355,7 @@ object Dedup {
       w: Int, maxKeyDf: Option[Int] = None): DataFrame = {
     require(w >= 1, s"need w >= 1, got $w")
     maxKeyDf.foreach(c => require(c >= 1, s"need maxKeyDf >= 1, got $c"))
-    val tk = tokens(lower(col(textCol)))
-    val base = docs
-      .select(col(idCol).as("id"), tk.as("_tk"))
-      .filter(size(col("_tk")) >= w)
-      .select(col("id"), slice(col("_tk"), 1, w).as("_head"),
-        slice(col("_tk"), -w, w).as("_tail"))
+    val base = seamBase(docs, idCol, textCol, w)
     def side(rel: DataFrame, keyCol: String): DataFrame = maxKeyDf match {
       case None => rel
       case Some(cap) =>
@@ -1379,6 +1374,104 @@ object Dedup {
         col("_seam_a") === col("_seam_b"))
       .select(col("id_a"), col("id_b"),
         array_join(col("_seam_a"), " ").as("overlap"))
+  }
+
+  /** (id, _head, _tail) seam windows — the shared prep of
+    * [[boundaryOverlapPairs]] and [[suggestStitchMaxKeyDf]], factored
+    * so the law sizes the EXACT key population the detector joins on.
+    */
+  private def seamBase(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val tk = tokens(lower(col(textCol)))
+    docs.select(col(idCol).as("id"), tk.as("_tk"))
+      .filter(size(col("_tk")) >= w)
+      .select(col("id"), slice(col("_tk"), 1, w).as("_head"),
+        slice(col("_tk"), -w, w).as("_tail"))
+  }
+
+  /** The [[suggestStitchMaxKeyDf]] law's audit triple: the chosen cap,
+    * the seam-key population it was derived from, and the hot-key
+    * budget (how many keys the cap is allowed to drop).
+    */
+  final case class StitchDfLaw(cap: Int, nKeys: Long, hotKeyBudget: Long)
+
+  /** Cap-selection law for [[boundaryOverlapPairs]]' `maxKeyDf` valve
+    * (VERDICT r12 item 3 — the one scale valve that was still
+    * caller-supplied). The valve exists because templated seams
+    * (shared headers/footers/boilerplate) make candidate pairs grow
+    * super-linearly: the gen-sf10 legs measured q232/q236 at
+    * 6.3×/5.4× per 10× data, all of it seam-df growth (BASELINE.md
+    * round-12 session 2). Capping at c linearizes it outright: keys
+    * above the cap are dropped per side, so every surviving key has
+    * tail-df ≤ c, and Σ_k tail-df_k·head-df_k ≤ c·Σ_k head-df_k ≤ c·n
+    * — candidates are ≤ cap·corpus regardless of the df distribution.
+    *
+    * The law picks the cap from the seam-key df distribution rather
+    * than from a fixed constant: cap = the df of the ⌈N·hotKeyPpm/10⁶⌉
+    * + 1-th key in descending-df order (exact integer order statistic
+    * over the df HISTOGRAM — bounded at distinct df values, never the
+    * key stream), floored at `floorCap`. Properties both engines
+    * replay: at most hotKeyPpm of keys (default 0.1%) are ever
+    * dropped, so recall loss is bounded a priori; corpora under
+    * 1/hotKeyPpm keys get cap = max df and drop NOTHING (a small
+    * corpus needs no valve); a heavy boilerplate head (the measured
+    * regime — few keys, huge df) lands just above the organic df mass
+    * and gets cut. True stitch seams have df ≈ 1 and survive any
+    * floorCap ≥ 1; legitimate duplicate fragments survive up to
+    * floorCap-way duplication even when the corpus is tiny.
+    *
+    * Scale shape: one groupBy to key dfs, one groupBy to the df
+    * histogram, one driver walk over the histogram (distinct df
+    * values — KBs at any corpus size).
+    */
+  def suggestStitchMaxKeyDf(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, hotKeyPpm: Long = 1000L, floorCap: Int = 4): StitchDfLaw = {
+    require(w >= 1, s"need w >= 1, got $w")
+    require(hotKeyPpm >= 1 && hotKeyPpm < 1000000L,
+      s"need hotKeyPpm in [1, 1e6), got $hotKeyPpm")
+    require(floorCap >= 1, s"need floorCap >= 1, got $floorCap")
+    val base = seamBase(docs, idCol, textCol, w)
+    val keys = base.select(lit("t").as("_s"),
+        md5Long(array_join(col("_tail"), " ")).as("_k"))
+      .unionAll(base.select(lit("h").as("_s"),
+        md5Long(array_join(col("_head"), " ")).as("_k")))
+    val hist = keys.groupBy(col("_s"), col("_k")).agg(count(lit(1)).as("_df"))
+      .groupBy(col("_df")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val nKeys = hist.map(_._2).sum
+    val budget = nKeys * hotKeyPpm / 1000000L
+    // cap = max df whose descending cumulative key count reaches
+    // budget+1 — i.e. the (budget+1)-th key's df, so keys STRICTLY
+    // above the cap number at most `budget`
+    var cum = 0L
+    var capRaw = 1L
+    val it = hist.iterator
+    var found = false
+    while (it.hasNext && !found) {
+      val (df, c) = it.next()
+      cum += c
+      if (cum >= budget + 1) { capRaw = df; found = true }
+    }
+    StitchDfLaw(math.max(floorCap.toLong, capRaw)
+      .min(Int.MaxValue.toLong).toInt, nKeys, budget)
+  }
+
+  /** [[boundaryOverlapPairs]] with the valve set by
+    * [[suggestStitchMaxKeyDf]] — the kmvPairwiseJaccardAuto pattern:
+    * callers get the scale-safe plan by default, the battery keeps
+    * the uncapped q232 shape as the pinned baseline. The law columns
+    * ride the output so the selection is hash-gated.
+    * Output: (id_a, id_b, overlap, n_keys, hot_key_budget, max_key_df).
+    */
+  def boundaryOverlapPairsAuto(docs: DataFrame, idCol: String,
+      textCol: String, w: Int, hotKeyPpm: Long = 1000L,
+      floorCap: Int = 4): DataFrame = {
+    val law = suggestStitchMaxKeyDf(docs, idCol, textCol, w, hotKeyPpm,
+      floorCap)
+    boundaryOverlapPairs(docs, idCol, textCol, w, Some(law.cap))
+      .withColumn("n_keys", lit(law.nKeys))
+      .withColumn("hot_key_budget", lit(law.hotKeyBudget))
+      .withColumn("max_key_df", lit(law.cap.toLong))
   }
 
   /** Reassemble stitched fragments — the CUT step after

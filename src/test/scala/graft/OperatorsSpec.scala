@@ -3092,6 +3092,41 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("suggestStitchMaxKeyDf: order-statistic cap, small-corpus no-drop, " +
+    "hot boilerplate cut (the gen-sf10 q232/q236 6.3x/5.4x templated-seam " +
+    "growth this law exists to linearize)") {
+    // small corpus: budget = floor(nKeys/1000) = 0 -> cap = max df ->
+    // NOTHING dropped, even though the footer seam is df=5 hot
+    val rows = (1L to 5L).map(i => (i, s"unique$i words copyright footer")) ++
+      Seq((10L, "copyright footer continues onward"))
+    val df = rows.toDF("doc_id", "text")
+    // 2 distinct tail keys (footer df=5, onward df=1) + 6 head keys
+    val law = Dedup.suggestStitchMaxKeyDf(df, "doc_id", "text", w = 2)
+    assert(law.nKeys == 8L && law.hotKeyBudget == 0L)
+    assert(law.cap == 5) // max df (the hot footer tail-key), not the floor
+    val auto = Dedup.boundaryOverlapPairsAuto(df, "doc_id", "text", w = 2)
+    assert(auto.count() == 5L) // == uncapped pairs: small corpora keep recall
+    assert(auto.select("max_key_df").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(5L))
+    // large key population + one hot seam: budget > 0, the organic df
+    // mass sits at 1, so the cap lands at the floor and the hot key
+    // (df 50 > 4) is dropped -- candidates bounded by cap*n
+    val organic = (1L to 2000L).map(i =>
+      (i, s"organ$i one two three four five tail$i"))
+    val hot = (3000L to 3049L).map(i => (i, s"start$i middle shared footer seam"))
+    val big = (organic ++ hot).toDF("doc_id", "text")
+    // 2001 tail keys (2000 organic + ONE shared hot) + 2050 head keys
+    val law2 = Dedup.suggestStitchMaxKeyDf(big, "doc_id", "text", w = 2)
+    assert(law2.nKeys == 4051L && law2.hotKeyBudget == 4L)
+    assert(law2.cap == 4) // floorCap: p99.9 of keys has df 1
+    val auto2 = Dedup.boundaryOverlapPairsAuto(big, "doc_id", "text", w = 2)
+    assert(auto2.filter(col("overlap") === "footer seam").count() == 0L)
+    intercept[IllegalArgumentException](
+      Dedup.suggestStitchMaxKeyDf(df, "doc_id", "text", w = 0))
+    intercept[IllegalArgumentException](
+      Dedup.suggestStitchMaxKeyDf(df, "doc_id", "text", w = 2, hotKeyPpm = 0L))
+  }
+
   test("stitchReassemble: unambiguous pairs merge seam-once; fan-in is left alone") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),   // 1 → 2 unambiguous
