@@ -5412,6 +5412,11 @@ object OracleSql {
     // re-derived in SQL integer math so the route is hash-gated
     "q241_ams_m_law" -> amsJoinSizeSql(8, lawPpm = Some(500000L)),
 
+    // the estimate-only sizing call: the q240 sketch legs alone (one
+    // aggregate pass per side), no exact/F2 audit CTEs
+    "q243_ams_estimate" -> amsJoinSizeSql(32, lawPpm = None,
+      estimateOnly = true),
+
     // stitch hot-seam cap law: q232's fragments and pair join, with
     // maxKeyDf re-derived here as the same exact order statistic the
     // Scala law walks — the df of the (budget+1)-th seam key in
@@ -5460,11 +5465,26 @@ object OracleSql {
     * the same way. `lawPpm` appends the suggestAmsM law columns with
     * m re-derived from the target in SQL.
     */
-  private def amsJoinSizeSql(m: Int, lawPpm: Option[Long]): String = {
+  private def amsJoinSizeSql(m: Int, lawPpm: Option[Long],
+      estimateOnly: Boolean = false): String = {
     val xs = (0 until m).map(j =>
       s"""(CAST(count(*) AS BIGINT)
           - 2 * CAST(sum((h >> $j) & 1) AS BIGINT))""")
       .mkString("[", ", ", "]")
+    if (estimateOnly)
+      return s"""WITH H AS (SELECT ${md5long("CAST(user_id AS VARCHAR)")} AS h
+                FROM events),
+          SA AS (SELECT CAST(count(*) AS BIGINT) AS n_a, $xs AS xa FROM H),
+          SB AS (SELECT CAST(count(*) AS BIGINT) AS n_b, $xs AS xb FROM H),
+          E AS (SELECT sa.n_a, sb.n_b,
+                 list_sort(list_transform(range($m),
+                   i -> sa.xa[i+1]::HUGEINT * sb.xb[i+1]))[${(m + 1) / 2}]
+                   AS est_join
+                FROM SA sa, SB sb)
+          SELECT e.n_a, e.n_b,
+            CAST(greatest(least(e.est_join, 9223372036854775807::HUGEINT),
+              (-9223372036854775807 - 1)::HUGEINT) AS BIGINT) AS est_join
+          FROM E e"""
     val lawCols = lawPpm.map { ppm =>
       s""", CAST($ppm AS BIGINT) AS target_ppm,
          CAST(least(60, greatest(1,

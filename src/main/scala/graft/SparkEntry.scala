@@ -2186,7 +2186,7 @@ object SparkEntry {
     * two fragments overlapping by exactly 3 tokens. Shared by the
     * detection row and the reassembly row so the two cannot drift.
     */
-  private def stitchFrags(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def stitchFrags(s: SparkSession, dir: String): DataFrame = {
     val w = 3
     val staged = t(s, dir, "documents")
       .select(col("doc_id"), tokens(lower(col("text"))).as("_tk"))
@@ -2305,6 +2305,21 @@ object SparkEntry {
     val ev = t(s, dir, "events").select(col("user_id"))
     graft.operators.Sketches.amsJoinSizeReportAuto(
       ev, col("user_id"), ev, col("user_id"), targetRelErrPpm = 500000L)
+  }
+
+  /** AMS estimate-only path (q243): the production sizing call —
+    * (n_a, n_b, est_join) from ONE aggregate pass per side, no
+    * key-level state. This is the call a planner makes to size a join
+    * BEFORE running it; the q240 report is its validation harness
+    * (exact + F2 audit legs, bounded by distinct keys). Same events
+    * self-join and m as q240, so est_join pins to the report's value.
+    * FLAT in distinct keys by construction — slope legs in BASELINE
+    * round-13.
+    */
+  private def qAmsEstimate(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"))
+    graft.operators.Sketches.amsJoinEstimate(
+      ev, col("user_id"), ev, col("user_id"))
   }
 
   /** TPC-H Q18 shape (q238): large-volume orders — the groupBy-HAVING
@@ -4038,7 +4053,8 @@ object SparkEntry {
     "q239_stitch_ingest" -> (qStitchIngest _),
     "q240_ams_join_size" -> (qAmsJoinSize _),
     "q241_ams_m_law" -> (qAmsMLaw _),
-    "q242_stitch_df_law" -> (qStitchDfLaw _))
+    "q242_stitch_df_law" -> (qStitchDfLaw _),
+    "q243_ams_estimate" -> (qAmsEstimate _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -823,6 +823,59 @@ object Sketches {
     */
   def amsJoinSizeReport(a: DataFrame, aKey: Column, b: DataFrame,
       bKey: Column, m: Int = 32): DataFrame = {
+    def keyCounts(df: DataFrame, key: Column, cCol: String): DataFrame =
+      df.select(key.cast("string").as("_k"))
+        .groupBy(col("_k")).agg(count(lit(1)).as(cCol))
+    val dec = AmsDec
+    val ka = keyCounts(a, aKey, "_ca")
+    val kb = keyCounts(b, bKey, "_cb")
+    val exact = ka.join(kb, Seq("_k"))
+      .agg(coalesce(sum(col("_ca").cast(dec) * col("_cb")),
+        lit(0L).cast(dec)).as("_exact"))
+    val f2a = ka.agg(coalesce(sum(col("_ca").cast(dec) * col("_ca")),
+      lit(0L).cast(dec)).as("_f2a"))
+    val f2b = kb.agg(coalesce(sum(col("_cb").cast(dec) * col("_cb")),
+      lit(0L).cast(dec)).as("_f2b"))
+    amsEstCore(a, aKey, b, bKey, m)
+      .crossJoin(broadcast(exact))
+      .crossJoin(broadcast(f2a)).crossJoin(broadcast(f2b))
+      .withColumn("within_3sig",
+        when((col("_est") - col("_exact")) * (col("_est") - col("_exact"))
+          <= lit(18L).cast(dec) * col("_f2a") * col("_f2b"), 1L).otherwise(0L))
+      .select(col("n_a"), col("n_b"), amsSat(col("_est")).as("est_join"),
+        amsSat(col("_exact")).as("exact_join"), amsSat(col("_f2a")).as("f2_a"),
+        amsSat(col("_f2b")).as("f2_b"), col("within_3sig"))
+  }
+
+  /** The production SIZING call — (n_a, n_b, est_join) with nothing
+    * else: one aggregate pass per side (m bit-sums over a single
+    * md5Long per row — no per-key state, no shuffle beyond the two
+    * partial-aggregate reductions), so its cost is FLAT in distinct
+    * keys and linear in the scan. [[amsJoinSizeReport]] is this plus
+    * the exact/F2 audit columns (bounded by distinct keys) — run the
+    * report when VALIDATING the estimator, this when sizing a join
+    * before running it.
+    */
+  def amsJoinEstimate(a: DataFrame, aKey: Column, b: DataFrame,
+      bKey: Column, m: Int = 32): DataFrame =
+    amsEstCore(a, aKey, b, bKey, m)
+      .select(col("n_a"), col("n_b"), amsSat(col("_est")).as("est_join"))
+
+  private val AmsDec = "decimal(38,0)"
+
+  /** ±Long.Max saturation for BIGINT report columns computed at
+    * DECIMAL(38,0) internally (the q240 overflow discipline).
+    */
+  private def amsSat(c: Column): Column =
+    greatest(least(c, lit(Long.MaxValue).cast(AmsDec)),
+      lit(Long.MinValue).cast(AmsDec)).cast("long")
+
+  /** Shared estimate core: per-side sketches (n, X[0..m)) and the
+    * lower-median product `_est` (DECIMAL(38,0), unsaturated — the
+    * report's flag compares it before saturation).
+    */
+  private def amsEstCore(a: DataFrame, aKey: Column, b: DataFrame,
+      bKey: Column, m: Int): DataFrame = {
     require(m >= 1 && m <= 60, s"need 1 <= m <= 60 (md5Long bits), got $m")
     import graft.functions.md5Long
     def sketch(df: DataFrame, key: Column, nCol: String): DataFrame = {
@@ -833,35 +886,10 @@ object Sketches {
         .select(col(nCol), array((0 until m).map(j =>
           col(nCol) - lit(2L) * col(s"_o$j")): _*).as(s"${nCol}_x"))
     }
-    def keyCounts(df: DataFrame, key: Column, cCol: String): DataFrame =
-      df.select(key.cast("string").as("_k"))
-        .groupBy(col("_k")).agg(count(lit(1)).as(cCol))
-    val dec = "decimal(38,0)"
-    def sat(c: Column): Column = // ±Long.Max saturation for report columns
-      greatest(least(c, lit(Long.MaxValue).cast(dec)),
-        lit(Long.MinValue).cast(dec)).cast("long")
-    val sa = sketch(a, aKey, "n_a")
-    val sb = sketch(b, bKey, "n_b")
-    val ka = keyCounts(a, aKey, "_ca")
-    val kb = keyCounts(b, bKey, "_cb")
-    val exact = ka.join(kb, Seq("_k"))
-      .agg(coalesce(sum(col("_ca").cast(dec) * col("_cb")),
-        lit(0L).cast(dec)).as("_exact"))
-    val f2a = ka.agg(coalesce(sum(col("_ca").cast(dec) * col("_ca")),
-      lit(0L).cast(dec)).as("_f2a"))
-    val f2b = kb.agg(coalesce(sum(col("_cb").cast(dec) * col("_cb")),
-      lit(0L).cast(dec)).as("_f2b"))
-    sa.crossJoin(sb).crossJoin(broadcast(exact))
-      .crossJoin(broadcast(f2a)).crossJoin(broadcast(f2b))
+    sketch(a, aKey, "n_a").crossJoin(sketch(b, bKey, "n_b"))
       .withColumn("_prods", array_sort(zip_with(col("n_a_x"), col("n_b_x"),
-        (x, y) => x.cast(dec) * y)))
+        (x, y) => x.cast(AmsDec) * y)))
       .withColumn("_est", element_at(col("_prods"), (m + 1) / 2))
-      .withColumn("within_3sig",
-        when((col("_est") - col("_exact")) * (col("_est") - col("_exact"))
-          <= lit(18L).cast(dec) * col("_f2a") * col("_f2b"), 1L).otherwise(0L))
-      .select(col("n_a"), col("n_b"), sat(col("_est")).as("est_join"),
-        sat(col("_exact")).as("exact_join"), sat(col("_f2a")).as("f2_a"),
-        sat(col("_f2b")).as("f2_b"), col("within_3sig"))
   }
 
   /** m-selection law for [[amsJoinSizeReport]] (VERDICT r12 item 5):

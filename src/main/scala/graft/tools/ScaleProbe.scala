@@ -11,7 +11,7 @@ object ScaleProbe {
   private val Known = Set("simhash8", "simhash15", "simhashAuto",
     "neardup8", "neardup12", "brute", "curation",
     "semantic8", "semanticAuto", "semantic2", "semantic3", "jaccard400",
-    "videodup")
+    "videodup", "ams", "stitchgate")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -240,6 +240,40 @@ object ScaleProbe {
     if (probes("brute")) timed("ann_brute")(
       graft.operators.Similarity.bruteForceTopK(embs,
         embs.filter(col("id") % 200 === 0), k = 3).count())
+    if (probes("ams")) {
+      // q240/q243 slope decomposition: the estimate-only sizing call
+      // (one agg pass per side, FLAT in distinct keys) vs the full
+      // report (adds the exact + F2 audit, bounded by distinct keys)
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"))
+      timed("ams_estimate_only")(
+        graft.operators.Sketches.amsJoinEstimate(ev, col("user_id"),
+          ev, col("user_id")).count())
+      timed("ams_full_report")(
+        graft.operators.Sketches.amsJoinSizeReport(ev, col("user_id"),
+          ev, col("user_id")).count())
+    }
+    if (probes("stitchgate")) {
+      // q239 maintenance-vs-history slope (VERDICT r12 item 6): seed
+      // the boundary index with the WHOLE fragment corpus except a
+      // fixed-size batch (untimed), then time detecting that fixed
+      // batch against it — run at gen-sf0.1/1/10, history grows 100×
+      // while the timed batch stays ~2k fragments
+      val frags = graft.SparkEntry.stitchFrags(spark, dir)
+        .localCheckpoint(true)
+      val batch = frags.filter(col("fid") < 2000L).localCheckpoint(true)
+      val hist = frags.filter(col("fid") >= 2000L)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stitchgate").toString
+      val vt = new graft.operators.VersionedTable(spark, root, "fid",
+        "batch_no", numBuckets = 8)
+      val nh = hist.count()
+      graft.operators.IncrementalDedup.detectStitches(
+        vt, hist, "fid", "text", 3, 1L).count() // seed ingest, untimed
+      timed(s"stitchgate_hist${nh}_batch${batch.count()}")(
+        graft.operators.IncrementalDedup.detectStitches(
+          vt, batch, "fid", "text", 3, 2L).count())
+    }
     if (probes("curation")) {
       // stage-by-stage decomposition of Curation.curate's cost
       import graft.operators.{Dedup, TextAnalysis}
