@@ -546,6 +546,23 @@ class PlanQualitySpec extends SparkSpec {
       s"tail-key = head-key must plan as an equi-join:\n$p")
   }
 
+  test("AMS estimate path: no join machinery at all beyond the 1-row cross") {
+    val p = plan("q243_ams_estimate")
+    // the sizing call is two partial-aggregate reductions + a 1-row
+    // cross; any SortMergeJoin or per-key exchange means the audit
+    // legs leaked into the production path
+    assert(!p.contains("SortMergeJoin"),
+      s"estimate-only path must carry no key-level join:\n$p")
+    assert(!p.contains("HashAggregate keys=[_k"),
+      s"estimate-only path must carry no per-key aggregate:\n$p")
+  }
+
+  test("stitch df-law row: capped pairing stays a hash equi-join") {
+    val p = plan("q242_stitch_df_law")
+    assert(!p.contains("CartesianProduct"),
+      s"law-capped seam join must remain an equi-join:\n$p")
+  }
+
   test("Q18 funnel: top-k is TakeOrdered; scans prune to used columns") {
     val p = plan("q238_big_orders")
     assert(p.contains("TakeOrderedAndProject"),
