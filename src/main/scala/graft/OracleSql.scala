@@ -5387,6 +5387,24 @@ object OracleSql {
     // q232's pair set with the two-batch ingest attribution: batch 1 =
     // even fids (first halves), batch 2 = odd fids; a pair is found at
     // the ingest where its LATER side arrived
+    // TPC-H Q3 shape: selective-filter three-way join funnel, revenue
+    // in floor-cents (identical IEEE double product order on both
+    // engines before the floor), top-10 with full tiebreak
+    "q244_shipping_priority" ->
+      """SELECT l.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+             AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1995-03-15'
+           AND l.l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue_c DESC, o_orderdate, l.l_orderkey LIMIT 10""",
+
     "q239_stitch_ingest" ->
       s"""WITH T AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
           S AS (SELECT doc_id, tk, len(tk) AS n, len(tk) // 2 AS m

@@ -2322,6 +2322,37 @@ object SparkEntry {
       ev, col("user_id"), ev, col("user_id"))
   }
 
+  /** TPC-H Q3 shape (q244): shipping priority — the selective-filter
+    * three-way join funnel that complements q238's HAVING funnel: both
+    * date predicates push to the parquet scans (plan-pinned), the
+    * market-segment filter cuts customer ~5× before its join, revenue
+    * aggregates in floor-cents (one wide per-(order, date, priority)
+    * exchange), and the top-10 is TakeOrdered, never a global sort.
+    * At scale the joins shuffle on their keys and AQE broadcasts
+    * whichever funnel side collapses below the threshold.
+    */
+  private def qShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1995-03-15").cast("timestamp")
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100.0)).cast("long").as("_rc"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("_rc")).as("revenue_c"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
   /** TPC-H Q18 shape (q238): large-volume orders — the groupBy-HAVING
     * funnel: lineitem aggregates ONCE to per-order floor-cent
     * quantities, the > 250 HAVING cut keeps ~1% of orders, and only
@@ -4054,7 +4085,8 @@ object SparkEntry {
     "q240_ams_join_size" -> (qAmsJoinSize _),
     "q241_ams_m_law" -> (qAmsMLaw _),
     "q242_stitch_df_law" -> (qStitchDfLaw _),
-    "q243_ams_estimate" -> (qAmsEstimate _))
+    "q243_ams_estimate" -> (qAmsEstimate _),
+    "q244_shipping_priority" -> (qShippingPriority _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

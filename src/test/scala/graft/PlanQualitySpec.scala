@@ -563,6 +563,17 @@ class PlanQualitySpec extends SparkSpec {
       s"law-capped seam join must remain an equi-join:\n$p")
   }
 
+  test("Q3 funnel: date filters push to both scans; top-k is TakeOrdered") {
+    val p = plan("q244_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must never be a global sort:\n$p")
+    assert(p.contains("LessThan(o_orderdate") &&
+      p.contains("GreaterThan(l_shipdate"),
+      s"both date cuts must reach PushedFilters:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must reach the customer scan:\n$p")
+  }
+
   test("Q18 funnel: top-k is TakeOrdered; scans prune to used columns") {
     val p = plan("q238_big_orders")
     assert(p.contains("TakeOrderedAndProject"),
