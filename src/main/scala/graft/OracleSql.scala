@@ -5387,6 +5387,46 @@ object OracleSql {
     // q232's pair set with the two-batch ingest attribution: batch 1 =
     // even fids (first halves), batch 2 = odd fids; a pair is found at
     // the ingest where its LATER side arrived
+    // Bloom semi-join pruning audit: the identical md5Long bit
+    // positions replayed here (m re-derived from count(*) via the
+    // suggestBloomBits integer law), pass counts weighted by fact-key
+    // multiplicity, false positives counted exactly, the no-false-
+    // negative hard guarantee COUNTED not asserted
+    "q245_bloom_prune" -> {
+      val mSub = "(SELECT m FROM M)"
+      s"""WITH D AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                WHERE o_orderpriority = '1-URGENT'),
+          N AS (SELECT CAST(count(*) AS BIGINT) AS n FROM D),
+          M AS (SELECT CAST(n * 5 * 14427 // 10000 + 1 AS BIGINT) AS m FROM N),
+          DP AS (SELECT DISTINCT ${md5long(
+            "'bf' || CAST(t.i AS VARCHAR) || ':' || CAST(d.k AS VARCHAR)")}
+                 % $mSub AS pos
+                FROM D d, range(5) t(i)),
+          FK AS (SELECT l_orderkey AS fk, CAST(count(*) AS BIGINT) AS c
+                 FROM lineitem GROUP BY 1),
+          HIT AS (SELECT f.fk, f.c, CAST(count(dp.pos) AS BIGINT) AS h
+                  FROM FK f CROSS JOIN range(5) t(i)
+                  LEFT JOIN DP dp ON dp.pos = ${md5long(
+                    "'bf' || CAST(t.i AS VARCHAR) || ':' || CAST(f.fk AS VARCHAR)")}
+                    % $mSub
+                  GROUP BY 1, 2),
+          AG AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_fact,
+                  CAST(coalesce(sum(CASE WHEN h = 5 THEN c ELSE 0 END), 0)
+                    AS BIGINT) AS bloom_pass
+                 FROM HIT),
+          EXA AS (SELECT CAST(coalesce(sum(f.c), 0) AS BIGINT) AS exact_pass,
+                   CAST(coalesce(sum(CASE WHEN hi.h = 5 THEN 0 ELSE f.c END),
+                     0) AS BIGINT) AS dropped
+                  FROM FK f JOIN D d ON d.k = f.fk
+                  JOIN HIT hi ON hi.fk = f.fk)
+          SELECT ag.n_fact, n.n AS n_dim_keys, $mSub AS m_bits,
+            CAST(5 AS BIGINT) AS k, ag.bloom_pass, exa.exact_pass,
+            ag.bloom_pass - exa.exact_pass AS false_pos,
+            CAST(CASE WHEN exa.dropped = 0 THEN 1 ELSE 0 END AS BIGINT)
+              AS no_false_neg
+          FROM AG ag, N n, EXA exa"""
+    },
+
     // TPC-H Q3 shape: selective-filter three-way join funnel, revenue
     // in floor-cents (identical IEEE double product order on both
     // engines before the floor), top-10 with full tiebreak

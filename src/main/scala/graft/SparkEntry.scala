@@ -2322,6 +2322,20 @@ object SparkEntry {
       ev, col("user_id"), ev, col("user_id"))
   }
 
+  /** Bloom semi-join pruning audit (q245): the runtime-filter
+    * technique — urgent orders' keys hashed into a portable m-bit
+    * Bloom (m from suggestBloomBits, k = 5 md5Long rows), lineitem
+    * pruned by a pure map-side literal-array test (the fact side never
+    * shuffles or joins — plan-pinned), with the exactly-counted
+    * false-positive and no-false-negative audit both engines replay
+    * bit-identically. See Sketches.bloomPrune/bloomPruneAudit.
+    */
+  private def qBloomPrune(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.bloomPruneAudit(
+      t(s, dir, "lineitem").select(col("l_orderkey")), col("l_orderkey"),
+      t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")), col("o_orderkey"))
+
   /** TPC-H Q3 shape (q244): shipping priority — the selective-filter
     * three-way join funnel that complements q238's HAVING funnel: both
     * date predicates push to the parquet scans (plan-pinned), the
@@ -4086,7 +4100,8 @@ object SparkEntry {
     "q241_ams_m_law" -> (qAmsMLaw _),
     "q242_stitch_df_law" -> (qStitchDfLaw _),
     "q243_ams_estimate" -> (qAmsEstimate _),
-    "q244_shipping_priority" -> (qShippingPriority _))
+    "q244_shipping_priority" -> (qShippingPriority _),
+    "q245_bloom_prune" -> (qBloomPrune _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -892,6 +892,115 @@ object Sketches {
       .withColumn("_est", element_at(col("_prods"), (m + 1) / 2))
   }
 
+  /** Bloom-bits law: m = ⌈k·n/ln 2⌉ bits for n keys and k hash rows —
+    * the optimum where a k-hash Bloom filter's false-positive rate is
+    * ≈ 2^−k (each bit set with probability ½). Exact integer math
+    * (1/ln 2 as 14427/10⁴, rounded UP so the filter is never
+    * under-provisioned); both engines re-derive it from count(*).
+    */
+  def suggestBloomBits(nKeys: Long, kHashes: Int): Long = {
+    require(nKeys >= 1 && kHashes >= 1 && kHashes <= 16,
+      s"need nKeys >= 1, kHashes in [1,16]: $nKeys, $kHashes")
+    nKeys * kHashes * 14427L / 10000L + 1L
+  }
+
+  /** PORTABLE Bloom semi-join — the runtime-filter technique that
+    * makes selective joins cheap at 100 TB: hash the (filtered) dim
+    * side's keys into an m-bit array with k md5Long rows
+    * (bit i of key = md5Long("bf<i>:" ⧺ key) mod m — the cmsCellOf
+    * discipline: ONE hash definition both engines replay), broadcast
+    * the words as a single literal, and prune the fact scan with a
+    * pure MAP-SIDE expression — the fact side never shuffles, never
+    * joins, never moves; only survivors reach the real join
+    * downstream. This is what Spark's own InjectRuntimeFilter does
+    * with its opaque BloomFilterAggregate, rebuilt portable so the
+    * DuckDB oracle replays the identical bits and the pruned set
+    * hash-gates exactly (no within-bound flags needed — the filter is
+    * a deterministic function of the dim key set).
+    *
+    * Guarantees, both engine-computed: NO false negatives (every true
+    * match survives — a hard Bloom property the audit counts rather
+    * than asserts) and fpr ≈ 2^−k at the [[suggestBloomBits]] sizing.
+    *
+    * Driver/broadcast state: m/64 longs (the words) — size `mBits`
+    * for the broadcast-literal regime (require ≤ 2^30 bits = 128 MB
+    * words; past ~10⁸ dim keys switch to joining the position
+    * RELATION instead of a literal — same bits, shuffle returns).
+    */
+  def bloomWords(dim: DataFrame, dimKey: Column, mBits: Long,
+      kHashes: Int): Array[Long] = {
+    require(mBits >= 64 && mBits <= (1L << 30),
+      s"need 64 <= mBits <= 2^30 (broadcast-literal regime), got $mBits")
+    import graft.functions.md5Long
+    val nWords = ((mBits + 63) / 64).toInt
+    val pos = dim.select(explode(array((0 until kHashes).map(i =>
+        pmod(md5Long(concat(lit(s"bf$i:"), dimKey.cast("string"))),
+          lit(mBits))): _*)).as("_p"))
+      .distinct()
+    val words = new Array[Long](nWords)
+    pos.select(expr("CAST(_p DIV 64 AS INT)").as("_w"),
+        expr("_p % 64").as("_b")).collect()
+      .foreach(r => words(r.getInt(0)) |= (1L << r.getLong(1)))
+    words
+  }
+
+  /** The fact-side test expression over a literal words array — all k
+    * probes must hit. Pure map-side (no shuffle, no join).
+    */
+  def bloomTest(factKey: Column, words: Array[Long], mBits: Long,
+      kHashes: Int): Column = {
+    import graft.functions.md5Long
+    val w = typedLit(words.toSeq)
+    (0 until kHashes).map { i =>
+      val p = pmod(md5Long(concat(lit(s"bf$i:"), factKey.cast("string"))),
+        lit(mBits))
+      (call_function("shiftright",
+        element_at(w, (p.cast("double") / 64).cast("int") + 1),
+        (p % 64).cast("int")).bitwiseAND(lit(1L))) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  /** Prune `fact` to rows whose key passes the dim-side Bloom filter,
+    * sized by [[suggestBloomBits]]. The fact plan is scan + filter —
+    * plan-pinned in PlanQualitySpec.
+    */
+  def bloomPrune(fact: DataFrame, factKey: Column, dim: DataFrame,
+      dimKey: Column, kHashes: Int = 5): DataFrame = {
+    val n = math.max(1L, dim.select(dimKey).distinct().count())
+    val m = suggestBloomBits(n, kHashes)
+    fact.filter(bloomTest(factKey, bloomWords(dim, dimKey, m, kHashes),
+      m, kHashes))
+  }
+
+  /** One-row audit of [[bloomPrune]] (the q193/q240 audit discipline):
+    * fact/dim populations, the law's m, pass counts, the exactly-
+    * counted false positives, and `no_false_neg` COMPUTED (count of
+    * true matches the filter dropped — 0 by the Bloom hard guarantee,
+    * counted not asserted). Output: (n_fact, n_dim_keys, m_bits, k,
+    * bloom_pass, exact_pass, false_pos, no_false_neg).
+    */
+  def bloomPruneAudit(fact: DataFrame, factKey: Column, dim: DataFrame,
+      dimKey: Column, kHashes: Int = 5): DataFrame = {
+    val dk = dim.select(dimKey.as("_k")).distinct().localCheckpoint(true)
+    val n = math.max(1L, dk.count())
+    val m = suggestBloomBits(n, kHashes)
+    val test = bloomTest(factKey, bloomWords(dk, col("_k"), m, kHashes),
+      m, kHashes)
+    val f = fact.select(factKey.as("_fk"), test.as("_pass"))
+    val exact = f.join(dk, f("_fk") === dk("_k"), "left_semi")
+    f.agg(count(lit(1)).as("n_fact"),
+        coalesce(sum(when(col("_pass"), 1L).otherwise(0L)), lit(0L))
+          .as("bloom_pass"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("exact_pass"),
+        coalesce(sum(when(col("_pass"), 0L).otherwise(1L)), lit(0L))
+          .as("_dropped_true"))))
+      .select(col("n_fact"), lit(n).as("n_dim_keys"), lit(m).as("m_bits"),
+        lit(kHashes.toLong).as("k"), col("bloom_pass"), col("exact_pass"),
+        (col("bloom_pass") - col("exact_pass")).as("false_pos"),
+        when(col("_dropped_true") === 0L, 1L).otherwise(0L)
+          .as("no_false_neg"))
+  }
+
   /** m-selection law for [[amsJoinSizeReport]] (VERDICT r12 item 5):
     * m = ⌈2/ε²⌉ sketch rows for a target relative error ε, clamped to
     * [1, 60] — the suggestSimhashParams discipline (derive the knob

@@ -1248,6 +1248,36 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sketches.heavyHitters(df, col("token"), 0))
   }
 
+  test("bloom semi-join: zero false negatives at any width; false " +
+    "positives counted exactly; the audit row carries the law's m") {
+    import graft.operators.Sketches
+    val dim = (1L to 50L).map(k => k * 7).toDF("k")
+    val fact = (1L to 1000L).toDF("fk")
+    val truth = (1L to 50L).map(_ * 7).toSet
+    val a = Sketches.bloomPruneAudit(fact, col("fk"), dim, col("k")).collect()(0)
+    assert(a.getAs[Long]("n_fact") == 1000L && a.getAs[Long]("n_dim_keys") == 50L)
+    assert(a.getAs[Long]("m_bits") ==
+      Sketches.suggestBloomBits(50L, 5)) // 50*5*14427/10000+1
+    assert(a.getAs[Long]("exact_pass") == 50L)
+    assert(a.getAs[Long]("no_false_neg") == 1L)
+    assert(a.getAs[Long]("false_pos") ==
+      a.getAs[Long]("bloom_pass") - 50L && a.getAs[Long]("false_pos") >= 0L)
+    val kept = Sketches.bloomPrune(fact, col("fk"), dim, col("k"))
+      .collect().map(_.getLong(0)).toSet
+    assert(truth.subsetOf(kept), "bloom prune must keep every true match")
+    // deliberately undersized filter (64 bits for 50 keys): collisions
+    // everywhere, the hard no-false-negative guarantee still holds
+    val w = Sketches.bloomWords(dim.select(col("k").as("_k")), col("_k"),
+      mBits = 64L, kHashes = 2)
+    val kept64 = fact.filter(Sketches.bloomTest(col("fk"), w, 64L, 2))
+      .collect().map(_.getLong(0)).toSet
+    assert(truth.subsetOf(kept64), "no false negatives even saturated")
+    assert(kept64.size > truth.size, "a 64-bit filter over 50 keys collides")
+    intercept[IllegalArgumentException](Sketches.suggestBloomBits(0L, 5))
+    intercept[IllegalArgumentException](
+      Sketches.bloomWords(dim, col("k"), mBits = 32L, kHashes = 5))
+  }
+
   test("rrfFuse sums integer reciprocal-rank quotients; one-list docs still score") {
     import graft.operators.Retrieval
     val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")

@@ -563,6 +563,19 @@ class PlanQualitySpec extends SparkSpec {
       s"law-capped seam join must remain an equi-join:\n$p")
   }
 
+  test("bloom prune: the fact side is scan + filter ONLY — no join, " +
+    "no exchange (the runtime-filter contract)") {
+    val dim = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val pruned = graft.operators.Sketches.bloomPrune(
+      spark.read.parquet(s"$dir/lineitem.parquet").select(col("l_orderkey")),
+      col("l_orderkey"), dim, col("o_orderkey"))
+    val p = pruned.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"bloom-pruned fact plan must be a pure map-side filter:\n$p")
+  }
+
   test("Q3 funnel: date filters push to both scans; top-k is TakeOrdered") {
     val p = plan("q244_shipping_priority")
     assert(p.contains("TakeOrderedAndProject"),
