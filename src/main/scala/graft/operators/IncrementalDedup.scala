@@ -239,13 +239,24 @@ object IncrementalDedup {
     * re-flags its pairs — flagging is idempotent in effect but not in
     * output).
     *
+    * `maxKeyDf` is the q232→q242 hot-seam valve at the gate: seam keys
+    * whose df across batch ∪ history exceeds the cap are dropped from
+    * their side before any pair leg forms (templated headers/footers —
+    * the regime the gen-sf10 stitchgate legs measured growing the
+    * flagged pair mass 63× at 125× history, BASELINE round-13). Size
+    * it with [[Dedup.suggestStitchMaxKeyDf]] over the corpus, or leave
+    * None for the exhaustive default (q239's pinned shape). The df
+    * count is ONE bounded groupBy over the narrow boundary keys.
+    *
     * Returns the stitch pairs found by THIS ingest.
     */
   def detectStitches(index: VersionedTable, batch: DataFrame,
-      idCol: String, textCol: String, w: Int, batchNo: Long): DataFrame = {
+      idCol: String, textCol: String, w: Int, batchNo: Long,
+      maxKeyDf: Option[Int] = None): DataFrame = {
     require(w >= 1, s"need w >= 1, got $w")
     require(index.recordKey == "fid",
       s"stitch index must be keyed on 'fid', got '${index.recordKey}'")
+    maxKeyDf.foreach(c => require(c >= 1, s"need maxKeyDf >= 1, got $c"))
     import graft.functions.{md5Long, tokens}
     val tk = tokens(lower(col(textCol)))
     val rows = batch
@@ -258,15 +269,32 @@ object IncrementalDedup {
         md5Long(array_join(col("head"), " ")).as("head_h"),
         md5Long(array_join(col("tail"), " ")).as("tail_h"))
       .localCheckpoint(true) // pin BEFORE the commit mutates the snapshot
-    def tails(rel: DataFrame) = rel.select(col("fid").as("id_a"),
-      col("tail").as("_sa"), col("tail_h").as("_h"))
-    def heads(rel: DataFrame) = rel.select(col("fid").as("id_b"),
-      col("head").as("_sb"), col("head_h").as("_h"))
+    val histOpt = index.snapshotOpt
+    // hot-seam keys per side over batch ∪ history boundary keys — the
+    // same per-side drop semantics as boundaryOverlapPairs' valve
+    def hotKeys(keyCol: String): Option[DataFrame] = maxKeyDf.map { cap =>
+      val keys = histOpt match {
+        case Some(h) => rows.select(col(keyCol).as("_h"))
+          .unionAll(h.select(col(keyCol).as("_h")))
+        case None => rows.select(col(keyCol).as("_h"))
+      }
+      keys.groupBy(col("_h")).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > cap).select(col("_h"))
+    }
+    val hotTail = hotKeys("tail_h")
+    val hotHead = hotKeys("head_h")
+    def drop(rel: DataFrame, hot: Option[DataFrame]) =
+      hot.map(hd => rel.join(broadcast(hd), Seq("_h"), "left_anti"))
+        .getOrElse(rel)
+    def tails(rel: DataFrame) = drop(rel.select(col("fid").as("id_a"),
+      col("tail").as("_sa"), col("tail_h").as("_h")), hotTail)
+    def heads(rel: DataFrame) = drop(rel.select(col("fid").as("id_b"),
+      col("head").as("_sb"), col("head_h").as("_h")), hotHead)
     def pair(a: DataFrame, b: DataFrame) = a.join(b, Seq("_h"))
       .filter(col("id_a") =!= col("id_b") && col("_sa") === col("_sb"))
       .select(col("id_a"), col("id_b"),
         array_join(col("_sa"), " ").as("overlap"))
-    val found = (index.snapshotOpt match {
+    val found = (histOpt match {
       case None => pair(tails(rows), heads(rows))
       case Some(hist) =>
         pair(tails(rows), heads(rows))

@@ -769,4 +769,41 @@ class VersionedTableSpec extends SparkSpec {
     // the index holds every fragment's boundary exactly once
     assert(index.snapshot.count() == 5)
   }
+
+  test("detectStitches maxKeyDf: hot seams spanning batch AND history " +
+    "are dropped per side; organic seams survive") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // history: 3 fragments ending in the boilerplate footer + 1 organic
+    val hist = Seq(
+      (1L, "unique1 words copyright footer"),
+      (2L, "unique2 words copyright footer"),
+      (3L, "unique3 words copyright footer"),
+      (4L, "alpha beta gamma delta")).toDF("fid", "text")
+    // batch: a 4th footer fragment, the footer continuation (head =
+    // the hot seam), and the organic continuation of fid 4
+    val batch = Seq(
+      (10L, "unique4 words copyright footer"),
+      (11L, "copyright footer continues onward"),
+      (12L, "gamma delta epsilon zeta")).toDF("fid", "text")
+    def run(cap: Option[Int]) = {
+      val index = new graft.operators.VersionedTable(spark,
+        Fixtures.tmpDir("sti_cap").toString, "fid", "batch_no",
+        numBuckets = 4)
+      graft.operators.IncrementalDedup
+        .detectStitches(index, hist, "fid", "text", 2, 1L, cap).count()
+      graft.operators.IncrementalDedup
+        .detectStitches(index, batch, "fid", "text", 2, 2L, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // uncapped: every footer tail (df 4 across batch ∪ history)
+    // stitches to fid 11's head, plus the organic 4→12 pair
+    assert(run(None) ==
+      Set((1L, 11L), (2L, 11L), (3L, 11L), (10L, 11L), (4L, 12L)))
+    // capped at 3: the footer seam (df 4 > 3) drops from BOTH its tail
+    // and head sides; the organic df-1 seam is untouched
+    assert(run(Some(3)) == Set((4L, 12L)),
+      "hot boilerplate seam must drop, organic continuation must survive")
+    intercept[IllegalArgumentException](run(Some(0)))
+  }
 }
