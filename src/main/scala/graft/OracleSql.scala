@@ -4300,6 +4300,55 @@ object OracleSql {
             WHERE id NOT IN (SELECT id FROM REJ))
           ORDER BY id""",
 
+    // semantic ingest gate over a PQ-CODED index: the q204 replay with
+    // history scored from codes alone — training (two deterministic
+    // k-means rounds per subspace), codes, buckets, the batch-2 LUT
+    // and the ADC reject set all re-derived here; the snapshot's code
+    // columns are part of the compared output
+    "q246_inc_semantic_pq" -> {
+      val (m, kc, sub) = (2, 4, 32)
+      val trains = (0 until m).map(s =>
+        pqTrainCodesCtes(s, kc, sub, "CE")).mkString(",\n")
+      val luts = (0 until m).map(s =>
+        s"""LUT$s AS (SELECT c.id AS query_id, s2.cid,
+             ${scoreFixedSafeSql("c.emb", "s2.cemb")} AS contrib
+            FROM C$s c CROSS JOIN PS2_$s s2 WHERE c.id % 2 = 1)""")
+        .mkString(",\n")
+      val contribs = (0 until m).map(s =>
+        s"""SELECT p.bid, p.hid, l.contrib
+            FROM PAIR p JOIN CODE$s ch ON ch.id = p.hid
+            JOIN LUT$s l ON l.query_id = p.bid AND l.cid = ch.cid""")
+        .mkString(" UNION ALL ")
+      s"""WITH NE AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+          SB AS (SELECT greatest(4, least(30, b))::BIGINT AS bits
+                FROM (SELECT min(b)::INT AS b FROM range(0, 61) t(b), NE
+                      WHERE (1::BIGINT << b) >= NE.n)),
+          CE AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          BKT AS (SELECT vec_id AS id,
+                 ${signBucketSql("embedding", 30)}
+                   & ((1::BIGINT << sb.bits) - 1) AS bucket
+                FROM embeddings, SB sb),
+          $trains,
+          $luts,
+          PAIR AS (SELECT b.id AS bid, h.id AS hid
+                   FROM BKT b JOIN BKT h ON b.bucket = h.bucket
+                   WHERE b.id % 2 = 1 AND h.id % 2 = 0),
+          CONTRIB AS ($contribs),
+          ADC AS (SELECT bid, hid, CAST(sum(contrib) AS BIGINT) AS adc
+                  FROM CONTRIB GROUP BY 1, 2),
+          REJ AS (SELECT DISTINCT bid AS id FROM ADC
+                  WHERE adc >= ${200000L * m}),
+          SNAP AS (SELECT c0.id, CAST(c0.cid AS BIGINT) AS code0,
+                    CAST(c1.cid AS BIGINT) AS code1
+                   FROM CODE0 c0 JOIN CODE1 c1 ON c1.id = c0.id)
+          SELECT s.id, b.bucket, s.code0, s.code1,
+            CAST(CASE WHEN s.id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+              AS batch_no
+          FROM SNAP s JOIN BKT b ON b.id = s.id
+          WHERE s.id % 2 = 0 OR s.id NOT IN (SELECT id FROM REJ)
+          ORDER BY s.id"""
+    },
+
     // q45's skew-cap path: identical banding, but buckets with more
     // than 8 members are dropped wholesale before any pair forms
     "q205_simhash_capped" -> {

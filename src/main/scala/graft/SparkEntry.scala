@@ -3431,6 +3431,43 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Incremental SEMANTIC dedup-on-ingest over a PQ-CODED index
+    * (q246): q204's replay with the index at its documented real-scale
+    * storage point — m=2/k=4 PQ codes instead of raw vectors (the q58
+    * codebooks, deterministic integer k-means on the full corpus, so
+    * both engines replay the codes), verify by ADC against the
+    * admitted codes alone. Batch-2 vectors sharing an adaptive sign
+    * bucket with batch-1's admitted set at mean per-subspace ADC
+    * cosine ≥ 0.20 are turned away; the oracle re-derives training,
+    * codes, buckets, the per-query LUT and the reject set, and the
+    * snapshot's code columns are themselves hash-gated.
+    * See IncrementalDedup.appendNovelSemanticPq.
+    */
+  private def qIncSemanticPq(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q246_incpq_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "id", "batch_no",
+      numBuckets = 8)
+    val embs = t(s, dir, "embeddings")
+    val bits = Dedup.suggestSignBits(embs.count(), dim = 64)
+    val cbs = Similarity.trainPqCodebooks(
+      embs.select(col("vec_id").as("id"), col("embedding").as("emb")),
+      m = 2, k = 4, iters = 2)
+    graft.operators.IncrementalDedup.appendNovelSemanticPq(vt,
+      embs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", 1L,
+      adcThreshold1e6 = 200000L, signBits = bits, codebooks = cbs)
+    graft.operators.IncrementalDedup.appendNovelSemanticPq(vt,
+      embs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", 2L,
+      adcThreshold1e6 = 200000L, signBits = bits, codebooks = cbs)
+    vt.snapshot.select(col("id"), col("bucket"),
+        element_at(col("codes"), 1).cast("long").as("code0"),
+        element_at(col("codes"), 2).cast("long").as("code1"),
+        col("batch_no"))
+      .orderBy(col("id"))
+  }
+
   /** k-center coreset (q174): greedy farthest-point selection of 3
     * diverse anchors (seed = lowest id), each round one distributed
     * argmin over the coverage frame — with the coverage-radius curve
@@ -4101,7 +4138,8 @@ object SparkEntry {
     "q242_stitch_df_law" -> (qStitchDfLaw _),
     "q243_ams_estimate" -> (qAmsEstimate _),
     "q244_shipping_priority" -> (qShippingPriority _),
-    "q245_bloom_prune" -> (qBloomPrune _))
+    "q245_bloom_prune" -> (qBloomPrune _),
+    "q246_inc_semantic_pq" -> (qIncSemanticPq _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

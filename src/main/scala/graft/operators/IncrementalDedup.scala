@@ -157,6 +157,75 @@ object IncrementalDedup {
     admitted
   }
 
+  /** SEMANTIC dedup-on-ingest with a PQ-CODED index — the
+    * [[appendNovelSemantic]] contract at its documented real-scale
+    * storage point: the index stores (id, codes, bucket) — m small
+    * cell codes per vector instead of dim floats (m bytes vs 4·dim;
+    * 16× smaller at the battery's dim=64/m=2 shape, 100–500× at
+    * production dims) — and the verify stage scores colliding pairs
+    * by ADC (asymmetric distance computation: the BATCH side keeps
+    * its raw vector just long enough to build a per-vector m×k
+    * lookup table; history is scored from codes alone, the q58
+    * machinery). A batch vector is REJECTED when some admitted code
+    * row shares its sign bucket AND the ADC cosine sum reaches
+    * m·`adcThreshold1e6` (mean per-subspace cosine ≥ threshold).
+    *
+    * Contract deltas vs the raw-vector gate, stated not hidden:
+    * ADC is the PQ approximation, so rejection is approximate where
+    * [[appendNovelSemantic]]'s was exact — and re-delivery
+    * idempotence holds iff each vector's RECONSTRUCTION cosine
+    * ([[Similarity.pqErrorReport]]) reaches the threshold: a
+    * re-delivered vector finds its own codes at exactly that score.
+    * Size codebooks so the error report clears the gate's threshold,
+    * or run the exact-md5 gate in front (the q94 composition).
+    * Within a batch no test applies (batch-granular, as the family).
+    *
+    * Codebooks are CALLER state (train once offline on a hash sample,
+    * [[Similarity.trainPqCodebooks]] — deterministic integer k-means,
+    * so both engines replay the codes); retraining between ingests
+    * would silently re-key the index.
+    *
+    * Scale: history never materializes vectors — the band-analog join
+    * is the bucket equi-join on (m+2)-int rows, the verify joins
+    * |collisions|·m code rows against the batch's m·k-per-vector LUT
+    * relation, and only touched buckets rewrite on commit.
+    */
+  def appendNovelSemanticPq(index: VersionedTable, batch: DataFrame,
+      idCol: String, embCol: String, batchNo: Long,
+      adcThreshold1e6: Long, signBits: Int,
+      codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    require(index.recordKey == "id",
+      s"semantic-PQ index must be keyed on 'id', got '${index.recordKey}'")
+    require(codebooks.nonEmpty, "need at least one PQ subspace codebook")
+    val m = codebooks.length
+    val b0 = batch.select(col(idCol).as("id"), col(embCol).as("emb"),
+        Similarity.signBucket(col(embCol), signBits).as("bucket"))
+      .localCheckpoint(true)
+    val b = b0.join(
+      Similarity.pqEncode(b0.select(col("id"), col("emb")), codebooks),
+      Seq("id"))
+    val admitted = (index.snapshotOpt match {
+      case None => b
+      case Some(hist) =>
+        val histExp = hist.select(col("id").as("_hid"), col("bucket"),
+          posexplode(col("codes")).as(Seq("s", "cid")))
+        val lut = Similarity.adcLut(b0.select(col("id"), col("emb")),
+          codebooks)
+        val bk = b0.select(col("id").as("query_id"), col("bucket"))
+        val rejected = histExp.join(bk, Seq("bucket"))
+          .join(lut, Seq("query_id", "s", "cid")) // exactly m rows/pair
+          .groupBy(col("query_id"), col("_hid"))
+          .agg(sum(col("contrib")).as("_adc"))
+          .filter(col("_adc") >= lit(adcThreshold1e6 * m))
+          .select(col("query_id").as("id")).distinct()
+        b.join(rejected, Seq("id"), "left_anti")
+    }).withColumn("batch_no", lit(batchNo))
+      .select(col("id"), col("codes"), col("bucket"), col("batch_no"))
+      .localCheckpoint(true) // pin BEFORE the commit mutates the snapshot
+    if (!admitted.isEmpty) index.upsert(admitted)
+    admitted
+  }
+
   /** MULTIMODAL dedup-on-ingest: [[appendNovelNearDup]]'s contract in
     * perceptual-fingerprint space — a batch row (any modality that
     * fingerprints to 64 bits: image aHash, audio envelope, text

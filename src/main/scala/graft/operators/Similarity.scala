@@ -406,7 +406,7 @@ object Similarity {
     * query-slice norm is the staged column and the centroid norm a
     * driver constant — k+1 dots per subspace per query instead of 3k.
     */
-  private def adcLut(queries: DataFrame,
+  private[operators] def adcLut(queries: DataFrame,
       codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
     val (stagedQ, _) = stageSubspaces(queries, codebooks)
     val lutEntries = codebooks.indices.flatMap { s =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{IncrementalDedup => ID, VersionedTable}
 
-/** The five dedup-on-ingest gates' SHARED contract, pinned in ONE
+/** The dedup-on-ingest gates' SHARED contract, pinned in ONE
   * table-driven sweep (VERDICT r12 item 8) — the StreamingSpec
   * state-identity-table pattern applied to the batch gates, so
   * contract drift between family members fails one named row instead
@@ -18,6 +18,12 @@ import graft.operators.{IncrementalDedup => ID, VersionedTable}
   * | semantic (q204)     | id        | NONE (batch-granular)| empty              | none               | unchanged            |
   * | fingerprint (q214)  | media_id  | first occurrence     | empty              | none               | unchanged            |
   * | stitch (q239)       | fid       | n/a (flags, all admit)| pairs RE-FLAGGED  | boundary overwrite | unchanged            |
+  * | semantic-PQ (q246)  | id        | NONE (batch-granular)| empty*             | none               | unchanged            |
+  *
+  * (*) the PQ gate's re-delivery idempotence additionally requires
+  * each vector's PQ reconstruction cosine ≥ the gate threshold (its
+  * documented contract) — this table's codebooks reconstruct the
+  * fixture vectors exactly, so the shared assertion applies verbatim.
   *
   * Shared invariants asserted for every row: (1) the index-key
   * requirement is enforced (require, not silent misuse); (2) the
@@ -48,6 +54,18 @@ class IngestGateContractSpec extends SparkSpec {
   private val vecs = Map(
     "A" -> Seq(1.0, 0.0, 0.0), "B" -> Seq(0.0, 1.0, 0.0),
     "C" -> Seq(0.0, 0.0, 1.0))
+  // PQ alphabet: no zero slices (a zero subspace scores 0 by the
+  // scoreFixedSafe guard and would break self-recognition); m=2/k=2
+  // codebooks over these three reconstruct them EXACTLY, so identical
+  // re-delivery scores mean ADC 1e6 and the shared idempotence
+  // assertion applies; the closest distinct pair (A vs C) scores 0.5e6
+  private val vecsPq = Map(
+    "A" -> Seq(1.0, 0.0, 1.0, 0.0), "B" -> Seq(0.0, 1.0, 0.0, 1.0),
+    "C" -> Seq(1.0, 0.0, 0.0, 1.0))
+  private lazy val pqCbs = graft.operators.Similarity.trainPqCodebooks(
+    vecsPq.values.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong + 1, v) }.toDF("id", "emb"),
+    m = 2, k = 2, iters = 2)
   private val fps = Map("A" -> 0L, "B" -> 0x0F0F0F0F0F0F0F0FL,
     "C" -> 0x3333333333333333L)
 
@@ -90,14 +108,20 @@ class IngestGateContractSpec extends SparkSpec {
     Gate("stitch-q239", "fid", textDf(stitchWords),
       (t, b, n) => ID.detectStitches(t, b, "id", "text", w = 2, n)
         .select(col("id_a"), col("id_b")),
-      flags = true, inBatchDedup = false))
+      flags = true, inBatchDedup = false),
+    Gate("semantic-pq-q246", "id",
+      seeds => seeds.map { case (i, c) => (i, vecsPq(c)) }.toDF("id", "emb"),
+      (t, b, n) => ID.appendNovelSemanticPq(t, b, "id", "emb", n,
+          adcThreshold1e6 = 900000L, signBits = 2, codebooks = pqCbs)
+        .select(col("id").as("rid")),
+      flags = false, inBatchDedup = false))
 
   private def ids(df: DataFrame): Set[Long] =
     df.collect().map(_.getLong(0)).toSet
   private def pairs(df: DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("the five dedup-on-ingest gates share one pinned contract " +
+  test("the dedup-on-ingest gate family shares one pinned contract " +
     "(key requirement, result pinning, re-delivery idempotence)") {
     gates.foreach { g => withClue(s"[${g.name}] ") {
       // 1. index-key requirement enforced up front
