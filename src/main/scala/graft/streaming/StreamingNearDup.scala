@@ -87,6 +87,35 @@ object StreamingNearDup {
       }
       .start()
 
+  /** PQ-CODED twin of [[semanticIngestGate]] — the same foreachBatch
+    * shape over [[IncrementalDedup.appendNovelSemanticPq]] (one code
+    * path for stream and lake, the family discipline): the index
+    * stores (id, m codes, bucket) per admitted vector and micro-batch
+    * admission verifies bucket collisions by ADC against the batch's
+    * per-vector LUT — history never materializes vectors, so the
+    * stream gate's state is m+2 ints per admitted vector forever.
+    * Codebooks are caller state trained offline (retraining mid-stream
+    * would silently re-key the index — the batch operator's contract);
+    * re-delivery idempotence holds iff reconstruction cosine clears
+    * the threshold, as documented there.
+    */
+  def semanticPqIngestGate(stream: DataFrame, index: VersionedTable,
+      idCol: String, embCol: String,
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      checkpointDir: String, batchBase: Long = 0L,
+      adcThreshold1e6: Long = 950000L, signBits: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IncrementalDedup.appendNovelSemanticPq(index, batch, idCol, embCol,
+          batchBase + batchId, adcThreshold1e6, signBits, codebooks)
+        ()
+      }
+      .start()
+
   /** MULTIMODAL twin of [[ingestGate]]: every micro-batch first runs
     * `decode` — the REAL codec pass (e.g.
     * `Multimodal.decodeImageAHash(_)` or

@@ -746,6 +746,71 @@ class StreamingSpec extends SparkSpec {
       "streamed vector-admission state must equal the batch-operator replay")
   }
 
+  test("streaming semantic-PQ ingest gate: code index equals the batch " +
+    "replay; re-delivery admits nothing (exact-reconstruction fixture)") {
+    // the IngestGateContractSpec PQ alphabet: m=2/k=2 codebooks over
+    // these reconstruct them exactly, so identical re-delivery scores
+    // mean ADC 1e6; the closest distinct pair scores 0.5e6
+    val vA = Seq(1.0, 0.0, 1.0, 0.0)
+    val vB = Seq(0.0, 1.0, 0.0, 1.0)
+    val vC = Seq(1.0, 0.0, 0.0, 1.0)
+    val cbs = graft.operators.Similarity.trainPqCodebooks(
+      Seq((1L, vA), (2L, vB), (3L, vC)).toDF("id", "emb"),
+      m = 2, k = 2, iters = 2)
+    val srcDir = Fixtures.tmpDir("pq_stream_src")
+    val ckpt = Fixtures.tmpDir("pq_stream_ckpt").toString
+    val schema = Seq((0L, Seq(0.0))).toDF("id", "emb").schema
+    def addFile(rows: Seq[(Long, Seq[Double])]): Unit =
+      rows.toDF("id", "emb").coalesce(1)
+        .write.mode("append").parquet(srcDir.toString)
+    def drain(index: graft.operators.VersionedTable, base: Long,
+        ck: String): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      graft.streaming.StreamingNearDup.semanticPqIngestGate(
+        stream, index, "id", "emb", cbs, ck, base,
+        adcThreshold1e6 = 900000L, signBits = 2)
+        .awaitTermination(120000)
+    }
+    val index = new graft.operators.VersionedTable(spark,
+      Fixtures.tmpDir("pq_stream_idx").toString, "id", "batch_no",
+      numBuckets = 4)
+    addFile(Seq((10L, vA), (11L, vB)))
+    drain(index, 0L, ckpt)
+    assert(index.snapshot.select("id").collect().map(_.getLong(0)).toSet
+      == Set(10L, 11L), "empty history admits everything")
+    addFile(Seq((20L, vA), (21L, vC))) // identical-to-history + novel
+    drain(index, 100L, ckpt)
+    assert(index.snapshot.select("id").collect().map(_.getLong(0)).toSet
+      == Set(10L, 11L, 21L),
+      "code-index ADC turns the identical vector away; the 0.5e6 " +
+        "neighbor admits")
+    // full re-delivery through a fresh checkpoint: every vector finds
+    // its own codes at ADC 1e6 >= threshold — nothing new, no commit
+    val commits = index.commits.length
+    drain(index, 200L, Fixtures.tmpDir("pq_stream_ckpt2").toString)
+    assert(index.snapshot.select("id").collect().map(_.getLong(0)).toSet
+      == Set(10L, 11L, 21L), "full re-delivery admits nothing new")
+    assert(index.commits.length == commits, "empty admissions never commit")
+    // STATE-IDENTITY (parity-table pin): streamed code index ≡ batch
+    // replay through IncrementalDedup.appendNovelSemanticPq
+    val replay = new graft.operators.VersionedTable(spark,
+      Fixtures.tmpDir("pq_replay_idx").toString, "id", "batch_no",
+      numBuckets = 4)
+    graft.operators.IncrementalDedup.appendNovelSemanticPq(replay,
+      Seq((10L, vA), (11L, vB)).toDF("id", "emb"), "id", "emb", 0L,
+      900000L, 2, cbs)
+    graft.operators.IncrementalDedup.appendNovelSemanticPq(replay,
+      Seq((20L, vA), (21L, vC)).toDF("id", "emb"), "id", "emb", 1L,
+      900000L, 2, cbs)
+    def pqStateRows(vt: graft.operators.VersionedTable) =
+      vt.snapshot.select("id", "codes", "bucket").collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Int]]("codes").toSeq,
+          r.getLong(2))).toSet
+    assert(pqStateRows(index) == pqStateRows(replay),
+      "streamed code-index state must equal the batch-operator replay")
+  }
+
   test("streaming media ingest gate: real decode per micro-batch; perceptual dups turned away") {
     import graft.operators.Multimodal
     val srcDir = Fixtures.tmpDir("media_stream_src")
@@ -1032,6 +1097,7 @@ class StreamingSpec extends SparkSpec {
     * | StreamingAnomaly.maintain   | day-count lookback map      | EventAnalytics.dailyAnomalies on closed days | "streaming anomaly" test |
     * | StreamingNearDup.ingestGate | admitted content index (VT) | IncrementalDedup.appendNovelNearDup replay   | "near-dup ingest gate" test (snapshot ≡ batch replay) |
     * | …  .semanticIngestGate      | admitted vector index (VT)  | IncrementalDedup.appendNovelSemantic replay  | "semantic ingest gate" test (snapshot ≡ batch replay) |
+    * | …  .semanticPqIngestGate    | admitted PQ-code index (VT) | IncrementalDedup.appendNovelSemanticPq replay | "semantic-PQ ingest gate" test (code snapshot ≡ batch replay) |
     * | …  .mediaIngestGate         | admitted fp index (VT)      | IncrementalDedup.appendNovelFingerprint      | "media ingest gate" test (snapshot ≡ batch replay) |
     * | …  .stitchIngestGate        | boundary index (VT)         | IncrementalDedup.detectStitches replay       | "stitch ingest gate" test (pairs + snapshot ≡ batch replay) |
     * | StreamingHeavyHitters (CMS) | (r,cell)→counter relation   | Sketches portable-CMS counters — bit-equal   | HERE (streamed upserts ≡ batch counters) |
