@@ -576,6 +576,12 @@ class PlanQualitySpec extends SparkSpec {
       s"bloom-pruned fact plan must be a pure map-side filter:\n$p")
   }
 
+  test("semantic-PQ gate row: never cartesian (bucket + LUT equi-joins only)") {
+    val p = plan("q246_inc_semantic_pq")
+    assert(!p.contains("CartesianProduct"),
+      s"the ADC verify must ride bucket/LUT equi-joins:\n$p")
+  }
+
   test("Q3 funnel: date filters push to both scans; top-k is TakeOrdered") {
     val p = plan("q244_shipping_priority")
     assert(p.contains("TakeOrderedAndProject"),
