@@ -11,7 +11,7 @@ object ScaleProbe {
   private val Known = Set("simhash8", "simhash15", "simhashAuto",
     "neardup8", "neardup12", "brute", "curation",
     "semantic8", "semanticAuto", "semantic2", "semantic3", "jaccard400",
-    "videodup", "ams", "stitchgate")
+    "videodup", "ams", "stitchgate", "stitchgatecap")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -252,6 +252,28 @@ object ScaleProbe {
       timed("ams_full_report")(
         graft.operators.Sketches.amsJoinSizeReport(ev, col("user_id"),
           ev, col("user_id")).count())
+    }
+    if (probes("stitchgatecap")) {
+      // the stitchgate leg with the q242 law's cap applied at the gate
+      // (detectStitches maxKeyDf): shows the templated-seam pair mass
+      // — the only super-linear term the uncapped leg measured — is
+      // controlled, at a bounded (≤0.1% of keys) recall trade
+      val frags = graft.SparkEntry.stitchFrags(spark, dir)
+        .localCheckpoint(true)
+      val law = graft.operators.Dedup.suggestStitchMaxKeyDf(
+        frags, "fid", "text", 3)
+      val batch = frags.filter(col("fid") < 2000L).localCheckpoint(true)
+      val hist = frags.filter(col("fid") >= 2000L)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stitchgatecap").toString
+      val vt = new graft.operators.VersionedTable(spark, root, "fid",
+        "batch_no", numBuckets = 8)
+      val nh = hist.count()
+      graft.operators.IncrementalDedup.detectStitches(
+        vt, hist, "fid", "text", 3, 1L, Some(law.cap)).count()
+      timed(s"stitchgatecap${law.cap}_hist${nh}_batch${batch.count()}")(
+        graft.operators.IncrementalDedup.detectStitches(
+          vt, batch, "fid", "text", 3, 2L, Some(law.cap)).count())
     }
     if (probes("stitchgate")) {
       // q239 maintenance-vs-history slope (VERDICT r12 item 6): seed
