@@ -40,6 +40,11 @@ object ExtensionsCheck {
            (CAST(5 AS BIGINT), CAST(50 AS BIGINT)) AS t(v, id)""")
         .collect()(0).getSeq[org.apache.spark.sql.Row](0)
         .map(r => r.getLong(1)) == Seq(90L, 50L), "graft_topk ranking")
+      assert(spark.sql(
+        // key hash 0b…01 → h1=1, h2=1: positions i stay tiny; word 0
+        // = ...0110 covers positions 1 and 2 → both probes hit
+        "SELECT bloom_test_long(1L, array(6L), 64L, 2)")
+        .collect()(0).getBoolean(0), "bloom_test_long probes")
       // the injected optimizer rule rewrites composed dots (parquet
       // input — LocalRelations constant-fold before user rules run)
       import spark.implicits._
@@ -54,7 +59,7 @@ object ExtensionsCheck {
           "RewriteDotFold did not fire via extensions")
         assert(composed.collect()(0).getDouble(0) == 11.0, "rewritten result")
       } finally graft.util.Fs.deleteRecursively(dir)
-      println("[extensions-check] OK: 6 functions + optimizer rule active")
+      println("[extensions-check] OK: 7 functions + optimizer rule active")
     } finally spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BestCell, DotFold, DotFoldLong, Md5Long60, MinhashSig, SimhashText, TopKPairs}
+import graft.expressions.{BestCell, BloomTestLong, DotFold, DotFoldLong, Md5Long60, MinhashSig, SimhashText, TopKPairs}
 
 /** Session extensions: registers graft's native expressions for SQL
   * use. Attach with
@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(BestCell.FnName),
       new ExpressionInfo(classOf[BestCell].getName, BestCell.FnName),
       BestCell.builder))
+    e.injectFunction((
+      new FunctionIdentifier(BloomTestLong.FnName),
+      new ExpressionInfo(classOf[BloomTestLong].getName, BloomTestLong.FnName),
+      BloomTestLong.builder))
     // composed aggregate(zip_with(...)) dot products → native DotFold
     e.injectOptimizerRule(_ => graft.plans.RewriteDotFold)
   }

@@ -5443,21 +5443,24 @@ object OracleSql {
     // negative hard guarantee COUNTED not asserted
     "q245_bloom_prune" -> {
       val mSub = "(SELECT m FROM M)"
+      // Kirsch–Mitzenmacher double hashing, mirroring Sketches.bloomPos:
+      // ONE md5 per key, pos_i = (h1 + i·h2odd) mod m
+      def pos(h: String, i: String) =
+        s"""(($h & 1073741823)
+            + $i * ((($h >> 30) & 1073741823) * 2 + 1)) % $mSub"""
       s"""WITH D AS (SELECT DISTINCT o_orderkey AS k FROM orders
                 WHERE o_orderpriority = '1-URGENT'),
           N AS (SELECT CAST(count(*) AS BIGINT) AS n FROM D),
           M AS (SELECT CAST(n * 5 * 14427 // 10000 + 1 AS BIGINT) AS m FROM N),
-          DP AS (SELECT DISTINCT ${md5long(
-            "'bf' || CAST(t.i AS VARCHAR) || ':' || CAST(d.k AS VARCHAR)")}
-                 % $mSub AS pos
-                FROM D d, range(5) t(i)),
-          FK AS (SELECT l_orderkey AS fk, CAST(count(*) AS BIGINT) AS c
-                 FROM lineitem GROUP BY 1),
+          DH AS (SELECT ${md5long("CAST(k AS VARCHAR)")} AS h FROM D),
+          DP AS (SELECT DISTINCT ${pos("dh.h", "t.i")} AS pos
+                FROM DH dh, range(5) t(i)),
+          FK AS (SELECT fk, c, ${md5long("CAST(fk AS VARCHAR)")} AS h FROM
+                 (SELECT l_orderkey AS fk, CAST(count(*) AS BIGINT) AS c
+                  FROM lineitem GROUP BY 1)),
           HIT AS (SELECT f.fk, f.c, CAST(count(dp.pos) AS BIGINT) AS h
                   FROM FK f CROSS JOIN range(5) t(i)
-                  LEFT JOIN DP dp ON dp.pos = ${md5long(
-                    "'bf' || CAST(t.i AS VARCHAR) || ':' || CAST(f.fk AS VARCHAR)")}
-                    % $mSub
+                  LEFT JOIN DP dp ON dp.pos = ${pos("f.h", "t.i")}
                   GROUP BY 1, 2),
           AG AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_fact,
                   CAST(coalesce(sum(CASE WHEN h = 5 THEN c ELSE 0 END), 0)

@@ -918,6 +918,18 @@ object Sketches {
     * hash-gates exactly (no within-bound flags needed — the filter is
     * a deterministic function of the dim key set).
     *
+    * Production routing (measured at gen-sf10, 60M-row fact / 3M-key
+    * dim, BASELINE round-13): exact left-semi 12.5 s (fact-wide
+    * shuffle), THIS portable form 12.8 s (scan-local; the md5-string
+    * hash is the oracle-portability tax — it ties the semi-join even
+    * where shuffles are memory-speed and wins wherever they are
+    * network), [[graft.expressions.Bloom]] (Spark's xxhash64
+    * runtime-filter expressions) 3.1 s — use THAT when the filter
+    * doesn't need cross-engine replay. The probe loop itself is the
+    * native [[graft.expressions.BloomTestLong]] (the composed
+    * element_at chain paid ~12 s per probe per 60M rows in generic
+    * boxed array access — the DotFoldLong lesson again).
+    *
     * Guarantees, both engine-computed: NO false negatives (every true
     * match survives — a hard Bloom property the audit counts rather
     * than asserts) and fpr ≈ 2^−k at the [[suggestBloomBits]] sizing.
@@ -933,27 +945,58 @@ object Sketches {
       s"need 64 <= mBits <= 2^30 (broadcast-literal regime), got $mBits")
     import graft.functions.md5Long
     val nWords = ((mBits + 63) / 64).toInt
-    val pos = dim.select(explode(array((0 until kHashes).map(i =>
-        pmod(md5Long(concat(lit(s"bf$i:"), dimKey.cast("string"))),
-          lit(mBits))): _*)).as("_p"))
-      .distinct()
+    // positions OR into words IN-ENGINE (map-side-combined bit_or), so
+    // the driver receives ≤ m/64 word rows, never the position stream
     val words = new Array[Long](nWords)
-    pos.select(expr("CAST(_p DIV 64 AS INT)").as("_w"),
-        expr("_p % 64").as("_b")).collect()
-      .foreach(r => words(r.getInt(0)) |= (1L << r.getLong(1)))
+    dim.select(md5Long(dimKey.cast("string")).as("_h"))
+      .select(explode(array((0 until kHashes).map(i =>
+        bloomPos(col("_h"), i, mBits)): _*)).as("_p"))
+      .select(expr("CAST(_p DIV 64 AS INT)").as("_w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))").as("_b"))
+      .groupBy(col("_w")).agg(expr("bit_or(_b)").as("_bits"))
+      .collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
     words
+  }
+
+  /** Position i of a key's 60-bit md5 hash — Kirsch–Mitzenmacher
+    * double hashing: pos_i = (h1 + i·h2) mod m with h1/h2 the hash's
+    * low/high 30-bit halves (h2 forced odd so positions never
+    * degenerate). ONE md5 per key serves all k probes — the md5-string
+    * hash is the portability tax, so paying it once instead of k times
+    * is the production path's big constant (measured at gen-sf10:
+    * 53 → 22 s for the 60M-row prune); the derivation is pure integer
+    * arithmetic both engines replay, preserving the oracle contract.
+    */
+  private def bloomPos(h: Column, i: Int, mBits: Long): Column = {
+    val h1 = h.bitwiseAND(lit((1L << 30) - 1))
+    val h2 = shiftright(h, 30).bitwiseAND(lit((1L << 30) - 1))
+      .multiply(lit(2L)).plus(lit(1L))
+    pmod(h1 + lit(i.toLong) * h2, lit(mBits))
   }
 
   /** The fact-side test expression over a literal words array — all k
     * probes must hit. Pure map-side (no shuffle, no join).
     */
   def bloomTest(factKey: Column, words: Array[Long], mBits: Long,
-      kHashes: Int): Column = {
+      kHashes: Int): Column =
+    graft.expressions.BloomTestLong(
+      graft.functions.md5Long(factKey.cast("string")),
+      typedLit(words), lit(mBits), lit(kHashes))
+
+  /** The composed-Catalyst executable spec of [[bloomTest]] (k ×
+    * element_at over the words literal + shift/mask) — parity-pinned
+    * against the native expression in ExpressionsSpec; measured ~12 s
+    * PER PROBE per 60M rows from generic boxed array access, which is
+    * why the hot path is [[graft.expressions.BloomTestLong]].
+    */
+  private[graft] def bloomTestComposed(factKey: Column, words: Array[Long],
+      mBits: Long, kHashes: Int): Column = {
     import graft.functions.md5Long
-    val w = typedLit(words.toSeq)
+    val w = typedLit(words)
+    val h = md5Long(factKey.cast("string"))
     (0 until kHashes).map { i =>
-      val p = pmod(md5Long(concat(lit(s"bf$i:"), factKey.cast("string"))),
-        lit(mBits))
+      val p = bloomPos(h, i, mBits)
       (call_function("shiftright",
         element_at(w, (p.cast("double") / 64).cast("int") + 1),
         (p % 64).cast("int")).bitwiseAND(lit(1L))) === lit(1L)
@@ -984,15 +1027,27 @@ object Sketches {
     val dk = dim.select(dimKey.as("_k")).distinct().localCheckpoint(true)
     val n = math.max(1L, dk.count())
     val m = suggestBloomBits(n, kHashes)
-    val test = bloomTest(factKey, bloomWords(dk, col("_k"), m, kHashes),
+    // probe each DISTINCT fact key once and carry its multiplicity —
+    // the audit's counts weight by _c, so the k md5 probes run over
+    // distinct keys instead of twice over every fact row (measured
+    // 43 → 16 s at gen-sf10's 60M-row/15M-key fact; the production
+    // bloomPrune path is untouched — its one probe pass per row IS
+    // the runtime-filter cost)
+    val fk = fact.select(factKey.as("_fk"))
+      .groupBy(col("_fk")).agg(count(lit(1)).as("_c"))
+    val test = bloomTest(col("_fk"), bloomWords(dk, col("_k"), m, kHashes),
       m, kHashes)
-    val f = fact.select(factKey.as("_fk"), test.as("_pass"))
-    val exact = f.join(dk, f("_fk") === dk("_k"), "left_semi")
-    f.agg(count(lit(1)).as("n_fact"),
-        coalesce(sum(when(col("_pass"), 1L).otherwise(0L)), lit(0L))
+    // both aggregate branches reference this identical subtree: the
+    // groupBy exchange is computed once and REUSED (ReuseExchange), so
+    // no checkpoint materialization of the 10⁷-key relation is needed
+    val probed = fk.select(col("_fk"), col("_c"), test.as("_pass"))
+    val exact = probed.join(dk, probed("_fk") === dk("_k"), "left_semi")
+    probed.agg(coalesce(sum(col("_c")), lit(0L)).as("n_fact"),
+        coalesce(sum(when(col("_pass"), col("_c")).otherwise(0L)), lit(0L))
           .as("bloom_pass"))
-      .crossJoin(broadcast(exact.agg(count(lit(1)).as("exact_pass"),
-        coalesce(sum(when(col("_pass"), 0L).otherwise(1L)), lit(0L))
+      .crossJoin(broadcast(exact.agg(
+        coalesce(sum(col("_c")), lit(0L)).as("exact_pass"),
+        coalesce(sum(when(col("_pass"), 0L).otherwise(col("_c"))), lit(0L))
           .as("_dropped_true"))))
       .select(col("n_fact"), lit(n).as("n_dim_keys"), lit(m).as("m_bits"),
         lit(kHashes.toLong).as("k"), col("bloom_pass"), col("exact_pass"),

@@ -11,7 +11,7 @@ object ScaleProbe {
   private val Known = Set("simhash8", "simhash15", "simhashAuto",
     "neardup8", "neardup12", "brute", "curation",
     "semantic8", "semanticAuto", "semantic2", "semantic3", "jaccard400",
-    "videodup", "ams", "stitchgate", "stitchgatecap")
+    "videodup", "ams", "stitchgate", "stitchgatecap", "bloom", "bloomprof")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -252,6 +252,60 @@ object ScaleProbe {
       timed("ams_full_report")(
         graft.operators.Sketches.amsJoinSizeReport(ev, col("user_id"),
           ev, col("user_id")).count())
+    }
+    if (probes("bloom")) {
+      // the q245 production claim measured: pruning a fact scan by the
+      // broadcast-literal Bloom (map-side filter, no shuffle) vs the
+      // exact left-semi join (fact-wide shuffle) — same selectivity
+      val dimk = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")).localCheckpoint(true)
+      val fact = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"))
+      timed("bloom_exact_semijoin")(
+        fact.join(dimk, fact("l_orderkey") === dimk("o_orderkey"),
+          "left_semi").count())
+      timed("bloom_prune_mapside")(
+        graft.operators.Sketches.bloomPrune(fact, col("l_orderkey"),
+          dimk, col("o_orderkey")).count())
+      // Spark's own runtime-filter machinery (xxhash64, expressions
+      // .Bloom) at a comparable ~2^-5 fpr: the engine-private
+      // production hash vs the portable md5 form's oracle tax
+      timed("bloom_native_xxhash") {
+        val n = dimk.count()
+        val bits = graft.expressions.Bloom.optimalNumBits(n, 0.03)
+        val bf = dimk.agg(graft.expressions.Bloom.agg(
+            col("o_orderkey"), n, bits).as("bf"))
+          .collect()(0).getAs[Array[Byte]]("bf")
+        fact.filter(graft.expressions.Bloom.mightContain(bf,
+          col("l_orderkey"))).count()
+      }
+    }
+    if (probes("bloomprof")) {
+      // decompose the q245 production filter's per-row cost
+      import graft.functions.md5Long
+      val fact = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey")).localCheckpoint(true)
+      timed("prof_scan_only")(fact.count())
+      timed("prof_one_md5")(fact.filter(
+        pmod(md5Long(col("l_orderkey").cast("string")), lit(2L)) === 0L).count())
+      val dimk = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")).localCheckpoint(true)
+      val n = dimk.distinct().count()
+      val m = graft.operators.Sketches.suggestBloomBits(n, 5)
+      var words: Array[Long] = null
+      timed("prof_words_build") {
+        words = graft.operators.Sketches.bloomWords(
+          dimk.select(col("o_orderkey").as("_k")), col("_k"), m, 5)
+        words.length.toLong
+      }
+      timed("prof_full_test")(fact.filter(
+        graft.operators.Sketches.bloomTest(col("l_orderkey"), words, m, 5))
+        .count())
+      timed("prof_test_k1")(fact.filter(
+        graft.operators.Sketches.bloomTest(col("l_orderkey"), words, m, 1))
+        .count())
     }
     if (probes("stitchgatecap")) {
       // the stitchgate leg with the q242 law's cap applied at the gate

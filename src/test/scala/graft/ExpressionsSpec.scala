@@ -129,6 +129,33 @@ class ExpressionsSpec extends SparkSpec {
     assert(out.last.isNullAt(0), "mismatched lengths must fold to null")
   }
 
+  test("BloomTestLong equals the composed element_at/shift probe chain " +
+    "on fuzzed keys and words; null key stays null") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(13)
+    // a real filter over fuzzed dim keys, probed by hits and misses
+    val dimKeys = (1 to 200).map(_ => rnd.nextLong().abs % 1000000L).distinct
+    val dim = dimKeys.toDF("k")
+    val m = Sketches.suggestBloomBits(dimKeys.size.toLong, 5)
+    val words = Sketches.bloomWords(dim, col("k"), m, 5)
+    val probes = (dimKeys.take(50) ++
+      (1 to 200).map(_ => 1000000L + rnd.nextLong().abs % 1000000L))
+      .map(Option(_)) :+ (None: Option[Long])
+    val df = probes.toDF("fk")
+    val out = df.select(
+      Sketches.bloomTest(col("fk"), words, m, 5).as("fast"),
+      Sketches.bloomTestComposed(col("fk"), words, m, 5).as("slow")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getBoolean(0) == r.getBoolean(1), r.toString)
+    }
+    assert(out.last.isNullAt(0), "null key must probe to null")
+    // every true member passes through the native path
+    val kept = df.na.drop().filter(Sketches.bloomTest(col("fk"), words, m, 5))
+      .collect().map(_.getLong(0)).toSet
+    assert(dimKeys.take(50).toSet.subsetOf(kept))
+  }
+
   test("RewriteDotFold optimizer rule turns composed dots into DotFold") {
     import graft.expressions.{DotFold => DotFoldExpr}
     val prev = spark.experimental.extraOptimizations
