@@ -1015,6 +1015,42 @@ object Sketches {
       m, kHashes))
   }
 
+  /** The past-2³⁰-bits regime of [[bloomPrune]] — IDENTICAL bits and
+    * probes (same [[suggestBloomBits]] m, same md5 + double hashing),
+    * but the words live as a (word, bits) RELATION joined on word
+    * index instead of a broadcast literal: the filter costs one
+    * shuffle of the DISTINCT fact keys' k probe rows against the m/64
+    * word rows (never the fact itself — survivors semi-join back),
+    * and m is unbounded. Use when the dim side exceeds ~10⁸ keys; the
+    * two forms prune the exact same set (spec-pinned), so the switch
+    * is a pure plan decision.
+    */
+  def bloomPruneRelation(fact: DataFrame, factKey: Column, dim: DataFrame,
+      dimKey: Column, kHashes: Int = 5): DataFrame = {
+    import graft.functions.md5Long
+    val n = math.max(1L, dim.select(dimKey).distinct().count())
+    val m = suggestBloomBits(n, kHashes)
+    def probesOf(df: DataFrame, key: Column): DataFrame =
+      df.select(md5Long(key.cast("string")).as("_h"), key.as("_k"))
+        .select(col("_k"), explode(array((0 until kHashes).map(i =>
+          bloomPos(col("_h"), i, m)): _*)).as("_p"))
+    val wordsDf = probesOf(dim.select(dimKey.as("_dk")).distinct(), col("_dk"))
+      .select(expr("_p DIV 64").as("_w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))").as("_b"))
+      .groupBy(col("_w")).agg(expr("bit_or(_b)").as("_bits"))
+    val pass = probesOf(fact.select(factKey.as("_fk")).distinct(), col("_fk"))
+      .select(col("_k").as("_fk"), expr("_p DIV 64").as("_w"),
+        expr("CAST(_p % 64 AS INT)").as("_bit"))
+      .join(wordsDf, Seq("_w"), "left")
+      .groupBy(col("_fk"))
+      .agg(sum(when(coalesce(
+        expr("(shiftright(_bits, _bit) & 1) = 1"), lit(false)), 1L)
+        .otherwise(0L)).as("_hits"))
+      .filter(col("_hits") === lit(kHashes.toLong))
+      .select(col("_fk"))
+    fact.join(pass, factKey === col("_fk"), "left_semi")
+  }
+
   /** One-row audit of [[bloomPrune]] (the q193/q240 audit discipline):
     * fact/dim populations, the law's m, pass counts, the exactly-
     * counted false positives, and `no_false_neg` COMPUTED (count of

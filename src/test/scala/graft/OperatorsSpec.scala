@@ -1276,6 +1276,12 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sketches.suggestBloomBits(0L, 5))
     intercept[IllegalArgumentException](
       Sketches.bloomWords(dim, col("k"), mBits = 32L, kHashes = 5))
+    // the relation form (the past-2^30-bits regime) prunes the EXACT
+    // same set as the broadcast-literal form — identical bits, so the
+    // switch is a pure plan decision
+    val keptRel = Sketches.bloomPruneRelation(fact, col("fk"), dim, col("k"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptRel == kept, "relation form must equal the literal form")
   }
 
   test("rrfFuse sums integer reciprocal-rank quotients; one-list docs still score") {
