@@ -5479,6 +5479,38 @@ object OracleSql {
           FROM AG ag, N n, EXA exa"""
     },
 
+    // Bloom prune, relation form: the SAME bits and double-hash
+    // positions as q245 (m re-derived from count(*) via the
+    // suggestBloomBits law), survivors aggregated per returnflag — the
+    // pruned SET itself hash-gates through the relation path
+    "q247_bloom_prune_rel" -> {
+      val mSub = "(SELECT m FROM M)"
+      def pos(h: String, i: String) =
+        s"""(($h & 1073741823)
+            + $i * ((($h >> 30) & 1073741823) * 2 + 1)) % $mSub"""
+      s"""WITH D AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                WHERE o_orderpriority = '1-URGENT'),
+          N AS (SELECT CAST(count(*) AS BIGINT) AS n FROM D),
+          M AS (SELECT CAST(n * 5 * 14427 // 10000 + 1 AS BIGINT) AS m FROM N),
+          DH AS (SELECT ${md5long("CAST(k AS VARCHAR)")} AS h FROM D),
+          DP AS (SELECT DISTINCT ${pos("dh.h", "t.i")} AS pos
+                FROM DH dh, range(5) t(i)),
+          FK AS (SELECT fk, ${md5long("CAST(fk AS VARCHAR)")} AS h FROM
+                 (SELECT DISTINCT l_orderkey AS fk FROM lineitem)),
+          HIT AS (SELECT f.fk, CAST(count(dp.pos) AS BIGINT) AS h
+                  FROM FK f CROSS JOIN range(5) t(i)
+                  LEFT JOIN DP dp ON dp.pos = ${pos("f.h", "t.i")}
+                  GROUP BY 1),
+          P AS (SELECT fk FROM HIT WHERE h = 5)
+          SELECT l.l_returnflag,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_keys,
+            CAST(sum(CAST(floor(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+              AS qty_c
+          FROM lineitem l JOIN P p ON p.fk = l.l_orderkey
+          GROUP BY 1 ORDER BY 1"""
+    },
+
     // TPC-H Q3 shape: selective-filter three-way join funnel, revenue
     // in floor-cents (identical IEEE double product order on both
     // engines before the floor), top-10 with full tiebreak

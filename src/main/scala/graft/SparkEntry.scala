@@ -2336,6 +2336,29 @@ object SparkEntry {
       t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey")), col("o_orderkey"))
 
+  /** Bloom prune, relation form (q247): the past-2³⁰-bits regime of
+    * q245 — identical suggestBloomBits m and md5 double-hash probes,
+    * but the words live as a (word, bits) RELATION joined on word
+    * index instead of a broadcast literal, so m is unbounded (the
+    * ≳10⁸-dim-key scale point; the literal form requires it out).
+    * Survivors aggregate per returnflag in floor-cent quantities, so
+    * the row hash-gates the pruned SET through the relation path;
+    * OperatorsSpec pins relation ≡ literal on the same bits. See
+    * Sketches.bloomPruneRelation.
+    */
+  private def qBloomPruneRel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.bloomPruneRelation(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"),
+        col("l_returnflag")),
+      col("l_orderkey"),
+      t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")), col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_keys"),
+        sum(floor(col("l_quantity") * 100).cast("long")).as("qty_c"))
+      .orderBy(col("l_returnflag"))
+
   /** TPC-H Q3 shape (q244): shipping priority — the selective-filter
     * three-way join funnel that complements q238's HAVING funnel: both
     * date predicates push to the parquet scans (plan-pinned), the
@@ -4139,7 +4162,8 @@ object SparkEntry {
     "q243_ams_estimate" -> (qAmsEstimate _),
     "q244_shipping_priority" -> (qShippingPriority _),
     "q245_bloom_prune" -> (qBloomPrune _),
-    "q246_inc_semantic_pq" -> (qIncSemanticPq _))
+    "q246_inc_semantic_pq" -> (qIncSemanticPq _),
+    "q247_bloom_prune_rel" -> (qBloomPruneRel _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -576,6 +576,15 @@ class PlanQualitySpec extends SparkSpec {
       s"bloom-pruned fact plan must be a pure map-side filter:\n$p")
   }
 
+  test("bloom prune relation row: distinct-key probes + semi-join back, " +
+    "never cartesian") {
+    val p = plan("q247_bloom_prune_rel")
+    assert(p.contains("LeftSemi"),
+      s"relation-form survivors must return via a left-semi join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"probe/word matching must stay an equi-join:\n$p")
+  }
+
   test("semantic-PQ gate row: never cartesian (bucket + LUT equi-joins only)") {
     val p = plan("q246_inc_semantic_pq")
     assert(!p.contains("CartesianProduct"),
