@@ -5511,6 +5511,27 @@ object OracleSql {
           GROUP BY 1 ORDER BY 1"""
     },
 
+    // TPC-H Q21 shape: the TEXTBOOK exists/not-exists formulation —
+    // the engine runs the per-order aggregate rewrite, so this oracle
+    // hash-gates the rewrite's equivalence itself. numwait counts l1
+    // rows (a supplier's multiple late lines on one order each count),
+    // matching the engine's late-line sum
+    "q248_waiting_suppliers" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM supplier s
+         JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         WHERE o.o_orderstatus = 'F'
+           AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                       WHERE l3.l_orderkey = l1.l_orderkey
+                         AND l3.l_suppkey <> l1.l_suppkey
+                         AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""",
+
     // TPC-H Q3 shape: selective-filter three-way join funnel, revenue
     // in floor-cents (identical IEEE double product order on both
     // engines before the floor), top-10 with full tiebreak

@@ -2359,6 +2359,47 @@ object SparkEntry {
         sum(floor(col("l_quantity") * 100).cast("long")).as("qty_c"))
       .orderBy(col("l_returnflag"))
 
+  /** TPC-H Q21 shape (q248): suppliers who kept orders waiting — the
+    * sole LATE shipper (shipdate > orderdate + 60 days) on a
+    * multi-supplier completed order, numwait counting their late
+    * lines. The reference formulation is EXISTS + NOT EXISTS — two
+    * extra fact self-joins (a semi and an anti, each a full lineitem
+    * shuffle); the engine REWRITES it as ONE per-order aggregate
+    * (distinct suppliers, distinct late suppliers, the sole late
+    * supplier via null-skipping max, late-line count), filters
+    * n_supp ≥ 2 ∧ n_late_supp = 1, and re-groups by the survivor —
+    * one wide exchange over lineitem total, with the supplier dim
+    * broadcast at the end. The DuckDB oracle runs the textbook
+    * EXISTS/NOT-EXISTS form, so the rewrite's equivalence is itself
+    * hash-gated. Plan-pinned: exactly one lineitem scan, no anti
+    * join, TakeOrdered top-100.
+    */
+  private def qWaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val soleLate = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("_late_supp",
+        when(col("l_shipdate") > col("o_orderdate") +
+          expr("INTERVAL 60 DAYS"), col("l_suppkey")))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("_ns"),
+        countDistinct(col("_late_supp")).as("_nl"),
+        max(col("_late_supp")).as("_supp"),
+        sum(when(col("_late_supp").isNotNull, 1L).otherwise(0L))
+          .as("_late_lines"))
+      .filter(col("_ns") >= 2L && col("_nl") === 1L)
+    soleLate.groupBy(col("_supp"))
+      .agg(sum(col("_late_lines")).as("numwait"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** TPC-H Q3 shape (q244): shipping priority — the selective-filter
     * three-way join funnel that complements q238's HAVING funnel: both
     * date predicates push to the parquet scans (plan-pinned), the
@@ -4163,7 +4204,8 @@ object SparkEntry {
     "q244_shipping_priority" -> (qShippingPriority _),
     "q245_bloom_prune" -> (qBloomPrune _),
     "q246_inc_semantic_pq" -> (qIncSemanticPq _),
-    "q247_bloom_prune_rel" -> (qBloomPruneRel _))
+    "q247_bloom_prune_rel" -> (qBloomPruneRel _),
+    "q248_waiting_suppliers" -> (qWaitingSuppliers _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

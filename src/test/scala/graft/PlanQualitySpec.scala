@@ -576,6 +576,17 @@ class PlanQualitySpec extends SparkSpec {
       s"bloom-pruned fact plan must be a pure map-side filter:\n$p")
   }
 
+  test("Q21 funnel: the aggregate rewrite scans lineitem ONCE — no " +
+    "semi/anti self-joins; top-k is TakeOrdered") {
+    val p = plan("q248_waiting_suppliers")
+    assert(p.split("lineitem\\.parquet").length - 1 == 1,
+      s"the rewrite's point is ONE lineitem scan, not three:\n$p")
+    assert(!p.contains("LeftAnti") && !p.contains("LeftSemi"),
+      s"exists/not-exists must be rewritten away:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrdered, never a global sort:\n$p")
+  }
+
   test("bloom prune relation row: distinct-key probes + semi-join back, " +
     "never cartesian") {
     val p = plan("q247_bloom_prune_rel")
