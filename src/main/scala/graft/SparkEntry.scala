@@ -2364,34 +2364,45 @@ object SparkEntry {
     * multi-supplier completed order, numwait counting their late
     * lines. The reference formulation is EXISTS + NOT EXISTS — two
     * extra fact self-joins (a semi and an anti, each a full lineitem
-    * shuffle); the engine REWRITES it as ONE per-order aggregate
-    * (distinct suppliers, distinct late suppliers, the sole late
-    * supplier via null-skipping max, late-line count), filters
-    * n_supp ≥ 2 ∧ n_late_supp = 1, and re-groups by the survivor —
-    * one wide exchange over lineitem total, with the supplier dim
-    * broadcast at the end. The DuckDB oracle runs the textbook
-    * EXISTS/NOT-EXISTS form, so the rewrite's equivalence is itself
-    * hash-gated. Plan-pinned: exactly one lineitem scan, no anti
-    * join, TakeOrdered top-100.
+    * shuffle); the engine REWRITES it as a TWO-LEVEL aggregate:
+    * per-(order, supplier) late-line counts first (the one wide
+    * exchange, map-side combined), then per-order over the distinct
+    * pairs only (supplier count, late-supplier count, the sole late
+    * supplier via null-skipping max) — deliberately NOT a single
+    * groupBy with two countDistincts, whose Expand triples the rows
+    * entering the wide exchange (measured slower than the naive form
+    * at sf0.1: 4.6 s vs 2.4 s; the two-level form wins — BASELINE
+    * round-13 Q21 study). Survivors (n_supp ≥ 2 ∧ n_late_supp = 1)
+    * regroup by the sole supplier; supplier dim broadcasts at the
+    * end. The DuckDB oracle runs the textbook EXISTS/NOT-EXISTS form,
+    * so the rewrite's equivalence is itself hash-gated. Plan-pinned:
+    * exactly one lineitem scan, no semi/anti join, no Expand,
+    * TakeOrdered top-100.
     */
   private def qWaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
     val l = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-    val soleLate = l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .withColumn("_late_supp",
-        when(col("l_shipdate") > col("o_orderdate") +
-          expr("INTERVAL 60 DAYS"), col("l_suppkey")))
-      .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("_ns"),
-        countDistinct(col("_late_supp")).as("_nl"),
-        max(col("_late_supp")).as("_supp"),
-        sum(when(col("_late_supp").isNotNull, 1L).otherwise(0L))
-          .as("_late_lines"))
+    // ONE explicit fact-wide exchange on l_orderkey: HashPartitioning(k)
+    // satisfies ClusteredDistribution for BOTH downstream groupBys
+    // ((k, s) and (k)), so the two aggregate levels run exchange-free
+    // on top of it — without this, the broadcast orders join leaves the
+    // fact unpartitioned and each groupBy pays its own fact-wide
+    // shuffle (measured: 2 exchanges → 1, gen-sf1 plan dump)
+    val perSupp = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("l_shipdate") > col("o_orderdate") +
+        expr("INTERVAL 60 DAYS"), 1L).otherwise(0L)).as("_late_lines"))
+    val soleLate = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("_ns"),
+        sum(when(col("_late_lines") > 0L, 1L).otherwise(0L)).as("_nl"),
+        max(when(col("_late_lines") > 0L, col("l_suppkey"))).as("_supp"),
+        sum(col("_late_lines")).as("_order_late_lines"))
       .filter(col("_ns") >= 2L && col("_nl") === 1L)
     soleLate.groupBy(col("_supp"))
-      .agg(sum(col("_late_lines")).as("numwait"))
+      .agg(sum(col("_order_late_lines")).as("numwait"))
       .join(broadcast(t(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_name"))),
         col("_supp") === col("s_suppkey"))

@@ -11,7 +11,8 @@ object ScaleProbe {
   private val Known = Set("simhash8", "simhash15", "simhashAuto",
     "neardup8", "neardup12", "brute", "curation",
     "semantic8", "semanticAuto", "semantic2", "semantic3", "jaccard400",
-    "videodup", "ams", "stitchgate", "stitchgatecap", "bloom", "bloomprof")
+    "videodup", "ams", "stitchgate", "stitchgatecap", "bloom", "bloomprof",
+    "q21")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -306,6 +307,44 @@ object ScaleProbe {
       timed("prof_test_k1")(fact.filter(
         graft.operators.Sketches.bloomTest(col("l_orderkey"), words, m, 1))
         .count())
+    }
+    if (probes("q21")) {
+      // q248's two formulations measured head to head: the engine's
+      // per-order aggregate rewrite (one lineitem exchange) vs the
+      // textbook EXISTS/NOT-EXISTS form (a semi + an anti fact
+      // self-join — three lineitem shuffles). Same answer (the q248
+      // oracle hash-gates that); this probe measures the plan delta.
+      def ord = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      def li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      timed("q21_aggregate_rewrite") {
+        val rw = graft.SparkEntry.queries("q248_waiting_suppliers")(spark, dir)
+        val n = rw.count()
+        if (sys.env.contains("GRAFT_PROBE_EXPLAIN"))
+          println(rw.queryExecution.executedPlan.toString)
+        n
+      }
+      timed("q21_exists_naive") {
+        val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") +
+            expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey").as("k"), col("l_suppkey").as("s"))
+        val anyOther = li.select(col("l_orderkey").as("k2"),
+          col("l_suppkey").as("s2"))
+        val lateOther = late.select(col("k").as("k3"), col("s").as("s3"))
+        val naive = late
+          .join(anyOther, col("k") === col("k2") && col("s") =!= col("s2"),
+            "left_semi")
+          .join(lateOther, col("k") === col("k3") && col("s") =!= col("s3"),
+            "left_anti")
+          .groupBy(col("s")).agg(count(lit(1)).as("numwait"))
+        val n = naive.count()
+        if (sys.env.contains("GRAFT_PROBE_EXPLAIN"))
+          println(naive.queryExecution.executedPlan.toString)
+        n
+      }
     }
     if (probes("stitchgatecap")) {
       // the stitchgate leg with the q242 law's cap applied at the gate

@@ -583,6 +583,8 @@ class PlanQualitySpec extends SparkSpec {
       s"the rewrite's point is ONE lineitem scan, not three:\n$p")
     assert(!p.contains("LeftAnti") && !p.contains("LeftSemi"),
       s"exists/not-exists must be rewritten away:\n$p")
+    assert(!p.contains("Expand"),
+      s"two-level aggregate, never countDistinct's row-tripling Expand:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-100 must be TakeOrdered, never a global sort:\n$p")
   }
