@@ -885,6 +885,23 @@ object OracleSql {
           SELECT node AS doc_id, min(r) AS cluster_id FROM REACH
           GROUP BY node ORDER BY doc_id""",
 
+    // incremental cluster maintenance: the engine maintains (prior CC
+    // over even-id pairs + the odd-touching delta through the
+    // contracted rep graph); the oracle recomputes in FULL — q36's
+    // recursive reachability verbatim — so maintained ≡ recompute is
+    // the hash contract itself (the q216/q212 shared-oracle precedent)
+    "q249_maintain_clusters" ->
+      s"""WITH RECURSIVE
+          ${lshPairCtes("documents")},
+          EDGES AS (SELECT id_a AS src, id_b AS dst FROM PAIRS
+                    UNION SELECT id_b, id_a FROM PAIRS),
+          REACH(node, r) AS (
+            SELECT src, src FROM EDGES
+            UNION
+            SELECT e.dst, r.r FROM REACH r JOIN EDGES e ON e.src = r.node)
+          SELECT node AS doc_id, min(r) AS cluster_id FROM REACH
+          GROUP BY node ORDER BY doc_id""",
+
     // duplication-mass histogram: q36's reachability clusters, then
     // clusters-per-size
     "q132_dup_mass" ->

@@ -906,6 +906,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental cluster maintenance (q249): q36's labeling produced
+    * by MAINTENANCE instead of recompute — prior = CC over the pairs
+    * among even doc_ids (the first ingest), delta = every pair
+    * touching an odd doc_id (the second), labels updated through the
+    * contracted rep graph (Dedup.maintainComponents: history never
+    * shuffles; the fixpoint runs on touched reps + new ids only). The
+    * oracle is q36's FULL recursive reachability over all pairs, so
+    * maintained ≡ full recompute is the hash contract itself.
+    */
+  private def qMaintainClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint(true)
+    val even = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+    val delta = pairs.filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+    Dedup.maintainComponents(Dedup.connectedComponents(even), delta)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplication-mass histogram (q132): q36's LSH cluster labeling,
     * then clusters-per-size and docs-tied-up — the "is dedup worth it"
     * one-pager. See Dedup.clusterSizeHistogram.
@@ -4216,7 +4235,8 @@ object SparkEntry {
     "q245_bloom_prune" -> (qBloomPrune _),
     "q246_inc_semantic_pq" -> (qIncSemanticPq _),
     "q247_bloom_prune_rel" -> (qBloomPruneRel _),
-    "q248_waiting_suppliers" -> (qWaitingSuppliers _))
+    "q248_waiting_suppliers" -> (qWaitingSuppliers _),
+    "q249_maintain_clusters" -> (qMaintainClusters _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -12,7 +12,7 @@ object ScaleProbe {
     "neardup8", "neardup12", "brute", "curation",
     "semantic8", "semanticAuto", "semantic2", "semantic3", "jaccard400",
     "videodup", "ams", "stitchgate", "stitchgatecap", "bloom", "bloomprof",
-    "q21")
+    "q21", "ccmaint", "ccmaintsyn")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -307,6 +307,49 @@ object ScaleProbe {
       timed("prof_test_k1")(fact.filter(
         graft.operators.Sketches.bloomTest(col("l_orderkey"), words, m, 1))
         .count())
+    }
+    if (probes("ccmaint")) {
+      // q249 maintenance-vs-history slope (the q222/q239 discipline):
+      // prior = CC over pairs among doc_id >= 2000 (history, grows
+      // with SF), delta = pairs touching doc_id < 2000 (fixed batch);
+      // prior CC and the pair stream are built untimed, then the
+      // maintenance call is timed against the full-recompute reference
+      val pairs = graft.operators.Dedup
+        .minhashLshPairs(docs, "doc_id", "text").localCheckpoint(true)
+      val hist = pairs.filter(col("id_a") >= 2000L && col("id_b") >= 2000L)
+      val delta = pairs.filter(col("id_a") < 2000L || col("id_b") < 2000L)
+        .localCheckpoint(true)
+      val prior = graft.operators.Dedup.connectedComponents(hist)
+        .localCheckpoint(true)
+      val (np, nd) = (prior.count(), delta.count())
+      timed(s"ccmaint_prior${np}_delta${nd}")(
+        graft.operators.Dedup.maintainComponents(prior, delta).count())
+      timed("ccmaint_full_recompute")(
+        graft.operators.Dedup.connectedComponents(pairs).count())
+    }
+    if (probes("ccmaintsyn")) {
+      // the documents fixture's dup rate is too sparse to stress label
+      // maintenance (40 prior labels at gen-sf0.1) — this ladder
+      // isolates the law: HISTORY = n labels in size-10 components,
+      // DELTA fixed at 100 merging pairs; maintenance must track the
+      // delta (plus one map-side scan of history), while the full
+      // recompute walks every history edge through the fixpoint
+      import graft.operators.Dedup
+      for (n <- Seq(1000000L, 10000000L, 100000000L)) {
+        val prior = spark.range(n).select(col("id"),
+          (col("id") - col("id") % 10).as("cluster_id"))
+        val delta = spark.range(100).select((col("id") * 20).as("id_a"),
+          (col("id") * 20 + 10).as("id_b"))
+        timed(s"ccmaintsyn_hist$n")(
+          Dedup.maintainComponents(prior, delta).count())
+        if (n <= 10000000L) {
+          val star = spark.range(n).filter(col("id") % 10 =!= 0)
+            .select(col("id").as("id_a"),
+              (col("id") - col("id") % 10).as("id_b"))
+          timed(s"ccmaintsyn_recompute$n")(
+            Dedup.connectedComponents(star.unionByName(delta)).count())
+        }
+      }
     }
     if (probes("q21")) {
       // q248's two formulations measured head to head: the engine's

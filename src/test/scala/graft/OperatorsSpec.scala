@@ -2350,6 +2350,41 @@ class OperatorsSpec extends SparkSpec {
     assert(viaPairs == viaBuckets, s"$viaPairs vs $viaBuckets")
   }
 
+  test("maintainComponents: merges, new-min relabel, untouched stability, " +
+    "empty cases — always ≡ full recompute") {
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // prior: {1,2,3} rep 1, {10,11} rep 10, {20,21} rep 20
+    val e1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val prior = Dedup.connectedComponents(e1)
+    // delta: merge comps 1 and 10 via (3,10); new pair (30,31); a new
+    // node 5 SMALLER than rep 10 joins 11 (must relabel the whole
+    // merged component to 1's... 5 connects to 11 → comp {1..} ∪ {10,11}
+    // ∪ {5}: global min 1); an IN-component edge (20,21) changes nothing
+    val delta = Seq((3L, 10L), (30L, 31L), (5L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val maintained = labelsOf(Dedup.maintainComponents(prior, delta))
+    val full = labelsOf(Dedup.connectedComponents(e1.unionByName(delta)))
+    assert(maintained == full, s"$maintained vs $full")
+    assert(maintained(5L) == 1L && maintained(10L) == 1L &&
+      maintained(30L) == 30L && maintained(31L) == 30L)
+    assert(maintained(20L) == 20L && maintained(21L) == 20L,
+      s"untouched component must keep its label: $maintained")
+    // new-min relabel in isolation: node 5 < rep 10 takes over
+    val m2 = labelsOf(Dedup.maintainComponents(
+      Dedup.connectedComponents(Seq((10L, 11L)).toDF("id_a", "id_b")),
+      Seq((5L, 11L)).toDF("id_a", "id_b")))
+    assert(m2 == Map(5L -> 5L, 10L -> 5L, 11L -> 5L), s"$m2")
+    // empty delta → prior unchanged; empty prior → plain CC
+    val pm = labelsOf(prior)
+    assert(labelsOf(Dedup.maintainComponents(prior,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))) == pm)
+    assert(labelsOf(Dedup.maintainComponents(
+      Seq.empty[(Long, Long)].toDF("id", "cluster_id"),
+      Seq((7L, 8L)).toDF("id_a", "id_b"))) == Map(7L -> 7L, 8L -> 7L))
+  }
+
   test("cmsPerSourceMerge: merged estimates bit-equal the direct sketch; exact ranks") {
     import graft.operators.Sketches
     val docs = Seq(
