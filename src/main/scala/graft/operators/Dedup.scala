@@ -813,11 +813,54 @@ object Dedup {
     if (d.isEmpty)
       return p.select(col("_pid").as("id"), col("_prep").as("cluster_id"))
     if (p.isEmpty) return connectedComponents(d, maxIter)
+    val (touched, repMap, newNodes) = maintParts(p, d, maxIter)
+    val updated = p.join(
+        broadcast(repMap.select(col("id").as("_r"), col("cluster_id").as("_nr"))),
+        col("_prep") === col("_r"), "left")
+      .select(col("_pid").as("id"),
+        coalesce(col("_nr"), col("_prep")).as("cluster_id"))
+    updated.unionByName(newNodes)
+  }
+
+  /** The LAKE write set of [[maintainComponents]]: only labels that
+    * CHANGED (members of components whose rep was displaced) or are
+    * NEW (delta nodes absent from prior) — exactly the rows a
+    * bucketed-table COW upsert should touch, so a 10⁸-label table pays
+    * per-ingest IO proportional to the merge, not to history. Same
+    * contract, same exactness: prior ⊎ this delta ≡ the full
+    * [[maintainComponents]] output ≡ a full recompute. Re-delivering
+    * an already-applied delta returns ZERO rows (its edges contract to
+    * self-loops), making upsert loops idempotent for free.
+    */
+  def maintainComponentsDelta(prior: DataFrame, deltaPairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val p = prior.select(col("id").as("_pid"), col("cluster_id").as("_prep"))
+    val d = deltaPairs.select(col("id_a"), col("id_b")).distinct()
+      .localCheckpoint(true)
+    if (d.isEmpty)
+      return d.select(col("id_a").as("id"), col("id_b").as("cluster_id"))
+    if (p.isEmpty) return connectedComponents(d, maxIter)
+    val (_, repMap, newNodes) = maintParts(p, d, maxIter)
+    val changed = p.join(
+        broadcast(repMap.select(col("id").as("_r"), col("cluster_id").as("_nr"))),
+        col("_prep") === col("_r"))
+      .filter(col("_nr") =!= col("_prep"))
+      .select(col("_pid").as("id"), col("_nr").as("cluster_id"))
+    changed.unionByName(newNodes)
+  }
+
+  /** Shared maintenance internals: (touched prior rows, the contracted
+    * graph's rep→rep' labeling, new-node labels). See
+    * [[maintainComponents]] for the scale argument.
+    */
+  private def maintParts(p: DataFrame, d: DataFrame, maxIter: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val dn = d.select(col("id_a").as("_n"))
       .unionByName(d.select(col("id_b").as("_n"))).distinct()
       .localCheckpoint(true)
     // the ONLY touches of the full label table: a map-side broadcast
-    // semi (here) and the map-side broadcast update join (below)
+    // semi (here) and the map-side broadcast update/changed join in
+    // the callers
     val touched = p.join(broadcast(dn), col("_pid") === col("_n"), "left_semi")
       .localCheckpoint(true)
     val ta = touched.select(col("_pid").as("_a"), col("_prep").as("_ra"))
@@ -831,11 +874,6 @@ object Dedup {
     // CC over touched reps + new ids — the delta-bounded fixpoint
     val repMap = connectedComponents(contracted, maxIter)
       .localCheckpoint(true)
-    val updated = p.join(
-        broadcast(repMap.select(col("id").as("_r"), col("cluster_id").as("_nr"))),
-        col("_prep") === col("_r"), "left")
-      .select(col("_pid").as("id"),
-        coalesce(col("_nr"), col("_prep")).as("cluster_id"))
     // delta nodes absent from prior: labeled by the contracted CC; a
     // new node always survives contraction (its id can't equal a prior
     // rep), so the fallback-to-self only covers degenerate inputs
@@ -844,7 +882,7 @@ object Dedup {
       .join(broadcast(repMap.select(col("id").as("_r2"),
         col("cluster_id").as("_nc"))), col("_n") === col("_r2"), "left")
       .select(col("_n").as("id"), coalesce(col("_nc"), col("_n")).as("cluster_id"))
-    updated.unionByName(newNodes)
+    (touched, repMap, newNodes)
   }
 
   /** Quality-aware near-dup representative selection — production

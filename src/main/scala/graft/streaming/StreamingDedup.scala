@@ -81,4 +81,50 @@ object StreamingDedup {
       graft.operators.Dedup.cdcChunks(stream, idCol, textCol, mask,
         carry = Seq(tsCol)),
       tsCol, delay, Seq("chunk_h"))
+
+  /** Streaming cluster-label maintenance — the streaming twin of
+    * [[graft.operators.Dedup.maintainComponents]]: each micro-batch of
+    * near-dup PAIRS (id_a, id_b) folds into a versioned label table
+    * through [[graft.operators.Dedup.maintainComponentsDelta]], so the
+    * lake always carries the labeling a full recompute over every pair
+    * seen so far would produce — while each batch pays only the
+    * contracted-graph fixpoint plus a COW upsert of the labels that
+    * actually changed (per-ingest IO tracks the merge, not history).
+    *
+    * Same foreachBatch rationale as the ingest gates (the update needs
+    * a join against the very table the stream is appending to), same
+    * one-code-path guarantee (stream and batch maintenance CANNOT
+    * drift), same idempotence: a re-delivered batch's edges contract
+    * to self-loops, the delta comes back empty, and nothing commits —
+    * at-least-once sources land exactly-once label state.
+    *
+    * State: none in the streaming engine — the state IS the label
+    * table (recordkey = id, precombine = batch_no), readable by any
+    * batch job mid-stream.
+    */
+  def clusterMaintGate(stream: DataFrame,
+      labels: graft.operators.VersionedTable,
+      checkpointDir: String, batchBase: Long = 0L,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prior = labels.snapshotOpt
+          .map(_.select(col("id"), col("cluster_id")))
+          .getOrElse(spark.range(0)
+            .select(col("id"), col("id").as("cluster_id")))
+        val changes = graft.operators.Dedup.maintainComponentsDelta(
+          prior, batch.select(col("id_a"), col("id_b")))
+          .localCheckpoint(true)
+        if (!changes.isEmpty)
+          labels.upsert(changes.withColumn("batch_no",
+            lit(batchBase + batchId)))
+        ()
+      }
+      .start()
 }

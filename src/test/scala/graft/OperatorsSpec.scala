@@ -2383,6 +2383,20 @@ class OperatorsSpec extends SparkSpec {
     assert(labelsOf(Dedup.maintainComponents(
       Seq.empty[(Long, Long)].toDF("id", "cluster_id"),
       Seq((7L, 8L)).toDF("id_a", "id_b"))) == Map(7L -> 7L, 8L -> 7L))
+    // the lake write set: prior overlaid with the delta rows must
+    // reproduce the full maintained table, and only changed/new labels
+    // may appear in it (the untouched component stays out)
+    val writeSet = labelsOf(Dedup.maintainComponentsDelta(prior, delta))
+    assert(pm ++ writeSet == maintained, s"$writeSet")
+    assert(!writeSet.contains(20L) && !writeSet.contains(21L),
+      s"untouched labels must not be rewritten: $writeSet")
+    assert(writeSet.forall { case (id, c) => pm.get(id) != Some(c) },
+      s"write set must carry only changes: $writeSet")
+    // re-delivering an applied delta yields ZERO rows (upsert loops
+    // are idempotent for free)
+    val applied = Dedup.maintainComponents(prior, delta)
+    assert(Dedup.maintainComponentsDelta(applied, delta).isEmpty,
+      "re-delivered delta must produce an empty write set")
   }
 
   test("cmsPerSourceMerge: merged estimates bit-equal the direct sketch; exact ranks") {

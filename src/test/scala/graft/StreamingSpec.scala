@@ -1100,6 +1100,7 @@ class StreamingSpec extends SparkSpec {
     * | …  .semanticPqIngestGate    | admitted PQ-code index (VT) | IncrementalDedup.appendNovelSemanticPq replay | "semantic-PQ ingest gate" test (code snapshot ≡ batch replay) |
     * | …  .mediaIngestGate         | admitted fp index (VT)      | IncrementalDedup.appendNovelFingerprint      | "media ingest gate" test (snapshot ≡ batch replay) |
     * | …  .stitchIngestGate        | boundary index (VT)         | IncrementalDedup.detectStitches replay       | "stitch ingest gate" test (pairs + snapshot ≡ batch replay) |
+    * | StreamingDedup.clusterMaintGate | cluster label table (VT) | Dedup.connectedComponents over all pairs — label-equal | "cluster maintenance gate" test (snapshot ≡ full recompute + re-delivery no-op) |
     * | StreamingHeavyHitters (CMS) | (r,cell)→counter relation   | Sketches portable-CMS counters — bit-equal   | HERE (streamed upserts ≡ batch counters) |
     * | StreamingHeavyHitters (win) | per-window count state      | same groupBy on batch — count-equal          | "windowed heavy hitters" test |
     * | EventStream.sessionize      | open SessionState per user  | lag/gap window sessionization — here         | HERE (flushed sessions ≡ batch windows) |
@@ -1109,6 +1110,51 @@ class StreamingSpec extends SparkSpec {
     * | StreamingAttribution        | join buffer (Spark)         | batch interval join + last-click             | "stream-stream interval join" test |
     * | StreamingIngest             | registered-file set (ctrl)  | Pipeline batch registration, exactly-once    | "streaming ingest registers" test |
     */
+  test("cluster maintenance gate: streamed label table equals the full " +
+    "recompute; re-delivery commits nothing") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val srcDir = Fixtures.tmpDir("cmg_src")
+    val ckpt = Fixtures.tmpDir("cmg_ckpt").toString
+    val vtRoot = Fixtures.tmpDir("cmg_vt").toString
+    val batch1 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val batch2 = Seq((3L, 10L), (30L, 31L), (5L, 11L))
+    def addFile(n: Int, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = Fixtures.tmpDir(s"cmg_tmp$n")
+      rows.toDF("id_a", "id_b").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, srcDir.resolve(s"b$n.parquet"))
+    }
+    val labels = new graft.operators.VersionedTable(spark, vtRoot, "id",
+      "batch_no", numBuckets = 4)
+    def run(ck: String): Unit = {
+      val stream = spark.readStream.schema("id_a LONG, id_b LONG")
+        .parquet(srcDir.toString)
+      graft.streaming.StreamingDedup.clusterMaintGate(stream, labels, ck)
+        .awaitTermination(120000)
+    }
+    addFile(1, batch1); run(ckpt)
+    addFile(2, batch2); run(ckpt)
+    def snap = labels.snapshot.select("id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.operators.Dedup
+      .connectedComponents((batch1 ++ batch2).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap == full,
+      s"streamed label table must equal the full recompute: $snap vs $full")
+    // node 5 < rep 10 displaced the rep across the merge; 30/31 are new
+    assert(full(10L) == 1L && full(5L) == 1L && full(30L) == 30L)
+    // re-delivery through a FRESH checkpoint: the applied deltas
+    // contract to self-loops, the write set is empty, nothing commits
+    val commitsBefore = labels.commits.size
+    run(Fixtures.tmpDir("cmg_ckpt2").toString)
+    assert(labels.commits.size == commitsBefore,
+      "re-delivered batches must not commit")
+    assert(snap == full, "labels unchanged after re-delivery")
+  }
+
   test("state-identity parity table: sessionize, dedup, and CMS counter pins") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
