@@ -902,6 +902,37 @@ object OracleSql {
           SELECT node AS doc_id, min(r) AS cluster_id FROM REACH
           GROUP BY node ORDER BY doc_id""",
 
+    // cluster-maintenance write set: the engine emits
+    // maintainComponentsDelta's changed/new labels; the oracle derives
+    // the same set INDEPENDENTLY as full-recompute labels minus the
+    // even-prior labels (absent id, or a differing cluster) — the
+    // "only changed or new" contract hash-gated from the other side
+    "q250_maintain_clusters_delta" ->
+      s"""WITH RECURSIVE
+          ${lshPairCtes("documents")},
+          EDGES AS (SELECT id_a AS src, id_b AS dst FROM PAIRS
+                    UNION SELECT id_b, id_a FROM PAIRS),
+          REACH(node, r) AS (
+            SELECT src, src FROM EDGES
+            UNION
+            SELECT e.dst, r.r FROM REACH r JOIN EDGES e ON e.src = r.node),
+          FULLCC AS (SELECT node, min(r) AS cluster_id FROM REACH
+                     GROUP BY node),
+          PE AS (SELECT id_a, id_b FROM PAIRS
+                 WHERE id_a % 2 = 0 AND id_b % 2 = 0),
+          EDGES_E AS (SELECT id_a AS src, id_b AS dst FROM PE
+                      UNION SELECT id_b, id_a FROM PE),
+          REACH_E(node, r) AS (
+            SELECT src, src FROM EDGES_E
+            UNION
+            SELECT e.dst, r.r FROM REACH_E r JOIN EDGES_E e ON e.src = r.node),
+          PRIOR AS (SELECT node, min(r) AS cluster_id FROM REACH_E
+                    GROUP BY node)
+          SELECT f.node AS doc_id, f.cluster_id
+          FROM FULLCC f LEFT JOIN PRIOR p ON p.node = f.node
+          WHERE p.node IS NULL OR p.cluster_id <> f.cluster_id
+          ORDER BY doc_id""",
+
     // duplication-mass histogram: q36's reachability clusters, then
     // clusters-per-size
     "q132_dup_mass" ->

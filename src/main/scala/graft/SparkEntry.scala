@@ -925,6 +925,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster-maintenance write set (q250): q249's ingest expressed as
+    * the rows a COW upsert would touch — Dedup.maintainComponentsDelta
+    * over the same even-prior/odd-delta split. The oracle re-derives
+    * it independently as (full recompute) MINUS (prior labels), so the
+    * "only changed or new labels" contract is itself hash-gated.
+    */
+  private def qMaintainClustersDelta(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint(true)
+    val even = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+    val delta = pairs.filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+    Dedup.maintainComponentsDelta(Dedup.connectedComponents(even), delta)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplication-mass histogram (q132): q36's LSH cluster labeling,
     * then clusters-per-size and docs-tied-up — the "is dedup worth it"
     * one-pager. See Dedup.clusterSizeHistogram.
@@ -4236,7 +4252,8 @@ object SparkEntry {
     "q246_inc_semantic_pq" -> (qIncSemanticPq _),
     "q247_bloom_prune_rel" -> (qBloomPruneRel _),
     "q248_waiting_suppliers" -> (qWaitingSuppliers _),
-    "q249_maintain_clusters" -> (qMaintainClusters _))
+    "q249_maintain_clusters" -> (qMaintainClusters _),
+    "q250_maintain_clusters_delta" -> (qMaintainClustersDelta _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
