@@ -589,6 +589,25 @@ class PlanQualitySpec extends SparkSpec {
       s"top-100 must be TakeOrdered, never a global sort:\n$p")
   }
 
+  test("maintainComponents: the label-table path is broadcast-joined — " +
+    "history never shuffles") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val prior = spark.range(1000000L).select(col("id"),
+      (col("id") - col("id") % 10).as("cluster_id"))
+    val delta = spark.range(50).select((col("id") * 20).as("id_a"),
+      (col("id") * 20 + 10).as("id_b"))
+    val out = graft.operators.Dedup.maintainComponents(prior, delta)
+    val p = out.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the rep→rep' update must broadcast the small side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join may touch the million-row label table:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(_pid") &&
+      !p.contains("Exchange hashpartitioning(id#"),
+      s"the label table must not be hash-exchanged:\n$p")
+  }
+
   test("bloom prune relation row: distinct-key probes + semi-join back, " +
     "never cartesian") {
     val p = plan("q247_bloom_prune_rel")
