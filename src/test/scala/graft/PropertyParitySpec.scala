@@ -134,6 +134,34 @@ class PropertyParitySpec extends SparkSpec {
     }
   }
 
+  test("property: multi-batch maintainComponentsDelta overlay ≡ one-shot CC " +
+    "on generated graphs") {
+    val edgeGen = for {
+      a <- Gen.choose(0L, 60L)
+      b <- Gen.choose(0L, 60L)
+    } yield (a, b) // self-loops allowed — a node citing itself must label itself
+    for (trial <- 0 until 5) {
+      val edges = sample(Gen.listOfN(36, edgeGen), seed = 20260816L + trial)
+      val nBatches = 1 + trial % 4
+      val batches = edges.zipWithIndex.groupBy(_._2 % nBatches)
+        .toSeq.sortBy(_._1).map(_._2.map(_._1))
+      var lbl = Map.empty[Long, Long]
+      batches.foreach { b =>
+        val ws = Dedup.maintainComponentsDelta(
+          lbl.toSeq.toDF("id", "cluster_id"), b.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // the write set never re-states an unchanged label
+        assert(ws.forall { case (id, c) => lbl.get(id) != Some(c) },
+          s"trial $trial: write set restated unchanged labels: $ws")
+        lbl = lbl ++ ws
+      }
+      val full = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lbl == full,
+        s"trial $trial ($nBatches batches): overlay $lbl vs recompute $full")
+    }
+  }
+
   test("property: dailyAnomalies ≡ a driver-side reference z-test on generated series") {
     // random (type, day, count) series with gaps and spikes; the
     // operator's windowed integer arithmetic must match a plain Scala
