@@ -5527,6 +5527,61 @@ object OracleSql {
           FROM AG ag, N n, EXA exa"""
     },
 
+    // KMV key-overlap report: both bottom-256 key sketches, the union
+    // k-set Broder estimator, the q215 union-size estimate, and the
+    // exact distinct-key audits replayed in SQL — every column a
+    // deterministic integer function of the key sets (HUGEINT where
+    // (k-1)·2^60 exceeds BIGINT, mirroring the engine's DECIMAL(38,0))
+    "q251_kmv_key_overlap" -> {
+      val k = 256
+      def est(m: String, kth: String, sub: String) =
+        s"""CASE WHEN $m < $k THEN $sub
+            ELSE CAST((${k - 1}::HUGEINT * (1::HUGEINT << 60)) // $kth
+                 AS BIGINT) END"""
+      s"""WITH KA AS (SELECT DISTINCT ${md5long("CAST(c_custkey AS VARCHAR)")}
+                 AS h FROM customer),
+          KB AS (SELECT DISTINCT ${md5long("CAST(o_custkey AS VARCHAR)")}
+                 AS h FROM orders),
+          MA AS (SELECT h FROM KA ORDER BY h LIMIT $k),
+          MB AS (SELECT h FROM KB ORDER BY h LIMIT $k),
+          UK AS (SELECT h, max(ia) AS ia, max(ib) AS ib FROM (
+                  SELECT h, 1 AS ia, 0 AS ib FROM MA
+                  UNION ALL SELECT h, 0, 1 FROM MB) GROUP BY h
+                 ORDER BY h LIMIT $k),
+          SK AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                  max(h) AS kth, CAST(sum(ia * ib) AS BIGINT) AS j FROM UK),
+          SA AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS kth FROM MA),
+          SB AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS kth FROM MB),
+          NA AS (SELECT CAST(count(*) AS BIGINT) AS n FROM KA),
+          NB AS (SELECT CAST(count(*) AS BIGINT) AS n FROM KB),
+          XI AS (SELECT CAST(count(*) AS BIGINT) AS i
+                 FROM KA a JOIN KB b ON a.h = b.h),
+          E AS (SELECT sk.m AS m_union_k, sk.j AS j_num,
+                 ${est("sa.m", "sa.kth", "sa.m")} AS est_n_a,
+                 ${est("sb.m", "sb.kth", "sb.m")} AS est_n_b,
+                 ${est("sk.m", "sk.kth", "sk.m")} AS est_union,
+                 na.n AS n_a, nb.n AS n_b, xi.i AS inter_exact
+                FROM SK sk, SA sa, SB sb, NA na, NB nb, XI xi)
+          SELECT CAST($k AS BIGINT) AS k, m_union_k, j_num,
+            est_n_a, est_n_b, est_union,
+            CAST(j_num * est_union // m_union_k AS BIGINT) AS est_inter,
+            CAST(j_num * 1000000 // m_union_k AS BIGINT) AS j_est_ppm,
+            n_a, n_b, inter_exact,
+            n_a + n_b - inter_exact AS union_exact,
+            CAST(inter_exact * 1000000 // (n_a + n_b - inter_exact)
+              AS BIGINT) AS j_exact_ppm,
+            CAST(CASE WHEN
+                (j_num * 1000000 // m_union_k
+                 - inter_exact * 1000000 // (n_a + n_b - inter_exact))
+              * (j_num * 1000000 // m_union_k
+                 - inter_exact * 1000000 // (n_a + n_b - inter_exact))
+              * $k <= 9 * ((inter_exact * 1000000 // (n_a + n_b - inter_exact))
+                * (1000000 - inter_exact * 1000000
+                   // (n_a + n_b - inter_exact)) + 1000000)
+              THEN 1 ELSE 0 END AS BIGINT) AS within_3sig
+          FROM E"""
+    },
+
     // Bloom prune, relation form: the SAME bits and double-hash
     // positions as q245 (m re-derived from count(*) via the
     // suggestBloomBits law), survivors aggregated per returnflag — the

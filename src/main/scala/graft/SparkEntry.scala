@@ -2371,6 +2371,19 @@ object SparkEntry {
       t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey")), col("o_orderkey"))
 
+  /** KMV key-overlap report (q251): the planner trilogy's distinct-key
+    * read (AMS row-product size q240, Bloom prune q245, THIS —
+    * "how many distinct keys do these relations share") — customer
+    * keys vs orders' customer keys from one bottom-256 md5 sketch per
+    * side; Broder J on the union k-set × the q215 union estimate gives
+    * the intersection, exact audits ride one distinct-key equi-join,
+    * the 3σ flag computed on both engines. See Sketches.kmvKeyOverlap.
+    */
+  private def qKmvKeyOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvKeyOverlap(
+      t(s, dir, "customer"), col("c_custkey"),
+      t(s, dir, "orders"), col("o_custkey"))
+
   /** Bloom prune, relation form (q247): the past-2³⁰-bits regime of
     * q245 — identical suggestBloomBits m and md5 double-hash probes,
     * but the words live as a (word, bits) RELATION joined on word
@@ -4253,7 +4266,8 @@ object SparkEntry {
     "q247_bloom_prune_rel" -> (qBloomPruneRel _),
     "q248_waiting_suppliers" -> (qWaitingSuppliers _),
     "q249_maintain_clusters" -> (qMaintainClusters _),
-    "q250_maintain_clusters_delta" -> (qMaintainClustersDelta _))
+    "q250_maintain_clusters_delta" -> (qMaintainClustersDelta _),
+    "q251_kmv_key_overlap" -> (qKmvKeyOverlap _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -727,6 +727,82 @@ object Sketches {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** KMV key-overlap report — the planner trilogy's DISTINCT-KEY read,
+    * next to the AMS row-product size (q240: Σ fA·fB, what a join
+    * OUTPUTS) and the Bloom prune (q245, what a runtime filter KEEPS):
+    * how many distinct keys two relations SHARE, estimated from one
+    * bottom-k sketch per side. Each side pays a column-pruned distinct
+    * + a TakeOrdered(k) over the 60-bit md5 key hashes (map-side
+    * partial top-k — k longs cross the network per side, mergeable
+    * across any partitioning, the q221 lossless-merge property);
+    * Broder's min-wise estimator on the union k-set gives J, the union
+    * k-th min gives |A ∪ B| (the q215 estimator), and their product
+    * gives the intersection — so a coordinator answers "will this join
+    * hit anything" from 2k longs without touching either relation
+    * again. Sub-k regimes collapse to exact (m < k ⟹ both sketches
+    * were exhaustive, mirroring kmvDistinctGrams' CASE).
+    *
+    * Everything emitted is a deterministic integer function of the key
+    * sets — estimates AND exact audit legs (one distinct-key equi-join,
+    * bounded by distinct keys, the q240 audit class) — plus the q224
+    * within-3σ flag COMPUTED on both engines, never asserted.
+    *
+    * Output (one row): (k, m_union_k, j_num, est_n_a, est_n_b,
+    * est_union, est_inter, j_est_ppm, n_a, n_b, inter_exact,
+    * union_exact, j_exact_ppm, within_3sig).
+    */
+  def kmvKeyOverlap(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    import graft.functions.md5Long
+    def keys(df: DataFrame, c: Column) =
+      df.select(md5Long(c.cast("string")).as("h")).distinct()
+        .localCheckpoint(true)
+    val (ka, kb) = (keys(a, aKey), keys(b, bKey))
+    def kmin(df: DataFrame) = df.orderBy(col("h")).limit(k)
+      .localCheckpoint(true)
+    val (ma, mb) = (kmin(ka), kmin(kb))
+    // union k-set with membership flags: ≤ 2k rows, driver never sees
+    // the hash stream
+    val uk = ma.select(col("h"), lit(1L).as("_ia"), lit(0L).as("_ib"))
+      .unionByName(mb.select(col("h"), lit(0L).as("_ia"), lit(1L).as("_ib")))
+      .groupBy(col("h")).agg(max(col("_ia")).as("_ia"), max(col("_ib")).as("_ib"))
+      .orderBy(col("h")).limit(k)
+    def estOf(mCol: String, kthCol: String, exactCol: String) = expr(
+      s"""CASE WHEN $mCol < $k THEN $exactCol
+          ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * ${1L << 60})
+               DIV $kthCol AS BIGINT) END""")
+    val sk = uk.agg(count(lit(1)).as("m_union_k"), max(col("h")).as("_kth_u"),
+      sum(col("_ia") * col("_ib")).as("j_num"))
+    val skA = ma.agg(count(lit(1)).as("_m_a"), max(col("h")).as("_kth_a"))
+    val skB = mb.agg(count(lit(1)).as("_m_b"), max(col("h")).as("_kth_b"))
+    val exA = ka.agg(count(lit(1)).as("n_a"))
+    val exB = kb.agg(count(lit(1)).as("n_b"))
+    val exI = ka.join(kb, "h").agg(count(lit(1)).as("inter_exact"))
+    sk.crossJoin(broadcast(skA)).crossJoin(broadcast(skB))
+      .crossJoin(broadcast(exA)).crossJoin(broadcast(exB))
+      .crossJoin(broadcast(exI))
+      .withColumn("est_n_a", estOf("_m_a", "_kth_a", "_m_a"))
+      .withColumn("est_n_b", estOf("_m_b", "_kth_b", "_m_b"))
+      // sub-k: the union of two exhaustive sketches IS the exact union
+      .withColumn("est_union", estOf("m_union_k", "_kth_u", "m_union_k"))
+      .withColumn("est_inter",
+        expr("CAST(j_num * est_union DIV m_union_k AS BIGINT)"))
+      .withColumn("j_est_ppm",
+        expr("CAST(j_num * 1000000 DIV m_union_k AS BIGINT)"))
+      .withColumn("union_exact", col("n_a") + col("n_b") - col("inter_exact"))
+      .withColumn("j_exact_ppm",
+        expr("CAST(inter_exact * 1000000 DIV union_exact AS BIGINT)"))
+      .withColumn("within_3sig", expr(
+        s"""CAST(CASE WHEN (j_est_ppm - j_exact_ppm) * (j_est_ppm - j_exact_ppm)
+              * $k <= 9 * (j_exact_ppm * (1000000 - j_exact_ppm) + 1000000)
+            THEN 1 ELSE 0 END AS BIGINT)"""))
+      .select(lit(k.toLong).as("k"), col("m_union_k"), col("j_num"),
+        col("est_n_a"), col("est_n_b"), col("est_union"), col("est_inter"),
+        col("j_est_ppm"), col("n_a"), col("n_b"), col("inter_exact"),
+        col("union_exact"), col("j_exact_ppm"), col("within_3sig"))
+  }
+
   /** Per-source bottom-k by (h, v) over (source, h, v) rows — the cut
     * shared by [[quantileSketchMerge]] and [[maintainQuantileSamples]].
     * Salted two-level: a straight per-source window would sort the

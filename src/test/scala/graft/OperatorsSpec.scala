@@ -2399,6 +2399,39 @@ class OperatorsSpec extends SparkSpec {
       "re-delivered delta must produce an empty write set")
   }
 
+  test("kmvKeyOverlap: sub-k regime is exact; disjoint, identical, and " +
+    "sketched regimes") {
+    import graft.operators.Sketches
+    val a = (1L to 50L).toDF("ka")
+    val b = (31L to 90L).toDF("kb")
+    val r = Sketches.kmvKeyOverlap(a, col("ka"), b, col("kb")).collect()(0)
+    assert(r.getAs[Long]("n_a") == 50 && r.getAs[Long]("n_b") == 60)
+    assert(r.getAs[Long]("inter_exact") == 20 && r.getAs[Long]("union_exact") == 90)
+    // both sketches exhaustive below k → every estimate IS its exact
+    assert(r.getAs[Long]("est_n_a") == 50 && r.getAs[Long]("est_n_b") == 60)
+    assert(r.getAs[Long]("est_union") == 90 && r.getAs[Long]("est_inter") == 20)
+    assert(r.getAs[Long]("j_num") == 20 && r.getAs[Long]("within_3sig") == 1)
+    val d = Sketches.kmvKeyOverlap(a, col("ka"),
+      (100L to 120L).toDF("kb"), col("kb")).collect()(0)
+    assert(d.getAs[Long]("j_num") == 0 && d.getAs[Long]("inter_exact") == 0 &&
+      d.getAs[Long]("est_inter") == 0)
+    val i = Sketches.kmvKeyOverlap(a, col("ka"), a, col("ka")).collect()(0)
+    assert(i.getAs[Long]("j_num") == i.getAs[Long]("m_union_k") &&
+      i.getAs[Long]("est_inter") == 50 && i.getAs[Long]("j_est_ppm") == 1000000L)
+    // genuinely sketched regime (n ≫ k): deterministic hashes →
+    // deterministic estimates; the 3σ flag must hold here
+    val big = Sketches.kmvKeyOverlap(
+      (1L to 2000L).toDF("ka"), col("ka"),
+      (1001L to 3000L).toDF("kb"), col("kb"), k = 64).collect()(0)
+    assert(big.getAs[Long]("m_union_k") == 64)
+    assert(big.getAs[Long]("inter_exact") == 1000 &&
+      big.getAs[Long]("union_exact") == 3000)
+    assert(big.getAs[Long]("within_3sig") == 1,
+      s"sketched-regime J must sit in the 3σ band: $big")
+    intercept[IllegalArgumentException](
+      Sketches.kmvKeyOverlap(a, col("ka"), b, col("kb"), k = 1))
+  }
+
   test("cmsPerSourceMerge: merged estimates bit-equal the direct sketch; exact ranks") {
     import graft.operators.Sketches
     val docs = Seq(
