@@ -12,7 +12,7 @@ object ScaleProbe {
     "neardup8", "neardup12", "brute", "curation",
     "semantic8", "semanticAuto", "semantic2", "semantic3", "jaccard400",
     "videodup", "ams", "stitchgate", "stitchgatecap", "bloom", "bloomprof",
-    "q21", "ccmaint", "ccmaintsyn")
+    "q21", "ccmaint", "ccmaintsyn", "keyoverlap")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -326,6 +326,16 @@ object ScaleProbe {
         graft.operators.Dedup.maintainComponents(prior, delta).count())
       timed("ccmaint_full_recompute")(
         graft.operators.Dedup.connectedComponents(pairs).count())
+    }
+    if (probes("keyoverlap")) {
+      // q251 slope: the sketch legs are one column-pruned distinct +
+      // TakeOrdered(k) per side (flat-ish in rows); the exact audit
+      // legs (distinct-key join) are the only distinct-key term
+      timed("keyoverlap_full_report")(
+        graft.operators.Sketches.kmvKeyOverlap(
+          spark.read.parquet(s"$dir/customer.parquet"), col("c_custkey"),
+          spark.read.parquet(s"$dir/orders.parquet"), col("o_custkey"))
+          .count())
     }
     if (probes("ccmaintsyn")) {
       // the documents fixture's dup rate is too sparse to stress label
