@@ -5582,6 +5582,40 @@ object OracleSql {
           FROM E"""
     },
 
+    // KMV key-overlap, estimate-only: q251's sketch CTEs alone (no
+    // exact-audit legs) — the production sizing call's columns
+    "q252_kmv_key_overlap_est" -> {
+      val k = 256
+      def est(m: String, kth: String, sub: String) =
+        s"""CASE WHEN $m < $k THEN $sub
+            ELSE CAST((${k - 1}::HUGEINT * (1::HUGEINT << 60)) // $kth
+                 AS BIGINT) END"""
+      s"""WITH KA AS (SELECT DISTINCT ${md5long("CAST(c_custkey AS VARCHAR)")}
+                 AS h FROM customer),
+          KB AS (SELECT DISTINCT ${md5long("CAST(o_custkey AS VARCHAR)")}
+                 AS h FROM orders),
+          MA AS (SELECT h FROM KA ORDER BY h LIMIT $k),
+          MB AS (SELECT h FROM KB ORDER BY h LIMIT $k),
+          UK AS (SELECT h, max(ia) AS ia, max(ib) AS ib FROM (
+                  SELECT h, 1 AS ia, 0 AS ib FROM MA
+                  UNION ALL SELECT h, 0, 1 FROM MB) GROUP BY h
+                 ORDER BY h LIMIT $k),
+          SK AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                  max(h) AS kth, CAST(sum(ia * ib) AS BIGINT) AS j FROM UK),
+          SA AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS kth FROM MA),
+          SB AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS kth FROM MB),
+          E AS (SELECT sk.m AS m_union_k, sk.j AS j_num,
+                 ${est("sa.m", "sa.kth", "sa.m")} AS est_n_a,
+                 ${est("sb.m", "sb.kth", "sb.m")} AS est_n_b,
+                 ${est("sk.m", "sk.kth", "sk.m")} AS est_union
+                FROM SK sk, SA sa, SB sb)
+          SELECT CAST($k AS BIGINT) AS k, m_union_k, j_num,
+            est_n_a, est_n_b, est_union,
+            CAST(j_num * est_union // m_union_k AS BIGINT) AS est_inter,
+            CAST(j_num * 1000000 // m_union_k AS BIGINT) AS j_est_ppm
+          FROM E"""
+    },
+
     // Bloom prune, relation form: the SAME bits and double-hash
     // positions as q245 (m re-derived from count(*) via the
     // suggestBloomBits law), survivors aggregated per returnflag — the

@@ -2384,6 +2384,17 @@ object SparkEntry {
       t(s, dir, "customer"), col("c_custkey"),
       t(s, dir, "orders"), col("o_custkey"))
 
+  /** KMV key-overlap, estimate-only (q252): the production sizing call
+    * — q251's sketch legs alone (two column-pruned distinct +
+    * TakeOrdered(k) passes, nothing bounded by distinct keys), the
+    * q240→q243 split applied to the distinct-key read. Same inputs as
+    * q251, so every estimate column pins to the report's values.
+    */
+  private def qKmvKeyOverlapEst(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvKeyOverlapEstimate(
+      t(s, dir, "customer"), col("c_custkey"),
+      t(s, dir, "orders"), col("o_custkey"))
+
   /** Bloom prune, relation form (q247): the past-2³⁰-bits regime of
     * q245 — identical suggestBloomBits m and md5 double-hash probes,
     * but the words live as a (word, bits) RELATION joined on word
@@ -4267,7 +4278,8 @@ object SparkEntry {
     "q248_waiting_suppliers" -> (qWaitingSuppliers _),
     "q249_maintain_clusters" -> (qMaintainClusters _),
     "q250_maintain_clusters_delta" -> (qMaintainClustersDelta _),
-    "q251_kmv_key_overlap" -> (qKmvKeyOverlap _))
+    "q251_kmv_key_overlap" -> (qKmvKeyOverlap _),
+    "q252_kmv_key_overlap_est" -> (qKmvKeyOverlapEst _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

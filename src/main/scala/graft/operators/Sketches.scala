@@ -753,6 +753,67 @@ object Sketches {
     */
   def kmvKeyOverlap(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
       k: Int = 256): DataFrame = {
+    val (ka, kb, est) = kmvOverlapSketch(a, aKey, b, bKey, k)
+    val exA = ka.agg(count(lit(1)).as("n_a"))
+    val exB = kb.agg(count(lit(1)).as("n_b"))
+    val exI = ka.join(kb, "h").agg(count(lit(1)).as("inter_exact"))
+    est.crossJoin(broadcast(exA)).crossJoin(broadcast(exB))
+      .crossJoin(broadcast(exI))
+      .withColumn("union_exact", col("n_a") + col("n_b") - col("inter_exact"))
+      .withColumn("j_exact_ppm",
+        expr("CAST(inter_exact * 1000000 DIV union_exact AS BIGINT)"))
+      .withColumn("within_3sig", expr(
+        s"""CAST(CASE WHEN (j_est_ppm - j_exact_ppm) * (j_est_ppm - j_exact_ppm)
+              * $k <= 9 * (j_exact_ppm * (1000000 - j_exact_ppm) + 1000000)
+            THEN 1 ELSE 0 END AS BIGINT)"""))
+      .select(col("k"), col("m_union_k"), col("j_num"),
+        col("est_n_a"), col("est_n_b"), col("est_union"), col("est_inter"),
+        col("j_est_ppm"), col("n_a"), col("n_b"), col("inter_exact"),
+        col("union_exact"), col("j_exact_ppm"), col("within_3sig"))
+  }
+
+  /** The production sizing call of [[kmvKeyOverlap]] — sketch legs
+    * alone, no exact/audit state (the q240→q243 split applied to the
+    * distinct-key read), and crucially NO DISTINCT SHUFFLE: each
+    * side's bottom-k distinct hashes come from a per-partition TreeSet
+    * accumulator (the [[kmvSketchGrams]] production form — a k-bounded
+    * dedup heap per partition, ≤ partitions·k candidates merge), so
+    * the key columns never leave their scan tasks. Measured: the
+    * report's audit distincts made its "estimate" term grow with
+    * distinct keys (6.6 s at gen-sf10); this path is the flat one.
+    * Identical k-min sets → identical estimates to the report
+    * (spec-pinned). Output: (k, m_union_k, j_num, est_n_a, est_n_b,
+    * est_union, est_inter, j_est_ppm).
+    */
+  def kmvKeyOverlapEstimate(a: DataFrame, aKey: Column, b: DataFrame,
+      bKey: Column, k: Int = 256): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    import graft.functions.md5Long
+    def prodKmin(df: DataFrame, c: Column): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val partials = df.select(md5Long(c.cast("string")).as("h")).as[Long]
+        .mapPartitions { it =>
+          val set = new java.util.TreeSet[java.lang.Long]()
+          while (it.hasNext) {
+            val h: java.lang.Long = it.next()
+            if (set.size < k) set.add(h)
+            else if (h < set.last()) { if (set.add(h)) set.pollLast() }
+          }
+          scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+            .asScala.map(_.longValue())
+        }
+      partials.toDF("h").distinct().orderBy(col("h")).limit(k)
+        .localCheckpoint(true)
+    }
+    kmvEstRow(prodKmin(a, aKey), prodKmin(b, bKey), k)
+  }
+
+  /** Shared sketch legs of [[kmvKeyOverlap]]/[[kmvKeyOverlapEstimate]]:
+    * (distinct-key hashes A, distinct-key hashes B, the estimate row).
+    */
+  private def kmvOverlapSketch(a: DataFrame, aKey: Column, b: DataFrame,
+      bKey: Column, k: Int): (DataFrame, DataFrame, DataFrame) = {
     require(k >= 2, s"need k >= 2, got $k")
     import graft.functions.md5Long
     def keys(df: DataFrame, c: Column) =
@@ -761,7 +822,11 @@ object Sketches {
     val (ka, kb) = (keys(a, aKey), keys(b, bKey))
     def kmin(df: DataFrame) = df.orderBy(col("h")).limit(k)
       .localCheckpoint(true)
-    val (ma, mb) = (kmin(ka), kmin(kb))
+    (ka, kb, kmvEstRow(kmin(ka), kmin(kb), k))
+  }
+
+  /** The estimate row from two bottom-k distinct-hash frames. */
+  private def kmvEstRow(ma: DataFrame, mb: DataFrame, k: Int): DataFrame = {
     // union k-set with membership flags: ≤ 2k rows, driver never sees
     // the hash stream
     val uk = ma.select(col("h"), lit(1L).as("_ia"), lit(0L).as("_ib"))
@@ -776,12 +841,7 @@ object Sketches {
       sum(col("_ia") * col("_ib")).as("j_num"))
     val skA = ma.agg(count(lit(1)).as("_m_a"), max(col("h")).as("_kth_a"))
     val skB = mb.agg(count(lit(1)).as("_m_b"), max(col("h")).as("_kth_b"))
-    val exA = ka.agg(count(lit(1)).as("n_a"))
-    val exB = kb.agg(count(lit(1)).as("n_b"))
-    val exI = ka.join(kb, "h").agg(count(lit(1)).as("inter_exact"))
-    sk.crossJoin(broadcast(skA)).crossJoin(broadcast(skB))
-      .crossJoin(broadcast(exA)).crossJoin(broadcast(exB))
-      .crossJoin(broadcast(exI))
+    val est = sk.crossJoin(broadcast(skA)).crossJoin(broadcast(skB))
       .withColumn("est_n_a", estOf("_m_a", "_kth_a", "_m_a"))
       .withColumn("est_n_b", estOf("_m_b", "_kth_b", "_m_b"))
       // sub-k: the union of two exhaustive sketches IS the exact union
@@ -790,17 +850,10 @@ object Sketches {
         expr("CAST(j_num * est_union DIV m_union_k AS BIGINT)"))
       .withColumn("j_est_ppm",
         expr("CAST(j_num * 1000000 DIV m_union_k AS BIGINT)"))
-      .withColumn("union_exact", col("n_a") + col("n_b") - col("inter_exact"))
-      .withColumn("j_exact_ppm",
-        expr("CAST(inter_exact * 1000000 DIV union_exact AS BIGINT)"))
-      .withColumn("within_3sig", expr(
-        s"""CAST(CASE WHEN (j_est_ppm - j_exact_ppm) * (j_est_ppm - j_exact_ppm)
-              * $k <= 9 * (j_exact_ppm * (1000000 - j_exact_ppm) + 1000000)
-            THEN 1 ELSE 0 END AS BIGINT)"""))
       .select(lit(k.toLong).as("k"), col("m_union_k"), col("j_num"),
         col("est_n_a"), col("est_n_b"), col("est_union"), col("est_inter"),
-        col("j_est_ppm"), col("n_a"), col("n_b"), col("inter_exact"),
-        col("union_exact"), col("j_exact_ppm"), col("within_3sig"))
+        col("j_est_ppm"))
+    est
   }
 
   /** Per-source bottom-k by (h, v) over (source, h, v) rows — the cut

@@ -336,6 +336,11 @@ object ScaleProbe {
           spark.read.parquet(s"$dir/customer.parquet"), col("c_custkey"),
           spark.read.parquet(s"$dir/orders.parquet"), col("o_custkey"))
           .count())
+      timed("keyoverlap_estimate_only")(
+        graft.operators.Sketches.kmvKeyOverlapEstimate(
+          spark.read.parquet(s"$dir/customer.parquet"), col("c_custkey"),
+          spark.read.parquet(s"$dir/orders.parquet"), col("o_custkey"))
+          .count())
     }
     if (probes("ccmaintsyn")) {
       // the documents fixture's dup rate is too sparse to stress label

@@ -2430,6 +2430,14 @@ class OperatorsSpec extends SparkSpec {
       s"sketched-regime J must sit in the 3σ band: $big")
     intercept[IllegalArgumentException](
       Sketches.kmvKeyOverlap(a, col("ka"), b, col("kb"), k = 1))
+    // the estimate-only call pins to the report's estimate columns
+    val estOnly = Sketches.kmvKeyOverlapEstimate(
+      (1L to 2000L).toDF("ka"), col("ka"),
+      (1001L to 3000L).toDF("kb"), col("kb"), k = 64).collect()(0)
+    Seq("k", "m_union_k", "j_num", "est_n_a", "est_n_b", "est_union",
+      "est_inter", "j_est_ppm").foreach(c =>
+      assert(estOnly.getAs[Long](c) == big.getAs[Long](c),
+        s"estimate-only $c must equal the report's"))
   }
 
   test("cmsPerSourceMerge: merged estimates bit-equal the direct sketch; exact ranks") {

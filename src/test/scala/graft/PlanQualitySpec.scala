@@ -589,6 +589,13 @@ class PlanQualitySpec extends SparkSpec {
       s"top-100 must be TakeOrdered, never a global sort:\n$p")
   }
 
+  test("kmv key-overlap estimate row: sketch legs only — no distinct-key " +
+    "join anywhere") {
+    val p = plan("q252_kmv_key_overlap_est")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the sizing call must carry no key-level join:\n$p")
+  }
+
   test("maintainComponents: the label-table path is broadcast-joined — " +
     "history never shuffles") {
     import org.apache.spark.sql.functions.{col, lit}
