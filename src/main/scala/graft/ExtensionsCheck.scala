@@ -45,6 +45,11 @@ object ExtensionsCheck {
         // = ...0110 covers positions 1 and 2 → both probes hit
         "SELECT bloom_test_long(1L, array(6L), 64L, 2)")
         .collect()(0).getBoolean(0), "bloom_test_long probes")
+      assert(spark.sql(
+        """SELECT best_cell(array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+             array(named_struct('cell', 7, 'c', array(0.0D, 1.0D)),
+                   named_struct('cell', 3, 'c', array(1.0D, 0.0D))))""")
+        .collect()(0).getInt(0) == 3, "best_cell nearest centroid")
       // the injected optimizer rule rewrites composed dots (parquet
       // input — LocalRelations constant-fold before user rules run)
       import spark.implicits._
@@ -59,7 +64,7 @@ object ExtensionsCheck {
           "RewriteDotFold did not fire via extensions")
         assert(composed.collect()(0).getDouble(0) == 11.0, "rewritten result")
       } finally graft.util.Fs.deleteRecursively(dir)
-      println("[extensions-check] OK: 7 functions + optimizer rule active")
+      println("[extensions-check] OK: 8 functions + optimizer rule active")
     } finally spark.stop()
   }
 }
