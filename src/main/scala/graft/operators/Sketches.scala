@@ -792,7 +792,12 @@ object Sketches {
     def prodKmin(df: DataFrame, c: Column): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
-      val partials = df.select(md5Long(c.cast("string")).as("h")).as[Long]
+      // NULL keys never match an equi-join, so they are no part of the
+      // overlap — and left in, Spark's NULLS FIRST ordering would seat
+      // them in the k-min set while DuckDB's NULLS LAST would not (the
+      // bottomKBySource NULL rule, ADVICE r11)
+      val partials = df.select(md5Long(c.cast("string")).as("h"))
+        .filter(col("h").isNotNull).as[Long]
         .mapPartitions { it =>
           val set = new java.util.TreeSet[java.lang.Long]()
           while (it.hasNext) {
@@ -816,8 +821,13 @@ object Sketches {
       bKey: Column, k: Int): (DataFrame, DataFrame, DataFrame) = {
     require(k >= 2, s"need k >= 2, got $k")
     import graft.functions.md5Long
+    // NULL keys excluded on both legs: they never match an equi-join
+    // (so they are no part of "overlap"), and Spark's NULLS FIRST
+    // would otherwise seat them in the k-min set while DuckDB's NULLS
+    // LAST would not (the bottomKBySource NULL rule, ADVICE r11)
     def keys(df: DataFrame, c: Column) =
-      df.select(md5Long(c.cast("string")).as("h")).distinct()
+      df.select(md5Long(c.cast("string")).as("h"))
+        .filter(col("h").isNotNull).distinct()
         .localCheckpoint(true)
     val (ka, kb) = (keys(a, aKey), keys(b, bKey))
     def kmin(df: DataFrame) = df.orderBy(col("h")).limit(k)

@@ -2430,6 +2430,15 @@ class OperatorsSpec extends SparkSpec {
       s"sketched-regime J must sit in the 3σ band: $big")
     intercept[IllegalArgumentException](
       Sketches.kmvKeyOverlap(a, col("ka"), b, col("kb"), k = 1))
+    // NULL keys are no part of the overlap (they never match an
+    // equi-join) and must not crash the primitive estimate path
+    val an = ((1L to 50L).map(Option(_)) :+ (None: Option[Long])).toDF("ka")
+    val rn = Sketches.kmvKeyOverlap(an, col("ka"), b, col("kb")).collect()(0)
+    assert(rn == r, s"NULL keys must be excluded: $rn vs $r")
+    val en = Sketches.kmvKeyOverlapEstimate(an, col("ka"), b, col("kb"))
+      .collect()(0)
+    assert(en.getAs[Long]("est_inter") == 20L,
+      s"estimate path must skip NULL keys: $en")
     // the estimate-only call pins to the report's estimate columns
     val estOnly = Sketches.kmvKeyOverlapEstimate(
       (1L to 2000L).toDF("ka"), col("ka"),
