@@ -78,6 +78,16 @@ def main(argv):
     print(f"reference: {ref_name} ({len(rq)} queries, sf={ref.get('sf')})")
     print(f"fresh:     {len(fq)} queries, sf={fresh.get('sf')}, "
           f"total {fresh.get('value', float('nan')):.1f}s vs {ref.get('value', float('nan')):.1f}s archived")
+    # a single-run fresh line vs a min-of-N archive flags wholesale:
+    # per-query MINs strip JIT/page-cache/GC spikes that any single
+    # pass carries (measured round 13: a single-run battery read a
+    # uniform ~2.2-2.5x raw against the min-of-6 archive with only a
+    # 1.45x canary, and every probed flag vanished under min-of-3)
+    if fresh.get("runs", 1) == 1 and len(fq) > 1:
+        print("WARNING: fresh line is SINGLE-RUN (no SPARK_GRAFT_RUNS) — "
+              "expect wholesale raw inflation vs a min-of-N archive; "
+              "re-measure flagged rows with SPARK_GRAFT_RUNS=3 before "
+              "treating any of them as regressions")
     # environment normalization: divide per-query ratios by the
     # fixed-work canary ratio when both sides recorded one
     cal = 1.0
