@@ -5548,8 +5548,8 @@ object OracleSql {
                   SELECT h, 1 AS ia, 0 AS ib FROM MA
                   UNION ALL SELECT h, 0, 1 FROM MB) GROUP BY h
                  ORDER BY h LIMIT $k),
-          SK AS (SELECT CAST(count(*) AS BIGINT) AS m,
-                  max(h) AS kth, CAST(sum(ia * ib) AS BIGINT) AS j FROM UK),
+          SK AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS kth,
+                  CAST(coalesce(sum(ia * ib), 0) AS BIGINT) AS j FROM UK),
           SA AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS kth FROM MA),
           SB AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS kth FROM MB),
           NA AS (SELECT CAST(count(*) AS BIGINT) AS n FROM KA),
@@ -5560,26 +5560,26 @@ object OracleSql {
                  ${est("sa.m", "sa.kth", "sa.m")} AS est_n_a,
                  ${est("sb.m", "sb.kth", "sb.m")} AS est_n_b,
                  ${est("sk.m", "sk.kth", "sk.m")} AS est_union,
-                 na.n AS n_a, nb.n AS n_b, xi.i AS inter_exact
-                FROM SK sk, SA sa, SB sb, NA na, NB nb, XI xi)
+                 na.n AS n_a, nb.n AS n_b, xi.i AS inter_exact,
+                 na.n + nb.n - xi.i AS union_exact
+                FROM SK sk, SA sa, SB sb, NA na, NB nb, XI xi),
+          E2 AS (SELECT *,
+                 CAST(CASE WHEN m_union_k = 0 THEN 0
+                   ELSE j_num * 1000000 // m_union_k END AS BIGINT)
+                   AS j_est_ppm,
+                 CAST(CASE WHEN union_exact = 0 THEN 0
+                   ELSE inter_exact * 1000000 // union_exact END AS BIGINT)
+                   AS j_exact_ppm
+                FROM E)
           SELECT CAST($k AS BIGINT) AS k, m_union_k, j_num,
             est_n_a, est_n_b, est_union,
-            CAST(j_num * est_union // m_union_k AS BIGINT) AS est_inter,
-            CAST(j_num * 1000000 // m_union_k AS BIGINT) AS j_est_ppm,
-            n_a, n_b, inter_exact,
-            n_a + n_b - inter_exact AS union_exact,
-            CAST(inter_exact * 1000000 // (n_a + n_b - inter_exact)
-              AS BIGINT) AS j_exact_ppm,
-            CAST(CASE WHEN
-                (j_num * 1000000 // m_union_k
-                 - inter_exact * 1000000 // (n_a + n_b - inter_exact))
-              * (j_num * 1000000 // m_union_k
-                 - inter_exact * 1000000 // (n_a + n_b - inter_exact))
-              * $k <= 9 * ((inter_exact * 1000000 // (n_a + n_b - inter_exact))
-                * (1000000 - inter_exact * 1000000
-                   // (n_a + n_b - inter_exact)) + 1000000)
+            CAST(CASE WHEN m_union_k = 0 THEN 0
+              ELSE j_num * est_union // m_union_k END AS BIGINT) AS est_inter,
+            j_est_ppm, n_a, n_b, inter_exact, union_exact, j_exact_ppm,
+            CAST(CASE WHEN (j_est_ppm - j_exact_ppm) * (j_est_ppm - j_exact_ppm)
+                * $k <= 9 * (j_exact_ppm * (1000000 - j_exact_ppm) + 1000000)
               THEN 1 ELSE 0 END AS BIGINT) AS within_3sig
-          FROM E"""
+          FROM E2"""
     },
 
     // KMV key-overlap, estimate-only: q251's sketch CTEs alone (no
@@ -5600,8 +5600,8 @@ object OracleSql {
                   SELECT h, 1 AS ia, 0 AS ib FROM MA
                   UNION ALL SELECT h, 0, 1 FROM MB) GROUP BY h
                  ORDER BY h LIMIT $k),
-          SK AS (SELECT CAST(count(*) AS BIGINT) AS m,
-                  max(h) AS kth, CAST(sum(ia * ib) AS BIGINT) AS j FROM UK),
+          SK AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS kth,
+                  CAST(coalesce(sum(ia * ib), 0) AS BIGINT) AS j FROM UK),
           SA AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS kth FROM MA),
           SB AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS kth FROM MB),
           E AS (SELECT sk.m AS m_union_k, sk.j AS j_num,
@@ -5611,8 +5611,10 @@ object OracleSql {
                 FROM SK sk, SA sa, SB sb)
           SELECT CAST($k AS BIGINT) AS k, m_union_k, j_num,
             est_n_a, est_n_b, est_union,
-            CAST(j_num * est_union // m_union_k AS BIGINT) AS est_inter,
-            CAST(j_num * 1000000 // m_union_k AS BIGINT) AS j_est_ppm
+            CAST(CASE WHEN m_union_k = 0 THEN 0
+              ELSE j_num * est_union // m_union_k END AS BIGINT) AS est_inter,
+            CAST(CASE WHEN m_union_k = 0 THEN 0
+              ELSE j_num * 1000000 // m_union_k END AS BIGINT) AS j_est_ppm
           FROM E"""
     },
 

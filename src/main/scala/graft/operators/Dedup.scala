@@ -795,7 +795,12 @@ object Dedup {
     * the q188 additive-only caveat). `prior` must honor the
     * [[connectedComponents]] contract (labels = component min id);
     * feeding an arbitrary labeling silently yields that labeling's
-    * transitive merge instead.
+    * transitive merge instead. The DELTA is meant to be an ingest
+    * batch (the broadcast economics assume the delta-derived maps fit
+    * in memory); a backfill-sized delta trips the 4M-node valve, which
+    * drops the hints and lets Spark pick join strategies — correct
+    * either way, but past roughly half of history a recompute is the
+    * cheaper plan.
     *
     * Output: (id, cluster_id) over nodes(prior) ∪ nodes(delta) — the
     * same scope a full recompute labels.
@@ -813,9 +818,9 @@ object Dedup {
     if (d.isEmpty)
       return p.select(col("_pid").as("id"), col("_prep").as("cluster_id"))
     if (p.isEmpty) return connectedComponents(d, maxIter)
-    val (touched, repMap, newNodes) = maintParts(p, d, maxIter)
+    val (repMap, newNodes, hint) = maintParts(p, d, maxIter)
     val updated = p.join(
-        broadcast(repMap.select(col("id").as("_r"), col("cluster_id").as("_nr"))),
+        hint(repMap.select(col("id").as("_r"), col("cluster_id").as("_nr"))),
         col("_prep") === col("_r"), "left")
       .select(col("_pid").as("id"),
         coalesce(col("_nr"), col("_prep")).as("cluster_id"))
@@ -840,34 +845,42 @@ object Dedup {
     if (d.isEmpty)
       return d.select(col("id_a").as("id"), col("id_b").as("cluster_id"))
     if (p.isEmpty) return connectedComponents(d, maxIter)
-    val (_, repMap, newNodes) = maintParts(p, d, maxIter)
+    val (repMap, newNodes, hint) = maintParts(p, d, maxIter)
     val changed = p.join(
-        broadcast(repMap.select(col("id").as("_r"), col("cluster_id").as("_nr"))),
+        hint(repMap.select(col("id").as("_r"), col("cluster_id").as("_nr"))),
         col("_prep") === col("_r"))
       .filter(col("_nr") =!= col("_prep"))
       .select(col("_pid").as("id"), col("_nr").as("cluster_id"))
     changed.unionByName(newNodes)
   }
 
-  /** Shared maintenance internals: (touched prior rows, the contracted
-    * graph's rep→rep' labeling, new-node labels). See
-    * [[maintainComponents]] for the scale argument.
+  /** Shared maintenance internals: (the contracted graph's rep→rep'
+    * labeling, new-node labels, the broadcast-hint valve the callers
+    * apply to their label-update join). See [[maintainComponents]]
+    * for the scale argument.
     */
   private def maintParts(p: DataFrame, d: DataFrame, maxIter: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame => DataFrame) = {
     val dn = d.select(col("id_a").as("_n"))
       .unionByName(d.select(col("id_b").as("_n"))).distinct()
       .localCheckpoint(true)
+    // broadcast valve: the hints are only sound while the delta-derived
+    // maps fit in executor/driver memory (~64 MB of long pairs). A
+    // delta past the valve is a BACKFILL, not an ingest batch — drop
+    // the hints and let Spark pick join strategies (same results, the
+    // shuffle returns), instead of forcing a driver-OOM collect.
+    val small = dn.count() <= 4000000L
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // the ONLY touches of the full label table: a map-side broadcast
     // semi (here) and the map-side broadcast update/changed join in
     // the callers
-    val touched = p.join(broadcast(dn), col("_pid") === col("_n"), "left_semi")
+    val touched = p.join(hint(dn), col("_pid") === col("_n"), "left_semi")
       .localCheckpoint(true)
     val ta = touched.select(col("_pid").as("_a"), col("_prep").as("_ra"))
     val tb = touched.select(col("_pid").as("_b"), col("_prep").as("_rb"))
     val contracted = d
-      .join(broadcast(ta), col("id_a") === col("_a"), "left")
-      .join(broadcast(tb), col("id_b") === col("_b"), "left")
+      .join(hint(ta), col("id_a") === col("_a"), "left")
+      .join(hint(tb), col("id_b") === col("_b"), "left")
       .select(coalesce(col("_ra"), col("id_a")).as("id_a"),
         coalesce(col("_rb"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
@@ -878,11 +891,11 @@ object Dedup {
     // new node always survives contraction (its id can't equal a prior
     // rep), so the fallback-to-self only covers degenerate inputs
     val newNodes = dn
-      .join(broadcast(touched), col("_n") === col("_pid"), "left_anti")
-      .join(broadcast(repMap.select(col("id").as("_r2"),
+      .join(hint(touched), col("_n") === col("_pid"), "left_anti")
+      .join(hint(repMap.select(col("id").as("_r2"),
         col("cluster_id").as("_nc"))), col("_n") === col("_r2"), "left")
       .select(col("_n").as("id"), coalesce(col("_nc"), col("_n")).as("cluster_id"))
-    (touched, repMap, newNodes)
+    (repMap, newNodes, hint)
   }
 
   /** Quality-aware near-dup representative selection — production

@@ -189,6 +189,23 @@ object Sketches {
       .select(explode(rawShingles(lower(col(textCol)), 3)).as("g"))
       .select(md5Long(col("g")).as("h"))
       .as[Long]
+    val minK = kminPartials(hashes, k)
+    minK.agg(max(col("h")).as("kth_hash"), count(lit(1)).as("_n_seen"))
+      .select(lit(k.toLong).as("k"), col("kth_hash"),
+        expr(s"""CAST(CASE WHEN _n_seen < $k THEN _n_seen
+              ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * ${1L << 60})
+                   DIV kth_hash AS BIGINT) END AS BIGINT)""").as("est_distinct"))
+  }
+
+  /** Shuffle-free bottom-k DISTINCT hashes: per-partition k-bounded
+    * TreeSet dedup heaps, then a global merge of ≤ partitions·k
+    * candidates (the same hash can surface from several partitions —
+    * dedup before the final cut). The production k-min discipline
+    * shared by [[kmvSketchGrams]] and [[kmvKeyOverlapEstimate]]; input
+    * hashes must be non-null.
+    */
+  private def kminPartials(hashes: org.apache.spark.sql.Dataset[Long],
+      k: Int): DataFrame = {
     val partials = hashes.mapPartitions { it =>
       val set = new java.util.TreeSet[java.lang.Long]()
       while (it.hasNext) {
@@ -198,15 +215,8 @@ object Sketches {
       }
       scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
         .asScala.map(_.longValue())
-    }
-    // global merge: ≤ partitions·k candidate hashes (the same hash can
-    // surface from several partitions — dedup before the final cut)
-    val minK = partials.toDF("h").distinct().orderBy(col("h")).limit(k)
-    minK.agg(max(col("h")).as("kth_hash"), count(lit(1)).as("_n_seen"))
-      .select(lit(k.toLong).as("k"), col("kth_hash"),
-        expr(s"""CAST(CASE WHEN _n_seen < $k THEN _n_seen
-              ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * ${1L << 60})
-                   DIV kth_hash AS BIGINT) END AS BIGINT)""").as("est_distinct"))
+    }(org.apache.spark.sql.Encoders.scalaLong)
+    partials.toDF("h").distinct().orderBy(col("h")).limit(k)
   }
 
   /** COUNT-MIN MERGEABILITY — [[kmvPerSourceMerge]]'s companion for
@@ -760,8 +770,9 @@ object Sketches {
     est.crossJoin(broadcast(exA)).crossJoin(broadcast(exB))
       .crossJoin(broadcast(exI))
       .withColumn("union_exact", col("n_a") + col("n_b") - col("inter_exact"))
-      .withColumn("j_exact_ppm",
-        expr("CAST(inter_exact * 1000000 DIV union_exact AS BIGINT)"))
+      .withColumn("j_exact_ppm", expr(
+        """CAST(CASE WHEN union_exact = 0 THEN 0
+            ELSE inter_exact * 1000000 DIV union_exact END AS BIGINT)"""))
       .withColumn("within_3sig", expr(
         s"""CAST(CASE WHEN (j_est_ppm - j_exact_ppm) * (j_est_ppm - j_exact_ppm)
               * $k <= 9 * (j_exact_ppm * (1000000 - j_exact_ppm) + 1000000)
@@ -796,19 +807,8 @@ object Sketches {
       // overlap — and left in, Spark's NULLS FIRST ordering would seat
       // them in the k-min set while DuckDB's NULLS LAST would not (the
       // bottomKBySource NULL rule, ADVICE r11)
-      val partials = df.select(md5Long(c.cast("string")).as("h"))
-        .filter(col("h").isNotNull).as[Long]
-        .mapPartitions { it =>
-          val set = new java.util.TreeSet[java.lang.Long]()
-          while (it.hasNext) {
-            val h: java.lang.Long = it.next()
-            if (set.size < k) set.add(h)
-            else if (h < set.last()) { if (set.add(h)) set.pollLast() }
-          }
-          scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
-            .asScala.map(_.longValue())
-        }
-      partials.toDF("h").distinct().orderBy(col("h")).limit(k)
+      kminPartials(df.select(md5Long(c.cast("string")).as("h"))
+        .filter(col("h").isNotNull).as[Long], k)
         .localCheckpoint(true)
     }
     kmvEstRow(prodKmin(a, aKey), prodKmin(b, bKey), k)
@@ -847,8 +847,11 @@ object Sketches {
       s"""CASE WHEN $mCol < $k THEN $exactCol
           ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * ${1L << 60})
                DIV $kthCol AS BIGINT) END""")
+    // coalesce + zero-m guards below: two EMPTY relations must yield a
+    // deterministic all-zero row, not NULLs (and, ANSI, not a divide
+    // error) — DuckDB mirrored
     val sk = uk.agg(count(lit(1)).as("m_union_k"), max(col("h")).as("_kth_u"),
-      sum(col("_ia") * col("_ib")).as("j_num"))
+      coalesce(sum(col("_ia") * col("_ib")), lit(0L)).as("j_num"))
     val skA = ma.agg(count(lit(1)).as("_m_a"), max(col("h")).as("_kth_a"))
     val skB = mb.agg(count(lit(1)).as("_m_b"), max(col("h")).as("_kth_b"))
     val est = sk.crossJoin(broadcast(skA)).crossJoin(broadcast(skB))
@@ -856,10 +859,12 @@ object Sketches {
       .withColumn("est_n_b", estOf("_m_b", "_kth_b", "_m_b"))
       // sub-k: the union of two exhaustive sketches IS the exact union
       .withColumn("est_union", estOf("m_union_k", "_kth_u", "m_union_k"))
-      .withColumn("est_inter",
-        expr("CAST(j_num * est_union DIV m_union_k AS BIGINT)"))
-      .withColumn("j_est_ppm",
-        expr("CAST(j_num * 1000000 DIV m_union_k AS BIGINT)"))
+      .withColumn("est_inter", expr(
+        """CAST(CASE WHEN m_union_k = 0 THEN 0
+            ELSE j_num * est_union DIV m_union_k END AS BIGINT)"""))
+      .withColumn("j_est_ppm", expr(
+        """CAST(CASE WHEN m_union_k = 0 THEN 0
+            ELSE j_num * 1000000 DIV m_union_k END AS BIGINT)"""))
       .select(lit(k.toLong).as("k"), col("m_union_k"), col("j_num"),
         col("est_n_a"), col("est_n_b"), col("est_union"), col("est_inter"),
         col("j_est_ppm"))

@@ -114,16 +114,28 @@ object StreamingDedup {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val prior = labels.snapshotOpt
+        val snap = labels.snapshotOpt
+        val prior = snap
           .map(_.select(col("id"), col("cluster_id")))
           .getOrElse(spark.range(0)
             .select(col("id"), col("id").as("cluster_id")))
         val changes = graft.operators.Dedup.maintainComponentsDelta(
           prior, batch.select(col("id_a"), col("id_b")))
           .localCheckpoint(true)
-        if (!changes.isEmpty)
+        if (!changes.isEmpty) {
+          // the precombine stamp must stay monotone across CHECKPOINT
+          // RESETS too: a fresh checkpoint restarts batchId at 0, and
+          // upsert keeps the max-precombine row per key — a stamp
+          // below the stored maximum would silently LOSE the new
+          // labels. Derive the floor from the table itself; batchBase
+          // remains the caller's provenance offset.
+          val nextNo = snap
+            .map(_.agg(max(col("batch_no"))).collect()(0))
+            .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
+            .getOrElse(0L)
           labels.upsert(changes.withColumn("batch_no",
-            lit(batchBase + batchId)))
+            lit(math.max(nextNo, batchBase + batchId))))
+        }
         ()
       }
       .start()

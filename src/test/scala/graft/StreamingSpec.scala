@@ -1153,6 +1153,22 @@ class StreamingSpec extends SparkSpec {
     assert(labels.commits.size == commitsBefore,
       "re-delivered batches must not commit")
     assert(snap == full, "labels unchanged after re-delivery")
+    // checkpoint RESET + genuinely NEW pairs: batchId restarts at 0,
+    // but the gate derives its precombine floor from the table's max
+    // batch_no — the new labels must WIN the upsert, not lose
+    // max-precombine resolution to the stored rows (review finding)
+    // (2, 30) merges two EXISTING components, so stored keys 30/31
+    // must be REWRITTEN — exactly the rows a stale low precombine
+    // stamp would silently lose
+    val batch3 = Seq((2L, 30L))
+    addFile(3, batch3)
+    run(Fixtures.tmpDir("cmg_ckpt3").toString)
+    val full3 = graft.operators.Dedup
+      .connectedComponents((batch1 ++ batch2 ++ batch3).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap == full3,
+      s"post-reset ingest must not lose to stale precombine: $snap vs $full3")
+    assert(snap(30L) == 1L && snap(31L) == 1L)
   }
 
   test("state-identity parity table: sessionize, dedup, and CMS counter pins") {
