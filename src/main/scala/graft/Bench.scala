@@ -101,9 +101,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_RUNS=N: time each query N times and report the
-    // per-query MIN (default 1 — the driver's single-shot battery)
+    // per-query MIN. Default 3 (VERDICT r13 item 1): the measured
+    // run-to-run variance band for join-tail queries is ~2.3×, so the
+    // driver's former single-shot battery read ~2× the archived
+    // min-of-6 numbers; min-of-3 lands within the archive's noise.
     val runs = math.max(1,
-      sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(1))
+      sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(3))
     // SPARK_GRAFT_ISOLATE=1: run every query in a FRESH SparkSession
     // (own codegen cache, block store, and /tmp scratch) with its own
     // per-query warmup — the mode that separates a query's intrinsic
@@ -173,9 +176,42 @@ object Bench {
         spark.stop()
         out
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary":$canary,"runs":$runs}""")
+    // ---- output contract (VERDICT r13 item 1) -----------------------
+    // The driver keeps only the LAST ~2000 chars of stdout; a 252-query
+    // JSON line is ~10 KB, so every prior round's BENCH_rN.json landed
+    // `parsed: null` with a truncated tail. Emit THREE artifacts:
+    //  (a) the FULL per-query line, printed first (lands in full logs,
+    //      scrolls out of the driver's tail window — by design),
+    //  (b) the same full JSON written to bench_archive/ for the
+    //      round's regression tooling,
+    //  (c) a COMPACT final line (≲1 KB: full-precision total + canary
+    //      + the failures and top-20 slowest queries, 3-decimal) that
+    //      fits the tail window even after sbt's own success banner.
+    val fullQs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","canary":$canary,"runs":$runs}"""
+    println(fullLine)
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT",
+      "bench_archive/bench_full_latest.json")
+    try {
+      val p = java.nio.file.Paths.get(fullOut)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, fullLine + "\n")
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] full-line write to $fullOut failed: ${e.getMessage}")
+    }
+    // end-of-run scratch sweep (VERDICT r13 item 4) — before the final
+    // line so a sweep hiccup can never push it out of the tail window
+    val swept = graft.util.Fs.sweepTmpArtifacts()
+    if (swept > 0) System.err.println(s"[tmp-sweep] removed $swept graft_* scratch roots")
+    def r3(v: Double): String =
+      if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val failed = results.filter(_._2 < 0).keys.toSeq.sorted
+    val headline = (failed ++ results.toSeq.filter(_._2 >= 0)
+        .sortBy(-_._2).take(20).map(_._1)).distinct
+    val compactQs = headline.map(k => s"\"$k\":${r3(results(k))}")
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$compactQs,"sf":"$sfDir","canary":$canary,"runs":$runs,"nq":${results.size},"nfail":${failed.size},"full":"$fullOut"}""")
   }
 }

@@ -5499,7 +5499,8 @@ object OracleSql {
       s"""WITH D AS (SELECT DISTINCT o_orderkey AS k FROM orders
                 WHERE o_orderpriority = '1-URGENT'),
           N AS (SELECT CAST(count(*) AS BIGINT) AS n FROM D),
-          M AS (SELECT CAST(n * 5 * 14427 // 10000 + 1 AS BIGINT) AS m FROM N),
+          M AS (SELECT CAST(greatest(n, 1) * 5 * 14427 // 10000 + 1
+                 AS BIGINT) AS m FROM N),
           DH AS (SELECT ${md5long("CAST(k AS VARCHAR)")} AS h FROM D),
           DP AS (SELECT DISTINCT ${pos("dh.h", "t.i")} AS pos
                 FROM DH dh, range(5) t(i)),
@@ -5531,7 +5532,12 @@ object OracleSql {
     // k-set Broder estimator, the q215 union-size estimate, and the
     // exact distinct-key audits replayed in SQL — every column a
     // deterministic integer function of the key sets (HUGEINT where
-    // (k-1)·2^60 exceeds BIGINT, mirroring the engine's DECIMAL(38,0))
+    // (k-1)·2^60 exceeds BIGINT, mirroring the engine's DECIMAL(38,0)).
+    // KA/KB drop NULL keys (ADVICE r13): the operator filters
+    // h IS NOT NULL on both legs, and md5long is NULL-preserving, so
+    // the key-column filter states the identical rule — without it
+    // DuckDB's DISTINCT would keep a NULL row and seat it NULLS LAST
+    // in the k-min cut on nullable key columns
     "q251_kmv_key_overlap" -> {
       val k = 256
       def est(m: String, kth: String, sub: String) =
@@ -5539,9 +5545,9 @@ object OracleSql {
             ELSE CAST((${k - 1}::HUGEINT * (1::HUGEINT << 60)) // $kth
                  AS BIGINT) END"""
       s"""WITH KA AS (SELECT DISTINCT ${md5long("CAST(c_custkey AS VARCHAR)")}
-                 AS h FROM customer),
+                 AS h FROM customer WHERE c_custkey IS NOT NULL),
           KB AS (SELECT DISTINCT ${md5long("CAST(o_custkey AS VARCHAR)")}
-                 AS h FROM orders),
+                 AS h FROM orders WHERE o_custkey IS NOT NULL),
           MA AS (SELECT h FROM KA ORDER BY h LIMIT $k),
           MB AS (SELECT h FROM KB ORDER BY h LIMIT $k),
           UK AS (SELECT h, max(ia) AS ia, max(ib) AS ib FROM (
@@ -5591,9 +5597,9 @@ object OracleSql {
             ELSE CAST((${k - 1}::HUGEINT * (1::HUGEINT << 60)) // $kth
                  AS BIGINT) END"""
       s"""WITH KA AS (SELECT DISTINCT ${md5long("CAST(c_custkey AS VARCHAR)")}
-                 AS h FROM customer),
+                 AS h FROM customer WHERE c_custkey IS NOT NULL),
           KB AS (SELECT DISTINCT ${md5long("CAST(o_custkey AS VARCHAR)")}
-                 AS h FROM orders),
+                 AS h FROM orders WHERE o_custkey IS NOT NULL),
           MA AS (SELECT h FROM KA ORDER BY h LIMIT $k),
           MB AS (SELECT h FROM KB ORDER BY h LIMIT $k),
           UK AS (SELECT h, max(ia) AS ia, max(ib) AS ib FROM (
@@ -5620,8 +5626,11 @@ object OracleSql {
 
     // Bloom prune, relation form: the SAME bits and double-hash
     // positions as q245 (m re-derived from count(*) via the
-    // suggestBloomBits law), survivors aggregated per returnflag — the
-    // pruned SET itself hash-gates through the relation path
+    // suggestBloomBits law — greatest(n, 1) mirrors the engine's
+    // math.max(1L, n) clamp exactly, ADVICE r13, so the identical-bits
+    // invariant holds even on an empty dim), survivors aggregated per
+    // returnflag — the pruned SET itself hash-gates through the
+    // relation path
     "q247_bloom_prune_rel" -> {
       val mSub = "(SELECT m FROM M)"
       def pos(h: String, i: String) =
@@ -5630,7 +5639,8 @@ object OracleSql {
       s"""WITH D AS (SELECT DISTINCT o_orderkey AS k FROM orders
                 WHERE o_orderpriority = '1-URGENT'),
           N AS (SELECT CAST(count(*) AS BIGINT) AS n FROM D),
-          M AS (SELECT CAST(n * 5 * 14427 // 10000 + 1 AS BIGINT) AS m FROM N),
+          M AS (SELECT CAST(greatest(n, 1) * 5 * 14427 // 10000 + 1
+                 AS BIGINT) AS m FROM N),
           DH AS (SELECT ${md5long("CAST(k AS VARCHAR)")} AS h FROM D),
           DP AS (SELECT DISTINCT ${pos("dh.h", "t.i")} AS pos
                 FROM DH dh, range(5) t(i)),
@@ -5757,7 +5767,77 @@ object OracleSql {
                   AND d.key = array_to_string(a.tail, ' ') AND d.df > cap.cap)
             AND NOT EXISTS (SELECT 1 FROM DF d WHERE d.side = 'h'
                   AND d.key = array_to_string(b.head, ' ') AND d.df > cap.cap)
-          ORDER BY id_a, id_b"""
+          ORDER BY id_a, id_b""",
+
+    // seam-width law: suggestSeamWidth re-derived in SQL — the SAME
+    // saturating integer power loop (recursive CTE, HUGEINT product
+    // capped at Long.Max exactly like the Scala law's overflow guard),
+    // then the fragment fixture BUILT at the law's width and the pair
+    // join run at it, so the width selection and the detection it
+    // buys hash-gate together
+    "q253_seam_width_law" ->
+      s"""WITH RECURSIVE
+          T AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          V AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+                FROM (SELECT unnest(tk) AS t FROM T)),
+          NK AS (SELECT CAST(4 * count(*) AS BIGINT) AS nk FROM T),
+          ND AS (SELECT CAST(nk // 2
+                  + CASE WHEN nk % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+                  AS needed FROM NK),
+          PW(w, p) AS (
+            SELECT 1, (SELECT v FROM V)::HUGEINT
+            UNION ALL
+            SELECT w + 1, least(p * (SELECT v FROM V),
+                9223372036854775807::HUGEINT)
+            FROM PW WHERE w < 16 AND p < (SELECT needed FROM ND)),
+          W AS (SELECT greatest(2, max(w)) AS sw FROM PW),
+          S AS (SELECT doc_id, tk, len(tk) AS n, len(tk) // 2 AS m
+                FROM T, W WHERE len(tk) >= 2 * W.sw + 2),
+          F AS (SELECT doc_id * 2 AS fid,
+                  list_slice(tk, 1, m + (SELECT sw FROM W)) AS ft FROM S
+                UNION ALL
+                SELECT doc_id * 2 + 1, list_slice(tk, m + 1, n) FROM S),
+          HT AS (SELECT fid, list_slice(ft, 1, W.sw) AS head,
+                  list_slice(ft, len(ft) - W.sw + 1, len(ft)) AS tail
+                 FROM F, W WHERE len(ft) >= W.sw)
+          SELECT a.fid AS id_a, b.fid AS id_b,
+            array_to_string(a.tail, ' ') AS overlap,
+            v.v AS vocab_size, nk.nk AS n_keys,
+            nd.needed AS needed_key_space,
+            CAST(w.sw AS BIGINT) AS seam_w
+          FROM HT a JOIN HT b ON a.tail = b.head AND a.fid <> b.fid,
+            V v, NK nk, ND nd, W w
+          ORDER BY id_a, id_b""",
+
+    // TPC-H Q20 shape: the TEXTBOOK correlated nested-aggregate
+    // formulation — the engine runs the single-pass conditional-sum
+    // decorrelation, so this oracle hash-gates the rewrite's
+    // equivalence (including the NULL semantics of an empty correlated
+    // SUM: no 1996 lines → NULL → the comparison is false and the pair
+    // drops). partsupp is the derived twin both engines share: the
+    // distinct lineitem pair set with a deterministic integer availqty
+    "q254_excess_stock" ->
+      """WITH partsupp AS (
+           SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             ((l_partkey * 7 + l_suppkey * 13) % 50 + 1) * 100
+               AS ps_availqty_c
+           FROM lineitem)
+         SELECT s.s_suppkey, s.s_name
+         FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE n.n_name = 'NATION_7'
+           AND s.s_suppkey IN (
+             SELECT ps_suppkey FROM partsupp
+             WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'small%')
+               AND 2 * ps_availqty_c > (
+                 SELECT CAST(sum(CAST(floor(l.l_quantity * 100) AS BIGINT))
+                   AS BIGINT)
+                 FROM lineitem l
+                 WHERE l.l_partkey = ps_partkey
+                   AND l.l_suppkey = ps_suppkey
+                   AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l.l_shipdate < TIMESTAMP '1997-01-01'))
+         ORDER BY s_name, s_suppkey"""
     )
 
   /** q240/q241 oracle body — X[j] = n − 2·Σ bit_j(md5Long(key)),

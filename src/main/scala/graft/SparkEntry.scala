@@ -2221,8 +2221,16 @@ object SparkEntry {
     * two fragments overlapping by exactly 3 tokens. Shared by the
     * detection row and the reassembly row so the two cannot drift.
     */
-  private[graft] def stitchFrags(s: SparkSession, dir: String): DataFrame = {
-    val w = 3
+  private[graft] def stitchFrags(s: SparkSession, dir: String): DataFrame =
+    stitchFragsAt(s, dir, 3)
+
+  /** [[stitchFrags]] at an arbitrary seam width — q253 builds the
+    * fixture at the width [[graft.operators.Dedup.suggestSeamWidth]]
+    * picks (a fragment pair overlapping exactly w tokens is only
+    * detectable at width w, so the fixture must follow the law).
+    */
+  private[graft] def stitchFragsAt(s: SparkSession, dir: String,
+      w: Int): DataFrame = {
     val staged = t(s, dir, "documents")
       .select(col("doc_id"), tokens(lower(col("text"))).as("_tk"))
       .filter(size(col("_tk")) >= 2 * w + 2)
@@ -2257,6 +2265,38 @@ object SparkEntry {
     graft.operators.Dedup.boundaryOverlapPairsAuto(
         stitchFrags(s, dir), "fid", "text", 3)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Seam-width law (q253): the VOCAB-SATURATION lever (VERDICT r13
+    * item 2) — q232's regime where a tiny vocabulary makes every seam
+    * key's df grow with the corpus (broad organic growth the q242
+    * df-cap law correctly refuses to cut). suggestSeamWidth picks the
+    * smallest w whose key space vocab^w keeps expected seam-key df ≤ 2
+    * (vocab from one distinct-token aggregate, nKeys = the fragment
+    * corpus's head+tail key population = 4·docs), the FIXTURE is built
+    * at that width (a pair overlapping exactly w tokens is only
+    * detectable at w), and detection runs at the law's w. The law
+    * columns ride every pair row so the selection — exact saturating
+    * integer power loop, replayed in SQL via a recursive CTE with the
+    * same Long.Max cap — is hash-gated along with the pair set. The
+    * gen-sf10 slope legs in BASELINE.md measure the collapse this
+    * width buys against the fixed-w=3 q232 baseline.
+    * See Dedup.suggestSeamWidth.
+    */
+  private def qSeamWidthLaw(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = docs
+      .select(explode(tokens(lower(col("text")))).as("_t"))
+      .agg(countDistinct(col("_t"))).collect()(0).getLong(0)
+    val law = graft.operators.Dedup.suggestSeamWidth(
+      vocabSize = vocab, nKeys = 4L * docs.count())
+    graft.operators.Dedup.boundaryOverlapPairs(
+        stitchFragsAt(s, dir, law.w), "fid", "text", law.w)
+      .withColumn("vocab_size", lit(law.vocabSize))
+      .withColumn("n_keys", lit(law.nKeys))
+      .withColumn("needed_key_space", lit(law.neededKeySpace))
+      .withColumn("seam_w", lit(law.w.toLong))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Stitch detection on ingest (q239): q232's seam detector as the
     * fifth dedup-on-ingest member — the fragment corpus arrives as two
@@ -2437,6 +2477,17 @@ object SparkEntry {
     * so the rewrite's equivalence is itself hash-gated. Plan-pinned:
     * exactly one lineitem scan, no semi/anti join, no Expand,
     * TakeOrdered top-100.
+    *
+    * ROUTING (ADVICE r13): the rewrite's win is a PAST-BROADCASTABILITY
+    * property. Below ~10M fact rows AQE broadcasts both textbook
+    * self-join sides and the naive EXISTS/NOT-EXISTS form is measured
+    * CHEAPER (1.49 s naive vs 1.95 s rewrite at sf0.1; 4.43 vs 5.75 at
+    * gen-sf1 — BASELINE round-13 Q21 study); past broadcastability each
+    * EXISTS leg becomes its own fact-wide shuffle and the one-exchange
+    * rewrite wins. Users below the threshold should route on fact size,
+    * the same regime rule as bloomPrune literal-vs-relation; the
+    * battery pins the rewrite because the 100-TB regime is the design
+    * point.
     */
   private def qWaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
@@ -2468,6 +2519,64 @@ object SparkEntry {
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
+  }
+
+  /** TPC-H Q20 shape (q254): suppliers with excess stock — the
+    * CORRELATED NESTED-AGGREGATE member that completes the
+    * planner-rewrite set next to Q3 (q244) / Q18 (q238) / Q21 (q248):
+    * keep suppliers in one nation holding some 'small%' part whose
+    * available stock exceeds half of that (part, supplier) pair's
+    * 1996-shipped quantity. The testdata has no partsupp table, so
+    * both engines derive the SAME twin: the pair set is the distinct
+    * (l_partkey, l_suppkey) pairs of lineitem and ps_availqty_c is a
+    * deterministic spread over the keys ((7·p + 13·s) mod 50 + 1, in
+    * cents) — pure integer functions both engines replay exactly.
+    *
+    * The textbook formulation re-executes a correlated
+    * per-(partkey, suppkey) SUM subquery inside an IN chain — per-pair
+    * re-execution that a row-at-a-time engine pays ~|partsupp| times.
+    * The engine REWRITES it as ONE aggregate: part-filtered lineitem
+    * groups by (partkey, suppkey) with the window quantity as a
+    * CONDITIONAL sum in the same pass — the pair set and the
+    * correlated sum fall out of a single fact scan and a single
+    * exchange, no second distinct pass, no correlated re-execution.
+    * NULL semantics ride for free: a pair with no 1996 lines gets a
+    * NULL window sum, and `2·avail > NULL` is false — exactly the
+    * textbook subquery's empty-SUM behavior. Survivor suppkeys
+    * (bounded by the supplier dim) distinct, then the supplier and
+    * nation dims broadcast. The DuckDB oracle runs the textbook
+    * correlated form verbatim, so the decorrelation's equivalence is
+    * itself hash-gated. Plan-pinned (PlanQualitySpec): exactly ONE
+    * lineitem scan, no correlated re-execution.
+    */
+  private def qExcessStock(s: SparkSession, dir: String): DataFrame = {
+    val winLo = lit("1996-01-01").cast("timestamp")
+    val winHi = lit("1997-01-01").cast("timestamp")
+    val smallParts = t(s, dir, "part")
+      .filter(col("p_name").like("small%"))
+      .select(col("p_partkey"))
+    // the part semi-join sits BELOW the aggregate: the name filter cuts
+    // the fact before its one wide exchange, not after
+    val l = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+        floor(col("l_quantity") * 100).cast("long").as("_qc"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+    val ps = l.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(when(col("l_shipdate") >= winLo && col("l_shipdate") < winHi,
+        col("_qc"))).as("_wq"))
+      .withColumn("_avail_c",
+        ((col("l_partkey") * 7 + col("l_suppkey") * 13) % 50 + 1) * 100)
+      .filter(col("_avail_c") * 2 > col("_wq"))
+    ps.select(col("l_suppkey")).distinct()
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .filter(col("n_name") === "NATION_7")
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_name"), col("s_suppkey"))
   }
 
   /** TPC-H Q3 shape (q244): shipping priority — the selective-filter
@@ -4279,7 +4388,9 @@ object SparkEntry {
     "q249_maintain_clusters" -> (qMaintainClusters _),
     "q250_maintain_clusters_delta" -> (qMaintainClustersDelta _),
     "q251_kmv_key_overlap" -> (qKmvKeyOverlap _),
-    "q252_kmv_key_overlap_est" -> (qKmvKeyOverlapEst _))
+    "q252_kmv_key_overlap_est" -> (qKmvKeyOverlapEst _),
+    "q253_seam_width_law" -> (qSeamWidthLaw _),
+    "q254_excess_stock" -> (qExcessStock _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

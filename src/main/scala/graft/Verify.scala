@@ -57,5 +57,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // end-of-run scratch sweep (VERDICT r13 item 4): the ~20 battery
+    // queries that stage VersionedTable roots under java.io.tmpdir
+    // delete-before, never after — collect them here (and anything a
+    // previously killed JVM stranded)
+    val swept = graft.util.Fs.sweepTmpArtifacts()
+    if (swept > 0)
+      System.err.println(s"[tmp-sweep] removed $swept graft_* scratch roots")
   }
 }

@@ -732,20 +732,30 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("m"))
       .select(col("id"), least(col("id"), col("m")).as("label"))
       .localCheckpoint(true)
-    def atFixpoint: Boolean = {
-      val la = labels.select(col("id").as("ia"), col("label").as("la"))
-      val lb = labels.select(col("id").as("ib"), col("label").as("lb"))
-      edges.join(la, edges("src") === col("ia"))
-        .join(lb, edges("dst") === col("ib"))
-        .filter(col("la") =!= col("lb")).isEmpty
-    }
+    // Convergence detection FOLDED INTO the iteration (VERDICT r13
+    // item 3): the former standalone atFixpoint probe paid two O(E)
+    // label joins per round ON TOP of the round itself. Instead each
+    // round carries its incoming label (`l0`) through the jump chain
+    // and asks "did any label move" with one map-side filter over the
+    // freshly checkpointed round output — O(V), zero joins, zero
+    // shuffles. The two tests are equivalent: edges are symmetrized,
+    // so a round that moves NO label means every edge already had
+    // label(src) = label(dst) (the min over each neighborhood changed
+    // nothing in either direction) — the old edge-fixpoint predicate
+    // verbatim; conversely at edge-fixpoint a component's label is
+    // uniform at its min id, whose own label is itself, so the jumps
+    // cannot move anything either. Per-iteration job count drops from
+    // round + 2-join probe to round + block-local scan; an
+    // already-converged input costs one no-op round instead of one
+    // O(E) probe (same order). Labels are exact whenever the
+    // PRODUCTIVE round count fits maxIter, as before.
     var iter = 0
-    var converged = atFixpoint
+    var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
       val oneHop = labels.join(nbrMin, labels("id") === col("nid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("l0"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("l1"))
       // pointer doubling ×2: follow the label's own label, twice —
       // path lengths shrink 4× per round for the cost of two cheap
@@ -755,13 +765,12 @@ object Dedup {
         ls.as("x")
           .join(ls.select(col("id").as("pid"), col("l1").as("pl")).as("y"),
             col("x.l1") === col("y.pid"), "left")
-          .select(col("x.id").as("id"),
+          .select(col("x.id").as("id"), col("x.l0").as("l0"),
             least(col("x.l1"), coalesce(col("y.pl"), col("x.l1"))).as("l1"))
-      labels = jump(jump(oneHop))
-        .withColumnRenamed("l1", "label")
-        .localCheckpoint(true)
+      val next = jump(jump(oneHop)).localCheckpoint(true)
+      converged = next.filter(col("l0") =!= col("l1")).isEmpty
+      labels = next.select(col("id"), col("l1").as("label"))
       iter += 1
-      converged = atFixpoint
     }
     labels.select(col("id"), col("label").as("cluster_id"))
   }
@@ -1604,6 +1613,68 @@ object Dedup {
       .withColumn("n_keys", lit(law.nKeys))
       .withColumn("hot_key_budget", lit(law.hotKeyBudget))
       .withColumn("max_key_df", lit(law.cap.toLong))
+  }
+
+  /** The [[suggestSeamWidth]] law's audit triple: the chosen width,
+    * the inputs it was derived from, and the key-space floor the width
+    * had to clear.
+    */
+  final case class SeamWidthLaw(w: Int, vocabSize: Long, nKeys: Long,
+      neededKeySpace: Long)
+
+  /** Seam-WIDTH selection law for [[boundaryOverlapPairs]] (VERDICT
+    * r13 item 2) — the lever for the VOCAB-SATURATION regime that the
+    * df-cap law [[suggestStitchMaxKeyDf]] correctly refuses to touch:
+    * when the corpus vocabulary is small relative to corpus size, the
+    * w-token seam-key space (vocabSize^w keys) saturates and EVERY
+    * key's df grows with the corpus — broad organic growth, not a few
+    * hot boilerplate keys, so a df cap could only shed broad recall
+    * (the BASELINE round-13 capped-gate study: a 30-word vocab has ≤
+    * 27,000 3-token keys, and q232's candidate mass grew 6.3× per 10×
+    * data entirely through that saturation). Widening the seam is the
+    * structural fix: keys grow as vocabSize^w, so each +1 in w divides
+    * the expected organic df by the vocabulary size.
+    *
+    * The law: the smallest w in [minW, maxW] with vocabSize^w ≥
+    * ⌈nKeys / targetDf⌉ — i.e. a key space big enough that the
+    * EXPECTED df per seam key is ≤ targetDf. `nKeys` is the seam-key
+    * population the detector will join (for a fragment corpus: 2 keys
+    * per fragment — head and tail). `targetDf` defaults LOW (2) for
+    * the same reason [[suggestSimhashParams]]' targetBucket does: real
+    * seam keys are Zipfian, so the mean df badly understates the busy
+    * keys. All arithmetic is EXACT integer math — the power loop
+    * saturates at Long.MaxValue (p > Long.Max/v ⟺ the true product
+    * exceeds Long.Max, so saturation is exact), and the SQL oracle
+    * replays the identical loop with a HUGEINT product capped at the
+    * same bound — no float-log boundary risk.
+    *
+    * Trade-offs the caller owns: docs shorter than w tokens cannot
+    * certify a w-token overlap and drop out of detection entirely
+    * (`maxW` bounds that loss; fragments are usually ≫ 16 tokens), and
+    * a TRUE stitch whose seam the upstream chunker cut narrower than w
+    * is missed — w is a recall/precision dial, this law picks the
+    * precision floor the corpus size demands. Hot BOILERPLATE seams
+    * remain [[suggestStitchMaxKeyDf]]'s job: the two laws compose
+    * (width for organic saturation, df cap for template spikes).
+    */
+  def suggestSeamWidth(vocabSize: Long, nKeys: Long, targetDf: Int = 2,
+      minW: Int = 2, maxW: Int = 16): SeamWidthLaw = {
+    require(vocabSize >= 1, s"need vocabSize >= 1, got $vocabSize")
+    require(nKeys >= 0, s"need nKeys >= 0, got $nKeys")
+    require(targetDf >= 1, s"need targetDf >= 1, got $targetDf")
+    require(minW >= 1 && maxW >= minW,
+      s"need 1 <= minW <= maxW, got minW=$minW maxW=$maxW")
+    // overflow-safe ⌈nKeys/targetDf⌉
+    val needed = nKeys / targetDf +
+      (if (nKeys % targetDf == 0L) 0L else 1L)
+    var w = 1
+    var p = vocabSize // vocabSize^w, saturated at Long.MaxValue (exact)
+    while (w < maxW && p < needed) {
+      p = if (p > Long.MaxValue / vocabSize) Long.MaxValue
+          else p * vocabSize
+      w += 1
+    }
+    SeamWidthLaw(math.max(minW, w), vocabSize, nKeys, needed)
   }
 
   /** Reassemble stitched fragments — the CUT step after

@@ -107,7 +107,16 @@ object StreamingDedup {
       checkpointDir: String, batchBase: Long = 0L,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Precombine-floor cache (ADVICE r13): the stored max(batch_no)
+    // only advances through THIS writer's own commits (the gate is the
+    // label table's single writer — the same assumption every
+    // foreachBatch upsert loop here already makes), so the
+    // history-wide max aggregation runs ONCE, on the first committing
+    // batch after start/restart, and the floor advances locally with
+    // each commit thereafter — per-ingest IO tracks the merge, not a
+    // 10⁸-label table scan per micro-batch. −1 = not yet read.
+    var floorCache = -1L
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -127,16 +136,20 @@ object StreamingDedup {
           // RESETS too: a fresh checkpoint restarts batchId at 0, and
           // upsert keeps the max-precombine row per key — a stamp
           // below the stored maximum would silently LOSE the new
-          // labels. Derive the floor from the table itself; batchBase
-          // remains the caller's provenance offset.
-          val nextNo = snap
-            .map(_.agg(max(col("batch_no"))).collect()(0))
-            .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
-            .getOrElse(0L)
-          labels.upsert(changes.withColumn("batch_no",
-            lit(math.max(nextNo, batchBase + batchId))))
+          // labels. Derive the floor from the table itself (once per
+          // gate lifetime — cached above); batchBase remains the
+          // caller's provenance offset.
+          if (floorCache < 0L)
+            floorCache = snap
+              .map(_.agg(max(col("batch_no"))).collect()(0))
+              .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
+              .getOrElse(0L)
+          val stamp = math.max(floorCache, batchBase + batchId)
+          labels.upsert(changes.withColumn("batch_no", lit(stamp)))
+          floorCache = stamp + 1L
         }
         ()
       }
       .start()
+  }
 }

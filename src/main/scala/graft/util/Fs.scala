@@ -42,4 +42,24 @@ object Fs {
       val all = try s.iterator().asScala.toList finally s.close()
       all.sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
     }
+
+  /** End-of-run sweep of the scratch VersionedTable roots the battery
+    * queries stage under `java.io.tmpdir` (every such path is named
+    * `graft_*`; each query deletes ITS root before (re)building, never
+    * after, so a full battery strands ~20 of them per JVM — VERDICT
+    * r13 item 4). Called by [[graft.Bench]]/[[graft.Verify]] after the
+    * battery; crash-safe because the next run's sweep collects what a
+    * killed JVM left behind. Returns the number of roots removed.
+    */
+  def sweepTmpArtifacts(): Int = {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val stranded = list(tmp).filter(_.getFileName.toString.startsWith("graft_"))
+    stranded.foreach { p =>
+      try deleteRecursively(p)
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[tmp-sweep] could not remove $p: ${e.getMessage}")
+      }
+    }
+    stranded.size
+  }
 }
