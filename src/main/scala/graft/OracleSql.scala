@@ -933,6 +933,42 @@ object OracleSql {
           WHERE p.node IS NULL OR p.cluster_id <> f.cluster_id
           ORDER BY doc_id""",
 
+    // cluster-maintenance ingest gate: the engine's label table after
+    // three ingests (even prior at batchNo=1, odd delta at a RESET
+    // batchNo=0 that the floor-monotone stamp must lift to 2, then a
+    // re-delivery that must write nothing). The oracle re-derives the
+    // labels by full recursive reachability (maintained ≡ recompute)
+    // and the stamp from the prior-vs-full diff: 1 where the even-only
+    // labeling already agreed, else 2 — a naive reset stamp loses the
+    // precombine race (stale cluster_id), a non-idempotent re-delivery
+    // stamps 3+; either goes hash-red here.
+    "q255_maintain_gate" ->
+      s"""WITH RECURSIVE
+          ${lshPairCtes("documents")},
+          EDGES AS (SELECT id_a AS src, id_b AS dst FROM PAIRS
+                    UNION SELECT id_b, id_a FROM PAIRS),
+          REACH(node, r) AS (
+            SELECT src, src FROM EDGES
+            UNION
+            SELECT e.dst, r.r FROM REACH r JOIN EDGES e ON e.src = r.node),
+          FULLCC AS (SELECT node, min(r) AS cluster_id FROM REACH
+                     GROUP BY node),
+          PE AS (SELECT id_a, id_b FROM PAIRS
+                 WHERE id_a % 2 = 0 AND id_b % 2 = 0),
+          EDGES_E AS (SELECT id_a AS src, id_b AS dst FROM PE
+                      UNION SELECT id_b, id_a FROM PE),
+          REACH_E(node, r) AS (
+            SELECT src, src FROM EDGES_E
+            UNION
+            SELECT e.dst, r.r FROM REACH_E r JOIN EDGES_E e ON e.src = r.node),
+          PRIOR AS (SELECT node, min(r) AS cluster_id FROM REACH_E
+                    GROUP BY node)
+          SELECT f.node AS doc_id, f.cluster_id,
+            CASE WHEN p.node IS NOT NULL AND p.cluster_id = f.cluster_id
+                 THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS batch_no
+          FROM FULLCC f LEFT JOIN PRIOR p ON p.node = f.node
+          ORDER BY doc_id""",
+
     // duplication-mass histogram: q36's reachability clusters, then
     // clusters-per-size
     "q132_dup_mass" ->
@@ -5837,7 +5873,51 @@ object OracleSql {
                    AND l.l_suppkey = ps_suppkey
                    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
                    AND l.l_shipdate < TIMESTAMP '1997-01-01'))
-         ORDER BY s_name, s_suppkey"""
+         ORDER BY s_name, s_suppkey""",
+
+    // TPC-H Q22 shape: the TEXTBOOK global-scalar-subquery +
+    // NOT-EXISTS formulation — the engine broadcasts the one-row
+    // positive-balance aggregate and runs a left-anti against the
+    // date-pruned orders slice; equivalence hash-gated here. The
+    // threshold compares exact integers (bal_c·n_pos > sum_pos_c), no
+    // float average on either engine
+    "q256_dormant_customers" ->
+      """WITH C AS (SELECT c_custkey, c_nationkey,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bc
+           FROM customer)
+         SELECT CAST(c_nationkey % 5 AS BIGINT) AS cgrp,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(bc) AS BIGINT) AS bal_c
+         FROM C c
+         WHERE c.bc * (SELECT count(*) FROM C WHERE bc > 0)
+             > (SELECT sum(bc) FROM C WHERE bc > 0)
+           AND NOT EXISTS (
+             SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderdate >= TIMESTAMP '2000-09-01')
+         GROUP BY 1 ORDER BY 1""",
+
+    // TPC-H Q17 shape: the TEXTBOOK correlated scalar-avg
+    // formulation — the engine folds the per-part threshold into one
+    // windowed pass over the brand-pruned fact; this oracle re-executes
+    // the correlated subquery per line, hash-gating the decorrelation.
+    // 5·qty_c·n < sum_qty_c is the exact-integer form of
+    // qty < 0.2·avg(qty); the correlated aggregate ranges over the
+    // part's brand-filtered lines, identical to all its lines because
+    // partkey determines brand
+    "q257_small_qty_revenue" ->
+      """WITH L AS (SELECT l_partkey,
+             CAST(floor(l_quantity * 100) AS BIGINT) AS qc,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS pc
+           FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_brand = 'Brand#23'))
+         SELECT CAST(coalesce(sum(pc), 0) // 7 AS BIGINT) AS avg_yearly_c
+         FROM L l
+         WHERE 5 * l.qc * (SELECT count(*) FROM L l2
+                           WHERE l2.l_partkey = l.l_partkey)
+             < (SELECT sum(qc) FROM L l2
+                WHERE l2.l_partkey = l.l_partkey)"""
     )
 
   /** q240/q241 oracle body — X[j] = n − 2·Σ bit_j(md5Long(key)),

@@ -941,6 +941,43 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster-maintenance ingest GATE (q255): the q249/q250 maintenance
+    * run through the seventh dedup-on-ingest family member,
+    * IncrementalDedup.maintainClusters — the label table IS the index
+    * (record key "id", precombine "batch_no"), and three ingests
+    * hash-gate the gate's two hardest contract points IN the output:
+    * ingest 2 arrives with a RESET batch counter (batchNo=0, as a
+    * fresh checkpoint or replayed orchestration would), so only the
+    * floor-monotone stamp (max with stored max(batch_no)+1 = 2) keeps
+    * its labels from losing the COW precombine race against ingest 1's
+    * rows — a naive stamp makes every merged cluster_id read stale and
+    * the hash go red; ingest 3 RE-DELIVERS the same delta, whose edges
+    * contract to self-loops → zero rows, no commit — any spurious
+    * admission would stamp batch_no=3+ into the final snapshot. The
+    * oracle re-derives labels by full recursive reachability (q36
+    * verbatim — maintained ≡ recompute) and the stamp from the
+    * prior-vs-full label diff: 1 where the even-only labeling already
+    * agreed, else 2, never 3.
+    */
+  private def qMaintainGate(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q255_cmg_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "id", "batch_no",
+      numBuckets = 8)
+    val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint(true)
+    val even = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+    val delta = pairs.filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+    graft.operators.IncrementalDedup.maintainClusters(vt, even, 1L)
+    graft.operators.IncrementalDedup.maintainClusters(vt, delta, 0L) // reset
+    graft.operators.IncrementalDedup.maintainClusters(vt, delta, 3L) // redeliver
+    vt.snapshot.select(col("id").as("doc_id"), col("cluster_id"),
+        col("batch_no"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplication-mass histogram (q132): q36's LSH cluster labeling,
     * then clusters-per-size and docs-tied-up — the "is dedup worth it"
     * one-pager. See Dedup.clusterSizeHistogram.
@@ -2519,6 +2556,76 @@ object SparkEntry {
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
+  }
+
+  /** TPC-H Q17 shape (q257): small-quantity-order revenue — the
+    * correlated SCALAR-AVG member of the planner-rewrite set: revenue
+    * locked up in orders whose quantity sits below 20% of that part's
+    * average. The textbook form re-executes a correlated
+    * per-partkey avg subquery for every brand-filtered line; the
+    * engine folds the threshold into the SAME pass as the filter via
+    * a partkey window over the broadcast-part-pruned fact — ONE fact
+    * scan, ONE exchange (the window's), no per-part re-execution, no
+    * join-back of a separate aggregate. The 20%-of-avg predicate is
+    * EXACT integer arithmetic (5·qty_c·n < sum_qty_c ⟺ qty <
+    * 0.2·avg), so both engines replay it without float drift; output
+    * is floor-cents of sum(price)/7 (the Q17 yearly convention). The
+    * DuckDB oracle runs the textbook correlated-subquery form
+    * verbatim, hash-gating the decorrelation. Note the window's avg
+    * is over the part's BRAND-FILTERED lines — identical to the
+    * textbook's all-lines avg because partkey determines brand, a
+    * fact the rewrite exploits to avoid a second unfiltered scan.
+    * Plan-pinned (PlanQualitySpec): one lineitem scan, brand filter
+    * pushed to the part scan, part side broadcast.
+    */
+  private def qSmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val brandParts = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        floor(col("l_quantity") * 100).cast("long").as("_qc"),
+        floor(col("l_extendedprice") * 100).cast("long").as("_pc"))
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val byPart = Window.partitionBy(col("l_partkey"))
+    l.withColumn("_sq", sum(col("_qc")).over(byPart))
+      .withColumn("_n", count(lit(1)).over(byPart))
+      .filter(col("_qc") * col("_n") * 5 < col("_sq"))
+      .agg(coalesce(sum(col("_pc")), lit(0L)).as("_t"))
+      .select(expr("_t DIV 7").as("avg_yearly_c"))
+  }
+
+  /** TPC-H Q22 shape (q256): dormant wealthy customers — the
+    * GLOBAL-SCALAR + ANTI-JOIN member of the planner-rewrite set:
+    * customers whose balance exceeds the positive-balance average and
+    * who placed no order after the cutoff, counted per nation group.
+    * (The testdata has no c_phone and every customer has SOME order,
+    * so the twin keeps Q22's exact shape with nationkey%5 standing in
+    * for the phone prefix and "no RECENT order" for "no order" —
+    * cutoff 2000-09-01 keeps the anti-join's textbook selectivity.)
+    * The scalar threshold is ONE bounded aggregate broadcast to the
+    * customer scan (bal_c·n_pos > sum_pos_c — exact integers, no
+    * float average), and the NOT EXISTS is a left-anti against the
+    * date-pruned orders projection: at scale the anti-join shuffles
+    * customer keys against a fact slice the scan already cut to the
+    * window, and AQE broadcasts it whenever the window is short. The
+    * oracle runs the textbook correlated scalar-subquery +
+    * NOT-EXISTS form verbatim.
+    */
+  private def qDormantCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2000-09-01").cast("timestamp")
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("_bc"))
+    val posAvg = cust.filter(col("_bc") > 0L)
+      .agg(sum(col("_bc")).as("_s"), count(lit(1)).as("_n"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= cut).select(col("o_custkey"))
+    cust.crossJoin(broadcast(posAvg)) // 1-row scalar, broadcast by design
+      .filter(col("_bc") * col("_n") > col("_s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 5).cast("long").as("cgrp"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("_bc")).as("bal_c"))
+      .orderBy(col("cgrp"))
   }
 
   /** TPC-H Q20 shape (q254): suppliers with excess stock — the
@@ -4390,7 +4497,10 @@ object SparkEntry {
     "q251_kmv_key_overlap" -> (qKmvKeyOverlap _),
     "q252_kmv_key_overlap_est" -> (qKmvKeyOverlapEst _),
     "q253_seam_width_law" -> (qSeamWidthLaw _),
-    "q254_excess_stock" -> (qExcessStock _))
+    "q254_excess_stock" -> (qExcessStock _),
+    "q255_maintain_gate" -> (qMaintainGate _),
+    "q256_dormant_customers" -> (qDormantCustomers _),
+    "q257_small_qty_revenue" -> (qSmallQtyRevenue _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

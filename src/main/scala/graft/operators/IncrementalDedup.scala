@@ -373,4 +373,55 @@ object IncrementalDedup {
     index.upsert(rows.withColumn("batch_no", lit(batchNo)))
     found
   }
+
+  /** Cluster-label maintenance on ingest — the batch form of
+    * [[graft.streaming.StreamingDedup.clusterMaintGate]] and the
+    * SEVENTH dedup-on-ingest family member: the index is the LABEL
+    * TABLE itself (record key "id", precombine "batch_no"), each
+    * ingest's delta pair stream updates it through
+    * [[Dedup.maintainComponentsDelta]]'s contracted rep graph (history
+    * never shuffles — two map-side scans against broadcast
+    * delta-derived relations), and only the CHANGED or NEW labels are
+    * upserted — per-ingest IO tracks the merge, not history.
+    *
+    * The precombine stamp is FLOOR-MONOTONE: `max(batchNo, stored
+    * max(batch_no) + 1)`. A caller whose batch counter RESET (a fresh
+    * checkpoint, a replayed orchestration) would otherwise stamp below
+    * rows already in the table, and the COW upsert's keep-max-
+    * precombine rule would silently LOSE the new labels to the old
+    * ones — the streaming twin's checkpoint-reset hardening (commit
+    * be0235e), enforced here from the table itself since a batch
+    * caller holds no driver cache. The floor costs one max aggregation
+    * over the snapshot already read for `prior`; the streaming twin
+    * amortizes it across micro-batches via its driver-state cache.
+    *
+    * Re-delivering an already-applied delta contracts every edge to a
+    * self-loop → ZERO changed rows → no commit: idempotent for free,
+    * and the returned frame is pinned via localCheckpoint before the
+    * commit mutates the snapshot (the appendNovel lesson). Additive
+    * only, like the operator it wraps: edge removal can split a
+    * component, which min-label maintenance cannot see — recompute.
+    *
+    * Returns the write set — (id, cluster_id, batch_no) with the
+    * stamp actually written.
+    */
+  def maintainClusters(labels: VersionedTable, deltaPairs: DataFrame,
+      batchNo: Long, maxIter: Int = 20): DataFrame = {
+    require(labels.recordKey == "id",
+      s"label table must be keyed on 'id', got '${labels.recordKey}'")
+    val snap = labels.snapshotOpt
+    val spark = deltaPairs.sparkSession
+    val prior = snap.map(_.select(col("id"), col("cluster_id")))
+      .getOrElse(spark.range(0)
+        .select(col("id"), col("id").as("cluster_id")))
+    val floor = snap
+      .map(_.agg(max(col("batch_no"))).collect()(0))
+      .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
+      .getOrElse(0L)
+    val changes = Dedup.maintainComponentsDelta(prior, deltaPairs, maxIter)
+      .withColumn("batch_no", lit(math.max(floor, batchNo)))
+      .localCheckpoint(true)
+    if (!changes.isEmpty) labels.upsert(changes)
+    changes
+  }
 }

@@ -12,7 +12,8 @@ object ScaleProbe {
     "neardup8", "neardup12", "brute", "curation",
     "semantic8", "semanticAuto", "semantic2", "semantic3", "jaccard400",
     "videodup", "ams", "stitchgate", "stitchgatecap", "bloom", "bloomprof",
-    "q21", "ccmaint", "ccmaintsyn", "keyoverlap")
+    "bloomrel", "q21", "q20", "ccmaint", "ccmaintsyn", "ccconv",
+    "keyoverlap", "seamwidth")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -366,6 +367,160 @@ object ScaleProbe {
         }
       }
     }
+    if (probes("bloomrel")) {
+      // q247's relation form vs the q245 broadcast-literal form vs the
+      // exact semi-join, same fact/dim (VERDICT r13 item 7): inside
+      // the literal regime (m ≤ 2³⁰) the relation form pays TWO
+      // distinct-key shuffles plus the word join, so the literal
+      // filter should win — this leg measures how much, i.e. the
+      // routing threshold's cost of getting it wrong
+      val dimk = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")).localCheckpoint(true)
+      val fact = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"))
+      timed("bloomrel_exact_semijoin")(
+        fact.join(dimk, fact("l_orderkey") === dimk("o_orderkey"),
+          "left_semi").count())
+      timed("bloomrel_literal")(
+        graft.operators.Sketches.bloomPrune(fact, col("l_orderkey"),
+          dimk, col("o_orderkey")).count())
+      timed("bloomrel_relation")(
+        graft.operators.Sketches.bloomPruneRelation(fact, col("l_orderkey"),
+          dimk, col("o_orderkey")).count())
+      // the regime the relation form EXISTS for: a 150M-key dim whose
+      // m = 1.08G bits exceeds bloomWords' 2³⁰ literal cap (a 135 MB
+      // long[] is past broadcast sanity) — the literal form refuses
+      // (require), the relation form still prunes; the exact semi-join
+      // is the only alternative and pays the fact-wide shuffle against
+      // a 150M-key build side
+      val bigDim = spark.range(150000000L).select(col("id").as("k"))
+      val bigFact = spark.range(60000000L)
+        .select((col("id") * 5 % 300000000L).as("k"))
+      timed("bloomrel_big_exact_semijoin")(
+        bigFact.join(bigDim.select(col("k").as("dk")),
+          col("k") === col("dk"), "left_semi").count())
+      timed("bloomrel_big_relation")(
+        graft.operators.Sketches.bloomPruneRelation(bigFact, col("k"),
+          bigDim, col("k")).count())
+    }
+    if (probes("q20")) {
+      // q254's decorrelation measured (VERDICT r13 item 6 slope leg):
+      // the shipped ONE-PASS form folds the (partkey, suppkey) pair
+      // set and the correlated window sum into a single conditional-
+      // sum aggregate (one fact scan, one exchange); the obvious
+      // alternative a decorrelating optimizer emits first is TWO
+      // aggregates over two fact scans joined back (pair set ⋈ window
+      // sums) — same answer, twice the scan + an extra join exchange
+      val smallParts = spark.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_name").like("small%"))
+        .select(col("p_partkey")).localCheckpoint(true)
+      val winLo = lit("1996-01-01").cast("timestamp")
+      val winHi = lit("1997-01-01").cast("timestamp")
+      def factL = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+          floor(col("l_quantity") * 100).cast("long").as("_qc"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      def avail = ((col("l_partkey") * 7 + col("l_suppkey") * 13) % 50 + 1) * 100
+      timed("q20_onepass")(
+        factL.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(when(col("l_shipdate") >= winLo &&
+            col("l_shipdate") < winHi, col("_qc"))).as("_wq"))
+          .filter(avail * 2 > col("_wq")).count())
+      timed("q20_twopass") {
+        val pairs = factL.select(col("l_partkey"), col("l_suppkey")).distinct()
+        val wsum = factL
+          .filter(col("l_shipdate") >= winLo && col("l_shipdate") < winHi)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("_qc")).as("_wq"))
+        pairs.join(wsum, Seq("l_partkey", "l_suppkey"), "left")
+          .filter(avail * 2 > col("_wq")).count()
+      }
+    }
+    if (probes("ccconv")) {
+      // VERDICT r13 item 3 evidence: the folded convergence test
+      // (labels-moved flag carried through the jump chain, one
+      // map-side scan of the checkpointed round output) vs the old
+      // standalone two-join O(E) atFixpoint probe per round — same
+      // labeling, fewer Spark jobs and no per-round edge re-joins.
+      // The old loop is reproduced verbatim (pre-11a0eed Dedup.scala)
+      // so the comparison measures the formulation, not drift.
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+      def ccOld(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .distinct()
+          .localCheckpoint(true)
+        if (edges.isEmpty)
+          return edges.select(col("src").as("id"), col("dst").as("cluster_id"))
+        var labels = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("m"))
+          .select(col("id"), least(col("id"), col("m")).as("label"))
+          .localCheckpoint(true)
+        def atFixpoint: Boolean = {
+          val la = labels.select(col("id").as("ia"), col("label").as("la"))
+          val lb = labels.select(col("id").as("ib"), col("label").as("lb"))
+          edges.join(la, edges("src") === col("ia"))
+            .join(lb, edges("dst") === col("ib"))
+            .filter(col("la") =!= col("lb")).isEmpty
+        }
+        var iter = 0
+        var converged = atFixpoint
+        while (!converged && iter < maxIter) {
+          val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+            .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))
+          val oneHop = labels.join(nbrMin, labels("id") === col("nid"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("nlabel"), col("label"))).as("l1"))
+          def jump(ls: DataFrame): DataFrame =
+            ls.as("x")
+              .join(ls.select(col("id").as("pid"), col("l1").as("pl")).as("y"),
+                col("x.l1") === col("y.pid"), "left")
+              .select(col("x.id").as("id"),
+                least(col("x.l1"), coalesce(col("y.pl"), col("x.l1"))).as("l1"))
+          labels = jump(jump(oneHop))
+            .withColumnRenamed("l1", "label")
+            .localCheckpoint(true)
+          iter += 1
+          converged = atFixpoint
+        }
+        labels.select(col("id"), col("label").as("cluster_id"))
+      }
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val counter = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      def countJobs(name: String)(body: => Long): Unit = {
+        spark.sparkContext.addSparkListener(counter)
+        jobs.set(0)
+        val t0 = System.nanoTime()
+        val rows = body
+        Thread.sleep(2000) // listener bus drain
+        spark.sparkContext.removeSparkListener(counter)
+        println(f"PROBE $name rows=$rows%d sec=${(System.nanoTime() - t0) / 1e9}%.2f jobs=${jobs.get()}%d")
+      }
+      val pairs = graft.operators.Dedup
+        .minhashLshPairs(docs, "doc_id", "text").localCheckpoint(true)
+      // a long path graph forces many productive rounds, so the
+      // per-round probe tax shows up even when the organic dup graph
+      // converges in 2 rounds: 4096-node path = 12 productive rounds
+      // at 4x shrink/round
+      val path = spark.range(4095L).select(col("id").as("id_a"),
+        (col("id") + 1L).as("id_b")).localCheckpoint(true)
+      for ((nm, es) <- Seq(("organic", pairs), ("path4096", path))) {
+        countJobs(s"ccconv_folded_$nm")(
+          graft.operators.Dedup.connectedComponents(es).count())
+        countJobs(s"ccconv_oldprobe_$nm")(ccOld(es).count())
+        // identical labelings — the fold must not change the answer
+        val a = graft.operators.Dedup.connectedComponents(es)
+        val b = ccOld(es)
+        val diff = a.as("a").join(b.as("b"), col("a.id") === col("b.id"))
+          .filter(col("a.cluster_id") =!= col("b.cluster_id")).count()
+        println(s"PROBE ccconv_labels_diff_$nm rows=$diff sec=0.00")
+      }
+    }
     if (probes("q21")) {
       // q248's two formulations measured head to head: the engine's
       // per-order aggregate rewrite (one lineitem exchange) vs the
@@ -446,6 +601,32 @@ object ScaleProbe {
       timed(s"stitchgate_hist${nh}_batch${batch.count()}")(
         graft.operators.IncrementalDedup.detectStitches(
           vt, batch, "fid", "text", 3, 2L).count())
+    }
+    if (probes("seamwidth")) {
+      // q253's law measured (VERDICT r13 item 2): the 30-word-vocab
+      // fixture saturates the w=3 seam-key space (27k keys), so the
+      // fixed-width detector's candidate mass grows ~6.3× per 10× data
+      // (the q232 organic regime the df-cap law refuses to cut); the
+      // law's width w (vocab^w ≥ nKeys/2) divides expected key df back
+      // to ~2 and the equi-join's pair mass collapses to the true
+      // seams. Fragment corpora are built untimed at each width (a
+      // w-token overlap is only detectable at width w).
+      import graft.operators.Dedup
+      val vocab = docs
+        .select(explode(graft.functions.tokens(lower(col("text")))).as("_t"))
+        .agg(countDistinct(col("_t"))).collect()(0).getLong(0)
+      val nKeys = 4L * docs.count()
+      val law = Dedup.suggestSeamWidth(vocab, nKeys)
+      println(s"PROBE seamwidth_law rows=${law.w} sec=0.00" +
+        s" # vocab=$vocab nKeys=$nKeys needed=${law.neededKeySpace}")
+      val f3 = graft.SparkEntry.stitchFragsAt(spark, dir, 3)
+        .localCheckpoint(true)
+      val fw = graft.SparkEntry.stitchFragsAt(spark, dir, law.w)
+        .localCheckpoint(true)
+      timed("seamwidth_fixed_w3")(
+        Dedup.boundaryOverlapPairs(f3, "fid", "text", 3).count())
+      timed(s"seamwidth_law_w${law.w}")(
+        Dedup.boundaryOverlapPairs(fw, "fid", "text", law.w).count())
     }
     if (probes("curation")) {
       // stage-by-stage decomposition of Curation.curate's cost

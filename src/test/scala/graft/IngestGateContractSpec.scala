@@ -6,19 +6,22 @@ import org.apache.spark.sql.functions._
 import graft.operators.{IncrementalDedup => ID, VersionedTable}
 
 /** The dedup-on-ingest gates' SHARED contract, pinned in ONE
-  * table-driven sweep (VERDICT r12 item 8) — the StreamingSpec
-  * state-identity-table pattern applied to the batch gates, so
-  * contract drift between family members fails one named row instead
-  * of going unnoticed:
+  * table-driven sweep (VERDICT r12 item 8; r13 item 5 added the
+  * seventh member) — the StreamingSpec state-identity-table pattern
+  * applied to the batch gates, so contract drift between family
+  * members fails one named row instead of going unnoticed. Expected
+  * results are TABLE FIELDS (not branch logic), so a member whose
+  * semantics genuinely diverge declares that divergence in data:
   *
-  * | gate (battery row)  | index key | in-batch exact dedup | re-delivery result | re-delivery commit | index on re-delivery |
-  * |---------------------|-----------|----------------------|--------------------|--------------------|----------------------|
-  * | exact (q94)         | h         | first occurrence     | empty              | none               | unchanged            |
-  * | near-dup (q173)     | doc_id    | first occurrence     | empty              | none               | unchanged            |
-  * | semantic (q204)     | id        | NONE (batch-granular)| empty              | none               | unchanged            |
-  * | fingerprint (q214)  | media_id  | first occurrence     | empty              | none               | unchanged            |
-  * | stitch (q239)       | fid       | n/a (flags, all admit)| pairs RE-FLAGGED  | boundary overwrite | unchanged            |
-  * | semantic-PQ (q246)  | id        | NONE (batch-granular)| empty*             | none               | unchanged            |
+  * | gate (battery row)  | index key | first ingest               | re-delivery result | re-delivery commit |
+  * |---------------------|-----------|----------------------------|--------------------|--------------------|
+  * | exact (q94)         | h         | first occurrence           | empty              | none               |
+  * | near-dup (q173)     | doc_id    | first occurrence           | empty              | none               |
+  * | semantic (q204)     | id        | all (batch-granular)       | empty              | none               |
+  * | fingerprint (q214)  | media_id  | first occurrence           | empty              | none               |
+  * | stitch (q239)       | fid       | flags seams, admits all    | pairs RE-FLAGGED   | boundary overwrite |
+  * | semantic-PQ (q246)  | id        | all (batch-granular)       | empty*             | none               |
+  * | cluster-maint (q255)| id        | full label write set       | empty (self-loops) | none               |
   *
   * (*) the PQ gate's re-delivery idempotence additionally requires
   * each vector's PQ reconstruction cosine ≥ the gate threshold (its
@@ -30,11 +33,15 @@ import graft.operators.{IncrementalDedup => ID, VersionedTable}
   * returned frame is PINNED via localCheckpoint(true) before the
   * commit mutates the snapshot — re-collecting it after later ingests
   * yields the same rows; (3) re-delivering a batch NEVER grows the
-  * index (content idempotence for the four admit gates, record-key
-  * overwrite for the flag gate). Divergences are table fields, not
-  * surprises: semantic admits in-batch exact copies (documented
-  * batch-granular trade), stitch flags provenance pairs instead of
-  * rejecting and its boundary upsert always commits.
+  * index (content idempotence for the admit gates, zero contracted
+  * edges for the maintenance gate, record-key overwrite for the flag
+  * gate). The maintenance member additionally pins the CHECKPOINT-
+  * RESET precombine contract (the be0235e fix, shared with the
+  * streaming twin): a batch stamped with a RESET counter (batchNo
+  * below stamps already in the table) must still win the COW
+  * precombine race via the floor-monotone stamp — asserted by
+  * re-reading the final snapshot, which shows stale labels if the
+  * stamp regressed.
   */
 class IngestGateContractSpec extends SparkSpec {
   import spark.implicits._
@@ -68,58 +75,110 @@ class IngestGateContractSpec extends SparkSpec {
     m = 2, k = 2, iters = 2)
   private val fps = Map("A" -> 0L, "B" -> 0x0F0F0F0F0F0F0F0FL,
     "C" -> 0x3333333333333333L)
+  // maintenance alphabet: each seed (i, letter) is the EDGE
+  // (i, anchor(letter)) — same letter ⇒ same component via its anchor
+  private val anchors = Map("A" -> 101L, "B" -> 102L, "C" -> 103L)
 
   private def textDf(words: Map[String, String])(seeds: Seq[(Long, String)]) =
     seeds.map { case (i, c) => (i, words(c)) }.toDF("id", "text")
+  private def edgeDf(seeds: Seq[(Long, String)]) =
+    seeds.map { case (i, c) => (i, anchors(c)) }.toDF("id_a", "id_b")
 
   /** One family member normalized to the common harness: `mk` maps
     * (id, letter) seeds to the gate's input schema, `ingest` runs the
-    * gate and projects its id column (admit gates) or its pair columns
-    * (the flag gate).
+    * gate and projects its result to all-long columns (admitted id,
+    * flagged pair, or written label). Expected results per step are
+    * table data; `reset` is the maintenance member's checkpoint-reset
+    * leg: (seed batch ingested at batchNo=0, expected write set,
+    * expected FINAL index labels after the floor-monotone stamp wins).
     */
   private case class Gate(
       name: String,
       recordKey: String,
       mk: Seq[(Long, String)] => DataFrame,
       ingest: (VersionedTable, DataFrame, Long) => DataFrame,
-      flags: Boolean,
-      inBatchDedup: Boolean)
+      r1: Set[Seq[Long]],
+      idx1: Long,
+      r2: Set[Seq[Long]],
+      idx2Grow: Long,
+      r3: Set[Seq[Long]],
+      redeliverCommits: Boolean,
+      reset: Option[(Seq[(Long, String)], Set[Seq[Long]], Set[Seq[Long]])] =
+        None)
 
   private val gates = Seq(
     Gate("exact-q94", "h", textDf(plainWords),
       (t, b, n) => ID.appendNovel(t, b, "id", "text", n)
-        .select(col("doc_id").as("rid")),
-      flags = false, inBatchDedup = true),
+        .select(col("doc_id")),
+      r1 = Set(Seq(1L), Seq(2L)), idx1 = 2L,
+      r2 = Set(Seq(11L)), idx2Grow = 1L,
+      r3 = Set.empty, redeliverCommits = false),
     Gate("neardup-q173", "doc_id", textDf(plainWords),
       (t, b, n) => ID.appendNovelNearDup(t, b, "id", "text", n)
-        .select(col("doc_id").as("rid")),
-      flags = false, inBatchDedup = true),
+        .select(col("doc_id")),
+      r1 = Set(Seq(1L), Seq(2L)), idx1 = 2L,
+      r2 = Set(Seq(11L)), idx2Grow = 1L,
+      r3 = Set.empty, redeliverCommits = false),
     Gate("semantic-q204", "id",
       seeds => seeds.map { case (i, c) => (i, vecs(c)) }.toDF("id", "emb"),
       (t, b, n) => ID.appendNovelSemantic(t, b, "id", "emb", n,
           simThreshold1e6 = 900000L, signBits = 2)
-        .select(col("id").as("rid")),
-      flags = false, inBatchDedup = false),
+        .select(col("id")),
+      // in-batch exact copy ADMITS: batch-granular by documented trade
+      r1 = Set(Seq(1L), Seq(2L), Seq(3L)), idx1 = 3L,
+      r2 = Set(Seq(11L)), idx2Grow = 1L,
+      r3 = Set.empty, redeliverCommits = false),
     Gate("fingerprint-q214", "media_id",
       seeds => seeds.map { case (i, c) => (i, fps(c)) }.toDF("id", "fp"),
       (t, b, n) => ID.appendNovelFingerprint(t, b, "id", "fp", n)
-        .select(col("media_id").as("rid")),
-      flags = false, inBatchDedup = true),
+        .select(col("media_id")),
+      r1 = Set(Seq(1L), Seq(2L)), idx1 = 2L,
+      r2 = Set(Seq(11L)), idx2Grow = 1L,
+      r3 = Set.empty, redeliverCommits = false),
     Gate("stitch-q239", "fid", textDf(stitchWords),
       (t, b, n) => ID.detectStitches(t, b, "id", "text", w = 2, n)
         .select(col("id_a"), col("id_b")),
-      flags = true, inBatchDedup = false),
+      // within-batch seams flagged; everything admits
+      r1 = Set(Seq(1L, 2L), Seq(3L, 2L)), idx1 = 3L,
+      // history head (B=2) continues batch tail (10=A); flag gate
+      // admits both batch rows
+      r2 = Set(Seq(10L, 2L)), idx2Grow = 2L,
+      // re-delivery RE-FLAGS its pairs (documented, not idempotent
+      // output) and its boundary upsert overwrites by record key
+      r3 = Set(Seq(10L, 2L)), redeliverCommits = true),
     Gate("semantic-pq-q246", "id",
       seeds => seeds.map { case (i, c) => (i, vecsPq(c)) }.toDF("id", "emb"),
       (t, b, n) => ID.appendNovelSemanticPq(t, b, "id", "emb", n,
           adcThreshold1e6 = 900000L, signBits = 2, codebooks = pqCbs)
-        .select(col("id").as("rid")),
-      flags = false, inBatchDedup = false))
+        .select(col("id")),
+      r1 = Set(Seq(1L), Seq(2L), Seq(3L)), idx1 = 3L,
+      r2 = Set(Seq(11L)), idx2Grow = 1L,
+      r3 = Set.empty, redeliverCommits = false),
+    Gate("cluster-maint-q255", "id", edgeDf,
+      (t, b, n) => ID.maintainClusters(t, b, n)
+        .select(col("id"), col("cluster_id")),
+      // first ingest: edges (1,101),(2,102),(3,101) — the write set is
+      // every label of the fresh CC (components {1,3,101}=1, {2,102}=2)
+      r1 = Set(Seq(1L, 1L), Seq(3L, 1L), Seq(101L, 1L),
+        Seq(2L, 2L), Seq(102L, 2L)),
+      idx1 = 5L,
+      // second ingest: (10,101) joins component 1, (11,103) is new —
+      // write set = changed/new labels only, never untouched history
+      r2 = Set(Seq(10L, 1L), Seq(11L, 11L), Seq(103L, 11L)),
+      idx2Grow = 3L,
+      // re-delivery: every edge contracts to a prior-rep self-loop
+      r3 = Set.empty, redeliverCommits = false,
+      // checkpoint-reset leg: edge (2,101) merges {2,102} into
+      // component 1, delivered at batchNo=0 — BELOW the stamps already
+      // stored. The floor-monotone stamp must still win precombine:
+      // the final snapshot shows the merged labels, not the stale ones
+      reset = Some((Seq((2L, "A")),
+        Set(Seq(2L, 1L), Seq(102L, 1L)),
+        Set(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(101L, 1L),
+          Seq(102L, 1L), Seq(10L, 1L), Seq(11L, 11L), Seq(103L, 11L))))))
 
-  private def ids(df: DataFrame): Set[Long] =
-    df.collect().map(_.getLong(0)).toSet
-  private def pairs(df: DataFrame): Set[(Long, Long)] =
-    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  private def rows(df: DataFrame): Set[Seq[Long]] =
+    df.collect().map(r => r.toSeq.map(_.asInstanceOf[Long])).toSet
 
   test("the dedup-on-ingest gate family shares one pinned contract " +
     "(key requirement, result pinning, re-delivery idempotence)") {
@@ -130,43 +189,42 @@ class IngestGateContractSpec extends SparkSpec {
           g.mk(Seq((1L, "A"))), 1L)
       }
       val index = vt(s"${g.name}_idx", g.recordKey)
-      // 2. first ingest: in-batch exact-dup handling per the table
+      // 2. first ingest: in-batch handling per the table
       val r1 = g.ingest(index, g.mk(Seq((1L, "A"), (2L, "B"), (3L, "A"))), 1L)
-      if (g.flags) assert(pairs(r1) == Set((1L, 2L), (3L, 2L)),
-        "within-batch seams flagged")
-      else assert(ids(r1) ==
-        (if (g.inBatchDedup) Set(1L, 2L) else Set(1L, 2L, 3L)))
-      val n1 = index.snapshot.count()
-      // 3. cross-batch: history dup rejected (admit gates) or seam
-      // flagged against history (flag gate); genuine novelty admitted
+      assert(rows(r1) == g.r1, "first-ingest result per the table")
+      assert(index.snapshot.count() == g.idx1)
+      // 3. cross-batch: history semantics per the table (dup rejected,
+      // seam flagged, or changed/new labels only); novelty admitted
       val b2 = g.mk(Seq((10L, "A"), (11L, "C")))
       val r2 = g.ingest(index, b2, 2L)
       val r2pin = r2.collect().toSeq // pin probe: rows as collected NOW
-      if (g.flags) {
-        assert(pairs(r2) == Set((10L, 2L)), "history head continues batch tail")
-        assert(index.snapshot.count() == n1 + 2, "flag gate admits everything")
-      } else {
-        assert(ids(r2) == Set(11L), "history dup rejected, novelty admitted")
-        assert(index.snapshot.count() == n1 + 1)
-      }
+      assert(rows(r2) == g.r2, "second-ingest result per the table")
+      assert(index.snapshot.count() == g.idx1 + g.idx2Grow)
       val n2 = index.snapshot.count()
       val commits2 = index.commits.length
       // 4. re-delivery of the same batch
       val r3 = g.ingest(index, b2, 3L)
-      if (g.flags) {
-        assert(pairs(r3) == Set((10L, 2L)),
-          "re-delivery re-flags its pairs (documented, not idempotent output)")
+      assert(rows(r3) == g.r3, "re-delivery result per the table")
+      if (g.redeliverCommits)
         assert(index.commits.length == commits2 + 1,
           "boundary upsert overwrites by record key and always commits")
-      } else {
-        assert(r3.isEmpty, "re-delivery admits nothing")
+      else
         assert(index.commits.length == commits2,
           "empty admission must not commit")
-      }
       assert(index.snapshot.count() == n2, "re-delivery never grows the index")
       // 5. the ingest-2 result was PINNED before later ingests mutated
       // the snapshot: re-collecting it now must reproduce the rows
       assert(r2.collect().toSeq == r2pin, "result pinned via localCheckpoint")
+      // 6. checkpoint-reset precombine contract (maintenance member):
+      // a write set delivered at a RESET batchNo must not lose the COW
+      // precombine race against already-stored stamps
+      g.reset.foreach { case (seeds, expectWrite, expectFinal) =>
+        val rr = g.ingest(index, g.mk(seeds), 0L)
+        assert(rows(rr) == expectWrite, "reset-batch write set")
+        assert(rows(index.snapshot.select(col("id"), col("cluster_id")))
+          == expectFinal,
+          "floor-monotone stamp wins precombine after a counter reset")
+      }
     }}
   }
 }

@@ -3262,6 +3262,39 @@ class OperatorsSpec extends SparkSpec {
       Dedup.suggestStitchMaxKeyDf(df, "doc_id", "text", w = 2, hotKeyPpm = 0L))
   }
 
+  test("suggestSeamWidth: smallest w with vocab^w >= ceil(nKeys/targetDf), " +
+    "exact saturating power, minW floor (the vocab-saturation lever the " +
+    "df-cap law refuses to emulate)") {
+    // the BASELINE capped-gate fixture regime: a 30-word vocab needs
+    // w=5 (30^4 = 810k < 12M <= 30^5 = 24.3M) once the seam-key
+    // population hits 24M at targetDf=2
+    val law = Dedup.suggestSeamWidth(vocabSize = 30L, nKeys = 24000000L)
+    assert(law.w == 5 && law.neededKeySpace == 12000000L)
+    assert(law.vocabSize == 30L && law.nKeys == 24000000L)
+    // small corpus: 30^2 = 900 covers 1000 keys at targetDf=2 -> minW
+    assert(Dedup.suggestSeamWidth(30L, 1000L).w == 2)
+    // boundary exactness (no float-log drift): needed = 901 is the
+    // first population where w=2's 900-key space no longer suffices
+    assert(Dedup.suggestSeamWidth(30L, 1800L).w == 2) // needed = 900
+    assert(Dedup.suggestSeamWidth(30L, 1802L).w == 3) // needed = 901
+    // w is monotone in nKeys
+    val ws = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)
+      .map(n => Dedup.suggestSeamWidth(30L, n).w)
+    assert(ws == ws.sorted)
+    // saturating power: vocab^2 overflows Long but saturation is exact,
+    // so any representable population is covered at w = minW
+    assert(Dedup.suggestSeamWidth(4000000000L, Long.MaxValue).w == 2)
+    // degenerate one-word vocab can never cover: the loop stops at maxW
+    assert(Dedup.suggestSeamWidth(1L, 1000L).w == 16)
+    // minW floors the answer even when w=1 would cover
+    assert(Dedup.suggestSeamWidth(1000L, 10L).w == 2)
+    intercept[IllegalArgumentException](Dedup.suggestSeamWidth(0L, 10L))
+    intercept[IllegalArgumentException](
+      Dedup.suggestSeamWidth(30L, 10L, targetDf = 0))
+    intercept[IllegalArgumentException](
+      Dedup.suggestSeamWidth(30L, 10L, minW = 5, maxW = 4))
+  }
+
   test("stitchReassemble: unambiguous pairs merge seam-once; fan-in is left alone") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),   // 1 → 2 unambiguous

@@ -641,6 +641,48 @@ class PlanQualitySpec extends SparkSpec {
       s"segment filter must reach the customer scan:\n$p")
   }
 
+  test("Q20 shape: decorrelated to ONE lineitem scan — no correlated " +
+    "re-execution, no second distinct pass; dims broadcast") {
+    val p = plan("q254_excess_stock")
+    assert(p.split("lineitem\\.parquet").length - 1 == 1,
+      s"the decorrelation's point is ONE fact scan (pair set + window " +
+        s"sum in the same pass), not per-pair re-execution:\n$p")
+    assert(p.contains("StartsWith(p_name,small)"),
+      s"the part-name cut must reach PushedFilters:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part semi-join and the supplier/nation dims must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffle join belongs in this funnel at battery scale:\n$p")
+  }
+
+  test("Q17 shape: one lineitem scan feeds both the filter and its " +
+    "threshold window; brand filter pushes to the part scan") {
+    val p = plan("q257_small_qty_revenue")
+    assert(p.split("lineitem\\.parquet").length - 1 == 1,
+      s"the decorrelation's point is ONE fact scan (window threshold " +
+        s"in the same pass), not a correlated re-execution:\n$p")
+    assert(p.contains("EqualTo(p_brand,Brand#23)"),
+      s"brand cut must reach the part scan's PushedFilters:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the brand-filtered part side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join belongs in this funnel at battery scale:\n$p")
+  }
+
+  test("Q22 shape: scalar threshold is a one-row broadcast; dormancy " +
+    "is a single anti-join against the date-pruned orders slice") {
+    val p = plan("q256_dormant_customers")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS must be ONE anti-join, not a correlated probe:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the scalar subquery must ride a broadcast, never cartesian:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the cutoff must reach the orders scan's PushedFilters:\n$p")
+    assert(p.split("customer\\.parquet").length - 1 == 2,
+      s"customer is scanned once for the scalar and once for the " +
+        s"funnel - two scans, never more:\n$p")
+  }
+
   test("Q18 funnel: top-k is TakeOrdered; scans prune to used columns") {
     val p = plan("q238_big_orders")
     assert(p.contains("TakeOrderedAndProject"),
