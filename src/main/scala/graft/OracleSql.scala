@@ -5917,7 +5917,45 @@ object OracleSql {
          WHERE 5 * l.qc * (SELECT count(*) FROM L l2
                            WHERE l2.l_partkey = l.l_partkey)
              < (SELECT sum(qc) FROM L l2
-                WHERE l2.l_partkey = l.l_partkey)"""
+                WHERE l2.l_partkey = l.l_partkey)""",
+
+    // TPC-H Q15 shape: the TEXTBOOK revenue-view + scalar-max
+    // formulation — the view is referenced twice (once for the rows,
+    // once under the max), which the engine expresses as one reused
+    // aggregate exchange; equivalence hash-gated here. Floor-cents
+    // revenue keeps the max-equality exact on both engines
+    "q258_top_supplier" ->
+      """WITH R AS (SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS total_revenue_c
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name, r.total_revenue_c
+         FROM supplier s JOIN R r ON s.s_suppkey = r.l_suppkey
+         WHERE r.total_revenue_c = (SELECT max(total_revenue_c) FROM R)
+         ORDER BY s_suppkey""",
+
+    // TPC-H Q2 shape: the TEXTBOOK correlated per-part MIN
+    // formulation over the shared derived partsupp twin (distinct
+    // lineitem pairs + deterministic integer cost) — the engine runs
+    // the one-exchange window form, hash-gated here
+    "q259_min_cost_supplier" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey,
+             l_suppkey AS ps_suppkey,
+             (l_partkey * 11 + l_suppkey * 17) % 1000 + 1 AS cost_c
+           FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_size = 15))
+         SELECT ps.ps_partkey AS p_partkey, s.s_suppkey, s.s_name,
+           n.n_name, ps.cost_c
+         FROM ps
+         JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         WHERE ps.cost_c = (SELECT min(cost_c) FROM ps ps2
+                            WHERE ps2.ps_partkey = ps.ps_partkey)
+         ORDER BY p_partkey, s_suppkey"""
     )
 
   /** q240/q241 oracle body — X[j] = n − 2·Σ bit_j(md5Long(key)),

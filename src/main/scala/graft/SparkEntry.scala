@@ -2628,6 +2628,84 @@ object SparkEntry {
       .orderBy(col("cgrp"))
   }
 
+  /** TPC-H Q15 shape (q258): top-revenue supplier — the VIEW +
+    * GLOBAL-SCALAR-MAX member of the planner-rewrite set: quarterly
+    * per-supplier revenue, keep the supplier(s) achieving the maximum.
+    * The textbook form materializes a revenue view and re-reads it
+    * under a scalar max subquery; the engine states both sides over
+    * the SAME aggregate subtree and lets Catalyst's ReuseExchange
+    * evaluate the scan + revenue exchange ONCE — the 1-row max then
+    * broadcasts back onto the aggregate's own output (plan-pinned:
+    * one lineitem scan, a ReusedExchange node, no shuffle join). The
+    * date cut pushes to the scan; revenue is floor-cents per line
+    * (the q244 convention) so the max-equality is exact integer
+    * arithmetic on both engines — a float-revenue twin would make
+    * "equals the max" engine-dependent.
+    */
+  private def qTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val rev = t(s, dir, "lineitem")
+      // the explicit key not-null mirrors what the supplier join infers
+      // on the rows branch, so BOTH references to this aggregate
+      // canonicalize identically and the exchange is reused (without
+      // it the scans differ by one inferred IsNotNull and AQE plans
+      // the lineitem scan twice — measured, see the plan pin)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_suppkey").isNotNull)
+      .select(col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100.0)).cast("long").as("_rc"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("_rc")).as("total_revenue_c"))
+    rev.crossJoin(broadcast(rev.agg(max(col("total_revenue_c")).as("_mx"))))
+      .filter(col("total_revenue_c") === col("_mx"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_c"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q2 shape (q259): min-cost supplier per part — the
+    * PER-GROUP correlated-MIN member of the planner-rewrite set:
+    * among suppliers offering a size-15 part, keep those matching
+    * that part's minimum supply cost. partsupp is the q254 derived
+    * twin (distinct (partkey, suppkey) lineitem pairs with a
+    * deterministic integer cost both engines replay). The textbook
+    * form re-executes a correlated per-part MIN; the engine plans the
+    * whole funnel on ONE exchange: the broadcast size-filter cuts the
+    * fact first, an explicit repartition on partkey satisfies BOTH
+    * the (partkey, suppkey) dedup grouping and the per-part min
+    * window (the q248 HashPartitioning trick — ClusteredDistribution
+    * on a subset key), so dedup + window + filter run exchange-free
+    * on top of it; supplier and nation dims broadcast last.
+    */
+  private def qMinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val sized = t(s, dir, "part")
+      .filter(col("p_size") === 15).select(col("p_partkey"))
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(sized), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"))
+      .repartition(col("l_partkey"))
+      .dropDuplicates(Seq("l_partkey", "l_suppkey"))
+      .withColumn("cost_c",
+        (col("l_partkey") * 11 + col("l_suppkey") * 17) % 1000 + 1)
+    val byPart = Window.partitionBy(col("l_partkey"))
+    pairs.withColumn("_mn", min(col("cost_c")).over(byPart))
+      .filter(col("cost_c") === col("_mn"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("cost_c"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
   /** TPC-H Q20 shape (q254): suppliers with excess stock — the
     * CORRELATED NESTED-AGGREGATE member that completes the
     * planner-rewrite set next to Q3 (q244) / Q18 (q238) / Q21 (q248):
@@ -4500,7 +4578,9 @@ object SparkEntry {
     "q254_excess_stock" -> (qExcessStock _),
     "q255_maintain_gate" -> (qMaintainGate _),
     "q256_dormant_customers" -> (qDormantCustomers _),
-    "q257_small_qty_revenue" -> (qSmallQtyRevenue _))
+    "q257_small_qty_revenue" -> (qSmallQtyRevenue _),
+    "q258_top_supplier" -> (qTopSupplier _),
+    "q259_min_cost_supplier" -> (qMinCostSupplier _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -744,13 +744,26 @@ object Dedup {
     // nothing in either direction) — the old edge-fixpoint predicate
     // verbatim; conversely at edge-fixpoint a component's label is
     // uniform at its min id, whose own label is itself, so the jumps
-    // cannot move anything either. Per-iteration job count drops from
-    // round + 2-join probe to round + block-local scan; an
-    // already-converged input costs one no-op round instead of one
-    // O(E) probe (same order). Labels are exact whenever the
+    // cannot move anything either. Labels are exact whenever the
     // PRODUCTIVE round count fits maxIter, as before.
+    //
+    // The edge-probe is kept for the INIT check only (measured,
+    // ScaleProbe ccconv at gen-sf1): most real dup graphs — stars and
+    // small cliques — converge AT the init fold, where the folded
+    // loop would pay one full no-op round (3 joins + a V-row
+    // checkpoint; 0.37 s → 1.01 s, 12 → 19 jobs on the organic LSH
+    // graph) while the probe exits for two bounded label joins. On
+    // multi-round graphs the probe runs ONCE and the folded flag
+    // replaces the per-round probes (path-4096: 87 → ~85 jobs), so
+    // the hybrid dominates both pure forms at every scale: per-round
+    // cost sheds the two O(E) shuffle joins (the 100-TB term), the
+    // init-converged case sheds the no-op round (the local term).
+    val la = labels.select(col("id").as("ia"), col("label").as("la"))
+    val lb = labels.select(col("id").as("ib"), col("label").as("lb"))
     var iter = 0
-    var converged = false
+    var converged = edges.join(la, edges("src") === col("ia"))
+      .join(lb, edges("dst") === col("ib"))
+      .filter(col("la") =!= col("lb")).isEmpty
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nlabel"))

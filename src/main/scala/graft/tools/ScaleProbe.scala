@@ -412,8 +412,12 @@ object ScaleProbe {
       // alternative a decorrelating optimizer emits first is TWO
       // aggregates over two fact scans joined back (pair set ⋈ window
       // sums) — same answer, twice the scan + an extra join exchange
+      // partkey-mod filter, not the battery's p_name LIKE: gen_sf.py's
+      // part names come from DuckDB's tpch generator, where no name
+      // starts with 'small' — the LIKE form would probe an empty pair
+      // set. ~10% of parts keeps the battery row's selectivity class.
       val smallParts = spark.read.parquet(s"$dir/part.parquet")
-        .filter(col("p_name").like("small%"))
+        .filter(col("p_partkey") % 10 === 0L)
         .select(col("p_partkey")).localCheckpoint(true)
       val winLo = lit("1996-01-01").cast("timestamp")
       val winHi = lit("1997-01-01").cast("timestamp")
@@ -493,13 +497,23 @@ object ScaleProbe {
         }
       }
       def countJobs(name: String)(body: => Long): Unit = {
-        spark.sparkContext.addSparkListener(counter)
-        jobs.set(0)
-        val t0 = System.nanoTime()
-        val rows = body
-        Thread.sleep(2000) // listener bus drain
-        spark.sparkContext.removeSparkListener(counter)
-        println(f"PROBE $name rows=$rows%d sec=${(System.nanoTime() - t0) / 1e9}%.2f jobs=${jobs.get()}%d")
+        // min-of-2 timing (the archive discipline); the listener-bus
+        // drain sleep sits OUTSIDE the timed window
+        var best = Double.MaxValue
+        var rows = 0L
+        var bestJobs = Int.MaxValue
+        for (_ <- 1 to 2) {
+          spark.sparkContext.addSparkListener(counter)
+          jobs.set(0)
+          val t0 = System.nanoTime()
+          rows = body
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000) // listener bus drain
+          spark.sparkContext.removeSparkListener(counter)
+          if (sec < best) best = sec
+          bestJobs = math.min(bestJobs, jobs.get())
+        }
+        println(f"PROBE $name rows=$rows%d sec=$best%.2f jobs=$bestJobs%d")
       }
       val pairs = graft.operators.Dedup
         .minhashLshPairs(docs, "doc_id", "text").localCheckpoint(true)
@@ -510,7 +524,7 @@ object ScaleProbe {
       val path = spark.range(4095L).select(col("id").as("id_a"),
         (col("id") + 1L).as("id_b")).localCheckpoint(true)
       for ((nm, es) <- Seq(("organic", pairs), ("path4096", path))) {
-        countJobs(s"ccconv_folded_$nm")(
+        countJobs(s"ccconv_hybrid_$nm")(
           graft.operators.Dedup.connectedComponents(es).count())
         countJobs(s"ccconv_oldprobe_$nm")(ccOld(es).count())
         // identical labelings — the fold must not change the answer

@@ -683,6 +683,37 @@ class PlanQualitySpec extends SparkSpec {
         s"funnel - two scans, never more:\n$p")
   }
 
+  test("Q15 shape: the revenue aggregate runs ONCE - the scalar-max " +
+    "branch reads a ReusedExchange at runtime") {
+    // AQE stage reuse only materializes in the FINAL adaptive plan, so
+    // this pin executes the query (collect - count() would plan a
+    // different query) and reads the executed plan; the explicit
+    // key-not-null in the query is what makes both aggregate branches
+    // canonicalize identically (without it the join side's inferred
+    // IsNotNull(l_suppkey) splits the scans and lineitem reads twice)
+    val df = SparkEntry.queries("q258_top_supplier")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("ReusedExchange"),
+      s"the max branch must reuse the revenue exchange, not rescan:\n$p")
+    assert(plan("q258_top_supplier").contains("GreaterThanOrEqual(l_shipdate"),
+      "quarter cut must reach the lineitem scan")
+  }
+
+  test("Q2 shape: one fact exchange serves dedup AND the per-part min " +
+    "window; dims broadcast") {
+    val p = plan("q259_min_cost_supplier")
+    assert(p.contains("REPARTITION_BY_COL"),
+      s"the explicit partkey repartition must be the ONE fact exchange:\n$p")
+    assert(p.split("hashpartitioning\\(").length - 1 == 1,
+      s"dedup and the window must ride the repartition exchange-free:\n$p")
+    assert(p.contains("EqualTo(p_size,15)"),
+      s"size cut must reach the part scan's PushedFilters:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"supplier/nation/part sides must broadcast:\n$p")
+  }
+
   test("Q18 funnel: top-k is TakeOrdered; scans prune to used columns") {
     val p = plan("q238_big_orders")
     assert(p.contains("TakeOrderedAndProject"),
