@@ -5955,7 +5955,28 @@ object OracleSql {
          JOIN nation n ON n.n_nationkey = s.s_nationkey
          WHERE ps.cost_c = (SELECT min(cost_c) FROM ps ps2
                             WHERE ps2.ps_partkey = ps.ps_partkey)
-         ORDER BY p_partkey, s_suppkey"""
+         ORDER BY p_partkey, s_suppkey""",
+
+    // TPC-H Q11 shape: the TEXTBOOK fraction-of-global-sum HAVING
+    // formulation — the scalar subquery re-aggregates the whole
+    // nation-filtered partsupp twin; the engine derives groups and
+    // total from one reused aggregate subtree, hash-gated here.
+    // value = q259's cost × q254's availqty (shared integer twins)
+    "q260_important_stock" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+             FROM lineitem),
+          pv AS (SELECT pk,
+              ((pk * 11 + sk * 17) % 1000 + 1)
+                * (((pk * 7 + sk * 13) % 50 + 1) * 100) AS v
+            FROM ps
+            JOIN supplier s ON s.s_suppkey = sk
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_7'),
+          G AS (SELECT pk AS p_partkey, CAST(sum(v) AS BIGINT) AS value_c
+                FROM pv GROUP BY 1)
+         SELECT p_partkey, value_c FROM G
+         WHERE value_c * 1000 > (SELECT sum(value_c) FROM G)
+         ORDER BY value_c DESC, p_partkey"""
     )
 
   /** q240/q241 oracle body — X[j] = n − 2·Σ bit_j(md5Long(key)),

@@ -2706,6 +2706,46 @@ object SparkEntry {
       .orderBy(col("p_partkey"), col("s_suppkey"))
   }
 
+  /** TPC-H Q11 shape (q260): important stock — the
+    * FRACTION-OF-GLOBAL-SUM HAVING member that completes the
+    * correlated/scalar planner-rewrite set (Q2/Q3/Q15/Q17/Q18/Q20/
+    * Q21/Q22 + this): per-part stock value held by one nation's
+    * suppliers, keeping parts whose value exceeds 0.1% of that
+    * nation's total. partsupp is the shared derived twin (distinct
+    * lineitem pairs; value = the q259 cost × the q254 availqty, both
+    * deterministic integer functions). The textbook form computes the
+    * global total in a scalar subquery over a SECOND partsupp pass;
+    * the engine derives BOTH the groups and the total from one
+    * aggregate subtree — the nation-filtered pair dedup and the
+    * per-part sum ride a single explicit partkey repartition (the
+    * q248/q259 subset-key trick), the 1-row total broadcasts back
+    * onto the groups, and AQE's exchange reuse evaluates the fact
+    * scan + repartition once (the q258 runtime-reuse pattern). The
+    * 0.1% threshold is exact integer math (value_c·1000 > total_c).
+    */
+  private def qImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .filter(col("n_name") === "NATION_7").select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val grouped = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"))
+      .repartition(col("l_partkey"))
+      .dropDuplicates(Seq("l_partkey", "l_suppkey"))
+      .withColumn("_v",
+        ((col("l_partkey") * 11 + col("l_suppkey") * 17) % 1000 + 1) *
+          (((col("l_partkey") * 7 + col("l_suppkey") * 13) % 50 + 1) * 100))
+      .groupBy(col("l_partkey")).agg(sum(col("_v")).as("value_c"))
+    grouped.crossJoin(broadcast(grouped.agg(sum(col("value_c")).as("_t"))))
+      .filter(col("value_c") * 1000 > col("_t"))
+      .select(col("l_partkey").as("p_partkey"), col("value_c"))
+      .orderBy(col("value_c").desc, col("p_partkey"))
+  }
+
   /** TPC-H Q20 shape (q254): suppliers with excess stock — the
     * CORRELATED NESTED-AGGREGATE member that completes the
     * planner-rewrite set next to Q3 (q244) / Q18 (q238) / Q21 (q248):
@@ -4580,7 +4620,8 @@ object SparkEntry {
     "q256_dormant_customers" -> (qDormantCustomers _),
     "q257_small_qty_revenue" -> (qSmallQtyRevenue _),
     "q258_top_supplier" -> (qTopSupplier _),
-    "q259_min_cost_supplier" -> (qMinCostSupplier _))
+    "q259_min_cost_supplier" -> (qMinCostSupplier _),
+    "q260_important_stock" -> (qImportantStock _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

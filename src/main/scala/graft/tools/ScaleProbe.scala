@@ -12,8 +12,8 @@ object ScaleProbe {
     "neardup8", "neardup12", "brute", "curation",
     "semantic8", "semanticAuto", "semantic2", "semantic3", "jaccard400",
     "videodup", "ams", "stitchgate", "stitchgatecap", "bloom", "bloomprof",
-    "bloomrel", "q21", "q20", "ccmaint", "ccmaintsyn", "ccconv",
-    "keyoverlap", "seamwidth")
+    "bloomrel", "q21", "q20", "q2shape", "q17shape", "ccmaint",
+    "ccmaintsyn", "ccconv", "keyoverlap", "seamwidth")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -441,6 +441,62 @@ object ScaleProbe {
           .filter(avail * 2 > col("_wq")).count()
       }
     }
+    if (probes("q2shape")) {
+      // q259's one-exchange claim measured: the explicit partkey
+      // repartition lets pair-dedup AND the per-part min window share
+      // one exchange; without it Spark plans dedup on (pk, sk) and a
+      // SECOND exchange for the window's pk partitioning. Same
+      // filters as q259 (p_size works on both generators).
+      import org.apache.spark.sql.expressions.{Window => W}
+      val sized = spark.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_size") === 15).select(col("p_partkey"))
+        .localCheckpoint(true)
+      def base = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(sized), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"))
+      def finish(pairs: org.apache.spark.sql.DataFrame) = pairs
+        .withColumn("cost_c",
+          (col("l_partkey") * 11 + col("l_suppkey") * 17) % 1000 + 1)
+        .withColumn("_mn",
+          min(col("cost_c")).over(W.partitionBy(col("l_partkey"))))
+        .filter(col("cost_c") === col("_mn")).count()
+      timed("q2shape_one_exchange")(finish(
+        base.repartition(col("l_partkey"))
+          .dropDuplicates(Seq("l_partkey", "l_suppkey"))))
+      timed("q2shape_two_exchanges")(finish(
+        base.dropDuplicates(Seq("l_partkey", "l_suppkey"))))
+    }
+    if (probes("q17shape")) {
+      // q257's decorrelation measured: the per-part avg threshold as
+      // a window over the SAME pass (one exchange) vs the aggregate-
+      // and-join-back form a decorrelating optimizer emits first
+      // (an extra aggregate exchange + the join). Brand#23 exists on
+      // both generators.
+      import org.apache.spark.sql.expressions.{Window => W}
+      val brand = spark.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+        .localCheckpoint(true)
+      def base = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"),
+          floor(col("l_quantity") * 100).cast("long").as("_qc"),
+          floor(col("l_extendedprice") * 100).cast("long").as("_pc"))
+        .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      timed("q17shape_window_onepass") {
+        val byPart = W.partitionBy(col("l_partkey"))
+        base.withColumn("_sq", sum(col("_qc")).over(byPart))
+          .withColumn("_n", count(lit(1)).over(byPart))
+          .filter(col("_qc") * col("_n") * 5 < col("_sq"))
+          .agg(coalesce(sum(col("_pc")), lit(0L))).count()
+      }
+      timed("q17shape_agg_join_twopass") {
+        val thr = base.groupBy(col("l_partkey").as("_pk"))
+          .agg(sum(col("_qc")).as("_sq"), count(lit(1)).as("_n"))
+        base.join(thr, col("l_partkey") === col("_pk"))
+          .filter(col("_qc") * col("_n") * 5 < col("_sq"))
+          .agg(coalesce(sum(col("_pc")), lit(0L))).count()
+      }
+    }
     if (probes("ccconv")) {
       // VERDICT r13 item 3 evidence: the folded convergence test
       // (labels-moved flag carried through the jump chain, one
@@ -641,6 +697,23 @@ object ScaleProbe {
         Dedup.boundaryOverlapPairs(f3, "fid", "text", 3).count())
       timed(s"seamwidth_law_w${law.w}")(
         Dedup.boundaryOverlapPairs(fw, "fid", "text", law.w).count())
+      // the DOWNSTREAM term the width law exists for: every consumer
+      // of the pair stream (CC clustering, reassembly degree filters)
+      // walks the candidate mass, which grows superlinearly at a
+      // saturated width and linearly at the law's. CC over the w3
+      // mass is opt-in (SEAMWIDTH_CC_W3=1): at gen-sf10 it is a
+      // 37M-edge dup-saturated graph
+      timed(s"seamwidth_cc_law_w${law.w}") {
+        val p = Dedup.boundaryOverlapPairs(fw, "fid", "text", law.w)
+          .localCheckpoint(true)
+        Dedup.connectedComponents(p).count()
+      }
+      if (sys.env.get("SEAMWIDTH_CC_W3").contains("1"))
+        timed("seamwidth_cc_fixed_w3") {
+          val p = Dedup.boundaryOverlapPairs(f3, "fid", "text", 3)
+            .localCheckpoint(true)
+          Dedup.connectedComponents(p).count()
+        }
     }
     if (probes("curation")) {
       // stage-by-stage decomposition of Curation.curate's cost

@@ -714,6 +714,24 @@ class PlanQualitySpec extends SparkSpec {
       s"supplier/nation/part sides must broadcast:\n$p")
   }
 
+  test("Q11 shape: groups and the global total share ONE fact " +
+    "repartition - ReusedExchange at runtime") {
+    // sf0.01, not the spec's default sf0.001: the chosen nation has no
+    // suppliers there, so AQE prunes the whole query to EmptyRelation
+    // before any stage (and its exchange) ever runs
+    val df = SparkEntry.queries("q260_important_stock")(spark,
+      "/root/testdata/sf0.01")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("REPARTITION_BY_COL"),
+      s"the explicit partkey repartition must carry dedup + group sum:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the global total must reuse the groups' exchange, not rescan:\n$p")
+    assert(p.contains("EqualTo(n_name,NATION_7)"),
+      s"nation cut must reach the nation scan's PushedFilters:\n$p")
+  }
+
   test("Q18 funnel: top-k is TakeOrdered; scans prune to used columns") {
     val p = plan("q238_big_orders")
     assert(p.contains("TakeOrderedAndProject"),
