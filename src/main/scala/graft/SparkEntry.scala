@@ -2673,13 +2673,20 @@ object SparkEntry {
     * that part's minimum supply cost. partsupp is the q254 derived
     * twin (distinct (partkey, suppkey) lineitem pairs with a
     * deterministic integer cost both engines replay). The textbook
-    * form re-executes a correlated per-part MIN; the engine plans the
-    * whole funnel on ONE exchange: the broadcast size-filter cuts the
-    * fact first, an explicit repartition on partkey satisfies BOTH
-    * the (partkey, suppkey) dedup grouping and the per-part min
-    * window (the q248 HashPartitioning trick — ClusteredDistribution
-    * on a subset key), so dedup + window + filter run exchange-free
-    * on top of it; supplier and nation dims broadcast last.
+    * form re-executes a correlated per-part MIN; the engine runs
+    * dedup-then-window: the broadcast size-filter cuts the fact
+    * first, the pair dedup exchanges on (partkey, suppkey) WITH
+    * map-side partial dedup — the fact slice shuffles at ~1/line-
+    * multiplicity, not full volume — and the per-part min window
+    * re-exchanges only the deduped pair relation (bounded by
+    * |partsupp| ≪ fact); supplier and nation dims broadcast last.
+    * The q248-style single-exchange alternative (repartition on
+    * partkey serving both the dedup grouping and the window) was
+    * measured a WASH locally (ScaleProbe q2shape, 3.25 vs 3.23 s at
+    * gen-sf10) but plans the dedup's partial aggregate ABOVE the
+    * repartition, forfeiting map-side combine — at cluster scale
+    * that trades a small second exchange for shuffling the fact at
+    * full multiplicity, so the standard form wins where it matters.
     */
   private def qMinCostSupplier(s: SparkSession, dir: String): DataFrame = {
     val sized = t(s, dir, "part")
@@ -2688,7 +2695,6 @@ object SparkEntry {
       .select(col("l_partkey"), col("l_suppkey"))
       .join(broadcast(sized), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_suppkey"))
-      .repartition(col("l_partkey"))
       .dropDuplicates(Seq("l_partkey", "l_suppkey"))
       .withColumn("cost_c",
         (col("l_partkey") * 11 + col("l_suppkey") * 17) % 1000 + 1)
@@ -2716,11 +2722,11 @@ object SparkEntry {
     * deterministic integer functions). The textbook form computes the
     * global total in a scalar subquery over a SECOND partsupp pass;
     * the engine derives BOTH the groups and the total from one
-    * aggregate subtree — the nation-filtered pair dedup and the
-    * per-part sum ride a single explicit partkey repartition (the
-    * q248/q259 subset-key trick), the 1-row total broadcasts back
-    * onto the groups, and AQE's exchange reuse evaluates the fact
-    * scan + repartition once (the q258 runtime-reuse pattern). The
+    * aggregate subtree — nation-filtered pair dedup (map-side
+    * partial, the q259 shuffle argument) then the per-part sum over
+    * the deduped relation, the 1-row total broadcasts back onto the
+    * groups, and AQE's exchange reuse evaluates the fact scan +
+    * dedup exchange once (the q258 runtime-reuse pattern). The
     * 0.1% threshold is exact integer math (value_c·1000 > total_c).
     */
   private def qImportantStock(s: SparkSession, dir: String): DataFrame = {
@@ -2734,7 +2740,6 @@ object SparkEntry {
       .select(col("l_partkey"), col("l_suppkey"))
       .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey"), col("l_suppkey"))
-      .repartition(col("l_partkey"))
       .dropDuplicates(Seq("l_partkey", "l_suppkey"))
       .withColumn("_v",
         ((col("l_partkey") * 11 + col("l_suppkey") * 17) % 1000 + 1) *

@@ -1165,9 +1165,21 @@ object Sketches {
     * index instead of a broadcast literal: the filter costs one
     * shuffle of the DISTINCT fact keys' k probe rows against the m/64
     * word rows (never the fact itself — survivors semi-join back),
-    * and m is unbounded. Use when the dim side exceeds ~10⁸ keys; the
-    * two forms prune the exact same set (spec-pinned), so the switch
-    * is a pure plan decision.
+    * and m is unbounded. The two forms prune the exact same set
+    * (spec-pinned), so the switch is a pure plan decision.
+    *
+    * Routing (measured, ScaleProbe bloomrel at gen-sf10 — BASELINE
+    * round 14): inside the literal regime this form pays ~3 key-scale
+    * shuffles (distinct fact keys, the probe/word join, the semi-join
+    * back) and ran 4.8× the literal filter (62.7 vs 13.1 s, 60M-row
+    * fact / 3M-key dim); past the 2³⁰ cap (150M-key dim, m ≈ 1.08G
+    * bits) it is the ONLY Bloom option, but at fact-key multiplicity
+    * ~1 the plain exact semi-join still won 16× (40 vs 658 s) — the
+    * relation form's shuffles are priced per DISTINCT key, so route
+    * to it only when m > 2³⁰ AND the fact carries many rows per key
+    * (then the semi-join shuffles the full fact while this form
+    * shuffles keys once). Otherwise: literal below the cap, exact
+    * semi-join above it at low multiplicity.
     */
   def bloomPruneRelation(fact: DataFrame, factKey: Column, dim: DataFrame,
       dimKey: Column, kHashes: Int = 5): DataFrame = {

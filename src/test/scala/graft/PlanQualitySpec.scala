@@ -701,21 +701,25 @@ class PlanQualitySpec extends SparkSpec {
       "quarter cut must reach the lineitem scan")
   }
 
-  test("Q2 shape: one fact exchange serves dedup AND the per-part min " +
-    "window; dims broadcast") {
+  test("Q2 shape: map-side partial dedup shrinks the fact shuffle; the " +
+    "min window re-exchanges only the deduped pairs; dims broadcast") {
     val p = plan("q259_min_cost_supplier")
-    assert(p.contains("REPARTITION_BY_COL"),
-      s"the explicit partkey repartition must be the ONE fact exchange:\n$p")
-    assert(p.split("hashpartitioning\\(").length - 1 == 1,
-      s"dedup and the window must ride the repartition exchange-free:\n$p")
+    assert(p.split("hashpartitioning\\(l_partkey#\\d+L, l_suppkey#")
+      .length - 1 == 1,
+      s"the pair dedup must exchange on (partkey, suppkey) — the shape " +
+        s"whose partial aggregate dedups map-side BEFORE the shuffle " +
+        s"(the q2shape probe's scale argument):\n$p")
+    assert(p.split("hashpartitioning\\(").length - 1 == 2,
+      s"exactly the dedup exchange plus the window's deduped-pair " +
+        s"exchange — never a third:\n$p")
     assert(p.contains("EqualTo(p_size,15)"),
       s"size cut must reach the part scan's PushedFilters:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"supplier/nation/part sides must broadcast:\n$p")
   }
 
-  test("Q11 shape: groups and the global total share ONE fact " +
-    "repartition - ReusedExchange at runtime") {
+  test("Q11 shape: groups and the global total share one aggregate " +
+    "subtree - ReusedExchange at runtime") {
     // sf0.01, not the spec's default sf0.001: the chosen nation has no
     // suppliers there, so AQE prunes the whole query to EmptyRelation
     // before any stage (and its exchange) ever runs
@@ -724,8 +728,6 @@ class PlanQualitySpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("isFinalPlan=true"))
-    assert(p.contains("REPARTITION_BY_COL"),
-      s"the explicit partkey repartition must carry dedup + group sum:\n$p")
     assert(p.contains("ReusedExchange"),
       s"the global total must reuse the groups' exchange, not rescan:\n$p")
     assert(p.contains("EqualTo(n_name,NATION_7)"),
