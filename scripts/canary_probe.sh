@@ -7,8 +7,10 @@
 set -e
 cd "$(dirname "$0")/.."
 for i in 1 2 3; do
+  # Bench prints TWO metric lines since round 14 (full first, compact
+  # last — the driver-tail fix); either carries the canary, take the last
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   SPARK_GRAFT_ONLY=q02_status_topk sbt -batch "runMain graft.Bench" 2>/dev/null \
-    | grep '"metric"' | sed 's/^\[info\] //' \
+    | grep '"metric"' | sed 's/^\[info\] //' | tail -n 1 \
     | python3 -c 'import json,sys; print("canary", json.loads(sys.stdin.read())["canary"])'
 done
