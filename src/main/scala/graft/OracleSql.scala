@@ -5845,6 +5845,62 @@ object OracleSql {
             V v, NK nk, ND nd, W w
           ORDER BY id_a, id_b""",
 
+    // composed stitch laws: the q253 saturating-power width loop AND
+    // the q242 df-histogram/order-statistic cap replayed in ONE body —
+    // the fixture is built at the width law's w, the df valve guards
+    // the law-width keys, and every audit column of both levers rides
+    // the rows (inert valve at battery scale, the q242 precedent)
+    "q261_seam_laws_composed" ->
+      s"""WITH RECURSIVE
+          T AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+          V AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+                FROM (SELECT unnest(tk) AS t FROM T)),
+          NKW AS (SELECT CAST(4 * count(*) AS BIGINT) AS nk FROM T),
+          ND AS (SELECT CAST(nk // 2
+                  + CASE WHEN nk % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+                  AS needed FROM NKW),
+          PW(w, p) AS (
+            SELECT 1, (SELECT v FROM V)::HUGEINT
+            UNION ALL
+            SELECT w + 1, least(p * (SELECT v FROM V),
+                9223372036854775807::HUGEINT)
+            FROM PW WHERE w < 16 AND p < (SELECT needed FROM ND)),
+          W AS (SELECT greatest(2, max(w)) AS sw FROM PW),
+          S AS (SELECT doc_id, tk, len(tk) AS n, len(tk) // 2 AS m
+                FROM T, W WHERE len(tk) >= 2 * W.sw + 2),
+          F AS (SELECT doc_id * 2 AS fid,
+                  list_slice(tk, 1, m + (SELECT sw FROM W)) AS ft FROM S
+                UNION ALL
+                SELECT doc_id * 2 + 1, list_slice(tk, m + 1, n) FROM S),
+          HT AS (SELECT fid, list_slice(ft, 1, W.sw) AS head,
+                  list_slice(ft, len(ft) - W.sw + 1, len(ft)) AS tail
+                 FROM F, W WHERE len(ft) >= W.sw),
+          K AS (SELECT 't' AS side, array_to_string(tail, ' ') AS key FROM HT
+                UNION ALL
+                SELECT 'h', array_to_string(head, ' ') FROM HT),
+          DF AS (SELECT side, key, CAST(count(*) AS BIGINT) AS df
+                 FROM K GROUP BY 1, 2),
+          HG AS (SELECT df, CAST(count(*) AS BIGINT) AS c FROM DF GROUP BY df),
+          NKD AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_keys FROM HG),
+          CUM AS (SELECT df, sum(c) OVER (ORDER BY df DESC) AS cum FROM HG),
+          CAP AS (SELECT greatest(4, coalesce(
+                   (SELECT max(df) FROM CUM, NKD
+                    WHERE cum >= n_keys * 1000 // 1000000 + 1), 1)) AS cap)
+          SELECT a.fid AS id_a, b.fid AS id_b,
+            array_to_string(a.tail, ' ') AS overlap,
+            nkd.n_keys,
+            CAST(nkd.n_keys * 1000 // 1000000 AS BIGINT) AS hot_key_budget,
+            CAST(cap.cap AS BIGINT) AS max_key_df,
+            v.v AS vocab_size, nd.needed AS needed_key_space,
+            CAST(w.sw AS BIGINT) AS seam_w
+          FROM HT a JOIN HT b ON a.tail = b.head AND a.fid <> b.fid,
+            NKD nkd, CAP cap, V v, ND nd, W w
+          WHERE NOT EXISTS (SELECT 1 FROM DF d WHERE d.side = 't'
+                  AND d.key = array_to_string(a.tail, ' ') AND d.df > cap.cap)
+            AND NOT EXISTS (SELECT 1 FROM DF d WHERE d.side = 'h'
+                  AND d.key = array_to_string(b.head, ' ') AND d.df > cap.cap)
+          ORDER BY id_a, id_b""",
+
     // TPC-H Q20 shape: the TEXTBOOK correlated nested-aggregate
     // formulation — the engine runs the single-pass conditional-sum
     // decorrelation, so this oracle hash-gates the rewrite's

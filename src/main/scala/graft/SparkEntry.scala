@@ -2335,6 +2335,38 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Composed stitch laws (q261): the two levers the q242/q253
+    * scaladocs claim COMPOSE, exercised together and hash-gated as
+    * one selection — [[graft.operators.Dedup.suggestSeamWidth]] picks
+    * the width for the corpus's vocab-saturation regime (organic df
+    * back to ~2), then the detection runs through
+    * boundaryOverlapPairsAuto so the df-cap order-statistic valve
+    * guards whatever TEMPLATE spikes survive at that width. At
+    * battery data the valve is inert at the law width (organic dfs
+    * 1–2, the q242 precedent) so the pair set equals q253's — the row
+    * pins the composition's selection arithmetic: the oracle replays
+    * the saturating-power width loop AND the df histogram/cum/cap
+    * walk over the law-width keys in one SQL body, and every law
+    * column of both levers rides the rows (the df-law's n_keys is the
+    * seam-key population at width w; the width-law's inputs are
+    * vocab_size/needed_key_space/seam_w — distinct audit columns, no
+    * overlap).
+    */
+  private def qSeamLawsComposed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = docs
+      .select(explode(tokens(lower(col("text")))).as("_t"))
+      .agg(countDistinct(col("_t"))).collect()(0).getLong(0)
+    val law = graft.operators.Dedup.suggestSeamWidth(
+      vocabSize = vocab, nKeys = 4L * docs.count())
+    graft.operators.Dedup.boundaryOverlapPairsAuto(
+        stitchFragsAt(s, dir, law.w), "fid", "text", law.w)
+      .withColumn("vocab_size", lit(law.vocabSize))
+      .withColumn("needed_key_space", lit(law.neededKeySpace))
+      .withColumn("seam_w", lit(law.w.toLong))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Stitch detection on ingest (q239): q232's seam detector as the
     * fifth dedup-on-ingest member — the fragment corpus arrives as two
     * batches (first halves, then second halves); each ingest checks
@@ -4626,7 +4658,8 @@ object SparkEntry {
     "q257_small_qty_revenue" -> (qSmallQtyRevenue _),
     "q258_top_supplier" -> (qTopSupplier _),
     "q259_min_cost_supplier" -> (qMinCostSupplier _),
-    "q260_important_stock" -> (qImportantStock _))
+    "q260_important_stock" -> (qImportantStock _),
+    "q261_seam_laws_composed" -> (qSeamLawsComposed _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
