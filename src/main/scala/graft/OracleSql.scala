@@ -5979,7 +5979,10 @@ object OracleSql {
     // formulation — the view is referenced twice (once for the rows,
     // once under the max), which the engine expresses as one reused
     // aggregate exchange; equivalence hash-gated here. Floor-cents
-    // revenue keeps the max-equality exact on both engines
+    // revenue keeps the max-equality exact on both engines. The
+    // l_suppkey NOT NULL mirrors the engine's explicit key filter
+    // (its exchange-reuse canonicalization aid) so the oracle states
+    // the same NULL rule on nullable key columns (the q251 lesson)
     "q258_top_supplier" ->
       """WITH R AS (SELECT l_suppkey,
              CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
@@ -5987,6 +5990,7 @@ object OracleSql {
            FROM lineitem
            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              AND l_shipdate < TIMESTAMP '1996-04-01'
+             AND l_suppkey IS NOT NULL
            GROUP BY 1)
          SELECT s.s_suppkey, s.s_name, r.total_revenue_c
          FROM supplier s JOIN R r ON s.s_suppkey = r.l_suppkey

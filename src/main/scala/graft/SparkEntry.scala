@@ -2261,6 +2261,22 @@ object SparkEntry {
   private[graft] def stitchFrags(s: SparkSession, dir: String): DataFrame =
     stitchFragsAt(s, dir, 3)
 
+  /** The seam-width law's ONE derivation for this corpus — vocab from
+    * one distinct-token aggregate, nKeys = the fragment corpus's
+    * head+tail key population (4·docs) — shared by q253, q261, and
+    * ScaleProbe's seamwidth leg so the three cannot measure different
+    * laws while their oracles assume one (code-review finding).
+    */
+  private[graft] def seamWidthLawFor(s: SparkSession, dir: String)
+      : graft.operators.Dedup.SeamWidthLaw = {
+    val docs = t(s, dir, "documents")
+    val vocab = docs
+      .select(explode(tokens(lower(col("text")))).as("_t"))
+      .agg(countDistinct(col("_t"))).collect()(0).getLong(0)
+    graft.operators.Dedup.suggestSeamWidth(
+      vocabSize = vocab, nKeys = 4L * docs.count())
+  }
+
   /** [[stitchFrags]] at an arbitrary seam width — q253 builds the
     * fixture at the width [[graft.operators.Dedup.suggestSeamWidth]]
     * picks (a fragment pair overlapping exactly w tokens is only
@@ -2320,12 +2336,7 @@ object SparkEntry {
     * See Dedup.suggestSeamWidth.
     */
   private def qSeamWidthLaw(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val vocab = docs
-      .select(explode(tokens(lower(col("text")))).as("_t"))
-      .agg(countDistinct(col("_t"))).collect()(0).getLong(0)
-    val law = graft.operators.Dedup.suggestSeamWidth(
-      vocabSize = vocab, nKeys = 4L * docs.count())
+    val law = seamWidthLawFor(s, dir)
     graft.operators.Dedup.boundaryOverlapPairs(
         stitchFragsAt(s, dir, law.w), "fid", "text", law.w)
       .withColumn("vocab_size", lit(law.vocabSize))
@@ -2353,12 +2364,7 @@ object SparkEntry {
     * overlap).
     */
   private def qSeamLawsComposed(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val vocab = docs
-      .select(explode(tokens(lower(col("text")))).as("_t"))
-      .agg(countDistinct(col("_t"))).collect()(0).getLong(0)
-    val law = graft.operators.Dedup.suggestSeamWidth(
-      vocabSize = vocab, nKeys = 4L * docs.count())
+    val law = seamWidthLawFor(s, dir)
     graft.operators.Dedup.boundaryOverlapPairsAuto(
         stitchFragsAt(s, dir, law.w), "fid", "text", law.w)
       .withColumn("vocab_size", lit(law.vocabSize))

@@ -409,6 +409,14 @@ object IncrementalDedup {
       batchNo: Long, maxIter: Int = 20): DataFrame = {
     require(labels.recordKey == "id",
       s"label table must be keyed on 'id', got '${labels.recordKey}'")
+    // the precombine contract is as load-bearing as the key: a merge
+    // always LOWERS a node's label toward the component min, so a
+    // table precombining on e.g. "cluster_id" would keep the STALE
+    // higher label on every merge — silently, since the write set
+    // carries that column too. Fail at the boundary instead.
+    require(labels.precombine == "batch_no",
+      s"label table must precombine on 'batch_no' (the floor-monotone " +
+        s"stamp), got '${labels.precombine}'")
     val snap = labels.snapshotOpt
     val spark = deltaPairs.sparkSession
     val prior = snap.map(_.select(col("id"), col("cluster_id")))

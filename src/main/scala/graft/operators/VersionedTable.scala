@@ -59,7 +59,7 @@ object VersionedTable {
 }
 
 final class VersionedTable(spark: SparkSession, root: String,
-    val recordKey: String, precombine: String, numBuckets: Int = 16) {
+    val recordKey: String, val precombine: String, numBuckets: Int = 16) {
 
   val CommitCol = "_commit_time"
   private val BucketCol = "_bucket"

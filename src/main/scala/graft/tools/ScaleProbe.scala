@@ -682,13 +682,12 @@ object ScaleProbe {
       // seams. Fragment corpora are built untimed at each width (a
       // w-token overlap is only detectable at width w).
       import graft.operators.Dedup
-      val vocab = docs
-        .select(explode(graft.functions.tokens(lower(col("text")))).as("_t"))
-        .agg(countDistinct(col("_t"))).collect()(0).getLong(0)
-      val nKeys = 4L * docs.count()
-      val law = Dedup.suggestSeamWidth(vocab, nKeys)
+      // the ONE law derivation shared with q253/q261 — the probe must
+      // measure the same law the battery rows gate
+      val law = graft.SparkEntry.seamWidthLawFor(spark, dir)
       println(s"PROBE seamwidth_law rows=${law.w} sec=0.00" +
-        s" # vocab=$vocab nKeys=$nKeys needed=${law.neededKeySpace}")
+        s" # vocab=${law.vocabSize} nKeys=${law.nKeys}" +
+        s" needed=${law.neededKeySpace}")
       val f3 = graft.SparkEntry.stitchFragsAt(spark, dir, 3)
         .localCheckpoint(true)
       val fw = graft.SparkEntry.stitchFragsAt(spark, dir, law.w)
