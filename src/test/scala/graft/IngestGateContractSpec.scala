@@ -215,6 +215,15 @@ class IngestGateContractSpec extends SparkSpec {
       // 5. the ingest-2 result was PINNED before later ingests mutated
       // the snapshot: re-collecting it now must reproduce the rows
       assert(r2.collect().toSeq == r2pin, "result pinned via localCheckpoint")
+      // 5b. the maintenance gate's precombine-column contract is as
+      // load-bearing as the key (a cluster_id-precombined table would
+      // silently lose every merge to keep-max) — enforced up front
+      if (g.name.startsWith("cluster-maint"))
+        intercept[IllegalArgumentException] {
+          g.ingest(new VersionedTable(spark,
+            Fixtures.tmpDir(s"${g.name}_wrongpc").toString, "id",
+            "cluster_id", numBuckets = 4), g.mk(Seq((1L, "A"))), 1L)
+        }
       // 6. checkpoint-reset precombine contract (maintenance member):
       // a write set delivered at a RESET batchNo must not lose the COW
       // precombine race against already-stored stamps
