@@ -965,7 +965,9 @@ object OracleSql {
                     GROUP BY node)
           SELECT f.node AS doc_id, f.cluster_id,
             CASE WHEN p.node IS NOT NULL AND p.cluster_id = f.cluster_id
-                 THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS batch_no
+                 THEN CAST(1 AS BIGINT)
+                 WHEN (SELECT count(*) FROM PRIOR) > 0 THEN CAST(2 AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS batch_no
           FROM FULLCC f LEFT JOIN PRIOR p ON p.node = f.node
           ORDER BY doc_id""",
 

@@ -973,8 +973,16 @@ object SparkEntry {
     graft.operators.IncrementalDedup.maintainClusters(vt, even, 1L)
     graft.operators.IncrementalDedup.maintainClusters(vt, delta, 0L) // reset
     graft.operators.IncrementalDedup.maintainClusters(vt, delta, 3L) // redeliver
-    vt.snapshot.select(col("id").as("doc_id"), col("cluster_id"),
-        col("batch_no"))
+    // total over any corpus (ADVICE r14): a corpus with no even-even
+    // pair commits nothing at ingest 1 (floor stays 0, stamps read 0 —
+    // the oracle's ELSE branch), and a pair-free corpus never commits
+    // at all — fall back to the empty labeled frame instead of letting
+    // snapshot throw. Battery data exercises the 1/2-stamp regime.
+    vt.snapshotOpt
+      .map(_.select(col("id").as("doc_id"), col("cluster_id"),
+        col("batch_no")))
+      .getOrElse(s.range(0).select(col("id").as("doc_id"),
+        col("id").as("cluster_id"), col("id").as("batch_no")))
       .orderBy(col("doc_id"))
   }
 
@@ -2268,13 +2276,33 @@ object SparkEntry {
     * laws while their oracles assume one (code-review finding).
     */
   private[graft] def seamWidthLawFor(s: SparkSession, dir: String)
+      : graft.operators.Dedup.SeamWidthLaw =
+    seamWidthLawOf(tokenizedDocs(s, dir))
+
+  /** The corpus tokenized ONCE, eagerly pinned (VERDICT r14 item 4):
+    * the stitch-law rows q253/q261 each feed THREE tokenization
+    * consumers — the width law's vocab scan, the fragment fixture
+    * build, and the seam detector — and the r14 slope study measured
+    * detection as tokenization-bound, so paying the split per stage
+    * triples the dominant term. One localCheckpoint materializes the
+    * token arrays; law, fixture, and detector all read the pinned
+    * blocks. Hash-neutral by construction ([[graft.functions.tokens]]
+    * splits on whitespace and drops empties, so re-tokenizing a
+    * space-joined token array is the identity — the *Tok detector
+    * variants skip that identity round-trip).
+    */
+  private[graft] def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), tokens(lower(col("text"))).as("_tk"))
+      .localCheckpoint(true)
+
+  /** [[seamWidthLawFor]] from the shared tokenized projection. */
+  private[graft] def seamWidthLawOf(tok: DataFrame)
       : graft.operators.Dedup.SeamWidthLaw = {
-    val docs = t(s, dir, "documents")
-    val vocab = docs
-      .select(explode(tokens(lower(col("text")))).as("_t"))
+    val vocab = tok.select(explode(col("_tk")).as("_t"))
       .agg(countDistinct(col("_t"))).collect()(0).getLong(0)
     graft.operators.Dedup.suggestSeamWidth(
-      vocabSize = vocab, nKeys = 4L * docs.count())
+      vocabSize = vocab, nKeys = 4L * tok.count())
   }
 
   /** [[stitchFrags]] at an arbitrary seam width — q253 builds the
@@ -2283,19 +2311,27 @@ object SparkEntry {
     * detectable at width w, so the fixture must follow the law).
     */
   private[graft] def stitchFragsAt(s: SparkSession, dir: String,
-      w: Int): DataFrame = {
-    val staged = t(s, dir, "documents")
-      .select(col("doc_id"), tokens(lower(col("text"))).as("_tk"))
+      w: Int): DataFrame =
+    stitchFragTokensOf(
+        t(s, dir, "documents")
+          .select(col("doc_id"), tokens(lower(col("text"))).as("_tk")), w)
+      .select(col("fid"), array_join(col("_tk"), " ").as("text"))
+
+  /** [[stitchFragsAt]] kept in TOKEN-ARRAY form — the fragment corpus
+    * as (fid, _tk) slices of the shared tokenized projection, never
+    * re-joined to strings, for the *Tok detector path (q253/q261). */
+  private[graft] def stitchFragTokensOf(tok: DataFrame, w: Int): DataFrame = {
+    val staged = tok
       .filter(size(col("_tk")) >= 2 * w + 2)
       .withColumn("_n", size(col("_tk")))
       .withColumn("_m", expr("_n DIV 2"))
     staged.select(explode(array(
         struct((col("doc_id") * 2).as("fid"),
-          array_join(slice(col("_tk"), lit(1), col("_m") + w), " ").as("text")),
+          slice(col("_tk"), lit(1), col("_m") + w).as("_tk2")),
         struct((col("doc_id") * 2 + 1).as("fid"),
-          array_join(slice(col("_tk"), col("_m") + 1, col("_n") - col("_m")),
-            " ").as("text")))).as("f"))
-      .select(col("f.fid").as("fid"), col("f.text").as("text"))
+          slice(col("_tk"), col("_m") + 1, col("_n") - col("_m"))
+            .as("_tk2")))).as("f"))
+      .select(col("f.fid").as("fid"), col("f._tk2").as("_tk"))
   }
 
   private def qStitchPairs(s: SparkSession, dir: String): DataFrame =
@@ -2336,9 +2372,10 @@ object SparkEntry {
     * See Dedup.suggestSeamWidth.
     */
   private def qSeamWidthLaw(s: SparkSession, dir: String): DataFrame = {
-    val law = seamWidthLawFor(s, dir)
-    graft.operators.Dedup.boundaryOverlapPairs(
-        stitchFragsAt(s, dir, law.w), "fid", "text", law.w)
+    val tok = tokenizedDocs(s, dir)
+    val law = seamWidthLawOf(tok)
+    graft.operators.Dedup.boundaryOverlapPairsTok(
+        stitchFragTokensOf(tok, law.w), "fid", "_tk", law.w)
       .withColumn("vocab_size", lit(law.vocabSize))
       .withColumn("n_keys", lit(law.nKeys))
       .withColumn("needed_key_space", lit(law.neededKeySpace))
@@ -2361,12 +2398,19 @@ object SparkEntry {
     * column of both levers rides the rows (the df-law's n_keys is the
     * seam-key population at width w; the width-law's inputs are
     * vocab_size/needed_key_space/seam_w — distinct audit columns, no
-    * overlap).
+    * overlap). Collision assumption shared with the q242 precedent
+    * (ADVICE r14): the engine's df histogram/cap/valve operate on
+    * md5Long seam-key hashes while the oracle aggregates raw key
+    * strings — an md5Long collision would merge two keys' dfs on the
+    * engine side only. 64-bit hash over ≤ millions of battery keys:
+    * astronomically unlikely, and the pair-forming join re-checks the
+    * exact token sequence either way (the q45 verify discipline).
     */
   private def qSeamLawsComposed(s: SparkSession, dir: String): DataFrame = {
-    val law = seamWidthLawFor(s, dir)
-    graft.operators.Dedup.boundaryOverlapPairsAuto(
-        stitchFragsAt(s, dir, law.w), "fid", "text", law.w)
+    val tok = tokenizedDocs(s, dir)
+    val law = seamWidthLawOf(tok)
+    graft.operators.Dedup.boundaryOverlapPairsAutoTok(
+        stitchFragTokensOf(tok, law.w), "fid", "_tk", law.w)
       .withColumn("vocab_size", lit(law.vocabSize))
       .withColumn("needed_key_space", lit(law.neededKeySpace))
       .withColumn("seam_w", lit(law.w.toLong))

@@ -1506,10 +1506,26 @@ object Dedup {
     * `overlap` is the space-joined seam (the provenance evidence).
     */
   def boundaryOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
-      w: Int, maxKeyDf: Option[Int] = None): DataFrame = {
+      w: Int, maxKeyDf: Option[Int] = None): DataFrame =
+    boundaryOverlapPairsTok(tokProj(docs, idCol, textCol), idCol, "_tk",
+      w, maxKeyDf)
+
+  /** [[boundaryOverlapPairs]] over an ALREADY-TOKENIZED projection
+    * (`tokCol` = the lowercased whitespace token array) — the shared-
+    * tokenization seam (VERDICT r14 item 4): a caller that already
+    * holds the token arrays (a cached corpus projection feeding the
+    * width law, the fixture build, and detection) must not pay a
+    * re-tokenize per stage when detection is tokenization-bound (the
+    * r14 slope study's own finding). Identical output to the string
+    * form by construction: `tokens` splits on whitespace and drops
+    * empties, so tokenizing a space-joined token array is the
+    * identity.
+    */
+  private[graft] def boundaryOverlapPairsTok(docs: DataFrame, idCol: String,
+      tokCol: String, w: Int, maxKeyDf: Option[Int] = None): DataFrame = {
     require(w >= 1, s"need w >= 1, got $w")
     maxKeyDf.foreach(c => require(c >= 1, s"need maxKeyDf >= 1, got $c"))
-    val base = seamBase(docs, idCol, textCol, w)
+    val base = seamBaseTok(docs, idCol, tokCol, w)
     def side(rel: DataFrame, keyCol: String): DataFrame = maxKeyDf match {
       case None => rel
       case Some(cap) =>
@@ -1535,13 +1551,21 @@ object Dedup {
     * so the law sizes the EXACT key population the detector joins on.
     */
   private def seamBase(docs: DataFrame, idCol: String, textCol: String,
-      w: Int): DataFrame = {
-    val tk = tokens(lower(col(textCol)))
-    docs.select(col(idCol).as("id"), tk.as("_tk"))
+      w: Int): DataFrame =
+    seamBaseTok(tokProj(docs, idCol, textCol), idCol, "_tk", w)
+
+  /** The string→token-array projection the string-typed entry points
+    * feed to their `*Tok` twins. */
+  private def tokProj(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol), tokens(lower(col(textCol))).as("_tk"))
+
+  private def seamBaseTok(docs: DataFrame, idCol: String, tokCol: String,
+      w: Int): DataFrame =
+    docs.select(col(idCol).as("id"), col(tokCol).as("_tk"))
       .filter(size(col("_tk")) >= w)
       .select(col("id"), slice(col("_tk"), 1, w).as("_head"),
         slice(col("_tk"), -w, w).as("_tail"))
-  }
 
   /** The [[suggestStitchMaxKeyDf]] law's audit triple: the chosen cap,
     * the seam-key population it was derived from, and the hot-key
@@ -1579,12 +1603,20 @@ object Dedup {
     * values — KBs at any corpus size).
     */
   def suggestStitchMaxKeyDf(docs: DataFrame, idCol: String, textCol: String,
-      w: Int, hotKeyPpm: Long = 1000L, floorCap: Int = 4): StitchDfLaw = {
+      w: Int, hotKeyPpm: Long = 1000L, floorCap: Int = 4): StitchDfLaw =
+    suggestStitchMaxKeyDfTok(tokProj(docs, idCol, textCol), idCol, "_tk",
+      w, hotKeyPpm, floorCap)
+
+  /** [[suggestStitchMaxKeyDf]] over an already-tokenized projection —
+    * see [[boundaryOverlapPairsTok]] for why the seam exists. */
+  private[graft] def suggestStitchMaxKeyDfTok(docs: DataFrame, idCol: String,
+      tokCol: String, w: Int, hotKeyPpm: Long = 1000L,
+      floorCap: Int = 4): StitchDfLaw = {
     require(w >= 1, s"need w >= 1, got $w")
     require(hotKeyPpm >= 1 && hotKeyPpm < 1000000L,
       s"need hotKeyPpm in [1, 1e6), got $hotKeyPpm")
     require(floorCap >= 1, s"need floorCap >= 1, got $floorCap")
-    val base = seamBase(docs, idCol, textCol, w)
+    val base = seamBaseTok(docs, idCol, tokCol, w)
     val keys = base.select(lit("t").as("_s"),
         md5Long(array_join(col("_tail"), " ")).as("_k"))
       .unionAll(base.select(lit("h").as("_s"),
@@ -1619,10 +1651,18 @@ object Dedup {
     */
   def boundaryOverlapPairsAuto(docs: DataFrame, idCol: String,
       textCol: String, w: Int, hotKeyPpm: Long = 1000L,
+      floorCap: Int = 4): DataFrame =
+    boundaryOverlapPairsAutoTok(tokProj(docs, idCol, textCol), idCol,
+      "_tk", w, hotKeyPpm, floorCap)
+
+  /** [[boundaryOverlapPairsAuto]] over an already-tokenized
+    * projection — see [[boundaryOverlapPairsTok]]. */
+  private[graft] def boundaryOverlapPairsAutoTok(docs: DataFrame,
+      idCol: String, tokCol: String, w: Int, hotKeyPpm: Long = 1000L,
       floorCap: Int = 4): DataFrame = {
-    val law = suggestStitchMaxKeyDf(docs, idCol, textCol, w, hotKeyPpm,
+    val law = suggestStitchMaxKeyDfTok(docs, idCol, tokCol, w, hotKeyPpm,
       floorCap)
-    boundaryOverlapPairs(docs, idCol, textCol, w, Some(law.cap))
+    boundaryOverlapPairsTok(docs, idCol, tokCol, w, Some(law.cap))
       .withColumn("n_keys", lit(law.nKeys))
       .withColumn("hot_key_budget", lit(law.hotKeyBudget))
       .withColumn("max_key_df", lit(law.cap.toLong))

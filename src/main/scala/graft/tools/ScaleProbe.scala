@@ -554,22 +554,22 @@ object ScaleProbe {
       }
       def countJobs(name: String)(body: => Long): Unit = {
         // min-of-2 timing (the archive discipline); the listener-bus
-        // drain sleep sits OUTSIDE the timed window
-        var best = Double.MaxValue
-        var rows = 0L
-        var bestJobs = Int.MaxValue
+        // drain sleep sits OUTSIDE the timed window. (sec, jobs, rows)
+        // travel as ONE tuple keyed on the fastest run — picking min
+        // sec and min jobs independently can print a chimera of two
+        // runs when AQE re-plans change the job count (ADVICE r14).
+        var best = (Double.MaxValue, Int.MaxValue, 0L)
         for (_ <- 1 to 2) {
           spark.sparkContext.addSparkListener(counter)
           jobs.set(0)
           val t0 = System.nanoTime()
-          rows = body
+          val rows = body
           val sec = (System.nanoTime() - t0) / 1e9
           Thread.sleep(2000) // listener bus drain
           spark.sparkContext.removeSparkListener(counter)
-          if (sec < best) best = sec
-          bestJobs = math.min(bestJobs, jobs.get())
+          if (sec < best._1) best = (sec, jobs.get(), rows)
         }
-        println(f"PROBE $name rows=$rows%d sec=$best%.2f jobs=$bestJobs%d")
+        println(f"PROBE $name rows=${best._3}%d sec=${best._1}%.2f jobs=${best._2}%d")
       }
       val pairs = graft.operators.Dedup
         .minhashLshPairs(docs, "doc_id", "text").localCheckpoint(true)
