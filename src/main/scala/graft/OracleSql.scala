@@ -971,6 +971,108 @@ object OracleSql {
           FROM FULLCC f LEFT JOIN PRIOR p ON p.node = f.node
           ORDER BY doc_id""",
 
+    // deletion-aware repair: the engine repairs COMPONENT-SCOPED
+    // (affected components' surviving induced edges only); the oracle
+    // recomputes IN FULL over the pair set with every deleted-endpoint
+    // pair dropped — repair ≡ full recompute is the hash contract,
+    // splits included
+    "q262_repair_after_delete" ->
+      s"""WITH RECURSIVE
+          ${lshPairCtes("documents")},
+          SURV AS (SELECT id_a, id_b FROM PAIRS
+                   WHERE id_a % 5 <> 0 AND id_b % 5 <> 0),
+          EDGES AS (SELECT id_a AS src, id_b AS dst FROM SURV
+                    UNION SELECT id_b, id_a FROM SURV),
+          REACH(node, r) AS (
+            SELECT src, src FROM EDGES
+            UNION
+            SELECT e.dst, r.r FROM REACH r JOIN EDGES e ON e.src = r.node)
+          SELECT node AS doc_id, min(r) AS cluster_id FROM REACH
+          GROUP BY node ORDER BY doc_id""",
+
+    // takedown gate: final labels = full recompute over the filtered
+    // pair set; stamp = 1 where the takedown moved nothing (full and
+    // filtered labels agree), else 2 — a re-delivered takedown that
+    // spuriously committed would stamp 3+ and go hash-red
+    "q263_takedown_gate" ->
+      s"""WITH RECURSIVE
+          ${lshPairCtes("documents")},
+          EDGES AS (SELECT id_a AS src, id_b AS dst FROM PAIRS
+                    UNION SELECT id_b, id_a FROM PAIRS),
+          REACH(node, r) AS (
+            SELECT src, src FROM EDGES
+            UNION
+            SELECT e.dst, r.r FROM REACH r JOIN EDGES e ON e.src = r.node),
+          FULLCC AS (SELECT node, min(r) AS cluster_id FROM REACH
+                     GROUP BY node),
+          SURV AS (SELECT id_a, id_b FROM PAIRS
+                   WHERE id_a % 5 <> 0 AND id_b % 5 <> 0),
+          EDGES_S AS (SELECT id_a AS src, id_b AS dst FROM SURV
+                      UNION SELECT id_b, id_a FROM SURV),
+          REACH_S(node, r) AS (
+            SELECT src, src FROM EDGES_S
+            UNION
+            SELECT e.dst, r.r FROM REACH_S r JOIN EDGES_S e ON e.src = r.node),
+          FINALCC AS (SELECT node, min(r) AS cluster_id FROM REACH_S
+                      GROUP BY node)
+          SELECT f.node AS doc_id, f.cluster_id,
+            CASE WHEN p.cluster_id = f.cluster_id THEN CAST(1 AS BIGINT)
+                 ELSE CAST(2 AS BIGINT) END AS batch_no
+          FROM FINALCC f JOIN FULLCC p ON p.node = f.node
+          ORDER BY doc_id""",
+
+    // lake-backed maintained sample: final k-set = DIRECT recompute
+    // over the full corpus (maintained ≡ recompute, the q233
+    // contract); stamp = 1 where the row survived the odd ingest with
+    // its rank intact, else 2 — a non-idempotent re-delivery would
+    // stamp 3+
+    "q264_sample_gate" ->
+      s"""WITH D AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
+                 CAST(${md5long("CAST(doc_id AS VARCHAR)")} // n_chars
+                   AS BIGINT) AS prio
+                FROM documents),
+          P1 AS (SELECT id, weight, prio, CAST(r AS BIGINT) AS rank FROM
+                 (SELECT *, row_number() OVER (ORDER BY prio, id) AS r
+                  FROM D WHERE id % 2 = 0) WHERE r <= 64),
+          F AS (SELECT id, weight, prio, CAST(r AS BIGINT) AS rank FROM
+                 (SELECT *, row_number() OVER (ORDER BY prio, id) AS r
+                  FROM D) WHERE r <= 64)
+          SELECT f.id, f.weight, f.prio, f.rank,
+            CASE WHEN p.id IS NOT NULL AND p.rank = f.rank
+                 THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS batch_no
+          FROM F f LEFT JOIN P1 p ON p.id = f.id
+          ORDER BY f.rank""",
+
+    // TPC-H Q13 shape, textbook form: right-side predicate in the
+    // OUTER join condition, two-level aggregate with the null group
+    "q265_cust_order_dist" ->
+      """SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+         FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+               FROM customer c LEFT OUTER JOIN orders o
+                 ON c.c_custkey = o.o_custkey
+                AND o.o_orderpriority NOT LIKE '4-%'
+               GROUP BY c.c_custkey) t
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
+    // TPC-H Q19 shape, textbook form: the whole OR-of-ANDs in WHERE
+    // with the join equality repeated per branch
+    "q266_disjunctive_revenue" ->
+      """SELECT CAST(COALESCE(sum(CAST(floor(
+             l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)), 0)
+           AS BIGINT) AS revenue_c,
+           CAST(count(*) AS BIGINT) AS n_lines
+         FROM lineitem l, part p
+         WHERE (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#12'
+                AND p.p_size BETWEEN 1 AND 5
+                AND l.l_quantity BETWEEN 1 AND 11)
+            OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+                AND p.p_size BETWEEN 1 AND 10
+                AND l.l_quantity BETWEEN 10 AND 20)
+            OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#15'
+                AND p.p_size BETWEEN 1 AND 15
+                AND l.l_quantity BETWEEN 20 AND 30)""",
+
     // duplication-mass histogram: q36's reachability clusters, then
     // clusters-per-size
     "q132_dup_mass" ->

@@ -986,6 +986,114 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Deletion-aware cluster repair (q262, VERDICT r15 item 1): the
+    * TAKEDOWN flow on the clustering lever — q36's labeling, then
+    * doc_id % 7 == 0 docs are removed and the labels are REPAIRED
+    * component-scoped (Dedup.repairComponentsAfterDelete over the
+    * persisted labelEdges relation: affected components = the deleted
+    * nodes' labels, CC re-runs on their surviving induced edges
+    * ALONE, untouched components carry verbatim — history never
+    * shuffles, the fixpoint never sees it). The oracle recomputes IN
+    * FULL — recursive reachability over the pair set with every
+    * deleted-endpoint pair dropped — so repair ≡ full recompute over
+    * the surviving edges is the hash contract itself. The %5 cut is
+    * chosen to EXERCISE every repair outcome in the hash at battery
+    * data: it deletes cluster reps (forcing survivor RELABELING — at
+    * sf0.01 the {45,267,413} clique re-anchors to 267), isolates pair
+    * peers (row REMOVAL), and leaves bystander clusters verbatim;
+    * splits proper are pinned synthetically in TakedownRepairSpec.
+    */
+  private def qRepairAfterDelete(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint(true)
+    val labels = Dedup.connectedComponents(pairs).localCheckpoint(true)
+    val le = Dedup.labelEdges(pairs, labels)
+    val deleted = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id").as("id"))
+    Dedup.repairComponentsAfterDelete(labels, le, deleted)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Takedown ingest GATE (q263): q262's repair run through the LAKE —
+    * ingest 1 persists labels AND the labeled edge relation
+    * (IncrementalDedup.maintainClustersWithEdges, the write-set
+    * discipline takedowns read); the takedown at batch 2 COW-deletes
+    * the removed/isolated label rows, upserts the moved labels under
+    * the floor-monotone stamp, and repairs the edge index; batch 3
+    * RE-DELIVERS the same takedown — the ids are already gone, so
+    * write sets are empty and nothing commits (any spurious admission
+    * would stamp 3+ into the snapshot). The oracle re-derives the
+    * final labels by FULL recursive reachability over the filtered
+    * pair set (repair ≡ recompute) and the stamp from the
+    * full-vs-filtered label diff: 1 where the takedown moved nothing,
+    * else 2, never 3.
+    */
+  private def qTakedownGate(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q263_tdg_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val labels = new graft.operators.VersionedTable(s, root + "/labels",
+      "id", "batch_no", numBuckets = 8)
+    val edges = new graft.operators.VersionedTable(s, root + "/edges",
+      "edge_key", "batch_no", numBuckets = 8)
+    val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint(true)
+    graft.operators.IncrementalDedup.maintainClustersWithEdges(
+      labels, edges, pairs, 1L)
+    val deleted = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id").as("id"))
+      .localCheckpoint(true)
+    graft.operators.IncrementalDedup.takedown(labels, edges, deleted, 2L)
+    graft.operators.IncrementalDedup.takedown(labels, edges, deleted, 3L)
+    labels.snapshotOpt
+      .map(_.select(col("id").as("doc_id"), col("cluster_id"),
+        col("batch_no")))
+      .getOrElse(s.range(0).select(col("id").as("doc_id"),
+        col("id").as("cluster_id"), col("id").as("batch_no")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Maintained weighted sample as a lake gate (q264, VERDICT r15
+    * item 7): q233's maintenance discipline made PHYSICAL — the k=64
+    * priority sample lives on a VersionedTable; ingest 1 cuts the
+    * even-doc_id corpus, ingest 2 feeds the odds (entrants and
+    * rank-shifted rows upsert at the floor-monotone stamp, rows that
+    * fell out of the k-set are COW-DELETED — per-ingest IO tracks the
+    * sample churn, never the corpus), and ingest 3 re-delivers the
+    * odds (deterministic md5 priorities: every re-added row either
+    * reproduces its stored row or loses the cut as it originally did
+    * — empty write set, no commit, so any stamp 3+ is a red hash).
+    * The oracle re-derives the final k-set by DIRECT recompute over
+    * the full corpus (maintained ≡ recompute, the q233 contract) and
+    * the stamp from the even-only-vs-full cut diff: 1 where the row
+    * (id, rank) survived unchanged, else 2.
+    */
+  private def qSampleGate(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q264_smg_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "id", "batch_no",
+      numBuckets = 8)
+    val docs = t(s, dir, "documents")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 =!= 0)
+    def ingest(b: DataFrame, n: Long): Unit = {
+      graft.operators.IncrementalDedup.maintainSample(vt, b,
+        col("doc_id"), col("n_chars"), k = 64, batchNo = n)
+      ()
+    }
+    ingest(even, 1L)
+    ingest(odd, 2L)
+    ingest(odd, 3L) // redeliver: empty write set, no commit
+    vt.snapshot
+      .select(col("id"), col("weight"), col("prio"), col("rank"),
+        col("batch_no"))
+      .orderBy(col("rank"))
+  }
+
   /** Duplication-mass histogram (q132): q36's LSH cluster labeling,
     * then clusters-per-size and docs-tied-up — the "is dedup worth it"
     * one-pager. See Dedup.clusterSizeHistogram.
@@ -2812,10 +2920,14 @@ object SparkEntry {
     * 0.1% threshold is exact integer math (value_c·1000 > total_c).
     */
   private def qImportantStock(s: SparkSession, dir: String): DataFrame = {
+    // generator-aware constants (GenFilters): NATION_7 on driver
+    // testdata (what the oracle pins), GERMANY on gen data — so the
+    // ScaleProbe slope legs run this function verbatim (r14 item 6)
+    val gf = graft.util.GenFilters.forDir(s, dir)
     val natSupp = t(s, dir, "supplier")
       .select(col("s_suppkey"), col("s_nationkey"))
       .join(broadcast(t(s, dir, "nation")
-        .filter(col("n_name") === "NATION_7").select(col("n_nationkey"))),
+        .filter(col("n_name") === gf.nationName).select(col("n_nationkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
     val grouped = t(s, dir, "lineitem")
@@ -2831,6 +2943,73 @@ object SparkEntry {
       .filter(col("value_c") * 1000 > col("_t"))
       .select(col("l_partkey").as("p_partkey"), col("value_c"))
       .orderBy(col("value_c").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q13 shape (q265, VERDICT r15 item 3): customer order-count
+    * DISTRIBUTION — the one planner pattern the rewrite set still
+    * lacked on the OUTER side: a left-outer join whose RIGHT-side
+    * predicate lives in the JOIN CONDITION (filtering orders in a
+    * WHERE would silently convert the join to inner and drop the
+    * zero-order customers — the null-group bucket, Q13's entire
+    * point), feeding a TWO-LEVEL aggregate where count(o_orderkey)
+    * counts nulls as 0 so unmatched customers land in the c_count=0
+    * group. The priority cut (NOT LIKE '4-%') is the generator-
+    * portable twin of the textbook comment cut — same domain in both
+    * generators, so the gen slope legs run verbatim.
+    *
+    * Plan shape: the join shuffles both sides on custkey and the
+    * first aggregate REUSES that partitioning (no exchange between
+    * join and per-customer count — partial aggregation would be pure
+    * overhead on unique keys); only the tiny second aggregate
+    * (≤ |distinct counts| groups) re-shuffles. Outer-join
+    * preservation + single-exchange-into-agg are plan-pinned.
+    */
+  private def qCustOrderDist(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    c.join(o, col("c_custkey") === col("o_custkey") &&
+        !col("o_orderpriority").like("4-%"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q19 shape (q266, VERDICT r15 item 3): discounted revenue
+    * under a DISJUNCTIVE join predicate — three OR'd conjunct bundles,
+    * each constraining BOTH sides (brand+size on part, quantity on
+    * lineitem), the planner pattern where a naive plan evaluates the
+    * whole disjunction post-join while the plan you want pushes each
+    * side's IMPLIED disjunction below the join: Catalyst's conjunctive-
+    * normal-form extraction derives `(p_brand=#12 AND p_size≤5) OR
+    * (p_brand=#23 AND p_size≤10) OR (p_brand=#15 AND p_size≤15)` onto
+    * the part scan and the quantity-range union onto the lineitem
+    * scan, so both scans cut BEFORE the join and the residual OR only
+    * re-checks the cross terms. Brands #12/#23/#15 exist in BOTH
+    * generators (GenFilters' portability discipline — the slope legs
+    * run verbatim). Pinned in PlanQualitySpec: the brand/size
+    * disjunction reaches the part scan's PushedFilters and the
+    * quantity disjunction the lineitem scan's.
+    */
+  private def qDisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100.0)).cast("long").as("_rc"))
+    val branch1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#15" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+    l.join(p, col("l_partkey") === col("p_partkey") &&
+        (branch1 || branch2 || branch3))
+      .agg(coalesce(sum(col("_rc")), lit(0L)).as("revenue_c"),
+        count(lit(1)).as("n_lines"))
   }
 
   /** TPC-H Q20 shape (q254): suppliers with excess stock — the
@@ -2864,8 +3043,12 @@ object SparkEntry {
   private def qExcessStock(s: SparkSession, dir: String): DataFrame = {
     val winLo = lit("1996-01-01").cast("timestamp")
     val winHi = lit("1997-01-01").cast("timestamp")
+    // generator-aware constants (GenFilters, r14 item 6): small%/
+    // NATION_7 on driver testdata (the oracle's pins), forest%/GERMANY
+    // on gen data — the slope legs run this function verbatim
+    val gf = graft.util.GenFilters.forDir(s, dir)
     val smallParts = t(s, dir, "part")
-      .filter(col("p_name").like("small%"))
+      .filter(col("p_name").like(gf.smallPartPrefix + "%"))
       .select(col("p_partkey"))
     // the part semi-join sits BELOW the aggregate: the name filter cuts
     // the fact before its one wide exchange, not after
@@ -2884,7 +3067,7 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(s, dir, "nation")
-        .filter(col("n_name") === "NATION_7")
+        .filter(col("n_name") === gf.nationName)
         .select(col("n_nationkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"))
@@ -4709,7 +4892,12 @@ object SparkEntry {
     "q258_top_supplier" -> (qTopSupplier _),
     "q259_min_cost_supplier" -> (qMinCostSupplier _),
     "q260_important_stock" -> (qImportantStock _),
-    "q261_seam_laws_composed" -> (qSeamLawsComposed _))
+    "q261_seam_laws_composed" -> (qSeamLawsComposed _),
+    "q262_repair_after_delete" -> (qRepairAfterDelete _),
+    "q263_takedown_gate" -> (qTakedownGate _),
+    "q264_sample_gate" -> (qSampleGate _),
+    "q265_cust_order_dist" -> (qCustOrderDist _),
+    "q266_disjunctive_revenue" -> (qDisjunctiveRevenue _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

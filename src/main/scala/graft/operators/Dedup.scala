@@ -813,8 +813,10 @@ object Dedup {
     * repMap lists exactly those components.
     *
     * Caveats: exact for ADDED edges only — edge/doc REMOVAL can split
-    * a component, which min-label maintenance cannot see (recompute;
-    * the q188 additive-only caveat). `prior` must honor the
+    * a component, which min-label maintenance cannot see; route
+    * takedowns through [[repairComponentsAfterDelete]] (component-
+    * scoped repair over the persisted [[labelEdges]] relation — never
+    * a full recompute). `prior` must honor the
     * [[connectedComponents]] contract (labels = component min id);
     * feeding an arbitrary labeling silently yields that labeling's
     * transitive merge instead. The DELTA is meant to be an ingest
@@ -918,6 +920,141 @@ object Dedup {
         col("cluster_id").as("_nc"))), col("_n") === col("_r2"), "left")
       .select(col("_n").as("id"), coalesce(col("_nc"), col("_n")).as("cluster_id"))
     (repMap, newNodes, hint)
+  }
+
+  /** The persisted-EDGE discipline [[repairComponentsAfterDelete]]
+    * reads: the pair relation labeled with its component id — one
+    * equi-join on `id_a` only, because BOTH endpoints of an edge share
+    * a component under the [[connectedComponents]] contract (an edge
+    * is a path). Persist this next to the labels (the q250 write-set
+    * discipline): with the edge store partitioned or bucketed by
+    * `cluster_id`, a takedown's induced-subgraph read is partition-
+    * pruned IO — proportional to the touched components, not history.
+    * Output: (id_a, id_b, cluster_id).
+    */
+  def labelEdges(pairs: DataFrame, labels: DataFrame): DataFrame =
+    pairs.join(labels.select(col("id").as("_le"), col("cluster_id")),
+        col("id_a") === col("_le"))
+      .select(col("id_a"), col("id_b"), col("cluster_id"))
+
+  /** Deletion-aware cluster maintenance — the TAKEDOWN flow (VERDICT
+    * r14 item 1): doc removal (right-to-be-forgotten, license
+    * takedown) is a routine event in a training-data pipeline, yet
+    * min-label maintenance cannot see a split ([[maintainComponents]]
+    * is exact for ADDED edges only), and a full CC recompute per
+    * takedown is exactly the history-scale cost the maintenance
+    * design exists to avoid. This repairs COMPONENT-SCOPED: deletion
+    * never MERGES components (edges only disappear), so every
+    * component untouched by a deleted node keeps its labeling
+    * verbatim, and the affected components' survivors are relabeled
+    * by a CC fixpoint over their own induced surviving edges alone.
+    * Exact — the output hash-equals a full recompute over (edges
+    * minus every pair touching a deleted id): a surviving component's
+    * min id cannot live on a deleted node or in another component.
+    *
+    * Inputs: `prior` = the [[connectedComponents]] labeling;
+    * `labeledEdges` = the persisted (id_a, id_b, cluster_id) relation
+    * from [[labelEdges]] — the write-set discipline's price paid once
+    * at ingest; `deletedIds` = (id) docs to remove.
+    *
+    * Scale shape: deleted ids and the affected reps they map to are
+    * takedown-bounded (broadcast, with [[maintainComponents]]' 4M
+    * backfill valve); the label table and the edge relation are each
+    * scanned ONCE, map-side against those broadcast relations (on a
+    * cluster_id-partitioned edge store the edge scan is partition-
+    * pruned outright); the CC fixpoint — the only iterative, shuffling
+    * term — runs on the affected components' induced edges alone.
+    * Nothing history-scale shuffles.
+    *
+    * Survivors whose component lost ALL edges drop out of the
+    * labeling, exactly as a recompute over the surviving edge set
+    * would drop them (the [[connectedComponents]] edge-node scope).
+    * Deleting ids absent from `prior` touches nothing; re-delivering
+    * a takedown is a no-op (the ids are already gone).
+    *
+    * Output: (id, cluster_id) over the surviving edge-touched nodes.
+    */
+  def repairComponentsAfterDelete(prior: DataFrame, labeledEdges: DataFrame,
+      deletedIds: DataFrame, maxIter: Int = 20): DataFrame = {
+    val p = prior.select(col("id").as("_pid"), col("cluster_id").as("_prep"))
+    val del = deletedIds.select(col(deletedIds.columns.head).as("_d"))
+      .distinct().localCheckpoint(true)
+    if (del.isEmpty)
+      return p.select(col("_pid").as("id"), col("_prep").as("cluster_id"))
+    val (aff, _, repaired, hint) = repairParts(p, labeledEdges, del, maxIter)
+    val untouched = p.join(hint(aff), col("_prep") === col("_ar"), "left_anti")
+      .select(col("_pid").as("id"), col("_prep").as("cluster_id"))
+    untouched.unionByName(repaired)
+  }
+
+  /** The LAKE write set of [[repairComponentsAfterDelete]] — what a
+    * takedown should physically touch on a keyed label table:
+    * `relabel` = surviving members of affected components whose label
+    * MOVED (upsert these), `remove` = deleted ids plus survivors whose
+    * component lost all edges (delete these). prior ⊖ remove ⊕ relabel
+    * ≡ the full repair ≡ a full recompute over the surviving edges —
+    * per-takedown IO tracks the touched components, never history.
+    * Re-delivering a takedown yields two empty frames (idempotent).
+    */
+  def repairComponentsDeleteDelta(prior: DataFrame, labeledEdges: DataFrame,
+      deletedIds: DataFrame, maxIter: Int = 20)
+      : (DataFrame, DataFrame) = {
+    val p = prior.select(col("id").as("_pid"), col("cluster_id").as("_prep"))
+    val del = deletedIds.select(col(deletedIds.columns.head).as("_d"))
+      .distinct().localCheckpoint(true)
+    val empty = (p.limit(0).select(col("_pid").as("id"),
+        col("_prep").as("cluster_id")),
+      p.limit(0).select(col("_pid").as("id")))
+    if (del.isEmpty) return empty
+    val (aff, _, repaired, hint) = repairParts(p, labeledEdges, del, maxIter)
+    // affected components' prior rows — bounded by touched-component
+    // mass; the ONE scan of the label table (map-side broadcast semi)
+    val affRows = p.join(hint(aff), col("_prep") === col("_ar"), "left_semi")
+      .localCheckpoint(true)
+    val relabel = repaired
+      .join(affRows, col("id") === col("_pid"))
+      .filter(col("cluster_id") =!= col("_prep"))
+      .select(col("id"), col("cluster_id"))
+    val remove = affRows
+      .join(repaired.select(col("id").as("_ri")), col("_pid") === col("_ri"),
+        "left_anti")
+      .select(col("_pid").as("id"))
+    (relabel, remove)
+  }
+
+  /** Shared takedown internals: (affected reps `_ar`, the affected
+    * components' SURVIVING induced edges, their repaired labeling,
+    * the broadcast-hint valve). See [[repairComponentsAfterDelete]]
+    * for the scale argument; [[graft.operators.IncrementalDedup]]'s
+    * takedown gate reuses the surviving-edge frame to maintain the
+    * persisted edge relation itself.
+    */
+  private[operators] def repairParts(p: DataFrame, labeledEdges: DataFrame,
+      del: DataFrame, maxIter: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame => DataFrame) = {
+    // the maintParts backfill valve: broadcast only while the
+    // takedown-derived relations are ingest-sized
+    val small = del.count() <= 4000000L
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // affected reps — prior labels of the deleted nodes (bounded by
+    // the takedown; ids never labeled touch no component)
+    val aff = p.join(hint(del), col("_pid") === col("_d"), "left_semi")
+      .select(col("_prep").as("_ar")).distinct().localCheckpoint(true)
+    // induced edges of the affected components: ONE map-side pass of
+    // the edge relation (partition-pruned on a cluster_id-partitioned
+    // store), then drop every edge touching a deleted id
+    val induced = labeledEdges
+      .join(hint(aff), col("cluster_id") === col("_ar"), "left_semi")
+    val surviving = induced
+      .join(hint(del), col("id_a") === col("_d"), "left_anti")
+      .join(hint(del), col("id_b") === col("_d"), "left_anti")
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    // the only iterative term — CC over the affected components'
+    // surviving edges alone, never the full graph
+    val repaired = connectedComponents(surviving, maxIter)
+      .localCheckpoint(true)
+    (aff, surviving, repaired, hint)
   }
 
   /** Quality-aware near-dup representative selection — production

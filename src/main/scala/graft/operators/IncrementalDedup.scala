@@ -400,7 +400,9 @@ object IncrementalDedup {
     * and the returned frame is pinned via localCheckpoint before the
     * commit mutates the snapshot (the appendNovel lesson). Additive
     * only, like the operator it wraps: edge removal can split a
-    * component, which min-label maintenance cannot see — recompute.
+    * component, which min-label maintenance cannot see — route
+    * takedowns through [[takedown]] (component-scoped repair over the
+    * [[maintainClustersWithEdges]]-persisted edge relation).
     *
     * Returns the write set — (id, cluster_id, batch_no) with the
     * stamp actually written.
@@ -431,5 +433,221 @@ object IncrementalDedup {
       .localCheckpoint(true)
     if (!changes.isEmpty) labels.upsert(changes)
     changes
+  }
+
+  /** [[maintainClusters]] plus the persisted-EDGE discipline the
+    * takedown flow needs (VERDICT r14 item 1): alongside the label
+    * table, the pair relation itself lives on the lake as
+    * (edge_key, id_a, id_b, cluster_id, batch_no) — record key
+    * `edge_key` = "id_a:id_b", cluster_id maintained through merges —
+    * so a later [[takedown]] can read a component's induced subgraph
+    * without re-deriving pairs from the corpus. Per-ingest edge IO
+    * tracks the delta: NEW edges are the delta anti-joined against
+    * the index by key, RELABELED edges are exactly those whose
+    * `id_a` label moved this ingest (the label write set is the
+    * merge-bounded relabel relation — broadcast, map-side against one
+    * edge-snapshot scan). Re-delivery writes nothing to either table.
+    *
+    * Returns the label write set ([[maintainClusters]]' contract).
+    */
+  def maintainClustersWithEdges(labels: VersionedTable,
+      edges: VersionedTable, deltaPairs: DataFrame, batchNo: Long,
+      maxIter: Int = 20): DataFrame = {
+    require(edges.recordKey == "edge_key",
+      s"edge table must be keyed on 'edge_key', got '${edges.recordKey}'")
+    require(edges.precombine == "batch_no",
+      s"edge table must precombine on 'batch_no', got '${edges.precombine}'")
+    val d = deltaPairs.select(col("id_a"), col("id_b")).distinct()
+      .localCheckpoint(true)
+    val changes = maintainClusters(labels, d, batchNo, maxIter)
+    if (changes.isEmpty) return changes
+    val stamp = changes.select(max(col("batch_no"))).collect()(0).getLong(0)
+    // post-merge labels for the delta's endpoints: the label snapshot
+    // just written — one broadcast-semi-bounded read (delta endpoints)
+    val lab = labels.snapshot.select(col("id").as("_li"),
+      col("cluster_id").as("_lc"))
+    val keyed = d.withColumn("edge_key",
+      concat_ws(":", col("id_a"), col("id_b")))
+    val snapOpt = edges.snapshotOpt
+    // new edges: absent from the index by key, labeled via id_a
+    val novel0 = snapOpt match {
+      case None => keyed
+      case Some(s) => keyed.join(s.select(col("edge_key").as("_ek")),
+        col("edge_key") === col("_ek"), "left_anti")
+    }
+    val novel = novel0.join(lab, col("id_a") === col("_li"))
+      .select(col("edge_key"), col("id_a"), col("id_b"),
+        col("_lc").as("cluster_id"), lit(stamp).as("batch_no"))
+    // stale edges: stored rows whose id_a label moved this ingest —
+    // the changes relation is merge-bounded, so this is one map-side
+    // broadcast join against the edge snapshot
+    val moved = changes.select(col("id").as("_mi"),
+      col("cluster_id").as("_mc"))
+    val stale = snapOpt.map(s =>
+        s.join(broadcast(moved), col("id_a") === col("_mi"))
+          .filter(col("cluster_id") =!= col("_mc"))
+          .select(col("edge_key"), col("id_a"), col("id_b"),
+            col("_mc").as("cluster_id"), lit(stamp).as("batch_no")))
+      .getOrElse(novel.limit(0))
+    val writeSet = novel.unionByName(stale).localCheckpoint(true)
+    if (!writeSet.isEmpty) edges.upsert(writeSet)
+    changes
+  }
+
+  /** The TAKEDOWN gate (VERDICT r14 item 1) — doc removal propagated
+    * through the maintained dedup clustering, component-scoped: reads
+    * the persisted edge relation, runs
+    * [[Dedup.repairComponentsDeleteDelta]] (the CC fixpoint touches
+    * only the affected components' surviving induced edges — never
+    * history), then applies the physical write sets to BOTH tables:
+    * label rows of deleted/isolated nodes are COW-deleted, moved
+    * labels are upserted under the floor-monotone stamp
+    * ([[maintainClusters]]' checkpoint-reset discipline), edges
+    * touching a deleted id are deleted from the edge index, and
+    * surviving affected edges whose component min moved are
+    * relabeled. Re-delivering a takedown finds the ids already gone —
+    * empty write sets, zero commits (idempotent). A takedown against
+    * an empty/uncommitted label table is a no-op.
+    *
+    * Returns the label write set — (id, cluster_id, batch_no, op)
+    * with op ∈ {relabel, remove} (cluster_id/batch_no null on
+    * removes), pinned before the commits mutate the snapshots.
+    */
+  def takedown(labels: VersionedTable, edges: VersionedTable,
+      deletedIds: DataFrame, batchNo: Long, maxIter: Int = 20)
+      : DataFrame = {
+    require(labels.recordKey == "id",
+      s"label table must be keyed on 'id', got '${labels.recordKey}'")
+    require(labels.precombine == "batch_no",
+      s"label table must precombine on 'batch_no' (the floor-monotone " +
+        s"stamp), got '${labels.precombine}'")
+    require(edges.recordKey == "edge_key",
+      s"edge table must be keyed on 'edge_key', got '${edges.recordKey}'")
+    val spark = deletedIds.sparkSession
+    def empty: DataFrame = spark.range(0).select(col("id"),
+      col("id").as("cluster_id"), col("id").as("batch_no"),
+      lit("").as("op"))
+    val snap = labels.snapshotOpt
+    if (snap.isEmpty) return empty
+    val del = deletedIds.select(col(deletedIds.columns.head).as("_d"))
+      .distinct().localCheckpoint(true)
+    if (del.isEmpty) return empty
+    val prior = snap.get.select(col("id"), col("cluster_id"))
+    val le = edges.snapshotOpt.getOrElse(sys.error(
+      "takedown: no persisted edge relation — ingest through " +
+        "maintainClustersWithEdges"))
+    val p = prior.select(col("id").as("_pid"), col("cluster_id").as("_prep"))
+    val (aff, surviving, repaired, hint) =
+      Dedup.repairParts(p, le, del, maxIter)
+    val affRows = p.join(hint(aff), col("_prep") === col("_ar"), "left_semi")
+      .localCheckpoint(true)
+    val floor = snap
+      .map(_.agg(max(col("batch_no"))).collect()(0))
+      .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
+      .getOrElse(0L)
+    val stamp = math.max(floor, batchNo)
+    val relabel = repaired
+      .join(affRows, col("id") === col("_pid"))
+      .filter(col("cluster_id") =!= col("_prep"))
+      .select(col("id"), col("cluster_id"), lit(stamp).as("batch_no"))
+      .localCheckpoint(true)
+    val remove = affRows
+      .join(repaired.select(col("id").as("_ri")),
+        col("_pid") === col("_ri"), "left_anti")
+      .select(col("_pid").as("id"))
+      .localCheckpoint(true)
+    // pin the returned write set before any commit mutates a snapshot
+    val out = relabel.withColumn("op", lit("relabel"))
+      .unionByName(remove
+        .select(col("id"), lit(null).cast("long").as("cluster_id"),
+          lit(null).cast("long").as("batch_no"), lit("remove").as("op")))
+      .localCheckpoint(true)
+    if (!remove.isEmpty) labels.delete(remove)
+    if (!relabel.isEmpty) labels.upsert(relabel)
+    // edge-table maintenance: drop edges touching a deleted id;
+    // relabel surviving affected edges whose component min moved
+    val keyOf = concat_ws(":", col("id_a"), col("id_b"))
+    val dead = le.join(hint(aff), col("cluster_id") === col("_ar"),
+        "left_semi")
+      .join(hint(del.select(col("_d"))),
+        col("id_a") === col("_d") || col("id_b") === col("_d"), "left_semi")
+      .select(keyOf.as("edge_key")).localCheckpoint(true)
+    if (!dead.isEmpty) edges.delete(dead)
+    val movedEdges = surviving
+      .join(repaired.select(col("id").as("_ra"), col("cluster_id")
+        .as("_rc")), col("id_a") === col("_ra"))
+      .join(le.select(col("id_a").as("_oa"), col("id_b").as("_ob"),
+        col("cluster_id").as("_oc")),
+        col("id_a") === col("_oa") && col("id_b") === col("_ob"))
+      .filter(col("_rc") =!= col("_oc"))
+      .select(keyOf.as("edge_key"), col("id_a"), col("id_b"),
+        col("_rc").as("cluster_id"), lit(stamp).as("batch_no"))
+      .localCheckpoint(true)
+    if (!movedEdges.isEmpty) edges.upsert(movedEdges)
+    out
+  }
+
+  /** The maintained weighted SAMPLE as a lake-writing ingest gate
+    * (VERDICT r14 item 7 — every lake-writing maintenance member sits
+    * in the shared gate-contract sweep): the k-row priority sample
+    * ([[Sampling.prioritySample]], Duffield-Lund-Thorup) FOLLOWS the
+    * corpus on a [[VersionedTable]] keyed "id" / precombined
+    * "batch_no". Each ingest re-cuts the stored k-set plus the new
+    * rows alone ([[Sampling.maintainPrioritySample]]'s lossless-
+    * under-union property — k + |batch| rows, never a corpus
+    * re-scan), then applies the PHYSICAL delta: rows that fell out of
+    * the k-set are COW-deleted, entrants and rank-shifted rows are
+    * upserted under the floor-monotone stamp. Deterministic
+    * md5-derived priorities make re-delivery exact: a re-added id
+    * reproduces its stored row (absorbed) or loses the cut as it
+    * originally did — empty write set, zero commits.
+    *
+    * Returns the upsert write set (id, weight, prio, rank, batch_no),
+    * pinned before the commits mutate the snapshot.
+    */
+  def maintainSample(sample: VersionedTable, added: DataFrame,
+      key: Column, weight: Column, k: Int, batchNo: Long): DataFrame = {
+    require(sample.recordKey == "id",
+      s"sample table must be keyed on 'id', got '${sample.recordKey}'")
+    require(sample.precombine == "batch_no",
+      s"sample table must precombine on 'batch_no' (the floor-monotone " +
+        s"stamp), got '${sample.precombine}'")
+    val snap = sample.snapshotOpt
+    val prior = snap.map(_.select(col("id"), col("weight"), col("prio"),
+      col("rank")).localCheckpoint(true))
+    val next = prior match {
+      case None => Sampling.prioritySample(added, key, weight, k)
+      case Some(p) => Sampling.maintainPrioritySample(p, added, key,
+        weight, k)
+    }
+    val nextCp = next.localCheckpoint(true)
+    val floor = snap
+      .map(_.agg(max(col("batch_no"))).collect()(0))
+      .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
+      .getOrElse(0L)
+    val stamp = math.max(floor, batchNo)
+    val (upserts, deletes) = prior match {
+      case None =>
+        (nextCp.withColumn("batch_no", lit(stamp)),
+          nextCp.limit(0).select(col("id")))
+      case Some(p) =>
+        val pr = p.select(col("id").as("_i"), col("rank").as("_r"))
+        // entrants and rank-shifted rows only (weight/prio are pure
+        // functions of the id, so under the adds-only contract a
+        // surviving row can change nothing but its rank)
+        val up = nextCp.join(pr, col("id") === col("_i"), "left")
+          .filter(col("_i").isNull || col("rank") =!= col("_r"))
+          .select(col("id"), col("weight"), col("prio"), col("rank"),
+            lit(stamp).as("batch_no"))
+        val del = p.join(nextCp.select(col("id").as("_ni")),
+            col("id") === col("_ni"), "left_anti")
+          .select(col("id"))
+        (up, del)
+    }
+    val upCp = upserts.localCheckpoint(true)
+    val delCp = deletes.localCheckpoint(true)
+    if (!delCp.isEmpty) sample.delete(delCp)
+    if (!upCp.isEmpty) sample.upsert(upCp)
+    upCp
   }
 }

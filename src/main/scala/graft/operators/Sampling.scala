@@ -682,10 +682,14 @@ object Sampling {
     * maintained sample re-cuts the PRIOR k-SET plus the new rows alone
     * — k + |feed| rows, never a corpus re-scan — and equals the direct
     * recompute EXACTLY, row for row (deterministic priorities make
-    * this an identity, not an approximation). Adds-only contract: ids
-    * must be new (removals or re-deliveries force a recompute — the
-    * q188/q222 additive-only caveat); a changed weight for an existing
-    * id is a removal.
+    * this an identity, not an approximation). RE-DELIVERED rows are
+    * absorbed: priorities are pure functions of (id, weight), so a
+    * re-added id either reproduces its stored sample row exactly
+    * (collapsed by the distinct below) or lost the cut under the same
+    * total order originally and loses again — idempotent either way.
+    * Remaining adds-only contract: a REMOVAL, or a changed weight for
+    * an existing id (which is a removal), forces a recompute — the
+    * q188/q222 additive-only caveat.
     *
     * `prior` is a previous [[prioritySample]]/[[maintainPrioritySample]]
     * output; `added` is the raw increment (key/weight shaped).
@@ -694,6 +698,6 @@ object Sampling {
       key: Column, weight: Column, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     prioCut(prior.select(col("id"), col("weight"), col("prio"))
-      .unionByName(withPrio(added, key, weight)), k)
+      .unionByName(withPrio(added, key, weight)).distinct(), k)
   }
 }

@@ -1,0 +1,44 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** Generator-aware filter constants (VERDICT r14 item 6): the battery
+  * runs on TWO data generators with disjoint NAME domains — the
+  * driver's synthetic testdata (`NATION_0..24`, two-word part names
+  * like "small ring") and `scripts/gen_sf.py`'s TPC-H-faithful data
+  * (ALGERIA..VIETNAM, five-color part names like "forest brown coral
+  * puff cream"). A shape row filtering on a literal from one family
+  * selects NOTHING on the other (the r14 q260 lesson: NATION_7 has no
+  * suppliers on gen data), so its gen-sf slope legs historically
+  * needed hand-substituted predicates. This lookup keys the constants
+  * on which generator wrote the dir — detected from `nation.n_name`,
+  * the cheapest fully-diagnostic column (25 rows; the name family is
+  * total: all-synthetic or all-TPC-H, asserted here as a contract the
+  * same way SchemaContract asserts column shapes) — so a query
+  * function written against it runs VERBATIM on both generators and
+  * ScaleProbe slope legs need no substitute filters.
+  *
+  * Selectivity twins, not translations: `NATION_7` ↔ `GERMANY` (one
+  * of 25 nations either way), `small%` ↔ `forest%` (a leading-word
+  * part-name cut — 13% of driver parts, 1.1% of gen parts; both sit
+  * in the selective-dim-filter regime the Q20/Q11 shapes exercise).
+  * Battery hashes are untouched: on driver testdata the lookup
+  * returns exactly the constants the oracles pin.
+  */
+object GenFilters {
+  final case class Filters(nationName: String, smallPartPrefix: String)
+
+  private val synthetic = Filters("NATION_7", "small")
+  private val tpch = Filters("GERMANY", "forest")
+
+  def forDir(spark: SparkSession, dir: String): Filters = {
+    val names = spark.read.parquet(s"$dir/nation.parquet")
+      .select("n_name").collect().map(_.getString(0))
+    require(names.nonEmpty, s"empty nation table under $dir")
+    val synth = names.count(_.startsWith("NATION_"))
+    require(synth == 0 || synth == names.length,
+      s"mixed generator name families in $dir/nation.parquet — " +
+        s"$synth of ${names.length} synthetic")
+    if (synth > 0) synthetic else tpch
+  }
+}

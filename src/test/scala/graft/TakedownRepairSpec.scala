@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IncrementalDedup, VersionedTable}
+
+/** Deletion-aware cluster maintenance (VERDICT r14 item 1): takedowns
+  * must repair ONLY the components the deleted docs touch, yet the
+  * result must hash-equal a full recompute over the surviving edges —
+  * including the case min-label maintenance cannot see, a component
+  * SPLITTING when its cut vertex is removed.
+  */
+class TakedownRepairSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(es: (Long, Long)*): DataFrame =
+    es.toDF("id_a", "id_b")
+
+  private def labelsOf(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def prep(es: (Long, Long)*): (DataFrame, DataFrame) = {
+    val p = pairs(es: _*).localCheckpoint(true)
+    val labels = Dedup.connectedComponents(p).localCheckpoint(true)
+    (labels, Dedup.labelEdges(p, labels).localCheckpoint(true))
+  }
+
+  private def fullRecompute(es: Seq[(Long, Long)],
+      dead: Set[Long]): Map[Long, Long] =
+    labelsOf(Dedup.connectedComponents(pairs(
+      es.filter(e => !dead(e._1) && !dead(e._2)): _*)))
+
+  test("deleting a cut vertex SPLITS its component — repair equals the " +
+    "full recompute over surviving edges, untouched components verbatim") {
+    val es = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, // path through 3
+      10L -> 11L) // untouched second component
+    val (labels, le) = prep(es: _*)
+    assert(labelsOf(labels) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L,
+        11L -> 10L))
+    val repaired = labelsOf(Dedup.repairComponentsAfterDelete(
+      labels, le, Seq(3L).toDF("id")))
+    assert(repaired == fullRecompute(es, Set(3L)))
+    // the split is real: 4/5 re-anchor to 4, not to the old min 1
+    assert(repaired ==
+      Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("deleting the component's REP relabels survivors to the new min") {
+    val es = Seq(1L -> 2L, 2L -> 3L)
+    val (labels, le) = prep(es: _*)
+    val repaired = labelsOf(Dedup.repairComponentsAfterDelete(
+      labels, le, Seq(1L).toDF("id")))
+    assert(repaired == Map(2L -> 2L, 3L -> 2L))
+    assert(repaired == fullRecompute(es, Set(1L)))
+  }
+
+  test("survivors whose component loses ALL edges drop out of the " +
+    "labeling (the connectedComponents edge-node scope)") {
+    val es = Seq(1L -> 2L, 2L -> 3L)
+    val (labels, le) = prep(es: _*)
+    val repaired = labelsOf(Dedup.repairComponentsAfterDelete(
+      labels, le, Seq(2L).toDF("id")))
+    assert(repaired == Map.empty[Long, Long])
+    assert(repaired == fullRecompute(es, Set(2L)))
+  }
+
+  test("deleting unknown ids and re-delivering a takedown are no-ops") {
+    val es = Seq(1L -> 2L, 10L -> 11L)
+    val (labels, le) = prep(es: _*)
+    val unknown = labelsOf(Dedup.repairComponentsAfterDelete(
+      labels, le, Seq(99L).toDF("id")))
+    assert(unknown == labelsOf(labels))
+    // re-delivery: ids already gone from the (repaired) labeling
+    val once = Dedup.repairComponentsAfterDelete(labels, le,
+      Seq(1L).toDF("id")).localCheckpoint(true)
+    val leFiltered = le.filter(col("id_a") =!= 1L && col("id_b") =!= 1L)
+    val twice = labelsOf(Dedup.repairComponentsAfterDelete(
+      once, leFiltered, Seq(1L).toDF("id")))
+    assert(twice == labelsOf(once))
+    val (relabel, remove) = Dedup.repairComponentsDeleteDelta(
+      once, leFiltered, Seq(1L).toDF("id"))
+    assert(relabel.isEmpty && remove.isEmpty, "idempotent write set")
+  }
+
+  test("the delta write set reconstructs the repair: prior minus remove " +
+    "plus relabel, and nothing outside the affected components is touched") {
+    val es = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 10L -> 11L)
+    val (labels, le) = prep(es: _*)
+    val (relabel, remove) = Dedup.repairComponentsDeleteDelta(
+      labels, le, Seq(3L).toDF("id"))
+    val rl = labelsOf(relabel)
+    val rm = remove.collect().map(_.getLong(0)).toSet
+    assert(rl == Map(4L -> 4L, 5L -> 4L), "only MOVED labels upsert")
+    assert(rm == Set(3L), "only deleted/isolated rows delete")
+    val reconstructed = (labelsOf(labels) -- rm) ++ rl
+    assert(reconstructed == fullRecompute(es, Set(3L)))
+  }
+
+  test("randomized graphs: repair ≡ full recompute over surviving edges") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 40
+      val es = (1 to 70).map(_ =>
+          (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter(e => e._1 != e._2).distinct
+      val (labels, le) = prep(es: _*)
+      val dead = (1 to 6).map(_ => rnd.nextInt(n).toLong + 1).toSet
+      val repaired = labelsOf(Dedup.repairComponentsAfterDelete(
+        labels, le, dead.toSeq.toDF("id")))
+      assert(repaired == fullRecompute(es, dead), s"trial $trial dead=$dead")
+    }
+  }
+
+  test("takedown gate: both lake tables repaired component-scoped, " +
+    "floor-monotone stamp, idempotent re-delivery, contract requires") {
+    def vt(name: String, key: String) = new VersionedTable(spark,
+      Fixtures.tmpDir(name).toString, key, "batch_no", numBuckets = 4)
+    val labels = vt("td_labels", "id")
+    val edges = vt("td_edges", "edge_key")
+    // ingest the path + the bystander component through the edge-
+    // persisting maintenance gate
+    IncrementalDedup.maintainClustersWithEdges(labels, edges,
+      pairs(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 10L -> 11L), 1L)
+    assert(labelsOf(labels.snapshot.select(col("id"), col("cluster_id"))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L,
+        11L -> 10L))
+    assert(edges.snapshot.count() == 5L)
+    // a second ingest merges nothing new but proves edge idempotence
+    IncrementalDedup.maintainClustersWithEdges(labels, edges,
+      pairs(1L -> 2L), 2L)
+    assert(edges.snapshot.count() == 5L, "re-delivered edge not duplicated")
+    val commitsBefore = labels.commits.length
+    // takedown of the cut vertex
+    val ws = IncrementalDedup.takedown(labels, edges,
+      Seq(3L).toDF("id"), 2L)
+    val opOf = ws.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(opOf == Map(3L -> "remove", 4L -> "relabel", 5L -> "relabel"))
+    val snap = labels.snapshot.select(col("id"), col("cluster_id"),
+      col("batch_no")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(snap == Map(1L -> (1L, 1L), 2L -> (1L, 1L),
+      4L -> (4L, 2L), 5L -> (4L, 2L), 10L -> (10L, 1L), 11L -> (10L, 1L)),
+      "survivors relabeled at stamp 2; untouched rows keep stamp 1")
+    // edge table: dead edges gone, moved survivors relabeled
+    val edgeRows = edges.snapshot
+      .select(col("id_a"), col("id_b"), col("cluster_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(edgeRows == Map((1L, 2L) -> 1L, (4L, 5L) -> 4L,
+      (10L, 11L) -> 10L),
+      "edges touching the deleted id dropped; split side relabeled")
+    // re-delivery: ids already gone — zero commits on either table
+    val lc = labels.commits.length
+    val ec = edges.commits.length
+    val ws2 = IncrementalDedup.takedown(labels, edges,
+      Seq(3L).toDF("id"), 3L)
+    assert(ws2.isEmpty)
+    assert(labels.commits.length == lc && edges.commits.length == ec,
+      "re-delivered takedown never commits")
+    // floor-monotone: a takedown delivered at a RESET batchNo (0,
+    // below the stamps already stored) must still stamp ABOVE the
+    // stored max, or the relabel loses the COW precombine race
+    val labels2 = vt("td_labels2", "id")
+    val edges2 = vt("td_edges2", "edge_key")
+    IncrementalDedup.maintainClustersWithEdges(labels2, edges2,
+      pairs(1L -> 2L, 2L -> 3L), 5L)
+    IncrementalDedup.takedown(labels2, edges2, Seq(1L).toDF("id"), 0L)
+    val snap2 = labels2.snapshot
+      .select(col("id"), col("cluster_id"), col("batch_no")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(snap2 == Map(2L -> (2L, 6L), 3L -> (2L, 6L)),
+      "reset-stamp takedown still wins precombine (floor = stored max + 1)")
+    // contract requires fail fast
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.takedown(vt("td_wrongkey", "not_id"), edges,
+        Seq(1L).toDF("id"), 9L)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.maintainClustersWithEdges(labels,
+        vt("td_wrongedge", "not_edge_key"), pairs(1L -> 2L), 9L)
+    }
+    assert(commitsBefore > 0)
+  }
+}
