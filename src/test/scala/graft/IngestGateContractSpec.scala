@@ -22,6 +22,19 @@ import graft.operators.{IncrementalDedup => ID, VersionedTable}
   * | stitch (q239)       | fid       | flags seams, admits all    | pairs RE-FLAGGED   | boundary overwrite |
   * | semantic-PQ (q246)  | id        | all (batch-granular)       | empty*             | none               |
   * | cluster-maint (q255)| id        | full label write set       | empty (self-loops) | none               |
+  * | cm-edges (q263 ing.)| id        | full label write set       | empty (self-loops) | none               |
+  * | sample (q264)       | id        | full k-set                 | empty (loses cut)  | none               |
+  *
+  * (the r15 additions complete the lake-writing enumeration:
+  * `maintainClustersWithEdges` is the q263 flow's ingest side — label
+  * semantics identical to q255's row, plus the persisted edge
+  * relation; `maintainSample` exercises the one gate whose
+  * maintenance also COW-DELETES — rows falling out of the k-set.
+  * `takedown` is a DELETE flow, not an ingest — its shape (two
+  * tables, a deleted-id input, remove+relabel write sets) doesn't
+  * reduce to this table's columns; its full contract — requires,
+  * pinning, re-delivery no-commit, floor-monotone reset stamp — is
+  * sweep-pinned in TakedownRepairSpec instead.)
   *
   * (*) the PQ gate's re-delivery idempotence additionally requires
   * each vector's PQ reconstruction cosine ≥ the gate threshold (its
@@ -175,10 +188,57 @@ class IngestGateContractSpec extends SparkSpec {
       reset = Some((Seq((2L, "A")),
         Set(Seq(2L, 1L), Seq(102L, 1L)),
         Set(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(101L, 1L),
-          Seq(102L, 1L), Seq(10L, 1L), Seq(11L, 11L), Seq(103L, 11L))))))
+          Seq(102L, 1L), Seq(10L, 1L), Seq(11L, 11L), Seq(103L, 11L))))),
+    // the q263 ingest side: label semantics IDENTICAL to the q255 row
+    // (the same maintainClusters underneath), plus the persisted
+    // labeled-edge relation takedowns read; the per-labels edge table
+    // is memoized so the wrong-key probe and the real index each get
+    // their own
+    {
+      val etabs = scala.collection.mutable.Map
+        .empty[VersionedTable, VersionedTable]
+      def edgesFor(t: VersionedTable): VersionedTable =
+        etabs.getOrElseUpdate(t,
+          vt(s"cme_edges_${System.identityHashCode(t)}", "edge_key"))
+      Gate("cluster-maint-edges-q263", "id", edgeDf,
+        (t, b, n) => ID.maintainClustersWithEdges(t, edgesFor(t), b, n)
+          .select(col("id"), col("cluster_id")),
+        r1 = Set(Seq(1L, 1L), Seq(3L, 1L), Seq(101L, 1L),
+          Seq(2L, 2L), Seq(102L, 2L)),
+        idx1 = 5L,
+        r2 = Set(Seq(10L, 1L), Seq(11L, 11L), Seq(103L, 11L)),
+        idx2Grow = 3L,
+        r3 = Set.empty, redeliverCommits = false,
+        reset = Some((Seq((2L, "A")),
+          Set(Seq(2L, 1L), Seq(102L, 1L)),
+          Set(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(101L, 1L),
+            Seq(102L, 1L), Seq(10L, 1L), Seq(11L, 11L), Seq(103L, 11L)))))
+    },
+    // the maintained-sample gate: md5-derived priorities order the
+    // sweep's ids 11 < 1 < 2 < 10 < 3 (pinned below by sampleOrder),
+    // so with k=3 and unit weights ingest 2's entrant 11 displaces 3
+    // (COW-delete) and rank-shifts 1 and 2 — the write set is exactly
+    // {11@1, 1@2, 2@3}; 10 loses the cut both times it is delivered
+    Gate("sample-q264", "id",
+      seeds => seeds.map { case (i, _) => (i, 1L) }.toDF("id", "w"),
+      (t, b, n) => ID.maintainSample(t, b, col("id"), col("w"), k = 3,
+          batchNo = n)
+        .select(col("id"), col("rank")),
+      r1 = Set(Seq(1L, 1L), Seq(2L, 2L), Seq(3L, 3L)), idx1 = 3L,
+      r2 = Set(Seq(11L, 1L), Seq(1L, 2L), Seq(2L, 3L)), idx2Grow = 0L,
+      r3 = Set.empty, redeliverCommits = false))
 
   private def rows(df: DataFrame): Set[Seq[Long]] =
     df.collect().map(r => r.toSeq.map(_.asInstanceOf[Long])).toSet
+
+  test("the sample row's md5-priority order assumption holds " +
+    "(11 < 1 < 2 < 10 < 3 at unit weight)") {
+    val byPrio = Seq(1L, 2L, 3L, 10L, 11L).toDF("id")
+      .select(col("id"),
+        graft.functions.md5Long(col("id").cast("string")).as("h"))
+      .collect().sortBy(_.getLong(1)).map(_.getLong(0)).toSeq
+    assert(byPrio == Seq(11L, 1L, 2L, 10L, 3L))
+  }
 
   test("the dedup-on-ingest gate family shares one pinned contract " +
     "(key requirement, result pinning, re-delivery idempotence)") {

@@ -624,6 +624,50 @@ class PlanQualitySpec extends SparkSpec {
       s"probe/word matching must stay an equi-join:\n$p")
   }
 
+  test("Q13 shape: the right-side predicate in the JOIN condition keeps " +
+    "the join OUTER (a WHERE would convert it to inner and lose the " +
+    "zero-order group); the cut still reaches the orders scan") {
+    val p = plan("q265_cust_order_dist")
+    assert(p.contains("LeftOuter"),
+      s"the outer join IS the null-group semantics:\n$p")
+    assert(p.contains("Not(StringStartsWith(o_orderpriority,4-))"),
+      s"the join-condition predicate must still push to the scan:\n$p")
+    assert(p.contains("partial_count"),
+      s"the per-customer count must combine map-side:\n$p")
+  }
+
+  test("Q19 shape: each side's IMPLIED disjunction is extracted from " +
+    "the OR-of-ANDs join predicate and pushed below the join") {
+    val p = plan("q266_disjunctive_revenue")
+    assert(p.contains("And(EqualTo(p_brand,Brand#12),LessThanOrEqual(p_size,5))"),
+      s"the brand+size disjunction must reach the part scan's " +
+        s"PushedFilters:\n$p")
+    assert(p.contains("And(GreaterThanOrEqual(l_quantity,1.0),LessThanOrEqual(l_quantity,11.0))"),
+      s"the quantity disjunction must reach the lineitem scan's " +
+        s"PushedFilters:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the partkey equality must stay the join key with the OR as " +
+        s"residual:\n$p")
+  }
+
+  test("takedown repair: the label table is probed map-side (broadcast " +
+    "anti against the takedown-bounded affected reps) — never shuffled") {
+    // sf0.01: the sf0.001 corpus can yield an empty pair graph, which
+    // AQE prunes to EmptyRelation (the q260 pin precedent)
+    val df = SparkEntry.queries("q262_repair_after_delete")(spark,
+      "/root/testdata/sf0.01")
+    df.collect() // AQE: pin the FINAL adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // the repair's iterative work is checkpointed inside the operator;
+    // the output plan shows the untouched-labels branch — the one scan
+    // of the label table, anti-joined map-side against the broadcast
+    // affected-rep set
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"untouched labels must be a broadcast anti probe:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the label table must never shuffle in a takedown:\n$p")
+  }
+
   test("semantic-PQ gate row: never cartesian (bucket + LUT equi-joins only)") {
     val p = plan("q246_inc_semantic_pq")
     assert(!p.contains("CartesianProduct"),
