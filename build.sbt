@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify output contract: the bench driver keeps only the tail
+// of combined output and parses the LAST line as JSON. StdoutOutput
+// passes the forked JVM's stdout through RAW (no "[info] " logger
+// prefix), and showSuccess drops the "[success] Total time" banner
+// that otherwise lands AFTER the bench line — together they make the
+// compact bench JSON the literal final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
