@@ -13,7 +13,8 @@ object ScaleProbe {
     "semantic8", "semanticAuto", "semantic2", "semantic3", "jaccard400",
     "videodup", "ams", "stitchgate", "stitchgatecap", "bloom", "bloomprof",
     "bloomrel", "q21", "q20", "q2shape", "q17shape", "ccmaint",
-    "ccmaintsyn", "ccconv", "keyoverlap", "seamwidth")
+    "ccmaintsyn", "ccconv", "keyoverlap", "seamwidth", "takedown",
+    "shapegen")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -366,6 +367,45 @@ object ScaleProbe {
             Dedup.connectedComponents(star.unionByName(delta)).count())
         }
       }
+    }
+    if (probes("takedown")) {
+      // VERDICT r15 item 1 evidence: deletion repair must track the
+      // TOUCHED components (plus ONE map-side scan of the persisted
+      // edge relation — the ccmaintsyn framing), while the full
+      // recompute walks every surviving history edge through the
+      // fixpoint. HISTORY = n nodes in size-10 PATH components (so
+      // deleting a middle node genuinely SPLITS each touched
+      // component); TAKEDOWN fixed at 100 docs (node 1000i+5, the
+      // middle of every 100th component).
+      import graft.operators.Dedup
+      for (n <- Seq(1000000L, 10000000L, 100000000L)) {
+        val edges = spark.range(n).filter(col("id") % 10 =!= 9)
+          .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        val prior = spark.range(n).select(col("id"),
+          (col("id") - col("id") % 10).as("cluster_id"))
+        val le = edges.withColumn("cluster_id",
+          col("id_a") - col("id_a") % 10)
+        val del = spark.range(100).select((col("id") * 1000 + 5).as("id"))
+        timed(s"takedown_repair_hist$n")(
+          Dedup.repairComponentsAfterDelete(prior, le, del).count())
+        if (n <= 10000000L) {
+          // same surviving edge set as a pure filter (no join cost
+          // charged to the recompute side)
+          def hits(c: org.apache.spark.sql.Column) =
+            c % 1000 === 5 && c < 100000L
+          timed(s"takedown_recompute_hist$n")(
+            Dedup.connectedComponents(edges
+              .filter(!hits(col("id_a")) && !hits(col("id_b")))).count())
+        }
+      }
+    }
+    if (probes("shapegen")) {
+      // VERDICT r15 item 6 evidence: the TPC-H shape rows run VERBATIM
+      // on gen data through GenFilters' generator-keyed constants — no
+      // substitute predicates, the exact battery query functions
+      for (q <- Seq("q254_excess_stock", "q260_important_stock",
+          "q265_cust_order_dist", "q266_disjunctive_revenue"))
+        timed(s"shapegen_$q")(graft.SparkEntry.queries(q)(spark, dir).count())
     }
     if (probes("bloomrel")) {
       // q247's relation form vs the q245 broadcast-literal form vs the
