@@ -76,6 +76,24 @@ object Bench {
     best
   }
 
+  /** Per-job DISPATCH latency canary — the host axis [[canarySec]]
+    * cannot see (r15 q167 adjudication: a 45-job training row drifted
+    * 1.6× while the compute canary read flat; scheduler/dispatch
+    * latency moves many-tiny-job rows without moving an in-memory
+    * aggregate). Median wall of 20 one-row single-partition count
+    * jobs, seconds/job — pure job-dispatch round-trip, no data, no
+    * shuffle. Recorded as `"dispatch"` in every bench line so future
+    * regress passes can classify dispatch-bound drift.
+    */
+  def dispatchSec(spark: SparkSession): Double = {
+    val times = (0 until 20).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L, 1L, 1).count()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    times(times.length / 2)
+  }
+
   /** Min-of-`runs` timing of one query execution: the per-run floor is
     * the intrinsic cost estimate that round-over-round comparisons
     * should use (the measured run-to-run variance band for join-tail
@@ -119,6 +137,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     var canary = -1.0
+    var dispatch = -1.0
     val results: Map[String, Double] =
       if (isolate) {
         // input drift yields one named line per drifted column up
@@ -126,7 +145,10 @@ object Bench {
         // isolate mode needs its own throwaway session for the check
         locally {
           val s = buildSession()
-          try { contractGate(s, sfDir); canary = canarySec(s) } finally s.stop()
+          try {
+            contractGate(s, sfDir); canary = canarySec(s)
+            dispatch = dispatchSec(s)
+          } finally s.stop()
           org.apache.spark.sql.SparkSession.clearActiveSession()
           org.apache.spark.sql.SparkSession.clearDefaultSession()
         }
@@ -154,6 +176,7 @@ object Bench {
         // environment canary BEFORE the battery: same session, fixed
         // work, so the recorded host-speed sample brackets the run
         canary = canarySec(spark)
+        dispatch = dispatchSec(spark)
         // JIT/codegen warmup on the smallest SF so the timed runs below
         // measure steady-state execution, not first-call janino compiles.
         ordered.foreach { case (_, fn) =>
@@ -190,7 +213,7 @@ object Bench {
     //      fits the tail window even after sbt's own success banner.
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","canary":$canary,"runs":$runs}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","canary":$canary,"dispatch":$dispatch,"runs":$runs}"""
     println(fullLine)
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT",
       "bench_archive/bench_full_latest.json")
@@ -212,6 +235,6 @@ object Bench {
         .sortBy(-_._2).take(20).map(_._1)).distinct
     val compactQs = headline.map(k => s"\"$k\":${r3(results(k))}")
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$compactQs,"sf":"$sfDir","canary":$canary,"runs":$runs,"nq":${results.size},"nfail":${failed.size},"full":"$fullOut"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$compactQs,"sf":"$sfDir","canary":$canary,"dispatch":$dispatch,"runs":$runs,"nq":${results.size},"nfail":${failed.size},"full":"$fullOut"}""")
   }
 }

@@ -191,7 +191,17 @@ object Similarity {
     * (score desc, cid asc) tie-break — re-verified against the
     * oracle battery-wide.
     */
-  private def withCell(df: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+  private def withCell(df: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    withCellAs(df, centroids, col("emb"), "cid")
+
+  /** [[withCell]] generalized to a caller-named slice column and output
+    * column, so the merged PQ trainer can assign EVERY subspace in one
+    * plan (m BestCell columns, m 1-row broadcast centroid tables, one
+    * pass). Scoring identical to [[withCell]] by construction — same
+    * BestCell, same broadcast-agg centroid binding.
+    */
+  private def withCellAs(df: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      embCol: org.apache.spark.sql.Column, out: String): DataFrame = {
     val ordered = centroids.sortBy(_._1)
     require(ordered.map(_._1) == ordered.indices.toSeq,
       "centroid ids must be 0..k-1")
@@ -205,7 +215,7 @@ object Similarity {
     val centArr = ordered.toDF("cid2", "cemb")
       .agg(array_sort(collect_list(struct(col("cid2"), col("cemb")))).as(cents))
     df.crossJoin(broadcast(centArr))
-      .withColumn("cid", graft.expressions.BestCell(col("emb"), col(cents)))
+      .withColumn(out, graft.expressions.BestCell(embCol, col(cents)))
       .drop(cents)
   }
 
@@ -357,9 +367,7 @@ object Similarity {
   def trainPqCodebooks(corpus: DataFrame, m: Int, k: Int,
       iters: Int): Seq[Seq[(Int, Seq[Double])]] = {
     require(m >= 1, s"need at least one subspace, got $m")
-    // one materialization shared by all m per-subspace trainers (each
-    // slices its subvector from the in-memory frame instead of
-    // re-running the corpus scan m × (iters + 1) times)
+    // one materialization shared by all m subspace trainers
     val train = corpus.select(col("id"), col("emb")).localCheckpoint()
     val dim = train.select(size(col("emb")).as("d")).limit(1).collect() match {
       case Array(r) => r.getInt(0)
@@ -367,11 +375,54 @@ object Similarity {
     }
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
-    (0 until m).map { s =>
-      trainCentroids(
-        train.select(col("id"), slice(col("emb"), s * sub + 1, sub).as("emb")),
-        k, iters)
+    // ALL m subspace k-means run MERGED: one seed collect (slices of
+    // the same k lowest-id vectors every per-subspace trainer would
+    // pick) and ONE stats round-trip per Lloyd round — (s, cid, pos)
+    // keys one aggregate — instead of m independent trainCentroids
+    // each paying its own checkpoint + seed + per-iteration collect.
+    // The r15 q167 adjudication found the PQ rows dispatch-bound at
+    // battery SF (45 driver round-trips per evaluation); at real
+    // scale serialized driver round-trips are the trainer's only
+    // non-amortizing term, and this cuts them from O(m·iters) to
+    // O(iters). Bit-identical to the per-subspace form: same seeds,
+    // same BestCell assignment per slice (the withCell broadcast
+    // binding), same floor-×2^20 integer means, empty cells keep
+    // their previous centroid — re-verified against the oracle
+    // battery (every PQ row's codebooks replay in SQL).
+    val seedRows = train.orderBy(col("id")).limit(k).select(col("emb"))
+      .collect().map(_.getSeq[Any](0).map(toD).toVector)
+    var books: IndexedSeq[Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
+      seedRows.map(v => v.slice(s * sub, (s + 1) * sub): Seq[Double])
+        .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
     }
+    val staged = (0 until m).foldLeft(train) { (d, s) =>
+      d.withColumn(s"_s$s", slice(col("emb"), s * sub + 1, sub))
+    }
+    for (_ <- 0 until iters) {
+      val withCids = (0 until m).foldLeft(staged) { (d, s) =>
+        withCellAs(d, books(s), col(s"_s$s"), s"_c$s")
+      }
+      val stats = withCids.select(explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), col(s"_c$s").as("cid"),
+            col(s"_s$s").as("se"))): _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.cid").as("cid"),
+          posexplode(col("e.se")).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg(sum(floor(col("v").cast("double") * MeanScale).cast("long")).as("sf"),
+          count(lit(1)).as("n"))
+        .collect()
+      val means: Map[(Int, Int), Seq[Double]] = stats
+        .groupBy(r => (r.getAs[Int]("s"), r.getAs[Int]("cid")))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getAs[Int]("pos"))
+            .map(r => (r.getAs[Long]("sf").toDouble / r.getAs[Long]("n").toDouble) / MeanScale)
+            .toSeq
+        }
+      books = (0 until m).map { s =>
+        books(s).map { case (cid, old) => (cid, means.getOrElse((s, cid), old)) }
+      }
+    }
+    books
   }
 
   /** Stage per-subspace slice + norm columns (codegen'd dots, one norm
