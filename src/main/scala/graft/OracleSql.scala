@@ -1073,6 +1073,177 @@ object OracleSql {
                 AND p.p_size BETWEEN 1 AND 15
                 AND l.l_quantity BETWEEN 20 AND 30)""",
 
+    // TPC-H Q4 shape, textbook form: correlated EXISTS per order;
+    // lateness is the key-derived commit/receipt-offset twin
+    // (SparkEntry.commitOff/receiptOff)
+    "q267_priority_late_count" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o.o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+               AND (l.l_orderkey*3 + l.l_linenumber*5) % 31 - 15 <
+                   (l.l_orderkey + l.l_linenumber*2) % 14 + 1)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // TPC-H Q7 shape, textbook form: flat 6-relation join with the
+    // symmetric nation-pair OR in WHERE
+    "q268_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume_c) AS BIGINT) AS revenue_c
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                 CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                   AS BIGINT) AS volume_c
+               FROM supplier s, lineitem l, orders o, customer c,
+                 nation n1, nation n2
+               WHERE s.s_suppkey = l.l_suppkey
+                 AND o.o_orderkey = l.l_orderkey
+                 AND c.c_custkey = o.o_custkey
+                 AND s.s_nationkey = n1.n_nationkey
+                 AND c.c_nationkey = n2.n_nationkey
+                 AND ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_8')
+                   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_7'))
+                 AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+                 AND l.l_shipdate < TIMESTAMP '1997-01-01') shipping
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+
+    // TPC-H Q8 shape, textbook form: 8-relation join, CASE share
+    // numerator; both sums emitted as integers (no double division)
+    "q269_market_share" ->
+      """SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_7' THEN volume_c
+                         ELSE 0 END) AS BIGINT) AS nation_vol_c,
+           CAST(sum(volume_c) AS BIGINT) AS total_vol_c
+         FROM (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                   AS BIGINT) AS volume_c,
+                 n2.n_name AS nation
+               FROM part p, supplier s, lineitem l, orders o, customer c,
+                 nation n1, nation n2, region r
+               WHERE p.p_partkey = l.l_partkey
+                 AND s.s_suppkey = l.l_suppkey
+                 AND l.l_orderkey = o.o_orderkey
+                 AND o.o_custkey = c.c_custkey
+                 AND c.c_nationkey = n1.n_nationkey
+                 AND n1.n_regionkey = r.r_regionkey
+                 AND r.r_name = 'ASIA'
+                 AND s.s_nationkey = n2.n_nationkey
+                 AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                 AND o.o_orderdate < TIMESTAMP '1997-01-01'
+                 AND p.p_type LIKE 'ECONOMY%') all_nations
+         GROUP BY o_year ORDER BY o_year""",
+
+    // TPC-H Q9 shape, textbook form: profit per nation-year with the
+    // derived supplycost twin ((11p+19s) mod 900 + 100 cents),
+    // amounts in 1e-4-dollar integer units
+    "q270_product_profit" ->
+      """SELECT nation, o_year, CAST(sum(amount_u) AS BIGINT) AS profit_u
+         FROM (SELECT n.n_name AS nation,
+                 CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT) * 100
+                   - CAST(floor(l.l_quantity * 100) AS BIGINT) *
+                     ((l.l_partkey*11 + l.l_suppkey*19) % 900 + 100)
+                   AS amount_u
+               FROM part p, supplier s, lineitem l, orders o, nation n
+               WHERE s.s_suppkey = l.l_suppkey
+                 AND p.p_partkey = l.l_partkey
+                 AND o.o_orderkey = l.l_orderkey
+                 AND s.s_nationkey = n.n_nationkey
+                 AND p.p_name LIKE '%small%') profit
+         GROUP BY nation, o_year ORDER BY nation, o_year DESC""",
+
+    // TPC-H Q10 shape, textbook form: grouped by all customer
+    // attributes through the join (the engine aggregates by custkey
+    // first — equivalence hash-gated here)
+    "q271_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(floor(c.c_acctbal * 100) AS BIGINT) AS acctbal_c,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+             * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM customer c, orders o, lineitem l, nation n
+         WHERE c.c_custkey = o.o_custkey
+           AND l.l_orderkey = o.o_orderkey
+           AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+           AND l.l_returnflag = 'R'
+           AND c.c_nationkey = n.n_nationkey
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue_c DESC, c.c_custkey LIMIT 20""",
+
+    // TPC-H Q12 shape, textbook form over the derived shipmode /
+    // commit / receipt twins; receipt-year via real date arithmetic
+    "q272_shipmode_priority" ->
+      """SELECT shipmode,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN
+             ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_line_count
+         FROM orders o,
+           (SELECT l_orderkey,
+              list_extract(['MAIL','SHIP','AIR','RAIL','TRUCK','FOB',
+                'REG AIR'],
+                CAST((l_orderkey*5 + l_linenumber*3) % 7 AS INTEGER) + 1)
+                AS shipmode,
+              (l_orderkey*3 + l_linenumber*5) % 31 - 15 AS coff,
+              (l_orderkey + l_linenumber*2) % 14 + 1 AS roff,
+              l_shipdate
+            FROM lineitem) l
+         WHERE o.o_orderkey = l.l_orderkey
+           AND shipmode IN ('MAIL', 'SHIP')
+           AND coff < roff AND coff > 0
+           AND year(CAST(l_shipdate AS DATE) + CAST(roff AS INTEGER))
+             = 1996
+         GROUP BY shipmode ORDER BY shipmode""",
+
+    // TPC-H Q14 shape, textbook form (integer sums instead of the
+    // 100*promo/total double)
+    "q273_promo_revenue" ->
+      """SELECT CAST(COALESCE(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+             THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+               * 100) AS BIGINT) ELSE 0 END), 0) AS BIGINT)
+             AS promo_revenue_c,
+           CAST(COALESCE(sum(CAST(floor(l.l_extendedprice *
+             (1 - l.l_discount) * 100) AS BIGINT)), 0) AS BIGINT)
+             AS total_revenue_c
+         FROM lineitem l, part p
+         WHERE l.l_partkey = p.p_partkey
+           AND l.l_shipdate >= TIMESTAMP '1996-09-01'
+           AND l.l_shipdate < TIMESTAMP '1996-10-01'""",
+
+    // TPC-H Q16 shape, textbook form: explicit DISTINCT pair set
+    // (partsupp twin) + NOT IN complaint subquery (suppkey mod 7)
+    "q274_supplier_part_cnt" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                 l_suppkey AS ps_suppkey FROM lineitem) ps, part p
+         WHERE p.p_partkey = ps.ps_partkey
+           AND p.p_brand <> 'Brand#13'
+           AND p.p_type NOT LIKE 'MEDIUM%'
+           AND p.p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+           AND ps.ps_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+         GROUP BY p.p_brand, p.p_type, p.p_size
+         ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""",
+
+    // TPC-H Q6 shape, textbook form: scan-only predicate aggregate;
+    // discount band cast-exact to binary64 in both engines
+    "q275_forecast_revenue" ->
+      """SELECT CAST(COALESCE(sum(CAST(floor(l_extendedprice *
+             l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_c,
+           CAST(count(*) AS BIGINT) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN CAST(0.05 AS DOUBLE)
+             AND CAST(0.07 AS DOUBLE)
+           AND l_quantity < 24""",
+
     // duplication-mass histogram: q36's reachability clusters, then
     // clusters-per-size
     "q132_dup_mass" ->

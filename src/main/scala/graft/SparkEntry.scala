@@ -3012,6 +3012,347 @@ object SparkEntry {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Deterministic commit/receipt-offset twins for the TPC-H columns
+    * the testdata lacks (`l_commitdate`/`l_receiptdate`, Q4/Q12):
+    * commit offset (3k+5n) mod 31 − 15 ∈ [−15,15] days from shipdate,
+    * receipt offset (k+2n) mod 14 + 1 ∈ [1,14] — pure integer
+    * functions of the line keys that both engines replay exactly
+    * (the q254 partsupp-twin discipline). "Received after commit"
+    * (Q4's lateness, Q12's first predicate) is then just
+    * `commitOff < receiptOff`; "shipped before commit" is
+    * `commitOff > 0`. l_linenumber is INT and l_orderkey BIGINT in
+    * both engines, so the mixed arithmetic widens identically.
+    */
+  private def commitOff: Column =
+    (col("l_orderkey") * 3 + col("l_linenumber") * 5) % 31 - 15
+  private def receiptOff: Column =
+    (col("l_orderkey") + col("l_linenumber") * 2) % 14 + 1
+
+  /** TPC-H Q4 shape (q267): order-priority checking — the EXISTS
+    * member of the planner-rewrite set: the textbook form re-executes
+    * a correlated EXISTS per order; the engine expresses it as ONE
+    * left-SEMI join (orders quarter-filtered at the scan, lateness a
+    * key-derived predicate on lineitem — see commitOff/receiptOff),
+    * so each order is tested once against the late set with no
+    * correlated re-execution and no row duplication before the
+    * priority count. At scale both sides shuffle on orderkey (the
+    * quarter cut is ~4% of orders; the late set ~72% of lineitem —
+    * neither broadcastable at 100 TB) and the 5-group aggregate is
+    * map-side partial. Pinned: LeftSemi in the plan, the date window
+    * in the orders scan's PushedFilters.
+    */
+  private def qPriorityLateCount(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-07-01").cast("timestamp")
+    val hi = lit("1996-10-01").cast("timestamp")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val late = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .filter(commitOff < receiptOff)
+      .select(col("l_orderkey"))
+    o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q6 shape (q275): forecast revenue — the SCAN-ONLY member:
+    * zero joins, all three predicates (date window, discount band,
+    * quantity cap) land in the lineitem scan's PushedFilters
+    * (plan-pinned), and the single global aggregate is map-side
+    * partial into a 1-row exchange. The whole query is one
+    * WholeStageCodegen span over the scan — the shape that proves the
+    * engine pays a 100 TB fact table only the cut columns' I/O
+    * (ReadSchema: 4 of 11 columns). Discount bounds are cast-exact:
+    * both engines compare the parquet DOUBLE against the same binary64
+    * literals, so the band edges (0.05/0.07 are not exactly
+    * representable) select identically.
+    */
+  private def qForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(coalesce(sum(floor(col("l_extendedprice") * col("l_discount")
+          * lit(100.0)).cast("long")), lit(0L)).as("revenue_c"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q7 shape (q268): bilateral volume shipping — the
+    * SYMMETRIC-OR join-pair member: the nation pair constraint
+    * `(supp=A ∧ cust=B) ∨ (supp=B ∧ cust=A)` can't push into either
+    * join alone, but its IMPLIED disjunctions can: both dim sides are
+    * pre-cut to the two named nations (supplier side broadcast; the
+    * customer side cuts orders to ~8% BEFORE the fact join), so the
+    * residual OR only re-checks the cross terms on survivors — the
+    * q266 CNF-extraction discipline applied to join inputs instead of
+    * scans. Join order is explicit: orders⨝customer first (both cut),
+    * then the date-filtered fact against that ~8% spine — Catalyst has
+    * no CBO stats here and would otherwise join the full orders table.
+    * Nation names come from GenFilters (NATION_7/NATION_8 ↔
+    * GERMANY/FRANCE — the textbook pair) so gen slope legs run
+    * verbatim.
+    */
+  private def qVolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val gf = graft.util.GenFilters.forDir(s, dir)
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val n2 = t(s, dir, "nation")
+      .filter(col("n_name").isin(gf.nationName, gf.nation2Name))
+      .select(col("n_nationkey"), col("n_name"))
+    val sn = t(s, dir, "supplier")
+      .join(broadcast(n2), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cn = t(s, dir, "customer")
+      .join(broadcast(n2), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val oc = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100.0)).cast("long").as("_rc"))
+    l.join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(oc, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === gf.nationName &&
+          col("cust_nation") === gf.nation2Name) ||
+        (col("supp_nation") === gf.nation2Name &&
+          col("cust_nation") === gf.nationName))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("_rc")).as("revenue_c"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape (q269): national market share — the widest join
+    * in the battery (part, supplier, lineitem, orders, customer,
+    * nation×2, region: 8 relations) and the conditional-share
+    * aggregate. The engine emits BOTH integer sums (nation_vol_c /
+    * total_vol_c) instead of their ratio — hash-exact across engines
+    * where a double division wouldn't be. Funnel order: the ECONOMY%
+    * part cut (~17%) broadcasts onto the fact first (the most
+    * selective edge), the region-cut customer spine cuts orders
+    * BEFORE the fact join (q268's discipline), and the supplier→
+    * nation classifier — needed only for the CASE numerator, never as
+    * a filter — broadcasts LAST onto the survivors. Region/nation
+    * names from GenFilters (ASIA/NATION_7 ↔ EUROPE/GERMANY).
+    */
+  private def qMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val gf = graft.util.GenFilters.forDir(s, dir)
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val p = t(s, dir, "part")
+      .filter(col("p_type").like("ECONOMY%")).select(col("p_partkey"))
+    val reg = t(s, dir, "region")
+      .filter(col("r_name") === gf.regionName).select(col("r_regionkey"))
+    val cnat = t(s, dir, "nation")
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val c = t(s, dir, "customer")
+      .join(broadcast(cnat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val sn = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val oc = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_year"))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100.0)).cast("long").as("_rc"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(oc, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("supp_nation") === gf.nationName, col("_rc"))
+          .otherwise(lit(0L))).as("nation_vol_c"),
+        sum(col("_rc")).as("total_vol_c"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape (q270): product-type profit — the
+    * EVERY-FACT-ROW-SURVIVES join member (no date cut: the whole fact
+    * joins through part/supplier/orders) with a derived-cost twin:
+    * ps_supplycost has no table here, so cost-in-cents is the integer
+    * spread (11p+19s) mod 900 + 100 both engines replay (q254's
+    * discipline, different spread so rows don't correlate with
+    * q254's availqty). Profit is exact in 10⁻⁴-dollar units:
+    * floor-cents(revenue)·100 − floor(q·100)·cost_c — all-integer, no
+    * double drift. The part-name cut broadcasts onto the fact first;
+    * supplier→nation broadcasts next; the orders join — needed only
+    * for year() — shuffles LAST on the already part-cut survivors
+    * (~13%), not the full fact. Group by (nation, year): 25×7 groups,
+    * map-side partial.
+    */
+  private def qProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val gf = graft.util.GenFilters.forDir(s, dir)
+    val p = t(s, dir, "part")
+      .filter(col("p_name").contains(gf.smallPartPrefix))
+      .select(col("p_partkey"))
+    val sn = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("o_year"))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100.0)).cast("long") * 100 -
+          floor(col("l_quantity") * 100).cast("long") *
+            ((col("l_partkey") * 11 + col("l_suppkey") * 19) % 900 + 100))
+          .as("_amt"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("_amt")).as("profit_u"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q10 shape (q271): returned-item top customers — the
+    * AGGREGATE-THEN-JOIN-DIMS member: the textbook groups by all four
+    * customer attributes through the join; the engine aggregates
+    * revenue per custkey FIRST (one exchange over the returnflag- and
+    * quarter-cut fact) and joins the customer/nation attributes onto
+    * the ≤|customer| aggregate rows after — at 100 TB the wide
+    * attribute columns never enter the shuffle. Equivalence holds
+    * because custkey determines the other group keys (the oracle runs
+    * the textbook grouped form). Top-20 by revenue with custkey
+    * tie-break is TakeOrderedAndProject, never a global sort
+    * (plan-pinned).
+    */
+  private def qReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-10-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100.0)).cast("long").as("_rc"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val agg = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("_rc")).as("revenue_c"))
+    val c = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        col("n_name").as("nation"),
+        floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"))
+    agg.join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("nation"),
+        col("acctbal_c"), col("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12 shape (q272): shipmode priority classes — the
+    * TWO-CLASS CONDITIONAL AGGREGATE member, on derived twins for the
+    * three missing columns: shipmode is a key-indexed pick from the 7
+    * TPC-H modes ((5k+3n) mod 7), commit/receipt via
+    * commitOff/receiptOff, and the receipt-year predicate does REAL
+    * date arithmetic (year(shipdate + receiptOff days) = 1996) so the
+    * shape keeps Q12's date-window character rather than collapsing
+    * to pure key math. All four predicates cut the fact BEFORE its
+    * one join with orders (mode ~2/7, offsets ~then-half, year ~1/6);
+    * the CASE split on o_orderpriority happens in the 2-group
+    * aggregate, map-side partial.
+    */
+  private def qShipmodePriority(s: SparkSession, dir: String): DataFrame = {
+    val modes = array(lit("MAIL"), lit("SHIP"), lit("AIR"), lit("RAIL"),
+      lit("TRUCK"), lit("FOB"), lit("REG AIR"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .withColumn("_mode", element_at(modes,
+        ((col("l_orderkey") * 5 + col("l_linenumber") * 3) % 7)
+          .cast("int") + 1))
+      .withColumn("_roff", receiptOff.cast("int"))
+      .filter(col("_mode").isin("MAIL", "SHIP") &&
+        commitOff < col("_roff") && commitOff > 0 &&
+        year(date_add(to_date(col("l_shipdate")), col("_roff"))) === 1996)
+      .select(col("l_orderkey"), col("_mode"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("_mode").as("shipmode"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("shipmode"))
+  }
+
+  /** TPC-H Q14 shape (q273): promotion effect — the
+    * CONDITIONAL-SHARE-OVER-ONE-JOIN member: one month of the fact
+    * (window pushed to the scan) against the broadcast part dim, CASE
+    * on p_type LIKE 'PROMO%' — a literal that exists VERBATIM in both
+    * generators (driver p_type ∈ {PROMO,…}; gen 'PROMO ANODIZED
+    * STEEL' etc), so no GenFilters indirection is needed. Emits both
+    * integer sums instead of the textbook's 100·promo/total double
+    * (the q269 hash-exactness discipline). Single-row result,
+    * map-side partial into a 1-row exchange.
+    */
+  private def qPromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-09-01").cast("timestamp")
+    val hi = lit("1996-10-01").cast("timestamp")
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100.0)).cast("long").as("_rc"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(coalesce(sum(when(col("p_type").like("PROMO%"), col("_rc"))
+          .otherwise(lit(0L))), lit(0L)).as("promo_revenue_c"),
+        coalesce(sum(col("_rc")), lit(0L)).as("total_revenue_c"))
+  }
+
+  /** TPC-H Q16 shape (q274): supplier-part counts — the
+    * COUNT-DISTINCT + NOT-IN member on the derived pair set: the
+    * textbook counts distinct suppliers per (brand,type,size) from
+    * partsupp minus a complaint set; partsupp's twin is lineitem's
+    * (partkey,suppkey) pair set (q254's discipline) and the complaint
+    * set is suppkey ≡ 0 (mod 7) — key-derived, nonempty in both
+    * generators (supplier has no comment column to grep). The engine
+    * skips the oracle's explicit DISTINCT pair materialization
+    * entirely: count(DISTINCT suppkey) over the un-deduped join is
+    * the same set, one exchange cheaper — the equivalence is
+    * hash-gated against the textbook form. Part cut broadcasts onto
+    * the fact; NOT IN is a broadcast left-ANTI join (the complaint
+    * set is provably non-null, so NOT IN ≡ anti without the null
+    * trap). Plan-pinned: LeftAnti present, no pair-dedup exchange.
+    */
+  private def qSupplierPartCnt(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#13" &&
+        !col("p_type").like("MEDIUM%") &&
+        col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size"))
+    val complaints = t(s, dir, "supplier")
+      .filter(col("s_suppkey") % 7 === 0).select(col("s_suppkey"))
+    t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complaints),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   /** TPC-H Q20 shape (q254): suppliers with excess stock — the
     * CORRELATED NESTED-AGGREGATE member that completes the
     * planner-rewrite set next to Q3 (q244) / Q18 (q238) / Q21 (q248):
@@ -4897,7 +5238,16 @@ object SparkEntry {
     "q263_takedown_gate" -> (qTakedownGate _),
     "q264_sample_gate" -> (qSampleGate _),
     "q265_cust_order_dist" -> (qCustOrderDist _),
-    "q266_disjunctive_revenue" -> (qDisjunctiveRevenue _))
+    "q266_disjunctive_revenue" -> (qDisjunctiveRevenue _),
+    "q267_priority_late_count" -> (qPriorityLateCount _),
+    "q268_volume_shipping" -> (qVolumeShipping _),
+    "q269_market_share" -> (qMarketShare _),
+    "q270_product_profit" -> (qProductProfit _),
+    "q271_returned_items" -> (qReturnedItems _),
+    "q272_shipmode_priority" -> (qShipmodePriority _),
+    "q273_promo_revenue" -> (qPromoRevenue _),
+    "q274_supplier_part_cnt" -> (qSupplierPartCnt _),
+    "q275_forecast_revenue" -> (qForecastRevenue _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

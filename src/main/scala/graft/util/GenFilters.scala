@@ -26,10 +26,19 @@ import org.apache.spark.sql.SparkSession
   * returns exactly the constants the oracles pin.
   */
 object GenFilters {
-  final case class Filters(nationName: String, smallPartPrefix: String)
+  /** `nation2Name` is the bilateral-trade partner (Q7 shape): one other
+    * nation of the 25, NATION_8 ↔ FRANCE (the textbook FRANCE–GERMANY
+    * pair on gen data). `regionName` is the region CONTAINING
+    * `nationName` in each generator (Q8's market-share scope): driver
+    * NATION_7 sits in ASIA (n_regionkey 2), GERMANY in EUROPE — region
+    * names are the real TPC-H five in both generators, so only the
+    * membership differs.
+    */
+  final case class Filters(nationName: String, smallPartPrefix: String,
+      nation2Name: String, regionName: String)
 
-  private val synthetic = Filters("NATION_7", "small")
-  private val tpch = Filters("GERMANY", "forest")
+  private val synthetic = Filters("NATION_7", "small", "NATION_8", "ASIA")
+  private val tpch = Filters("GERMANY", "forest", "FRANCE", "EUROPE")
 
   def forDir(spark: SparkSession, dir: String): Filters = {
     val names = spark.read.parquet(s"$dir/nation.parquet")

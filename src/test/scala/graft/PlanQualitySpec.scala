@@ -787,4 +787,124 @@ class PlanQualitySpec extends SparkSpec {
     assert(!liSchema.contains("l_comment") && !liSchema.contains("l_shipdate"),
       s"lineitem scan must read only orderkey+quantity: $liSchema")
   }
+
+  test("Q4 shape: EXISTS is ONE semi-join; the quarter cut reaches " +
+    "the orders scan") {
+    val p = plan("q267_priority_late_count")
+    assert(p.contains("LeftSemi"),
+      s"the correlated EXISTS must plan as a single semi-join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-07-01") &&
+      p.contains("LessThan(o_orderdate,1996-10-01"),
+      s"the quarter window must reach the orders scan's PushedFilters:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian belongs in an EXISTS rewrite:\n$p")
+  }
+
+  test("Q6 shape: scan-only — all three predicate families in " +
+    "PushedFilters, zero joins, pruned ReadSchema") {
+    val p = plan("q275_forecast_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      p.contains("LessThanOrEqual(l_discount,0.07)") &&
+      p.contains("LessThan(l_quantity,24.0)") &&
+      p.contains("GreaterThanOrEqual(l_shipdate,1996-01-01"),
+      s"date window, discount band and quantity cap must ALL reach " +
+        s"the scan:\n$p")
+    assert(!p.contains("Join"),
+      s"Q6 is the zero-join shape — a join means the plan went wrong:\n$p")
+    val liSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("")
+    assert(!liSchema.contains("l_orderkey") && !liSchema.contains("l_tax"),
+      s"the scan must read only the 4 referenced columns: $liSchema")
+  }
+
+  test("Q7 shape: the two-nation IN cut reaches the nation scans and " +
+    "the symmetric-OR pair filter never degrades to a cartesian") {
+    val p = plan("q268_volume_shipping")
+    assert(p.contains("In(n_name, [NATION_7,NATION_8])"),
+      s"the implied two-nation disjunction must reach the nation " +
+        s"scan's PushedFilters (the q266 CNF discipline on dims):\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1995-01-01"),
+      s"the two-year window must reach the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the OR pair predicate is a residual on equi-joins, never a " +
+        s"join condition of its own:\n$p")
+  }
+
+  test("Q8 shape: part-type, region and order-window cuts all reach " +
+    "their scans; the share CASE never forces a second fact scan") {
+    val p = plan("q269_market_share")
+    assert(p.contains("StringStartsWith(p_type,ECONOMY)"),
+      s"the type prefix must reach the part scan:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      s"the region cut must reach the region scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1995-01-01"),
+      s"the window must reach the orders scan:\n$p")
+    assert(p.split("lineitem\\.parquet").length - 1 == 1,
+      s"numerator and denominator share ONE fact scan (the CASE " +
+        s"split, not a self-join):\n$p")
+  }
+
+  test("Q9 shape: one fact scan; the part-name cut is a pushed " +
+    "StringContains; profit math stays in the projection") {
+    val p = plan("q270_product_profit")
+    assert(p.contains("StringContains(p_name,small)"),
+      s"the name cut must reach the part scan's PushedFilters:\n$p")
+    assert(p.split("lineitem\\.parquet").length - 1 == 1,
+      s"profit derives from ONE fact scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"all five relations ride equi-joins:\n$p")
+  }
+
+  test("Q10 shape: revenue aggregates by custkey BEFORE the customer " +
+    "attributes join; top-20 is TakeOrdered") {
+    val p = plan("q271_returned_items")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must never be a global sort:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"the returnflag cut must reach the lineitem scan:\n$p")
+    assert(p.contains("hashpartitioning(o_custkey"),
+      s"the one wide exchange is the per-custkey revenue aggregate — " +
+        s"the attribute columns must never enter it:\n$p")
+    val liSchema = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("l_returnflag")).getOrElse("")
+    assert(!liSchema.contains("c_name"),
+      s"customer attributes must not ride the fact scan: $liSchema")
+  }
+
+  test("Q12 shape: derived-mode predicates cut the fact before its " +
+    "single orders join; the CASE split combines map-side") {
+    val p = plan("q272_shipmode_priority")
+    assert(p.split("Join type: Inner").length - 1 == 1,
+      s"exactly one join (fact to orders):\n$p")
+    assert(p.contains("partial_sum(CASE WHEN o_orderpriority"),
+      s"the two-class split must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the priority lookup rides an equi-join:\n$p")
+  }
+
+  test("Q14 shape: the month window reaches the fact scan; part dim " +
+    "broadcasts; single-row conditional share is one aggregate") {
+    val p = plan("q273_promo_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1996-09-01") &&
+      p.contains("LessThan(l_shipdate,1996-10-01"),
+      s"the month window must reach the lineitem scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the part dim must broadcast:\n$p")
+    assert(p.split("lineitem\\.parquet").length - 1 == 1,
+      s"promo and total share ONE fact scan:\n$p")
+  }
+
+  test("Q16 shape: NOT IN is a broadcast anti-join; the three part " +
+    "cuts reach the scan; no pair-dedup exchange precedes the " +
+    "count-distinct") {
+    val p = plan("q274_supplier_part_cnt")
+    assert(p.contains("LeftAnti"),
+      s"the provably-non-null NOT IN must plan as an anti-join:\n$p")
+    assert(p.contains("In(p_size, [14,19,23,3,36,45,49,9])") &&
+      p.contains("Not(EqualTo(p_brand,Brand#13))") &&
+      p.contains("Not(StringStartsWith(p_type,MEDIUM))"),
+      s"all three part cuts must reach PushedFilters:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pairs ride broadcast equi-joins:\n$p")
+  }
 }
