@@ -14,7 +14,7 @@ object ScaleProbe {
     "videodup", "ams", "stitchgate", "stitchgatecap", "bloom", "bloomprof",
     "bloomrel", "q21", "q20", "q2shape", "q17shape", "ccmaint",
     "ccmaintsyn", "ccconv", "keyoverlap", "seamwidth", "takedown",
-    "shapegen")
+    "shapegen", "q4form")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -404,8 +404,47 @@ object ScaleProbe {
       // on gen data through GenFilters' generator-keyed constants — no
       // substitute predicates, the exact battery query functions
       for (q <- Seq("q254_excess_stock", "q260_important_stock",
-          "q265_cust_order_dist", "q266_disjunctive_revenue"))
+          "q265_cust_order_dist", "q266_disjunctive_revenue",
+          // the round-15 completions: Q4/Q6/Q7/Q8/Q9/Q10/Q12/Q14/Q16
+          // (GenFilters nations/region/part-name; PROMO%/ECONOMY% and
+          // the 1995-1997 windows exist verbatim in both generators)
+          "q267_priority_late_count", "q268_volume_shipping",
+          "q269_market_share", "q270_product_profit",
+          "q271_returned_items", "q272_shipmode_priority",
+          "q273_promo_revenue", "q274_supplier_part_cnt",
+          "q275_forecast_revenue"))
         timed(s"shapegen_$q")(graft.SparkEntry.queries(q)(spark, dir).count())
+    }
+    if (probes("q4form")) {
+      // Q4 (q267) formulation study: the shapegen leg read the EXISTS
+      // semi as the costliest new shape (20.6 s at gen-sf10) — its
+      // right side shuffles the ~72% late fact slice at full line
+      // multiplicity. Candidate cure: distinct the late orderkeys
+      // BEFORE the join — the partial HashAggregate dedups map-side on
+      // the SAME hashpartitioning(orderkey) the semi-join needs, so
+      // the shuffle carries ~orders-many keys instead of ~lines-many
+      // (4:1 in TPC-H). Both forms return identical counts (semi
+      // semantics absorb duplicates); this leg measures whether the
+      // extra aggregate pays for the shuffle cut.
+      val lo = lit("1996-07-01").cast("timestamp")
+      val hi = lit("1996-10-01").cast("timestamp")
+      def orders0 = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      def late0 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .filter((col("l_orderkey") * 3 + col("l_linenumber") * 5) % 31
+          - 15 < (col("l_orderkey") + col("l_linenumber") * 2) % 14 + 1)
+        .select(col("l_orderkey"))
+      for (i <- 1 to 3) {
+        timed(s"q4form_semi_raw_r$i")(orders0
+          .join(late0, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority")).count().count())
+        timed(s"q4form_semi_distinct_r$i")(orders0
+          .join(late0.distinct(),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority")).count().count())
+      }
     }
     if (probes("bloomrel")) {
       // q247's relation form vs the q245 broadcast-literal form vs the
