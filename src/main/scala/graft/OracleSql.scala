@@ -1244,6 +1244,18 @@ object OracleSql {
              AND CAST(0.07 AS DOUBLE)
            AND l_quantity < 24""",
 
+    // bucketed co-located join: the oracle runs the SAME join as plain
+    // SQL over the raw parquet — physical layout must never change
+    // results
+    "q276_bucketed_colocated" ->
+      """SELECT o.o_orderpriority,
+           CAST(sum(CAST(floor(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_c_sum,
+           CAST(count(*) AS BIGINT) AS n_lines
+         FROM lineitem l, orders o
+         WHERE l.l_orderkey = o.o_orderkey
+         GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+
     // duplication-mass histogram: q36's reachability clusters, then
     // clusters-per-size
     "q132_dup_mass" ->

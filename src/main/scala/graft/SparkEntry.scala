@@ -3353,6 +3353,47 @@ object SparkEntry {
         col("p_size"))
   }
 
+  /** Bucketed co-located fact join (q276): the LAYOUT lever none of
+    * the join shapes exercise — pay the orderkey shuffle ONCE at
+    * write time (Layout.writeBucketedAt: 8 buckets, bucket-sorted,
+    * external path under the graft_* scratch convention), then the
+    * recurring lineitem⨝orders join needs NO exchange on either side:
+    * the planner reads the matching bucket specs and sort-merges
+    * bucket-to-bucket. This is the "same big join runs every day"
+    * answer at 100 TB — the layout amortizes the shuffle across every
+    * downstream run, and a bucket-key filter prunes to 1/8 of the
+    * files without any index (both properties plan-pinned in
+    * LayoutSpec on this exact shape, broadcast disabled so the
+    * no-exchange claim is about bucketing). The battery row pays the
+    * two bucketed writes per evaluation — that write cost IS the
+    * operator — then aggregates the joined slice; the oracle runs the
+    * same join as plain SQL over the raw parquet (layout must never
+    * change results).
+    */
+  private def qBucketedColocated(s: SparkSession, dir: String): DataFrame = {
+    val tag = ProcessHandle.current().pid() + "_" +
+      Integer.toHexString(dir.hashCode)
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q276_bkt_" + tag).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        floor(col("l_quantity") * 100).cast("long").as("_qc"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val (lTbl, oTbl) = (s"graft_q276_l_$tag", s"graft_q276_o_$tag")
+    graft.operators.Layout.writeBucketedAt(l, lTbl, "l_orderkey", 8,
+      s"$root/l")
+    graft.operators.Layout.writeBucketedAt(o, oTbl, "o_orderkey", 8,
+      s"$root/o")
+    s.table(lTbl)
+      .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("_qc")).as("qty_c_sum"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** TPC-H Q20 shape (q254): suppliers with excess stock — the
     * CORRELATED NESTED-AGGREGATE member that completes the
     * planner-rewrite set next to Q3 (q244) / Q18 (q238) / Q21 (q248):
@@ -5247,7 +5288,8 @@ object SparkEntry {
     "q272_shipmode_priority" -> (qShipmodePriority _),
     "q273_promo_revenue" -> (qPromoRevenue _),
     "q274_supplier_part_cnt" -> (qSupplierPartCnt _),
-    "q275_forecast_revenue" -> (qForecastRevenue _))
+    "q275_forecast_revenue" -> (qForecastRevenue _),
+    "q276_bucketed_colocated" -> (qBucketedColocated _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -28,6 +28,20 @@ object Layout {
   def colocatedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  /** [[writeBucketed]] with an EXPLICIT storage path (external table):
+    * the catalog entry carries the bucket spec, the files live under
+    * `path` — the form scratch-dir battery rows need (no writes under
+    * the default warehouse). Same co-location/pruning contract.
+    */
+  def writeBucketedAt(df: DataFrame, table: String, key: String,
+      buckets: Int, path: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Morton (Z-order) value over N non-negative integer columns:
     * interleave the low `bits` bits of every column — column j's bit i
     * lands at position `i·d + (d-1-j)` (for two columns that is x→2i+1,

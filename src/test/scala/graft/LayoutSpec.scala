@@ -26,6 +26,55 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q276 shape: battery fact tables co-locate (no exchange on " +
+    "either join side) and a bucket-key filter prunes to one bucket") {
+    val dir = "/root/testdata/sf0.001"
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q276spec").toString
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"),
+          floor(col("l_quantity") * 100).cast("long").as("_qc"))
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Layout.writeBucketedAt(l, "graft_q276spec_l", "l_orderkey", 8,
+        s"$root/l")
+      Layout.writeBucketedAt(o, "graft_q276spec_o", "o_orderkey", 8,
+        s"$root/o")
+      val j = spark.table("graft_q276spec_l")
+        .join(spark.table("graft_q276spec_o"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("_qc")).as("q"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      // the ONLY hash exchange allowed is the tiny 5-group aggregate's;
+      // neither join INPUT may shuffle — that is the bucketing contract
+      assert(p.split("Exchange hashpartitioning\\((l|o)_orderkey")
+        .length - 1 == 0,
+        s"bucketed join inputs must not re-shuffle on the join key:\n$p")
+      // bucket pruning: an equality on the bucket key reads 1 of 8
+      // buckets with no index — the layout's second dividend.
+      // DisableUnnecessaryBucketedScan turns bucketed reading off for
+      // a bare filter-scan (no operator requires the distribution), so
+      // pin the pruning with auto-bucketed-scan disabled — the mode a
+      // deliberate point-lookup would run in
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val pruned = spark.table("graft_q276spec_l")
+          .filter(col("l_orderkey") === 42L)
+        val pp = pruned.queryExecution.executedPlan.toString
+        assert(pp.contains("SelectedBucketsCount: 1 out of 8"),
+          s"bucket-key equality must prune to one bucket:\n$pp")
+      } finally spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join equals plain join results") {
     val big = (1L to 500L).map(i => (if (i % 2 == 0) "hot" else s"k$i", i)).toDF("key", "v")
     val small = Seq(("hot", "H"), ("k1", "A"), ("k3", "B")).toDF("key", "tag")
