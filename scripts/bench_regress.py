@@ -119,6 +119,19 @@ def main(argv):
     else:
         print("canary: absent on one side -> raw ratios (no environment "
               "normalization; re-archive with a canary-recording bench)")
+    # second normalization axis (round 15, the q167/q76 adjudications):
+    # per-job scheduler dispatch. Sub-second rows are dominated by job
+    # round-trips, which the in-memory compute canary cannot see —
+    # when both lines carry "dispatch" (recorded per run since r14's
+    # q167 fix), report the ratio and annotate flagged SUB-SECOND rows
+    # so dispatch-bound drift is classified by script, not by hand
+    disp = 1.0
+    fd, rd = fresh.get("dispatch", -1.0), ref.get("dispatch", -1.0)
+    if fd and rd and fd > 0 and rd > 0:
+        disp = fd / rd
+        print(f"dispatch: fresh {fd * 1000:.0f}ms/job vs {rd * 1000:.0f}ms/job "
+              f"archived -> dispatch ratio {disp:.2f}x (sub-second flags "
+              f"annotated when it explains them)")
     only_fresh = sorted(set(fq) - set(rq))
     only_ref = sorted(set(rq) - set(fq))
     if only_fresh:
@@ -151,6 +164,12 @@ def main(argv):
     for name, f, r, ratio, raw in sorted(regressions, key=lambda t: -t[3]):
         if ratio != float("inf"):
             note = f", raw {raw:.2f}x" if cal != 1.0 else ""
+            # a sub-second row whose normalized ratio falls under the
+            # threshold after dividing out dispatch drift is in the
+            # dispatch-bound regime (the q76 r15 shape): say so
+            if max(f, r) < 1.0 and disp > 1.0 and ratio / disp <= thr:
+                note += (f" — likely dispatch-bound: /{disp:.2f}x dispatch "
+                         f"-> {ratio / disp:.2f}x")
             print(f"REGRESS  {name}: {f:.2f}s vs {r:.2f}s archived "
                   f"({ratio:.2f}x > {thr}x{note})")
     if not regressions:

@@ -1256,6 +1256,17 @@ object OracleSql {
          WHERE l.l_orderkey = o.o_orderkey
          GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
 
+    // salted skew join: the oracle runs the PLAIN join — salting must
+    // never change results
+    "q277_salted_skew_join" ->
+      """SELECT CAST(e.user_id % 5 AS BIGINT) AS tier,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_c
+         FROM events e, (SELECT DISTINCT user_id FROM events) u
+         WHERE e.user_id = u.user_id
+         GROUP BY 1 ORDER BY 1""",
+
     // duplication-mass histogram: q36's reachability clusters, then
     // clusters-per-size
     "q132_dup_mass" ->

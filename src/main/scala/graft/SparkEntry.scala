@@ -3394,6 +3394,32 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Salted skew join (q277): the MITIGATION lever next to q73's
+    * measurement — events (the skew-bearing fact q73's report exists
+    * for) joins its per-user tier dim through Layout.saltedJoin: the
+    * dim replicates 8× (one copy per salt), the fact scatters each
+    * row to a deterministic salt (xxhash64 of the row — no rand(), so
+    * retries/speculative tasks agree), and the join key becomes
+    * (user_id, _salt), splitting any hot user across 8 reducers. The
+    * fix for the skew AQE can't always catch (a single giant key
+    * still lands one partition after AQE's split threshold; salting
+    * bounds it by construction). The oracle runs the PLAIN join —
+    * salting must never change results (each fact row matches exactly
+    * one replica of its key). Per-row floor-cents before the sum keep
+    * the aggregate integer-exact across engines.
+    */
+  private def qSaltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = tRaw(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("_vc"))
+    val tiers = ev.select(col("user_id")).distinct()
+      .withColumn("tier", (col("user_id") % 5).cast("long"))
+    graft.operators.Layout.saltedJoin(ev, tiers, "user_id", salt = 8)
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_events"), sum(col("_vc")).as("value_c"))
+      .orderBy(col("tier"))
+  }
+
   /** TPC-H Q20 shape (q254): suppliers with excess stock — the
     * CORRELATED NESTED-AGGREGATE member that completes the
     * planner-rewrite set next to Q3 (q244) / Q18 (q238) / Q21 (q248):
@@ -5289,7 +5315,8 @@ object SparkEntry {
     "q273_promo_revenue" -> (qPromoRevenue _),
     "q274_supplier_part_cnt" -> (qSupplierPartCnt _),
     "q275_forecast_revenue" -> (qForecastRevenue _),
-    "q276_bucketed_colocated" -> (qBucketedColocated _))
+    "q276_bucketed_colocated" -> (qBucketedColocated _),
+    "q277_salted_skew_join" -> (qSaltedSkewJoin _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

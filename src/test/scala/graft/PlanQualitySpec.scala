@@ -894,6 +894,17 @@ class PlanQualitySpec extends SparkSpec {
       s"promo and total share ONE fact scan:\n$p")
   }
 
+  test("salted skew join: the fact scatters on a deterministic " +
+    "xxhash64 salt and the join key carries (user_id, _salt)") {
+    val p = plan("q277_salted_skew_join")
+    assert(p.contains("xxhash64"),
+      s"the salt must derive from a stable row hash (no rand() — " +
+        s"retries and speculative tasks must agree):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 8-way dim replication rides the equi-join, never a " +
+        s"cartesian:\n$p")
+  }
+
   test("Q16 shape: NOT IN is a broadcast anti-join; the three part " +
     "cuts reach the scan; no pair-dedup exchange precedes the " +
     "count-distinct") {
