@@ -3400,10 +3400,13 @@ object SparkEntry {
     * dim replicates 8× (one copy per salt), the fact scatters each
     * row to a deterministic salt (xxhash64 of the row — no rand(), so
     * retries/speculative tasks agree), and the join key becomes
-    * (user_id, _salt), splitting any hot user across 8 reducers. The
-    * fix for the skew AQE can't always catch (a single giant key
-    * still lands one partition after AQE's split threshold; salting
-    * bounds it by construction). The oracle runs the PLAIN join —
+    * (user_id, _salt), splitting any hot user across 8 reducers —
+    * bounding the hot partition by construction, where AQE's skew
+    * split is heuristic (and where AQE fires, it should be preferred:
+    * the saltprobe study in BASELINE measured salting as pure
+    * overhead until the hot partition's single-task time dominates
+    * the job wall; the targeted saltedJoinHot form bounds that
+    * overhead to the measured hot keys). The oracle runs the PLAIN join —
     * salting must never change results (each fact row matches exactly
     * one replica of its key). Per-row floor-cents before the sum keep
     * the aggregate integer-exact across engines.

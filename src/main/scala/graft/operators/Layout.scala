@@ -190,6 +190,34 @@ object Layout {
     bigSalted.join(smallSalted, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Hot-key-TARGETED salted join: salt ONLY the keys in `hotKeys`
+    * (normally the top of [[graft.operators.Diagnostics]]'
+    * keySkewReport — measure, then mitigate). The blanket
+    * [[saltedJoin]] replicates the ENTIRE small side `salt` ways —
+    * measured at gen scale (ScaleProbe saltprobe) that replication
+    * dominates and loses to the plain join when only one key is hot;
+    * here the small side replicates only its hot rows (|hotKeys|·salt
+    * extra rows total) and every cold key joins exactly as the plain
+    * join would, so the overhead is proportional to the skew being
+    * cured. Cold rows carry salt 0 on both sides; hot big rows
+    * scatter by stable row hash, hot small rows explode to all
+    * `salt` values.
+    */
+  def saltedJoinHot(big: DataFrame, small: DataFrame, key: String,
+      salt: Int, hotKeys: Seq[Any]): DataFrame = {
+    require(hotKeys.nonEmpty, "empty hot-key list: use a plain join")
+    val bigSalted = big.withColumn("_salt",
+      when(col(key).isin(hotKeys: _*),
+        pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)),
+          lit(salt)))
+        .otherwise(lit(0L)))
+    val smallSalted = small
+      .withColumn("_salt", explode(sequence(lit(0),
+        when(col(key).isin(hotKeys: _*), lit(salt - 1)).otherwise(lit(0)))))
+      .withColumn("_salt", col("_salt").cast("bigint"))
+    bigSalted.join(smallSalted, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Bucket-balance audit for a key-hash layout: per-bucket row
     * counts, shares, and the one-number imbalance ratio
     * (max/mean in ppm; 1e6 = perfectly even) — the pre-check before

@@ -14,7 +14,7 @@ object ScaleProbe {
     "videodup", "ams", "stitchgate", "stitchgatecap", "bloom", "bloomprof",
     "bloomrel", "q21", "q20", "q2shape", "q17shape", "ccmaint",
     "ccmaintsyn", "ccconv", "keyoverlap", "seamwidth", "takedown",
-    "shapegen", "q4form")
+    "shapegen", "q4form", "saltprobe")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -444,6 +444,47 @@ object ScaleProbe {
           .join(late0.distinct(),
             col("o_orderkey") === col("l_orderkey"), "left_semi")
           .groupBy(col("o_orderpriority")).count().count())
+      }
+    }
+    if (probes("saltprobe")) {
+      // q277's scale claim, measured: a single giant key (30% of a
+      // 20M-row fact on key 0) joining a 1M-row dim too big to
+      // broadcast (threshold forced to -1). Three plans, same result:
+      // AQE skew-join ON (the default cure), AQE skew-join OFF (the
+      // straggler baseline — one reducer owns 6M rows), and
+      // Layout.saltedJoin salt=32 (the explicit cure). Deterministic
+      // synthetic frames; 3 rounds each, read the min.
+      val n = 20000000L
+      def bigAt(hotPct: Int) = spark.range(n).select(
+        when(col("id") % 100 < hotPct, lit(0L))
+          .otherwise(col("id") % 1000000L).as("key"),
+        (col("id") % 97).as("v"))
+      def small = spark.range(1000000L)
+        .select(col("id").as("key"), (col("id") % 5).as("tag"))
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        for (hotPct <- Seq(30, 90); i <- 1 to 3) {
+          val big = bigAt(hotPct)
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+          timed(s"saltprobe_h${hotPct}_aqe_on_r$i")(big.join(small, "key")
+            .groupBy("tag").agg(sum(col("v")).as("sv")).count())
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+          timed(s"saltprobe_h${hotPct}_aqe_off_r$i")(big.join(small, "key")
+            .groupBy("tag").agg(sum(col("v")).as("sv")).count())
+          timed(s"saltprobe_h${hotPct}_salted32_r$i")(
+            graft.operators.Layout.saltedJoin(big, small, "key", 32)
+              .groupBy("tag").agg(sum(col("v")).as("sv")).count())
+          // the targeted form: salt ONLY the measured hot key — the
+          // small side replicates 32 ROWS instead of 32M
+          timed(s"saltprobe_h${hotPct}_saltedhot32_r$i")(
+            graft.operators.Layout.saltedJoinHot(big, small, "key", 32,
+              Seq(0L))
+              .groupBy("tag").agg(sum(col("v")).as("sv")).count())
+        }
+      } finally {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       }
     }
     if (probes("bloomrel")) {

@@ -84,6 +84,23 @@ class LayoutSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("hot-targeted salted join equals plain join; cold keys carry " +
+    "salt 0 (no replication)") {
+    val big = (1L to 500L).map(i => (if (i % 2 == 0) "hot" else s"k$i", i)).toDF("key", "v")
+    val small = Seq(("hot", "H"), ("k1", "A"), ("k3", "B")).toDF("key", "tag")
+    val plain = big.join(small, "key").select("key", "v", "tag")
+    val salted = Layout.saltedJoinHot(big, small, "key", salt = 4,
+      hotKeys = Seq("hot")).select("key", "v", "tag")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the overhead contract: only hot small rows replicate — 1 hot key
+    // x 4 salts + 2 cold rows x 1
+    val smallSalted = small.withColumn("_salt",
+      explode(sequence(lit(0),
+        when(col("key").isin("hot"), lit(3)).otherwise(lit(0)))))
+    assert(smallSalted.count() == 4 + 2)
+  }
+
   test("z-order layout gives tight per-file boxes; both dims prune, unlike a linear sort") {
     // 64x64 grid, one row per cell — every (x, y) equally likely
     val grid = spark.range(0, 64 * 64).selectExpr(
