@@ -1267,6 +1267,34 @@ object OracleSql {
          WHERE e.user_id = u.user_id
          GROUP BY 1 ORDER BY 1""",
 
+    // skew-advisory law: the oracle replays the integer decision walk
+    // (broadcast cap, 5x-mean shuffle band, ceil-salt clamp) verbatim
+    "q278_skew_advisor" ->
+      """WITH counts AS (
+           SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+         dim AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                   AS dim_rows FROM events),
+         top AS (SELECT key, n,
+                   row_number() OVER (ORDER BY n DESC, key ASC NULLS LAST)
+                     AS rank
+                 FROM counts
+                 ORDER BY n DESC, key ASC NULLS LAST LIMIT 20)
+         SELECT CAST(t.rank AS BIGINT) AS rank, t.key, t.n,
+           CAST(greatest(1, tot.total // 32) AS BIGINT) AS mean_part_n,
+           CASE WHEN dim.dim_rows <= 1000 THEN 'broadcast'
+                WHEN t.n <= greatest(1, tot.total // 32) * 5
+                  THEN 'shuffle'
+                ELSE 'salt' END AS advice,
+           CAST(CASE WHEN dim.dim_rows <= 1000
+                  OR t.n <= greatest(1, tot.total // 32) * 5 THEN 0
+                ELSE least(64, greatest(2,
+                  (t.n + greatest(1, tot.total // 32) - 1)
+                    // greatest(1, tot.total // 32)))
+                END AS BIGINT) AS salt
+         FROM top t, tot, dim ORDER BY rank""",
+
     // duplication-mass histogram: q36's reachability clusters, then
     // clusters-per-size
     "q132_dup_mass" ->

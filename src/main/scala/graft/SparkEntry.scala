@@ -3411,6 +3411,28 @@ object SparkEntry {
     * one replica of its key). Per-row floor-cents before the sum keep
     * the aggregate integer-exact across engines.
     */
+  /** Skew-advisory law (q278): Diagnostics.skewJoinAdvice — q73's
+    * measurement and the saltprobe study's decision rule composed
+    * into one oracle-replayable LAW row (the q241/q242/q253 law-row
+    * discipline): per hot key, broadcast when the dim fits the 1000-
+    * row cap, shuffle while the key stays within 5× the mean
+    * shuffle-partition size (AQE's multiplier — the regime the study
+    * measured salting as pure overhead), salt past that with
+    * ceil(n/meanPart) clamped [2,64] (saltedJoinHot's parameter). On
+    * battery data the branches split by SF — 150 users at sf0.01 fit
+    * the cap (broadcast), 1500 at sf0.1 do not and the uniform ~100-
+    * row keys sit far under 5× mean (shuffle) — and the oracle
+    * replays the same integer walk either way; the salt branch is
+    * pinned synthetically in DiagnosticsSpec.
+    */
+  private def qSkewAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val ev = tRaw(s, dir, "events")
+    val dimRows = ev.select(col("user_id")).distinct().count()
+    graft.operators.Diagnostics.skewJoinAdvice(ev, col("user_id"),
+        dimRows, broadcastRowCap = 1000L, partitions = 32, topK = 20)
+      .orderBy(col("rank"))
+  }
+
   private def qSaltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = tRaw(s, dir, "events")
       .select(col("user_id"), col("event_type"),
@@ -5319,7 +5341,8 @@ object SparkEntry {
     "q274_supplier_part_cnt" -> (qSupplierPartCnt _),
     "q275_forecast_revenue" -> (qForecastRevenue _),
     "q276_bucketed_colocated" -> (qBucketedColocated _),
-    "q277_salted_skew_join" -> (qSaltedSkewJoin _))
+    "q277_salted_skew_join" -> (qSaltedSkewJoin _),
+    "q278_skew_advisor" -> (qSkewAdvisor _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

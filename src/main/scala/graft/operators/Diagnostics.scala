@@ -269,6 +269,50 @@ object Diagnostics {
         col("n_keys"), col("p50_n"), col("p99_n"), col("max_n"))
   }
 
+  /** Join-strategy advisory LAW over the skew report's measurement
+    * (the saltprobe study's decision rule, made an operator): for the
+    * topK hottest keys, recommend — per key — how the recurring join
+    * on `key` should run. Pure integer arithmetic the oracle replays:
+    *
+    *  - `broadcast` when the dim side fits the row cap: key skew is
+    *    irrelevant if there is no shuffle at all;
+    *  - `shuffle` when the key's row count stays within 5× the mean
+    *    shuffle-partition size (AQE's own skew multiplier): the
+    *    straggler can't dominate, and the study measured salting as
+    *    pure overhead in that regime;
+    *  - `salt` past that, with the salt count that levels the hot
+    *    key back to mean-partition size: ceil(n / meanPart), clamped
+    *    to [2, 64] — the parameter saltedJoinHot then takes.
+    *
+    * meanPart floors at 1 so the law is total over tiny inputs.
+    */
+  def skewJoinAdvice(df: DataFrame, key: Column, dimRows: Long,
+      broadcastRowCap: Long, partitions: Int, topK: Int = 20): DataFrame = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum(col("n")).as("_total"))
+    val top = counts.orderBy(col("n").desc, col("key").asc_nulls_last)
+      .limit(topK)
+    top.crossJoin(broadcast(stats))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc,
+          col("key").asc_nulls_last)).cast("long"))
+      .withColumn("mean_part_n",
+        greatest(lit(1L), expr(s"_total div $partitions")))
+      .withColumn("advice",
+        when(lit(dimRows) <= lit(broadcastRowCap), lit("broadcast"))
+          .when(col("n") <= col("mean_part_n") * 5, lit("shuffle"))
+          .otherwise(lit("salt")))
+      .withColumn("salt",
+        when(col("advice") === "salt",
+          least(lit(64L), greatest(lit(2L),
+            expr("(n + mean_part_n - 1) div mean_part_n"))))
+          .otherwise(lit(0L)))
+      .select(col("rank"), col("key"), col("n"), col("mean_part_n"),
+        col("advice"), col("salt"))
+  }
+
   /** Pairwise source content-overlap matrix: for every pair of
     * sources, how many DISTINCT word n-grams they share — the
     * redundancy diagnostic that decides whether two feeds are worth

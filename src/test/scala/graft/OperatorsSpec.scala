@@ -1228,6 +1228,38 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Diagnostics.keySkewReport(df, col("key0"), 0))
   }
 
+  test("skewJoinAdvice: all three branches fire and the salt count " +
+    "levels the hot key to mean-partition size") {
+    import graft.operators.Diagnostics
+    // 4 partitions, 80 rows -> meanPart = 20; hot key 50 rows = 2.5x
+    // mean (shuffle band at 5x), hotter key needs the salt branch
+    val mild = ((1 to 50).map(_ => "hot") ++ (1 to 30).map(i => s"k$i"))
+      .toDF("key0")
+    val m = Diagnostics.skewJoinAdvice(mild, col("key0"), dimRows = 31L,
+      broadcastRowCap = 1000L, partitions = 4, topK = 1).collect().head
+    assert(m.getAs[String]("advice") == "broadcast" &&
+      m.getAs[Long]("salt") == 0L)
+    val m2 = Diagnostics.skewJoinAdvice(mild, col("key0"), dimRows = 5000L,
+      broadcastRowCap = 1000L, partitions = 4, topK = 1).collect().head
+    assert(m2.getAs[String]("advice") == "shuffle" &&
+      m2.getAs[Long]("mean_part_n") == 20L && m2.getAs[Long]("salt") == 0L)
+    // 400 hot rows of 480 total -> meanPart 120; 400 > 5*... no: make
+    // the hot key exceed 5x mean: 400 hot + 80 cold, P=24 -> mean 20,
+    // 400 = 20x mean -> salt = ceil(400/20) = 20
+    val wild = ((1 to 400).map(_ => "hot") ++ (1 to 80).map(i => s"k$i"))
+      .toDF("key0")
+    val w = Diagnostics.skewJoinAdvice(wild, col("key0"), dimRows = 5000L,
+      broadcastRowCap = 1000L, partitions = 24, topK = 1).collect().head
+    assert(w.getAs[String]("advice") == "salt" &&
+      w.getAs[Long]("salt") == 20L,
+      s"expected salt=ceil(400/20)=20, got ${w.mkString(",")}")
+    // the clamp: a key owning nearly everything caps at 64
+    val solo = (1 to 200).map(_ => "hot").toDF("key0")
+    val c = Diagnostics.skewJoinAdvice(solo, col("key0"), dimRows = 5000L,
+      broadcastRowCap = 1000L, partitions = 200, topK = 1).collect().head
+    assert(c.getAs[Long]("salt") == 64L)
+  }
+
   test("heavyHitters ranks by exact count and the count-min contract holds") {
     import graft.operators.Sketches
     // skewed stream: "hot" 50×, "warm" 10×, singletons
