@@ -14,7 +14,7 @@ object ScaleProbe {
     "videodup", "ams", "stitchgate", "stitchgatecap", "bloom", "bloomprof",
     "bloomrel", "q21", "q20", "q2shape", "q17shape", "ccmaint",
     "ccmaintsyn", "ccconv", "keyoverlap", "seamwidth", "takedown",
-    "shapegen", "q4form", "saltprobe")
+    "shapegen", "q4form", "saltprobe", "bucketprobe")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -445,6 +445,47 @@ object ScaleProbe {
             col("o_orderkey") === col("l_orderkey"), "left_semi")
           .groupBy(col("o_orderpriority")).count().count())
       }
+    }
+    if (probes("bucketprobe")) {
+      // q276's amortization claim, measured: the bucketed layout pays
+      // its orderkey shuffle once at write time; every later join on
+      // the key rides it exchange-free. Legs: the recurring shuffle
+      // join (broadcast off — the non-broadcastable regime bucketing
+      // exists for), the one-time bucketed write of both sides, and
+      // the recurring co-located join. Crossover = writeCost /
+      // (shuffleJoin − colocJoin) recurring joins.
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"),
+          floor(col("l_quantity") * 100).cast("long").as("_qc"))
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        for (i <- 1 to 3)
+          timed(s"bucketprobe_shuffle_join_r$i")(
+            l.join(o, col("l_orderkey") === col("o_orderkey"))
+              .groupBy(col("o_orderpriority"))
+              .agg(sum(col("_qc")).as("q")).count())
+        val root = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_bucketprobe").toString
+        graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+        timed("bucketprobe_write_both")(locally {
+          graft.operators.Layout.writeBucketedAt(l, "graft_bp_l",
+            "l_orderkey", 32, s"$root/l")
+          graft.operators.Layout.writeBucketedAt(o, "graft_bp_o",
+            "o_orderkey", 32, s"$root/o")
+          2L
+        })
+        for (i <- 1 to 3)
+          timed(s"bucketprobe_coloc_join_r$i")(
+            spark.table("graft_bp_l")
+              .join(spark.table("graft_bp_o"),
+                col("l_orderkey") === col("o_orderkey"))
+              .groupBy(col("o_orderpriority"))
+              .agg(sum(col("_qc")).as("q")).count())
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
     }
     if (probes("saltprobe")) {
       // q277's scale claim, measured: a single giant key (30% of a
