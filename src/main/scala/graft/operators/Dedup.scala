@@ -1007,8 +1007,21 @@ object Dedup {
       p.limit(0).select(col("_pid").as("id")))
     if (del.isEmpty) return empty
     val (aff, _, repaired, hint) = repairParts(p, labeledEdges, del, maxIter)
-    // affected components' prior rows — bounded by touched-component
-    // mass; the ONE scan of the label table (map-side broadcast semi)
+    deleteLabelWriteSets(p, aff, repaired, hint)
+  }
+
+  /** Shared label write-set derivation for the delete flows
+    * ([[repairComponentsDeleteDelta]] and
+    * [[graft.operators.IncrementalDedup]]'s takedown gate — one
+    * derivation so a fix reaches both): the affected components'
+    * prior rows are the ONE scan of the label table (map-side
+    * broadcast semi, bounded by touched-component mass), relabel =
+    * rows whose label moved, remove = rows absent from the repaired
+    * labeling. Callers stamp/checkpoint/commit.
+    */
+  private[operators] def deleteLabelWriteSets(p: DataFrame, aff: DataFrame,
+      repaired: DataFrame, hint: DataFrame => DataFrame)
+      : (DataFrame, DataFrame) = {
     val affRows = p.join(hint(aff), col("_prep") === col("_ar"), "left_semi")
       .localCheckpoint(true)
     val relabel = repaired

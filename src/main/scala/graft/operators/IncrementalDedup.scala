@@ -460,11 +460,25 @@ object IncrementalDedup {
     val d = deltaPairs.select(col("id_a"), col("id_b")).distinct()
       .localCheckpoint(true)
     val changes = maintainClusters(labels, d, batchNo, maxIter)
-    if (changes.isEmpty) return changes
-    val stamp = changes.select(max(col("batch_no"))).collect()(0).getLong(0)
+    // an empty LABEL write set must NOT skip the edge path: a novel
+    // edge between nodes that already share a cluster moves no label
+    // but still belongs in the persisted relation — dropping it makes
+    // a later takedown under-connect the induced subgraph and remove
+    // rows a full recompute would keep (review find, round 15). Only
+    // a label table with no commits at all (self-pair/empty-corpus
+    // ingest) has nothing to index edges against.
+    val labSnapOpt = labels.snapshotOpt
+    if (labSnapOpt.isEmpty) return changes
+    val stamp =
+      if (changes.isEmpty)
+        // same floor-monotone rule maintainClusters stamps by: the
+        // snapshot's max stamp floors a counter-reset batchNo
+        math.max(labSnapOpt.get.agg(max(col("batch_no"))).collect()(0)
+          .getLong(0), batchNo)
+      else changes.select(max(col("batch_no"))).collect()(0).getLong(0)
     // post-merge labels for the delta's endpoints: the label snapshot
     // just written — one broadcast-semi-bounded read (delta endpoints)
-    val lab = labels.snapshot.select(col("id").as("_li"),
+    val lab = labSnapOpt.get.select(col("id").as("_li"),
       col("cluster_id").as("_lc"))
     val keyed = d.withColumn("edge_key",
       concat_ws(":", col("id_a"), col("id_b")))
@@ -539,23 +553,21 @@ object IncrementalDedup {
     val p = prior.select(col("id").as("_pid"), col("cluster_id").as("_prep"))
     val (aff, surviving, repaired, hint) =
       Dedup.repairParts(p, le, del, maxIter)
-    val affRows = p.join(hint(aff), col("_prep") === col("_ar"), "left_semi")
-      .localCheckpoint(true)
     val floor = snap
       .map(_.agg(max(col("batch_no"))).collect()(0))
       .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
       .getOrElse(0L)
     val stamp = math.max(floor, batchNo)
-    val relabel = repaired
-      .join(affRows, col("id") === col("_pid"))
-      .filter(col("cluster_id") =!= col("_prep"))
-      .select(col("id"), col("cluster_id"), lit(stamp).as("batch_no"))
+    // shared derivation with the pure-delta form (Dedup
+    // .deleteLabelWriteSets — review find, round 15: two copies of the
+    // write-set semantics could drift); the gate adds the stamp and
+    // pins both frames before any commit
+    val (relabel0, remove0) =
+      Dedup.deleteLabelWriteSets(p, aff, repaired, hint)
+    val relabel = relabel0
+      .withColumn("batch_no", lit(stamp))
       .localCheckpoint(true)
-    val remove = affRows
-      .join(repaired.select(col("id").as("_ri")),
-        col("_pid") === col("_ri"), "left_anti")
-      .select(col("_pid").as("id"))
-      .localCheckpoint(true)
+    val remove = remove0.localCheckpoint(true)
     // pin the returned write set before any commit mutates a snapshot
     val out = relabel.withColumn("op", lit("relabel"))
       .unionByName(remove

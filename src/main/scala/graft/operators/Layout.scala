@@ -182,6 +182,9 @@ object Layout {
     * skew handling isn't enough (e.g. a null-heavy or "unknown" key).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+    // salt <= 0 would NULL the big side's pmod and silently drop every
+    // row from the inner join instead of failing
+    require(salt >= 1, s"salt must be >= 1, got $salt")
     val bigSalted = big.withColumn("_salt",
       pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salt)))
     val smallSalted = small
@@ -205,6 +208,7 @@ object Layout {
     */
   def saltedJoinHot(big: DataFrame, small: DataFrame, key: String,
       salt: Int, hotKeys: Seq[Any]): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
     require(hotKeys.nonEmpty, "empty hot-key list: use a plain join")
     val bigSalted = big.withColumn("_salt",
       when(col(key).isin(hotKeys: _*),

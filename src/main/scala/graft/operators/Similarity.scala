@@ -367,6 +367,10 @@ object Similarity {
   def trainPqCodebooks(corpus: DataFrame, m: Int, k: Int,
       iters: Int): Seq[Seq[(Int, Seq[Double])]] = {
     require(m >= 1, s"need at least one subspace, got $m")
+    // the pre-merge per-subspace path inherited these from
+    // trainCentroids; the merged trainer must fail as fast
+    require(k >= 1, s"need k >= 1 centroids per subspace, got $k")
+    require(iters >= 0, s"need iters >= 0, got $iters")
     // one materialization shared by all m subspace trainers
     val train = corpus.select(col("id"), col("emb")).localCheckpoint()
     val dim = train.select(size(col("emb")).as("d")).limit(1).collect() match {

@@ -40,14 +40,23 @@ object GenFilters {
   private val synthetic = Filters("NATION_7", "small", "NATION_8", "ASIA")
   private val tpch = Filters("GERMANY", "forest", "FRANCE", "EUROPE")
 
-  def forDir(spark: SparkSession, dir: String): Filters = {
-    val names = spark.read.parquet(s"$dir/nation.parquet")
-      .select("n_name").collect().map(_.getString(0))
-    require(names.nonEmpty, s"empty nation table under $dir")
-    val synth = names.count(_.startsWith("NATION_"))
-    require(synth == 0 || synth == names.length,
-      s"mixed generator name families in $dir/nation.parquet — " +
-        s"$synth of ${names.length} synthetic")
-    if (synth > 0) synthetic else tpch
-  }
+  // the detection is a pure function of the dir; without this cache
+  // every evaluation of each GenFilters-using battery row pays one
+  // nation-read+collect job INSIDE the timed window (6 extra driver
+  // round-trips per row under min-of-6 — the dispatch-bound regime
+  // the bench's dispatch canary exists to catch)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Filters]()
+
+  def forDir(spark: SparkSession, dir: String): Filters =
+    cache.computeIfAbsent(dir, { d =>
+      val names = spark.read.parquet(s"$d/nation.parquet")
+        .select("n_name").collect().map(_.getString(0))
+      require(names.nonEmpty, s"empty nation table under $d")
+      val synth = names.count(_.startsWith("NATION_"))
+      require(synth == 0 || synth == names.length,
+        s"mixed generator name families in $d/nation.parquet — " +
+          s"$synth of ${names.length} synthetic")
+      if (synth > 0) synthetic else tpch
+    })
 }

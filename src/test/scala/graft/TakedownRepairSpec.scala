@@ -182,4 +182,47 @@ class TakedownRepairSpec extends SparkSpec {
     }
     assert(commitsBefore > 0)
   }
+
+  test("a NOVEL edge between already-clustered nodes persists even " +
+    "though the label write set is empty — takedown then repairs " +
+    "like a full recompute (round-15 review find)") {
+    def vt(name: String, key: String) = new VersionedTable(spark,
+      Fixtures.tmpDir(name).toString, key, "batch_no", numBuckets = 4)
+    val labels = vt("td_novel_labels", "id")
+    val edges = vt("td_novel_edges", "edge_key")
+    // ingest 1: the path 1-2-3 (one component, labeled 1)
+    IncrementalDedup.maintainClustersWithEdges(labels, edges,
+      pairs(1L -> 2L, 2L -> 3L), 1L)
+    // ingest 2: the CHORD (1,3) — both endpoints already share cluster
+    // 1, so no label moves; the old early-return dropped this edge
+    val ws = IncrementalDedup.maintainClustersWithEdges(labels, edges,
+      pairs(1L -> 3L), 2L)
+    assert(ws.isEmpty, "chord must move no label")
+    assert(edges.snapshot.count() == 3L,
+      "the chord must land in the edge index despite the empty label " +
+        "write set")
+    // chord stamps at the floor-monotone stamp of ITS ingest
+    assert(edges.snapshot.filter(col("edge_key") === "1:3")
+      .select(col("batch_no")).collect()(0).getLong(0) == 2L)
+    // the contract the edge exists FOR: deleting 2 must keep {1,3}
+    // connected through the chord — a full recompute over surviving
+    // edges {(1,3)} keeps them; before the fix takedown removed both
+    IncrementalDedup.takedown(labels, edges, Seq(2L).toDF("id"), 3L)
+    assert(labelsOf(labels.snapshot.select(col("id"), col("cluster_id")))
+      == Map(1L -> 1L, 3L -> 1L),
+      "repair must equal full recompute over the true surviving edges")
+    // and re-delivering the chord still writes nothing (idempotence
+    // unbroken by the fix) — rebuild the pre-takedown state to check
+    val labels2 = vt("td_novel_labels2", "id")
+    val edges2 = vt("td_novel_edges2", "edge_key")
+    IncrementalDedup.maintainClustersWithEdges(labels2, edges2,
+      pairs(1L -> 2L, 2L -> 3L), 1L)
+    IncrementalDedup.maintainClustersWithEdges(labels2, edges2,
+      pairs(1L -> 3L), 2L)
+    val ec = edges2.commits.length
+    IncrementalDedup.maintainClustersWithEdges(labels2, edges2,
+      pairs(1L -> 3L), 3L)
+    assert(edges2.commits.length == ec,
+      "re-delivered chord commits nothing")
+  }
 }
