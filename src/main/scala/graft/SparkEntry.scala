@@ -3386,12 +3386,21 @@ object SparkEntry {
       s"$root/l")
     graft.operators.Layout.writeBucketedAt(o, oTbl, "o_orderkey", 8,
       s"$root/o")
-    s.table(lTbl)
+    val out = s.table(lTbl)
       .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(sum(col("_qc")).as("qty_c_sum"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderpriority"))
+      .localCheckpoint(true)
+    // scratch hygiene (ADVICE r15): the catalog entries and bucketed
+    // files are per-evaluation scaffolding — pin the result, then drop
+    // both tables and the root so long-lived sessions don't accumulate
+    // catalog entries or tmp files across battery evaluations
+    s.sql(s"DROP TABLE IF EXISTS $lTbl")
+    s.sql(s"DROP TABLE IF EXISTS $oTbl")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    out
   }
 
   /** Salted skew join (q277): the MITIGATION lever next to q73's
@@ -3427,7 +3436,12 @@ object SparkEntry {
     */
   private def qSkewAdvisor(s: SparkSession, dir: String): DataFrame = {
     val ev = tRaw(s, dir, "events")
-    val dimRows = ev.select(col("user_id")).distinct().count()
+    // COUNT(DISTINCT user_id) semantics to match the oracle: a NULL
+    // user_id must not count as a distinct dim row (ADVICE r15 — the
+    // battery generators never emit one, but the branch cap is
+    // off-by-one sensitive on a null-bearing table)
+    val dimRows = ev.filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct().count()
     graft.operators.Diagnostics.skewJoinAdvice(ev, col("user_id"),
         dimRows, broadcastRowCap = 1000L, partitions = 32, topK = 20)
       .orderBy(col("rank"))

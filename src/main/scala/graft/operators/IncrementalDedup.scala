@@ -470,12 +470,15 @@ object IncrementalDedup {
     val labSnapOpt = labels.snapshotOpt
     if (labSnapOpt.isEmpty) return changes
     val stamp =
-      if (changes.isEmpty)
+      if (changes.isEmpty) {
         // same floor-monotone rule maintainClusters stamps by: the
-        // snapshot's max stamp floors a counter-reset batchNo
-        math.max(labSnapOpt.get.agg(max(col("batch_no"))).collect()(0)
-          .getLong(0), batchNo)
-      else changes.select(max(col("batch_no"))).collect()(0).getLong(0)
+        // snapshot's max stamp floors a counter-reset batchNo. Guard
+        // the null max the same way maintainClusters' floor does — a
+        // label table whose every row was taken down has commits but a
+        // zero-row snapshot, so max(batch_no) is null (ADVICE r15)
+        val r = labSnapOpt.get.agg(max(col("batch_no"))).collect()(0)
+        if (r.isNullAt(0)) batchNo else math.max(r.getLong(0), batchNo)
+      } else changes.select(max(col("batch_no"))).collect()(0).getLong(0)
     // post-merge labels for the delta's endpoints: the label snapshot
     // just written — one broadcast-semi-bounded read (delta endpoints)
     val lab = labSnapOpt.get.select(col("id").as("_li"),

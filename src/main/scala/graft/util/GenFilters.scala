@@ -44,9 +44,19 @@ object GenFilters {
   // every evaluation of each GenFilters-using battery row pays one
   // nation-read+collect job INSIDE the timed window (6 extra driver
   // round-trips per row under min-of-6 — the dispatch-bound regime
-  // the bench's dispatch canary exists to catch)
+  // the bench's dispatch canary exists to catch.
+  // STALENESS ASSUMPTION (ADVICE r15): the cache is keyed by dir for
+  // the life of the JVM, so a dir REGENERATED with the other generator
+  // family in-process would be served stale Filters silently. Bench
+  // and battery dirs are immutable for a run; tests that rewrite a
+  // tmp dir with the other family must call [[clearCache]] first.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Filters]()
+
+  /** Test hook for the staleness assumption above — drops every cached
+    * detection so a rewritten dir re-detects.
+    */
+  def clearCache(): Unit = cache.clear()
 
   def forDir(spark: SparkSession, dir: String): Filters =
     cache.computeIfAbsent(dir, { d =>
