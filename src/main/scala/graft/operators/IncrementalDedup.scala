@@ -665,4 +665,189 @@ object IncrementalDedup {
     if (!upCp.isEmpty) sample.upsert(upCp)
     upCp
   }
+
+  /** [[maintainSample]] with a DELETION BUFFER (VERDICT r15 item 1 —
+    * the last additive-only maintained structure made delete-aware):
+    * the table stores the bottom-(k+m) cut instead of bottom-k, the
+    * REPORTED sample is rank ≤ k, and the extra m rows are repair
+    * state — [[takedownSampleBuffered]] can absorb up to m cumulative
+    * sampled-row deletions from local state before a recompute.
+    *
+    * The exactness argument is the bottom-cut's PREFIX property: the
+    * stored rows are the bottom-`cap` of the surviving corpus by
+    * (prio, id), where `cap` starts at k+m and each full-buffer
+    * takedown that removes d stored rows lowers it to cap − d (a row
+    * outside the buffer has priority above every stored row, so the
+    * surviving buffer is still an exact bottom-(cap−d) — nothing
+    * outside it can enter any prefix of that length). Adds re-cut the
+    * stored set plus the batch at the CURRENT cap (the q233
+    * lossless-under-union identity, valid for any prefix ≤ cap), so
+    * the reported bottom-k stays exact — maintained ≡ recompute — for
+    * as long as cap ≥ k. The `cap` rides on every row (constant per
+    * commit by construction) because it is genuine table state: a
+    * reopened table must know how much exactness its buffer has left.
+    *
+    * Returns the upsert write set (id, weight, prio, rank, cap,
+    * batch_no), pinned before the commits mutate the snapshot.
+    */
+  def maintainSampleBuffered(sample: VersionedTable, added: DataFrame,
+      key: Column, weight: Column, k: Int, m: Int, batchNo: Long)
+      : DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(m >= 0, s"need m >= 0, got $m")
+    require(sample.recordKey == "id",
+      s"sample table must be keyed on 'id', got '${sample.recordKey}'")
+    require(sample.precombine == "batch_no",
+      s"sample table must precombine on 'batch_no' (the floor-monotone " +
+        s"stamp), got '${sample.precombine}'")
+    val snap = sample.snapshotOpt
+    val prior = snap.map(_.select(col("id"), col("weight"), col("prio"),
+      col("rank"), col("cap")).localCheckpoint(true))
+    // current exactness budget: k+m for a fresh table, else the stored
+    // cap (constant across rows — every commit writes it uniformly)
+    val cap = prior
+      .map(_.agg(min(col("cap"))).collect()(0))
+      .collect { case r if !r.isNullAt(0) => r.getLong(0) }
+      .getOrElse((k + m).toLong)
+    require(cap >= k,
+      s"buffer exhausted: cap=$cap < k=$k — run a recompute " +
+        s"(takedownSampleBuffered's fallback) before further ingests")
+    val next = prior match {
+      case None => Sampling.prioritySample(added, key, weight, cap.toInt)
+      case Some(p) => Sampling.maintainPrioritySample(p.drop("cap"),
+        added, key, weight, cap.toInt)
+    }
+    val nextCp = next.withColumn("cap", lit(cap)).localCheckpoint(true)
+    val floor = snap
+      .map(_.agg(max(col("batch_no"))).collect()(0))
+      .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
+      .getOrElse(0L)
+    val stamp = math.max(floor, batchNo)
+    val (upserts, deletes) = prior match {
+      case None =>
+        (nextCp.withColumn("batch_no", lit(stamp)),
+          nextCp.limit(0).select(col("id")))
+      case Some(p) =>
+        val pr = p.select(col("id").as("_i"), col("rank").as("_r"))
+        val up = nextCp.join(pr, col("id") === col("_i"), "left")
+          .filter(col("_i").isNull || col("rank") =!= col("_r"))
+          .select(col("id"), col("weight"), col("prio"), col("rank"),
+            col("cap"), lit(stamp).as("batch_no"))
+        val del = p.join(nextCp.select(col("id").as("_ni")),
+            col("id") === col("_ni"), "left_anti")
+          .select(col("id"))
+        (up, del)
+    }
+    val upCp = upserts.localCheckpoint(true)
+    val delCp = deletes.localCheckpoint(true)
+    if (!delCp.isEmpty) sample.delete(delCp)
+    if (!upCp.isEmpty) sample.upsert(upCp)
+    upCp
+  }
+
+  /** The maintained sample's TAKEDOWN (VERDICT r15 item 1): deletions
+    * repaired from LOCAL state while the buffer holds. Stored rows
+    * hit by `deletedIds` are COW-deleted and the survivors re-ranked
+    * under a shrunken cap (the prefix argument on
+    * [[maintainSampleBuffered]]) — per-takedown IO is O(k+m) rows,
+    * never the corpus. Only when a takedown would leave fewer than k
+    * exact rows (cumulative buffered deletions exceed m) does the
+    * repair fall back to `corpus`: ONE bottom-(k+m) recompute over the
+    * surviving corpus (the thunk is not evaluated otherwise),
+    * restoring the full buffer. A buffer that was never full (the
+    * whole corpus fits inside it) keeps its cap — full containment
+    * means deletion loses no exactness. Deleting ids outside the
+    * buffer touches nothing; re-delivering a takedown finds no stored
+    * hits — empty write set, zero commits (idempotent).
+    *
+    * The survivor re-rank runs a single-partition window — sound
+    * because the frame is ≤ k+m rows BY CONSTRUCTION (the sample is
+    * bounded state; that bound is the whole point of the structure).
+    *
+    * Returns the upsert write set (id, weight, prio, rank, cap,
+    * batch_no), pinned before the commits mutate the snapshot.
+    */
+  def takedownSampleBuffered(sample: VersionedTable,
+      deletedIds: DataFrame, k: Int, m: Int, batchNo: Long,
+      corpus: () => DataFrame, key: Column, weight: Column): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(m >= 0, s"need m >= 0, got $m")
+    require(sample.recordKey == "id",
+      s"sample table must be keyed on 'id', got '${sample.recordKey}'")
+    require(sample.precombine == "batch_no",
+      s"sample table must precombine on 'batch_no' (the floor-monotone " +
+        s"stamp), got '${sample.precombine}'")
+    val spark = deletedIds.sparkSession
+    def emptyWrite: DataFrame = spark.range(0).select(col("id"),
+      col("id").as("weight"), col("id").as("prio"), col("id").as("rank"),
+      col("id").as("cap"), col("id").as("batch_no"))
+    val snap = sample.snapshotOpt
+    if (snap.isEmpty) return emptyWrite
+    // the deleted set can be CORPUS-scale (a licensing takedown of a
+    // whole source) — never broadcast it; the bounded side here is the
+    // ≤ k+m stored sample, so hit detection is one map-side pass of
+    // the deleted set against the broadcast buffer
+    val del = deletedIds.select(col(deletedIds.columns.head).as("_d"))
+      .distinct().localCheckpoint(true)
+    val prior = snap.get.select(col("id"), col("weight"), col("prio"),
+      col("rank"), col("cap")).localCheckpoint(true)
+    val hits = del.join(broadcast(prior.select(col("id"))),
+        col("_d") === col("id"), "left_semi")
+      .select(col("_d").as("id")).localCheckpoint(true)
+    val h = hits.count()
+    if (h == 0L) return emptyWrite // outside the buffer: no-op, no commit
+    val stored = prior.count()
+    val capPrior = prior.agg(min(col("cap"))).collect()(0).getLong(0)
+    val n = stored - h
+    val bufferWasFull = stored == capPrior
+    val floor = snap
+      .map(_.agg(max(col("batch_no"))).collect()(0))
+      .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
+      .getOrElse(0L)
+    val stamp = math.max(floor, batchNo)
+    val rerank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("prio"), col("id"))
+    val (upserts, deletes) =
+      if (!bufferWasFull || n >= k) {
+        // LOCAL repair: survivors re-ranked; the cap shrinks only if
+        // the buffer was full (full containment loses no exactness).
+        // The anti-join is against the ≤ k+m HIT set, not the
+        // possibly-corpus-scale deleted set
+        val newCap = if (bufferWasFull) n else capPrior
+        val up = prior.join(broadcast(hits.select(col("id").as("_hi"))),
+            col("id") === col("_hi"), "left_anti")
+          .withColumnRenamed("rank", "_or").withColumnRenamed("cap", "_oc")
+          .withColumn("rank", row_number().over(rerank).cast("long"))
+          .withColumn("cap", lit(newCap))
+          .filter(col("rank") =!= col("_or") || col("cap") =!= col("_oc"))
+          .select(col("id"), col("weight"), col("prio"), col("rank"),
+            col("cap"), lit(stamp).as("batch_no"))
+        (up, hits.select(col("id")))
+      } else {
+        // buffer exhausted: ONE recompute over the surviving corpus
+        // restores the full k+m buffer — the only corpus-scale term,
+        // reached only past m cumulative buffered deletions. Plain
+        // shuffle anti-join: both sides can be corpus-scale, AQE picks
+        // the strategy
+        val surviving = corpus().join(del, key === col("_d"), "left_anti")
+        val fresh = Sampling.prioritySample(surviving, key, weight, k + m)
+          .withColumn("cap", lit((k + m).toLong)).localCheckpoint(true)
+        val pr = prior.select(col("id").as("_i"), col("rank").as("_r"),
+          col("cap").as("_c"))
+        val up = fresh.join(pr, col("id") === col("_i"), "left")
+          .filter(col("_i").isNull || col("rank") =!= col("_r") ||
+            col("cap") =!= col("_c"))
+          .select(col("id"), col("weight"), col("prio"), col("rank"),
+            col("cap"), lit(stamp).as("batch_no"))
+        val gone = prior.join(fresh.select(col("id").as("_ni")),
+            col("id") === col("_ni"), "left_anti")
+          .select(col("id"))
+        (up, gone)
+      }
+    val upCp = upserts.localCheckpoint(true)
+    val delCp = deletes.localCheckpoint(true)
+    if (!delCp.isEmpty) sample.delete(delCp)
+    if (!upCp.isEmpty) sample.upsert(upCp)
+    upCp
+  }
 }
