@@ -1043,6 +1043,56 @@ object OracleSql {
           FROM F f LEFT JOIN P1 p ON p.id = f.id
           ORDER BY f.rank""",
 
+    // buffered sample takedown: the oracle replays the engine's exact
+    // walk — buffered bottom-64 cut after both ingests, hit count h
+    // against the %5 takedown, then the SAME branch the gate takes:
+    // local repair (1 <= h <= 16: survivors re-ranked, cap 64-h, every
+    // survivor rewrites at stamp 3 because its cap changed), corpus
+    // recompute (h > 16: fresh bottom-64 over survivors, cap back to
+    // 64, unchanged (id, rank) rows keep their ingest stamps), or
+    // no-op (h = 0). A re-delivered takedown that spuriously committed
+    // would stamp 4+ — hash-red on any branch
+    "q279_sample_takedown_gate" ->
+      s"""WITH D AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
+                 CAST(${md5long("CAST(doc_id AS VARCHAR)")} // n_chars
+                   AS BIGINT) AS prio
+                FROM documents),
+          P1 AS (SELECT id, weight, prio, CAST(r AS BIGINT) AS rank FROM
+                 (SELECT *, row_number() OVER (ORDER BY prio, id) AS r
+                  FROM D WHERE id % 2 = 0) WHERE r <= 64),
+          P2 AS (SELECT id, weight, prio, CAST(r AS BIGINT) AS rank FROM
+                 (SELECT *, row_number() OVER (ORDER BY prio, id) AS r
+                  FROM D) WHERE r <= 64),
+          S2 AS (SELECT f.id, f.weight, f.prio, f.rank,
+                   CASE WHEN p.id IS NOT NULL AND p.rank = f.rank
+                        THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS st
+                 FROM P2 f LEFT JOIN P1 p ON p.id = f.id),
+          H AS (SELECT count(*) AS h FROM P2 WHERE id % 5 = 0),
+          LOCALREP AS (SELECT id, weight, prio,
+                   CAST(row_number() OVER (ORDER BY prio, id) AS BIGINT)
+                     AS rank,
+                   CAST(64 - (SELECT h FROM H) AS BIGINT) AS cap,
+                   CAST(3 AS BIGINT) AS batch_no
+                 FROM P2 WHERE id % 5 <> 0),
+          RECOMP0 AS (SELECT id, weight, prio, CAST(r AS BIGINT) AS rank,
+                   CAST(64 AS BIGINT) AS cap FROM
+                   (SELECT *, row_number() OVER (ORDER BY prio, id) AS r
+                    FROM D WHERE id % 5 <> 0) WHERE r <= 64),
+          RECOMP AS (SELECT r0.id, r0.weight, r0.prio, r0.rank, r0.cap,
+                   CASE WHEN s.id IS NOT NULL AND s.rank = r0.rank THEN s.st
+                        ELSE CAST(3 AS BIGINT) END AS batch_no
+                 FROM RECOMP0 r0 LEFT JOIN S2 s ON s.id = r0.id)
+          SELECT id, weight, prio, rank, cap, batch_no FROM LOCALREP
+            WHERE (SELECT h FROM H) BETWEEN 1 AND 16
+          UNION ALL
+          SELECT id, weight, prio, rank, cap, batch_no FROM RECOMP
+            WHERE (SELECT h FROM H) > 16
+          UNION ALL
+          SELECT id, weight, prio, rank, CAST(64 AS BIGINT) AS cap,
+            st AS batch_no FROM S2
+            WHERE (SELECT h FROM H) = 0
+          ORDER BY rank""",
+
     // TPC-H Q13 shape, textbook form: right-side predicate in the
     // OUTER join condition, two-level aggregate with the null group
     "q265_cust_order_dist" ->

@@ -1094,6 +1094,52 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Buffered maintained sample + takedown (q279, VERDICT r15 item 1):
+    * q264's maintenance gate with the k+m DELETION BUFFER — the table
+    * stores bottom-(k=48 + m=16) by md5 priority, the reported sample
+    * is rank ≤ 48, and the %5 takedown at batch 3 repairs from LOCAL
+    * state when ≤ 16 buffered rows are hit (survivors re-ranked, cap
+    * shrinks to 64−h, O(k+m) IO) or falls back to ONE bottom-64
+    * recompute over the surviving corpus past the buffer — the corpus
+    * thunk is evaluated only on that branch. Batch 4 RE-DELIVERS the
+    * takedown: the ids are already gone, zero hits, zero commits (a
+    * spurious commit would stamp 4+ into the snapshot — hash-red).
+    * The oracle replays the SAME walk: it computes the buffered cut,
+    * counts the hits h, takes the same branch (local iff 1 ≤ h ≤ 16),
+    * and derives per-row stamps from which physical write each row
+    * last took — maintained ≡ replayed recompute on every branch.
+    */
+  private def qSampleTakedownGate(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q279_stg_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val vt = new graft.operators.VersionedTable(s, root, "id", "batch_no",
+      numBuckets = 8)
+    val docs = t(s, dir, "documents")
+    def ingest(b: DataFrame, n: Long): Unit = {
+      graft.operators.IncrementalDedup.maintainSampleBuffered(vt, b,
+        col("doc_id"), col("n_chars"), k = 48, m = 16, batchNo = n)
+      ()
+    }
+    ingest(docs.filter(col("doc_id") % 2 === 0), 1L)
+    ingest(docs.filter(col("doc_id") % 2 =!= 0), 2L)
+    val deleted = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id")).localCheckpoint(true)
+    def takedown(n: Long): Unit = {
+      graft.operators.IncrementalDedup.takedownSampleBuffered(vt, deleted,
+        k = 48, m = 16, batchNo = n, corpus = () => docs,
+        key = col("doc_id"), weight = col("n_chars"))
+      ()
+    }
+    takedown(3L)
+    takedown(4L) // redeliver: zero hits, no commit
+    vt.snapshot
+      .select(col("id"), col("weight"), col("prio"), col("rank"),
+        col("cap"), col("batch_no"))
+      .orderBy(col("rank"))
+  }
+
   /** Duplication-mass histogram (q132): q36's LSH cluster labeling,
     * then clusters-per-size and docs-tied-up — the "is dedup worth it"
     * one-pager. See Dedup.clusterSizeHistogram.
@@ -5356,7 +5402,8 @@ object SparkEntry {
     "q275_forecast_revenue" -> (qForecastRevenue _),
     "q276_bucketed_colocated" -> (qBucketedColocated _),
     "q277_salted_skew_join" -> (qSaltedSkewJoin _),
-    "q278_skew_advisor" -> (qSkewAdvisor _))
+    "q278_skew_advisor" -> (qSkewAdvisor _),
+    "q279_sample_takedown_gate" -> (qSampleTakedownGate _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

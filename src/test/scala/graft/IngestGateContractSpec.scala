@@ -24,6 +24,13 @@ import graft.operators.{IncrementalDedup => ID, VersionedTable}
   * | cluster-maint (q255)| id        | full label write set       | empty (self-loops) | none               |
   * | cm-edges (q263 ing.)| id        | full label write set       | empty (self-loops) | none               |
   * | sample (q264)       | id        | full k-set                 | empty (loses cut)  | none               |
+  * | buf-sample (q279)   | id        | full (k+m)-set             | empty (loses cut)  | none               |
+  *
+  * (the r16 addition: `maintainSampleBuffered` is q279's ingest side —
+  * identical ingest semantics to q264's row at cut k+m, plus the cap
+  * column takedowns spend; the takedown itself is a DELETE flow and is
+  * sweep-pinned in BufferedSampleSpec, like q263's in
+  * TakedownRepairSpec.)
   *
   * (the r15 additions complete the lake-writing enumeration:
   * `maintainClustersWithEdges` is the q263 flow's ingest side — label
@@ -223,6 +230,18 @@ class IngestGateContractSpec extends SparkSpec {
       seeds => seeds.map { case (i, _) => (i, 1L) }.toDF("id", "w"),
       (t, b, n) => ID.maintainSample(t, b, col("id"), col("w"), k = 3,
           batchNo = n)
+        .select(col("id"), col("rank")),
+      r1 = Set(Seq(1L, 1L), Seq(2L, 2L), Seq(3L, 3L)), idx1 = 3L,
+      r2 = Set(Seq(11L, 1L), Seq(1L, 2L), Seq(2L, 3L)), idx2Grow = 0L,
+      r3 = Set.empty, redeliverCommits = false),
+    // the BUFFERED sample gate at k=2/m=1: cut size k+m = 3, so its
+    // ingest walk is row-for-row the q264 row's at k=3 — the shared
+    // maintainPrioritySample core, plus the cap column the takedown
+    // spends (delete semantics pinned in BufferedSampleSpec)
+    Gate("sample-buffered-q279", "id",
+      seeds => seeds.map { case (i, _) => (i, 1L) }.toDF("id", "w"),
+      (t, b, n) => ID.maintainSampleBuffered(t, b, col("id"), col("w"),
+          k = 2, m = 1, batchNo = n)
         .select(col("id"), col("rank")),
       r1 = Set(Seq(1L, 1L), Seq(2L, 2L), Seq(3L, 3L)), idx1 = 3L,
       r2 = Set(Seq(11L, 1L), Seq(1L, 2L), Seq(2L, 3L)), idx2Grow = 0L,
