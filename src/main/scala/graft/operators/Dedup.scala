@@ -1042,17 +1042,34 @@ object Dedup {
     * takedown gate reuses the surviving-edge frame to maintain the
     * persisted edge relation itself.
     */
-  private[operators] def repairParts(p: DataFrame, labeledEdges: DataFrame,
-      del: DataFrame, maxIter: Int)
-      : (DataFrame, DataFrame, DataFrame, DataFrame => DataFrame) = {
+  /** The repairParts broadcast valve, exposed so a caller that needs
+    * the affected set EARLY (the pruned edge read) shares one policy.
+    */
+  private[operators] def takedownHint(del: DataFrame): DataFrame => DataFrame = {
     // the maintParts backfill valve: broadcast only while the
     // takedown-derived relations are ingest-sized
     val small = del.count() <= 4000000L
-    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    // affected reps — prior labels of the deleted nodes (bounded by
-    // the takedown; ids never labeled touch no component)
-    val aff = p.join(hint(del), col("_pid") === col("_d"), "left_semi")
+    df => if (small) broadcast(df) else df
+  }
+
+  /** Affected component reps — prior labels of the deleted nodes
+    * (bounded by the takedown; ids never labeled touch no component).
+    * Factored out of [[repairParts]] so the takedown gate can compute
+    * it BEFORE reading the edge relation and hand the result to
+    * [[graft.operators.VersionedTable.snapshotPrunedBy]] — the
+    * cluster_id-pruned induced-subgraph read (VERDICT r15 item 2).
+    */
+  private[operators] def affectedReps(p: DataFrame, del: DataFrame,
+      hint: DataFrame => DataFrame): DataFrame =
+    p.join(hint(del), col("_pid") === col("_d"), "left_semi")
       .select(col("_prep").as("_ar")).distinct().localCheckpoint(true)
+
+  private[operators] def repairParts(p: DataFrame, labeledEdges: DataFrame,
+      del: DataFrame, maxIter: Int,
+      precomputed: Option[(DataFrame, DataFrame => DataFrame)] = None)
+      : (DataFrame, DataFrame, DataFrame, DataFrame => DataFrame) = {
+    val hint = precomputed.map(_._2).getOrElse(takedownHint(del))
+    val aff = precomputed.map(_._1).getOrElse(affectedReps(p, del, hint))
     // induced edges of the affected components: ONE map-side pass of
     // the edge relation (partition-pruned on a cluster_id-partitioned
     // store), then drop every edge touching a deleted id

@@ -497,17 +497,31 @@ object IncrementalDedup {
         col("_lc").as("cluster_id"), lit(stamp).as("batch_no"))
     // stale edges: stored rows whose id_a label moved this ingest —
     // the changes relation is merge-bounded, so this is one map-side
-    // broadcast join against the edge snapshot
+    // broadcast join against the edge snapshot. The OLD cluster_id is
+    // kept alongside: on a cluster_id-PARTITIONED edge store a
+    // relabel moves the row across buckets, and upsertMoved needs the
+    // source values to rewrite (and possibly empty) the old buckets —
+    // on the default edge_key-bucketed store the extra probe is the
+    // same buckets and the call degenerates to a plain upsert
     val moved = changes.select(col("id").as("_mi"),
       col("cluster_id").as("_mc"))
-    val stale = snapOpt.map(s =>
+    val staleBoth = snapOpt.map(s =>
         s.join(broadcast(moved), col("id_a") === col("_mi"))
           .filter(col("cluster_id") =!= col("_mc"))
-          .select(col("edge_key"), col("id_a"), col("id_b"),
-            col("_mc").as("cluster_id"), lit(stamp).as("batch_no")))
+          .localCheckpoint(true))
+    val stale = staleBoth.map(_.select(col("edge_key"), col("id_a"),
+        col("id_b"), col("_mc").as("cluster_id"),
+        lit(stamp).as("batch_no")))
       .getOrElse(novel.limit(0))
     val writeSet = novel.unionByName(stale).localCheckpoint(true)
-    if (!writeSet.isEmpty) edges.upsert(writeSet)
+    if (!writeSet.isEmpty) staleBoth match {
+      // the old-values frame carries BOTH candidate bucket columns
+      // (edge_key for the default layout, the OLD cluster_id for the
+      // partitioned one) so the probe resolves on either table
+      case Some(sb) => edges.upsertMoved(writeSet,
+        sb.select(col("edge_key"), col("cluster_id")))
+      case None => edges.upsert(writeSet)
+    }
     changes
   }
 
@@ -550,12 +564,25 @@ object IncrementalDedup {
       .distinct().localCheckpoint(true)
     if (del.isEmpty) return empty
     val prior = snap.get.select(col("id"), col("cluster_id"))
-    val le = edges.snapshotOpt.getOrElse(sys.error(
+    if (edges.snapshotOpt.isEmpty) sys.error(
       "takedown: no persisted edge relation — ingest through " +
-        "maintainClustersWithEdges"))
+        "maintainClustersWithEdges")
     val p = prior.select(col("id").as("_pid"), col("cluster_id").as("_prep"))
+    // affected reps FIRST, so a cluster_id-partitioned edge store
+    // (VERDICT r15 item 2) serves the induced-subgraph read file-
+    // PRUNED: only the affected components' buckets are opened at all
+    // — the one history-scale term the flow had left. The pruned read
+    // returns whole buckets; repairParts' affected-cluster semi-join
+    // restores exactness. A default edge_key-bucketed store reads the
+    // full relation as before.
+    val hint0 = Dedup.takedownHint(del)
+    val aff0 = Dedup.affectedReps(p, del, hint0)
+    val le =
+      if (edges.partitionColOpt.contains("cluster_id"))
+        edges.snapshotPrunedBy(aff0.select(col("_ar").as("cluster_id")))
+      else edges.snapshot
     val (aff, surviving, repaired, hint) =
-      Dedup.repairParts(p, le, del, maxIter)
+      Dedup.repairParts(p, le, del, maxIter, Some((aff0, hint0)))
     val floor = snap
       .map(_.agg(max(col("batch_no"))).collect()(0))
       .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
@@ -580,25 +607,38 @@ object IncrementalDedup {
     if (!remove.isEmpty) labels.delete(remove)
     if (!relabel.isEmpty) labels.upsert(relabel)
     // edge-table maintenance: drop edges touching a deleted id;
-    // relabel surviving affected edges whose component min moved
+    // relabel surviving affected edges whose component min moved. The
+    // dead keys carry their stored cluster_id so a partitioned store's
+    // delete probe finds their buckets; the moved rows go through
+    // upsertMoved with their old cluster_id (cross-bucket move on a
+    // partitioned store, plain upsert otherwise)
     val keyOf = concat_ws(":", col("id_a"), col("id_b"))
     val dead = le.join(hint(aff), col("cluster_id") === col("_ar"),
         "left_semi")
       .join(hint(del.select(col("_d"))),
         col("id_a") === col("_d") || col("id_b") === col("_d"), "left_semi")
-      .select(keyOf.as("edge_key")).localCheckpoint(true)
-    if (!dead.isEmpty) edges.delete(dead)
-    val movedEdges = surviving
+      .select(keyOf.as("edge_key"), col("cluster_id"))
+      .localCheckpoint(true)
+    // pin the moved set BEFORE the delete commit (the snapshot frames
+    // are path-pinned, but an explicit checkpoint keeps the ordering
+    // contract visible)
+    val movedBoth = surviving
       .join(repaired.select(col("id").as("_ra"), col("cluster_id")
         .as("_rc")), col("id_a") === col("_ra"))
       .join(le.select(col("id_a").as("_oa"), col("id_b").as("_ob"),
         col("cluster_id").as("_oc")),
         col("id_a") === col("_oa") && col("id_b") === col("_ob"))
       .filter(col("_rc") =!= col("_oc"))
+      .localCheckpoint(true)
+    if (!dead.isEmpty) edges.delete(dead)
+    val movedEdges = movedBoth
       .select(keyOf.as("edge_key"), col("id_a"), col("id_b"),
         col("_rc").as("cluster_id"), lit(stamp).as("batch_no"))
-      .localCheckpoint(true)
-    if (!movedEdges.isEmpty) edges.upsert(movedEdges)
+    if (!movedEdges.isEmpty)
+      // old-values probe carries both candidate bucket columns (see
+      // maintainClustersWithEdges)
+      edges.upsertMoved(movedEdges, movedBoth.select(keyOf.as("edge_key"),
+        col("_oc").as("cluster_id")))
     out
   }
 
