@@ -503,6 +503,39 @@ object OracleSql {
             FROM DT dt JOIN WENC we USING (w) GROUP BY dt.doc_id)"""
   }
 
+  /** Shared q263/q280 takedown-gate oracle: final labels = full
+    * recompute over the %5-filtered pair set; stamp = 1 where the
+    * takedown moved nothing, else 2 (a spurious re-delivery commit
+    * would stamp 3+). q280 runs the same flow over a cluster_id-
+    * partitioned edge store — layout must never change results.
+    */
+  private lazy val takedownGateOracle: String =
+    s"""WITH RECURSIVE
+        ${lshPairCtes("documents")},
+        EDGES AS (SELECT id_a AS src, id_b AS dst FROM PAIRS
+                  UNION SELECT id_b, id_a FROM PAIRS),
+        REACH(node, r) AS (
+          SELECT src, src FROM EDGES
+          UNION
+          SELECT e.dst, r.r FROM REACH r JOIN EDGES e ON e.src = r.node),
+        FULLCC AS (SELECT node, min(r) AS cluster_id FROM REACH
+                   GROUP BY node),
+        SURV AS (SELECT id_a, id_b FROM PAIRS
+                 WHERE id_a % 5 <> 0 AND id_b % 5 <> 0),
+        EDGES_S AS (SELECT id_a AS src, id_b AS dst FROM SURV
+                    UNION SELECT id_b, id_a FROM SURV),
+        REACH_S(node, r) AS (
+          SELECT src, src FROM EDGES_S
+          UNION
+          SELECT e.dst, r.r FROM REACH_S r JOIN EDGES_S e ON e.src = r.node),
+        FINALCC AS (SELECT node, min(r) AS cluster_id FROM REACH_S
+                    GROUP BY node)
+        SELECT f.node AS doc_id, f.cluster_id,
+          CASE WHEN p.cluster_id = f.cluster_id THEN CAST(1 AS BIGINT)
+               ELSE CAST(2 AS BIGINT) END AS batch_no
+        FROM FINALCC f JOIN FULLCC p ON p.node = f.node
+        ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -993,33 +1026,12 @@ object OracleSql {
     // takedown gate: final labels = full recompute over the filtered
     // pair set; stamp = 1 where the takedown moved nothing (full and
     // filtered labels agree), else 2 — a re-delivered takedown that
-    // spuriously committed would stamp 3+ and go hash-red
-    "q263_takedown_gate" ->
-      s"""WITH RECURSIVE
-          ${lshPairCtes("documents")},
-          EDGES AS (SELECT id_a AS src, id_b AS dst FROM PAIRS
-                    UNION SELECT id_b, id_a FROM PAIRS),
-          REACH(node, r) AS (
-            SELECT src, src FROM EDGES
-            UNION
-            SELECT e.dst, r.r FROM REACH r JOIN EDGES e ON e.src = r.node),
-          FULLCC AS (SELECT node, min(r) AS cluster_id FROM REACH
-                     GROUP BY node),
-          SURV AS (SELECT id_a, id_b FROM PAIRS
-                   WHERE id_a % 5 <> 0 AND id_b % 5 <> 0),
-          EDGES_S AS (SELECT id_a AS src, id_b AS dst FROM SURV
-                      UNION SELECT id_b, id_a FROM SURV),
-          REACH_S(node, r) AS (
-            SELECT src, src FROM EDGES_S
-            UNION
-            SELECT e.dst, r.r FROM REACH_S r JOIN EDGES_S e ON e.src = r.node),
-          FINALCC AS (SELECT node, min(r) AS cluster_id FROM REACH_S
-                      GROUP BY node)
-          SELECT f.node AS doc_id, f.cluster_id,
-            CASE WHEN p.cluster_id = f.cluster_id THEN CAST(1 AS BIGINT)
-                 ELSE CAST(2 AS BIGINT) END AS batch_no
-          FROM FINALCC f JOIN FULLCC p ON p.node = f.node
-          ORDER BY doc_id""",
+    // spuriously committed would stamp 3+ and go hash-red.
+    // q280 runs the SAME flow over a cluster_id-PARTITIONED edge store
+    // (file-pruned induced reads, move-aware writes) — layout must
+    // never change results, so it shares this oracle verbatim
+    "q263_takedown_gate" -> takedownGateOracle,
+    "q280_takedown_pruned" -> takedownGateOracle,
 
     // lake-backed maintained sample: final k-set = DIRECT recompute
     // over the full corpus (maintained ≡ recompute, the q233

@@ -1055,6 +1055,47 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Takedown gate on a cluster_id-PARTITIONED edge store (q280,
+    * VERDICT r15 item 2): q263's exact flow with the persisted edge
+    * relation's FILES bucketed by `cluster_id` instead of `edge_key` —
+    * the layout repairParts' scaladoc always promised. The takedown's
+    * induced-subgraph read goes through snapshotPrunedBy: only the
+    * affected components' buckets are OPENED at all (file-level
+    * pruning, pinned on inputFiles in PartitionedTableSpec), closing
+    * the one history-scale term the flow had left — at 100 TB a
+    * takedown reads the touched components' file groups, never the
+    * corpus-scale edge relation. Writes stay move-aware (upsertMoved:
+    * a relabel crosses buckets; emptied source buckets fall out of
+    * the manifest). The oracle is q263's verbatim — layout must never
+    * change results, so the two rows hash-equal by contract.
+    */
+  private def qTakedownPruned(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q280_tdp_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val labels = new graft.operators.VersionedTable(s, root + "/labels",
+      "id", "batch_no", numBuckets = 8)
+    val edges = new graft.operators.VersionedTable(s, root + "/edges",
+      "edge_key", "batch_no", numBuckets = 8,
+      partitionColOpt = Some("cluster_id"))
+    val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint(true)
+    graft.operators.IncrementalDedup.maintainClustersWithEdges(
+      labels, edges, pairs, 1L)
+    val deleted = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id").as("id"))
+      .localCheckpoint(true)
+    graft.operators.IncrementalDedup.takedown(labels, edges, deleted, 2L)
+    graft.operators.IncrementalDedup.takedown(labels, edges, deleted, 3L)
+    labels.snapshotOpt
+      .map(_.select(col("id").as("doc_id"), col("cluster_id"),
+        col("batch_no")))
+      .getOrElse(s.range(0).select(col("id").as("doc_id"),
+        col("id").as("cluster_id"), col("id").as("batch_no")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Maintained weighted sample as a lake gate (q264, VERDICT r15
     * item 7): q233's maintenance discipline made PHYSICAL — the k=64
     * priority sample lives on a VersionedTable; ingest 1 cuts the
@@ -5403,7 +5444,8 @@ object SparkEntry {
     "q276_bucketed_colocated" -> (qBucketedColocated _),
     "q277_salted_skew_join" -> (qSaltedSkewJoin _),
     "q278_skew_advisor" -> (qSkewAdvisor _),
-    "q279_sample_takedown_gate" -> (qSampleTakedownGate _))
+    "q279_sample_takedown_gate" -> (qSampleTakedownGate _),
+    "q280_takedown_pruned" -> (qTakedownPruned _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
