@@ -1033,6 +1033,98 @@ object OracleSql {
     "q263_takedown_gate" -> takedownGateOracle,
     "q280_takedown_pruned" -> takedownGateOracle,
 
+    // takedown EVERYWHERE (the composition row): every maintained
+    // structure RECOMPUTED from the surviving corpus alone — labels +
+    // edges by recursive reachability over the %5-filtered pair set,
+    // postings/rollup as plain aggregates of the surviving docs, the
+    // buffered sample by the q279 branch walk (local repair vs
+    // recompute on the hit count), and the IVF-PQ index by the q190
+    // quantizer replay (trained on the FULL corpus — the engine froze
+    // the codebooks before the takedown — assigned to survivors only).
+    // maintained ≡ recompute on all six structures, in one hash
+    "q281_takedown_everywhere" -> {
+      val (m, kc, sub) = (2, 4, 32)
+      val codeCtes = (0 until m).map { s =>
+        val lo = s * sub + 1; val hi = (s + 1) * sub
+        s"""CT$s AS (SELECT id, emb[$lo:$hi] AS emb FROM C),
+            PS0_$s AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, emb AS cemb
+                   FROM (SELECT * FROM CT$s ORDER BY id LIMIT $kc)),
+            ${ivfRound(s"PS0_$s", s"PA1_$s", s"PP1_$s", s"PM1_$s", s"PS1_$s", s"CT$s")},
+            ${ivfRound(s"PS1_$s", s"PA2_$s", s"PP2_$s", s"PM2_$s", s"PS2_$s", s"CT$s")},
+            FS$s AS (SELECT id, emb[$lo:$hi] AS emb FROM FIN),
+            ${ivfAssignCte(s"FS$s", s"PS2_$s", s"CODE$s", 1)}"""
+      }.mkString(",\n")
+      s"""WITH RECURSIVE
+          ${lshPairCtes("documents")},
+          SURV AS (SELECT id_a, id_b FROM PAIRS
+                   WHERE id_a % 5 <> 0 AND id_b % 5 <> 0),
+          EDGES_S AS (SELECT id_a AS src, id_b AS dst FROM SURV
+                      UNION SELECT id_b, id_a FROM SURV),
+          REACH_S(node, r) AS (
+            SELECT src, src FROM EDGES_S
+            UNION
+            SELECT e.dst, r.r FROM REACH_S r JOIN EDGES_S e ON e.src = r.node),
+          FINALCC AS (SELECT node, min(r) AS cluster_id FROM REACH_S
+                      GROUP BY node),
+          SDOC AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+          PT AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM SDOC),
+          PE AS (SELECT doc_id, unnest(tk) AS term FROM PT),
+          PD AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
+                 CAST(${md5long("CAST(doc_id AS VARCHAR)")} // n_chars
+                   AS BIGINT) AS prio
+                FROM documents),
+          SP2 AS (SELECT id, prio, CAST(r AS BIGINT) AS rank FROM
+                 (SELECT *, row_number() OVER (ORDER BY prio, id) AS r
+                  FROM PD) WHERE r <= 64),
+          SH AS (SELECT count(*) AS h FROM SP2 WHERE id % 5 = 0),
+          SLOC AS (SELECT id, CAST(row_number() OVER (ORDER BY prio, id)
+                   AS BIGINT) AS rank
+                 FROM SP2 WHERE id % 5 <> 0),
+          SREC AS (SELECT id, CAST(r AS BIGINT) AS rank FROM
+                 (SELECT *, row_number() OVER (ORDER BY prio, id) AS r
+                  FROM PD WHERE id % 5 <> 0) WHERE r <= 64),
+          SAM AS (SELECT id, rank FROM SLOC
+                   WHERE (SELECT h FROM SH) BETWEEN 1 AND 16 AND rank <= 48
+                  UNION ALL
+                  SELECT id, rank FROM SREC
+                   WHERE ((SELECT h FROM SH) = 0 OR (SELECT h FROM SH) > 16)
+                     AND rank <= 48),
+          C0 AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          C AS (SELECT * FROM C0),
+          S0 AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, emb AS cemb
+                 FROM (SELECT * FROM C ORDER BY id LIMIT 8)),
+          ${ivfRound("S0", "QA1", "QP1", "QM1", "S1")},
+          ${ivfRound("S1", "QA2", "QP2", "QM2", "S2")},
+          FIN AS (SELECT * FROM C0 WHERE id % 5 <> 0),
+          ${ivfAssignCte("FIN", "S2", "CCA", 1)},
+          $codeCtes
+          SELECT structure, k, v FROM (
+            SELECT 'labels' AS structure, CAST(node AS VARCHAR) AS k,
+              CAST(cluster_id AS BIGINT) AS v FROM FINALCC
+            UNION ALL
+            SELECT 'edges', e.id_a || ':' || e.id_b,
+              CAST(f.cluster_id AS BIGINT)
+            FROM SURV e JOIN FINALCC f ON f.node = e.id_a
+            UNION ALL
+            SELECT 'postings', term || ':' || doc_id,
+              CAST(count(*) AS BIGINT)
+            FROM PE GROUP BY term, doc_id
+            UNION ALL
+            SELECT 'rollup_n', lang, CAST(count(*) AS BIGINT)
+            FROM SDOC GROUP BY lang
+            UNION ALL
+            SELECT 'rollup_sum', lang, CAST(sum(n_chars) AS BIGINT)
+            FROM SDOC GROUP BY lang
+            UNION ALL
+            SELECT 'sample', CAST(id AS VARCHAR), rank FROM SAM
+            UNION ALL
+            SELECT 'pq', CAST(f.id AS VARCHAR),
+              CAST(cc.cid * 10000 + c0.cid * 100 + c1.cid AS BIGINT)
+            FROM FIN f JOIN CCA cc ON cc.id = f.id
+            JOIN CODE0 c0 ON c0.id = f.id JOIN CODE1 c1 ON c1.id = f.id
+          ) ORDER BY structure, k"""
+    },
+
     // lake-backed maintained sample: final k-set = DIRECT recompute
     // over the full corpus (maintained ≡ recompute, the q233
     // contract); stamp = 1 where the row survived the odd ingest with

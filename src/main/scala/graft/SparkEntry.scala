@@ -1096,6 +1096,105 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Takedown EVERYWHERE — the composition row (q281, VERDICT r15
+    * item 1): one corpus takedown (doc_id/vec_id % 5 == 0) driven
+    * through EVERY maintained structure in a single flow — cluster
+    * labels + the cluster_id-partitioned edge store (q280's takedown),
+    * the inverted-index postings (maintainPostings over the corpus
+    * table's CDC diff), the per-lang rollup (maintainRollupCdc), the
+    * buffered priority sample (q279's takedownSampleBuffered), and the
+    * IVF-PQ ANN index (maintainPqIndex following the embeddings
+    * table's delete). Each structure's final state is emitted as
+    * (structure, k, v) rows and the oracle RECOMPUTES every one of
+    * them from the surviving corpus alone — maintained ≡ recompute on
+    * all six, in one hash. Per-takedown work stays structure-bounded
+    * throughout: component-scoped CC over the file-pruned induced
+    * edges, diff-driven postings/rollup touch only changed keys/
+    * groups, the sample repairs from its O(k+m) buffer, and the index
+    * drops exactly the deleted ids' rows — nothing history-scale
+    * shuffles anywhere in the flow.
+    */
+  private def qTakedownEverywhere(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_q281_tde_" + ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(dir.hashCode)).toString
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    def vt(sub: String, key: String, pre: String,
+        part: Option[String] = None) =
+      new graft.operators.VersionedTable(s, s"$root/$sub", key, pre,
+        numBuckets = 8, partitionColOpt = part)
+    val docs = t(s, dir, "documents")
+    val deletedDocs = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id")).localCheckpoint(true)
+    // 1+2: labels + cluster_id-partitioned edges, takedown-repaired
+    val labels = vt("labels", "id", "batch_no")
+    val edges = vt("edges", "edge_key", "batch_no", Some("cluster_id"))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    graft.operators.IncrementalDedup.maintainClustersWithEdges(
+      labels, edges, pairs, 1L)
+    graft.operators.IncrementalDedup.takedown(labels, edges, deletedDocs, 2L)
+    // 3+4: corpus table feeds postings + rollup through its CDC diff
+    val cvt = vt("corpus", "doc_id", "ver")
+    val c1 = cvt.upsert(docs.select(col("doc_id"), col("text"), col("lang"),
+      col("n_chars"), lit(1L).as("ver")))
+    val postings1 = graft.operators.TextSearch
+      .postingRows(cvt.snapshot, "doc_id", "text").localCheckpoint(true)
+    val aggs = Seq("n_docs" -> count(lit(1)),
+      "sum_chars" -> sum(col("n_chars")))
+    val rollup1 = graft.operators.RollupMaintenance
+      .fullRollup(cvt, "lang", aggs).localCheckpoint(true)
+    cvt.delete(deletedDocs.select(col("id").as("doc_id")))
+    val head = cvt.commits.head
+    val postings = graft.operators.TextSearch
+      .maintainPostings(cvt, c1, head, postings1, "text")
+    val rollup = graft.operators.RollupMaintenance
+      .maintainRollupCdc(cvt, c1, head, rollup1, "lang", aggs)
+    // 5: buffered sample repaired from local state (q279's gate)
+    val svt = vt("sample", "id", "batch_no")
+    graft.operators.IncrementalDedup.maintainSampleBuffered(svt, docs,
+      col("doc_id"), col("n_chars"), k = 48, m = 16, batchNo = 1L)
+    graft.operators.IncrementalDedup.takedownSampleBuffered(svt,
+      deletedDocs, k = 48, m = 16, batchNo = 2L, corpus = () => docs,
+      key = col("doc_id"), weight = col("n_chars"))
+    // 6: the IVF-PQ index follows the embeddings table's delete
+    val evt = vt("emb", "id", "ver")
+    val emb = embCorpus(s, dir)
+    val e1 = evt.upsert(emb.withColumn("ver", lit(1L)))
+    val frozen = evt.snapshot.select(col("id"), col("emb"))
+    val coarse = Similarity.trainCentroids(frozen, k = 8, iters = 2)
+    val books = Similarity.trainPqCodebooks(frozen, m = 2, k = 4, iters = 2)
+    val ivt = vt("pqidx", "id", "ver")
+    ivt.upsert(Similarity.encodeIvfPq(frozen, coarse, books)
+      .join(evt.snapshot.select(col("id"), col("ver")), Seq("id")))
+    evt.delete(emb.filter(col("id") % 5 === 0).select(col("id")))
+    Similarity.maintainPqIndex(ivt, evt, e1, coarse, books)
+    // tall (structure, k, v) union — (structure, k) is a key in every
+    // block, so the output order is total and engine-independent
+    val sLab = labels.snapshot.select(lit("labels").as("structure"),
+      col("id").cast("string").as("k"), col("cluster_id").as("v"))
+    val sEdg = edges.snapshot.select(lit("edges").as("structure"),
+      col("edge_key").as("k"), col("cluster_id").as("v"))
+    val sPos = postings.select(lit("postings").as("structure"),
+      concat_ws(":", col("term"), col("doc_id")).as("k"),
+      col("tf").as("v"))
+    val sRol = rollup.select(lit("rollup_n").as("structure"),
+        col("lang").as("k"), col("n_docs").as("v"))
+      .unionByName(rollup.select(lit("rollup_sum").as("structure"),
+        col("lang").as("k"), col("sum_chars").cast("long").as("v")))
+    val sSam = svt.snapshot.filter(col("rank") <= 48)
+      .select(lit("sample").as("structure"),
+        col("id").cast("string").as("k"), col("rank").as("v"))
+    val sPq = ivt.snapshot.select(lit("pq").as("structure"),
+      col("id").cast("string").as("k"),
+      (col("cid").cast("long") * 10000L +
+        element_at(col("codes"), 1).cast("long") * 100L +
+        element_at(col("codes"), 2).cast("long")).as("v"))
+    sLab.unionByName(sEdg).unionByName(sPos).unionByName(sRol)
+      .unionByName(sSam).unionByName(sPq)
+      .orderBy(col("structure"), col("k"))
+  }
+
   /** Maintained weighted sample as a lake gate (q264, VERDICT r15
     * item 7): q233's maintenance discipline made PHYSICAL — the k=64
     * priority sample lives on a VersionedTable; ingest 1 cuts the
@@ -5445,7 +5544,8 @@ object SparkEntry {
     "q277_salted_skew_join" -> (qSaltedSkewJoin _),
     "q278_skew_advisor" -> (qSkewAdvisor _),
     "q279_sample_takedown_gate" -> (qSampleTakedownGate _),
-    "q280_takedown_pruned" -> (qTakedownPruned _))
+    "q280_takedown_pruned" -> (qTakedownPruned _),
+    "q281_takedown_everywhere" -> (qTakedownEverywhere _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
