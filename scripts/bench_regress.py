@@ -139,6 +139,7 @@ def main(argv):
     if only_ref:
         print(f"archived-only (missing from fresh run): {', '.join(only_ref)}")
     regressions = []
+    subfloor = []
     for name in sorted(set(fq) & set(rq)):
         f, r = fq[name], rq[name]
         if f < 0 or r <= 0:
@@ -161,6 +162,15 @@ def main(argv):
         # normalize — acceptable, the archive re-cuts every round.
         if min(ratio, raw) > thr and max(f, r) >= MIN_SECONDS:
             regressions.append((name, f, r, ratio, raw))
+        elif min(ratio, raw) > thr:
+            # sub-floor drift (VERDICT r15 item 3): rows under
+            # MIN_SECONDS used to vanish entirely, which hid q186's
+            # 2.7x / q47's 1.9x normalized drift from the tool. They
+            # stay NON-FAILING (absolute deltas are fractions of a
+            # second, dominated by dispatch), but they print, so a
+            # creeping small-row regression is adjudicated on purpose
+            # rather than unseen
+            subfloor.append((name, f, r, ratio, raw))
     for name, f, r, ratio, raw in sorted(regressions, key=lambda t: -t[3]):
         if ratio != float("inf"):
             note = f", raw {raw:.2f}x" if cal != 1.0 else ""
@@ -172,8 +182,18 @@ def main(argv):
                          f"-> {ratio / disp:.2f}x")
             print(f"REGRESS  {name}: {f:.2f}s vs {r:.2f}s archived "
                   f"({ratio:.2f}x > {thr}x{note})")
+    for name, f, r, ratio, raw in sorted(subfloor, key=lambda t: -t[3]):
+        note = f", raw {raw:.2f}x" if cal != 1.0 else ""
+        if disp > 1.0 and ratio / disp <= thr:
+            note += (f" — likely dispatch-bound: /{disp:.2f}x dispatch "
+                     f"-> {ratio / disp:.2f}x")
+        print(f"SUBFLOOR {name}: {f:.2f}s vs {r:.2f}s archived "
+              f"({ratio:.2f}x, under the {MIN_SECONDS}s floor — "
+              f"informational, not a failure{note})")
     if not regressions:
-        print(f"OK: no common query above {thr}x the archive (>= {MIN_SECONDS}s)")
+        print(f"OK: no common query above {thr}x the archive (>= {MIN_SECONDS}s)"
+              + (f"; {len(subfloor)} sub-floor drift row(s) listed above"
+                 if subfloor else ""))
         return 0
     return 1
 
