@@ -1440,7 +1440,7 @@ object OracleSql {
            CASE WHEN dim.dim_rows <= 1000 THEN 'broadcast'
                 WHEN t.n <= greatest(1, tot.total // 32) * 5
                   THEN 'shuffle'
-                ELSE 'salt' END AS advice,
+                ELSE 'aqe_or_salt' END AS advice,
            CAST(CASE WHEN dim.dim_rows <= 1000
                   OR t.n <= greatest(1, tot.total // 32) * 5 THEN 0
                 ELSE least(64, greatest(2,

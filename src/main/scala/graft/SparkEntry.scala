@@ -3649,8 +3649,10 @@ object SparkEntry {
     * battery data the branches split by SF — 150 users at sf0.01 fit
     * the cap (broadcast), 1500 at sf0.1 do not and the uniform ~100-
     * row keys sit far under 5× mean (shuffle) — and the oracle
-    * replays the same integer walk either way; the salt branch is
-    * pinned synthetically in DiagnosticsSpec.
+    * replays the same integer walk either way; the third branch
+    * (aqe_or_salt — AQE preferred, salt as the measured-never-winning
+    * no-AQE escape hatch, see the r16 saltprobe2 study) is pinned
+    * synthetically in OperatorsSpec.
     */
   private def qSkewAdvisor(s: SparkSession, dir: String): DataFrame = {
     val ev = tRaw(s, dir, "events")

@@ -280,9 +280,27 @@ object Diagnostics {
     *    shuffle-partition size (AQE's own skew multiplier): the
     *    straggler can't dominate, and the study measured salting as
     *    pure overhead in that regime;
-    *  - `salt` past that, with the salt count that levels the hot
-    *    key back to mean-partition size: ceil(n / meanPart), clamped
-    *    to [2, 64] — the parameter saltedJoinHot then takes.
+    *  - `aqe_or_salt` past that: PREFER AQE's skew join, with the
+    *    salt count that would level the hot key back to
+    *    mean-partition size — ceil(n / meanPart), clamped to [2, 64],
+    *    the parameter saltedJoinHot takes — as the escape hatch for
+    *    engines/paths where AQE cannot fire (disabled, non-equi
+    *    salvage, pre-AQE engines).
+    *
+    * The third branch's preference is MEASURED, not asserted, and the
+    * measurement is of salting LOSING: the round-15 saltprobe study
+    * (narrow rows) and the round-16 saltprobe2 study (the shapes the
+    * first study named as unreached — ~100-byte string payloads
+    * through the join, and a many-to-many hot key with 4× output
+    * multiplicity; BASELINE.md round-16) found NO local[32] cell
+    * where either salted form beat AQE-on — or even AQE-OFF: at this
+    * executor count the hot partition's single task never dominates
+    * the job wall, while salting always pays its dim replication and
+    * wider shuffle. So the advisory never recommends salting over a
+    * live AQE; the salt parameter is emitted for the documented
+    * no-AQE regime, which local[32] cannot measure (a straggler only
+    * dominates when the cluster is wide enough that one task IS the
+    * critical path).
     *
     * meanPart floors at 1 so the law is total over tiny inputs.
     */
@@ -303,9 +321,9 @@ object Diagnostics {
       .withColumn("advice",
         when(lit(dimRows) <= lit(broadcastRowCap), lit("broadcast"))
           .when(col("n") <= col("mean_part_n") * 5, lit("shuffle"))
-          .otherwise(lit("salt")))
+          .otherwise(lit("aqe_or_salt")))
       .withColumn("salt",
-        when(col("advice") === "salt",
+        when(col("advice") === "aqe_or_salt",
           least(lit(64L), greatest(lit(2L),
             expr("(n + mean_part_n - 1) div mean_part_n"))))
           .otherwise(lit(0L)))

@@ -14,7 +14,8 @@ object ScaleProbe {
     "videodup", "ams", "stitchgate", "stitchgatecap", "bloom", "bloomprof",
     "bloomrel", "q21", "q20", "q2shape", "q17shape", "ccmaint",
     "ccmaintsyn", "ccconv", "keyoverlap", "seamwidth", "takedown",
-    "shapegen", "q4form", "saltprobe", "bucketprobe")
+    "shapegen", "q4form", "saltprobe", "saltprobe2", "bucketprobe",
+    "takedownlake", "samplelake")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -399,6 +400,75 @@ object ScaleProbe {
         }
       }
     }
+    if (probes("takedownlake")) {
+      // VERDICT r15 item 2 evidence, END-TO-END on the lake: the same
+      // path-component history as the `takedown` probe, but persisted
+      // through maintainClustersWithEdges, with the edge store in both
+      // layouts — edge_key-bucketed (every takedown scans the full
+      // relation once) vs cluster_id-PARTITIONED (the induced read
+      // opens only the affected components' buckets). The 100-doc
+      // takedown is FIXED while history grows 10x: flat takedown time
+      // on the partitioned store is the claim; the second (idempotent)
+      // takedown isolates the read path from the write sets.
+      import graft.operators.{IncrementalDedup => ID, VersionedTable}
+      for (n <- Seq(1000000L, 10000000L); part <- Seq(false, true)) {
+        val tag = s"h${n}_" + (if (part) "part" else "keyed")
+        val root = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft_tdlake_$tag")
+        graft.util.Fs.deleteRecursively(root)
+        val labels = new VersionedTable(spark, s"$root/labels", "id",
+          "batch_no", numBuckets = 32)
+        val edges = new VersionedTable(spark, s"$root/edges", "edge_key",
+          "batch_no", numBuckets = 32,
+          partitionColOpt = if (part) Some("cluster_id") else None)
+        val pairs = spark.range(n).filter(col("id") % 10 =!= 9)
+          .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        timed(s"tdlake_ingest_$tag")(locally {
+          ID.maintainClustersWithEdges(labels, edges, pairs, 1L)
+          labels.snapshot.count()
+        })
+        val del = spark.range(100).select((col("id") * 1000 + 5).as("id"))
+          .localCheckpoint(true)
+        timed(s"tdlake_takedown_$tag")(
+          ID.takedown(labels, edges, del, 2L).count())
+        timed(s"tdlake_retakedown_$tag")(
+          ID.takedown(labels, edges, del, 3L).count())
+        graft.util.Fs.deleteRecursively(root)
+      }
+    }
+    if (probes("samplelake")) {
+      // VERDICT r15 item 1 evidence: per-takedown IO on the buffered
+      // sample tracks the TOUCHED rows (O(k+m) buffer + |del|), never
+      // the corpus — the takedown leg stays flat while history grows
+      // 100x (the ingest leg shows the corpus-scale contrast).
+      import graft.operators.{IncrementalDedup => ID, VersionedTable}
+      for (n <- Seq(1000000L, 10000000L, 100000000L)) {
+        val root = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft_smplake_$n")
+        graft.util.Fs.deleteRecursively(root)
+        val svt = new VersionedTable(spark, root.toString, "id",
+          "batch_no", numBuckets = 8)
+        val corpus = spark.range(n).select(col("id"),
+          (col("id") % 997 + 1).as("w"))
+        timed(s"smplake_ingest_h$n")(locally {
+          ID.maintainSampleBuffered(svt, corpus, col("id"), col("w"),
+            k = 48, m = 16, batchNo = 1L)
+          svt.snapshot.count()
+        })
+        // one real buffered hit + 99 misses (hit id read outside the
+        // timed window)
+        val sid = svt.snapshot.orderBy(col("rank")).select(col("id"))
+          .head().getLong(0)
+        val del = spark.range(99).select((col("id") + n).as("id"))
+          .unionAll(spark.range(1).select(lit(sid).as("id")))
+          .localCheckpoint(true)
+        timed(s"smplake_takedown_h$n")(
+          ID.takedownSampleBuffered(svt, del, k = 48, m = 16,
+            batchNo = 2L, corpus = () => corpus, key = col("id"),
+            weight = col("w")).count())
+        graft.util.Fs.deleteRecursively(root)
+      }
+    }
     if (probes("shapegen")) {
       // VERDICT r15 item 6 evidence: the TPC-H shape rows run VERBATIM
       // on gen data through GenFilters' generator-keyed constants — no
@@ -522,6 +592,59 @@ object ScaleProbe {
             graft.operators.Layout.saltedJoinHot(big, small, "key", 32,
               Seq(0L))
               .groupBy("tag").agg(sum(col("v")).as("sv")).count())
+        }
+      } finally {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      }
+    }
+    if (probes("saltprobe2")) {
+      // VERDICT r15 item 5: hunt the regime where salting WINS, in
+      // the shapes the saltprobe study itself named as unreached —
+      // WIDE string-heavy rows (the hot partition's bytes, not just
+      // its row count, land on one reducer) and HIGH per-key join
+      // MULTIPLICITY (a many-to-many hot key whose OUTPUT explodes).
+      // 8M-row fact, 30% on hot key 0, 1M-row dim (broadcast forced
+      // off); wide legs carry a ~100-byte payload through the join;
+      // mult legs give the hot key 4 dim replicas (output 4x on the
+      // hot slice). Four plans each: AQE skew ON (the default cure),
+      // AQE OFF (the no-AQE engine the salt escape hatch exists for),
+      // full salted32, hot-targeted salted32.
+      val n = 8000000L
+      def fact(wide: Boolean) = {
+        val base = spark.range(n).select(
+          when(col("id") % 100 < 30, lit(0L))
+            .otherwise(col("id") % 1000000L).as("key"),
+          (col("id") % 97).as("v"))
+        if (wide) base.withColumn("payload",
+          concat(lit("x" * 96), col("v").cast("string")))
+        else base
+      }
+      def dim(mult: Boolean) = {
+        val base = spark.range(1000000L)
+          .select(col("id").as("key"), (col("id") % 5).as("tag"))
+        if (mult) base.unionAll(spark.range(3L)
+          .select(lit(0L).as("key"), (col("id") + 5L).as("tag")))
+        else base
+      }
+      def agg(df: org.apache.spark.sql.DataFrame, wide: Boolean) =
+        (if (wide) df.groupBy("tag").agg(sum(length(col("payload"))).as("s"))
+         else df.groupBy("tag").agg(sum(col("v")).as("s"))).count()
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        for (shape <- Seq("wide", "mult", "widemult"); i <- 1 to 3) {
+          val (w, m) = (shape.contains("wide"), shape.contains("mult"))
+          val (b, s) = (fact(w), dim(m))
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+          timed(s"saltprobe2_${shape}_aqe_on_r$i")(agg(b.join(s, "key"), w))
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+          timed(s"saltprobe2_${shape}_aqe_off_r$i")(agg(b.join(s, "key"), w))
+          timed(s"saltprobe2_${shape}_salted32_r$i")(
+            agg(graft.operators.Layout.saltedJoin(b, s, "key", 32), w))
+          timed(s"saltprobe2_${shape}_saltedhot32_r$i")(
+            agg(graft.operators.Layout.saltedJoinHot(b, s, "key", 32,
+              Seq(0L)), w))
         }
       } finally {
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

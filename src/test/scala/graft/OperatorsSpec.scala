@@ -1250,7 +1250,10 @@ class OperatorsSpec extends SparkSpec {
       .toDF("key0")
     val w = Diagnostics.skewJoinAdvice(wild, col("key0"), dimRows = 5000L,
       broadcastRowCap = 1000L, partitions = 24, topK = 1).collect().head
-    assert(w.getAs[String]("advice") == "salt" &&
+    // the third branch prefers AQE (both saltprobe studies measured
+    // salting losing in every local[32] cell); the salt count is the
+    // documented no-AQE escape-hatch parameter
+    assert(w.getAs[String]("advice") == "aqe_or_salt" &&
       w.getAs[Long]("salt") == 20L,
       s"expected salt=ceil(400/20)=20, got ${w.mkString(",")}")
     // the clamp: a key owning nearly everything caps at 64
