@@ -1021,9 +1021,19 @@ object Dedup {
     */
   private[operators] def deleteLabelWriteSets(p: DataFrame, aff: DataFrame,
       repaired: DataFrame, hint: DataFrame => DataFrame)
-      : (DataFrame, DataFrame) = {
-    val affRows = p.join(hint(aff), col("_prep") === col("_ar"), "left_semi")
-      .localCheckpoint(true)
+      : (DataFrame, DataFrame) =
+    deleteLabelWriteSetsFromRows(
+      p.join(hint(aff), col("_prep") === col("_ar"), "left_semi")
+        .localCheckpoint(true),
+      repaired)
+
+  /** [[deleteLabelWriteSets]] when the caller already holds the
+    * affected components' label rows (`affRows` = (_pid, _prep)) —
+    * the takedown gate derives them from a PRUNED read instead of a
+    * label-table scan (r16: the last history-scale terms in the flow).
+    */
+  private[operators] def deleteLabelWriteSetsFromRows(affRows: DataFrame,
+      repaired: DataFrame): (DataFrame, DataFrame) = {
     val relabel = repaired
       .join(affRows, col("id") === col("_pid"))
       .filter(col("cluster_id") =!= col("_prep"))

@@ -538,7 +538,25 @@ object IncrementalDedup {
     * surviving affected edges whose component min moved are
     * relabeled. Re-delivering a takedown finds the ids already gone —
     * empty write sets, zero commits (idempotent). A takedown against
-    * an empty/uncommitted label table is a no-op.
+    * an empty/uncommitted label table is a no-op. The floor-monotone
+    * stamp is computed over the AFFECTED rows — the only precombine
+    * races a takedown can enter — so no all-history column agg runs.
+    *
+    * Per-takedown IO (r16): EVERY read is pruned — deleted-id labels
+    * and affected-member labels are point-lookup bucket reads
+    * ([[VersionedTable.snapshotPrunedBy]] on the id-bucketed label
+    * table), membership itself comes from the induced edge relation
+    * (every labeled node carries ≥ 1 index edge — an invariant the
+    * ingest/takedown pair maintains: labels are written only for pair
+    * endpoints, and the takedown that deletes a node's last edge also
+    * deletes its label row), and on a cluster_id-partitioned edge
+    * store the induced read opens only the affected components'
+    * buckets. With bucket counts following the
+    * [[VersionedTable.suggestBucketCount]] sizing rule, takedown cost
+    * is flat as history grows (the takedownlake slope legs in
+    * BASELINE.md); an edge_key-bucketed store keeps one history-scale
+    * term — the full edge scan the partitioned layout exists to
+    * remove.
     *
     * Returns the label write set — (id, cluster_id, batch_no, op)
     * with op ∈ {relabel, remove} (cluster_id/batch_no null on
@@ -563,37 +581,68 @@ object IncrementalDedup {
     val del = deletedIds.select(col(deletedIds.columns.head).as("_d"))
       .distinct().localCheckpoint(true)
     if (del.isEmpty) return empty
-    val prior = snap.get.select(col("id"), col("cluster_id"))
     if (edges.snapshotOpt.isEmpty) sys.error(
       "takedown: no persisted edge relation — ingest through " +
         "maintainClustersWithEdges")
-    val p = prior.select(col("id").as("_pid"), col("cluster_id").as("_prep"))
-    // affected reps FIRST, so a cluster_id-partitioned edge store
-    // (VERDICT r15 item 2) serves the induced-subgraph read file-
-    // PRUNED: only the affected components' buckets are opened at all
-    // — the one history-scale term the flow had left. The pruned read
-    // returns whole buckets; repairParts' affected-cluster semi-join
-    // restores exactness. A default edge_key-bucketed store reads the
-    // full relation as before.
     val hint0 = Dedup.takedownHint(del)
-    val aff0 = Dedup.affectedReps(p, del, hint0)
+    // the deleted ids' labels are POINT LOOKUPS on the id-bucketed
+    // label table (r16: the gate's label reads are all pruned now —
+    // no step below scans history): snapshotPrunedBy opens only the
+    // deleted ids' buckets, then affectedReps' semi restores exactness
+    val delLab = labels.snapshotPrunedBy(del.select(col("_d").as("id")))
+      .select(col("id").as("_pid"), col("cluster_id").as("_prep"))
+    val aff0 = Dedup.affectedReps(delLab, del, hint0)
+    // induced-subgraph read: on a cluster_id-partitioned edge store
+    // (VERDICT r15 item 2) only the affected components' buckets are
+    // opened at all — file-level pruning; the whole-bucket superset is
+    // cut exact by repairParts' affected-cluster semi-join. A default
+    // edge_key-bucketed store reads the full relation (its one
+    // history-scale term — the layout exists to remove it).
+    val pruned = edges.partitionColOpt.contains("cluster_id")
     val le =
-      if (edges.partitionColOpt.contains("cluster_id"))
+      if (pruned)
         edges.snapshotPrunedBy(aff0.select(col("_ar").as("cluster_id")))
       else edges.snapshot
     val (aff, surviving, repaired, hint) =
-      Dedup.repairParts(p, le, del, maxIter, Some((aff0, hint0)))
-    val floor = snap
-      .map(_.agg(max(col("batch_no"))).collect()(0))
-      .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
-      .getOrElse(0L)
+      Dedup.repairParts(delLab, le, del, maxIter, Some((aff0, hint0)))
+    // the affected components' LABEL rows — the write-set base and the
+    // floor source. Membership comes from the (pruned) edge relation:
+    // every labeled node carries >= 1 index edge (an invariant the
+    // ingest/takedown pair maintains — labels are written only for
+    // pair endpoints, and the takedown that deletes a node's last edge
+    // also deletes its label row), so the induced endpoints ARE the
+    // membership, and one more pruned point-lookup read yields their
+    // label rows with stamps. No history-scale label scan on either
+    // layout.
+    val inducedEnds = le
+      .join(hint0(aff0), col("cluster_id") === col("_ar"), "left_semi")
+    val memberIds = inducedEnds.select(col("id_a").as("id"))
+      .unionByName(inducedEnds.select(col("id_b").as("id")))
+      .distinct().localCheckpoint(true)
+    // plain (AQE-chosen) join: memberIds is whole-component-sized —
+    // larger than the del-derived relations the broadcast valve
+    // guards — while the pruned label read is already bucket-bounded
+    val affRows = labels.snapshotPrunedBy(memberIds)
+      .join(memberIds.select(col("id").as("_mid")),
+        col("id") === col("_mid"), "left_semi")
+      .select(col("id").as("_pid"), col("cluster_id").as("_prep"),
+        col("batch_no").as("_bno"))
+      .localCheckpoint(true)
+    // floor-monotone stamp over the rows this takedown REWRITES (the
+    // only precombine races it can enter): max stored stamp among the
+    // affected rows + 1 floors a counter-reset batchNo, without an
+    // all-history column agg
+    val floor = affRows.agg(max(col("_bno"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0) + 1L
+    }
     val stamp = math.max(floor, batchNo)
     // shared derivation with the pure-delta form (Dedup
-    // .deleteLabelWriteSets — review find, round 15: two copies of the
-    // write-set semantics could drift); the gate adds the stamp and
-    // pins both frames before any commit
-    val (relabel0, remove0) =
-      Dedup.deleteLabelWriteSets(p, aff, repaired, hint)
+    // .deleteLabelWriteSetsFromRows — review find, round 15: two
+    // copies of the write-set semantics could drift); the gate adds
+    // the stamp and pins both frames before any commit
+    val (relabel0, remove0) = Dedup.deleteLabelWriteSetsFromRows(
+      affRows.select(col("_pid"), col("_prep")), repaired)
     val relabel = relabel0
       .withColumn("batch_no", lit(stamp))
       .localCheckpoint(true)

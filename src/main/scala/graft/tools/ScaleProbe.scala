@@ -406,20 +406,30 @@ object ScaleProbe {
       // through maintainClustersWithEdges, with the edge store in both
       // layouts — edge_key-bucketed (every takedown scans the full
       // relation once) vs cluster_id-PARTITIONED (the induced read
-      // opens only the affected components' buckets). The 100-doc
-      // takedown is FIXED while history grows 10x: flat takedown time
-      // on the partitioned store is the claim; the second (idempotent)
-      // takedown isolates the read path from the write sets.
+      // opens only the affected components' buckets). The takedown is
+      // FIXED (the middle node of 10 components) while history grows
+      // 10x, and the bucket count follows the suggestBucketCount
+      // sizing rule (32 at 1M, 256 at 10M — constant per-bucket
+      // bytes): flat takedown time on the partitioned store is the
+      // claim, with the keyed store carrying the history-scale edge
+      // SCAN as its growing term. (A first cut held buckets at 32 and
+      // deleted across 100 components: the takedown's COW rewrites
+      // then touched EVERY bucket and both layouts scaled with
+      // history — the measured demonstration that the flat-takedown
+      // property NEEDS the sizing rule, recorded in BASELINE.)
+      // The second (idempotent) takedown isolates the read path from
+      // the write sets.
       import graft.operators.{IncrementalDedup => ID, VersionedTable}
       for (n <- Seq(1000000L, 10000000L); part <- Seq(false, true)) {
         val tag = s"h${n}_" + (if (part) "part" else "keyed")
+        val buckets = if (n <= 1000000L) 32 else 256
         val root = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"), s"graft_tdlake_$tag")
         graft.util.Fs.deleteRecursively(root)
         val labels = new VersionedTable(spark, s"$root/labels", "id",
-          "batch_no", numBuckets = 32)
+          "batch_no", numBuckets = buckets)
         val edges = new VersionedTable(spark, s"$root/edges", "edge_key",
-          "batch_no", numBuckets = 32,
+          "batch_no", numBuckets = buckets,
           partitionColOpt = if (part) Some("cluster_id") else None)
         val pairs = spark.range(n).filter(col("id") % 10 =!= 9)
           .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
@@ -427,7 +437,7 @@ object ScaleProbe {
           ID.maintainClustersWithEdges(labels, edges, pairs, 1L)
           labels.snapshot.count()
         })
-        val del = spark.range(100).select((col("id") * 1000 + 5).as("id"))
+        val del = spark.range(10).select((col("id") * 10 + 5).as("id"))
           .localCheckpoint(true)
         timed(s"tdlake_takedown_$tag")(
           ID.takedown(labels, edges, del, 2L).count())

@@ -30,7 +30,12 @@ import graft.operators.{IncrementalDedup => ID, VersionedTable}
   * identical ingest semantics to q264's row at cut k+m, plus the cap
   * column takedowns spend; the takedown itself is a DELETE flow and is
   * sweep-pinned in BufferedSampleSpec, like q263's in
-  * TakedownRepairSpec.)
+  * TakedownRepairSpec. The q281 takedown-everywhere composition row
+  * introduces NO new lake-writing gate: every structure it drives is
+  * either a row of this table — cm-edges, buf-sample — or a
+  * maintenance reader (maintainPostings/maintainRollupCdc/
+  * maintainPqIndex) pinned in VersionedTableSpec/OperatorsSpec; the
+  * lake-writing-gate enumeration here stays complete.)
   *
   * (the r15 additions complete the lake-writing enumeration:
   * `maintainClustersWithEdges` is the q263 flow's ingest side — label
