@@ -592,6 +592,9 @@ object IncrementalDedup {
     val delLab = labels.snapshotPrunedBy(del.select(col("_d").as("id")))
       .select(col("id").as("_pid"), col("cluster_id").as("_prep"))
     val aff0 = Dedup.affectedReps(delLab, del, hint0)
+    // re-delivery fast path: no deleted id holds a label — nothing is
+    // affected, nothing can commit; skip the edge read entirely
+    if (aff0.isEmpty) return empty
     // induced-subgraph read: on a cluster_id-partitioned edge store
     // (VERDICT r15 item 2) only the affected components' buckets are
     // opened at all — file-level pruning; the whole-bucket superset is

@@ -303,7 +303,13 @@ final class VersionedTable(spark: SparkSession, root: String,
     // touched buckets) small files per commit. One extra shuffle of
     // just the touched rows gives ~one file per bucket, the Hudi
     // file-group layout the ≤1 GB/bucket sizing guidance assumes.
-    deduped.repartition(numBuckets, col(BucketCol))
+    // Width = the TOUCHED bucket count, not the table's (r16): a
+    // 10-bucket maintenance commit on a 2048-bucket table otherwise
+    // launches 2048 near-empty write tasks — measured dominating
+    // small-commit latency 3x in the takedownlake2 probe.
+    val writeWidth = touchedProbe.map(t => math.min(numBuckets,
+      math.max(1, t.size))).getOrElse(numBuckets)
+    deduped.repartition(writeWidth, col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$ts/data")
     // manifest = buckets this commit actually wrote (listed from disk,
     // so legacy fold-ins and normal touched-bucket commits take the
@@ -378,7 +384,12 @@ final class VersionedTable(spark: SparkSession, root: String,
             pd(recordKey) <=> col("_del_key"), "left_anti")
           .withColumn(BucketCol, bucketExpr)
         survOpt = Some(surv)
-        surv.repartition(numBuckets, col(BucketCol))
+        // width = touched buckets (see upsert): a key-set delete only
+        // rewrites the probed buckets
+        val writeWidth =
+          if (probed.isEmpty) numBuckets // legacy fold-in
+          else math.min(numBuckets, math.max(1, probed.size))
+        surv.repartition(writeWidth, col(BucketCol))
           .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$ts/data")
         writtenBuckets(ts)
     }
@@ -651,7 +662,10 @@ final class VersionedTable(spark: SparkSession, root: String,
     val wanted = values.select(bucketExprOf(col(bucketCol)).as("b"))
       .distinct().collect().map(_.getLong(0).toInt).toSet
     val pruned = m.filter { case (b, _) => wanted(b) }
-    if (pruned.isEmpty) snapshot.limit(0) // schema-stable empty
+    // schema-stable empty WITHOUT a full-manifest listing: one bucket
+    // dir carries the schema (a 2048-bucket table's full listing
+    // costs seconds — measured in the takedownlake2 probe's no-op leg)
+    if (pruned.isEmpty) readGrouped(Map(m.head)).limit(0)
     else readGrouped(pruned)
   }
 

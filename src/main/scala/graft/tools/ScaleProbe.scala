@@ -15,7 +15,7 @@ object ScaleProbe {
     "bloomrel", "q21", "q20", "q2shape", "q17shape", "ccmaint",
     "ccmaintsyn", "ccconv", "keyoverlap", "seamwidth", "takedown",
     "shapegen", "q4form", "saltprobe", "saltprobe2", "bucketprobe",
-    "takedownlake", "samplelake")
+    "takedownlake", "takedownlake2", "samplelake")
 
   def main(args: Array[String]): Unit = {
     val dir = args.head
@@ -442,6 +442,40 @@ object ScaleProbe {
         timed(s"tdlake_takedown_$tag")(
           ID.takedown(labels, edges, del, 2L).count())
         timed(s"tdlake_retakedown_$tag")(
+          ID.takedown(labels, edges, del, 3L).count())
+        graft.util.Fs.deleteRecursively(root)
+      }
+    }
+    if (probes("takedownlake2")) {
+      // the bucket-granularity decomposition: the takedownlake legs'
+      // residual growth is COW rewrite width — every write term is
+      // min(|touched keys|, numBuckets) x bucketBytes, so at FIXED
+      // history the takedown should get CHEAPER as buckets shrink the
+      // per-touched-bucket rewrite. 10M-edge history, partitioned
+      // store, 256 vs 2048 buckets, identical 10-component takedown.
+      import graft.operators.{IncrementalDedup => ID, VersionedTable}
+      for (buckets <- Seq(256, 2048)) {
+        val tag = s"h10000000_b$buckets"
+        val root = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft_tdlake2_$tag")
+        graft.util.Fs.deleteRecursively(root)
+        val labels = new VersionedTable(spark, s"$root/labels", "id",
+          "batch_no", numBuckets = buckets)
+        val edges = new VersionedTable(spark, s"$root/edges", "edge_key",
+          "batch_no", numBuckets = buckets,
+          partitionColOpt = Some("cluster_id"))
+        val n = 10000000L
+        val pairs = spark.range(n).filter(col("id") % 10 =!= 9)
+          .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        timed(s"tdlake2_ingest_$tag")(locally {
+          ID.maintainClustersWithEdges(labels, edges, pairs, 1L)
+          labels.snapshot.count()
+        })
+        val del = spark.range(10).select((col("id") * 10 + 5).as("id"))
+          .localCheckpoint(true)
+        timed(s"tdlake2_takedown_$tag")(
+          ID.takedown(labels, edges, del, 2L).count())
+        timed(s"tdlake2_retakedown_$tag")(
           ID.takedown(labels, edges, del, 3L).count())
         graft.util.Fs.deleteRecursively(root)
       }
