@@ -576,12 +576,13 @@ object IncrementalDedup {
     def empty: DataFrame = spark.range(0).select(col("id"),
       col("id").as("cluster_id"), col("id").as("batch_no"),
       lit("").as("op"))
-    val snap = labels.snapshotOpt
-    if (snap.isEmpty) return empty
+    // metadata-only existence checks — constructing snapshot frames
+    // here would pay full-manifest directory listings on wide tables
+    if (!labels.hasCommits) return empty
     val del = deletedIds.select(col(deletedIds.columns.head).as("_d"))
       .distinct().localCheckpoint(true)
     if (del.isEmpty) return empty
-    if (edges.snapshotOpt.isEmpty) sys.error(
+    if (!edges.hasCommits) sys.error(
       "takedown: no persisted edge relation — ingest through " +
         "maintainClustersWithEdges")
     val hint0 = Dedup.takedownHint(del)

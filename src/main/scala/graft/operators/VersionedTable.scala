@@ -632,6 +632,14 @@ final class VersionedTable(spark: SparkSession, root: String,
       }
   }
 
+  /** Metadata-only existence check: whether the table has any complete
+    * commit — unlike [[snapshotOpt]].isDefined this constructs NO read
+    * plan, so it never pays the manifest-wide directory listing (a
+    * 2048-bucket table's listing costs seconds; measured in the
+    * takedownlake2 probe).
+    */
+  def hasCommits: Boolean = commitDirs.nonEmpty
+
   def snapshotOpt: Option[DataFrame] = commitDirs.lastOption.map(readCommit)
 
   def snapshot: DataFrame =
