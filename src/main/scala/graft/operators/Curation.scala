@@ -127,21 +127,31 @@ object Curation {
         gated.select(col(idCol).as("id"), col("_g.quality_1e6").as("score")),
         clusters)
       .filter(col("kept") === 1L).select(col("id"))
+    // materialize the gate survivors ONCE: the frame feeds BOTH the
+    // decontamination shingle pass and the clean projection below, and
+    // its lineage re-pays the best-of window + the repetitionRatio
+    // re-tokenization per consumer (measured r16: the un-materialized
+    // form evaluated this chain 3x — ~1.3 s of q118's 4.5 s wall)
     val survivors = gated
       .join(best, gated(idCol) === best("id"), "left_semi")
       .filter(col("_g.quality_1e6") >= minQuality1e6 &&
         col("_g.predicted_lang") === lang &&
         floor(TextAnalysis.repetitionRatio(col(textCol), repetitionN) *
           lit(1000000.0)).cast("long") < maxRep1e6)
+      .localCheckpoint(true)
     val flagged = Decontaminate
       .sharedNgrams(survivors, idCol, textCol, bench, textCol, decontamN, minShared)
       .select(col("doc_id").as("_contaminated_id"))
+    // same discipline for the budget input: tokenBudgetSelect's bin
+    // pass and the final semi-join are two consumers of the
+    // decontamination anti-join + tokenCount chain
     val clean = survivors
       .join(flagged, col(idCol) === col("_contaminated_id"), "left_anti")
       .select(col(idCol),
         col("_g.quality_1e6").as("quality_1e6"),
         col("_g.predicted_lang").as("predicted_lang"),
         graft.functions.tokenCount(col(textCol)).as("ntok"))
+      .localCheckpoint(true)
     val cut = Sampling.tokenBudgetSelect(clean, col(idCol),
         col("quality_1e6"), col("ntok"), budgetNum, budgetDen)
       .filter(col("selected") === 1L).select(col("id"))

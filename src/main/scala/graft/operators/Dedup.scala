@@ -718,15 +718,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the edge list once — its lineage (e.g. a whole
     // minhash pipeline) must not re-execute per iteration
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    val (edges, nEdges) = graft.util.Actions.checkpointCounted(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
     // empty edge set (a clean corpus): no components to label — return
     // the empty (id, cluster_id) frame directly instead of paying the
-    // label-init groupBy and fixpoint-probe jobs (isEmpty on the
-    // checkpointed edges is a limit-1 scan of local blocks, ~free)
-    if (edges.isEmpty)
+    // label-init groupBy and fixpoint-probe jobs (the count rides the
+    // checkpoint job as an observed metric — r16 action discipline)
+    if (nEdges == 0L)
       return edges.select(col("src").as("id"), col("dst").as("cluster_id"))
     // init already folds the first hop: label(v) = min(v, min(N(v)))
     var labels = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("m"))
@@ -780,8 +780,13 @@ object Dedup {
             col("x.l1") === col("y.pid"), "left")
           .select(col("x.id").as("id"), col("x.l0").as("l0"),
             least(col("x.l1"), coalesce(col("y.pl"), col("x.l1"))).as("l1"))
-      val next = jump(jump(oneHop)).localCheckpoint(true)
-      converged = next.filter(col("l0") =!= col("l1")).isEmpty
+      // the moved-label count rides the round's checkpoint job as an
+      // observed metric (r16): the former standalone post-checkpoint
+      // filter probe paid one extra dispatch round-trip per round
+      val (next, m) = graft.util.Actions.checkpointObserved(
+        jump(jump(oneHop)),
+        "moved" -> count(when(col("l0") =!= col("l1"), 1)))
+      converged = graft.util.Actions.longOr(m, "moved", 0L) == 0L
       labels = next.select(col("id"), col("l1").as("label"))
       iter += 1
     }
@@ -837,9 +842,10 @@ object Dedup {
     // materializing a 10⁸-row label table costs more than both scans
     // (measured: the 100M ladder leg dropped 72 s → scan-speed)
     val p = prior.select(col("id").as("_pid"), col("cluster_id").as("_prep"))
-    val d = deltaPairs.select(col("id_a"), col("id_b")).distinct()
-      .localCheckpoint(true)
-    if (d.isEmpty)
+    // the delta's emptiness guard rides the checkpoint job (r16)
+    val (d, nD) = graft.util.Actions.checkpointCounted(
+      deltaPairs.select(col("id_a"), col("id_b")).distinct())
+    if (nD == 0L)
       return p.select(col("_pid").as("id"), col("_prep").as("cluster_id"))
     if (p.isEmpty) return connectedComponents(d, maxIter)
     val (repMap, newNodes, hint) = maintParts(p, d, maxIter)
@@ -864,9 +870,10 @@ object Dedup {
   def maintainComponentsDelta(prior: DataFrame, deltaPairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     val p = prior.select(col("id").as("_pid"), col("cluster_id").as("_prep"))
-    val d = deltaPairs.select(col("id_a"), col("id_b")).distinct()
-      .localCheckpoint(true)
-    if (d.isEmpty)
+    // the delta's emptiness guard rides the checkpoint job (r16)
+    val (d, nD) = graft.util.Actions.checkpointCounted(
+      deltaPairs.select(col("id_a"), col("id_b")).distinct())
+    if (nD == 0L)
       return d.select(col("id_a").as("id"), col("id_b").as("cluster_id"))
     if (p.isEmpty) return connectedComponents(d, maxIter)
     val (repMap, newNodes, hint) = maintParts(p, d, maxIter)
@@ -885,15 +892,16 @@ object Dedup {
     */
   private def maintParts(p: DataFrame, d: DataFrame, maxIter: Int)
       : (DataFrame, DataFrame, DataFrame => DataFrame) = {
-    val dn = d.select(col("id_a").as("_n"))
-      .unionByName(d.select(col("id_b").as("_n"))).distinct()
-      .localCheckpoint(true)
+    // node count (the broadcast valve) rides the checkpoint job (r16)
+    val (dn, nDn) = graft.util.Actions.checkpointCounted(
+      d.select(col("id_a").as("_n"))
+        .unionByName(d.select(col("id_b").as("_n"))).distinct())
     // broadcast valve: the hints are only sound while the delta-derived
     // maps fit in executor/driver memory (~64 MB of long pairs). A
     // delta past the valve is a BACKFILL, not an ingest batch — drop
     // the hints and let Spark pick join strategies (same results, the
     // shuffle returns), instead of forcing a driver-OOM collect.
-    val small = dn.count() <= 4000000L
+    val small = nDn <= 4000000L
     def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // the ONLY touches of the full label table: a map-side broadcast
     // semi (here) and the map-side broadcast update/changed join in
@@ -909,8 +917,9 @@ object Dedup {
         coalesce(col("_rb"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
     // CC over touched reps + new ids — the delta-bounded fixpoint
+    // (CC's result is a select over its own checkpointed labels, so
+    // no extra pin job — r16)
     val repMap = connectedComponents(contracted, maxIter)
-      .localCheckpoint(true)
     // delta nodes absent from prior: labeled by the contracted CC; a
     // new node always survives contraction (its id can't equal a prior
     // rep), so the fallback-to-self only covers degenerate inputs
@@ -977,9 +986,9 @@ object Dedup {
   def repairComponentsAfterDelete(prior: DataFrame, labeledEdges: DataFrame,
       deletedIds: DataFrame, maxIter: Int = 20): DataFrame = {
     val p = prior.select(col("id").as("_pid"), col("cluster_id").as("_prep"))
-    val del = deletedIds.select(col(deletedIds.columns.head).as("_d"))
-      .distinct().localCheckpoint(true)
-    if (del.isEmpty)
+    val (del, nDel) = graft.util.Actions.checkpointCounted(
+      deletedIds.select(col(deletedIds.columns.head).as("_d")).distinct())
+    if (nDel == 0L)
       return p.select(col("_pid").as("id"), col("_prep").as("cluster_id"))
     val (aff, _, repaired, hint) = repairParts(p, labeledEdges, del, maxIter)
     val untouched = p.join(hint(aff), col("_prep") === col("_ar"), "left_anti")
@@ -1000,12 +1009,12 @@ object Dedup {
       deletedIds: DataFrame, maxIter: Int = 20)
       : (DataFrame, DataFrame) = {
     val p = prior.select(col("id").as("_pid"), col("cluster_id").as("_prep"))
-    val del = deletedIds.select(col(deletedIds.columns.head).as("_d"))
-      .distinct().localCheckpoint(true)
+    val (del, nDel) = graft.util.Actions.checkpointCounted(
+      deletedIds.select(col(deletedIds.columns.head).as("_d")).distinct())
     val empty = (p.limit(0).select(col("_pid").as("id"),
         col("_prep").as("cluster_id")),
       p.limit(0).select(col("_pid").as("id")))
-    if (del.isEmpty) return empty
+    if (nDel == 0L) return empty
     val (aff, _, repaired, hint) = repairParts(p, labeledEdges, del, maxIter)
     deleteLabelWriteSets(p, aff, repaired, hint)
   }
@@ -1055,10 +1064,17 @@ object Dedup {
   /** The repairParts broadcast valve, exposed so a caller that needs
     * the affected set EARLY (the pruned edge read) shares one policy.
     */
-  private[operators] def takedownHint(del: DataFrame): DataFrame => DataFrame = {
+  private[operators] def takedownHint(del: DataFrame): DataFrame => DataFrame =
+    takedownHintN(del.count())
+
+  /** [[takedownHint]] from an already-known deleted-id count — callers
+    * that checkpoint the deleted set observe the count on that job
+    * (r16 action discipline) instead of paying a second count action.
+    */
+  private[operators] def takedownHintN(nDel: Long): DataFrame => DataFrame = {
     // the maintParts backfill valve: broadcast only while the
     // takedown-derived relations are ingest-sized
-    val small = del.count() <= 4000000L
+    val small = nDel <= 4000000L
     df => if (small) broadcast(df) else df
   }
 
@@ -1071,30 +1087,71 @@ object Dedup {
     */
   private[operators] def affectedReps(p: DataFrame, del: DataFrame,
       hint: DataFrame => DataFrame): DataFrame =
-    p.join(hint(del), col("_pid") === col("_d"), "left_semi")
-      .select(col("_prep").as("_ar")).distinct().localCheckpoint(true)
+    affectedRepsCounted(p, del, hint)._1
+
+  /** [[affectedReps]] with the rep count observed on the checkpoint
+    * job (r16) — the takedown gate's re-delivery fast path needs the
+    * count and should not pay a second isEmpty action for it.
+    */
+  private[operators] def affectedRepsCounted(p: DataFrame, del: DataFrame,
+      hint: DataFrame => DataFrame): (DataFrame, Long) =
+    graft.util.Actions.checkpointCounted(
+      p.join(hint(del), col("_pid") === col("_d"), "left_semi")
+        .select(col("_prep").as("_ar")).distinct())
 
   private[operators] def repairParts(p: DataFrame, labeledEdges: DataFrame,
       del: DataFrame, maxIter: Int,
       precomputed: Option[(DataFrame, DataFrame => DataFrame)] = None)
       : (DataFrame, DataFrame, DataFrame, DataFrame => DataFrame) = {
+    val (aff, induced, surviving, repaired, hint) =
+      repairPartsInduced(p, labeledEdges, del, maxIter, precomputed)
+    val _ = induced
+    (aff, surviving, repaired, hint)
+  }
+
+  /** [[repairParts]] exposing the pinned INDUCED edge frame with
+    * endpoint-deletion flags (r16 optimization): the edge relation is
+    * read EXACTLY ONCE per takedown — the former shape re-scanned it
+    * for the surviving filter, the membership endpoints, the dead-edge
+    * set and the moved-edge old values (four pruned reads on the
+    * partitioned store, four FULL scans on an edge_key-bucketed one).
+    * Every consumer now derives map-side from the one checkpointed
+    * frame: surviving = rows with neither endpoint deleted, dead =
+    * the rest, membership = the frame's endpoints, old cluster ids =
+    * the frame's own `cluster_id` column.
+    *
+    * Returns (aff `_ar`, induced (id_a, id_b, cluster_id, _delA,
+    * _delB), surviving (id_a, id_b), repaired labels, hint).
+    */
+  private[operators] def repairPartsInduced(p: DataFrame,
+      labeledEdges: DataFrame, del: DataFrame, maxIter: Int,
+      precomputed: Option[(DataFrame, DataFrame => DataFrame)] = None)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame => DataFrame) = {
     val hint = precomputed.map(_._2).getOrElse(takedownHint(del))
     val aff = precomputed.map(_._1).getOrElse(affectedReps(p, del, hint))
     // induced edges of the affected components: ONE map-side pass of
     // the edge relation (partition-pruned on a cluster_id-partitioned
-    // store), then drop every edge touching a deleted id
+    // store), endpoint-deletion flags attached in the same pass (the
+    // deleted-id set is distinct, so the left joins multiply nothing)
     val induced = labeledEdges
       .join(hint(aff), col("cluster_id") === col("_ar"), "left_semi")
-    val surviving = induced
-      .join(hint(del), col("id_a") === col("_d"), "left_anti")
-      .join(hint(del), col("id_b") === col("_d"), "left_anti")
+      .join(hint(del.select(col("_d").as("_da"))),
+        col("id_a") === col("_da"), "left")
+      .join(hint(del.select(col("_d").as("_db"))),
+        col("id_b") === col("_db"), "left")
+      .select(col("id_a"), col("id_b"), col("cluster_id"),
+        col("_da").isNotNull.as("_delA"), col("_db").isNotNull.as("_delB"))
+      .localCheckpoint(true)
+    val surviving = induced.filter(!col("_delA") && !col("_delB"))
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
     // the only iterative term — CC over the affected components'
-    // surviving edges alone, never the full graph
+    // surviving edges alone, never the full graph (CC materializes the
+    // symmetrized edge list itself, so `surviving` stays a cheap
+    // filter view over the pinned induced frame; CC's result is
+    // likewise a select over its own checkpointed labels — no extra
+    // pin job needed, r16)
     val repaired = connectedComponents(surviving, maxIter)
-      .localCheckpoint(true)
-    (aff, surviving, repaired, hint)
+    (aff, induced, surviving, repaired, hint)
   }
 
   /** Quality-aware near-dup representative selection — production
@@ -1166,8 +1223,12 @@ object Dedup {
         .groupBy(col("bk")).agg(min(col("label")).as("bl"))
       val dmin = mem.join(bmin, Seq("bk"))
         .groupBy(col("id")).agg(min(col("bl")).as("nl"))
+      // the round's incoming label rides along as `l0` so convergence
+      // is a map-side comparison observed ON the checkpoint job (r16) —
+      // the former standalone probe paid a full label self-JOIN plus
+      // its own dispatch round-trip per round
       val l1 = labels.join(dmin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("l0"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("l1"))
       // pointer-doubling jumps ×2 on the doc labels (labels are doc
       // ids, so the label's own label exists) — path lengths shrink
@@ -1177,13 +1238,13 @@ object Dedup {
         ls.as("x")
           .join(ls.select(col("id").as("pid"), col("l1").as("pl")).as("y"),
             col("x.l1") === col("y.pid"), "left")
-          .select(col("x.id").as("id"),
+          .select(col("x.id").as("id"), col("x.l0").as("l0"),
             least(col("x.l1"), coalesce(col("y.pl"), col("x.l1"))).as("l1"))
-      val next = jump(jump(l1)).withColumnRenamed("l1", "label")
-        .localCheckpoint(true)
-      done = next.as("a").join(labels.as("b"), col("a.id") === col("b.id"))
-        .filter(col("a.label") =!= col("b.label")).isEmpty
-      labels = next
+      val (next, m) = graft.util.Actions.checkpointObserved(
+        jump(jump(l1)).withColumnRenamed("l1", "label"),
+        "moved" -> count(when(col("l0") =!= col("label"), 1)))
+      done = graft.util.Actions.longOr(m, "moved", 0L) == 0L
+      labels = next.drop("l0")
       iter += 1
     }
     // a non-fixpoint result must not masquerade as final clusters:

@@ -35,12 +35,15 @@ object IncrementalDedup {
       s"hash index must be keyed on 'h', got '${index.recordKey}'")
     val hashed = batch.select(md5(col(textCol)).as("h"), col(idCol).as("doc_id"))
     val firsts = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-    val novel = (index.snapshotOpt match {
+    val novel0 = (index.snapshotOpt match {
       case Some(existing) => firsts.join(existing.select(col("h")), Seq("h"), "left_anti")
       case None => firsts
-    }).withColumn("batch_no", lit(batchNo))
-      .localCheckpoint(true) // pin the admitted set BEFORE the commit mutates the index
-    if (!novel.isEmpty) index.upsert(novel)
+    })
+    // pin the admitted set BEFORE the commit mutates the index; the
+    // commit guard's count rides the checkpoint job (r16)
+    val (novel, nNovel) = graft.util.Actions.checkpointCounted(
+      novel0.withColumn("batch_no", lit(batchNo)))
+    if (nNovel > 0L) index.upsert(novel)
     novel
   }
 
@@ -86,7 +89,7 @@ object IncrementalDedup {
       .select(col("h"), col("_m.doc_id").as("doc_id"),
         graft.expressions.MinhashSig(col("_m.text"), n, k).as("sig"))
       .localCheckpoint(true)
-    val admitted = (index.snapshotOpt match {
+    val admitted0 = (index.snapshotOpt match {
       case None => firsts
       case Some(hist) =>
         val exactNovel = firsts.join(hist.select(col("h")), Seq("h"), "left_anti")
@@ -104,10 +107,13 @@ object IncrementalDedup {
           .filter(col("_agree") * lit(1000000L) >= lit(simThreshold1e6 * k))
           .select(col("doc_id")).distinct()
         exactNovel.join(rejected, Seq("doc_id"), "left_anti")
-    }).withColumn("batch_no", lit(batchNo))
-      .select(col("doc_id"), col("h"), col("sig"), col("batch_no"))
-      .localCheckpoint(true)
-    if (!admitted.isEmpty) index.upsert(admitted)
+    })
+    // pin BEFORE the commit mutates the snapshot; the commit guard's
+    // count rides the checkpoint job (r16)
+    val (admitted, nAdmitted) = graft.util.Actions.checkpointCounted(
+      admitted0.withColumn("batch_no", lit(batchNo))
+      .select(col("doc_id"), col("h"), col("sig"), col("batch_no")))
+    if (nAdmitted > 0L) index.upsert(admitted)
     admitted
   }
 
@@ -141,7 +147,7 @@ object IncrementalDedup {
     val b = batch.select(col(idCol).as("id"), col(embCol).as("emb"),
         Similarity.signBucket(col(embCol), signBits).as("bucket"))
       .localCheckpoint(true)
-    val admitted = (index.snapshotOpt match {
+    val admitted0 = (index.snapshotOpt match {
       case None => b
       case Some(hist) =>
         val rejected = b.join(hist.select(col("bucket"), col("emb").as("_hemb")),
@@ -150,10 +156,13 @@ object IncrementalDedup {
             >= simThreshold1e6)
           .select(col("id")).distinct()
         b.join(rejected, Seq("id"), "left_anti")
-    }).withColumn("batch_no", lit(batchNo))
-      .select(col("id"), col("emb"), col("bucket"), col("batch_no"))
-      .localCheckpoint(true) // pin BEFORE the commit mutates the snapshot
-    if (!admitted.isEmpty) index.upsert(admitted)
+    })
+    // pin BEFORE the commit mutates the snapshot; the commit guard's
+    // count rides the checkpoint job (r16)
+    val (admitted, nAdmitted) = graft.util.Actions.checkpointCounted(
+      admitted0.withColumn("batch_no", lit(batchNo))
+      .select(col("id"), col("emb"), col("bucket"), col("batch_no")))
+    if (nAdmitted > 0L) index.upsert(admitted)
     admitted
   }
 
@@ -204,7 +213,7 @@ object IncrementalDedup {
     val b = b0.join(
       Similarity.pqEncode(b0.select(col("id"), col("emb")), codebooks),
       Seq("id"))
-    val admitted = (index.snapshotOpt match {
+    val admitted0 = (index.snapshotOpt match {
       case None => b
       case Some(hist) =>
         val histExp = hist.select(col("id").as("_hid"), col("bucket"),
@@ -219,10 +228,13 @@ object IncrementalDedup {
           .filter(col("_adc") >= lit(adcThreshold1e6 * m))
           .select(col("query_id").as("id")).distinct()
         b.join(rejected, Seq("id"), "left_anti")
-    }).withColumn("batch_no", lit(batchNo))
-      .select(col("id"), col("codes"), col("bucket"), col("batch_no"))
-      .localCheckpoint(true) // pin BEFORE the commit mutates the snapshot
-    if (!admitted.isEmpty) index.upsert(admitted)
+    })
+    // pin BEFORE the commit mutates the snapshot; the commit guard's
+    // count rides the checkpoint job (r16)
+    val (admitted, nAdmitted) = graft.util.Actions.checkpointCounted(
+      admitted0.withColumn("batch_no", lit(batchNo))
+      .select(col("id"), col("codes"), col("bucket"), col("batch_no")))
+    if (nAdmitted > 0L) index.upsert(admitted)
     admitted
   }
 
@@ -265,7 +277,7 @@ object IncrementalDedup {
       .filter(col("fp").isNotNull)
       .groupBy(col("fp")).agg(min(col("media_id")).as("media_id"))
       .localCheckpoint(true)
-    val admitted = (index.snapshotOpt match {
+    val admitted0 = (index.snapshotOpt match {
       case None => firsts
       case Some(hist) =>
         val exactNovel = firsts.join(hist.select(col("fp")), Seq("fp"), "left_anti")
@@ -277,10 +289,13 @@ object IncrementalDedup {
           .filter(bit_count(col("fp").bitwiseXOR(col("_hfp"))) <= maxHamming)
           .select(col("media_id")).distinct()
         exactNovel.join(rejected, Seq("media_id"), "left_anti")
-    }).withColumn("batch_no", lit(batchNo))
-      .select(col("media_id"), col("fp"), col("batch_no"))
-      .localCheckpoint(true) // pin BEFORE the commit mutates the snapshot
-    if (!admitted.isEmpty) index.upsert(admitted)
+    })
+    // pin BEFORE the commit mutates the snapshot; the commit guard's
+    // count rides the checkpoint job (r16)
+    val (admitted, nAdmitted) = graft.util.Actions.checkpointCounted(
+      admitted0.withColumn("batch_no", lit(batchNo))
+      .select(col("media_id"), col("fp"), col("batch_no")))
+    if (nAdmitted > 0L) index.upsert(admitted)
     admitted
   }
 
@@ -408,7 +423,18 @@ object IncrementalDedup {
     * stamp actually written.
     */
   def maintainClusters(labels: VersionedTable, deltaPairs: DataFrame,
-      batchNo: Long, maxIter: Int = 20): DataFrame = {
+      batchNo: Long, maxIter: Int = 20): DataFrame =
+    maintainClustersCounted(labels, deltaPairs, batchNo, maxIter)._1
+
+  /** [[maintainClusters]] plus (stamp, changed-row count) — both known
+    * to the call already (the stamp is the literal it writes; the
+    * count rides the write set's checkpoint job as an observed
+    * metric), so [[maintainClustersWithEdges]] stops re-deriving them
+    * with agg/isEmpty actions of its own (r16 action discipline).
+    */
+  private def maintainClustersCounted(labels: VersionedTable,
+      deltaPairs: DataFrame, batchNo: Long, maxIter: Int)
+      : (DataFrame, Long, Long) = {
     require(labels.recordKey == "id",
       s"label table must be keyed on 'id', got '${labels.recordKey}'")
     // the precombine contract is as load-bearing as the key: a merge
@@ -420,19 +446,23 @@ object IncrementalDedup {
       s"label table must precombine on 'batch_no' (the floor-monotone " +
         s"stamp), got '${labels.precombine}'")
     val snap = labels.snapshotOpt
-    val spark = deltaPairs.sparkSession
-    val prior = snap.map(_.select(col("id"), col("cluster_id")))
-      .getOrElse(spark.range(0)
-        .select(col("id"), col("id").as("cluster_id")))
     val floor = snap
       .map(_.agg(max(col("batch_no"))).collect()(0))
       .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
       .getOrElse(0L)
-    val changes = Dedup.maintainComponentsDelta(prior, deltaPairs, maxIter)
-      .withColumn("batch_no", lit(math.max(floor, batchNo)))
-      .localCheckpoint(true)
-    if (!changes.isEmpty) labels.upsert(changes)
-    changes
+    val stamp = math.max(floor, batchNo)
+    // first ingest short-circuits to a plain CC over the delta — the
+    // same result maintainComponentsDelta produces for an empty prior,
+    // without its delta re-checkpoint and empty-prior probe jobs (r16)
+    val delta = snap match {
+      case None => Dedup.connectedComponents(deltaPairs, maxIter)
+      case Some(s) => Dedup.maintainComponentsDelta(
+        s.select(col("id"), col("cluster_id")), deltaPairs, maxIter)
+    }
+    val (changes, nChanges) = graft.util.Actions.checkpointCounted(
+      delta.withColumn("batch_no", lit(stamp)))
+    if (nChanges > 0L) labels.upsert(changes)
+    (changes, stamp, nChanges)
   }
 
   /** [[maintainClusters]] plus the persisted-EDGE discipline the
@@ -459,7 +489,8 @@ object IncrementalDedup {
       s"edge table must precombine on 'batch_no', got '${edges.precombine}'")
     val d = deltaPairs.select(col("id_a"), col("id_b")).distinct()
       .localCheckpoint(true)
-    val changes = maintainClusters(labels, d, batchNo, maxIter)
+    val (changes, stamp0, nChanges) =
+      maintainClustersCounted(labels, d, batchNo, maxIter)
     // an empty LABEL write set must NOT skip the edge path: a novel
     // edge between nodes that already share a cluster moves no label
     // but still belongs in the persisted relation — dropping it makes
@@ -470,7 +501,7 @@ object IncrementalDedup {
     val labSnapOpt = labels.snapshotOpt
     if (labSnapOpt.isEmpty) return changes
     val stamp =
-      if (changes.isEmpty) {
+      if (nChanges == 0L) {
         // same floor-monotone rule maintainClusters stamps by: the
         // snapshot's max stamp floors a counter-reset batchNo. Guard
         // the null max the same way maintainClusters' floor does — a
@@ -478,7 +509,7 @@ object IncrementalDedup {
         // zero-row snapshot, so max(batch_no) is null (ADVICE r15)
         val r = labSnapOpt.get.agg(max(col("batch_no"))).collect()(0)
         if (r.isNullAt(0)) batchNo else math.max(r.getLong(0), batchNo)
-      } else changes.select(max(col("batch_no"))).collect()(0).getLong(0)
+      } else stamp0 // the literal maintainClusters wrote — no re-agg job (r16)
     // post-merge labels for the delta's endpoints: the label snapshot
     // just written — one broadcast-semi-bounded read (delta endpoints)
     val lab = labSnapOpt.get.select(col("id").as("_li"),
@@ -492,36 +523,40 @@ object IncrementalDedup {
       case Some(s) => keyed.join(s.select(col("edge_key").as("_ek")),
         col("edge_key") === col("_ek"), "left_anti")
     }
-    val novel = novel0.join(lab, col("id_a") === col("_li"))
+    val novelT = novel0.join(lab, col("id_a") === col("_li"))
       .select(col("edge_key"), col("id_a"), col("id_b"),
-        col("_lc").as("cluster_id"), lit(stamp).as("batch_no"))
+        col("_lc").as("cluster_id"), lit(stamp).as("batch_no"),
+        lit(null).cast("long").as("_oldc"))
     // stale edges: stored rows whose id_a label moved this ingest —
     // the changes relation is merge-bounded, so this is one map-side
-    // broadcast join against the edge snapshot. The OLD cluster_id is
-    // kept alongside: on a cluster_id-PARTITIONED edge store a
+    // broadcast join against the edge snapshot. The OLD cluster_id
+    // rides along as `_oldc`: on a cluster_id-PARTITIONED edge store a
     // relabel moves the row across buckets, and upsertMoved needs the
     // source values to rewrite (and possibly empty) the old buckets —
     // on the default edge_key-bucketed store the extra probe is the
-    // same buckets and the call degenerates to a plain upsert
+    // same buckets and the call degenerates to a plain upsert. Novel
+    // and stale rows pin in ONE tagged checkpoint whose row count
+    // rides the job (r16: formerly two checkpoints + an isEmpty).
     val moved = changes.select(col("id").as("_mi"),
       col("cluster_id").as("_mc"))
-    val staleBoth = snapOpt.map(s =>
-        s.join(broadcast(moved), col("id_a") === col("_mi"))
-          .filter(col("cluster_id") =!= col("_mc"))
-          .localCheckpoint(true))
-    val stale = staleBoth.map(_.select(col("edge_key"), col("id_a"),
-        col("id_b"), col("_mc").as("cluster_id"),
-        lit(stamp).as("batch_no")))
-      .getOrElse(novel.limit(0))
-    val writeSet = novel.unionByName(stale).localCheckpoint(true)
-    if (!writeSet.isEmpty) staleBoth match {
+    val staleT = snapOpt.map(s =>
+      s.join(broadcast(moved), col("id_a") === col("_mi"))
+        .filter(col("cluster_id") =!= col("_mc"))
+        .select(col("edge_key"), col("id_a"), col("id_b"),
+          col("_mc").as("_newc"), lit(stamp).as("batch_no"),
+          col("cluster_id").as("_oldc"))
+        .withColumnRenamed("_newc", "cluster_id"))
+    val (writeSet, nWs) = graft.util.Actions.checkpointCounted(
+      novelT.unionByName(staleT.getOrElse(novelT.limit(0))))
+    if (nWs > 0L)
       // the old-values frame carries BOTH candidate bucket columns
       // (edge_key for the default layout, the OLD cluster_id for the
-      // partitioned one) so the probe resolves on either table
-      case Some(sb) => edges.upsertMoved(writeSet,
-        sb.select(col("edge_key"), col("cluster_id")))
-      case None => edges.upsert(writeSet)
-    }
+      // partitioned one) so the probe resolves on either table; with
+      // no stale rows the old-values side is empty and the call
+      // degenerates to a plain upsert
+      edges.upsertMoved(writeSet.drop("_oldc"),
+        writeSet.filter(col("_oldc").isNotNull)
+          .select(col("edge_key"), col("_oldc").as("cluster_id")))
     changes
   }
 
@@ -579,23 +614,27 @@ object IncrementalDedup {
     // metadata-only existence checks — constructing snapshot frames
     // here would pay full-manifest directory listings on wide tables
     if (!labels.hasCommits) return empty
-    val del = deletedIds.select(col(deletedIds.columns.head).as("_d"))
-      .distinct().localCheckpoint(true)
-    if (del.isEmpty) return empty
+    // the deleted-id count (broadcast valve + emptiness guard) rides
+    // the checkpoint job as an observed metric (r16 action discipline:
+    // the former checkpoint + isEmpty + count trio was three dispatch
+    // round-trips for one frame)
+    val (del, nDel) = graft.util.Actions.checkpointCounted(
+      deletedIds.select(col(deletedIds.columns.head).as("_d")).distinct())
+    if (nDel == 0L) return empty
     if (!edges.hasCommits) sys.error(
       "takedown: no persisted edge relation — ingest through " +
         "maintainClustersWithEdges")
-    val hint0 = Dedup.takedownHint(del)
+    val hint0 = Dedup.takedownHintN(nDel)
     // the deleted ids' labels are POINT LOOKUPS on the id-bucketed
     // label table (r16: the gate's label reads are all pruned now —
     // no step below scans history): snapshotPrunedBy opens only the
     // deleted ids' buckets, then affectedReps' semi restores exactness
     val delLab = labels.snapshotPrunedBy(del.select(col("_d").as("id")))
       .select(col("id").as("_pid"), col("cluster_id").as("_prep"))
-    val aff0 = Dedup.affectedReps(delLab, del, hint0)
+    val (aff0, nAff) = Dedup.affectedRepsCounted(delLab, del, hint0)
     // re-delivery fast path: no deleted id holds a label — nothing is
     // affected, nothing can commit; skip the edge read entirely
-    if (aff0.isEmpty) return empty
+    if (nAff == 0L) return empty
     // induced-subgraph read: on a cluster_id-partitioned edge store
     // (VERDICT r15 item 2) only the affected components' buckets are
     // opened at all — file-level pruning; the whole-bucket superset is
@@ -607,91 +646,112 @@ object IncrementalDedup {
       if (pruned)
         edges.snapshotPrunedBy(aff0.select(col("_ar").as("cluster_id")))
       else edges.snapshot
-    val (aff, surviving, repaired, hint) =
-      Dedup.repairParts(delLab, le, del, maxIter, Some((aff0, hint0)))
+    val (aff, induced, surviving, repaired, hint) =
+      Dedup.repairPartsInduced(delLab, le, del, maxIter, Some((aff0, hint0)))
     // the affected components' LABEL rows — the write-set base and the
-    // floor source. Membership comes from the (pruned) edge relation:
-    // every labeled node carries >= 1 index edge (an invariant the
-    // ingest/takedown pair maintains — labels are written only for
-    // pair endpoints, and the takedown that deletes a node's last edge
-    // also deletes its label row), so the induced endpoints ARE the
-    // membership, and one more pruned point-lookup read yields their
-    // label rows with stamps. No history-scale label scan on either
-    // layout.
-    val inducedEnds = le
-      .join(hint0(aff0), col("cluster_id") === col("_ar"), "left_semi")
-    val memberIds = inducedEnds.select(col("id_a").as("id"))
-      .unionByName(inducedEnds.select(col("id_b").as("id")))
+    // floor source. Membership comes from the pinned induced frame
+    // (r16: the edge relation itself is read exactly once, in
+    // repairPartsInduced): every labeled node carries >= 1 index edge
+    // (an invariant the ingest/takedown pair maintains — labels are
+    // written only for pair endpoints, and the takedown that deletes a
+    // node's last edge also deletes its label row), so the induced
+    // endpoints ARE the membership, and one more pruned point-lookup
+    // read yields their label rows with stamps. No history-scale label
+    // scan on either layout.
+    val memberIds = induced.select(col("id_a").as("id"))
+      .unionByName(induced.select(col("id_b").as("id")))
       .distinct().localCheckpoint(true)
     // plain (AQE-chosen) join: memberIds is whole-component-sized —
     // larger than the del-derived relations the broadcast valve
     // guards — while the pruned label read is already bucket-bounded
-    val affRows = labels.snapshotPrunedBy(memberIds)
-      .join(memberIds.select(col("id").as("_mid")),
-        col("id") === col("_mid"), "left_semi")
-      .select(col("id").as("_pid"), col("cluster_id").as("_prep"),
-        col("batch_no").as("_bno"))
-      .localCheckpoint(true)
-    // floor-monotone stamp over the rows this takedown REWRITES (the
-    // only precombine races it can enter): max stored stamp among the
-    // affected rows + 1 floors a counter-reset batchNo, without an
-    // all-history column agg
-    val floor = affRows.agg(max(col("_bno"))).collect()(0) match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0) + 1L
-    }
+    // ONE checkpoint job pins the affected rows AND observes the
+    // floor-monotone stamp source (r16: the former checkpoint + agg
+    // pair was two dispatch round-trips). The floor is the max stored
+    // stamp among the rows this takedown REWRITES — the only
+    // precombine races it can enter — so no all-history column agg.
+    val (affRows, affM) = graft.util.Actions.checkpointObserved(
+      labels.snapshotPrunedBy(memberIds)
+        .join(memberIds.select(col("id").as("_mid")),
+          col("id") === col("_mid"), "left_semi")
+        .select(col("id").as("_pid"), col("cluster_id").as("_prep"),
+          col("batch_no").as("_bno")),
+      "mx" -> max(col("_bno")))
+    val floor = graft.util.Actions.longOr(affM, "mx", -1L) + 1L
     val stamp = math.max(floor, batchNo)
     // shared derivation with the pure-delta form (Dedup
     // .deleteLabelWriteSetsFromRows — review find, round 15: two
-    // copies of the write-set semantics could drift); the gate adds
-    // the stamp and pins both frames before any commit
+    // copies of the write-set semantics could drift); the gate pins
+    // BOTH write sets in one tagged checkpoint whose per-op counts
+    // ride the same job (r16: formerly three checkpoints + two
+    // isEmpty probes), before any commit mutates a snapshot
     val (relabel0, remove0) = Dedup.deleteLabelWriteSetsFromRows(
       affRows.select(col("_pid"), col("_prep")), repaired)
-    val relabel = relabel0
-      .withColumn("batch_no", lit(stamp))
-      .localCheckpoint(true)
-    val remove = remove0.localCheckpoint(true)
-    // pin the returned write set before any commit mutates a snapshot
-    val out = relabel.withColumn("op", lit("relabel"))
-      .unionByName(remove
-        .select(col("id"), lit(null).cast("long").as("cluster_id"),
-          lit(null).cast("long").as("batch_no"), lit("remove").as("op")))
-      .localCheckpoint(true)
-    if (!remove.isEmpty) labels.delete(remove)
-    if (!relabel.isEmpty) labels.upsert(relabel)
+    val (out, outM) = graft.util.Actions.checkpointObserved(
+      relabel0.withColumn("batch_no", lit(stamp))
+        .withColumn("op", lit("relabel"))
+        .unionByName(remove0
+          .select(col("id"), lit(null).cast("long").as("cluster_id"),
+            lit(null).cast("long").as("batch_no"), lit("remove").as("op"))),
+      "nRelabel" -> count(when(col("op") === "relabel", 1)),
+      "nRemove" -> count(when(col("op") === "remove", 1)))
+    val nRelabel = graft.util.Actions.longOr(outM, "nRelabel", 0L)
+    val nRemove = graft.util.Actions.longOr(outM, "nRemove", 0L)
+    val relabel = out.filter(col("op") === "relabel")
+      .select(col("id"), col("cluster_id"), col("batch_no"))
+    val remove = out.filter(col("op") === "remove").select(col("id"))
+    // label commit: the delete and the relabel upsert are ONE fused
+    // COW commit (VersionedTable.applyDelta, r16) — half the probes,
+    // touched-bucket reads, writes and manifests of the former
+    // delete-then-upsert pair; single-op takedowns keep the single op
+    if (nRemove > 0L && nRelabel > 0L) labels.applyDelta(remove, relabel)
+    else if (nRemove > 0L) labels.delete(remove)
+    else if (nRelabel > 0L) labels.upsert(relabel)
     // edge-table maintenance: drop edges touching a deleted id;
     // relabel surviving affected edges whose component min moved. The
     // dead keys carry their stored cluster_id so a partitioned store's
-    // delete probe finds their buckets; the moved rows go through
-    // upsertMoved with their old cluster_id (cross-bucket move on a
-    // partitioned store, plain upsert otherwise)
+    // probe finds their buckets; the moved rows carry their old
+    // cluster_id (cross-bucket move on a partitioned store, plain
+    // upsert otherwise). Both sets pin in ONE tagged checkpoint with
+    // observed counts, then apply as ONE fused commit (r16).
     val keyOf = concat_ws(":", col("id_a"), col("id_b"))
-    val dead = le.join(hint(aff), col("cluster_id") === col("_ar"),
-        "left_semi")
-      .join(hint(del.select(col("_d"))),
-        col("id_a") === col("_d") || col("id_b") === col("_d"), "left_semi")
-      .select(keyOf.as("edge_key"), col("cluster_id"))
-      .localCheckpoint(true)
-    // pin the moved set BEFORE the delete commit (the snapshot frames
-    // are path-pinned, but an explicit checkpoint keeps the ordering
-    // contract visible)
-    val movedBoth = surviving
+    // both sets derive MAP-SIDE from the pinned induced frame (r16):
+    // dead = rows with a deleted endpoint (the flags), moved = the
+    // surviving rows whose repaired label differs from the frame's own
+    // stored cluster_id — no re-scan of the edge relation for either
+    val deadT = induced.filter(col("_delA") || col("_delB"))
+      .select(keyOf.as("edge_key"), lit(null).cast("long").as("id_a"),
+        lit(null).cast("long").as("id_b"),
+        lit(null).cast("long").as("_newc"), col("cluster_id").as("_oldc"),
+        lit("dead").as("op"))
+    // plain (AQE-chosen) join: the repaired labeling is whole-
+    // component-sized — larger than the del-derived relations the
+    // broadcast valve guards
+    val movedT = induced.filter(!col("_delA") && !col("_delB"))
       .join(repaired.select(col("id").as("_ra"), col("cluster_id")
         .as("_rc")), col("id_a") === col("_ra"))
-      .join(le.select(col("id_a").as("_oa"), col("id_b").as("_ob"),
-        col("cluster_id").as("_oc")),
-        col("id_a") === col("_oa") && col("id_b") === col("_ob"))
-      .filter(col("_rc") =!= col("_oc"))
-      .localCheckpoint(true)
-    if (!dead.isEmpty) edges.delete(dead)
-    val movedEdges = movedBoth
+      .filter(col("_rc") =!= col("cluster_id"))
       .select(keyOf.as("edge_key"), col("id_a"), col("id_b"),
-        col("_rc").as("cluster_id"), lit(stamp).as("batch_no"))
-    if (!movedEdges.isEmpty)
-      // old-values probe carries both candidate bucket columns (see
-      // maintainClustersWithEdges)
-      edges.upsertMoved(movedEdges, movedBoth.select(keyOf.as("edge_key"),
-        col("_oc").as("cluster_id")))
+        col("_rc").as("_newc"), col("cluster_id").as("_oldc"),
+        lit("moved").as("op"))
+    val (edgeWs, edgeM) = graft.util.Actions.checkpointObserved(
+      deadT.unionByName(movedT),
+      "nDead" -> count(when(col("op") === "dead", 1)),
+      "nMoved" -> count(when(col("op") === "moved", 1)))
+    val nDead = graft.util.Actions.longOr(edgeM, "nDead", 0L)
+    val nMoved = graft.util.Actions.longOr(edgeM, "nMoved", 0L)
+    val dead = edgeWs.filter(col("op") === "dead")
+      .select(col("edge_key"), col("_oldc").as("cluster_id"))
+    val movedEdges = edgeWs.filter(col("op") === "moved")
+      .select(col("edge_key"), col("id_a"), col("id_b"),
+        col("_newc").as("cluster_id"), lit(stamp).as("batch_no"))
+    // old-values probe carries both candidate bucket columns (see
+    // maintainClustersWithEdges)
+    val movedOld = edgeWs.filter(col("op") === "moved")
+      .select(col("edge_key"), col("_oldc").as("cluster_id"))
+    if (nDead > 0L && nMoved > 0L)
+      edges.applyDelta(dead, movedEdges, Some(movedOld))
+    else if (nDead > 0L) edges.delete(dead)
+    else if (nMoved > 0L) edges.upsertMoved(movedEdges, movedOld)
     out
   }
 
@@ -721,17 +781,21 @@ object IncrementalDedup {
       s"sample table must precombine on 'batch_no' (the floor-monotone " +
         s"stamp), got '${sample.precombine}'")
     val snap = sample.snapshotOpt
-    val prior = snap.map(_.select(col("id"), col("weight"), col("prio"),
-      col("rank")).localCheckpoint(true))
+    // prior pin + floor stamp in ONE job (r16 action discipline):
+    // batch_no rides the checkpoint to be observed, then drops
+    val priorObs = snap.map(s => graft.util.Actions.checkpointObserved(
+      s.select(col("id"), col("weight"), col("prio"), col("rank"),
+        col("batch_no")),
+      "mx" -> max(col("batch_no"))))
+    val prior = priorObs.map(_._1.drop("batch_no"))
     val next = prior match {
       case None => Sampling.prioritySample(added, key, weight, k)
       case Some(p) => Sampling.maintainPrioritySample(p, added, key,
         weight, k)
     }
     val nextCp = next.localCheckpoint(true)
-    val floor = snap
-      .map(_.agg(max(col("batch_no"))).collect()(0))
-      .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
+    val floor = priorObs
+      .map(p => graft.util.Actions.longOr(p._2, "mx", -1L) + 1L)
       .getOrElse(0L)
     val stamp = math.max(floor, batchNo)
     val (upserts, deletes) = prior match {
@@ -752,12 +816,22 @@ object IncrementalDedup {
           .select(col("id"))
         (up, del)
     }
-    val upCp = upserts.localCheckpoint(true)
-    val delCp = deletes.localCheckpoint(true)
-    if (!delCp.isEmpty) sample.delete(delCp)
-    if (!upCp.isEmpty) sample.upsert(upCp)
-    upCp
+    applySampleDelta(sample, upserts, deletes)
   }
+
+  /** Pin a sample maintainer's (upserts, deletes) pair in ONE tagged
+    * checkpoint — per-op counts observed on the same job — and apply
+    * the physical delta as ONE fused COW commit
+    * ([[VersionedTable.applyDelta]]); single-op deltas keep the single
+    * op, empty deltas commit nothing (the idempotency contract). The
+    * r16 action-discipline replacement for the former two checkpoints
+    * + two isEmpty probes + two commits shared by the three sample
+    * maintainers. Returns the pinned upsert write set (their shared
+    * contract).
+    */
+  private def applySampleDelta(sample: VersionedTable, upserts: DataFrame,
+      deletes: DataFrame): DataFrame =
+    sample.applyDeltaPinned(deletes, upserts)
 
   /** [[maintainSample]] with a DELETION BUFFER (VERDICT r15 item 1 —
     * the last additive-only maintained structure made delete-aware):
@@ -794,13 +868,18 @@ object IncrementalDedup {
       s"sample table must precombine on 'batch_no' (the floor-monotone " +
         s"stamp), got '${sample.precombine}'")
     val snap = sample.snapshotOpt
-    val prior = snap.map(_.select(col("id"), col("weight"), col("prio"),
-      col("rank"), col("cap")).localCheckpoint(true))
+    // prior pin + cap + floor stamp in ONE job (r16): the former
+    // checkpoint + min(cap) agg + max(batch_no) agg trio was three
+    // dispatch round-trips over ≤ k+m rows of state
+    val priorObs = snap.map(s => graft.util.Actions.checkpointObserved(
+      s.select(col("id"), col("weight"), col("prio"), col("rank"),
+        col("cap"), col("batch_no")),
+      "mnCap" -> min(col("cap")), "mx" -> max(col("batch_no"))))
+    val prior = priorObs.map(_._1.drop("batch_no"))
     // current exactness budget: k+m for a fresh table, else the stored
     // cap (constant across rows — every commit writes it uniformly)
-    val cap = prior
-      .map(_.agg(min(col("cap"))).collect()(0))
-      .collect { case r if !r.isNullAt(0) => r.getLong(0) }
+    val cap = priorObs
+      .map(p => graft.util.Actions.longOr(p._2, "mnCap", (k + m).toLong))
       .getOrElse((k + m).toLong)
     require(cap >= k,
       s"buffer exhausted: cap=$cap < k=$k — run a recompute " +
@@ -811,9 +890,8 @@ object IncrementalDedup {
         added, key, weight, cap.toInt)
     }
     val nextCp = next.withColumn("cap", lit(cap)).localCheckpoint(true)
-    val floor = snap
-      .map(_.agg(max(col("batch_no"))).collect()(0))
-      .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
+    val floor = priorObs
+      .map(p => graft.util.Actions.longOr(p._2, "mx", -1L) + 1L)
       .getOrElse(0L)
     val stamp = math.max(floor, batchNo)
     val (upserts, deletes) = prior match {
@@ -831,11 +909,7 @@ object IncrementalDedup {
           .select(col("id"))
         (up, del)
     }
-    val upCp = upserts.localCheckpoint(true)
-    val delCp = deletes.localCheckpoint(true)
-    if (!delCp.isEmpty) sample.delete(delCp)
-    if (!upCp.isEmpty) sample.upsert(upCp)
-    upCp
+    applySampleDelta(sample, upserts, deletes)
   }
 
   /** The maintained sample's TAKEDOWN (VERDICT r15 item 1): deletions
@@ -882,21 +956,24 @@ object IncrementalDedup {
     // the deleted set against the broadcast buffer
     val del = deletedIds.select(col(deletedIds.columns.head).as("_d"))
       .distinct().localCheckpoint(true)
-    val prior = snap.get.select(col("id"), col("weight"), col("prio"),
-      col("rank"), col("cap")).localCheckpoint(true)
-    val hits = del.join(broadcast(prior.select(col("id"))),
-        col("_d") === col("id"), "left_semi")
-      .select(col("_d").as("id")).localCheckpoint(true)
-    val h = hits.count()
+    // prior pin + stored count + cap + floor stamp in ONE job (r16):
+    // the former checkpoint + count + min(cap) agg + max(batch_no) agg
+    // was four dispatch round-trips over ≤ k+m rows of state
+    val (prior0, priorM) = graft.util.Actions.checkpointObserved(
+      snap.get.select(col("id"), col("weight"), col("prio"),
+        col("rank"), col("cap"), col("batch_no")),
+      "mnCap" -> min(col("cap")), "mx" -> max(col("batch_no")))
+    val prior = prior0.drop("batch_no")
+    val (hits, h) = graft.util.Actions.checkpointCounted(
+      del.join(broadcast(prior.select(col("id"))),
+          col("_d") === col("id"), "left_semi")
+        .select(col("_d").as("id")))
     if (h == 0L) return emptyWrite // outside the buffer: no-op, no commit
-    val stored = prior.count()
-    val capPrior = prior.agg(min(col("cap"))).collect()(0).getLong(0)
+    val stored = graft.util.Actions.longOr(priorM, "n", 0L)
+    val capPrior = graft.util.Actions.longOr(priorM, "mnCap", 0L)
     val n = stored - h
     val bufferWasFull = stored == capPrior
-    val floor = snap
-      .map(_.agg(max(col("batch_no"))).collect()(0))
-      .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1L }
-      .getOrElse(0L)
+    val floor = graft.util.Actions.longOr(priorM, "mx", -1L) + 1L
     val stamp = math.max(floor, batchNo)
     val rerank = org.apache.spark.sql.expressions.Window
       .orderBy(col("prio"), col("id"))
@@ -937,10 +1014,6 @@ object IncrementalDedup {
           .select(col("id"))
         (up, gone)
       }
-    val upCp = upserts.localCheckpoint(true)
-    val delCp = deletes.localCheckpoint(true)
-    if (!delCp.isEmpty) sample.delete(delCp)
-    if (!upCp.isEmpty) sample.upsert(upCp)
-    upCp
+    applySampleDelta(sample, upserts, deletes)
   }
 }

@@ -373,12 +373,6 @@ object Similarity {
     require(iters >= 0, s"need iters >= 0, got $iters")
     // one materialization shared by all m subspace trainers
     val train = corpus.select(col("id"), col("emb")).localCheckpoint()
-    val dim = train.select(size(col("emb")).as("d")).limit(1).collect() match {
-      case Array(r) => r.getInt(0)
-      case _ => throw new IllegalArgumentException("empty corpus")
-    }
-    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
-    val sub = dim / m
     // ALL m subspace k-means run MERGED: one seed collect (slices of
     // the same k lowest-id vectors every per-subspace trainer would
     // pick) and ONE stats round-trip per Lloyd round — (s, cid, pos)
@@ -395,6 +389,13 @@ object Similarity {
     // battery (every PQ row's codebooks replay in SQL).
     val seedRows = train.orderBy(col("id")).limit(k).select(col("emb"))
       .collect().map(_.getSeq[Any](0).map(toD).toVector)
+    // the dimension comes from the seed rows already collected — the
+    // former standalone limit(1) dim probe was one more dispatch
+    // round-trip per training (r16)
+    if (seedRows.isEmpty) throw new IllegalArgumentException("empty corpus")
+    val dim = seedRows.head.length
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
     var books: IndexedSeq[Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
       seedRows.map(v => v.slice(s * sub, (s + 1) * sub): Seq[Double])
         .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
@@ -1021,11 +1022,12 @@ object Similarity {
       .select(col("id"), col("after_emb").as("emb"), col("after_ver").as("ver"))
     val enc = encodeIvfPq(changed, coarse, codebooks)
       .join(changed.select(col("id"), col("ver")), Seq("id"))
-      .localCheckpoint(true)
-    if (!enc.isEmpty) indexVt.upsert(enc)
     val dels = d.filter(col("change_type") === "delete").select(col("id"))
-      .localCheckpoint(true)
-    if (!dels.isEmpty) indexVt.delete(dels)
+    // re-encodes and delete keys pin in ONE tagged checkpoint and
+    // apply as ONE fused commit (r16 action discipline — formerly two
+    // checkpoints + two isEmpty probes + two commits per maintenance)
+    indexVt.applyDeltaPinned(dels, enc)
+    ()
   }
 
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,

@@ -405,6 +405,126 @@ final class VersionedTable(spark: SparkSession, root: String,
     ts
   }
 
+  /** Fused COW mutation (r16 optimization): apply a key-set DELETE and
+    * an UPSERT as ONE commit — byte-for-byte the snapshot `delete(keys)`
+    * followed by `upsert(updates)` would produce, at half the commit
+    * cost. The maintenance gates (takedown, sample repair, cluster
+    * relabel) always carry both a remove set and a rewrite set; paying
+    * two commits meant two bucket probes, two touched-bucket reads,
+    * two writes and two manifests per gate call — measured as pure
+    * dispatch overhead in the r16 TakedownProf census. Equivalence
+    * argument: a key in both sets sees its stored row anti-joined away
+    * before the precombine window, exactly as a delete-then-upsert
+    * leaves only the incoming row for the merge; keys in one set only
+    * take the corresponding single-op path unchanged. Probe/rewrite
+    * discipline, crash-safety (data before manifest), emptied-bucket
+    * manifest drops, and the non-determinism abort are [[upsert]]'s.
+    * `oldValues` plays [[upsertMoved]]'s role for partition-crossing
+    * updates; under payload partitioning `deleteKeys0` must carry the
+    * partition column (current values), like [[delete]].
+    */
+  def applyDelta(deleteKeys0: DataFrame, updates0: DataFrame,
+      oldValues: Option[DataFrame] = None): String = {
+    val ts = newCommitTs()
+    val prev = commitDirs.lastOption
+    prev.foreach(requireLayoutMatches)
+    val prevManifest = prev.map(readManifest).getOrElse(Map.empty[Int, String])
+    val legacyPrev = prev.filterNot(_ => prevManifest.nonEmpty)
+    partitionColOpt.foreach { pc =>
+      require(deleteKeys0.columns.contains(pc),
+        s"applyDelta on a $pc-partitioned table needs the delete-keys " +
+          s"frame to carry $pc (the rows' current values) for bucket pruning")
+    }
+    val delKeys = deleteKeys0.select(col(recordKey)).distinct()
+    val tagged = updates0.withColumn("_is_update", lit(1))
+      .withColumn(CommitCol, lit(ts))
+    var touchedProbe: Option[Set[Int]] = None
+    val prevData: Option[DataFrame] = legacyPrev match {
+      case Some(legacy) => Some(spark.read.parquet(s"$root/$legacy"))
+      case None =>
+        // ONE probe over every frame that names a bucket: update rows,
+        // doomed keys, and (for moves) the old partition values
+        val touched = (updates0.select(bucketExpr.as("b")) +:
+            deleteKeys0.select(bucketExpr.as("b")) +:
+            oldValues.map(_.select(bucketExpr.as("b"))).toSeq)
+          .reduce(_.unionAll(_)).distinct()
+          .collect().map(_.getLong(0).toInt).toSet
+        touchedProbe = Some(touched)
+        val touchedM = prevManifest.filter { case (b, _) => touched(b) }
+        if (touchedM.isEmpty) None else Some(readGrouped(touchedM))
+    }
+    val merged = prevData match {
+      case None => tagged
+      case Some(p) =>
+        // delete BEFORE the merge window — the stored copy of a doomed
+        // key must not survive via precombine
+        p.join(delKeys.toDF("_del_key"),
+            p(recordKey) <=> col("_del_key"), "left_anti")
+          .withColumn("_is_update", lit(0))
+          .unionByName(tagged, allowMissingColumns = true)
+    }
+    val w = Window.partitionBy(col(recordKey))
+      .orderBy(col(precombine).desc, col("_is_update").desc)
+    val deduped = merged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_is_update")
+      .withColumn(BucketCol, bucketExpr)
+    val writeWidth = touchedProbe.map(t => math.min(numBuckets,
+      math.max(1, t.size))).getOrElse(numBuckets)
+    deduped.repartition(writeWidth, col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(s"$root/$ts/data")
+    val written = writtenBuckets(ts)
+    touchedProbe.foreach { touched =>
+      val unexpected = written.toSet -- touched
+      if (unexpected.nonEmpty) {
+        graft.util.Fs.deleteRecursively(Paths.get(s"$root/$ts"))
+        sys.error(s"applyDelta aborted: inputs wrote buckets $unexpected the " +
+          "probe never read — a plan is non-deterministic; checkpoint it first")
+      }
+    }
+    val emptied = touchedProbe.getOrElse(Set.empty)
+      .filter(prevManifest.contains) -- written.toSet
+    val newManifest = (prevManifest -- emptied) ++ written.map(_ -> ts)
+    if (newManifest.isEmpty) {
+      // every row deleted and nothing upserted: keep one empty bucket
+      // file so the snapshot schema stays recoverable (delete's guard)
+      deduped.limit(0).drop(BucketCol)
+        .write.mode("overwrite").parquet(bucketPath(0, ts))
+      writeManifest(ts, Map(0 -> ts))
+    } else writeManifest(ts, newManifest)
+    ts
+  }
+
+  /** [[applyDelta]] with the write sets PINNED here (r16): upserts and
+    * delete keys union into ONE tagged checkpoint whose per-op counts
+    * ride the checkpoint job as observed metrics, then apply as ONE
+    * fused commit; empty sides degrade to the single op, an empty
+    * delta commits nothing (the maintenance gates' idempotency
+    * contract). Record-key-bucketed tables only — payload-partitioned
+    * tables need explicit old values ([[applyDelta]]'s `oldValues`).
+    * Returns the pinned upsert write set (the gates' shared contract).
+    */
+  def applyDeltaPinned(deleteKeys: DataFrame, upserts: DataFrame): DataFrame = {
+    require(partitionColOpt.isEmpty,
+      "applyDeltaPinned is for record-key-bucketed tables; under payload " +
+        "partitioning use applyDelta with explicit old values")
+    val upSchema = upserts.schema
+    val delT = deleteKeys.select(
+      (col(recordKey) +: upSchema.filter(_.name != recordKey).toSeq.map(f =>
+        lit(null).cast(f.dataType).as(f.name))) :+ lit("_del").as("_op"): _*)
+    val (ws, m) = graft.util.Actions.checkpointObserved(
+      upserts.withColumn("_op", lit("_up")).unionByName(delT),
+      "nUp" -> count(when(col("_op") === "_up", 1)),
+      "nDel" -> count(when(col("_op") === "_del", 1)))
+    val nUp = graft.util.Actions.longOr(m, "nUp", 0L)
+    val nDel = graft.util.Actions.longOr(m, "nDel", 0L)
+    val up = ws.filter(col("_op") === "_up").drop("_op")
+    val del = ws.filter(col("_op") === "_del").select(col(recordKey))
+    if (nDel > 0L && nUp > 0L) applyDelta(del, up)
+    else if (nDel > 0L) delete(del)
+    else if (nUp > 0L) upsert(up)
+    up
+  }
+
   /** Change feed between two commits — the snapshot-diff CDC a
     * non-CDC lake can still offer: a key-level FULL OUTER join of the
     * two as-of states, classifying every key as insert / delete /

@@ -133,6 +133,59 @@ class VersionedTableSpec extends SparkSpec {
     assert(m("K1") == "reborn" && !m.contains("K3") && m("K2") == "v2")
   }
 
+  test("applyDelta ≡ delete-then-upsert: one fused commit, same snapshot (r16)") {
+    import org.apache.spark.sql.functions.col
+    def seed(vt: VersionedTable): Unit = {
+      vt.upsert((1 to 20).map(i => (s"K$i", 1L, s"v$i")).toDF("k", "pre", "payload"))
+      vt.upsert(Seq(("K1", 2L, "v1b")).toDF("k", "pre", "payload"))
+    }
+    // reference: sequential delete + upsert (two commits)
+    val ref = new VersionedTable(spark, Fixtures.tmpDir("vt").toString, "k", "pre", numBuckets = 4)
+    seed(ref)
+    val dels = Seq("K2", "K3", "K5", "KNOPE").toDF("k")
+    // K5 in BOTH sets: delete-then-upsert leaves the incoming row even
+    // at a LOWER precombine than the deleted stored one
+    val ups = Seq(("K5", 0L, "k5new"), ("K1", 1L, "ignored_low_pre"),
+      ("K21", 1L, "fresh")).toDF("k", "pre", "payload")
+    ref.delete(dels); ref.upsert(ups)
+    // fused: one commit
+    val fused = new VersionedTable(spark, Fixtures.tmpDir("vt").toString, "k", "pre", numBuckets = 4)
+    seed(fused)
+    val commitsBefore = fused.commits.size
+    fused.applyDelta(dels, ups)
+    assert(fused.commits.size == commitsBefore + 1, "applyDelta is ONE commit")
+    def m(vt: VersionedTable) = vt.snapshot.collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("pre"), r.getAs[String]("payload")))
+      .toSet
+    assert(m(fused) == m(ref), s"fused=${m(fused)} ref=${m(ref)}")
+    assert(m(fused).exists(r => r._1 == "K5" && r._3 == "k5new"),
+      "key in both sets takes the incoming row")
+    assert(m(fused).exists(r => r._1 == "K1" && r._3 == "v1b"),
+      "low-precombine update loses to the surviving stored row")
+    // emptied-bucket parity: delete EVERY row via the fused op, schema survives
+    val vt3 = new VersionedTable(spark, Fixtures.tmpDir("vt").toString, "k", "pre", numBuckets = 4)
+    vt3.upsert(Seq(("A", 1L, "x")).toDF("k", "pre", "payload"))
+    vt3.applyDelta(Seq("A").toDF("k"), Seq.empty[(String, Long, String)].toDF("k", "pre", "payload"))
+    assert(vt3.snapshot.count() == 0 && vt3.snapshot.columns.contains("payload"))
+    // partitioned-table move parity: relabel crosses buckets, old bucket emptied
+    val pRef = new VersionedTable(spark, Fixtures.tmpDir("vt").toString, "ek", "pre",
+      numBuckets = 8, partitionColOpt = Some("cid"))
+    val pFus = new VersionedTable(spark, Fixtures.tmpDir("vt").toString, "ek", "pre",
+      numBuckets = 8, partitionColOpt = Some("cid"))
+    val base = Seq(("e1", 10L, 1L), ("e2", 10L, 1L), ("e3", 20L, 1L))
+      .toDF("ek", "cid", "pre")
+    pRef.upsert(base); pFus.upsert(base)
+    val pDel = Seq(("e3", 20L)).toDF("ek", "cid")
+    val pUps = Seq(("e1", 30L, 2L), ("e2", 30L, 2L)).toDF("ek", "cid", "pre")
+    val pOld = Seq(("e1", 10L), ("e2", 10L)).toDF("ek", "cid")
+    pRef.delete(pDel); pRef.upsertMoved(pUps, pOld)
+    pFus.applyDelta(pDel, pUps, Some(pOld))
+    def pm(vt: VersionedTable) = vt.snapshot.select(col("ek"), col("cid"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(pm(pFus) == pm(pRef) && pm(pFus) == Set("e1" -> 30L, "e2" -> 30L),
+      s"partitioned move parity: fused=${pm(pFus)} ref=${pm(pRef)}")
+  }
+
   test("delete drops fully-emptied buckets from the manifest; untouched buckets carry by reference") {
     val root = Fixtures.tmpDir("vt").toString
     val vt = new VersionedTable(spark, root, "k", "pre", numBuckets = 4)
