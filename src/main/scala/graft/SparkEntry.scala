@@ -1126,49 +1126,80 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val deletedDocs = docs.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id").as("id")).localCheckpoint(true)
-    // 1+2: labels + cluster_id-partitioned edges, takedown-repaired
-    val labels = vt("labels", "id", "batch_no")
-    val edges = vt("edges", "edge_key", "batch_no", Some("cluster_id"))
+    // shared inputs pin BEFORE the fork below
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .localCheckpoint(true)
-    graft.operators.IncrementalDedup.maintainClustersWithEdges(
-      labels, edges, pairs, 1L)
-    graft.operators.IncrementalDedup.takedown(labels, edges, deletedDocs, 2L)
-    // 3+4: corpus table feeds postings + rollup through its CDC diff
+    // The six maintained structures form FOUR independent maintenance
+    // flows over disjoint tables (labels+edges | corpus→postings+rollup
+    // | sample | embeddings→PQ-index). Run them as concurrent driver
+    // jobs (r16, guide §2.6 — actions are only sequential because the
+    // driver calls them sequentially): each flow is a chain of many
+    // small commits/actions whose dispatch tails the other flows'
+    // tasks back-fill. Results are identical — the flows share no
+    // table, the shared input frames are pinned above, and every
+    // operator takes its session from its frames.
+    val labels = vt("labels", "id", "batch_no")
+    val edges = vt("edges", "edge_key", "batch_no", Some("cluster_id"))
     val cvt = vt("corpus", "doc_id", "ver")
-    val c1 = cvt.upsert(docs.select(col("doc_id"), col("text"), col("lang"),
-      col("n_chars"), lit(1L).as("ver")))
-    val postings1 = graft.operators.TextSearch
-      .postingRows(cvt.snapshot, "doc_id", "text").localCheckpoint(true)
+    val svt = vt("sample", "id", "batch_no")
+    val evt = vt("emb", "id", "ver")
+    val ivt = vt("pqidx", "id", "ver")
     val aggs = Seq("n_docs" -> count(lit(1)),
       "sum_chars" -> sum(col("n_chars")))
-    val rollup1 = graft.operators.RollupMaintenance
-      .fullRollup(cvt, "lang", aggs).localCheckpoint(true)
-    cvt.delete(deletedDocs.select(col("id").as("doc_id")))
-    val head = cvt.commits.head
-    val postings = graft.operators.TextSearch
-      .maintainPostings(cvt, c1, head, postings1, "text")
-    val rollup = graft.operators.RollupMaintenance
-      .maintainRollupCdc(cvt, c1, head, rollup1, "lang", aggs)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // 1+2: labels + cluster_id-partitioned edges, takedown-repaired
+    val fClusters = Future {
+      graft.operators.IncrementalDedup.maintainClustersWithEdges(
+        labels, edges, pairs, 1L)
+      graft.operators.IncrementalDedup.takedown(labels, edges, deletedDocs, 2L)
+    }
+    // 3+4: corpus table feeds postings + rollup through its CDC diff
+    val fCorpus = Future {
+      val c1 = cvt.upsert(docs.select(col("doc_id"), col("text"), col("lang"),
+        col("n_chars"), lit(1L).as("ver")))
+      val postings1 = graft.operators.TextSearch
+        .postingRows(cvt.snapshot, "doc_id", "text").localCheckpoint(true)
+      val rollup1 = graft.operators.RollupMaintenance
+        .fullRollup(cvt, "lang", aggs).localCheckpoint(true)
+      cvt.delete(deletedDocs.select(col("id").as("doc_id")))
+      val head = cvt.commits.head
+      val postings = graft.operators.TextSearch
+        .maintainPostings(cvt, c1, head, postings1, "text")
+      val rollup = graft.operators.RollupMaintenance
+        .maintainRollupCdc(cvt, c1, head, rollup1, "lang", aggs)
+      (postings, rollup)
+    }
     // 5: buffered sample repaired from local state (q279's gate)
-    val svt = vt("sample", "id", "batch_no")
-    graft.operators.IncrementalDedup.maintainSampleBuffered(svt, docs,
-      col("doc_id"), col("n_chars"), k = 48, m = 16, batchNo = 1L)
-    graft.operators.IncrementalDedup.takedownSampleBuffered(svt,
-      deletedDocs, k = 48, m = 16, batchNo = 2L, corpus = () => docs,
-      key = col("doc_id"), weight = col("n_chars"))
+    val fSample = Future {
+      graft.operators.IncrementalDedup.maintainSampleBuffered(svt, docs,
+        col("doc_id"), col("n_chars"), k = 48, m = 16, batchNo = 1L)
+      graft.operators.IncrementalDedup.takedownSampleBuffered(svt,
+        deletedDocs, k = 48, m = 16, batchNo = 2L, corpus = () => docs,
+        key = col("doc_id"), weight = col("n_chars"))
+    }
     // 6: the IVF-PQ index follows the embeddings table's delete
-    val evt = vt("emb", "id", "ver")
-    val emb = embCorpus(s, dir)
-    val e1 = evt.upsert(emb.withColumn("ver", lit(1L)))
-    val frozen = evt.snapshot.select(col("id"), col("emb"))
-    val coarse = Similarity.trainCentroids(frozen, k = 8, iters = 2)
-    val books = Similarity.trainPqCodebooks(frozen, m = 2, k = 4, iters = 2)
-    val ivt = vt("pqidx", "id", "ver")
-    ivt.upsert(Similarity.encodeIvfPq(frozen, coarse, books)
-      .join(evt.snapshot.select(col("id"), col("ver")), Seq("id")))
-    evt.delete(emb.filter(col("id") % 5 === 0).select(col("id")))
-    Similarity.maintainPqIndex(ivt, evt, e1, coarse, books)
+    val fPq = Future {
+      val emb = embCorpus(s, dir)
+      val e1 = evt.upsert(emb.withColumn("ver", lit(1L)))
+      val frozen = evt.snapshot.select(col("id"), col("emb"))
+      val coarse = Similarity.trainCentroids(frozen, k = 8, iters = 2)
+      val books = Similarity.trainPqCodebooks(frozen, m = 2, k = 4, iters = 2)
+      ivt.upsert(Similarity.encodeIvfPq(frozen, coarse, books)
+        .join(evt.snapshot.select(col("id"), col("ver")), Seq("id")))
+      evt.delete(emb.filter(col("id") % 5 === 0).select(col("id")))
+      Similarity.maintainPqIndex(ivt, evt, e1, coarse, books)
+    }
+    val (postings, rollup) =
+      try {
+        import scala.concurrent.duration.Duration
+        Await.result(fClusters, Duration.Inf)
+        val pr = Await.result(fCorpus, Duration.Inf)
+        Await.result(fSample, Duration.Inf)
+        Await.result(fPq, Duration.Inf)
+        pr
+      } finally pool.shutdown()
     // tall (structure, k, v) union — (structure, k) is a key in every
     // block, so the output order is total and engine-independent
     val sLab = labels.snapshot.select(lit("labels").as("structure"),
@@ -3600,10 +3631,22 @@ object SparkEntry {
     val o = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
     val (lTbl, oTbl) = (s"graft_q276_l_$tag", s"graft_q276_o_$tag")
-    graft.operators.Layout.writeBucketedAt(l, lTbl, "l_orderkey", 8,
-      s"$root/l")
-    graft.operators.Layout.writeBucketedAt(o, oTbl, "o_orderkey", 8,
-      s"$root/o")
+    // the two bucketed writes are independent tables — overlap them as
+    // concurrent driver jobs (r16, guide §2.6); ~90% of the row's wall
+    // IS these writes, and one write's straggler tail back-fills with
+    // the other's tasks
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fL = Future(graft.operators.Layout.writeBucketedAt(l, lTbl,
+        "l_orderkey", 8, s"$root/l"))
+      val fO = Future(graft.operators.Layout.writeBucketedAt(o, oTbl,
+        "o_orderkey", 8, s"$root/o"))
+      try { Await.result(fL, Duration.Inf); Await.result(fO, Duration.Inf) }
+      finally pool.shutdown()
+    }
     val out = s.table(lTbl)
       .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))

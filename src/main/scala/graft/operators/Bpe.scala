@@ -163,6 +163,13 @@ object Bpe {
       .localCheckpoint(true)
     val merges = mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
+    // r16 action discipline: the per-round vocab re-checkpoint was the
+    // trainer's second dispatch round-trip per merge (2·numMerges jobs
+    // of ≤ vocabCap rows). Merge application now DEFERS as a shallow
+    // expression fold over the last pin and re-pins every 4th round —
+    // same merges bit-for-bit (application order unchanged), half the
+    // actions; the fold depth stays ≤ 4 so codegen never blows up.
+    var pendingFolds = 0
     while (merges.length < numMerges && !exhausted) {
       val ss = filter(split(col("seg"), Sep), s => s =!= "")
       val pairs = vocab
@@ -181,7 +188,11 @@ object Bpe {
           winner(0).getLong(2))
         merges += ((a, b, c))
         vocab = vocab.withColumn("seg", applyMerge(col("seg"), a, b))
-          .localCheckpoint(true)
+        pendingFolds += 1
+        if (pendingFolds >= 4 && merges.length < numMerges) {
+          vocab = vocab.localCheckpoint(true)
+          pendingFolds = 0
+        }
       }
     }
     merges.toSeq

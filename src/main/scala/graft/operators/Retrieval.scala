@@ -129,11 +129,20 @@ object Retrieval {
     val scored = TextSearch.bm25ManyPairs(docs, idCol, textCol, pruned, k1, b)
       .withColumn("query_id", col("query_id").cast("long"))
       .filter(col("doc_id") =!= col("query_id"))
-    val lsh = Dedup.minhashLshPairs(docs, idCol, textCol, bands, rowsPerBand, n)
-    val nearDups = lsh
-      .select(col("id_a").as("query_id"), col("id_b").as("doc_id"))
-      .unionByName(lsh.select(col("id_b").as("query_id"), col("id_a").as("doc_id")))
-      .filter(col("query_id").isin(seedIds: _*))
+    // the exclusion list needs ONLY pairs touching a seed: band the
+    // corpus once and equi-join the seeds' band keys back against it
+    // (r16, guide §3.2 — pre-filter instead of the corpus-wide LSH
+    // self-join this used to re-pay; the full pair table is the dedup
+    // pipeline's artifact, not this miner's cost). Exclusion set is
+    // IDENTICAL: a (seed, doc) pair shares a band bucket iff the
+    // self-join would have produced it; duplicates from multi-band
+    // collisions are harmless under the left_anti below.
+    val banded = Dedup.bandedBuckets(docs, idCol, textCol, bands, rowsPerBand, n)
+    val nearDups = banded.filter(col("id").isin(seedIds: _*))
+      .select(col("id").as("query_id"), col("band"), col("bucket"))
+      .join(banded, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("doc_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25_1e6").desc, col("doc_id"))
     scored.join(nearDups, Seq("query_id", "doc_id"), "left_anti")
